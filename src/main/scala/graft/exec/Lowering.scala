@@ -1,0 +1,384 @@
+package graft.exec
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Aggregator
+import scala.collection.mutable
+import graft.model.FieldSelector
+import graft.pipes._
+import graft.sources.{SinkMode, Tap}
+
+/** Pipe DSL → DataFrame lowering — the analogue of the reference's
+  * node-by-node translator (`FlinkFlowStep.java:196-351`), except the output
+  * is a *declarative* Catalyst plan: no boundary injection, no custom
+  * serializers, no interpreter stages. Catalyst's analyzer resolves fields,
+  * `EnsureRequirements` places exchanges where the reference's planner rules
+  * placed `Boundary`s, and Tungsten replaces the whole `types/` stack.
+  *
+  * The memo map mirrors `flinkMemo` (`FFS:230-242`): a pipe object consumed
+  * by several downstream pipes lowers once and the DataFrame is reused —
+  * Catalyst handles common-subplan execution; callers opt into `.cache()`
+  * when recomputation would be costly.
+  */
+final class Lowering(spark: SparkSession, keepAssertions: Boolean = true) {
+  import FieldSelector._
+
+  private val memo = new java.util.IdentityHashMap[Pipe, DataFrame]()
+
+  def lower(p: Pipe): DataFrame = {
+    val hit = memo.get(p)
+    if (hit != null) hit
+    else { val df = translate(p); memo.put(p, df); df }
+  }
+
+  // ------------------------------------------------------------------
+  private def translate(p: Pipe): DataFrame = p match {
+    case SourcePipe(tap, _) => tap.read(spark)
+
+    case e: EachPipe => lowerEach(e)
+
+    // GroupBy with no Every: Cascading semantics = partition + in-group sort
+    // (consumed positionally by a downstream sink). Multi-input GroupBy
+    // unions first (`FFS:477-496`).
+    case GroupByPipe(inputs, keys, sort, reverse) =>
+      val df = inputs.map(lower).reduce(_ unionAll _)
+      if (keys.isEmpty) df
+      else {
+        val sortCols = groupSortCols(keys, sort, reverse)
+        df.repartition(keys.map(col): _*).sortWithinPartitions(sortCols: _*)
+      }
+
+    case AggregatePipe(grouped, aggs) =>
+      val df = grouped.inputs.map(lower).reduce(_ unionAll _)
+      val aggCols = aggs.map(a => a.make(a.argFields.map(df.col)).as(a.resultField))
+      if (grouped.keys.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
+      else df.groupBy(grouped.keys.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+
+    case CustomAggPipe(grouped, agg) => lowerCustomAgg(grouped, agg)
+
+    case BufferPipe(grouped, b, includeKeys) => lowerBuffer(grouped, b, includeKeys)
+
+    case CoGroupPipe(l, lk, r, rk, joiner, declared) =>
+      lowerJoin(lower(l), lk, lower(r), rk, joiner, declared, bcast = false)
+
+    case HashJoinPipe(l, lk, r, rk, joiner, declared) =>
+      lowerJoin(lower(l), lk, lower(r), rk, joiner, declared, bcast = true)
+
+    case CrossPipe(l, r) => lower(l).crossJoin(lower(r))
+
+    case bj: BufferJoinPipe => lowerBufferJoin(bj)
+
+    case MergePipe(pipes) => pipes.map(lower).reduce(_ unionAll _)
+
+    case UniquePipe(prev, fields) =>
+      val df = lower(prev)
+      fields.fold(df.distinct())(f => df.dropDuplicates(f))
+
+    case RetainPipe(prev, fields) =>
+      lower(prev).select(fields.map(col): _*)
+
+    case DiscardPipe(prev, fields) =>
+      lower(prev).drop(fields: _*)
+
+    case RenamePipe(prev, pairs) =>
+      pairs.foldLeft(lower(prev)) { case (df, (from, to)) =>
+        df.withColumnRenamed(from, to)
+      }
+
+    case CoercePipe(prev, fields) =>
+      fields.foldLeft(lower(prev)) { case (df, (f, t)) =>
+        df.withColumn(f, df.col(f).cast(t))
+      }
+
+    case LimitPipe(prev, n)           => lower(prev).limit(n.toInt)
+    case SamplePipe(prev, frac, seed) => lower(prev).sample(frac, seed)
+
+    case OrderByPipe(prev, sort) =>
+      lower(prev).orderBy(sort.map { case (f, asc) =>
+        if (asc) col(f).asc_nulls_first else col(f).desc_nulls_last
+      }: _*)
+
+    case AssertPipe(prev, pred, message) =>
+      val df = lower(prev)
+      if (!keepAssertions) df
+      // assert_true returns null on success; keeping it inside the filter
+      // prevents ColumnPruning from eliding the side effect.
+      else df.filter(assert_true(expr(pred),
+        lit(s"assertion failed: $message")).isNull)
+  }
+
+  // ------------------------------------------------------------------
+  // Each: arg selection + op + output selector algebra (SURVEY.md §2.3)
+  private def lowerEach(e: EachPipe): DataFrame = {
+    val df = lower(e.prev)
+    val incoming = df.columns.toSeq
+    def argNames(sel: FieldSelector): Seq[String] = sel match {
+      case All        => incoming
+      case Named(ns)  => ns.map(FieldSelector.resolvePos(_, incoming))
+      case other => throw new IllegalArgumentException(s"bad arg selector $other")
+    }
+    e.op match {
+      case EachOp.Flt(f) =>
+        val args = argNames(e.args)
+        df.filter(f.keep(args.map(df.col)))
+
+      case EachOp.Fn(fn) =>
+        val args = argNames(e.args)
+        val results = fn(args.map(df.col))
+        val resultNames = fn.resultFields.names
+        selectOutput(df, incoming, args, resultNames, results, e.out)
+
+      case EachOp.Gen(gen) =>
+        val args = argNames(e.args)
+        val arr = gen(args.map(df.col))
+        val rn = gen.resultFields.names
+        val exploded =
+          if (rn.length == 1) df.withColumn(rn.head, explode(arr))
+          else { // array<struct> → one column per struct field
+            val x = df.withColumn("__gen", explode(arr))
+            rn.foldLeft(x)((d, n) => d.withColumn(n, col("__gen").getField(n)))
+              .drop("__gen")
+          }
+        selectOutput(exploded, incoming, args, rn, rn.map(exploded.col), e.out)
+
+      case EachOp.RowFn(f) => lowerRowFn(df, e, f)
+    }
+  }
+
+  /** Output-selector algebra shared by Fn/Gen — Cascading RESULTS/ALL/SWAP
+    * (`FFS:461-475` out-fields logic). */
+  private def selectOutput(df: DataFrame, incoming: Seq[String],
+                           args: Seq[String], resultNames: Seq[String],
+                           results: Seq[Column], out: FieldSelector): DataFrame = {
+    val named = resultNames.zip(results).map { case (n, c) => c.as(n) }
+    out match {
+      case Results => df.select(named: _*)
+      case All =>
+        val keep = incoming.filterNot(resultNames.contains).map(df.col)
+        df.select(keep ++ named: _*)
+      case Swap =>
+        val keep = incoming.filterNot(args.contains)
+          .filterNot(resultNames.contains).map(df.col)
+        df.select(keep ++ named: _*)
+      case Replace =>
+        val m = resultNames.zip(results).toMap
+        df.select(incoming.map(n => m.get(n).map(_.as(n)).getOrElse(df.col(n))): _*)
+      case Named(ns) =>
+        val m = resultNames.zip(named).toMap
+        df.select(ns.map(n => m.getOrElse(n, df.col(n))): _*)
+      case other => throw new IllegalArgumentException(s"bad out selector $other")
+    }
+  }
+
+  /** Row-closure Each with optional trap: failures diverted to the trap tap
+    * instead of failing the job (reference trap machinery
+    * `FlinkFlowProcess.java:169-190`). The success/failure split is one
+    * deterministic pass over a cached intermediate. */
+  private def lowerRowFn(df: DataFrame, e: EachPipe, f: CRowFunction): DataFrame = {
+    val incoming = df.columns.toSeq
+    val args = e.args match {
+      case Named(ns) => ns.map(FieldSelector.resolvePos(_, incoming))
+      case _         => incoming
+    }
+    val argIdx = args.map(incoming.indexOf)
+    val resultSchema = f.resultFields.toStruct
+    e.trap match {
+      case None =>
+        val enc = Encoders.row(resultSchema)
+        val fn = f
+        val idx = argIdx
+        df.flatMap { row =>
+          val argRow = Row.fromSeq(idx.map(row.get))
+          fn(argRow).map(Row.fromSeq)
+        }(enc)
+      case Some(trapTap) =>
+        val fn = f
+        val idx = argIdx
+        val withErr = StructType(resultSchema.fields :+
+          StructField("__trap_in", StringType) :+ StructField("__trap_err", StringType))
+        val enc = Encoders.row(withErr)
+        val n = resultSchema.length
+        val processed = df.flatMap { row =>
+          val argRow = Row.fromSeq(idx.map(row.get))
+          try fn(argRow).map(s => Row.fromSeq(s :+ null :+ null))
+          catch {
+            case ex: Exception =>
+              Iterator.single(Row.fromSeq(
+                Seq.fill[Any](n)(null) :+ row.mkString("\t") :+ ex.toString))
+          }
+        }(enc).cache()
+        trapTap.write(processed.filter(col("__trap_err").isNotNull)
+          .select(col("__trap_in"), col("__trap_err")), SinkMode.Replace)
+        processed.filter(col("__trap_err").isNull)
+          .drop("__trap_in", "__trap_err")
+    }
+  }
+
+  // ------------------------------------------------------------------
+  /** Secondary-sort columns: keys first, then user sort fields; `reverse`
+    * flips key order (reference `FFS:527-531`; we do NOT replicate the
+    * mixed-ASC/DESC quirk at `FFS:546-549`). */
+  private def groupSortCols(keys: Seq[String], sort: Seq[(String, Boolean)],
+                            reverse: Boolean): Seq[Column] = {
+    val keyCols = keys.map(k =>
+      if (reverse) col(k).desc_nulls_last else col(k).asc_nulls_first)
+    val sortCols = sort.map { case (f, asc) =>
+      if (asc) col(f).asc_nulls_first else col(f).desc_nulls_last }
+    keyCols ++ sortCols
+  }
+
+  /** Buffer: the classic Spark secondary-sort group-runner —
+    * repartition(keys) + sortWithinPartitions(keys ++ sort) + mapPartitions
+    * with group-boundary detection. Guarantees intra-group order, which
+    * `flatMapGroups` does not. */
+  private def lowerBuffer(grouped: GroupByPipe, b: CBuffer,
+                          includeKeys: Boolean): DataFrame = {
+    val df = grouped.inputs.map(lower).reduce(_ unionAll _)
+    val keys = grouped.keys
+    val keySchema = StructType(keys.map(k => df.schema(k)))
+    val outSchema =
+      if (includeKeys && keys.nonEmpty) StructType(keySchema.fields ++ b.resultFields.toStruct.fields)
+      else b.resultFields.toStruct
+    val enc = Encoders.row(outSchema)
+    val cols = df.columns.toSeq
+    val keyIdx = keys.map(k => cols.indexOf(k))
+    val buf = b
+    val inclKeys = includeKeys && keys.nonEmpty
+
+    val arranged =
+      if (keys.isEmpty) {
+        // global group: single partition, fully sorted (reference dop-1
+        // global reduce `FFS:573-600`).
+        val sorted = grouped.sort.map { case (f, asc) =>
+          if (asc) col(f).asc_nulls_first else col(f).desc_nulls_last }
+        val d = df.coalesce(1)
+        if (sorted.nonEmpty) d.sortWithinPartitions(sorted: _*) else d
+      } else {
+        df.repartition(keys.map(col): _*)
+          .sortWithinPartitions(groupSortCols(keys, grouped.sort, grouped.reverse): _*)
+      }
+
+    arranged.mapPartitions { it =>
+      new Iterator[Row] {
+        private val rows = it.buffered
+        private var out: Iterator[Row] = Iterator.empty
+        // group currently being consumed by `out` (buffer output is lazy and
+        // pulls from this iterator); drained only once `out` is exhausted.
+        private var curGroup: Iterator[Row] = Iterator.empty
+        private def advance(): Unit = {
+          while (!out.hasNext && {
+                   while (curGroup.hasNext) curGroup.next(); rows.hasNext
+                 }) {
+            val keyVals = keyIdx.map(rows.head.get)
+            val group = new Iterator[Row] {
+              def hasNext: Boolean =
+                rows.hasNext && keyIdx.map(rows.head.get) == keyVals
+              def next(): Row = rows.next()
+            }
+            curGroup = group
+            val produced = buf.operate(keyVals, group)
+            out =
+              if (inclKeys) produced.map(s => Row.fromSeq(keyVals ++ s))
+              else produced.map(s => Row.fromSeq(s))
+          }
+        }
+        def hasNext: Boolean = { advance(); out.hasNext }
+        def next(): Row = { advance(); out.next() }
+      }
+    }(enc)
+  }
+
+  /** Cascading-style custom Aggregator → Spark typed `Aggregator` + `udaf`
+    * (partial aggregation comes free — subsumes the reference's whole
+    * `AggregateBy` partial/final split). */
+  private def lowerCustomAgg(grouped: GroupByPipe, ca: CAggregator[_]): DataFrame = {
+    val df = grouped.inputs.map(lower).reduce(_ unionAll _)
+    val argStruct = StructType(ca.argFields.map(f => df.schema(f)))
+    val outStruct = StructType(Seq(StructField(ca.resultField, ca.resultType)))
+    type B = Any
+    val caAny = ca.asInstanceOf[CAggregator[B]]
+    val agg = new Aggregator[Row, B, Row] {
+      def zero: B = caAny.start
+      def reduce(b: B, a: Row): B = caAny.aggregate(b, a.toSeq)
+      def merge(x: B, y: B): B = caAny.merge(x, y)
+      def finish(b: B): Row = Row(caAny.complete(b))
+      def bufferEncoder = Encoders.kryo[B](scala.reflect.ClassTag.Any.asInstanceOf[scala.reflect.ClassTag[B]])
+      def outputEncoder = Encoders.row(outStruct)
+    }
+    val u = udaf(agg, Encoders.row(argStruct))
+    val aggCol = u(struct(ca.argFields.map(df.col): _*))
+      .getField(ca.resultField).as(ca.resultField)
+    if (grouped.keys.isEmpty) df.agg(aggCol)
+    else df.groupBy(grouped.keys.map(col): _*).agg(aggCol)
+  }
+
+  /** Equi-join with Cascading declared-fields semantics: both key copies are
+    * retained and null-padded on outer joins; `declared` renames positionally
+    * (left fields then right fields), which also disambiguates self-joins
+    * (reference `computeSpliceInputsFieldsKeys`, `FFS:1191-1236`). */
+  private def lowerJoin(l: DataFrame, lk: Seq[String], r: DataFrame,
+                        rk: Seq[String], joiner: Joiner,
+                        declared: Option[Seq[String]], bcast: Boolean): DataFrame = {
+    val semiLike = joiner == Joiner.LeftSemi || joiner == Joiner.LeftAnti
+    val (ld, rd) = declared match {
+      case Some(names) =>
+        require(names.length == l.columns.length + r.columns.length,
+          s"declared fields arity ${names.length} != ${l.columns.length} + ${r.columns.length}")
+        (l.toDF(names.take(l.columns.length): _*),
+         r.toDF(names.drop(l.columns.length): _*))
+      case None =>
+        val collide = (l.columns.toSet & r.columns.toSet) -- (
+          if (lk == rk) lk.toSet else Set.empty)
+        require(semiLike || collide.isEmpty || lk == rk,
+          s"colliding non-key fields ${collide.mkString(",")}: pass declared fields")
+        (l, r)
+    }
+    val lkR = declared.fold(lk)(names => lk.map(k => names(l.columns.indexOf(k))))
+    val rkR = declared.fold(rk)(names =>
+      rk.map(k => names(l.columns.length + r.columns.indexOf(k))))
+    val rside = if (bcast) broadcast(rd) else rd
+    if (declared.isEmpty && lk == rk)
+      ld.join(rside, lk, joiner.sparkType) // shared key columns, no dup
+    else {
+      val cond = lkR.zip(rkR)
+        .map { case (a, b) => ld.col(a) === rside.col(b) }.reduce(_ && _)
+      ld.join(rside, cond, joiner.sparkType)
+    }
+  }
+
+  /** BufferJoin → RDD cogroup (per-input iterators per key). Spark spills
+    * shuffle data internally — replaces the reference's hand-rolled GZip
+    * spill lists (`SpillingTupleCollectionFactory.java:40-49`). */
+  private def lowerBufferJoin(bj: BufferJoinPipe): DataFrame = {
+    val l = lower(bj.left); val r = lower(bj.right)
+    val lCols = l.columns.toSeq; val rCols = r.columns.toSeq
+    val lIdx = bj.leftKeys.map(k => lCols.indexOf(k))
+    val rIdx = bj.rightKeys.map(k => rCols.indexOf(k))
+    val fn = bj.b
+    val outSchema = bj.resultFields.toStruct
+    val lk = l.rdd.map(row => (lIdx.map(row.get).toList: Seq[Any], row))
+    val rk = r.rdd.map(row => (rIdx.map(row.get).toList: Seq[Any], row))
+    val rows = lk.cogroup(rk).flatMap { case (k, (ls, rs)) =>
+      fn(k, ls.iterator, rs.iterator).map(s => Row.fromSeq(s))
+    }
+    spark.createDataFrame(rows, outSchema)
+  }
+}
+
+/** Flow facade: connect pipes to sinks and run — the `FlowConnector`/
+  * `Flow.complete()` surface (`FlinkConnector.java:84-87`). */
+object Flow {
+  def toDF(p: Pipe)(implicit spark: SparkSession): DataFrame =
+    new Lowering(spark).lower(p)
+
+  def write(p: Pipe, sink: Tap, mode: SinkMode = SinkMode.Replace)
+           (implicit spark: SparkSession): Unit =
+    sink.write(toDF(p), mode)
+
+  /** Multi-sink flow: lowers the shared DAG once (memoized splits). */
+  def writeAll(sinks: Seq[(Pipe, Tap, SinkMode)])(implicit spark: SparkSession): Unit = {
+    val lowering = new Lowering(spark)
+    sinks.foreach { case (p, t, m) => t.write(lowering.lower(p), m) }
+  }
+}

@@ -1,0 +1,207 @@
+package graft.pipes
+
+import org.apache.spark.sql.{Column, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.model.CFields
+
+/** Operation surface of the engine — the four Cascading interfaces the
+  * reference hosts inside its Duct interpreters (SURVEY.md §2.9), rebuilt
+  * Column-first so the common cases stay inside Catalyst codegen instead of
+  * an interpreter loop (reference `runtime/each/EachMapper.java:98-137`).
+  *
+  * Preference order per the Spark mapping: declarative `Column` expressions
+  * (codegen'd, pushdown-friendly) > typed lambdas > row closures.
+  */
+
+/** 1→1 per-row function: arg columns in, result columns out.
+  * Reference: Cascading `Function` hosted in `EachMapper`. */
+trait CFunction extends Serializable {
+  def resultFields: CFields
+  def apply(args: Seq[Column]): Seq[Column]
+}
+
+/** 1→N generator (e.g. RegexSplitGenerator): emits an array column that the
+  * lowering explodes. Multi-field generators emit an array of structs. */
+trait CGenerator extends Serializable {
+  def resultFields: CFields
+  /** Must return ArrayType(...) — one output row per element. */
+  def apply(args: Seq[Column]): Column
+}
+
+/** Predicate; row kept when the column is true.
+  * Reference: Cascading `Filter` in `EachMapper`. */
+trait CFilter extends Serializable {
+  def keep(args: Seq[Column]): Column
+}
+
+/** Arbitrary row-level 0..N closure — the escape hatch matching Cascading's
+  * fully general `Function`. Non-codegen; use the Column forms when possible. */
+trait CRowFunction extends Serializable {
+  def resultFields: CFields
+  def apply(args: Row): Iterator[Seq[Any]]
+}
+
+// ---------------------------------------------------------------------------
+// Function library (Cascading operation.* equivalents, SURVEY.md §2.3)
+// ---------------------------------------------------------------------------
+
+/** `Identity` — pass-through with optional rename and coercion. */
+final case class Identity(resultFields: CFields) extends CFunction {
+  def apply(args: Seq[Column]): Seq[Column] =
+    args.zip(resultFields.fields).map { case (c, (n, t)) =>
+      (if (t == StringType) c else c.cast(t)).as(n)
+    }
+}
+
+/** `Insert` — constant columns. */
+final case class Insert(resultFields: CFields, values: Seq[Any]) extends CFunction {
+  def apply(args: Seq[Column]): Seq[Column] =
+    values.zip(resultFields.names).map { case (v, n) => lit(v).as(n) }
+}
+
+/** `RegexParser` — extract capture groups into result fields. */
+final case class RegexParser(resultFields: CFields, pattern: String,
+                             groups: Seq[Int]) extends CFunction {
+  def apply(args: Seq[Column]): Seq[Column] =
+    groups.zip(resultFields.fields).map { case (g, (n, t)) =>
+      regexp_extract(args.head, pattern, g).cast(t).as(n)
+    }
+}
+
+/** `RegexReplace`. */
+final case class RegexReplace(field: String, pattern: String,
+                              replacement: String) extends CFunction {
+  val resultFields: CFields = CFields.of(field)
+  def apply(args: Seq[Column]): Seq[Column] =
+    Seq(regexp_replace(args.head, pattern, replacement).as(field))
+}
+
+/** `RegexSplitGenerator` — 1→N split (WordCount's tokenizer,
+  * reference `example/WordCount.java:44-46`). */
+final case class RegexSplitGenerator(field: String, pattern: String) extends CGenerator {
+  val resultFields: CFields = CFields.of(field)
+  def apply(args: Seq[Column]): Column =
+    filter(split(args.head, pattern), c => length(c) > 0)
+}
+
+/** `RegexFilter` — keep rows matching (or not matching) the pattern. */
+final case class RegexFilter(pattern: String, removeMatch: Boolean = false) extends CFilter {
+  def keep(args: Seq[Column]): Column =
+    if (removeMatch) !args.head.rlike(pattern) else args.head.rlike(pattern)
+}
+
+/** `ExpressionFunction` — the reference compiles Janino Java expressions
+  * (`cascading-expression`, pom.xml:134-138); Catalyst SQL expressions are
+  * the exact analogue and additionally optimize/pushdown. */
+final case class ExpressionFunction(field: String, sqlExpr: String,
+                                    dataType: DataType = StringType) extends CFunction {
+  val resultFields: CFields = CFields.typed(field -> dataType)
+  def apply(args: Seq[Column]): Seq[Column] =
+    Seq(expr(sqlExpr).cast(dataType).as(field))
+}
+
+/** `ExpressionFilter`. */
+final case class ExpressionFilter(sqlExpr: String, removeMatch: Boolean = true) extends CFilter {
+  // Cascading ExpressionFilter REMOVES rows where the expression is true.
+  def keep(args: Seq[Column]): Column =
+    if (removeMatch) !expr(sqlExpr) else expr(sqlExpr)
+}
+
+/** `DateParser` — string → timestamp. */
+final case class DateParser(field: String, format: String) extends CFunction {
+  val resultFields: CFields = CFields.typed(field -> TimestampType)
+  def apply(args: Seq[Column]): Seq[Column] =
+    Seq(to_timestamp(args.head, format).as(field))
+}
+
+/** `DateFormatter` — timestamp → string. */
+final case class DateFormatter(field: String, format: String) extends CFunction {
+  val resultFields: CFields = CFields.of(field)
+  def apply(args: Seq[Column]): Seq[Column] =
+    Seq(date_format(args.head, format).as(field))
+}
+
+/** `FieldFormatter` — printf over the argument fields. */
+final case class FieldFormatter(field: String, format: String) extends CFunction {
+  val resultFields: CFields = CFields.of(field)
+  def apply(args: Seq[Column]): Seq[Column] =
+    Seq(format_string(format, args: _*).as(field))
+}
+
+/** `FieldJoiner` — concat args with a delimiter. */
+final case class FieldJoiner(field: String, delimiter: String) extends CFunction {
+  val resultFields: CFields = CFields.of(field)
+  def apply(args: Seq[Column]): Seq[Column] =
+    Seq(concat_ws(delimiter, args: _*).as(field))
+}
+
+/** General column filter from a SQL boolean string. */
+final case class SqlFilter(sql: String) extends CFilter {
+  def keep(args: Seq[Column]): Column = expr(sql)
+}
+
+// ---------------------------------------------------------------------------
+// Aggregators (Cascading `Every` + Aggregator / AggregateBy, SURVEY.md §2.4)
+// ---------------------------------------------------------------------------
+
+/** A named aggregate — lowered to `df.groupBy(...).agg(col)`. Spark performs
+  * map-side partial aggregation automatically, which subsumes the whole
+  * reference `AggregateBy` machinery (partial functor in EachMapper + final
+  * in GroupByReducer). */
+final case class AggOp(resultField: String, make: Seq[Column] => Column,
+                       argFields: Seq[String])
+
+object Aggs {
+  def count(as: String = "count"): AggOp =
+    AggOp(as, _ => org.apache.spark.sql.functions.count(lit(1)), Nil)
+  def countArg(field: String, as: String): AggOp =
+    AggOp(as, a => org.apache.spark.sql.functions.count(a.head), Seq(field))
+  def sum(field: String, as: String): AggOp =
+    AggOp(as, a => org.apache.spark.sql.functions.sum(a.head), Seq(field))
+  def avg(field: String, as: String): AggOp =
+    AggOp(as, a => org.apache.spark.sql.functions.avg(a.head), Seq(field))
+  def min(field: String, as: String): AggOp =
+    AggOp(as, a => org.apache.spark.sql.functions.min(a.head), Seq(field))
+  def max(field: String, as: String): AggOp =
+    AggOp(as, a => org.apache.spark.sql.functions.max(a.head), Seq(field))
+  /** `First`/`Last` over the secondary-sort order: deterministic via
+    * min_by/max_by on the sort key rather than partition order. */
+  def firstBy(field: String, orderField: String, as: String): AggOp =
+    AggOp(as, a => org.apache.spark.sql.functions.min_by(a.head, a(1)),
+      Seq(field, orderField))
+  def lastBy(field: String, orderField: String, as: String): AggOp =
+    AggOp(as, a => org.apache.spark.sql.functions.max_by(a.head, a(1)),
+      Seq(field, orderField))
+  def countDistinct(field: String, as: String): AggOp =
+    AggOp(as, a => org.apache.spark.sql.functions.count_distinct(a.head), Seq(field))
+  def approxCountDistinct(field: String, as: String): AggOp =
+    AggOp(as, a => approx_count_distinct(a.head), Seq(field))
+  /** Raw escape hatch: any Catalyst aggregate expression. */
+  def sql(as: String, aggExpr: String): AggOp =
+    AggOp(as, _ => expr(aggExpr), Nil)
+}
+
+/** Cascading-style start/aggregate/complete custom aggregator
+  * (reference hosts these in `GroupByReducer.java:102-131`). Adapted to a
+  * Spark `Aggregator[Row, B, Any]` by the lowering. */
+trait CAggregator[B] extends Serializable {
+  def resultField: String
+  def resultType: DataType
+  def start: B
+  def aggregate(buf: B, args: Seq[Any]): B
+  def merge(a: B, b: B): B
+  def complete(buf: B): Any
+  def argFields: Seq[String]
+}
+
+/** Per-group iterator → 0..N rows, values in secondary-sort order —
+  * Cascading `Buffer` (reference `GroupByInGate.java:87-115` provides the
+  * sorted group iterator). Lowered via the repartition + sortWithinPartitions
+  * + mapPartitions group-runner so intra-group order is guaranteed. */
+trait CBuffer extends Serializable {
+  def resultFields: CFields
+  /** @param key   the group key values (in groupFields order)
+    * @param rows  the group's rows in secondary-sort order */
+  def operate(key: Seq[Any], rows: Iterator[Row]): Iterator[Seq[Any]]
+}

@@ -1,0 +1,177 @@
+package graft.pipes
+
+import org.apache.spark.sql.types.DataType
+import graft.model.{CFields, FieldSelector}
+import graft.sources.Tap
+
+/** Join semantics — the reference supports Inner/Left/Right/Outer/Mixed via
+  * Cascading `Joiner`s expanded in `JoinClosure` (SURVEY.md §2.5). We lower
+  * straight to Catalyst join types; unlike the reference's HashJoin
+  * (inner/left only, `FlinkFlowStep.java:964-971`) all types work on both
+  * join flavors. */
+sealed trait Joiner { def sparkType: String }
+object Joiner {
+  case object Inner extends Joiner { val sparkType = "inner" }
+  case object Left  extends Joiner { val sparkType = "left_outer" }
+  case object Right extends Joiner { val sparkType = "right_outer" }
+  case object Outer extends Joiner { val sparkType = "full_outer" }
+  case object LeftSemi extends Joiner { val sparkType = "left_semi" }
+  case object LeftAnti extends Joiner { val sparkType = "left_anti" }
+}
+
+/** Per-record op kinds hosted by an `Each` pipe. */
+sealed trait EachOp
+object EachOp {
+  final case class Fn(fn: CFunction) extends EachOp
+  final case class Gen(gen: CGenerator) extends EachOp
+  final case class Flt(f: CFilter) extends EachOp
+  final case class RowFn(f: CRowFunction) extends EachOp
+}
+
+/** Immutable pipe-assembly DSL — the Spark-native re-expression of the
+  * Cascading programming model the reference executes (`Pipe`/`Each`/
+  * `Every`/`GroupBy`/`CoGroup`/`HashJoin`/`Merge`; translator dispatch at
+  * `FlinkFlowStep.java:202-351`). Pipes form a DAG; splits are plain object
+  * reuse (the lowering memoizes, mirroring `flinkMemo` `FFS:230-242`).
+  */
+sealed trait Pipe {
+  import FieldSelector._
+
+  def each(fn: CFunction, args: FieldSelector = All,
+           out: FieldSelector = Swap): Pipe =
+    EachPipe(this, EachOp.Fn(fn), args, out)
+
+  def generate(gen: CGenerator, args: FieldSelector,
+               out: FieldSelector = Results): Pipe =
+    EachPipe(this, EachOp.Gen(gen), args, out)
+
+  def filterBy(f: CFilter, args: FieldSelector = All): Pipe =
+    EachPipe(this, EachOp.Flt(f), args, All)
+
+  /** Arbitrary 0..N row closure, optionally with a trap tap for failed rows
+    * (reference traps: `runtime/each/EachStreamGraph.java:46`). */
+  def eachRow(f: CRowFunction, args: FieldSelector = All,
+              out: FieldSelector = Swap, trap: Option[Tap] = None): Pipe =
+    EachPipe(this, EachOp.RowFn(f), args, out, trap)
+
+  def groupBy(keys: String*): GroupByPipe =
+    GroupByPipe(Seq(this), keys, Nil)
+
+  def groupBySorted(keys: Seq[String], sort: Seq[(String, Boolean)],
+                    reverse: Boolean = false): GroupByPipe =
+    GroupByPipe(Seq(this), keys, sort, reverse)
+
+  /** Global (key-less) grouping — reference forces dop-1
+    * (`FFS:573-600`); Spark's partial+final aggregation has no such cliff. */
+  def groupAll: GroupByPipe = GroupByPipe(Seq(this), Nil, Nil)
+
+  def coGroup(leftKeys: Seq[String], right: Pipe, rightKeys: Seq[String],
+              joiner: Joiner = Joiner.Inner,
+              declared: Option[Seq[String]] = None): Pipe =
+    CoGroupPipe(this, leftKeys, right, rightKeys, joiner, declared)
+
+  /** Broadcast join — reference `HashJoin` translates to
+    * `BROADCAST_HASH_SECOND` (`FFS:993`); we hint `broadcast()` on the
+    * right/small side and let Catalyst build the hash table. */
+  def hashJoin(leftKeys: Seq[String], right: Pipe, rightKeys: Seq[String],
+               joiner: Joiner = Joiner.Inner,
+               declared: Option[Seq[String]] = None): Pipe =
+    HashJoinPipe(this, leftKeys, right, rightKeys, joiner, declared)
+
+  /** Key-less join = Cartesian (reference `crossWithTiny` chains,
+    * `FFS:765-800`). */
+  def cross(right: Pipe): Pipe = CrossPipe(this, right)
+
+  /** Reduce-side cogroup with per-input iterators — reference `BufferJoin`
+    * (spillable closure `CoGroupBufferClosure.java:41-418`); Spark's typed
+    * cogroup spills internally so no custom spill code exists here. */
+  def bufferJoin(leftKeys: Seq[String], right: Pipe, rightKeys: Seq[String],
+                 resultFields: CFields,
+                 buffer: (Seq[Any], Iterator[org.apache.spark.sql.Row],
+                          Iterator[org.apache.spark.sql.Row]) => Iterator[Seq[Any]]): Pipe =
+    BufferJoinPipe(this, leftKeys, right, rightKeys, resultFields, buffer)
+
+  /** Union-all, positional, same arity — Cascading `Merge` (`FFS:652-673`). */
+  def merge(others: Pipe*): Pipe = MergePipe(this +: others)
+
+  def unique(fields: String*): Pipe =
+    UniquePipe(this, if (fields.isEmpty) None else Some(fields))
+
+  def retain(fields: String*): Pipe = RetainPipe(this, fields)
+  def discard(fields: String*): Pipe = DiscardPipe(this, fields)
+  def rename(pairs: (String, String)*): Pipe = RenamePipe(this, pairs)
+  def coerce(fields: (String, DataType)*): Pipe = CoercePipe(this, fields)
+
+  /** Cascading `Limit` is per-slice (SURVEY.md §7.4); we implement the
+    * useful global semantics and encode that in the oracle. */
+  def limit(n: Long): Pipe = LimitPipe(this, n)
+  def sample(fraction: Double, seed: Long = 42L): Pipe =
+    SamplePipe(this, fraction, seed)
+  def orderBy(sort: (String, Boolean)*): Pipe = OrderByPipe(this, sort)
+
+  /** Debug/assertion ops are strip-able at plan time in the reference
+    * (`FlinkConnector.java:126-127`); `keepAssertions=false` in the lowering
+    * drops these nodes. */
+  def assertRows(sqlPredicate: String, message: String): Pipe =
+    AssertPipe(this, sqlPredicate, message)
+}
+
+final case class SourcePipe(tap: Tap, name: String = "source") extends Pipe
+
+final case class EachPipe(prev: Pipe, op: EachOp, args: FieldSelector,
+                          out: FieldSelector,
+                          trap: Option[Tap] = None) extends Pipe
+
+final case class GroupByPipe(inputs: Seq[Pipe], keys: Seq[String],
+                             sort: Seq[(String, Boolean)],
+                             reverse: Boolean = false) extends Pipe {
+  /** `Every` + Aggregators — chained `every` calls collapse into one
+    * Catalyst Aggregate (the reference chains them through one
+    * `GroupByReducer` interpreter pass). */
+  def every(aggs: AggOp*): AggregatePipe = AggregatePipe(this, aggs)
+  /** `Every` + custom start/aggregate/complete aggregator. */
+  def everyAgg(agg: CAggregator[_]): CustomAggPipe = CustomAggPipe(this, agg)
+  /** `Every` + Buffer: full group iterator in secondary-sort order. */
+  def buffer(b: CBuffer): BufferPipe = BufferPipe(this, b)
+}
+
+final case class AggregatePipe(grouped: GroupByPipe, aggs: Seq[AggOp]) extends Pipe {
+  def every(more: AggOp*): AggregatePipe = AggregatePipe(grouped, aggs ++ more)
+}
+
+final case class CustomAggPipe(grouped: GroupByPipe, agg: CAggregator[_]) extends Pipe
+
+final case class BufferPipe(grouped: GroupByPipe, b: CBuffer,
+                            includeKeys: Boolean = true) extends Pipe
+
+final case class CoGroupPipe(left: Pipe, leftKeys: Seq[String], right: Pipe,
+                             rightKeys: Seq[String], joiner: Joiner,
+                             declared: Option[Seq[String]]) extends Pipe
+
+final case class HashJoinPipe(left: Pipe, leftKeys: Seq[String], right: Pipe,
+                              rightKeys: Seq[String], joiner: Joiner,
+                              declared: Option[Seq[String]]) extends Pipe
+
+final case class CrossPipe(left: Pipe, right: Pipe) extends Pipe
+
+final case class BufferJoinPipe(
+    left: Pipe, leftKeys: Seq[String], right: Pipe, rightKeys: Seq[String],
+    resultFields: CFields,
+    b: (Seq[Any], Iterator[org.apache.spark.sql.Row],
+        Iterator[org.apache.spark.sql.Row]) => Iterator[Seq[Any]]) extends Pipe
+
+final case class MergePipe(pipes: Seq[Pipe]) extends Pipe
+final case class UniquePipe(prev: Pipe, fields: Option[Seq[String]]) extends Pipe
+final case class RetainPipe(prev: Pipe, fields: Seq[String]) extends Pipe
+final case class DiscardPipe(prev: Pipe, fields: Seq[String]) extends Pipe
+final case class RenamePipe(prev: Pipe, pairs: Seq[(String, String)]) extends Pipe
+final case class CoercePipe(prev: Pipe, fields: Seq[(String, DataType)]) extends Pipe
+final case class LimitPipe(prev: Pipe, n: Long) extends Pipe
+final case class SamplePipe(prev: Pipe, fraction: Double, seed: Long) extends Pipe
+final case class OrderByPipe(prev: Pipe, sort: Seq[(String, Boolean)]) extends Pipe
+final case class AssertPipe(prev: Pipe, sqlPredicate: String,
+                            message: String) extends Pipe
+
+object Pipe {
+  def source(tap: Tap, name: String = "source"): Pipe = SourcePipe(tap, name)
+}

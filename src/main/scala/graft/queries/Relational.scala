@@ -1,0 +1,322 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+import graft.model.{CFields, FieldSelector}
+import graft.pipes._
+import graft.exec.Flow
+import graft.sources.ParquetTap
+
+/** Parity query set — one entry per operator family in SURVEY.md §2, each
+  * expressed through the graft pipe DSL (exercising the library) with a
+  * DuckDB oracle.
+  *
+  * Numeric convention: double aggregations go through DECIMAL(38,6) so the
+  * result is order-independent (Spark partial aggregation order differs from
+  * DuckDB's scan order), then cast back to double — bit-identical on both
+  * engines.
+  */
+object Relational {
+  private def T(dir: String, name: String) = ParquetTap(s"$dir/$name.parquet")
+  private def P(dir: String, name: String): Pipe = Pipe.source(T(dir, name))
+
+  /** sum(x) as exact decimal, emitted as double. */
+  private def dsum(x: String) =
+    s"cast(sum(cast($x as decimal(38,6))) as double)"
+  private def dsumExpr(x: String) =
+    s"cast(sum(cast(($x) as decimal(38,6))) as double)"
+
+  /** Per-customer running order total — `Every`+`Buffer` with secondary sort
+    * (reference group iterator: `GroupByInGate.java:87-115`). Exact decimal
+    * accumulation keeps the running sum order-independent. */
+  class RunningTotalBuffer extends CBuffer {
+    val resultFields: CFields = CFields.typed(
+      "o_orderkey" -> LongType, "running" -> DoubleType)
+    def operate(key: Seq[Any], rows: Iterator[Row]): Iterator[Seq[Any]] = {
+      var acc = java.math.BigDecimal.ZERO
+      rows.map { r =>
+        val price = new java.math.BigDecimal(r.getDouble(r.fieldIndex("o_totalprice")))
+          .setScale(6, java.math.RoundingMode.HALF_UP)
+        acc = acc.add(price)
+        Seq[Any](r.getLong(r.fieldIndex("o_orderkey")), acc.doubleValue)
+      }
+    }
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // GroupBy + Every aggregators (SURVEY §2.4)
+    "q01_groupby_agg" -> ((s, dir) => Flow.toDF(
+      P(dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .every(
+          Aggs.sql("sum_qty", dsum("l_quantity")),
+          Aggs.sql("sum_price", dsum("l_extendedprice")),
+          Aggs.sql("sum_disc_price", dsumExpr("l_extendedprice * (1 - l_discount)")),
+          Aggs.count("n_rows")))(s)),
+
+    // Each + ExpressionFilter/ExpressionFunction (SURVEY §2.3)
+    "q02_filter_expr" -> ((s, dir) => Flow.toDF(
+      P(dir, "lineitem")
+        .filterBy(SqlFilter(
+          "l_shipdate < timestamp'1995-09-01 00:00:00' and l_quantity > 30"))
+        .each(ExpressionFunction("revenue",
+          "l_extendedprice * (1 - l_discount)", DoubleType),
+          args = FieldSelector.All, out = FieldSelector.All)
+        .retain("l_orderkey", "l_linenumber", "revenue"))(s)),
+
+    // Each + RegexParser / RegexFilter (SURVEY §2.3)
+    "q03_regex_parse" -> ((s, dir) => Flow.toDF(
+      P(dir, "documents")
+        .filterBy(RegexFilter("^[A-Za-z]"), args = FieldSelector("text"))
+        .each(RegexParser(CFields.of("first_word"), "^([A-Za-z]+)", Seq(1)),
+          args = FieldSelector("text"), out = FieldSelector.All)
+        .retain("doc_id", "first_word"))(s)),
+
+    // CoGroup inner (repartition join) + downstream agg (SURVEY §2.5)
+    "q04_cogroup_inner" -> ((s, dir) => Flow.toDF(
+      P(dir, "orders")
+        .coGroup(Seq("o_custkey"), P(dir, "customer"), Seq("c_custkey"))
+        .groupBy("c_mktsegment")
+        .every(Aggs.sql("total", dsum("o_totalprice")),
+               Aggs.count("n_orders")))(s)),
+
+    // CoGroup left outer: customers with zero orders kept (SURVEY §2.5)
+    "q05_cogroup_left" -> ((s, dir) => Flow.toDF(
+      P(dir, "customer")
+        .coGroup(Seq("c_custkey"), P(dir, "orders"), Seq("o_custkey"),
+          joiner = Joiner.Left)
+        .groupBy("c_custkey")
+        .every(Aggs.countArg("o_orderkey", "n_orders")))(s)),
+
+    // HashJoin = broadcast join, n-way chain over small dims (SURVEY §2.5)
+    "q06_hashjoin_nway" -> ((s, dir) => Flow.toDF(
+      P(dir, "lineitem")
+        .hashJoin(Seq("l_suppkey"), P(dir, "supplier"), Seq("s_suppkey"))
+        .hashJoin(Seq("s_nationkey"), P(dir, "nation"), Seq("n_nationkey"))
+        .hashJoin(Seq("n_regionkey"), P(dir, "region"), Seq("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .every(Aggs.sql("revenue", dsumExpr("l_extendedprice * (1 - l_discount)")),
+               Aggs.count("n_items")))(s)),
+
+    // Merge (union-all) then group (SURVEY §2.6)
+    "q07_merge_union" -> ((s, dir) => Flow.toDF(
+      P(dir, "orders").filterBy(SqlFilter("o_orderstatus = 'F'"))
+        .merge(P(dir, "orders").filterBy(SqlFilter("o_totalprice > 100000")))
+        .groupBy("o_orderstatus")
+        .every(Aggs.count("n")))(s)),
+
+    // Unique / distinct (SURVEY §2.6)
+    "q08_unique" -> ((s, dir) => Flow.toDF(
+      P(dir, "orders").retain("o_orderstatus", "o_orderpriority").unique())(s)),
+
+    // GroupBy + secondary sort + Buffer: running total (SURVEY §2.4)
+    "q09_buffer_running" -> ((s, dir) => Flow.toDF(
+      P(dir, "orders")
+        .groupBySorted(Seq("o_custkey"),
+          Seq("o_orderdate" -> true, "o_orderkey" -> true))
+        .buffer(new RunningTotalBuffer))(s)),
+
+    // AggregateBy family on events (CountBy/SumBy/MinBy/MaxBy — SURVEY §2.4;
+    // Spark's partial aggregation subsumes the map-side combine machinery)
+    "q10_aggregateby" -> ((s, dir) => Flow.toDF(
+      Pipe.source(graft.sources.DataFrameTap(Tables.events(s, dir)))
+        .groupBy("event_type")
+        .every(
+          Aggs.count("n"),
+          Aggs.sql("sum_value", dsum("value")),
+          Aggs.sql("min_ts", "min(ts)"),
+          Aggs.sql("max_ts", "max(ts)"),
+          Aggs.countDistinct("user_id", "n_users")))(s)),
+
+    // Key-less CoGroup = Cartesian (SURVEY §2.5)
+    "q11_cross" -> ((s, dir) => Flow.toDF(
+      P(dir, "region").retain("r_name")
+        .cross(P(dir, "nation").retain("n_name")))(s)),
+
+    // Top-k: group + global order + limit (SURVEY §2.7)
+    "q12_topk" -> ((s, dir) => Flow.toDF(
+      P(dir, "orders")
+        .groupBy("o_custkey")
+        .every(Aggs.sql("total", dsum("o_totalprice")))
+        .orderBy("total" -> false, "o_custkey" -> true)
+        .limit(10))(s)),
+
+    // Left-semi join (extension beyond reference's inner/left HashJoin)
+    "q13_semijoin" -> ((s, dir) => Flow.toDF(
+      P(dir, "customer")
+        .hashJoin(Seq("c_custkey"), P(dir, "orders").retain("o_custkey"),
+          Seq("o_custkey"), joiner = Joiner.LeftSemi)
+        .groupBy("c_mktsegment")
+        .every(Aggs.count("n_customers")))(s)),
+
+    // Left-anti join: customers with no orders
+    "q14_antijoin" -> ((s, dir) => Flow.toDF(
+      P(dir, "customer")
+        .hashJoin(Seq("c_custkey"), P(dir, "orders").retain("o_custkey"),
+          Seq("o_custkey"), joiner = Joiner.LeftAnti)
+        .retain("c_custkey", "c_mktsegment"))(s)),
+
+    // Global (key-less) aggregation (SURVEY §2.4 global GroupBy)
+    "q15_global_agg" -> ((s, dir) => Flow.toDF(
+      P(dir, "lineitem")
+        .groupAll
+        .every(
+          Aggs.count("n"),
+          Aggs.sql("sum_qty", dsum("l_quantity")),
+          Aggs.sql("min_ship", "min(l_shipdate)"),
+          Aggs.sql("max_ship", "max(l_shipdate)")))(s)),
+
+    // Window functions (extension; reference expresses these as
+    // Buffer-with-secondary-sort — SURVEY §2.8)
+    "q16_window_rank" -> ((s, dir) => {
+      val o = T(dir, "orders").read(s)
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      o.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rk"))
+    }),
+
+    // Self-join with declared fields (reference `FFS:1191-1236`)
+    "q17_selfjoin" -> ((s, dir) => Flow.toDF(
+      P(dir, "nation")
+        .coGroup(Seq("n_regionkey"), P(dir, "nation"), Seq("n_regionkey"),
+          declared = Some(Seq("k1", "name1", "rk1", "k2", "name2", "rk2")))
+        .filterBy(SqlFilter("k1 < k2"))
+        .retain("rk1", "name1", "name2"))(s)),
+
+    // BufferJoin: per-key iterators over both inputs (SURVEY §2.5 BufferJoin)
+    "q18_bufferjoin" -> ((s, dir) => Flow.toDF(
+      P(dir, "customer").retain("c_custkey", "c_acctbal")
+        .bufferJoin(Seq("c_custkey"), P(dir, "orders").retain("o_custkey"),
+          Seq("o_custkey"),
+          CFields.typed("c_custkey" -> LongType, "n_orders" -> LongType,
+            "c_acctbal" -> DoubleType),
+          (key, custs, ords) => {
+            val cs = custs.toSeq
+            val n = ords.size.toLong
+            if (cs.nonEmpty && n > 0)
+              Iterator.single(Seq[Any](key.head, n, cs.head.getDouble(1)))
+            else Iterator.empty
+          }))(s)),
+
+    // Rename / Retain / Coerce assemblies (SURVEY §2.3)
+    "q19_fieldalgebra" -> ((s, dir) => Flow.toDF(
+      P(dir, "lineitem")
+        .retain("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .rename("l_quantity" -> "qty", "l_returnflag" -> "flag")
+        .coerce("qty" -> LongType)
+        .filterBy(SqlFilter("flag = 'R'")))(s))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q01_groupby_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |${dsum("l_quantity")} AS sum_qty,
+         |${dsum("l_extendedprice")} AS sum_price,
+         |${dsumExpr("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+         |count(*) AS n_rows
+         |FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+    "q02_filter_expr" ->
+      """SELECT l_orderkey, l_linenumber,
+        |l_extendedprice * (1 - l_discount) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1995-09-01 00:00:00' AND l_quantity > 30""".stripMargin,
+
+    "q03_regex_parse" ->
+      """SELECT doc_id, regexp_extract(text, '^([A-Za-z]+)', 1) AS first_word
+        |FROM documents WHERE regexp_matches(text, '^[A-Za-z]')""".stripMargin,
+
+    "q04_cogroup_inner" ->
+      s"""SELECT c_mktsegment, ${dsum("o_totalprice")} AS total,
+         |count(*) AS n_orders
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY 1""".stripMargin,
+
+    "q05_cogroup_left" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY 1""".stripMargin,
+
+    "q06_hashjoin_nway" ->
+      s"""SELECT r_name, n_name,
+         |${dsumExpr("l_extendedprice * (1 - l_discount)")} AS revenue,
+         |count(*) AS n_items
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY 1, 2""".stripMargin,
+
+    "q07_merge_union" ->
+      """SELECT o_orderstatus, count(*) AS n FROM (
+        |  SELECT * FROM orders WHERE o_orderstatus = 'F'
+        |  UNION ALL
+        |  SELECT * FROM orders WHERE o_totalprice > 100000
+        |) GROUP BY 1""".stripMargin,
+
+    "q08_unique" ->
+      "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+
+    "q09_buffer_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+        |  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |        ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running
+        |FROM orders""".stripMargin,
+
+    "q10_aggregateby" ->
+      s"""SELECT event_type, count(*) AS n, ${dsum("value")} AS sum_value,
+         |CAST(min(ts) AS TIMESTAMP) AS min_ts, CAST(max(ts) AS TIMESTAMP) AS max_ts,
+         |count(DISTINCT user_id) AS n_users
+         |FROM events GROUP BY 1""".stripMargin,
+
+    "q11_cross" ->
+      "SELECT r_name, n_name FROM region CROSS JOIN nation",
+
+    "q12_topk" ->
+      s"""SELECT o_custkey, ${dsum("o_totalprice")} AS total
+         |FROM orders GROUP BY 1
+         |ORDER BY total DESC, o_custkey ASC LIMIT 10""".stripMargin,
+
+    "q13_semijoin" ->
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        |GROUP BY 1""".stripMargin,
+
+    "q14_antijoin" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin,
+
+    "q15_global_agg" ->
+      s"""SELECT count(*) AS n, ${dsum("l_quantity")} AS sum_qty,
+         |min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
+         |FROM lineitem""".stripMargin,
+
+    "q16_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rk
+        |  FROM orders
+        |) WHERE rk <= 3""".stripMargin,
+
+    "q17_selfjoin" ->
+      """SELECT a.n_regionkey AS rk1, a.n_name AS name1, b.n_name AS name2
+        |FROM nation a JOIN nation b ON a.n_regionkey = b.n_regionkey
+        |WHERE a.n_nationkey < b.n_nationkey""".stripMargin,
+
+    "q18_bufferjoin" ->
+      """SELECT c_custkey, count(*) AS n_orders, min(c_acctbal) AS c_acctbal
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY 1""".stripMargin,
+
+    "q19_fieldalgebra" ->
+      """SELECT l_orderkey, l_linenumber,
+        |CAST(TRUNC(l_quantity) AS BIGINT) AS qty, l_returnflag AS flag
+        |FROM lineitem WHERE l_returnflag = 'R'""".stripMargin
+  )
+}

@@ -1,0 +1,86 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Sink modes — Spark-native equivalent of the reference's `SinkMode`
+  * handling (`planner/FlinkFlow.java:94-103` delete-on-start for REPLACE). */
+sealed trait SinkMode { def toSaveMode: SaveMode }
+object SinkMode {
+  case object Replace extends SinkMode { val toSaveMode = SaveMode.Overwrite }
+  case object Keep    extends SinkMode { val toSaveMode = SaveMode.ErrorIfExists }
+  case object Update  extends SinkMode { val toSaveMode = SaveMode.Append }
+}
+
+/** A source/sink endpoint. The reference wraps arbitrary Hadoop taps in
+  * `runtime/source/TapInputFormat.java` (split computation, locality,
+  * size stats — `:226-270`); with Spark's FileScan all of that is native,
+  * so a Tap is just a typed reader/writer recipe.
+  */
+sealed trait Tap {
+  def read(spark: SparkSession): DataFrame
+  def write(df: DataFrame, mode: SinkMode): Unit
+  /** Reference `Scheme.getNumSinkParts` → repartition before write
+    * (`FlinkFlowStep.java:384-405`). */
+  def numSinkParts: Option[Int] = None
+}
+
+final case class ParquetTap(path: String, parts: Option[Int] = None) extends Tap {
+  def read(spark: SparkSession): DataFrame = spark.read.parquet(path)
+  def write(df: DataFrame, mode: SinkMode): Unit = {
+    val out = parts.fold(df)(n => df.repartition(n))
+    out.write.mode(mode.toSaveMode).parquet(path)
+  }
+  override def numSinkParts: Option[Int] = parts
+}
+
+/** `TextDelimited` scheme — header/quote/typed-fields support mirrors the
+  * reference test platform's construction (`FlinkTestPlatform.java:153-167`). */
+final case class CsvTap(
+    path: String,
+    delimiter: String = ",",
+    header: Boolean = false,
+    schema: Option[StructType] = None,
+    quote: String = "\"") extends Tap {
+  def read(spark: SparkSession): DataFrame = {
+    val r = spark.read
+      .option("delimiter", delimiter)
+      .option("header", header.toString)
+      .option("quote", quote)
+    schema match {
+      case Some(s) => r.schema(s).csv(path)
+      case None    => r.option("inferSchema", "true").csv(path)
+    }
+  }
+  def write(df: DataFrame, mode: SinkMode): Unit =
+    df.write.mode(mode.toSaveMode)
+      .option("delimiter", delimiter).option("header", header.toString)
+      .csv(path)
+}
+
+/** `TextLine` scheme. Cascading exposes (`offset: Long`, `line: String`)
+  * where offset is the byte offset in the split; Spark's text source has no
+  * byte-offset concept, so we expose only `line` (documented divergence —
+  * none of the reference's own flows consume `offset`). */
+final case class TextLineTap(path: String) extends Tap {
+  def read(spark: SparkSession): DataFrame =
+    spark.read.text(path).withColumnRenamed("value", "line")
+  def write(df: DataFrame, mode: SinkMode): Unit =
+    df.write.mode(mode.toSaveMode).text(path)
+}
+
+/** `PartitionTap` — directory-per-key-value layout →
+  * `df.write.partitionBy`; reads get partition-pruned scans for free. */
+final case class PartitionTap(parent: ParquetTap, partitionCols: Seq[String]) extends Tap {
+  def read(spark: SparkSession): DataFrame = spark.read.parquet(parent.path)
+  def write(df: DataFrame, mode: SinkMode): Unit =
+    df.write.mode(mode.toSaveMode).partitionBy(partitionCols: _*)
+      .parquet(parent.path)
+}
+
+/** An in-memory tap for tests and composition: wraps an existing DataFrame. */
+final case class DataFrameTap(df: DataFrame) extends Tap {
+  def read(spark: SparkSession): DataFrame = df
+  def write(out: DataFrame, mode: SinkMode): Unit =
+    throw new UnsupportedOperationException("DataFrameTap is read-only")
+}
