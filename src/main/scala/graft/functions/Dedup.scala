@@ -1,0 +1,164 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import TextAnalysis.{tokens, tokenHash}
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard.
+  *
+  * Scale design: signatures are per-row Column expressions (one scan, no
+  * shuffle); the only shuffles are (a) the groupBy on content hash for exact
+  * dedup and (b) the groupBy on LSH band keys — both on keys with
+  * near-uniform hash distribution, so no skew. Candidate pairing happens
+  * within LSH buckets only (never an all-pairs product), which is what keeps
+  * near-dup detection tractable at 100 TB.
+  */
+object Dedup {
+
+  /** Canonical text normalization: trim, lowercase, collapse whitespace. */
+  def normText(text: Column): Column =
+    lower(regexp_replace(trim(text), "\\s+", " "))
+
+  /** Content hash for exact dedup. */
+  def contentHash(text: Column): Column = md5(normText(text))
+
+  /** Exact dedup: one row per distinct content hash with the surviving
+    * (minimum) id and the duplicate count. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(contentHash(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** MinHash parameters: k permutations hᵢ(x) = (aᵢ·x + bᵢ) mod P over
+    * 31-bit token hashes. a,b are small deterministic constants so any SQL
+    * engine reproduces the signature. */
+  val P: Long = 2147483647L // 2^31-1 (Mersenne prime)
+  def aCoef(i: Int): Long = (2654435761L * (i + 1)) % P
+  def bCoef(i: Int): Long = (40503L * (i + 7)) % P
+
+  /** One MinHash component: min over distinct tokens of hᵢ(tokenHash mod P). */
+  def minhashComponent(text: Column, i: Int): Column = {
+    val toks = array_distinct(tokens(text))
+    array_min(transform(toks,
+      t => (tokenHash(t) % P * aCoef(i) + bCoef(i)) % P))
+  }
+
+  /** Full k-component signature as one array column.
+    *
+    * The md5-derived token-hash array is computed ONCE per row by binding it
+    * to a lambda variable (map over a single-element array — Spark SQL has
+    * no `let`); the naive form re-hashes every token k times, which
+    * dominated the signature cost. Permutation coefficients are computed
+    * arithmetically from the component index so the whole signature is a
+    * single codegen-friendly expression. */
+  def minhashSignature(text: Column, k: Int): Column = {
+    val hashes = transform(array_distinct(tokens(text)), t => tokenHash(t) % P)
+    element_at(
+      transform(array(hashes), hs =>
+        transform(sequence(lit(0), lit(k - 1)), i =>
+          array_min(transform(hs,
+            h => (h * ((lit(2654435761L) * (i + 1)) % P) + (lit(40503L) * (i + 7)) % P) % P)))),
+      1)
+  }
+
+  /** LSH band key for band b over `rowsPerBand` signature components,
+    * joined as a string (engine-portable; int64 packing overflows past two
+    * 31-bit components). */
+  def bandKey(sig: Column, band: Int, rowsPerBand: Int): Column =
+    concat_ws(",", (0 until rowsPerBand).map(r =>
+      element_at(sig, band * rowsPerBand + r + 1)): _*)
+
+  /** MinHash-LSH candidate pairs: ids sharing any band bucket.
+    * Shuffle profile: one exchange on (band, key); bucket sizes are bounded
+    * by near-duplicate cluster sizes, not corpus size. */
+  def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+                            k: Int = 16, bands: Int = 4): DataFrame = {
+    val br = bandRows(df, idCol, textCol, k, bands)
+    val l = br.as("l"); val r = br.as("r")
+    l.join(r, col("l.band") === col("r.band") && col("l.key") === col("r.key")
+        && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id1"), col("r.id").as("id2"))
+      .distinct()
+  }
+
+  /** SimHash (32-bit): bit j is set when the frequency-weighted sum of
+    * ±1 contributions from token-hash bit j is positive. Exact integer
+    * arithmetic throughout; one Column expression per bit keeps it inside
+    * codegen (no explode/shuffle). */
+  def simhash32(text: Column): Column = {
+    val hashes = transform(tokens(text), t => tokenHash(t))
+    element_at(
+      transform(array(hashes), hs =>
+        aggregate(sequence(lit(0), lit(31)), lit(0L), (acc, j) => {
+          val bitSum = aggregate(hs, lit(0L),
+            (s, h) => s + (call_function("shiftright", h, j).bitwiseAND(1L) * 2L - 1L))
+          acc + when(bitSum > 0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))
+        })),
+      1)
+  }
+
+  /** Hamming distance between two simhash values. */
+  def hamming(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** Word n-gram shingles (order-preserving). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    transform(sequence(lit(0), greatest(size(toks) - n, lit(0))), i =>
+      concat_ws(" ", (0 until n).map(o => element_at(toks, i + o + 1)): _*))
+  }
+
+  /** n-gram Jaccard similarity ×1e6 as exact integer (set semantics). */
+  def jaccardMicros(a: Column, b: Column): Column = {
+    val sa = array_distinct(a); val sb = array_distinct(b)
+    val inter = size(array_intersect(sa, sb)).cast("long")
+    val uni = size(array_union(sa, sb)).cast("long")
+    // floor() before the cast: Spark's cast truncates but DuckDB's rounds;
+    // floor is identical on both (operands are exact in double range)
+    floor(inter * 1000000L / greatest(uni, lit(1L))).cast("bigint")
+  }
+
+  /** Band rows (id, band, key) — the LSH explode shared by the pairing and
+    * clustering paths. */
+  private def bandRows(df: DataFrame, idCol: String, textCol: String,
+                       k: Int, bands: Int): DataFrame = {
+    val rowsPerBand = k / bands
+    df.select(col(idCol).as("id"), minhashSignature(col(textCol), k).as("sig"))
+      .select(col("id"), explode(array(
+        (0 until bands).map(b =>
+          struct(lit(b).as("band"), bandKey(col("sig"), b, rowsPerBand).as("key"))): _*
+      )).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** MinHash-LSH cluster assignment: each id maps to the minimum id sharing
+    * any band bucket (its canonical representative). Unlike the all-pairs
+    * candidate emission this stays LINEAR in bucket population — the form
+    * that survives a near-dup-dense 100 TB corpus: per-bucket min (one
+    * shuffle), then per-id min over its buckets (second shuffle). */
+  def minhashClusters(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 16, bands: Int = 4): DataFrame = {
+    val br = bandRows(df, idCol, textCol, k, bands)
+    val bucketMin = br.groupBy(col("band"), col("key"))
+      .agg(min(col("id")).as("bucket_min"))
+    br.join(bucketMin, Seq("band", "key"))
+      .groupBy(col("id"))
+      .agg(min(col("bucket_min")).as("canonical_id"))
+  }
+
+  /** Near-dup verification: exact 3-gram Jaccard of each doc against its
+    * LSH canonical representative only — O(N) verify step, not O(pairs). */
+  def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                   thresholdMicros: Long, k: Int = 16, bands: Int = 4): DataFrame = {
+    val cands = minhashClusters(df, idCol, textCol, k, bands)
+      .filter(col("canonical_id") < col("id"))
+      .select(col("canonical_id").as("id1"), col("id").as("id2"))
+    val sh = df.select(col(idCol).as("sid"), shingles(col(textCol), 3).as("sh"))
+    cands
+      .join(sh.withColumnRenamed("sid", "id1").withColumnRenamed("sh", "sh1"), "id1")
+      .join(sh.withColumnRenamed("sid", "id2").withColumnRenamed("sh", "sh2"), "id2")
+      .select(col("id1"), col("id2"),
+        jaccardMicros(col("sh1"), col("sh2")).as("jaccard_micros"))
+      .filter(col("jaccard_micros") >= thresholdMicros)
+  }
+}

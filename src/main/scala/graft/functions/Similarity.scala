@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Two paths:
+  *  - brute-force cosine top-k: exact, O(Q×N) — the baseline; Q (query set)
+  *    is broadcast so the corpus is scanned once with no shuffle.
+  *  - LSH-bucketed (random-hyperplane signs): the scale path — one
+  *    shuffle on bucket id, candidate sets bounded by bucket size.
+  *
+  * All float math is widened to double and folded in array order, so an
+  * external engine computing the same fold gets bit-identical results.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ as an ordered left fold in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm2(a: Column): Column = dot(a, a)
+
+  /** Cosine similarity, rounded to 6 dp for cross-engine stability. */
+  def cosine(a: Column, b: Column): Column =
+    round(dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b))), 6)
+
+  /** Exact brute-force top-k neighbors for each query vector.
+    * The query set is broadcast (small side); ranking is deterministic via
+    * (similarity desc, corpus id asc). */
+  def bruteForceKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("nn_id"))
+      .select(col("query_id"), col("nn_id"),
+        cosine(col("q_vec"), col("nn_vec")).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("nn_id").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("query_id"), col("nn_id"), col("sim"), col("rk"))
+  }
+
+  /** Deterministic pseudo-random hyperplane coefficient for (plane j, dim d):
+    * integer in [-3, 3] — reproducible in any SQL engine, no RNG. */
+  def planeCoef(j: Int, d: Column): Column = (lit(j) * 31 + d * 17) % 7 - 3
+
+  /** Sign-bucket id from `nPlanes` random hyperplanes: bit j = 1 iff
+    * Σ_d vec[d]·coef(j,d) > 0. */
+  def hyperplaneBucket(vec: Column, nPlanes: Int): Column = {
+    val bits = (0 until nPlanes).map { j =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, d) => x.cast("double") * planeCoef(j, d).cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** LSH-bucketed ANN: exact cosine ranking *within* each sign bucket.
+    * Trades recall for a shuffle bounded by bucket populations — the 100 TB
+    * path (brute force is O(N) per query; this is O(bucket) per query). */
+  def lshKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int, nPlanes: Int = 8): DataFrame = {
+    val c = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec"),
+      hyperplaneBucket(col(vecCol), nPlanes).as("bucket"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      hyperplaneBucket(col(vecCol), nPlanes).as("bucket"))
+    val scored = c.join(broadcast(q), "bucket")
+      .filter(col("query_id") =!= col("nn_id"))
+      .select(col("query_id"), col("nn_id"),
+        cosine(col("q_vec"), col("nn_vec")).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("nn_id").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("query_id"), col("nn_id"), col("sim"), col("rk"))
+  }
+}

@@ -1,0 +1,94 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, language ID, quality scoring, fingerprinting.
+  *
+  * Everything is a pure Column expression (whole-stage codegen, no UDFs,
+  * no shuffle) so a 100 TB corpus pays exactly one scan. Hash primitives
+  * are md5-derived so an external SQL engine can reproduce them
+  * bit-for-bit (the correctness oracle relies on this).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenizer — the base of all token-level ops. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish subword segmentation regex: alpha runs, digit runs, or single
+    * non-alnum marks (a common pre-tokenizer shape). */
+  val PreTokenRegex = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  def preTokens(text: Column): Column =
+    regexp_extract_all(text, lit(PreTokenRegex), lit(0))
+
+  /** 40-bit deterministic token hash: first 10 hex chars of md5.
+    * 40 bits keeps downstream weighted sums inside exact int64 range. */
+  def tokenHash(tok: Column): Column =
+    conv(substring(md5(tok), 1, 10), 16, 10).cast("bigint")
+
+  /** Token count (whitespace). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Distinct-token count. */
+  def distinctTokenCount(text: Column): Column =
+    size(array_distinct(tokens(text)))
+
+  /** Mean token length ×1e6, as exact integer arithmetic (avoids float
+    * division divergence across engines). */
+  def meanTokenLenMicros(text: Column): Column =
+    floor(aggregate(tokens(text), lit(0L), (acc, t) => acc + length(t)) * 1000000L
+      / tokenCount(text)).cast("bigint")
+
+  /** Count of tokens contained in `words`. */
+  def stopwordHits(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(words.map(lit(_)): _*)))
+
+  val EnStop = Seq("the", "a", "of", "and", "in", "to")
+  val DeStop = Seq("der", "die", "das", "und", "ist", "nicht")
+  val FrStop = Seq("le", "la", "et", "les", "des", "un")
+  val EsStop = Seq("el", "los", "y", "las", "una", "por")
+
+  /** n-gram-heuristic language ID: stopword-hit argmax with a deterministic
+    * tie-break order (en > de > fr > es > unknown). */
+  def langId(text: Column): Column = {
+    val en = stopwordHits(text, EnStop)
+    val de = stopwordHits(text, DeStop)
+    val fr = stopwordHits(text, FrStop)
+    val es = stopwordHits(text, EsStop)
+    when(en > 0 && en >= greatest(de, fr, es), "en")
+      .when(de > 0 && de >= greatest(fr, es), "de")
+      .when(fr > 0 && fr >= es, "fr")
+      .when(es > 0, "es")
+      .otherwise("unknown")
+  }
+
+  /** Quality score in [0,100], integer arithmetic only:
+    * + length in a healthy band, + stopword presence, − punctuation excess,
+    * − very short tokens. Mirrors common heuristic quality filters. */
+  def qualityScore(text: Column): Column = {
+    val nChars = length(text)
+    val nToks = tokenCount(text)
+    val stop = stopwordHits(text, EnStop)
+    val punct = size(regexp_extract_all(text, lit("[.,!?;:]"), lit(0)))
+    val lenScore = when(nChars.between(100, 2000), 40)
+      .when(nChars.between(20, 99), 20).otherwise(0)
+    val stopScore = least(stop * lit(5), lit(30)).cast("int")
+    val punctPenalty =
+      least(floor(punct * lit(100) / greatest(nChars, lit(1))), lit(20L)).cast("int")
+    val tokScore = when(nToks >= 10, 30).when(nToks >= 3, 15).otherwise(0)
+    greatest(lenScore + stopScore + tokScore - punctPenalty, lit(0)).cast("int")
+  }
+
+  /** Positional rolling-hash document fingerprint: Σ tokenHash(tᵢ)·((i mod 8)+1)
+    * mod 1e9+7 — order-sensitive (unlike a bag-of-words hash), exact in
+    * int64 (40-bit hashes × weight ≤ 8 × ≤ 2^13 tokens < 2^56). */
+  def fingerprint(text: Column): Column = {
+    val toks = tokens(text)
+    val idxs = sequence(lit(0), size(toks) - 1)
+    (aggregate(idxs, lit(0L),
+      (acc, i) => acc + tokenHash(element_at(toks, i + 1)) * ((i % 8) + 1))
+      % 1000000007L).cast("bigint")
+  }
+}

@@ -1,0 +1,294 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.{Dedup, Similarity, TextAnalysis => TA}
+
+/** Training-data-pipeline extension queries: text analysis, dedup,
+  * similarity search, multimodal plumbing, sessionization, windowed
+  * (stream-shaped) aggregation. Oracle SQL is generated alongside so the
+  * deterministic hash constants can never drift between engines. */
+object Extensions {
+
+  // ---- shared DuckDB fragments (mirror graft.functions exactly) ----------
+  /** 40-bit md5 token hash, DuckDB spelling of TA.tokenHash. */
+  private def dTokHash(t: String) =
+    s"CAST(concat('0x', substr(md5($t), 1, 10)) AS BIGINT)"
+  private val dToks = "string_split(text, ' ')"
+  private def dStopHits(words: Seq[String]) =
+    s"len(list_filter($dToks, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- text analysis -----------------------------------------------------
+    "q20_token_stats" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      d.select(col("doc_id"),
+        TA.tokenCount(col("text")).as("n_tokens"),
+        TA.distinctTokenCount(col("text")).as("n_distinct"),
+        TA.meanTokenLenMicros(col("text")).as("mean_tok_len_micros"),
+        size(TA.preTokens(col("text"))).as("n_pretokens"))
+    }),
+
+    "q21_langid" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      d.select(col("lang"), TA.langId(col("text")).as("pred_lang"))
+        .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+    }),
+
+    "q22_quality" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      d.select(col("doc_id"), TA.qualityScore(col("text")).as("quality"))
+    }),
+
+    "q23_fingerprint" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      d.select(col("doc_id"), TA.fingerprint(col("text")).as("fp"))
+    }),
+
+    // --- dedup -------------------------------------------------------------
+    "q24_dedup_exact" -> ((s, dir) =>
+      Dedup.exactDedup(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
+
+    "q25_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashClusters(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", k = 16, bands = 4)),
+
+    "q26_simhash" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      d.select(col("doc_id"), Dedup.simhash32(col("text")).as("simhash"))
+    }),
+
+    "q27_neardup_jaccard" -> ((s, dir) =>
+      Dedup.nearDupPairs(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", thresholdMicros = 400000L)),
+
+    // --- similarity search -------------------------------------------------
+    "q28_knn_brute" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.bruteForceKnn(e, e.filter(col("vec_id") < 20),
+        "vec_id", "embedding", k = 3)
+    }),
+
+    "q32_lsh_buckets" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      e.select(col("vec_id"),
+          Similarity.hyperplaneBucket(col("embedding"), 8).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+    }),
+
+    "q33_lsh_knn" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.lshKnn(e, e.filter(col("vec_id") < 20),
+        "vec_id", "embedding", k = 3, nPlanes = 8)
+    }),
+
+    // --- sessionization (event-stream shaping) ----------------------------
+    "q29_sessionize" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gap = unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w))
+      val isNew = when(gap.isNull || gap > 1800L, 1L).otherwise(0L)
+      ev.withColumn("session_id",
+          sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"),
+          expr("cast(sum(cast(value as decimal(38,6))) as double)").as("sum_value"))
+    }),
+
+    // --- tumbling-window aggregation (batch form of the streaming op) ------
+    "q31_stream_window" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          expr("cast(sum(cast(value as decimal(38,6))) as double)").as("sum_value"))
+        .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
+    }),
+
+    // --- multimodal plumbing ----------------------------------------------
+    "q30_multimodal_meta" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val payload = encode(col("text"), "UTF-8")
+      d.select(col("doc_id"),
+        octet_length(payload).as("byte_len"),
+        sha2(payload, 256).as("digest"),
+        conv(substring(sha2(payload, 256), 1, 10), 16, 10).cast("bigint")
+          .as("stub_feature"))
+    })
+  )
+
+  // ---- oracle SQL ---------------------------------------------------------
+  private val minhashSigCols: String = (0 until 16).map { i =>
+    val a = Dedup.aCoef(i); val b = Dedup.bCoef(i)
+    s"list_min(list_transform(tl, t -> (${dTokHash("t")} % ${Dedup.P} * $a + $b) % ${Dedup.P})) AS m$i"
+  }.mkString(",\n    ")
+
+  private val bandSelects: String = (0 until 4).map { bnd =>
+    val parts = (0 until 4).map(r => s"m${4 * bnd + r}").mkString(", ")
+    s"SELECT doc_id, $bnd AS band, concat_ws(',', $parts) AS key FROM sig"
+  }.mkString("\n    UNION ALL ")
+
+  private val minhashCte =
+    s"""WITH toks AS (SELECT doc_id, list_distinct($dToks) AS tl FROM documents),
+       |sig AS (SELECT doc_id,
+       |    $minhashSigCols
+       |  FROM toks),
+       |bands AS (
+       |    $bandSelects
+       |)""".stripMargin
+
+  /** DuckDB spelling of Similarity.cosine: ordered left-fold dot products. */
+  private def dCos(a: String, b: String) =
+    s"""round(
+       |  list_reduce(list_transform(list_zip($a, $b), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (x, y) -> x + y)
+       |  / (sqrt(list_reduce(list_transform($a, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))
+       |   * sqrt(list_reduce(list_transform($b, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))), 6)""".stripMargin
+
+  /** DuckDB spelling of Similarity.hyperplaneBucket (i is 1-based in DuckDB
+    * index lambdas; planeCoef uses 0-based dim). */
+  private def dBucket(v: String, nPlanes: Int): String =
+    (0 until nPlanes).map { j =>
+      s"""CASE WHEN list_reduce(list_transform($v, (x, i) -> CAST(x AS DOUBLE) * ((($j * 31 + (i - 1) * 17) % 7) - 3)), (a, b) -> a + b) > 0
+         | THEN CAST(${1L << j} AS BIGINT) ELSE 0 END""".stripMargin
+    }.mkString(" + ")
+
+  private val dShingles =
+    s"""list_transform(range(0, greatest(len($dToks) - 3, 0) + 1),
+       |  i -> concat_ws(' ', $dToks[i + 1], $dToks[i + 2], $dToks[i + 3]))""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q20_token_stats" ->
+      s"""SELECT doc_id,
+         |CAST(len($dToks) AS INTEGER) AS n_tokens,
+         |CAST(len(list_distinct($dToks)) AS INTEGER) AS n_distinct,
+         |CAST(floor(CAST(list_sum(list_transform($dToks, t -> length(t))) AS BIGINT) * 1000000 / len($dToks)) AS BIGINT) AS mean_tok_len_micros,
+         |CAST(len(regexp_extract_all(text, '${TA.PreTokenRegex}')) AS INTEGER) AS n_pretokens
+         |FROM documents""".stripMargin,
+
+    "q21_langid" ->
+      s"""SELECT lang, pred_lang, count(*) AS n FROM (
+         |  SELECT lang,
+         |  CASE
+         |    WHEN ${dStopHits(TA.EnStop)} > 0 AND ${dStopHits(TA.EnStop)} >= greatest(${dStopHits(TA.DeStop)}, ${dStopHits(TA.FrStop)}, ${dStopHits(TA.EsStop)}) THEN 'en'
+         |    WHEN ${dStopHits(TA.DeStop)} > 0 AND ${dStopHits(TA.DeStop)} >= greatest(${dStopHits(TA.FrStop)}, ${dStopHits(TA.EsStop)}) THEN 'de'
+         |    WHEN ${dStopHits(TA.FrStop)} > 0 AND ${dStopHits(TA.FrStop)} >= ${dStopHits(TA.EsStop)} THEN 'fr'
+         |    WHEN ${dStopHits(TA.EsStop)} > 0 THEN 'es'
+         |    ELSE 'unknown' END AS pred_lang
+         |  FROM documents
+         |) GROUP BY 1, 2""".stripMargin,
+
+    "q22_quality" ->
+      s"""SELECT doc_id, CAST(greatest(
+         |  (CASE WHEN length(text) BETWEEN 100 AND 2000 THEN 40
+         |        WHEN length(text) BETWEEN 20 AND 99 THEN 20 ELSE 0 END)
+         |  + CAST(least(${dStopHits(TA.EnStop)} * 5, 30) AS INTEGER)
+         |  + (CASE WHEN len($dToks) >= 10 THEN 30 WHEN len($dToks) >= 3 THEN 15 ELSE 0 END)
+         |  - CAST(least(floor(len(regexp_extract_all(text, '[.,!?;:]')) * 100 / greatest(length(text), 1)), 20) AS INTEGER)
+         |, 0) AS INTEGER) AS quality
+         |FROM documents""".stripMargin,
+
+    "q23_fingerprint" ->
+      s"""SELECT doc_id,
+         |CAST(CAST(list_sum(list_transform($dToks,
+         |  (t, i) -> ${dTokHash("t")} * (((i - 1) % 8) + 1))) AS BIGINT) % 1000000007 AS BIGINT) AS fp
+         |FROM documents""".stripMargin,
+
+    "q24_dedup_exact" ->
+      """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS content_hash,
+        |min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q25_minhash_lsh" ->
+      s"""$minhashCte,
+         |bucket_min AS (
+         |  SELECT band, key, min(doc_id) AS bmin FROM bands GROUP BY 1, 2)
+         |SELECT b.doc_id AS id, min(m.bmin) AS canonical_id
+         |FROM bands b JOIN bucket_min m ON b.band = m.band AND b.key = m.key
+         |GROUP BY 1""".stripMargin,
+
+    "q26_simhash" ->
+      s"""SELECT doc_id,
+         |CAST(list_sum(list_transform(range(0, 32), j ->
+         |  CASE WHEN CAST(list_sum(list_transform($dToks,
+         |    t -> ((${dTokHash("t")} >> j) & 1) * 2 - 1)) AS BIGINT) > 0
+         |  THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS simhash
+         |FROM documents""".stripMargin,
+
+    "q27_neardup_jaccard" ->
+      s"""$minhashCte,
+         |bucket_min AS (
+         |  SELECT band, key, min(doc_id) AS bmin FROM bands GROUP BY 1, 2),
+         |clusters AS (
+         |  SELECT b.doc_id AS id, min(m.bmin) AS canonical_id
+         |  FROM bands b JOIN bucket_min m ON b.band = m.band AND b.key = m.key
+         |  GROUP BY 1),
+         |cands AS (
+         |  SELECT canonical_id AS id1, id AS id2 FROM clusters
+         |  WHERE canonical_id < id),
+         |sh AS (SELECT doc_id, list_distinct($dShingles) AS sset FROM documents)
+         |SELECT id1, id2, jaccard_micros FROM (
+         |  SELECT id1, id2,
+         |  CAST(floor(len(list_intersect(a.sset, b.sset)) * 1000000
+         |    / greatest(len(list_distinct(list_concat(a.sset, b.sset))), 1)) AS BIGINT) AS jaccard_micros
+         |  FROM cands JOIN sh a ON cands.id1 = a.doc_id JOIN sh b ON cands.id2 = b.doc_id
+         |) WHERE jaccard_micros >= 400000""".stripMargin,
+
+    "q28_knn_brute" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+         |c AS (SELECT vec_id AS nn_id, embedding AS cv FROM embeddings),
+         |s AS (SELECT query_id, nn_id, ${dCos("qv", "cv")} AS sim
+         |      FROM q CROSS JOIN c WHERE query_id <> nn_id)
+         |SELECT query_id, nn_id, sim, rk FROM (
+         |  SELECT query_id, nn_id, sim,
+         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nn_id ASC) AS INTEGER) AS rk
+         |  FROM s) WHERE rk <= 3""".stripMargin,
+
+    "q32_lsh_buckets" ->
+      s"""SELECT bucket, count(*) AS n FROM (
+         |  SELECT vec_id, ${dBucket("embedding", 8)} AS bucket FROM embeddings
+         |) GROUP BY 1""".stripMargin,
+
+    "q33_lsh_knn" ->
+      s"""WITH b AS (SELECT vec_id, embedding, ${dBucket("embedding", 8)} AS bucket FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b WHERE vec_id < 20),
+         |c AS (SELECT vec_id AS nn_id, embedding AS cv, bucket FROM b),
+         |s AS (SELECT query_id, nn_id, ${dCos("qv", "cv")} AS sim
+         |      FROM q JOIN c USING (bucket) WHERE query_id <> nn_id)
+         |SELECT query_id, nn_id, sim, rk FROM (
+         |  SELECT query_id, nn_id, sim,
+         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nn_id ASC) AS INTEGER) AS rk
+         |  FROM s) WHERE rk <= 3""".stripMargin,
+
+    "q29_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |       OR date_diff('second', lag(ts) OVER w, ts) > 1800
+        |       THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sessions AS (
+        |  SELECT user_id, event_id, ts, value,
+        |  CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM flagged
+        |)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |CAST(min(ts) AS TIMESTAMP) AS start_ts, CAST(max(ts) AS TIMESTAMP) AS end_ts,
+        |CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+        |FROM sessions GROUP BY 1, 2""".stripMargin,
+
+    "q31_stream_window" ->
+      """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS w_start,
+        |event_type, count(*) AS n,
+        |CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q30_multimodal_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+        |sha256(text) AS digest,
+        |CAST(concat('0x', substr(sha256(text), 1, 10)) AS BIGINT) AS stub_feature
+        |FROM documents""".stripMargin
+  )
+}
