@@ -307,7 +307,7 @@ final class Lowering(spark: SparkSession, keepAssertions: Boolean = true) {
       def outputEncoder = Encoders.row(outStruct)
     }
     val u = udaf(agg, Encoders.row(argStruct))
-    val aggCol = u(struct(ca.argFields.map(df.col): _*))
+    val aggCol = u(ca.argFields.map(df.col): _*)
       .getField(ca.resultField).as(ca.resultField)
     if (grouped.keys.isEmpty) df.agg(aggCol)
     else df.groupBy(grouped.keys.map(col): _*).agg(aggCol)

@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Dedup, Multimodal, Similarity, TextAnalysis => TA}
+
+/** Extension-operator semantics: text analysis, dedup, similarity,
+  * multimodal plumbing. */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column, text: String): T =
+    Seq(text).toDF("text").select(c.as("r")).collect().head.getAs[T]("r")
+
+  test("token counts and mean length") {
+    assert(one[Int](TA.tokenCount(col("text")), "a bb ccc") == 3)
+    assert(one[Int](TA.distinctTokenCount(col("text")), "a a b") == 2)
+    assert(one[Long](TA.meanTokenLenMicros(col("text")), "a bb ccc") == 2000000L)
+  }
+
+  test("pre-tokenizer splits alpha/digit/punct runs") {
+    val r = Seq("ab12,cd").toDF("text")
+      .select(TA.preTokens(col("text")).as("r")).collect().head.getSeq[String](0)
+    assert(r == Seq("ab", "12", ",", "cd"))
+  }
+
+  test("langId picks stopword argmax with deterministic tiebreak") {
+    assert(one[String](TA.langId(col("text")), "the cat and the dog") == "en")
+    assert(one[String](TA.langId(col("text")), "der hund und die katze") == "de")
+    assert(one[String](TA.langId(col("text")), "xyzzy qwerty") == "unknown")
+  }
+
+  test("quality score rewards healthy docs, is clamped at 0") {
+    val healthy = "the quick brown fox jumps over the lazy dog and then " * 3
+    assert(one[Int](TA.qualityScore(col("text")), healthy) > 50)
+    assert(one[Int](TA.qualityScore(col("text")), "!!!") >= 0)
+  }
+
+  test("fingerprint is order-sensitive") {
+    val a = one[Long](TA.fingerprint(col("text")), "a b c")
+    val b = one[Long](TA.fingerprint(col("text")), "c b a")
+    assert(a != b)
+    assert(a == one[Long](TA.fingerprint(col("text")), "a b c"))
+  }
+
+  test("exact dedup groups normalized variants") {
+    val df = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val r = Dedup.exactDedup(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(r == Set((1L, 2L), (3L, 1L))) // keep_id 1 with 2 dups
+  }
+
+  test("minhash signature: identical texts agree, length k") {
+    val df = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "v w x y z"))
+      .toDF("id", "text")
+    val sigs = df.select(col("id"), Dedup.minhashSignature(col("text"), 16).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L).length == 16)
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+  }
+
+  test("minhash clusters map near-identical docs to one canonical id") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "completely different text about spark engines and scale")
+    ).toDF("doc_id", "text")
+    val m = Dedup.minhashClusters(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == 1L && m(2L) == 1L && m(3L) == 3L)
+  }
+
+  test("simhash: hamming distance small for similar docs, large for different") {
+    val df = Seq(
+      ("a", "spark query engine with columnar execution and codegen"),
+      ("b", "spark query engine with columnar execution and codegen speed"),
+      ("c", "zebra yak xylophone walrus vulture unicorn tapir")
+    ).toDF("id", "text")
+    val h = df.select(col("id"), Dedup.simhash32(col("text")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(h("a"), h("b")) < ham(h("a"), h("c")))
+  }
+
+  test("jaccard micros: identical=1e6, disjoint=0") {
+    val df = Seq(("a b c", "a b c"), ("a b c", "x y z")).toDF("t1", "t2")
+    val r = df.select(Dedup.jaccardMicros(split(col("t1"), " "),
+      split(col("t2"), " ")).as("j")).collect().map(_.getLong(0))
+    assert(r.toSeq == Seq(1000000L, 0L))
+  }
+
+  test("shingles are order-preserving 3-grams") {
+    val r = Seq("a b c d").toDF("text")
+      .select(Dedup.shingles(col("text"), 3).as("s"))
+      .collect().head.getSeq[String](0)
+    assert(r == Seq("a b c", "b c d"))
+  }
+
+  test("cosine similarity: orthogonal=0, parallel=1") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+      (Array(1.0f, 1.0f), Array(2.0f, 2.0f))
+    ).toDF("a", "b")
+    val r = df.select(Similarity.cosine(col("a"), col("b")).as("c"))
+      .collect().map(_.getDouble(0))
+    assert(r(0) == 0.0 && r(1) == 1.0)
+  }
+
+  test("brute-force knn excludes self and ranks by similarity") {
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(1.0f, 0.05f))
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.bruteForceKnn(df, df.filter(col("vec_id") === 0), "vec_id", "embedding", 2)
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(r.toSet == Set((3L, 1), (1L, 2))) // nearest is vec 3, then vec 1
+  }
+
+  test("hyperplane bucket is deterministic and stable") {
+    val df = Seq((0L, Array(1.0f, -2.0f, 0.5f))).toDF("id", "v")
+    val b1 = df.select(Similarity.hyperplaneBucket(col("v"), 8)).collect().head.getLong(0)
+    val b2 = df.select(Similarity.hyperplaneBucket(col("v"), 8)).collect().head.getLong(0)
+    assert(b1 == b2 && b1 >= 0 && b1 < 256)
+  }
+
+  test("multimodal: payload metadata + batched feature extraction") {
+    val df = Seq((1L, "hello"), (2L, "world!")).toDF("doc_id", "text")
+    val wp = Multimodal.withPayload(df, "text")
+    assert(wp.columns.toSet.contains("payload"))
+    val bl = wp.filter(col("doc_id") === 2).select("byte_len").collect().head.getInt(0)
+    assert(bl == 6)
+    val feats = Multimodal.extractFeatures(wp, "doc_id", "payload")
+    val r = feats.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(r(1L).length == Multimodal.FeatureDim)
+    // deterministic stub
+    assert(r(1L) == Multimodal.extractFeatures(wp, "doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap.apply(1L))
+  }
+
+  test("frame sampling emits n byte-frames") {
+    val df = Seq(("x", "abcdefgh")).toDF("id", "text")
+    val r = df.select(Multimodal.sampleFrames(encode(col("text"), "UTF-8"), 4).as("f"))
+      .collect().head.getSeq[Array[Byte]](0)
+    assert(r.length == 4)
+  }
+}

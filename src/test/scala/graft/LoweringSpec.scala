@@ -1,0 +1,247 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+import graft.model.{CFields, FieldSelector}
+import graft.pipes._
+import graft.exec.Flow
+import graft.sources.DataFrameTap
+
+/** DSL → DataFrame lowering semantics per operator family (SURVEY.md §2).
+  * Small in-memory fixtures, sorted-multiset assertions (sink order is not
+  * part of the contract — SURVEY.md §7.4). */
+class LoweringSpec extends SparkSpec {
+  import spark.implicits._
+  implicit def s: org.apache.spark.sql.SparkSession = spark
+
+  private def lhs = Seq((1, "a"), (2, "b"), (2, "bb"), (4, "d"))
+    .toDF("num", "ch")
+  private def rhs = Seq((1, "A"), (2, "B"), (3, "C")).toDF("num2", "CH")
+
+  private def pipe(df: org.apache.spark.sql.DataFrame): Pipe =
+    Pipe.source(DataFrameTap(df))
+
+  private def rows(p: Pipe): Set[Seq[Any]] =
+    Flow.toDF(p).collect().toSet.map((r: Row) => r.toSeq)
+
+  test("Each + Function with SWAP selector replaces args") {
+    val p = pipe(lhs).each(
+      ExpressionFunction("up", "upper(ch)", StringType),
+      args = FieldSelector("ch"), out = FieldSelector.Swap)
+    val df = Flow.toDF(p)
+    assert(df.columns.toSeq == Seq("num", "up"))
+    assert(rows(p).contains(Seq(1, "A")))
+  }
+
+  test("Each + Function with ALL keeps everything") {
+    val p = pipe(lhs).each(
+      ExpressionFunction("up", "upper(ch)", StringType),
+      args = FieldSelector("ch"), out = FieldSelector.All)
+    assert(Flow.toDF(p).columns.toSeq == Seq("num", "ch", "up"))
+  }
+
+  test("Each + RESULTS keeps only results") {
+    val p = pipe(lhs).each(
+      ExpressionFunction("up", "upper(ch)", StringType),
+      args = FieldSelector("ch"), out = FieldSelector.Results)
+    assert(Flow.toDF(p).columns.toSeq == Seq("up"))
+  }
+
+  test("Each + REPLACE overwrites in place") {
+    val p = pipe(lhs).each(
+      RegexReplace("ch", "b", "X"),
+      args = FieldSelector("ch"), out = FieldSelector.Replace)
+    assert(Flow.toDF(p).columns.toSeq == Seq("num", "ch"))
+    assert(rows(p).contains(Seq(2, "X")))
+    assert(rows(p).contains(Seq(2, "XX")))
+  }
+
+  test("generator explodes 1→N") {
+    val df = Seq(("x", "p q r")).toDF("id", "text")
+    val p = pipe(df).generate(RegexSplitGenerator("tok", " "),
+      args = FieldSelector("text"), out = FieldSelector.Results)
+    assert(rows(p) == Set(Seq("p"), Seq("q"), Seq("r")))
+  }
+
+  test("filter keeps matching rows only") {
+    val p = pipe(lhs).filterBy(SqlFilter("num > 1"))
+    assert(rows(p).forall(_.head.asInstanceOf[Int] > 1))
+  }
+
+  test("ExpressionFilter removes rows where expression is true (Cascading semantics)") {
+    val p = pipe(lhs).filterBy(ExpressionFilter("num = 2"))
+    assert(rows(p).map(_.head) == Set(1, 4))
+  }
+
+  test("groupBy + every aggregators") {
+    val p = pipe(lhs).groupBy("num")
+      .every(Aggs.count("n"), Aggs.sql("max_ch", "max(ch)"))
+    assert(rows(p).contains(Seq(2, 2L, "bb")))
+  }
+
+  test("global groupAll aggregation") {
+    val p = pipe(lhs).groupAll.every(Aggs.count("n"))
+    assert(rows(p) == Set(Seq(4L)))
+  }
+
+  test("chained every calls collapse into one aggregate") {
+    val p = pipe(lhs).groupBy("num").every(Aggs.count("n")).every(Aggs.sql("mx", "max(ch)"))
+    val df = Flow.toDF(p)
+    assert(df.columns.toSeq == Seq("num", "n", "mx"))
+    // exactly one Aggregate in the optimized plan
+    val aggs = df.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    assert(aggs.size == 1)
+  }
+
+  test("buffer sees rows in secondary-sort order") {
+    val df = Seq((1, 30), (1, 10), (1, 20), (2, 5)).toDF("k", "v")
+    val b = new CBuffer {
+      val resultFields: CFields = CFields.typed("seq" -> StringType)
+      def operate(key: Seq[Any], rs: Iterator[Row]): Iterator[Seq[Any]] =
+        Iterator.single(Seq(rs.map(_.getInt(1)).mkString(",")))
+    }
+    val p = pipe(df).groupBySorted(Seq("k"), Seq("v" -> true)).buffer(b)
+    assert(rows(p) == Set(Seq(1, "10,20,30"), Seq(2, "5")))
+  }
+
+  test("buffer with descending secondary sort") {
+    val df = Seq((1, 30), (1, 10), (1, 20)).toDF("k", "v")
+    val b = new CBuffer {
+      val resultFields: CFields = CFields.typed("seq" -> StringType)
+      def operate(key: Seq[Any], rs: Iterator[Row]): Iterator[Seq[Any]] =
+        Iterator.single(Seq(rs.map(_.getInt(1)).mkString(",")))
+    }
+    val p = pipe(df).groupBySorted(Seq("k"), Seq("v" -> false)).buffer(b)
+    assert(rows(p) == Set(Seq(1, "30,20,10")))
+  }
+
+  test("buffer can emit 0..N rows per group") {
+    val df = Seq((1, 1), (1, 2), (2, 9)).toDF("k", "v")
+    val b = new CBuffer {
+      val resultFields: CFields = CFields.typed("v2" -> IntegerType)
+      def operate(key: Seq[Any], rs: Iterator[Row]): Iterator[Seq[Any]] =
+        rs.flatMap(r => if (r.getInt(1) < 5) Iterator(Seq(r.getInt(1) * 10)) else Iterator.empty)
+    }
+    val p = pipe(df).groupBy("k").buffer(b)
+    assert(rows(p) == Set(Seq(1, 10), Seq(1, 20)))
+  }
+
+  test("custom CAggregator start/aggregate/complete with partial merge") {
+    val agg = new CAggregator[(Long, Long)] {
+      val resultField = "mean_x2"
+      val resultType: DataType = LongType
+      val argFields = Seq("v")
+      def start = (0L, 0L)
+      def aggregate(b: (Long, Long), args: Seq[Any]) =
+        (b._1 + args.head.asInstanceOf[Int] * 2, b._2 + 1)
+      def merge(a: (Long, Long), b: (Long, Long)) = (a._1 + b._1, a._2 + b._2)
+      def complete(b: (Long, Long)) = b._1 / math.max(b._2, 1)
+    }
+    val df = Seq((1, 10), (1, 20), (2, 7)).toDF("k", "v")
+    val p = pipe(df).groupBy("k").everyAgg(agg)
+    assert(rows(p) == Set(Seq(1, 30L), Seq(2, 14L)))
+  }
+
+  test("coGroup inner / left / right / outer") {
+    def j(t: Joiner) = rows(pipe(lhs).coGroup(Seq("num"), pipe(rhs), Seq("num2"), t))
+    assert(j(Joiner.Inner).size == 3)
+    assert(j(Joiner.Left).size == 4)    // num=4 padded
+    assert(j(Joiner.Right).size == 4)   // num2=3 padded
+    assert(j(Joiner.Outer).size == 5)
+    assert(j(Joiner.Outer).exists(r => r(2) == null)) // padded side is null
+  }
+
+  test("self-join via declared fields") {
+    val p = pipe(lhs).coGroup(Seq("num"), pipe(lhs), Seq("num"),
+      declared = Some(Seq("n1", "c1", "n2", "c2")))
+    // num=2 has two rows → 4 combinations
+    assert(rows(p).count(_.head == 2) == 4)
+  }
+
+  test("hashJoin broadcasts the right side") {
+    val p = pipe(lhs).hashJoin(Seq("num"), pipe(rhs), Seq("num2"))
+    val plan = Flow.toDF(p).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("bufferJoin provides per-input iterators") {
+    val p = pipe(lhs).bufferJoin(Seq("num"), pipe(rhs), Seq("num2"),
+      CFields.typed("k" -> IntegerType, "nl" -> IntegerType, "nr" -> IntegerType),
+      (key, ls, rs) => Iterator.single(
+        Seq(key.head, ls.size, rs.size)))
+    assert(rows(p) == Set(
+      Seq(1, 1, 1), Seq(2, 2, 1), Seq(3, 0, 1), Seq(4, 1, 0)))
+  }
+
+  test("cross join = Cartesian") {
+    val p = pipe(lhs.select("num")).cross(pipe(rhs.select("num2")))
+    assert(Flow.toDF(p).count() == 12)
+  }
+
+  test("merge = positional union-all") {
+    val p = pipe(lhs).merge(pipe(lhs))
+    assert(Flow.toDF(p).count() == 8)
+  }
+
+  test("unique removes duplicate rows") {
+    val p = pipe(lhs.select("num")).unique()
+    assert(rows(p).size == 3)
+  }
+
+  test("rename/retain/discard/coerce field algebra") {
+    val p = pipe(lhs).rename("ch" -> "letter").retain("letter")
+    assert(Flow.toDF(p).columns.toSeq == Seq("letter"))
+    val q = pipe(lhs).discard("ch").coerce("num" -> LongType)
+    assert(Flow.toDF(q).schema("num").dataType == LongType)
+  }
+
+  test("orderBy + limit") {
+    val p = pipe(lhs).orderBy("num" -> false).limit(1)
+    assert(rows(p) == Set(Seq(4, "d")))
+  }
+
+  test("assertions raise on violation and strip when disabled") {
+    val p = pipe(lhs).assertRows("num < 3", "num too big")
+    intercept[Exception] { Flow.toDF(p).collect() }
+    val stripped = new graft.exec.Lowering(spark, keepAssertions = false).lower(p)
+    assert(stripped.count() == 4)
+  }
+
+  test("split: memoized pipe reused by two consumers") {
+    val base = pipe(lhs).filterBy(SqlFilter("num > 1"))
+    val a = base.groupBy("num").every(Aggs.count("n"))
+    val b = base.retain("ch")
+    val lowering = new graft.exec.Lowering(spark)
+    assert(lowering.lower(a).count() == 2)
+    assert(lowering.lower(b).count() == 3)
+  }
+
+  test("trap diverts failing rows instead of failing the job") {
+    val dir = java.nio.file.Files.createTempDirectory("trap").toString
+    val fn = new CRowFunction {
+      val resultFields: CFields = CFields.typed("inv" -> IntegerType)
+      def apply(args: Row): Iterator[Seq[Any]] = {
+        val n = args.getInt(0)
+        Iterator.single(Seq(100 / (n - 2))) // fails on num=2
+      }
+    }
+    val p = pipe(lhs).eachRow(fn, args = FieldSelector("num"),
+      out = FieldSelector.Results,
+      trap = Some(graft.sources.ParquetTap(s"$dir/trap")))
+    val good = Flow.toDF(p).collect()
+    assert(good.length == 2) // num=1, num=4 survive; two num=2 rows trapped
+    val trapped = spark.read.parquet(s"$dir/trap")
+    assert(trapped.count() == 2)
+    assert(trapped.columns.toSeq == Seq("__trap_in", "__trap_err"))
+  }
+
+  test("counters accumulate across executor closures") {
+    val counters = new graft.exec.FlowCounters(spark)
+    val acc = counters.counter("graft", "rows_seen")
+    lhs.rdd.foreach(_ => acc.add(1))
+    assert(counters.value("graft", "rows_seen") == 4L)
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.streaming.StreamOps
+
+/** Structured Streaming variants: windowed aggregation parity with the
+  * batch query, and stateful sessionization. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming windowed agg matches the batch tumbling-window result") {
+    // stage a small parquet copy (streaming needs a directory source)
+    val dir = java.nio.file.Files.createTempDirectory("stream_in").toString
+    val ev = graft.queries.Tables.events(spark, sf())
+    ev.write.mode("overwrite").parquet(dir)
+    val schema = ev.schema
+
+    val stream = StreamOps.windowedCounts(
+      StreamOps.readStream(spark, dir, schema), "ts", "event_type",
+      "1 hour", "2 hours")
+    // Complete mode: append would hold back windows the watermark hasn't
+    // closed yet (the trailing 2h), which is exactly the parity gap with
+    // a bounded batch query.
+    StreamOps.runToMemory(stream, "win_out",
+      org.apache.spark.sql.streaming.OutputMode.Complete)
+    val streamed = spark.table("win_out")
+      .select("w_start", "event_type", "n", "sum_value")
+      .collect().map(_.toSeq).toSet
+
+    val batch = graft.queries.Extensions.queries("q31_stream_window")(spark, sf())
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+  }
+
+  test("stateful sessionization closes a session when the gap is exceeded") {
+    import StreamOps._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val q = sessionize(input.toDS(), gapSeconds = 1800)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_out").start()
+    try {
+      input.addData(
+        SessionEvent(1L, new java.sql.Timestamp(0L), 1.0),
+        SessionEvent(1L, new java.sql.Timestamp(60 * 1000L), 2.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_out").count() == 0) // session still open
+      // an event far beyond the gap closes the previous session
+      input.addData(SessionEvent(1L, new java.sql.Timestamp(2 * 3600 * 1000L), 5.0))
+      q.processAllAvailable()
+      val closed = spark.table("sess_out").collect()
+      assert(closed.length == 1)
+      val r = closed.head
+      assert(r.getAs[Long]("n_events") == 2L)
+      assert(r.getAs[Double]("sum_value") == 3.0)
+      assert(r.getAs[java.sql.Timestamp]("end_ts").getTime == 60 * 1000L)
+    } finally q.stop()
+  }
+}
