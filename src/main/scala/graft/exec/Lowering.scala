@@ -96,8 +96,11 @@ final class Lowering(spark: SparkSession, keepAssertions: Boolean = true) {
 
     case OrderByPipe(prev, sort) =>
       lower(prev).orderBy(sort.map { case (f, asc) =>
-        if (asc) col(f).asc_nulls_first else col(f).desc_nulls_last
+        if (asc) expr(f).asc_nulls_first else expr(f).desc_nulls_last
       }: _*)
+
+    case IntersectPipe(l, r) => lower(l).intersect(lower(r))
+    case ExceptPipe(l, r)    => lower(l).except(lower(r))
 
     case AssertPipe(prev, pred, message) =>
       val df = lower(prev)
@@ -223,8 +226,11 @@ final class Lowering(spark: SparkSession, keepAssertions: Boolean = true) {
                             reverse: Boolean): Seq[Column] = {
     val keyCols = keys.map(k =>
       if (reverse) col(k).desc_nulls_last else col(k).asc_nulls_first)
+    // expr() not col(): sort fields may be arbitrary SQL expressions, which
+    // is how custom comparators map to Spark (derived sort-key columns —
+    // SURVEY.md §1.3).
     val sortCols = sort.map { case (f, asc) =>
-      if (asc) col(f).asc_nulls_first else col(f).desc_nulls_last }
+      if (asc) expr(f).asc_nulls_first else expr(f).desc_nulls_last }
     keyCols ++ sortCols
   }
 

@@ -94,6 +94,25 @@ sealed trait Pipe {
   /** Union-all, positional, same arity — Cascading `Merge` (`FFS:652-673`). */
   def merge(others: Pipe*): Pipe = MergePipe(this +: others)
 
+  /** Set intersection / difference (distinct semantics) — absent from the
+    * reference (SURVEY.md §2.6); native in Spark. */
+  def intersect(other: Pipe): Pipe = IntersectPipe(this, other)
+  def except(other: Pipe): Pipe = ExceptPipe(this, other)
+
+  /** AggregateBy-family sugar (CountBy/SumBy/AverageBy/MinBy/MaxBy —
+    * SURVEY.md §2.4). Spark's partial aggregation provides the map-side
+    * combine these assemblies exist for. */
+  def countBy(keys: Seq[String], as: String = "count"): Pipe =
+    GroupByPipe(Seq(this), keys, Nil).every(Aggs.count(as))
+  def sumBy(keys: Seq[String], field: String, as: String): Pipe =
+    GroupByPipe(Seq(this), keys, Nil).every(Aggs.sum(field, as))
+  def averageBy(keys: Seq[String], field: String, as: String): Pipe =
+    GroupByPipe(Seq(this), keys, Nil).every(Aggs.avg(field, as))
+  def minBy(keys: Seq[String], field: String, as: String): Pipe =
+    GroupByPipe(Seq(this), keys, Nil).every(Aggs.min(field, as))
+  def maxBy(keys: Seq[String], field: String, as: String): Pipe =
+    GroupByPipe(Seq(this), keys, Nil).every(Aggs.max(field, as))
+
   def unique(fields: String*): Pipe =
     UniquePipe(this, if (fields.isEmpty) None else Some(fields))
 
@@ -161,6 +180,8 @@ final case class BufferJoinPipe(
         Iterator[org.apache.spark.sql.Row]) => Iterator[Seq[Any]]) extends Pipe
 
 final case class MergePipe(pipes: Seq[Pipe]) extends Pipe
+final case class IntersectPipe(left: Pipe, right: Pipe) extends Pipe
+final case class ExceptPipe(left: Pipe, right: Pipe) extends Pipe
 final case class UniquePipe(prev: Pipe, fields: Option[Seq[String]]) extends Pipe
 final case class RetainPipe(prev: Pipe, fields: Seq[String]) extends Pipe
 final case class DiscardPipe(prev: Pipe, fields: Seq[String]) extends Pipe

@@ -208,7 +208,47 @@ object Relational {
         .retain("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
         .rename("l_quantity" -> "qty", "l_returnflag" -> "flag")
         .coerce("qty" -> LongType)
-        .filterBy(SqlFilter("flag = 'R'")))(s))
+        .filterBy(SqlFilter("flag = 'R'")))(s)),
+
+    // Intersect (set semantics) — extension beyond reference (SURVEY §2.6)
+    "q34_intersect" -> ((s, dir) => Flow.toDF(
+      P(dir, "orders").filterBy(SqlFilter("o_orderstatus = 'F'"))
+        .retain("o_orderpriority")
+        .intersect(P(dir, "orders").filterBy(SqlFilter("o_totalprice > 150000"))
+          .retain("o_orderpriority")))(s)),
+
+    // Except (set difference)
+    "q35_except" -> ((s, dir) => Flow.toDF(
+      P(dir, "customer").retain("c_mktsegment")
+        .except(P(dir, "customer").filterBy(SqlFilter("c_acctbal > 0"))
+          .retain("c_mktsegment")))(s)),
+
+    // n-way CoGroup with mixed join types in one flow (SURVEY §2.5 Mixed)
+    "q36_nway_mixed" -> ((s, dir) => Flow.toDF(
+      P(dir, "customer")
+        .coGroup(Seq("c_custkey"), P(dir, "orders"), Seq("o_custkey"),
+          joiner = Joiner.Left)
+        .coGroup(Seq("o_orderkey"),
+          P(dir, "lineitem").retain("l_orderkey", "l_quantity"),
+          Seq("l_orderkey"), joiner = Joiner.Left)
+        .groupBy("c_mktsegment")
+        .every(Aggs.count("n_rows"),
+               Aggs.sql("sum_qty", dsum("l_quantity")),
+               Aggs.countArg("o_orderkey", "n_with_orders")))(s)),
+
+    // First/Last aggregators over a deterministic order (SURVEY §2.4
+    // First/Last; min_by/max_by on a derived exact order value)
+    "q37_firstlast" -> ((s, dir) => Flow.toDF(
+      P(dir, "orders")
+        .each(ExpressionFunction("ordval",
+          // cast: parquet gives TIMESTAMP_NTZ; session TZ is UTC so the
+          // conversion is identity
+          "(unix_millis(cast(o_orderdate as timestamp)) div 86400000) * 1000000000000 + o_orderkey",
+          LongType), args = FieldSelector.All, out = FieldSelector.All)
+        .groupBy("o_custkey")
+        .every(Aggs.firstBy("o_orderkey", "ordval", "first_order"),
+               Aggs.lastBy("o_orderkey", "ordval", "last_order"),
+               Aggs.count("n_orders")))(s))
   )
 
   val oracle: Map[String, String] = Map(
@@ -317,6 +357,33 @@ object Relational {
     "q19_fieldalgebra" ->
       """SELECT l_orderkey, l_linenumber,
         |CAST(TRUNC(l_quantity) AS BIGINT) AS qty, l_returnflag AS flag
-        |FROM lineitem WHERE l_returnflag = 'R'""".stripMargin
+        |FROM lineitem WHERE l_returnflag = 'R'""".stripMargin,
+
+    "q34_intersect" ->
+      """SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT o_orderpriority FROM orders WHERE o_totalprice > 150000""".stripMargin,
+
+    "q35_except" ->
+      """SELECT c_mktsegment FROM customer
+        |EXCEPT
+        |SELECT c_mktsegment FROM customer WHERE c_acctbal > 0""".stripMargin,
+
+    "q36_nway_mixed" ->
+      s"""SELECT c_mktsegment, count(*) AS n_rows,
+         |${dsum("l_quantity")} AS sum_qty,
+         |count(o_orderkey) AS n_with_orders
+         |FROM customer
+         |LEFT JOIN orders ON c_custkey = o_custkey
+         |LEFT JOIN (SELECT l_orderkey, l_quantity FROM lineitem) l
+         |  ON o_orderkey = l.l_orderkey
+         |GROUP BY 1""".stripMargin,
+
+    "q37_firstlast" ->
+      """SELECT o_custkey,
+        |min_by(o_orderkey, (epoch_ms(o_orderdate) // 86400000) * 1000000000000 + o_orderkey) AS first_order,
+        |max_by(o_orderkey, (epoch_ms(o_orderdate) // 86400000) * 1000000000000 + o_orderkey) AS last_order,
+        |count(*) AS n_orders
+        |FROM orders GROUP BY 1""".stripMargin
   )
 }

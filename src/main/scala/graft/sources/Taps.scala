@@ -78,6 +78,34 @@ final case class PartitionTap(parent: ParquetTap, partitionCols: Seq[String]) ex
       .parquet(parent.path)
 }
 
+/** SequenceFile scheme (key/value Text) — the remaining Hadoop scheme the
+  * reference's test platform exercises ("Supports all Cascading Hadoop Taps
+  * and Schemes", reference README.md:18). Fields: (key string, value
+  * string). */
+final case class SequenceFileTap(path: String) extends Tap {
+  import org.apache.hadoop.io.Text
+  def read(spark: SparkSession): DataFrame = {
+    val rdd = spark.sparkContext
+      .sequenceFile(path, classOf[Text], classOf[Text])
+      .map { case (k, v) => (k.toString, v.toString) }
+    spark.createDataFrame(rdd).toDF("key", "value")
+  }
+  def write(df: DataFrame, mode: SinkMode): Unit = {
+    require(df.columns.length == 2, "SequenceFileTap expects (key, value)")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    mode match {
+      case SinkMode.Replace => fs.delete(p, true)
+      case SinkMode.Keep if fs.exists(p) =>
+        throw new IllegalStateException(s"$path exists (SinkMode.Keep)")
+      case _ => ()
+    }
+    df.rdd.map(r => (new Text(String.valueOf(r.get(0))),
+        new Text(String.valueOf(r.get(1)))))
+      .saveAsSequenceFile(path)
+  }
+}
+
 /** An in-memory tap for tests and composition: wraps an existing DataFrame. */
 final case class DataFrameTap(df: DataFrame) extends Tap {
   def read(spark: SparkSession): DataFrame = df

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.types._
+import graft.sources._
+import graft.pipes._
+import graft.exec.Flow
+import graft.model.CFields
+
+/** Source/sink schemes (SURVEY.md §2.2) + set ops + assembly sugar. */
+class TapsSpec extends SparkSpec {
+  import spark.implicits._
+  implicit def s: org.apache.spark.sql.SparkSession = spark
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("taps").toString
+
+  test("parquet tap round-trip with numSinkParts") {
+    val dir = tmp()
+    val df = Seq((1, "a"), (2, "b")).toDF("n", "c")
+    val tap = ParquetTap(s"$dir/t", parts = Some(2))
+    tap.write(df, SinkMode.Replace)
+    assert(tap.read(spark).count() == 2)
+    // Keep mode refuses to overwrite
+    intercept[Exception] {
+      ParquetTap(s"$dir/t").write(df, SinkMode.Keep)
+    }
+    // Update appends
+    ParquetTap(s"$dir/t").write(df, SinkMode.Update)
+    assert(tap.read(spark).count() == 4)
+  }
+
+  test("csv tap: delimiter, header, schema") {
+    val dir = tmp()
+    val schema = StructType(Seq(
+      StructField("num", IntegerType), StructField("ch", StringType)))
+    val df = Seq((7, "x")).toDF("num", "ch")
+    val tap = CsvTap(s"$dir/c", delimiter = "\t", header = true, Some(schema))
+    tap.write(df, SinkMode.Replace)
+    val back = tap.read(spark)
+    assert(back.schema("num").dataType == IntegerType)
+    assert(back.collect().head.getInt(0) == 7)
+  }
+
+  test("text-line tap exposes `line`") {
+    val dir = tmp()
+    val df = Seq("hello", "world").toDF("line")
+    val tap = TextLineTap(s"$dir/l")
+    tap.write(df, SinkMode.Replace)
+    assert(tap.read(spark).columns.toSeq == Seq("line"))
+    assert(tap.read(spark).count() == 2)
+  }
+
+  test("partition tap writes directory-per-value layout") {
+    val dir = tmp()
+    val df = Seq((1, "a"), (2, "b"), (3, "a")).toDF("n", "part")
+    PartitionTap(ParquetTap(s"$dir/p"), Seq("part")).write(df, SinkMode.Replace)
+    val dirs = new java.io.File(s"$dir/p").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set("part=a", "part=b"))
+    // partition pruning reads only one directory
+    val pruned = spark.read.parquet(s"$dir/p").filter($"part" === "a")
+    assert(pruned.count() == 2)
+  }
+
+  test("sequence-file tap key/value round-trip with sink modes") {
+    val dir = tmp()
+    val df = Seq(("k1", "v1"), ("k2", "v2")).toDF("key", "value")
+    val tap = SequenceFileTap(s"$dir/sf")
+    tap.write(df, SinkMode.Replace)
+    val back = tap.read(spark).collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(back == Set(("k1", "v1"), ("k2", "v2")))
+    intercept[IllegalStateException] { tap.write(df, SinkMode.Keep) }
+    tap.write(df, SinkMode.Replace) // replace succeeds over existing
+  }
+
+  test("intersect and except lower to set semantics") {
+    val a = Pipe.source(DataFrameTap(Seq(1, 2, 2, 3).toDF("n")))
+    val b = Pipe.source(DataFrameTap(Seq(2, 3, 4).toDF("n")))
+    assert(Flow.toDF(a.intersect(b)).collect().map(_.getInt(0)).toSet == Set(2, 3))
+    assert(Flow.toDF(a.except(b)).collect().map(_.getInt(0)).toSet == Set(1))
+  }
+
+  test("aggregateBy sugar: countBy/sumBy") {
+    val df = Seq(("a", 1), ("a", 2), ("b", 5)).toDF("k", "v")
+    val p = Pipe.source(DataFrameTap(df))
+    val counts = Flow.toDF(p.countBy(Seq("k"), "n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("a" -> 2L, "b" -> 1L))
+    val sums = Flow.toDF(p.sumBy(Seq("k"), "v", "s")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sums == Map("a" -> 3L, "b" -> 5L))
+  }
+
+  test("expression sort keys emulate custom comparators") {
+    // sort by string length then value — a Cascading custom comparator
+    // becomes a derived sort-key expression
+    val df = Seq((1, "ccc"), (1, "a"), (1, "bb")).toDF("k", "v")
+    val b = new CBuffer {
+      val resultFields: CFields = CFields.typed("order" -> StringType)
+      def operate(key: Seq[Any], rs: Iterator[org.apache.spark.sql.Row]) =
+        Iterator.single(Seq(rs.map(_.getString(1)).mkString(",")))
+    }
+    val p = Pipe.source(DataFrameTap(df))
+      .groupBySorted(Seq("k"), Seq("length(v)" -> true, "v" -> true))
+      .buffer(b)
+    assert(Flow.toDF(p).collect().head.getString(1) == "a,bb,ccc")
+  }
+}
