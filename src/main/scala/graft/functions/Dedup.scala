@@ -138,7 +138,11 @@ object Dedup {
     * shuffle), then per-id min over its buckets (second shuffle). */
   def minhashClusters(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 16, bands: Int = 4): DataFrame = {
-    val br = bandRows(df, idCol, textCol, k, bands)
+    // cache: the band table is consumed by two plan branches and Catalyst
+    // does not share subplans across branches — without this the md5
+    // signature computation (and the corpus scan under it) runs twice.
+    // Band rows are (id, band, key): tiny relative to the corpus.
+    val br = bandRows(df, idCol, textCol, k, bands).cache()
     val bucketMin = br.groupBy(col("band"), col("key"))
       .agg(min(col("id")).as("bucket_min"))
     br.join(bucketMin, Seq("band", "key"))
@@ -153,7 +157,9 @@ object Dedup {
     val cands = minhashClusters(df, idCol, textCol, k, bands)
       .filter(col("canonical_id") < col("id"))
       .select(col("canonical_id").as("id1"), col("id").as("id2"))
+    // cached: joined twice (id1 and id2 sides)
     val sh = df.select(col(idCol).as("sid"), shingles(col(textCol), 3).as("sh"))
+      .cache()
     cands
       .join(sh.withColumnRenamed("sid", "id1").withColumnRenamed("sh", "sh1"), "id1")
       .join(sh.withColumnRenamed("sid", "id2").withColumnRenamed("sh", "sh2"), "id2")

@@ -23,10 +23,11 @@ object TextAnalysis {
   def preTokens(text: Column): Column =
     regexp_extract_all(text, lit(PreTokenRegex), lit(0))
 
-  /** 40-bit deterministic token hash: first 10 hex chars of md5.
-    * 40 bits keeps downstream weighted sums inside exact int64 range. */
-  def tokenHash(tok: Column): Column =
-    conv(substring(md5(tok), 1, 10), 16, 10).cast("bigint")
+  /** 40-bit deterministic token hash: first 10 hex chars of md5 — i.e.
+    * `conv(substr(md5(tok),1,10),16,10)`, computed natively by the
+    * codegen'd `Md5Prefix40` expression (no hex round-trip). 40 bits keeps
+    * downstream weighted sums inside exact int64 range. */
+  def tokenHash(tok: Column): Column = graft.catalyst.Md5Prefix40(tok)
 
   /** Token count (whitespace). */
   def tokenCount(text: Column): Column = size(tokens(text))

@@ -1,0 +1,29 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Ad-hoc stage profiler used during performance work (not part of the
+  * driver contract). */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2fs"); r
+    }
+    val cl = graft.functions.Dedup.minhashClusters(d, "doc_id", "text")
+    time("clusters count")(println("[probe] n=" + cl.count()))
+    val cands = cl.filter(col("canonical_id") < col("id"))
+    time("cands count")(println("[probe] n=" + cands.count()))
+    time("neardup pairs")(println("[probe] n=" +
+      graft.functions.Dedup.nearDupPairs(d, "doc_id", "text", 400000L).count()))
+    spark.stop()
+  }
+}
