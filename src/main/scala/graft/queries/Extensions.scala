@@ -106,6 +106,49 @@ object Extensions {
         .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
     }),
 
+    // --- grouping sets (absent from reference — SURVEY §2.4 last row) -----
+    "q38_rollup" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      li.rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          expr("cast(sum(cast(l_quantity as decimal(38,6))) as double)").as("sum_qty"))
+    }),
+
+    "q39_cube" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      o.cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // --- analytic window functions: lag/lead running deltas ---------------
+    "q40_lag_lead" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      o.select(col("o_custkey"), col("o_orderkey"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+          lead(col("o_orderkey"), 1).over(w).as("next_order"),
+          (unix_millis(col("o_orderdate").cast("timestamp")) -
+            unix_millis(lag(col("o_orderdate"), 1).over(w).cast("timestamp")))
+            .as("ms_since_prev"))
+    }),
+
+    // --- skew-safe salted aggregation (result equals plain count) ---------
+    "q41_salted_count" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      graft.functions.Skew.saltedCount(li, Seq("l_returnflag"), 16, "n")
+    }),
+
+    // --- approximate distinct (HLL) — no cross-engine oracle (approx
+    // algorithms differ); driver records a rows-only check ----------------
+    "q42_approx_distinct" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      li.groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          count_distinct(col("l_partkey")).as("exact_parts"))
+    }),
+
     // --- multimodal plumbing ----------------------------------------------
     "q30_multimodal_meta" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
@@ -284,6 +327,26 @@ object Extensions {
         |event_type, count(*) AS n,
         |CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q38_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q39_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "q40_lag_lead" ->
+      """SELECT o_custkey, o_orderkey,
+        |lag(o_orderkey, 1) OVER w AS prev_order,
+        |lead(o_orderkey, 1) OVER w AS next_order,
+        |epoch_ms(o_orderdate) - epoch_ms(lag(o_orderdate, 1) OVER w) AS ms_since_prev
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+
+    "q41_salted_count" ->
+      "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY 1",
 
     "q30_multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Skew
+
+/** Skew utilities + native hash kernel equivalence. */
+class SkewAndHashSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted count equals plain count per key") {
+    val df = (1 to 1000).map(i => (if (i % 10 == 0) "hot" else s"k${i % 7}", i))
+      .toDF("k", "v")
+    val salted = Skew.saltedCount(df, Seq("k"), saltBuckets = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val plain = df.groupBy("k").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+  }
+
+  test("salted aggregate spreads keys over salt buckets in phase 1") {
+    val df = Seq.fill(100)(("hot", 1)).toDF("k", "v")
+    val out = Skew.saltedAggregate(df, Seq("k"), 4,
+      partials = Seq("pc" -> count(lit(1))),
+      finals = Seq("n" -> sum(col("pc"))))
+    assert(out.collect().head.getLong(1) == 100L)
+  }
+
+  test("salted join equals plain join") {
+    val big = (1 to 500).map(i => (i % 5, i)).toDF("k", "v")
+    val small = Seq((0, "z"), (1, "a"), (2, "b"), (3, "c"), (4, "d"))
+      .toDF("sk", "name")
+    val salted = Skew.saltedJoin(big, small, "k", "sk", 4)
+      .select("k", "v", "name").collect().map(_.toSeq).toSet
+    val plain = big.join(small, big("k") === small("sk"))
+      .select("k", "v", "name").collect().map(_.toSeq).toSet
+    assert(salted == plain)
+  }
+
+  test("Md5Prefix40 equals the SQL hex formula on random strings") {
+    val samples = scala.util.Random.alphanumeric.grouped(12).map(_.mkString)
+      .take(200).toSeq ++ Seq("", "a", "日本語", "with space", "\ttab")
+    val df = samples.toDF("s")
+    val mismatches = df.select(
+        graft.catalyst.Md5Prefix40(col("s")).as("native"),
+        expr("cast(conv(substr(md5(s), 1, 10), 16, 10) as bigint)").as("sql"))
+      .filter(col("native") =!= col("sql")).count()
+    assert(mismatches == 0)
+  }
+
+  test("Md5Prefix40 stays inside whole-stage codegen") {
+    // needs a real scan: a literal-backed LocalRelation constant-folds the
+    // whole projection at plan time
+    val df = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(graft.catalyst.Md5Prefix40(col("lang")).as("h"))
+    val codegenSpans = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(codegenSpans.nonEmpty)
+    assert(df.count() > 0)
+  }
+}
