@@ -68,6 +68,7 @@ final class Lowering(spark: SparkSession, keepAssertions: Boolean = true) {
     case CrossPipe(l, r) => lower(l).crossJoin(lower(r))
 
     case bj: BufferJoinPipe => lowerBufferJoin(bj)
+    case bj: BufferJoinNPipe => lowerBufferJoinN(bj)
 
     case MergePipe(pipes) => pipes.map(lower).reduce(_ unionAll _)
 
@@ -367,6 +368,34 @@ final class Lowering(spark: SparkSession, keepAssertions: Boolean = true) {
     val rk = r.rdd.map(row => (rIdx.map(row.get).toList: Seq[Any], row))
     val rows = lk.cogroup(rk).flatMap { case (k, (ls, rs)) =>
       fn(k, ls.iterator, rs.iterator).map(s => Row.fromSeq(s))
+    }
+    spark.createDataFrame(rows, outSchema)
+  }
+
+  /** n-way BufferJoin via RDD cogroup (3- and 4-way are native; the
+    * reference does this with ordinal-tagged unions, `FFS:802-851`). */
+  private def lowerBufferJoinN(bj: BufferJoinNPipe): DataFrame = {
+    def keyed(p: Pipe, keys: Seq[String]) = {
+      val df = lower(p)
+      val cols = df.columns.toSeq
+      val idx = keys.map(k => cols.indexOf(k))
+      df.rdd.map(row => (idx.map(row.get).toList: Seq[Any], row))
+    }
+    val fn = bj.fn
+    val outSchema = bj.resultFields.toStruct
+    val all = (bj.left -> bj.leftKeys) +: bj.others
+    val rows = all.map { case (p, k) => keyed(p, k) } match {
+      case Seq(a, b, c) =>
+        a.cogroup(b, c).flatMap { case (key, (x, y, z)) =>
+          fn(key, Seq(x.iterator, y.iterator, z.iterator)).map(Row.fromSeq(_))
+        }
+      case Seq(a, b, c, d) =>
+        a.cogroup(b, c, d).flatMap { case (key, (x, y, z, w)) =>
+          fn(key, Seq(x.iterator, y.iterator, z.iterator, w.iterator)).map(Row.fromSeq(_))
+        }
+      case other =>
+        throw new IllegalArgumentException(
+          s"bufferJoinN supports 3 or 4 inputs, got ${other.length}")
     }
     spark.createDataFrame(rows, outSchema)
   }

@@ -62,6 +62,23 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** Embedding-cosine near-duplicate pairs: hyperplane-LSH bucketing, then
+    * exact cosine only on within-bucket pairs (id1 < id2) ≥ threshold.
+    * The all-pairs product never materializes — pair count is bounded by
+    * Σ bucket² over sign buckets, and vectors travel through one shuffle
+    * keyed by bucket. */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+                        simThreshold: Double, nPlanes: Int = 8): DataFrame = {
+    val b = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      hyperplaneBucket(col(vecCol), nPlanes).as("bucket")).cache()
+    val l = b.select(col("bucket"), col("id").as("id1"), col("vec").as("v1"))
+    val r = b.select(col("bucket"), col("id").as("id2"), col("vec").as("v2"))
+    l.join(r, Seq("bucket"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), cosine(col("v1"), col("v2")).as("sim"))
+      .filter(col("sim") >= simThreshold)
+  }
+
   /** LSH-bucketed ANN: exact cosine ranking *within* each sign bucket.
     * Trades recall for a shuffle bounded by bucket populations — the 100 TB
     * path (brute force is O(N) per query; this is O(bucket) per query). */

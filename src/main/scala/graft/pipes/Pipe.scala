@@ -91,6 +91,15 @@ sealed trait Pipe {
                           Iterator[org.apache.spark.sql.Row]) => Iterator[Seq[Any]]): Pipe =
     BufferJoinPipe(this, leftKeys, right, rightKeys, resultFields, buffer)
 
+  /** n-way BufferJoin (3 or 4 inputs) — reference supports n-ary
+    * `BufferJoin` via ordinal-tagged union (`FFS:802-851`); Spark's RDD
+    * cogroup is natively 2–4-way. */
+  def bufferJoinN(leftKeys: Seq[String], others: Seq[(Pipe, Seq[String])],
+                  resultFields: CFields,
+                  fn: (Seq[Any], Seq[Iterator[org.apache.spark.sql.Row]]) =>
+                      Iterator[Seq[Any]]): Pipe =
+    BufferJoinNPipe(this, leftKeys, others, resultFields, fn)
+
   /** Union-all, positional, same arity — Cascading `Merge` (`FFS:652-673`). */
   def merge(others: Pipe*): Pipe = MergePipe(this +: others)
 
@@ -178,6 +187,12 @@ final case class BufferJoinPipe(
     resultFields: CFields,
     b: (Seq[Any], Iterator[org.apache.spark.sql.Row],
         Iterator[org.apache.spark.sql.Row]) => Iterator[Seq[Any]]) extends Pipe
+
+final case class BufferJoinNPipe(
+    left: Pipe, leftKeys: Seq[String], others: Seq[(Pipe, Seq[String])],
+    resultFields: CFields,
+    fn: (Seq[Any], Seq[Iterator[org.apache.spark.sql.Row]]) =>
+        Iterator[Seq[Any]]) extends Pipe
 
 final case class MergePipe(pipes: Seq[Pipe]) extends Pipe
 final case class IntersectPipe(left: Pipe, right: Pipe) extends Pipe

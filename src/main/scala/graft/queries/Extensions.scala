@@ -149,6 +149,21 @@ object Extensions {
           count_distinct(col("l_partkey")).as("exact_parts"))
     }),
 
+    // --- embedding-cosine near-dup (LSH-bucketed, threshold-verified) -----
+    "q43_emb_neardup" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.functions.Similarity.embeddingNearDups(
+        e, "vec_id", "embedding", simThreshold = 0.95)
+    }),
+
+    // --- exact interpolated percentiles ------------------------------------
+    "q44_percentile" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      li.groupBy(col("l_returnflag"))
+        .agg(round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90"))
+    }),
+
     // --- multimodal plumbing ----------------------------------------------
     "q30_multimodal_meta" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
@@ -347,6 +362,19 @@ object Extensions {
 
     "q41_salted_count" ->
       "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY 1",
+
+    "q43_emb_neardup" ->
+      s"""WITH b AS (SELECT vec_id AS id, embedding AS vec,
+         |  ${dBucket("embedding", 8)} AS bucket FROM embeddings)
+         |SELECT l.id AS id1, r.id AS id2, ${dCos("l.vec", "r.vec")} AS sim
+         |FROM b l JOIN b r ON l.bucket = r.bucket AND l.id < r.id
+         |WHERE ${dCos("l.vec", "r.vec")} >= 0.95""".stripMargin,
+
+    "q44_percentile" ->
+      """SELECT l_returnflag,
+        |round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+        |round(quantile_cont(l_extendedprice, 0.9), 6) AS p90
+        |FROM lineitem GROUP BY 1""".stripMargin,
 
     "q30_multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,

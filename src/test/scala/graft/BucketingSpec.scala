@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.model.CFields
+import graft.pipes._
+import graft.sources.DataFrameTap
+import graft.exec.Flow
+
+/** Co-located (bucketed) joins and n-way BufferJoin — the zero-shuffle and
+  * multi-iterator paths that matter at cluster scale. */
+class BucketingSpec extends SparkSpec {
+  import spark.implicits._
+  implicit def s: org.apache.spark.sql.SparkSession = spark
+
+  test("bucketed tables join without a shuffle exchange") {
+    // clear any stale managed-table locations from prior runs
+    Seq("bk_a", "bk_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+        }
+        rm(loc)
+      }
+    }
+    val a = (1 to 100).map(i => (i, s"a$i")).toDF("k", "va")
+    val b = (1 to 100).map(i => (i, s"b$i")).toDF("k", "vb")
+    a.write.mode("overwrite").bucketBy(4, "k").sortBy("k").saveAsTable("bk_a")
+    b.write.mode("overwrite").bucketBy(4, "k").sortBy("k").saveAsTable("bk_b")
+    val joined = spark.table("bk_a").join(spark.table("bk_b"), "k")
+    // disable broadcast so the co-located sort-merge path is exercised
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined2 = spark.table("bk_a").join(spark.table("bk_b"), "k")
+      val exchanges = joined2.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty, "bucketed join must not shuffle")
+      assert(joined2.count() == 100)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    assert(joined.count() == 100)
+  }
+
+  test("3-way bufferJoinN provides one iterator per input") {
+    val a = Seq((1, "a1"), (2, "a2")).toDF("k", "va")
+    val b = Seq((1, "b1"), (1, "b1x"), (3, "b3")).toDF("k2", "vb")
+    val c = Seq((2, "c2")).toDF("k3", "vc")
+    val p = Pipe.source(DataFrameTap(a)).bufferJoinN(
+      Seq("k"),
+      Seq(Pipe.source(DataFrameTap(b)) -> Seq("k2"),
+          Pipe.source(DataFrameTap(c)) -> Seq("k3")),
+      CFields.typed("k" -> IntegerType, "na" -> IntegerType,
+        "nb" -> IntegerType, "nc" -> IntegerType),
+      (key, its) => Iterator.single(
+        Seq(key.head, its(0).size, its(1).size, its(2).size)))
+    val got = Flow.toDF(p).collect().map(_.toSeq).toSet
+    assert(got == Set(
+      Seq(1, 1, 2, 0), Seq(2, 1, 0, 1), Seq(3, 0, 1, 0)))
+  }
+
+  test("embedding near-dups finds duplicated vectors only") {
+    // vec 2 = vec 1 scaled: same direction → provably identical sign
+    // bucket (projections scale), cosine exactly 1
+    val vs = Seq(
+      (1L, Array(3.0f, 1.0f, 2.0f)),
+      (2L, Array(6.0f, 2.0f, 4.0f)),
+      (3L, Array(-1.0f, 3.0f, -2.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = graft.functions.Similarity
+      .embeddingNearDups(vs, "vec_id", "embedding", 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}
