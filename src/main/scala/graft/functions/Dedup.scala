@@ -151,20 +151,43 @@ object Dedup {
   }
 
   /** Near-dup verification: exact 3-gram Jaccard of each doc against its
-    * LSH canonical representative only — O(N) verify step, not O(pairs). */
+    * LSH canonical representative only — O(N) verify step, not O(pairs).
+    *
+    * One corpus scan: signature and shingles are computed in a single
+    * cached projection; bands, bucket-mins, cluster assignment, and both
+    * sides of the verify join all read the (small) derived table. */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
                    thresholdMicros: Long, k: Int = 16, bands: Int = 4): DataFrame = {
-    val cands = minhashClusters(df, idCol, textCol, k, bands)
-      .filter(col("canonical_id") < col("id"))
-      .select(col("canonical_id").as("id1"), col("id").as("id2"))
-    // cached: joined twice (id1 and id2 sides)
-    val sh = df.select(col(idCol).as("sid"), shingles(col(textCol), 3).as("sh"))
+    val rowsPerBand = k / bands
+    // distinct shingle set + size precomputed per doc: the pairwise verify
+    // then needs a single array_intersect per pair (|A∪B| = n1+n2-|A∩B|),
+    // instead of distinct+intersect+union allocations per pair.
+    val base = df.select(col(idCol).as("id"),
+      minhashSignature(col(textCol), k).as("sig"),
+      array_distinct(shingles(col(textCol), 3)).as("sh"))
+      .withColumn("nsh", size(col("sh")).cast("long"))
       .cache()
+    val br = base.select(col("id"), explode(array(
+        (0 until bands).map(b =>
+          struct(lit(b).as("band"), bandKey(col("sig"), b, rowsPerBand).as("key"))): _*
+      )).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val bucketMin = br.groupBy(col("band"), col("key"))
+      .agg(min(col("id")).as("bucket_min"))
+    val clusters = br.join(bucketMin, Seq("band", "key"))
+      .groupBy(col("id"))
+      .agg(min(col("bucket_min")).as("canonical_id"))
+    val cands = clusters.filter(col("canonical_id") < col("id"))
+      .select(col("canonical_id").as("id1"), col("id").as("id2"))
+    val sh = base.select(col("id"), col("sh"), col("nsh"))
+    val inter = size(array_intersect(col("sh1"), col("sh2"))).cast("long")
     cands
-      .join(sh.withColumnRenamed("sid", "id1").withColumnRenamed("sh", "sh1"), "id1")
-      .join(sh.withColumnRenamed("sid", "id2").withColumnRenamed("sh", "sh2"), "id2")
+      .join(sh.toDF("id1", "sh1", "n1"), "id1")
+      .join(sh.toDF("id2", "sh2", "n2"), "id2")
       .select(col("id1"), col("id2"),
-        jaccardMicros(col("sh1"), col("sh2")).as("jaccard_micros"))
+        floor(inter * 1000000L /
+          greatest(col("n1") + col("n2") - inter, lit(1L)))
+          .cast("bigint").as("jaccard_micros"))
       .filter(col("jaccard_micros") >= thresholdMicros)
   }
 }

@@ -82,6 +82,19 @@ object StreamOps {
         })
   }
 
+  /** Streaming exact dedup: drop documents whose normalized content hash
+    * was already seen, with state bounded by the watermark horizon — the
+    * streaming form of `Dedup.exactDedup` for continuous ingestion
+    * pipelines. */
+  def dedupStream(docs: DataFrame, tsCol: String, textCol: String,
+                  watermark: String): DataFrame =
+    docs
+      .withColumn("__content_hash",
+        graft.functions.Dedup.contentHash(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__content_hash")
+      .drop("__content_hash")
+
   /** Run a streaming query into an in-memory table and block until the
     * available data is fully processed (test/driver harness). */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append): StreamingQuery = {

@@ -18,6 +18,27 @@ object Probe {
       val t0 = System.nanoTime(); val r = f
       println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2fs"); r
     }
+    time("signature only")(println("[probe] n=" + d.select(
+      graft.functions.Dedup.minhashSignature(org.apache.spark.sql.functions.col("text"), 16)).count()))
+    time("shingles only")(println("[probe] n=" + d.select(
+      graft.functions.Dedup.shingles(org.apache.spark.sql.functions.col("text"), 3)).count()))
+    time("jaccard pairwise 5k")(println("[probe] n=" + {
+      val sh = d.select(org.apache.spark.sql.functions.col("doc_id").as("id"),
+        graft.functions.Dedup.shingles(org.apache.spark.sql.functions.col("text"), 3).as("sh")).cache()
+      sh.count()
+      val t = sh.toDF("id1","sh1").crossJoin(sh.toDF("id2","sh2").limit(1))
+      t.select(graft.functions.Dedup.jaccardMicros(org.apache.spark.sql.functions.col("sh1"),
+        org.apache.spark.sql.functions.col("sh2"))).count()
+    }))
+    time("jaccard hashed 5k")(println("[probe] n=" + {
+      import org.apache.spark.sql.functions._
+      val sh = d.select(col("doc_id").as("id"),
+        transform(graft.functions.Dedup.shingles(col("text"), 3),
+          x => graft.catalyst.Md5Prefix40(x)).as("sh")).cache()
+      sh.count()
+      val t = sh.toDF("id1","sh1").crossJoin(sh.toDF("id2","sh2").limit(1))
+      t.select(graft.functions.Dedup.jaccardMicros(col("sh1"), col("sh2"))).count()
+    }))
     val cl = graft.functions.Dedup.minhashClusters(d, "doc_id", "text")
     time("clusters count")(println("[probe] n=" + cl.count()))
     val cands = cl.filter(col("canonical_id") < col("id"))

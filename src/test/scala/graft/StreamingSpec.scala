@@ -33,6 +33,23 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming dedup drops repeated content within the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val df = input.toDF().toDF("ts", "text")
+    val q = StreamOps.dedupStream(df, "ts", "text", "1 hour")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_out").start()
+    try {
+      val t0 = new java.sql.Timestamp(1700000000000L)
+      input.addData((t0, "Hello  World"), (t0, "hello world"), (t0, "other"))
+      q.processAllAvailable()
+      // normalized variants collapse to one survivor
+      assert(spark.table("dedup_out").count() == 2)
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes a session when the gap is exceeded") {
     import StreamOps._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -91,6 +91,20 @@ class TapsSpec extends SparkSpec {
     assert(sums == Map("a" -> 3L, "b" -> 5L))
   }
 
+  test("multi-sink flow lowers the shared DAG once") {
+    val dir = tmp()
+    val base = Pipe.source(DataFrameTap(
+        Seq((1, "a"), (2, "b"), (3, "c")).toDF("n", "c")))
+      .filterBy(SqlFilter("n > 1"))
+    val evens = base.filterBy(SqlFilter("n % 2 = 0"))
+    val odds = base.filterBy(SqlFilter("n % 2 = 1"))
+    Flow.writeAll(Seq(
+      (evens, ParquetTap(s"$dir/evens"), SinkMode.Replace),
+      (odds, ParquetTap(s"$dir/odds"), SinkMode.Replace)))
+    assert(spark.read.parquet(s"$dir/evens").count() == 1)
+    assert(spark.read.parquet(s"$dir/odds").count() == 1)
+  }
+
   test("expression sort keys emulate custom comparators") {
     // sort by string length then value — a Cascading custom comparator
     // becomes a derived sort-key expression
