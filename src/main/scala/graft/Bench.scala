@@ -15,14 +15,20 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Warm-up pass at the smallest SF: JIT + codegen + catalog caches, so
     // the timed pass measures the queries, not JVM cold start.
+    // noop-format write: evaluates every output expression. A count() lets
+    // Catalyst prune projection-only queries down to a row count, which
+    // would under-measure the scan+compute work.
+    def run(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+            dir: String): Unit =
+      fn(spark, dir).write.mode("overwrite").format("noop").save()
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory)
       SparkEntry.queries.foreach { case (_, fn) =>
-        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+        try run(fn, warmDir) catch { case _: Throwable => () }
       }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try run(fn, sfDir) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -164,6 +164,28 @@ object Extensions {
           round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90"))
     }),
 
+    // --- JSON property extraction (events.props) ---------------------------
+    "q45_json_props" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy(col("event_type"), (col("k") % 10).as("k_bucket"))
+        .agg(count(lit(1)).as("n"), max(col("k")).as("max_k"))
+    }),
+
+    // --- as-of (point-in-time) join: latest view before each purchase -----
+    "q46_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("view_value"))
+      graft.operators.AsOfJoin.asOf(purchases, views,
+        keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+        payload = Seq("view_value"), asOfTsCol = "view_ts")
+    }),
+
     // --- multimodal plumbing ----------------------------------------------
     "q30_multimodal_meta" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
@@ -375,6 +397,20 @@ object Extensions {
         |round(quantile_cont(l_quantity, 0.5), 6) AS p50,
         |round(quantile_cont(l_extendedprice, 0.9), 6) AS p90
         |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q45_json_props" ->
+      """SELECT event_type, CAST(props->>'k' AS INTEGER) % 10 AS k_bucket,
+        |count(*) AS n, max(CAST(props->>'k' AS INTEGER)) AS max_k
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q46_asof_join" ->
+      """SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts,
+        |v.view_value, CAST(v.ts AS TIMESTAMP) AS view_ts
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (
+        |  SELECT user_id, ts, max(value) AS view_value FROM events
+        |  WHERE event_type = 'view' GROUP BY 1, 2) v
+        |ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin,
 
     "q30_multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
