@@ -13,10 +13,23 @@ object Probe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
     val d = spark.read.parquet(s"$dir/documents.parquet")
     def time[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f
       println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2fs"); r
+    }
+    (1 to 2).foreach { round =>
+      time(s"decimal38 sums r$round")(li.groupBy("l_returnflag", "l_linestatus")
+        .agg(org.apache.spark.sql.functions.expr("cast(sum(cast(l_quantity as decimal(38,6))) as double) q"),
+             org.apache.spark.sql.functions.expr("cast(sum(cast(l_extendedprice as decimal(38,6))) as double) p"),
+             org.apache.spark.sql.functions.expr("cast(sum(cast(l_extendedprice*(1-l_discount) as decimal(38,6))) as double) dp"))
+        .write.mode("overwrite").format("noop").save())
+      time(s"fixedpoint sums r$round")(li.groupBy("l_returnflag", "l_linestatus")
+        .agg(org.apache.spark.sql.functions.expr("cast(sum(cast(floor(l_quantity*1000000) as bigint)) as double)/1e6 q"),
+             org.apache.spark.sql.functions.expr("cast(sum(cast(floor(l_extendedprice*1000000) as bigint)) as double)/1e6 p"),
+             org.apache.spark.sql.functions.expr("cast(sum(cast(floor(l_extendedprice*(1-l_discount)*1000000) as bigint)) as double)/1e6 dp"))
+        .write.mode("overwrite").format("noop").save())
     }
     time("signature only")(println("[probe] n=" + d.select(
       graft.functions.Dedup.minhashSignature(org.apache.spark.sql.functions.col("text"), 16)).count()))
