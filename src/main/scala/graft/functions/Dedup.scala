@@ -32,9 +32,9 @@ object Dedup {
   /** MinHash parameters: k permutations hᵢ(x) = (aᵢ·x + bᵢ) mod P over
     * 31-bit token hashes. a,b are small deterministic constants so any SQL
     * engine reproduces the signature. */
-  val P: Long = 2147483647L // 2^31-1 (Mersenne prime)
-  def aCoef(i: Int): Long = (2654435761L * (i + 1)) % P
-  def bCoef(i: Int): Long = (40503L * (i + 7)) % P
+  val P: Long = graft.catalyst.MinHashSig.P // 2^31-1 (Mersenne prime)
+  def aCoef(i: Int): Long = graft.catalyst.MinHashSig.aCoef(i)
+  def bCoef(i: Int): Long = graft.catalyst.MinHashSig.bCoef(i)
 
   /** One MinHash component: min over distinct tokens of hᵢ(tokenHash mod P). */
   def minhashComponent(text: Column, i: Int): Column = {
@@ -43,23 +43,11 @@ object Dedup {
       t => (tokenHash(t) % P * aCoef(i) + bCoef(i)) % P))
   }
 
-  /** Full k-component signature as one array column.
-    *
-    * The md5-derived token-hash array is computed ONCE per row by binding it
-    * to a lambda variable (map over a single-element array — Spark SQL has
-    * no `let`); the naive form re-hashes every token k times, which
-    * dominated the signature cost. Permutation coefficients are computed
-    * arithmetically from the component index so the whole signature is a
-    * single codegen-friendly expression. */
-  def minhashSignature(text: Column, k: Int): Column = {
-    val hashes = transform(array_distinct(tokens(text)), t => tokenHash(t) % P)
-    element_at(
-      transform(array(hashes), hs =>
-        transform(sequence(lit(0), lit(k - 1)), i =>
-          array_min(transform(hs,
-            h => (h * ((lit(2654435761L) * (i + 1)) % P) + (lit(40503L) * (i + 7)) % P) % P)))),
-      1)
-  }
+  /** Full k-component signature as one array column — the one-pass native
+    * `MinHashSig` expression (each token hashed once, zero intermediate
+    * arrays; duplicates need no dedup since they cannot change a minimum). */
+  def minhashSignature(text: Column, k: Int): Column =
+    graft.catalyst.MinHashSig(tokens(text), k)
 
   /** LSH band key for band b over `rowsPerBand` signature components,
     * joined as a string (engine-portable; int64 packing overflows past two

@@ -186,6 +186,20 @@ object Extensions {
         payload = Seq("view_value"), asOfTsCol = "view_ts")
     }),
 
+    // --- range (interval) join: errors attributed to their session --------
+    "q47_range_join" -> ((s, dir) => {
+      val errors = Tables.events(s, dir)
+        .filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val sessions = queries("q29_sessionize")(s, dir)
+        .select(col("user_id"), col("session_id"),
+          col("start_ts"), col("end_ts"))
+      graft.operators.RangeJoin.binned(errors, sessions,
+          keys = Seq("user_id"), leftTs = "ts",
+          startCol = "start_ts", endCol = "end_ts", binWidthSec = 86400L)
+        .select(col("event_id"), col("user_id"), col("ts"), col("session_id"))
+    }),
+
     // --- multimodal plumbing ----------------------------------------------
     "q30_multimodal_meta" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
@@ -358,6 +372,28 @@ object Extensions {
         |CAST(min(ts) AS TIMESTAMP) AS start_ts, CAST(max(ts) AS TIMESTAMP) AS end_ts,
         |CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
         |FROM sessions GROUP BY 1, 2""".stripMargin,
+
+    "q47_range_join" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |       OR date_diff('second', lag(ts) OVER w, ts) > 1800
+        |       THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), numbered AS (
+        |  SELECT user_id, event_id, ts, value,
+        |  CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM flagged
+        |), sessions AS (
+        |  SELECT user_id, session_id, min(ts) AS start_ts, max(ts) AS end_ts
+        |  FROM numbered GROUP BY 1, 2
+        |)
+        |SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts, s.session_id
+        |FROM events e JOIN sessions s
+        |  ON e.user_id = s.user_id AND e.ts BETWEEN s.start_ts AND s.end_ts
+        |WHERE e.event_type = 'error'""".stripMargin,
 
     "q31_stream_window" ->
       """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS w_start,

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Guard-rails on the physical plans of headline queries — the properties
+  * that decide 100 TB viability. A regression here (lost pushdown, a
+  * broadcast turning into a shuffle join, an extra exchange) is a
+  * performance bug even while results stay correct. */
+class PlanAuditSpec extends SparkSpec {
+
+  private def formatted(q: String): String =
+    SparkEntry.queries(q)(spark, sf("sf0.01"))
+      .queryExecution.explainString(FormattedMode)
+
+  test("q02: filters and pruning reach the parquet scan") {
+    val plan = formatted("q02_filter_expr")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)") ||
+      plan.contains("LessThan(l_shipdate"))
+    // projection pruned: only the needed columns in ReadSchema
+    val readSchema = plan.linesIterator.find(_.startsWith("ReadSchema")).get
+    assert(!readSchema.contains("l_returnflag"))
+    assert(readSchema.contains("l_extendedprice"))
+  }
+
+  test("q06: all three dim joins broadcast; fact side never shuffles before agg") {
+    val plan = formatted("q06_hashjoin_nway")
+    assert("BroadcastHashJoin".r.findAllMatchIn(plan).size >= 3)
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("q01: partial aggregation before the single exchange") {
+    val plan = formatted("q01_groupby_agg")
+    // FormattedMode prints each node in the tree and once more in the
+    // details list — count tree references only
+    assert("Exchange \\(\\d+\\)".r.findAllMatchIn(plan).size == 1)
+    assert(plan.contains("HashAggregate"))
+  }
+
+  test("q25: signature computation is a single-pass native expression") {
+    val plan = formatted("q25_minhash_lsh")
+    assert(plan.contains("minhash_sig"))
+  }
+
+  test("q13/q14: semi and anti lower to dedicated join types") {
+    assert(formatted("q13_semijoin").contains("LeftSemi"))
+    assert(formatted("q14_antijoin").contains("LeftAnti"))
+  }
+}
