@@ -79,6 +79,48 @@ object Similarity {
       .filter(col("sim") >= simThreshold)
   }
 
+  /** IVF (inverted-file) ANN — the other classic scale path:
+    * 1. take `nlist` deterministic centroids (lowest ids — no RNG, so any
+    *    engine reproduces the index);
+    * 2. assign every vector to its nearest centroid (one broadcast pass —
+    *    the "inverted lists");
+    * 3. a query probes only the `nprobe` nearest centroid lists and ranks
+    *    exactly within them.
+    * Per-query work drops from O(N) to O(N·nprobe/nlist); the assignment
+    * shuffle is keyed by centroid id (near-uniform for spread-out data).
+    *
+    * Returns (query_id, nn_id, sim, rk) like the other knn variants. */
+  def ivfKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val cents = corpus.orderBy(col(idCol).asc).limit(nlist)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"))
+    // inverted lists: nearest centroid per corpus vector
+    def assign(df: DataFrame, id: String, vec: String, n: Int, as: String) = {
+      val w = Window.partitionBy(col(id)).orderBy(
+        cosine(col(vec), col("cent_vec")).desc, col("cent_id").asc)
+      df.crossJoin(broadcast(cents))
+        .withColumn("__cr", row_number().over(w))
+        .filter(col("__cr") <= n)
+        .select(col(id), col(vec), col("cent_id").as(as))
+    }
+    val lists = assign(
+      corpus.select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec")),
+      "nn_id", "nn_vec", 1, "cent")
+    val probes = assign(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
+      "query_id", "q_vec", nprobe, "cent")
+    val scored = lists.join(probes, "cent")
+      .filter(col("query_id") =!= col("nn_id"))
+      .select(col("query_id"), col("nn_id"),
+        cosine(col("q_vec"), col("nn_vec")).as("sim"))
+      // a corpus vector can sit in several probed lists of one query
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("nn_id").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("query_id"), col("nn_id"), col("sim"), col("rk"))
+  }
+
   /** LSH-bucketed ANN: exact cosine ranking *within* each sign bucket.
     * Trades recall for a shuffle bounded by bucket populations — the 100 TB
     * path (brute force is O(N) per query; this is O(bucket) per query). */

@@ -77,6 +77,12 @@ object Extensions {
         .groupBy("bucket").agg(count(lit(1)).as("n"))
     }),
 
+    "q48_ivf_knn" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.functions.Similarity.ivfKnn(e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 3, nlist = 16, nprobe = 4)
+    }),
+
     "q33_lsh_knn" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
       Similarity.lshKnn(e, e.filter(col("vec_id") < 20),
@@ -353,6 +359,34 @@ object Extensions {
          |  SELECT query_id, nn_id, sim,
          |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nn_id ASC) AS INTEGER) AS rk
          |  FROM s) WHERE rk <= 3""".stripMargin,
+
+    "q48_ivf_knn" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS cent_vec FROM embeddings
+         |  ORDER BY vec_id LIMIT 16),
+         |lists AS (
+         |  SELECT nn_id, nn_vec, cent FROM (
+         |    SELECT e.vec_id AS nn_id, e.embedding AS nn_vec, c.cent_id AS cent,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${dCos("e.embedding", "c.cent_vec")} DESC, c.cent_id ASC) AS rn
+         |    FROM embeddings e CROSS JOIN cents c
+         |  ) WHERE rn = 1),
+         |probes AS (
+         |  SELECT query_id, q_vec, cent FROM (
+         |    SELECT e.vec_id AS query_id, e.embedding AS q_vec, c.cent_id AS cent,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${dCos("e.embedding", "c.cent_vec")} DESC, c.cent_id ASC) AS rn
+         |    FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 10
+         |  ) WHERE rn <= 4),
+         |scored AS (
+         |  SELECT DISTINCT query_id, nn_id, ${dCos("q_vec", "nn_vec")} AS sim
+         |  FROM lists JOIN probes USING (cent)
+         |  WHERE query_id <> nn_id)
+         |SELECT query_id, nn_id, sim, rk FROM (
+         |  SELECT query_id, nn_id, sim,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY sim DESC, nn_id ASC) AS INTEGER) AS rk
+         |  FROM scored) WHERE rk <= 3""".stripMargin,
 
     "q29_sessionize" ->
       """WITH flagged AS (

@@ -47,6 +47,19 @@ class SkewAndHashSpec extends SparkSpec {
     assert(mismatches == 0)
   }
 
+  test("extensions register native functions for SQL use") {
+    graft.catalyst.GraftExtensions.register(spark)
+    Seq("abc").toDF("s").createOrReplaceTempView("ext_t")
+    val r = spark.sql(
+      "SELECT md5_prefix40(s) AS h, minhash_sig(split(s, ' '), 4) AS sig FROM ext_t")
+      .collect().head
+    assert(r.getLong(0) ==
+      Seq("abc").toDF("s")
+        .select(expr("cast(conv(substr(md5(s),1,10),16,10) as bigint)"))
+        .collect().head.getLong(0))
+    assert(r.getSeq[Long](1).length == 4)
+  }
+
   test("Md5Prefix40 stays inside whole-stage codegen") {
     // needs a real scan: a literal-backed LocalRelation constant-folds the
     // whole projection at plan time
