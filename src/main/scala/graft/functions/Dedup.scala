@@ -70,20 +70,10 @@ object Dedup {
   }
 
   /** SimHash (32-bit): bit j is set when the frequency-weighted sum of
-    * ±1 contributions from token-hash bit j is positive. Exact integer
-    * arithmetic throughout; one Column expression per bit keeps it inside
-    * codegen (no explode/shuffle). */
-  def simhash32(text: Column): Column = {
-    val hashes = transform(tokens(text), t => tokenHash(t))
-    element_at(
-      transform(array(hashes), hs =>
-        aggregate(sequence(lit(0), lit(31)), lit(0L), (acc, j) => {
-          val bitSum = aggregate(hs, lit(0L),
-            (s, h) => s + (call_function("shiftright", h, j).bitwiseAND(1L) * 2L - 1L))
-          acc + when(bitSum > 0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))
-        })),
-      1)
-  }
+    * ±1 contributions from token-hash bit j is positive. One-pass native
+    * kernel (each token hashed once, 32 running counters). */
+  def simhash32(text: Column): Column =
+    graft.catalyst.SimHash32(tokens(text))
 
   /** Hamming distance between two simhash values. */
   def hamming(a: Column, b: Column): Column =

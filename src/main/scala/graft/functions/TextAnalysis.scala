@@ -84,12 +84,8 @@ object TextAnalysis {
 
   /** Positional rolling-hash document fingerprint: Σ tokenHash(tᵢ)·((i mod 8)+1)
     * mod 1e9+7 — order-sensitive (unlike a bag-of-words hash), exact in
-    * int64 (40-bit hashes × weight ≤ 8 × ≤ 2^13 tokens < 2^56). */
-  def fingerprint(text: Column): Column = {
-    val toks = tokens(text)
-    val idxs = sequence(lit(0), size(toks) - 1)
-    (aggregate(idxs, lit(0L),
-      (acc, i) => acc + tokenHash(element_at(toks, i + 1)) * ((i % 8) + 1))
-      % 1000000007L).cast("bigint")
-  }
+    * int64 (40-bit hashes × weight ≤ 8 × ≤ 2^13 tokens < 2^56). One-pass
+    * native kernel. */
+  def fingerprint(text: Column): Column =
+    graft.catalyst.RollingFingerprint(tokens(text))
 }
