@@ -55,6 +55,57 @@ object RollingFingerprint {
     ColumnBridge.column(RollingFingerprint(ColumnBridge.expression(c)))
 }
 
+/** Word n-gram shingles — identical to the transform/sequence Column form
+  * in `graft.functions.Dedup.shingles` (including the short-input edge:
+  * fewer than n tokens produce one partial shingle, and nulls/absent
+  * positions are skipped like `concat_ws`). */
+case class Shingles(child: Expression, n: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingles requires array<string>, got $other")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingles"
+
+  protected override def nullSafeEval(input: Any): Any =
+    Shingles.compute(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.catalyst.Shingles.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Shingles =
+    copy(child = newChild)
+}
+
+object Shingles {
+  private val Space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  def compute(tokens: ArrayData, n: Int): ArrayData = {
+    val len = tokens.numElements()
+    val count = math.max(len - n, 0) + 1
+    val out = new Array[Any](count)
+    var i = 0
+    while (i < count) {
+      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+      var o = 0
+      while (o < n) {
+        val idx = i + o
+        parts(o) =
+          if (idx < len && !tokens.isNullAt(idx)) tokens.getUTF8String(idx)
+          else null // concatWs skips nulls, matching concat_ws semantics
+        o += 1
+      }
+      out(i) = org.apache.spark.unsafe.types.UTF8String.concatWs(Space, parts: _*)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  def apply(c: Column, n: Int): Column =
+    ColumnBridge.column(Shingles(ColumnBridge.expression(c), n))
+}
+
 /** 32-bit SimHash over the token multiset — identical to
   * `graft.functions.Dedup.simhash32`'s nested-aggregate form. */
 case class SimHash32(child: Expression) extends UnaryExpression {

@@ -79,12 +79,9 @@ object Dedup {
   def hamming(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
-  /** Word n-gram shingles (order-preserving). */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    transform(sequence(lit(0), greatest(size(toks) - n, lit(0))), i =>
-      concat_ws(" ", (0 until n).map(o => element_at(toks, i + o + 1)): _*))
-  }
+  /** Word n-gram shingles (order-preserving) — one-pass native kernel. */
+  def shingles(text: Column, n: Int): Column =
+    graft.catalyst.Shingles(tokens(text), n)
 
   /** n-gram Jaccard similarity ×1e6 as exact integer (set semantics). */
   def jaccardMicros(a: Column, b: Column): Column = {
