@@ -24,9 +24,11 @@ object Similarity {
 
   def norm2(a: Column): Column = dot(a, a)
 
-  /** Cosine similarity, rounded to 6 dp for cross-engine stability. */
+  /** Cosine similarity, rounded to 6 dp for cross-engine stability.
+    * One-pass native kernel (fold order identical to the dot/norm2
+    * composition, so values are unchanged). */
   def cosine(a: Column, b: Column): Column =
-    round(dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b))), 6)
+    round(graft.catalyst.CosineSim(a, b), 6)
 
   /** Exact brute-force top-k neighbors for each query vector.
     * The query set is broadcast (small side); ranking is deterministic via
