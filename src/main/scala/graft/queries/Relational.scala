@@ -236,6 +236,20 @@ object Relational {
                Aggs.sql("sum_qty", dsum("l_quantity")),
                Aggs.countArg("o_orderkey", "n_with_orders")))(s)),
 
+    // Reversed group sort + Buffer: per-customer order ids concatenated in
+    // DESC order — exercises the reverse+buffer runner end-to-end
+    // (reference `isSortReversed`, FFS:527-531)
+    "q49_reversed_buffer" -> ((s, dir) => Flow.toDF(
+      P(dir, "orders")
+        .retain("o_custkey", "o_orderkey")
+        .groupBySorted(Seq("o_custkey"), Seq("o_orderkey" -> false))
+        .buffer(new CBuffer {
+          val resultFields: CFields = CFields.of("orders_desc")
+          def operate(key: Seq[Any], rows: Iterator[Row]): Iterator[Seq[Any]] =
+            Iterator.single(Seq(
+              rows.map(_.getLong(1)).mkString(",")))
+        }))(s)),
+
     // First/Last aggregators over a deterministic order (SURVEY §2.4
     // First/Last; min_by/max_by on a derived exact order value)
     "q37_firstlast" -> ((s, dir) => Flow.toDF(
@@ -378,6 +392,11 @@ object Relational {
          |LEFT JOIN (SELECT l_orderkey, l_quantity FROM lineitem) l
          |  ON o_orderkey = l.l_orderkey
          |GROUP BY 1""".stripMargin,
+
+    "q49_reversed_buffer" ->
+      """SELECT o_custkey,
+        |string_agg(o_orderkey, ',' ORDER BY o_orderkey DESC) AS orders_desc
+        |FROM orders GROUP BY 1""".stripMargin,
 
     "q37_firstlast" ->
       """SELECT o_custkey,
