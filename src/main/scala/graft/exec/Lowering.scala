@@ -103,6 +103,16 @@ final class Lowering(spark: SparkSession, keepAssertions: Boolean = true) {
     case IntersectPipe(l, r) => lower(l).intersect(lower(r))
     case ExceptPipe(l, r)    => lower(l).except(lower(r))
 
+    case DebugPipe(prev, prefix, n) =>
+      val df = lower(prev)
+      if (keepAssertions) {
+        System.err.println(s"[$prefix] schema: ${df.schema.simpleString}")
+        df.take(n).foreach(r => System.err.println(s"[$prefix] $r"))
+      }
+      df
+
+    case PersistPipe(prev) => lower(prev).persist()
+
     case AssertPipe(prev, pred, message) =>
       val df = lower(prev)
       if (!keepAssertions) df

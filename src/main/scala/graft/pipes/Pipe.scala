@@ -142,6 +142,16 @@ sealed trait Pipe {
     * drops these nodes. */
   def assertRows(sqlPredicate: String, message: String): Pipe =
     AssertPipe(this, sqlPredicate, message)
+
+  /** Cascading `Debug`: prints schema and a row sample at lowering time,
+    * stripped together with assertions. */
+  def debug(prefix: String = "debug", n: Int = 5): Pipe =
+    DebugPipe(this, prefix, n)
+
+  /** Explicit materialization for multi-consumer splits where recomputation
+    * would be costly (the DSL analogue of the reference's memoized
+    * `flinkMemo` reuse, which Spark only gives within one action). */
+  def persist(): Pipe = PersistPipe(this)
 }
 
 final case class SourcePipe(tap: Tap, name: String = "source") extends Pipe
@@ -207,6 +217,8 @@ final case class SamplePipe(prev: Pipe, fraction: Double, seed: Long) extends Pi
 final case class OrderByPipe(prev: Pipe, sort: Seq[(String, Boolean)]) extends Pipe
 final case class AssertPipe(prev: Pipe, sqlPredicate: String,
                             message: String) extends Pipe
+final case class DebugPipe(prev: Pipe, prefix: String, n: Int) extends Pipe
+final case class PersistPipe(prev: Pipe) extends Pipe
 
 object Pipe {
   def source(tap: Tap, name: String = "source"): Pipe = SourcePipe(tap, name)

@@ -238,6 +238,14 @@ class LoweringSpec extends SparkSpec {
     assert(trapped.columns.toSeq == Seq("__trap_in", "__trap_err"))
   }
 
+  test("debug pipe passes rows through; persist marks the plan cached") {
+    val p = pipe(lhs).debug("t", 2)
+    assert(Flow.toDF(p).count() == 4)
+    val cached = Flow.toDF(pipe(lhs).persist())
+    assert(cached.storageLevel.useMemory)
+    cached.unpersist()
+  }
+
   test("counters accumulate across executor closures") {
     val counters = new graft.exec.FlowCounters(spark)
     val acc = counters.counter("graft", "rows_seen")
