@@ -1,0 +1,19 @@
+package graft
+
+/** Driver-contract smoke: `entry` must return rows on sf0.001 under a
+  * plain session (the driver may not set our custom configs). */
+class EntrySpec extends SparkSpec {
+  test("entry returns rows on the smoke dataset") {
+    val df = SparkEntry.entry(spark)
+    assert(df.count() > 0)
+    assert(df.columns.nonEmpty)
+  }
+  test("every query has either oracle SQL or is explicitly rows-only") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // the only intentionally rows-only query is the HLL approximation
+    assert(missing == Set("q42_approx_distinct"))
+  }
+  test("oracle map has no orphan keys") {
+    assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
+  }
+}
