@@ -34,7 +34,17 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The driver scrapes the sbt log tail, which interleaves Spark logging
+    // with our output. Emit to a dedicated file when requested, and always
+    // print with a unique marker prefix on its own line so a log-tail parser
+    // can anchor on it.
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { out =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    println(s"GRAFT_BENCH_JSON $json")
+    println(json)
     spark.stop()
   }
 }

@@ -45,11 +45,15 @@ object RollingFingerprint {
     val n = tokens.numElements()
     var i = 0
     while (i < n) {
+      // mod applied per step: identical to (Σ h·w) mod M in exact arithmetic,
+      // but overflow-free — each term is < 2^43 and acc stays < 2^30, so the
+      // Long sum never wraps even for arbitrarily long documents (the oracle
+      // computes the sum in HUGEINT, which a wrapped Long would diverge from).
       if (!tokens.isNullAt(i))
-        acc += Md5Prefix40.hash(tokens.getUTF8String(i)) * ((i % 8) + 1)
+        acc = (acc + Md5Prefix40.hash(tokens.getUTF8String(i)) * ((i % 8) + 1)) % Mod
       i += 1
     }
-    acc % Mod
+    acc
   }
   def apply(c: Column): Column =
     ColumnBridge.column(RollingFingerprint(ColumnBridge.expression(c)))

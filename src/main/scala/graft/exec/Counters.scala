@@ -10,12 +10,15 @@ import scala.collection.concurrent.TrieMap
   * `runtime/stats/AccumulatorCache.java:28-90`); Spark's `LongAccumulator`
   * + live driver reads make all of that machinery unnecessary.
   *
-  * Counters registered here are driver-visible at any point during the job
-  * and are safe to increment from any executor closure (accumulators are
-  * serializable handles).
+  * Counters registered here are driver-visible at any point during the job.
+  * Executor closures must capture the `LongAccumulator` returned by
+  * `counter()` — the accumulator is the serializable handle. The facade
+  * itself is driver-only (it holds the SparkSession) and deliberately NOT
+  * Serializable, so accidentally capturing it in a closure fails fast at
+  * closure-cleaning time instead of with an empty registry on the executor.
   */
-final class FlowCounters(spark: SparkSession) extends Serializable {
-  @transient private lazy val registry = TrieMap.empty[(String, String), LongAccumulator]
+final class FlowCounters(spark: SparkSession) {
+  private val registry = TrieMap.empty[(String, String), LongAccumulator]
 
   def counter(group: String, name: String): LongAccumulator =
     registry.getOrElseUpdate((group, name),

@@ -59,6 +59,9 @@ final class Lowering(spark: SparkSession, keepAssertions: Boolean = true) {
 
     case BufferPipe(grouped, b, includeKeys) => lowerBuffer(grouped, b, includeKeys)
 
+    case ScanBufferPipe(grouped, sb) =>
+      lowerScanBuffer(grouped, sb.asInstanceOf[CScanBuffer[Any]])
+
     case CoGroupPipe(l, lk, r, rk, joiner, declared) =>
       lowerJoin(lower(l), lk, lower(r), rk, joiner, declared, bcast = false)
 
@@ -263,6 +266,16 @@ final class Lowering(spark: SparkSession, keepAssertions: Boolean = true) {
     val buf = b
     val inclKeys = includeKeys && keys.nonEmpty
 
+    // Generic opaque Buffer on a key-less group is inherently one sequential
+    // pass over everything — a dop-1 operation however it is arranged. We
+    // run it, but capped: beyond `spark.graft.buffer.globalMaxRows` the task
+    // fails with a pointer to the distributed form (`groupAll.scan` +
+    // CScanBuffer, which range-partitions instead). The cap is a streaming
+    // counter inside the runner, not an extra pass.
+    val globalCap: Long =
+      if (keys.nonEmpty) Long.MaxValue
+      else spark.conf.get("spark.graft.buffer.globalMaxRows", "10000000").toLong
+
     val arranged =
       if (keys.isEmpty) {
         // global group: single partition, fully sorted (reference dop-1
@@ -276,7 +289,18 @@ final class Lowering(spark: SparkSession, keepAssertions: Boolean = true) {
           .sortWithinPartitions(groupSortCols(keys, grouped.sort, grouped.reverse): _*)
       }
 
-    arranged.mapPartitions { it =>
+    arranged.mapPartitions { it0 =>
+      val it = {
+        var seen = 0L
+        it0.map { r =>
+          seen += 1
+          if (seen > globalCap) throw new IllegalStateException(
+            s"key-less Buffer exceeded spark.graft.buffer.globalMaxRows=$globalCap " +
+              "rows; a global Buffer is a single sequential pass — use " +
+              "groupAll.scan(CScanBuffer) for the distributed prefix-scan form")
+          r
+        }
+      }
       new Iterator[Row] {
         private val rows = it.buffered
         private var out: Iterator[Row] = Iterator.empty
@@ -304,6 +328,57 @@ final class Lowering(spark: SparkSession, keepAssertions: Boolean = true) {
         def next(): Row = { advance(); out.next() }
       }
     }(enc)
+  }
+
+  /** Key-less ordered Buffer as a two-phase distributed prefix scan — the
+    * scale-safe replacement for the reference's dop-1 global reduce
+    * (`FFS:573-600`):
+    *   1. range-partitioned parallel total sort (RangePartitioning — every
+    *      partition sorts its range concurrently, spill-safe);
+    *   2. one tiny summary state per partition (`observe` fold), collected
+    *      and prefix-`merge`d on the driver (P states, bytes each — the same
+    *      O(partitions) barrier AQE pays for stats), then broadcast;
+    *   3. `emit` runs per partition in parallel with its carry-in.
+    * The sorted relation is persisted across the two passes so both read
+    * the same deterministic ordering. */
+  private def lowerScanBuffer(grouped: GroupByPipe, sb: CScanBuffer[Any]): DataFrame = {
+    val df = grouped.inputs.map(lower).reduce(_ unionAll _)
+    val sortCols = grouped.sort.map { case (f, asc) =>
+      if (asc) expr(f).asc_nulls_first else expr(f).desc_nulls_last }
+    require(sortCols.nonEmpty, "scan requires sort fields (a total order)")
+    val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val sorted = df.repartitionByRange(parts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    import Lowering.{ser, deser}
+    val stateSchema = StructType(Seq(
+      StructField("pid", IntegerType), StructField("state", BinaryType)))
+    val buf = sb
+    val summaries = sorted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var s = buf.zero
+      it.foreach(r => s = buf.observe(s, r))
+      Iterator.single(Row(pid, ser(s)))
+    }(Encoders.row(stateSchema)).collect()
+      .map(r => r.getInt(0) -> r.getAs[Array[Byte]](1)).toMap
+
+    // carry-in for partition p = merge of summaries 0..p-1 in range order
+    val nParts = summaries.keys.foldLeft(0)((m, p) => math.max(m, p + 1))
+    val carries = new Array[Array[Byte]](math.max(nParts, 1))
+    var acc = sb.zero
+    for (p <- 0 until nParts) {
+      carries(p) = ser(acc)
+      acc = sb.merge(acc, deser(summaries(p)))
+    }
+    val bc = spark.sparkContext.broadcast(carries)
+
+    val outEnc = Encoders.row(sb.resultFields.toStruct)
+    sorted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val carry = deser(bc.value(pid))
+      buf.emit(carry, it).map(Row.fromSeq)
+    }(outEnc)
   }
 
   /** Cascading-style custom Aggregator → Spark typed `Aggregator` + `udaf`
@@ -364,51 +439,84 @@ final class Lowering(spark: SparkSession, keepAssertions: Boolean = true) {
     }
   }
 
-  /** BufferJoin → RDD cogroup (per-input iterators per key). Spark spills
-    * shuffle data internally — replaces the reference's hand-rolled GZip
-    * spill lists (`SpillingTupleCollectionFactory.java:40-49`). */
+  /** Canonical key schema for the grouped-join paths: field names are
+    * positional (`k0, k1, …`) so left/right key structs encode identically
+    * regardless of their source column names. */
+  private def bufferKeySchema(df: DataFrame, keys: Seq[String]): StructType =
+    StructType(keys.zipWithIndex.map { case (k, i) =>
+      StructField(s"k$i", df.schema(k).dataType, nullable = true) })
+
+  /** BufferJoin → typed `KeyValueGroupedDataset.cogroup` (per-input
+    * iterators per key). Stays in Tungsten end-to-end: rows shuffle as
+    * UnsafeRows through a normal Exchange + sort (no Java/Kryo row
+    * serialization, AQE still re-plans the exchange), and Spark's
+    * ExternalSorter spills internally — replacing the reference's
+    * hand-rolled GZip spill lists (`SpillingTupleCollectionFactory.java:40-49`). */
   private def lowerBufferJoin(bj: BufferJoinPipe): DataFrame = {
     val l = lower(bj.left); val r = lower(bj.right)
-    val lCols = l.columns.toSeq; val rCols = r.columns.toSeq
-    val lIdx = bj.leftKeys.map(k => lCols.indexOf(k))
-    val rIdx = bj.rightKeys.map(k => rCols.indexOf(k))
+    val lIdx = bj.leftKeys.map(k => l.columns.indexOf(k))
+    val rIdx = bj.rightKeys.map(k => r.columns.indexOf(k))
+    val keyEnc = Encoders.row(bufferKeySchema(l, bj.leftKeys))
+    val outEnc = Encoders.row(bj.resultFields.toStruct)
     val fn = bj.b
-    val outSchema = bj.resultFields.toStruct
-    val lk = l.rdd.map(row => (lIdx.map(row.get).toList: Seq[Any], row))
-    val rk = r.rdd.map(row => (rIdx.map(row.get).toList: Seq[Any], row))
-    val rows = lk.cogroup(rk).flatMap { case (k, (ls, rs)) =>
-      fn(k, ls.iterator, rs.iterator).map(s => Row.fromSeq(s))
-    }
-    spark.createDataFrame(rows, outSchema)
+    val li = lIdx; val ri = rIdx
+    val lg = l.groupByKey(row => Row.fromSeq(li.map(row.get)))(keyEnc)
+    val rg = r.groupByKey(row => Row.fromSeq(ri.map(row.get)))(keyEnc)
+    lg.cogroup(rg) { (key: Row, ls: Iterator[Row], rs: Iterator[Row]) =>
+      fn(key.toSeq, ls, rs).map(Row.fromSeq)
+    }(outEnc)
   }
 
-  /** n-way BufferJoin via RDD cogroup (3- and 4-way are native; the
-    * reference does this with ordinal-tagged unions, `FFS:802-851`). */
+  /** n-way BufferJoin via ordinal-tagged union + `flatMapGroups` — the same
+    * n-ary design as the reference (`FFS:802-851`), expressed so the single
+    * union shuffles once as UnsafeRows. Each input contributes
+    * (key-struct, ordinal, its-own-row-as-struct); the group runner splits
+    * the key group back into per-input iterators. Per-key groups are
+    * buffered in memory (reference spills per-group; Spark bounds this by
+    * group, not partition — document skewed hot keys to salting upstream). */
   private def lowerBufferJoinN(bj: BufferJoinNPipe): DataFrame = {
-    def keyed(p: Pipe, keys: Seq[String]) = {
-      val df = lower(p)
-      val cols = df.columns.toSeq
-      val idx = keys.map(k => cols.indexOf(k))
-      df.rdd.map(row => (idx.map(row.get).toList: Seq[Any], row))
-    }
-    val fn = bj.fn
-    val outSchema = bj.resultFields.toStruct
     val all = (bj.left -> bj.leftKeys) +: bj.others
-    val rows = all.map { case (p, k) => keyed(p, k) } match {
-      case Seq(a, b, c) =>
-        a.cogroup(b, c).flatMap { case (key, (x, y, z)) =>
-          fn(key, Seq(x.iterator, y.iterator, z.iterator)).map(Row.fromSeq(_))
-        }
-      case Seq(a, b, c, d) =>
-        a.cogroup(b, c, d).flatMap { case (key, (x, y, z, w)) =>
-          fn(key, Seq(x.iterator, y.iterator, z.iterator, w.iterator)).map(Row.fromSeq(_))
-        }
-      case other =>
-        throw new IllegalArgumentException(
-          s"bufferJoinN supports 3 or 4 inputs, got ${other.length}")
+    require(all.length == 3 || all.length == 4,
+      s"bufferJoinN supports 3 or 4 inputs, got ${all.length}")
+    val dfs = all.map { case (p, _) => lower(p) }
+    val n = dfs.length
+    val keySchema = bufferKeySchema(dfs.head, all.head._2)
+    val tagged = dfs.zipWithIndex.map { case (df, i) =>
+      val keys = all(i)._2
+      val keyCol = struct(keys.zipWithIndex.map { case (k, j) =>
+        col(k).cast(keySchema(j).dataType).as(s"k$j") }: _*)
+      val payloads = dfs.indices.map { j =>
+        if (j == i) struct(df.columns.map(col): _*).as(s"__p$j")
+        else lit(null).cast(dfs(j).schema).as(s"__p$j")
+      }
+      df.select(keyCol.as("__key") +: lit(i).as("__tag") +: payloads: _*)
     }
-    spark.createDataFrame(rows, outSchema)
+    val union = tagged.reduce(_ unionByName _)
+    val fn = bj.fn
+    val outEnc = Encoders.row(bj.resultFields.toStruct)
+    val nIn = n
+    union.groupByKey(_.getStruct(0))(Encoders.row(keySchema))
+      .flatMapGroups { (key: Row, rows: Iterator[Row]) =>
+        val bufs = Array.fill(nIn)(mutable.ArrayBuffer.empty[Row])
+        rows.foreach { r =>
+          val tag = r.getInt(1)
+          bufs(tag) += r.getStruct(2 + tag)
+        }
+        fn(key.toSeq, bufs.toSeq.map(_.iterator)).map(Row.fromSeq)
+      }(outEnc)
   }
+}
+
+object Lowering {
+  /** Java round-trip for CScanBuffer states — standalone so executor
+    * closures referencing these don't capture the (driver-only) Lowering. */
+  private[exec] def ser(s: Any): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(s); oos.close(); bos.toByteArray
+  }
+  private[exec] def deser(b: Array[Byte]): Any =
+    new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(b)).readObject()
 }
 
 /** Flow facade: connect pipes to sinks and run — the `FlowConnector`/

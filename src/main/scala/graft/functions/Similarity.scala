@@ -96,7 +96,7 @@ object Similarity {
              vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     val cents = corpus.orderBy(col(idCol).asc).limit(nlist)
       .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"))
-    // inverted lists: nearest centroid per corpus vector
+    // top-n centroid assignment for the (small, broadcast) query side
     def assign(df: DataFrame, id: String, vec: String, n: Int, as: String) = {
       val w = Window.partitionBy(col(id)).orderBy(
         cosine(col(vec), col("cent_vec")).desc, col("cent_id").asc)
@@ -105,9 +105,20 @@ object Similarity {
         .filter(col("__cr") <= n)
         .select(col(id), col(vec), col("cent_id").as(as))
     }
-    val lists = assign(
-      corpus.select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec")),
-      "nn_id", "nn_vec", 1, "cent")
+    // Inverted lists: nearest centroid per corpus vector. This side is the
+    // whole corpus, so it uses max_by over (sim, -cent_id) — an aggregate
+    // with map-side partial aggregation — instead of a Window, which would
+    // sort-shuffle all N×nlist scored rows keyed by vector id. Tie-break
+    // (sim desc, cent_id asc) matches the Window/oracle form exactly.
+    val lists = corpus
+      .select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec"))
+      .crossJoin(broadcast(cents))
+      .groupBy(col("nn_id"))
+      .agg(max_by(
+        struct(col("nn_vec"), col("cent_id")),
+        struct(cosine(col("nn_vec"), col("cent_vec")), -col("cent_id"))).as("__best"))
+      .select(col("nn_id"), col("__best.nn_vec").as("nn_vec"),
+        col("__best.cent_id").as("cent"))
     val probes = assign(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
       "query_id", "q_vec", nprobe, "cent")

@@ -83,9 +83,9 @@ object TextAnalysis {
   }
 
   /** Positional rolling-hash document fingerprint: Σ tokenHash(tᵢ)·((i mod 8)+1)
-    * mod 1e9+7 — order-sensitive (unlike a bag-of-words hash), exact in
-    * int64 (40-bit hashes × weight ≤ 8 × ≤ 2^13 tokens < 2^56). One-pass
-    * native kernel. */
+    * mod 1e9+7 — order-sensitive (unlike a bag-of-words hash). The kernel
+    * reduces mod 1e9+7 per step, so it is exact for documents of any length
+    * (no int64 overflow). One-pass native kernel. */
   def fingerprint(text: Column): Column =
     graft.catalyst.RollingFingerprint(tokens(text))
 }

@@ -45,14 +45,19 @@ object AsOfJoin {
       .orderBy(col("__ts").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val filled = payload.foldLeft(leftPart.unionByName(rightPart)) {
-      (df, p) => df.withColumn(s"__f_$p", last(col(p), ignoreNulls = true).over(w))
-    }.withColumn(asOfTsCol,
-      last(when(col("__side") === 0, col("__ts")), ignoreNulls = true).over(w))
+    // Payload and matched timestamp are carried inside ONE struct, so both
+    // always come from the same (latest) right row — a matched row with a
+    // NULL payload value yields NULL, never an older non-null value
+    // (matching DuckDB ASOF JOIN semantics).
+    val matchStruct = when(col("__side") === 0,
+      struct(col("__ts").as("__rts") +: payload.map(col): _*))
+    val filled = leftPart.unionByName(rightPart)
+      .withColumn("__match", last(matchStruct, ignoreNulls = true).over(w))
 
     val out = filled.filter(col("__side") === 1)
       .select(leftCols.map(col) ++
-        payload.map(p => col(s"__f_$p").as(p)) :+ col(asOfTsCol): _*)
+        payload.map(p => col(s"__match.$p").as(p)) :+
+        col("__match.__rts").as(asOfTsCol): _*)
     if (leftJoin) out else out.filter(col(asOfTsCol).isNotNull)
   }
 }

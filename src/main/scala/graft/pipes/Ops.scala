@@ -205,3 +205,29 @@ trait CBuffer extends Serializable {
     * @param rows  the group's rows in secondary-sort order */
   def operate(key: Seq[Any], rows: Iterator[Row]): Iterator[Seq[Any]]
 }
+
+/** Distributed key-less (global-group) ordered Buffer — the scale-safe form
+  * of `groupAll.buffer(...)`, which the reference runs at dop-1
+  * (`FFS:573-600`, the cliff SURVEY §7.4 says not to replicate).
+  *
+  * Semantics: rows are totally ordered by the group's sort fields; output is
+  * what a single sequential pass with running state `S` would produce. The
+  * lowering executes it as a two-phase prefix scan:
+  *   1. range-partitioned parallel sort; each partition folds its rows into
+  *      a summary state via `observe` (tiny: one `S` per partition);
+  *   2. summaries are prefix-`merge`d in range order, each partition's
+  *      carry-in is broadcast, and `emit` runs per partition in parallel.
+  * Requires `merge` to be associative over adjacent ranges — true for any
+  * running aggregate (sums, counts, last-value, min/max, …). `S` must be
+  * java-serializable (it travels driver↔executor once per partition). */
+trait CScanBuffer[S] extends Serializable {
+  def resultFields: CFields
+  def zero: S
+  /** Fold one row (in sort order) into the range summary — phase 1. */
+  def observe(state: S, row: Row): S
+  /** Merge two adjacent ranges' summaries, left range first. */
+  def merge(left: S, right: S): S
+  /** Emit output rows for one range given the merged state of every
+    * preceding range — phase 2, runs in parallel per range. */
+  def emit(carryIn: S, rows: Iterator[Row]): Iterator[Seq[Any]]
+}

@@ -171,6 +171,14 @@ final case class GroupByPipe(inputs: Seq[Pipe], keys: Seq[String],
   def everyAgg(agg: CAggregator[_]): CustomAggPipe = CustomAggPipe(this, agg)
   /** `Every` + Buffer: full group iterator in secondary-sort order. */
   def buffer(b: CBuffer): BufferPipe = BufferPipe(this, b)
+  /** Key-less ordered Buffer as a distributed prefix scan — the scale-safe
+    * replacement for `groupAll.buffer` (which is inherently a single
+    * sequential pass and is capped by the lowering). Only valid on a
+    * key-less grouping. */
+  def scan(sb: CScanBuffer[_]): ScanBufferPipe = {
+    require(keys.isEmpty, "scan requires a key-less (global) grouping")
+    ScanBufferPipe(this, sb)
+  }
 }
 
 final case class AggregatePipe(grouped: GroupByPipe, aggs: Seq[AggOp]) extends Pipe {
@@ -181,6 +189,8 @@ final case class CustomAggPipe(grouped: GroupByPipe, agg: CAggregator[_]) extend
 
 final case class BufferPipe(grouped: GroupByPipe, b: CBuffer,
                             includeKeys: Boolean = true) extends Pipe
+
+final case class ScanBufferPipe(grouped: GroupByPipe, sb: CScanBuffer[_]) extends Pipe
 
 final case class CoGroupPipe(left: Pipe, leftKeys: Seq[String], right: Pipe,
                              rightKeys: Seq[String], joiner: Joiner,

@@ -24,13 +24,19 @@ object StreamOps {
     * eviction — the streaming form of the batch q31 window query. State is
     * bounded by (watermark horizon / window size) × key cardinality. */
   def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,
-                     windowLen: String, watermark: String): DataFrame =
-    events
+                     windowLen: String, watermark: String,
+                     valueCol: Option[String] = Some("value")): DataFrame = {
+    val base = events
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), windowLen).as("w"), col(keyCol))
-      .agg(count(lit(1)).as("n"),
-        expr("cast(sum(cast(value as decimal(38,6))) as double)").as("sum_value"))
-      .select(col("w.start").as("w_start"), col(keyCol), col("n"), col("sum_value"))
+    val out = valueCol match {
+      case Some(v) => base.agg(count(lit(1)).as("n"),
+        sum(col(v).cast("decimal(38,6)")).cast("double").as("sum_value"))
+      case None => base.agg(count(lit(1)).as("n"))
+    }
+    out.select(col("w.start").as("w_start") +: col(keyCol) +: col("n") +:
+      valueCol.toSeq.map(_ => col("sum_value")): _*)
+  }
 
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(start: Long, last: Long, n: Long, sum: Double)
