@@ -26,6 +26,32 @@ final class Lowering(spark: SparkSession, keepAssertions: Boolean = true) {
 
   private val memo = new java.util.IdentityHashMap[Pipe, DataFrame]()
 
+  /** Trap sinks registered during lowering. Writes are DEFERRED to flow
+    * execution (`Flow.write`/`writeAll` → `flushTraps()`), not plan
+    * construction — lowering a pipe never fires an action. The split
+    * intermediates are persisted to memory-and-disk so success and trap
+    * outputs are read from one materialization (no divergence for
+    * nondeterministic upstreams), and unpersisted once both are written. */
+  private val pendingTraps = mutable.Buffer.empty[(Tap, DataFrame)]
+  private val trapIntermediates = mutable.Buffer.empty[DataFrame]
+
+  private def registerTrap(tap: Tap, bad: DataFrame, intermediate: DataFrame): Unit = {
+    pendingTraps += tap -> bad
+    trapIntermediates += intermediate
+  }
+
+  /** Write all registered trap sinks (called by Flow after the main sinks). */
+  def flushTraps(): Unit = {
+    pendingTraps.foreach { case (tap, bad) => tap.write(bad, SinkMode.Replace) }
+    pendingTraps.clear()
+  }
+
+  /** Release the persisted split intermediates (after traps are flushed). */
+  def unpersistIntermediates(): Unit = {
+    trapIntermediates.foreach(_.unpersist())
+    trapIntermediates.clear()
+  }
+
   def lower(p: Pipe): DataFrame = {
     val hit = memo.get(p)
     if (hit != null) hit
@@ -57,7 +83,8 @@ final class Lowering(spark: SparkSession, keepAssertions: Boolean = true) {
 
     case CustomAggPipe(grouped, agg) => lowerCustomAgg(grouped, agg)
 
-    case BufferPipe(grouped, b, includeKeys) => lowerBuffer(grouped, b, includeKeys)
+    case BufferPipe(grouped, b, includeKeys, trap) =>
+      lowerBuffer(grouped, b, includeKeys, trap)
 
     case ScanBufferPipe(grouped, sb) =>
       lowerScanBuffer(grouped, sb.asInstanceOf[CScanBuffer[Any]])
@@ -135,25 +162,59 @@ final class Lowering(spark: SparkSession, keepAssertions: Boolean = true) {
       case Named(ns)  => ns.map(FieldSelector.resolvePos(_, incoming))
       case other => throw new IllegalArgumentException(s"bad arg selector $other")
     }
+    // Column-expression ops with a trap: the op's expression is wrapped in
+    // TryEval (per-row exception capture); rows whose evaluation threw go to
+    // the trap tap with the original input columns + the error, rows that
+    // succeeded continue with the computed value. One persisted split.
+    def trySplit(tap: graft.sources.Tap, tried: Column): DataFrame = {
+      val base = df.withColumn("__try", tried)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      registerTrap(tap,
+        base.filter(col("__try.err").isNotNull)
+          .select(incoming.map(col) :+ col("__try.err").as("__trap_err"): _*),
+        base)
+      base.filter(col("__try.err").isNull)
+    }
+
     e.op match {
       case EachOp.Flt(f) =>
         val args = argNames(e.args)
-        df.filter(f.keep(args.map(df.col)))
+        val keep = f.keep(args.map(df.col))
+        e.trap match {
+          case None => df.filter(keep)
+          case Some(tap) =>
+            trySplit(tap, graft.catalyst.TryEval(keep))
+              .filter(col("__try.value"))
+              .select(incoming.map(col): _*)
+        }
 
       case EachOp.Fn(fn) =>
         val args = argNames(e.args)
         val results = fn(args.map(df.col))
         val resultNames = fn.resultFields.names
-        selectOutput(df, incoming, args, resultNames, results, e.out)
+        e.trap match {
+          case None =>
+            selectOutput(df, incoming, args, resultNames, results, e.out)
+          case Some(tap) =>
+            val good = trySplit(tap, graft.catalyst.TryEval(
+              struct(resultNames.zip(results).map { case (n, c) => c.as(n) }: _*)))
+            selectOutput(good, incoming, args, resultNames,
+              resultNames.map(n => col(s"__try.value.$n")), e.out)
+        }
 
       case EachOp.Gen(gen) =>
         val args = argNames(e.args)
-        val arr = gen(args.map(df.col))
         val rn = gen.resultFields.names
+        val (src, arr) = e.trap match {
+          case None => (df, gen(args.map(df.col)))
+          case Some(tap) =>
+            val good = trySplit(tap, graft.catalyst.TryEval(gen(args.map(df.col))))
+            (good, col("__try.value"))
+        }
         val exploded =
-          if (rn.length == 1) df.withColumn(rn.head, explode(arr))
+          if (rn.length == 1) src.withColumn(rn.head, explode(arr))
           else { // array<struct> → one column per struct field
-            val x = df.withColumn("__gen", explode(arr))
+            val x = src.withColumn("__gen", explode(arr))
             rn.foldLeft(x)((d, n) => d.withColumn(n, col("__gen").getField(n)))
               .drop("__gen")
           }
@@ -212,8 +273,10 @@ final class Lowering(spark: SparkSession, keepAssertions: Boolean = true) {
       case Some(trapTap) =>
         val fn = f
         val idx = argIdx
+        // trap rows keep the ORIGINAL input columns (as a struct) + the
+        // error; the write is deferred to flow execution (flushTraps).
         val withErr = StructType(resultSchema.fields :+
-          StructField("__trap_in", StringType) :+ StructField("__trap_err", StringType))
+          StructField("__trap_in", df.schema) :+ StructField("__trap_err", StringType))
         val enc = Encoders.row(withErr)
         val n = resultSchema.length
         val processed = df.flatMap { row =>
@@ -222,11 +285,13 @@ final class Lowering(spark: SparkSession, keepAssertions: Boolean = true) {
           catch {
             case ex: Exception =>
               Iterator.single(Row.fromSeq(
-                Seq.fill[Any](n)(null) :+ row.mkString("\t") :+ ex.toString))
+                Seq.fill[Any](n)(null) :+ row :+ ex.toString))
           }
-        }(enc).cache()
-        trapTap.write(processed.filter(col("__trap_err").isNotNull)
-          .select(col("__trap_in"), col("__trap_err")), SinkMode.Replace)
+        }(enc).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        registerTrap(trapTap,
+          processed.filter(col("__trap_err").isNotNull)
+            .select(col("__trap_in.*"), col("__trap_err")),
+          processed)
         processed.filter(col("__trap_err").isNull)
           .drop("__trap_in", "__trap_err")
     }
@@ -253,18 +318,28 @@ final class Lowering(spark: SparkSession, keepAssertions: Boolean = true) {
     * with group-boundary detection. Guarantees intra-group order, which
     * `flatMapGroups` does not. */
   private def lowerBuffer(grouped: GroupByPipe, b: CBuffer,
-                          includeKeys: Boolean): DataFrame = {
+                          includeKeys: Boolean,
+                          trap: Option[Tap] = None): DataFrame = {
     val df = grouped.inputs.map(lower).reduce(_ unionAll _)
     val keys = grouped.keys
     val keySchema = StructType(keys.map(k => df.schema(k)))
-    val outSchema =
+    val baseSchema =
       if (includeKeys && keys.nonEmpty) StructType(keySchema.fields ++ b.resultFields.toStruct.fields)
       else b.resultFields.toStruct
+    // with a trap, the runner emits (out-fields..., __trap_err) and the
+    // relation is split after — failing groups become one trap row
+    // (key values + error) instead of killing the job.
+    val trapEnabled = trap.isDefined
+    val outSchema =
+      if (trapEnabled) StructType(baseSchema.fields :+ StructField("__trap_err", StringType))
+      else baseSchema
     val enc = Encoders.row(outSchema)
     val cols = df.columns.toSeq
     val keyIdx = keys.map(k => cols.indexOf(k))
     val buf = b
     val inclKeys = includeKeys && keys.nonEmpty
+    val trapOn = trapEnabled
+    val resultLen = b.resultFields.toStruct.length
 
     // Generic opaque Buffer on a key-less group is inherently one sequential
     // pass over everything — a dop-1 operation however it is arranged. We
@@ -289,7 +364,7 @@ final class Lowering(spark: SparkSession, keepAssertions: Boolean = true) {
           .sortWithinPartitions(groupSortCols(keys, grouped.sort, grouped.reverse): _*)
       }
 
-    arranged.mapPartitions { it0 =>
+    val runner = arranged.mapPartitions { it0 =>
       val it = {
         var seen = 0L
         it0.map { r =>
@@ -318,16 +393,43 @@ final class Lowering(spark: SparkSession, keepAssertions: Boolean = true) {
               def next(): Row = rows.next()
             }
             curGroup = group
-            val produced = buf.operate(keyVals, group)
+            def finish(s: Seq[Any]): Row = Row.fromSeq(
+              (if (inclKeys) keyVals ++ s else s) ++
+                (if (trapOn) Seq(null) else Nil))
             out =
-              if (inclKeys) produced.map(s => Row.fromSeq(keyVals ++ s))
-              else produced.map(s => Row.fromSeq(s))
+              if (!trapOn) buf.operate(keyVals, group).map(finish)
+              else
+                // trap semantics are per GROUP: output is forced eagerly so
+                // a mid-stream failure replaces the whole group's output
+                // with one trap row (key values + error).
+                try buf.operate(keyVals, group).toVector.iterator.map(finish)
+                catch {
+                  case ex: Exception =>
+                    while (group.hasNext) group.next()
+                    Iterator.single(Row.fromSeq(
+                      (if (inclKeys) keyVals else Nil) ++
+                        Seq.fill[Any](resultLen)(null) :+
+                        (ex.getClass.getName + ": " + String.valueOf(ex.getMessage))))
+                }
           }
         }
         def hasNext: Boolean = { advance(); out.hasNext }
         def next(): Row = { advance(); out.next() }
       }
     }(enc)
+
+    trap match {
+      case None => runner
+      case Some(tap) =>
+        val persisted = runner
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        registerTrap(tap,
+          persisted.filter(col("__trap_err").isNotNull)
+            .select((if (inclKeys) keys else Nil).map(col) :+
+              col("__trap_err"): _*),
+          persisted)
+        persisted.filter(col("__trap_err").isNull).drop("__trap_err")
+    }
   }
 
   /** Key-less ordered Buffer as a two-phase distributed prefix scan — the
@@ -347,37 +449,49 @@ final class Lowering(spark: SparkSession, keepAssertions: Boolean = true) {
       if (asc) expr(f).asc_nulls_first else expr(f).desc_nulls_last }
     require(sortCols.nonEmpty, "scan requires sort fields (a total order)")
     val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // The range index is BAKED INTO the persisted rows (spark_partition_id
+    // evaluated at cache materialization), not read from TaskContext at emit
+    // time: a downstream coalesce/repartition may fuse several ranges into
+    // one task, where TaskContext's id would be wrong. Both passes chunk
+    // rows by consecutive __pid runs, so they stay correct under fusion
+    // (coalesce concatenates parents in range order).
+    val dataSchema = df.schema
     val sorted = df.repartitionByRange(parts, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pidIdx = dataSchema.length
 
-    import Lowering.{ser, deser}
+    import Lowering.{ser, deser, pidRuns, stripLast}
     val stateSchema = StructType(Seq(
       StructField("pid", IntegerType), StructField("state", BinaryType)))
     val buf = sb
     val summaries = sorted.mapPartitions { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
-      var s = buf.zero
-      it.foreach(r => s = buf.observe(s, r))
-      Iterator.single(Row(pid, ser(s)))
+      pidRuns(it, pidIdx).map { case (pid, rows) =>
+        var s = buf.zero
+        rows.foreach(r => s = buf.observe(s, stripLast(r, dataSchema)))
+        Row(pid, ser(s))
+      }
     }(Encoders.row(stateSchema)).collect()
       .map(r => r.getInt(0) -> r.getAs[Array[Byte]](1)).toMap
 
-    // carry-in for partition p = merge of summaries 0..p-1 in range order
+    // carry-in for range p = merge of summaries 0..p-1 in range order
+    // (empty ranges produce no summary row and contribute nothing)
     val nParts = summaries.keys.foldLeft(0)((m, p) => math.max(m, p + 1))
     val carries = new Array[Array[Byte]](math.max(nParts, 1))
     var acc = sb.zero
     for (p <- 0 until nParts) {
       carries(p) = ser(acc)
-      acc = sb.merge(acc, deser(summaries(p)))
+      summaries.get(p).foreach(s => acc = sb.merge(acc, deser(s)))
     }
     val bc = spark.sparkContext.broadcast(carries)
 
     val outEnc = Encoders.row(sb.resultFields.toStruct)
     sorted.mapPartitions { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
-      val carry = deser(bc.value(pid))
-      buf.emit(carry, it).map(Row.fromSeq)
+      pidRuns(it, pidIdx).flatMap { case (pid, rows) =>
+        val carry = deser(bc.value(pid))
+        buf.emit(carry, rows.map(stripLast(_, dataSchema))).map(Row.fromSeq)
+      }
     }(outEnc)
   }
 
@@ -517,6 +631,35 @@ object Lowering {
   }
   private[exec] def deser(b: Array[Byte]): Any =
     new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(b)).readObject()
+
+  /** Chunk a partition's rows into runs of consecutive `__pid` values —
+    * one run per original range partition, even when a downstream coalesce
+    * fused several ranges into this task. Each inner iterator must be
+    * consumed before requesting the next run (same contract as the Buffer
+    * group runner). */
+  private[exec] def pidRuns(it: Iterator[Row], pidIdx: Int): Iterator[(Int, Iterator[Row])] = {
+    val b = it.buffered
+    new Iterator[(Int, Iterator[Row])] {
+      private var cur: Iterator[Row] = Iterator.empty
+      def hasNext: Boolean = { while (cur.hasNext) cur.next(); b.hasNext }
+      def next(): (Int, Iterator[Row]) = {
+        while (cur.hasNext) cur.next()
+        val pid = b.head.getInt(pidIdx)
+        val chunk = new Iterator[Row] {
+          def hasNext: Boolean = b.hasNext && b.head.getInt(pidIdx) == pid
+          def next(): Row = b.next()
+        }
+        cur = chunk
+        (pid, chunk)
+      }
+    }
+  }
+
+  /** Drop the trailing (`__pid`) field, restoring the user-visible schema so
+    * `fieldIndex` keeps working inside CScanBuffer callbacks. */
+  private[exec] def stripLast(r: Row, schema: StructType): Row =
+    new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+      r.toSeq.dropRight(1).toArray, schema)
 }
 
 /** Flow facade: connect pipes to sinks and run — the `FlowConnector`/
@@ -527,11 +670,27 @@ object Flow {
 
   def write(p: Pipe, sink: Tap, mode: SinkMode = SinkMode.Replace)
            (implicit spark: SparkSession): Unit =
-    sink.write(toDF(p), mode)
+    writeAll(Seq((p, sink, mode)))
 
-  /** Multi-sink flow: lowers the shared DAG once (memoized splits). */
+  /** Multi-sink flow: lowers the shared DAG once (memoized splits). Trap
+    * sinks registered during lowering are written AFTER the main sinks —
+    * this is the flow-execution point the reference's `Flow.complete()`
+    * marks; nothing is written at plan-construction time — then the split
+    * intermediates are released. */
   def writeAll(sinks: Seq[(Pipe, Tap, SinkMode)])(implicit spark: SparkSession): Unit = {
     val lowering = new Lowering(spark)
     sinks.foreach { case (p, t, m) => t.write(lowering.lower(p), m) }
+    lowering.flushTraps()
+    lowering.unpersistIntermediates()
+  }
+
+  /** Lower + flush trap sinks eagerly, returning the success-side relation
+    * — for callers that consume the result as a DataFrame (instead of
+    * writing it to a tap) but still need trap sinks materialized. */
+  def toDFWithTraps(p: Pipe)(implicit spark: SparkSession): DataFrame = {
+    val lowering = new Lowering(spark)
+    val df = lowering.lower(p)
+    lowering.flushTraps()
+    df
   }
 }

@@ -38,15 +38,16 @@ sealed trait Pipe {
   import FieldSelector._
 
   def each(fn: CFunction, args: FieldSelector = All,
-           out: FieldSelector = Swap): Pipe =
-    EachPipe(this, EachOp.Fn(fn), args, out)
+           out: FieldSelector = Swap, trap: Option[Tap] = None): Pipe =
+    EachPipe(this, EachOp.Fn(fn), args, out, trap)
 
   def generate(gen: CGenerator, args: FieldSelector,
-               out: FieldSelector = Results): Pipe =
-    EachPipe(this, EachOp.Gen(gen), args, out)
+               out: FieldSelector = Results, trap: Option[Tap] = None): Pipe =
+    EachPipe(this, EachOp.Gen(gen), args, out, trap)
 
-  def filterBy(f: CFilter, args: FieldSelector = All): Pipe =
-    EachPipe(this, EachOp.Flt(f), args, All)
+  def filterBy(f: CFilter, args: FieldSelector = All,
+               trap: Option[Tap] = None): Pipe =
+    EachPipe(this, EachOp.Flt(f), args, All, trap)
 
   /** Arbitrary 0..N row closure, optionally with a trap tap for failed rows
     * (reference traps: `runtime/each/EachStreamGraph.java:46`). */
@@ -169,8 +170,11 @@ final case class GroupByPipe(inputs: Seq[Pipe], keys: Seq[String],
   def every(aggs: AggOp*): AggregatePipe = AggregatePipe(this, aggs)
   /** `Every` + custom start/aggregate/complete aggregator. */
   def everyAgg(agg: CAggregator[_]): CustomAggPipe = CustomAggPipe(this, agg)
-  /** `Every` + Buffer: full group iterator in secondary-sort order. */
-  def buffer(b: CBuffer): BufferPipe = BufferPipe(this, b)
+  /** `Every` + Buffer: full group iterator in secondary-sort order. A trap
+    * tap diverts groups whose buffer threw (reference traps cover the group
+    * stream graphs too, not just Each). */
+  def buffer(b: CBuffer, trap: Option[Tap] = None): BufferPipe =
+    BufferPipe(this, b, trap = trap)
   /** Key-less ordered Buffer as a distributed prefix scan — the scale-safe
     * replacement for `groupAll.buffer` (which is inherently a single
     * sequential pass and is capped by the lowering). Only valid on a
@@ -188,7 +192,8 @@ final case class AggregatePipe(grouped: GroupByPipe, aggs: Seq[AggOp]) extends P
 final case class CustomAggPipe(grouped: GroupByPipe, agg: CAggregator[_]) extends Pipe
 
 final case class BufferPipe(grouped: GroupByPipe, b: CBuffer,
-                            includeKeys: Boolean = true) extends Pipe
+                            includeKeys: Boolean = true,
+                            trap: Option[Tap] = None) extends Pipe
 
 final case class ScanBufferPipe(grouped: GroupByPipe, sb: CScanBuffer[_]) extends Pipe
 

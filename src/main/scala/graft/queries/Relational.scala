@@ -45,6 +45,43 @@ object Relational {
     }
   }
 
+  /** Global (key-less) running total as a distributed prefix scan — the
+    * CScanBuffer counterpart of RunningTotalBuffer: exact decimal state, so
+    * per-range summaries merge order-independently. */
+  class GlobalRunningBuffer extends CScanBuffer[java.math.BigDecimal] {
+    val resultFields: CFields = CFields.typed(
+      "o_orderkey" -> LongType, "running" -> DoubleType)
+    private def price(r: Row) =
+      new java.math.BigDecimal(r.getDouble(r.fieldIndex("o_totalprice")))
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+    def zero: java.math.BigDecimal = java.math.BigDecimal.ZERO
+    def observe(s: java.math.BigDecimal, r: Row): java.math.BigDecimal = s.add(price(r))
+    def merge(a: java.math.BigDecimal, b: java.math.BigDecimal): java.math.BigDecimal = a.add(b)
+    def emit(carry: java.math.BigDecimal, rows: Iterator[Row]): Iterator[Seq[Any]] = {
+      var acc = carry
+      rows.map { r =>
+        acc = acc.add(price(r))
+        Seq[Any](r.getLong(r.fieldIndex("o_orderkey")), acc.doubleValue)
+      }
+    }
+  }
+
+  /** Custom `Every` aggregator (start/aggregate/merge/complete) — the span
+    * (max - min) of order totals per priority. */
+  class SpanAggregator extends CAggregator[(Double, Double)] {
+    val resultField = "span"
+    val resultType: DataType = DoubleType
+    val argFields: Seq[String] = Seq("o_totalprice")
+    def start: (Double, Double) = (Double.MaxValue, Double.MinValue)
+    def aggregate(b: (Double, Double), args: Seq[Any]): (Double, Double) = {
+      val v = args.head.asInstanceOf[Double]
+      (math.min(b._1, v), math.max(b._2, v))
+    }
+    def merge(a: (Double, Double), b: (Double, Double)): (Double, Double) =
+      (math.min(a._1, b._1), math.max(a._2, b._2))
+    def complete(b: (Double, Double)): Any = b._2 - b._1
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // GroupBy + Every aggregators (SURVEY §2.4)
     "q01_groupby_agg" -> ((s, dir) => Flow.toDF(
@@ -126,6 +163,8 @@ object Relational {
         .every(
           Aggs.count("n"),
           Aggs.sql("sum_value", dsum("value")),
+          // exact decimal sum / count: order-independent average
+          Aggs.sql("avg_value", s"${dsum("value")} / count(*)"),
           Aggs.sql("min_ts", "min(ts)"),
           Aggs.sql("max_ts", "max(ts)"),
           Aggs.countDistinct("user_id", "n_users")))(s)),
@@ -250,6 +289,73 @@ object Relational {
               rows.map(_.getLong(1)).mkString(",")))
         }))(s)),
 
+    // WordCount — the reference's flagship flow (example/WordCount.java:36-63):
+    // 1→N RegexSplitGenerator then countBy, here over documents.text
+    "q50_wordcount" -> ((s, dir) => Flow.toDF(
+      P(dir, "documents")
+        .retain("text")
+        .generate(RegexSplitGenerator("word", " "),
+          args = FieldSelector("text"), out = FieldSelector.Results)
+        .countBy(Seq("word"), "n"))(s)),
+
+    // Key-less ordered Buffer as a distributed prefix scan (CScanBuffer):
+    // global running total with RangePartitioning, no coalesce(1)
+    "q51_global_scan" -> ((s, dir) => Flow.toDF(
+      P(dir, "orders")
+        .retain("o_orderkey", "o_totalprice")
+        .groupBySorted(Nil, Seq("o_orderkey" -> true))
+        .scan(new GlobalRunningBuffer))(s)),
+
+    // Trap on an ExpressionFunction: rows whose expression throws (ANSI div
+    // by zero when doc_id % 7 == 0) land in the trap sink; the query RETURNS
+    // the trap contents so the oracle gates the diverted rows themselves
+    "q52_trap" -> ((s, dir) => {
+      s.conf.set("spark.sql.ansi.enabled", "true")
+      val trapPath = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_trap_q52").toString
+      val p = P(dir, "documents").retain("doc_id")
+        .each(ExpressionFunction("septile", "doc_id div (doc_id % 7)", LongType),
+          args = FieldSelector.All, out = FieldSelector.All,
+          trap = Some(ParquetTap(trapPath)))
+      Flow.toDFWithTraps(p)(s) // flow execution writes the trap sink
+      s.read.parquet(trapPath).select(col("doc_id"))
+    }),
+
+    // Custom CAggregator (start/aggregate/merge/complete) under the gate
+    "q53_customagg" -> ((s, dir) => Flow.toDF(
+      P(dir, "orders")
+        .groupBy("o_orderpriority")
+        .everyAgg(new SpanAggregator))(s)),
+
+    // Seeded sample — no cross-engine oracle (RNG differs); rows-only check
+    "q54_sample" -> ((s, dir) => Flow.toDF(
+      P(dir, "lineitem")
+        .sample(0.1, seed = 7)
+        .retain("l_orderkey", "l_linenumber"))(s)),
+
+    // 3-way BufferJoin (ordinal-tagged union + flatMapGroups) — per-key
+    // iterators over nation/customer/supplier
+    "q55_bufferjoin3" -> ((s, dir) => Flow.toDF(
+      P(dir, "nation").retain("n_nationkey")
+        .bufferJoinN(Seq("n_nationkey"),
+          Seq(P(dir, "customer").retain("c_nationkey") -> Seq("c_nationkey"),
+              P(dir, "supplier").retain("s_nationkey") -> Seq("s_nationkey")),
+          CFields.typed("nationkey" -> IntegerType,
+            "n_customers" -> LongType, "n_suppliers" -> LongType),
+          (key, its) => {
+            val nations = its(0).size
+            val custs = its(1).size.toLong
+            val supps = its(2).size.toLong
+            if (nations > 0) Iterator.single(Seq[Any](key.head, custs, supps))
+            else Iterator.empty
+          }))(s)),
+
+    // averageBy (AggregateBy family member previously spec-only); exact
+    // because l_quantity is integral-valued, so partial sums are exact
+    "q56_averageby" -> ((s, dir) => Flow.toDF(
+      P(dir, "lineitem")
+        .averageBy(Seq("l_returnflag"), "l_quantity", "avg_qty"))(s)),
+
     // First/Last aggregators over a deterministic order (SURVEY §2.4
     // First/Last; min_by/max_by on a derived exact order value)
     "q37_firstlast" -> ((s, dir) => Flow.toDF(
@@ -324,6 +430,7 @@ object Relational {
 
     "q10_aggregateby" ->
       s"""SELECT event_type, count(*) AS n, ${dsum("value")} AS sum_value,
+         |${dsum("value")} / count(*) AS avg_value,
          |CAST(min(ts) AS TIMESTAMP) AS min_ts, CAST(max(ts) AS TIMESTAMP) AS max_ts,
          |count(DISTINCT user_id) AS n_users
          |FROM events GROUP BY 1""".stripMargin,
@@ -397,6 +504,38 @@ object Relational {
       """SELECT o_custkey,
         |string_agg(o_orderkey, ',' ORDER BY o_orderkey DESC) AS orders_desc
         |FROM orders GROUP BY 1""".stripMargin,
+
+    "q50_wordcount" ->
+      """SELECT word, count(*) AS n FROM (
+        |  SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS word
+        |  FROM documents
+        |) GROUP BY 1""".stripMargin,
+
+    "q51_global_scan" ->
+      """SELECT o_orderkey,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+        |  OVER (ORDER BY o_orderkey ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running
+        |FROM orders""".stripMargin,
+
+    "q52_trap" ->
+      "SELECT doc_id FROM documents WHERE doc_id % 7 = 0",
+
+    "q53_customagg" ->
+      """SELECT o_orderpriority, max(o_totalprice) - min(o_totalprice) AS span
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q55_bufferjoin3" ->
+      """WITH cc AS (SELECT c_nationkey, count(*) AS n FROM customer GROUP BY 1),
+        |sc AS (SELECT s_nationkey, count(*) AS n FROM supplier GROUP BY 1)
+        |SELECT n_nationkey AS nationkey,
+        |CAST(coalesce(cc.n, 0) AS BIGINT) AS n_customers,
+        |CAST(coalesce(sc.n, 0) AS BIGINT) AS n_suppliers
+        |FROM nation
+        |LEFT JOIN cc ON n_nationkey = c_nationkey
+        |LEFT JOIN sc ON n_nationkey = s_nationkey""".stripMargin,
+
+    "q56_averageby" ->
+      "SELECT l_returnflag, avg(l_quantity) AS avg_qty FROM lineitem GROUP BY 1",
 
     "q37_firstlast" ->
       """SELECT o_custkey,

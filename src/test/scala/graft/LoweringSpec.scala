@@ -231,11 +231,87 @@ class LoweringSpec extends SparkSpec {
     val p = pipe(lhs).eachRow(fn, args = FieldSelector("num"),
       out = FieldSelector.Results,
       trap = Some(graft.sources.ParquetTap(s"$dir/trap")))
-    val good = Flow.toDF(p).collect()
+    val good = Flow.toDFWithTraps(p).collect()
     assert(good.length == 2) // num=1, num=4 survive; two num=2 rows trapped
     val trapped = spark.read.parquet(s"$dir/trap")
     assert(trapped.count() == 2)
-    assert(trapped.columns.toSeq == Seq("__trap_in", "__trap_err"))
+    // trap rows carry the ORIGINAL input columns + the error
+    assert(trapped.columns.toSeq == Seq("num", "ch", "__trap_err"))
+    assert(trapped.select("num").collect().forall(_.getInt(0) == 2))
+  }
+
+  test("trap is deferred: Flow.toDF alone writes no trap sink") {
+    val dir = java.nio.file.Files.createTempDirectory("trapdefer").toString
+    val p = pipe(lhs).each(
+      ExpressionFunction("inv", "100 div (num - 2)", IntegerType),
+      args = FieldSelector.All, out = FieldSelector.All,
+      trap = Some(graft.sources.ParquetTap(s"$dir/trap")))
+    Flow.toDF(p) // plan construction only — no action, no trap write
+    assert(!new java.io.File(s"$dir/trap").exists())
+  }
+
+  test("trap on ExpressionFunction diverts rows whose expression throws") {
+    val dir = java.nio.file.Files.createTempDirectory("trapfn").toString
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    val p = pipe(lhs).each(
+      ExpressionFunction("inv", "100 div (num - 2)", IntegerType),
+      args = FieldSelector.All, out = FieldSelector.All,
+      trap = Some(graft.sources.ParquetTap(s"$dir/trap")))
+    val good = Flow.toDFWithTraps(p)
+    assert(good.columns.toSeq == Seq("num", "ch", "inv"))
+    assert(good.select("num").collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 4))
+    val trapped = spark.read.parquet(s"$dir/trap")
+    assert(trapped.count() == 2) // both num=2 rows
+    assert(trapped.columns.toSeq == Seq("num", "ch", "__trap_err"))
+  }
+
+  test("trap on Filter diverts rows whose predicate throws, keeps filter semantics") {
+    val dir = java.nio.file.Files.createTempDirectory("trapflt").toString
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    val p = pipe(lhs).filterBy(
+      SqlFilter("100 div (num - 2) > 20"),
+      trap = Some(graft.sources.ParquetTap(s"$dir/trap")))
+    val good = Flow.toDFWithTraps(p)
+    // num=1 → -100 (dropped), num=4 → 50 (kept), num=2 → error (trapped)
+    assert(good.select("num").collect().map(_.getInt(0)).toSeq == Seq(4))
+    assert(spark.read.parquet(s"$dir/trap").count() == 2)
+  }
+
+  test("trap on generator diverts rows whose expression throws") {
+    val dir = java.nio.file.Files.createTempDirectory("trapgen").toString
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    val gen = new CGenerator {
+      val resultFields: CFields = CFields.typed("part" -> IntegerType)
+      def apply(args: Seq[org.apache.spark.sql.Column]) =
+        org.apache.spark.sql.functions.array(
+          org.apache.spark.sql.functions.expr("100 div (num - 2)"))
+    }
+    val p = pipe(lhs).generate(gen, args = FieldSelector("num"),
+      out = FieldSelector.Results,
+      trap = Some(graft.sources.ParquetTap(s"$dir/trap")))
+    val good = Flow.toDFWithTraps(p)
+    assert(good.collect().map(_.getLong(0)).sorted.toSeq == Seq(-100L, 50L))
+    assert(spark.read.parquet(s"$dir/trap").count() == 2)
+  }
+
+  test("trap on Buffer diverts the failing group, other groups survive") {
+    val dir = java.nio.file.Files.createTempDirectory("trapbuf").toString
+    val buf = new CBuffer {
+      val resultFields: CFields = CFields.typed("cat" -> StringType)
+      def operate(key: Seq[Any], rows: Iterator[Row]): Iterator[Seq[Any]] = {
+        val all = rows.toSeq
+        if (all.length > 1) throw new IllegalStateException("dup group")
+        Iterator.single(Seq(all.map(_.getString(1)).mkString("|")))
+      }
+    }
+    val p = pipe(lhs).groupBy("num")
+      .buffer(buf, trap = Some(graft.sources.ParquetTap(s"$dir/trap")))
+    val good = Flow.toDFWithTraps(p)
+    assert(good.columns.toSeq == Seq("num", "cat"))
+    assert(good.select("num").collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 4))
+    val trapped = spark.read.parquet(s"$dir/trap")
+    assert(trapped.columns.toSeq == Seq("num", "__trap_err"))
+    assert(trapped.collect().map(_.getInt(0)).toSeq == Seq(2))
   }
 
   test("debug pipe passes rows through; persist marks the plan cached") {

@@ -45,4 +45,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(formatted("q13_semijoin").contains("LeftSemi"))
     assert(formatted("q14_antijoin").contains("LeftAnti"))
   }
+
+  test("q18: bufferJoin stays in Tungsten (no RDD scan nodes)") {
+    val plan = formatted("q18_bufferjoin")
+    assert(plan.contains("CoGroup"))
+    assert(!plan.contains("Scan ExistingRDD"))
+    assert(plan.contains("Exchange"))
+  }
+
+  test("q51: key-less scan buffer range-partitions, no single-partition pass") {
+    val plan = formatted("q51_global_scan")
+    assert(plan.contains("rangepartitioning"))
+    assert(!plan.contains("Coalesce (") && !plan.contains("SinglePartition"))
+  }
+
+  test("q48: corpus centroid assignment is an aggregate, not a Window") {
+    val plan = formatted("q48_ivf_knn")
+    // max_by aggregation (partial+final) assigns nearest centroids
+    assert(plan.contains("max_by"))
+    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate") ||
+      plan.contains("ObjectHashAggregate"))
+    // exactly 2 Window nodes remain: probe (query-side) top-n and final
+    // top-k rank — FormattedMode lists each node twice (tree + details)
+    assert("\\(\\d+\\) Window\\b".r.findAllMatchIn(plan).size <= 4)
+  }
 }
