@@ -21,15 +21,29 @@ object Bench {
     def run(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
             dir: String): Unit =
       fn(spark, dir).write.mode("overwrite").format("noop").save()
+    // Measurement methodology (documented in BASELINE.md):
+    //  - each query warms at the smallest SF IMMEDIATELY before its timed
+    //    passes. A single global warmup loop stops working beyond ~50
+    //    queries: the codegen class cache (100 entries) evicts the early
+    //    queries' generated classes, so a "warmed" query re-pays 5-8 s of
+    //    Janino compilation in its timed run, depending on map order.
+    //  - per-query MIN of `passes` timed runs: single-pass numbers on a
+    //    shared box swing several-fold with CPU/GC noise; the min is the
+    //    reproducible cost of the plan.
+    //  - caches cleared between passes so queries are measured
+    //    independently, not in accumulation order.
     val warmDir = "/root/testdata/sf0.001"
-    if (new java.io.File(warmDir).isDirectory)
-      SparkEntry.queries.foreach { case (_, fn) =>
-        try run(fn, warmDir) catch { case _: Throwable => () }
-      }
+    val canWarm = new java.io.File(warmDir).isDirectory
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try run(fn, sfDir) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      if (canWarm) { try run(fn, warmDir) catch { case _: Throwable => () } }
+      val times = (1 to passes).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        try run(fn, sfDir) catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

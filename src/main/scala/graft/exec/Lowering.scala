@@ -52,15 +52,38 @@ final class Lowering(spark: SparkSession, keepAssertions: Boolean = true) {
     trapIntermediates.clear()
   }
 
+  /** Per-pipe ConfigDef properties of the enclosing `withConfig` scopes
+    * (merged innermost-last). Scoped to the subtree being translated —
+    * pipes lowered under a non-empty config are NOT memoized, because the
+    * same pipe object reached from another branch without the config must
+    * lower without it. */
+  private var activeConfig: Map[String, String] = Map.empty
+
   def lower(p: Pipe): DataFrame = {
-    val hit = memo.get(p)
-    if (hit != null) hit
-    else { val df = translate(p); memo.put(p, df); df }
+    if (activeConfig.nonEmpty) translate(p)
+    else {
+      val hit = memo.get(p)
+      if (hit != null) hit
+      else { val df = translate(p); memo.put(p, df); df }
+    }
+  }
+
+  /** Apply the active ConfigDef scope to a configurable operation. */
+  private def configurify(op: Any): Unit = op match {
+    case c: ConfigurableOp if activeConfig.nonEmpty => c.configure(activeConfig)
+    case _ => ()
   }
 
   // ------------------------------------------------------------------
   private def translate(p: Pipe): DataFrame = p match {
-    case SourcePipe(tap, _) => tap.read(spark)
+    case SourcePipe(tap, _) =>
+      if (activeConfig.isEmpty) tap.read(spark)
+      else tap.read(spark, activeConfig)
+
+    case ConfigDefPipe(prev, props) =>
+      val saved = activeConfig
+      activeConfig = activeConfig ++ props
+      try lower(prev) finally activeConfig = saved
 
     case e: EachPipe => lowerEach(e)
 
@@ -135,11 +158,21 @@ final class Lowering(spark: SparkSession, keepAssertions: Boolean = true) {
 
     case DebugPipe(prev, prefix, n) =>
       val df = lower(prev)
-      if (keepAssertions) {
+      if (!keepAssertions) df
+      else {
+        // schema prints at plan time (driver); rows print on the EXECUTORS
+        // as they stream past, like Cascading's Debug operation — no action
+        // fires during lowering. First n rows per partition.
         System.err.println(s"[$prefix] schema: ${df.schema.simpleString}")
-        df.take(n).foreach(r => System.err.println(s"[$prefix] $r"))
+        val (pfx, limit) = (prefix, n)
+        df.mapPartitions { it =>
+          var seen = 0
+          it.map { r =>
+            if (seen < limit) { System.err.println(s"[$pfx] $r"); seen += 1 }
+            r
+          }
+        }(Encoders.row(df.schema))
       }
-      df
 
     case PersistPipe(prev) => lower(prev).persist()
 
@@ -156,6 +189,12 @@ final class Lowering(spark: SparkSession, keepAssertions: Boolean = true) {
   // Each: arg selection + op + output selector algebra (SURVEY.md §2.3)
   private def lowerEach(e: EachPipe): DataFrame = {
     val df = lower(e.prev)
+    e.op match {
+      case EachOp.Fn(fn)    => configurify(fn)
+      case EachOp.Gen(gen)  => configurify(gen)
+      case EachOp.Flt(f)    => configurify(f)
+      case EachOp.RowFn(f)  => configurify(f)
+    }
     val incoming = df.columns.toSeq
     def argNames(sel: FieldSelector): Seq[String] = sel match {
       case All        => incoming
@@ -321,6 +360,7 @@ final class Lowering(spark: SparkSession, keepAssertions: Boolean = true) {
                           includeKeys: Boolean,
                           trap: Option[Tap] = None): DataFrame = {
     val df = grouped.inputs.map(lower).reduce(_ unionAll _)
+    configurify(b)
     val keys = grouped.keys
     val keySchema = StructType(keys.map(k => df.schema(k)))
     val baseSchema =
@@ -445,6 +485,7 @@ final class Lowering(spark: SparkSession, keepAssertions: Boolean = true) {
     * the same deterministic ordering. */
   private def lowerScanBuffer(grouped: GroupByPipe, sb: CScanBuffer[Any]): DataFrame = {
     val df = grouped.inputs.map(lower).reduce(_ unionAll _)
+    configurify(sb)
     val sortCols = grouped.sort.map { case (f, asc) =>
       if (asc) expr(f).asc_nulls_first else expr(f).desc_nulls_last }
     require(sortCols.nonEmpty, "scan requires sort fields (a total order)")
@@ -500,6 +541,7 @@ final class Lowering(spark: SparkSession, keepAssertions: Boolean = true) {
     * `AggregateBy` partial/final split). */
   private def lowerCustomAgg(grouped: GroupByPipe, ca: CAggregator[_]): DataFrame = {
     val df = grouped.inputs.map(lower).reduce(_ unionAll _)
+    configurify(ca)
     val argStruct = StructType(ca.argFields.map(f => df.schema(f)))
     val outStruct = StructType(Seq(StructField(ca.resultField, ca.resultType)))
     type B = Any

@@ -14,6 +14,15 @@ import graft.model.CFields
   * (codegen'd, pushdown-friendly) > typed lambdas > row closures.
   */
 
+/** Operations that accept per-pipe configuration (Cascading `ConfigDef`
+  * properties). The lowering calls `configure` with the merged properties of
+  * the enclosing `withConfig` scopes before the operation is used — the
+  * Spark-side analogue of the reference reading ConfigDef values out of the
+  * node's runtime config (`FlinkConfigDefScheme.java:60-105`). */
+trait ConfigurableOp {
+  def configure(props: Map[String, String]): Unit
+}
+
 /** 1→1 per-row function: arg columns in, result columns out.
   * Reference: Cascading `Function` hosted in `EachMapper`. */
 trait CFunction extends Serializable {

@@ -153,6 +153,15 @@ sealed trait Pipe {
     * would be costly (the DSL analogue of the reference's memoized
     * `flinkMemo` reuse, which Spark only gives within one action). */
   def persist(): Pipe = PersistPipe(this)
+
+  /** Per-pipe configuration — the analogue of Cascading `ConfigDef`
+    * properties, which the reference propagates into each node's runtime
+    * config (`FlinkConfigDefScheme.java:32-106` validates exactly this).
+    * Properties apply to THIS pipe's subtree only: source taps in scope
+    * receive them as reader options, and operations implementing
+    * [[ConfigurableOp]] get `configure(props)` before lowering. Another
+    * branch of the same flow sees none of them. */
+  def withConfig(props: (String, String)*): Pipe = ConfigDefPipe(this, props.toMap)
 }
 
 final case class SourcePipe(tap: Tap, name: String = "source") extends Pipe
@@ -218,6 +227,8 @@ final case class BufferJoinNPipe(
     resultFields: CFields,
     fn: (Seq[Any], Seq[Iterator[org.apache.spark.sql.Row]]) =>
         Iterator[Seq[Any]]) extends Pipe
+
+final case class ConfigDefPipe(prev: Pipe, props: Map[String, String]) extends Pipe
 
 final case class MergePipe(pipes: Seq[Pipe]) extends Pipe
 final case class IntersectPipe(left: Pipe, right: Pipe) extends Pipe

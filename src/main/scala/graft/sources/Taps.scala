@@ -20,6 +20,10 @@ object SinkMode {
 sealed trait Tap {
   def read(spark: SparkSession): DataFrame
   def write(df: DataFrame, mode: SinkMode): Unit
+  /** Read with per-pipe ConfigDef properties (from `Pipe.withConfig` scopes)
+    * applied as reader options. File taps honor them; others ignore. */
+  def read(spark: SparkSession, options: Map[String, String]): DataFrame =
+    read(spark)
   /** Reference `Scheme.getNumSinkParts` → repartition before write
     * (`FlinkFlowStep.java:384-405`). */
   def numSinkParts: Option[Int] = None
@@ -27,6 +31,8 @@ sealed trait Tap {
 
 final case class ParquetTap(path: String, parts: Option[Int] = None) extends Tap {
   def read(spark: SparkSession): DataFrame = spark.read.parquet(path)
+  override def read(spark: SparkSession, options: Map[String, String]): DataFrame =
+    spark.read.options(options).parquet(path)
   def write(df: DataFrame, mode: SinkMode): Unit = {
     val out = parts.fold(df)(n => df.repartition(n))
     out.write.mode(mode.toSaveMode).parquet(path)
@@ -42,11 +48,13 @@ final case class CsvTap(
     header: Boolean = false,
     schema: Option[StructType] = None,
     quote: String = "\"") extends Tap {
-  def read(spark: SparkSession): DataFrame = {
+  def read(spark: SparkSession): DataFrame = read(spark, Map.empty)
+  override def read(spark: SparkSession, options: Map[String, String]): DataFrame = {
     val r = spark.read
       .option("delimiter", delimiter)
       .option("header", header.toString)
       .option("quote", quote)
+      .options(options) // per-pipe ConfigDef overrides win
     schema match {
       case Some(s) => r.schema(s).csv(path)
       case None    => r.option("inferSchema", "true").csv(path)
@@ -65,6 +73,8 @@ final case class CsvTap(
 final case class TextLineTap(path: String) extends Tap {
   def read(spark: SparkSession): DataFrame =
     spark.read.text(path).withColumnRenamed("value", "line")
+  override def read(spark: SparkSession, options: Map[String, String]): DataFrame =
+    spark.read.options(options).text(path).withColumnRenamed("value", "line")
   def write(df: DataFrame, mode: SinkMode): Unit =
     df.write.mode(mode.toSaveMode).text(path)
 }
@@ -103,6 +113,55 @@ final case class SequenceFileTap(path: String) extends Tap {
     df.rdd.map(r => (new Text(String.valueOf(r.get(0))),
         new Text(String.valueOf(r.get(1)))))
       .saveAsSequenceFile(path)
+  }
+}
+
+/** Generic Hadoop-scheme escape hatch — the reference claims "all Cascading
+  * Hadoop Taps and Schemes" via its `TapInputFormat` wrapper
+  * (`runtime/source/TapInputFormat.java:61-321`); the concrete taps above
+  * cover every scheme its own test platform constructs, and this tap closes
+  * the remainder: any `mapreduce.InputFormat[K, V]` becomes a source via a
+  * record converter, and rows write back through an optional
+  * `OutputFormat`. Deliberately RDD-based: it is the boundary adapter for
+  * legacy formats with no native Spark source, never a hot path.
+  */
+final case class HadoopTap[K, V](
+    path: String,
+    inputFormat: Class[_ <: org.apache.hadoop.mapreduce.InputFormat[K, V]],
+    keyClass: Class[K],
+    valueClass: Class[V],
+    schema: StructType,
+    toRow: (K, V) => org.apache.spark.sql.Row,
+    fromRow: Option[org.apache.spark.sql.Row => (K, V)] = None,
+    outputFormat: Option[Class[_ <: org.apache.hadoop.mapreduce.OutputFormat[K, V]]] = None)
+    extends Tap {
+  def read(spark: SparkSession): DataFrame = {
+    val conv = toRow
+    val rdd = spark.sparkContext
+      .newAPIHadoopFile(path, inputFormat, keyClass, valueClass)
+      .map { case (k, v) => conv(k, v) }
+    spark.createDataFrame(rdd, schema)
+  }
+  def write(df: DataFrame, mode: SinkMode): Unit = {
+    val (conv, ofmt) = (fromRow, outputFormat) match {
+      case (Some(c), Some(o)) => (c, o)
+      case _ => throw new UnsupportedOperationException(
+        "HadoopTap write requires fromRow and outputFormat")
+    }
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    mode match {
+      case SinkMode.Replace => fs.delete(p, true)
+      case SinkMode.Keep if fs.exists(p) =>
+        throw new IllegalStateException(s"$path exists (SinkMode.Keep)")
+      case _ => ()
+    }
+    // PairRDDFunctions needs ClassTags, which a case class can't carry as
+    // implicits — build them from the explicit Class handles.
+    val kt = scala.reflect.ClassTag[K](keyClass)
+    val vt = scala.reflect.ClassTag[V](valueClass)
+    new org.apache.spark.rdd.PairRDDFunctions(df.rdd.map(conv))(kt, vt, null)
+      .saveAsNewAPIHadoopFile(path, keyClass, valueClass, ofmt)
   }
 }
 

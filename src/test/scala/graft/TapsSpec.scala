@@ -105,6 +105,69 @@ class TapsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/odds").count() == 1)
   }
 
+  test("per-pipe ConfigDef options reach only their own scan") {
+    val dir = tmp()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/data.csv"), "1;x\n2;y\n3;z\n")
+    val tap = CsvTap(s"$dir/data.csv")
+    // configured branch: per-pipe delimiter override → 2 columns
+    val configured = Pipe.source(tap).withConfig("delimiter" -> ";")
+    // unconfigured branch over the SAME tap object → default "," → 1 column
+    val plain = Pipe.source(tap)
+    val lowering = new graft.exec.Lowering(spark)
+    assert(lowering.lower(configured).columns.length == 2)
+    assert(lowering.lower(plain).columns.length == 1)
+  }
+
+  test("ConfigurableOp receives the enclosing withConfig properties") {
+    var got: Map[String, String] = Map.empty
+    val fn = new CRowFunction with ConfigurableOp {
+      val resultFields: CFields = CFields.typed("out" -> IntegerType)
+      private var factor = 1 // set at configure time, serialized to executors
+      def configure(props: Map[String, String]): Unit = {
+        got = props
+        factor = props.getOrElse("graft.factor", "1").toInt
+      }
+      def apply(args: org.apache.spark.sql.Row): Iterator[Seq[Any]] =
+        Iterator.single(Seq(args.getInt(0) * factor))
+    }
+    val p = Pipe.source(DataFrameTap(Seq(2, 3).toDF("n")))
+      .eachRow(fn, out = graft.model.FieldSelector.Results)
+      .withConfig("graft.factor" -> "10")
+    val out = Flow.toDF(p).collect().map(_.getInt(0)).sorted.toSeq
+    assert(got == Map("graft.factor" -> "10"))
+    assert(out == Seq(20, 30))
+  }
+
+  test("generic HadoopTap reads and writes an arbitrary InputFormat") {
+    import org.apache.hadoop.io.{LongWritable, Text}
+    import org.apache.hadoop.mapreduce.lib.input.TextInputFormat
+    import org.apache.hadoop.mapreduce.lib.output.TextOutputFormat
+    import org.apache.spark.sql.types.{StructType, StructField, LongType, StringType}
+    val dir = tmp()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/in.txt"), "alpha\nbeta\n")
+    val tap = HadoopTap[LongWritable, Text](
+      s"$dir/in.txt", classOf[TextInputFormat],
+      classOf[LongWritable], classOf[Text],
+      StructType(Seq(StructField("offset", LongType), StructField("line", StringType))),
+      (k, v) => org.apache.spark.sql.Row(k.get(), v.toString))
+    val df = tap.read(spark)
+    assert(df.collect().map(_.getString(1)).sorted.toSeq == Seq("alpha", "beta"))
+    // write path via an OutputFormat
+    val out = HadoopTap[Text, Text](
+      s"$dir/out",
+      classOf[org.apache.hadoop.mapreduce.lib.input.SequenceFileInputFormat[Text, Text]],
+      classOf[Text], classOf[Text],
+      StructType(Seq(StructField("k", StringType), StructField("v", StringType))),
+      (_, _) => org.apache.spark.sql.Row(),
+      fromRow = Some(r => (new Text(r.getString(0)), new Text(r.getString(1)))),
+      outputFormat = Some(classOf[TextOutputFormat[Text, Text]]))
+    out.write(Seq(("a", "1"), ("b", "2")).toDF("k", "v"), SinkMode.Replace)
+    val back = spark.read.text(s"$dir/out").collect().map(_.getString(0)).sorted
+    assert(back.toSeq == Seq("a\t1", "b\t2"))
+  }
+
   test("expression sort keys emulate custom comparators") {
     // sort by string length then value — a Cascading custom comparator
     // becomes a derived sort-key expression
