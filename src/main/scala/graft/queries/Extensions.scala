@@ -206,6 +206,18 @@ object Extensions {
         .select(col("event_id"), col("user_id"), col("ts"), col("session_id"))
     }),
 
+    // --- group-level MinHash sketch (TypedImperativeAggregate): signature
+    // of the UNION of token sets per language — one scan, k-long buffer
+    // per group, map-side partial aggregation -----------------------------
+    "q57_minhash_group" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      d.groupBy(col("lang"))
+        .agg(graft.catalyst.MinHashAgg(
+          graft.functions.TextAnalysis.tokens(col("text")), 16).as("sig"))
+        .select(col("lang") +:
+          (0 until 16).map(i => element_at(col("sig"), i + 1).as(s"m$i")): _*)
+    }),
+
     // --- multimodal plumbing ----------------------------------------------
     "q30_multimodal_meta" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
@@ -481,6 +493,15 @@ object Extensions {
         |  SELECT user_id, ts, max(value) AS view_value FROM events
         |  WHERE event_type = 'view' GROUP BY 1, 2) v
         |ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin,
+
+    "q57_minhash_group" -> {
+      val mins = (0 until 16).map(i => s"min(m$i) AS m$i").mkString(",\n    ")
+      s"""WITH toks AS (SELECT lang, $dToks AS tl FROM documents),
+         |sig AS (SELECT lang,
+         |    $minhashSigCols
+         |  FROM toks)
+         |SELECT lang, $mins FROM sig GROUP BY 1""".stripMargin
+    },
 
     "q30_multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,

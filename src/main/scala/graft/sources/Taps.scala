@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** Sink modes — Spark-native equivalent of the reference's `SinkMode`
   * handling (`planner/FlinkFlow.java:94-103` delete-on-start for REPLACE). */
@@ -67,14 +67,26 @@ final case class CsvTap(
 }
 
 /** `TextLine` scheme. Cascading exposes (`offset: Long`, `line: String`)
-  * where offset is the byte offset in the split; Spark's text source has no
-  * byte-offset concept, so we expose only `line` (documented divergence —
-  * none of the reference's own flows consume `offset`). */
-final case class TextLineTap(path: String) extends Tap {
-  def read(spark: SparkSession): DataFrame =
-    spark.read.text(path).withColumnRenamed("value", "line")
+  * where offset is the byte offset in the file. The default (`offsets =
+  * false`) uses Spark's native text source — columnar, pushdown-friendly —
+  * and exposes only `line`; `offsets = true` reads through the Hadoop
+  * TextInputFormat (whose record key IS the byte offset), matching the
+  * Cascading field layout exactly. */
+final case class TextLineTap(path: String, offsets: Boolean = false) extends Tap {
+  def read(spark: SparkSession): DataFrame = read(spark, Map.empty)
   override def read(spark: SparkSession, options: Map[String, String]): DataFrame =
-    spark.read.options(options).text(path).withColumnRenamed("value", "line")
+    if (!offsets)
+      spark.read.options(options).text(path).withColumnRenamed("value", "line")
+    else {
+      import org.apache.hadoop.io.{LongWritable, Text}
+      val rdd = spark.sparkContext.newAPIHadoopFile(path,
+          classOf[org.apache.hadoop.mapreduce.lib.input.TextInputFormat],
+          classOf[LongWritable], classOf[Text])
+        .map { case (k, v) => org.apache.spark.sql.Row(k.get(), v.toString) }
+      spark.createDataFrame(rdd, StructType(Seq(
+        StructField("offset", org.apache.spark.sql.types.LongType),
+        StructField("line", org.apache.spark.sql.types.StringType))))
+    }
   def write(df: DataFrame, mode: SinkMode): Unit =
     df.write.mode(mode.toSaveMode).text(path)
 }

@@ -35,6 +35,20 @@ class FunctionsSpec extends SparkSpec {
     assert(one[Int](TA.qualityScore(col("text")), "!!!") >= 0)
   }
 
+  test("minhash_agg over a one-row group equals minhash_sig; union merges") {
+    val df = Seq(("a", "x y"), ("a", "z"), ("b", "x y z")).toDF("g", "text")
+    val agg = df.groupBy(col("g"))
+      .agg(graft.catalyst.MinHashAgg(TA.tokens(col("text")), 8).as("sig"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val single = Seq("x y z").toDF("text")
+      .select(graft.catalyst.MinHashSig(TA.tokens(col("text")), 8).as("sig"))
+      .collect().head.getSeq[Long](0)
+    // group b = one document "x y z"
+    assert(agg("b") == single)
+    // group a = {"x y"} ∪ {"z"} — same token UNION as "x y z"
+    assert(agg("a") == single)
+  }
+
   test("fingerprint is order-sensitive") {
     val a = one[Long](TA.fingerprint(col("text")), "a b c")
     val b = one[Long](TA.fingerprint(col("text")), "c b a")

@@ -139,6 +139,15 @@ class TapsSpec extends SparkSpec {
     assert(out == Seq(20, 30))
   }
 
+  test("TextLineTap with offsets exposes the Cascading (offset, line) layout") {
+    val dir = tmp()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/t.txt"), "ab\ncdef\ng\n")
+    val rows = TextLineTap(s"$dir/t.txt", offsets = true).read(spark)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(rows.toSeq == Seq((0L, "ab"), (3L, "cdef"), (8L, "g")))
+  }
+
   test("generic HadoopTap reads and writes an arbitrary InputFormat") {
     import org.apache.hadoop.io.{LongWritable, Text}
     import org.apache.hadoop.mapreduce.lib.input.TextInputFormat
