@@ -134,6 +134,30 @@ object Similarity {
       .select(col("query_id"), col("nn_id"), col("sim"), col("rk"))
   }
 
+  /** Symmetric int8 quantization of an embedding column — the standard 4×
+    * storage/shuffle reduction for vector corpora (100 TB of float32
+    * embeddings becomes 25 TB of int8 + one scale per vector).
+    *
+    * scale = max(|x|)/127; q_i = round_half_up(x_i / scale). All arithmetic
+    * is double-precision column expressions with explicit floor-based
+    * rounding, so any SQL engine reproduces the exact codes. Zero vectors
+    * get scale 0 and all-zero codes. */
+  def quantizeInt8(vec: Column): Column = {
+    val absmax = aggregate(vec, lit(0.0d),
+      (acc, x) => greatest(acc, abs(x.cast("double"))))
+    val scale = absmax / 127.0d
+    val codes = when(scale === 0.0d,
+        transform(vec, _ => lit(0).cast("tinyint")))
+      .otherwise(transform(vec, x =>
+        floor(x.cast("double") / scale + 0.5d).cast("tinyint")))
+    struct(scale.cast("float").as("scale"), codes.as("codes"))
+  }
+
+  /** Reconstruct float32 vectors from int8 codes (`quantizeInt8` output). */
+  def dequantizeInt8(q: Column): Column =
+    transform(q.getField("codes"),
+      c => (c.cast("double") * q.getField("scale").cast("double")).cast("float"))
+
   /** LSH-bucketed ANN: exact cosine ranking *within* each sign bucket.
     * Trades recall for a shuffle bounded by bucket populations — the 100 TB
     * path (brute force is O(N) per query; this is O(bucket) per query). */

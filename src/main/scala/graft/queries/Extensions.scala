@@ -89,6 +89,17 @@ object Extensions {
         "vec_id", "embedding", k = 3, nPlanes = 8)
     }),
 
+    // --- int8 embedding quantization (4x storage/shuffle reduction) -------
+    "q58_quantize" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = Similarity.quantizeInt8(col("embedding"))
+      e.select(col("vec_id"), q.as("q"))
+        .select(col("vec_id"),
+          col("q.scale").as("scale"),
+          aggregate(col("q.codes"), lit(0L), (a, c) => a + c.cast("long"))
+            .as("code_sum"))
+    }),
+
     // --- sessionization (event-stream shaping) ----------------------------
     "q29_sessionize" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -399,6 +410,18 @@ object Extensions {
          |  CAST(row_number() OVER (PARTITION BY query_id
          |    ORDER BY sim DESC, nn_id ASC) AS INTEGER) AS rk
          |  FROM scored) WHERE rk <= 3""".stripMargin,
+
+    "q58_quantize" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+        |  FROM embeddings)
+        |SELECT vec_id, CAST(scale AS REAL) AS scale,
+        |CASE WHEN scale = 0 THEN 0 ELSE
+        |  CAST(list_sum(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT))) AS BIGINT)
+        |END AS code_sum
+        |FROM s""".stripMargin,
 
     "q29_sessionize" ->
       """WITH flagged AS (

@@ -35,6 +35,30 @@ class FunctionsSpec extends SparkSpec {
     assert(one[Int](TA.qualityScore(col("text")), "!!!") >= 0)
   }
 
+  test("int8 quantization bounds reconstruction error; zero vector safe") {
+    val vs = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.127f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val q = graft.functions.Similarity.quantizeInt8(col("embedding"))
+    val out = vs.select(col("vec_id"), col("embedding"),
+        q.getField("scale").as("scale"),
+        q.getField("codes").as("codes"),
+        graft.functions.Similarity.dequantizeInt8(q).as("deq"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    val scale = r1.getFloat(2)
+    assert(math.abs(scale - 1.0f / 127) < 1e-7)
+    val codes = r1.getSeq[Byte](3)
+    assert(codes.forall(c => c >= -127 && c <= 127))
+    val orig = r1.getSeq[Float](1); val deq = r1.getSeq[Float](4)
+    orig.zip(deq).foreach { case (o, d) =>
+      assert(math.abs(o - d) <= scale / 2 + 1e-6, s"$o vs $d") }
+    val r2 = out(2L)
+    assert(r2.getFloat(2) == 0.0f)
+    assert(r2.getSeq[Byte](3).forall(_ == 0))
+    assert(r2.getSeq[Float](4).forall(_ == 0.0f))
+  }
+
   test("minhash_agg over a one-row group equals minhash_sig; union merges") {
     val df = Seq(("a", "x y"), ("a", "z"), ("b", "x y z")).toDF("g", "text")
     val agg = df.groupBy(col("g"))

@@ -314,6 +314,34 @@ class LoweringSpec extends SparkSpec {
     assert(trapped.collect().map(_.getInt(0)).toSeq == Seq(2))
   }
 
+  test("scan buffer output is independent of the partition count") {
+    // integral values: sums are exact doubles, so any partitioning must
+    // reproduce the sequential prefix sums bit-for-bit
+    val data = (1 to 500).map(i => (i.toLong, ((i * 37) % 101).toDouble))
+    val df = data.toDF("k", "v")
+    val buf = new CScanBuffer[java.lang.Double] {
+      val resultFields: CFields = CFields.typed("k" -> LongType, "run" -> DoubleType)
+      def zero: java.lang.Double = 0.0
+      def observe(s: java.lang.Double, r: Row): java.lang.Double = s + r.getDouble(1)
+      def merge(a: java.lang.Double, b: java.lang.Double): java.lang.Double = a + b
+      def emit(c: java.lang.Double, rows: Iterator[Row]): Iterator[Seq[Any]] = {
+        var acc: Double = c
+        rows.map { r => acc += r.getDouble(1); Seq[Any](r.getLong(0), acc) }
+      }
+    }
+    val expected = data.map(_._2).scanLeft(0.0)(_ + _).drop(1)
+      .zip(data.map(_._1)).map { case (run, k) => (k, run) }
+    for (parts <- Seq("1", "3", "17")) {
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try {
+        val p = pipe(df).groupBySorted(Nil, Seq("k" -> true)).scan(buf)
+        val got = Flow.toDF(p).collect()
+          .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+        assert(got == expected, s"mismatch at shuffle.partitions=$parts")
+      } finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+    }
+  }
+
   test("debug pipe passes rows through; persist marks the plan cached") {
     val p = pipe(lhs).debug("t", 2)
     assert(Flow.toDF(p).count() == 4)
