@@ -65,4 +65,60 @@ object Multimodal {
       call_function("substr", payload,
         least(i * floor(octet_length(payload) / n).cast("int") + 1,
           octet_length(payload)), lit(1)))
+
+  /** REAL (non-stub) image header parsing: container format + pixel
+    * dimensions from the first bytes of a binary payload — PNG (IHDR),
+    * GIF87a/89a (logical screen), and JPEG (SOF0/1/2 scan). Pure byte
+    * reading, no codec dependency; returns null for unrecognized payloads.
+    * This is the typed-metadata step of an image pipeline (filter by
+    * resolution, bucket by aspect ratio) that runs at full scan speed
+    * before any expensive decode. */
+  def imageDims(p: Array[Byte]): Option[(String, Int, Int)] = {
+    @inline def u8(i: Int): Int = p(i) & 0xff
+    @inline def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    @inline def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    @inline def be32(i: Int): Int =
+      (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    if (p.length >= 24 && u8(0) == 0x89 && u8(1) == 'P' && u8(2) == 'N' &&
+        u8(3) == 'G')
+      Some(("png", be32(16), be32(20)))
+    else if (p.length >= 10 && u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F' &&
+        u8(3) == '8')
+      Some(("gif", le16(6), le16(8)))
+    else if (p.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      // walk JPEG segments to the first start-of-frame marker
+      var i = 2
+      while (i + 9 < p.length) {
+        if (u8(i) != 0xff) return None
+        val marker = u8(i + 1)
+        if (marker == 0xc0 || marker == 0xc1 || marker == 0xc2)
+          return Some(("jpeg", be16(i + 7), be16(i + 5)))
+        if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd9)) i += 2
+        else i += 2 + be16(i + 2)
+      }
+      None
+    } else None
+  }
+
+  /** Batched per-partition image-metadata extraction: (id, format, width,
+    * height) with nulls for unrecognized payloads — same mapPartitions
+    * batch shape as [[extractFeatures]]. */
+  def withImageMeta(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", df.schema(idCol).dataType),
+      StructField("format", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType)))
+    val enc = Encoders.row(schema)
+    val idIdx = df.columns.indexOf(idCol)
+    val pIdx = df.columns.indexOf(payloadCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        imageDims(row.getAs[Array[Byte]](pIdx)) match {
+          case Some((f, w, h)) => Row(row.get(idIdx), f, w, h)
+          case None            => Row(row.get(idIdx), null, null, null)
+        }
+      }
+    }(enc)
+  }
 }

@@ -88,6 +88,27 @@ object StreamOps {
         })
   }
 
+  /** Watermarked stream-stream inner join: each left event matches right
+    * events for the same key whose timestamp falls in
+    * `[leftTs - maxDelaySeconds, leftTs]` — the streaming form of the as-of
+    * family (enrich purchases with recent views). Both sides carry
+    * watermarks plus the time-range condition, which is what lets Spark
+    * evict join state — without the range bound, state grows forever. Column
+    * names must be disjoint apart from the key. */
+  def streamStreamJoin(left: DataFrame, right: DataFrame,
+                       leftKey: String, rightKey: String,
+                       leftTs: String, rightTs: String,
+                       watermark: String, maxDelaySeconds: Long): DataFrame = {
+    require((left.columns.toSet & right.columns.toSet).isEmpty,
+      "stream-stream join requires disjoint column names; rename first")
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r, expr(
+      s"""$leftKey = $rightKey AND
+         |$rightTs >= $leftTs - INTERVAL $maxDelaySeconds SECONDS AND
+         |$rightTs <= $leftTs""".stripMargin), "inner")
+  }
+
   /** Streaming exact dedup: drop documents whose normalized content hash
     * was already seen, with state bounded by the watermark horizon — the
     * streaming form of `Dedup.exactDedup` for continuous ingestion

@@ -35,6 +35,33 @@ class FunctionsSpec extends SparkSpec {
     assert(one[Int](TA.qualityScore(col("text")), "!!!") >= 0)
   }
 
+  test("image header parsing reads PNG/GIF/JPEG dimensions from raw bytes") {
+    import graft.functions.Multimodal.imageDims
+    // minimal PNG: signature + IHDR length/type + 640x480 dims
+    val png = Array[Int](
+      0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 0x02, 0x80, 0, 0, 0x01, 0xe0).map(_.toByte)
+    assert(imageDims(png).contains(("png", 640, 480)))
+    // GIF89a, 320x200 little-endian
+    val gif = Array[Int]('G', 'I', 'F', '8', '9', 'a',
+      0x40, 0x01, 0xc8, 0x00).map(_.toByte)
+    assert(imageDims(gif).contains(("gif", 320, 200)))
+    // JPEG: SOI, APP0 (length 4, empty), SOF0 with 100x80
+    val jpg = Array[Int](
+      0xff, 0xd8,
+      0xff, 0xe0, 0x00, 0x04, 0x00, 0x00,
+      0xff, 0xc0, 0x00, 0x0b, 0x08, 0x00, 0x50, 0x00, 0x64, 0x01,
+      0x00, 0x00, 0x00).map(_.toByte)
+    assert(imageDims(jpg).contains(("jpeg", 100, 80)))
+    assert(imageDims("not an image".getBytes).isEmpty)
+    // DataFrame plumbing: nulls for unrecognized payloads
+    val df = Seq((1L, png), (2L, "junk".getBytes)).toDF("doc_id", "payload")
+    val meta = Multimodal.withImageMeta(df, "doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(meta == Map(1L -> Some("png"), 2L -> None))
+  }
+
   test("int8 quantization bounds reconstruction error; zero vector safe") {
     val vs = Seq(
       (1L, Array(0.5f, -1.0f, 0.25f, 0.127f)),

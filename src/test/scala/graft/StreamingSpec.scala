@@ -50,6 +50,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream join matches within the delay bound and evicts beyond it") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val purchases = MemoryStream[(Long, java.sql.Timestamp)]
+    val views = MemoryStream[(Long, java.sql.Timestamp)]
+    val joined = StreamOps.streamStreamJoin(
+      purchases.toDF().toDF("p_user", "p_ts"),
+      views.toDF().toDF("v_user", "v_ts"),
+      "p_user", "v_user", "p_ts", "v_ts",
+      watermark = "1 hour", maxDelaySeconds = 600)
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("ssj_out").start()
+    try {
+      def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
+      views.addData((1L, ts(0)), (1L, ts(100)), (2L, ts(0)))
+      purchases.addData((1L, ts(300)), (2L, ts(700)))
+      q.processAllAvailable()
+      val got = spark.table("ssj_out")
+        .select("p_user", "v_ts").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+      // user 1 purchase@300 matches views @0 and @100 (within 600 s);
+      // user 2 purchase@700 does NOT match view@0 (beyond the bound)
+      assert(got == Set((1L, ts(0)), (1L, ts(100))))
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes a session when the gap is exceeded") {
     import StreamOps._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
