@@ -14,15 +14,19 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   * `--conf spark.sql.extensions=graft.catalyst.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction(GraftExtensions.md5Prefix40Desc)
-    e.injectFunction(GraftExtensions.minhashSigDesc)
-  }
+  def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.all.foreach(e.injectFunction)
 }
 
 object GraftExtensions {
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[Md5Prefix40].getName, null, name, usage, "")
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
 
   val md5Prefix40Desc: (FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression) =
@@ -34,19 +38,52 @@ object GraftExtensions {
       Seq[Expression] => Expression) =
     (FunctionIdentifier("minhash_sig"),
       info("minhash_sig", "_FUNC_(tokens, k) - k-component MinHash signature"),
-      (exprs: Seq[Expression]) => {
-        val k = exprs(1) match {
-          case Literal(v: Int, _) => v
-          case other => throw new IllegalArgumentException(
-            s"minhash_sig k must be an integer literal, got $other")
-        }
-        MinHashSig(exprs.head, k)
-      })
+      (exprs: Seq[Expression]) =>
+        MinHashSig(exprs.head, intLit(exprs(1), "minhash_sig k")))
+
+  val minhashAggDesc: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) =
+    (FunctionIdentifier("minhash_agg"),
+      info("minhash_agg",
+        "_FUNC_(tokens, k) - group-level MinHash signature (aggregate)"),
+      (exprs: Seq[Expression]) =>
+        MinHashAgg(exprs.head, intLit(exprs(1), "minhash_agg k"))
+          .toAggregateExpression())
+
+  val simhash32Desc: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) =
+    (FunctionIdentifier("simhash32"),
+      info("simhash32", "_FUNC_(tokens) - 32-bit SimHash of the token multiset"),
+      (exprs: Seq[Expression]) => SimHash32(exprs.head))
+
+  val rollingFingerprintDesc: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) =
+    (FunctionIdentifier("rolling_fingerprint"),
+      info("rolling_fingerprint",
+        "_FUNC_(tokens) - positional rolling-hash fingerprint mod 1e9+7"),
+      (exprs: Seq[Expression]) => RollingFingerprint(exprs.head))
+
+  val shinglesDesc: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) =
+    (FunctionIdentifier("shingles"),
+      info("shingles", "_FUNC_(tokens, n) - word n-gram shingles"),
+      (exprs: Seq[Expression]) =>
+        Shingles(exprs.head, intLit(exprs(1), "shingles n")))
+
+  val cosineSimDesc: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) =
+    (FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", "_FUNC_(a, b) - cosine similarity of float arrays"),
+      (exprs: Seq[Expression]) => CosineSim(exprs.head, exprs(1)))
+
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq(md5Prefix40Desc, minhashSigDesc, minhashAggDesc, simhash32Desc,
+      rollingFingerprintDesc, shinglesDesc, cosineSimDesc)
 
   /** Register on an already-built session (tests, REPL). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val registry: FunctionRegistry = spark.sessionState.functionRegistry
-    Seq(md5Prefix40Desc, minhashSigDesc).foreach { case (id, inf, builder) =>
+    all.foreach { case (id, inf, builder) =>
       registry.registerFunction(id, inf, builder)
     }
   }

@@ -150,6 +150,22 @@ final case class SqlFilter(sql: String) extends CFilter {
   def keep(args: Seq[Column]): Column = expr(sql)
 }
 
+/** Logical filter combinators — Cascading `operation.filter.{And,Or,Not,Xor}`.
+  * Children see the same argument columns, matching Cascading's shared
+  * argument selector semantics. */
+final case class AndFilter(filters: CFilter*) extends CFilter {
+  def keep(args: Seq[Column]): Column = filters.map(_.keep(args)).reduce(_ && _)
+}
+final case class OrFilter(filters: CFilter*) extends CFilter {
+  def keep(args: Seq[Column]): Column = filters.map(_.keep(args)).reduce(_ || _)
+}
+final case class NotFilter(f: CFilter) extends CFilter {
+  def keep(args: Seq[Column]): Column = !f.keep(args)
+}
+final case class XorFilter(a: CFilter, b: CFilter) extends CFilter {
+  def keep(args: Seq[Column]): Column = a.keep(args) =!= b.keep(args)
+}
+
 // ---------------------------------------------------------------------------
 // Aggregators (Cascading `Every` + Aggregator / AggregateBy, SURVEY.md §2.4)
 // ---------------------------------------------------------------------------

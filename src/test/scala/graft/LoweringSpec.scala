@@ -74,6 +74,20 @@ class LoweringSpec extends SparkSpec {
     assert(rows(p).map(_.head) == Set(1, 4))
   }
 
+  test("And/Or/Not/Xor filter combinators compose over shared args") {
+    val gt1 = SqlFilter("num > 1")
+    val isB = RegexFilter("^b")
+    def nums(f: CFilter, args: FieldSelector = FieldSelector.All) =
+      Flow.toDF(pipe(lhs).filterBy(f, args))
+        .collect().map(_.getInt(0)).sorted.toSeq
+    assert(nums(AndFilter(gt1, SqlFilter("num < 4"))) == Seq(2, 2))
+    assert(nums(OrFilter(SqlFilter("num = 1"), SqlFilter("num = 4"))) == Seq(1, 4))
+    assert(nums(NotFilter(gt1)) == Seq(1))
+    // xor: (num > 1) != (ch starts with b) → num=4 (true,false), num=1 (false,false)→drop
+    assert(nums(XorFilter(gt1, SqlFilter("ch like 'b%'"))) == Seq(4))
+    assert(nums(isB, FieldSelector("ch")) == Seq(2, 2))
+  }
+
   test("groupBy + every aggregators") {
     val p = pipe(lhs).groupBy("num")
       .every(Aggs.count("n"), Aggs.sql("max_ch", "max(ch)"))

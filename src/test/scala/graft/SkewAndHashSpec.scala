@@ -58,6 +58,21 @@ class SkewAndHashSpec extends SparkSpec {
         .select(expr("cast(conv(substr(md5(s),1,10),16,10) as bigint)"))
         .collect().head.getLong(0))
     assert(r.getSeq[Long](1).length == 4)
+    // full kernel surface is SQL-reachable, including the aggregate form
+    val r2 = spark.sql(
+      """SELECT simhash32(split(s, ' ')) AS sh,
+        |rolling_fingerprint(split(s, ' ')) AS fp,
+        |shingles(split(s, ' '), 2) AS sg,
+        |cosine_sim(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS cs
+        |FROM ext_t""".stripMargin).collect().head
+    assert(r2.getDouble(3) == 1.0)
+    val agg = spark.sql(
+      "SELECT minhash_agg(split(s, ' '), 4) AS sig FROM ext_t")
+      .collect().head.getSeq[Long](0)
+    assert(agg.length == 4)
+    assert(agg == Seq("abc").toDF("s")
+      .select(graft.catalyst.MinHashSig(split(col("s"), " "), 4))
+      .collect().head.getSeq[Long](0))
   }
 
   test("Md5Prefix40 stays inside whole-stage codegen") {
