@@ -356,6 +356,41 @@ object Relational {
       P(dir, "lineitem")
         .averageBy(Seq("l_returnflag"), "l_quantity", "avg_qty"))(s)),
 
+    // PartitionTap round-trip under the gate: directory-per-key write, then
+    // a partition-pruned read of one key — exercises the write path AND the
+    // pruned scan end-to-end (result must equal querying the source direct)
+    "q59_partition_tap" -> ((s, dir) => {
+      val out = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_q59_ptap").toString
+      val tap = graft.sources.PartitionTap(ParquetTap(out), Seq("event_type"))
+      tap.write(Tables.events(s, dir).select(
+        col("event_id"), col("user_id"), col("value"), col("event_type")),
+        graft.sources.SinkMode.Replace)
+      tap.read(s).filter(col("event_type") === "purchase")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          expr(dsum("value")).as("sum_value"))
+    }),
+
+    // CSV (TextDelimited) round-trip under the gate: typed write+read must
+    // be value-exact (Spark renders doubles in shortest-round-trip form)
+    "q60_csv_roundtrip" -> ((s, dir) => {
+      val out = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_q60_csv").toString
+      val schema = StructType(Seq(
+        StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+        StructField("o_totalprice", DoubleType)))
+      val tap = graft.sources.CsvTap(out, delimiter = "|", header = true,
+        schema = Some(schema))
+      tap.write(Flow.toDF(
+        P(dir, "orders").retain("o_orderkey", "o_custkey", "o_totalprice"))(s),
+        graft.sources.SinkMode.Replace)
+      Flow.toDF(Pipe.source(tap)
+        .groupBy("o_custkey")
+        .every(Aggs.sql("total", dsum("o_totalprice")),
+               Aggs.count("n_orders")))(s)
+    }),
+
     // First/Last aggregators over a deterministic order (SURVEY §2.4
     // First/Last; min_by/max_by on a derived exact order value)
     "q37_firstlast" -> ((s, dir) => Flow.toDF(
@@ -536,6 +571,15 @@ object Relational {
 
     "q56_averageby" ->
       "SELECT l_returnflag, avg(l_quantity) AS avg_qty FROM lineitem GROUP BY 1",
+
+    "q59_partition_tap" ->
+      s"""SELECT event_type, count(*) AS n, ${dsum("value")} AS sum_value
+         |FROM events WHERE event_type = 'purchase' GROUP BY 1""".stripMargin,
+
+    "q60_csv_roundtrip" ->
+      s"""SELECT o_custkey, ${dsum("o_totalprice")} AS total,
+         |count(*) AS n_orders
+         |FROM orders GROUP BY 1""".stripMargin,
 
     "q37_firstlast" ->
       """SELECT o_custkey,

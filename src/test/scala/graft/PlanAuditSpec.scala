@@ -59,6 +59,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Coalesce (") && !plan.contains("SinglePartition"))
   }
 
+  test("q59: PartitionTap read is partition-pruned to the filtered key") {
+    val plan = formatted("q59_partition_tap")
+    assert(plan.contains("PartitionFilters"))
+    assert(plan.contains("event_type"))
+    // the scan must not read the partition column from data files
+    val readSchema = plan.linesIterator.find(_.startsWith("ReadSchema")).get
+    assert(!readSchema.contains("event_type"))
+  }
+
   test("q48: corpus centroid assignment is an aggregate, not a Window") {
     val plan = formatted("q48_ivf_knn")
     // max_by aggregation (partial+final) assigns nearest centroids
