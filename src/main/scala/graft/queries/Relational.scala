@@ -72,6 +72,10 @@ object Relational {
     val resultField = "span"
     val resultType: DataType = DoubleType
     val argFields: Seq[String] = Seq("o_totalprice")
+    override def bufferEncoder: org.apache.spark.sql.Encoder[(Double, Double)] =
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.Encoders.scalaDouble)
     def start: (Double, Double) = (Double.MaxValue, Double.MinValue)
     def aggregate(b: (Double, Double), args: Seq[Any]): (Double, Double) = {
       val v = args.head.asInstanceOf[Double]
