@@ -157,6 +157,20 @@ object Extensions {
       graft.functions.Skew.saltedCount(li, Seq("l_returnflag"), 16, "n")
     }),
 
+    // --- explicit salted join (skew path when AQE unavailable): result
+    // must equal the plain join ---------------------------------------------
+    "q61_salted_join" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_quantity"))
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      graft.functions.Skew.saltedJoin(li, o, "l_orderkey", "o_orderkey", 8)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          expr("cast(sum(cast(l_quantity as decimal(38,6))) as double)")
+            .as("sum_qty"))
+    }),
+
     // --- approximate distinct (HLL) — no cross-engine oracle (approx
     // algorithms differ); driver records a rows-only check ----------------
     "q42_approx_distinct" -> ((s, dir) => {
@@ -489,6 +503,12 @@ object Extensions {
 
     "q41_salted_count" ->
       "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY 1",
+
+    "q61_salted_join" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
 
     "q43_emb_neardup" ->
       s"""WITH b AS (SELECT vec_id AS id, embedding AS vec,

@@ -328,6 +328,22 @@ class LoweringSpec extends SparkSpec {
     assert(trapped.collect().map(_.getInt(0)).toSeq == Seq(2))
   }
 
+  test("key-less Buffer enforces the documented global row cap") {
+    spark.conf.set("spark.graft.buffer.globalMaxRows", "2")
+    try {
+      val p = pipe(lhs).groupBySorted(Nil, Seq("num" -> true))
+        .buffer(new CBuffer {
+          val resultFields: CFields = CFields.typed("n" -> LongType)
+          def operate(key: Seq[Any], rows: Iterator[Row]): Iterator[Seq[Any]] =
+            Iterator.single(Seq(rows.size.toLong))
+        })
+      val ex = intercept[Exception] { Flow.toDF(p).collect() }
+      def chain(t: Throwable): String =
+        if (t == null) "" else t.toString + chain(t.getCause)
+      assert(chain(ex).contains("globalMaxRows"))
+    } finally spark.conf.unset("spark.graft.buffer.globalMaxRows")
+  }
+
   test("scan buffer output is independent of the partition count") {
     // integral values: sums are exact doubles, so any partitioning must
     // reproduce the sequential prefix sums bit-for-bit
