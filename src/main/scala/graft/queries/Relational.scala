@@ -395,6 +395,21 @@ object Relational {
                Aggs.count("n_orders")))(s)
     }),
 
+    // SequenceFile (key/value Text) round-trip under the gate
+    "q62_seqfile_roundtrip" -> ((s, dir) => {
+      val out = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_q62_seq").toString
+      val tap = graft.sources.SequenceFileTap(out)
+      tap.write(Flow.toDF(
+          P(dir, "orders").retain("o_orderkey", "o_orderstatus"))(s)
+          .select(col("o_orderkey").cast("string"), col("o_orderstatus")),
+        graft.sources.SinkMode.Replace)
+      tap.read(s)
+        .groupBy(col("value").as("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("key").cast("long")).as("key_sum"))
+    }),
+
     // First/Last aggregators over a deterministic order (SURVEY §2.4
     // First/Last; min_by/max_by on a derived exact order value)
     "q37_firstlast" -> ((s, dir) => Flow.toDF(
@@ -584,6 +599,11 @@ object Relational {
       s"""SELECT o_custkey, ${dsum("o_totalprice")} AS total,
          |count(*) AS n_orders
          |FROM orders GROUP BY 1""".stripMargin,
+
+    "q62_seqfile_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders GROUP BY 1""".stripMargin,
 
     "q37_firstlast" ->
       """SELECT o_custkey,
