@@ -28,16 +28,17 @@ final class Lowering(spark: SparkSession, keepAssertions: Boolean = true) {
 
   /** Trap sinks registered during lowering. Writes are DEFERRED to flow
     * execution (`Flow.write`/`writeAll` → `flushTraps()`), not plan
-    * construction — lowering a pipe never fires an action. The split
-    * intermediates are persisted to memory-and-disk so success and trap
-    * outputs are read from one materialization (no divergence for
+    * construction — lowering a pipe never fires an action (sole exception:
+    * the scan-buffer prefix barrier, an O(partitions) stats collect). The
+    * split intermediates are persisted to memory-and-disk so success and
+    * trap outputs are read from one materialization (no divergence for
     * nondeterministic upstreams), and unpersisted once both are written. */
   private val pendingTraps = mutable.Buffer.empty[(Tap, DataFrame)]
-  private val trapIntermediates = mutable.Buffer.empty[DataFrame]
+  private val persistedIntermediates = mutable.Buffer.empty[DataFrame]
 
   private def registerTrap(tap: Tap, bad: DataFrame, intermediate: DataFrame): Unit = {
     pendingTraps += tap -> bad
-    trapIntermediates += intermediate
+    persistedIntermediates += intermediate
   }
 
   /** Write all registered trap sinks (called by Flow after the main sinks). */
@@ -48,8 +49,8 @@ final class Lowering(spark: SparkSession, keepAssertions: Boolean = true) {
 
   /** Release the persisted split intermediates (after traps are flushed). */
   def unpersistIntermediates(): Unit = {
-    trapIntermediates.foreach(_.unpersist())
-    trapIntermediates.clear()
+    persistedIntermediates.foreach(_.unpersist())
+    persistedIntermediates.clear()
   }
 
   /** Per-pipe ConfigDef properties of the enclosing `withConfig` scopes
@@ -68,9 +69,23 @@ final class Lowering(spark: SparkSession, keepAssertions: Boolean = true) {
     }
   }
 
-  /** Apply the active ConfigDef scope to a configurable operation. */
+  /** Apply the active ConfigDef scope to a configurable operation.
+    * `configure` mutates the op instance, so one instance reached from two
+    * scopes with DIFFERENT properties would silently run both branches with
+    * whichever configuration was applied last (closures serialize at action
+    * time, after all lowering). Detect that and fail with a clear message
+    * instead. */
+  private val appliedConfigs =
+    new java.util.IdentityHashMap[ConfigurableOp, Map[String, String]]()
   private def configurify(op: Any): Unit = op match {
-    case c: ConfigurableOp if activeConfig.nonEmpty => c.configure(activeConfig)
+    case c: ConfigurableOp =>
+      val prev = appliedConfigs.get(c)
+      if (prev != null && prev != activeConfig)
+        throw new IllegalStateException(
+          s"ConfigurableOp $c is shared by pipes with different withConfig " +
+            s"scopes ($prev vs $activeConfig); use one op instance per scope")
+      appliedConfigs.put(c, activeConfig)
+      if (activeConfig.nonEmpty) c.configure(activeConfig)
     case _ => ()
   }
 
@@ -501,6 +516,9 @@ final class Lowering(spark: SparkSession, keepAssertions: Boolean = true) {
       .sortWithinPartitions(sortCols: _*)
       .withColumn("__pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // released by Flow.writeAll after the sinks materialize (the emit phase
+    // below reads it, so it must outlive the flow's actions)
+    persistedIntermediates += sorted
     val pidIdx = dataSchema.length
 
     import Lowering.{ser, deser, pidRuns, stripLast}
@@ -612,12 +630,17 @@ final class Lowering(spark: SparkSession, keepAssertions: Boolean = true) {
     val l = lower(bj.left); val r = lower(bj.right)
     val lIdx = bj.leftKeys.map(k => l.columns.indexOf(k))
     val rIdx = bj.rightKeys.map(k => r.columns.indexOf(k))
-    val keyEnc = Encoders.row(bufferKeySchema(l, bj.leftKeys))
+    val keySchema = bufferKeySchema(l, bj.leftKeys)
+    val keyEnc = Encoders.row(keySchema)
     val outEnc = Encoders.row(bj.resultFields.toStruct)
     val fn = bj.b
     val li = lIdx; val ri = rIdx
-    val lg = l.groupByKey(row => Row.fromSeq(li.map(row.get)))(keyEnc)
-    val rg = r.groupByKey(row => Row.fromSeq(ri.map(row.get)))(keyEnc)
+    // Both sides' keys normalize to the LEFT key types before encoding —
+    // an int right key joins a long left key (the old Seq[Any] cogroup
+    // matched across numeric widths via cooperative equality).
+    val norm = Lowering.keyNormalizer(keySchema)
+    val lg = l.groupByKey(row => Row.fromSeq(norm(li.map(row.get))))(keyEnc)
+    val rg = r.groupByKey(row => Row.fromSeq(norm(ri.map(row.get))))(keyEnc)
     lg.cogroup(rg) { (key: Row, ls: Iterator[Row], rs: Iterator[Row]) =>
       fn(key.toSeq, ls, rs).map(Row.fromSeq)
     }(outEnc)
@@ -702,6 +725,23 @@ object Lowering {
   private[exec] def stripLast(r: Row, schema: StructType): Row =
     new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
       r.toSeq.dropRight(1).toArray, schema)
+
+  /** Normalize raw key values to the canonical key schema's numeric widths
+    * (so e.g. an int right key groups with a long left key — the typed
+    * encoder otherwise rejects the mismatched boxed type). */
+  private[exec] def keyNormalizer(schema: StructType): Seq[Any] => Seq[Any] = {
+    val convs: Array[Any => Any] = schema.fields.map[Any => Any] { f =>
+      f.dataType match {
+        case LongType    => { case n: java.lang.Number => n.longValue; case v => v }
+        case IntegerType => { case n: java.lang.Number => n.intValue; case v => v }
+        case ShortType   => { case n: java.lang.Number => n.shortValue; case v => v }
+        case DoubleType  => { case n: java.lang.Number => n.doubleValue; case v => v }
+        case FloatType   => { case n: java.lang.Number => n.floatValue; case v => v }
+        case _           => identity[Any]
+      }
+    }
+    vals => vals.zipWithIndex.map { case (v, i) => if (v == null) null else convs(i)(v) }
+  }
 }
 
 /** Flow facade: connect pipes to sinks and run — the `FlowConnector`/
@@ -728,7 +768,11 @@ object Flow {
 
   /** Lower + flush trap sinks eagerly, returning the success-side relation
     * — for callers that consume the result as a DataFrame (instead of
-    * writing it to a tap) but still need trap sinks materialized. */
+    * writing it to a tap) but still need trap sinks materialized. The
+    * returned relation reads the persisted split intermediates, so they
+    * stay cached for the session; prefer `write`/`writeAll` (which release
+    * them) for production flows, or drive a `Lowering` directly and call
+    * `unpersistIntermediates()` once the result is consumed. */
   def toDFWithTraps(p: Pipe)(implicit spark: SparkSession): DataFrame = {
     val lowering = new Lowering(spark)
     val df = lowering.lower(p)

@@ -86,15 +86,23 @@ object Multimodal {
         u8(3) == '8')
       Some(("gif", le16(6), le16(8)))
     else if (p.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
-      // walk JPEG segments to the first start-of-frame marker
+      // walk JPEG segments to the first start-of-frame marker; runs of
+      // 0xFF are fill bytes before the marker code (spec-legal padding)
       var i = 2
-      while (i + 9 < p.length) {
+      while (i < p.length - 1) {
         if (u8(i) != 0xff) return None
-        val marker = u8(i + 1)
+        var j = i
+        while (j < p.length && u8(j) == 0xff) j += 1
+        if (j >= p.length) return None
+        val marker = u8(j)
         if (marker == 0xc0 || marker == 0xc1 || marker == 0xc2)
-          return Some(("jpeg", be16(i + 7), be16(i + 5)))
-        if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd9)) i += 2
-        else i += 2 + be16(i + 2)
+          return if (j + 8 <= p.length) Some(("jpeg", be16(j + 6), be16(j + 4)))
+                 else None
+        if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd9)) i = j + 1
+        else {
+          if (j + 3 > p.length) return None
+          i = j + 1 + be16(j + 1)
+        }
       }
       None
     } else None

@@ -115,7 +115,10 @@ final case class SequenceFileTap(path: String) extends Tap {
   def write(df: DataFrame, mode: SinkMode): Unit = {
     require(df.columns.length == 2, "SequenceFileTap expects (key, value)")
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    // session's hadoop conf, not a blank one: fs.defaultFS/credentials from
+    // spark.hadoop.* must reach the Replace/Keep filesystem checks
+    val fs = p.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
     mode match {
       case SinkMode.Replace => fs.delete(p, true)
       case SinkMode.Keep if fs.exists(p) =>
@@ -161,7 +164,8 @@ final case class HadoopTap[K, V](
         "HadoopTap write requires fromRow and outputFormat")
     }
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
     mode match {
       case SinkMode.Replace => fs.delete(p, true)
       case SinkMode.Keep if fs.exists(p) =>

@@ -55,6 +55,12 @@ class FunctionsSpec extends SparkSpec {
       0x00, 0x00, 0x00).map(_.toByte)
     assert(imageDims(jpg).contains(("jpeg", 100, 80)))
     assert(imageDims("not an image".getBytes).isEmpty)
+    // fill bytes (FF runs) before a marker are spec-legal padding
+    val jpgPadded = Array[Int](
+      0xff, 0xd8,
+      0xff, 0xff, 0xff, 0xe0, 0x00, 0x04, 0x00, 0x00,
+      0xff, 0xc0, 0x00, 0x0b, 0x08, 0x00, 0x50, 0x00, 0x64, 0x01).map(_.toByte)
+    assert(imageDims(jpgPadded).contains(("jpeg", 100, 80)))
     // DataFrame plumbing: nulls for unrecognized payloads
     val df = Seq((1L, png), (2L, "junk".getBytes)).toDF("doc_id", "payload")
     val meta = Multimodal.withImageMeta(df, "doc_id", "payload")

@@ -233,6 +233,32 @@ class LoweringSpec extends SparkSpec {
     assert(lowering.lower(b).count() == 3)
   }
 
+  test("bufferJoin matches keys across numeric widths (int vs long)") {
+    val left = Seq((1, "a"), (2, "b")).toDF("k", "v")              // int key
+    val right = Seq((1L, 10.0), (1L, 11.0), (3L, 30.0)).toDF("k2", "x") // long key
+    val p = pipe(left).bufferJoin(Seq("k"), pipe(right), Seq("k2"),
+      CFields.typed("k" -> IntegerType, "nl" -> IntegerType, "nr" -> IntegerType),
+      (key, ls, rs) => Iterator.single(Seq(key.head, ls.size, rs.size)))
+    val got = Flow.toDF(p).collect().map(_.toSeq).toSet
+    assert(got == Set(Seq(1, 1, 2), Seq(2, 1, 0), Seq(3, 0, 1)))
+  }
+
+  test("sharing one ConfigurableOp across different config scopes fails fast") {
+    val f = new CFilter with ConfigurableOp {
+      private var min = 0
+      def configure(props: Map[String, String]): Unit =
+        min = props.getOrElse("min", "0").toInt
+      def keep(args: Seq[org.apache.spark.sql.Column]) =
+        args.head >= org.apache.spark.sql.functions.lit(min)
+    }
+    val a = pipe(lhs).filterBy(f, FieldSelector("num")).withConfig("min" -> "1")
+    val b = pipe(lhs).filterBy(f, FieldSelector("num")).withConfig("min" -> "3")
+    val lowering = new graft.exec.Lowering(spark)
+    lowering.lower(a)
+    val ex = intercept[IllegalStateException] { lowering.lower(b) }
+    assert(ex.getMessage.contains("different withConfig"))
+  }
+
   test("trap diverts failing rows instead of failing the job") {
     val dir = java.nio.file.Files.createTempDirectory("trap").toString
     val fn = new CRowFunction {

@@ -70,8 +70,8 @@ class PlanAuditSpec extends SparkSpec {
 
   test("q48: corpus centroid assignment is an aggregate, not a Window") {
     val plan = formatted("q48_ivf_knn")
-    // max_by aggregation (partial+final) assigns nearest centroids
-    assert(plan.contains("max_by"))
+    // min_by aggregation (partial+final) assigns nearest centroids
+    assert(plan.contains("min_by"))
     assert(plan.contains("HashAggregate") || plan.contains("SortAggregate") ||
       plan.contains("ObjectHashAggregate"))
     // exactly 2 Window nodes remain: probe (query-side) top-n and final
