@@ -56,8 +56,9 @@ final class Lowering(spark: SparkSession, keepAssertions: Boolean = true) {
   /** Per-pipe ConfigDef properties of the enclosing `withConfig` scopes
     * (merged innermost-last). Scoped to the subtree being translated —
     * pipes lowered under a non-empty config are NOT memoized, because the
-    * same pipe object reached from another branch without the config must
-    * lower without it. */
+    * same pipe/tap object reached from another branch without the config
+    * must lower without it. (Taps and pipes are safely shareable across
+    * scopes; a mutable ConfigurableOp INSTANCE is not — see configurify.) */
   private var activeConfig: Map[String, String] = Map.empty
 
   def lower(p: Pipe): DataFrame = {
@@ -80,10 +81,13 @@ final class Lowering(spark: SparkSession, keepAssertions: Boolean = true) {
   private def configurify(op: Any): Unit = op match {
     case c: ConfigurableOp =>
       val prev = appliedConfigs.get(c)
-      if (prev != null && prev != activeConfig)
+      if (prev != null && prev != activeConfig) {
+        def show(m: Map[String, String]) = if (m.isEmpty) "no config" else m.toString
         throw new IllegalStateException(
-          s"ConfigurableOp $c is shared by pipes with different withConfig " +
-            s"scopes ($prev vs $activeConfig); use one op instance per scope")
+          s"ConfigurableOp $c is shared by pipes under different ConfigDef " +
+            s"scopes (${show(prev)} vs ${show(activeConfig)}); " +
+            "use one op instance per scope")
+      }
       appliedConfigs.put(c, activeConfig)
       if (activeConfig.nonEmpty) c.configure(activeConfig)
     case _ => ()
@@ -615,10 +619,28 @@ final class Lowering(spark: SparkSession, keepAssertions: Boolean = true) {
 
   /** Canonical key schema for the grouped-join paths: field names are
     * positional (`k0, k1, …`) so left/right key structs encode identically
-    * regardless of their source column names. */
-  private def bufferKeySchema(df: DataFrame, keys: Seq[String]): StructType =
-    StructType(keys.zipWithIndex.map { case (k, i) =>
-      StructField(s"k$i", df.schema(k).dataType, nullable = true) })
+    * regardless of their source column names. Numeric key types WIDEN to
+    * the larger of the two sides (int⋈long groups as long — widening is
+    * injective, so distinct keys can never collide; narrowing could merge
+    * e.g. 2^32+1 with 1). Non-numeric types must match exactly. */
+  private def bufferKeySchema(sides: Seq[(DataFrame, Seq[String])]): StructType = {
+    val typesPerSide = sides.map { case (df, ks) => ks.map(df.schema(_).dataType) }
+    val arity = typesPerSide.head.length
+    require(typesPerSide.forall(_.length == arity), "join key arity mismatch")
+    val fields = (0 until arity).map { i =>
+      val ts = typesPerSide.map(_(i)).distinct
+      val t = ts.reduce { (a, b) =>
+        (Lowering.numericRank(a), Lowering.numericRank(b)) match {
+          case (x, y) if x >= 0 && y >= 0 => if (x >= y) a else b
+          case _ =>
+            require(a == b, s"incompatible join key types at position $i: $a vs $b")
+            a
+        }
+      }
+      StructField(s"k$i", t, nullable = true)
+    }
+    StructType(fields)
+  }
 
   /** BufferJoin → typed `KeyValueGroupedDataset.cogroup` (per-input
     * iterators per key). Stays in Tungsten end-to-end: rows shuffle as
@@ -628,19 +650,19 @@ final class Lowering(spark: SparkSession, keepAssertions: Boolean = true) {
     * hand-rolled GZip spill lists (`SpillingTupleCollectionFactory.java:40-49`). */
   private def lowerBufferJoin(bj: BufferJoinPipe): DataFrame = {
     val l = lower(bj.left); val r = lower(bj.right)
-    val lIdx = bj.leftKeys.map(k => l.columns.indexOf(k))
-    val rIdx = bj.rightKeys.map(k => r.columns.indexOf(k))
-    val keySchema = bufferKeySchema(l, bj.leftKeys)
+    val keySchema = bufferKeySchema(Seq(l -> bj.leftKeys, r -> bj.rightKeys))
     val keyEnc = Encoders.row(keySchema)
     val outEnc = Encoders.row(bj.resultFields.toStruct)
     val fn = bj.b
-    val li = lIdx; val ri = rIdx
-    // Both sides' keys normalize to the LEFT key types before encoding —
-    // an int right key joins a long left key (the old Seq[Any] cogroup
-    // matched across numeric widths via cooperative equality).
-    val norm = Lowering.keyNormalizer(keySchema)
-    val lg = l.groupByKey(row => Row.fromSeq(norm(li.map(row.get))))(keyEnc)
-    val rg = r.groupByKey(row => Row.fromSeq(norm(ri.map(row.get))))(keyEnc)
+    // Both sides' keys widen to the canonical schema before encoding — an
+    // int right key joins a long left key (the old Seq[Any] cogroup matched
+    // across numeric widths via cooperative equality).
+    val lKey = Lowering.keyExtractor(
+      bj.leftKeys.map(k => l.columns.indexOf(k)).toArray, keySchema)
+    val rKey = Lowering.keyExtractor(
+      bj.rightKeys.map(k => r.columns.indexOf(k)).toArray, keySchema)
+    val lg = l.groupByKey(lKey)(keyEnc)
+    val rg = r.groupByKey(rKey)(keyEnc)
     lg.cogroup(rg) { (key: Row, ls: Iterator[Row], rs: Iterator[Row]) =>
       fn(key.toSeq, ls, rs).map(Row.fromSeq)
     }(outEnc)
@@ -659,7 +681,7 @@ final class Lowering(spark: SparkSession, keepAssertions: Boolean = true) {
       s"bufferJoinN supports 3 or 4 inputs, got ${all.length}")
     val dfs = all.map { case (p, _) => lower(p) }
     val n = dfs.length
-    val keySchema = bufferKeySchema(dfs.head, all.head._2)
+    val keySchema = bufferKeySchema(dfs.indices.map(i => dfs(i) -> all(i)._2))
     val tagged = dfs.zipWithIndex.map { case (df, i) =>
       val keys = all(i)._2
       val keyCol = struct(keys.zipWithIndex.map { case (k, j) =>
@@ -726,21 +748,39 @@ object Lowering {
     new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
       r.toSeq.dropRight(1).toArray, schema)
 
-  /** Normalize raw key values to the canonical key schema's numeric widths
-    * (so e.g. an int right key groups with a long left key — the typed
-    * encoder otherwise rejects the mismatched boxed type). */
-  private[exec] def keyNormalizer(schema: StructType): Seq[Any] => Seq[Any] = {
+  /** Widening precedence of numeric key types (-1 = non-numeric). */
+  private[exec] def numericRank(t: DataType): Int = t match {
+    case ByteType => 0; case ShortType => 1; case IntegerType => 2
+    case LongType => 3; case FloatType => 4; case DoubleType => 5
+    case _ => -1
+  }
+
+  /** Row → canonical key Row for the cogroup paths: extracts the key
+    * ordinals and widens boxed numerics to the canonical schema's types in
+    * one indexed pass (this runs once per row on the shuffle hot path —
+    * single array allocation, no intermediate collections). */
+  private[exec] def keyExtractor(idx: Array[Int], schema: StructType): Row => Row = {
     val convs: Array[Any => Any] = schema.fields.map[Any => Any] { f =>
       f.dataType match {
         case LongType    => { case n: java.lang.Number => n.longValue; case v => v }
         case IntegerType => { case n: java.lang.Number => n.intValue; case v => v }
         case ShortType   => { case n: java.lang.Number => n.shortValue; case v => v }
+        case ByteType    => { case n: java.lang.Number => n.byteValue; case v => v }
         case DoubleType  => { case n: java.lang.Number => n.doubleValue; case v => v }
         case FloatType   => { case n: java.lang.Number => n.floatValue; case v => v }
         case _           => identity[Any]
       }
     }
-    vals => vals.zipWithIndex.map { case (v, i) => if (v == null) null else convs(i)(v) }
+    row => {
+      val arr = new Array[Any](idx.length)
+      var i = 0
+      while (i < idx.length) {
+        val v = row.get(idx(i))
+        arr(i) = if (v == null) null else convs(i)(v)
+        i += 1
+      }
+      Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(arr))
+    }
   }
 }
 
@@ -778,5 +818,16 @@ object Flow {
     val df = lowering.lower(p)
     lowering.flushTraps()
     df
+  }
+
+  /** Execute ONLY the trap side of a flow: lower, write the trap sinks, and
+    * release every persisted intermediate. For callers that consume the
+    * trap output (already durable in its taps) rather than the success
+    * relation. */
+  def materializeTraps(p: Pipe)(implicit spark: SparkSession): Unit = {
+    val lowering = new Lowering(spark)
+    lowering.lower(p)
+    lowering.flushTraps()
+    lowering.unpersistIntermediates()
   }
 }

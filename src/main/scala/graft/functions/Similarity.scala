@@ -106,19 +106,24 @@ object Similarity {
         .select(col(id), col(vec), col("cent_id").as(as))
     }
     // Inverted lists: nearest centroid per corpus vector. This side is the
-    // whole corpus, so it uses min_by over (-sim, cent_id) — an aggregate
-    // with map-side partial aggregation — instead of a Window, which would
-    // sort-shuffle all N×nlist scored rows keyed by vector id. Tie-break
-    // (sim desc, cent_id asc) matches the Window/oracle form exactly, and
-    // negating the (always-numeric) similarity rather than the id keeps
-    // non-numeric id columns working.
+    // whole corpus, so it uses min_by over an inverted sort key — an
+    // aggregate with map-side partial aggregation — instead of a Window,
+    // which would sort-shuffle all N×nlist scored rows keyed by vector id.
+    // The key inverts the similarity so (asc min_by) == (Window sim desc,
+    // cent_id asc), with the desc ordering's edge cases preserved: NaN sims
+    // sort first (mapped to -∞) and null sims last (mapped to +∞), exactly
+    // like desc_nulls_last — negating alone would misplace both.
+    val sim = cosine(col("nn_vec"), col("cent_vec"))
+    val invKey = coalesce(
+      when(isnan(sim), lit(Double.NegativeInfinity)).otherwise(-sim),
+      lit(Double.PositiveInfinity))
     val lists = corpus
       .select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec"))
       .crossJoin(broadcast(cents))
       .groupBy(col("nn_id"))
       .agg(min_by(
         struct(col("nn_vec"), col("cent_id")),
-        struct(-cosine(col("nn_vec"), col("cent_vec")), col("cent_id"))).as("__best"))
+        struct(invKey, col("cent_id"))).as("__best"))
       .select(col("nn_id"), col("__best.nn_vec").as("nn_vec"),
         col("__best.cent_id").as("cent"))
     val probes = assign(

@@ -160,7 +160,10 @@ sealed trait Pipe {
     * Properties apply to THIS pipe's subtree only: source taps in scope
     * receive them as reader options, and operations implementing
     * [[ConfigurableOp]] get `configure(props)` before lowering. Another
-    * branch of the same flow sees none of them. */
+    * branch of the same flow sees none of them — taps and pipes may be
+    * shared freely across scopes, but a ConfigurableOp INSTANCE belongs to
+    * one scope (`configure` mutates it; the lowering fails fast if one
+    * instance is reached from scopes with different properties). */
   def withConfig(props: (String, String)*): Pipe = ConfigDefPipe(this, props.toMap)
 }
 

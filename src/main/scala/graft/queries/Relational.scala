@@ -316,22 +316,18 @@ object Relational {
     "q52_trap" -> ((s, dir) => {
       // ANSI on only while the trap flow is built+run (the div-by-zero must
       // throw, not null out); restored so later queries in the shared
-      // session see their original semantics. The lowering is built and its
-      // traps flushed explicitly so the persisted split intermediate can be
-      // released here — the returned relation reads the trap PARQUET.
+      // session see their original semantics. materializeTraps writes the
+      // trap sink and releases the split intermediate — the returned
+      // relation reads the trap PARQUET.
       val prevAnsi = s.conf.get("spark.sql.ansi.enabled")
       val trapPath = new java.io.File(
         System.getProperty("java.io.tmpdir"), "graft_trap_q52").toString
       try {
         s.conf.set("spark.sql.ansi.enabled", "true")
-        val p = P(dir, "documents").retain("doc_id")
+        Flow.materializeTraps(P(dir, "documents").retain("doc_id")
           .each(ExpressionFunction("septile", "doc_id div (doc_id % 7)", LongType),
             args = FieldSelector.All, out = FieldSelector.All,
-            trap = Some(ParquetTap(trapPath)))
-        val lowering = new graft.exec.Lowering(s)
-        lowering.lower(p)
-        lowering.flushTraps()
-        lowering.unpersistIntermediates()
+            trap = Some(ParquetTap(trapPath))))(s)
       } finally s.conf.set("spark.sql.ansi.enabled", prevAnsi)
       s.read.parquet(trapPath).select(col("doc_id"))
     }),

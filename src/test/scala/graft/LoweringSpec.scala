@@ -233,14 +233,23 @@ class LoweringSpec extends SparkSpec {
     assert(lowering.lower(b).count() == 3)
   }
 
-  test("bufferJoin matches keys across numeric widths (int vs long)") {
+  test("bufferJoin widens keys across numeric widths (int vs long)") {
     val left = Seq((1, "a"), (2, "b")).toDF("k", "v")              // int key
     val right = Seq((1L, 10.0), (1L, 11.0), (3L, 30.0)).toDF("k2", "x") // long key
+    // keys widen to the larger side (long); narrowing could merge 2^32+1
+    // with 1, widening cannot collide
     val p = pipe(left).bufferJoin(Seq("k"), pipe(right), Seq("k2"),
-      CFields.typed("k" -> IntegerType, "nl" -> IntegerType, "nr" -> IntegerType),
+      CFields.typed("k" -> LongType, "nl" -> IntegerType, "nr" -> IntegerType),
       (key, ls, rs) => Iterator.single(Seq(key.head, ls.size, rs.size)))
     val got = Flow.toDF(p).collect().map(_.toSeq).toSet
-    assert(got == Set(Seq(1, 1, 2), Seq(2, 1, 0), Seq(3, 0, 1)))
+    assert(got == Set(Seq(1L, 1, 2), Seq(2L, 1, 0), Seq(3L, 0, 1)))
+    // distinct long keys that collide mod 2^32 must stay distinct
+    val r2 = Seq((4294967297L, 1.0)).toDF("k2", "x")
+    val p2 = pipe(left).bufferJoin(Seq("k"), pipe(r2), Seq("k2"),
+      CFields.typed("k" -> LongType, "nl" -> IntegerType, "nr" -> IntegerType),
+      (key, ls, rs) => Iterator.single(Seq(key.head, ls.size, rs.size)))
+    val got2 = Flow.toDF(p2).collect().map(_.toSeq).toSet
+    assert(got2 == Set(Seq(1L, 1, 0), Seq(2L, 1, 0), Seq(4294967297L, 0, 1)))
   }
 
   test("sharing one ConfigurableOp across different config scopes fails fast") {
@@ -256,7 +265,7 @@ class LoweringSpec extends SparkSpec {
     val lowering = new graft.exec.Lowering(spark)
     lowering.lower(a)
     val ex = intercept[IllegalStateException] { lowering.lower(b) }
-    assert(ex.getMessage.contains("different withConfig"))
+    assert(ex.getMessage.contains("different ConfigDef scopes"))
   }
 
   test("trap diverts failing rows instead of failing the job") {
