@@ -195,6 +195,21 @@ final class Lowering(spark: SparkSession, keepAssertions: Boolean = true) {
 
     case PersistPipe(prev) => lower(prev).persist()
 
+    case CheckpointPipe(prev, tapOpt) =>
+      val df = lower(prev)
+      tapOpt match {
+        // durable checkpoint: write to the tap and read the copy back —
+        // downstream sees the tap's relation (restartable, like Cascading's
+        // checkpoint tap; the write is an action at lowering by design,
+        // mirroring Checkpoint's materialization-barrier semantics)
+        case Some(tap) =>
+          tap.write(df, SinkMode.Replace)
+          tap.read(spark)
+        // lineage truncation only: lazy localCheckpoint (materializes on
+        // first action, blocks stay on executors)
+        case None => df.localCheckpoint(false)
+      }
+
     case AssertPipe(prev, pred, message) =>
       val df = lower(prev)
       if (!keepAssertions) df

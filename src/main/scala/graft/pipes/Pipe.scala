@@ -154,6 +154,14 @@ sealed trait Pipe {
     * `flinkMemo` reuse, which Spark only gives within one action). */
   def persist(): Pipe = PersistPipe(this)
 
+  /** Cascading `Checkpoint`: force an intermediate materialization point.
+    * The reference supports checkpoint taps implicitly (it deletes their
+    * data on REPLACE start, `planner/FlinkFlow.java:98`). With a tap, the
+    * intermediate is written there at flow execution and downstream reads
+    * the durable copy (restartable); without one, the plan lineage is
+    * truncated via a lazy `localCheckpoint` (blocks live on executors). */
+  def checkpoint(tap: Option[Tap] = None): Pipe = CheckpointPipe(this, tap)
+
   /** Per-pipe configuration — the analogue of Cascading `ConfigDef`
     * properties, which the reference propagates into each node's runtime
     * config (`FlinkConfigDefScheme.java:32-106` validates exactly this).
@@ -248,6 +256,7 @@ final case class AssertPipe(prev: Pipe, sqlPredicate: String,
                             message: String) extends Pipe
 final case class DebugPipe(prev: Pipe, prefix: String, n: Int) extends Pipe
 final case class PersistPipe(prev: Pipe) extends Pipe
+final case class CheckpointPipe(prev: Pipe, tap: Option[Tap]) extends Pipe
 
 object Pipe {
   def source(tap: Tap, name: String = "source"): Pipe = SourcePipe(tap, name)

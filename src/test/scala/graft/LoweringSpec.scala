@@ -407,6 +407,22 @@ class LoweringSpec extends SparkSpec {
     }
   }
 
+  test("checkpoint: tap form round-trips durably; tapless truncates lineage") {
+    val dir = java.nio.file.Files.createTempDirectory("ckpt").toString
+    val tap = graft.sources.ParquetTap(s"$dir/ck")
+    val p = pipe(lhs).filterBy(SqlFilter("num > 1")).checkpoint(Some(tap))
+      .groupBy("num").every(Aggs.count("n"))
+    val got = Flow.toDF(p).collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == Map(2 -> 2L, 4 -> 1L))
+    // the checkpoint tap holds the durable intermediate
+    assert(spark.read.parquet(s"$dir/ck").count() == 3)
+    // tapless: lineage truncated (plan becomes a scan of checkpointed blocks)
+    val ck = Flow.toDF(pipe(lhs).checkpoint())
+    assert(ck.count() == 4)
+    assert(ck.queryExecution.optimizedPlan.collectLeaves()
+      .forall(!_.toString.contains("DataFrameTap")))
+  }
+
   test("debug pipe passes rows through; persist marks the plan cached") {
     val p = pipe(lhs).debug("t", 2)
     assert(Flow.toDF(p).count() == 4)
