@@ -1,6 +1,28 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Headline benchmark. Prints ONE JSON line (also the final stdout line)
+  * with the per-query minima plus the raw evidence needed to tell a slow
+  * plan from a contended box: per-pass raw times, /proc/loadavg at start
+  * and end, and a per-query spread flag (max/min of the timed passes).
+  * A run where flagged queries exist (spread > SPREAD_FLAG_RATIO) is
+  * self-evidently noisy — compare the minima, not the total, and re-run.
+  *
+  * Env knobs: SPARK_GRAFT_SF_DIR (data), SPARK_GRAFT_CPUS,
+  * SPARK_GRAFT_BENCH_PASSES (default 3), SPARK_GRAFT_BENCH_OUT (file copy
+  * of the JSON), SPARK_GRAFT_BENCH_ONLY (comma-separated query-name
+  * prefixes to run a subset, e.g. "q06,q01").
+  */
 object Bench {
+  private val SPREAD_FLAG_RATIO = 3.0
+
+  private def loadavg(): Seq[Double] =
+    try {
+      val s = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")))
+      s.trim.split("\\s+").take(3).toSeq.map(_.toDouble)
+    } catch { case _: Throwable => Seq.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -13,8 +35,6 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm-up pass at the smallest SF: JIT + codegen + catalog caches, so
-    // the timed pass measures the queries, not JVM cold start.
     // noop-format write: evaluates every output expression. A count() lets
     // Catalyst prune projection-only queries down to a row count, which
     // would under-measure the scan+compute work.
@@ -32,10 +52,18 @@ object Bench {
     //    reproducible cost of the plan.
     //  - caches cleared between passes so queries are measured
     //    independently, not in accumulation order.
+    //  - per-pass raw times + loadavg + spread flags are RECORDED in the
+    //    output so a contended run cannot masquerade as a regression.
     val warmDir = "/root/testdata/sf0.001"
     val canWarm = new java.io.File(warmDir).isDirectory
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val selected = SparkEntry.queries.filter { case (name, _) =>
+      only.forall(_.exists(name.startsWith))
+    }
+    val loadStart = loadavg()
+    val results = selected.map { case (name, fn) =>
       if (canWarm) { try run(fn, warmDir) catch { case _: Throwable => () } }
       val times = (1 to passes).map { _ =>
         spark.catalog.clearCache()
@@ -43,22 +71,35 @@ object Bench {
         try run(fn, sfDir) catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      name -> times
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val loadEnd = loadavg()
+    def fmt(d: Double) = f"$d%.4f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v.min) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val raw = results.map { case (k, v) =>
+      "\"" + k + "\":[" + v.map(fmt).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val flagged = results.collect {
+      case (k, v) if v.min > 0.05 && v.max / v.min > SPREAD_FLAG_RATIO => k
+    }.toSeq
+    val total = results.values.map(_.min).sum
+    def arr(xs: Seq[Double]) = xs.map(fmt).mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec"""" +
+      s""","queries":$qs,"sf":"$sfDir","passes":$passes,"raw_passes":$raw""" +
+      s""","loadavg_start":${arr(loadStart)},"loadavg_end":${arr(loadEnd)}""" +
+      s""","spread_flagged":${flagged.map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
+      s""","contended":${flagged.nonEmpty}}"""
     // The driver scrapes the sbt log tail, which interleaves Spark logging
-    // with our output. Emit to a dedicated file when requested, and always
-    // print with a unique marker prefix on its own line so a log-tail parser
-    // can anchor on it.
+    // with our output. Emit to a dedicated file when requested, print with a
+    // unique marker prefix a log-tail parser can anchor on, and make the
+    // bare JSON the FINAL stdout line.
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { out =>
       java.nio.file.Files.write(java.nio.file.Paths.get(out),
         json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
     println(s"GRAFT_BENCH_JSON $json")
-    println(json)
     spark.stop()
+    println(json)
   }
 }

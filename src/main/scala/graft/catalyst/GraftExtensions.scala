@@ -19,8 +19,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
-  private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[Md5Prefix40].getName, null, name, usage, "")
+  private def info(clazz: Class[_], name: String, usage: String) =
+    new ExpressionInfo(clazz.getName, null, name, usage, "")
 
   private def intLit(e: Expression, what: String): Int = e match {
     case Literal(v: Int, _) => v
@@ -31,20 +31,20 @@ object GraftExtensions {
   val md5Prefix40Desc: (FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression) =
     (FunctionIdentifier("md5_prefix40"),
-      info("md5_prefix40", "_FUNC_(str) - 40-bit md5-prefix hash as bigint"),
+      info(classOf[Md5Prefix40], "md5_prefix40", "_FUNC_(str) - 40-bit md5-prefix hash as bigint"),
       (exprs: Seq[Expression]) => Md5Prefix40(exprs.head))
 
   val minhashSigDesc: (FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression) =
     (FunctionIdentifier("minhash_sig"),
-      info("minhash_sig", "_FUNC_(tokens, k) - k-component MinHash signature"),
+      info(classOf[MinHashSig], "minhash_sig", "_FUNC_(tokens, k) - k-component MinHash signature"),
       (exprs: Seq[Expression]) =>
         MinHashSig(exprs.head, intLit(exprs(1), "minhash_sig k")))
 
   val minhashAggDesc: (FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression) =
     (FunctionIdentifier("minhash_agg"),
-      info("minhash_agg",
+      info(classOf[MinHashAgg], "minhash_agg",
         "_FUNC_(tokens, k) - group-level MinHash signature (aggregate)"),
       (exprs: Seq[Expression]) =>
         MinHashAgg(exprs.head, intLit(exprs(1), "minhash_agg k"))
@@ -53,27 +53,27 @@ object GraftExtensions {
   val simhash32Desc: (FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression) =
     (FunctionIdentifier("simhash32"),
-      info("simhash32", "_FUNC_(tokens) - 32-bit SimHash of the token multiset"),
+      info(classOf[SimHash32], "simhash32", "_FUNC_(tokens) - 32-bit SimHash of the token multiset"),
       (exprs: Seq[Expression]) => SimHash32(exprs.head))
 
   val rollingFingerprintDesc: (FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression) =
     (FunctionIdentifier("rolling_fingerprint"),
-      info("rolling_fingerprint",
+      info(classOf[RollingFingerprint], "rolling_fingerprint",
         "_FUNC_(tokens) - positional rolling-hash fingerprint mod 1e9+7"),
       (exprs: Seq[Expression]) => RollingFingerprint(exprs.head))
 
   val shinglesDesc: (FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression) =
     (FunctionIdentifier("shingles"),
-      info("shingles", "_FUNC_(tokens, n) - word n-gram shingles"),
+      info(classOf[Shingles], "shingles", "_FUNC_(tokens, n) - word n-gram shingles"),
       (exprs: Seq[Expression]) =>
         Shingles(exprs.head, intLit(exprs(1), "shingles n")))
 
   val cosineSimDesc: (FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression) =
     (FunctionIdentifier("cosine_sim"),
-      info("cosine_sim", "_FUNC_(a, b) - cosine similarity of float arrays"),
+      info(classOf[CosineSim], "cosine_sim", "_FUNC_(a, b) - cosine similarity of float arrays"),
       (exprs: Seq[Expression]) => CosineSim(exprs.head, exprs(1)))
 
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =

@@ -24,12 +24,26 @@ import graft.sources.{SinkMode, Tap}
 final class Lowering(spark: SparkSession, keepAssertions: Boolean = true) {
   import FieldSelector._
 
-  private val memo = new java.util.IdentityHashMap[Pipe, DataFrame]()
+  /** Memo key: pipe IDENTITY (pipes are case classes; two structurally equal
+    * pipes from different graph positions must not unify) × the active
+    * ConfigDef scope — a diamond inside one `withConfig` scope lowers once,
+    * while the same pipe reached from another branch without the config
+    * still lowers separately. */
+  private final class MemoKey(val p: Pipe, val config: Map[String, String]) {
+    override def hashCode: Int = System.identityHashCode(p) * 31 + config.hashCode
+    override def equals(o: Any): Boolean = o match {
+      case k: MemoKey => (k.p eq p) && k.config == config
+      case _          => false
+    }
+  }
+  private val memo = mutable.HashMap.empty[MemoKey, DataFrame]
 
   /** Trap sinks registered during lowering. Writes are DEFERRED to flow
     * execution (`Flow.write`/`writeAll` → `flushTraps()`), not plan
-    * construction — lowering a pipe never fires an action (sole exception:
-    * the scan-buffer prefix barrier, an O(partitions) stats collect). The
+    * construction — lowering a pipe never fires an action (two documented
+    * exceptions: the scan-buffer prefix barrier, an O(partitions) stats
+    * collect, and a DURABLE `checkpoint(tap)`, whose write IS the
+    * materialization barrier — see CheckpointPipe below). The
     * split intermediates are persisted to memory-and-disk so success and
     * trap outputs are read from one materialization (no divergence for
     * nondeterministic upstreams), and unpersisted once both are written. */
@@ -54,19 +68,19 @@ final class Lowering(spark: SparkSession, keepAssertions: Boolean = true) {
   }
 
   /** Per-pipe ConfigDef properties of the enclosing `withConfig` scopes
-    * (merged innermost-last). Scoped to the subtree being translated —
-    * pipes lowered under a non-empty config are NOT memoized, because the
-    * same pipe/tap object reached from another branch without the config
-    * must lower without it. (Taps and pipes are safely shareable across
-    * scopes; a mutable ConfigurableOp INSTANCE is not — see configurify.) */
+    * (merged innermost-last). Scoped to the subtree being translated;
+    * memoization is per (pipe identity, activeConfig), so the same pipe
+    * object reached from another branch without the config lowers
+    * separately, while a diamond within ONE scope still lowers once.
+    * (Taps and pipes are safely shareable across scopes; a mutable
+    * ConfigurableOp INSTANCE is not — see configurify.) */
   private var activeConfig: Map[String, String] = Map.empty
 
   def lower(p: Pipe): DataFrame = {
-    if (activeConfig.nonEmpty) translate(p)
-    else {
-      val hit = memo.get(p)
-      if (hit != null) hit
-      else { val df = translate(p); memo.put(p, df); df }
+    val key = new MemoKey(p, activeConfig)
+    memo.get(key) match {
+      case Some(df) => df
+      case None     => val df = translate(p); memo.put(key, df); df
     }
   }
 
@@ -635,21 +649,33 @@ final class Lowering(spark: SparkSession, keepAssertions: Boolean = true) {
   /** Canonical key schema for the grouped-join paths: field names are
     * positional (`k0, k1, …`) so left/right key structs encode identically
     * regardless of their source column names. Numeric key types WIDEN to
-    * the larger of the two sides (int⋈long groups as long — widening is
-    * injective, so distinct keys can never collide; narrowing could merge
-    * e.g. 2^32+1 with 1). Non-numeric types must match exactly. */
+    * the larger of the two sides ONLY within a family where widening is
+    * injective: integral→integral (byte<short<int<long) and float→double.
+    * Integral-vs-fractional pairs are REJECTED — long→float collides all
+    * distinct keys ≥2^24 and long→double those ≥2^53, silently merging
+    * groups — the caller must cast one side explicitly (e.g. both to
+    * decimal(20,0)). Non-numeric types must match exactly. */
   private def bufferKeySchema(sides: Seq[(DataFrame, Seq[String])]): StructType = {
     val typesPerSide = sides.map { case (df, ks) => ks.map(df.schema(_).dataType) }
     val arity = typesPerSide.head.length
     require(typesPerSide.forall(_.length == arity), "join key arity mismatch")
+    def integral(r: Int) = r >= 0 && r <= 3
+    def fractional(r: Int) = r == 4 || r == 5
     val fields = (0 until arity).map { i =>
       val ts = typesPerSide.map(_(i)).distinct
       val t = ts.reduce { (a, b) =>
-        (Lowering.numericRank(a), Lowering.numericRank(b)) match {
-          case (x, y) if x >= 0 && y >= 0 => if (x >= y) a else b
-          case _ =>
-            require(a == b, s"incompatible join key types at position $i: $a vs $b")
-            a
+        val (x, y) = (Lowering.numericRank(a), Lowering.numericRank(b))
+        if ((integral(x) && integral(y)) || (fractional(x) && fractional(y)))
+          (if (x >= y) a else b)
+        else if (x >= 0 && y >= 0)
+          throw new IllegalArgumentException(
+            s"join key position $i mixes integral and fractional types ($a vs $b): " +
+              "integral->fractional promotion is lossy (distinct long keys >= 2^24 " +
+              "collide as float, >= 2^53 as double) and would silently merge groups " +
+              "- cast one side explicitly (e.g. both keys to DECIMAL(20,0))")
+        else {
+          require(a == b, s"incompatible join key types at position $i: $a vs $b")
+          a
         }
       }
       StructField(s"k$i", t, nullable = true)
@@ -802,6 +828,11 @@ object Lowering {
 /** Flow facade: connect pipes to sinks and run — the `FlowConnector`/
   * `Flow.complete()` surface (`FlinkConnector.java:84-87`). */
 object Flow {
+  /** Plan construction only — no actions fire and no trap sinks are
+    * written, with two documented exceptions that are actions by their own
+    * semantics: a `scan` buffer's O(partitions) prefix barrier, and a
+    * durable `checkpoint(tap)`, which writes the tap during lowering (its
+    * write IS the restart barrier downstream reads from). */
   def toDF(p: Pipe)(implicit spark: SparkSession): DataFrame =
     new Lowering(spark).lower(p)
 
@@ -812,13 +843,17 @@ object Flow {
   /** Multi-sink flow: lowers the shared DAG once (memoized splits). Trap
     * sinks registered during lowering are written AFTER the main sinks —
     * this is the flow-execution point the reference's `Flow.complete()`
-    * marks; nothing is written at plan-construction time — then the split
-    * intermediates are released. */
+    * marks — then the split intermediates are released. Failure policy: if
+    * any main sink write throws, trap sinks are NOT written (the flow
+    * failed; partial trap output beside incomplete success sinks would
+    * read as a completed flow) but the persisted intermediates ARE always
+    * released, so a failed flow leaves nothing cached behind. */
   def writeAll(sinks: Seq[(Pipe, Tap, SinkMode)])(implicit spark: SparkSession): Unit = {
     val lowering = new Lowering(spark)
-    sinks.foreach { case (p, t, m) => t.write(lowering.lower(p), m) }
-    lowering.flushTraps()
-    lowering.unpersistIntermediates()
+    try {
+      sinks.foreach { case (p, t, m) => t.write(lowering.lower(p), m) }
+      lowering.flushTraps()
+    } finally lowering.unpersistIntermediates()
   }
 
   /** Lower + flush trap sinks eagerly, returning the success-side relation

@@ -252,6 +252,44 @@ class LoweringSpec extends SparkSpec {
     assert(got2 == Set(Seq(1L, 1, 0), Seq(2L, 1, 0), Seq(4294967297L, 0, 1)))
   }
 
+  test("bufferJoin rejects integral-vs-fractional key pairs (lossy promotion)") {
+    // long >= 2^24 collides as float, >= 2^53 as double — auto-widening
+    // across the integral/fractional boundary would silently merge groups
+    val left = Seq((1L, "a")).toDF("k", "v")
+    val right = Seq((1.0f, "b")).toDF("k2", "w")
+    val p = pipe(left).bufferJoin(Seq("k"), pipe(right), Seq("k2"),
+      CFields.typed("k" -> LongType, "n" -> IntegerType),
+      (key, ls, rs) => Iterator.single(Seq(key.head, ls.size + rs.size)))
+    val ex = intercept[IllegalArgumentException] { Flow.toDF(p) }
+    assert(ex.getMessage.contains("integral and fractional"))
+    // within the fractional family, float->double still widens (injective)
+    val fl = Seq((1.5f, "a")).toDF("k", "v")
+    val dl = Seq((1.5, "b"), (2.5, "c")).toDF("k2", "w")
+    val q = pipe(fl).bufferJoin(Seq("k"), pipe(dl), Seq("k2"),
+      CFields.typed("k" -> DoubleType, "nl" -> IntegerType, "nr" -> IntegerType),
+      (key, ls, rs) => Iterator.single(Seq(key.head, ls.size, rs.size)))
+    assert(rows(q) == Set(Seq(1.5, 1, 1), Seq(2.5, 0, 1)))
+  }
+
+  test("diamond inside one withConfig scope lowers once (memoized per scope)") {
+    var configured = 0
+    val f = new CFilter with ConfigurableOp {
+      private var min = 0
+      def configure(props: Map[String, String]): Unit = {
+        configured += 1; min = props.getOrElse("min", "0").toInt
+      }
+      def keep(args: Seq[org.apache.spark.sql.Column]) =
+        args.head >= org.apache.spark.sql.functions.lit(min)
+    }
+    val base = pipe(lhs).filterBy(f, FieldSelector("num"))
+    // diamond: two consumers of the same filtered subtree, one config scope
+    val joined = base.retain("num").coGroup(Seq("num"), base.retain("num"),
+      Seq("num"), declared = Some(Seq("n1", "n2"))).withConfig("min" -> "2")
+    val lowering = new graft.exec.Lowering(spark)
+    assert(lowering.lower(joined).count() > 0)
+    assert(configured == 1, s"diamond re-translated under config scope: $configured")
+  }
+
   test("sharing one ConfigurableOp across different config scopes fails fast") {
     val f = new CFilter with ConfigurableOp {
       private var min = 0
