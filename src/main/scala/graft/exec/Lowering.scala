@@ -693,7 +693,6 @@ final class Lowering(spark: SparkSession, keepAssertions: Boolean = true) {
     val l = lower(bj.left); val r = lower(bj.right)
     val keySchema = bufferKeySchema(Seq(l -> bj.leftKeys, r -> bj.rightKeys))
     val keyEnc = Encoders.row(keySchema)
-    val outEnc = Encoders.row(bj.resultFields.toStruct)
     val fn = bj.b
     // Both sides' keys widen to the canonical schema before encoding — an
     // int right key joins a long left key (the old Seq[Any] cogroup matched
@@ -704,9 +703,37 @@ final class Lowering(spark: SparkSession, keepAssertions: Boolean = true) {
       bj.rightKeys.map(k => r.columns.indexOf(k)).toArray, keySchema)
     val lg = l.groupByKey(lKey)(keyEnc)
     val rg = r.groupByKey(rKey)(keyEnc)
-    lg.cogroup(rg) { (key: Row, ls: Iterator[Row], rs: Iterator[Row]) =>
-      fn(key.toSeq, ls, rs).map(Row.fromSeq)
-    }(outEnc)
+    bj.trap match {
+      case None =>
+        val outEnc = Encoders.row(bj.resultFields.toStruct)
+        lg.cogroup(rg) { (key: Row, ls: Iterator[Row], rs: Iterator[Row]) =>
+          fn(key.toSeq, ls, rs).map(Row.fromSeq)
+        }(outEnc)
+      case Some(tap) =>
+        val outStruct = bj.resultFields.toStruct
+        val enc = Encoders.row(Lowering.trapOutStruct(outStruct, keySchema))
+        val n = outStruct.length
+        val runner = lg.cogroup(rg) { (key: Row, ls: Iterator[Row], rs: Iterator[Row]) =>
+          Lowering.runTrapped(fn(key.toSeq, ls, rs), key, n)
+        }(enc)
+        splitJoinTrap(runner, tap, bj.leftKeys)
+    }
+  }
+
+  /** Split a trap-enabled cogroup runner's output: failing key groups
+    * (key values under the LEFT side's key names + the error) go to the
+    * trap tap, success rows continue with the trap columns dropped. Same
+    * one-materialization discipline as Buffer/Each traps. */
+  private def splitJoinTrap(runner: DataFrame, tap: Tap,
+                            keyNames: Seq[String]): DataFrame = {
+    val persisted = runner
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    registerTrap(tap,
+      persisted.filter(col("__trap_err").isNotNull)
+        .select(keyNames.zipWithIndex.map { case (nm, i) =>
+          col(s"__trap_key.k$i").as(nm) } :+ col("__trap_err"): _*),
+      persisted)
+    persisted.filter(col("__trap_err").isNull).drop("__trap_key", "__trap_err")
   }
 
   /** n-way BufferJoin via ordinal-tagged union + `flatMapGroups` — the same
@@ -735,17 +762,32 @@ final class Lowering(spark: SparkSession, keepAssertions: Boolean = true) {
     }
     val union = tagged.reduce(_ unionByName _)
     val fn = bj.fn
-    val outEnc = Encoders.row(bj.resultFields.toStruct)
     val nIn = n
-    union.groupByKey(_.getStruct(0))(Encoders.row(keySchema))
-      .flatMapGroups { (key: Row, rows: Iterator[Row]) =>
-        val bufs = Array.fill(nIn)(mutable.ArrayBuffer.empty[Row])
-        rows.foreach { r =>
-          val tag = r.getInt(1)
-          bufs(tag) += r.getStruct(2 + tag)
-        }
-        fn(key.toSeq, bufs.toSeq.map(_.iterator)).map(Row.fromSeq)
-      }(outEnc)
+    val grouped = union.groupByKey(_.getStruct(0))(Encoders.row(keySchema))
+    def gather(rows: Iterator[Row]): Array[mutable.ArrayBuffer[Row]] = {
+      val bufs = Array.fill(nIn)(mutable.ArrayBuffer.empty[Row])
+      rows.foreach { r =>
+        val tag = r.getInt(1)
+        bufs(tag) += r.getStruct(2 + tag)
+      }
+      bufs
+    }
+    bj.trap match {
+      case None =>
+        val outEnc = Encoders.row(bj.resultFields.toStruct)
+        grouped.flatMapGroups { (key: Row, rows: Iterator[Row]) =>
+          fn(key.toSeq, gather(rows).toSeq.map(_.iterator)).map(Row.fromSeq)
+        }(outEnc)
+      case Some(tap) =>
+        val outStruct = bj.resultFields.toStruct
+        val enc = Encoders.row(Lowering.trapOutStruct(outStruct, keySchema))
+        val resultLen = outStruct.length
+        val runner = grouped.flatMapGroups { (key: Row, rows: Iterator[Row]) =>
+          Lowering.runTrapped(
+            fn(key.toSeq, gather(rows).toSeq.map(_.iterator)), key, resultLen)
+        }(enc)
+        splitJoinTrap(runner, tap, bj.leftKeys)
+    }
   }
 }
 
@@ -788,6 +830,26 @@ object Lowering {
   private[exec] def stripLast(r: Row, schema: StructType): Row =
     new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
       r.toSeq.dropRight(1).toArray, schema)
+
+  /** Output schema of a trap-enabled cogroup runner: result fields +
+    * the canonical key struct + the error string (both null on success). */
+  private[exec] def trapOutStruct(out: StructType, keySchema: StructType): StructType =
+    StructType(out.fields :+ StructField("__trap_key", keySchema) :+
+      StructField("__trap_err", StringType))
+
+  /** Run one key group's buffer-join closure under trap semantics: output
+    * is forced EAGERLY so a mid-stream failure replaces the whole group's
+    * output with one trap row (key struct + error) — per-GROUP semantics,
+    * matching Buffer traps and the reference's cogroup gates
+    * (`CoGroupBufferInGate.java:34-120`). */
+  private[exec] def runTrapped(out: => Iterator[Seq[Any]], key: Row,
+                               resultLen: Int): Iterator[Row] =
+    try out.toVector.iterator.map(s => Row.fromSeq(s ++ Seq(null, null)))
+    catch {
+      case ex: Exception => Iterator.single(Row.fromSeq(
+        Seq.fill[Any](resultLen)(null) :+ key :+
+          (ex.getClass.getName + ": " + String.valueOf(ex.getMessage))))
+    }
 
   /** Widening precedence of numeric key types (-1 = non-numeric). */
   private[exec] def numericRank(t: DataType): Int = t match {

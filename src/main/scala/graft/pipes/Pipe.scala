@@ -85,21 +85,28 @@ sealed trait Pipe {
 
   /** Reduce-side cogroup with per-input iterators — reference `BufferJoin`
     * (spillable closure `CoGroupBufferClosure.java:41-418`); Spark's typed
-    * cogroup spills internally so no custom spill code exists here. */
+    * cogroup spills internally so no custom spill code exists here. A trap
+    * tap diverts FAILING KEY GROUPS (key values + error) instead of killing
+    * the job — the reference wires traps through every stream graph
+    * including the cogroup gates (`CoGroupBufferInGate.java:34-120`). With
+    * a trap the group's output is forced eagerly, same trade as Buffer
+    * traps. */
   def bufferJoin(leftKeys: Seq[String], right: Pipe, rightKeys: Seq[String],
                  resultFields: CFields,
                  buffer: (Seq[Any], Iterator[org.apache.spark.sql.Row],
-                          Iterator[org.apache.spark.sql.Row]) => Iterator[Seq[Any]]): Pipe =
-    BufferJoinPipe(this, leftKeys, right, rightKeys, resultFields, buffer)
+                          Iterator[org.apache.spark.sql.Row]) => Iterator[Seq[Any]],
+                 trap: Option[Tap] = None): Pipe =
+    BufferJoinPipe(this, leftKeys, right, rightKeys, resultFields, buffer, trap)
 
   /** n-way BufferJoin (3 or 4 inputs) — reference supports n-ary
     * `BufferJoin` via ordinal-tagged union (`FFS:802-851`); Spark's RDD
-    * cogroup is natively 2–4-way. */
+    * cogroup is natively 2–4-way. Trap semantics as in [[bufferJoin]]. */
   def bufferJoinN(leftKeys: Seq[String], others: Seq[(Pipe, Seq[String])],
                   resultFields: CFields,
                   fn: (Seq[Any], Seq[Iterator[org.apache.spark.sql.Row]]) =>
-                      Iterator[Seq[Any]]): Pipe =
-    BufferJoinNPipe(this, leftKeys, others, resultFields, fn)
+                      Iterator[Seq[Any]],
+                  trap: Option[Tap] = None): Pipe =
+    BufferJoinNPipe(this, leftKeys, others, resultFields, fn, trap)
 
   /** Union-all, positional, same arity — Cascading `Merge` (`FFS:652-673`). */
   def merge(others: Pipe*): Pipe = MergePipe(this +: others)
@@ -231,13 +238,15 @@ final case class BufferJoinPipe(
     left: Pipe, leftKeys: Seq[String], right: Pipe, rightKeys: Seq[String],
     resultFields: CFields,
     b: (Seq[Any], Iterator[org.apache.spark.sql.Row],
-        Iterator[org.apache.spark.sql.Row]) => Iterator[Seq[Any]]) extends Pipe
+        Iterator[org.apache.spark.sql.Row]) => Iterator[Seq[Any]],
+    trap: Option[Tap] = None) extends Pipe
 
 final case class BufferJoinNPipe(
     left: Pipe, leftKeys: Seq[String], others: Seq[(Pipe, Seq[String])],
     resultFields: CFields,
     fn: (Seq[Any], Seq[Iterator[org.apache.spark.sql.Row]]) =>
-        Iterator[Seq[Any]]) extends Pipe
+        Iterator[Seq[Any]],
+    trap: Option[Tap] = None) extends Pipe
 
 final case class ConfigDefPipe(prev: Pipe, props: Map[String, String]) extends Pipe
 

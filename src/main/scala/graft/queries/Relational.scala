@@ -332,6 +332,29 @@ object Relational {
       s.read.parquet(trapPath).select(col("doc_id"))
     }),
 
+    // Trap on the bufferJoin cogroup gate: key groups whose closure throws
+    // are diverted (key values + error) to the trap sink instead of killing
+    // the job; the query RETURNS the trap contents so the oracle gates
+    // exactly the bad keys (q52 pattern; reference wires traps through the
+    // cogroup gates too — CoGroupBufferInGate.java:34-120)
+    "q63_bufferjoin_trap" -> ((s, dir) => {
+      val trapPath = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_trap_q63").toString
+      Flow.materializeTraps(
+        P(dir, "customer").retain("c_custkey")
+          .bufferJoin(Seq("c_custkey"),
+            P(dir, "orders").retain("o_custkey"), Seq("o_custkey"),
+            CFields.typed("custkey" -> LongType, "n_orders" -> LongType),
+            (key, ls, rs) => {
+              val n = rs.size.toLong
+              if (key.head.asInstanceOf[Number].longValue % 100 == 0)
+                throw new IllegalStateException(s"poison custkey ${key.head}")
+              Iterator.single(Seq(key.head, n))
+            },
+            trap = Some(ParquetTap(trapPath))))(s)
+      s.read.parquet(trapPath).select(col("c_custkey"))
+    }),
+
     // Custom CAggregator (start/aggregate/merge/complete) under the gate
     "q53_customagg" -> ((s, dir) => Flow.toDF(
       P(dir, "orders")
@@ -584,6 +607,9 @@ object Relational {
     "q53_customagg" ->
       """SELECT o_orderpriority, max(o_totalprice) - min(o_totalprice) AS span
         |FROM orders GROUP BY 1""".stripMargin,
+
+    "q63_bufferjoin_trap" ->
+      "SELECT c_custkey FROM customer WHERE c_custkey % 100 = 0",
 
     "q55_bufferjoin3" ->
       """WITH cc AS (SELECT c_nationkey, count(*) AS n FROM customer GROUP BY 1),

@@ -401,6 +401,45 @@ class LoweringSpec extends SparkSpec {
     assert(trapped.collect().map(_.getInt(0)).toSeq == Seq(2))
   }
 
+  test("trap on bufferJoin diverts the failing key group, others survive") {
+    val dir = java.nio.file.Files.createTempDirectory("trapbj").toString
+    val p = pipe(lhs).bufferJoin(Seq("num"), pipe(rhs), Seq("num2"),
+      CFields.typed("k" -> IntegerType, "nl" -> IntegerType, "nr" -> IntegerType),
+      (key, ls, rs) => {
+        val l = ls.size; val r = rs.size
+        if (key.head == 2) throw new IllegalStateException("bad key group")
+        Iterator.single(Seq(key.head, l, r))
+      },
+      trap = Some(graft.sources.ParquetTap(s"$dir/trap")))
+    val good = Flow.toDFWithTraps(p)
+    assert(good.columns.toSeq == Seq("k", "nl", "nr"))
+    assert(good.select("k").collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 3, 4))
+    val trapped = spark.read.parquet(s"$dir/trap")
+    // trap rows carry the key under the LEFT side's key names + the error
+    assert(trapped.columns.toSeq == Seq("num", "__trap_err"))
+    assert(trapped.collect().map(_.getInt(0)).toSeq == Seq(2))
+    assert(trapped.select("__trap_err").head.getString(0).contains("bad key group"))
+  }
+
+  test("trap on bufferJoinN diverts the failing key group, others survive") {
+    val dir = java.nio.file.Files.createTempDirectory("trapbjn").toString
+    val third = Seq((1, 9.0), (2, 8.0)).toDF("num3", "x")
+    val p = pipe(lhs).bufferJoinN(Seq("num"),
+      Seq(pipe(rhs) -> Seq("num2"), pipe(third) -> Seq("num3")),
+      CFields.typed("k" -> IntegerType, "total" -> IntegerType),
+      (key, its) => {
+        val sizes = its.map(_.size)
+        if (key.head == 1) throw new IllegalArgumentException("poison")
+        Iterator.single(Seq(key.head, sizes.sum))
+      },
+      trap = Some(graft.sources.ParquetTap(s"$dir/trap")))
+    val good = Flow.toDFWithTraps(p)
+    assert(good.select("k").collect().map(_.getInt(0)).sorted.toSeq == Seq(2, 3, 4))
+    val trapped = spark.read.parquet(s"$dir/trap")
+    assert(trapped.columns.toSeq == Seq("num", "__trap_err"))
+    assert(trapped.collect().map(_.getInt(0)).toSeq == Seq(1))
+  }
+
   test("key-less Buffer enforces the documented global row cap") {
     spark.conf.set("spark.graft.buffer.globalMaxRows", "2")
     try {
