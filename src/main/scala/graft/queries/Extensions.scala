@@ -54,6 +54,14 @@ object Extensions {
       Dedup.minhashClusters(
         s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", k = 16, bands = 4)),
 
+    // Transitive closure of the LSH near-dup graph (iterated min-label
+    // propagation = connected components); oracle mirrors it as the same
+    // propagation unrolled to a fixed iteration count (a fixed point is
+    // stable, so any oracle round count >= the converged count matches)
+    "q64_minhash_transitive" -> ((s, dir) =>
+      Dedup.minhashClustersTransitive(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", k = 16, bands = 4)),
+
     "q26_simhash" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
       d.select(col("doc_id"), Dedup.simhash32(col("text")).as("simhash"))
@@ -343,6 +351,24 @@ object Extensions {
          |SELECT b.doc_id AS id, min(m.bmin) AS canonical_id
          |FROM bands b JOIN bucket_min m ON b.band = m.band AND b.key = m.key
          |GROUP BY 1""".stripMargin,
+
+    "q64_minhash_transitive" -> {
+      // fixed-iteration unrolled min-label propagation; 8 rounds is a safe
+      // upper bound for the converged count (Spark side converges in 2-4 on
+      // this corpus shape and a fixed point is stable under extra rounds)
+      val rounds = 8
+      val iterCtes = (1 to rounds).map { i =>
+        s"""bl$i AS (SELECT b.band, b.key, min(l.label) AS blabel
+           |  FROM bands b JOIN l${i - 1} l ON b.doc_id = l.id GROUP BY 1, 2),
+           |l$i AS (SELECT b.doc_id AS id, min(x.blabel) AS label
+           |  FROM bands b JOIN bl$i x ON b.band = x.band AND b.key = x.key
+           |  GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""$minhashCte,
+         |l0 AS (SELECT DISTINCT doc_id AS id, doc_id AS label FROM bands),
+         |$iterCtes
+         |SELECT id, label AS cluster_id FROM l$rounds""".stripMargin
+    },
 
     "q26_simhash" ->
       s"""SELECT doc_id,

@@ -142,6 +142,47 @@ class FunctionsSpec extends SparkSpec {
     assert(m(1L) == 1L && m(2L) == 1L && m(3L) == 3L)
   }
 
+  test("transitive minhash clusters = connected components of the band graph") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val (res, iters) = Dedup.minhashClustersTransitiveStats(df, "doc_id", "text")
+    assert(iters > 0 && iters < 30, s"did not converge within bound: $iters")
+    val got = res.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent oracle: union-find over bucket co-membership pairs
+    // (union-by-min keeps each component's root at its minimum id)
+    val pairs = Dedup.minhashCandidatePairs(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val expected = got.keys.map(id => id -> find(id)).toMap
+    assert(got == expected)
+  }
+
+  test("transitive clusters merge a 2-hop chain that single-hop splits") {
+    // A~B and B~C share band buckets; A and C need the hop through B
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val mid = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"
+    val far = "alpha beta gamma delta epsilon zeta eta theta iota kappa nu xi"
+    val df = Seq((1L, base), (2L, mid), (3L, far)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashCandidatePairs(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the fixture must actually form a chain for this test to be meaningful
+    assume(pairs.contains((1L, 2L)) && pairs.contains((2L, 3L)) &&
+      !pairs.contains((1L, 3L)), s"fixture drifted: $pairs")
+    val trans = Dedup.minhashClustersTransitive(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(trans == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    val single = Dedup.minhashClusters(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(single(3L) == 2L, "single-hop should stop at B for C")
+  }
+
   test("simhash: hamming distance small for similar docs, large for different") {
     val df = Seq(
       ("a", "spark query engine with columnar execution and codegen"),
