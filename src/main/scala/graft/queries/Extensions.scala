@@ -131,6 +131,42 @@ object Extensions {
         .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
     }),
 
+    // --- the STREAMING form of q31 under the oracle gate: an end-to-end
+    // Structured Streaming run (file source → watermarked tumbling-window
+    // agg → Trigger.AvailableNow → parquet sink), result = sink read-back.
+    // Append mode only emits windows the watermark has closed, so a
+    // far-future '__flush' sentinel event is staged with the input: once
+    // processed it advances the watermark past every real window (the
+    // engine runs a final flush batch), while the sentinel's own window
+    // stays unemitted in state — the sink holds exactly the real windows,
+    // which must hash-match the same DuckDB SQL as batch q31.
+    "q65_stream_sink" -> ((s, dir) => {
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_q65_stream")
+      def rmr(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rmr)
+        f.delete(); ()
+      }
+      if (root.exists()) rmr(root)
+      val in = s"$root/in"; val out = s"$root/out"; val chk = s"$root/chk"
+      val ev = Tables.events(s, dir)
+      val sentinel = ev.limit(1)
+        .withColumn("ts", expr("timestamp'2100-01-01 00:00:00'"))
+        .withColumn("event_type", lit("__flush"))
+      ev.unionByName(sentinel).write.parquet(in)
+      val stream = graft.streaming.StreamOps.windowedCounts(
+        graft.streaming.StreamOps.readStream(s, in, ev.schema),
+        "ts", "event_type", "1 hour", "2 hours")
+      val q = stream.writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", chk)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out).select("w_start", "event_type", "n", "sum_value")
+    }),
+
     // --- grouping sets (absent from reference — SURVEY §2.4 last row) -----
     "q38_rollup" -> ((s, dir) => {
       val li = s.read.parquet(s"$dir/lineitem.parquet")
@@ -505,6 +541,14 @@ object Extensions {
         |WHERE e.event_type = 'error'""".stripMargin,
 
     "q31_stream_window" ->
+      """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS w_start,
+        |event_type, count(*) AS n,
+        |CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // identical SQL to q31: the streaming run must reproduce the batch
+    // tumbling-window result exactly
+    "q65_stream_sink" ->
       """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS w_start,
         |event_type, count(*) AS n,
         |CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
