@@ -3,7 +3,8 @@ package graft.catalyst
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.DoubleType
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions as SQL functions so `spark.sql("SELECT md5_prefix40(s)")`
@@ -76,9 +77,18 @@ object GraftExtensions {
       info(classOf[CosineSim], "cosine_sim", "_FUNC_(a, b) - cosine similarity of float arrays"),
       (exprs: Seq[Expression]) => CosineSim(exprs.head, exprs(1)))
 
+  val exactSumMicrosDesc: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) =
+    (FunctionIdentifier("exact_sum_micros"),
+      info(classOf[ExactMicrosSum], "exact_sum_micros",
+        "_FUNC_(x) - exact sum at 6 decimal digits, identical to " +
+          "cast(sum(cast(x as decimal(38,6))) as double) but codegen-fast"),
+      (exprs: Seq[Expression]) =>
+        ExactMicrosSum(Cast(exprs.head, DoubleType)).toAggregateExpression())
+
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(md5Prefix40Desc, minhashSigDesc, minhashAggDesc, simhash32Desc,
-      rollingFingerprintDesc, shinglesDesc, cosineSimDesc)
+      rollingFingerprintDesc, shinglesDesc, cosineSimDesc, exactSumMicrosDesc)
 
   /** Register on an already-built session (tests, REPL). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

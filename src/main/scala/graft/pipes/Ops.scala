@@ -205,6 +205,10 @@ object Aggs {
   /** Raw escape hatch: any Catalyst aggregate expression. */
   def sql(as: String, aggExpr: String): AggOp =
     AggOp(as, _ => expr(aggExpr), Nil)
+  /** Raw escape hatch: a pre-built aggregate Column (e.g. a native
+    * aggregate expression that has no SQL-registry name in this session). */
+  def agg(as: String, c: org.apache.spark.sql.Column): AggOp =
+    AggOp(as, _ => c, Nil)
 }
 
 /** Cascading-style start/aggregate/complete custom aggregator

@@ -28,6 +28,11 @@ object Relational {
   private def dsumExpr(x: String) =
     s"cast(sum(cast(($x) as decimal(38,6))) as double)"
 
+  /** Spark-side exact sum: the codegen'd int128-micros kernel, value-
+    * identical to the decimal(38,6) convention the ORACLE SQL (dsum above)
+    * keeps using — measured ~2x on the q01-shaped hot aggregate. */
+  private def xsum(x: String) = graft.catalyst.ExactMicrosSum.sum(expr(x))
+
   /** Per-customer running order total — `Every`+`Buffer` with secondary sort
     * (reference group iterator: `GroupByInGate.java:87-115`). Exact decimal
     * accumulation keeps the running sum order-independent. */
@@ -92,9 +97,9 @@ object Relational {
       P(dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .every(
-          Aggs.sql("sum_qty", dsum("l_quantity")),
-          Aggs.sql("sum_price", dsum("l_extendedprice")),
-          Aggs.sql("sum_disc_price", dsumExpr("l_extendedprice * (1 - l_discount)")),
+          Aggs.agg("sum_qty", xsum("l_quantity")),
+          Aggs.agg("sum_price", xsum("l_extendedprice")),
+          Aggs.agg("sum_disc_price", xsum("l_extendedprice * (1 - l_discount)")),
           Aggs.count("n_rows")))(s)),
 
     // Each + ExpressionFilter/ExpressionFunction (SURVEY §2.3)
@@ -120,7 +125,7 @@ object Relational {
       P(dir, "orders")
         .coGroup(Seq("o_custkey"), P(dir, "customer"), Seq("c_custkey"))
         .groupBy("c_mktsegment")
-        .every(Aggs.sql("total", dsum("o_totalprice")),
+        .every(Aggs.agg("total", xsum("o_totalprice")),
                Aggs.count("n_orders")))(s)),
 
     // CoGroup left outer: customers with zero orders kept (SURVEY §2.5)
@@ -138,7 +143,7 @@ object Relational {
         .hashJoin(Seq("s_nationkey"), P(dir, "nation"), Seq("n_nationkey"))
         .hashJoin(Seq("n_regionkey"), P(dir, "region"), Seq("r_regionkey"))
         .groupBy("r_name", "n_name")
-        .every(Aggs.sql("revenue", dsumExpr("l_extendedprice * (1 - l_discount)")),
+        .every(Aggs.agg("revenue", xsum("l_extendedprice * (1 - l_discount)")),
                Aggs.count("n_items")))(s)),
 
     // Merge (union-all) then group (SURVEY §2.6)
@@ -166,9 +171,9 @@ object Relational {
         .groupBy("event_type")
         .every(
           Aggs.count("n"),
-          Aggs.sql("sum_value", dsum("value")),
+          Aggs.agg("sum_value", xsum("value")),
           // exact decimal sum / count: order-independent average
-          Aggs.sql("avg_value", s"${dsum("value")} / count(*)"),
+          Aggs.agg("avg_value", xsum("value") / count(lit(1))),
           Aggs.sql("min_ts", "min(ts)"),
           Aggs.sql("max_ts", "max(ts)"),
           Aggs.countDistinct("user_id", "n_users")))(s)),
@@ -182,7 +187,7 @@ object Relational {
     "q12_topk" -> ((s, dir) => Flow.toDF(
       P(dir, "orders")
         .groupBy("o_custkey")
-        .every(Aggs.sql("total", dsum("o_totalprice")))
+        .every(Aggs.agg("total", xsum("o_totalprice")))
         .orderBy("total" -> false, "o_custkey" -> true)
         .limit(10))(s)),
 
@@ -207,7 +212,7 @@ object Relational {
         .groupAll
         .every(
           Aggs.count("n"),
-          Aggs.sql("sum_qty", dsum("l_quantity")),
+          Aggs.agg("sum_qty", xsum("l_quantity")),
           Aggs.sql("min_ship", "min(l_shipdate)"),
           Aggs.sql("max_ship", "max(l_shipdate)")))(s)),
 
@@ -276,7 +281,7 @@ object Relational {
           Seq("l_orderkey"), joiner = Joiner.Left)
         .groupBy("c_mktsegment")
         .every(Aggs.count("n_rows"),
-               Aggs.sql("sum_qty", dsum("l_quantity")),
+               Aggs.agg("sum_qty", xsum("l_quantity")),
                Aggs.countArg("o_orderkey", "n_with_orders")))(s)),
 
     // Reversed group sort + Buffer: per-customer order ids concatenated in
@@ -403,7 +408,7 @@ object Relational {
       tap.read(s).filter(col("event_type") === "purchase")
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
-          expr(dsum("value")).as("sum_value"))
+          xsum("value").as("sum_value"))
     }),
 
     // CSV (TextDelimited) round-trip under the gate: typed write+read must
@@ -421,7 +426,7 @@ object Relational {
         graft.sources.SinkMode.Replace)
       Flow.toDF(Pipe.source(tap)
         .groupBy("o_custkey")
-        .every(Aggs.sql("total", dsum("o_totalprice")),
+        .every(Aggs.agg("total", xsum("o_totalprice")),
                Aggs.count("n_orders")))(s)
     }),
 

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.catalyst.{ExactMicrosSum, Micros}
+
+/** ExactMicrosSum must be BIT-IDENTICAL to the engine's decimal(38,6)
+  * convention `cast(sum(cast(x as decimal(38,6))) as double)` — it replaces
+  * that expression on the aggregation hot path (q01/q04/q06/q10/q15). */
+class ExactSumSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val decimalSum = "cast(sum(cast(x as decimal(38,6))) as double)"
+
+  private def check(values: Seq[java.lang.Double]): Unit = {
+    val df = values.toDF("x").cache()
+    val expected = df.selectExpr(decimalSum).head.get(0)
+    val got = df.agg(ExactMicrosSum.sum(col("x"))).head.get(0)
+    df.unpersist()
+    assert(got == expected, s"mismatch: got $got expected $expected for $values")
+  }
+
+  test("micros conversion matches Spark's double->decimal(38,6) cast exactly") {
+    val adversarial = Seq(
+      0.0, -0.0, 1.0, -1.0, 0.1, -0.1, 1.0000005, -1.0000005, 2.0000015,
+      0.0000005, -0.0000005, 0.0000004999999, 0.0000015, 123456789.123456,
+      1e-7, -1e-7, 4.9e-7, 5.1e-7, 0.5e-6, 1.5e-6, 2.5e-6, 3.5e-6,
+      9.19e12, -9.19e12, 3.14159265358979, 1.0 / 3.0, 2.0 / 3.0, 1e-300)
+    adversarial.foreach { d =>
+      val viaDecimal = Seq(d).toDF("x")
+        .selectExpr("cast(cast(x as decimal(38,6)) * 1000000 as bigint)")
+        .head.getLong(0)
+      assert(Micros.compute(d) == viaDecimal, s"micros($d)")
+    }
+  }
+
+  test("randomized parity with the decimal sum (mixed magnitudes and signs)") {
+    val rnd = new scala.util.Random(42)
+    val batches = Seq(
+      Seq.fill(500)(java.lang.Double.valueOf(rnd.nextDouble() * 200000 - 100000)),
+      Seq.fill(500)(java.lang.Double.valueOf((rnd.nextInt(2000000) - 1000000) / 2.0 * 1e-6)),
+      Seq.fill(200)(java.lang.Double.valueOf(rnd.nextGaussian() * 1e9)),
+      Seq.fill(200)(java.lang.Double.valueOf(rnd.nextGaussian() * 1e-5)))
+    batches.foreach(check)
+  }
+
+  test("nulls skipped, all-null and empty groups are null") {
+    check(Seq[java.lang.Double](1.5, null, 2.5, null))
+    check(Seq[java.lang.Double](null, null))
+    // NaN/Infinity: non-ANSI cast to decimal gives null -> skipped by sum
+    val df = Seq(1.0, Double.NaN, 2.0, Double.PositiveInfinity).toDF("x")
+    val expected = df.selectExpr(decimalSum).head.get(0)
+    assert(df.agg(ExactMicrosSum.sum(col("x"))).head.get(0) == expected)
+  }
+
+  test("grouped + shuffled partials agree with decimal sums per group") {
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 5000).map(i =>
+      (i % 7, rnd.nextDouble() * 10000 - 5000)).toDF("k", "x")
+      .repartition(13).cache()
+    val exp = df.groupBy("k").agg(expr(decimalSum).as("s"))
+      .collect().map(r => r.getInt(0) -> r.get(1)).toMap
+    val got = df.groupBy("k").agg(ExactMicrosSum.sum(col("x")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.get(1)).toMap
+    df.unpersist()
+    assert(got == exp)
+  }
+
+  test("values beyond the micros domain raise the documented error") {
+    val df = Seq(1.0e13).toDF("x")
+    val ex = intercept[Exception] {
+      df.agg(ExactMicrosSum.sum(col("x"))).collect()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.toString + chain(t.getCause)
+    assert(chain(ex).contains("micros domain"))
+  }
+
+  test("plan stays in whole-stage codegen HashAggregate (no ObjectHashAggregate)") {
+    val df = spark.read.parquet(s"${sf()}/lineitem.parquet")
+    val plan = df.groupBy("l_returnflag")
+      .agg(ExactMicrosSum.sum(col("l_extendedprice")).as("s"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"))
+    assert(!plan.contains("ObjectHashAggregate"))
+  }
+
+  test("works as a SQL function via GraftExtensions") {
+    graft.catalyst.GraftExtensions.register(spark)
+    Seq((1, 1.25), (1, 2.5), (2, 0.0000005)).toDF("k", "x")
+      .createOrReplaceTempView("xs")
+    val got = spark.sql(
+      "SELECT k, exact_sum_micros(x) AS s FROM xs GROUP BY k ORDER BY k")
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).toSeq
+    assert(got == Seq((1, 3.75), (2, 0.000001)))
+  }
+}
