@@ -151,7 +151,14 @@ final class Lowering(spark: SparkSession, keepAssertions: Boolean = true) {
     case HashJoinPipe(l, lk, r, rk, joiner, declared) =>
       lowerJoin(lower(l), lk, lower(r), rk, joiner, declared, bcast = true)
 
-    case CrossPipe(l, r) => lower(l).crossJoin(lower(r))
+    // key-less cross: broadcast the declared tiny side (reference
+    // crossWithTiny, FFS:765-800) so the plan replicates the small input
+    // instead of shuffling the large one
+    case CrossPipe(l, r, tiny) => tiny match {
+      case CrossSide.Right   => lower(l).crossJoin(broadcast(lower(r)))
+      case CrossSide.Left    => broadcast(lower(l)).crossJoin(lower(r))
+      case CrossSide.Neither => lower(l).crossJoin(lower(r))
+    }
 
     case bj: BufferJoinPipe => lowerBufferJoin(bj)
     case bj: BufferJoinNPipe => lowerBufferJoinN(bj)
@@ -179,6 +186,10 @@ final class Lowering(spark: SparkSession, keepAssertions: Boolean = true) {
       }
 
     case LimitPipe(prev, n)           => lower(prev).limit(n.toInt)
+    // per-slice Limit parity (Cascading semantics): LocalLimit alone —
+    // every partition caps at n, nothing gathers to one partition
+    case SliceLimitPipe(prev, n) =>
+      org.apache.spark.sql.graftbridge.PlanBridge.localLimit(lower(prev), n.toInt)
     case SamplePipe(prev, frac, seed) => lower(prev).sample(frac, seed)
 
     case OrderByPipe(prev, sort) =>

@@ -79,9 +79,15 @@ sealed trait Pipe {
                declared: Option[Seq[String]] = None): Pipe =
     HashJoinPipe(this, leftKeys, right, rightKeys, joiner, declared)
 
-  /** Key-less join = Cartesian (reference `crossWithTiny` chains,
-    * `FFS:765-800`). */
-  def cross(right: Pipe): Pipe = CrossPipe(this, right)
+  /** Key-less join = Cartesian. The reference's key-less joins broadcast
+    * the tiny side (`crossWithTiny`, `FFS:765-800`); `tiny` marks which
+    * side that is (default: right) so the plan is a
+    * BroadcastNestedLoopJoin instead of a partitioned nested loop — at
+    * scale, a big×small cross must replicate the SMALL side, never
+    * shuffle the big one. `CrossSide.Neither` opts out (both sides huge:
+    * an explicitly-planned partitioned cross). */
+  def cross(right: Pipe, tiny: CrossSide = CrossSide.Right): Pipe =
+    CrossPipe(this, right, tiny)
 
   /** Reduce-side cogroup with per-input iterators — reference `BufferJoin`
     * (spillable closure `CoGroupBufferClosure.java:41-418`); Spark's typed
@@ -138,9 +144,19 @@ sealed trait Pipe {
   def rename(pairs: (String, String)*): Pipe = RenamePipe(this, pairs)
   def coerce(fields: (String, DataType)*): Pipe = CoercePipe(this, fields)
 
-  /** Cascading `Limit` is per-slice (SURVEY.md §7.4); we implement the
-    * useful global semantics and encode that in the oracle. */
+  /** Global limit — the useful tightening of Cascading's per-slice `Limit`
+    * (SURVEY.md §7.4), encoded in the oracle. Both semantics exist:
+    * `limit` is a true global limit; [[sliceLimit]] is the per-slice
+    * parity form. `sample` is per-slice Bernoulli on BOTH engines
+    * (Cascading `Sample` and Spark `sample` each toss per row within a
+    * slice), so one operator covers both there. */
   def limit(n: Long): Pipe = LimitPipe(this, n)
+
+  /** Per-slice limit — Cascading `Limit` parity: each task slice emits at
+    * most n rows (Spark's own LocalLimit node, no single-partition
+    * gather; output count depends on partitioning, exactly like the
+    * reference's per-slice behavior). */
+  def sliceLimit(n: Long): Pipe = SliceLimitPipe(this, n)
   def sample(fraction: Double, seed: Long = 42L): Pipe =
     SamplePipe(this, fraction, seed)
   def orderBy(sort: (String, Boolean)*): Pipe = OrderByPipe(this, sort)
@@ -232,7 +248,16 @@ final case class HashJoinPipe(left: Pipe, leftKeys: Seq[String], right: Pipe,
                               rightKeys: Seq[String], joiner: Joiner,
                               declared: Option[Seq[String]]) extends Pipe
 
-final case class CrossPipe(left: Pipe, right: Pipe) extends Pipe
+/** Which side of a key-less cross is small enough to broadcast. */
+sealed trait CrossSide
+object CrossSide {
+  case object Left extends CrossSide
+  case object Right extends CrossSide
+  case object Neither extends CrossSide
+}
+
+final case class CrossPipe(left: Pipe, right: Pipe,
+                           tiny: CrossSide = CrossSide.Right) extends Pipe
 
 final case class BufferJoinPipe(
     left: Pipe, leftKeys: Seq[String], right: Pipe, rightKeys: Seq[String],
@@ -259,6 +284,7 @@ final case class DiscardPipe(prev: Pipe, fields: Seq[String]) extends Pipe
 final case class RenamePipe(prev: Pipe, pairs: Seq[(String, String)]) extends Pipe
 final case class CoercePipe(prev: Pipe, fields: Seq[(String, DataType)]) extends Pipe
 final case class LimitPipe(prev: Pipe, n: Long) extends Pipe
+final case class SliceLimitPipe(prev: Pipe, n: Long) extends Pipe
 final case class SamplePipe(prev: Pipe, fraction: Double, seed: Long) extends Pipe
 final case class OrderByPipe(prev: Pipe, sort: Seq[(String, Boolean)]) extends Pipe
 final case class AssertPipe(prev: Pipe, sqlPredicate: String,

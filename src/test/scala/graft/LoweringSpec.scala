@@ -217,6 +217,20 @@ class LoweringSpec extends SparkSpec {
     assert(rows(p) == Set(Seq(4, "d")))
   }
 
+  test("sliceLimit caps each partition (per-slice Cascading semantics)") {
+    val df = spark.range(100).toDF("v").repartition(4)
+    val p = pipe(df).sliceLimit(5)
+    val out = Flow.toDF(p)
+    // per-slice: 4 partitions × ≤5 rows; a global limit would return 5
+    assert(out.count() == 20)
+    val perPart = out.groupBy(org.apache.spark.sql.functions.spark_partition_id())
+      .count().collect().map(_.getLong(1))
+    assert(perPart.forall(_ <= 5))
+    // and no single-partition gather in the plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("GlobalLimit"))
+  }
+
   test("assertions raise on violation and strip when disabled") {
     val p = pipe(lhs).assertRows("num < 3", "num too big")
     intercept[Exception] { Flow.toDF(p).collect() }

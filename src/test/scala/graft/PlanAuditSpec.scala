@@ -68,6 +68,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!readSchema.contains("event_type"))
   }
 
+  test("q11-shaped cross broadcasts the tiny side (BroadcastNestedLoopJoin)") {
+    val plan = formatted("q11_cross")
+    assert(plan.contains("BroadcastNestedLoopJoin"))
+    assert(plan.contains("CartesianProduct") == false)
+    // opting out keeps the partitioned cross for huge-by-huge
+    import graft.pipes.{CrossSide, Pipe}
+    import graft.sources.ParquetTap
+    val both = Pipe.source(ParquetTap(s"${sf("sf0.01")}/region.parquet"))
+      .cross(Pipe.source(ParquetTap(s"${sf("sf0.01")}/nation.parquet")),
+        tiny = CrossSide.Neither)
+    val p2 = graft.exec.Flow.toDF(both)(spark)
+      .queryExecution.executedPlan.toString
+    assert(p2.contains("CartesianProduct") || p2.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q48: corpus centroid assignment is an aggregate, not a Window") {
     val plan = formatted("q48_ivf_knn")
     // min_by aggregation (partial+final) assigns nearest centroids
