@@ -119,7 +119,7 @@ object Extensions {
         .groupBy(col("user_id"), col("session_id"))
         .agg(count(lit(1)).as("n_events"),
           min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"),
-          expr("cast(sum(cast(value as decimal(38,6))) as double)").as("sum_value"))
+          graft.catalyst.ExactMicrosSum.sum(col("value")).as("sum_value"))
     }),
 
     // --- tumbling-window aggregation (batch form of the streaming op) ------
@@ -127,7 +127,7 @@ object Extensions {
       val ev = Tables.events(s, dir)
       ev.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-          expr("cast(sum(cast(value as decimal(38,6))) as double)").as("sum_value"))
+          graft.catalyst.ExactMicrosSum.sum(col("value")).as("sum_value"))
         .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
     }),
 
@@ -172,7 +172,7 @@ object Extensions {
       val li = s.read.parquet(s"$dir/lineitem.parquet")
       li.rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"),
-          expr("cast(sum(cast(l_quantity as decimal(38,6))) as double)").as("sum_qty"))
+          graft.catalyst.ExactMicrosSum.sum(col("l_quantity")).as("sum_qty"))
     }),
 
     "q39_cube" -> ((s, dir) => {
@@ -211,8 +211,7 @@ object Extensions {
       graft.functions.Skew.saltedJoin(li, o, "l_orderkey", "o_orderkey", 8)
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"),
-          expr("cast(sum(cast(l_quantity as decimal(38,6))) as double)")
-            .as("sum_qty"))
+          graft.catalyst.ExactMicrosSum.sum(col("l_quantity")).as("sum_qty"))
     }),
 
     // --- approximate distinct (HLL) — no cross-engine oracle (approx

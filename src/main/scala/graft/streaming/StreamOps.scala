@@ -31,7 +31,9 @@ object StreamOps {
       .groupBy(window(col(tsCol), windowLen).as("w"), col(keyCol))
     val out = valueCol match {
       case Some(v) => base.agg(count(lit(1)).as("n"),
-        sum(col(v).cast("decimal(38,6)")).cast("double").as("sum_value"))
+        // exact int128-micros kernel: value-identical to the decimal(38,6)
+        // sum, and its two-long buffer keeps streaming state compact
+        graft.catalyst.ExactMicrosSum.sum(col(v)).as("sum_value"))
       case None => base.agg(count(lit(1)).as("n"))
     }
     out.select(col("w.start").as("w_start") +: col(keyCol) +: col("n") +:
