@@ -141,6 +141,90 @@ object Similarity {
       .select(col("query_id"), col("nn_id"), col("sim"), col("rk"))
   }
 
+  /** k-means-refined IVF ANN: Lloyd iterations sharpen the first-nlist-ids
+    * index (better recall — seed centroids cluster near low ids; refined
+    * centroids spread over the data). Fully DETERMINISTIC and engine-
+    * portable, no RNG:
+    *  - centroid arithmetic is micro-quantized: components are
+    *    `floor(x·1e6)` longs, so widen/multiply/floor — all IEEE-exact —
+    *    reproduce bit-identically in any engine (no sum-order or decimal
+    *    rounding hazards; round() at a .5 boundary would NOT be portable);
+    *  - each Lloyd round: nearest-centroid assignment via the same
+    *    min_by aggregate as [[ivfKnn]] (map-side partials, no N×nlist
+    *    Window), then centroid = element-wise floor(mean) via
+    *    posexplode + one hash aggregate on (cent, pos);
+    *  - a FIXED iteration count (both engines run the same rounds).
+    * Final ranking is exact cosine on the original float vectors within
+    * the probed lists, like [[ivfKnn]].
+    *
+    * 100 TB profile: per round, one broadcast of nlist quantized
+    * centroids + two hash-aggregate shuffles (keys: nn_id, then
+    * (cent,pos) — both near-uniform); the corpus projection is cached
+    * across rounds. floor(mean) uses double division of the long micro
+    * sum — exact while per-centroid sums stay under 2^53 micros
+    * (|x|≤1e3-ish embeddings: ~9e9 rows per centroid), documented. */
+  def ivfKnnKMeans(corpus: DataFrame, queries: DataFrame, idCol: String,
+                   vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+                   iters: Int = 2): DataFrame = {
+    def qvec(c: Column) =
+      transform(c, x => floor(x.cast("double") * 1e6).cast("long"))
+    // ordered-fold cosine over any numeric arrays (same fold as the oracle)
+    def cosD(a: Column, b: Column) =
+      round(dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b))), 6)
+    def invKey(sim: Column) = coalesce(
+      when(isnan(sim), lit(Double.NegativeInfinity)).otherwise(-sim),
+      lit(Double.PositiveInfinity))
+
+    val base = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec"),
+      qvec(col(vecCol)).as("q")).cache()
+    var cents = base.orderBy(col("nn_id").asc).limit(nlist)
+      .select(col("nn_id").as("cent_id"), col("q").as("cent_q"))
+
+    // assignment of every corpus vector to its nearest centroid (payload
+    // travels through the min_by aggregate, one shuffle)
+    def assignCorpus(payload: Column): DataFrame = {
+      val sim = cosD(col("q"), col("cent_q"))
+      base.crossJoin(broadcast(cents))
+        .groupBy(col("nn_id"))
+        .agg(min_by(struct(payload.as("p"), col("cent_id")),
+          struct(invKey(sim), col("cent_id"))).as("__best"))
+    }
+
+    for (_ <- 1 to iters) {
+      val assigned = assignCorpus(col("q"))
+        .select(col("__best.cent_id").as("cent_id"), col("__best.p").as("q"))
+      cents = assigned
+        .select(col("cent_id"), posexplode(col("q")).as(Seq("pos", "v")))
+        .groupBy(col("cent_id"), col("pos"))
+        .agg(floor(sum(col("v")).cast("double") / count(lit(1)))
+          .cast("long").as("cv"))
+        .groupBy(col("cent_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+          s => s.getField("cv")).as("cent_q"))
+    }
+
+    val lists = assignCorpus(col("nn_vec"))
+      .select(col("nn_id"), col("__best.p").as("nn_vec"),
+        col("__best.cent_id").as("cent"))
+    val qs = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      qvec(col(vecCol)).as("qq"))
+    val pw = Window.partitionBy(col("query_id")).orderBy(
+      cosD(col("qq"), col("cent_q")).desc, col("cent_id").asc)
+    val probes = qs.crossJoin(broadcast(cents))
+      .withColumn("__cr", row_number().over(pw))
+      .filter(col("__cr") <= nprobe)
+      .select(col("query_id"), col("q_vec"), col("cent_id").as("cent"))
+    val scored = lists.join(probes, "cent")
+      .filter(col("query_id") =!= col("nn_id"))
+      .select(col("query_id"), col("nn_id"),
+        cosine(col("q_vec"), col("nn_vec")).as("sim"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("nn_id").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("query_id"), col("nn_id"), col("sim"), col("rk"))
+  }
+
   /** Symmetric int8 quantization of an embedding column — the standard 4×
     * storage/shuffle reduction for vector corpora (100 TB of float32
     * embeddings becomes 25 TB of int8 + one scale per vector).

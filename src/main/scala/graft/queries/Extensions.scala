@@ -91,6 +91,15 @@ object Extensions {
         "vec_id", "embedding", k = 3, nlist = 16, nprobe = 4)
     }),
 
+    // k-means-refined IVF: 2 deterministic Lloyd rounds over micro-
+    // quantized centroids (floor(x*1e6) longs — every step IEEE-exact and
+    // engine-portable), then probe + exact rank as in q48
+    "q66_ivf_kmeans" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.functions.Similarity.ivfKnnKMeans(e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 3, nlist = 16, nprobe = 4, iters = 2)
+    }),
+
     "q33_lsh_knn" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
       Similarity.lshKnn(e, e.filter(col("vec_id") < 20),
@@ -485,6 +494,62 @@ object Extensions {
          |  CAST(row_number() OVER (PARTITION BY query_id
          |    ORDER BY sim DESC, nn_id ASC) AS INTEGER) AS rk
          |  FROM scored) WHERE rk <= 3""".stripMargin,
+
+    "q66_ivf_kmeans" -> {
+      // 2 unrolled Lloyd rounds, mirroring ivfKnnKMeans exactly: quantized
+      // components floor(x*1e6) as BIGINT, assignment by the same rounded
+      // ordered-fold cosine, centroid update = element-wise floor(mean)
+      def duckAssign(i: Int, cents: String) =
+        s"""a$i AS (
+           |  SELECT nn_id, q, cent_id FROM (
+           |    SELECT b.nn_id, b.q, c.cent_id,
+           |    row_number() OVER (PARTITION BY b.nn_id
+           |      ORDER BY ${dCos("b.q", "c.cent_q")} DESC, c.cent_id ASC) AS rn
+           |    FROM qbase b CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+      def duckUpdate(i: Int) =
+        s"""c$i AS (
+           |  SELECT cent_id, list(cv ORDER BY pos) AS cent_q FROM (
+           |    SELECT cent_id, pos,
+           |    CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+           |    FROM (SELECT cent_id, unnest(q) AS v,
+           |          unnest(range(1, len(q) + 1)) AS pos FROM a$i)
+           |    GROUP BY 1, 2) GROUP BY 1)""".stripMargin
+      s"""WITH qbase AS (
+         |  SELECT vec_id AS nn_id, embedding,
+         |  list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |c0 AS (SELECT nn_id AS cent_id, q AS cent_q FROM qbase
+         |       ORDER BY nn_id LIMIT 16),
+         |${duckAssign(1, "c0")},
+         |${duckUpdate(1)},
+         |${duckAssign(2, "c1")},
+         |${duckUpdate(2)},
+         |lists AS (
+         |  SELECT b.nn_id, b.embedding AS nn_vec, f.cent_id AS cent
+         |  FROM (SELECT nn_id, cent_id FROM (
+         |    SELECT b2.nn_id, c.cent_id,
+         |    row_number() OVER (PARTITION BY b2.nn_id
+         |      ORDER BY ${dCos("b2.q", "c.cent_q")} DESC, c.cent_id ASC) AS rn
+         |    FROM qbase b2 CROSS JOIN c2 c) WHERE rn = 1) f
+         |  JOIN qbase b USING (nn_id)),
+         |probes AS (
+         |  SELECT query_id, q_vec, cent FROM (
+         |    SELECT b.nn_id AS query_id, b.embedding AS q_vec,
+         |    c.cent_id AS cent,
+         |    row_number() OVER (PARTITION BY b.nn_id
+         |      ORDER BY ${dCos("b.q", "c.cent_q")} DESC, c.cent_id ASC) AS rn
+         |    FROM qbase b CROSS JOIN c2 c WHERE b.nn_id < 10) WHERE rn <= 4),
+         |scored AS (
+         |  SELECT DISTINCT query_id, nn_id, ${dCos("q_vec", "nn_vec")} AS sim
+         |  FROM lists JOIN probes USING (cent)
+         |  WHERE query_id <> nn_id)
+         |SELECT query_id, nn_id, sim, rk FROM (
+         |  SELECT query_id, nn_id, sim,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY sim DESC, nn_id ASC) AS INTEGER) AS rk
+         |  FROM scored) WHERE rk <= 3""".stripMargin
+    },
 
     "q58_quantize" ->
       """WITH s AS (

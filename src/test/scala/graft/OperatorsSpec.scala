@@ -44,6 +44,24 @@ class OperatorsSpec extends SparkSpec {
     assert(top.getDouble(2) == 1.0)
   }
 
+  test("ivfKnnKMeans: deterministic under repartitioning, finds the dup") {
+    val vs = (0 until 40).map { i =>
+      val base = Array.tabulate(8)(d => math.sin(i * 7 + d).toFloat)
+      (i.toLong, base)
+    } :+ (100L, Array.tabulate(8)(d => math.sin(3 * 7 + d).toFloat)) // dup of id 3
+    val df = vs.toDF("vec_id", "embedding")
+    val q = df.filter(col("vec_id") === 100)
+    def run(parts: Int) = Similarity.ivfKnnKMeans(df.repartition(parts), q,
+      "vec_id", "embedding", k = 3, nlist = 8, nprobe = 3, iters = 2)
+      .collect().map(_.toSeq).toSet
+    val a = run(2)
+    // exact duplicate must surface as the top neighbor
+    assert(a.exists(r => r(3) == 1 && r(1) == 3L && r(2) == 1.0))
+    // Lloyd refinement + quantized centroid math must not depend on
+    // physical partitioning (sum order, partial-agg order)
+    assert(run(7) == a)
+  }
+
   test("firstBy/lastBy pick values by order field, not partition order") {
     val df = Seq(("a", 3, "x3"), ("a", 1, "x1"), ("a", 2, "x2"), ("b", 9, "y9"))
       .toDF("k", "ord", "v")
