@@ -340,9 +340,19 @@ final class Lowering(spark: SparkSession, keepAssertions: Boolean = true) {
       case Replace =>
         val m = resultNames.zip(results).toMap
         df.select(incoming.map(n => m.get(n).map(_.as(n)).getOrElse(df.col(n))): _*)
+      case Args =>
+        // outgoing = the argument fields, with same-named results
+        // substituted (cascading-platform ARGS output-selector semantics)
+        val m = resultNames.zip(named).toMap
+        df.select(args.map(n => m.getOrElse(n, df.col(n))): _*)
       case Named(ns) =>
         val m = resultNames.zip(named).toMap
-        df.select(ns.map(n => m.getOrElse(n, df.col(n))): _*)
+        // positional names ("0", "-1") resolve against the POST-op field
+        // list: incoming then appended results (reference
+        // TupleTypeInfo.java:325-347 relative resolution)
+        val avail = incoming ++ resultNames.filterNot(incoming.contains)
+        df.select(ns.map(FieldSelector.resolvePos(_, avail))
+          .map(n => m.getOrElse(n, df.col(n))): _*)
       case other => throw new IllegalArgumentException(s"bad out selector $other")
     }
   }

@@ -20,8 +20,13 @@ object FieldSelector {
   case object Results extends FieldSelector
   /** Incoming minus argument fields, plus results (`Fields.SWAP`). */
   case object Swap extends FieldSelector
-  /** The operation's argument fields (`Fields.ARGS`). */
+  /** The operation's argument fields (`Fields.ARGS`); as an OUTPUT
+    * selector, same-named results substitute for the argument columns. */
   case object Args extends FieldSelector
+  // No `Fields.UNKNOWN`: schemas here resolve eagerly at DSL-build time
+  // (see class doc), so arity-unknown dynamic field lists cannot exist —
+  // positional `Named("0", "-1", …)` selectors cover UNKNOWN's legitimate
+  // uses with a concrete schema on every edge.
   /** Incoming fields with result fields overwriting same-named (`Fields.REPLACE`). */
   case object Replace extends FieldSelector
   /** The grouping key fields (valid after a GroupBy/CoGroup). */

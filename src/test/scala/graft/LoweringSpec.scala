@@ -217,6 +217,60 @@ class LoweringSpec extends SparkSpec {
     assert(rows(p) == Set(Seq(4, "d")))
   }
 
+  test("ARGS output selector keeps argument fields, results substitute by name") {
+    // result declared under the arg's own name replaces it; other args stay
+    val p = pipe(lhs).each(
+      ExpressionFunction("ch", "upper(ch)", StringType),
+      args = FieldSelector("num", "ch"), out = FieldSelector.Args)
+    val df = Flow.toDF(p)
+    assert(df.columns.toSeq == Seq("num", "ch"))
+    assert(rows(p).contains(Seq(1, "A")))
+    // differently-named result: args pass through unchanged
+    val q = pipe(lhs).each(
+      ExpressionFunction("up", "upper(ch)", StringType),
+      args = FieldSelector("ch"), out = FieldSelector.Args)
+    assert(Flow.toDF(q).columns.toSeq == Seq("ch"))
+  }
+
+  test("REPLACE and ARGS selectors keep their semantics under a trap") {
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("trapsel").toString
+      val p = pipe(lhs).each(
+        ExpressionFunction("num", "100 div (num - 2)", IntegerType),
+        args = FieldSelector("num"), out = FieldSelector.Replace,
+        trap = Some(graft.sources.ParquetTap(s"$dir/trap")))
+      val good = Flow.toDFWithTraps(p)
+      assert(good.columns.toSeq == Seq("num", "ch")) // replaced in place
+      assert(good.select("num").collect().map(_.getInt(0)).sorted.toSeq ==
+        Seq(-100, 50))
+      val trapped = spark.read.parquet(s"$dir/trap")
+      assert(trapped.columns.toSeq == Seq("num", "ch", "__trap_err"))
+      assert(trapped.select("num").collect().map(_.getInt(0)).toSeq == Seq(2, 2))
+
+      val dir2 = java.nio.file.Files.createTempDirectory("trapsel2").toString
+      val q = pipe(lhs).each(
+        ExpressionFunction("inv", "100 div (num - 2)", IntegerType),
+        args = FieldSelector("num"), out = FieldSelector.Args,
+        trap = Some(graft.sources.ParquetTap(s"$dir2/trap")))
+      val g2 = Flow.toDFWithTraps(q)
+      assert(g2.columns.toSeq == Seq("num")) // ARGS: argument fields only
+      assert(spark.read.parquet(s"$dir2/trap").count() == 2)
+    } finally spark.conf.set("spark.sql.ansi.enabled", "false")
+  }
+
+  test("generator honors ALL and negative-position Named selectors") {
+    val gen = RegexSplitGenerator("tok", " ")
+    val p = pipe(Seq((1, "a b")).toDF("id", "txt"))
+      .generate(gen, args = FieldSelector("txt"), out = FieldSelector.All)
+    assert(Flow.toDF(p).columns.toSeq == Seq("id", "txt", "tok"))
+    assert(Flow.toDF(p).count() == 2)
+    // Named with negative position resolves against the POST-generate schema
+    val q = pipe(Seq((1, "a b")).toDF("id", "txt"))
+      .generate(gen, args = FieldSelector("txt"), out = FieldSelector("0", "-1"))
+    assert(Flow.toDF(q).columns.toSeq == Seq("id", "tok"))
+  }
+
   test("sliceLimit caps each partition (per-slice Cascading semantics)") {
     val df = spark.range(100).toDF("v").repartition(4)
     val p = pipe(df).sliceLimit(5)
