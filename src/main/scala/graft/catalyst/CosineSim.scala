@@ -19,34 +19,37 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
 case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
 
   private def ok(dt: DataType) = dt match {
-    case ArrayType(FloatType | DoubleType, _) => true
+    // long arrays: the micro-quantized centroid path (ivfKnnKMeans);
+    // long->double widening is exact for |v| < 2^53
+    case ArrayType(FloatType | DoubleType | LongType, _) => true
     case _ => false
   }
   override def checkInputDataTypes(): TypeCheckResult =
     if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"cosine_sim requires array<float|double>, got ${left.dataType}, ${right.dataType}")
+      s"cosine_sim requires array<float|double|bigint>, got ${left.dataType}, ${right.dataType}")
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
 
   // lazy: children are unresolved at construction time
-  private lazy val leftIsFloat = left.dataType match {
-    case ArrayType(FloatType, _) => true; case _ => false
+  private def kindOf(dt: DataType): Int = dt match {
+    case ArrayType(FloatType, _) => 0
+    case ArrayType(LongType, _)  => 2
+    case _                       => 1
   }
-  private lazy val rightIsFloat = right.dataType match {
-    case ArrayType(FloatType, _) => true; case _ => false
-  }
+  private lazy val leftKind = kindOf(left.dataType)
+  private lazy val rightKind = kindOf(right.dataType)
 
   protected override def nullSafeEval(a: Any, b: Any): Any =
     CosineSim.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
-      leftIsFloat, rightIsFloat)
+      leftKind, rightKind)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val v = ctx.freshName("cos")
       s"""
-         |Object $v = graft.catalyst.CosineSim.compute($a, $b, $leftIsFloat, $rightIsFloat);
+         |Object $v = graft.catalyst.CosineSim.compute($a, $b, $leftKind, $rightKind);
          |if ($v == null) { ${ev.isNull} = true; }
          |else { ${ev.value} = ((Double) $v).doubleValue(); }
        """.stripMargin
@@ -57,17 +60,20 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
 }
 
 object CosineSim {
-  /** Returns java.lang.Double or null (null elements / length mismatch). */
+  /** Returns java.lang.Double or null (null elements / length mismatch).
+    * kind: 0 = float, 1 = double, 2 = long elements. */
   def compute(a: ArrayData, b: ArrayData,
-              aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
+              aKind: Int, bKind: Int): java.lang.Double = {
     val n = a.numElements()
     if (n != b.numElements()) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
-      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
-      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      val x = if (aKind == 0) a.getFloat(i).toDouble
+              else if (aKind == 2) a.getLong(i).toDouble else a.getDouble(i)
+      val y = if (bKind == 0) b.getFloat(i).toDouble
+              else if (bKind == 2) b.getLong(i).toDouble else b.getDouble(i)
       dot += x * y
       na += x * x
       nb += y * y

@@ -168,9 +168,9 @@ object Similarity {
                    iters: Int = 2): DataFrame = {
     def qvec(c: Column) =
       transform(c, x => floor(x.cast("double") * 1e6).cast("long"))
-    // ordered-fold cosine over any numeric arrays (same fold as the oracle)
-    def cosD(a: Column, b: Column) =
-      round(dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b))), 6)
+    // native one-pass kernel (handles long arrays), same ordered fold as
+    // the oracle's list_reduce composition
+    def cosD(a: Column, b: Column) = cosine(a, b)
     def invKey(sim: Column) = coalesce(
       when(isnan(sim), lit(Double.NegativeInfinity)).otherwise(-sim),
       lit(Double.PositiveInfinity))
@@ -193,7 +193,7 @@ object Similarity {
     for (_ <- 1 to iters) {
       val assigned = assignCorpus(col("q"))
         .select(col("__best.cent_id").as("cent_id"), col("__best.p").as("q"))
-      cents = assigned
+      val updated = assigned
         .select(col("cent_id"), posexplode(col("q")).as(Seq("pos", "v")))
         .groupBy(col("cent_id"), col("pos"))
         .agg(floor(sum(col("v")).cast("double") / count(lit(1)))
@@ -201,6 +201,14 @@ object Similarity {
         .groupBy(col("cent_id"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
           s => s.getField("cv")).as("cent_q"))
+      // per-round sync barrier: materialize the nlist tiny centroids to the
+      // driver and restart lineage from a local relation — otherwise every
+      // downstream consumer (next round, lists, probes) re-executes the
+      // whole prior round's corpus pass (measured 3x on the q66 gate).
+      // Every Lloyd implementation has this barrier; it moves nlist rows.
+      val rows = updated.collect().toSeq
+      cents = corpus.sparkSession.createDataFrame(
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, updated.schema)
     }
 
     val lists = assignCorpus(col("nn_vec"))
