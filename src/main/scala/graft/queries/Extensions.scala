@@ -176,6 +176,49 @@ object Extensions {
       s.read.parquet(out).select("w_start", "event_type", "n", "sum_value")
     }),
 
+    // --- STATEFUL streaming under the gate: gap sessionization via
+    // flatMapGroupsWithState run as a real stream (q52/q65 pattern). A
+    // far-future sentinel event PER USER closes each user's last real
+    // session (the sentinel's own session stays in state, never emitted);
+    // input is staged as ONE parquet file so the single AvailableNow batch
+    // sees each user's events together. sessionize keeps micro-precision
+    // timestamps and exact decimal micro sums, so the sink rows hash-match
+    // the batch q29 oracle; session_id is derived on read-back by start
+    // order (sessions are gap-separated, so the order is unambiguous).
+    "q67_stream_sessions" -> ((s, dir) => {
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_q67_stream")
+      def rmr(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rmr)
+        f.delete(); ()
+      }
+      if (root.exists()) rmr(root)
+      val in = s"$root/in"; val out = s"$root/out"; val chk = s"$root/chk"
+      val ev = Tables.events(s, dir).select(col("user_id"), col("ts"), col("value"))
+      val sentinels = ev.select(col("user_id")).distinct()
+        .withColumn("ts", expr("timestamp'2100-01-01 00:00:00'"))
+        .withColumn("value", lit(0.0))
+      ev.unionByName(sentinels).coalesce(1).write.parquet(in)
+      val stream = graft.streaming.StreamOps.readStream(s, in, ev.schema)
+      val sessions = {
+        import s.implicits._
+        graft.streaming.StreamOps.sessionize(
+          stream.as[graft.streaming.StreamOps.SessionEvent], 1800)
+      }
+      val q = sessions.writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", chk)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("start_ts"))
+      s.read.parquet(out)
+        .withColumn("session_id", row_number().over(w).cast("long"))
+        .select(col("user_id"), col("session_id"), col("n_events"),
+          col("start_ts"), col("end_ts"), col("sum_value"))
+    }),
+
     // --- grouping sets (absent from reference — SURVEY §2.4 last row) -----
     "q38_rollup" -> ((s, dir) => {
       val li = s.read.parquet(s"$dir/lineitem.parquet")
@@ -562,6 +605,27 @@ object Extensions {
         |    x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT))) AS BIGINT)
         |END AS code_sum
         |FROM s""".stripMargin,
+
+    // identical SQL to q29: the stateful streaming run must reproduce the
+    // batch sessionization exactly
+    "q67_stream_sessions" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |       OR date_diff('second', lag(ts) OVER w, ts) > 1800
+        |       THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sessions AS (
+        |  SELECT user_id, event_id, ts, value,
+        |  CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM flagged
+        |)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |CAST(min(ts) AS TIMESTAMP) AS start_ts, CAST(max(ts) AS TIMESTAMP) AS end_ts,
+        |CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+        |FROM sessions GROUP BY 1, 2""".stripMargin,
 
     "q29_sessionize" ->
       """WITH flagged AS (

@@ -41,12 +41,31 @@ object StreamOps {
   }
 
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
-  case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+  /** State in MICROSECOND timestamps and exact decimal(·,6) micro sums, so
+    * session output is batch-exact: timestamps keep parquet's micro
+    * precision (`Timestamp.getTime` would truncate to ms) and the sum is
+    * order-independent (the `ExactMicrosSum` representation). */
+  case class SessionState(startUs: Long, lastUs: Long, n: Long, sumMicros: Long)
   case class SessionOut(user_id: Long, start_ts: java.sql.Timestamp,
                         end_ts: java.sql.Timestamp, n_events: Long, sum_value: Double)
 
+  private def toMicros(ts: java.sql.Timestamp): Long = {
+    val i = ts.toInstant
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
+  private def fromMicros(us: Long): java.sql.Timestamp =
+    java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+      Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
+  private def sessionOut(userId: Long, s: SessionState): SessionOut =
+    SessionOut(userId, fromMicros(s.startUs), fromMicros(s.lastUs), s.n,
+      graft.catalyst.Micros.toDouble(if (s.sumMicros < 0) -1L else 0L, s.sumMicros))
+
   /** Gap-based sessionization with custom state — the streaming counterpart
-    * of the batch q29 query. A session closes when a later event for the
+    * of the batch q29 query, and BATCH-EXACT: the gap compares second-
+    * truncated epochs (matching `unix_timestamp`/`date_diff('second')` in
+    * the batch form and the DuckDB oracle), and the value sum accumulates
+    * exact decimal micros, so a closed session's row is bit-identical to
+    * the batch aggregation. A session closes when a later event for the
     * same key arrives beyond the gap; with `ProcessingTimeTimeout` it also
     * closes after `gapSeconds` of silence (note: timeout mode makes the
     * micro-batch engine schedule continuous timeout-check batches — use
@@ -62,22 +81,22 @@ object StreamOps {
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator.single(SessionOut(userId, new java.sql.Timestamp(s.start),
-              new java.sql.Timestamp(s.last), s.n, s.sum))
+            Iterator.single(sessionOut(userId, s))
           } else {
             var closed = List.empty[SessionOut]
             var cur = state.getOption
-            evs.toSeq.sortBy(_.ts.getTime).foreach { e =>
-              val t = e.ts.getTime
+            evs.toSeq.sortBy(e => toMicros(e.ts)).foreach { e =>
+              val t = toMicros(e.ts)
+              val vMicros = graft.catalyst.Micros.compute(e.value)
+              def sec(us: Long) = Math.floorDiv(us, 1000000L)
               cur match {
-                case Some(s) if t - s.last <= gapSeconds * 1000 =>
-                  cur = Some(SessionState(s.start, t, s.n + 1, s.sum + e.value))
+                case Some(s) if sec(t) - sec(s.lastUs) <= gapSeconds =>
+                  cur = Some(SessionState(s.startUs, t, s.n + 1, s.sumMicros + vMicros))
                 case Some(s) =>
-                  closed ::= SessionOut(userId, new java.sql.Timestamp(s.start),
-                    new java.sql.Timestamp(s.last), s.n, s.sum)
-                  cur = Some(SessionState(t, t, 1, e.value))
+                  closed ::= sessionOut(userId, s)
+                  cur = Some(SessionState(t, t, 1, vMicros))
                 case None =>
-                  cur = Some(SessionState(t, t, 1, e.value))
+                  cur = Some(SessionState(t, t, 1, vMicros))
               }
             }
             cur.foreach { s =>
