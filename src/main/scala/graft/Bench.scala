@@ -73,23 +73,48 @@ object Bench {
       }
       name -> times
     }
+    // Confirmation pass: a contention window can cover EVERY pass of one
+    // query (observed: a ~40 s system load spike made one 0.4 s query
+    // measure 11 s in all 3 passes — within-query spread can't see it).
+    // Re-measure the heaviest queries once more, now separated in time
+    // from their original passes, and keep the min.
+    val median = {
+      val xs = results.values.map(_.min).toSeq.sorted
+      if (xs.isEmpty) 0.0 else xs(xs.size / 2)
+    }
+    val suspects = results.filter { case (_, v) =>
+      v.min > math.max(0.5, 3 * median) }.keys.toSeq
+    val confirmed = suspects.map { name =>
+      val fn = selected(name)
+      if (canWarm) { try run(fn, warmDir) catch { case _: Throwable => () } }
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      try run(fn, sfDir) catch { case _: Throwable => () }
+      name -> ((System.nanoTime() - t0) / 1e9)
+    }.toMap
+    val finalResults = results.map { case (k, v) =>
+      k -> (v ++ confirmed.get(k).toSeq) }
     val loadEnd = loadavg()
     def fmt(d: Double) = f"$d%.4f"
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v.min) }
+    val qs = finalResults.map { case (k, v) => "\"" + k + "\":" + fmt(v.min) }
       .mkString("{", ",", "}")
-    val raw = results.map { case (k, v) =>
+    val raw = finalResults.map { case (k, v) =>
       "\"" + k + "\":[" + v.map(fmt).mkString(",") + "]"
     }.mkString("{", ",", "}")
-    val flagged = results.collect {
+    val flagged = finalResults.collect {
       case (k, v) if v.min > 0.05 && v.max / v.min > SPREAD_FLAG_RATIO => k
     }.toSeq
-    val total = results.values.map(_.min).sum
+    val total = finalResults.values.map(_.min).sum
     def arr(xs: Seq[Double]) = xs.map(fmt).mkString("[", ",", "]")
+    def names(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec"""" +
       s""","queries":$qs,"sf":"$sfDir","passes":$passes,"raw_passes":$raw""" +
       s""","loadavg_start":${arr(loadStart)},"loadavg_end":${arr(loadEnd)}""" +
-      s""","spread_flagged":${flagged.map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
-      s""","contended":${flagged.nonEmpty}}"""
+      s""","remeasured":${names(suspects)}""" +
+      s""","spread_flagged":${names(flagged)}""" +
+      // a few noisy queries are normal on a shared box (their MIN is still
+      // the plan cost); a systemically contended run flags a broad slice
+      s""","contended":${flagged.size > math.max(2, finalResults.size / 10)}}"""
     // The driver scrapes the sbt log tail, which interleaves Spark logging
     // with our output. Emit to a dedicated file when requested, print with a
     // unique marker prefix a log-tail parser can anchor on, and make the
