@@ -156,7 +156,12 @@ object Dedup {
                                      k: Int = 16, bands: Int = 4,
                                      maxIters: Int = 30): (DataFrame, Int) = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val br = bandRows(df, idCol, textCol, k, bands).persist(lvl)
+    // cache the band table PRE-PARTITIONED on id: every round joins it to
+    // the labels (whose groupBy("id") output is hash-partitioned on id the
+    // same way), so the per-round id-join reuses the cached partitioning
+    // instead of re-shuffling the band table each iteration
+    val br = bandRows(df, idCol, textCol, k, bands)
+      .repartition(col("id")).persist(lvl)
     var labels = br.select(col("id")).distinct()
       .withColumn("label", col("id")).persist(lvl)
     var iters = 0
