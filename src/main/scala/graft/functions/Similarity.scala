@@ -175,8 +175,13 @@ object Similarity {
       when(isnan(sim), lit(Double.NegativeInfinity)).otherwise(-sim),
       lit(Double.PositiveInfinity))
 
+    // the returned frame lazily READS this cached projection (the final
+    // probed ranking re-joins the corpus), so it stays persisted for the
+    // session; callers doing repeated sweeps should
+    // `spark.catalog.clearCache()` (or collect + unpersist) between runs
     val base = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec"),
-      qvec(col(vecCol)).as("q")).cache()
+      qvec(col(vecCol)).as("q"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cents = base.orderBy(col("nn_id").asc).limit(nlist)
       .select(col("nn_id").as("cent_id"), col("q").as("cent_q"))
 

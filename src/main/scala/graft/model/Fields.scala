@@ -33,9 +33,10 @@ object FieldSelector {
   case object Group extends FieldSelector
   /** The non-key value fields (valid after a GroupBy/CoGroup). */
   case object Values extends FieldSelector
-  /** An explicit list of field names; negative positions resolve from the
-    * end of the incoming schema at lowering time (reference
-    * `TupleTypeInfo.java:325-347`). */
+  /** An explicit list of field names; positional names ("0", "-1")
+    * resolve against the post-op field list — incoming then appended
+    * results — at lowering time (reference `TupleTypeInfo.java:325-347`
+    * relative resolution). */
   final case class Named(names: Seq[String]) extends FieldSelector
 
   def apply(names: String*): FieldSelector = Named(names)
@@ -53,7 +54,12 @@ object FieldSelector {
       case Group | Values =>
         throw new IllegalArgumentException(
           s"selector $sel is only valid in grouping context")
-      case Named(ns) => ns.map(resolvePos(_, incoming))
+      case Named(ns) =>
+        // positional names resolve against the POST-op field list
+        // (incoming then appended results) — same rule as the lowering's
+        // selectOutput, so both resolution paths agree
+        val avail = incoming ++ results.filterNot(incoming.contains)
+        ns.map(resolvePos(_, avail))
     }
 
   /** Negative-position names like "-1" resolve relative to the end. */

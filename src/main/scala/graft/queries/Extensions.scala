@@ -19,6 +19,18 @@ object Extensions {
   private def dStopHits(words: Seq[String]) =
     s"len(list_filter($dToks, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
 
+  /** Fresh (in, out, checkpoint) dirs under a per-query tmp root, deleting
+    * any previous run's tree — shared by the streaming gate queries. */
+  private def freshStreamDirs(name: String): (String, String, String) = {
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"), name)
+    def rmr(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmr)
+      f.delete(); ()
+    }
+    if (root.exists()) rmr(root)
+    (s"$root/in", s"$root/out", s"$root/chk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- text analysis -----------------------------------------------------
     "q20_token_stats" -> ((s, dir) => {
@@ -58,9 +70,13 @@ object Extensions {
     // propagation = connected components); oracle mirrors it as the same
     // propagation unrolled to a fixed iteration count (a fixed point is
     // stable, so any oracle round count >= the converged count matches)
+    // maxIters MUST equal the oracle's unrolled round count: converged
+    // early -> extra oracle rounds are no-ops (fixed point); NOT converged
+    // by round 8 -> both sides stop at exactly 8 rounds and still match
     "q64_minhash_transitive" -> ((s, dir) =>
       Dedup.minhashClustersTransitive(
-        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", k = 16, bands = 4)),
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        k = 16, bands = 4, maxIters = 8)),
 
     "q26_simhash" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
@@ -150,14 +166,7 @@ object Extensions {
     // stays unemitted in state — the sink holds exactly the real windows,
     // which must hash-match the same DuckDB SQL as batch q31.
     "q65_stream_sink" -> ((s, dir) => {
-      val root = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft_q65_stream")
-      def rmr(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rmr)
-        f.delete(); ()
-      }
-      if (root.exists()) rmr(root)
-      val in = s"$root/in"; val out = s"$root/out"; val chk = s"$root/chk"
+      val (in, out, chk) = freshStreamDirs("graft_q65_stream")
       val ev = Tables.events(s, dir)
       val sentinel = ev.limit(1)
         .withColumn("ts", expr("timestamp'2100-01-01 00:00:00'"))
@@ -186,14 +195,7 @@ object Extensions {
     // the batch q29 oracle; session_id is derived on read-back by start
     // order (sessions are gap-separated, so the order is unambiguous).
     "q67_stream_sessions" -> ((s, dir) => {
-      val root = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft_q67_stream")
-      def rmr(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rmr)
-        f.delete(); ()
-      }
-      if (root.exists()) rmr(root)
-      val in = s"$root/in"; val out = s"$root/out"; val chk = s"$root/chk"
+      val (in, out, chk) = freshStreamDirs("graft_q67_stream")
       val ev = Tables.events(s, dir).select(col("user_id"), col("ts"), col("value"))
       val sentinels = ev.select(col("user_id")).distinct()
         .withColumn("ts", expr("timestamp'2100-01-01 00:00:00'"))

@@ -30,7 +30,10 @@ object Relational {
 
   /** Spark-side exact sum: the codegen'd int128-micros kernel, value-
     * identical to the decimal(38,6) convention the ORACLE SQL (dsum above)
-    * keeps using — measured ~2x on the q01-shaped hot aggregate. */
+    * keeps using — measured ~2x on the q01-shaped hot aggregate. Domain:
+    * per-value |x| ≤ 9.2e12 (all TPC-H-ish money/quantity columns here are
+    * ≤ ~1e7; out-of-domain values fail loudly with a directed error) —
+    * keep `Aggs.sql(.., dsum(..))` for columns wider than that. */
   private def xsum(x: String) = graft.catalyst.ExactMicrosSum.sum(expr(x))
 
   /** Per-customer running order total — `Every`+`Buffer` with secondary sort

@@ -87,7 +87,14 @@ object StreamOps {
             var cur = state.getOption
             evs.toSeq.sortBy(e => toMicros(e.ts)).foreach { e =>
               val t = toMicros(e.ts)
-              val vMicros = graft.catalyst.Micros.compute(e.value)
+              // NaN/±Inf: the batch convention casts them to null and the
+              // sum skips them (the event still counts / extends the
+              // session). Divergence note: a session whose values are ALL
+              // non-finite sums to 0.0 here vs NULL in batch SQL.
+              val vMicros =
+                if (java.lang.Double.isNaN(e.value) ||
+                    java.lang.Double.isInfinite(e.value)) 0L
+                else graft.catalyst.Micros.compute(e.value)
               def sec(us: Long) = Math.floorDiv(us, 1000000L)
               cur match {
                 case Some(s) if sec(t) - sec(s.lastUs) <= gapSeconds =>
