@@ -181,6 +181,24 @@ final case class HadoopTap[K, V](
   }
 }
 
+/** Bucketed-table tap: writes through `bucketBy(+sortBy).saveAsTable`, so
+  * every later join or aggregation on the bucket keys between co-bucketed
+  * tables runs with NO shuffle exchange (plan-asserted in BucketingSpec) —
+  * the canonical 100 TB co-location strategy for a fact table joined
+  * repeatedly on the same key: pay the layout shuffle once at write time,
+  * never again at read time. Bucket count should be sized so one bucket ≈
+  * one task's worth of data at the target scale. */
+final case class BucketedTap(table: String, buckets: Int, keys: Seq[String],
+                             sortKeys: Seq[String] = Nil) extends Tap {
+  require(keys.nonEmpty, "BucketedTap requires at least one bucket key")
+  def read(spark: SparkSession): DataFrame = spark.table(table)
+  def write(df: DataFrame, mode: SinkMode): Unit = {
+    val w = df.write.mode(mode.toSaveMode).bucketBy(buckets, keys.head, keys.tail: _*)
+    val ws = if (sortKeys.nonEmpty) w.sortBy(sortKeys.head, sortKeys.tail: _*) else w
+    ws.saveAsTable(table)
+  }
+}
+
 /** An in-memory tap for tests and composition: wraps an existing DataFrame. */
 final case class DataFrameTap(df: DataFrame) extends Tap {
   def read(spark: SparkSession): DataFrame = df

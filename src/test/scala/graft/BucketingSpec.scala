@@ -44,6 +44,34 @@ class BucketingSpec extends SparkSpec {
     assert(joined.count() == 100)
   }
 
+  test("BucketedTap round-trip: co-bucketed DSL join plans without exchange") {
+    Seq("bt_a", "bt_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+        }
+        rm(loc)
+      }
+    }
+    val ta = graft.sources.BucketedTap("bt_a", 4, Seq("k"), Seq("k"))
+    val tb = graft.sources.BucketedTap("bt_b", 4, Seq("k2"), Seq("k2"))
+    ta.write((1 to 50).map(i => (i, s"a$i")).toDF("k", "va"), graft.sources.SinkMode.Replace)
+    tb.write((1 to 50).map(i => (i, s"b$i")).toDF("k2", "vb"), graft.sources.SinkMode.Replace)
+    val p = Pipe.source(ta).coGroup(Seq("k"), Pipe.source(tb), Seq("k2"))
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = Flow.toDF(p)
+      val exchanges = df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty, "co-bucketed DSL coGroup must not shuffle")
+      assert(df.count() == 50)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+
   test("3-way bufferJoinN provides one iterator per input") {
     val a = Seq((1, "a1"), (2, "a2")).toDF("k", "va")
     val b = Seq((1, "b1"), (1, "b1x"), (3, "b3")).toDF("k2", "vb")
