@@ -84,6 +84,22 @@ class ExactSumSpec extends SparkSpec {
     assert(!plan.contains("ObjectHashAggregate"))
   }
 
+  test("works as a window aggregate, identical to the decimal running sum") {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy("i")
+      .rowsBetween(Long.MinValue, 0)
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 300).map(i => (i % 3, i, rnd.nextDouble() * 1000 - 500))
+      .toDF("k", "i", "x").cache()
+    val viaDecimal = df.withColumn("s",
+        expr("sum(cast(x as decimal(38,6)))").over(w).cast("double"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.get(2), r.get(3))).toSet
+    val viaKernel = df.withColumn("s", ExactMicrosSum.sum(col("x")).over(w))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.get(2), r.get(3))).toSet
+    df.unpersist()
+    assert(viaKernel == viaDecimal)
+  }
+
   test("works as a SQL function via GraftExtensions") {
     graft.catalyst.GraftExtensions.register(spark)
     Seq((1, 1.25), (1, 2.5), (2, 0.0000005)).toDF("k", "x")
