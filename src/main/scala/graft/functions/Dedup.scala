@@ -160,8 +160,7 @@ object Dedup {
     // the labels (whose groupBy("id") output is hash-partitioned on id the
     // same way), so the per-round id-join reuses the cached partitioning
     // instead of re-shuffling the band table each iteration
-    val br = bandRows(df, idCol, textCol, k, bands)
-      .repartition(col("id")).persist(lvl)
+    val br = bandRows(df, idCol, textCol, k, bands).persist(lvl)
     var labels = br.select(col("id")).distinct()
       .withColumn("label", col("id")).persist(lvl)
     var iters = 0
