@@ -77,11 +77,16 @@ class ExactSumSpec extends SparkSpec {
 
   test("plan stays in whole-stage codegen HashAggregate (no ObjectHashAggregate)") {
     val df = spark.read.parquet(s"${sf()}/lineitem.parquet")
-    val plan = df.groupBy("l_returnflag")
+    val agg = df.groupBy("l_returnflag")
       .agg(ExactMicrosSum.sum(col("l_extendedprice")).as("s"))
-      .queryExecution.executedPlan.toString
+    agg.collect() // materialize so AQE finalizes the physical plan
+    val plan = agg.queryExecution.executedPlan.toString
     assert(plan.contains("HashAggregate"))
     assert(!plan.contains("ObjectHashAggregate"))
+    // the update loop must sit INSIDE a whole-stage codegen span
+    // (the finalized plan marks codegen'd operators with a "*(n)" prefix)
+    assert(plan.linesIterator.exists(l =>
+      l.contains("HashAggregate") && l.contains("*(")))
   }
 
   test("works as a window aggregate, identical to the decimal running sum") {
