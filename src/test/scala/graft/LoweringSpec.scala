@@ -339,6 +339,22 @@ class LoweringSpec extends SparkSpec {
     assert(rows(q) == Set(Seq(1.5, 1, 1), Seq(2.5, 0, 1)))
   }
 
+  test("the decimal-cast workaround suggested by the key-type error works") {
+    // mixed long/float keys are rejected; casting BOTH to DECIMAL(20,0)
+    // (as the error directs) groups exactly
+    val left = Seq((4294967297L, "a"), (1L, "b")).toDF("k", "v")
+      .withColumn("k", col("k").cast("decimal(20,0)"))
+    val right = Seq((1.0f, "c")).toDF("k2", "w")
+      .withColumn("k2", col("k2").cast("decimal(20,0)"))
+    val p = pipe(left).bufferJoin(Seq("k"), pipe(right), Seq("k2"),
+      CFields.typed("k" -> DecimalType(20, 0), "nl" -> IntegerType,
+        "nr" -> IntegerType),
+      (key, ls, rs) => Iterator.single(Seq(key.head, ls.size, rs.size)))
+    val got = Flow.toDF(p).collect()
+      .map(r => (r.getDecimal(0).longValueExact(), r.getInt(1), r.getInt(2))).toSet
+    assert(got == Set((4294967297L, 1, 0), (1L, 1, 1)))
+  }
+
   test("diamond inside one withConfig scope lowers once (memoized per scope)") {
     var configured = 0
     val f = new CFilter with ConfigurableOp {
