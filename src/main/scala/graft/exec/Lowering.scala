@@ -145,11 +145,13 @@ final class Lowering(spark: SparkSession, keepAssertions: Boolean = true) {
     case ScanBufferPipe(grouped, sb) =>
       lowerScanBuffer(grouped, sb.asInstanceOf[CScanBuffer[Any]])
 
-    case CoGroupPipe(l, lk, r, rk, joiner, declared) =>
-      lowerJoin(lower(l), lk, lower(r), rk, joiner, declared, bcast = false)
+    case CoGroupPipe(l, lk, r, rk, joiner, declared, nullSafe) =>
+      lowerJoin(lower(l), lk, lower(r), rk, joiner, declared, bcast = false,
+        nullSafe = nullSafe)
 
-    case HashJoinPipe(l, lk, r, rk, joiner, declared) =>
-      lowerJoin(lower(l), lk, lower(r), rk, joiner, declared, bcast = true)
+    case HashJoinPipe(l, lk, r, rk, joiner, declared, nullSafe) =>
+      lowerJoin(lower(l), lk, lower(r), rk, joiner, declared, bcast = true,
+        nullSafe = nullSafe)
 
     // key-less cross: broadcast the declared tiny side (reference
     // crossWithTiny, FFS:765-800) so the plan replicates the small input
@@ -242,6 +244,21 @@ final class Lowering(spark: SparkSession, keepAssertions: Boolean = true) {
       // prevents ColumnPruning from eliding the side effect.
       else df.filter(assert_true(expr(pred),
         lit(s"assertion failed: $message")).isNull)
+
+    // GroupAssertion: per-group predicate after aggregation. A synthetic
+    // `__group_size` count is injected into the aggregate list so size
+    // assertions need no user-declared count, checked, then dropped.
+    // Stripped with keepAssertions=false (reference strips GroupAssertions
+    // via ApplyAssertionLevelTransformer, FlinkConnector.java:126-127).
+    case GroupAssertPipe(aggPipe, pred, message) =>
+      if (!keepAssertions) lower(aggPipe)
+      else {
+        val withSize = translate(
+          AggregatePipe(aggPipe.grouped, aggPipe.aggs :+ Aggs.count("__group_size")))
+        withSize.filter(assert_true(expr(pred),
+          lit(s"group assertion failed: $message")).isNull)
+          .drop("__group_size")
+      }
   }
 
   // ------------------------------------------------------------------
@@ -639,7 +656,8 @@ final class Lowering(spark: SparkSession, keepAssertions: Boolean = true) {
     * (reference `computeSpliceInputsFieldsKeys`, `FFS:1191-1236`). */
   private def lowerJoin(l: DataFrame, lk: Seq[String], r: DataFrame,
                         rk: Seq[String], joiner: Joiner,
-                        declared: Option[Seq[String]], bcast: Boolean): DataFrame = {
+                        declared: Option[Seq[String]], bcast: Boolean,
+                        nullSafe: Boolean = false): DataFrame = {
     val semiLike = joiner == Joiner.LeftSemi || joiner == Joiner.LeftAnti
     val (ld, rd) = declared match {
       case Some(names) =>
@@ -658,11 +676,20 @@ final class Lowering(spark: SparkSession, keepAssertions: Boolean = true) {
     val rkR = declared.fold(rk)(names =>
       rk.map(k => names(l.columns.length + r.columns.indexOf(k))))
     val rside = if (bcast) broadcast(rd) else rd
-    if (declared.isEmpty && lk == rk)
+    if (declared.isEmpty && lk == rk && !nullSafe)
       ld.join(rside, lk, joiner.sparkType) // shared key columns, no dup
     else {
+      // null-safe joins with identical key names on both sides would leave
+      // two indistinguishable key columns; Cascading keeps both copies, so
+      // require the caller to name them apart (declared fields or renames).
+      require(!nullSafe || declared.nonEmpty || lk != rk,
+        "nullSafe join with identical key names on both sides: pass declared " +
+          "fields (or rename one side) so both retained key copies are addressable")
       val cond = lkR.zip(rkR)
-        .map { case (a, b) => ld.col(a) === rside.col(b) }.reduce(_ && _)
+        .map { case (a, b) =>
+          if (nullSafe) ld.col(a) <=> rside.col(b)
+          else ld.col(a) === rside.col(b)
+        }.reduce(_ && _)
       ld.join(rside, cond, joiner.sparkType)
     }
   }

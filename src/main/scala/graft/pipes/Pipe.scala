@@ -66,18 +66,28 @@ sealed trait Pipe {
     * (`FFS:573-600`); Spark's partial+final aggregation has no such cliff. */
   def groupAll: GroupByPipe = GroupByPipe(Seq(this), Nil, Nil)
 
+  /** `nullSafe = true` selects Cascading's null-key semantics: tuples with
+    * null grouping keys GROUP TOGETHER and join each other (Cascading
+    * compares tuple fields with null == null; the reference inherits that
+    * through its Cascading comparators). The default (`false`) is ANSI SQL:
+    * null keys never match, so outer joiners null-pad them. Both lower to
+    * equi-join keys Catalyst plans as hash/sort-merge joins (`<=>` is an
+    * `EqualNullSafe` equi-key — no nested-loop fallback). */
   def coGroup(leftKeys: Seq[String], right: Pipe, rightKeys: Seq[String],
               joiner: Joiner = Joiner.Inner,
-              declared: Option[Seq[String]] = None): Pipe =
-    CoGroupPipe(this, leftKeys, right, rightKeys, joiner, declared)
+              declared: Option[Seq[String]] = None,
+              nullSafe: Boolean = false): Pipe =
+    CoGroupPipe(this, leftKeys, right, rightKeys, joiner, declared, nullSafe)
 
   /** Broadcast join — reference `HashJoin` translates to
     * `BROADCAST_HASH_SECOND` (`FFS:993`); we hint `broadcast()` on the
-    * right/small side and let Catalyst build the hash table. */
+    * right/small side and let Catalyst build the hash table. `nullSafe` as
+    * in [[coGroup]]. */
   def hashJoin(leftKeys: Seq[String], right: Pipe, rightKeys: Seq[String],
                joiner: Joiner = Joiner.Inner,
-               declared: Option[Seq[String]] = None): Pipe =
-    HashJoinPipe(this, leftKeys, right, rightKeys, joiner, declared)
+               declared: Option[Seq[String]] = None,
+               nullSafe: Boolean = false): Pipe =
+    HashJoinPipe(this, leftKeys, right, rightKeys, joiner, declared, nullSafe)
 
   /** Key-less join = Cartesian. The reference's key-less joins broadcast
     * the tiny side (`crossWithTiny`, `FFS:765-800`); `tiny` marks which
@@ -230,6 +240,17 @@ final case class GroupByPipe(inputs: Seq[Pipe], keys: Seq[String],
 
 final case class AggregatePipe(grouped: GroupByPipe, aggs: Seq[AggOp]) extends Pipe {
   def every(more: AggOp*): AggregatePipe = AggregatePipe(grouped, aggs ++ more)
+  /** Cascading `GroupAssertion` analogue: a per-group predicate checked
+    * after aggregation. The predicate sees the group keys, every aggregate
+    * result, and a synthetic `__group_size` count (so size assertions like
+    * `AssertGroupSizeEquals` need no user-declared count aggregate; the
+    * column is injected for the check and dropped from the output).
+    * Stripped together with row assertions when the lowering runs with
+    * `keepAssertions = false` — the analogue of the reference's
+    * `ApplyAssertionLevelTransformer` plan-time strip
+    * (`FlinkConnector.java:126-127`). */
+  def assertGroup(sqlPredicate: String, message: String): Pipe =
+    GroupAssertPipe(this, sqlPredicate, message)
 }
 
 final case class CustomAggPipe(grouped: GroupByPipe, agg: CAggregator[_]) extends Pipe
@@ -242,11 +263,13 @@ final case class ScanBufferPipe(grouped: GroupByPipe, sb: CScanBuffer[_]) extend
 
 final case class CoGroupPipe(left: Pipe, leftKeys: Seq[String], right: Pipe,
                              rightKeys: Seq[String], joiner: Joiner,
-                             declared: Option[Seq[String]]) extends Pipe
+                             declared: Option[Seq[String]],
+                             nullSafe: Boolean = false) extends Pipe
 
 final case class HashJoinPipe(left: Pipe, leftKeys: Seq[String], right: Pipe,
                               rightKeys: Seq[String], joiner: Joiner,
-                              declared: Option[Seq[String]]) extends Pipe
+                              declared: Option[Seq[String]],
+                              nullSafe: Boolean = false) extends Pipe
 
 /** Which side of a key-less cross is small enough to broadcast. */
 sealed trait CrossSide
@@ -289,6 +312,8 @@ final case class SamplePipe(prev: Pipe, fraction: Double, seed: Long) extends Pi
 final case class OrderByPipe(prev: Pipe, sort: Seq[(String, Boolean)]) extends Pipe
 final case class AssertPipe(prev: Pipe, sqlPredicate: String,
                             message: String) extends Pipe
+final case class GroupAssertPipe(agg: AggregatePipe, sqlPredicate: String,
+                                 message: String) extends Pipe
 final case class DebugPipe(prev: Pipe, prefix: String, n: Int) extends Pipe
 final case class PersistPipe(prev: Pipe) extends Pipe
 final case class CheckpointPipe(prev: Pipe, tap: Option[Tap]) extends Pipe

@@ -448,6 +448,120 @@ object Relational {
           sum(col("key").cast("long")).as("key_sum"))
     }),
 
+    // Null join keys under an OUTER CoGroup — the cascading-platform
+    // adversarial corner (JoinFieldedPipesPlatformTest null-key cases):
+    // Cascading groups null keys TOGETHER (tuple comparators treat
+    // null == null), unlike ANSI SQL where null keys never match. The DSL
+    // exposes both: `nullSafe = true` here selects the Cascading semantics
+    // (lowered to EqualNullSafe equi-keys — still a hash join), and the
+    // oracle encodes it as IS NOT DISTINCT FROM. Left keys 0..149+null,
+    // right keys 1..199+null, so the full outer join exercises matched
+    // null groups AND null-padding on both sides in one result.
+    "q68_nullsafe_cogroup" -> ((s, dir) => Flow.toDF(
+      P(dir, "customer")
+        .each(ExpressionFunction("ck",
+          "CASE WHEN c_custkey % 100 = 0 THEN NULL ELSE c_custkey % 150 END",
+          LongType), args = FieldSelector.All, out = FieldSelector.All)
+        .groupBy("ck").every(Aggs.count("n_cust"))
+        .coGroup(Seq("ck"),
+          P(dir, "orders")
+            .each(ExpressionFunction("ok", "nullif(o_custkey % 200, 0)", LongType),
+              args = FieldSelector.All, out = FieldSelector.All)
+            .groupBy("ok").every(Aggs.count("n_ord")),
+          Seq("ok"), joiner = Joiner.Outer, nullSafe = true))(s)),
+
+    // Mixed n-way join over null keys: stage 1 is a LEFT CoGroup with
+    // Cascading null-grouping (nulls match nulls), stage 2 an INNER join
+    // with ANSI semantics (null keys drop) — both behaviors verified in a
+    // single flow, against an oracle spelling each condition explicitly.
+    "q69_nullkey_mixed" -> ((s, dir) => Flow.toDF(
+      P(dir, "customer")
+        .each(ExpressionFunction("ck", "nullif(c_custkey % 100, 0)", LongType),
+          args = FieldSelector.All, out = FieldSelector.All)
+        .retain("ck", "c_mktsegment")
+        .coGroup(Seq("ck"),
+          P(dir, "orders")
+            .each(ExpressionFunction("ok", "nullif(o_custkey % 100, 0)", LongType),
+              args = FieldSelector.All, out = FieldSelector.All)
+            .groupBy("ok").every(Aggs.count("n_ord")),
+          Seq("ok"), joiner = Joiner.Left, nullSafe = true)
+        .coGroup(Seq("ck"),
+          P(dir, "supplier")
+            .each(ExpressionFunction("sk", "nullif(s_suppkey % 100, 0)", LongType),
+              args = FieldSelector.All, out = FieldSelector.All)
+            .groupBy("sk").every(Aggs.count("n_supp")),
+          Seq("sk"), joiner = Joiner.Inner)
+        .groupBy("c_mktsegment")
+        .every(Aggs.count("n_rows"),
+               Aggs.sql("sum_ord", "sum(n_ord)"),
+               Aggs.sql("sum_supp", "sum(n_supp)")))(s)),
+
+    // ARGS output selector chained into SWAP — the cascading-platform
+    // selector-algebra combination (FieldedPipesPlatformTest): stage 1
+    // keeps ONLY the argument fields with the same-named result
+    // substituted (l_discount is dropped, l_quantity is replaced); stage 2
+    // swaps the argument field for the computed bucket.
+    "q70_selector_args_swap" -> ((s, dir) => Flow.toDF(
+      P(dir, "lineitem")
+        .retain("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+        .each(ExpressionFunction("l_quantity", "l_quantity * 2", DoubleType),
+          args = FieldSelector("l_orderkey", "l_linenumber", "l_quantity"),
+          out = FieldSelector.Args)
+        .each(ExpressionFunction("qty_bucket",
+          "cast(floor(l_quantity) as bigint) % 10", LongType),
+          args = FieldSelector("l_quantity"), out = FieldSelector.Swap))(s)),
+
+    // Multi-sink flow with traps firing on BOTH branches (TrapPlatformTest
+    // multi-sink corner): one writeAll lowers the DAG once, writes two
+    // success sinks, then flushes two trap sinks. The query returns labeled
+    // counts of all four outputs so the oracle gates the whole flow:
+    // success rows land in the sinks, poison rows (doc_id % 7 == 0 /
+    // o_orderkey % 97 == 0) in each branch's trap.
+    "q71_multisink_traps" -> ((s, dir) => {
+      val tmp = System.getProperty("java.io.tmpdir")
+      def tap(n: String) = ParquetTap(new java.io.File(tmp, n).toString)
+      val (sinkA, trapA) = (tap("graft_q71_sink_a"), tap("graft_q71_trap_a"))
+      val (sinkB, trapB) = (tap("graft_q71_sink_b"), tap("graft_q71_trap_b"))
+      val branchA = P(dir, "documents").retain("doc_id")
+        .eachRow(new CRowFunction {
+          val resultFields: CFields = CFields.typed("doc_id" -> LongType)
+          def apply(args: Row): Iterator[Seq[Any]] = {
+            val id = args.getLong(0)
+            if (id % 7 == 0) throw new IllegalStateException(s"poison doc $id")
+            Iterator.single(Seq(id))
+          }
+        }, trap = Some(trapA))
+      val branchB = P(dir, "orders").retain("o_orderkey")
+        .eachRow(new CRowFunction {
+          val resultFields: CFields = CFields.typed("o_orderkey" -> LongType)
+          def apply(args: Row): Iterator[Seq[Any]] = {
+            val id = args.getLong(0)
+            if (id % 97 == 0) throw new IllegalStateException(s"poison order $id")
+            Iterator.single(Seq(id))
+          }
+        }, trap = Some(trapB))
+      Flow.writeAll(Seq(
+        (branchA, sinkA, graft.sources.SinkMode.Replace),
+        (branchB, sinkB, graft.sources.SinkMode.Replace)))(s)
+      def cnt(t: ParquetTap, label: String) =
+        s.read.parquet(t.path).agg(count(lit(1)).as("n"))
+          .select(lit(label).as("part"), col("n"))
+      cnt(sinkA, "a_ok").unionAll(cnt(trapA, "a_trap"))
+        .unionAll(cnt(sinkB, "b_ok")).unionAll(cnt(trapB, "b_trap"))
+    }),
+
+    // GroupAssertion under the gate: a per-group predicate (group size and
+    // aggregate consistency) kept in the executed flow — the assertion
+    // passes on every group, so the result equals the plain aggregation;
+    // LoweringSpec covers the strip/violation behaviors.
+    "q74_group_assert" -> ((s, dir) => Flow.toDF(
+      P(dir, "orders")
+        .groupBy("o_orderpriority")
+        .every(Aggs.count("n_orders"),
+               Aggs.agg("total", xsum("o_totalprice")))
+        .assertGroup("__group_size = n_orders and __group_size >= 1",
+          "group size mismatch"))(s)),
+
     // First/Last aggregators over a deterministic order (SURVEY §2.4
     // First/Last; min_by/max_by on a derived exact order value)
     "q37_firstlast" -> ((s, dir) => Flow.toDF(
@@ -645,6 +759,49 @@ object Relational {
       """SELECT o_orderstatus, count(*) AS n,
         |CAST(sum(o_orderkey) AS BIGINT) AS key_sum
         |FROM orders GROUP BY 1""".stripMargin,
+
+    // Cascading null-grouping semantics: IS NOT DISTINCT FROM is the SQL
+    // spelling of "null keys group together"
+    "q68_nullsafe_cogroup" ->
+      """WITH l AS (
+        |  SELECT CASE WHEN c_custkey % 100 = 0 THEN NULL ELSE c_custkey % 150 END AS ck,
+        |         count(*) AS n_cust
+        |  FROM customer GROUP BY 1),
+        |r AS (
+        |  SELECT nullif(o_custkey % 200, 0) AS ok, count(*) AS n_ord
+        |  FROM orders GROUP BY 1)
+        |SELECT ck, n_cust, ok, n_ord
+        |FROM l FULL JOIN r ON ck IS NOT DISTINCT FROM ok""".stripMargin,
+
+    "q69_nullkey_mixed" ->
+      """WITH c AS (SELECT nullif(c_custkey % 100, 0) AS ck, c_mktsegment FROM customer),
+        |o AS (SELECT nullif(o_custkey % 100, 0) AS ok, count(*) AS n_ord
+        |      FROM orders GROUP BY 1),
+        |s AS (SELECT nullif(s_suppkey % 100, 0) AS sk, count(*) AS n_supp
+        |      FROM supplier GROUP BY 1)
+        |SELECT c_mktsegment, count(*) AS n_rows,
+        |CAST(sum(n_ord) AS BIGINT) AS sum_ord,
+        |CAST(sum(n_supp) AS BIGINT) AS sum_supp
+        |FROM c LEFT JOIN o ON ck IS NOT DISTINCT FROM ok
+        |       JOIN s ON ck = sk
+        |GROUP BY 1""".stripMargin,
+
+    "q70_selector_args_swap" ->
+      """SELECT l_orderkey, l_linenumber,
+        |CAST(CAST(floor(l_quantity * 2) AS BIGINT) % 10 AS BIGINT) AS qty_bucket
+        |FROM lineitem""".stripMargin,
+
+    "q71_multisink_traps" ->
+      """SELECT 'a_ok' AS part, count(*) AS n FROM documents WHERE doc_id % 7 <> 0
+        |UNION ALL SELECT 'a_trap', count(*) FROM documents WHERE doc_id % 7 = 0
+        |UNION ALL SELECT 'b_ok', count(*) FROM orders WHERE o_orderkey % 97 <> 0
+        |UNION ALL SELECT 'b_trap', count(*) FROM orders WHERE o_orderkey % 97 = 0""".stripMargin,
+
+    // the group assertion passes everywhere, so the result is the plain agg
+    "q74_group_assert" ->
+      s"""SELECT o_orderpriority, count(*) AS n_orders,
+         |${dsum("o_totalprice")} AS total
+         |FROM orders GROUP BY 1""".stripMargin,
 
     "q37_firstlast" ->
       """SELECT o_custkey,

@@ -592,6 +592,55 @@ class LoweringSpec extends SparkSpec {
     cached.unpersist()
   }
 
+  test("nullSafe coGroup groups null keys together (Cascading semantics)") {
+    val l = Seq[(java.lang.Long, String)]((1L, "a"), (null, "b"), (3L, "c"))
+      .toDF("lk", "lv")
+    val r = Seq[(java.lang.Long, String)]((1L, "A"), (null, "B"), (4L, "D"))
+      .toDF("rk", "rv")
+    // Cascading null-grouping: the null keys MATCH
+    val safe = rows(pipe(l).coGroup(Seq("lk"), pipe(r), Seq("rk"),
+      joiner = Joiner.Outer, nullSafe = true))
+    assert(safe.contains(Seq(null, "b", null, "B")))
+    assert(safe.size == 4) // 1-1, null-null, 3-padded, 4-padded
+    // ANSI default: null keys never match — both null rows are padded
+    val ansi = rows(pipe(l).coGroup(Seq("lk"), pipe(r), Seq("rk"),
+      joiner = Joiner.Outer))
+    assert(ansi.contains(Seq(null, "b", null, null)))
+    assert(ansi.contains(Seq(null, null, null, "B")))
+    assert(ansi.size == 5) // only 1-1 matches; both null rows padded
+    // nullSafe hashJoin still plans a broadcast hash join (EqualNullSafe
+    // is an equi-key, not a nested-loop condition)
+    val hj = Flow.toDF(pipe(l).hashJoin(Seq("lk"), pipe(r), Seq("rk"),
+      nullSafe = true))
+    assert(hj.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    assert(hj.count() == 2) // 1-1 and null-null
+    // identical key names without declared fields: directed error
+    val e = intercept[IllegalArgumentException] {
+      Flow.toDF(pipe(l.withColumnRenamed("lk", "k"))
+        .coGroup(Seq("k"), pipe(r.withColumnRenamed("rk", "k")), Seq("k"),
+          nullSafe = true))
+    }
+    assert(e.getMessage.contains("declared"))
+  }
+
+  test("group assertion: passes, fails on violation, strips with keepAssertions") {
+    val p = pipe(lhs).groupBy("num").every(Aggs.count("n"))
+      .assertGroup("__group_size <= 1", "dup groups")
+    // group num=2 has size 2 → violated when kept
+    val ex = intercept[Exception] { Flow.toDF(p).collect() }
+    assert(String.valueOf(ex.getMessage).contains("dup groups") ||
+      ex.getCause != null)
+    // stripped lowering runs clean and output carries no __group_size
+    val stripped = new graft.exec.Lowering(spark, keepAssertions = false).lower(p)
+    assert(stripped.columns.toSeq == Seq("num", "n"))
+    assert(stripped.count() == 3)
+    // a satisfied assertion passes through with the synthetic column dropped
+    val ok = Flow.toDF(pipe(lhs).groupBy("num").every(Aggs.count("n"))
+      .assertGroup("__group_size = n and __group_size >= 1", "size"))
+    assert(ok.columns.toSeq == Seq("num", "n"))
+    assert(ok.count() == 3)
+  }
+
   test("counters accumulate across executor closures") {
     val counters = new graft.exec.FlowCounters(spark)
     val acc = counters.counter("graft", "rows_seen")
