@@ -284,12 +284,18 @@ object Extensions {
         e, "vec_id", "embedding", simThreshold = 0.95)
     }),
 
-    // --- exact interpolated percentiles ------------------------------------
+    // --- exact interpolated percentiles, scale-safe form: micro-bucket
+    // pre-aggregation (distributed bucket counts + CDF interpolation)
+    // instead of Spark's `percentile`, whose per-group buffer holds one
+    // counter per distinct value — an OOM hazard on continuous columns at
+    // 100 TB. Bucket state is bounded by value RANGE, not row count.
     "q44_percentile" -> ((s, dir) => {
       val li = s.read.parquet(s"$dir/lineitem.parquet")
-      li.groupBy(col("l_returnflag"))
-        .agg(round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90"))
+      val p50 = graft.functions.Percentile.microPercentile(
+        li, Seq("l_returnflag"), "l_quantity", 0.5, "p50")
+      val p90 = graft.functions.Percentile.microPercentile(
+        li, Seq("l_returnflag"), "l_extendedprice", 0.9, "p90")
+      p50.join(p90, Seq("l_returnflag"))
     }),
 
     // --- JSON property extraction (events.props) ---------------------------
@@ -717,11 +723,15 @@ object Extensions {
          |FROM b l JOIN b r ON l.bucket = r.bucket AND l.id < r.id
          |WHERE ${dCos("l.vec", "r.vec")} >= 0.95""".stripMargin,
 
+    // generated beside the Spark form (same micro-bucket + CDF
+    // interpolation steps, IEEE-exact on both engines)
     "q44_percentile" ->
-      """SELECT l_returnflag,
-        |round(quantile_cont(l_quantity, 0.5), 6) AS p50,
-        |round(quantile_cont(l_extendedprice, 0.9), 6) AS p90
-        |FROM lineitem GROUP BY 1""".stripMargin,
+      s"""WITH ${graft.functions.Percentile.oracleCtes(
+            "a", "lineitem", Seq("l_returnflag"), "l_quantity", 0.5, "p50")},
+         |${graft.functions.Percentile.oracleCtes(
+            "b", "lineitem", Seq("l_returnflag"), "l_extendedprice", 0.9, "p90")}
+         |SELECT l_returnflag, p50, p90
+         |FROM ares JOIN bres USING (l_returnflag)""".stripMargin,
 
     "q45_json_props" ->
       """SELECT event_type, CAST(props->>'k' AS INTEGER) % 10 AS k_bucket,

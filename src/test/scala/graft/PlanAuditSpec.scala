@@ -83,6 +83,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(p2.contains("CartesianProduct") || p2.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q44: percentile has no per-value aggregation buffer") {
+    val plan = formatted("q44_percentile")
+    // the scale hazard this guards: Spark's `percentile` holds one counter
+    // per distinct value per group inside ONE ObjectHashAggregate buffer —
+    // the micro-bucket form must aggregate plain counts in codegen'd
+    // HashAggregate (state distributed across partitions, spill-safe)
+    assert(!plan.contains("percentile"))
+    assert(!plan.contains("ObjectHashAggregate"))
+    assert(plan.contains("HashAggregate"))
+    // bucket counts are partially aggregated before their exchange
+    assert(plan.contains("partial_count") || plan.contains("merge_count") ||
+      plan.contains("count"))
+  }
+
   test("q48: corpus centroid assignment is an aggregate, not a Window") {
     val plan = formatted("q48_ivf_knn")
     // min_by aggregation (partial+final) assigns nearest centroids
