@@ -156,26 +156,39 @@ object Dedup {
                                      k: Int = 16, bands: Int = 4,
                                      maxIters: Int = 30): (DataFrame, Int) = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // cache the band table PRE-PARTITIONED on id: every round joins it to
-    // the labels (whose groupBy("id") output is hash-partitioned on id the
-    // same way), so the per-round id-join reuses the cached partitioning
-    // instead of re-shuffling the band table each iteration
     val br = bandRows(df, idCol, textCol, k, bands).persist(lvl)
     var labels = br.select(col("id")).distinct()
       .withColumn("label", col("id")).persist(lvl)
     var iters = 0
     var converged = false
+    // Convergence WITHOUT a per-round join: min-label propagation is
+    // MONOTONE (a label can only decrease), so the labels are a fixed
+    // point iff their exact sum is unchanged between rounds. The sum is a
+    // decimal(38,0) aggregate over the new labels alone — it rides the
+    // same action that materializes the round's cache, replacing the old
+    // next-vs-previous count() join (one fewer join and its shuffle-read
+    // per round). Seeded from labels⁰ (= ids) so a no-op first round is
+    // detected exactly like the old join-based check; the seeding action
+    // also materializes the labels cache before the loop.
+    var prevSum: java.math.BigDecimal =
+      labels.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
     while (!converged && iters < maxIters) {
       val bucketLabel = br.join(labels, "id")
         .groupBy(col("band"), col("key")).agg(min(col("label")).as("blabel"))
-      val next = br.join(bucketLabel, Seq("band", "key"))
-        .groupBy(col("id")).agg(min(col("blabel")).as("label")).persist(lvl)
-      val changed = next.as("n").join(labels.as("o"), "id")
-        .filter(col("n.label") =!= col("o.label")).count()
+      var next = br.join(bucketLabel, Seq("band", "key"))
+        .groupBy(col("id")).agg(min(col("blabel")).as("label"))
+      // every 5th round, swap the persist for an eager-enough
+      // localCheckpoint: truncates the logical plan to a LogicalRDD so
+      // deep components don't accumulate O(rounds)-nested plans (planning
+      // time, not correctness); other rounds keep the cheaper persist.
+      next = if (iters % 5 == 4) next.localCheckpoint(false) else next.persist(lvl)
+      val sumNow = next.agg(sum(col("label").cast("decimal(38,0)")))
+        .head.getDecimal(0)
       labels.unpersist()
       labels = next
       iters += 1
-      converged = changed == 0
+      converged = prevSum != null && prevSum.compareTo(sumNow) == 0
+      prevSum = sumNow
     }
     br.unpersist()
     (labels.select(col("id"), col("label").as("cluster_id")), iters)
