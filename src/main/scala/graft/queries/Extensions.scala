@@ -186,22 +186,40 @@ object Extensions {
     }),
 
     // --- STATEFUL streaming under the gate: gap sessionization via
-    // flatMapGroupsWithState run as a real stream (q52/q65 pattern). A
-    // far-future sentinel event PER USER closes each user's last real
-    // session (the sentinel's own session stays in state, never emitted);
-    // input is staged as ONE parquet file so the single AvailableNow batch
-    // sees each user's events together. sessionize keeps micro-precision
-    // timestamps and exact decimal micro sums, so the sink rows hash-match
-    // the batch q29 oracle; session_id is derived on read-back by start
-    // order (sessions are gap-separated, so the order is unambiguous).
+    // flatMapGroupsWithState run as a real MULTI-BATCH stream. The input
+    // is staged as THREE time-sliced files plus a sentinel file (one
+    // far-future event per user, closing each user's last real session;
+    // the sentinel's own session stays in state, never emitted), and the
+    // source runs with maxFilesPerTrigger=1, so AvailableNow executes 4
+    // micro-batches in staging order: sessions spanning a slice boundary
+    // prove that per-user state carries across batches (the round-3 form
+    // staged ONE file = one batch per key, leaving cross-batch state
+    // untested). Time-slicing guarantees per-user batch ordering; events
+    // out of order WITHIN a batch are sorted by the runner, and sessionize
+    // additionally merges cross-batch stragglers that land within the open
+    // session's gap envelope. sessionize keeps micro-precision timestamps
+    // and exact decimal micro sums, so the sink rows hash-match the batch
+    // q29 oracle; session_id is derived on read-back by start order
+    // (sessions are gap-separated, so the order is unambiguous).
     "q67_stream_sessions" -> ((s, dir) => {
       val (in, out, chk) = freshStreamDirs("graft_q67_stream")
       val ev = Tables.events(s, dir).select(col("user_id"), col("ts"), col("value"))
-      val sentinels = ev.select(col("user_id")).distinct()
-        .withColumn("ts", expr("timestamp'2100-01-01 00:00:00'"))
-        .withColumn("value", lit(0.0))
-      ev.unionByName(sentinels).coalesce(1).write.parquet(in)
-      val stream = graft.streaming.StreamOps.readStream(s, in, ev.schema)
+      val Array(tMin, tMax) = ev.agg(min(col("ts")), max(col("ts"))).head()
+        .toSeq.map(_.asInstanceOf[java.sql.Timestamp].getTime).toArray
+      val (t1, t2) = (tMin + (tMax - tMin) / 3, tMin + 2 * (tMax - tMin) / 3)
+      def ms(c: org.apache.spark.sql.Column) = unix_millis(c)
+      val slices = Seq(
+        ev.filter(ms(col("ts")) < t1),
+        ev.filter(ms(col("ts")) >= t1 && ms(col("ts")) < t2),
+        ev.filter(ms(col("ts")) >= t2),
+        ev.select(col("user_id")).distinct()
+          .withColumn("ts", expr("timestamp'2100-01-01 00:00:00'"))
+          .withColumn("value", lit(0.0)))
+      // sequential writes → strictly increasing file mtimes, which is the
+      // file source's processing order; one file per slice = one batch
+      slices.foreach(_.coalesce(1).write.mode("append").parquet(in))
+      val stream = graft.streaming.StreamOps.readStream(s, in, ev.schema,
+        Map("maxFilesPerTrigger" -> "1"))
       val sessions = {
         import s.implicits._
         graft.streaming.StreamOps.sessionize(

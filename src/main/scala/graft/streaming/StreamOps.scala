@@ -16,9 +16,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object StreamOps {
 
   /** Open a file-backed stream with an explicit schema (streaming sources
-    * cannot infer). */
-  def readStream(spark: SparkSession, path: String, schema: StructType): DataFrame =
-    spark.readStream.schema(schema).parquet(path)
+    * cannot infer). `options` pass through to the file source — e.g.
+    * `maxFilesPerTrigger -> "1"` to process staged files as separate
+    * micro-batches (the multi-batch stateful tests/queries use this). */
+  def readStream(spark: SparkSession, path: String, schema: StructType,
+                 options: Map[String, String] = Map.empty): DataFrame =
+    spark.readStream.options(options).schema(schema).parquet(path)
 
   /** Tumbling event-time window aggregation with a watermark for state
     * eviction — the streaming form of the batch q31 window query. State is
@@ -69,7 +72,20 @@ object StreamOps {
     * same key arrives beyond the gap; with `ProcessingTimeTimeout` it also
     * closes after `gapSeconds` of silence (note: timeout mode makes the
     * micro-batch engine schedule continuous timeout-check batches — use
-    * `NoTimeout` for deterministic replay/testing). */
+    * `NoTimeout` for deterministic replay/testing).
+    *
+    * State carries across micro-batches, so a session spanning several
+    * batches aggregates correctly. Out-of-order policy: within a batch,
+    * events are sorted before folding; ACROSS batches, a late event that
+    * lands within the gap of the OPEN session's [start, end] envelope
+    * merges into it (extending either end — the open session's membership
+    * is exactly what the batch computation would produce, since merging is
+    * commutative over min/max/count/exact-sum); a late event older than
+    * the open session by more than the gap belongs to a session already
+    * emitted downstream — an append-mode sink cannot retract, so it is
+    * emitted as its own closed singleton session (the standard late-data
+    * side-output trade; bound lateness upstream with a watermark if those
+    * rows must not appear). */
   def sessionize(events: org.apache.spark.sql.Dataset[SessionEvent],
                  gapSeconds: Long,
                  timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout)
@@ -97,11 +113,22 @@ object StreamOps {
                 else graft.catalyst.Micros.compute(e.value)
               def sec(us: Long) = Math.floorDiv(us, 1000000L)
               cur match {
-                case Some(s) if sec(t) - sec(s.lastUs) <= gapSeconds =>
-                  cur = Some(SessionState(s.startUs, t, s.n + 1, s.sumMicros + vMicros))
-                case Some(s) =>
+                // in (or gap-adjacent to) the open session's envelope:
+                // merge, extending either end — covers both the in-order
+                // append and a cross-batch late event
+                case Some(s) if sec(t) - sec(s.lastUs) <= gapSeconds &&
+                                sec(s.startUs) - sec(t) <= gapSeconds =>
+                  cur = Some(SessionState(math.min(s.startUs, t),
+                    math.max(s.lastUs, t), s.n + 1, s.sumMicros + vMicros))
+                // gap-separated LATER event: close the open session
+                case Some(s) if sec(t) > sec(s.lastUs) =>
                   closed ::= sessionOut(userId, s)
                   cur = Some(SessionState(t, t, 1, vMicros))
+                // late event beyond the gap BEFORE the open session: its
+                // true session was already emitted — emit as its own
+                // closed singleton (append sinks cannot retract)
+                case Some(_) =>
+                  closed ::= sessionOut(userId, SessionState(t, t, 1, vMicros))
                 case None =>
                   cur = Some(SessionState(t, t, 1, vMicros))
               }

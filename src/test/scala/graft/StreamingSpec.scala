@@ -101,4 +101,44 @@ class StreamingSpec extends SparkSpec {
       assert(r.getAs[java.sql.Timestamp]("end_ts").getTime == 60 * 1000L)
     } finally q.stop()
   }
+
+  test("cross-batch out-of-order: in-gap stragglers merge, beyond-gap emit singleton") {
+    import StreamOps.{sessionize, SessionEvent}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val input = MemoryStream[SessionEvent]
+    val q = sessionize(input.toDS(), gapSeconds = 1800)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_ooo").start()
+    try {
+      // batch 1 opens a session [1000s, 1600s]
+      input.addData(SessionEvent(1L, ts(1000), 1.0), SessionEvent(1L, ts(1600), 2.0))
+      q.processAllAvailable()
+      // batch 2 delivers a LATE event at 200s — within the gap of the open
+      // session's start (1000-200 <= 1800), so it merges and extends start
+      input.addData(SessionEvent(1L, ts(200), 4.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_ooo").count() == 0) // still one open session
+      // batch 3 closes it with a far-future event
+      input.addData(SessionEvent(1L, ts(4 * 3600), 9.0))
+      q.processAllAvailable()
+      val closed = spark.table("sess_ooo").collect()
+      assert(closed.length == 1)
+      assert(closed.head.getAs[Long]("n_events") == 3L)
+      assert(closed.head.getAs[Double]("sum_value") == 7.0)
+      assert(closed.head.getAs[java.sql.Timestamp]("start_ts").getTime == 200 * 1000L)
+      assert(closed.head.getAs[java.sql.Timestamp]("end_ts").getTime == 1600 * 1000L)
+      // batch 4: a straggler older than the open session by more than the
+      // gap — its true session was already emitted; policy = closed
+      // singleton (append sinks cannot retract)
+      input.addData(SessionEvent(1L, ts(100), 1.5))
+      q.processAllAvailable()
+      val rows = spark.table("sess_ooo").collect().sortBy(_.getAs[java.sql.Timestamp]("start_ts").getTime)
+      assert(rows.length == 2)
+      assert(rows.head.getAs[Long]("n_events") == 1L)
+      assert(rows.head.getAs[Double]("sum_value") == 1.5)
+      assert(rows.head.getAs[java.sql.Timestamp]("start_ts").getTime == 100 * 1000L)
+    } finally q.stop()
+  }
 }
