@@ -550,6 +550,75 @@ object Relational {
         .unionAll(cnt(sinkB, "b_ok")).unionAll(cnt(trapB, "b_trap"))
     }),
 
+    // Fields.UNKNOWN under the gate: a dynamic-arity text flow. Lines carry
+    // 3 OR 4 pipe-delimited fields (the 4th only on 'F' orders); the arity
+    // is unknown until DynamicArity.resolve pins it at plan time (one
+    // max-size probe), after which the flow is a fixed-schema aggregation.
+    // The doubles round-trip through text exactly (shortest-repr parse),
+    // so the exact-decimal sum matches the oracle computed from parquet.
+    "q73_dynamic_arity" -> ((s, dir) => {
+      val txt = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_q73_text").toString
+      val lines = s.read.parquet(s"$dir/orders.parquet")
+        .select(concat_ws("|",
+          col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          when(col("o_orderstatus") === "F", lit("LATE"))).as("line"))
+      val tap = graft.sources.TextLineTap(txt)
+      tap.write(lines, graft.sources.SinkMode.Replace)
+      val toks = Flow.toDF(Pipe.source(tap)
+        .each(ExpressionFunction("toks", "split(line, '[|]')",
+          ArrayType(StringType)),
+          args = FieldSelector.All, out = FieldSelector.Results))(s)
+      val resolved = graft.operators.DynamicArity.resolve(toks, "toks")
+      resolved.groupBy(col("f1").as("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          graft.catalyst.ExactMicrosSum.sum(col("f2").cast("double")).as("total"),
+          count(col("f3")).as("n_flagged"))
+    }),
+
+    // BucketedTap round-trip under the gate: pay the layout shuffle once at
+    // write time (bucketBy custkey), then the fact-dim join runs with NO
+    // exchange on the join keys — the canonical 100 TB co-location
+    // strategy. The query checks the plan property itself (no
+    // hashpartitioning exchange on either key; broadcast disabled while
+    // building so the co-located sort-merge path is what's planned) and
+    // the oracle gates the values.
+    "q72_bucketed_join" -> ((s, dir) => {
+      Seq("graft_q72_orders", "graft_q72_customer").foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = new java.io.File(s"spark-warehouse/$t")
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+        }
+        if (loc.exists()) rm(loc)
+      }
+      val ot = graft.sources.BucketedTap("graft_q72_orders", 8,
+        Seq("o_custkey"), Seq("o_custkey"))
+      val ct = graft.sources.BucketedTap("graft_q72_customer", 8,
+        Seq("c_custkey"), Seq("c_custkey"))
+      ot.write(s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+        graft.sources.SinkMode.Replace)
+      ct.write(s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_mktsegment")),
+        graft.sources.SinkMode.Replace)
+      val threshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val df = Flow.toDF(
+          Pipe.source(ct)
+            .coGroup(Seq("c_custkey"), Pipe.source(ot), Seq("o_custkey"))
+            .groupBy("c_mktsegment")
+            .every(Aggs.agg("total", xsum("o_totalprice")),
+                   Aggs.count("n_orders")))(s)
+        val plan = df.queryExecution.executedPlan.toString
+        require(!plan.contains("Exchange hashpartitioning(c_custkey") &&
+          !plan.contains("Exchange hashpartitioning(o_custkey"),
+          "co-bucketed join must not shuffle on the bucket keys")
+        df
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    }),
+
     // GroupAssertion under the gate: a per-group predicate (group size and
     // aggregate consistency) kept in the executed flow — the assertion
     // passes on every group, so the result equals the plain aggregation;
@@ -796,6 +865,19 @@ object Relational {
         |UNION ALL SELECT 'a_trap', count(*) FROM documents WHERE doc_id % 7 = 0
         |UNION ALL SELECT 'b_ok', count(*) FROM orders WHERE o_orderkey % 97 <> 0
         |UNION ALL SELECT 'b_trap', count(*) FROM orders WHERE o_orderkey % 97 = 0""".stripMargin,
+
+    "q73_dynamic_arity" ->
+      s"""SELECT o_orderstatus, count(*) AS n,
+         |${dsum("o_totalprice")} AS total,
+         |count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_flagged
+         |FROM orders GROUP BY 1""".stripMargin,
+
+    // round-trip through the bucketed layout changes values not at all
+    "q72_bucketed_join" ->
+      s"""SELECT c_mktsegment, ${dsum("o_totalprice")} AS total,
+         |count(*) AS n_orders
+         |FROM customer JOIN orders ON c_custkey = o_custkey
+         |GROUP BY 1""".stripMargin,
 
     // the group assertion passes everywhere, so the result is the plain agg
     "q74_group_assert" ->
