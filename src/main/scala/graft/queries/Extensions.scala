@@ -287,12 +287,19 @@ object Extensions {
     }),
 
     // --- approximate distinct (HLL) — no cross-engine oracle (approx
-    // algorithms differ); driver records a rows-only check ----------------
+    // algorithms differ); driver records a rows-only check. The query
+    // carries its own invariant: the HLL estimate must land within 10% of
+    // the exact count computed in the SAME aggregation (HLL++ at default
+    // rsd 0.05 is well inside that); EntrySpec asserts within_tol on every
+    // row, so "rows-only" still gates the approximation quality ------------
     "q42_approx_distinct" -> ((s, dir) => {
       val li = s.read.parquet(s"$dir/lineitem.parquet")
       li.groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
           count_distinct(col("l_partkey")).as("exact_parts"))
+        .withColumn("within_tol",
+          abs(col("approx_parts") - col("exact_parts")).cast("double") <=
+            lit(0.10) * col("exact_parts").cast("double"))
     }),
 
     // --- embedding-cosine near-dup (LSH-bucketed, threshold-verified) -----

@@ -17,4 +17,10 @@ class EntrySpec extends SparkSpec {
   test("oracle map has no orphan keys") {
     assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
   }
+  test("q42 rows-only whitelist carries its in-query invariant: HLL within 10% of exact") {
+    val rows = SparkEntry.queries("q42_approx_distinct")(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("within_tol")),
+      rows.map(r => s"${r.get(0)}: approx=${r.get(1)} exact=${r.get(2)}").mkString("; "))
+  }
 }

@@ -36,6 +36,56 @@ class SkewAndHashSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("AQE splits a skewed sort-merge join at runtime; saltedJoin is the explicit fallback") {
+    // When to use which (the 100 TB decision): AQE's skew-join handling
+    // splits oversized SHUFFLE JOIN partitions at runtime with zero query
+    // changes — prefer it whenever it applies (shuffle sort-merge/hash
+    // joins under AQE). Skew.saltedJoin is the explicit-rewrite fallback
+    // for the cases AQE does not cover: skewed AGGREGATIONS
+    // (saltedCount/saltedAggregate), engines/paths with AQE disabled, and
+    // joins that must keep a specific partitioning downstream.
+    val keys = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.shuffle.partitions")
+    val saved = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      // local-scale thresholds so a ~4 MB hot partition counts as skewed
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "65536")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32768")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      // high-entropy per-row padding: shuffle statistics use COMPRESSED
+      // partition sizes, so a constant pad would deflate below threshold
+      def pad(i: Int) = {
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(i.toString.getBytes)
+        (0 until 4).map(r => h.map(b => f"${b ^ r}%02x").mkString).mkString
+      }
+      // key 1 holds ~2/3 of the fact side; the rest spreads over 2..501
+      val big = (1 to 30000)
+        .map(i => (if (i % 3 != 0) 1L else (i % 500).toLong + 2, pad(i)))
+        .toDF("k", "pad")
+      val small = (1L to 502L).map(i => (i, s"v$i")).toDF("sk", "v")
+      val joined = big.join(small, col("k") === col("sk"))
+      // materialize THIS query execution (count() would plan a separate
+      // aggregate query, leaving joined's adaptive plan unexecuted)
+      assert(joined.collect().length == 30000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true") || plan.contains("skewed"),
+        s"expected an AQE skew-split join in:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("Md5Prefix40 equals the SQL hex formula on random strings") {
     val samples = scala.util.Random.alphanumeric.grouped(12).map(_.mkString)
       .take(200).toSeq ++ Seq("", "a", "日本語", "with space", "\ttab")
