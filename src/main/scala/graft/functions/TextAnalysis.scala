@@ -82,6 +82,37 @@ object TextAnalysis {
     greatest(lenScore + stopScore + tokScore - punctPenalty, lit(0)).cast("int")
   }
 
+  /** Duplicate word-n-gram fraction ×1e6 (floor) — the Gopher/RefinedWeb
+    * repetition filter family: a document whose n-grams repeat heavily is
+    * boilerplate/spam. Pure Column (one scan, no shuffle); 0 for empty
+    * docs. */
+  def dupNgramFractionMicros(text: Column, n: Int): Column = {
+    val sh = Dedup.shingles(text, n)
+    val tot = size(sh).cast("long")
+    val dups = tot - size(array_distinct(sh)).cast("long")
+    floor(dups * 1000000L / greatest(tot, lit(1L))).cast("bigint")
+  }
+
+  /** Mass fraction ×1e6 of the single most frequent token (the other
+    * standard repetition signal). O(L log L) per row: sort the tokens, then
+    * one fold counting the longest equal-run — no per-row hash map, no
+    * O(L²) filter-per-distinct-token, no shuffle. */
+  def topTokenFractionMicros(text: Column): Column = {
+    val toks = tokens(text)
+    val sorted = array_sort(toks)
+    val zero = struct(lit(null).cast("string").as("prev"),
+      lit(0L).as("run"), lit(0L).as("best"))
+    val best = aggregate(sorted, zero,
+      (st, t) => {
+        val run = when(st.getField("prev").isNotNull &&
+          t === st.getField("prev"), st.getField("run") + 1L).otherwise(lit(1L))
+        struct(t.as("prev"), run.as("run"),
+          greatest(st.getField("best"), run).as("best"))
+      },
+      st => st.getField("best"))
+    floor(best * 1000000L / greatest(size(toks).cast("long"), lit(1L))).cast("bigint")
+  }
+
   /** Positional rolling-hash document fingerprint: Σ tokenHash(tᵢ)·((i mod 8)+1)
     * mod 1e9+7 — order-sensitive (unlike a bag-of-words hash). The kernel
     * reduces mod 1e9+7 per step, so it is exact for documents of any length

@@ -58,6 +58,29 @@ object Extensions {
       d.select(col("doc_id"), TA.fingerprint(col("text")).as("fp"))
     }),
 
+    // --- corpus-level n-gram statistics: top-20 bigrams with a total
+    // deterministic order (count desc, bigram asc). Scale shape: the
+    // explode feeds a partial+final hash aggregate (map-side combine
+    // absorbs the per-doc repetition) and only the single ordered LIMIT
+    // gathers — the standard corpus-analysis pattern at 100 TB.
+    "q75_ngram_topk" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      d.select(explode(Dedup.shingles(col("text"), 2)).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram").asc)
+        .limit(20)
+    }),
+
+    // --- per-document repetition metrics (Gopher/RefinedWeb-style
+    // quality filters): duplicate-bigram fraction and most-frequent-token
+    // mass, both exact integer micros, both single-scan Column expressions
+    "q76_repetition" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      d.select(col("doc_id"),
+        TA.dupNgramFractionMicros(col("text"), 2).as("dup_bigram_micros"),
+        TA.topTokenFractionMicros(col("text")).as("top_tok_micros"))
+    }),
+
     // --- dedup -------------------------------------------------------------
     "q24_dedup_exact" -> ((s, dir) =>
       Dedup.exactDedup(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
@@ -422,6 +445,11 @@ object Extensions {
     s"""list_transform(range(0, greatest(len($dToks) - 3, 0) + 1),
        |  i -> concat_ws(' ', $dToks[i + 1], $dToks[i + 2], $dToks[i + 3]))""".stripMargin
 
+  /** 2-gram variant of dShingles (mirrors `Shingles(tokens, 2)`). */
+  private val dShingles2 =
+    s"""list_transform(range(0, greatest(len($dToks) - 2, 0) + 1),
+       |  i -> concat_ws(' ', $dToks[i + 1], $dToks[i + 2]))""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q20_token_stats" ->
       s"""SELECT doc_id,
@@ -458,6 +486,26 @@ object Extensions {
          |CAST(CAST(list_sum(list_transform($dToks,
          |  (t, i) -> ${dTokHash("t")} * (((i - 1) % 8) + 1))) AS BIGINT) % 1000000007 AS BIGINT) AS fp
          |FROM documents""".stripMargin,
+
+    "q75_ngram_topk" ->
+      s"""WITH g AS (SELECT unnest($dShingles2) AS bigram FROM documents),
+         |c AS (SELECT bigram, count(*) AS n FROM g GROUP BY 1)
+         |SELECT bigram, n FROM c ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin,
+
+    // dup-bigram fraction from list ops; top-token mass via unnest+group
+    // (different algorithm than the Spark sorted-run fold, same value)
+    "q76_repetition" ->
+      s"""WITH rep AS (
+         |  SELECT doc_id,
+         |  CAST(floor((len($dShingles2) - len(list_distinct($dShingles2))) * 1000000
+         |    / greatest(len($dShingles2), 1)) AS BIGINT) AS dup_bigram_micros
+         |  FROM documents),
+         |t AS (SELECT doc_id, unnest($dToks) AS tok FROM documents),
+         |c AS (SELECT doc_id, tok, count(*) AS n FROM t GROUP BY 1, 2),
+         |m AS (SELECT doc_id, max(n) AS maxn, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+         |SELECT rep.doc_id, dup_bigram_micros,
+         |CAST(floor(maxn * 1000000 / greatest(tot, 1)) AS BIGINT) AS top_tok_micros
+         |FROM rep JOIN m ON rep.doc_id = m.doc_id""".stripMargin,
 
     "q24_dedup_exact" ->
       """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS content_hash,

@@ -550,6 +550,27 @@ object Relational {
         .unionAll(cnt(sinkB, "b_ok")).unionAll(cnt(trapB, "b_trap"))
     }),
 
+    // Mixed-direction secondary sort with NULL sort values under the gate
+    // (SortedValuesPlatformTest corner): pri DESC + orderkey ASC inside
+    // each group, where pri is null on ~20% of rows. The oracle spells the
+    // engine's null placement explicitly (ASC→NULLS FIRST, DESC→NULLS
+    // LAST — Spark's defaults, matching the reference's comparators per
+    // SURVEY §1.3); the buffer emits the ordered key sequence, so any
+    // ordering divergence breaks the hash.
+    "q78_sorted_mixed" -> ((s, dir) => Flow.toDF(
+      P(dir, "orders")
+        .retain("o_custkey", "o_orderkey")
+        .each(ExpressionFunction("pri", "nullif(o_orderkey % 5, 0)", LongType),
+          args = FieldSelector.All, out = FieldSelector.All)
+        .groupBySorted(Seq("o_custkey"),
+          Seq("pri" -> false, "o_orderkey" -> true))
+        .buffer(new CBuffer {
+          val resultFields: CFields = CFields.of("key_seq")
+          def operate(key: Seq[Any], rows: Iterator[Row]): Iterator[Seq[Any]] =
+            Iterator.single(Seq(
+              rows.map(_.getLong(1)).mkString(",")))
+        }))(s)),
+
     // Fields.UNKNOWN under the gate: a dynamic-arity text flow. Lines carry
     // 3 OR 4 pipe-delimited fields (the 4th only on 'F' orders); the arity
     // is unknown until DynamicArity.resolve pins it at plan time (one
@@ -865,6 +886,12 @@ object Relational {
         |UNION ALL SELECT 'a_trap', count(*) FROM documents WHERE doc_id % 7 = 0
         |UNION ALL SELECT 'b_ok', count(*) FROM orders WHERE o_orderkey % 97 <> 0
         |UNION ALL SELECT 'b_trap', count(*) FROM orders WHERE o_orderkey % 97 = 0""".stripMargin,
+
+    "q78_sorted_mixed" ->
+      """SELECT o_custkey,
+        |string_agg(o_orderkey, ',' ORDER BY nullif(o_orderkey % 5, 0) DESC NULLS LAST,
+        |                                    o_orderkey ASC NULLS FIRST) AS key_seq
+        |FROM orders GROUP BY 1""".stripMargin,
 
     "q73_dynamic_arity" ->
       s"""SELECT o_orderstatus, count(*) AS n,

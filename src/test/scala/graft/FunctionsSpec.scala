@@ -256,4 +256,20 @@ class FunctionsSpec extends SparkSpec {
       .collect().head.getSeq[Array[Byte]](0)
     assert(r.length == 4)
   }
+
+  test("repetition metrics: dup-bigram fraction and top-token mass") {
+    val df = Seq(
+      ("a b a b a b", 600000L, 500000L), // 5 bigrams, 2 distinct → 3 dup; "a"×3/6
+      ("x y z w",     0L,      250000L), // all bigrams distinct; each token 1/4
+      ("r r r r",     666666L, 1000000L) // 3 identical bigrams → 2 dup; r = 4/4
+    ).toDF("text", "dup_expect", "top_expect")
+    val got = df.select(
+      graft.functions.TextAnalysis.dupNgramFractionMicros(col("text"), 2).as("dup"),
+      graft.functions.TextAnalysis.topTokenFractionMicros(col("text")).as("top"),
+      col("dup_expect"), col("top_expect")).collect()
+    got.foreach { r =>
+      assert(r.getAs[Long]("dup") == r.getAs[Long]("dup_expect"), r.toString)
+      assert(r.getAs[Long]("top") == r.getAs[Long]("top_expect"), r.toString)
+    }
+  }
 }
