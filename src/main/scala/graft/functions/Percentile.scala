@@ -46,47 +46,81 @@ object Percentile {
   def microBucket(x: Column): Column =
     floor(x.cast("double") * lit(1000000.0)).cast("long")
 
+  /** One percentile spec: value column, fraction, output column name. */
+  final case class Spec(valueCol: String, p: Double, out: String)
+
   /** Exact interpolated percentile `p` of `valueCol` per `groupCols`,
     * computed from micro-quantized buckets. Output: groupCols + `out`
     * (double). Nulls in `valueCol` are ignored (matching SQL percentile
     * semantics). */
   def microPercentile(df: DataFrame, groupCols: Seq[String], valueCol: String,
-                      p: Double, out: String): DataFrame = {
-    require(p >= 0.0 && p <= 1.0, s"percentile fraction out of range: $p")
+                      p: Double, out: String): DataFrame =
+    microPercentiles(df, groupCols, Seq(Spec(valueCol, p, out)))
+
+  /** Several percentiles (possibly over DIFFERENT columns) in ONE corpus
+    * scan: each row contributes one tagged bucket per spec
+    * (`posexplode` of the per-spec bucket array), all counts aggregate in
+    * a single partial+final HashAggregate (map-side combine absorbs the
+    * 2–3× row expansion immediately), and one CDF/interpolation pass per
+    * (group, spec) pivots back to one output row per group. At 100 TB the
+    * scan dominates, so n percentiles cost ~1 scan + one shuffle of
+    * bucket counts — not n of each (the two-scan-plus-join shape this
+    * replaces). */
+  def microPercentiles(df: DataFrame, groupCols: Seq[String],
+                       specs: Seq[Spec]): DataFrame = {
+    require(specs.nonEmpty, "no percentile specs")
+    specs.foreach(s => require(s.p >= 0.0 && s.p <= 1.0,
+      s"percentile fraction out of range: ${s.p}"))
     val g = groupCols.map(col)
-    // 1. distributed bucket counts (the scan-reducing aggregate)
-    val buckets = df.filter(col(valueCol).isNotNull)
-      .select(g :+ microBucket(col(valueCol)).as("__b"): _*)
-      .groupBy((groupCols :+ "__b").map(col): _*)
+    // 1. one scan: (group, which-spec, bucket) tagged rows → counted.
+    // A null value contributes nothing for that spec (array entry null →
+    // filtered), preserving per-spec SQL null semantics.
+    val tagged = df
+      .select(g :+ posexplode(array(specs.map(s =>
+        microBucket(col(s.valueCol))): _*)).as(Seq("__w", "__b")): _*)
+      .filter(col("__b").isNotNull)
+    val buckets = tagged
+      .groupBy((groupCols.map(col) :+ col("__w") :+ col("__b")): _*)
       .agg(count(lit(1)).as("__cnt"))
-    // 2. per-group CDF over the bucket relation
-    val wOrd = Window.partitionBy(g: _*).orderBy(col("__b"))
+    // 2. CDF per (group, spec) over the bucket relation
+    val part = g :+ col("__w")
+    val wOrd = Window.partitionBy(part: _*).orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy(g: _*)
+    val wAll = Window.partitionBy(part: _*)
+    val pOfW = specs.zipWithIndex.foldLeft(lit(Double.NaN)) {
+      case (acc, (s, i)) => when(col("__w") === i, lit(s.p)).otherwise(acc)
+    }
     val cdf = buckets
       .withColumn("__cum", sum(col("__cnt")).over(wOrd))
       .withColumn("__n", sum(col("__cnt")).over(wAll))
       // 0-based target rank r = p·(n−1); bucket row covers ranks
       // [cum − cnt, cum − 1]
-      .withColumn("__r", lit(p) * (col("__n") - 1).cast("double"))
+      .withColumn("__r", pOfW * (col("__n") - 1).cast("double"))
       .withColumn("__lo", floor(col("__r")).cast("long"))
       .withColumn("__hi", ceil(col("__r")).cast("long"))
-    // 3. keep only the covering buckets, interpolate
+    // 3. keep only the covering buckets, interpolate per (group, spec)
     val first = col("__cum") - col("__cnt")
     val last = col("__cum") - 1
-    cdf.filter(col("__lo").between(first, last) || col("__hi").between(first, last))
-      .groupBy(g: _*)
+    val covering = cdf
+      .filter(col("__lo").between(first, last) || col("__hi").between(first, last))
+      .groupBy(part: _*)
       .agg(
         max(when(col("__lo").between(col("__cum") - col("__cnt"), col("__cum") - 1),
           col("__b"))).as("__blo"),
         max(when(col("__hi").between(col("__cum") - col("__cnt"), col("__cum") - 1),
           col("__b"))).as("__bhi"),
         max(col("__r")).as("__rr"))
-      .select(g :+
-        ((col("__blo").cast("double") +
+      .withColumn("__val",
+        (col("__blo").cast("double") +
           (col("__rr") - floor(col("__rr"))) *
             (col("__bhi") - col("__blo")).cast("double")) / lit(1000000.0))
-          .as(out): _*)
+    // 4. pivot the spec rows back to one row per group
+    covering.groupBy(g: _*)
+      .agg(specs.zipWithIndex.map { case (s, i) =>
+        max(when(col("__w") === i, col("__val"))).as(s.out)
+      }.head, specs.zipWithIndex.drop(1).map { case (s, i) =>
+        max(when(col("__w") === i, col("__val"))).as(s.out)
+      }: _*)
   }
 
   /** The DuckDB spelling of [[microPercentile]] — generated beside the

@@ -339,11 +339,10 @@ object Extensions {
     // 100 TB. Bucket state is bounded by value RANGE, not row count.
     "q44_percentile" -> ((s, dir) => {
       val li = s.read.parquet(s"$dir/lineitem.parquet")
-      val p50 = graft.functions.Percentile.microPercentile(
-        li, Seq("l_returnflag"), "l_quantity", 0.5, "p50")
-      val p90 = graft.functions.Percentile.microPercentile(
-        li, Seq("l_returnflag"), "l_extendedprice", 0.9, "p90")
-      p50.join(p90, Seq("l_returnflag"))
+      // both percentiles in ONE corpus scan (tagged buckets, one shuffle)
+      graft.functions.Percentile.microPercentiles(li, Seq("l_returnflag"),
+        Seq(graft.functions.Percentile.Spec("l_quantity", 0.5, "p50"),
+            graft.functions.Percentile.Spec("l_extendedprice", 0.9, "p90")))
     }),
 
     // --- JSON property extraction (events.props) ---------------------------

@@ -95,6 +95,10 @@ class PlanAuditSpec extends SparkSpec {
     // bucket counts are partially aggregated before their exchange
     assert(plan.contains("partial_count") || plan.contains("merge_count") ||
       plan.contains("count"))
+    // BOTH percentiles (different columns) ride ONE corpus scan — at
+    // 100 TB the scan dominates, so n specs must not mean n scans
+    // (FormattedMode lists each node twice: tree + details)
+    assert("Scan parquet".r.findAllMatchIn(plan).size <= 2, "expected a single scan")
   }
 
   test("q48: corpus centroid assignment is an aggregate, not a Window") {
