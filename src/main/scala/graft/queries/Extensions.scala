@@ -262,6 +262,66 @@ object Extensions {
           col("start_ts"), col("end_ts"), col("sum_value"))
     }),
 
+    // --- watermarked stream-stream join under the gate: purchases enriched
+    // with same-user views from the preceding 10 minutes, run as a real
+    // stream on both sides (one staged file each → a single AvailableNow
+    // batch, so the watermark evicts nothing before all matches emit) and
+    // gated against the equivalent batch interval-join SQL.
+    "q79_stream_join" -> ((s, dir) => {
+      val (in, out, chk) = freshStreamDirs("graft_q79_stream")
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("v_id"), col("user_id").as("v_user"),
+          col("ts").as("v_ts"))
+      purchases.coalesce(1).write.parquet(s"$in/p")
+      views.coalesce(1).write.parquet(s"$in/v")
+      val joined = graft.streaming.StreamOps.streamStreamJoin(
+        graft.streaming.StreamOps.readStream(s, s"$in/p", purchases.schema),
+        graft.streaming.StreamOps.readStream(s, s"$in/v", views.schema),
+        "p_user", "v_user", "p_ts", "v_ts",
+        watermark = "1 hour", maxDelaySeconds = 600L)
+      val q = joined
+        .select(col("p_id"), col("p_user"), col("p_ts"), col("v_id"), col("v_ts"))
+        .writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", chk)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out)
+    }),
+
+    // --- streaming exact dedup under the gate: content-hash
+    // dropDuplicatesWithinWatermark over a single staged batch. Which row
+    // survives per hash is engine-internal, so the gated result is the
+    // deterministic SET of surviving content hashes (= batch DISTINCT).
+    "q80_stream_dedup" -> ((s, dir) => {
+      val (in, out, chk) = freshStreamDirs("graft_q80_stream")
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+        // offset the synthetic event time away from epoch 0: a ts equal to
+        // the initial watermark value is border-dropped by the dedup state
+        .withColumn("ts", expr("timestamp_micros((doc_id + 86400) * 1000000)"))
+      docs.coalesce(1).write.parquet(in)
+      val deduped = graft.streaming.StreamOps.dedupStream(
+        graft.streaming.StreamOps.readStream(s, in, docs.schema),
+        "ts", "text", watermark = "1 hour")
+      val q = deduped
+        .select(graft.functions.Dedup.contentHash(col("text")).as("content_hash"))
+        .writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", chk)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out)
+    }),
+
     // --- grouping sets (absent from reference — SURVEY §2.4 last row) -----
     "q38_rollup" -> ((s, dir) => {
       val li = s.read.parquet(s"$dir/lineitem.parquet")
@@ -761,6 +821,19 @@ object Extensions {
         |event_type, count(*) AS n,
         |CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q79_stream_join" ->
+      """SELECT p.event_id AS p_id, p.user_id AS p_user,
+        |CAST(p.ts AS TIMESTAMP) AS p_ts,
+        |v.event_id AS v_id, CAST(v.ts AS TIMESTAMP) AS v_ts
+        |FROM events p JOIN events v
+        |  ON p.user_id = v.user_id
+        | AND v.ts >= p.ts - INTERVAL 600 SECOND AND v.ts <= p.ts
+        |WHERE p.event_type = 'purchase' AND v.event_type = 'view'""".stripMargin,
+
+    "q80_stream_dedup" ->
+      """SELECT DISTINCT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS content_hash
+        |FROM documents""".stripMargin,
 
     "q38_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
