@@ -86,9 +86,17 @@ object GraftExtensions {
       (exprs: Seq[Expression]) =>
         ExactMicrosSum(Cast(exprs.head, DoubleType)).toAggregateExpression())
 
+  val topTokenMassDesc: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) =
+    (FunctionIdentifier("top_token_mass_micros"),
+      info(classOf[TopTokenMass], "top_token_mass_micros",
+        "_FUNC_(tokens) - most-frequent-token mass fraction x1e6 (floor)"),
+      (exprs: Seq[Expression]) => TopTokenMass(exprs.head))
+
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(md5Prefix40Desc, minhashSigDesc, minhashAggDesc, simhash32Desc,
-      rollingFingerprintDesc, shinglesDesc, cosineSimDesc, exactSumMicrosDesc)
+      rollingFingerprintDesc, shinglesDesc, cosineSimDesc, exactSumMicrosDesc,
+      topTokenMassDesc)
 
   /** Register on an already-built session (tests, REPL). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

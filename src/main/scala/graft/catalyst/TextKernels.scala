@@ -110,6 +110,63 @@ object Shingles {
     ColumnBridge.column(Shingles(ColumnBridge.expression(c), n))
 }
 
+/** Most-frequent-token mass ×1e6 (floor) — identical to the
+  * sort-then-fold Column form it replaces in
+  * `TextAnalysis.topTokenFractionMicros` (ArrayAggregate is
+  * CodegenFallback; this stays in whole-stage codegen). Sorts a copy of
+  * the token array and counts the longest equal run; the final division
+  * is double-typed to mirror Catalyst's Divide exactly. */
+case class TopTokenMass(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"top_token_mass_micros requires array<string>, got $other")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "top_token_mass_micros"
+
+  protected override def nullSafeEval(input: Any): Any =
+    TopTokenMass.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.catalyst.TopTokenMass.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TopTokenMass =
+    copy(child = newChild)
+}
+
+object TopTokenMass {
+  def compute(tokens: ArrayData): Long = {
+    val n = tokens.numElements()
+    if (n == 0) return 0L
+    val arr = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+    var i = 0
+    var nonNull = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) { arr(nonNull) = tokens.getUTF8String(i); nonNull += 1 }
+      i += 1
+    }
+    java.util.Arrays.sort(arr, 0, nonNull,
+      new java.util.Comparator[org.apache.spark.unsafe.types.UTF8String] {
+        def compare(a: org.apache.spark.unsafe.types.UTF8String,
+                    b: org.apache.spark.unsafe.types.UTF8String): Int = a.compareTo(b)
+      })
+    var best = if (nonNull > 0 || n > 0) 1L else 0L
+    var run = 1L
+    i = 1
+    while (i < nonNull) {
+      if (arr(i).equals(arr(i - 1))) { run += 1; if (run > best) best = run }
+      else run = 1
+      i += 1
+    }
+    if (nonNull == 0) best = 1L // null tokens fold as run-1 in the Column form
+    // mirror Catalyst Divide: both operands widened to double, then floor
+    Math.floor((best * 1000000L).toDouble / math.max(n, 1).toDouble).toLong
+  }
+  def apply(c: Column): Column =
+    ColumnBridge.column(TopTokenMass(ColumnBridge.expression(c)))
+}
+
 /** 32-bit SimHash over the token multiset — identical to
   * `graft.functions.Dedup.simhash32`'s nested-aggregate form. */
 case class SimHash32(child: Expression) extends UnaryExpression {

@@ -94,24 +94,14 @@ object TextAnalysis {
   }
 
   /** Mass fraction ×1e6 of the single most frequent token (the other
-    * standard repetition signal). O(L log L) per row: sort the tokens, then
-    * one fold counting the longest equal-run — no per-row hash map, no
-    * O(L²) filter-per-distinct-token, no shuffle. */
-  def topTokenFractionMicros(text: Column): Column = {
-    val toks = tokens(text)
-    val sorted = array_sort(toks)
-    val zero = struct(lit(null).cast("string").as("prev"),
-      lit(0L).as("run"), lit(0L).as("best"))
-    val best = aggregate(sorted, zero,
-      (st, t) => {
-        val run = when(st.getField("prev").isNotNull &&
-          t === st.getField("prev"), st.getField("run") + 1L).otherwise(lit(1L))
-        struct(t.as("prev"), run.as("run"),
-          greatest(st.getField("best"), run).as("best"))
-      },
-      st => st.getField("best"))
-    floor(best * 1000000L / greatest(size(toks).cast("long"), lit(1L))).cast("bigint")
-  }
+    * standard repetition signal). O(L log L) per row: sort the tokens,
+    * then one pass counting the longest equal-run — no per-row hash map,
+    * no O(L²) filter-per-distinct-token, no shuffle. Native codegen
+    * kernel ([[graft.catalyst.TopTokenMass]]): the equivalent
+    * `array_sort` + `aggregate` Column form falls out of whole-stage
+    * codegen (ArrayAggregate is CodegenFallback). */
+  def topTokenFractionMicros(text: Column): Column =
+    graft.catalyst.TopTokenMass(tokens(text))
 
   /** Positional rolling-hash document fingerprint: Σ tokenHash(tᵢ)·((i mod 8)+1)
     * mod 1e9+7 — order-sensitive (unlike a bag-of-words hash). The kernel
