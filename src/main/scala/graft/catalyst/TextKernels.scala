@@ -151,7 +151,9 @@ object TopTokenMass {
         def compare(a: org.apache.spark.unsafe.types.UTF8String,
                     b: org.apache.spark.unsafe.types.UTF8String): Int = a.compareTo(b)
       })
-    var best = if (nonNull > 0 || n > 0) 1L else 0L
+    // n > 0 here, so the fold's best is at least 1 (null tokens fold as
+    // run-1 in the Column form this mirrors)
+    var best = 1L
     var run = 1L
     i = 1
     while (i < nonNull) {
@@ -159,7 +161,6 @@ object TopTokenMass {
       else run = 1
       i += 1
     }
-    if (nonNull == 0) best = 1L // null tokens fold as run-1 in the Column form
     // mirror Catalyst Divide: both operands widened to double, then floor
     Math.floor((best * 1000000L).toDouble / math.max(n, 1).toDouble).toLong
   }

@@ -22,7 +22,8 @@ object DynamicArity {
   /** Pin `tokCol` (array&lt;string&gt;) to its observed maximum arity and
     * project positional columns `<prefix>0 .. <prefix>(n-1)`. */
   def resolve(df: DataFrame, tokCol: String, prefix: String = "f"): DataFrame = {
-    val n = df.agg(max(size(col(tokCol)))).head().getInt(0)
+    val probed = df.agg(max(size(col(tokCol)))).head()
+    val n = if (probed.isNullAt(0)) 0 else probed.getInt(0)
     require(n > 0, s"dynamic-arity resolve: no rows or empty $tokCol")
     // try_element_at: a row shorter than the resolved arity null-pads its
     // trailing positions instead of failing the flow

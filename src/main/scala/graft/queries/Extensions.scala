@@ -19,6 +19,23 @@ object Extensions {
   private def dStopHits(words: Seq[String]) =
     s"len(list_filter($dToks, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
 
+  /** Run `body` with the shuffle-partition count sized for a stateful
+    * streaming query, restoring the session's setting after. Stateful
+    * streaming cost at fixed data volume is dominated by PER-PARTITION
+    * state-store commits (each micro-batch writes every partition's store
+    * delta + checkpoint), so the partition count should track the state
+    * size, not the session's batch-shuffle default — 32 partitions of
+    * near-empty state quadruple the commit I/O of 8 with zero parallelism
+    * benefit. On a real cluster this is the same knob sized to state
+    * volume (state stores scale out per partition). NOTE: the partition
+    * count is baked into the checkpoint at stream START; freshStreamDirs
+    * wipes the checkpoint each run, so changing it here is safe. */
+  private def withStreamPartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Fresh (in, out, checkpoint) dirs under a per-query tmp root, deleting
     * any previous run's tree — shared by the streaming gate queries. */
   private def freshStreamDirs(name: String): (String, String, String) = {
@@ -195,16 +212,18 @@ object Extensions {
         .withColumn("ts", expr("timestamp'2100-01-01 00:00:00'"))
         .withColumn("event_type", lit("__flush"))
       ev.unionByName(sentinel).write.parquet(in)
-      val stream = graft.streaming.StreamOps.windowedCounts(
-        graft.streaming.StreamOps.readStream(s, in, ev.schema),
-        "ts", "event_type", "1 hour", "2 hours")
-      val q = stream.writeStream
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
-        .format("parquet").option("path", out)
-        .option("checkpointLocation", chk)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      withStreamPartitions(s, 8) {
+        val stream = graft.streaming.StreamOps.windowedCounts(
+          graft.streaming.StreamOps.readStream(s, in, ev.schema),
+          "ts", "event_type", "1 hour", "2 hours")
+        val q = stream.writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+          .format("parquet").option("path", out)
+          .option("checkpointLocation", chk)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       s.read.parquet(out).select("w_start", "event_type", "n", "sum_value")
     }),
 
@@ -241,20 +260,24 @@ object Extensions {
       // sequential writes → strictly increasing file mtimes, which is the
       // file source's processing order; one file per slice = one batch
       slices.foreach(_.coalesce(1).write.mode("append").parquet(in))
-      val stream = graft.streaming.StreamOps.readStream(s, in, ev.schema,
-        Map("maxFilesPerTrigger" -> "1"))
-      val sessions = {
-        import s.implicits._
-        graft.streaming.StreamOps.sessionize(
-          stream.as[graft.streaming.StreamOps.SessionEvent], 1800)
+      // 4 micro-batches × per-partition state commits: size partitions to
+      // the state, not the batch-shuffle default (see withStreamPartitions)
+      withStreamPartitions(s, 8) {
+        val stream = graft.streaming.StreamOps.readStream(s, in, ev.schema,
+          Map("maxFilesPerTrigger" -> "1"))
+        val sessions = {
+          import s.implicits._
+          graft.streaming.StreamOps.sessionize(
+            stream.as[graft.streaming.StreamOps.SessionEvent], 1800)
+        }
+        val q = sessions.writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+          .format("parquet").option("path", out)
+          .option("checkpointLocation", chk)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
       }
-      val q = sessions.writeStream
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
-        .format("parquet").option("path", out)
-        .option("checkpointLocation", chk)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
       val w = Window.partitionBy(col("user_id")).orderBy(col("start_ts"))
       s.read.parquet(out)
         .withColumn("session_id", row_number().over(w).cast("long"))
@@ -278,20 +301,24 @@ object Extensions {
           col("ts").as("v_ts"))
       purchases.coalesce(1).write.parquet(s"$in/p")
       views.coalesce(1).write.parquet(s"$in/v")
-      val joined = graft.streaming.StreamOps.streamStreamJoin(
-        graft.streaming.StreamOps.readStream(s, s"$in/p", purchases.schema),
-        graft.streaming.StreamOps.readStream(s, s"$in/v", views.schema),
-        "p_user", "v_user", "p_ts", "v_ts",
-        watermark = "1 hour", maxDelaySeconds = 600L)
-      val q = joined
-        .select(col("p_id"), col("p_user"), col("p_ts"), col("v_id"), col("v_ts"))
-        .writeStream
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
-        .format("parquet").option("path", out)
-        .option("checkpointLocation", chk)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      // stream-stream join keeps FOUR state stores per partition; size the
+      // partition count to the (small) state, not the batch default
+      withStreamPartitions(s, 8) {
+        val joined = graft.streaming.StreamOps.streamStreamJoin(
+          graft.streaming.StreamOps.readStream(s, s"$in/p", purchases.schema),
+          graft.streaming.StreamOps.readStream(s, s"$in/v", views.schema),
+          "p_user", "v_user", "p_ts", "v_ts",
+          watermark = "1 hour", maxDelaySeconds = 600L)
+        val q = joined
+          .select(col("p_id"), col("p_user"), col("p_ts"), col("v_id"), col("v_ts"))
+          .writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+          .format("parquet").option("path", out)
+          .option("checkpointLocation", chk)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       s.read.parquet(out)
     }),
 
@@ -307,18 +334,20 @@ object Extensions {
         // the initial watermark value is border-dropped by the dedup state
         .withColumn("ts", expr("timestamp_micros((doc_id + 86400) * 1000000)"))
       docs.coalesce(1).write.parquet(in)
-      val deduped = graft.streaming.StreamOps.dedupStream(
-        graft.streaming.StreamOps.readStream(s, in, docs.schema),
-        "ts", "text", watermark = "1 hour")
-      val q = deduped
-        .select(graft.functions.Dedup.contentHash(col("text")).as("content_hash"))
-        .writeStream
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
-        .format("parquet").option("path", out)
-        .option("checkpointLocation", chk)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      withStreamPartitions(s, 8) {
+        val deduped = graft.streaming.StreamOps.dedupStream(
+          graft.streaming.StreamOps.readStream(s, in, docs.schema),
+          "ts", "text", watermark = "1 hour")
+        val q = deduped
+          .select(graft.functions.Dedup.contentHash(col("text")).as("content_hash"))
+          .writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+          .format("parquet").option("path", out)
+          .option("checkpointLocation", chk)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       s.read.parquet(out)
     }),
 
