@@ -682,7 +682,8 @@ final class Lowering(spark: SparkSession, keepAssertions: Boolean = true) {
       // null-safe joins with identical key names on both sides would leave
       // two indistinguishable key columns; Cascading keeps both copies, so
       // require the caller to name them apart (declared fields or renames).
-      require(!nullSafe || declared.nonEmpty || lk != rk,
+      // Semi/anti joins output only left-side columns, so they are exempt.
+      require(!nullSafe || semiLike || declared.nonEmpty || lk != rk,
         "nullSafe join with identical key names on both sides: pass declared " +
           "fields (or rename one side) so both retained key copies are addressable")
       val cond = lkR.zip(rkR)

@@ -184,14 +184,31 @@ object Dedup {
       next = if (iters % 5 == 4) next.localCheckpoint(false) else next.persist(lvl)
       val sumNow = next.agg(sum(col("label").cast("decimal(38,0)")))
         .head.getDecimal(0)
-      labels.unpersist()
+      releaseLabels(labels)
       labels = next
       iters += 1
-      converged = prevSum != null && prevSum.compareTo(sumNow) == 0
+      // sums are null exactly when the frame is empty: empty input is a
+      // trivially converged fixed point (the old join-count check agreed)
+      converged =
+        if (sumNow == null) prevSum == null
+        else prevSum != null && prevSum.compareTo(sumNow) == 0
       prevSum = sumNow
     }
     br.unpersist()
     (labels.select(col("id"), col("label").as("cluster_id")), iters)
+  }
+
+  /** Free a round's label table. `unpersist()` covers the persisted
+    * rounds; a localCheckpoint'ed Dataset has NO CacheManager entry (its
+    * blocks live on the raw RDD), so the checkpointed RDD must be
+    * unpersisted directly or each checkpoint round leaks a full label-table
+    * copy into the block manager until GC. */
+  private def releaseLabels(df: DataFrame): Unit = {
+    df.unpersist()
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
   }
 
   /** Near-dup verification: exact 3-gram Jaccard of each doc against its

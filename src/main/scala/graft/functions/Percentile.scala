@@ -24,8 +24,9 @@ import org.apache.spark.sql.expressions.Window
   *      picked by filter + final agg; linear interpolation between them.
   *
   * The result is the exact interpolated percentile of the QUANTIZED values
-  * (for data with ≤6 decimal places — all TPC-H money/quantity columns —
-  * quantization is lossless). Every arithmetic step (floor, double
+  * (quantized on the double-representation micro grid — see
+  * [[microBucket]] for the ≤1e-6 offset this implies). Every arithmetic
+  * step (floor, double
   * multiply/subtract/divide) is IEEE-exact and engine-portable, so a DuckDB
   * oracle spelling the same steps hash-matches bit-for-bit (the q66 micros
   * discipline; `round()` is NOT used anywhere — its .5 behavior differs
@@ -40,9 +41,14 @@ import org.apache.spark.sql.expressions.Window
   */
 object Percentile {
 
-  /** Micro-bucket a value: floor(x·1e6) as BIGINT — lossless for ≤6
-    * decimal places, and the floor/cast pair behaves identically on Spark
-    * and DuckDB (plain cast would truncate vs round). */
+  /** Micro-bucket a value: floor(x·1e6) as BIGINT. The quantization grid
+    * is that of the DOUBLE representation: a value stored slightly below
+    * its decimal spelling (e.g. 0.29 ≈ 0.28999…) lands one bucket lower
+    * than the literal would suggest, so the computed percentile can sit up
+    * to 1e-6 below the unquantized interpolated value. Both engines apply
+    * the identical IEEE floor/multiply, so the gate is exact regardless;
+    * floor-then-cast (not plain cast) because Spark truncates where DuckDB
+    * rounds. */
   def microBucket(x: Column): Column =
     floor(x.cast("double") * lit(1000000.0)).cast("long")
 
@@ -115,12 +121,10 @@ object Percentile {
           (col("__rr") - floor(col("__rr"))) *
             (col("__bhi") - col("__blo")).cast("double")) / lit(1000000.0))
     // 4. pivot the spec rows back to one row per group
-    covering.groupBy(g: _*)
-      .agg(specs.zipWithIndex.map { case (s, i) =>
-        max(when(col("__w") === i, col("__val"))).as(s.out)
-      }.head, specs.zipWithIndex.drop(1).map { case (s, i) =>
-        max(when(col("__w") === i, col("__val"))).as(s.out)
-      }: _*)
+    val outs = specs.zipWithIndex.map { case (s, i) =>
+      max(when(col("__w") === i, col("__val"))).as(s.out)
+    }
+    covering.groupBy(g: _*).agg(outs.head, outs.tail: _*)
   }
 
   /** The DuckDB spelling of [[microPercentile]] — generated beside the

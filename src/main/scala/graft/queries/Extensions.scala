@@ -259,7 +259,23 @@ object Extensions {
           .withColumn("value", lit(0.0)))
       // sequential writes → strictly increasing file mtimes, which is the
       // file source's processing order; one file per slice = one batch
-      slices.foreach(_.coalesce(1).write.mode("append").parquet(in))
+      // The file source processes files in MODIFICATION-TIME order with
+      // arbitrary tie-breaks; sequential writes usually produce increasing
+      // mtimes, but that is not guaranteed (fs timestamp granularity), and
+      // a tie that reorders the sentinel file before a slice would turn
+      // that slice's events into spurious late singletons. Enforce the
+      // staging order explicitly: pin each slice's data files to a fixed,
+      // strictly increasing mtime.
+      val seen = scala.collection.mutable.Set.empty[String]
+      slices.zipWithIndex.foreach { case (df, i) =>
+        df.coalesce(1).write.mode("append").parquet(in)
+        val dir = new java.io.File(in)
+        dir.listFiles().filter(f => f.getName.endsWith(".parquet") && !seen(f.getName))
+          .foreach { f =>
+            seen += f.getName
+            f.setLastModified(1600000000000L + i * 60000L)
+          }
+      }
       // 4 micro-batches × per-partition state commits: size partitions to
       // the state, not the batch-shuffle default (see withStreamPartitions)
       withStreamPartitions(s, 8) {
@@ -593,7 +609,7 @@ object Extensions {
          |m AS (SELECT doc_id, max(n) AS maxn, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1)
          |SELECT rep.doc_id, dup_bigram_micros,
          |CAST(floor(maxn * 1000000 / greatest(tot, 1)) AS BIGINT) AS top_tok_micros
-         |FROM rep JOIN m ON rep.doc_id = m.doc_id""".stripMargin,
+         |FROM rep LEFT JOIN m ON rep.doc_id = m.doc_id""".stripMargin,
 
     "q24_dedup_exact" ->
       """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS content_hash,

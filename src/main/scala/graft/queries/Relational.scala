@@ -591,10 +591,13 @@ object Relational {
           ArrayType(StringType)),
           args = FieldSelector.All, out = FieldSelector.Results))(s)
       val resolved = graft.operators.DynamicArity.resolve(toks, "toks")
+      // the arity is DATA-dependent: with no 'F' orders in the slice every
+      // line has 3 fields and f3 does not exist — count over null then
+      val f3 = if (resolved.columns.contains("f3")) col("f3") else lit(null)
       resolved.groupBy(col("f1").as("o_orderstatus"))
         .agg(count(lit(1)).as("n"),
           graft.catalyst.ExactMicrosSum.sum(col("f2").cast("double")).as("total"),
-          count(col("f3")).as("n_flagged"))
+          count(f3).as("n_flagged"))
     }),
 
     // BucketedTap round-trip under the gate: pay the layout shuffle once at
@@ -605,9 +608,17 @@ object Relational {
     // building so the co-located sort-merge path is what's planned) and
     // the oracle gates the values.
     "q72_bucketed_join" -> ((s, dir) => {
+      val warehouse = {
+        // conf value may be a file: URI or a bare (possibly relative) path
+        val raw = s.conf.get("spark.sql.warehouse.dir",
+          new java.io.File("spark-warehouse").toURI.toString)
+        val uri = new java.net.URI(raw)
+        new java.io.File(if (uri.getScheme == "file" || uri.getScheme == null)
+          uri.getPath else raw)
+      }
       Seq("graft_q72_orders", "graft_q72_customer").foreach { t =>
         s.sql(s"DROP TABLE IF EXISTS $t")
-        val loc = new java.io.File(s"spark-warehouse/$t")
+        val loc = new java.io.File(warehouse, t)
         def rm(f: java.io.File): Unit = {
           if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
         }

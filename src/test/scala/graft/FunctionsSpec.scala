@@ -257,6 +257,20 @@ class FunctionsSpec extends SparkSpec {
     assert(r.length == 4)
   }
 
+  test("transitive clusters: empty input converges immediately") {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+    val (out, iters) = graft.functions.Dedup.minhashClustersTransitiveStats(
+      empty, "doc_id", "text", maxIters = 30)
+    assert(out.count() == 0)
+    assert(iters <= 1, s"empty input must not iterate to maxIters (ran $iters)")
+  }
+
   test("repetition metrics: dup-bigram fraction and top-token mass") {
     val df = Seq(
       ("a b a b a b", 600000L, 500000L), // 5 bigrams, 2 distinct → 3 dup; "a"×3/6

@@ -621,6 +621,12 @@ class LoweringSpec extends SparkSpec {
           nullSafe = true))
     }
     assert(e.getMessage.contains("declared"))
+    // ...but semi/anti joins output only left columns, so identical key
+    // names are fine there — and the null key matches the null key
+    val semi = Flow.toDF(pipe(l.withColumnRenamed("lk", "k"))
+      .coGroup(Seq("k"), pipe(r.withColumnRenamed("rk", "k")), Seq("k"),
+        joiner = Joiner.LeftSemi, nullSafe = true))
+    assert(semi.count() == 2) // 1 and the null-keyed row
   }
 
   test("group assertion: passes, fails on violation, strips with keepAssertions") {

@@ -66,7 +66,10 @@ class SkewAndHashSpec extends SparkSpec {
       def pad(i: Int) = {
         val h = java.security.MessageDigest.getInstance("MD5")
           .digest(i.toString.getBytes)
-        (0 until 4).map(r => h.map(b => f"${b ^ r}%02x").mkString).mkString
+        // mask to 0..255 BEFORE xor: a negative Byte promotes to Int and
+        // would format as 8 chars ("ffffff9c"), padding the string with
+        // compressible constant runs
+        (0 until 4).map(r => h.map(b => f"${(b & 0xff) ^ r}%02x").mkString).mkString
       }
       // key 1 holds ~2/3 of the fact side; the rest spreads over 2..501
       val big = (1 to 30000)
