@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination — the standard LLM-training hygiene step:
+  * find corpus documents that share word n-grams with an evaluation
+  * (benchmark) set, so they can be dropped before training. The widely
+  * used recipe (GPT-3 appendix C / PaLM / Llama) flags any training doc
+  * containing an n-gram (n≈8..13) that also occurs in an eval document.
+  *
+  * Scale shape: both sides reduce to DISTINCT n-gram sets; the eval side
+  * is tiny by construction (benchmarks are a few thousand docs), so the
+  * overlap test is a BROADCAST semi-join of corpus n-grams against the
+  * eval n-gram set — one corpus scan, zero shuffles of corpus-sized data,
+  * then a per-doc count aggregation on doc ids. If the eval set ever
+  * outgrew broadcast range, the same plan degrades gracefully to a
+  * shuffled equi-join on the n-gram hash (uniform keys, no skew).
+  */
+object Contamination {
+
+  /** Per-corpus-doc overlap counts against an eval set: (id, n_overlap)
+    * where n_overlap = number of DISTINCT n-grams of the doc that occur
+    * anywhere in `eval`. Docs with zero overlap are absent (this is the
+    * contamination report, inner-join semantics). */
+  def overlapReport(corpus: DataFrame, eval: DataFrame,
+                    idCol: String, textCol: String, n: Int): DataFrame = {
+    def grams(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("id"),
+          explode(array_distinct(Dedup.shingles(col(textCol), n))).as("gram"))
+    val evalGrams = grams(eval).select("gram").distinct()
+    grams(corpus)
+      .join(broadcast(evalGrams), Seq("gram"), "left_semi")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_overlap"))
+  }
+
+  /** DuckDB n-gram list over whitespace tokens — exact mirror of
+    * `Dedup.shingles(tokens, n)`: max(len-n,0)+1 shingles, so a doc
+    * shorter than n emits ONE partial shingle (out-of-range list indexes
+    * are NULL and concat_ws skips them, matching the kernel). */
+  def oracleNgrams(textCol: String, n: Int): String = {
+    val toks = s"string_split($textCol, ' ')"
+    val parts = (1 to n).map(j => s"$toks[i + $j]").mkString(", ")
+    s"""list_transform(range(0, greatest(len($toks) - $n, 0) + 1),
+       |  i -> concat_ws(' ', $parts))""".stripMargin
+  }
+}

@@ -211,6 +211,46 @@ object Dedup {
     }
   }
 
+  /** Chunk-level exact dedup — the sub-document granularity of
+    * exact-substring dedup (Lee et al. 2021, "Deduplicating Training Data
+    * Makes Language Models Better"): documents are cut into disjoint
+    * `w`-token chunks, and a chunk is a duplicate when the same chunk text
+    * occurs in any LOWER-id document (first occurrence wins, matching
+    * [[exactDedup]]'s min-id convention). Returns one row per doc:
+    * (id, n_chunks, n_dup_chunks).
+    *
+    * Scale shape: chunking is a per-row Column expression (one corpus
+    * scan); the explode emits ~tokens/w rows; the keeper table is a
+    * hash aggregate on the chunk hash (uniform md5 keys, no skew) and the
+    * verdict join is equi-keyed on the same hash — the linear one-shuffle
+    * form, never a pairwise product. At 100 TB the chunk-hash relation is
+    * ~1/w of the token volume and both shuffles are on uniform keys. */
+  def chunkDedup(df: DataFrame, idCol: String, textCol: String,
+                 w: Int = 10): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nChunks = floor((size(toks) - 1).cast("long") / w) + 1
+    val chunks = transform(sequence(lit(0L), nChunks - 1),
+      i => concat_ws(" ", slice(toks, (i * w + 1).cast("int"), lit(w))))
+    // (id, chunk-hash) rows; md5 keeps the shuffle key narrow and uniform
+    val rows = df.select(col(idCol).as("id"), explode(chunks).as("chunk"))
+      .select(col("id"), md5(col("chunk")).as("h"))
+      .cache() // consumed by both the keeper aggregate and the verdict join
+    val keeper = rows.groupBy(col("h")).agg(min(col("id")).as("keep_id"))
+    rows.join(keeper, "h")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("keep_id") < col("id"), 1L).otherwise(0L)).as("n_dup_chunks"))
+  }
+
+  /** DuckDB spelling of the same disjoint `w`-token chunk list (1-based
+    * inclusive list slices; a slice past the end truncates, like Spark's
+    * `slice`). */
+  def chunkOracleList(textCol: String, w: Int): String = {
+    val toks = s"string_split($textCol, ' ')"
+    s"""list_transform(range(0, CAST(floor((len($toks) - 1) / $w) AS BIGINT) + 1),
+       |  i -> array_to_string($toks[i * $w + 1 : i * $w + $w], ' '))""".stripMargin
+  }
+
   /** Near-dup verification: exact 3-gram Jaccard of each doc against its
     * LSH canonical representative only — O(N) verify step, not O(pairs).
     *

@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** One-pass data profiling — the "describe my table" operator every
+  * ingestion pipeline runs before committing a source into the lake:
+  * per-column null counts, exact distinct counts, and canonicalized
+  * min/max, all computed in a SINGLE corpus scan (one global aggregate;
+  * Spark plans the multi-column distinct via Expand, still one scan, and
+  * every distinct aggregate is partial+final so the driver only merges
+  * per-column summaries).
+  *
+  * Values are canonicalized to strings per declared kind so the output is
+  * engine-portable: integers/strings cast directly, doubles floor-micro-
+  * quantized (the q66 discipline — no float formatting dependence),
+  * timestamps formatted to second precision. At 100 TB the exact distinct
+  * counts are the expensive part by design (profiling is exact); the
+  * approx twin is `approx_count_distinct` (see q42) when estimates
+  * suffice.
+  */
+object Profile {
+
+  /** kind: "long" | "string" | "micros" (double → floor(x·1e6)) | "ts" */
+  final case class ColSpec(name: String, kind: String)
+
+  private def canon(c: Column, kind: String): Column = kind match {
+    case "long" | "string" => c.cast("string")
+    case "micros" => floor(c * 1000000L).cast("bigint").cast("string")
+    case "ts" => date_format(c, "yyyy-MM-dd HH:mm:ss")
+    case other => throw new IllegalArgumentException(s"unknown kind: $other")
+  }
+
+  /** Profile `specs` columns in one scan: one output row per column —
+    * (col_name, n_rows, n_nulls, n_distinct, min_val, max_val). */
+  def profile(df: DataFrame, specs: Seq[ColSpec]): DataFrame = {
+    require(specs.nonEmpty)
+    val aggs = specs.zipWithIndex.flatMap { case (ColSpec(name, kind), i) =>
+      Seq(
+        sum(when(col(name).isNull, 1L).otherwise(0L)).as(s"nn$i"),
+        count_distinct(col(name)).as(s"nd$i"),
+        canon(min(col(name)), kind).as(s"mn$i"),
+        canon(max(col(name)), kind).as(s"mx$i"))
+    } :+ count(lit(1)).as("nr")
+    val agged = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = specs.zipWithIndex.map { case (ColSpec(name, _), i) =>
+      s"'$name', nr, nn$i, nd$i, mn$i, mx$i"
+    }.mkString(", ")
+    agged.selectExpr(s"stack(${specs.size}, $stackArgs) AS " +
+      "(col_name, n_rows, n_nulls, n_distinct, min_val, max_val)")
+  }
+
+  /** DuckDB mirror: same single-aggregate CTE, unpivoted by UNION ALL. */
+  def oracleSql(table: String, specs: Seq[ColSpec]): String = {
+    def dCanon(e: String, kind: String): String = kind match {
+      case "long" | "string" => s"CAST($e AS VARCHAR)"
+      case "micros" => s"CAST(CAST(floor($e * 1000000) AS BIGINT) AS VARCHAR)"
+      case "ts" => s"strftime(CAST($e AS TIMESTAMP), '%Y-%m-%d %H:%M:%S')"
+      case other => throw new IllegalArgumentException(s"unknown kind: $other")
+    }
+    val aggCols = specs.zipWithIndex.flatMap { case (ColSpec(name, kind), i) =>
+      Seq(
+        s"CAST(sum(CASE WHEN $name IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn$i",
+        s"count(DISTINCT $name) AS nd$i",
+        s"${dCanon(s"min($name)", kind)} AS mn$i",
+        s"${dCanon(s"max($name)", kind)} AS mx$i")
+    } :+ "count(*) AS nr"
+    val rows = specs.zipWithIndex.map { case (ColSpec(name, _), i) =>
+      s"SELECT '$name' AS col_name, nr AS n_rows, nn$i AS n_nulls, " +
+        s"nd$i AS n_distinct, mn$i AS min_val, mx$i AS max_val FROM a"
+    }.mkString("\nUNION ALL ")
+    s"WITH a AS (SELECT ${aggCols.mkString(", ")} FROM $table)\n$rows"
+  }
+}

@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import TextAnalysis.tokens
+
+/** Corpus relevance scoring (BM25 family) for training-data curation:
+  * score every document of a corpus against a bag of query terms, keep the
+  * top-k. Used at scale to mine topic-relevant subsets out of a web crawl
+  * (quality-targeted sampling), which makes it a first-class pipeline op
+  * next to dedup and quality filtering.
+  *
+  * Scale shape: ONE global-aggregate scan computes the corpus statistics
+  * (doc count N, token total T, per-term document frequencies) into a
+  * single row that is broadcast; ONE scoring scan then evaluates a pure
+  * Column expression per document (no explode, no per-term shuffle — the
+  * query terms are literals, so each tf is a codegen'd array fold); the
+  * only gather is the final ordered LIMIT k. A 100 TB corpus pays two
+  * scans and moves k rows.
+  *
+  * Engine portability: the score uses the BM25 saturation shape
+  * tf·(k1+1)/(tf + k1·(1−b + b·dl/avgdl)) with a RATIONAL idf
+  * (N − df + ½)/(df + ½) instead of its log — IEEE-754 binary64 ops
+  * (+,−,×,/) are correctly rounded and therefore bit-identical across
+  * engines for the same expression tree, while `ln` is a libm call with
+  * no such guarantee. The log is monotone in the rational idf, so ranking
+  * is BM25-faithful; the constants are emitted from the same Scala values
+  * into both the Spark plan and the DuckDB oracle so the literal parses
+  * cannot drift. Final scores are floor-quantized to integer micros
+  * (the q66 discipline).
+  */
+object Relevance {
+
+  /** BM25 k1 (term-frequency saturation) and b (length normalization).
+    * K1Plus1 is a stored literal — computing k1+1 at runtime would round
+    * to a DIFFERENT double than parsing "2.2", and the oracle parses. */
+  val K1: Double = 1.2
+  val K1Plus1: Double = 2.2
+  val B: Double = 0.75
+  val OneMinusB: Double = 0.25
+
+  /** Top-k most relevant documents for `terms`: (id, score_micros),
+    * score desc, id asc. Documents matching no term are dropped. */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], topK: Int = 20): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 32,
+      s"bm25TopK: 1..32 literal query terms, got ${terms.size}")
+    val toks = tokens(col(textCol))
+    // one corpus scan -> a single stats row: N, T, df per term. Per-term
+    // dfs ride the same hash-free global aggregate (map-side partials).
+    val statsAggs =
+      count(lit(1)).cast("double").as("n_docs") +:
+      sum(size(toks).cast("long")).cast("double").as("n_tokens") +:
+      terms.zipWithIndex.map { case (t, i) =>
+        sum(when(array_contains(toks, t), 1L).otherwise(0L))
+          .cast("double").as(s"df_$i")
+      }
+    val stats = df.agg(statsAggs.head, statsAggs.tail: _*)
+    // scoring scan: broadcast the 1-row stats, fold the literal terms into
+    // one Column expression (assoc order mirrored exactly by the oracle)
+    val dl = size(toks).cast("double")
+    val score = terms.zipWithIndex.map { case (t, i) =>
+      val tf = size(filter(toks, x => x === lit(t))).cast("double")
+      val df_ = col(s"df_$i")
+      val idf = (col("n_docs") - df_ + lit(0.5)) / (df_ + lit(0.5))
+      val tfn = tf * lit(K1Plus1) /
+        (tf + lit(K1) * (lit(OneMinusB) +
+          lit(B) * dl * col("n_docs") / col("n_tokens")))
+      when(tf > lit(0.0), floor(lit(1000000.0) * idf * tfn).cast("bigint"))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    df.crossJoin(broadcast(stats))
+      .select(col(idCol), score.as("score_micros"))
+      .filter(col("score_micros") > 0L)
+      .orderBy(col("score_micros").desc, col(idCol).asc)
+      .limit(topK)
+  }
+
+  /** DuckDB spelling of the same score, for oracle generation. `table`
+    * must expose `id`/`text`; emits the full top-k query. Every literal is
+    * printed from the SAME Scala constants the Spark plan uses. */
+  def bm25OracleSql(table: String, idCol: String, textCol: String,
+                    terms: Seq[String], topK: Int = 20): String = {
+    val dToks = s"string_split($textCol, ' ')"
+    val statsCols =
+      s"CAST(count(*) AS DOUBLE) AS n_docs, CAST(sum(len($dToks)) AS DOUBLE) AS n_tokens, " +
+      terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(sum(CASE WHEN list_contains($dToks, '$t') THEN 1 ELSE 0 END) AS DOUBLE) AS df_$i"
+      }.mkString(", ")
+    val dl = s"CAST(len($dToks) AS DOUBLE)"
+    val scoreSql = terms.zipWithIndex.map { case (t, i) =>
+      val tf = s"CAST(len(list_filter($dToks, x -> x = '$t')) AS DOUBLE)"
+      val idf = s"((n_docs - df_$i + 0.5) / (df_$i + 0.5))"
+      val tfn = s"($tf * $K1Plus1 / ($tf + $K1 * ($OneMinusB + $B * $dl * n_docs / n_tokens)))"
+      s"CASE WHEN $tf > 0.0 THEN CAST(floor(1000000.0 * $idf * $tfn) AS BIGINT) ELSE 0 END"
+    }.mkString("\n  + ")
+    s"""WITH stats AS (SELECT $statsCols FROM $table),
+       |scored AS (
+       |  SELECT $idCol, $scoreSql AS score_micros
+       |  FROM $table CROSS JOIN stats)
+       |SELECT $idCol, score_micros FROM scored WHERE score_micros > 0
+       |ORDER BY score_micros DESC, $idCol ASC LIMIT $topK""".stripMargin
+  }
+}

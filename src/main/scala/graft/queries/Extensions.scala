@@ -19,6 +19,19 @@ object Extensions {
   private def dStopHits(words: Seq[String]) =
     s"len(list_filter($dToks, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
 
+  // ---- shared constants for the governance/relevance queries (used by
+  // both the Spark plan and the generated oracle so they cannot drift) ----
+  private val Bm25Terms = Seq("spark", "query", "join")
+  private val DecontamN = 4
+  private val SampleRates = Seq("en" -> 50, "de" -> 25, "fr" -> 10)
+  private val SampleDefaultPct = 5
+  private val SampleSalt = "graft-r5"
+  private val ProfileSpecs = Seq(
+    graft.functions.Profile.ColSpec("l_orderkey", "long"),
+    graft.functions.Profile.ColSpec("l_quantity", "micros"),
+    graft.functions.Profile.ColSpec("l_returnflag", "string"),
+    graft.functions.Profile.ColSpec("l_shipdate", "ts"))
+
   /** Run `body` with the shuffle-partition count sized for a stateful
     * streaming query, restoring the session's setting after. Stateful
     * streaming cost at fixed data volume is dominated by PER-PARTITION
@@ -498,6 +511,85 @@ object Extensions {
           (0 until 16).map(i => element_at(col("sig"), i + 1).as(s"m$i")): _*)
     }),
 
+    // --- BM25 relevance mining: top-k docs for a literal term bag. Two
+    // corpus scans (stats row broadcast, then pure-Column scoring), one
+    // ordered LIMIT gather; rational idf + floor-micros keeps the score
+    // engine-portable (see graft.functions.Relevance).
+    "q81_bm25" -> ((s, dir) =>
+      graft.functions.Relevance.bm25TopK(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        Bm25Terms, topK = 20)),
+
+    // --- benchmark decontamination: corpus docs sharing any distinct
+    // 4-gram with the (deterministic) eval slice doc_id % 50 = 0. Eval
+    // n-gram set is broadcast; corpus side pays one scan + per-doc count.
+    "q82_decontaminate" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      graft.functions.Contamination.overlapReport(
+          d.filter(col("doc_id") % 50 =!= 0), d.filter(col("doc_id") % 50 === 0),
+          "doc_id", "text", n = DecontamN)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // --- PII redaction: deterministic synthetic PII (emails/phones/IPs
+    // keyed off doc_id — the corpus itself is PII-free) is injected
+    // in-query, then counted and scrubbed; gated on the hit counts AND the
+    // md5 of every redacted text. Pure Column pass, one scan.
+    "q83_pii_redact" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val G = graft.functions.Governance
+      val injected = concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" call 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+            lit(".1"))).otherwise(lit("")))
+      d.select(col("doc_id"),
+        G.piiHits(injected, G.EmailRegex).as("n_emails"),
+        G.piiHits(injected, G.PhoneRegex).as("n_phones"),
+        G.piiHits(injected, G.Ipv4Regex).as("n_ips"),
+        md5(G.redactPii(injected)).as("redacted_hash"))
+    }),
+
+    // --- reproducible stratified sampling: md5-bucket keep-predicate with
+    // per-language rates — the SAME rows survive on any engine/partitioning
+    // (auditable corpus cuts, unlike rand()-based sample). Zero shuffles.
+    "q84_hash_sample" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .filter(graft.functions.Governance.stratifiedKeep(
+          col("doc_id"), col("lang"), SampleRates, SampleDefaultPct, SampleSalt))
+        .select(col("doc_id"), col("lang"))),
+
+    // --- chunk-level exact dedup (exact-substring granularity): disjoint
+    // 10-token chunks, first-occurrence-wins across the corpus
+    "q85_chunk_dedup" -> ((s, dir) =>
+      Dedup.chunkDedup(s.read.parquet(s"$dir/documents.parquet"),
+          "doc_id", "text", w = 10)
+        .withColumnRenamed("id", "doc_id")),
+
+    // --- one-pass column profiling over lineitem (exact distincts; see
+    // graft.functions.Profile for the scale notes + approx twin pointer)
+    "q86_profile" -> ((s, dir) =>
+      graft.functions.Profile.profile(
+        s.read.parquet(s"$dir/lineitem.parquet"), ProfileSpecs)),
+
+    // --- distribution window functions (ntile / percent_rank / cume_dist):
+    // rank-family ratios are exact IEEE divisions — portable across engines
+    "q87_window_dist" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      o.select(col("o_custkey"), col("o_orderkey"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+    }),
+
     // --- multimodal plumbing ----------------------------------------------
     "q30_multimodal_meta" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
@@ -945,6 +1037,74 @@ object Extensions {
          |  FROM toks)
          |SELECT lang, $mins FROM sig GROUP BY 1""".stripMargin
     },
+
+    "q81_bm25" ->
+      graft.functions.Relevance.bm25OracleSql(
+        "documents", "doc_id", "text", Bm25Terms, topK = 20),
+
+    "q82_decontaminate" -> {
+      val ng = graft.functions.Contamination.oracleNgrams("text", DecontamN)
+      s"""WITH ev AS (
+         |  SELECT DISTINCT unnest($ng) AS gram
+         |  FROM documents WHERE doc_id % 50 = 0),
+         |cg AS (
+         |  SELECT doc_id, unnest(list_distinct($ng)) AS gram
+         |  FROM documents WHERE doc_id % 50 <> 0)
+         |SELECT doc_id, count(*) AS n_overlap
+         |FROM cg JOIN ev USING (gram) GROUP BY 1""".stripMargin
+    },
+
+    "q83_pii_redact" -> {
+      val G = graft.functions.Governance
+      val injected =
+        "text || CASE WHEN doc_id % 5 = 0 THEN ' contact user' || " +
+          "CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END" +
+        " || CASE WHEN doc_id % 7 = 0 THEN ' call 555-' || " +
+          "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END" +
+        " || CASE WHEN doc_id % 11 = 0 THEN ' from 10.0.' || " +
+          "CAST(doc_id % 256 AS VARCHAR) || '.1' ELSE '' END"
+      s"""WITH inj AS (SELECT doc_id, $injected AS t FROM documents)
+         |SELECT doc_id,
+         |CAST(len(regexp_extract_all(t, '${G.EmailRegex}')) AS INTEGER) AS n_emails,
+         |CAST(len(regexp_extract_all(t, '${G.PhoneRegex}')) AS INTEGER) AS n_phones,
+         |CAST(len(regexp_extract_all(t, '${G.Ipv4Regex}')) AS INTEGER) AS n_ips,
+         |md5(regexp_replace(regexp_replace(regexp_replace(t,
+         |  '${G.EmailRegex}', '<EMAIL>', 'g'),
+         |  '${G.PhoneRegex}', '<PHONE>', 'g'),
+         |  '${G.Ipv4Regex}', '<IP>', 'g')) AS redacted_hash
+         |FROM inj""".stripMargin
+    },
+
+    "q84_hash_sample" -> {
+      val bucket = graft.functions.Governance.oracleHashBucket("doc_id", SampleSalt)
+      val cases = SampleRates.map { case (l, p) => s"WHEN lang = '$l' THEN $p" }
+        .mkString(" ")
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE $bucket < CASE $cases ELSE $SampleDefaultPct END""".stripMargin
+    },
+
+    "q85_chunk_dedup" -> {
+      val chunks = graft.functions.Dedup.chunkOracleList("text", 10)
+      s"""WITH ch AS (
+         |  SELECT doc_id, md5(c) AS h FROM (
+         |    SELECT doc_id, unnest($chunks) AS c FROM documents)),
+         |k AS (SELECT h, min(doc_id) AS keep_id FROM ch GROUP BY 1)
+         |SELECT ch.doc_id, count(*) AS n_chunks,
+         |CAST(sum(CASE WHEN keep_id < ch.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS n_dup_chunks
+         |FROM ch JOIN k USING (h) GROUP BY 1""".stripMargin
+    },
+
+    "q86_profile" ->
+      graft.functions.Profile.oracleSql("lineitem", ProfileSpecs),
+
+    "q87_window_dist" ->
+      """SELECT o_custkey, o_orderkey,
+        |CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |percent_rank() OVER w AS pct_rank,
+        |cume_dist() OVER w AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
 
     "q30_multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Contamination, Dedup, Governance, Profile, Relevance}
+
+/** Round-5 pipeline operators: BM25 relevance, benchmark decontamination,
+  * PII redaction, reproducible hash sampling, chunk dedup, profiling. */
+class GovernanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bm25TopK ranks term-dense docs above term-sparse, drops no-hit docs") {
+    val docs = Seq(
+      (1L, "spark spark spark join query fast"),
+      (2L, "spark table scan"),
+      (3L, "batch window merge sort")).toDF("doc_id", "text")
+    val r = Relevance.bm25TopK(docs, "doc_id", "text",
+      Seq("spark", "query"), topK = 10).collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(1L, 2L)) // doc 3 has no hits
+    assert(r.head.getLong(1) > r.last.getLong(1))
+  }
+
+  test("bm25 length normalization: same tf, shorter doc scores higher") {
+    val docs = Seq(
+      (1L, "spark a b"),
+      (2L, "spark " + (1 to 40).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val r = Relevance.bm25TopK(docs, "doc_id", "text", Seq("spark"), topK = 10)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(1L) > r(2L))
+  }
+
+  test("overlapReport counts distinct shared n-grams, inner semantics") {
+    val corpus = Seq(
+      (1L, "a b c d e"),   // shares 'a b c' with eval (distinct-counted once)
+      (2L, "x y z w v")).toDF("id", "text")
+    val eval = Seq((100L, "a b c q r")).toDF("id", "text")
+    val r = Contamination.overlapReport(corpus, eval, "id", "text", n = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(1L -> 1L)) // only the 'a b c' 3-gram is shared; doc 2 absent
+  }
+
+  test("redactPii scrubs emails, phones, IPs; counts match") {
+    val t = "mail bob.smith@corp.example.org or call 555-0142 from 10.0.0.1 now"
+    val row = Seq(t).toDF("text").select(
+      Governance.redactPii(col("text")).as("r"),
+      Governance.piiHits(col("text"), Governance.EmailRegex).as("e"),
+      Governance.piiHits(col("text"), Governance.PhoneRegex).as("p"),
+      Governance.piiHits(col("text"), Governance.Ipv4Regex).as("i")).collect().head
+    assert(row.getAs[String]("r") == "mail <EMAIL> or call <PHONE> from <IP> now")
+    assert(row.getAs[Int]("e") == 1 && row.getAs[Int]("p") == 1 && row.getAs[Int]("i") == 1)
+  }
+
+  test("phone regex does not swallow year ranges") {
+    val hits = Seq("seasons 2020-2024 were busy").toDF("text")
+      .select(Governance.piiHits(col("text"), Governance.PhoneRegex).as("p"))
+      .collect().head.getAs[Int]("p")
+    assert(hits == 0)
+  }
+
+  test("hash sampling is deterministic, stratified, and salt-sensitive") {
+    val df = (1L to 2000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    def kept(salt: String) = df.filter(Governance.stratifiedKeep(
+      col("doc_id"), col("lang"), Seq("en" -> 50, "de" -> 10), 0, salt))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val a = kept("s1"); val b = kept("s1"); val c = kept("s2")
+    assert(a == b)                    // reproducible
+    assert(a != c)                    // independent draw under a new salt
+    val en = a.count(_._2 == "en"); val de = a.count(_._2 == "de")
+    assert(math.abs(en - 500) < 100 && math.abs(de - 100) < 50) // ~50% / ~10%
+  }
+
+  test("chunkDedup flags repeated 10-token chunks, first doc wins") {
+    val ten = (1 to 10).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$ten unique1 u2 u3"), // 2 chunks: ten + short tail
+      (2L, s"$ten other tail here"), // chunk 1 duplicates doc 1's
+      (3L, "all fresh words only")).toDF("doc_id", "text")
+    val r = Dedup.chunkDedup(docs, "doc_id", "text", w = 10)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r(1L) == ((2L, 0L)))
+    assert(r(2L) == ((2L, 1L)))
+    assert(r(3L) == ((1L, 0L)))
+  }
+
+  test("profile counts nulls/distincts and canonicalizes min/max in one scan") {
+    val df = Seq[(java.lang.Long, String)]((1L, "a"), (2L, "b"), (null, "b"))
+      .toDF("k", "s")
+    val rows = Profile.profile(df,
+      Seq(Profile.ColSpec("k", "long"), Profile.ColSpec("s", "string")))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k = rows("k"); val s = rows("s")
+    assert(k.getLong(1) == 3 && k.getLong(2) == 1 && k.getLong(3) == 2)
+    assert(k.getString(4) == "1" && k.getString(5) == "2")
+    assert(s.getLong(2) == 0 && s.getLong(3) == 2)
+    assert(s.getString(4) == "a" && s.getString(5) == "b")
+  }
+}
