@@ -232,6 +232,21 @@ trait CAggregator[B] extends Serializable {
       scala.reflect.ClassTag.Any.asInstanceOf[scala.reflect.ClassTag[B]])
 }
 
+/** Adapter running a [[CAggregator]] under the Buffer group-runner — the
+  * trapped-aggregation path (see `GroupByPipe.everyAgg(agg, trap)`): folds
+  * the group through start/aggregate/complete sequentially so a throw can
+  * divert the whole group to the trap. `merge` is unused here (single
+  * sequential fold per group). */
+final class AggAsBuffer(agg: CAggregator[_]) extends CBuffer {
+  private val a = agg.asInstanceOf[CAggregator[Any]]
+  def resultFields: CFields = CFields.typed(a.resultField -> a.resultType)
+  def operate(key: Seq[Any], rows: Iterator[Row]): Iterator[Seq[Any]] = {
+    var b = a.start
+    rows.foreach(r => b = a.aggregate(b, a.argFields.map(f => r.getAs[Any](f))))
+    Iterator.single(Seq(a.complete(b)))
+  }
+}
+
 /** Per-group iterator → 0..N rows, values in secondary-sort order —
   * Cascading `Buffer` (reference `GroupByInGate.java:87-115` provides the
   * sorted group iterator). Lowered via the repartition + sortWithinPartitions

@@ -223,6 +223,19 @@ final case class GroupByPipe(inputs: Seq[Pipe], keys: Seq[String],
   def every(aggs: AggOp*): AggregatePipe = AggregatePipe(this, aggs)
   /** `Every` + custom start/aggregate/complete aggregator. */
   def everyAgg(agg: CAggregator[_]): CustomAggPipe = CustomAggPipe(this, agg)
+  /** Trapped `Every` + Aggregator: a group whose aggregator throws is
+    * diverted to the trap tap (one row: key values + error) instead of
+    * failing the job — the aggregation-level trap of the reference's
+    * platform suite. Runs through the Buffer group-runner because trap
+    * granularity is the WHOLE group, which rules out partial aggregation;
+    * the reference's Every aggregators are reduce-side always
+    * (`GroupByReducer`), so this matches its cost model, while the
+    * untrapped [[everyAgg]] keeps Spark's partial aggregation as a strict
+    * improvement. */
+  def everyAgg(agg: CAggregator[_], trap: Option[Tap]): Pipe = trap match {
+    case None => CustomAggPipe(this, agg)
+    case Some(_) => BufferPipe(this, new AggAsBuffer(agg), trap = trap)
+  }
   /** `Every` + Buffer: full group iterator in secondary-sort order. A trap
     * tap diverts groups whose buffer threw (reference traps cover the group
     * stream graphs too, not just Each). */

@@ -94,6 +94,19 @@ object Relational {
     def complete(b: (Double, Double)): Any = b._2 - b._1
   }
 
+  /** SpanAggregator that refuses '3-…' priority groups — the poison
+    * aggregator for the aggregation-trap gate (q88). The key rides in
+    * argFields so BOTH everyAgg paths (udaf and trapped buffer-runner)
+    * can see it. */
+  class PoisonSpanAggregator extends SpanAggregator {
+    override val argFields: Seq[String] = Seq("o_totalprice", "o_orderpriority")
+    override def aggregate(b: (Double, Double), args: Seq[Any]): (Double, Double) = {
+      if (String.valueOf(args(1)).startsWith("3"))
+        throw new IllegalStateException(s"poison priority ${args(1)}")
+      super.aggregate(b, args)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // GroupBy + Every aggregators (SURVEY §2.4)
     "q01_groupby_agg" -> ((s, dir) => Flow.toDF(
@@ -368,6 +381,23 @@ object Relational {
       P(dir, "orders")
         .groupBy("o_orderpriority")
         .everyAgg(new SpanAggregator))(s)),
+
+    // Aggregation-level trap: a group whose Every+Aggregator throws is
+    // diverted to the trap tap (key + error) while surviving groups keep
+    // their aggregate — gated on BOTH sides (ok rows + trapped keys)
+    "q88_agg_trap" -> ((s, dir) => {
+      val trapPath = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_trap_q88").toString
+      val main = Flow.toDFWithTraps(
+        P(dir, "orders")
+          .retain("o_orderpriority", "o_totalprice")
+          .groupBy("o_orderpriority")
+          .everyAgg(new PoisonSpanAggregator, trap = Some(ParquetTap(trapPath))))(s)
+      main.withColumn("side", lit("ok"))
+        .unionByName(s.read.parquet(trapPath)
+          .select(col("o_orderpriority"),
+            lit(null).cast("double").as("span"), lit("trap").as("side")))
+    }),
 
     // Seeded sample — no cross-engine oracle (RNG differs); rows-only check
     "q54_sample" -> ((s, dir) => Flow.toDF(
@@ -830,6 +860,15 @@ object Relational {
     "q53_customagg" ->
       """SELECT o_orderpriority, max(o_totalprice) - min(o_totalprice) AS span
         |FROM orders GROUP BY 1""".stripMargin,
+
+    "q88_agg_trap" ->
+      """SELECT o_orderpriority, max(o_totalprice) - min(o_totalprice) AS span,
+        |'ok' AS side
+        |FROM orders WHERE o_orderpriority NOT LIKE '3%' GROUP BY 1
+        |UNION ALL
+        |SELECT DISTINCT o_orderpriority, CAST(NULL AS DOUBLE) AS span,
+        |'trap' AS side
+        |FROM orders WHERE o_orderpriority LIKE '3%'""".stripMargin,
 
     "q63_bufferjoin_trap" ->
       "SELECT c_custkey FROM customer WHERE c_custkey % 100 = 0",

@@ -411,6 +411,36 @@ class LoweringSpec extends SparkSpec {
     assert(trapped.select("num").collect().forall(_.getInt(0) == 2))
   }
 
+  test("everyAgg trap diverts failing groups, keeps surviving aggregates") {
+    val dir = java.nio.file.Files.createTempDirectory("aggtrap").toString
+    val agg = new CAggregator[Long] {
+      val resultField = "total"
+      val resultType: org.apache.spark.sql.types.DataType = LongType
+      val argFields: Seq[String] = Seq("num")
+      override def bufferEncoder: org.apache.spark.sql.Encoder[Long] =
+        org.apache.spark.sql.Encoders.scalaLong
+      def start: Long = 0L
+      def aggregate(b: Long, args: Seq[Any]): Long = {
+        val n = args.head.asInstanceOf[Int]
+        if (n == 2) throw new IllegalStateException("poison group")
+        b + n
+      }
+      def merge(a: Long, b: Long): Long = a + b
+      def complete(b: Long): Any = b
+    }
+    val p = pipe(lhs).groupBy("ch")
+      .everyAgg(agg, trap = Some(graft.sources.ParquetTap(s"$dir/trap")))
+    val good = Flow.toDFWithTraps(p).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(good == Map("a" -> 1L, "d" -> 4L)) // groups b, bb trapped
+    val trapped = spark.read.parquet(s"$dir/trap")
+    assert(trapped.columns.toSeq == Seq("ch", "__trap_err"))
+    assert(trapped.select("ch").collect().map(_.getString(0)).toSet == Set("b", "bb"))
+    // the untrapped overload still lowers to the udaf path (partial agg)
+    val plain = pipe(lhs).groupBy("ch").everyAgg(agg, trap = None)
+    assert(plain.isInstanceOf[CustomAggPipe])
+  }
+
   test("trap is deferred: Flow.toDF alone writes no trap sink") {
     val dir = java.nio.file.Files.createTempDirectory("trapdefer").toString
     val p = pipe(lhs).each(
