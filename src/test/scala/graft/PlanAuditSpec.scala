@@ -68,6 +68,40 @@ class PlanAuditSpec extends SparkSpec {
     assert(!readSchema.contains("event_type"))
   }
 
+  test("q81: bm25 stats row broadcasts; scoring pass has no shuffle before the top-k") {
+    val plan = formatted("q81_bm25")
+    // the 1-row stats relation joins via broadcast (nested-loop on a
+    // true cross), never a shuffled join
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"))
+    assert(!plan.contains("SortMergeJoin"))
+    // global ordered limit gathers k rows — no full global sort
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("q82: eval-set n-grams broadcast into a semi join (corpus never shuffles pre-join)") {
+    val plan = formatted("q82_decontaminate")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("q84: hash sampling is a pure scan-filter — zero exchanges") {
+    val plan = formatted("q84_hash_sample")
+    assert(!plan.contains("Exchange"))
+    // the deterministic bucket predicate stays in the scan stage filter
+    assert(plan.contains("md5_prefix40") || plan.contains("Filter"))
+  }
+
+  test("q86: profiling avoids the multi-distinct Expand/sort plan") {
+    val plan = formatted("q86_profile")
+    // no Expand (the multi-distinct rewrite) and no sort-based aggregation:
+    // every distinct runs as its own two-phase HashAggregate
+    assert(!plan.contains("Expand"))
+    assert(!plan.contains("SortAggregate") || !plan.contains("Sort ("))
+    // each single-distinct scan is pruned to its one column
+    val schemas = plan.linesIterator.filter(_.startsWith("ReadSchema")).toSeq
+    assert(schemas.count(s => s.count(_ == ',') == 0) >= 4)
+  }
+
   test("q11-shaped cross broadcasts the tiny side (BroadcastNestedLoopJoin)") {
     val plan = formatted("q11_cross")
     assert(plan.contains("BroadcastNestedLoopJoin"))
