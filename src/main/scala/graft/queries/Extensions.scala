@@ -26,6 +26,7 @@ object Extensions {
   private val SampleRates = Seq("en" -> 50, "de" -> 25, "fr" -> 10)
   private val SampleDefaultPct = 5
   private val SampleSalt = "graft-r5"
+  private val PipeSalt = "graft-r5-pipe"
   private val ProfileSpecs = Seq(
     graft.functions.Profile.ColSpec("l_orderkey", "long"),
     graft.functions.Profile.ColSpec("l_quantity", "micros"),
@@ -463,6 +464,27 @@ object Extensions {
             graft.functions.Percentile.Spec("l_extendedprice", 0.9, "p90")))
     }),
 
+    // --- approx-percentile twin of q44 (rows-only: sketch internals differ
+    // across engines). percentile_approx is the bounded-memory positional
+    // sketch — the default choice at 100 TB when estimates suffice; the
+    // exact micro-bucket form (q44) is the auditable path. The query
+    // carries its own invariant, q42-style: the estimate must land within
+    // 1% of the exact interpolated percentile computed in the SAME query
+    // (accuracy=10000 is far tighter than that); EntrySpec asserts it.
+    "q89_approx_percentile" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val exact = graft.functions.Percentile.microPercentiles(
+        li, Seq("l_returnflag"),
+        Seq(graft.functions.Percentile.Spec("l_extendedprice", 0.9, "p90_exact")))
+      li.groupBy(col("l_returnflag"))
+        .agg(percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000))
+          .as("p90_approx"))
+        .join(exact, "l_returnflag")
+        .withColumn("within_tol",
+          abs(col("p90_approx") - col("p90_exact")) <=
+            lit(0.01) * abs(col("p90_exact")))
+    }),
+
     // --- JSON property extraction (events.props) ---------------------------
     "q45_json_props" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -590,6 +612,29 @@ object Extensions {
         cume_dist().over(w).as("cume"))
     }),
 
+    // --- end-to-end curation pipeline: the composition story — quality
+    // filter → language filter → exact dedup (first-occurrence wins) →
+    // reproducible 50% hash sample, all deterministic, gated as one
+    // query. One corpus scan feeds filter+enrich (pure Columns); dedup is
+    // one uniform-key shuffle; sampling is a scan-stage predicate. This is
+    // the shape of a production 100 TB curation job.
+    "q90_curation_pipeline" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val enriched = d.select(col("doc_id"),
+        TA.qualityScore(col("text")).as("quality"),
+        TA.langId(col("text")).as("pred_lang"),
+        Dedup.contentHash(col("text")).as("ch"))
+      val filtered = enriched
+        .filter(col("quality") >= 40 && col("pred_lang") === "en")
+      // duplicate texts share one hash AND one quality value, so
+      // max(quality) is exact (not a tie-break)
+      val kept = filtered.groupBy(col("ch"))
+        .agg(min(col("doc_id")).as("doc_id"), max(col("quality")).as("quality"))
+      kept.filter(
+          graft.functions.Governance.hashBucket(col("doc_id"), PipeSalt) < 50)
+        .select(col("doc_id"), col("quality"))
+    }),
+
     // --- multimodal plumbing ----------------------------------------------
     "q30_multimodal_meta" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
@@ -603,6 +648,24 @@ object Extensions {
   )
 
   // ---- oracle SQL ---------------------------------------------------------
+  /** DuckDB spelling of TA.langId (shared by q21 and the q90 pipeline). */
+  private lazy val dLangCase =
+    s"""CASE
+       |    WHEN ${dStopHits(TA.EnStop)} > 0 AND ${dStopHits(TA.EnStop)} >= greatest(${dStopHits(TA.DeStop)}, ${dStopHits(TA.FrStop)}, ${dStopHits(TA.EsStop)}) THEN 'en'
+       |    WHEN ${dStopHits(TA.DeStop)} > 0 AND ${dStopHits(TA.DeStop)} >= greatest(${dStopHits(TA.FrStop)}, ${dStopHits(TA.EsStop)}) THEN 'de'
+       |    WHEN ${dStopHits(TA.FrStop)} > 0 AND ${dStopHits(TA.FrStop)} >= ${dStopHits(TA.EsStop)} THEN 'fr'
+       |    WHEN ${dStopHits(TA.EsStop)} > 0 THEN 'es'
+       |    ELSE 'unknown' END""".stripMargin
+
+  /** DuckDB spelling of TA.qualityScore (shared by q22 and q90). */
+  private lazy val dQualityExpr =
+    s"""CAST(greatest(
+       |  (CASE WHEN length(text) BETWEEN 100 AND 2000 THEN 40
+       |        WHEN length(text) BETWEEN 20 AND 99 THEN 20 ELSE 0 END)
+       |  + CAST(least(${dStopHits(TA.EnStop)} * 5, 30) AS INTEGER)
+       |  + (CASE WHEN len($dToks) >= 10 THEN 30 WHEN len($dToks) >= 3 THEN 15 ELSE 0 END)
+       |  - CAST(least(floor(len(regexp_extract_all(text, '[.,!?;:]')) * 100 / greatest(length(text), 1)), 20) AS INTEGER)
+       |, 0) AS INTEGER)""".stripMargin
   private val minhashSigCols: String = (0 until 16).map { i =>
     val a = Dedup.aCoef(i); val b = Dedup.bCoef(i)
     s"list_min(list_transform(tl, t -> (${dTokHash("t")} % ${Dedup.P} * $a + $b) % ${Dedup.P})) AS m$i"
@@ -657,24 +720,12 @@ object Extensions {
 
     "q21_langid" ->
       s"""SELECT lang, pred_lang, count(*) AS n FROM (
-         |  SELECT lang,
-         |  CASE
-         |    WHEN ${dStopHits(TA.EnStop)} > 0 AND ${dStopHits(TA.EnStop)} >= greatest(${dStopHits(TA.DeStop)}, ${dStopHits(TA.FrStop)}, ${dStopHits(TA.EsStop)}) THEN 'en'
-         |    WHEN ${dStopHits(TA.DeStop)} > 0 AND ${dStopHits(TA.DeStop)} >= greatest(${dStopHits(TA.FrStop)}, ${dStopHits(TA.EsStop)}) THEN 'de'
-         |    WHEN ${dStopHits(TA.FrStop)} > 0 AND ${dStopHits(TA.FrStop)} >= ${dStopHits(TA.EsStop)} THEN 'fr'
-         |    WHEN ${dStopHits(TA.EsStop)} > 0 THEN 'es'
-         |    ELSE 'unknown' END AS pred_lang
+         |  SELECT lang, $dLangCase AS pred_lang
          |  FROM documents
          |) GROUP BY 1, 2""".stripMargin,
 
     "q22_quality" ->
-      s"""SELECT doc_id, CAST(greatest(
-         |  (CASE WHEN length(text) BETWEEN 100 AND 2000 THEN 40
-         |        WHEN length(text) BETWEEN 20 AND 99 THEN 20 ELSE 0 END)
-         |  + CAST(least(${dStopHits(TA.EnStop)} * 5, 30) AS INTEGER)
-         |  + (CASE WHEN len($dToks) >= 10 THEN 30 WHEN len($dToks) >= 3 THEN 15 ELSE 0 END)
-         |  - CAST(least(floor(len(regexp_extract_all(text, '[.,!?;:]')) * 100 / greatest(length(text), 1)), 20) AS INTEGER)
-         |, 0) AS INTEGER) AS quality
+      s"""SELECT doc_id, $dQualityExpr AS quality
          |FROM documents""".stripMargin,
 
     "q23_fingerprint" ->
@@ -1105,6 +1156,21 @@ object Extensions {
         |cume_dist() OVER w AS cume
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+
+    "q90_curation_pipeline" -> {
+      val bucket = graft.functions.Governance.oracleHashBucket("doc_id", PipeSalt)
+      s"""WITH enriched AS (
+         |  SELECT doc_id,
+         |  $dQualityExpr AS quality,
+         |  $dLangCase AS pred_lang,
+         |  md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS ch
+         |  FROM documents),
+         |kept AS (
+         |  SELECT ch, min(doc_id) AS doc_id, max(quality) AS quality
+         |  FROM enriched WHERE quality >= 40 AND pred_lang = 'en'
+         |  GROUP BY 1)
+         |SELECT doc_id, quality FROM kept WHERE $bucket < 50""".stripMargin
+    },
 
     "q30_multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,

@@ -10,13 +10,24 @@ class EntrySpec extends SparkSpec {
   }
   test("every query has either oracle SQL or is explicitly rows-only") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // intentionally rows-only: HLL approximation (engines differ) and the
-    // seeded sample (RNG sequences differ across engines)
-    assert(missing == Set("q42_approx_distinct", "q54_sample"))
+    // intentionally rows-only: HLL approximation (engines differ), the
+    // seeded sample (RNG sequences differ across engines), and the
+    // approx-percentile sketch (positional sketch internals differ);
+    // q42/q89 carry in-query tolerance invariants asserted below
+    assert(missing == Set("q42_approx_distinct", "q54_sample",
+      "q89_approx_percentile"))
   }
   test("oracle map has no orphan keys") {
     assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
   }
+  test("q89 rows-only whitelist carries its invariant: approx percentile within 1% of exact") {
+    val rows = SparkEntry.queries("q89_approx_percentile")(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("within_tol")),
+      rows.map(r => s"${r.get(0)}: approx=${r.getAs[Double]("p90_approx")} " +
+        s"exact=${r.getAs[Double]("p90_exact")}").mkString("; "))
+  }
+
   test("q42 rows-only whitelist carries its in-query invariant: HLL within 10% of exact") {
     val rows = SparkEntry.queries("q42_approx_distinct")(spark, sf()).collect()
     assert(rows.nonEmpty)
