@@ -102,6 +102,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(schemas.count(s => s.count(_ == ',') == 0) >= 4)
   }
 
+  test("q85: chunk dedup is the linear hash-keyed form (agg + equi-join, no product)") {
+    val plan = formatted("q85_chunk_dedup")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
+    assert(plan.contains("HashAggregate"))
+    // keeper join is equi-keyed on the chunk hash
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"))
+  }
+
+  test("q90: curation pipeline is one corpus scan + single dedup exchange pre-sample") {
+    val plan = formatted("q90_curation_pipeline")
+    // quality/langid filters evaluate in the scan stage (no pre-filter
+    // exchange); dedup is the only data-bearing exchange; the hash-sample
+    // predicate needs no shuffle at all
+    assert("Exchange \\(\\d+\\)".r.findAllMatchIn(plan).size == 1)
+    assert("Scan parquet".r.findAllMatchIn(plan).size == 2) // tree + details
+    assert(plan.contains("HashAggregate"))
+  }
+
   test("q11-shaped cross broadcasts the tiny side (BroadcastNestedLoopJoin)") {
     val plan = formatted("q11_cross")
     assert(plan.contains("BroadcastNestedLoopJoin"))

@@ -89,6 +89,47 @@ class SkewAndHashSpec extends SparkSpec {
     }
   }
 
+  test("runtime bloom filter prunes the shuffle probe side of a selective join") {
+    // The third leg of the skew/scale toolkit beside AQE skew-split and
+    // saltedJoin: when one join side carries a selective filter, Spark can
+    // inject a bloom-filter semi-reduction on the OTHER side's scan, so
+    // the 100 TB probe relation drops non-matching rows BEFORE the
+    // shuffle. Size thresholds (creation ≤10 MB build, probe scan ≥10 GB)
+    // gate it in production; the test lowers them to demonstrate the
+    // mechanism at local scale.
+    val keys = Seq("spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    val dir = java.nio.file.Files.createTempDirectory("bloomrf").toString
+    try {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+      // file-based relations: the injection rewrites the probe-side SCAN,
+      // so both sides must be real sources (not LocalRelations)
+      (1L to 50000L).map(i => (i, s"p$i")).toDF("fk", "payload")
+        .write.mode("overwrite").parquet(s"$dir/fact")
+      (1L to 5000L).map(i => (i, i % 97)).toDF("dk", "attr")
+        .write.mode("overwrite").parquet(s"$dir/dim")
+      val fact = spark.read.parquet(s"$dir/fact")
+      val dim = spark.read.parquet(s"$dir/dim").filter(col("attr") === 0) // selective
+      val joined = fact.join(dim, col("fk") === col("dk"))
+      val n = joined.collect().length
+      assert(n == 5000 / 97) // multiples of 97 in 1..5000
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain") || plan.contains("bloom_filter"),
+        s"expected a runtime bloom filter on the probe scan in:\n$plan")
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("Md5Prefix40 equals the SQL hex formula on random strings") {
     val samples = scala.util.Random.alphanumeric.grouped(12).map(_.mkString)
       .take(200).toSeq ++ Seq("", "a", "日本語", "with space", "\ttab")
