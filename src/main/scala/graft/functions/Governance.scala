@@ -58,7 +58,29 @@ object Governance {
     hashBucket(key, salt) < rate
   }
 
+  /** Deterministic train/val/test assignment from the hash bucket:
+    * bucket < trainPct → "train", < trainPct+valPct → "val", else "test".
+    * The standard reproducible dataset split — membership is a pure
+    * function of (salt, key), so re-runs, engine changes, and
+    * repartitioning cannot leak rows across splits. */
+  def splitAssign(key: Column, trainPct: Int, valPct: Int,
+                  salt: String): Column = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100)
+    val b = hashBucket(key, salt)
+    when(b < trainPct, "train")
+      .when(b < trainPct + valPct, "val")
+      .otherwise("test")
+  }
+
   /** DuckDB spelling of [[hashBucket]]. */
   def oracleHashBucket(keyExpr: String, salt: String): String =
     s"CAST(concat('0x', substr(md5(concat('$salt', CAST($keyExpr AS VARCHAR))), 1, 10)) AS BIGINT) % 100"
+
+  /** DuckDB spelling of [[splitAssign]]. */
+  def oracleSplitAssign(keyExpr: String, trainPct: Int, valPct: Int,
+                        salt: String): String = {
+    val b = oracleHashBucket(keyExpr, salt)
+    s"CASE WHEN $b < $trainPct THEN 'train' " +
+      s"WHEN $b < ${trainPct + valPct} THEN 'val' ELSE 'test' END"
+  }
 }

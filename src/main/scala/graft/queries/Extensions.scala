@@ -27,6 +27,7 @@ object Extensions {
   private val SampleDefaultPct = 5
   private val SampleSalt = "graft-r5"
   private val PipeSalt = "graft-r5-pipe"
+  private val SplitSalt = "graft-r5-split"
   private val ProfileSpecs = Seq(
     graft.functions.Profile.ColSpec("l_orderkey", "long"),
     graft.functions.Profile.ColSpec("l_quantity", "micros"),
@@ -635,6 +636,28 @@ object Extensions {
         .select(col("doc_id"), col("quality"))
     }),
 
+    // --- deterministic train/val/test split (88/7/5) summarized per
+    // source: reproducible dataset partitioning — membership is a pure
+    // function of (salt, doc_id), so no engine/run/partitioning can leak
+    // rows across splits. Zero-shuffle assignment + one count aggregate.
+    "q91_dataset_split" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("source"),
+          graft.functions.Governance.splitAssign(
+            col("doc_id"), 88, 7, SplitSalt).as("split"))
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n"))),
+
+    // --- token-count histogram (corpus length profile): floor-bucketed
+    // widths of 10 tokens — the standard pre-training length audit. One
+    // scan, partial+final count aggregate on ~10 bucket keys.
+    "q92_length_histogram" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select((floor(TA.tokenCount(col("text")).cast("long") / 10) * 10)
+          .cast("bigint").as("tok_bucket"))
+        .groupBy(col("tok_bucket"))
+        .agg(count(lit(1)).as("n"))),
+
     // --- multimodal plumbing ----------------------------------------------
     "q30_multimodal_meta" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
@@ -1171,6 +1194,18 @@ object Extensions {
          |  GROUP BY 1)
          |SELECT doc_id, quality FROM kept WHERE $bucket < 50""".stripMargin
     },
+
+    "q91_dataset_split" -> {
+      val assign = graft.functions.Governance.oracleSplitAssign(
+        "doc_id", 88, 7, SplitSalt)
+      s"""SELECT source, $assign AS split, count(*) AS n
+         |FROM documents GROUP BY 1, 2""".stripMargin
+    },
+
+    "q92_length_histogram" ->
+      s"""SELECT CAST(floor(len($dToks) / 10) * 10 AS BIGINT) AS tok_bucket,
+         |count(*) AS n
+         |FROM documents GROUP BY 1""".stripMargin,
 
     "q30_multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,

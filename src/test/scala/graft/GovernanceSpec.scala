@@ -69,6 +69,20 @@ class GovernanceSpec extends SparkSpec {
     assert(math.abs(en - 500) < 100 && math.abs(de - 100) < 50) // ~50% / ~10%
   }
 
+  test("splitAssign partitions every row into exactly one split, ~88/7/5") {
+    val df = (1L to 5000L).toDF("id")
+    val counts = df.select(Governance.splitAssign(col("id"), 88, 7, "s").as("sp"))
+      .groupBy("sp").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts.values.sum == 5000L)
+    assert(math.abs(counts("train") - 4400) < 200)
+    assert(math.abs(counts("val") - 350) < 100)
+    // same salt → identical assignment (re-run safety)
+    val again = df.select(Governance.splitAssign(col("id"), 88, 7, "s").as("sp"))
+      .groupBy("sp").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == counts)
+  }
+
   test("chunkDedup flags repeated 10-token chunks, first doc wins") {
     val ten = (1 to 10).map(i => s"t$i").mkString(" ")
     val docs = Seq(
