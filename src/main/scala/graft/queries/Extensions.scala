@@ -63,6 +63,26 @@ object Extensions {
     (s"$root/in", s"$root/out", s"$root/chk")
   }
 
+  /** Stage `slices` as one parquet file each under `in`, mtimes pinned to a
+    * fixed strictly-increasing sequence. The file source processes files in
+    * MODIFICATION-TIME order with arbitrary tie-breaks; sequential writes
+    * usually produce increasing mtimes but fs timestamp granularity can
+    * tie, and a tie that reorders a later slice before an earlier one
+    * breaks the intended batch order. With `maxFilesPerTrigger=1` each
+    * slice then becomes exactly one micro-batch, in staging order. */
+  private def stageSliced(in: String, slices: Seq[DataFrame]): Unit = {
+    val seen = scala.collection.mutable.Set.empty[String]
+    slices.zipWithIndex.foreach { case (df, i) =>
+      df.coalesce(1).write.mode("append").parquet(in)
+      new java.io.File(in).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !seen(f.getName))
+        .foreach { f =>
+          seen += f.getName
+          f.setLastModified(1600000000000L + i * 60000L)
+        }
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- text analysis -----------------------------------------------------
     "q20_token_stats" -> ((s, dir) => {
@@ -214,22 +234,38 @@ object Extensions {
     // --- the STREAMING form of q31 under the oracle gate: an end-to-end
     // Structured Streaming run (file source → watermarked tumbling-window
     // agg → Trigger.AvailableNow → parquet sink), result = sink read-back.
-    // Append mode only emits windows the watermark has closed, so a
-    // far-future '__flush' sentinel event is staged with the input: once
-    // processed it advances the watermark past every real window (the
-    // engine runs a final flush batch), while the sentinel's own window
-    // stays unemitted in state — the sink holds exactly the real windows,
-    // which must hash-match the same DuckDB SQL as batch q31.
+    // MULTI-BATCH, like q67: the input is staged as three time-sliced
+    // files plus a sentinel file and the source runs maxFilesPerTrigger=1,
+    // so windows spanning a slice boundary accumulate across micro-batches
+    // (window-aggregation state carries batch to batch). Time-slicing
+    // keeps event time monotone across batches; the 2-hour watermark delay
+    // exceeds the 1-hour window length, so a window cut by a slice
+    // boundary is still open (watermark = slice-max − 2 h) when its
+    // remaining events arrive in the next batch. Append mode only emits
+    // windows the watermark has closed, so the far-future '__flush'
+    // sentinel (its own final batch) closes every real window while its
+    // own window stays unemitted in state — the sink holds exactly the
+    // real windows, which must hash-match the same DuckDB SQL as batch
+    // q31.
     "q65_stream_sink" -> ((s, dir) => {
       val (in, out, chk) = freshStreamDirs("graft_q65_stream")
       val ev = Tables.events(s, dir)
+      val Array(tMin, tMax) = ev.agg(min(col("ts")), max(col("ts"))).head()
+        .toSeq.map(_.asInstanceOf[java.sql.Timestamp].getTime).toArray
+      val (t1, t2) = (tMin + (tMax - tMin) / 3, tMin + 2 * (tMax - tMin) / 3)
+      def ms(c: org.apache.spark.sql.Column) = unix_millis(c)
       val sentinel = ev.limit(1)
         .withColumn("ts", expr("timestamp'2100-01-01 00:00:00'"))
         .withColumn("event_type", lit("__flush"))
-      ev.unionByName(sentinel).write.parquet(in)
+      stageSliced(in, Seq(
+        ev.filter(ms(col("ts")) < t1),
+        ev.filter(ms(col("ts")) >= t1 && ms(col("ts")) < t2),
+        ev.filter(ms(col("ts")) >= t2),
+        sentinel))
       withStreamPartitions(s, 8) {
         val stream = graft.streaming.StreamOps.windowedCounts(
-          graft.streaming.StreamOps.readStream(s, in, ev.schema),
+          graft.streaming.StreamOps.readStream(s, in, ev.schema,
+            Map("maxFilesPerTrigger" -> "1")),
           "ts", "event_type", "1 hour", "2 hours")
         val q = stream.writeStream
           .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
@@ -272,25 +308,10 @@ object Extensions {
         ev.select(col("user_id")).distinct()
           .withColumn("ts", expr("timestamp'2100-01-01 00:00:00'"))
           .withColumn("value", lit(0.0)))
-      // sequential writes → strictly increasing file mtimes, which is the
-      // file source's processing order; one file per slice = one batch
-      // The file source processes files in MODIFICATION-TIME order with
-      // arbitrary tie-breaks; sequential writes usually produce increasing
-      // mtimes, but that is not guaranteed (fs timestamp granularity), and
-      // a tie that reorders the sentinel file before a slice would turn
-      // that slice's events into spurious late singletons. Enforce the
-      // staging order explicitly: pin each slice's data files to a fixed,
-      // strictly increasing mtime.
-      val seen = scala.collection.mutable.Set.empty[String]
-      slices.zipWithIndex.foreach { case (df, i) =>
-        df.coalesce(1).write.mode("append").parquet(in)
-        val dir = new java.io.File(in)
-        dir.listFiles().filter(f => f.getName.endsWith(".parquet") && !seen(f.getName))
-          .foreach { f =>
-            seen += f.getName
-            f.setLastModified(1600000000000L + i * 60000L)
-          }
-      }
+      // one file per slice = one micro-batch, order pinned by stageSliced
+      // (a tie that reordered the sentinel before a slice would turn that
+      // slice's events into spurious late singletons)
+      stageSliced(in, slices)
       // 4 micro-batches × per-partition state commits: size partitions to
       // the state, not the batch-shuffle default (see withStreamPartitions)
       withStreamPartitions(s, 8) {
