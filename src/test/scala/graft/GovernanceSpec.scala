@@ -96,6 +96,23 @@ class GovernanceSpec extends SparkSpec {
     assert(r(3L) == ((1L, 0L)))
   }
 
+  test("chunkDedup conserves chunk counts on a random corpus") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val docs = (1L to 40L).map { i =>
+      val n = 1 + rnd.nextInt(35)
+      (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val expectedChunks = docs.map { case (_, t) =>
+      (t.split(" ").length - 1) / 10 + 1
+    }.sum
+    val r = Dedup.chunkDedup(docs.toDF("doc_id", "text"), "doc_id", "text", w = 10)
+      .collect()
+    assert(r.map(_.getLong(1)).sum == expectedChunks) // chunks conserved
+    assert(r.forall(x => x.getLong(2) <= x.getLong(1))) // dups <= chunks
+    assert(r.length == 40) // every doc reported
+  }
+
   test("profile counts nulls/distincts and canonicalizes min/max in one scan") {
     val df = Seq[(java.lang.Long, String)]((1L, "a"), (2L, "b"), (null, "b"))
       .toDF("k", "s")

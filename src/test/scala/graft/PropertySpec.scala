@@ -61,4 +61,40 @@ class PropertySpec extends AnyFunSuite {
       assert(BigInt(P - 1) * aCoef(i) + bCoef(i) <= BigInt(Long.MaxValue))
     }
   }
+
+  test("PII redaction is idempotent: placeholders never re-match any pattern") {
+    // Spark's regexp_replace uses java.util.regex — the same engine this
+    // property exercises, so the pattern-level property transfers exactly.
+    import graft.functions.Governance._
+    def redact(s: String): String = s
+      .replaceAll(EmailRegex, "<EMAIL>")
+      .replaceAll(PhoneRegex, "<PHONE>")
+      .replaceAll(Ipv4Regex, "<IP>")
+    val piiGen = Gen.oneOf(
+      "a.user@mail.example.com", "x@y.io", "call 555-0142",
+      "415-555-0142", "10.0.0.1", "192.168.255.3")
+    val docGen = for {
+      words <- Gen.listOfN(8, Gen.alphaStr)
+      pii <- Gen.listOfN(2, piiGen)
+    } yield scala.util.Random.shuffle(words ++ pii).mkString(" ")
+    for (doc <- samples(docGen, 300)) {
+      val once = redact(doc)
+      assert(redact(once) == once, s"not idempotent on: $doc")
+      assert(!once.contains("@") || doc.contains("@@"), s"email survived: $once")
+    }
+    for (ph <- Seq("<EMAIL>", "<PHONE>", "<IP>"))
+      assert(redact(ph) == ph)
+  }
+
+  test("BM25 constants are stored literals, not runtime sums (cross-engine drift trap)") {
+    import graft.functions.Relevance._
+    assert(K1Plus1 == "2.2".toDouble)
+    assert(K1 == "1.2".toDouble && B == "0.75".toDouble &&
+      OneMinusB == "0.25".toDouble)
+    // the trap this guards: 1.2 + 1.0 in binary64 does NOT round to the
+    // same double as parsing "2.2" — if that ever becomes equal on some
+    // platform the literal is still correct, but the reverse would
+    // silently diverge the Spark plan from the DuckDB oracle
+    assert(OneMinusB == 1.0 - B) // exact: 0.75 and 0.25 are dyadic
+  }
 }
