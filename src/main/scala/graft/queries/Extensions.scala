@@ -249,7 +249,11 @@ object Extensions {
     // q31.
     "q65_stream_sink" -> ((s, dir) => {
       val (in, out, chk) = freshStreamDirs("graft_q65_stream")
+      // stage only the columns the windowed aggregate reads — events.props
+      // is a fat JSON string that would otherwise dominate the staging
+      // write + 4 per-batch reads
       val ev = Tables.events(s, dir)
+        .select(col("ts"), col("event_type"), col("value"))
       val Array(tMin, tMax) = ev.agg(min(col("ts")), max(col("ts"))).head()
         .toSeq.map(_.asInstanceOf[java.sql.Timestamp].getTime).toArray
       val (t1, t2) = (tMin + (tMax - tMin) / 3, tMin + 2 * (tMax - tMin) / 3)
