@@ -51,6 +51,15 @@ object GraftExtensions {
         MinHashAgg(exprs.head, intLit(exprs(1), "minhash_agg k"))
           .toAggregateExpression())
 
+  val topkAggDesc: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) =
+    (FunctionIdentifier("topk_agg"),
+      info(classOf[TopKAgg], "topk_agg",
+        "_FUNC_(value, k) - k largest values per group, sorted desc (aggregate)"),
+      (exprs: Seq[Expression]) =>
+        TopKAgg(exprs.head, intLit(exprs(1), "topk_agg k"))
+          .toAggregateExpression())
+
   val simhash32Desc: (FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression) =
     (FunctionIdentifier("simhash32"),
@@ -96,7 +105,7 @@ object GraftExtensions {
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(md5Prefix40Desc, minhashSigDesc, minhashAggDesc, simhash32Desc,
       rollingFingerprintDesc, shinglesDesc, cosineSimDesc, exactSumMicrosDesc,
-      topTokenMassDesc)
+      topTokenMassDesc, topkAggDesc)
 
   /** Register on an already-built session (tests, REPL). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

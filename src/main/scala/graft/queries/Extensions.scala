@@ -683,6 +683,20 @@ object Extensions {
         .groupBy(col("tok_bucket"))
         .agg(count(lit(1)).as("n"))),
 
+    // --- bounded-heap per-group top-k (topk_agg kernel): the aggregation
+    // form of top-k — partial heaps merge map-side, the shuffle moves
+    // O(groups × k) values instead of all rows, nothing is sorted but the
+    // final k per group (the window form sorts every group's full row
+    // set). Values-only output keeps ties oracle-exact vs row_number.
+    "q93_topk_agg" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      li.groupBy(col("l_returnflag"))
+        .agg(graft.catalyst.TopKAgg(col("l_extendedprice"), 5).as("topv"))
+        .select(col("l_returnflag"), posexplode(col("topv")).as(Seq("rk0", "price")))
+        .select(col("l_returnflag"), (col("rk0") + 1).cast("int").as("rk"),
+          col("price"))
+    }),
+
     // --- multimodal plumbing ----------------------------------------------
     "q30_multimodal_meta" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
@@ -1231,6 +1245,13 @@ object Extensions {
       s"""SELECT CAST(floor(len($dToks) / 10) * 10 AS BIGINT) AS tok_bucket,
          |count(*) AS n
          |FROM documents GROUP BY 1""".stripMargin,
+
+    "q93_topk_agg" ->
+      """SELECT l_returnflag, CAST(rk AS INTEGER) AS rk, price FROM (
+        |  SELECT l_returnflag, l_extendedprice AS price,
+        |  row_number() OVER (PARTITION BY l_returnflag
+        |    ORDER BY l_extendedprice DESC) AS rk
+        |  FROM lineitem) WHERE rk <= 5""".stripMargin,
 
     "q30_multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,

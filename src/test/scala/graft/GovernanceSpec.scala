@@ -113,6 +113,30 @@ class GovernanceSpec extends SparkSpec {
     assert(r.length == 40) // every doc reported
   }
 
+  test("TopKAgg equals the window top-k on random data, under any partitioning") {
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 3000).map(i => (s"g${i % 5}", rnd.nextInt(400).toDouble))
+      .toDF("g", "v")
+    def viaAgg(d: org.apache.spark.sql.DataFrame) =
+      d.groupBy("g").agg(graft.catalyst.TopKAgg(col("v"), 7).as("t"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Double](1).toList).toMap
+    val expected = df.collect().map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).map { case (g, vs) =>
+        g -> vs.map(_._2).sorted(Ordering[Double].reverse).take(7).toList }
+    assert(viaAgg(df) == expected)
+    assert(viaAgg(df.repartition(13)) == expected) // merge path across partials
+    // fewer rows than k → all values, sorted desc
+    val small = Seq(("a", 2.0), ("a", 9.0)).toDF("g", "v")
+    assert(viaAgg(small) == Map("a" -> List(9.0, 2.0)))
+    // SQL registration
+    graft.catalyst.GraftExtensions.register(spark)
+    df.createOrReplaceTempView("topk_in")
+    val sqlTop = spark.sql(
+      "SELECT g, topk_agg(v, 7) AS t FROM topk_in GROUP BY g")
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1).toList).toMap
+    assert(sqlTop == expected)
+  }
+
   test("profile counts nulls/distincts and canonicalizes min/max in one scan") {
     val df = Seq[(java.lang.Long, String)]((1L, "a"), (2L, "b"), (null, "b"))
       .toDF("k", "s")

@@ -121,6 +121,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"))
   }
 
+  test("q93: top-k runs as a partial+final aggregate, never a window sort") {
+    val plan = formatted("q93_topk_agg")
+    assert(!plan.contains("Window"))
+    // partial heaps merge map-side: the exchange carries O(groups x k)
+    // buffers, and ObjectHashAggregate (TypedImperativeAggregate host)
+    // appears in both phases
+    assert(plan.contains("ObjectHashAggregate"))
+    assert("Exchange \\(\\d+\\)".r.findAllMatchIn(plan).size == 1)
+  }
+
   test("q11-shaped cross broadcasts the tiny side (BroadcastNestedLoopJoin)") {
     val plan = formatted("q11_cross")
     assert(plan.contains("BroadcastNestedLoopJoin"))
