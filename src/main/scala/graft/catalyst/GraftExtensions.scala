@@ -102,10 +102,19 @@ object GraftExtensions {
         "_FUNC_(tokens) - most-frequent-token mass fraction x1e6 (floor)"),
       (exprs: Seq[Expression]) => TopTokenMass(exprs.head))
 
+  val misraGriesDesc: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) =
+    (FunctionIdentifier("misra_gries"),
+      info(classOf[MisraGriesAgg], "misra_gries",
+        "_FUNC_(item, k) - bounded-state frequent-items candidate sketch (aggregate)"),
+      (exprs: Seq[Expression]) =>
+        MisraGriesAgg(exprs.head, intLit(exprs(1), "misra_gries k"))
+          .toAggregateExpression())
+
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(md5Prefix40Desc, minhashSigDesc, minhashAggDesc, simhash32Desc,
       rollingFingerprintDesc, shinglesDesc, cosineSimDesc, exactSumMicrosDesc,
-      topTokenMassDesc, topkAggDesc)
+      topTokenMassDesc, topkAggDesc, misraGriesDesc)
 
   /** Register on an already-built session (tests, REPL). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

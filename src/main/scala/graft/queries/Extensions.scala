@@ -697,6 +697,90 @@ object Extensions {
           col("price"))
     }),
 
+    // --- SLIDING-window streaming under the gate: 2-hour windows sliding
+    // every hour (each event in exactly 2 window instances), run as a real
+    // multi-batch stream like q65 (3 time-sliced files + far-future
+    // sentinel, maxFilesPerTrigger=1 → 4 micro-batches with window state
+    // carried across batches). The oracle unrolls the window generator:
+    // CROSS JOIN k∈{0,1} offsets of the hour-floor. Exact micros sums keep
+    // the per-window values engine-stable.
+    "q96_stream_sliding" -> ((s, dir) => {
+      val (in, out, chk) = freshStreamDirs("graft_q96_stream")
+      val ev = Tables.events(s, dir)
+        .select(col("ts"), col("event_type"), col("value"))
+      val Array(tMin, tMax) = ev.agg(min(col("ts")), max(col("ts"))).head()
+        .toSeq.map(_.asInstanceOf[java.sql.Timestamp].getTime).toArray
+      val (t1, t2) = (tMin + (tMax - tMin) / 3, tMin + 2 * (tMax - tMin) / 3)
+      def ms(c: org.apache.spark.sql.Column) = unix_millis(c)
+      val sentinel = ev.limit(1)
+        .withColumn("ts", expr("timestamp'2100-01-01 00:00:00'"))
+        .withColumn("event_type", lit("__flush"))
+      stageSliced(in, Seq(
+        ev.filter(ms(col("ts")) < t1),
+        ev.filter(ms(col("ts")) >= t1 && ms(col("ts")) < t2),
+        ev.filter(ms(col("ts")) >= t2),
+        sentinel))
+      withStreamPartitions(s, 8) {
+        val stream = graft.streaming.StreamOps.slidingCounts(
+          graft.streaming.StreamOps.readStream(s, in, ev.schema,
+            Map("maxFilesPerTrigger" -> "1")),
+          "ts", "event_type", "2 hours", "1 hour", "4 hours")
+        val q = stream.writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+          .format("parquet").option("path", out)
+          .option("checkpointLocation", chk)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.read.parquet(out).select("w_start", "event_type", "n", "sum_value")
+    }),
+
+    // --- exact heavy hitters via a two-phase Misra–Gries plan: phase 1 is
+    // one corpus scan into a BOUNDED sketch (≤ k counters per partial
+    // buffer, merged map-side → the shuffle moves O(partitions × k) sketch
+    // entries, never the billions of distinct tokens an exact GROUP BY
+    // would repartition at 100 TB) plus the exact total count; phase 2
+    // exact-counts ONLY the ≤ k candidates (broadcast hash semi-join keeps
+    // the second scan shuffle at candidate-row volume). MG guarantees the
+    // candidates are a superset of every token with frequency > N/(k+1)
+    // (k=2000 here, threshold N/500), so the filtered exact counts are THE
+    // exact answer — deterministic even though the sketch's low-frequency
+    // survivors vary with merge order.
+    "q97_heavy_hitters" -> ((s, dir) => {
+      import s.implicits._
+      val toks = s.read.parquet(s"$dir/documents.parquet")
+        .select(explode(split(col("text"), " ")).as("tok"))
+      val row = toks.agg(
+        graft.catalyst.MisraGriesAgg(col("tok"), 2000).as("cands"),
+        count(lit(1)).as("n_total")).head()
+      val cands = row.getSeq[String](0)
+      val nTotal = row.getLong(1)
+      val candDf = cands.toDF("tok")
+      toks.join(broadcast(candDf), Seq("tok"), "inner")
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") * 500 > nTotal)
+    }),
+
+    // --- incremental corpus dedup: the arriving-batch-vs-existing-corpus
+    // shape of a continuously ingested training set. The "new batch" is a
+    // deterministic id slice; LEFT ANTI on content hash keeps only docs
+    // whose normalized text was never seen in the corpus. Both sides
+    // shuffle once on the uniform hash key — linear at any scale — and
+    // Spark's runtime bloom-filter rewrite (demonstrated in
+    // SkewAndHashSpec) pre-drops non-matching batch rows at the scan when
+    // the corpus side is selective.
+    "q98_incremental_dedup" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val batch = docs.filter(col("doc_id") % 10 === 7)
+        .select(col("doc_id"), Dedup.contentHash(col("text")).as("ch"))
+      val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+        .select(Dedup.contentHash(col("text")).as("ch"))
+      batch.join(corpus, Seq("ch"), "left_anti")
+        .select(col("doc_id"), col("ch").as("content_hash"))
+    }),
+
     // --- multimodal plumbing ----------------------------------------------
     "q30_multimodal_meta" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
@@ -1257,6 +1341,33 @@ object Extensions {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
         |sha256(text) AS digest,
         |CAST(concat('0x', substr(sha256(text), 1, 10)) AS BIGINT) AS stub_feature
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // the sliding-window generator unrolled: every event belongs to the
+    // k=0 (hour-floor) and k=1 (hour-floor − 1h) window instances
+    "q96_stream_sliding" ->
+      """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+        |    - k.k * INTERVAL '1 hour' AS w_start,
+        |event_type, count(*) AS n,
+        |CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+        |FROM events, (VALUES (0), (1)) AS k(k)
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q97_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |SELECT tok, count(*) AS n FROM toks
+        |GROUP BY tok
+        |HAVING count(*) * 500 > (SELECT count(*) FROM toks)""".stripMargin,
+
+    "q98_incremental_dedup" ->
+      """SELECT b.doc_id,
+        |md5(lower(regexp_replace(trim(b.text), '\s+', ' ', 'g'))) AS content_hash
+        |FROM documents b
+        |WHERE b.doc_id % 10 = 7 AND NOT EXISTS (
+        |  SELECT 1 FROM documents c
+        |  WHERE c.doc_id % 10 <> 7
+        |    AND md5(lower(regexp_replace(trim(c.text), '\s+', ' ', 'g')))
+        |      = md5(lower(regexp_replace(trim(b.text), '\s+', ' ', 'g'))))""".stripMargin
   )
 }

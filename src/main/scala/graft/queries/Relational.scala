@@ -705,7 +705,53 @@ object Relational {
         .groupBy("o_custkey")
         .every(Aggs.firstBy("o_orderkey", "ordval", "first_order"),
                Aggs.lastBy("o_orderkey", "ordval", "last_order"),
-               Aggs.count("n_orders")))(s))
+               Aggs.count("n_orders")))(s)),
+
+    // TPC-H Q3 shape through the DSL: shipping-priority top-10. The two
+    // fact tables meet in a shuffle coGroup on the order key; the filtered
+    // customer segment rides a broadcast hashJoin (a ~1/5 slice of a dim —
+    // broadcastable at any SF where customer fits a dim budget); filters
+    // sit upstream of both joins so the scans prune. orderBy+limit lowers
+    // to TakeOrderedAndProject — a per-partition top-10 heap + one 10-row
+    // gather, never a global sort.
+    "q94_tpch_q3" -> ((s, dir) => Flow.toDF(
+      P(dir, "lineitem")
+        .filterBy(SqlFilter("l_shipdate > timestamp '1998-06-01'"))
+        .coGroup(Seq("l_orderkey"),
+          P(dir, "orders")
+            .filterBy(SqlFilter("o_orderdate < timestamp '1998-06-01'")),
+          Seq("o_orderkey"))
+        .hashJoin(Seq("o_custkey"),
+          P(dir, "customer")
+            .filterBy(SqlFilter("c_mktsegment = 'BUILDING'")),
+          Seq("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .every(Aggs.agg("revenue", xsum("l_extendedprice * (1 - l_discount)")))
+        .orderBy("revenue" -> false, "l_orderkey" -> true)
+        .limit(10))(s)),
+
+    // TPC-H Q10 shape: top-20 customers by returned-item revenue over a
+    // half-year window. Unlike q06's all-broadcast chain, customer joins
+    // through the SHUFFLE path (coGroup) — at 100 TB the customer table is
+    // fact-sized and must repartition, only nation stays broadcast. The
+    // date filter prunes orders before its shuffle; revenue is the exact
+    // micros kernel so the DESC sort key is engine-stable.
+    "q95_tpch_q10" -> ((s, dir) => Flow.toDF(
+      P(dir, "lineitem")
+        .filterBy(SqlFilter("l_returnflag = 'R'"))
+        .coGroup(Seq("l_orderkey"),
+          P(dir, "orders").filterBy(SqlFilter(
+            "o_orderdate >= timestamp '1997-01-01' and o_orderdate < timestamp '1997-07-01'")),
+          Seq("o_orderkey"))
+        .coGroup(Seq("o_custkey"),
+          P(dir, "customer"), Seq("c_custkey"))
+        .hashJoin(Seq("c_nationkey"),
+          P(dir, "nation"), Seq("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .every(Aggs.agg("revenue", xsum("l_extendedprice * (1 - l_discount)")),
+               Aggs.count("n_items"))
+        .orderBy("revenue" -> false, "c_custkey" -> true)
+        .limit(20))(s))
   )
 
   val oracle: Map[String, String] = Map(
@@ -967,6 +1013,34 @@ object Relational {
         |min_by(o_orderkey, (epoch_ms(o_orderdate) // 86400000) * 1000000000000 + o_orderkey) AS first_order,
         |max_by(o_orderkey, (epoch_ms(o_orderdate) // 86400000) * 1000000000000 + o_orderkey) AS last_order,
         |count(*) AS n_orders
-        |FROM orders GROUP BY 1""".stripMargin
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q94_tpch_q3" ->
+      s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+         |${dsumExpr("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-06-01'
+         |  AND l_shipdate > TIMESTAMP '1998-06-01'
+         |GROUP BY 1, 2, 3
+         |ORDER BY revenue DESC, l_orderkey
+         |LIMIT 10""".stripMargin,
+
+    "q95_tpch_q10" ->
+      s"""SELECT c_custkey, c_name, n_name,
+         |${dsumExpr("l_extendedprice * (1 - l_discount)")} AS revenue,
+         |count(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+         |  AND o_orderdate < TIMESTAMP '1997-07-01'
+         |GROUP BY 1, 2, 3
+         |ORDER BY revenue DESC, c_custkey
+         |LIMIT 20""".stripMargin
   )
 }

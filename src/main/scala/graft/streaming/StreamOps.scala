@@ -43,6 +43,25 @@ object StreamOps {
       valueCol.toSeq.map(_ => col("sum_value")): _*)
   }
 
+  /** SLIDING event-time windows: each event lands in windowLen/slide
+    * overlapping windows (Spark's `window(ts, len, slide)` generator).
+    * Same watermark-bounded state as the tumbling form, ×(len/slide)
+    * window instances per key — the slide ratio is the state/throughput
+    * knob at scale (each input row is expanded len/slide times BEFORE the
+    * shuffle, so a 12× overlap means a 12× shuffle volume: keep the ratio
+    * small on a fat stream, or pre-aggregate to tumbling slide-sized
+    * panes and roll up). */
+  def slidingCounts(events: DataFrame, tsCol: String, keyCol: String,
+                    windowLen: String, slide: String,
+                    watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen, slide).as("w"), col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        graft.catalyst.ExactMicrosSum.sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("w_start"), col(keyCol), col("n"),
+        col("sum_value"))
+
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   /** State in MICROSECOND timestamps and exact decimal(·,6) micro sums, so
     * session output is batch-exact: timestamps keep parquet's micro

@@ -164,6 +164,60 @@ class PlanAuditSpec extends SparkSpec {
     assert("Scan parquet".r.findAllMatchIn(plan).size <= 2, "expected a single scan")
   }
 
+  /** Run `body` with auto-broadcast disabled: plans show their true
+    * at-scale shape (a 10 MB test file auto-broadcasting would mask a
+    * 100 TB shuffle), while EXPLICIT broadcast hints still apply. */
+  private def atScale[T](body: => T): T = {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try body finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("q94: facts shuffle-join, dims broadcast by hint, top-10 is a heap gather") {
+    atScale {
+      val plan = formatted("q94_tpch_q3")
+      // lineitem⋈orders must survive as a shuffle join at scale…
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
+      // …while the filtered customer slice broadcasts by explicit hint
+      assert(plan.contains("BroadcastHashJoin"))
+      // orderBy+limit lowers to a per-partition heap + k-row gather,
+      // never a global Sort of the aggregate output
+      assert(plan.contains("TakeOrderedAndProject"))
+      // the date filter reaches the lineitem scan
+      assert(plan.contains("GreaterThan(l_shipdate") ||
+        plan.contains("PushedFilters: [IsNotNull(l_shipdate)"))
+    }
+  }
+
+  test("q95: customer joins through the shuffle path, only nation broadcasts") {
+    atScale {
+      val plan = formatted("q95_tpch_q10")
+      // two fact-sized shuffle joins (orderkey, custkey)…
+      assert("SortMergeJoin|ShuffledHashJoin".r.findAllMatchIn(plan).size >= 2)
+      // …exactly the nation dim on the broadcast path
+      assert(plan.contains("BroadcastHashJoin"))
+      assert(plan.contains("TakeOrderedAndProject"))
+    }
+  }
+
+  test("q97: candidate counting pass is a broadcast semi-style join") {
+    // phase 1 runs eagerly during construction; the returned plan is the
+    // phase-2 exact count restricted to the broadcast candidate set
+    val plan = formatted("q97_heavy_hitters")
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+    assert(plan.contains("HashAggregate"))
+  }
+
+  test("q98: incremental dedup is a single anti join on the hash key") {
+    val plan = atScale(formatted("q98_incremental_dedup"))
+    assert(plan.contains("LeftAnti"))
+    // one join, no residual cartesian/nested-loop fallback
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"))
+  }
+
   test("q48: corpus centroid assignment is an aggregate, not a Window") {
     val plan = formatted("q48_ivf_knn")
     // min_by aggregation (partial+final) assigns nearest centroids

@@ -33,6 +33,35 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("sliding windows: each event lands in exactly len/slide window instances") {
+    val dir = java.nio.file.Files.createTempDirectory("stream_slide").toString
+    val ev = graft.queries.Tables.events(spark, sf())
+      .select(col("ts"), col("event_type"), col("value"))
+    ev.write.mode("overwrite").parquet(dir)
+
+    val stream = StreamOps.slidingCounts(
+      StreamOps.readStream(spark, dir, ev.schema), "ts", "event_type",
+      "2 hours", "1 hour", "4 hours")
+    StreamOps.runToMemory(stream, "slide_out",
+      org.apache.spark.sql.streaming.OutputMode.Complete)
+    val streamed = spark.table("slide_out").collect().map(_.toSeq).toSet
+
+    // batch unroll of the window generator: hour-floor and hour-floor − 1h
+    val unrolled = ev
+      .withColumn("k", explode(array(lit(0), lit(1))))
+      .select((date_trunc("hour", col("ts")).cast("long")
+        - col("k") * 3600).cast("timestamp").as("w_start"),
+        col("event_type"), col("value"))
+      .groupBy("w_start", "event_type")
+      .agg(count(lit(1)).as("n"),
+        graft.catalyst.ExactMicrosSum.sum(col("value")).as("sum_value"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == unrolled)
+    // conservation: total weighted rows = 2 × event count
+    val n = ev.count()
+    assert(spark.table("slide_out").agg(sum("n")).head().getLong(0) == 2 * n)
+  }
+
   test("streaming dedup drops repeated content within the watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
