@@ -781,6 +781,57 @@ object Extensions {
         .select(col("doc_id"), col("ch").as("content_hash"))
     }),
 
+    // --- sliding-window token chunking: the context-window prep step of a
+    // pretraining pipeline — chunks of 50 tokens with stride 25 (50%
+    // overlap), the last chunk ragged. Pure generator shape: one scan,
+    // posexplode of a computed chunk-start sequence, no shuffle at all —
+    // at 100 TB this is scan-bound, exactly as it should be. Chunk
+    // identity is the md5 of the joined token slice (the downstream
+    // exact-dedup key, q85's granularity knob made overlapping).
+    "q99_chunk_windows" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), split(col("text"), " ").as("tl"))
+        .withColumn("nch",
+          expr("1 + (greatest(size(tl) - 50, 0) + 24) div 25").cast("int"))
+        .select(col("doc_id"), col("tl"),
+          posexplode(expr("sequence(0, nch - 1)")).as(Seq("chunk_idx", "k")))
+        .select(col("doc_id"), col("chunk_idx"),
+          expr("size(slice(tl, chunk_idx * 25 + 1, 50))").as("n_tok"),
+          md5(expr("concat_ws(' ', slice(tl, chunk_idx * 25 + 1, 50))"))
+            .as("chunk_hash"))),
+
+    // --- multimodal image metadata under the oracle gate: payloads are
+    // REAL container headers (PNG IHDR / GIF logical screen / JPEG SOF0)
+    // synthesized per doc with dimensions derived from doc_id, then parsed
+    // back by the production byte-parser (Multimodal.imageDims via the
+    // mapPartitions batch path — the same code a real image pipeline runs
+    // before any decode). The oracle recomputes the dimensions
+    // arithmetically: a wrong endianness, offset, or marker walk in the
+    // parser fails the hash. Construction is pure Column exprs (unhex of
+    // concatenated hex), so the scan stays codegen'd.
+    "q100_image_meta" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          (col("doc_id") % 997 + 1).cast("int").as("w"),
+          ((col("doc_id") * 7) % 997 + 1).cast("int").as("h"))
+      val whex = "lpad(hex(w), 8, '0')"
+      val hhex = "lpad(hex(h), 8, '0')"
+      val wle = "concat(lpad(hex(w % 256), 2, '0'), lpad(hex(w div 256), 2, '0'))"
+      val hle = "concat(lpad(hex(h % 256), 2, '0'), lpad(hex(h div 256), 2, '0'))"
+      val wbe = "lpad(hex(w), 4, '0')"
+      val hbe = "lpad(hex(h), 4, '0')"
+      val payload = d.withColumn("payload", expr(
+        s"""unhex(CASE CAST(doc_id % 3 AS INT)
+           |  WHEN 0 THEN concat('89504E470D0A1A0A', '0000000D', '49484452', $whex, $hhex)
+           |  WHEN 1 THEN concat('474946383961', $wle, $hle)
+           |  ELSE concat('FFD8', 'FFC0', '0011', '08', $hbe, $wbe)
+           |END)""".stripMargin))
+      graft.functions.Multimodal
+        .withImageMeta(payload, "doc_id", "payload")
+        .select(col("id").as("doc_id"), col("format"),
+          col("width"), col("height"))
+    }),
+
     // --- multimodal plumbing ----------------------------------------------
     "q30_multimodal_meta" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
@@ -1359,6 +1410,28 @@ object Extensions {
         |SELECT tok, count(*) AS n FROM toks
         |GROUP BY tok
         |HAVING count(*) * 500 > (SELECT count(*) FROM toks)""".stripMargin,
+
+    "q99_chunk_windows" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tl FROM documents),
+        |c AS (
+        |  SELECT doc_id, tl,
+        |    unnest(generate_series(0, (greatest(len(tl) - 50, 0) + 24) // 25)) AS k
+        |  FROM t)
+        |SELECT doc_id, CAST(k AS INTEGER) AS chunk_idx,
+        |CAST(len(list_slice(tl, k * 25 + 1, k * 25 + 50)) AS INTEGER) AS n_tok,
+        |md5(array_to_string(list_slice(tl, k * 25 + 1, k * 25 + 50), ' ')) AS chunk_hash
+        |FROM c""".stripMargin,
+
+    // the oracle recomputes the injected dimensions arithmetically — the
+    // Spark side must round-trip them through real container-header bytes
+    "q100_image_meta" ->
+      """SELECT doc_id,
+        |CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+        |  ELSE 'jpeg' END AS format,
+        |CAST(doc_id % 997 + 1 AS INTEGER) AS width,
+        |CAST((doc_id * 7) % 997 + 1 AS INTEGER) AS height
+        |FROM documents""".stripMargin,
 
     "q98_incremental_dedup" ->
       """SELECT b.doc_id,

@@ -218,6 +218,16 @@ class PlanAuditSpec extends SparkSpec {
       !plan.contains("CartesianProduct"))
   }
 
+  test("q99/q100: chunking and image-meta are scan-bound — zero exchanges") {
+    // generator + per-row parse shapes must never shuffle; at 100 TB both
+    // are pure scan throughput
+    val chunk = formatted("q99_chunk_windows")
+    assert(!chunk.contains("Exchange"))
+    assert(chunk.contains("Generate")) // posexplode generator
+    val img = formatted("q100_image_meta")
+    assert(!img.contains("Exchange"))
+  }
+
   test("q48: corpus centroid assignment is an aggregate, not a Window") {
     val plan = formatted("q48_ivf_knn")
     // min_by aggregation (partial+final) assigns nearest centroids
