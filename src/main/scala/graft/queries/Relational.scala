@@ -751,7 +751,45 @@ object Relational {
         .every(Aggs.agg("revenue", xsum("l_extendedprice * (1 - l_discount)")),
                Aggs.count("n_items"))
         .orderBy("revenue" -> false, "c_custkey" -> true)
-        .limit(20))(s))
+        .limit(20))(s)),
+
+    // ORC columnar round-trip under the gate (q60/q62 pattern: write the
+    // staged format, read it back, aggregate — the oracle computes the
+    // same aggregate from the parquet source, so a type or value
+    // divergence in the ORC path hash-fails)
+    "q101_orc_roundtrip" -> ((s, dir) => {
+      val out = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_q101_orc").toString
+      val tap = graft.sources.OrcTap(out)
+      tap.write(Flow.toDF(
+        P(dir, "lineitem").retain("l_orderkey", "l_returnflag", "l_quantity"))(s),
+        graft.sources.SinkMode.Replace)
+      Flow.toDF(Pipe.source(tap)
+        .groupBy("l_returnflag")
+        .every(Aggs.agg("sum_qty", xsum("l_quantity")),
+               Aggs.count("n_items"),
+               Aggs.sql("max_key", "max(l_orderkey)")))(s)
+    }),
+
+    // JSON-lines round-trip: schema-on-read (no inference scan), doubles
+    // survive Jackson's shortest-round-trip encoding bit-exactly
+    "q102_jsonl_roundtrip" -> ((s, dir) => {
+      val out = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_q102_jsonl").toString
+      val schema = StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_orderstatus", StringType),
+        StructField("o_totalprice", DoubleType)))
+      val tap = graft.sources.JsonLinesTap(out, Some(schema))
+      tap.write(Flow.toDF(
+        P(dir, "orders").retain("o_orderkey", "o_orderstatus", "o_totalprice"))(s),
+        graft.sources.SinkMode.Replace)
+      Flow.toDF(Pipe.source(tap)
+        .groupBy("o_orderstatus")
+        .every(Aggs.agg("total", xsum("o_totalprice")),
+               Aggs.count("n_orders"),
+               Aggs.sql("key_sum", "cast(sum(o_orderkey) as bigint)")))(s)
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -1041,6 +1079,16 @@ object Relational {
          |  AND o_orderdate < TIMESTAMP '1997-07-01'
          |GROUP BY 1, 2, 3
          |ORDER BY revenue DESC, c_custkey
-         |LIMIT 20""".stripMargin
+         |LIMIT 20""".stripMargin,
+
+    "q101_orc_roundtrip" ->
+      s"""SELECT l_returnflag, ${dsum("l_quantity")} AS sum_qty,
+         |count(*) AS n_items, CAST(max(l_orderkey) AS BIGINT) AS max_key
+         |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q102_jsonl_roundtrip" ->
+      s"""SELECT o_orderstatus, ${dsum("o_totalprice")} AS total,
+         |count(*) AS n_orders, CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+         |FROM orders GROUP BY 1""".stripMargin
   )
 }

@@ -40,6 +40,38 @@ final case class ParquetTap(path: String, parts: Option[Int] = None) extends Tap
   override def numSinkParts: Option[Int] = parts
 }
 
+/** ORC columnar tap — Spark-native ORC (vectorized read, predicate
+  * pushdown, zone-map row-group skipping like parquet). The reference's
+  * generic Hadoop-scheme escape hatch covers ORC via hive serdes; here it
+  * is a first-class columnar format. */
+final case class OrcTap(path: String, parts: Option[Int] = None) extends Tap {
+  def read(spark: SparkSession): DataFrame = spark.read.orc(path)
+  override def read(spark: SparkSession, options: Map[String, String]): DataFrame =
+    spark.read.options(options).orc(path)
+  def write(df: DataFrame, mode: SinkMode): Unit = {
+    val out = parts.fold(df)(n => df.repartition(n))
+    out.write.mode(mode.toSaveMode).orc(path)
+  }
+  override def numSinkParts: Option[Int] = parts
+}
+
+/** JSON-lines tap (one JSON object per line). Schema should be supplied
+  * on read: inference costs an extra full scan, and at 100 TB the sampled
+  * inference can also mistype sparse fields. */
+final case class JsonLinesTap(path: String,
+                              schema: Option[StructType] = None) extends Tap {
+  def read(spark: SparkSession): DataFrame = read(spark, Map.empty)
+  override def read(spark: SparkSession, options: Map[String, String]): DataFrame = {
+    val r = spark.read.options(options)
+    schema match {
+      case Some(s) => r.schema(s).json(path)
+      case None    => r.json(path)
+    }
+  }
+  def write(df: DataFrame, mode: SinkMode): Unit =
+    df.write.mode(mode.toSaveMode).json(path)
+}
+
 /** `TextDelimited` scheme — header/quote/typed-fields support mirrors the
   * reference test platform's construction (`FlinkTestPlatform.java:153-167`). */
 final case class CsvTap(

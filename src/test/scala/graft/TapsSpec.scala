@@ -41,6 +41,30 @@ class TapsSpec extends SparkSpec {
     assert(back.collect().head.getInt(0) == 7)
   }
 
+  test("orc tap round-trip preserves types and values") {
+    val dir = tmp()
+    val df = Seq((1L, "a", 1.5), (2L, "b", -2.25)).toDF("k", "s", "v")
+    val tap = OrcTap(s"$dir/o", parts = Some(2))
+    tap.write(df, SinkMode.Replace)
+    val back = tap.read(spark)
+    assert(back.schema("k").dataType == LongType)
+    assert(back.schema("v").dataType == DoubleType)
+    assert(back.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSet == Set((1L, "a", 1.5), (2L, "b", -2.25)))
+  }
+
+  test("jsonl tap: schema-on-read, doubles round-trip exactly") {
+    val dir = tmp()
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", DoubleType)))
+    val df = Seq((7L, 0.1), (8L, 1e-300)).toDF("k", "v")
+    val tap = JsonLinesTap(s"$dir/j", Some(schema))
+    tap.write(df, SinkMode.Replace)
+    val back = tap.read(spark).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(back == Set((7L, 0.1), (8L, 1e-300)))
+  }
+
   test("text-line tap exposes `line`") {
     val dir = tmp()
     val df = Seq("hello", "world").toDF("line")
