@@ -832,6 +832,31 @@ object Extensions {
           col("width"), col("height"))
     }),
 
+    // --- Z-order layout key: Morton interleaving of (l_partkey,
+    // l_suppkey) — the multi-column clustering key behind data-skipping
+    // layouts (sort by zkey at write time → every file covers a small
+    // (x, y) rectangle → parquet min-max stats prune scans filtered on
+    // EITHER column; ZOrderSpec measures the per-file span shrink). The
+    // gated query audits the key's geometry: grouping by the top 10 key
+    // bits must yield buckets whose x/y extents are bounded rectangles,
+    // and the key arithmetic is generated from the same constants in both
+    // engines.
+    "q103_zorder_layout" -> ((s, dir) => {
+      val z = graft.functions.ZOrder
+      // comparable bit-widths: Morton keys only cluster BOTH dimensions
+      // when they occupy similar bit ranges — real implementations
+      // rank-normalize first; here both dims are reduced to 11 bits
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .select(z.zkey(pmod(col("l_partkey"), lit(2048L)),
+            pmod(col("l_orderkey"), lit(2048L))).as("zkey"),
+          pmod(col("l_partkey"), lit(2048L)).as("xm"),
+          pmod(col("l_orderkey"), lit(2048L)).as("ym"))
+        .groupBy(shiftright(col("zkey"), 16).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("xm")).as("min_x"), max(col("xm")).as("max_x"),
+          min(col("ym")).as("min_y"), max(col("ym")).as("max_y"))
+    }),
+
     // --- multimodal plumbing ----------------------------------------------
     "q30_multimodal_meta" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
@@ -1432,6 +1457,19 @@ object Extensions {
         |CAST(doc_id % 997 + 1 AS INTEGER) AS width,
         |CAST((doc_id * 7) % 997 + 1 AS INTEGER) AS height
         |FROM documents""".stripMargin,
+
+    "q103_zorder_layout" -> {
+      val zk = graft.functions.ZOrder.zkeySql(
+        "l_partkey % 2048", "l_orderkey % 2048")
+      s"""WITH z AS (
+         |  SELECT $zk AS zkey,
+         |    l_partkey % 2048 AS xm, l_orderkey % 2048 AS ym
+         |  FROM lineitem)
+         |SELECT zkey >> 16 AS bucket, count(*) AS n,
+         |min(xm) AS min_x, max(xm) AS max_x,
+         |min(ym) AS min_y, max(ym) AS max_y
+         |FROM z GROUP BY 1""".stripMargin
+    },
 
     "q98_incremental_dedup" ->
       """SELECT b.doc_id,
