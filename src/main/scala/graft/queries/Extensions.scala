@@ -857,6 +857,30 @@ object Extensions {
           min(col("ym")).as("min_y"), max(col("ym")).as("max_y"))
     }),
 
+    // --- blocked fuzzy matching (entity-resolution shape): candidate
+    // pairs come from BLOCKS — (first char, length bucket) — never from
+    // the full cross product, so the pair count stays near-linear while
+    // the edit-distance filter runs only within blocks. An unblocked
+    // fuzzy join at 100 TB is a cartesian disaster; a block key that
+    // tolerates the edit radius (length bucket of 2 vs distance ≤ 2 here
+    // — matches crossing a bucket boundary are out of radius anyway for
+    // same-first-char words) is the scale design. Both engines spell
+    // levenshtein identically (unit edit costs).
+    "q104_fuzzy_match" -> ((s, dir) => {
+      val words = s.read.parquet(s"$dir/documents.parquet")
+        .select(regexp_extract(col("text"), "^([A-Za-z]+)", 1).as("w"))
+        .filter(length(col("w")) >= 4).distinct()
+        .select(col("w"), substring(col("w"), 1, 1).as("blk_c"),
+          floor(length(col("w")) / 2).as("blk_l"))
+      val a = words.select(col("w").as("w1"), col("blk_c"), col("blk_l"))
+      val b = words.select(col("w").as("w2"), col("blk_c"), col("blk_l"))
+      a.join(b, Seq("blk_c", "blk_l"))
+        .filter(col("w1") < col("w2") &&
+          levenshtein(col("w1"), col("w2")) <= 2)
+        .select(col("w1"), col("w2"),
+          levenshtein(col("w1"), col("w2")).as("dist"))
+    }),
+
     // --- multimodal plumbing ----------------------------------------------
     "q30_multimodal_meta" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
@@ -1470,6 +1494,19 @@ object Extensions {
          |min(ym) AS min_y, max(ym) AS max_y
          |FROM z GROUP BY 1""".stripMargin
     },
+
+    "q104_fuzzy_match" ->
+      """WITH words AS (
+        |  SELECT DISTINCT regexp_extract(text, '^([A-Za-z]+)', 1) AS w
+        |  FROM documents
+        |  WHERE length(regexp_extract(text, '^([A-Za-z]+)', 1)) >= 4)
+        |SELECT a.w AS w1, b.w AS w2,
+        |CAST(levenshtein(a.w, b.w) AS INTEGER) AS dist
+        |FROM words a JOIN words b
+        |  ON substr(a.w, 1, 1) = substr(b.w, 1, 1)
+        | AND length(a.w) // 2 = length(b.w) // 2
+        | AND a.w < b.w
+        |WHERE levenshtein(a.w, b.w) <= 2""".stripMargin,
 
     "q98_incremental_dedup" ->
       """SELECT b.doc_id,

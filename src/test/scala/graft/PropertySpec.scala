@@ -86,6 +86,49 @@ class PropertySpec extends AnyFunSuite {
       assert(redact(ph) == ph)
   }
 
+  test("Misra-Gries: candidates always cover the true heavy hitters, any split") {
+    import graft.catalyst.MisraGriesAgg.Sketch
+    val streamGen = for {
+      nItems <- Gen.choose(1, 40)     // distinct universe size
+      len    <- Gen.choose(50, 500)
+      items  <- Gen.listOfN(len, Gen.choose(0, nItems - 1))
+    } yield items.map(i => s"i$i")
+    for ((stream, seed) <- samples(streamGen, 60).zipWithIndex) {
+      val k = 8
+      // split into 1..4 partial sketches by a varying stripe, then merge —
+      // the guarantee must hold under every merge shape
+      val parts = 1 + seed % 4
+      val sketches = Array.fill(parts)(new Sketch(k))
+      stream.zipWithIndex.foreach { case (it, i) => sketches(i % parts).offer(it) }
+      val merged = sketches.reduce { (a, b) => a.mergeIn(b); a }
+      assert(merged.counts.size <= k)
+      val exact = stream.groupBy(identity).view.mapValues(_.size)
+      val bound = stream.size.toDouble / (k + 1)
+      for ((item, n) <- exact if n > bound)
+        assert(merged.counts.containsKey(item),
+          s"heavy item $item (n=$n > bound=$bound) evicted; stream size ${stream.size}")
+    }
+  }
+
+  test("zkey is monotone in each dim at fixed other dim, and injective on the grid") {
+    import graft.functions.ZOrder
+    // pure-JVM mirror of the Column expression (same shifts/masks)
+    def z(x: Long, y: Long): Long =
+      (0 until ZOrder.Bits).map { i =>
+        (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      }.reduce(_ | _)
+    val g = Gen.choose(0L, (1L << ZOrder.Bits) - 1)
+    val pts = samples(Gen.zip(g, g), 300)
+    // injective: distinct (x, y) → distinct keys
+    assert(pts.distinct.map { case (x, y) => z(x, y) }.distinct.size ==
+      pts.distinct.size)
+    // strictly monotone per dimension (interleave preserves bit order)
+    for ((x, y) <- pts.take(50)) {
+      if (x + 1 < (1L << ZOrder.Bits)) assert(z(x + 1, y) > z(x, y))
+      if (y + 1 < (1L << ZOrder.Bits)) assert(z(x, y + 1) > z(x, y))
+    }
+  }
+
   test("BM25 constants are stored literals, not runtime sums (cross-engine drift trap)") {
     import graft.functions.Relevance._
     assert(K1Plus1 == "2.2".toDouble)
