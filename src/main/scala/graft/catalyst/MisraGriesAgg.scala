@@ -77,7 +77,10 @@ case class MisraGriesAgg(
     val out = new java.io.DataOutputStream(bos)
     out.writeInt(buf.counts.size)
     buf.counts.forEach { (item, n) =>
-      out.writeUTF(item); out.writeLong(n)
+      // length-prefixed raw UTF-8 (writeUTF caps at 64 KB and would throw
+      // on a long item — sketch items can be arbitrary strings)
+      val b = item.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length); out.write(b); out.writeLong(n)
     }
     out.flush(); bos.toByteArray
   }
@@ -89,8 +92,11 @@ case class MisraGriesAgg(
     val n = in.readInt()
     var i = 0
     while (i < n) {
-      val item = in.readUTF(); val c = in.readLong()
-      s.counts.put(item, c)
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      val c = in.readLong()
+      s.counts.put(new String(b, java.nio.charset.StandardCharsets.UTF_8), c)
       i += 1
     }
     s

@@ -881,6 +881,20 @@ object Extensions {
           levenshtein(col("w1"), col("w2")).as("dist"))
     }),
 
+    // --- signed random projection (64 → 8 dims) over the embeddings
+    // table: the dimensionality-reduction front end of an ANN index.
+    // Scan-only (zero exchanges), codegen'd higher-order functions; the
+    // exact-integer micros fold makes the projected components
+    // engine-identical, so the whole projection is hash-gated, not
+    // tolerance-gated.
+    "q105_random_projection" -> ((s, dir) => {
+      val p = graft.functions.Projection
+      s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id") +:
+          (0 until p.OutDim).map(j =>
+            p.projMicros("embedding", j).as(s"p$j")): _*)
+    }),
+
     // --- multimodal plumbing ----------------------------------------------
     "q30_multimodal_meta" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
@@ -1507,6 +1521,15 @@ object Extensions {
         | AND length(a.w) // 2 = length(b.w) // 2
         | AND a.w < b.w
         |WHERE levenshtein(a.w, b.w) <= 2""".stripMargin,
+
+    "q105_random_projection" -> {
+      val p = graft.functions.Projection
+      val comps = (0 until p.OutDim)
+        .map(j => s"${p.projMicrosSql("embedding", j)} AS p$j").mkString(",\n")
+      s"""SELECT vec_id,
+         |$comps
+         |FROM embeddings""".stripMargin
+    },
 
     "q98_incremental_dedup" ->
       """SELECT b.doc_id,

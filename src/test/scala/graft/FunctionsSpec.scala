@@ -286,4 +286,24 @@ class FunctionsSpec extends SparkSpec {
       assert(r.getAs[Long]("top") == r.getAs[Long]("top_expect"), r.toString)
     }
   }
+
+  test("random projection: basis vector e_i maps to sign(i,j)·1e6 exactly") {
+    import graft.functions.Projection
+    val basis5 = Array.tabulate(64)(i => if (i == 5) 1.0f else 0.0f)
+    val df = Seq((0L, basis5)).toDF("vec_id", "embedding")
+    val row = df.select((0 until Projection.OutDim)
+      .map(j => Projection.projMicros("embedding", j).as(s"p$j")): _*).head()
+    (0 until Projection.OutDim).foreach { j =>
+      assert(row.getLong(j) == Projection.sign(5, j) * 1000000L, s"j=$j")
+    }
+    // linearity on a two-hot vector: components add exactly
+    val twoHot = Array.tabulate(64)(i => if (i == 3 || i == 7) 0.5f else 0.0f)
+    val r2 = Seq((0L, twoHot)).toDF("vec_id", "embedding")
+      .select((0 until Projection.OutDim)
+        .map(j => Projection.projMicros("embedding", j).as(s"p$j")): _*).head()
+    (0 until Projection.OutDim).foreach { j =>
+      assert(r2.getLong(j) ==
+        (Projection.sign(3, j) + Projection.sign(7, j)) * 500000L, s"j=$j")
+    }
+  }
 }
