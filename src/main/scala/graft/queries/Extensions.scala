@@ -895,6 +895,58 @@ object Extensions {
             p.projMicros("embedding", j).as(s"p$j")): _*)
     }),
 
+    // --- pivot (cross-tabulation): the FIXED value list is the scale
+    // decision — an unlisted pivot runs an extra distinct pass over the
+    // data to discover columns AND bakes data-dependent schema into the
+    // plan; listing ("F","O","P") keeps it a single partial+final
+    // aggregate. Empty cells coalesce to 0 (count semantics, and what the
+    // oracle's FILTER spelling produces).
+    "q106_pivot" -> ((s, dir) =>
+      s.read.parquet(s"$dir/orders.parquet")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("F"),
+          coalesce(col("O"), lit(0L)).as("O"),
+          coalesce(col("P"), lit(0L)).as("P"))),
+
+    // --- exact-size per-group sampling: n=5 docs per source, membership a
+    // pure function of (salt, doc_id) via hash order — reproducible on any
+    // engine/partitioning (q84 gives rate-based sampling; this gives exact
+    // counts per stratum). The window sort is per-group over the hash; at
+    // extreme group sizes swap in a bounded-heap min-k of the hash
+    // (`topk_agg` negated) and join back — same result, O(k) state.
+    "q107_group_sample" -> ((s, dir) => {
+      val hash = md5(concat(lit("graft-r5c"), col("doc_id").cast("string")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(hash, col("doc_id"))
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("source"), col("doc_id"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("source"), col("doc_id"), col("rk").cast("int").as("rk"))
+    }),
+
+    // --- union-by-name with schema evolution (allowMissingColumns): the
+    // arriving-data case where a new feed drops/reorders columns. The
+    // missing column pads as NULL — the aggregate separates real values
+    // from padding (count vs count(col)), and the oracle spells the
+    // padding explicitly, gating the semantics.
+    "q108_union_by_name" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val a = o.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val b = o.filter(col("o_totalprice") > 100000)
+        .select(col("o_orderstatus"), col("o_orderkey")) // reordered, no price
+      a.unionByName(b, allowMissingColumns = true)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          count(col("o_totalprice")).as("n_priced"),
+          graft.catalyst.ExactMicrosSum.sum(
+            coalesce(col("o_totalprice"), lit(0.0))).as("total"))
+    }),
+
     // --- multimodal plumbing ----------------------------------------------
     "q30_multimodal_meta" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
@@ -1530,6 +1582,32 @@ object Extensions {
          |$comps
          |FROM embeddings""".stripMargin
     },
+
+    "q106_pivot" ->
+      """SELECT o_orderpriority,
+        |count(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+        |count(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+        |count(*) FILTER (WHERE o_orderstatus = 'P') AS P
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q107_group_sample" ->
+      """SELECT source, doc_id, CAST(rk AS INTEGER) AS rk FROM (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(concat('graft-r5c', CAST(doc_id AS VARCHAR))), doc_id) AS rk
+        |  FROM documents) WHERE rk <= 5""".stripMargin,
+
+    "q108_union_by_name" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |count(tp) AS n_priced,
+        |CAST(sum(CAST(coalesce(tp, 0) AS DECIMAL(38,6))) AS DOUBLE) AS total
+        |FROM (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice AS tp
+        |  FROM orders WHERE o_orderstatus = 'F'
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, NULL AS tp
+        |  FROM orders WHERE o_totalprice > 100000)
+        |GROUP BY 1""".stripMargin,
 
     "q98_incremental_dedup" ->
       """SELECT b.doc_id,
