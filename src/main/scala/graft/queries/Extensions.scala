@@ -947,6 +947,68 @@ object Extensions {
             coalesce(col("o_totalprice"), lit(0.0))).as("total"))
     }),
 
+    // --- frame sampling under the gate: the 1→N shape of a video frame
+    // sampler — n equally spaced 1-byte "frames" sliced from the binary
+    // payload (the real sampler swaps the slice for a codec read; the
+    // positions, explode shape, and byte addressing are what's gated).
+    "q109_frame_sample" -> ((s, dir) => {
+      val n = 4
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .select(col("doc_id"),
+          posexplode(graft.functions.Multimodal.sampleFrames(col("payload"), n))
+            .as(Seq("frame_idx", "frame")))
+        .select(col("doc_id"), col("frame_idx").cast("int").as("frame_idx"),
+          hex(col("frame")).as("frame_hex"))
+    }),
+
+    // --- hybrid skew join: the heavy-hitter-aware join plan — hot keys
+    // (from a bounded misra_gries scan, k=64) take the BROADCAST path
+    // (their dim rows fit a broadcast by construction), cold keys take
+    // the shuffle path, results union. Correctness does not depend on the
+    // sketch: ANY hot/cold key partition yields the same rows (the gate
+    // proves no dup/loss across the two paths) — the sketch only decides
+    // WHICH keys skip the shuffle, which is what defuses a hot key that
+    // would overwhelm one reducer at 100 TB. Complements q61 (salting)
+    // and the AQE skew split (SkewAndHashSpec): this form also relieves
+    // the BUILD side, needs no sort, and works with AQE off.
+    "q110_hybrid_skew_join" -> ((s, dir) => {
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_custkey"), col("o_totalprice"))
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val hot = orders.agg(graft.catalyst.MisraGriesAgg(
+          col("o_custkey").cast("string"), 64).as("h"))
+        .head().getSeq[String](0).map(_.toLong)
+      val hotPath = orders.filter(col("o_custkey").isin(hot: _*))
+        .join(broadcast(cust.filter(col("c_custkey").isin(hot: _*))),
+          col("o_custkey") === col("c_custkey"))
+      val coldPath = orders.filter(!col("o_custkey").isin(hot: _*))
+        .join(cust.filter(!col("c_custkey").isin(hot: _*)),
+          col("o_custkey") === col("c_custkey"))
+      hotPath.unionByName(coldPath)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct(col("o_custkey")).as("n_users"),
+          graft.catalyst.ExactMicrosSum.sum(col("o_totalprice")).as("total"))
+    }),
+
+    // --- native session windows: the Spark-first form of q29/q67 —
+    // `session_window(ts, gap)` lets the aggregation operator own session
+    // merging (no window-function prefix scan, no custom state). Session
+    // boundary is strict (an event exactly `gap` after the previous one
+    // OPENS a new session — window end is exclusive), which the oracle
+    // spells as `diff >= gap` in microseconds.
+    "q111_session_window" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          graft.catalyst.ExactMicrosSum.sum(col("value")).as("sum_value"))
+        .select(col("user_id"), col("sw.start").as("start_ts"),
+          col("sw.end").as("end_ts"), col("n_events"), col("sum_value"))
+    }),
+
     // --- multimodal plumbing ----------------------------------------------
     "q30_multimodal_meta" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
@@ -1608,6 +1670,48 @@ object Extensions {
         |  SELECT o_orderkey, o_orderstatus, NULL AS tp
         |  FROM orders WHERE o_totalprice > 100000)
         |GROUP BY 1""".stripMargin,
+
+    // documents are pure ASCII (asserted in the ingest check), so the
+    // VARCHAR substr is byte-addressed like Spark's binary substr
+    "q109_frame_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id, text, octet_length(encode(text)) AS bl,
+        |    unnest(generate_series(0, 3)) AS k
+        |  FROM documents)
+        |SELECT doc_id, CAST(k AS INTEGER) AS frame_idx,
+        |hex(substr(text, least(k * (bl // 4) + 1, bl), 1)) AS frame_hex
+        |FROM f""".stripMargin,
+
+    // plain join — the hybrid hot/cold split must be invisible in results
+    "q110_hybrid_skew_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_users,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
+
+    // session_window semantics: a gap of EXACTLY 30 min starts a new
+    // session (exclusive window end), hence >= in the flag
+    "q111_session_window" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |       OR epoch_us(CAST(ts AS TIMESTAMP))
+        |        - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) >= 1800000000
+        |       THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sessions AS (
+        |  SELECT user_id, ts, value,
+        |  sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged)
+        |SELECT user_id,
+        |CAST(min(ts) AS TIMESTAMP) AS start_ts,
+        |CAST(max(ts) AS TIMESTAMP) + INTERVAL 30 MINUTE AS end_ts,
+        |count(*) AS n_events,
+        |CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+        |FROM sessions GROUP BY user_id, sid""".stripMargin,
 
     "q98_incremental_dedup" ->
       """SELECT b.doc_id,

@@ -228,6 +228,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!img.contains("Exchange"))
   }
 
+  test("q110: hybrid skew join keeps both paths — hot broadcast, cold shuffle") {
+    atScale {
+      val plan = formatted("q110_hybrid_skew_join")
+      assert(plan.contains("BroadcastHashJoin")) // hot keys skip the shuffle
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
+      assert(plan.contains("Union"))
+    }
+  }
+
   test("q48: corpus centroid assignment is an aggregate, not a Window") {
     val plan = formatted("q48_ivf_knn")
     // min_by aggregation (partial+final) assigns nearest centroids
