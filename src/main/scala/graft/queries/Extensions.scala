@@ -1009,6 +1009,70 @@ object Extensions {
           col("sw.end").as("end_ts"), col("n_events"), col("sum_value"))
     }),
 
+    // --- STREAMING native session windows: the session_window aggregate
+    // run as a real multi-batch stream (q65/q96 staging: 3 time slices +
+    // one far-future sentinel, maxFilesPerTrigger=1). Sessions that span
+    // slice boundaries MERGE IN STATE across micro-batches — the
+    // aggregation-owned counterpart of q67's hand-rolled
+    // flatMapGroupsWithState. The event-time watermark is global, so the
+    // single sentinel closes every user's last session (its own session
+    // stays unemitted in state). Oracle = q111's batch SQL.
+    "q112_stream_session_window" -> ((s, dir) => {
+      val (in, out, chk) = freshStreamDirs("graft_q112_stream")
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("value"))
+      val Array(tMin, tMax) = ev.agg(min(col("ts")), max(col("ts"))).head()
+        .toSeq.map(_.asInstanceOf[java.sql.Timestamp].getTime).toArray
+      val (t1, t2) = (tMin + (tMax - tMin) / 3, tMin + 2 * (tMax - tMin) / 3)
+      def ms(c: org.apache.spark.sql.Column) = unix_millis(c)
+      val sentinel = ev.limit(1)
+        .withColumn("ts", expr("timestamp'2100-01-01 00:00:00'"))
+        .withColumn("user_id", lit(-1L))
+      stageSliced(in, Seq(
+        ev.filter(ms(col("ts")) < t1),
+        ev.filter(ms(col("ts")) >= t1 && ms(col("ts")) < t2),
+        ev.filter(ms(col("ts")) >= t2),
+        sentinel))
+      withStreamPartitions(s, 8) {
+        val stream = graft.streaming.StreamOps.readStream(s, in, ev.schema,
+            Map("maxFilesPerTrigger" -> "1"))
+          .withWatermark("ts", "4 hours")
+          .groupBy(col("user_id"),
+            session_window(col("ts"), "30 minutes").as("sw"))
+          .agg(count(lit(1)).as("n_events"),
+            graft.catalyst.ExactMicrosSum.sum(col("value")).as("sum_value"))
+          .select(col("user_id"), col("sw.start").as("start_ts"),
+            col("sw.end").as("end_ts"), col("n_events"), col("sum_value"))
+        val q = stream.writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+          .format("parquet").option("path", out)
+          .option("checkpointLocation", chk)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.read.parquet(out)
+        .filter(col("user_id") =!= -1L)
+        .select("user_id", "start_ts", "end_ts", "n_events", "sum_value")
+    }),
+
+    // --- grouping sets: the explicit multi-granularity aggregate beyond
+    // rollup (q38) / cube (q39) — arbitrary set list in ONE pass (Spark
+    // plans a single Expand + aggregate; n grouping sets ≠ n scans).
+    // grouping_id disambiguates the all-NULL key rows from real NULLs.
+    "q113_grouping_sets" -> ((s, dir) =>
+      s.read.parquet(s"$dir/orders.parquet")
+        .createOrReplaceTempView("gs_orders") match { case _ =>
+        s.sql(
+          """SELECT o_orderstatus, o_orderpriority,
+            |  CAST(grouping_id(o_orderstatus, o_orderpriority) AS INT) AS gid,
+            |  count(*) AS n,
+            |  cast(sum(cast(o_totalprice as decimal(38,6))) as double) AS total
+            |FROM gs_orders
+            |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+            |  (o_orderstatus), ())""".stripMargin)
+      }),
+
     // --- multimodal plumbing ----------------------------------------------
     "q30_multimodal_meta" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
@@ -1712,6 +1776,38 @@ object Extensions {
         |count(*) AS n_events,
         |CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
         |FROM sessions GROUP BY user_id, sid""".stripMargin,
+
+    // identical SQL to q111: the streaming session_window run must
+    // reproduce the batch result exactly
+    "q112_stream_session_window" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |       OR epoch_us(CAST(ts AS TIMESTAMP))
+        |        - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) >= 1800000000
+        |       THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sessions AS (
+        |  SELECT user_id, ts, value,
+        |  sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged)
+        |SELECT user_id,
+        |CAST(min(ts) AS TIMESTAMP) AS start_ts,
+        |CAST(max(ts) AS TIMESTAMP) + INTERVAL 30 MINUTE AS end_ts,
+        |count(*) AS n_events,
+        |CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+        |FROM sessions GROUP BY user_id, sid""".stripMargin,
+
+    "q113_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INTEGER) AS gid,
+        |count(*) AS n,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |  (o_orderstatus), ())""".stripMargin,
 
     "q98_incremental_dedup" ->
       """SELECT b.doc_id,
