@@ -1060,18 +1060,18 @@ object Extensions {
     // rollup (q38) / cube (q39) — arbitrary set list in ONE pass (Spark
     // plans a single Expand + aggregate; n grouping sets ≠ n scans).
     // grouping_id disambiguates the all-NULL key rows from real NULLs.
-    "q113_grouping_sets" -> ((s, dir) =>
+    "q113_grouping_sets" -> ((s, dir) => {
       s.read.parquet(s"$dir/orders.parquet")
-        .createOrReplaceTempView("gs_orders") match { case _ =>
-        s.sql(
-          """SELECT o_orderstatus, o_orderpriority,
-            |  CAST(grouping_id(o_orderstatus, o_orderpriority) AS INT) AS gid,
-            |  count(*) AS n,
-            |  cast(sum(cast(o_totalprice as decimal(38,6))) as double) AS total
-            |FROM gs_orders
-            |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
-            |  (o_orderstatus), ())""".stripMargin)
-      }),
+        .createOrReplaceTempView("gs_orders")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority,
+          |  CAST(grouping_id(o_orderstatus, o_orderpriority) AS INT) AS gid,
+          |  count(*) AS n,
+          |  cast(sum(cast(o_totalprice as decimal(38,6))) as double) AS total
+          |FROM gs_orders
+          |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+          |  (o_orderstatus), ())""".stripMargin)
+    }),
 
     // --- multimodal plumbing ----------------------------------------------
     "q30_multimodal_meta" -> ((s, dir) => {
