@@ -1073,6 +1073,52 @@ object Extensions {
           |  (o_orderstatus), ())""".stripMargin)
     }),
 
+    // --- stream ⋈ static-dim enrichment (the most common production
+    // stream shape): each micro-batch broadcast-joins the static customer
+    // dim — no state, no stream-side shuffle for the join — then feeds
+    // the windowed aggregate. The sentinel row joins away (inner join)
+    // but still advances the GLOBAL event-time watermark: the watermark
+    // node sits upstream of the join, so rows the join drops still flush
+    // the windows. Oracle = the batch join + tumbling-window SQL.
+    "q114_stream_static_join" -> ((s, dir) => {
+      val (in, out, chk) = freshStreamDirs("graft_q114_stream")
+      val ev = Tables.events(s, dir)
+        .select(col("ts"), col("user_id"), col("value"))
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val Array(tMin, tMax) = ev.agg(min(col("ts")), max(col("ts"))).head()
+        .toSeq.map(_.asInstanceOf[java.sql.Timestamp].getTime).toArray
+      val (t1, t2) = (tMin + (tMax - tMin) / 3, tMin + 2 * (tMax - tMin) / 3)
+      def ms(c: org.apache.spark.sql.Column) = unix_millis(c)
+      val sentinel = ev.limit(1)
+        .withColumn("ts", expr("timestamp'2100-01-01 00:00:00'"))
+        .withColumn("user_id", lit(-1L))
+      stageSliced(in, Seq(
+        ev.filter(ms(col("ts")) < t1),
+        ev.filter(ms(col("ts")) >= t1 && ms(col("ts")) < t2),
+        ev.filter(ms(col("ts")) >= t2),
+        sentinel))
+      withStreamPartitions(s, 8) {
+        val stream = graft.streaming.StreamOps.readStream(s, in, ev.schema,
+            Map("maxFilesPerTrigger" -> "1"))
+          .withWatermark("ts", "4 hours")
+          .join(broadcast(cust), col("user_id") === col("c_custkey"))
+          .groupBy(window(col("ts"), "1 hour").as("w"), col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"),
+            graft.catalyst.ExactMicrosSum.sum(col("value")).as("sum_value"))
+          .select(col("w.start").as("w_start"), col("c_mktsegment"),
+            col("n"), col("sum_value"))
+        val q = stream.writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+          .format("parquet").option("path", out)
+          .option("checkpointLocation", chk)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.read.parquet(out).select("w_start", "c_mktsegment", "n", "sum_value")
+    }),
+
     // --- multimodal plumbing ----------------------------------------------
     "q30_multimodal_meta" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
@@ -1808,6 +1854,13 @@ object Extensions {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
         |  (o_orderstatus), ())""".stripMargin,
+
+    "q114_stream_static_join" ->
+      """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS w_start,
+        |c_mktsegment, count(*) AS n,
+        |CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2""".stripMargin,
 
     "q98_incremental_dedup" ->
       """SELECT b.doc_id,
