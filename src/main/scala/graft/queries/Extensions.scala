@@ -1119,6 +1119,29 @@ object Extensions {
       s.read.parquet(out).select("w_start", "c_mktsegment", "n", "sum_value")
     }),
 
+    // --- unigram surprisal scoring (the CCNet-shaped corpus-likelihood
+    // quality signal): per-token surprisal ≈ -log2 p(tok) computed as
+    // floor(log2 N) − floor(log2 cnt) — EXACT integer bits via the length
+    // of the binary string (`bin()` exists with identical semantics in
+    // both engines), so the score is engine-identical with no libm and no
+    // float reduction. Plan: one token scan → vocab count aggregate →
+    // join back → per-doc sum. At 100 TB the join-back side becomes
+    // broadcast top-V vocab + an OOV default count; here the exact
+    // shuffle join keeps the gate exact.
+    "q115_surprisal" -> ((s, dir) => {
+      val toks = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      val total = toks.count()
+      val bitsN = 63 - java.lang.Long.numberOfLeadingZeros(total)
+      toks.join(counts, Seq("tok"))
+        .withColumn("bits",
+          lit(bitsN.toLong) - (length(bin(col("cnt"))) - 1))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"),
+          sum(col("bits")).cast("bigint").as("surprisal_bits"))
+    }),
+
     // --- multimodal plumbing ----------------------------------------------
     "q30_multimodal_meta" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
@@ -1861,6 +1884,17 @@ object Extensions {
         |CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY 1, 2""".stripMargin,
+
+    "q115_surprisal" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |counts AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+        |tot AS (SELECT count(*) AS n FROM toks)
+        |SELECT doc_id, count(*) AS n_tok,
+        |CAST(sum((length(bin((SELECT n FROM tot))) - 1)
+        |       - (length(bin(cnt)) - 1)) AS BIGINT) AS surprisal_bits
+        |FROM toks JOIN counts USING (tok)
+        |GROUP BY doc_id""".stripMargin,
 
     "q98_incremental_dedup" ->
       """SELECT b.doc_id,
