@@ -1142,6 +1142,33 @@ object Extensions {
           sum(col("bits")).cast("bigint").as("surprisal_bits"))
     }),
 
+    // --- time-series resampling: each user's event stream re-gridded to
+    // regular hourly buckets between their first and last hour, empty
+    // hours gap-filled by LOCF (last observation carried forward) over
+    // the hourly exact-micros sums. One aggregate (user, hour), a
+    // per-user bounded grid explode, one equi-join, one per-user ordered
+    // window — all shuffles on the uniform user key. Integer micros keep
+    // the carried values engine-exact.
+    "q116_resample" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), date_trunc("hour", col("ts")).as("h"),
+          floor(col("value") * 1e6).cast("bigint").as("vm"))
+      val hourly = ev.groupBy(col("user_id"), col("h"))
+        .agg(count(lit(1)).as("n"), sum(col("vm")).as("sm"))
+      val grid = hourly.groupBy(col("user_id"))
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"),
+            expr("interval 1 hour"))).as("h"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("h"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      grid.join(hourly, Seq("user_id", "h"), "left")
+        .select(col("user_id"), col("h"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          last(col("sm"), ignoreNulls = true).over(w).as("filled_micros"))
+    }),
+
     // --- multimodal plumbing ----------------------------------------------
     "q30_multimodal_meta" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
@@ -1895,6 +1922,23 @@ object Extensions {
         |       - (length(bin(cnt)) - 1)) AS BIGINT) AS surprisal_bits
         |FROM toks JOIN counts USING (tok)
         |GROUP BY doc_id""".stripMargin,
+
+    "q116_resample" ->
+      """WITH hourly AS (
+        |  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+        |    count(*) AS n,
+        |    CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT) AS sm
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY 1),
+        |grid AS (
+        |  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        |  FROM bounds)
+        |SELECT g.user_id, CAST(g.h AS TIMESTAMP) AS h,
+        |CAST(coalesce(hy.n, 0) AS BIGINT) AS n,
+        |CAST(last_value(hy.sm IGNORE NULLS) OVER (
+        |  PARTITION BY g.user_id ORDER BY g.h ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |  AS filled_micros
+        |FROM grid g LEFT JOIN hourly hy ON g.user_id = hy.user_id AND g.h = hy.h""".stripMargin,
 
     "q98_incremental_dedup" ->
       """SELECT b.doc_id,
