@@ -92,27 +92,33 @@ object TopKAgg {
 
   /** Fixed-capacity min-heap over doubles: root = smallest retained value,
     * so a new value either beats the root (replace + sift) or is dropped
-    * in O(1). */
+    * in O(1). All comparisons use `Double.compare` TOTAL ordering (NaN
+    * greater than everything, matching both Spark's and DuckDB's sort
+    * order) — IEEE `<`/`>` would let a NaN reach the root and then reject
+    * every later value, silently poisoning the whole group's top-k. */
   final class Heap(cap: Int) {
     val values = new Array[Double](cap)
     var size = 0
+
+    @inline private def lt(a: Double, b: Double): Boolean =
+      java.lang.Double.compare(a, b) < 0
 
     def offer(v: Double): Unit = {
       if (size < cap) {
         values(size) = v; size += 1
         var i = size - 1 // sift up
-        while (i > 0 && values((i - 1) / 2) > values(i)) {
+        while (i > 0 && lt(values(i), values((i - 1) / 2))) {
           swap(i, (i - 1) / 2); i = (i - 1) / 2
         }
-      } else if (v > values(0)) {
+      } else if (lt(values(0), v)) {
         values(0) = v // replace root, sift down
         var i = 0
         var done = false
         while (!done) {
           val l = 2 * i + 1; val r = 2 * i + 2
           var m = i
-          if (l < size && values(l) < values(m)) m = l
-          if (r < size && values(r) < values(m)) m = r
+          if (l < size && lt(values(l), values(m))) m = l
+          if (r < size && lt(values(r), values(m))) m = r
           if (m == i) done = true else { swap(i, m); i = m }
         }
       }
@@ -124,7 +130,7 @@ object TopKAgg {
 
     def sortedDesc(): Array[Double] = {
       val out = java.util.Arrays.copyOf(values, size)
-      java.util.Arrays.sort(out)
+      java.util.Arrays.sort(out) // total order: NaN sorts last (largest)
       var i = 0; var j = out.length - 1 // reverse in place
       while (i < j) { val t = out(i); out(i) = out(j); out(j) = t; i += 1; j -= 1 }
       out

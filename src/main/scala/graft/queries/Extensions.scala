@@ -78,9 +78,31 @@ object Extensions {
         .filter(f => f.getName.endsWith(".parquet") && !seen(f.getName))
         .foreach { f =>
           seen += f.getName
-          f.setLastModified(1600000000000L + i * 60000L)
+          // fail LOUDLY if the fs refuses: silent mtime-pinning failure
+          // resurrects the nondeterministic batch-order bug this exists
+          // to prevent
+          require(f.setLastModified(1600000000000L + i * 60000L),
+            s"setLastModified failed for $f — cannot pin staging order")
         }
     }
+  }
+
+  /** The shared staging recipe of every multi-batch streaming gate query:
+    * split `ev` into three equal time slices on `tsCol`, append the
+    * caller's sentinel slice (far-future row(s) that advance the
+    * watermark past all real data), and stage as one file per slice so
+    * `maxFilesPerTrigger=1` yields 4 real micro-batches in order. */
+  private def stageTimeSliced(in: String, ev: DataFrame, tsCol: String,
+                              sentinel: DataFrame): Unit = {
+    val Array(tMin, tMax) = ev.agg(min(col(tsCol)), max(col(tsCol))).head()
+      .toSeq.map(_.asInstanceOf[java.sql.Timestamp].getTime).toArray
+    val (t1, t2) = (tMin + (tMax - tMin) / 3, tMin + 2 * (tMax - tMin) / 3)
+    def ms = unix_millis(col(tsCol))
+    stageSliced(in, Seq(
+      ev.filter(ms < t1),
+      ev.filter(ms >= t1 && ms < t2),
+      ev.filter(ms >= t2),
+      sentinel))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -254,18 +276,10 @@ object Extensions {
       // write + 4 per-batch reads
       val ev = Tables.events(s, dir)
         .select(col("ts"), col("event_type"), col("value"))
-      val Array(tMin, tMax) = ev.agg(min(col("ts")), max(col("ts"))).head()
-        .toSeq.map(_.asInstanceOf[java.sql.Timestamp].getTime).toArray
-      val (t1, t2) = (tMin + (tMax - tMin) / 3, tMin + 2 * (tMax - tMin) / 3)
-      def ms(c: org.apache.spark.sql.Column) = unix_millis(c)
       val sentinel = ev.limit(1)
         .withColumn("ts", expr("timestamp'2100-01-01 00:00:00'"))
         .withColumn("event_type", lit("__flush"))
-      stageSliced(in, Seq(
-        ev.filter(ms(col("ts")) < t1),
-        ev.filter(ms(col("ts")) >= t1 && ms(col("ts")) < t2),
-        ev.filter(ms(col("ts")) >= t2),
-        sentinel))
+      stageTimeSliced(in, ev, "ts", sentinel)
       withStreamPartitions(s, 8) {
         val stream = graft.streaming.StreamOps.windowedCounts(
           graft.streaming.StreamOps.readStream(s, in, ev.schema,
@@ -301,21 +315,14 @@ object Extensions {
     "q67_stream_sessions" -> ((s, dir) => {
       val (in, out, chk) = freshStreamDirs("graft_q67_stream")
       val ev = Tables.events(s, dir).select(col("user_id"), col("ts"), col("value"))
-      val Array(tMin, tMax) = ev.agg(min(col("ts")), max(col("ts"))).head()
-        .toSeq.map(_.asInstanceOf[java.sql.Timestamp].getTime).toArray
-      val (t1, t2) = (tMin + (tMax - tMin) / 3, tMin + 2 * (tMax - tMin) / 3)
-      def ms(c: org.apache.spark.sql.Column) = unix_millis(c)
-      val slices = Seq(
-        ev.filter(ms(col("ts")) < t1),
-        ev.filter(ms(col("ts")) >= t1 && ms(col("ts")) < t2),
-        ev.filter(ms(col("ts")) >= t2),
-        ev.select(col("user_id")).distinct()
-          .withColumn("ts", expr("timestamp'2100-01-01 00:00:00'"))
-          .withColumn("value", lit(0.0)))
-      // one file per slice = one micro-batch, order pinned by stageSliced
-      // (a tie that reordered the sentinel before a slice would turn that
-      // slice's events into spurious late singletons)
-      stageSliced(in, slices)
+      // per-user sentinel rows close every user's last real session
+      // (order pinned by stageTimeSliced/stageSliced: a tie that
+      // reordered the sentinel before a slice would turn that slice's
+      // events into spurious late singletons)
+      val sentinel = ev.select(col("user_id")).distinct()
+        .withColumn("ts", expr("timestamp'2100-01-01 00:00:00'"))
+        .withColumn("value", lit(0.0))
+      stageTimeSliced(in, ev, "ts", sentinel)
       // 4 micro-batches × per-partition state commits: size partitions to
       // the state, not the batch-shuffle default (see withStreamPartitions)
       withStreamPartitions(s, 8) {
@@ -708,18 +715,10 @@ object Extensions {
       val (in, out, chk) = freshStreamDirs("graft_q96_stream")
       val ev = Tables.events(s, dir)
         .select(col("ts"), col("event_type"), col("value"))
-      val Array(tMin, tMax) = ev.agg(min(col("ts")), max(col("ts"))).head()
-        .toSeq.map(_.asInstanceOf[java.sql.Timestamp].getTime).toArray
-      val (t1, t2) = (tMin + (tMax - tMin) / 3, tMin + 2 * (tMax - tMin) / 3)
-      def ms(c: org.apache.spark.sql.Column) = unix_millis(c)
       val sentinel = ev.limit(1)
         .withColumn("ts", expr("timestamp'2100-01-01 00:00:00'"))
         .withColumn("event_type", lit("__flush"))
-      stageSliced(in, Seq(
-        ev.filter(ms(col("ts")) < t1),
-        ev.filter(ms(col("ts")) >= t1 && ms(col("ts")) < t2),
-        ev.filter(ms(col("ts")) >= t2),
-        sentinel))
+      stageTimeSliced(in, ev, "ts", sentinel)
       withStreamPartitions(s, 8) {
         val stream = graft.streaming.StreamOps.slidingCounts(
           graft.streaming.StreamOps.readStream(s, in, ev.schema,
@@ -861,11 +860,12 @@ object Extensions {
     // pairs come from BLOCKS — (first char, length bucket) — never from
     // the full cross product, so the pair count stays near-linear while
     // the edit-distance filter runs only within blocks. An unblocked
-    // fuzzy join at 100 TB is a cartesian disaster; a block key that
-    // tolerates the edit radius (length bucket of 2 vs distance ≤ 2 here
-    // — matches crossing a bucket boundary are out of radius anyway for
-    // same-first-char words) is the scale design. Both engines spell
-    // levenshtein identically (unit edit costs).
+    // fuzzy join at 100 TB is a cartesian disaster. Distance ≤ 2 allows
+    // lengths to differ by up to 2, which can CROSS a width-2 bucket
+    // boundary — so one side expands into its bucket and both neighbors
+    // (3 join keys per word; each true pair still joins exactly once
+    // because the probe side's own bucket is a single value). Both
+    // engines spell levenshtein identically (unit edit costs).
     "q104_fuzzy_match" -> ((s, dir) => {
       val words = s.read.parquet(s"$dir/documents.parquet")
         .select(regexp_extract(col("text"), "^([A-Za-z]+)", 1).as("w"))
@@ -873,7 +873,9 @@ object Extensions {
         .select(col("w"), substring(col("w"), 1, 1).as("blk_c"),
           floor(length(col("w")) / 2).as("blk_l"))
       val a = words.select(col("w").as("w1"), col("blk_c"), col("blk_l"))
-      val b = words.select(col("w").as("w2"), col("blk_c"), col("blk_l"))
+      val b = words.select(col("w").as("w2"), col("blk_c"),
+          explode(array(col("blk_l") - 1, col("blk_l"),
+            col("blk_l") + 1)).as("blk_l"))
       a.join(b, Seq("blk_c", "blk_l"))
         .filter(col("w1") < col("w2") &&
           levenshtein(col("w1"), col("w2")) <= 2)
@@ -1021,18 +1023,10 @@ object Extensions {
       val (in, out, chk) = freshStreamDirs("graft_q112_stream")
       val ev = Tables.events(s, dir)
         .select(col("user_id"), col("ts"), col("value"))
-      val Array(tMin, tMax) = ev.agg(min(col("ts")), max(col("ts"))).head()
-        .toSeq.map(_.asInstanceOf[java.sql.Timestamp].getTime).toArray
-      val (t1, t2) = (tMin + (tMax - tMin) / 3, tMin + 2 * (tMax - tMin) / 3)
-      def ms(c: org.apache.spark.sql.Column) = unix_millis(c)
       val sentinel = ev.limit(1)
         .withColumn("ts", expr("timestamp'2100-01-01 00:00:00'"))
         .withColumn("user_id", lit(-1L))
-      stageSliced(in, Seq(
-        ev.filter(ms(col("ts")) < t1),
-        ev.filter(ms(col("ts")) >= t1 && ms(col("ts")) < t2),
-        ev.filter(ms(col("ts")) >= t2),
-        sentinel))
+      stageTimeSliced(in, ev, "ts", sentinel)
       withStreamPartitions(s, 8) {
         val stream = graft.streaming.StreamOps.readStream(s, in, ev.schema,
             Map("maxFilesPerTrigger" -> "1"))
@@ -1086,18 +1080,10 @@ object Extensions {
         .select(col("ts"), col("user_id"), col("value"))
       val cust = s.read.parquet(s"$dir/customer.parquet")
         .select(col("c_custkey"), col("c_mktsegment"))
-      val Array(tMin, tMax) = ev.agg(min(col("ts")), max(col("ts"))).head()
-        .toSeq.map(_.asInstanceOf[java.sql.Timestamp].getTime).toArray
-      val (t1, t2) = (tMin + (tMax - tMin) / 3, tMin + 2 * (tMax - tMin) / 3)
-      def ms(c: org.apache.spark.sql.Column) = unix_millis(c)
       val sentinel = ev.limit(1)
         .withColumn("ts", expr("timestamp'2100-01-01 00:00:00'"))
         .withColumn("user_id", lit(-1L))
-      stageSliced(in, Seq(
-        ev.filter(ms(col("ts")) < t1),
-        ev.filter(ms(col("ts")) >= t1 && ms(col("ts")) < t2),
-        ev.filter(ms(col("ts")) >= t2),
-        sentinel))
+      stageTimeSliced(in, ev, "ts", sentinel)
       withStreamPartitions(s, 8) {
         val stream = graft.streaming.StreamOps.readStream(s, in, ev.schema,
             Map("maxFilesPerTrigger" -> "1"))
@@ -1783,6 +1769,7 @@ object Extensions {
          |FROM z GROUP BY 1""".stripMargin
     },
 
+    // neighbor-bucket expansion spelled as |bucket difference| <= 1
     "q104_fuzzy_match" ->
       """WITH words AS (
         |  SELECT DISTINCT regexp_extract(text, '^([A-Za-z]+)', 1) AS w
@@ -1792,7 +1779,7 @@ object Extensions {
         |CAST(levenshtein(a.w, b.w) AS INTEGER) AS dist
         |FROM words a JOIN words b
         |  ON substr(a.w, 1, 1) = substr(b.w, 1, 1)
-        | AND length(a.w) // 2 = length(b.w) // 2
+        | AND abs(length(a.w) // 2 - length(b.w) // 2) <= 1
         | AND a.w < b.w
         |WHERE levenshtein(a.w, b.w) <= 2""".stripMargin,
 

@@ -22,6 +22,15 @@ object Relational {
   private def T(dir: String, name: String) = ParquetTap(s"$dir/$name.parquet")
   private def P(dir: String, name: String): Pipe = Pipe.source(T(dir, name))
 
+  /** Per-(query, SF) staging path. A FIXED tmp name would let a second
+    * construction (another SF dir, or a concurrent JVM) Replace-overwrite
+    * the files under an earlier, still-lazy result DataFrame — the read
+    * would silently see the other dataset. Suffixing with the source dir
+    * hash pins each construction to its own location. */
+  private[queries] def stagePath(name: String, dir: String): String =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"${name}_${Integer.toHexString(dir.hashCode)}").toString
+
   /** sum(x) as exact decimal, emitted as double. */
   private def dsum(x: String) =
     s"cast(sum(cast($x as decimal(38,6))) as double)"
@@ -341,8 +350,7 @@ object Relational {
       // trap sink and releases the split intermediate — the returned
       // relation reads the trap PARQUET.
       val prevAnsi = s.conf.get("spark.sql.ansi.enabled")
-      val trapPath = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft_trap_q52").toString
+      val trapPath = stagePath("graft_trap_q52", dir)
       try {
         s.conf.set("spark.sql.ansi.enabled", "true")
         Flow.materializeTraps(P(dir, "documents").retain("doc_id")
@@ -359,8 +367,7 @@ object Relational {
     // exactly the bad keys (q52 pattern; reference wires traps through the
     // cogroup gates too — CoGroupBufferInGate.java:34-120)
     "q63_bufferjoin_trap" -> ((s, dir) => {
-      val trapPath = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft_trap_q63").toString
+      val trapPath = stagePath("graft_trap_q63", dir)
       Flow.materializeTraps(
         P(dir, "customer").retain("c_custkey")
           .bufferJoin(Seq("c_custkey"),
@@ -386,8 +393,7 @@ object Relational {
     // diverted to the trap tap (key + error) while surviving groups keep
     // their aggregate — gated on BOTH sides (ok rows + trapped keys)
     "q88_agg_trap" -> ((s, dir) => {
-      val trapPath = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft_trap_q88").toString
+      val trapPath = stagePath("graft_trap_q88", dir)
       val main = Flow.toDFWithTraps(
         P(dir, "orders")
           .retain("o_orderpriority", "o_totalprice")
@@ -432,8 +438,7 @@ object Relational {
     // a partition-pruned read of one key — exercises the write path AND the
     // pruned scan end-to-end (result must equal querying the source direct)
     "q59_partition_tap" -> ((s, dir) => {
-      val out = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft_q59_ptap").toString
+      val out = stagePath("graft_q59_ptap", dir)
       val tap = graft.sources.PartitionTap(ParquetTap(out), Seq("event_type"))
       tap.write(Tables.events(s, dir).select(
         col("event_id"), col("user_id"), col("value"), col("event_type")),
@@ -447,8 +452,7 @@ object Relational {
     // CSV (TextDelimited) round-trip under the gate: typed write+read must
     // be value-exact (Spark renders doubles in shortest-round-trip form)
     "q60_csv_roundtrip" -> ((s, dir) => {
-      val out = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft_q60_csv").toString
+      val out = stagePath("graft_q60_csv", dir)
       val schema = StructType(Seq(
         StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
         StructField("o_totalprice", DoubleType)))
@@ -465,8 +469,7 @@ object Relational {
 
     // SequenceFile (key/value Text) round-trip under the gate
     "q62_seqfile_roundtrip" -> ((s, dir) => {
-      val out = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft_q62_seq").toString
+      val out = stagePath("graft_q62_seq", dir)
       val tap = graft.sources.SequenceFileTap(out)
       tap.write(Flow.toDF(
           P(dir, "orders").retain("o_orderkey", "o_orderstatus"))(s)
@@ -548,8 +551,7 @@ object Relational {
     // success rows land in the sinks, poison rows (doc_id % 7 == 0 /
     // o_orderkey % 97 == 0) in each branch's trap.
     "q71_multisink_traps" -> ((s, dir) => {
-      val tmp = System.getProperty("java.io.tmpdir")
-      def tap(n: String) = ParquetTap(new java.io.File(tmp, n).toString)
+      def tap(n: String) = ParquetTap(stagePath(n, dir))
       val (sinkA, trapA) = (tap("graft_q71_sink_a"), tap("graft_q71_trap_a"))
       val (sinkB, trapB) = (tap("graft_q71_sink_b"), tap("graft_q71_trap_b"))
       val branchA = P(dir, "documents").retain("doc_id")
@@ -608,8 +610,7 @@ object Relational {
     // The doubles round-trip through text exactly (shortest-repr parse),
     // so the exact-decimal sum matches the oracle computed from parquet.
     "q73_dynamic_arity" -> ((s, dir) => {
-      val txt = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft_q73_text").toString
+      val txt = stagePath("graft_q73_text", dir)
       val lines = s.read.parquet(s"$dir/orders.parquet")
         .select(concat_ws("|",
           col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
@@ -758,8 +759,7 @@ object Relational {
     // same aggregate from the parquet source, so a type or value
     // divergence in the ORC path hash-fails)
     "q101_orc_roundtrip" -> ((s, dir) => {
-      val out = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft_q101_orc").toString
+      val out = stagePath("graft_q101_orc", dir)
       val tap = graft.sources.OrcTap(out)
       tap.write(Flow.toDF(
         P(dir, "lineitem").retain("l_orderkey", "l_returnflag", "l_quantity"))(s),
@@ -774,8 +774,7 @@ object Relational {
     // JSON-lines round-trip: schema-on-read (no inference scan), doubles
     // survive Jackson's shortest-round-trip encoding bit-exactly
     "q102_jsonl_roundtrip" -> ((s, dir) => {
-      val out = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft_q102_jsonl").toString
+      val out = stagePath("graft_q102_jsonl", dir)
       val schema = StructType(Seq(
         StructField("o_orderkey", LongType),
         StructField("o_orderstatus", StringType),

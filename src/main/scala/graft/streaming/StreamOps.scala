@@ -52,13 +52,13 @@ object StreamOps {
     * small on a fat stream, or pre-aggregate to tumbling slide-sized
     * panes and roll up). */
   def slidingCounts(events: DataFrame, tsCol: String, keyCol: String,
-                    windowLen: String, slide: String,
-                    watermark: String): DataFrame =
+                    windowLen: String, slide: String, watermark: String,
+                    valueCol: String = "value"): DataFrame =
     events
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), windowLen, slide).as("w"), col(keyCol))
       .agg(count(lit(1)).as("n"),
-        graft.catalyst.ExactMicrosSum.sum(col("value")).as("sum_value"))
+        graft.catalyst.ExactMicrosSum.sum(col(valueCol)).as("sum_value"))
       .select(col("w.start").as("w_start"), col(keyCol), col("n"),
         col("sum_value"))
 

@@ -305,5 +305,13 @@ class FunctionsSpec extends SparkSpec {
       assert(r2.getLong(j) ==
         (Projection.sign(3, j) + Projection.sign(7, j)) * 500000L, s"j=$j")
     }
+    // NON-DEGENERACY: the 8 sign rows, canonicalized up to a global flip,
+    // must be pairwise distinct — a linear parity formula collapses them
+    // to one alternating pattern (rank-1 projection) while still passing
+    // the per-coordinate checks above and any shared-formula oracle
+    val rows = (0 until Projection.OutDim).map(j =>
+      (0 until Projection.InDim).map(i => Projection.sign(i, j)))
+    val canon = rows.map(r => if (r.head < 0) r.map(x => -x) else r)
+    assert(canon.distinct.size == Projection.OutDim, "sign matrix degenerate")
   }
 }

@@ -137,6 +137,19 @@ class GovernanceSpec extends SparkSpec {
     assert(sqlTop == expected)
   }
 
+  test("TopKAgg heap survives NaN: total order, NaN sorts greatest like Spark/DuckDB") {
+    // with IEEE comparisons a NaN at the root would reject every later
+    // value; Double.compare keeps the heap sound and ranks NaN first
+    val h = new graft.catalyst.TopKAgg.Heap(2)
+    h.offer(Double.NaN); h.offer(5.0); h.offer(10.0)
+    val out = h.sortedDesc().toList
+    assert(out.length == 2 && out.head.isNaN && out(1) == 10.0)
+    // no NaN: plain numeric top-k unaffected
+    val h2 = new graft.catalyst.TopKAgg.Heap(2)
+    Seq(1.0, 3.0, 2.0, 9.0).foreach(h2.offer)
+    assert(h2.sortedDesc().toList == List(9.0, 3.0))
+  }
+
   test("profile counts nulls/distincts and canonicalizes min/max in one scan") {
     val df = Seq[(java.lang.Long, String)]((1L, "a"), (2L, "b"), (null, "b"))
       .toDF("k", "s")
