@@ -76,6 +76,21 @@ object Governance {
   def oracleHashBucket(keyExpr: String, salt: String): String =
     s"CAST(concat('0x', substr(md5(concat('$salt', CAST($keyExpr AS VARCHAR))), 1, 10)) AS BIGINT) % 100"
 
+  /** Importance-weighted reproducible keep-predicate: keep probability =
+    * weightPct / 100, membership a pure function of (salt, key) — the
+    * quality-proportional corpus-mixing primitive (sample good docs more
+    * often, reproducibly on any engine/run/partitioning). Integer-exact:
+    * hash40 · 100 < weightPct · 2^40 stays well inside int64. */
+  def weightedKeep(key: Column, weightPct: Column, salt: String): Column =
+    graft.catalyst.Md5Prefix40(concat(lit(salt), key.cast("string"))) * 100 <
+      weightPct.cast("bigint") * (1L << 40)
+
+  /** DuckDB spelling of [[weightedKeep]]. */
+  def oracleWeightedKeep(keyExpr: String, weightExpr: String,
+                         salt: String): String =
+    s"CAST(concat('0x', substr(md5(concat('$salt', CAST($keyExpr AS VARCHAR))), 1, 10)) AS BIGINT) * 100 " +
+      s"< CAST($weightExpr AS BIGINT) * ${1L << 40}"
+
   /** DuckDB spelling of [[splitAssign]]. */
   def oracleSplitAssign(keyExpr: String, trainPct: Int, valPct: Int,
                         salt: String): String = {

@@ -1155,6 +1155,19 @@ object Extensions {
           last(col("sm"), ignoreNulls = true).over(w).as("filled_micros"))
     }),
 
+    // --- importance-weighted sampling: keep probability proportional to
+    // the doc's quality score (the pretraining corpus-mixing move:
+    // upsample good text, downsample junk — reproducibly). Pure
+    // scan-stage predicate, zero exchanges, integer-exact hash compare —
+    // the weighted generalization of q84's fixed-rate strata.
+    "q117_weighted_sample" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), TA.qualityScore(col("text")).as("quality"))
+      d.filter(graft.functions.Governance.weightedKeep(
+          col("doc_id"), col("quality"), "graft-r5w"))
+        .select(col("doc_id"), col("quality"))
+    }),
+
     // --- multimodal plumbing ----------------------------------------------
     "q30_multimodal_meta" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
@@ -1926,6 +1939,14 @@ object Extensions {
         |  PARTITION BY g.user_id ORDER BY g.h ROWS UNBOUNDED PRECEDING) AS BIGINT)
         |  AS filled_micros
         |FROM grid g LEFT JOIN hourly hy ON g.user_id = hy.user_id AND g.h = hy.h""".stripMargin,
+
+    "q117_weighted_sample" -> {
+      val keep = graft.functions.Governance.oracleWeightedKeep(
+        "doc_id", dQualityExpr, "graft-r5w")
+      s"""SELECT doc_id, $dQualityExpr AS quality
+         |FROM documents
+         |WHERE $keep""".stripMargin
+    },
 
     "q98_incremental_dedup" ->
       """SELECT b.doc_id,
