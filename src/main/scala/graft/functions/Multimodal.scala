@@ -108,6 +108,25 @@ object Multimodal {
     } else None
   }
 
+  /** REAL (non-stub) WAV/RIFF header parsing: (channels, sample rate,
+    * bits per sample) from the canonical fmt chunk at fixed offsets —
+    * pure little-endian byte reads, no codec dependency; null for
+    * non-RIFF payloads. The audio counterpart of [[imageDims]]: the
+    * typed-metadata step (filter by sample rate, bucket by channels)
+    * that runs at scan speed before any decode. */
+  def audioMeta(p: Array[Byte]): Option[(Int, Int, Int)] = {
+    @inline def u8(i: Int): Int = p(i) & 0xff
+    @inline def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    @inline def le32(i: Int): Int =
+      u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    if (p.length >= 36 &&
+        u8(0) == 'R' && u8(1) == 'I' && u8(2) == 'F' && u8(3) == 'F' &&
+        u8(8) == 'W' && u8(9) == 'A' && u8(10) == 'V' && u8(11) == 'E' &&
+        u8(12) == 'f' && u8(13) == 'm' && u8(14) == 't' && u8(15) == ' ')
+      Some((le16(22), le32(24), le16(34)))
+    else None
+  }
+
   /** Batched per-partition image-metadata extraction: (id, format, width,
     * height) with nulls for unrecognized payloads — same mapPartitions
     * batch shape as [[extractFeatures]]. */
@@ -124,6 +143,27 @@ object Multimodal {
       it.map { row =>
         imageDims(row.getAs[Array[Byte]](pIdx)) match {
           case Some((f, w, h)) => Row(row.get(idIdx), f, w, h)
+          case None            => Row(row.get(idIdx), null, null, null)
+        }
+      }
+    }(enc)
+  }
+
+  /** Batched per-partition audio-metadata extraction — the [[audioMeta]]
+    * counterpart of [[withImageMeta]]. */
+  def withAudioMeta(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", df.schema(idCol).dataType),
+      StructField("channels", IntegerType),
+      StructField("sample_rate", IntegerType),
+      StructField("bits", IntegerType)))
+    val enc = Encoders.row(schema)
+    val idIdx = df.columns.indexOf(idCol)
+    val pIdx = df.columns.indexOf(payloadCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        audioMeta(row.getAs[Array[Byte]](pIdx)) match {
+          case Some((c, r, b)) => Row(row.get(idIdx), c, r, b)
           case None            => Row(row.get(idIdx), null, null, null)
         }
       }

@@ -1168,6 +1168,33 @@ object Extensions {
         .select(col("doc_id"), col("quality"))
     }),
 
+    // --- audio metadata under the gate (the q100 recipe for sound):
+    // canonical RIFF/WAVE fmt-chunk headers synthesized per doc with
+    // parameters derived from doc_id, parsed back by the production
+    // little-endian byte parser (audioMeta via the mapPartitions batch
+    // path); the oracle recomputes channels/rate/bits arithmetically, so
+    // an offset or endianness bug in the parser fails the hash.
+    "q118_audio_meta" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          (col("doc_id") % 2 + 1).cast("int").as("ch"),
+          (lit(8000) * (col("doc_id") % 5 + 1)).cast("int").as("rate"),
+          (lit(8) * (col("doc_id") % 3 + 1)).cast("int").as("bits"))
+      def le16(x: String) =
+        s"concat(lpad(hex($x % 256), 2, '0'), lpad(hex($x div 256), 2, '0'))"
+      def le32(x: String) =
+        s"concat(lpad(hex($x % 256), 2, '0'), lpad(hex(($x div 256) % 256), 2, '0')," +
+          s" lpad(hex(($x div 65536) % 256), 2, '0'), lpad(hex(($x div 16777216) % 256), 2, '0'))"
+      val payload = d.withColumn("payload", expr(
+        s"""unhex(concat('52494646', '24000000', '57415645', '666D7420',
+           |  '10000000', '0100', ${le16("ch")}, ${le32("rate")},
+           |  '00000000', '0000', ${le16("bits")}))""".stripMargin))
+      graft.functions.Multimodal
+        .withAudioMeta(payload, "doc_id", "payload")
+        .select(col("id").as("doc_id"), col("channels"),
+          col("sample_rate"), col("bits"))
+    }),
+
     // --- multimodal plumbing ----------------------------------------------
     "q30_multimodal_meta" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
@@ -1947,6 +1974,14 @@ object Extensions {
          |FROM documents
          |WHERE $keep""".stripMargin
     },
+
+    // the oracle recomputes the injected audio parameters arithmetically
+    "q118_audio_meta" ->
+      """SELECT doc_id,
+        |CAST(doc_id % 2 + 1 AS INTEGER) AS channels,
+        |CAST(8000 * (doc_id % 5 + 1) AS INTEGER) AS sample_rate,
+        |CAST(8 * (doc_id % 3 + 1) AS INTEGER) AS bits
+        |FROM documents""".stripMargin,
 
     "q98_incremental_dedup" ->
       """SELECT b.doc_id,

@@ -68,6 +68,22 @@ class FunctionsSpec extends SparkSpec {
     assert(meta == Map(1L -> Some("png"), 2L -> None))
   }
 
+  test("audioMeta parses the RIFF fmt chunk little-endian; rejects non-RIFF") {
+    import graft.functions.Multimodal.audioMeta
+    // canonical 36-byte header: stereo, 44100 Hz, 16-bit
+    val wav = (Array[Int]('R', 'I', 'F', 'F', 0x24, 0, 0, 0,
+      'W', 'A', 'V', 'E', 'f', 'm', 't', ' ',
+      16, 0, 0, 0, 1, 0,
+      2, 0,                      // channels le16
+      0x44, 0xac, 0x00, 0x00,    // 44100 le32
+      0, 0, 0, 0, 0, 0,
+      16, 0)                     // bits le16
+      ).map(_.toByte)
+    assert(audioMeta(wav).contains((2, 44100, 16)))
+    assert(audioMeta("RIFFbutnotwave_padding_padding_padding".getBytes).isEmpty)
+    assert(audioMeta(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
   test("int8 quantization bounds reconstruction error; zero vector safe") {
     val vs = Seq(
       (1L, Array(0.5f, -1.0f, 0.25f, 0.127f)),
