@@ -1195,6 +1195,21 @@ object Extensions {
           col("sample_rate"), col("bits"))
     }),
 
+    // --- string/array aggregation (group-concat): collect_list is
+    // UNORDERED in a distributed engine (partition arrival order), so the
+    // deterministic form sorts INSIDE the aggregate result —
+    // sort_array(collect_list(...)) — before joining; the oracle spells
+    // it string_agg(... ORDER BY ...). Also emits the array length so
+    // the gate checks structure, not just the rendered string.
+    "q119_string_agg" -> ((s, dir) =>
+      s.read.parquet(s"$dir/nation.parquet")
+        .join(s.read.parquet(s"$dir/supplier.parquet"),
+          col("n_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).cast("bigint").as("n_supp"),
+          concat_ws(",", sort_array(collect_list(col("s_name"))))
+            .as("suppliers"))),
+
     // --- multimodal plumbing ----------------------------------------------
     "q30_multimodal_meta" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
@@ -1982,6 +1997,12 @@ object Extensions {
         |CAST(8000 * (doc_id % 5 + 1) AS INTEGER) AS sample_rate,
         |CAST(8 * (doc_id % 3 + 1) AS INTEGER) AS bits
         |FROM documents""".stripMargin,
+
+    "q119_string_agg" ->
+      """SELECT n_name, count(*) AS n_supp,
+        |string_agg(s_name, ',' ORDER BY s_name) AS suppliers
+        |FROM nation JOIN supplier ON n_nationkey = s_nationkey
+        |GROUP BY 1""".stripMargin,
 
     "q98_incremental_dedup" ->
       """SELECT b.doc_id,
