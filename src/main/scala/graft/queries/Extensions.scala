@@ -1210,6 +1210,31 @@ object Extensions {
           concat_ws(",", sort_array(collect_list(col("s_name"))))
             .as("suppliers"))),
 
+    // --- explicit window frames: a ROWS sliding frame (last 4 rows'
+    // moving sum) and a time-RANGE frame (all events within the trailing
+    // 10 minutes) in one pass over the same per-user event order. The
+    // range frame keys on integer MICROS (identical ordering + bound
+    // arithmetic in both engines); sums are per-row exact micros so the
+    // frames are hash-gated. Per-user frames = one shuffle + one sort.
+    "q120_window_frames" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("tus"),
+          floor(col("value") * 1e6).cast("bigint").as("vm"))
+      val order = W.partitionBy(col("user_id"))
+        .orderBy(col("tus"), col("event_id"))
+      val rowsW = order.rowsBetween(-3, 0)
+      // range frame must order by ONE numeric key; event_id tiebreak not
+      // allowed — equal-timestamp rows share the frame in both engines
+      val rangeW = W.partitionBy(col("user_id")).orderBy(col("tus"))
+        .rangeBetween(-600L * 1000000L, 0)
+      ev.select(col("user_id"), col("event_id"),
+        sum(col("vm")).over(rowsW).cast("bigint").as("last4_sum"),
+        sum(col("vm")).over(rangeW).cast("bigint").as("last10min_sum"),
+        count(lit(1)).over(rangeW).cast("bigint").as("last10min_n"))
+    }),
+
     // --- multimodal plumbing ----------------------------------------------
     "q30_multimodal_meta" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
@@ -2003,6 +2028,21 @@ object Extensions {
         |string_agg(s_name, ',' ORDER BY s_name) AS suppliers
         |FROM nation JOIN supplier ON n_nationkey = s_nationkey
         |GROUP BY 1""".stripMargin,
+
+    "q120_window_frames" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+        |    CAST(floor(value * 1000000.0) AS BIGINT) AS vm
+        |  FROM events)
+        |SELECT user_id, event_id,
+        |CAST(sum(vm) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS last4_sum,
+        |CAST(sum(vm) OVER (PARTITION BY user_id ORDER BY tus
+        |  RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS last10min_sum,
+        |CAST(count(*) OVER (PARTITION BY user_id ORDER BY tus
+        |  RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS last10min_n
+        |FROM ev""".stripMargin,
 
     "q98_incremental_dedup" ->
       """SELECT b.doc_id,
