@@ -1235,6 +1235,29 @@ object Extensions {
         count(lit(1)).over(rangeW).cast("bigint").as("last10min_n"))
     }),
 
+    // --- distribution-drift monitor: does one source's token-length
+    // profile diverge from the rest of the corpus? Two-sample comparison
+    // on the shared 10-token histogram, scored with the EXACT integer
+    // cross-product L1 statistic Σ|n_i·M − m_i·N| (scale-free: equals
+    // N·M·Σ|p̂_i − q̂_i|) — no floating division, engine-identical. One
+    // scan (conditional partial counts), ~10 bucket keys; the per-bucket
+    // rows localize WHERE the drift is, the statistic rides along.
+    "q121_drift" -> ((s, dir) => {
+      val b = s.read.parquet(s"$dir/documents.parquet")
+        .select((col("source") === "src0").as("is_probe"),
+          (floor(TA.tokenCount(col("text")).cast("long") / 10) * 10)
+            .cast("bigint").as("tok_bucket"))
+        .groupBy(col("tok_bucket"))
+        .agg(sum(when(col("is_probe"), 1L).otherwise(0L)).as("n_probe"),
+          sum(when(col("is_probe"), 0L).otherwise(1L)).as("n_rest"))
+      val tot = b.agg(sum(col("n_probe")).as("m_tot"),
+        sum(col("n_rest")).as("n_tot")).head()
+      val (mTot, nTot) = (tot.getLong(0), tot.getLong(1))
+      b.select(col("tok_bucket"), col("n_probe"), col("n_rest"),
+        abs(col("n_rest") * mTot - col("n_probe") * nTot)
+          .cast("bigint").as("drift_term"))
+    }),
+
     // --- multimodal plumbing ----------------------------------------------
     "q30_multimodal_meta" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
@@ -2043,6 +2066,20 @@ object Extensions {
         |CAST(count(*) OVER (PARTITION BY user_id ORDER BY tus
         |  RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS last10min_n
         |FROM ev""".stripMargin,
+
+    "q121_drift" ->
+      """WITH b AS (
+        |  SELECT CAST(floor(len(string_split(text, ' ')) / 10) * 10 AS BIGINT) AS tok_bucket,
+        |    CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS n_probe,
+        |    CAST(sum(CASE WHEN source = 'src0' THEN 0 ELSE 1 END) AS BIGINT) AS n_rest
+        |  FROM documents GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(n_probe) AS BIGINT) AS m_tot,
+        |    CAST(sum(n_rest) AS BIGINT) AS n_tot FROM b)
+        |SELECT tok_bucket, n_probe, n_rest,
+        |CAST(abs(n_rest * (SELECT m_tot FROM tot)
+        |       - n_probe * (SELECT n_tot FROM tot)) AS BIGINT) AS drift_term
+        |FROM b""".stripMargin,
 
     "q98_incremental_dedup" ->
       """SELECT b.doc_id,
