@@ -1258,6 +1258,38 @@ object Extensions {
           .cast("bigint").as("drift_term"))
     }),
 
+    // --- exact co-moments (the sufficient statistics for covariance/
+    // correlation): per group n, Σx, Σy, Σxy, Σx², Σy² as EXACT integers
+    // (quantity is integral-valued; discount micro-quantized; all bounds
+    // verified inside int64 at sf0.1×100) — moments merge associatively,
+    // which is the scale story: built-in corr() folds doubles in
+    // partition order (non-deterministic rounding), while exact integer
+    // moments are order-free and the statistic derives at the end. The
+    // derived corr² uses only +−×÷ on the exact inputs (a fixed IEEE
+    // tree — no sqrt/libm), so even the double column hash-matches.
+    "q122_exact_moments" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_returnflag"),
+          col("l_quantity").cast("bigint").as("x"),
+          floor(col("l_discount") * 1e6).cast("bigint").as("y"))
+      li.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sum_x"), sum(col("y")).as("sum_y"),
+          sum(col("x") * col("y")).as("sum_xy"),
+          sum(col("x") * col("x")).as("sum_x2"),
+          sum(col("y") * col("y")).as("sum_y2"))
+        .withColumn("corr_sq", {
+          // combine in DOUBLE (cast each exact moment first): n·Σxy
+          // would overflow int64 beyond ~sf1, and the all-double tree of
+          // ×−÷ is IEEE-identical across engines anyway
+          def d(c: String) = col(c).cast("double")
+          val num = d("n") * d("sum_xy") - d("sum_x") * d("sum_y")
+          (num * num) /
+            ((d("n") * d("sum_x2") - d("sum_x") * d("sum_x")) *
+             (d("n") * d("sum_y2") - d("sum_y") * d("sum_y")))
+        })
+    }),
+
     // --- multimodal plumbing ----------------------------------------------
     "q30_multimodal_meta" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
@@ -2080,6 +2112,29 @@ object Extensions {
         |CAST(abs(n_rest * (SELECT m_tot FROM tot)
         |       - n_probe * (SELECT n_tot FROM tot)) AS BIGINT) AS drift_term
         |FROM b""".stripMargin,
+
+    "q122_exact_moments" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y,
+        |    CAST(sum(x * y) AS BIGINT) AS sum_xy,
+        |    CAST(sum(x * x) AS BIGINT) AS sum_x2,
+        |    CAST(sum(y * y) AS BIGINT) AS sum_y2
+        |  FROM (
+        |    SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+        |      CAST(floor(l_discount * 1000000.0) AS BIGINT) AS y
+        |    FROM lineitem)
+        |  GROUP BY 1)
+        |SELECT l_returnflag, n, sum_x, sum_y, sum_xy, sum_x2, sum_y2,
+        |((CAST(n AS DOUBLE) * CAST(sum_xy AS DOUBLE)
+        |    - CAST(sum_x AS DOUBLE) * CAST(sum_y AS DOUBLE))
+        | * (CAST(n AS DOUBLE) * CAST(sum_xy AS DOUBLE)
+        |    - CAST(sum_x AS DOUBLE) * CAST(sum_y AS DOUBLE)))
+        | / ((CAST(n AS DOUBLE) * CAST(sum_x2 AS DOUBLE)
+        |    - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE))
+        |  * (CAST(n AS DOUBLE) * CAST(sum_y2 AS DOUBLE)
+        |    - CAST(sum_y AS DOUBLE) * CAST(sum_y AS DOUBLE))) AS corr_sq
+        |FROM m""".stripMargin,
 
     "q98_incremental_dedup" ->
       """SELECT b.doc_id,
