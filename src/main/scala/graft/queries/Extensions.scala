@@ -28,6 +28,17 @@ object Extensions {
   private val SampleSalt = "graft-r5"
   private val PipeSalt = "graft-r5-pipe"
   private val SplitSalt = "graft-r5-split"
+  /** Probe words for q104 (blocked fuzzy match). The synthetic corpus has
+    * no distance-≤2 pair sharing a first letter, so without these the gate
+    * is vacuous (0=0). Expected matches: (graftmatch, graftmatchx) d=1
+    * same length-bucket; (graftmatch, graftmatchxz) d=2 ACROSS the 10→12
+    * char bucket boundary (exercises the radius-1 neighbor expansion);
+    * (graftmatchx, graftmatchxz) d=1 across the boundary. The grovenone/
+    * grovenzzz pair is d=3 and must NOT match. Shared verbatim with the
+    * oracle SQL; FuzzyMatchSpec asserts the distances independently. */
+  private[queries] val CraftedFuzzyWords = Seq(
+    "graftmatch", "graftmatchx", "graftmatchxz", "grovenone", "grovenzzz")
+
   private val ProfileSpecs = Seq(
     graft.functions.Profile.ColSpec("l_orderkey", "long"),
     graft.functions.Profile.ColSpec("l_quantity", "micros"),
@@ -478,10 +489,25 @@ object Extensions {
     }),
 
     // --- embedding-cosine near-dup (LSH-bucketed, threshold-verified) -----
+    // The synthetic embeddings are near-orthogonal (no pair reaches 0.95),
+    // so the raw table gated vacuously at 0=0. Augment in-query with
+    // deterministic near-dups, mirrored verbatim in the oracle: exact
+    // copies of vec_id<5 (+100000 — same bucket, sim 1.0, guaranteed
+    // emission) and element-0-perturbed copies of vec_id∈[5,8) (+200000 —
+    // float +0.25 is IEEE-identical on both engines; emitted iff the
+    // perturbed vector still lands in its source's sign-bucket, which both
+    // engines decide identically).
     "q43_emb_neardup" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val dups = e.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+      val near = e.filter(col("vec_id") >= 5 && col("vec_id") < 8)
+        .select((col("vec_id") + 200000).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            when(i === 0, x + lit(0.25f)).otherwise(x)).as("embedding"))
       graft.functions.Similarity.embeddingNearDups(
-        e, "vec_id", "embedding", simThreshold = 0.95)
+        e.union(dups).union(near), "vec_id", "embedding", simThreshold = 0.95)
     }),
 
     // --- exact interpolated percentiles, scale-safe form: micro-bucket
@@ -856,31 +882,24 @@ object Extensions {
           min(col("ym")).as("min_y"), max(col("ym")).as("max_y"))
     }),
 
-    // --- blocked fuzzy matching (entity-resolution shape): candidate
-    // pairs come from BLOCKS — (first char, length bucket) — never from
-    // the full cross product, so the pair count stays near-linear while
-    // the edit-distance filter runs only within blocks. An unblocked
-    // fuzzy join at 100 TB is a cartesian disaster. Distance ≤ 2 allows
-    // lengths to differ by up to 2, which can CROSS a width-2 bucket
-    // boundary — so one side expands into its bucket and both neighbors
-    // (3 join keys per word; each true pair still joins exactly once
-    // because the probe side's own bucket is a single value). Both
-    // engines spell levenshtein identically (unit edit costs).
+    // --- blocked fuzzy matching (entity-resolution shape): see
+    // FuzzyMatch.blockedPairs for the blocking design. Both engines spell
+    // levenshtein identically (unit edit costs).
     "q104_fuzzy_match" -> ((s, dir) => {
+      import s.implicits._
+      // The corpus's only distance-≤2 pairs differ in their FIRST letter,
+      // which first-char blocking legitimately drops (known recall bound of
+      // the block key) — so the corpus alone yields 0 rows and the gate was
+      // vacuous. Crafted probe words (mirrored verbatim in the oracle SQL)
+      // make the match set non-empty: dist-1 same-bucket, dist-2 ACROSS a
+      // length-bucket boundary (10→12 chars: bucket 5→6, the radius-1
+      // expansion path), and a dist-3 pair that must NOT match.
+      val probes = CraftedFuzzyWords.toDF("w")
       val words = s.read.parquet(s"$dir/documents.parquet")
         .select(regexp_extract(col("text"), "^([A-Za-z]+)", 1).as("w"))
-        .filter(length(col("w")) >= 4).distinct()
-        .select(col("w"), substring(col("w"), 1, 1).as("blk_c"),
-          floor(length(col("w")) / 2).as("blk_l"))
-      val a = words.select(col("w").as("w1"), col("blk_c"), col("blk_l"))
-      val b = words.select(col("w").as("w2"), col("blk_c"),
-          explode(array(col("blk_l") - 1, col("blk_l"),
-            col("blk_l") + 1)).as("blk_l"))
-      a.join(b, Seq("blk_c", "blk_l"))
-        .filter(col("w1") < col("w2") &&
-          levenshtein(col("w1"), col("w2")) <= 2)
-        .select(col("w1"), col("w2"),
-          levenshtein(col("w1"), col("w2")).as("dist"))
+        .union(probes)
+        .filter(length(col("w")) >= 4)
+      graft.functions.FuzzyMatch.blockedPairs(words, "w", maxDist = 2)
     }),
 
     // --- signed random projection (64 → 8 dims) over the embeddings
@@ -1705,8 +1724,19 @@ object Extensions {
         |GROUP BY 1""".stripMargin,
 
     "q43_emb_neardup" ->
-      s"""WITH b AS (SELECT vec_id AS id, embedding AS vec,
-         |  ${dBucket("embedding", 8)} AS bucket FROM embeddings)
+      s"""WITH base AS (SELECT vec_id, embedding FROM embeddings),
+         |aug AS (
+         |  SELECT vec_id, embedding FROM base
+         |  UNION ALL
+         |  SELECT vec_id + 100000, embedding FROM base WHERE vec_id < 5
+         |  UNION ALL
+         |  SELECT vec_id + 200000,
+         |    list_transform(embedding, (x, i) ->
+         |      CASE WHEN i = 1 THEN CAST(x + CAST(0.25 AS FLOAT) AS FLOAT)
+         |           ELSE x END)
+         |  FROM base WHERE vec_id >= 5 AND vec_id < 8),
+         |b AS (SELECT vec_id AS id, embedding AS vec,
+         |  ${dBucket("embedding", 8)} AS bucket FROM aug)
          |SELECT l.id AS id1, r.id AS id2, ${dCos("l.vec", "r.vec")} AS sim
          |FROM b l JOIN b r ON l.bucket = r.bucket AND l.id < r.id
          |WHERE ${dCos("l.vec", "r.vec")} >= 0.95""".stripMargin,
@@ -1904,19 +1934,25 @@ object Extensions {
          |FROM z GROUP BY 1""".stripMargin
     },
 
-    // neighbor-bucket expansion spelled as |bucket difference| <= 1
-    "q104_fuzzy_match" ->
-      """WITH words AS (
-        |  SELECT DISTINCT regexp_extract(text, '^([A-Za-z]+)', 1) AS w
-        |  FROM documents
-        |  WHERE length(regexp_extract(text, '^([A-Za-z]+)', 1)) >= 4)
-        |SELECT a.w AS w1, b.w AS w2,
-        |CAST(levenshtein(a.w, b.w) AS INTEGER) AS dist
-        |FROM words a JOIN words b
-        |  ON substr(a.w, 1, 1) = substr(b.w, 1, 1)
-        | AND abs(length(a.w) // 2 - length(b.w) // 2) <= 1
-        | AND a.w < b.w
-        |WHERE levenshtein(a.w, b.w) <= 2""".stripMargin,
+    // neighbor-bucket expansion spelled as |bucket difference| <= 1;
+    // crafted probe words unioned in exactly as the Spark side does
+    "q104_fuzzy_match" -> {
+      val vals = CraftedFuzzyWords.map(w => s"('$w')").mkString(", ")
+      s"""WITH words AS (
+         |  SELECT DISTINCT w FROM (
+         |    SELECT regexp_extract(text, '^([A-Za-z]+)', 1) AS w
+         |    FROM documents
+         |    UNION ALL
+         |    SELECT w FROM (VALUES $vals) probes(w))
+         |  WHERE length(w) >= 4)
+         |SELECT a.w AS w1, b.w AS w2,
+         |CAST(levenshtein(a.w, b.w) AS INTEGER) AS dist
+         |FROM words a JOIN words b
+         |  ON substr(a.w, 1, 1) = substr(b.w, 1, 1)
+         | AND abs(length(a.w) // 2 - length(b.w) // 2) <= 1
+         | AND a.w < b.w
+         |WHERE levenshtein(a.w, b.w) <= 2""".stripMargin
+    },
 
     "q105_random_projection" -> {
       val p = graft.functions.Projection

@@ -224,10 +224,16 @@ object Relational {
         .groupBy("c_mktsegment")
         .every(Aggs.count("n_customers")))(s)),
 
-    // Left-anti join: customers with no orders
+    // Left-anti join: customers with no LARGE orders. The right side is
+    // filtered (o_totalprice > 300000) so the anti-join is non-vacuous at
+    // every SF — the unfiltered "no orders at all" form returned 0 rows on
+    // the synthetic fixtures, which proves nothing (an inverted anti-join
+    // would also return 0=0).
     "q14_antijoin" -> ((s, dir) => Flow.toDF(
       P(dir, "customer")
-        .hashJoin(Seq("c_custkey"), P(dir, "orders").retain("o_custkey"),
+        .hashJoin(Seq("c_custkey"),
+          P(dir, "orders").filterBy(SqlFilter("o_totalprice > 300000"))
+            .retain("o_custkey"),
           Seq("o_custkey"), joiner = Joiner.LeftAnti)
         .retain("c_custkey", "c_mktsegment"))(s)),
 
@@ -290,11 +296,15 @@ object Relational {
         .intersect(P(dir, "orders").filterBy(SqlFilter("o_totalprice > 150000"))
           .retain("o_orderpriority")))(s)),
 
-    // Except (set difference)
+    // Except (set difference): customers minus positive-balance customers
+    // → the negative/zero-balance customer keys. Keyed by c_custkey so the
+    // difference is non-vacuous (the old c_mktsegment form was 0-row: every
+    // segment has at least one positive-balance customer, so set-minus on
+    // the 5 segment values was always empty — a vacuous gate).
     "q35_except" -> ((s, dir) => Flow.toDF(
-      P(dir, "customer").retain("c_mktsegment")
+      P(dir, "customer").retain("c_custkey", "c_mktsegment")
         .except(P(dir, "customer").filterBy(SqlFilter("c_acctbal > 0"))
-          .retain("c_mktsegment")))(s)),
+          .retain("c_custkey", "c_mktsegment")))(s)),
 
     // n-way CoGroup with mixed join types in one flow (SURVEY §2.5 Mixed)
     "q36_nway_mixed" -> ((s, dir) => Flow.toDF(
@@ -870,7 +880,8 @@ object Relational {
 
     "q14_antijoin" ->
       """SELECT c_custkey, c_mktsegment FROM customer
-        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin,
+        |WHERE c_custkey NOT IN
+        |  (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)""".stripMargin,
 
     "q15_global_agg" ->
       s"""SELECT count(*) AS n, ${dsum("l_quantity")} AS sum_qty,
@@ -906,9 +917,10 @@ object Relational {
         |SELECT o_orderpriority FROM orders WHERE o_totalprice > 150000""".stripMargin,
 
     "q35_except" ->
-      """SELECT c_mktsegment FROM customer
+      """SELECT c_custkey, c_mktsegment FROM customer
         |EXCEPT
-        |SELECT c_mktsegment FROM customer WHERE c_acctbal > 0""".stripMargin,
+        |SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE c_acctbal > 0""".stripMargin,
 
     "q36_nway_mixed" ->
       s"""SELECT c_mktsegment, count(*) AS n_rows,

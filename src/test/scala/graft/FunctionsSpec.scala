@@ -330,4 +330,34 @@ class FunctionsSpec extends SparkSpec {
     val canon = rows.map(r => if (r.head < 0) r.map(x => -x) else r)
     assert(canon.distinct.size == Projection.OutDim, "sign matrix degenerate")
   }
+
+  test("blocked fuzzy match: d=1/2 found, d=3 dropped, boundary pairs join") {
+    import graft.functions.FuzzyMatch
+    // kitten/sitten d=1 same bucket; kitten/sittin d=2 BUT first chars
+    // differ → dropped by blocking (documented recall bound).
+    // abcdefghij(10, bkt 5) vs abcdefghijxz(12, bkt 6): d=2 and the
+    // lengths STRADDLE a block boundary — found only via the radius-1
+    // neighbor expansion (the bug class the round-5 review fixed blind).
+    // abcdefghijx(11, bkt 5) d=1 to both. qqqaaa/qqqbbb d=3 → dropped.
+    val words = Seq("kitten", "sitten", "sittin",
+      "abcdefghij", "abcdefghijx", "abcdefghijxz",
+      "qqqaaa", "qqqbbb").toDF("w")
+    val got = FuzzyMatch.blockedPairs(words, "w", maxDist = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(got == Set(
+      ("sitten", "sittin", 1),                 // d=1, same block
+      ("abcdefghij", "abcdefghijx", 1),        // d=1, same bucket
+      ("abcdefghij", "abcdefghijxz", 2),       // d=2, ACROSS bucket 5→6
+      ("abcdefghijx", "abcdefghijxz", 1)))     // d=1, across bucket 5→6
+    // d=3 within one block is dropped by the distance filter, not blocking
+    assert(!got.exists(p => p._1 == "qqqaaa"))
+    // each cross-boundary pair appears exactly once (no double emission
+    // from the 3-key expansion)
+    val all = FuzzyMatch.blockedPairs(words, "w", maxDist = 2).collect()
+    assert(all.length == all.map(r => (r.getString(0), r.getString(1))).distinct.length)
+    // expansion radius guard: maxDist beyond bucket coverage fails loudly
+    intercept[IllegalArgumentException] {
+      FuzzyMatch.blockedPairs(words, "w", maxDist = 3)
+    }
+  }
 }
