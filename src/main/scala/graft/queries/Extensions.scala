@@ -81,8 +81,14 @@ object Extensions {
     * tie, and a tie that reorders a later slice before an earlier one
     * breaks the intended batch order. With `maxFilesPerTrigger=1` each
     * slice then becomes exactly one micro-batch, in staging order. */
-  private def stageSliced(in: String, slices: Seq[DataFrame]): Unit = {
+  private def stageSliced(in: String, slices: Seq[DataFrame],
+                          baseIdx: Int = 0): Unit = {
     val seen = scala.collection.mutable.Set.empty[String]
+    // pre-existing files (earlier staging phase, e.g. the checkpoint-
+    // recovery query's post-restart slices) keep their pinned mtimes;
+    // baseIdx continues the sequence after them
+    Option(new java.io.File(in).listFiles()).toSeq.flatten
+      .foreach(f => seen += f.getName)
     slices.zipWithIndex.foreach { case (df, i) =>
       df.coalesce(1).write.mode("append").parquet(in)
       new java.io.File(in).listFiles()
@@ -92,7 +98,7 @@ object Extensions {
           // fail LOUDLY if the fs refuses: silent mtime-pinning failure
           // resurrects the nondeterministic batch-order bug this exists
           // to prevent
-          require(f.setLastModified(1600000000000L + i * 60000L),
+          require(f.setLastModified(1600000000000L + (baseIdx + i) * 60000L),
             s"setLastModified failed for $f — cannot pin staging order")
         }
     }
@@ -1309,6 +1315,78 @@ object Extensions {
         })
     }),
 
+    // --- streaming checkpoint recovery: the q112 session-window pipeline
+    // run as TWO stream executions over ONE checkpoint. Run 1 sees only
+    // the first two time slices, runs on a ProcessingTime trigger (so it
+    // stays live after catching up), and is stop()ped mid-life once both
+    // micro-batches have committed. The remaining slices are staged, and
+    // run 2 — a NEW StreamingQuery object — restarts from the same
+    // checkpoint: the file-source offsets log skips the already-processed
+    // files and the state store restores the OPEN sessions, so sessions
+    // spanning the kill point aggregate exactly as an unbroken run (and
+    // as the batch oracle). `spans_restart` is the driver-visible proof:
+    // run-1 commits ≥ 2 and strictly fewer than total commits, pinned
+    // TRUE by the oracle — a run that never restarted fails the gate. At
+    // 100 TB this is the operator contract that matters most: a
+    // 1000-executor stream WILL lose its driver mid-run, and correctness
+    // must survive the resume, not just the happy path.
+    "q123_stream_checkpoint_recovery" -> ((s, dir) => {
+      val (in, out, chk) = freshStreamDirs("graft_q123_stream")
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("value"))
+      val sentinel = ev.limit(1)
+        .withColumn("ts", expr("timestamp'2100-01-01 00:00:00'"))
+        .withColumn("user_id", lit(-1L))
+      val Array(tMin, tMax) = ev.agg(min(col("ts")), max(col("ts"))).head()
+        .toSeq.map(_.asInstanceOf[java.sql.Timestamp].getTime).toArray
+      val (t1, t2) = (tMin + (tMax - tMin) / 3, tMin + 2 * (tMax - tMin) / 3)
+      def ms = unix_millis(col("ts"))
+      def commits: Int = Option(new java.io.File(s"$chk/commits").listFiles())
+        .toSeq.flatten.count(_.getName.forall(_.isDigit))
+      val run1CommitCount = withStreamPartitions(s, 8) {
+        def start(trigger: org.apache.spark.sql.streaming.Trigger) =
+          graft.streaming.StreamOps.readStream(s, in, ev.schema,
+              Map("maxFilesPerTrigger" -> "1"))
+            .withWatermark("ts", "4 hours")
+            .groupBy(col("user_id"),
+              session_window(col("ts"), "30 minutes").as("sw"))
+            .agg(count(lit(1)).as("n_events"),
+              graft.catalyst.ExactMicrosSum.sum(col("value")).as("sum_value"))
+            .select(col("user_id"), col("sw.start").as("start_ts"),
+              col("sw.end").as("end_ts"), col("n_events"), col("sum_value"))
+            .writeStream
+            .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+            .format("parquet").option("path", out)
+            .option("checkpointLocation", chk)
+            .trigger(trigger)
+            .start()
+        // run 1: two slices, live trigger, killed after both batches commit
+        stageSliced(in, Seq(ev.filter(ms < t1),
+          ev.filter(ms >= t1 && ms < t2)))
+        val q1 = start(
+          org.apache.spark.sql.streaming.Trigger.ProcessingTime("200 milliseconds"))
+        val deadline = System.nanoTime + 120L * 1000000000L
+        while (commits < 2 && System.nanoTime < deadline) Thread.sleep(100)
+        q1.stop(); q1.awaitTermination()
+        val run1Commits = commits
+        require(run1Commits >= 2,
+          s"run 1 committed only $run1Commits batches before the kill")
+        // run 2: remaining slices + sentinel, fresh query, same checkpoint
+        stageSliced(in, Seq(ev.filter(ms >= t2), sentinel), baseIdx = 2)
+        val q2 = start(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        q2.awaitTermination()
+        run1Commits
+      }
+      // the block yields run-1's commit count; more commits exist now iff
+      // the restarted query processed batches of its own
+      val spansRestart = commits > run1CommitCount
+      s.read.parquet(out)
+        .filter(col("user_id") =!= -1L)
+        .select(col("user_id"), col("start_ts"), col("end_ts"),
+          col("n_events"), col("sum_value"),
+          lit(spansRestart).as("spans_restart"))
+    }),
+
     // --- multimodal plumbing ----------------------------------------------
     "q30_multimodal_meta" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
@@ -2033,6 +2111,31 @@ object Extensions {
 
     // identical SQL to q111: the streaming session_window run must
     // reproduce the batch result exactly
+    // identical sessionization to q112 — the restart must be INVISIBLE in
+    // the data; spans_restart=TRUE pins that the run provably crossed a
+    // checkpoint recovery (the Spark side computes it from the commit log)
+    "q123_stream_checkpoint_recovery" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |       OR epoch_us(CAST(ts AS TIMESTAMP))
+        |        - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) >= 1800000000
+        |       THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sessions AS (
+        |  SELECT user_id, ts, value,
+        |  sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged)
+        |SELECT user_id,
+        |CAST(min(ts) AS TIMESTAMP) AS start_ts,
+        |CAST(max(ts) AS TIMESTAMP) + INTERVAL 30 MINUTE AS end_ts,
+        |count(*) AS n_events,
+        |CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+        |TRUE AS spans_restart
+        |FROM sessions GROUP BY user_id, sid""".stripMargin,
+
     "q112_stream_session_window" ->
       """WITH flagged AS (
         |  SELECT user_id, event_id, ts, value,
