@@ -1,0 +1,37 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Domain guards for the exact integer co-moment pattern (q122): per-group
+  * n, Σx, Σy, Σxy, Σx², Σy² over int64. The moments merge associatively
+  * (the scale story vs double-folding `corr()`), but int64 accumulation is
+  * only exact while `n · max|x·y|`, `n · max(x²)`, `n · max(y²)` all stay
+  * inside 2^63 — so the input domain is CHECKED, not assumed, mirroring
+  * ExactMicrosSum's micros-domain error. The headroom proof
+  * (DesignRowsMax × bound² < Long.MaxValue) is pinned in ExactSumSpec.
+  */
+object ExactMoments {
+  /** |x| bound: integral quantity domain (TPC-H l_quantity ≤ 50). */
+  val XMax = 64L
+  /** |y| bound in micros: micro-quantized rate ≤ 0.11 (l_discount ≤ 0.10
+    * plus headroom). */
+  val YMaxMicros = 110000L
+  /** Largest per-group row count at the 100× design point (sf0.1 × 100 =
+    * sf10 → largest l_returnflag group ≈ 3e7 rows; 1e8 adds 3× margin). */
+  val DesignRowsMax = 100000000L
+
+  /** Pass `c` through iff |c| ≤ bound, else raise a directed error naming
+    * the violated bound — a silent int64 wrap in a moment column would
+    * corrupt every derived statistic downstream. Codegen'd branch on the
+    * scan, no extra pass. */
+  def guard(c: Column, bound: Long, name: String): Column =
+    when(abs(c) <= bound, c).otherwise(raise_error(concat(
+      lit(s"exact_moments: |$name| exceeds $bound, outside the int64 " +
+        s"headroom proof (DesignRowsMax=$DesignRowsMax, see ExactSumSpec) " +
+        "— re-derive the bounds or use decimal moments; value="),
+      c.cast("string"))))
+
+  def guardX(c: Column): Column = guard(c, XMax, "x")
+  def guardY(c: Column): Column = guard(c, YMaxMicros, "y")
+}

@@ -1285,18 +1285,20 @@ object Extensions {
 
     // --- exact co-moments (the sufficient statistics for covariance/
     // correlation): per group n, Σx, Σy, Σxy, Σx², Σy² as EXACT integers
-    // (quantity is integral-valued; discount micro-quantized; all bounds
-    // verified inside int64 at sf0.1×100) — moments merge associatively,
+    // (quantity is integral-valued; discount micro-quantized; input bounds
+    // CHECKED by ExactMoments.guard with the int64 headroom at sf0.1×100
+    // pinned in ExactSumSpec) — moments merge associatively,
     // which is the scale story: built-in corr() folds doubles in
     // partition order (non-deterministic rounding), while exact integer
     // moments are order-free and the statistic derives at the end. The
     // derived corr² uses only +−×÷ on the exact inputs (a fixed IEEE
     // tree — no sqrt/libm), so even the double column hash-matches.
     "q122_exact_moments" -> ((s, dir) => {
+      val M = graft.functions.ExactMoments
       val li = s.read.parquet(s"$dir/lineitem.parquet")
         .select(col("l_returnflag"),
-          col("l_quantity").cast("bigint").as("x"),
-          floor(col("l_discount") * 1e6).cast("bigint").as("y"))
+          M.guardX(col("l_quantity").cast("bigint")).as("x"),
+          M.guardY(floor(col("l_discount") * 1e6).cast("bigint")).as("y"))
       li.groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
           sum(col("x")).as("sum_x"), sum(col("y")).as("sum_y"),

@@ -114,4 +114,48 @@ class ExactSumSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getDouble(1))).toSeq
     assert(got == Seq((1, 3.75), (2, 0.000001)))
   }
+
+  test("exact co-moments: int64 headroom proof at the 100x design point") {
+    // the q122 moment columns stay exact iff every per-group sum of the
+    // largest products fits int64 — prove it from the CHECKED bounds, in
+    // BigInt so the proof itself cannot overflow
+    import graft.functions.ExactMoments._
+    val worst = Seq(
+      "sum_x2" -> BigInt(XMax) * XMax,
+      "sum_y2" -> BigInt(YMaxMicros) * YMaxMicros,
+      "sum_xy" -> BigInt(XMax) * YMaxMicros)
+    for ((name, perRow) <- worst)
+      assert(BigInt(DesignRowsMax) * perRow < BigInt(Long.MaxValue),
+        s"$name: $DesignRowsMax rows x $perRow per row exceeds int64")
+    // and the design row bound really covers 100x sf0.1: the largest
+    // l_returnflag group scales to ~3e7 rows at sf10, 3x inside the bound
+    val sf01Largest = spark.read.parquet(s"${sf("sf0.1")}/lineitem.parquet")
+      .groupBy("l_returnflag").count().agg(max("count")).head().getLong(0)
+    assert(sf01Largest * 100 <= DesignRowsMax,
+      s"100x sf0.1 largest group ${sf01Largest * 100} exceeds DesignRowsMax")
+  }
+
+  test("exact co-moments: out-of-domain inputs raise the directed error") {
+    import graft.functions.ExactMoments
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.toString + chain(t.getCause)
+    // y beyond the micro-rate domain (e.g. a rate column above 0.11)
+    val exY = intercept[Exception] {
+      Seq(200000L).toDF("y")
+        .agg(sum(ExactMoments.guardY(col("y")) * ExactMoments.guardY(col("y"))))
+        .collect()
+    }
+    assert(chain(exY).contains("exact_moments"))
+    // x beyond the quantity domain
+    val exX = intercept[Exception] {
+      Seq(100L).toDF("x")
+        .agg(sum(ExactMoments.guardX(col("x")))).collect()
+    }
+    assert(chain(exX).contains("exact_moments"))
+    // in-domain values pass through unchanged
+    val ok = Seq((3L, 100000L), (5L, -99999L)).toDF("x", "y")
+      .agg(sum(ExactMoments.guardX(col("x")) * ExactMoments.guardY(col("y"))))
+      .head().getLong(0)
+    assert(ok == 3L * 100000L + 5L * -99999L)
+  }
 }

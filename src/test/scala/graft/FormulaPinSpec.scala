@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Brute-force recomputation pins for gate queries whose Spark and DuckDB
+  * spellings are GENERATED FROM THE SAME CONSTANTS — the cross-engine hash
+  * gate is blind to a wrong formula shared by both sides, so each
+  * statistic is recomputed here from first principles (plain Scala over a
+  * hand-built corpus) and compared against the registered query itself.
+  * q105 has the same treatment in FunctionsSpec (sign-matrix
+  * non-degeneracy); these cover q115 (surprisal) and q121 (drift). */
+class FormulaPinSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Write a tiny documents table and return its dir (the registered
+    * queries read `$dir/documents.parquet`). */
+  private def stageDocs(rows: Seq[(Long, String, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("formula_pin").toString
+    rows.toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q115 surprisal: floor-log2 bits match brute force and -log2 p within 1 bit") {
+    // 3 docs, 12 tokens total: 'aa'×6, 'bb'×3, 'cc'×2, 'dd'×1
+    val docs = Seq(
+      (1L, "aa aa aa bb cc dd", "s0"),
+      (2L, "aa aa bb cc", "s0"),
+      (3L, "aa bb", "s0"))
+    val dir = stageDocs(docs)
+    val got = SparkEntry.queries("q115_surprisal")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    // brute force from first principles, independent of the query's code
+    val toks = docs.flatMap { case (id, text, _) =>
+      text.split(" ").map(id -> _) }
+    val cnt = toks.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val n = toks.size.toLong
+    def flog2(x: Long) = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    def bits(t: String) = flog2(n) - flog2(cnt(t))
+    val expect = toks.groupBy(_._1).view.mapValues { ts =>
+      (ts.size.toLong, ts.map(t => bits(t._2)).sum) }.toMap
+    assert(got == expect, s"got=$got expect=$expect")
+
+    // semantic pin: the integer bits are the QUANTIZED true surprisal —
+    // within 1 bit of -log2 p(tok) for every token (floor(log2 N) −
+    // floor(log2 c) vs log2(N/c) differ by less than 1 either way)
+    for (t <- cnt.keys) {
+      val truth = -math.log(cnt(t).toDouble / n) / math.log(2)
+      assert(math.abs(bits(t) - truth) < 1.0, s"token $t: ${bits(t)} vs $truth")
+    }
+    // and it is NOT degenerate: the rarest token is strictly more
+    // surprising than the most common one
+    assert(bits("dd") > bits("aa"))
+  }
+
+  test("q121 drift: exact integer L1 statistic matches brute force and N·M·Σ|p−q|") {
+    // probe source src0 skewed long (20-token docs), rest short (10-token)
+    def words(k: Int) = Seq.fill(k)("w").mkString(" ")
+    val docs = Seq(
+      (1L, words(20), "src0"), (2L, words(20), "src0"), (3L, words(10), "src0"),
+      (4L, words(10), "srcA"), (5L, words(10), "srcA"), (6L, words(10), "srcB"),
+      (7L, words(20), "srcB"), (8L, words(30), "srcB"))
+    val dir = stageDocs(docs)
+    val got = SparkEntry.queries("q121_drift")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+
+    // brute force: bucket = floor(tokens/10)*10 over a whitespace count
+    val bucketed = docs.map { case (_, text, src) =>
+      (text.split(" ").length / 10 * 10).toLong -> (src == "src0") }
+    val buckets = bucketed.map(_._1).distinct
+    val m = bucketed.count(_._2).toLong  // probe total
+    val n = bucketed.count(!_._2).toLong // rest total
+    val expect = buckets.map { b =>
+      val np = bucketed.count(x => x._1 == b && x._2).toLong
+      val nr = bucketed.count(x => x._1 == b && !x._2).toLong
+      b -> (np, nr, math.abs(nr * m - np * n))
+    }.toMap
+    assert(got == expect, s"got=$got expect=$expect")
+
+    // semantic pin: Σ drift_term == N·M·Σ|p̂_i − q̂_i| (the scale-free
+    // two-sample L1 distance), recomputed in floating point
+    val l1 = buckets.map { b =>
+      val p = bucketed.count(x => x._1 == b && x._2).toDouble / m
+      val q = bucketed.count(x => x._1 == b && !x._2).toDouble / n
+      math.abs(p - q)
+    }.sum
+    val driftSum = got.values.map(_._3).sum.toDouble
+    assert(math.abs(driftSum - n * m * l1) < 1e-6 * n * m,
+      s"sum=$driftSum vs nmL1=${n * m * l1}")
+    // non-degeneracy: the designed skew is detected (nonzero statistic)
+    assert(driftSum > 0)
+  }
+}
