@@ -764,6 +764,54 @@ object Relational {
         .orderBy("revenue" -> false, "c_custkey" -> true)
         .limit(20))(s)),
 
+    // TPC-H Q1 shape: the flagship pricing-summary aggregate — one full
+    // scan of the widest fact table, FOUR exact-micros sums per group over
+    // compound expressions, plus derived averages. This is the query shape
+    // the ExactMicrosSum kernel exists for: partial aggregation is map-side
+    // (6 groups), the shuffle moves 6 rows/partition, and every sum is
+    // order-independent int128 micros so the gate is hash-exact. The
+    // averages derive from exact sums by one IEEE division (identical on
+    // both engines) — never a double-folding avg().
+    "q124_tpch_q1" -> ((s, dir) => Flow.toDF(
+      P(dir, "lineitem")
+        .filterBy(SqlFilter("l_shipdate <= timestamp '1998-09-02'"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .every(
+          Aggs.agg("sum_qty", xsum("l_quantity")),
+          Aggs.agg("sum_base_price", xsum("l_extendedprice")),
+          Aggs.agg("sum_disc_price", xsum("l_extendedprice * (1 - l_discount)")),
+          Aggs.agg("sum_charge",
+            xsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)")),
+          Aggs.count("count_order")))(s)
+      .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+      .withColumn("avg_price", col("sum_base_price") / col("count_order"))),
+
+    // TPC-H Q18 shape: large-volume-customer — a GroupBy+Every HAVING
+    // aggregate feeding a SEMI-join back into the fact chain (the Cascading
+    // assembly shape q94/q95 do not cover: an aggregated pipe as the right
+    // side of a coGroup). The having side is ORDER-cardinality — fact-
+    // sized at 100 TB — so it goes through the SHUFFLE semi-join path
+    // (coGroup, never hashJoin/broadcast; PlanAuditSpec pins this with
+    // auto-broadcast off) and, sharing the o_orderkey key with the
+    // downstream lineitem coGroup, its shuffle partitioning is reused.
+    "q125_tpch_q18" -> ((s, dir) => Flow.toDF(
+      P(dir, "orders")
+        .coGroup(Seq("o_orderkey"),
+          P(dir, "lineitem").retain("l_orderkey", "l_quantity")
+            .groupBy("l_orderkey")
+            .every(Aggs.agg("qty_inner", xsum("l_quantity")))
+            .filterBy(SqlFilter("qty_inner > 150")),
+          Seq("l_orderkey"), joiner = Joiner.LeftSemi)
+        .coGroup(Seq("o_custkey"), P(dir, "customer"), Seq("c_custkey"))
+        .coGroup(Seq("o_orderkey"),
+          P(dir, "lineitem").retain("l_orderkey", "l_quantity"),
+          Seq("l_orderkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+          "o_totalprice")
+        .every(Aggs.agg("sum_qty", xsum("l_quantity")))
+        .orderBy("o_totalprice" -> false, "o_orderkey" -> true)
+        .limit(100))(s)),
+
     // ORC columnar round-trip under the gate (q60/q62 pattern: write the
     // staged format, read it back, aggregate — the oracle computes the
     // same aggregate from the parquet source, so a type or value
@@ -1091,6 +1139,36 @@ object Relational {
          |GROUP BY 1, 2, 3
          |ORDER BY revenue DESC, c_custkey
          |LIMIT 20""".stripMargin,
+
+    "q124_tpch_q1" ->
+      s"""WITH a AS (
+         |  SELECT l_returnflag, l_linestatus,
+         |  ${dsum("l_quantity")} AS sum_qty,
+         |  ${dsum("l_extendedprice")} AS sum_base_price,
+         |  ${dsumExpr("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+         |  ${dsumExpr("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+         |  count(*) AS count_order
+         |  FROM lineitem
+         |  WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         |  GROUP BY 1, 2)
+         |SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price,
+         |sum_disc_price, sum_charge, count_order,
+         |sum_qty / count_order AS avg_qty,
+         |sum_base_price / count_order AS avg_price
+         |FROM a""".stripMargin,
+
+    "q125_tpch_q18" ->
+      s"""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+         |${dsum("l_quantity")} AS sum_qty
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |WHERE o_orderkey IN (
+         |  SELECT l_orderkey FROM lineitem GROUP BY 1
+         |  HAVING ${dsum("l_quantity")} > 150)
+         |GROUP BY 1, 2, 3, 4, 5
+         |ORDER BY o_totalprice DESC, o_orderkey
+         |LIMIT 100""".stripMargin,
 
     "q101_orc_roundtrip" ->
       s"""SELECT l_returnflag, ${dsum("l_quantity")} AS sum_qty,

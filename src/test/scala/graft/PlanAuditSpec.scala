@@ -247,4 +247,34 @@ class PlanAuditSpec extends SparkSpec {
     // top-k rank — FormattedMode lists each node twice (tree + details)
     assert("\\(\\d+\\) Window\\b".r.findAllMatchIn(plan).size <= 4)
   }
+
+  test("q124: TPC-H Q1 is one scan, partial agg before a single exchange") {
+    val plan = formatted("q124_tpch_q1")
+    // 6-group aggregate: map-side partial, ONE shuffle of 6-row partials
+    assert("Exchange \\(\\d+\\)".r.findAllMatchIn(plan).size == 1)
+    assert(plan.contains("HashAggregate"))
+    // the date filter reaches the parquet scan
+    assert(plan.contains("LessThanOrEqual(l_shipdate") ||
+      plan.contains("PushedFilters: [IsNotNull(l_shipdate)"))
+    // only the 7 needed columns are read
+    val readSchema = plan.linesIterator.find(_.startsWith("ReadSchema")).get
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_partkey"))
+  }
+
+  test("q125: TPC-H Q18 having-side semi-joins through the shuffle, never broadcast") {
+    atScale {
+      val plan = formatted("q125_tpch_q18")
+      // the HAVING aggregate is order-cardinality (fact-sized at 100 TB):
+      // it must meet orders in a shuffled LeftSemi, not a broadcast
+      assert(plan.contains("LeftSemi"))
+      val semiLines = plan.linesIterator.filter(_.contains("LeftSemi")).toSeq
+      assert(semiLines.exists(l =>
+          l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")),
+        s"having-side semi join not on the shuffle path: $semiLines")
+      assert(!semiLines.exists(_.contains("Broadcast")),
+        s"having-side semi join broadcasts at scale: $semiLines")
+      // the final top-100 is a heap gather, not a global sort
+      assert(plan.contains("TakeOrderedAndProject"))
+    }
+  }
 }
