@@ -491,6 +491,36 @@ object Relational {
           sum(col("key").cast("long")).as("key_sum"))
     }),
 
+    // Writable boundary coercion round-trip: a SequenceFile of
+    // (LongWritable, BytesWritable) written AND read through
+    // HadoopTap.writables — schema and both converters derived from the
+    // Writable classes (WritableCoercion), so the flow itself only ever
+    // sees native long/binary columns (the reference instead registers
+    // per-Writable serializers to carry Writables inside flows,
+    // `types/field/FieldTypeInfo.java:166-176` — converting at the tap
+    // boundary keeps every downstream op in Tungsten). The payload is the
+    // UTF-8 status string; decode() recovers it for the aggregate, and the
+    // bytes survive the round trip exactly or the oracle hash fails.
+    "q126_writable_roundtrip" -> ((s, dir) => {
+      import org.apache.hadoop.io.{BytesWritable, LongWritable}
+      val out = stagePath("graft_q126_writable", dir)
+      val tap = graft.sources.HadoopTap.writables(
+        out,
+        classOf[org.apache.hadoop.mapreduce.lib.input
+          .SequenceFileInputFormat[LongWritable, BytesWritable]],
+        classOf[LongWritable], classOf[BytesWritable],
+        outputFormat = Some(classOf[org.apache.hadoop.mapreduce.lib.output
+          .SequenceFileOutputFormat[LongWritable, BytesWritable]]))
+      tap.write(Flow.toDF(
+          P(dir, "orders").retain("o_orderkey", "o_orderstatus"))(s)
+          .select(col("o_orderkey"), encode(col("o_orderstatus"), "UTF-8")),
+        graft.sources.SinkMode.Replace)
+      tap.read(s)
+        .groupBy(decode(col("value"), "UTF-8").as("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("key")).as("key_sum"),
+          sum(octet_length(col("value"))).cast("bigint").as("payload_bytes"))
+    }),
+
     // Null join keys under an OUTER CoGroup — the cascading-platform
     // adversarial corner (JoinFieldedPipesPlatformTest null-key cases):
     // Cascading groups null keys TOGETHER (tuple comparators treat
@@ -1041,6 +1071,12 @@ object Relational {
     "q62_seqfile_roundtrip" ->
       """SELECT o_orderstatus, count(*) AS n,
         |CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q126_writable_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |CAST(sum(octet_length(encode(o_orderstatus))) AS BIGINT) AS payload_bytes
         |FROM orders GROUP BY 1""".stripMargin,
 
     // Cascading null-grouping semantics: IS NOT DISTINCT FROM is the SQL

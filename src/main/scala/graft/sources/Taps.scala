@@ -213,6 +213,95 @@ final case class HadoopTap[K, V](
   }
 }
 
+/** Boundary coercion for common Hadoop `Writable`s (reference
+  * `types/field/FieldTypeInfo.java:166-176` registers per-Writable
+  * serializers so Writables can travel INSIDE flows; here the engine's
+  * columns are Tungsten-native, so Writables are converted AT THE TAP
+  * BOUNDARY instead — rows never carry live Writable objects, and an
+  * unsupported Writable fails with a directed error naming the supported
+  * set rather than a deep encoder stack trace). */
+object WritableCoercion {
+  import org.apache.hadoop.io._
+  import org.apache.spark.sql.types._
+
+  /** Native Spark column type for a Writable class; directed error for
+    * anything outside the supported set. */
+  def dataTypeOf(cls: Class[_]): DataType = cls match {
+    case c if c == classOf[LongWritable]    => LongType
+    case c if c == classOf[IntWritable]     => IntegerType
+    case c if c == classOf[DoubleWritable]  => DoubleType
+    case c if c == classOf[FloatWritable]   => FloatType
+    case c if c == classOf[BooleanWritable] => BooleanType
+    case c if c == classOf[Text]            => StringType
+    case c if c == classOf[BytesWritable]   => BinaryType
+    case c if c == classOf[NullWritable]    => NullType
+    case other => throw new UnsupportedOperationException(
+      s"WritableCoercion: ${other.getName} is not coercible to a native " +
+        "column — supported: LongWritable, IntWritable, DoubleWritable, " +
+        "FloatWritable, BooleanWritable, Text, BytesWritable, NullWritable. " +
+        "Rows never carry live Writables in flows; convert at the tap " +
+        "boundary with a custom HadoopTap toRow/fromRow.")
+  }
+
+  /** Writable → JVM native value. COPIES the payload (Hadoop record
+    * readers reuse Writable instances across records). */
+  def toNative(w: Any): Any = w match {
+    case x: LongWritable    => x.get()
+    case x: IntWritable     => x.get()
+    case x: DoubleWritable  => x.get()
+    case x: FloatWritable   => x.get()
+    case x: BooleanWritable => x.get()
+    case x: Text            => x.toString
+    case x: BytesWritable   => x.copyBytes()
+    case _: NullWritable    => null
+    case null => null
+    case other => throw new UnsupportedOperationException(
+      s"WritableCoercion: ${other.getClass.getName} (see dataTypeOf)")
+  }
+
+  /** JVM native value → fresh Writable of the given class. */
+  def fromNative(v: Any, cls: Class[_]): Writable = cls match {
+    case c if c == classOf[LongWritable]    => new LongWritable(v.asInstanceOf[Long])
+    case c if c == classOf[IntWritable]     => new IntWritable(v.asInstanceOf[Int])
+    case c if c == classOf[DoubleWritable]  => new DoubleWritable(v.asInstanceOf[Double])
+    case c if c == classOf[FloatWritable]   => new FloatWritable(v.asInstanceOf[Float])
+    case c if c == classOf[BooleanWritable] => new BooleanWritable(v.asInstanceOf[Boolean])
+    case c if c == classOf[Text]            => new Text(String.valueOf(v))
+    case c if c == classOf[BytesWritable]   => new BytesWritable(v.asInstanceOf[Array[Byte]])
+    case c if c == classOf[NullWritable]    => NullWritable.get()
+    case other => throw new UnsupportedOperationException(
+      s"WritableCoercion: ${other.getName} (see dataTypeOf)")
+  }
+}
+
+object HadoopTap {
+  /** A HadoopTap over Writable key/value records with schema and both
+    * converters DERIVED from the Writable classes — the ergonomic path
+    * for the common Hadoop formats (SequenceFile of LongWritable/Text/
+    * BytesWritable etc.). Unsupported Writable types fail construction
+    * with the WritableCoercion directed error. */
+  def writables[K <: org.apache.hadoop.io.Writable,
+                V <: org.apache.hadoop.io.Writable](
+      path: String,
+      inputFormat: Class[_ <: org.apache.hadoop.mapreduce.InputFormat[K, V]],
+      keyClass: Class[K], valueClass: Class[V],
+      keyName: String = "key", valueName: String = "value",
+      outputFormat: Option[Class[_ <: org.apache.hadoop.mapreduce.OutputFormat[K, V]]] = None)
+      : HadoopTap[K, V] = {
+    val schema = StructType(Seq(
+      StructField(keyName, WritableCoercion.dataTypeOf(keyClass)),
+      StructField(valueName, WritableCoercion.dataTypeOf(valueClass))))
+    val (kc, vc) = (keyClass, valueClass) // serializable captures
+    HadoopTap(path, inputFormat, keyClass, valueClass, schema,
+      toRow = (k: K, v: V) => org.apache.spark.sql.Row(
+        WritableCoercion.toNative(k), WritableCoercion.toNative(v)),
+      fromRow = Some((r: org.apache.spark.sql.Row) =>
+        (WritableCoercion.fromNative(r.get(0), kc).asInstanceOf[K],
+         WritableCoercion.fromNative(r.get(1), vc).asInstanceOf[V])),
+      outputFormat = outputFormat)
+  }
+}
+
 /** Bucketed-table tap: writes through `bucketBy(+sortBy).saveAsTable`, so
   * every later join or aggregation on the bucket keys between co-bucketed
   * tables runs with NO shuffle exchange (plan-asserted in BucketingSpec) —

@@ -201,6 +201,74 @@ class TapsSpec extends SparkSpec {
     assert(back.toSeq == Seq("a\t1", "b\t2"))
   }
 
+  test("WritableCoercion: typed round-trip for every supported Writable") {
+    import org.apache.hadoop.io._
+    import graft.sources.WritableCoercion._
+    import org.apache.spark.sql.types._
+    val cases: Seq[(Class[_ <: Writable], Any, DataType)] = Seq(
+      (classOf[LongWritable], 42L, LongType),
+      (classOf[IntWritable], 7, IntegerType),
+      (classOf[DoubleWritable], 2.5, DoubleType),
+      (classOf[FloatWritable], 1.5f, FloatType),
+      (classOf[BooleanWritable], true, BooleanType),
+      (classOf[Text], "héllo", StringType))
+    for ((cls, v, dt) <- cases) {
+      assert(dataTypeOf(cls) == dt, cls.toString)
+      assert(toNative(fromNative(v, cls)) == v, cls.toString)
+    }
+    // BytesWritable copies (record readers reuse instances) and strips
+    // the backing buffer's padding
+    val bw = new BytesWritable()
+    bw.set(Array[Byte](1, 2, 3), 0, 3)
+    val bytes = toNative(bw).asInstanceOf[Array[Byte]]
+    assert(bytes.toSeq == Seq[Byte](1, 2, 3))
+    bw.set(Array[Byte](9), 0, 1) // mutating the source must not alias
+    assert(bytes.toSeq == Seq[Byte](1, 2, 3))
+    assert(dataTypeOf(classOf[NullWritable]) == NullType)
+    assert(toNative(NullWritable.get()) == null)
+  }
+
+  test("WritableCoercion: unsupported Writables fail with the directed error") {
+    import org.apache.hadoop.io._
+    val ex = intercept[UnsupportedOperationException] {
+      graft.sources.WritableCoercion.dataTypeOf(classOf[MapWritable])
+    }
+    assert(ex.getMessage.contains("not coercible"))
+    assert(ex.getMessage.contains("tap boundary"))
+    // and the derived-tap factory surfaces it at CONSTRUCTION, not deep
+    // inside a job
+    val ex2 = intercept[UnsupportedOperationException] {
+      graft.sources.HadoopTap.writables(
+        "/tmp/never",
+        classOf[org.apache.hadoop.mapreduce.lib.input
+          .SequenceFileInputFormat[MapWritable, Text]],
+        classOf[MapWritable], classOf[Text])
+    }
+    assert(ex2.getMessage.contains("not coercible"))
+  }
+
+  test("HadoopTap.writables: derived-schema SequenceFile round-trip") {
+    import org.apache.hadoop.io.{BytesWritable, LongWritable}
+    val dir = java.nio.file.Files.createTempDirectory("writable_tap").toString
+    val tap = graft.sources.HadoopTap.writables(
+      s"$dir/seq",
+      classOf[org.apache.hadoop.mapreduce.lib.input
+        .SequenceFileInputFormat[LongWritable, BytesWritable]],
+      classOf[LongWritable], classOf[BytesWritable],
+      keyName = "id", valueName = "payload",
+      outputFormat = Some(classOf[org.apache.hadoop.mapreduce.lib.output
+        .SequenceFileOutputFormat[LongWritable, BytesWritable]]))
+    val df = Seq((1L, Array[Byte](10, 20)), (2L, Array[Byte](30)))
+      .toDF("id", "payload")
+    tap.write(df, SinkMode.Replace)
+    val back = tap.read(spark).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(back == Map(1L -> Seq[Byte](10, 20), 2L -> Seq[Byte](30)))
+    // schema came from the Writable classes
+    assert(tap.read(spark).schema.map(f => (f.name, f.dataType.typeName)) ==
+      Seq(("id", "long"), ("payload", "binary")))
+  }
+
   test("expression sort keys emulate custom comparators") {
     // sort by string length then value — a Cascading custom comparator
     // becomes a derived sort-key expression
