@@ -941,18 +941,28 @@ object Extensions {
     // --- exact-size per-group sampling: n=5 docs per source, membership a
     // pure function of (salt, doc_id) via hash order — reproducible on any
     // engine/partitioning (q84 gives rate-based sampling; this gives exact
-    // counts per stratum). The window sort is per-group over the hash; at
-    // extreme group sizes swap in a bounded-heap min-k of the hash
-    // (`topk_agg` negated) and join back — same result, O(k) state.
+    // counts per stratum). DEFAULT is the bounded-heap form: topk_agg over
+    // the NEGATED 52-bit hash keeps the 5 smallest hashes per group in
+    // O(k) state with map-side heap merges — the shuffle moves
+    // O(groups × k) values, never the row set — then one broadcast join
+    // back recovers members and ranks (array_position on the desc-sorted
+    // heap output). The window row_number form sorts every group's full
+    // row set; at extreme group sizes that is a full-data sort for a
+    // 5-row answer (PlanAuditSpec pins the heap plan window-free). The
+    // 52-bit hash stays exact in double; ties are impossible at gate SFs
+    // and vanishingly rare beyond (a tie would only widen the sample by
+    // the tied rows).
     "q107_group_sample" -> ((s, dir) => {
-      val hash = md5(concat(lit("graft-r5c"), col("doc_id").cast("string")))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("source")).orderBy(hash, col("doc_id"))
-      s.read.parquet(s"$dir/documents.parquet")
-        .select(col("source"), col("doc_id"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 5)
-        .select(col("source"), col("doc_id"), col("rk").cast("int").as("rk"))
+      val nh = -conv(substring(md5(concat(lit("graft-r5c"),
+          col("doc_id").cast("string"))), 1, 13), 16, 10).cast("double")
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("source"), col("doc_id"), nh.as("nh"))
+      val tops = d.groupBy(col("source"))
+        .agg(graft.catalyst.TopKAgg(col("nh"), 5).as("top"))
+      d.join(broadcast(tops), Seq("source"))
+        .filter(array_contains(col("top"), col("nh")))
+        .select(col("source"), col("doc_id"),
+          array_position(col("top"), col("nh")).cast("int").as("rk"))
     }),
 
     // --- union-by-name with schema evolution (allowMissingColumns): the
@@ -2050,12 +2060,19 @@ object Extensions {
         |count(*) FILTER (WHERE o_orderstatus = 'P') AS P
         |FROM orders GROUP BY 1""".stripMargin,
 
+    // the oracle spells the SEMANTICS (rank by hash ascending = negated
+    // hash descending) with a window — DuckDB has no bounded-heap
+    // aggregate; the Spark plan under test is the heap form
     "q107_group_sample" ->
-      """SELECT source, doc_id, CAST(rk AS INTEGER) AS rk FROM (
+      """WITH d AS (
         |  SELECT source, doc_id,
-        |    row_number() OVER (PARTITION BY source
-        |      ORDER BY md5(concat('graft-r5c', CAST(doc_id AS VARCHAR))), doc_id) AS rk
-        |  FROM documents) WHERE rk <= 5""".stripMargin,
+        |  -CAST(CAST(concat('0x', substr(md5(concat('graft-r5c',
+        |      CAST(doc_id AS VARCHAR))), 1, 13)) AS BIGINT) AS DOUBLE) AS nh
+        |  FROM documents)
+        |SELECT source, doc_id, CAST(rk AS INTEGER) AS rk FROM (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source ORDER BY nh DESC) AS rk
+        |  FROM d) WHERE rk <= 5""".stripMargin,
 
     "q108_union_by_name" ->
       """SELECT o_orderstatus, count(*) AS n,

@@ -248,6 +248,17 @@ class PlanAuditSpec extends SparkSpec {
     assert("\\(\\d+\\) Window\\b".r.findAllMatchIn(plan).size <= 4)
   }
 
+  test("q107: exact-size group sample is heap-aggregated — no Window sort") {
+    val plan = formatted("q107_group_sample")
+    // the row_number form would sort every group's full row set; the
+    // topk_agg default keeps O(k) state and must leave NO Window node
+    assert(!plan.contains("Window"), "q107 regressed to the window sort form")
+    assert(plan.contains("topk_agg"))
+    // the per-group heads join back via broadcast, not a second shuffle
+    // of the row set
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
   test("q124: TPC-H Q1 is one scan, partial agg before a single exchange") {
     val plan = formatted("q124_tpch_q1")
     // 6-group aggregate: map-side partial, ONE shuffle of 6-row partials
