@@ -107,24 +107,44 @@ object Bench {
     val total = finalResults.values.map(_.min).sum
     def arr(xs: Seq[Double]) = xs.map(fmt).mkString("[", ",", "]")
     def names(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec"""" +
+    val contended = flagged.size > math.max(2, finalResults.size / 10)
+    // a few noisy queries are normal on a shared box (their MIN is still
+    // the plan cost); a systemically contended run flags a broad slice
+    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec"""" +
       s""","queries":$qs,"sf":"$sfDir","passes":$passes,"raw_passes":$raw""" +
       s""","loadavg_start":${arr(loadStart)},"loadavg_end":${arr(loadEnd)}""" +
       s""","remeasured":${names(suspects)}""" +
       s""","spread_flagged":${names(flagged)}""" +
-      // a few noisy queries are normal on a shared box (their MIN is still
-      // the plan cost); a systemically contended run flags a broad slice
-      s""","contended":${flagged.size > math.max(2, finalResults.size / 10)}}"""
-    // The driver scrapes the sbt log tail, which interleaves Spark logging
-    // with our output. Emit to a dedicated file when requested, print with a
-    // unique marker prefix a log-tail parser can anchor on, and make the
-    // bare JSON the FINAL stdout line.
-    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { out =>
-      java.nio.file.Files.write(java.nio.file.Paths.get(out),
-        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    }
-    println(s"GRAFT_BENCH_JSON $json")
+      s""","contended":$contended}"""
+    // The driver captures only a BOUNDED TAIL (~2000 chars) of the sbt log:
+    // the full JSON (~10 KB at 120+ queries) can never survive there — it
+    // goes to the FILE channels, and stdout gets ONE final COMPACT line
+    // sized to fit the tail: short unique query keys (digit prefix, the
+    // driver example's own "q1" shape) and millisecond precision. Printing
+    // the full JSON to stdout as well would evict the compact line from
+    // the tail window — so it is file-only.
+    def writeTo(path: String): Unit =
+      try java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case _: Throwable => () }
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach(writeTo)
+    // repo-local copy: the round driver commits stray files at round end,
+    // so the complete per-pass evidence lands in history even when the
+    // env channel is unset
+    writeTo("BENCH_FULL_LATEST.json")
+    def fmt3(d: Double) = f"$d%.3f"
+    val shortNames = finalResults.keys.map(n => n -> n.takeWhile(_ != '_'))
+    val shortUnique = shortNames.map(_._2).toSeq.distinct.size == shortNames.size
+    val compactQs = finalResults.map { case (k, v) =>
+      val key = if (shortUnique) k.takeWhile(_ != '_') else k
+      "\"" + key + "\":" + fmt3(v.min)
+    }.mkString("{", ",", "}")
+    // every byte counts against the tail window: passes/raw evidence live
+    // in BENCH_FULL_LATEST.json, the stdout line carries only the spec
+    // fields + the contention verdict
+    val compact = s"""{"metric":"total","value":${fmt3(total)},"unit":"sec"""" +
+      s""","queries":$compactQs,"sf":"$sfDir","contended":$contended}"""
     spark.stop()
-    println(json)
+    println(compact)
   }
 }
