@@ -106,7 +106,13 @@ object GraftExtensions {
       Seq[Expression] => Expression) =
     (FunctionIdentifier("misra_gries"),
       info(classOf[MisraGriesAgg], "misra_gries",
-        "_FUNC_(item, k) - bounded-state frequent-items candidate sketch (aggregate)"),
+        "_FUNC_(item, k) - bounded-state frequent-items candidate sketch " +
+          "(aggregate). NOT DETERMINISTIC across retries/re-evaluation: " +
+          "low-frequency survivors depend on partial-merge order, so two " +
+          "evaluations of the same query may return different arrays. Use " +
+          "the two-phase exact pattern (sketch -> candidate filter -> exact " +
+          "count, as q97) for reproducible results; never place raw sketch " +
+          "output under a cross-engine or cross-run comparison."),
       (exprs: Seq[Expression]) =>
         MisraGriesAgg(exprs.head, intLit(exprs(1), "misra_gries k"))
           .toAggregateExpression())

@@ -30,6 +30,13 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   * exact `GROUP BY token` shuffles every distinct token (billions of
   * keys); this shuffles O(partitions × k) sketch entries in phase 1 and
   * only the candidate-matching rows in phase 2.
+  *
+  * CAVEAT — Catalyst treats aggregates as deterministic and may re-execute
+  * them (stage retry, subexpression reuse): two evaluations within one
+  * query can disagree on the low-frequency survivors. Consume the sketch
+  * ONCE (collect/head the candidate row, as q97 does) and never place raw
+  * sketch output under a cross-engine or cross-run equality gate; the
+  * ExpressionInfo usage text carries the same warning for SQL users.
   */
 case class MisraGriesAgg(
     child: Expression, k: Int,

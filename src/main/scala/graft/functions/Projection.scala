@@ -42,12 +42,20 @@ object Projection {
     s"CAST(floor(CAST($v AS DOUBLE) * 1000000.0) AS BIGINT)"
 
   /** Spark Column for output component j of array column `emb`:
-    * zip the vector with the literal sign row, fold exactly in BIGINT. */
+    * zip the vector with the literal sign row, fold exactly in BIGINT.
+    *
+    * PRECONDITION (checked): the embedding must have exactly InDim
+    * elements. The engines disagree on ragged input — Spark `zip_with`
+    * pads the short side with nulls (whole component NULL), DuckDB
+    * `list_transform` just stops (silent PARTIAL sum) — so a wrong-dim
+    * vector fails loudly here instead of hash-mismatching downstream. */
   def projMicros(emb: String, j: Int): Column = {
     val signs = signRow(j).mkString("array(", ", ", ")")
-    expr(s"""aggregate(
+    expr(s"""CASE WHEN size($emb) = $InDim THEN aggregate(
       |  zip_with($emb, $signs, (v, s) -> s * ${quantized("v")}),
-      |  0L, (acc, x) -> acc + x)""".stripMargin)
+      |  0L, (acc, x) -> acc + x)
+      |ELSE raise_error(concat('projMicros: embedding dimension ',
+      |  CAST(size($emb) AS STRING), ' <> required $InDim')) END""".stripMargin)
   }
 
   /** DuckDB spelling of [[projMicros]] (1-based index lambda). */

@@ -310,7 +310,13 @@ object Extensions {
           .start()
         q.awaitTermination()
       }
-      s.read.parquet(out).select("w_start", "event_type", "n", "sum_value")
+      // watermark withholding already keeps the far-future sentinel window
+      // out of the Append output, but that is a TIMING property — filter
+      // the sentinel explicitly (q112-style) so a future watermark-delay
+      // or sentinel-timestamp change cannot silently leak it
+      s.read.parquet(out)
+        .filter(col("event_type") =!= "__flush")
+        .select("w_start", "event_type", "n", "sum_value")
     }),
 
     // --- STATEFUL streaming under the gate: gap sessionization via
@@ -764,7 +770,13 @@ object Extensions {
           .start()
         q.awaitTermination()
       }
-      s.read.parquet(out).select("w_start", "event_type", "n", "sum_value")
+      // watermark withholding already keeps the far-future sentinel window
+      // out of the Append output, but that is a TIMING property — filter
+      // the sentinel explicitly (q112-style) so a future watermark-delay
+      // or sentinel-timestamp change cannot silently leak it
+      s.read.parquet(out)
+        .filter(col("event_type") =!= "__flush")
+        .select("w_start", "event_type", "n", "sum_value")
     }),
 
     // --- exact heavy hitters via a two-phase Misra–Gries plan: phase 1 is
@@ -1137,7 +1149,13 @@ object Extensions {
           .start()
         q.awaitTermination()
       }
-      s.read.parquet(out).select("w_start", "c_mktsegment", "n", "sum_value")
+      // the user_id=-1 sentinel can never join a real customer key, and
+      // the watermark withholds its window — but both are indirect; bound
+      // the output to pre-sentinel windows explicitly so neither property
+      // drifting can leak the flush row
+      s.read.parquet(out)
+        .filter(col("w_start") < expr("timestamp'2099-01-01 00:00:00'"))
+        .select("w_start", "c_mktsegment", "n", "sum_value")
     }),
 
     // --- unigram surprisal scoring (the CCNet-shaped corpus-likelihood

@@ -22,14 +22,17 @@ object Relational {
   private def T(dir: String, name: String) = ParquetTap(s"$dir/$name.parquet")
   private def P(dir: String, name: String): Pipe = Pipe.source(T(dir, name))
 
-  /** Per-(query, SF) staging path. A FIXED tmp name would let a second
-    * construction (another SF dir, or a concurrent JVM) Replace-overwrite
-    * the files under an earlier, still-lazy result DataFrame — the read
-    * would silently see the other dataset. Suffixing with the source dir
-    * hash pins each construction to its own location. */
+  /** Per-(query, SF, process) staging path. A FIXED tmp name would let a
+    * second construction (another SF dir, or a concurrent JVM)
+    * Replace-overwrite the files under an earlier, still-lazy result
+    * DataFrame — the read would silently see the other dataset. The source
+    * dir hash pins each SF to its own location within a process, and the
+    * pid keeps concurrent JVMs (two verify/bench runs on one box, or a
+    * 32-bit dir-hash collision) from sharing a path across processes. */
   private[queries] def stagePath(name: String, dir: String): String =
     new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"${name}_${Integer.toHexString(dir.hashCode)}").toString
+      s"${name}_${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current.pid}")
+      .toString
 
   /** sum(x) as exact decimal, emitted as double. */
   private def dsum(x: String) =

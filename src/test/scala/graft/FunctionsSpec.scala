@@ -331,6 +331,20 @@ class FunctionsSpec extends SparkSpec {
     assert(canon.distinct.size == Projection.OutDim, "sign matrix degenerate")
   }
 
+  test("projMicros rejects wrong-dimension embeddings with a directed error") {
+    import graft.functions.Projection
+    // 63 dims: Spark would NULL the component while DuckDB would sum the
+    // prefix — the checked precondition fails loudly instead
+    val short = Array.tabulate(63)(_ => 1.0f)
+    val ex = intercept[Exception] {
+      Seq((0L, short)).toDF("vec_id", "embedding")
+        .select(Projection.projMicros("embedding", 0)).collect()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.toString + chain(t.getCause)
+    assert(chain(ex).contains("projMicros"))
+  }
+
   test("blocked fuzzy match: d=1/2 found, d=3 dropped, boundary pairs join") {
     import graft.functions.FuzzyMatch
     // kitten/sitten d=1 same bucket; kitten/sittin d=2 BUT first chars
