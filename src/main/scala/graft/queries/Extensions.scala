@@ -799,6 +799,11 @@ object Extensions {
         count(lit(1)).as("n_total")).head()
       val cands = row.getSeq[String](0)
       val nTotal = row.getLong(1)
+      // the two-job shape (sketch .head() then candidate join) moves ≤ k
+      // strings through the driver — k must stay BROADCAST-SIZED (2000
+      // short tokens ≈ tens of KB; thousands-to-millions is fine, never
+      // grow k toward distinct-key cardinality or the driver hop and the
+      // broadcast both stop being free)
       val candDf = cands.toDF("tok")
       toks.join(broadcast(candDf), Seq("tok"), "inner")
         .groupBy(col("tok"))
