@@ -21,7 +21,8 @@ import graft.sources.{SinkMode, Tap}
   * Catalyst handles common-subplan execution; callers opt into `.cache()`
   * when recomputation would be costly.
   */
-final class Lowering(spark: SparkSession, keepAssertions: Boolean = true) {
+final class Lowering(spark: SparkSession, keepAssertions: Boolean = true,
+                     processConfig: Map[String, String] = Map.empty) {
   import FieldSelector._
 
   /** Memo key: pipe IDENTITY (pipes are case classes; two structurally equal
@@ -74,7 +75,9 @@ final class Lowering(spark: SparkSession, keepAssertions: Boolean = true) {
     * separately, while a diamond within ONE scope still lowers once.
     * (Taps and pipes are safely shareable across scopes; a mutable
     * ConfigurableOp INSTANCE is not — see configurify.) */
-  private var activeConfig: Map[String, String] = Map.empty
+  // the process-level properties are the OUTERMOST config scope (Cascading
+  // flow-process properties): every pipe scope layers over them by mode
+  private var activeConfig: Map[String, String] = processConfig
 
   def lower(p: Pipe): DataFrame = {
     val key = new MemoKey(p, activeConfig)
@@ -113,9 +116,20 @@ final class Lowering(spark: SparkSession, keepAssertions: Boolean = true) {
       if (activeConfig.isEmpty) tap.read(spark)
       else tap.read(spark, activeConfig)
 
-    case ConfigDefPipe(prev, props) =>
+    case ConfigDefPipe(prev, props, mode) =>
       val saved = activeConfig
-      activeConfig = activeConfig ++ props
+      // Cascading ConfigDef.Mode merge over the enclosing scope (which
+      // already includes the process config — so DEFAULT yields to process
+      // properties exactly as the reference's test scheme asserts)
+      activeConfig = mode match {
+        case ConfigMode.Replace => activeConfig ++ props
+        case ConfigMode.Default =>
+          props.foldLeft(activeConfig) { case (m, (k, v)) =>
+            if (m.contains(k)) m else m + (k -> v) }
+        case ConfigMode.Update =>
+          props.foldLeft(activeConfig) { case (m, (k, v)) =>
+            m + (k -> m.get(k).map(_ + "," + v).getOrElse(v)) }
+      }
       try lower(prev) finally activeConfig = saved
 
     case e: EachPipe => lowerEach(e)
@@ -946,6 +960,13 @@ object Flow {
     * write IS the restart barrier downstream reads from). */
   def toDF(p: Pipe)(implicit spark: SparkSession): DataFrame =
     new Lowering(spark).lower(p)
+
+  /** As [[toDF]] with PROCESS-LEVEL properties — the Cascading
+    * flow-process config every `withConfig*` scope layers over (REPLACE
+    * scopes override these; DEFAULT scopes yield to them). */
+  def toDF(p: Pipe, processConfig: Map[String, String])
+          (implicit spark: SparkSession): DataFrame =
+    new Lowering(spark, processConfig = processConfig).lower(p)
 
   def write(p: Pipe, sink: Tap, mode: SinkMode = SinkMode.Replace)
            (implicit spark: SparkSession): Unit =

@@ -204,8 +204,42 @@ sealed trait Pipe {
     * branch of the same flow sees none of them — taps and pipes may be
     * shared freely across scopes, but a ConfigurableOp INSTANCE belongs to
     * one scope (`configure` mutates it; the lowering fails fast if one
-    * instance is reached from scopes with different properties). */
-  def withConfig(props: (String, String)*): Pipe = ConfigDefPipe(this, props.toMap)
+    * instance is reached from scopes with different properties).
+    *
+    * Layering follows Cascading's `ConfigDef.Mode` (the reference test
+    * scheme asserts exactly this merge: process-level "default" survives
+    * while node/tap-level values replace, `FlinkConfigDefScheme.java:
+    * 55-66`): `withConfig` = Mode.REPLACE (inner scope wins over outer
+    * scope and process properties), [[withConfigDefault]] = Mode.DEFAULT
+    * (applies only where the key is NOT already set by an outer scope or
+    * the process config), [[withConfigUpdate]] = Mode.UPDATE
+    * (comma-appends to the outer value — Cascading's list-merge mode).
+    * Process-level properties enter via `Flow.toDF(p, config)` /
+    * `new Lowering(spark, processConfig = ...)`. */
+  def withConfig(props: (String, String)*): Pipe =
+    ConfigDefPipe(this, props.toMap, ConfigMode.Replace)
+
+  /** Mode.DEFAULT layering: see [[withConfig]]. */
+  def withConfigDefault(props: (String, String)*): Pipe =
+    ConfigDefPipe(this, props.toMap, ConfigMode.Default)
+
+  /** Mode.UPDATE layering: see [[withConfig]]. */
+  def withConfigUpdate(props: (String, String)*): Pipe =
+    ConfigDefPipe(this, props.toMap, ConfigMode.Update)
+}
+
+/** Cascading `ConfigDef.Mode` analogue — how a scope's properties merge
+  * over the enclosing scope's (reference `FlinkConfigDefScheme.java`
+  * asserts the REPLACE-over-process-default layering). */
+sealed trait ConfigMode
+object ConfigMode {
+  /** Inner value wins (Cascading Mode.REPLACE — the common case). */
+  case object Replace extends ConfigMode
+  /** Set only where the key is absent in the enclosing scope/process
+    * config (Cascading Mode.DEFAULT). */
+  case object Default extends ConfigMode
+  /** Comma-append to the enclosing value (Cascading Mode.UPDATE). */
+  case object Update extends ConfigMode
 }
 
 final case class SourcePipe(tap: Tap, name: String = "source") extends Pipe
@@ -309,7 +343,8 @@ final case class BufferJoinNPipe(
         Iterator[Seq[Any]],
     trap: Option[Tap] = None) extends Pipe
 
-final case class ConfigDefPipe(prev: Pipe, props: Map[String, String]) extends Pipe
+final case class ConfigDefPipe(prev: Pipe, props: Map[String, String],
+                               mode: ConfigMode = ConfigMode.Replace) extends Pipe
 
 final case class MergePipe(pipes: Seq[Pipe]) extends Pipe
 final case class IntersectPipe(left: Pipe, right: Pipe) extends Pipe

@@ -201,6 +201,47 @@ class TapsSpec extends SparkSpec {
     assert(back.toSeq == Seq("a\t1", "b\t2"))
   }
 
+  test("ConfigDef modes layer like Cascading: process-default / replace / update") {
+    // mirrors the reference's FlinkConfigDefScheme assertions
+    // (src/test/java/.../platform/util/FlinkConfigDefScheme.java:55-66):
+    // a process-level "default" property survives into every scope, a
+    // REPLACE scope overrides the process value, a DEFAULT scope yields
+    // to it, and UPDATE comma-appends
+    val proc = Map("default" -> "process-default", "replace" -> "process-replace")
+    // the scope applies to the SUBTREE under withConfig*, so the observing
+    // op goes inside and the config wrapper outside
+    def observe(wrap: Pipe => Pipe): Map[String, String] = {
+      var got: Map[String, String] = Map.empty
+      val fn = new CRowFunction with ConfigurableOp {
+        val resultFields: CFields = CFields.typed("out" -> IntegerType)
+        def configure(props: Map[String, String]): Unit = got = props
+        def apply(args: org.apache.spark.sql.Row): Iterator[Seq[Any]] =
+          Iterator.single(Seq(args.getInt(0)))
+      }
+      val inner = Pipe.source(DataFrameTap(Seq(1).toDF("n")))
+        .eachRow(fn, out = graft.model.FieldSelector.Results)
+      new graft.exec.Lowering(spark, processConfig = proc)
+        .lower(wrap(inner)).count()
+      got
+    }
+    // REPLACE overrides the process value; untouched keys pass through
+    val rep = observe(_.withConfig("replace" -> "node-replace"))
+    assert(rep("replace") == "node-replace")
+    assert(rep("default") == "process-default")
+    // DEFAULT yields to the process value, but sets absent keys
+    val dfl = observe(
+      _.withConfigDefault("replace" -> "ignored", "fresh" -> "node-fresh"))
+    assert(dfl("replace") == "process-replace")
+    assert(dfl("fresh") == "node-fresh")
+    // UPDATE comma-appends to the outer value (Cascading's list mode)
+    val upd = observe(_.withConfigUpdate("replace" -> "extra"))
+    assert(upd("replace") == "process-replace,extra")
+    // nested scopes: inner REPLACE wins over outer REPLACE, both over process
+    val nested = observe(
+      _.withConfig("replace" -> "inner").withConfig("replace" -> "outer"))
+    assert(nested("replace") == "inner")
+  }
+
   test("WritableCoercion: typed round-trip for every supported Writable") {
     import org.apache.hadoop.io._
     import graft.sources.WritableCoercion._
