@@ -291,4 +291,29 @@ object Dedup {
           .cast("bigint").as("jaccard_micros"))
       .filter(col("jaccard_micros") >= thresholdMicros)
   }
+
+  /** Incremental NEAR-dup detection: which arriving-batch docs near-
+    * duplicate something already in the corpus? The near-dup counterpart
+    * of the exact-hash incremental dedup (q98): batch band rows join
+    * corpus band rows on (band, key), so candidates exist ONLY where a
+    * batch doc shares an LSH bucket with a corpus doc — batch×corpus
+    * never materializes and the corpus side never self-joins.
+    *
+    * Returns one row per flagged batch doc: the smallest matching corpus
+    * id (a stable canonical target for dropping/linking) and the distinct
+    * corpus-match count. The scale path at 100 TB: the corpus band table
+    * is the PERSISTED INDEX (write it bucketed by (band, key) once —
+    * BucketedTap — and every daily batch joins zero-shuffle on the corpus
+    * side; only the batch's own band rows shuffle). */
+  def incrementalNearDups(corpus: DataFrame, batch: DataFrame,
+                          idCol: String, textCol: String,
+                          k: Int = 16, bands: Int = 4): DataFrame = {
+    val cb = bandRows(corpus, idCol, textCol, k, bands)
+      .withColumnRenamed("id", "corpus_id")
+    val bb = bandRows(batch, idCol, textCol, k, bands)
+    bb.join(cb, Seq("band", "key"))
+      .groupBy(col("id"))
+      .agg(min(col("corpus_id")).as("nearest_corpus_id"),
+        count_distinct(col("corpus_id")).as("n_corpus_matches"))
+  }
 }

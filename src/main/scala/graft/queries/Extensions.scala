@@ -829,6 +829,45 @@ object Extensions {
         .select(col("doc_id"), col("ch").as("content_hash"))
     }),
 
+    // --- sequence packing (context-window prep): assign each doc of a
+    // source stream to a fixed token-budget bin by EXCLUSIVE cumulative
+    // token count — bin = floor(cum_prev / B), offset = cum_prev mod B.
+    // This is the deterministic streaming-fill packing used in practice
+    // (docs may straddle a bin edge; the trainer's loader splits them),
+    // chosen over true first-fit bin packing because it is order-stable,
+    // exact-integer, and one window pass. Scale: packing is inherently
+    // sequential PER STREAM, so at 100 TB the move is salting each source
+    // into independent sub-streams that pack separately (bins namespaced
+    // by sub-stream) — the per-source window sort here is that same plan
+    // with one sub-stream per source.
+    "q128_sequence_packing" -> ((s, dir) => {
+      val B = 256L
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("source"), col("doc_id"),
+          TA.tokenCount(col("text")).cast("long").as("n_tok"))
+        .withColumn("cum_prev", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+        .select(col("source"), col("doc_id"), col("n_tok"),
+          floor(col("cum_prev") / B).cast("bigint").as("bin"),
+          (col("cum_prev") % B).cast("bigint").as("bin_offset"))
+    }),
+
+    // --- incremental NEAR-dup (the q98 shape at near-duplicate
+    // granularity): arriving-batch docs that LSH-collide with the existing
+    // corpus — batch and corpus band rows meet only on shared (band, key)
+    // buckets, so batch×corpus never materializes; at 100 TB the corpus
+    // band table is a persisted bucketed index and only the daily batch's
+    // band rows shuffle (see Dedup.incrementalNearDups).
+    "q127_incremental_neardup" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Dedup.incrementalNearDups(
+        corpus = docs.filter(col("doc_id") % 10 =!= 7),
+        batch = docs.filter(col("doc_id") % 10 === 7),
+        "doc_id", "text")
+    }),
+
     // --- sliding-window token chunking: the context-window prep step of a
     // pretraining pipeline — chunks of 50 tokens with stride 25 (50%
     // overlap), the last chunk ragged. Pure generator shape: one scan,
@@ -2325,6 +2364,32 @@ object Extensions {
         |  SELECT 1 FROM documents c
         |  WHERE c.doc_id % 10 <> 7
         |    AND md5(lower(regexp_replace(trim(c.text), '\s+', ' ', 'g')))
-        |      = md5(lower(regexp_replace(trim(b.text), '\s+', ' ', 'g'))))""".stripMargin
+        |      = md5(lower(regexp_replace(trim(b.text), '\s+', ' ', 'g'))))""".stripMargin,
+
+    "q128_sequence_packing" ->
+      s"""WITH t AS (
+         |  SELECT source, doc_id, CAST(len($dToks) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |c AS (
+         |  SELECT source, doc_id, n_tok,
+         |  coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+         |  FROM t)
+         |SELECT source, doc_id, n_tok,
+         |CAST(cum_prev // 256 AS BIGINT) AS bin,
+         |CAST(cum_prev % 256 AS BIGINT) AS bin_offset
+         |FROM c""".stripMargin,
+
+    // the shared minhash CTE computes band rows for ALL docs; the two
+    // sides are the same %10 split as q98
+    "q127_incremental_neardup" ->
+      s"""$minhashCte,
+         |cb AS (SELECT doc_id AS corpus_id, band, key FROM bands
+         |       WHERE doc_id % 10 <> 7),
+         |bb AS (SELECT doc_id, band, key FROM bands WHERE doc_id % 10 = 7)
+         |SELECT b.doc_id AS id, min(c.corpus_id) AS nearest_corpus_id,
+         |count(DISTINCT c.corpus_id) AS n_corpus_matches
+         |FROM bb b JOIN cb c ON b.band = c.band AND b.key = c.key
+         |GROUP BY 1""".stripMargin
   )
 }

@@ -54,6 +54,28 @@ class FormulaPinSpec extends SparkSpec {
     assert(bits("dd") > bits("aa"))
   }
 
+  test("q128 sequence packing: hand-computed bins, offsets, and invariants") {
+    // token counts 100, 200, 50, 300 against budget 256:
+    //   cum_prev = 0, 100, 300, 350 → bins 0, 0, 1, 1; offsets 0, 100, 44, 94
+    def words(k: Int) = Seq.fill(k)("w").mkString(" ")
+    val docs = Seq(
+      (1L, words(100), "s0"), (2L, words(200), "s0"),
+      (3L, words(50), "s0"), (4L, words(300), "s0"),
+      // second source packs independently from zero
+      (5L, words(300), "s1"), (6L, words(10), "s1"))
+    val dir = stageDocs(docs)
+    val got = SparkEntry.queries("q128_sequence_packing")(spark, dir)
+      .collect().map(r => r.getLong(1) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == Map(
+      1L -> (100L, 0L, 0L), 2L -> (200L, 0L, 100L),
+      3L -> (50L, 1L, 44L), 4L -> (300L, 1L, 94L),
+      5L -> (300L, 0L, 0L), 6L -> (10L, 1L, 44L)))
+    // invariants: offset < budget; cum reconstruction bin*256 + offset is
+    // the exclusive prefix sum in doc order per source
+    for ((_, (_, _, off)) <- got) assert(off >= 0 && off < 256)
+  }
+
   test("q121 drift: exact integer L1 statistic matches brute force and N·M·Σ|p−q|") {
     // probe source src0 skewed long (20-token docs), rest short (10-token)
     def words(k: Int) = Seq.fill(k)("w").mkString(" ")
