@@ -147,6 +147,30 @@ class FunctionsSpec extends SparkSpec {
     assert(sigs(1L) != sigs(3L))
   }
 
+  test("incremental near-dup flags batch docs colliding with the corpus only") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "an unrelated corpus document about spark engines and scale"),
+      (5L, "the quick brown fox jumps over the lazy dog today")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"), // dup of 1,5
+      (11L, "a genuinely novel batch document with fresh content entirely")
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalNearDups(corpus, batch, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // the duplicate flags with the SMALLEST matching corpus id and counts
+    // both corpus matches; the novel doc is absent (no bucket collision)
+    assert(got == Map(10L -> (1L, 2L)))
+    // batch-internal duplicates never flag each other (batch x batch is
+    // not a candidate source — only the corpus side is)
+    val batchDup = Seq(
+      (20L, "zebra xylophone quartz jigsaw vortex mystery puzzle engine"),
+      (21L, "zebra xylophone quartz jigsaw vortex mystery puzzle engine")
+    ).toDF("doc_id", "text")
+    assert(Dedup.incrementalNearDups(corpus, batchDup, "doc_id", "text").count() == 0)
+  }
+
   test("minhash clusters map near-identical docs to one canonical id") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today"),
