@@ -35,6 +35,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The streaming queries (q123 especially: kill + checkpoint restart)
+    // spray ChecksumCheckpointFileManager "no checksum file" WARNs into
+    // stderr — harmless (the restart intentionally reads pre-checksum
+    // snapshots) but they eat the bounded log tail the driver captures.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.streaming.checkpointing" +
+        ".ChecksumCheckpointFileManager",
+      org.apache.logging.log4j.Level.ERROR)
     // noop-format write: evaluates every output expression. A count() lets
     // Catalyst prune projection-only queries down to a row count, which
     // would under-measure the scan+compute work.
@@ -123,10 +131,16 @@ object Bench {
     // driver example's own "q1" shape) and millisecond precision. Printing
     // the full JSON to stdout as well would evict the compact line from
     // the tail window — so it is file-only.
+    // a failed write must not kill the run (the stdout line is the primary
+    // channel) but must not vanish either: warn on stderr, which doesn't
+    // compete with the bounded stdout tail the compact line targets
     def writeTo(path: String): Unit =
       try java.nio.file.Files.write(java.nio.file.Paths.get(path),
         fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      catch { case _: Throwable => () }
+      catch {
+        case t: Throwable =>
+          System.err.println(s"graft.Bench: failed to write $path: $t")
+      }
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach(writeTo)
     // repo-local copy: the round driver commits stray files at round end,
     // so the complete per-pass evidence lands in history even when the

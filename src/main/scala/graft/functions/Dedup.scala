@@ -93,8 +93,23 @@ object Dedup {
     floor(inter * 1000000L / greatest(uni, lit(1L))).cast("bigint")
   }
 
-  /** Band rows (id, band, key) — the LSH explode shared by the pairing and
-    * clustering paths. */
+  /** Band rows `(id, band, key)` — the LSH explode shared by the pairing,
+    * clustering, and incremental paths. Public as the INDEX ROW layout:
+    * persist this table bucketed by (band, key) — [[bandIndexTap]] — and
+    * it becomes the corpus-side near-dup index that daily batches join
+    * with zero corpus-side shuffle. */
+  def bandIndex(df: DataFrame, idCol: String, textCol: String,
+                k: Int = 16, bands: Int = 4): DataFrame =
+    bandRows(df, idCol, textCol, k, bands)
+
+  /** The tap a persisted band index is written through: bucketed by the
+    * join key (band, key) so a later batch-vs-corpus join plans with NO
+    * exchange on the corpus side (asserted in BucketingSpec and inside the
+    * q127 gate query). Bucket count is the layout decision: size it so one
+    * bucket ≈ one task of index rows at the target corpus scale. */
+  def bandIndexTap(table: String, buckets: Int): graft.sources.BucketedTap =
+    graft.sources.BucketedTap(table, buckets, Seq("band", "key"))
+
   private def bandRows(df: DataFrame, idCol: String, textCol: String,
                        k: Int, bands: Int): DataFrame = {
     val rowsPerBand = k / bands
@@ -301,15 +316,33 @@ object Dedup {
     *
     * Returns one row per flagged batch doc: the smallest matching corpus
     * id (a stable canonical target for dropping/linking) and the distinct
-    * corpus-match count. The scale path at 100 TB: the corpus band table
-    * is the PERSISTED INDEX (write it bucketed by (band, key) once —
-    * BucketedTap — and every daily batch joins zero-shuffle on the corpus
-    * side; only the batch's own band rows shuffle). */
+    * corpus-match count.
+    *
+    * This overload recomputes the corpus band rows per call — fine for a
+    * one-shot comparison, WRONG as a daily-ingest loop at 100 TB (it pays
+    * a full corpus scan + shuffle per batch for an O(batch) question).
+    * The production path is [[incrementalNearDupsAgainstIndex]] over a
+    * band index persisted once via [[bandIndexTap]]. */
   def incrementalNearDups(corpus: DataFrame, batch: DataFrame,
                           idCol: String, textCol: String,
-                          k: Int = 16, bands: Int = 4): DataFrame = {
-    val cb = bandRows(corpus, idCol, textCol, k, bands)
-      .withColumnRenamed("id", "corpus_id")
+                          k: Int = 16, bands: Int = 4): DataFrame =
+    incrementalNearDupsAgainstIndex(
+      bandIndex(corpus, idCol, textCol, k, bands), batch, idCol, textCol,
+      k, bands)
+
+  /** Incremental near-dup against a PERSISTED corpus band index (the
+    * [[bandIndex]] layout, written through [[bandIndexTap]] so the table
+    * is bucketed by (band, key)). Every daily batch then joins the index
+    * with zero corpus-side shuffle: only the batch's own band rows — the
+    * O(batch) side — are exchanged into the index's bucket layout. The
+    * corpus is scanned at most once per batch and NEVER re-signatured,
+    * and with partition/bucket pruning on selective batches not even
+    * that. k and bands must match the values the index was built with. */
+  def incrementalNearDupsAgainstIndex(corpusIndex: DataFrame,
+                                      batch: DataFrame,
+                                      idCol: String, textCol: String,
+                                      k: Int = 16, bands: Int = 4): DataFrame = {
+    val cb = corpusIndex.withColumnRenamed("id", "corpus_id")
     val bb = bandRows(batch, idCol, textCol, k, bands)
     bb.join(cb, Seq("band", "key"))
       .groupBy(col("id"))

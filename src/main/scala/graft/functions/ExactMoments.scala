@@ -23,10 +23,13 @@ object ExactMoments {
 
   /** Pass `c` through iff |c| ≤ bound, else raise a directed error naming
     * the violated bound — a silent int64 wrap in a moment column would
-    * corrupt every derived statistic downstream. Codegen'd branch on the
-    * scan, no extra pass. */
+    * corrupt every derived statistic downstream. NULLs pass through (they
+    * propagate through sum() exactly as ungated aggregation would; without
+    * the isNull arm, abs(NULL) ≤ bound is NULL and a null value would
+    * abort the query — with a NULL message, no less). Codegen'd branch on
+    * the scan, no extra pass. */
   def guard(c: Column, bound: Long, name: String): Column =
-    when(abs(c) <= bound, c).otherwise(raise_error(concat(
+    when(c.isNull || abs(c) <= bound, c).otherwise(raise_error(concat(
       lit(s"exact_moments: |$name| exceeds $bound, outside the int64 " +
         s"headroom proof (DesignRowsMax=$DesignRowsMax, see ExactSumSpec) " +
         "— re-derive the bounds or use decimal moments; value="),

@@ -38,10 +38,15 @@ object FuzzyMatch {
     val b = w.select(col("w").as("w2"), col("blk_c"),
       explode(array(col("blk_l") - 1, col("blk_l"),
         col("blk_l") + 1)).as("blk_l"))
+    // the BOUNDED levenshtein (threshold arg): banded DP that early-exits
+    // at O(len·maxDist) per evaluation instead of O(len²), returning -1
+    // past the threshold — so the within-block distance test costs
+    // O(maxDist) per character even if the optimizer re-derives the
+    // predicate from the projection alias on both sides of the filter
     a.join(b, Seq("blk_c", "blk_l"))
-      .filter(col("w1") < col("w2") &&
-        levenshtein(col("w1"), col("w2")) <= maxDist)
-      .select(col("w1"), col("w2"),
-        levenshtein(col("w1"), col("w2")).as("dist"))
+      .filter(col("w1") < col("w2"))
+      .withColumn("dist", levenshtein(col("w1"), col("w2"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(col("w1"), col("w2"), col("dist"))
   }
 }

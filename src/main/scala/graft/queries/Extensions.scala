@@ -829,43 +829,64 @@ object Extensions {
         .select(col("doc_id"), col("ch").as("content_hash"))
     }),
 
-    // --- sequence packing (context-window prep): assign each doc of a
-    // source stream to a fixed token-budget bin by EXCLUSIVE cumulative
-    // token count — bin = floor(cum_prev / B), offset = cum_prev mod B.
-    // This is the deterministic streaming-fill packing used in practice
-    // (docs may straddle a bin edge; the trainer's loader splits them),
-    // chosen over true first-fit bin packing because it is order-stable,
-    // exact-integer, and one window pass. Scale: packing is inherently
-    // sequential PER STREAM, so at 100 TB the move is salting each source
-    // into independent sub-streams that pack separately (bins namespaced
-    // by sub-stream) — the per-source window sort here is that same plan
-    // with one sub-stream per source.
+    // --- sequence packing (context-window prep), SALTED: each source is
+    // split into 4 deterministic sub-streams (doc_id mod 4) that pack
+    // independently into 256-token bins namespaced by (source, sub) — the
+    // plan whose per-task sort is 1/S of a source instead of a whole
+    // source (see graft.functions.SequencePack for the scale argument).
+    // The query asserts the plan property itself: the window partition
+    // spec must carry BOTH keys — a window keyed on source alone is the
+    // one-task-per-source straggler this op exists to avoid.
     "q128_sequence_packing" -> ((s, dir) => {
-      val B = 256L
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("source")).orderBy(col("doc_id"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-      s.read.parquet(s"$dir/documents.parquet")
-        .select(col("source"), col("doc_id"),
-          TA.tokenCount(col("text")).cast("long").as("n_tok"))
-        .withColumn("cum_prev", coalesce(sum(col("n_tok")).over(w), lit(0L)))
-        .select(col("source"), col("doc_id"), col("n_tok"),
-          floor(col("cum_prev") / B).cast("bigint").as("bin"),
-          (col("cum_prev") % B).cast("bigint").as("bin_offset"))
+      val df = graft.functions.SequencePack.pack(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("source"), col("doc_id"),
+            TA.tokenCount(col("text")).as("n_tok")),
+        "source", "doc_id", "n_tok", budget = 256L, substreams = 4)
+      val plan = df.queryExecution.executedPlan.toString
+      require("windowspecdefinition\\(source#\\d+, sub#\\d+L".r
+          .findFirstIn(plan).isDefined,
+        "packing window must partition by (source, sub), not source alone")
+      df
     }),
 
     // --- incremental NEAR-dup (the q98 shape at near-duplicate
     // granularity): arriving-batch docs that LSH-collide with the existing
-    // corpus — batch and corpus band rows meet only on shared (band, key)
-    // buckets, so batch×corpus never materializes; at 100 TB the corpus
-    // band table is a persisted bucketed index and only the daily batch's
-    // band rows shuffle (see Dedup.incrementalNearDups).
+    // corpus. The EXECUTED plan is the production daily-ingest shape: the
+    // corpus band table is a PERSISTED INDEX, written once through
+    // Dedup.bandIndexTap (bucketBy(band, key)), and the batch joins it
+    // with zero corpus-side shuffle — only the batch's own band rows (the
+    // O(batch) side) are exchanged into the index's bucket layout. The
+    // corpus is never re-signatured per batch. The query asserts the plan
+    // property itself (exactly ONE hashpartitioning exchange on the join
+    // key — the batch side — and a bucket-aware index scan; broadcast
+    // disabled while building so the bucket-join path is what's planned);
+    // the oracle gates the values.
     "q127_incremental_neardup" -> ((s, dir) => {
+      val table = "graft_q127_bandidx"
+      graft.queries.Tables.dropStagedTable(s, table)
       val docs = s.read.parquet(s"$dir/documents.parquet")
-      Dedup.incrementalNearDups(
-        corpus = docs.filter(col("doc_id") % 10 =!= 7),
-        batch = docs.filter(col("doc_id") % 10 === 7),
-        "doc_id", "text")
+      // one-time index build (the amortized cost in the daily loop)
+      Dedup.bandIndexTap(table, 8).write(
+        Dedup.bandIndex(docs.filter(col("doc_id") % 10 =!= 7),
+          "doc_id", "text"),
+        graft.sources.SinkMode.Replace)
+      val threshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val df = Dedup.incrementalNearDupsAgainstIndex(
+          corpusIndex = s.table(table),
+          batch = docs.filter(col("doc_id") % 10 === 7),
+          "doc_id", "text")
+        val plan = df.queryExecution.executedPlan.toString
+        val exchanges = "Exchange hashpartitioning\\(band".r
+          .findAllMatchIn(plan).size
+        require(exchanges == 1, s"index join must shuffle ONLY the batch " +
+          s"band rows (got $exchanges (band, key) exchanges)")
+        require(plan.contains("SelectedBucketsCount"),
+          "corpus side must be the bucket-aware index scan")
+        df
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
     }),
 
     // --- sliding-window token chunking: the context-window prep step of a
@@ -1005,14 +1026,24 @@ object Extensions {
     // heap output). The window row_number form sorts every group's full
     // row set; at extreme group sizes that is a full-data sort for a
     // 5-row answer (PlanAuditSpec pins the heap plan window-free). The
-    // 52-bit hash stays exact in double; ties are impossible at gate SFs
-    // and vanishingly rare beyond (a tie would only widen the sample by
-    // the tied rows).
+    // 52-bit hash stays exact in double; ties are vanishingly rare but NOT
+    // harmless — the heap form keeps every tied row (array_contains) while
+    // the oracle's row_number keeps exactly 5, so a collision would
+    // nondeterministically fail the hash gate. The query asserts
+    // tie-freedom itself (count_distinct(nh) = count per source — one
+    // O(groups) aggregate over the same scan) and fails DIRECTED if a
+    // collision ever appears, instead of as an opaque hash mismatch.
     "q107_group_sample" -> ((s, dir) => {
       val nh = -conv(substring(md5(concat(lit("graft-r5c"),
           col("doc_id").cast("string"))), 1, 13), 16, 10).cast("double")
       val d = s.read.parquet(s"$dir/documents.parquet")
         .select(col("source"), col("doc_id"), nh.as("nh"))
+      val ties = d.groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), count_distinct(col("nh")).as("nd"))
+        .filter(col("n") =!= col("nd")).limit(1).collect()
+      require(ties.isEmpty, "q107: 52-bit hash tie within source " +
+        s"${ties.headOption.map(_.getString(0)).getOrElse("")} — fold a " +
+        "doc_id tiebreak into nh (both spellings) before trusting the gate")
       val tops = d.groupBy(col("source"))
         .agg(graft.catalyst.TopKAgg(col("nh"), 5).as("top"))
       d.join(broadcast(tops), Seq("source"))
@@ -2368,14 +2399,15 @@ object Extensions {
 
     "q128_sequence_packing" ->
       s"""WITH t AS (
-         |  SELECT source, doc_id, CAST(len($dToks) AS BIGINT) AS n_tok
+         |  SELECT source, CAST(doc_id % 4 AS BIGINT) AS sub, doc_id,
+         |  CAST(len($dToks) AS BIGINT) AS n_tok
          |  FROM documents),
          |c AS (
-         |  SELECT source, doc_id, n_tok,
-         |  coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         |  SELECT source, sub, doc_id, n_tok,
+         |  coalesce(sum(n_tok) OVER (PARTITION BY source, sub ORDER BY doc_id
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
          |  FROM t)
-         |SELECT source, doc_id, n_tok,
+         |SELECT source, sub, doc_id, n_tok,
          |CAST(cum_prev // 256 AS BIGINT) AS bin,
          |CAST(cum_prev % 256 AS BIGINT) AS bin_offset
          |FROM c""".stripMargin,

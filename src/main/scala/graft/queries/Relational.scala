@@ -682,22 +682,8 @@ object Relational {
     // building so the co-located sort-merge path is what's planned) and
     // the oracle gates the values.
     "q72_bucketed_join" -> ((s, dir) => {
-      val warehouse = {
-        // conf value may be a file: URI or a bare (possibly relative) path
-        val raw = s.conf.get("spark.sql.warehouse.dir",
-          new java.io.File("spark-warehouse").toURI.toString)
-        val uri = new java.net.URI(raw)
-        new java.io.File(if (uri.getScheme == "file" || uri.getScheme == null)
-          uri.getPath else raw)
-      }
-      Seq("graft_q72_orders", "graft_q72_customer").foreach { t =>
-        s.sql(s"DROP TABLE IF EXISTS $t")
-        val loc = new java.io.File(warehouse, t)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
-        }
-        if (loc.exists()) rm(loc)
-      }
+      Seq("graft_q72_orders", "graft_q72_customer")
+        .foreach(graft.queries.Tables.dropStagedTable(s, _))
       val ot = graft.sources.BucketedTap("graft_q72_orders", 8,
         Seq("o_custkey"), Seq("o_custkey"))
       val ct = graft.sources.BucketedTap("graft_q72_customer", 8,

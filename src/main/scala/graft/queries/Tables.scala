@@ -19,4 +19,24 @@ object Tables {
       case _ => df
     }
   }
+
+  /** Drop a staging table AND its warehouse directory. `DROP TABLE` alone
+    * is not enough under the gate: a crashed earlier run can leave the
+    * data directory behind with no catalog entry, and the next
+    * `saveAsTable` then fails on the non-empty location. */
+  def dropStagedTable(s: SparkSession, table: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    // conf value may be a file: URI or a bare (possibly relative) path
+    val raw = s.conf.get("spark.sql.warehouse.dir",
+      new java.io.File("spark-warehouse").toURI.toString)
+    val uri = new java.net.URI(raw)
+    val warehouse = new java.io.File(
+      if (uri.getScheme == "file" || uri.getScheme == null) uri.getPath
+      else raw)
+    val loc = new java.io.File(warehouse, table)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+    }
+    if (loc.exists()) rm(loc)
+  }
 }

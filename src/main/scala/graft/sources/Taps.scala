@@ -259,8 +259,18 @@ object WritableCoercion {
       s"WritableCoercion: ${other.getClass.getName} (see dataTypeOf)")
   }
 
-  /** JVM native value → fresh Writable of the given class. */
+  /** JVM native value → fresh Writable of the given class. Nulls fail
+    * loudly (except NullWritable): the Writable value classes have no
+    * null representation — String.valueOf(null) would silently write the
+    * literal text "null" and a null numeric would unbox to 0/0.0/false,
+    * round-tripping WRONG concrete values. Write nullable columns through
+    * a custom HadoopTap fromRow that picks an explicit sentinel. */
   def fromNative(v: Any, cls: Class[_]): Writable = cls match {
+    case c if c == classOf[NullWritable]    => NullWritable.get()
+    case _ if v == null => throw new UnsupportedOperationException(
+      s"WritableCoercion: null value for ${cls.getName} — Writables have " +
+        "no null representation; coerce nulls to an explicit sentinel " +
+        "before the tap (or use a custom HadoopTap fromRow)")
     case c if c == classOf[LongWritable]    => new LongWritable(v.asInstanceOf[Long])
     case c if c == classOf[IntWritable]     => new IntWritable(v.asInstanceOf[Int])
     case c if c == classOf[DoubleWritable]  => new DoubleWritable(v.asInstanceOf[Double])
@@ -268,7 +278,6 @@ object WritableCoercion {
     case c if c == classOf[BooleanWritable] => new BooleanWritable(v.asInstanceOf[Boolean])
     case c if c == classOf[Text]            => new Text(String.valueOf(v))
     case c if c == classOf[BytesWritable]   => new BytesWritable(v.asInstanceOf[Array[Byte]])
-    case c if c == classOf[NullWritable]    => NullWritable.get()
     case other => throw new UnsupportedOperationException(
       s"WritableCoercion: ${other.getName} (see dataTypeOf)")
   }

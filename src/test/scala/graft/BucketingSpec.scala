@@ -72,6 +72,43 @@ class BucketingSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
 
+  test("persisted band index: daily batch joins with zero corpus-side exchange") {
+    import graft.functions.Dedup
+    graft.queries.Tables.dropStagedTable(spark, "bt_bandidx")
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "one two three four five six"),
+      (12L, "alpha beta gamma delta epsilon"), // batch near-dup of 1 and 2
+      (13L, "totally unrelated payload words here")
+    ).toDF("doc_id", "text")
+    val corpus = docs.filter($"doc_id" < 10)
+    val batch = docs.filter($"doc_id" >= 10)
+    // build the index ONCE (the amortized cost of the daily-ingest loop)
+    Dedup.bandIndexTap("bt_bandidx", 4).write(
+      Dedup.bandIndex(corpus, "doc_id", "text"), graft.sources.SinkMode.Replace)
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val viaIndex = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = Dedup.incrementalNearDupsAgainstIndex(
+        spark.table("bt_bandidx"), batch, "doc_id", "text")
+      val plan = df.queryExecution.executedPlan.toString
+      // exactly ONE (band, key) exchange — the O(batch) side; a second
+      // would mean the corpus index is being reshuffled per batch
+      assert("Exchange hashpartitioning\\(band".r.findAllMatchIn(plan).size == 1,
+        plan)
+      assert(plan.contains("SelectedBucketsCount"),
+        s"corpus side must be a bucket-aware index scan:\n$plan")
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    // doc 12 collides with both corpus twins; 13 matches nothing
+    assert(viaIndex == Set((12L, 1L, 2L)))
+    // and the indexed path computes exactly what the one-shot overload does
+    val recompute = Dedup.incrementalNearDups(corpus, batch, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaIndex == recompute)
+  }
+
   test("3-way bufferJoinN provides one iterator per input") {
     val a = Seq((1, "a1"), (2, "a2")).toDF("k", "va")
     val b = Seq((1, "b1"), (1, "b1x"), (3, "b3")).toDF("k2", "vb")

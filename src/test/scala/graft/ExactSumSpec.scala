@@ -157,5 +157,14 @@ class ExactSumSpec extends SparkSpec {
       .agg(sum(ExactMoments.guardX(col("x")) * ExactMoments.guardY(col("y"))))
       .head().getLong(0)
     assert(ok == 3L * 100000L + 5L * -99999L)
+    // NULLs pass through and aggregate exactly as ungated sums would
+    // (abs(NULL) <= bound is NULL, so without the isNull arm a null value
+    // would hit raise_error — with a NULL message)
+    val withNulls = Seq(Some(3L), None, Some(5L)).toDF("x")
+    assert(withNulls.agg(sum(ExactMoments.guardX(col("x"))))
+      .head().getLong(0) == 8L)
+    assert(withNulls.select(ExactMoments.guardX(col("x")).as("g"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+      .toSet == Set(Some(3L), None, Some(5L)))
   }
 }

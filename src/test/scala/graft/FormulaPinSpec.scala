@@ -55,25 +55,53 @@ class FormulaPinSpec extends SparkSpec {
   }
 
   test("q128 sequence packing: hand-computed bins, offsets, and invariants") {
+    def words(k: Int) = Seq.fill(k)("w").mkString(" ")
+    // classic one-stream-per-source math, pinned through pack(S=1):
     // token counts 100, 200, 50, 300 against budget 256:
     //   cum_prev = 0, 100, 300, 350 → bins 0, 0, 1, 1; offsets 0, 100, 44, 94
-    def words(k: Int) = Seq.fill(k)("w").mkString(" ")
-    val docs = Seq(
+    val classic = Seq(
       (1L, words(100), "s0"), (2L, words(200), "s0"),
       (3L, words(50), "s0"), (4L, words(300), "s0"),
       // second source packs independently from zero
       (5L, words(300), "s1"), (6L, words(10), "s1"))
-    val dir = stageDocs(docs)
+    val cdir = stageDocs(classic)
+    val cgot = graft.functions.SequencePack.pack(
+        spark.read.parquet(s"$cdir/documents.parquet")
+          .select(col("source"), col("doc_id"),
+            graft.functions.TextAnalysis.tokenCount(col("text")).as("n_tok")),
+        "source", "doc_id", "n_tok", budget = 256L, substreams = 1)
+      .collect().map(r => r.getLong(2) ->
+        (r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(cgot == Map(
+      1L -> (0L, 100L, 0L, 0L), 2L -> (0L, 200L, 0L, 100L),
+      3L -> (0L, 50L, 1L, 44L), 4L -> (0L, 300L, 1L, 94L),
+      5L -> (0L, 300L, 0L, 0L), 6L -> (0L, 10L, 1L, 44L)))
+
+    // the registered q128 (salted, S=4): sub-streams pack independently.
+    // s0 sub1 = ids {1, 5}: cum_prev 0, 100; sub2 = {2, 6}: 0, 200;
+    // sub3 = {3, 7}: 0, 50; sub0 = {4, 8}: 0, 300 → id 8 is bin 1
+    // offset 44 (300 = 256 + 44). s1 groups are singletons from zero.
+    val salted = Seq(
+      (1L, words(100), "s0"), (2L, words(200), "s0"),
+      (3L, words(50), "s0"), (4L, words(300), "s0"),
+      (5L, words(60), "s0"), (6L, words(70), "s0"),
+      (7L, words(80), "s0"), (8L, words(90), "s0"),
+      (9L, words(300), "s1"), (10L, words(10), "s1"))
+    val dir = stageDocs(salted)
     val got = SparkEntry.queries("q128_sequence_packing")(spark, dir)
-      .collect().map(r => r.getLong(1) ->
-        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      .collect().map(r => r.getLong(2) ->
+        (r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
     assert(got == Map(
-      1L -> (100L, 0L, 0L), 2L -> (200L, 0L, 100L),
-      3L -> (50L, 1L, 44L), 4L -> (300L, 1L, 94L),
-      5L -> (300L, 0L, 0L), 6L -> (10L, 1L, 44L)))
-    // invariants: offset < budget; cum reconstruction bin*256 + offset is
-    // the exclusive prefix sum in doc order per source
-    for ((_, (_, _, off)) <- got) assert(off >= 0 && off < 256)
+      1L -> (1L, 100L, 0L, 0L), 2L -> (2L, 200L, 0L, 0L),
+      3L -> (3L, 50L, 0L, 0L), 4L -> (0L, 300L, 0L, 0L),
+      5L -> (1L, 60L, 0L, 100L), 6L -> (2L, 70L, 0L, 200L),
+      7L -> (3L, 80L, 0L, 50L), 8L -> (0L, 90L, 1L, 44L),
+      9L -> (1L, 300L, 0L, 0L), 10L -> (2L, 10L, 0L, 0L)))
+    // invariants: sub = doc_id mod 4; offset within budget
+    for ((id, (sub, _, _, off)) <- got) {
+      assert(sub == id % 4)
+      assert(off >= 0 && off < 256)
+    }
   }
 
   test("q121 drift: exact integer L1 statistic matches brute force and N·M·Σ|p−q|") {

@@ -269,6 +269,21 @@ class TapsSpec extends SparkSpec {
     assert(toNative(NullWritable.get()) == null)
   }
 
+  test("WritableCoercion: null values fail loudly, never coerce to 0/'null'") {
+    import org.apache.hadoop.io._
+    import graft.sources.WritableCoercion._
+    // a silent String.valueOf(null) would write the literal Text "null";
+    // a null numeric would unbox to 0 — both round-trip WRONG values
+    for (cls <- Seq(classOf[Text], classOf[LongWritable], classOf[IntWritable],
+        classOf[DoubleWritable], classOf[BooleanWritable], classOf[BytesWritable])) {
+      val ex = intercept[UnsupportedOperationException] { fromNative(null, cls) }
+      assert(ex.getMessage.contains("null"), cls.toString)
+      assert(ex.getMessage.contains("sentinel"), cls.toString)
+    }
+    // NullWritable is the one Writable whose value IS null
+    assert(fromNative(null, classOf[NullWritable]) == NullWritable.get())
+  }
+
   test("WritableCoercion: unsupported Writables fail with the directed error") {
     import org.apache.hadoop.io._
     val ex = intercept[UnsupportedOperationException] {
