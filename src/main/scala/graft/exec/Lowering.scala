@@ -181,9 +181,17 @@ final class Lowering(spark: SparkSession, keepAssertions: Boolean = true,
 
     case MergePipe(pipes) => pipes.map(lower).reduce(_ unionAll _)
 
-    case UniquePipe(prev, fields) =>
+    case UniquePipe(prev, fields, include) =>
       val df = lower(prev)
-      fields.fold(df.distinct())(f => df.dropDuplicates(f))
+      // NO_NULLS drops null-keyed tuples BEFORE the distinct (Cascading
+      // Unique.Include semantics) — a filter at the scan, not a group
+      val base = include match {
+        case graft.pipes.UniqueInclude.NoNulls =>
+          val keyCols = fields.getOrElse(df.columns.toSeq)
+          df.filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
+        case graft.pipes.UniqueInclude.All => df
+      }
+      fields.fold(base.distinct())(f => base.dropDuplicates(f))
 
     case RetainPipe(prev, fields) =>
       lower(prev).select(fields.map(col): _*)

@@ -166,6 +166,19 @@ object Similarity {
   def ivfKnnKMeans(corpus: DataFrame, queries: DataFrame, idCol: String,
                    vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
                    iters: Int = 2): DataFrame = {
+    val (cents, lists) = ivfKMeansBuild(corpus, idCol, vecCol, nlist, iters)
+    ivfProbedQuery(cents, lists, queries, idCol, vecCol, k, nprobe)
+  }
+
+  /** The BUILD phase of [[ivfKnnKMeans]], split out so the index can be
+    * PERSISTED and amortized: returns (centroids `(cent_id, cent_q)`,
+    * inverted lists `(nn_id, nn_vec, cent)`). Write the lists through a
+    * BucketedTap keyed by `cent` and the centroids as a (tiny) table; every
+    * later query batch then runs [[ivfProbedQuery]] against the stored
+    * index without re-running a single Lloyd round or corpus scan — at
+    * 100 TB the build is a once-per-refresh job, not a per-query cost. */
+  def ivfKMeansBuild(corpus: DataFrame, idCol: String, vecCol: String,
+                     nlist: Int = 16, iters: Int = 2): (DataFrame, DataFrame) = {
     def qvec(c: Column) =
       transform(c, x => floor(x.cast("double") * 1e6).cast("long"))
     // native one-pass kernel (handles long arrays), same ordered fold as
@@ -219,6 +232,21 @@ object Similarity {
     val lists = assignCorpus(col("nn_vec"))
       .select(col("nn_id"), col("__best.p").as("nn_vec"),
         col("__best.cent_id").as("cent"))
+    (cents, lists)
+  }
+
+  /** The QUERY phase of [[ivfKnnKMeans]] against an already-built (or
+    * persisted and re-read) index. Scale shape: the probe table is
+    * queries×nprobe — small per batch — and is BROADCAST into the lists
+    * join, so the corpus-sized lists side is never exchanged (with lists
+    * bucketed by `cent`, not even at rest); the only corpus-sized work is
+    * the probed-list cosine scan. */
+  def ivfProbedQuery(cents: DataFrame, lists: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int,
+                     nprobe: Int = 4): DataFrame = {
+    def qvec(c: Column) =
+      transform(c, x => floor(x.cast("double") * 1e6).cast("long"))
+    def cosD(a: Column, b: Column) = cosine(a, b)
     val qs = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
       qvec(col(vecCol)).as("qq"))
     val pw = Window.partitionBy(col("query_id")).orderBy(
@@ -227,10 +255,11 @@ object Similarity {
       .withColumn("__cr", row_number().over(pw))
       .filter(col("__cr") <= nprobe)
       .select(col("query_id"), col("q_vec"), col("cent_id").as("cent"))
-    val scored = lists.join(probes, "cent")
+    val scored = lists.join(broadcast(probes), "cent")
       .filter(col("query_id") =!= col("nn_id"))
       .select(col("query_id"), col("nn_id"),
         cosine(col("q_vec"), col("nn_vec")).as("sim"))
+      // a corpus vector can sit in several probed lists of one query
       .distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("nn_id").asc)

@@ -149,6 +149,13 @@ sealed trait Pipe {
   def unique(fields: String*): Pipe =
     UniquePipe(this, if (fields.isEmpty) None else Some(fields))
 
+  /** Cascading `Unique.Include.NO_NULLS`: tuples carrying a null in ANY of
+    * the distinct fields are DISCARDED (not grouped as their own key —
+    * that is plain `unique`, which keeps one null row). */
+  def uniqueNoNulls(fields: String*): Pipe =
+    UniquePipe(this, if (fields.isEmpty) None else Some(fields),
+      UniqueInclude.NoNulls)
+
   def retain(fields: String*): Pipe = RetainPipe(this, fields)
   def discard(fields: String*): Pipe = DiscardPipe(this, fields)
   def rename(pairs: (String, String)*): Pipe = RenamePipe(this, pairs)
@@ -319,6 +326,15 @@ final case class HashJoinPipe(left: Pipe, leftKeys: Seq[String], right: Pipe,
                               nullSafe: Boolean = false) extends Pipe
 
 /** Which side of a key-less cross is small enough to broadcast. */
+/** Cascading `Unique.Include` — whether null-keyed tuples participate in
+  * the distinct (`ALL`, one null row kept per key) or are dropped outright
+  * (`NO_NULLS`). */
+sealed trait UniqueInclude
+object UniqueInclude {
+  case object All extends UniqueInclude
+  case object NoNulls extends UniqueInclude
+}
+
 sealed trait CrossSide
 object CrossSide {
   case object Left extends CrossSide
@@ -349,7 +365,8 @@ final case class ConfigDefPipe(prev: Pipe, props: Map[String, String],
 final case class MergePipe(pipes: Seq[Pipe]) extends Pipe
 final case class IntersectPipe(left: Pipe, right: Pipe) extends Pipe
 final case class ExceptPipe(left: Pipe, right: Pipe) extends Pipe
-final case class UniquePipe(prev: Pipe, fields: Option[Seq[String]]) extends Pipe
+final case class UniquePipe(prev: Pipe, fields: Option[Seq[String]],
+                            include: UniqueInclude = UniqueInclude.All) extends Pipe
 final case class RetainPipe(prev: Pipe, fields: Seq[String]) extends Pipe
 final case class DiscardPipe(prev: Pipe, fields: Seq[String]) extends Pipe
 final case class RenamePipe(prev: Pipe, pairs: Seq[(String, String)]) extends Pipe

@@ -185,6 +185,21 @@ object Relational {
     "q08_unique" -> ((s, dir) => Flow.toDF(
       P(dir, "orders").retain("o_orderstatus", "o_orderpriority").unique())(s)),
 
+    // Unique Include.NO_NULLS (Cascading's null-dropping distinct): tuples
+    // with a null in ANY distinct field are DISCARDED, not kept as their
+    // own key. The nullable column is derived in-query (nullif on a real
+    // status value, so nulls actually occur) and the oracle spells the
+    // drop explicitly (WHERE ... IS NOT NULL before DISTINCT) — plain
+    // unique would differ by exactly the one null row, so the gate
+    // distinguishes the two semantics.
+    "q129_unique_nonulls" -> ((s, dir) => Flow.toDF(
+      P(dir, "orders")
+        .each(ExpressionFunction("status_n",
+          "nullif(o_orderstatus, 'P')", StringType),
+          args = FieldSelector.All, out = FieldSelector.All)
+        .retain("status_n", "o_orderpriority")
+        .uniqueNoNulls())(s)),
+
     // GroupBy + secondary sort + Buffer: running total (SURVEY §2.4)
     "q09_buffer_running" -> ((s, dir) => Flow.toDF(
       P(dir, "orders")
@@ -917,6 +932,11 @@ object Relational {
 
     "q08_unique" ->
       "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+
+    "q129_unique_nonulls" ->
+      """SELECT DISTINCT nullif(o_orderstatus, 'P') AS status_n,
+        |o_orderpriority FROM orders
+        |WHERE nullif(o_orderstatus, 'P') IS NOT NULL""".stripMargin,
 
     "q09_buffer_running" ->
       """SELECT o_custkey, o_orderkey,

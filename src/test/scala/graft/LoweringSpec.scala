@@ -205,6 +205,21 @@ class LoweringSpec extends SparkSpec {
     assert(rows(p).size == 3)
   }
 
+  test("unique Include.NO_NULLS drops null-keyed tuples; ALL keeps one") {
+    import spark.implicits._
+    val df = Seq(Some(1), Some(1), None, Some(2), None).toDF("k")
+    // ALL: null is its own distinct key → {1, 2, null}
+    assert(rows(pipe(df).unique()).size == 3)
+    // NO_NULLS: null tuples discarded outright → {1, 2}
+    val got = rows(pipe(df).uniqueNoNulls())
+    assert(got.size == 2 && got.forall(_.head != null))
+    // subset-field form: null in the DISTINCT field drops the tuple even
+    // when other columns are non-null
+    val wide = Seq((Some(1), "a"), (None, "b"), (Some(1), "c"))
+      .toDF("k", "v")
+    assert(rows(pipe(wide).uniqueNoNulls("k")).size == 1)
+  }
+
   test("rename/retain/discard/coerce field algebra") {
     val p = pipe(lhs).rename("ch" -> "letter").retain("letter")
     assert(Flow.toDF(p).columns.toSeq == Seq("letter"))
