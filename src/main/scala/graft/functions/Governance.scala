@@ -85,6 +85,81 @@ object Governance {
     graft.catalyst.Md5Prefix40(concat(lit(salt), key.cast("string"))) * 100 <
       weightPct.cast("bigint") * (1L << 40)
 
+  /** Micros-granular [[weightedKeep]]: keep with probability
+    * rateMicros/1e6, deterministic in (salt, key). Exact int64: the hash
+    * is 40-bit, so hash·1e6 < 2^60 and rate·2^40 ≤ 2^60. */
+  def rateKeep(key: Column, rateMicros: Column, salt: String): Column =
+    graft.catalyst.Md5Prefix40(concat(lit(salt), key.cast("string"))) * 1000000L <
+      rateMicros.cast("bigint") * (1L << 40)
+
+  /** DuckDB spelling of [[rateKeep]]. */
+  def oracleRateKeep(keyExpr: String, rateMicrosExpr: String,
+                     salt: String): String =
+    s"CAST(concat('0x', substr(md5(concat('$salt', CAST($keyExpr AS VARCHAR))), 1, 10)) AS BIGINT) * 1000000 " +
+      s"< CAST($rateMicrosExpr AS BIGINT) * ${1L << 40}"
+
+  /** Per-source token budget the int64 rate arithmetic stays exact under:
+    * target·1e6 and budget·share_ppm must fit int64, so ≤ 9e12 tokens
+    * (≈ 36 TB of 4-byte-token text) per source per mixture pass. Beyond
+    * that, run the mixture per corpus shard and union. */
+  val MixtureTargetTokensMax = 9000000000000L
+
+  /** Curriculum mixture sampling: down-sample each source so the kept
+    * corpus approaches a TARGET TOKEN MIX — the pretraining-pipeline op
+    * that turns "we crawled what we crawled" into "the model sees the mix
+    * we designed". `sharesPpm` is each source's intended share (ppm) of a
+    * total budget of `budgetRatioMicros`/1e6 of the corpus's actual
+    * tokens; a source's keep rate is min(1, target_s / actual_s), applied
+    * per doc by the deterministic (salt, id) hash — reproducible on any
+    * engine or partitioning. Sources absent from `sharesPpm` are dropped
+    * (share 0); a source under its target keeps everything (the clamp —
+    * sampling cannot invent tokens).
+    *
+    * Scale shape: one agg pass for per-source token totals (O(sources)
+    * rows), the rate table broadcast back, one codegen'd filter scan — no
+    * full-data shuffle anywhere. All arithmetic is guarded int64 (directed
+    * error past [[MixtureTargetTokensMax]], never a silent wrap). */
+  def mixtureSample(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                    sourceCol: String, nTokCol: String,
+                    sharesPpm: Map[String, Long], budgetRatioMicros: Long,
+                    salt: String): org.apache.spark.sql.DataFrame = {
+    require(budgetRatioMicros >= 0 && budgetRatioMicros <= 1000000L,
+      s"mixtureSample: budgetRatioMicros must be in [0, 1e6], got $budgetRatioMicros")
+    require(sharesPpm.values.forall(s => s >= 0 && s <= 1000000L),
+      "mixtureSample: shares must be in [0, 1e6] ppm")
+    val spark = docs.sparkSession
+    val shares = spark.createDataFrame(
+      sharesPpm.toSeq.map { case (s, p) => (s, p) })
+      .toDF(sourceCol, "__share_ppm")
+    val totals = docs.groupBy(col(sourceCol))
+      .agg(sum(col(nTokCol).cast("long")).as("__actual_tok"))
+    // all O(sources)-sized from here: window-total, budget, target, rate
+    val guard = (c: Column, name: String) =>
+      when(c <= MixtureTargetTokensMax, c).otherwise(raise_error(concat(
+        lit(s"mixtureSample: $name exceeds int64-exact headroom " +
+          s"($MixtureTargetTokensMax tokens) — shard the corpus; value="),
+        c.cast("string"))))
+    // budget = corpus_total · ratio/1e6 (≤ corpus total, int64-safe since
+    // ratio ≤ 1e6 never multiplies the total: hi/lo split keeps every
+    // intermediate ≤ total); target = budget · share/1e6 via the same
+    // exact decomposition floor(b·s/1e6) = (b div 1e6)·s + (b mod 1e6)·s div 1e6
+    val rates = totals.join(shares, Seq(sourceCol))
+      .withColumn("__total_tok", expr("sum(__actual_tok) OVER ()"))
+      .withColumn("__budget_tok", expr(
+        s"(__total_tok div 1000000) * $budgetRatioMicros + " +
+          s"((__total_tok % 1000000) * $budgetRatioMicros) div 1000000"))
+      .withColumn("__target_tok", guard(expr(
+        "(__budget_tok div 1000000) * __share_ppm + " +
+          "((__budget_tok % 1000000) * __share_ppm) div 1000000"),
+        "per-source target"))
+      .withColumn("__rate_micros", least(lit(1000000L),
+        expr("__target_tok * 1000000 div __actual_tok")))
+      .select(col(sourceCol), col("__rate_micros"))
+    docs.join(broadcast(rates), Seq(sourceCol))
+      .filter(rateKeep(col(idCol), col("__rate_micros"), salt))
+      .drop("__rate_micros")
+  }
+
   /** DuckDB spelling of [[weightedKeep]]. */
   def oracleWeightedKeep(keyExpr: String, weightExpr: String,
                          salt: String): String =

@@ -122,6 +122,17 @@ object Extensions {
       sentinel))
   }
 
+  /** q132 mixture constants, shared by the Spark query and the oracle SQL
+    * (a wrong formula generated into both spellings is invisible to the
+    * gate — FormulaPinSpec recomputes the whole mixture brute-force).
+    * Shares ramp linearly src0→src19 (share_i ∝ i+1 over Σ=210), so the
+    * mixture REWEIGHTS a near-uniform corpus: low sources sample to well
+    * under their natural share, the top sources clamp at keep-everything. */
+  val MixtureShares: Map[String, Long] =
+    (0 until 20).map(i => s"src$i" -> ((i + 1) * 1000000L / 210)).toMap
+  val MixtureBudgetRatioMicros = 500000L
+  val MixtureSalt = "graft-r7m"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- text analysis -----------------------------------------------------
     "q20_token_stats" -> ((s, dir) => {
@@ -959,6 +970,22 @@ object Extensions {
         "probed query must never exchange the corpus-sized lists side")
       df
     }),
+
+    // --- curriculum mixture sampling: down-sample each source to a TARGET
+    // token mix (shares ramp src0→src19, budget = half the corpus's actual
+    // tokens) — the op that turns a crawled corpus into a designed
+    // pretraining mix. One token-total agg (O(sources) rows), the rate
+    // table broadcast back, one codegen'd hash filter — no full-data
+    // shuffle; rates are exact int64 (hi/lo-decomposed products, directed
+    // headroom guard). Keep membership is a pure (salt, doc_id) function,
+    // so the oracle reproduces the exact row set.
+    "q132_mixture_sample" -> ((s, dir) =>
+      graft.functions.Governance.mixtureSample(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("source"), col("doc_id"),
+            TA.tokenCount(col("text")).cast("long").as("n_tok")),
+        "doc_id", "source", "n_tok",
+        MixtureShares, MixtureBudgetRatioMicros, MixtureSalt)),
 
     // --- sliding-window token chunking: the context-window prep step of a
     // pretraining pipeline — chunks of 50 tokens with stride 25 (50%
@@ -2510,6 +2537,33 @@ object Extensions {
     "q127_incremental_neardup" -> incNearDupOracle,
 
     // the streaming arrival of the same batch must flag the same docs
-    "q130_stream_neardup_index" -> incNearDupOracle
+    "q130_stream_neardup_index" -> incNearDupOracle,
+
+    // mirrors Governance.mixtureSample exactly: same hi/lo-decomposed
+    // integer budget/target/rate arithmetic, same 40-bit hash keep rule
+    "q132_mixture_sample" -> {
+      val values = MixtureShares.toSeq.sortBy(_._1)
+        .map { case (src, ppm) => s"('$src', $ppm)" }.mkString(", ")
+      val ratio = MixtureBudgetRatioMicros
+      s"""WITH t AS (
+         |  SELECT source, doc_id, CAST(len($dToks) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |a AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS actual
+         |      FROM t GROUP BY 1),
+         |shares(source, share_ppm) AS (VALUES $values),
+         |b AS (SELECT (tot // 1000000) * $ratio
+         |           + ((tot % 1000000) * $ratio) // 1000000 AS budget
+         |      FROM (SELECT CAST(sum(actual) AS BIGINT) AS tot FROM a)),
+         |r AS (
+         |  SELECT a.source, least(1000000,
+         |    ((budget // 1000000) * share_ppm
+         |     + ((budget % 1000000) * share_ppm) // 1000000)
+         |    * 1000000 // actual) AS rate_micros
+         |  FROM a JOIN shares USING (source) CROSS JOIN b)
+         |SELECT t.source, t.doc_id, t.n_tok
+         |FROM t JOIN r USING (source)
+         |WHERE ${graft.functions.Governance.oracleRateKeep(
+                   "doc_id", "rate_micros", MixtureSalt)}""".stripMargin
+    }
   )
 }

@@ -104,6 +104,48 @@ class FormulaPinSpec extends SparkSpec {
     }
   }
 
+  test("q132 mixture sampling: brute-force recomputation of rates and keep set") {
+    def words(k: Int) = Seq.fill(k)("w").mkString(" ")
+    // src0 dominant (rate ends up ~0.2%), src10 fractional (~29%), src19
+    // under-target (clamps to keep-everything)
+    val docs =
+      (1L to 10L).map(i => (i, words(100), "src0")) ++
+        (21L to 25L).map(i => (i, words(20), "src10")) ++
+        (31L to 33L).map(i => (i, words(10), "src19"))
+    val dir = stageDocs(docs)
+    val got = SparkEntry.queries("q132_mixture_sample")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+    // independent recomputation from first principles (plain Scala md5 +
+    // the documented integer arithmetic, no query code)
+    val toks = docs.map { case (id, text, src) =>
+      (id, src, text.split(" ").length.toLong) }
+    val actual = toks.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val total = actual.values.sum
+    val ratio = graft.queries.Extensions.MixtureBudgetRatioMicros
+    val budget = (total / 1000000) * ratio + ((total % 1000000) * ratio) / 1000000
+    def rate(src: String): Long = {
+      val s = graft.queries.Extensions.MixtureShares(src)
+      val target = (budget / 1000000) * s + ((budget % 1000000) * s) / 1000000
+      math.min(1000000L, target * 1000000L / actual(src))
+    }
+    def md5prefix40(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map(b => f"$b%02x").mkString.take(10), 16)
+    }
+    val salt = graft.queries.Extensions.MixtureSalt
+    val expect = toks.filter { case (id, src, _) =>
+      md5prefix40(salt + id) * 1000000L < rate(src) * (1L << 40) }
+      .map { case (id, src, n) => (src, id, n) }.toSet
+    assert(got == expect, s"got=$got expect=$expect")
+    // semantic pins: the clamp keeps ALL of the under-target source, and
+    // the share ramp orders the rates
+    assert(rate("src19") == 1000000L)
+    assert(expect.count(_._1 == "src19") == 3)
+    assert(rate("src0") < rate("src10"))
+  }
+
   test("q121 drift: exact integer L1 statistic matches brute force and N·M·Σ|p−q|") {
     // probe source src0 skewed long (20-token docs), rest short (10-token)
     def words(k: Int) = Seq.fill(k)("w").mkString(" ")
