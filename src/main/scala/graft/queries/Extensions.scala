@@ -971,6 +971,41 @@ object Extensions {
       df
     }),
 
+    // --- band-index MAINTENANCE (the complete daily loop): day-0 builds
+    // the bucketed corpus band index, day-1's arrivals are flagged and
+    // then APPENDED into the index (SinkMode.Update — the bucketed layout
+    // absorbs appends, no rebuild), and day-2's batch queries the
+    // maintained index and must see yesterday's docs. Day-1 includes
+    // synthetic twins of some day-2 texts (ids +1e6, in-query
+    // augmentation mirrored verbatim in the oracle), so a silently
+    // dead append provably fails the hash: every %50==7 day-2 doc must
+    // match its twin. At 100 TB this is the whole point of the persisted
+    // index — ingest appends O(batch) band rows; nothing ever re-scans
+    // the corpus.
+    "q133_index_maintenance" -> ((s, dir) => {
+      val table = "graft_q133_bandidx"
+      graft.queries.Tables.dropStagedTable(s, table)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val day0 = docs.filter(col("doc_id") % 10 =!= 7 &&
+        col("doc_id") % 10 =!= 8)
+      val day2 = docs.filter(col("doc_id") % 10 === 7)
+      val day1 = docs.filter(col("doc_id") % 10 === 8)
+        .unionAll(day2.filter(col("doc_id") % 50 === 7)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val tap = Dedup.bandIndexTap(table, 8)
+      tap.write(Dedup.bandIndex(day0, "doc_id", "text"),
+        graft.sources.SinkMode.Replace)
+      // day-1 ingest: flag against the day-0 index (the daily question),
+      // then append the batch's own band rows — index stays current
+      Dedup.incrementalNearDupsAgainstIndex(s.table(table), day1,
+        "doc_id", "text").write.mode("overwrite").format("noop").save()
+      tap.write(Dedup.bandIndex(day1, "doc_id", "text"),
+        graft.sources.SinkMode.Update)
+      Dedup.incrementalNearDupsAgainstIndex(s.table(table), day2,
+        "doc_id", "text")
+    }),
+
     // --- curriculum mixture sampling: down-sample each source to a TARGET
     // token mix (shares ramp src0→src19, budget = half the corpus's actual
     // tokens) — the op that turns a crawled corpus into a designed
@@ -2538,6 +2573,23 @@ object Extensions {
 
     // the streaming arrival of the same batch must flag the same docs
     "q130_stream_neardup_index" -> incNearDupOracle,
+
+    // the maintained index after day-1 = everything except day-2's slice,
+    // plus the synthetic twins (ids +1e6) — identical texts have identical
+    // signatures, so the twins' band rows are the originals' re-keyed
+    "q133_index_maintenance" ->
+      s"""$minhashCte,
+         |cb AS (
+         |  SELECT doc_id AS corpus_id, band, key FROM bands
+         |  WHERE doc_id % 10 <> 7
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS corpus_id, band, key FROM bands
+         |  WHERE doc_id % 10 = 7 AND doc_id % 50 = 7),
+         |bb AS (SELECT doc_id, band, key FROM bands WHERE doc_id % 10 = 7)
+         |SELECT b.doc_id AS id, min(c.corpus_id) AS nearest_corpus_id,
+         |count(DISTINCT c.corpus_id) AS n_corpus_matches
+         |FROM bb b JOIN cb c ON b.band = c.band AND b.key = c.key
+         |GROUP BY 1""".stripMargin,
 
     // mirrors Governance.mixtureSample exactly: same hi/lo-decomposed
     // integer budget/target/rate arithmetic, same 40-bit hash keep rule

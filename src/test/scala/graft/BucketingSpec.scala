@@ -109,6 +109,34 @@ class BucketingSpec extends SparkSpec {
     assert(viaIndex == recompute)
   }
 
+  test("band index maintenance: append preserves layout; mismatched spec fails") {
+    import graft.functions.Dedup
+    graft.queries.Tables.dropStagedTable(spark, "bt_bandidx_m")
+    val day0 = Seq((1L, "alpha beta gamma delta"), (2L, "one two three four"))
+      .toDF("doc_id", "text")
+    val day1 = Seq((11L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val tap = Dedup.bandIndexTap("bt_bandidx_m", 4)
+    tap.write(Dedup.bandIndex(day0, "doc_id", "text"),
+      graft.sources.SinkMode.Replace)
+    tap.write(Dedup.bandIndex(day1, "doc_id", "text"),
+      graft.sources.SinkMode.Update)
+    // the appended index is live: a day-2 twin of day-1's text must match
+    // BOTH its day-0 and day-1 twins
+    val day2 = Seq((21L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val got = Dedup.incrementalNearDupsAgainstIndex(
+        spark.table("bt_bandidx_m"), day2, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((21L, 1L, 2L)))
+    // and the layout cannot silently degrade: appending with a DIFFERENT
+    // bucket spec is rejected by the catalog, not absorbed
+    val ex = intercept[Exception] {
+      Dedup.bandIndexTap("bt_bandidx_m", 8).write(
+        Dedup.bandIndex(day1, "doc_id", "text"),
+        graft.sources.SinkMode.Update)
+    }
+    assert(ex.getMessage.toLowerCase.contains("bucket"), ex.getMessage)
+  }
+
   test("3-way bufferJoinN provides one iterator per input") {
     val a = Seq((1, "a1"), (2, "a2")).toDF("k", "va")
     val b = Seq((1, "b1"), (1, "b1x"), (3, "b3")).toDF("k2", "vb")
