@@ -113,12 +113,22 @@ object Bench {
       case (k, v) if v.min > 0.05 && v.max / v.min > SPREAD_FLAG_RATIO => k
     }.toSeq
     val total = finalResults.values.map(_.min).sum
+    // The streaming envelopes (multi-batch runs, one with a kill/restart
+    // cycle) swing several seconds with filesystem load and would mask a
+    // batch-plan regression inside the headline total. Split the totals so
+    // the regression gate can watch batch_total alone; "stream" in the
+    // query name is the naming convention every streaming entry follows.
+    val (streamQs, batchQs) =
+      finalResults.partition(_._1.contains("stream"))
+    val batchTotal = batchQs.values.map(_.min).sum
+    val streamTotal = streamQs.values.map(_.min).sum
     def arr(xs: Seq[Double]) = xs.map(fmt).mkString("[", ",", "]")
     def names(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val contended = flagged.size > math.max(2, finalResults.size / 10)
     // a few noisy queries are normal on a shared box (their MIN is still
     // the plan cost); a systemically contended run flags a broad slice
     val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec"""" +
+      s""","batch_total":${fmt(batchTotal)},"stream_total":${fmt(streamTotal)}""" +
       s""","queries":$qs,"sf":"$sfDir","passes":$passes,"raw_passes":$raw""" +
       s""","loadavg_start":${arr(loadStart)},"loadavg_end":${arr(loadEnd)}""" +
       s""","remeasured":${names(suspects)}""" +
@@ -157,6 +167,7 @@ object Bench {
     // in BENCH_FULL_LATEST.json, the stdout line carries only the spec
     // fields + the contention verdict
     val compact = s"""{"metric":"total","value":${fmt3(total)},"unit":"sec"""" +
+      s""","batch_total":${fmt3(batchTotal)},"stream_total":${fmt3(streamTotal)}""" +
       s""","queries":$compactQs,"sf":"$sfDir","contended":$contended}"""
     spark.stop()
     println(compact)

@@ -1625,6 +1625,74 @@ object Extensions {
           lit(spansRestart).as("spans_restart"))
     }),
 
+    // --- checkpoint recovery for flatMapGroupsWithState USER state: q123
+    // proves the restore path for aggregation state (session_window —
+    // Spark-managed state rows); a custom sessionizer in production runs
+    // in the OTHER state-store path, the user-defined GroupState that
+    // flatMapGroupsWithState serializes per key. Same harness as q123:
+    // run 1 processes two time slices under a live trigger and is killed
+    // only after ≥2 commits; run 2 is a NEW StreamingQuery on the same
+    // checkpoint — the restored GroupState must hold every OPEN session
+    // (start/last/count/exact-micros sum) so sessions spanning the kill
+    // aggregate exactly as an unbroken run and as the batch q29 oracle.
+    // Per-user sentinels in the final slice close all real sessions
+    // (q67's pattern); spans_restart pins that recovery actually
+    // happened, oracle-side TRUE.
+    "q134_stream_fmgws_recovery" -> ((s, dir) => {
+      val (in, out, chk) = freshStreamDirs("graft_q134_stream")
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("value"))
+      val sentinel = ev.select(col("user_id")).distinct()
+        .withColumn("ts", expr("timestamp'2100-01-01 00:00:00'"))
+        .withColumn("value", lit(0.0))
+      val Array(tMin, tMax) = ev.agg(min(col("ts")), max(col("ts"))).head()
+        .toSeq.map(_.asInstanceOf[java.sql.Timestamp].getTime).toArray
+      val (t1, t2) = (tMin + (tMax - tMin) / 3, tMin + 2 * (tMax - tMin) / 3)
+      def ms = unix_millis(col("ts"))
+      def commits: Int = Option(new java.io.File(s"$chk/commits").listFiles())
+        .toSeq.flatten.count(_.getName.forall(_.isDigit))
+      val run1CommitCount = withStreamPartitions(s, 8) {
+        def start(trigger: org.apache.spark.sql.streaming.Trigger) = {
+          val stream = graft.streaming.StreamOps.readStream(s, in, ev.schema,
+            Map("maxFilesPerTrigger" -> "1"))
+          val sessions = {
+            import s.implicits._
+            graft.streaming.StreamOps.sessionize(
+              stream.as[graft.streaming.StreamOps.SessionEvent], 1800)
+          }
+          sessions.writeStream
+            .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+            .format("parquet").option("path", out)
+            .option("checkpointLocation", chk)
+            .trigger(trigger)
+            .start()
+        }
+        // run 1: two time slices, live trigger, killed after both commit
+        stageSliced(in, Seq(ev.filter(ms < t1),
+          ev.filter(ms >= t1 && ms < t2)))
+        val q1 = start(
+          org.apache.spark.sql.streaming.Trigger.ProcessingTime("200 milliseconds"))
+        val deadline = System.nanoTime + 120L * 1000000000L
+        while (commits < 2 && System.nanoTime < deadline) Thread.sleep(100)
+        q1.stop(); q1.awaitTermination()
+        val run1Commits = commits
+        require(run1Commits >= 2,
+          s"run 1 committed only $run1Commits batches before the kill")
+        // run 2: final slice + per-user sentinels, fresh query, same chk
+        stageSliced(in, Seq(ev.filter(ms >= t2), sentinel), baseIdx = 2)
+        val q2 = start(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        q2.awaitTermination()
+        run1Commits
+      }
+      val spansRestart = commits > run1CommitCount
+      val w = Window.partitionBy(col("user_id")).orderBy(col("start_ts"))
+      s.read.parquet(out)
+        .withColumn("session_id", row_number().over(w).cast("long"))
+        .select(col("user_id"), col("session_id"), col("n_events"),
+          col("start_ts"), col("end_ts"), col("sum_value"),
+          lit(spansRestart).as("spans_restart"))
+    }),
+
     // --- multimodal plumbing ----------------------------------------------
     "q30_multimodal_meta" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
@@ -2402,6 +2470,29 @@ object Extensions {
         |CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
         |TRUE AS spans_restart
         |FROM sessions GROUP BY user_id, sid""".stripMargin,
+
+    // identical sessionization to q67/q29 (the custom-GroupState
+    // sessionizer), with spans_restart pinned TRUE: the restored
+    // flatMapGroupsWithState state must make the kill invisible in the data
+    "q134_stream_fmgws_recovery" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |       OR date_diff('second', lag(ts) OVER w, ts) > 1800
+        |       THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sessions AS (
+        |  SELECT user_id, event_id, ts, value,
+        |  CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM flagged
+        |)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |CAST(min(ts) AS TIMESTAMP) AS start_ts, CAST(max(ts) AS TIMESTAMP) AS end_ts,
+        |CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+        |TRUE AS spans_restart
+        |FROM sessions GROUP BY 1, 2""".stripMargin,
 
     "q112_stream_session_window" ->
       """WITH flagged AS (

@@ -34,4 +34,17 @@ class EntrySpec extends SparkSpec {
     assert(rows.forall(_.getAs[Boolean]("within_tol")),
       rows.map(r => s"${r.get(0)}: approx=${r.get(1)} exact=${r.get(2)}").mkString("; "))
   }
+
+  test("q54 rows-only whitelist carries its invariant: seeded sample is deterministic across runs") {
+    // The sample can't cross-check DuckDB (RNG sequences differ across
+    // engines) but the SEED pins it within THIS engine: two independent
+    // executions must select byte-identical row sets, or the whitelist
+    // entry is hiding nondeterminism rather than an engine difference.
+    def runOnce() = SparkEntry.queries("q54_sample")(spark, sf()).collect()
+      .map(_.toString).sorted.toSeq
+    val a = runOnce()
+    val b = runOnce()
+    assert(a.nonEmpty)
+    assert(a == b, s"seeded sample diverged across runs: ${a.size} vs ${b.size} rows")
+  }
 }
