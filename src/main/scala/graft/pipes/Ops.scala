@@ -94,6 +94,30 @@ final case class RegexSplitGenerator(field: String, pattern: String) extends CGe
     filter(split(args.head, pattern), c => length(c) > 0)
 }
 
+/** Cascading `UnGroup` — the inverse of an aggregation's row widening:
+  * each input row pivots into one output row PER VALUE SELECTOR, every
+  * output carrying the first `numKeys` argument columns plus that
+  * selector's columns (cascading.operation.function.UnGroup semantics;
+  * surfaced by the platform suite's FieldedPipesPlatformTest.testUnGroup).
+  * Selectors are positional indices into the argument columns and must all
+  * have the same arity; `resultFields` declares `numKeys + arity` names.
+  * Lowers to one array<struct> literal + explode — a codegen'd scan-only
+  * plan (rows ×selectors with no shuffle, safe at any scale). */
+final case class UnGroup(resultFields: CFields, numKeys: Int,
+                         valueSelectors: Seq[Seq[Int]]) extends CGenerator {
+  require(valueSelectors.nonEmpty && valueSelectors.map(_.size).distinct.size == 1,
+    "UnGroup value selectors must be non-empty and same-arity")
+  require(resultFields.names.size == numKeys + valueSelectors.head.size,
+    "UnGroup declares numKeys + selector-arity result fields")
+  def apply(args: Seq[Column]): Column = {
+    val names = resultFields.names
+    array(valueSelectors.map { sel =>
+      val cols = args.take(numKeys) ++ sel.map(args)
+      struct(cols.zip(names).map { case (c, n) => c.as(n) }: _*)
+    }: _*)
+  }
+}
+
 /** `RegexFilter` — keep rows matching (or not matching) the pattern. */
 final case class RegexFilter(pattern: String, removeMatch: Boolean = false) extends CFilter {
   def keep(args: Seq[Column]): Column =

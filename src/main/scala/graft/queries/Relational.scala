@@ -200,6 +200,18 @@ object Relational {
         .retain("status_n", "o_orderpriority")
         .uniqueNoNulls())(s)),
 
+    // UnGroup (cascading.operation.function.UnGroup, surfaced by the
+    // round-7 conformance port — FieldedPipesPlatformTest.testUnGroup):
+    // each part row pivots into one row per value selector, key + value.
+    // Scan-only explode (rows ×2, no shuffle) — linear at any scale.
+    "q135_ungroup" -> ((s, dir) => Flow.toDF(
+      P(dir, "part")
+        .retain("p_partkey", "p_name", "p_brand")
+        .generate(graft.pipes.UnGroup(
+          CFields.typed("p_partkey" -> LongType, "val" -> StringType),
+          numKeys = 1, valueSelectors = Seq(Seq(1), Seq(2))),
+          args = FieldSelector.All, out = FieldSelector.Results))(s)),
+
     // GroupBy + secondary sort + Buffer: running total (SURVEY §2.4)
     "q09_buffer_running" -> ((s, dir) => Flow.toDF(
       P(dir, "orders")
@@ -937,6 +949,10 @@ object Relational {
       """SELECT DISTINCT nullif(o_orderstatus, 'P') AS status_n,
         |o_orderpriority FROM orders
         |WHERE nullif(o_orderstatus, 'P') IS NOT NULL""".stripMargin,
+
+    "q135_ungroup" ->
+      """SELECT p_partkey, p_name AS val FROM part
+        |UNION ALL SELECT p_partkey, p_brand FROM part""".stripMargin,
 
     "q09_buffer_running" ->
       """SELECT o_custkey, o_orderkey,

@@ -1,0 +1,198 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import graft.model.{CFields, FieldSelector}
+import graft.pipes._
+import graft.exec.Flow
+import graft.sources.DataFrameTap
+
+/** Conformance slice of the cascading-platform suite — the reference's
+  * whole test oracle (`/root/reference/pom.xml:446-448` scans the
+  * `cascading:cascading-platform` test jar). The jar's sources are public
+  * (cascading/cascading GitHub, platform module); each case below pins one
+  * SEMANTICS CORNER from a named upstream test, re-derived from its
+  * documented behavior over equivalent in-memory fixtures (FIXTURES.md §A)
+  * with sorted-multiset assertions (sink order is not contract —
+  * SURVEY.md §7.4).
+  *
+  * Divergence found by this port: Cascading's `UnGroup` function had no
+  * equivalent here — now implemented (`pipes/Ops.scala`) and gated as
+  * q135_ungroup. */
+class ConformanceSpec extends SparkSpec {
+  import spark.implicits._
+  implicit def s: org.apache.spark.sql.SparkSession = spark
+
+  private def pipe(df: org.apache.spark.sql.DataFrame): Pipe =
+    Pipe.source(DataFrameTap(df))
+  private def rows(p: Pipe): Set[Seq[Any]] =
+    Flow.toDF(p).collect().toSet.map((r: Row) => r.toSeq)
+  private def lower = Seq((1, "a"), (2, "b"), (3, "c"), (4, "d"), (5, "e"))
+    .toDF("num", "ch")
+  private def upper = Seq((1, "A"), (2, "B"), (3, "C"), (4, "D"), (5, "E"))
+    .toDF("num", "ch")
+
+  // FieldedPipesPlatformTest.testFilterAll: a filter that rejects every
+  // row must yield an EMPTY flow that still completes, keeps its schema,
+  // and feeds downstream ops (the empty-aggregate corner).
+  test("filter-all yields empty output with intact schema; downstream group is empty") {
+    val p = pipe(lower).filterBy(ExpressionFilter("true"))
+    val df = Flow.toDF(p)
+    assert(df.columns.toSeq == Seq("num", "ch"))
+    assert(df.count() == 0)
+    val g = p.groupBy("ch").every(Aggs.count("n"))
+    assert(Flow.toDF(g).count() == 0)
+  }
+
+  // FieldedPipesPlatformTest.testGroupGroup: aggregate, then aggregate the
+  // aggregates (counts-of-counts) — the second GroupBy keys on a column
+  // the first one CREATED.
+  test("group on a grouped result (counts of counts)") {
+    val df = Seq("a", "b", "a", "c", "b", "a").toDF("ch")
+    val p = pipe(df).groupBy("ch").every(Aggs.count("n"))
+      .groupBy("n").every(Aggs.count("n_keys"))
+    // a→3, b→2, c→1: one key each at counts 1, 2, 3
+    assert(rows(p) == Set(Seq(1L, 1L), Seq(2L, 1L), Seq(3L, 1L)))
+  }
+
+  // FieldedPipesPlatformTest.testChainEndingWithEach: an Each AFTER the
+  // Every — per-record ops must compose over aggregation results.
+  test("Each after Every transforms aggregation output") {
+    val df = Seq(("a", 1), ("a", 2), ("b", 5)).toDF("ch", "v")
+    val p = pipe(df).groupBy("ch").every(Aggs.sum("v", "s"))
+      .each(ExpressionFunction("s2", "s * 10", LongType),
+        args = FieldSelector("s"), out = FieldSelector.Swap)
+    assert(rows(p) == Set(Seq("a", 30L), Seq("b", 50L)))
+  }
+
+  // FieldedPipesPlatformTest.testNone: Fields.NONE as ARGUMENT selector —
+  // the op receives no arguments (Insert is the canonical user) and its
+  // results append to the full incoming tuple.
+  test("empty argument selector feeds a zero-arg Insert, out=ALL appends") {
+    val p = pipe(lower).each(
+      Insert(CFields.typed("tag" -> StringType), Seq("x")),
+      args = FieldSelector.Named(Nil), out = FieldSelector.All)
+    val df = Flow.toDF(p)
+    assert(df.columns.toSeq == Seq("num", "ch", "tag"))
+    assert(rows(p).forall(_.last == "x"))
+  }
+
+  // MergePipesPlatformTest.testSplitSameSourceMerged: ONE source pipe
+  // object split into differently-filtered branches and merged back —
+  // memoized split + union must not duplicate or drop.
+  test("same-source split branches merge back (split + merge)") {
+    val src = pipe(lower)
+    val a = src.filterBy(ExpressionFilter("num > 2", removeMatch = false))
+    val b = src.filterBy(ExpressionFilter("num <= 2", removeMatch = false))
+    // removeMatch=false keeps matches: a = {3,4,5}, b = {1,2}
+    val merged = a.merge(b)
+    assert(rows(merged) == rows(src))
+    assert(Flow.toDF(merged).count() == 5)
+  }
+
+  // MergePipesPlatformTest.testMergeThreeChainGroup: Cascading's
+  // GroupBy(Pipe[]) — a MULTI-INPUT GroupBy is an implicit merge before
+  // the grouping (three inputs here, one key appearing in all three).
+  test("multi-input GroupBy merges three pipes before grouping") {
+    val p1 = pipe(Seq(("a", 1), ("b", 2)).toDF("ch", "v"))
+    val p2 = pipe(Seq(("a", 10), ("c", 3)).toDF("ch", "v"))
+    val p3 = pipe(Seq(("a", 100), ("b", 20)).toDF("ch", "v"))
+    val g = GroupByPipe(Seq(p1, p2, p3), Seq("ch"), Nil)
+      .every(Aggs.count("n"), Aggs.sum("v", "s"))
+    assert(rows(g) == Set(Seq("a", 3L, 111L), Seq("b", 2L, 22L),
+      Seq("c", 1L, 3L)))
+  }
+
+  // MergePipesPlatformTest.testMergeIntoHashJoinStreamed: a merge feeding
+  // the STREAMED (big) side of a HashJoin — the broadcast build side must
+  // come from the other input, and merged duplicates must each join.
+  test("merge feeding a hashJoin's streamed side") {
+    val dim = pipe(Seq((1, "one"), (2, "two"), (3, "three"))
+      .toDF("k", "word"))
+    val merged = pipe(Seq((1, "x"), (2, "y")).toDF("num", "tag"))
+      .merge(pipe(Seq((2, "z"), (9, "w")).toDF("num", "tag")))
+    val j = merged.hashJoin(Seq("num"), dim, Seq("k"))
+    assert(rows(j) == Set(
+      Seq(1, "x", 1, "one"), Seq(2, "y", 2, "two"), Seq(2, "z", 2, "two")))
+  }
+
+  // FieldedPipesPlatformTest cogroup corners: OUTER join with DUPLICATE
+  // keys on both sides — matched keys produce the per-key cross product,
+  // unmatched keys null-pad exactly once per row.
+  test("CoGroup outer with duplicate keys: per-key cross product + null padding") {
+    val l = pipe(Seq((1, "l1"), (1, "l2"), (2, "lx")).toDF("num", "lv"))
+    val r = pipe(Seq((1, "r1"), (1, "r2"), (3, "rx")).toDF("num2", "rv"))
+    val j = l.coGroup(Seq("num"), r, Seq("num2"), Joiner.Outer)
+    val got = rows(j)
+    // key 1: 2×2 cross; key 2: left-only; key 3: right-only
+    assert(got == Set(
+      Seq(1, "l1", 1, "r1"), Seq(1, "l1", 1, "r2"),
+      Seq(1, "l2", 1, "r1"), Seq(1, "l2", 1, "r2"),
+      Seq(2, "lx", null, null), Seq(null, null, 3, "rx")))
+  }
+
+  // SortedValuesPlatformTest.testComprehensiveGroupBy slice: REVERSED key
+  // order combined with a DESCENDING secondary sort — both reversals must
+  // apply (reference FFS:527-531 reverses keys; sort dir is per-field).
+  test("reverse group order with descending secondary sort") {
+    val df = Seq((1, 30), (1, 10), (2, 5), (2, 50)).toDF("k", "v")
+    val b = new CBuffer {
+      val resultFields: CFields = CFields.typed("seq" -> StringType)
+      def operate(key: Seq[Any], rs: Iterator[Row]): Iterator[Seq[Any]] =
+        Iterator.single(Seq(rs.map(_.getInt(1)).mkString(",")))
+    }
+    val p = pipe(df).groupBySorted(Seq("k"), Seq("v" -> false), reverse = true)
+      .buffer(b)
+    // per-group value order must be descending regardless of key order
+    assert(rows(p) == Set(Seq(1, "30,10"), Seq(2, "50,5")))
+    // key reversal is an intra-partition ordering property: observe it via
+    // the group-runner's emission order within one partition
+    val one = Flow.toDF(
+      pipe(df.coalesce(1)).groupBySorted(Seq("k"), Seq("v" -> false),
+        reverse = true).buffer(b)).collect().map(_.getInt(0)).toSeq
+    assert(one == one.sorted.reverse, s"keys not reversed: $one")
+  }
+
+  // FieldedPipesPlatformTest.testUnGroup: (key, a, b) pivots to
+  // (key, a), (key, b) — one row per value selector.
+  test("UnGroup pivots one row into one row per value selector") {
+    val df = Seq((1, "a1", "b1"), (2, "a2", "b2")).toDF("num", "va", "vb")
+    val p = pipe(df).generate(
+      UnGroup(CFields.typed("num" -> IntegerType, "v" -> StringType),
+        numKeys = 1, valueSelectors = Seq(Seq(1), Seq(2))),
+      args = FieldSelector.All, out = FieldSelector.Results)
+    assert(rows(p) == Set(Seq(1, "a1"), Seq(1, "b1"),
+      Seq(2, "a2"), Seq(2, "b2")))
+  }
+
+  // FieldedPipesPlatformTest.testUnGroupBySize: selectors wider than one
+  // field — size-2 chunks pivot (key, a1, a2, b1, b2) into two (key, x, y)
+  // rows.
+  test("UnGroup with 2-wide value selectors") {
+    val df = Seq((1, "a1", "a2", "b1", "b2")).toDF("num", "x1", "x2", "y1", "y2")
+    val p = pipe(df).generate(
+      UnGroup(CFields.typed("num" -> IntegerType,
+        "u" -> StringType, "v" -> StringType),
+        numKeys = 1, valueSelectors = Seq(Seq(1, 2), Seq(3, 4))),
+      args = FieldSelector.All, out = FieldSelector.Results)
+    assert(rows(p) == Set(Seq(1, "a1", "a2"), Seq(1, "b1", "b2")))
+  }
+
+  // FieldedPipesPlatformTest.testConcatenation: merge then GROUP on the
+  // merged stream — grouping keys resolve against the merged schema and
+  // counts span both inputs.
+  test("merge then groupBy spans both inputs (concatenation)") {
+    val g = pipe(lower).merge(pipe(upper)).groupBy("num")
+      .every(Aggs.count("n"))
+    assert(rows(g) == (1 to 5).map(i => Seq(i, 2L)).toSet)
+  }
+
+  // FieldedPipesPlatformTest.testCopy: the degenerate Each — an Identity
+  // over ALL args with RESULTS output must be a faithful copy.
+  test("Identity over ALL with RESULTS is a faithful copy") {
+    val p = pipe(lower).each(
+      Identity(CFields.typed("num" -> IntegerType, "ch" -> StringType)),
+      args = FieldSelector.All, out = FieldSelector.Results)
+    assert(rows(p) == rows(pipe(lower)))
+  }
+}
