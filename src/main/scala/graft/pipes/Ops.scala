@@ -118,6 +118,21 @@ final case class UnGroup(resultFields: CFields, numKeys: Int,
   }
 }
 
+object UnGroup {
+  /** Cascading's size-based constructor (`UnGroup(declared, groupSelector,
+    * size)`, pinned by RegressionPipesPlatformTest.testUnGroupBySize): the
+    * `numValues` value arguments are chunked into consecutive groups of
+    * `groupSize`, one output row per chunk. Pure sugar over the selector
+    * form — same scan-only explode plan. */
+  def bySize(resultFields: CFields, numKeys: Int, numValues: Int,
+             groupSize: Int): UnGroup = {
+    require(groupSize > 0 && numValues > 0 && numValues % groupSize == 0,
+      s"UnGroup.bySize: $numValues value fields not divisible into chunks of $groupSize")
+    UnGroup(resultFields, numKeys,
+      (numKeys until numKeys + numValues).grouped(groupSize).map(_.toSeq).toSeq)
+  }
+}
+
 /** `RegexFilter` — keep rows matching (or not matching) the pattern. */
 final case class RegexFilter(pattern: String, removeMatch: Boolean = false) extends CFilter {
   def keep(args: Seq[Column]): Column =

@@ -178,6 +178,34 @@ class ConformanceSpec extends SparkSpec {
     assert(rows(p) == Set(Seq(1, "a1", "a2"), Seq(1, "b1", "b2")))
   }
 
+  // RegressionPipesPlatformTest.testUnGroupBySize: the size-based UnGroup
+  // constructor — value fields chunked into consecutive groups of `size`,
+  // one output row per chunk. size=1 degenerates to one row per value field.
+  test("UnGroup.bySize chunks value fields into consecutive groups") {
+    val df = Seq(("a", 1, 2, 3, 4), ("b", 5, 6, 7, 8))
+      .toDF("key", "v1", "v2", "v3", "v4")
+    val p = pipe(df).generate(
+      UnGroup.bySize(CFields.typed("key" -> StringType,
+        "u" -> IntegerType, "v" -> IntegerType),
+        numKeys = 1, numValues = 4, groupSize = 2),
+      args = FieldSelector.All, out = FieldSelector.Results)
+    assert(rows(p) == Set(Seq("a", 1, 2), Seq("a", 3, 4),
+      Seq("b", 5, 6), Seq("b", 7, 8)))
+  }
+
+  test("UnGroup.bySize with size=1 emits one row per value field") {
+    val df = Seq(("a", 1, 2, 3)).toDF("key", "v1", "v2", "v3")
+    val p = pipe(df).generate(
+      UnGroup.bySize(CFields.typed("key" -> StringType, "v" -> IntegerType),
+        numKeys = 1, numValues = 3, groupSize = 1),
+      args = FieldSelector.All, out = FieldSelector.Results)
+    assert(rows(p) == Set(Seq("a", 1), Seq("a", 2), Seq("a", 3)))
+    intercept[IllegalArgumentException] {
+      UnGroup.bySize(CFields.typed("key" -> StringType, "v" -> IntegerType),
+        numKeys = 1, numValues = 3, groupSize = 2)
+    }
+  }
+
   // FieldedPipesPlatformTest.testConcatenation: merge then GROUP on the
   // merged stream — grouping keys resolve against the merged schema and
   // counts span both inputs.
