@@ -173,4 +173,42 @@ object Governance {
     s"CASE WHEN $b < $trainPct THEN 'train' " +
       s"WHEN $b < ${trainPct + valPct} THEN 'val' ELSE 'test' END"
   }
+
+  /** Deterministic global shuffle + shard export — the FINAL step of a
+    * pretraining pipeline: the curated corpus, shuffled corpus-wide so
+    * training order carries no crawl/source locality, written as exactly
+    * one file per shard for the data loader.
+    *
+    * Shard assignment AND within-shard order are both pure functions of
+    * (salt, id): shard = hash40 % nShards, order = (hash40, id). So the
+    * export is reproducible on any engine/run/partitioning, and a
+    * different salt gives an independent reshuffle — rand()-based
+    * shuffles can claim neither. `pos` (1-based rank within shard) is
+    * materialized INTO the files so a reader — or the oracle — can
+    * verify order without trusting scan order.
+    *
+    * Scale: ONE exchange total. The rank window partitions by `shard`;
+    * the write reuses that same hash-partitioning (no repartition —
+    * every shard lives wholly inside one task's partition, so each
+    * shard dir gets exactly one file, sorted by `sortWithinPartitions`).
+    * Per-shard windows are safe here, unlike a per-SOURCE window: shards
+    * are numerous and uniform BY CONSTRUCTION (hash40 is uniform), and
+    * `nShards` is the operator's own parallelism/file-size knob — at
+    * 100 TB pick nShards ≈ corpus_bytes / 1 GiB ≈ 100k, giving 100k
+    * uniform ~1 GiB sort tasks. */
+  def shardExport(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                  nShards: Int, salt: String,
+                  outPath: String): org.apache.spark.sql.DataFrame = {
+    require(nShards > 0, s"shardExport: nShards must be positive, got $nShards")
+    val h = graft.catalyst.Md5Prefix40(
+      concat(lit(salt), col(idCol).cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
+    docs.withColumn("__h", h)
+      .withColumn("shard", (col("__h") % nShards).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.mode("overwrite").partitionBy("shard").parquet(outPath)
+    docs.sparkSession.read.parquet(outPath)
+  }
 }

@@ -1022,6 +1022,25 @@ object Extensions {
         "doc_id", "source", "n_tok",
         MixtureShares, MixtureBudgetRatioMicros, MixtureSalt)),
 
+    // --- deterministic shard export: the pipeline's FINAL write — the
+    // corpus globally shuffled by a (salt, doc_id) hash and exported as
+    // one file per shard, with the within-shard rank materialized into
+    // the files. The gate reads the stats back FROM THE WRITTEN FILES
+    // (not the pre-write plan), so assignment, ordering, and the storage
+    // round-trip are all under the hash: the order_checksum is
+    // rank-weighted, so a single swapped pair in any shard fails it.
+    // One exchange total (the rank window's hash partitioning is reused
+    // by the write); see Governance.shardExport for the 100 TB sizing.
+    "q136_shard_export" -> ((s, dir) => {
+      val back = graft.functions.Governance.shardExport(
+        s.read.parquet(s"$dir/documents.parquet").select(col("doc_id")),
+        "doc_id", 16, "q136", "/tmp/graft_q136_shards")
+      back.groupBy(col("shard").cast("int").as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("pos") * (col("doc_id") % 1000003L)).as("order_checksum"),
+          min(col("__h")).as("min_h"), max(col("__h")).as("max_h"))
+    }),
+
     // --- sliding-window token chunking: the context-window prep step of a
     // pretraining pipeline — chunks of 50 tokens with stride 25 (50%
     // overlap), the last chunk ragged. Pure generator shape: one scan,
@@ -2681,6 +2700,25 @@ object Extensions {
          |count(DISTINCT c.corpus_id) AS n_corpus_matches
          |FROM bb b JOIN cb c ON b.band = c.band AND b.key = c.key
          |GROUP BY 1""".stripMargin,
+
+    // recomputes shard assignment + within-shard rank from (salt, doc_id)
+    // alone — agreement proves the written files carry exactly the
+    // designed shuffle (the rank-weighted checksum is order-sensitive)
+    "q136_shard_export" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(concat('q136',
+        |      CAST(doc_id AS VARCHAR))), 1, 10)) AS BIGINT) AS hh
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, hh, CAST(hh % 16 AS INT) AS shard,
+        |    row_number() OVER (PARTITION BY hh % 16
+        |      ORDER BY hh, doc_id) AS pos
+        |  FROM h)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(pos * (doc_id % 1000003)) AS BIGINT) AS order_checksum,
+        |  min(hh) AS min_h, max(hh) AS max_h
+        |FROM s GROUP BY shard""".stripMargin,
 
     // mirrors Governance.mixtureSample exactly: same hi/lo-decomposed
     // integer budget/target/rate arithmetic, same 40-bit hash keep rule

@@ -150,6 +150,50 @@ class GovernanceSpec extends SparkSpec {
     assert(h2.sortedDesc().toList == List(9.0, 3.0))
   }
 
+  test("shardExport: deterministic order, one file per shard, one exchange") {
+    val out = "/tmp/graft_spec_shards"
+    val docs = (1L to 200L).toDF("doc_id")
+    val back = Governance.shardExport(docs, "doc_id", 4, "specsalt", out)
+    // every row present exactly once; within-shard pos is a dense 1..n
+    // rank in (hash, id) order — recompute the hash in plain Scala
+    val got = back.select("doc_id", "shard", "__h", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1).sorted.toSeq == (1L to 200L))
+    got.groupBy(_._2).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(r => (r._3, r._1))
+      assert(ordered.map(_._4).toSeq == (1L to rows.length))
+    }
+    val expectedH = got.map { case (id, _, _, _) =>
+      id -> graft.catalyst.Md5Prefix40.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"specsalt$id"))
+    }.toMap
+    got.foreach { case (id, shard, h, _) =>
+      assert(h == expectedH(id) && shard == (h % 4).toInt)
+    }
+    // exactly one parquet file per shard dir (the data-loader contract)
+    (0 until 4).foreach { sh =>
+      val files = new java.io.File(s"$out/shard=$sh")
+        .listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"shard=$sh has ${files.length} files")
+    }
+    // ONE exchange total: the rank window's hash partitioning is the
+    // write partitioning — no second shuffle before the files
+    val preWrite = docs
+      .withColumn("__h", graft.catalyst.Md5Prefix40(
+        concat(lit("specsalt"), col("doc_id").cast("string"))))
+      .withColumn("shard", (col("__h") % 4).cast("int"))
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard")).orderBy(col("__h"), col("doc_id")))
+        .cast("long"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+    val plan = preWrite.queryExecution.executedPlan.toString
+    val nEx = "Exchange hashpartitioning".r.findAllMatchIn(plan).size
+    assert(nEx == 1, s"expected 1 exchange in the export plan, got $nEx:\n$plan")
+    assert(plan.contains("hashpartitioning(shard"),
+      s"the one exchange must partition by shard:\n$plan")
+  }
+
   test("profile counts nulls/distincts and canonicalizes min/max in one scan") {
     val df = Seq[(java.lang.Long, String)]((1L, "a"), (2L, "b"), (null, "b"))
       .toDF("k", "s")
