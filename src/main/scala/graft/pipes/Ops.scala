@@ -225,6 +225,20 @@ object Aggs {
     AggOp(as, a => org.apache.spark.sql.functions.sum(a.head), Seq(field))
   def avg(field: String, as: String): AggOp =
     AggOp(as, a => org.apache.spark.sql.functions.avg(a.head), Seq(field))
+  /** Cascading null-coercion semantics for Sum/Average: the upstream
+    * aggregators read arguments through `Tuples.toDouble`, which coerces
+    * null to 0 but still COUNTS the tuple (cascading-core
+    * `tuple/Tuples.java`, `operation/aggregator/Sum.java`/`Average.java`).
+    * SQL sum/avg ignore nulls instead — same sum over mixed groups, but an
+    * all-null group sums to null (upstream: 0) and avg divides by the
+    * non-null count (upstream: ALL rows). These variants pin the upstream
+    * semantics; plain [[sum]]/[[avg]] keep the SQL semantics. */
+  def sumCoerced(field: String, as: String): AggOp =
+    AggOp(as, a => org.apache.spark.sql.functions.sum(coalesce(a.head, lit(0))),
+      Seq(field))
+  def avgCoerced(field: String, as: String): AggOp =
+    AggOp(as, a => org.apache.spark.sql.functions.avg(coalesce(a.head, lit(0))),
+      Seq(field))
   def min(field: String, as: String): AggOp =
     AggOp(as, a => org.apache.spark.sql.functions.min(a.head), Seq(field))
   def max(field: String, as: String): AggOp =

@@ -141,6 +141,14 @@ sealed trait Pipe {
     GroupByPipe(Seq(this), keys, Nil).every(Aggs.sum(field, as))
   def averageBy(keys: Seq[String], field: String, as: String): Pipe =
     GroupByPipe(Seq(this), keys, Nil).every(Aggs.avg(field, as))
+  /** Upstream-coercion variants — Cascading's SumBy/AverageBy read the
+    * argument through `Tuples.toDouble(null) == 0`, so nulls contribute 0
+    * AND count toward the average denominator, and an all-null group sums
+    * to 0 rather than null (see [[Aggs.sumCoerced]]). */
+  def sumByCoerced(keys: Seq[String], field: String, as: String): Pipe =
+    GroupByPipe(Seq(this), keys, Nil).every(Aggs.sumCoerced(field, as))
+  def averageByCoerced(keys: Seq[String], field: String, as: String): Pipe =
+    GroupByPipe(Seq(this), keys, Nil).every(Aggs.avgCoerced(field, as))
   def minBy(keys: Seq[String], field: String, as: String): Pipe =
     GroupByPipe(Seq(this), keys, Nil).every(Aggs.min(field, as))
   def maxBy(keys: Seq[String], field: String, as: String): Pipe =

@@ -1041,6 +1041,32 @@ object Extensions {
           min(col("__h")).as("min_h"), max(col("__h")).as("max_h"))
     }),
 
+    // --- Cascading null-coercion aggregation (divergence found by the
+    // conformance port): upstream Sum/Average read arguments through
+    // Tuples.toDouble(null) == 0 — nulls add 0 AND count toward the
+    // average denominator, and an all-null group sums to 0. SQL sum/avg
+    // ignore nulls (all-null group → null, avg divides by the non-null
+    // count). Both modes side by side; bucket 2 is ALL-null so the
+    // coerced/native split shows in every column, and the mixed buckets
+    // split on avg alone. Values are small ints: double accumulation is
+    // exact, so avg hashes identically across engines.
+    "q137_coerced_agg" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("bucket", (col("doc_id") % 5).cast("int"))
+        .withColumn("v", when(
+          col("bucket") === 2 || col("doc_id") % 3 === 0,
+          lit(null).cast("long")).otherwise(col("doc_id") % 7))
+      graft.exec.Flow.toDF(graft.pipes.Pipe.source(
+          graft.sources.DataFrameTap(docs.select("bucket", "v")))
+        .groupBy("bucket")
+        .every(
+          graft.pipes.Aggs.count("n_rows"),
+          graft.pipes.Aggs.sumCoerced("v", "sum_c"),
+          graft.pipes.Aggs.avgCoerced("v", "avg_c"),
+          graft.pipes.Aggs.sum("v", "sum_n"),
+          graft.pipes.Aggs.avg("v", "avg_n")))(s)
+    }),
+
     // --- sliding-window token chunking: the context-window prep step of a
     // pretraining pipeline — chunks of 50 tokens with stride 25 (50%
     // overlap), the last chunk ragged. Pure generator shape: one scan,
@@ -2719,6 +2745,21 @@ object Extensions {
         |  CAST(sum(pos * (doc_id % 1000003)) AS BIGINT) AS order_checksum,
         |  min(hh) AS min_h, max(hh) AS max_h
         |FROM s GROUP BY shard""".stripMargin,
+
+    // coerced mode = sum/avg over coalesce(v,0); native mode = SQL
+    // null-ignoring sum/avg — the two differ on avg for every bucket with
+    // nulls and on both columns for the all-null bucket 2
+    "q137_coerced_agg" ->
+      """WITH t AS (
+        |  SELECT CAST(doc_id % 5 AS INT) AS bucket,
+        |    CASE WHEN doc_id % 5 = 2 OR doc_id % 3 = 0 THEN NULL
+        |         ELSE doc_id % 7 END AS v
+        |  FROM documents)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(coalesce(v, 0)) AS BIGINT) AS sum_c,
+        |  avg(coalesce(v, 0)) AS avg_c,
+        |  CAST(sum(v) AS BIGINT) AS sum_n, avg(v) AS avg_n
+        |FROM t GROUP BY bucket""".stripMargin,
 
     // mirrors Governance.mixtureSample exactly: same hi/lo-decomposed
     // integer budget/target/rate arithmetic, same 40-bit hash keep rule

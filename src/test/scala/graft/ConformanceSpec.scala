@@ -223,4 +223,141 @@ class ConformanceSpec extends SparkSpec {
       args = FieldSelector.All, out = FieldSelector.Results)
     assert(rows(p) == rows(pipe(lower)))
   }
+
+  // CoGroupFieldedPipesPlatformTest.testCross: key-less join of 3×4 rows
+  // is the full cartesian product, every pair exactly once.
+  test("key-less cross emits the full cartesian product") {
+    val l = pipe(Seq((1, "a"), (2, "b"), (3, "c")).toDF("n", "lc"))
+    val r = pipe(Seq(("x", 10), ("y", 20), ("z", 30), ("w", 40))
+      .toDF("rc", "m"))
+    val got = rows(l.cross(r))
+    assert(got == (for {
+      (n, lc) <- Seq((1, "a"), (2, "b"), (3, "c"))
+      (rc, m) <- Seq(("x", 10), ("y", 20), ("z", 30), ("w", 40))
+    } yield Seq(n, lc, rc, m)).toSet)
+  }
+
+  // CoGroupFieldedPipesPlatformTest.testCoGroupAroundCoGroup: the LEFT
+  // input of a CoGroup is itself a CoGroup result — keys resolve against
+  // the joined schema, and the inner join drops the first join's
+  // null-padded key rows (null keys never match, SURVEY §2.5).
+  test("CoGroup whose left input is a CoGroup (join around join)") {
+    val a = pipe(Seq((1, "a1"), (2, "a2")).toDF("ka", "va"))
+    val b = pipe(Seq((1, "b1"), (3, "b3")).toDF("kb", "vb"))
+    val c = pipe(Seq((1, "c1"), (2, "c2")).toDF("kc", "vc"))
+    val j = a.coGroup(Seq("ka"), b, Seq("kb"), Joiner.Outer)
+      .coGroup(Seq("ka"), c, Seq("kc"), Joiner.Inner)
+    assert(rows(j) == Set(
+      Seq(1, "a1", 1, "b1", 1, "c1"),
+      Seq(2, "a2", null, null, 2, "c2")))
+  }
+
+  // JoinFieldedPipesPlatformTest.testJoinAroundJoinLeftMost: chained
+  // HashJoins keep the big pipe streamed and broadcast BOTH dims — the
+  // scale property upstream's streamed/accumulated distinction encodes.
+  // Plan-assert zero shuffle exchanges across the whole chain.
+  test("HashJoin around HashJoin: chained broadcasts, zero shuffle") {
+    val facts = pipe(Seq((1, 10), (2, 20), (3, 30)).toDF("k", "v"))
+    val d1 = pipe(Seq((1, "one"), (2, "two"), (3, "three")).toDF("k1", "w1"))
+    val d2 = pipe(Seq((10, "X"), (20, "Y")).toDF("k2", "w2"))
+    val j = facts.hashJoin(Seq("k"), d1, Seq("k1"))
+      .hashJoin(Seq("v"), d2, Seq("k2"), Joiner.Left)
+    val df = Flow.toDF(j)
+    assert(rows(j) == Set(
+      Seq(1, 10, 1, "one", 10, "X"), Seq(2, 20, 2, "two", 20, "Y"),
+      Seq(3, 30, 3, "three", null, null)))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"chained dim joins must not shuffle:\n$plan")
+  }
+
+  // JoinFieldedPipesPlatformTest.testJoinSamePipe: a HashJoin of a pipe
+  // WITH ITSELF (same object on both sides) — declared fields
+  // disambiguate the doubled schema.
+  test("self hashJoin with declared output fields") {
+    val p = pipe(lower)
+    val j = p.hashJoin(Seq("num"), p, Seq("num"),
+      declared = Some(Seq("num1", "ch1", "num2", "ch2")))
+    val ch = "abcde"
+    assert(rows(j) == (1 to 5).map(i =>
+      Seq(i, ch(i - 1).toString, i, ch(i - 1).toString)).toSet)
+    assert(Flow.toDF(j).columns.toSeq == Seq("num1", "ch1", "num2", "ch2"))
+  }
+
+  // FieldedPipesPlatformTest.testGeneratorAggregator: a 1→N generator
+  // feeding GroupBy+Every — the aggregation sees the GENERATED rows.
+  test("generator output feeds aggregation (generator-aggregator)") {
+    val df = Seq("a b", "b c a").toDF("line")
+    val p = pipe(df).generate(RegexSplitGenerator("word", " "),
+        args = FieldSelector.All)
+      .groupBy("word").every(Aggs.count("n"))
+    assert(rows(p) == Set(Seq("a", 2L), Seq("b", 2L), Seq("c", 1L)))
+  }
+
+  // MergePipesPlatformTest.testMergeIntoHashJoinAccumulated: the merged
+  // stream feeds the ACCUMULATED (broadcast build) side of the HashJoin.
+  test("merge feeding a hashJoin's accumulated side") {
+    val big = pipe(Seq((1, "x"), (2, "y"), (9, "q")).toDF("num", "tag"))
+    val dim = pipe(Seq((1, "one")).toDF("k", "w"))
+      .merge(pipe(Seq((2, "two")).toDF("k", "w")))
+    val j = big.hashJoin(Seq("num"), dim, Seq("k"))
+    assert(rows(j) == Set(Seq(1, "x", 1, "one"), Seq(2, "y", 2, "two")))
+  }
+
+  // FieldedPipesPlatformTest.testSplitComplex: split AFTER an
+  // aggregation, each branch filtered differently and re-aggregated —
+  // the split point computes once and the branches don't interfere.
+  test("split after aggregation: branches re-aggregate independently") {
+    val df = Seq("a", "b", "a", "c", "b", "a", "d").toDF("ch")
+    val counted = pipe(df).groupBy("ch").every(Aggs.count("n"))
+    val hi = counted.filterBy(ExpressionFilter("n >= 2", removeMatch = false))
+      .groupAll.every(Aggs.count("n_hi"))
+    val lo = counted.filterBy(ExpressionFilter("n < 2", removeMatch = false))
+      .groupAll.every(Aggs.count("n_lo"))
+    assert(rows(hi) == Set(Seq(2L))) // a(3), b(2)
+    assert(rows(lo) == Set(Seq(2L))) // c(1), d(1)
+  }
+
+  // CoGroupFieldedPipesPlatformTest.testCoGroupGroupBy: GroupBy directly
+  // on a CoGroup result — keys on a left-side field, aggregates a
+  // right-side field, duplicate join matches each counted.
+  test("groupBy on a coGrouped result keys on the joined schema") {
+    val l = pipe(Seq((1, "x"), (2, "y"), (3, "x")).toDF("num", "cat"))
+    val r = pipe(Seq((1, 10), (2, 20), (3, 30), (1, 11)).toDF("num2", "amt"))
+    val g = l.coGroup(Seq("num"), r, Seq("num2"))
+      .groupBy("cat").every(Aggs.sum("amt", "s"))
+    assert(rows(g) == Set(Seq("x", 51L), Seq("y", 20L)))
+  }
+
+  // Upstream resolver contract (FieldsResolverException): grouping on a
+  // field the incoming pipe does not declare fails at PLAN time with an
+  // error NAMING the field — not at runtime with a partial flow.
+  test("groupBy on an undeclared field fails at plan time, naming the field") {
+    val e = intercept[Exception] {
+      Flow.toDF(pipe(lower).groupBy("nope").every(Aggs.count("n")))
+    }
+    assert(e.getMessage.contains("nope"),
+      s"error must name the field: ${e.getMessage}")
+  }
+
+  // AssemblyHelpersPlatformTest testSumBy/testAverageBy null corner —
+  // DIVERGENCE FOUND BY THIS PORT: upstream Sum/Average read arguments
+  // through Tuples.toDouble(null) == 0, so a null contributes 0 and still
+  // counts toward the average denominator, and an all-null group sums to
+  // 0; SQL sum/avg ignore nulls (all-null group → null, avg divides by
+  // the non-null count). Both modes pinned; gated cross-engine as q137.
+  test("SumBy/AverageBy null coercion: upstream nulls count as zero") {
+    val df = Seq(("a", Some(2)), ("a", None), ("b", None), ("b", None))
+      .toDF("k", "v")
+    assert(rows(pipe(df).sumByCoerced(Seq("k"), "v", "s"))
+      == Set(Seq("a", 2L), Seq("b", 0L)))
+    assert(rows(pipe(df).averageByCoerced(Seq("k"), "v", "m"))
+      == Set(Seq("a", 1.0), Seq("b", 0.0)))
+    // the SQL mode the rest of the engine keeps
+    assert(rows(pipe(df).sumBy(Seq("k"), "v", "s"))
+      == Set(Seq("a", 2L), Seq("b", null)))
+    assert(rows(pipe(df).averageBy(Seq("k"), "v", "m"))
+      == Set(Seq("a", 2.0), Seq("b", null)))
+  }
 }
