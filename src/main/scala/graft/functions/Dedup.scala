@@ -349,4 +349,58 @@ object Dedup {
       .agg(min(col("corpus_id")).as("nearest_corpus_id"),
         count_distinct(col("corpus_id")).as("n_corpus_matches"))
   }
+
+  /** Exact SUBSTRING-level dedup: duplicated n-gram span detection, the
+    * token-level counterpart of document-level dedup (the "dedup exact
+    * substrings" pass of LLM corpus curation — find every n-token window
+    * that also appears in ≥ `minDocs` distinct documents, then merge
+    * overlapping hits into maximal spans per document).
+    *
+    * Shape: one scan explodes each doc into its n-gram start positions
+    * (`pos`, 1-based) keyed by a 40-bit ngram hash; an aggregation keeps
+    * hashes seen in ≥ minDocs distinct docs; a join marks the hit
+    * positions; consecutive hit positions fold into islands (classic
+    * gaps-and-islands: `pos - row_number()` per doc) and each island
+    * [a, b] is one span covering tokens a .. b+n-1.
+    *
+    * Returns one row per span: (id, span_start, span_end_ngram, n_hits,
+    * span_tokens).
+    *
+    * Scale: all shuffles key on uniform hashes or doc ids — the n-gram
+    * agg and the hit join shuffle on the 40-bit hash (uniform by
+    * construction; at corpus scales past ~2^20 ngrams widen to a 64-bit
+    * key — two md5 prefixes — to keep collision noise below the dup
+    * signal), and the island window partitions per DOCUMENT, bounded by
+    * doc length, never per source. No all-pairs stage anywhere: cost is
+    * O(tokens) rows exploded, O(duplicated positions) joined. */
+  def duplicatedSpans(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text", n: Int = 8,
+                      minDocs: Int = 2): DataFrame = {
+    require(n >= 2, s"duplicatedSpans: n must be ≥ 2, got $n")
+    require(minDocs >= 2, s"duplicatedSpans: minDocs must be ≥ 2, got $minDocs")
+    val t = split(col(textCol), " ")
+    val grams = docs
+      .filter(size(t) >= n)
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(1), size(t) - (n - 1)),
+          i => graft.catalyst.Md5Prefix40(
+            concat_ws(" ", slice(t, i, lit(n)))))))
+      .select(col(idCol), (col("pos") + 1).as("pos"), col("col").as("h"))
+    val dup = grams.groupBy(col("h"))
+      .agg(count_distinct(col(idCol)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("h"))
+    val hits = grams.join(dup, Seq("h"))
+    val isle = col("pos") - row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(col(idCol)).orderBy(col("pos")))
+    hits.withColumn("isle", isle)
+      .groupBy(col(idCol), col("isle"))
+      .agg(min(col("pos")).as("span_start"),
+        max(col("pos")).as("span_end_ngram"),
+        count(lit(1)).as("n_hits"))
+      .withColumn("span_tokens",
+        col("span_end_ngram") - col("span_start") + n)
+      .drop("isle")
+  }
 }

@@ -1067,6 +1067,17 @@ object Extensions {
           graft.pipes.Aggs.avg("v", "avg_n")))(s)
     }),
 
+    // --- exact substring-level dedup: duplicated 8-gram span detection
+    // (the "dedup exact substrings" curation pass — every 8-token window
+    // appearing in ≥2 distinct docs, consecutive hits merged into maximal
+    // spans). One explode scan, hash-keyed dup agg + hit join (uniform
+    // 40-bit keys), per-DOC island window (bounded by doc length). One
+    // row per span; see Dedup.duplicatedSpans for the 100 TB notes.
+    "q138_dup_spans" -> ((s, dir) =>
+      graft.functions.Dedup.duplicatedSpans(
+        s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", n = 8, minDocs = 2)),
+
     // --- sliding-window token chunking: the context-window prep step of a
     // pretraining pipeline — chunks of 50 tokens with stride 25 (50%
     // overlap), the last chunk ragged. Pure generator shape: one scan,
@@ -2760,6 +2771,30 @@ object Extensions {
         |  avg(coalesce(v, 0)) AS avg_c,
         |  CAST(sum(v) AS BIGINT) AS sum_n, avg(v) AS avg_n
         |FROM t GROUP BY bucket""".stripMargin,
+
+    // same 40-bit ngram hash, same gaps-and-islands fold — a span
+    // differing by one position on either end fails the hash
+    "q138_dup_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |ngr AS (
+        |  SELECT doc_id, CAST(pos AS INTEGER) AS pos,
+        |    CAST(concat('0x', substr(md5(
+        |      array_to_string(t[pos:pos+7], ' ')), 1, 10)) AS BIGINT) AS h
+        |  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 6)) AS pos) p
+        |  WHERE len(t) >= 8),
+        |duph AS (SELECT h FROM ngr GROUP BY h
+        |         HAVING count(DISTINCT doc_id) >= 2),
+        |isl AS (
+        |  SELECT g.doc_id, g.pos,
+        |    g.pos - CAST(row_number() OVER (PARTITION BY g.doc_id
+        |      ORDER BY g.pos) AS INTEGER) AS isle
+        |  FROM ngr g JOIN duph USING (h))
+        |SELECT doc_id, CAST(min(pos) AS INTEGER) AS span_start,
+        |  CAST(max(pos) AS INTEGER) AS span_end_ngram,
+        |  CAST(count(*) AS BIGINT) AS n_hits,
+        |  CAST(max(pos) - min(pos) + 8 AS INTEGER) AS span_tokens
+        |FROM isl GROUP BY doc_id, isle""".stripMargin,
 
     // mirrors Governance.mixtureSample exactly: same hi/lo-decomposed
     // integer budget/target/rate arithmetic, same 40-bit hash keep rule

@@ -398,4 +398,28 @@ class FunctionsSpec extends SparkSpec {
       FuzzyMatch.blockedPairs(words, "w", maxDist = 3)
     }
   }
+
+  // hand-computed oracle, n=3 minDocs=2:
+  //   doc1 "a b c d e f"        → grams at 1:"a b c" 2:"b c d" 3:"c d e" 4:"d e f"
+  //   doc2 "z a b c d q"        → 1:"z a b" 2:"a b c" 3:"b c d" 4:"c d q"
+  //   doc4 "a b c x x x b c d"  → 1:"a b c" 2:"b c x" … 7:"b c d"
+  // shared grams: "a b c" (docs 1,2,4), "b c d" (docs 1,2,4). Hits:
+  // doc1 pos {1,2} → ONE island (span 1..2, 4 tokens "a b c d");
+  // doc2 pos {2,3} → one island; doc4 pos {1,7} → TWO islands of one
+  // hit each (the overlap-merge boundary).
+  test("duplicatedSpans merges consecutive n-gram hits into maximal spans") {
+    val df = Seq(
+      (1L, "a b c d e f"), (2L, "z a b c d q"),
+      (3L, "q w e r t y"), (4L, "a b c x x x b c d"))
+      .toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(df, "doc_id", "text", n = 3, minDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getLong(3), r.getInt(4))).toSet
+    assert(got == Set(
+      (1L, 1, 2, 2L, 4), (2L, 2, 3, 2L, 4),
+      (4L, 1, 1, 1L, 3), (4L, 7, 7, 1L, 3)))
+    // doc3 shares nothing; raising minDocs above the doc count empties it
+    assert(!got.exists(_._1 == 3L))
+    assert(Dedup.duplicatedSpans(df, "doc_id", "text", 3, 4).count() == 0)
+  }
 }
