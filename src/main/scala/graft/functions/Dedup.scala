@@ -403,4 +403,48 @@ object Dedup {
         col("span_end_ngram") - col("span_start") + n)
       .drop("isle")
   }
+
+  /** The ACTION companion of [[duplicatedSpans]]: boilerplate strip —
+    * delete every duplicated span from every document and reassemble the
+    * cleaned text (the contract of a boilerplate-removal pass: content
+    * repeated across ≥ minDocs documents survives nowhere). Documents
+    * with no duplicated spans pass through verbatim.
+    *
+    * Shape: spans → covered token positions (distinct — two islands'
+    * coverage can overlap even though their start positions don't touch);
+    * per-token explode LEFT ANTI the covered set on (id, tpos); ordered
+    * reassembly via array_sort over (tpos, token) structs — deterministic
+    * on any partitioning, no window needed.
+    *
+    * Returns (id, clean_text, n_kept, n_removed).
+    *
+    * Scale: the anti-join keys on (id, position) — perfectly uniform; the
+    * reassembly groups per DOCUMENT (partitions bounded by doc length).
+    * Everything is one linear pipeline over O(tokens) rows; the span side
+    * is O(duplicated positions) and broadcast-eligible when small. */
+  def stripDuplicatedSpans(docs: DataFrame, idCol: String = "doc_id",
+                           textCol: String = "text", n: Int = 8,
+                           minDocs: Int = 2): DataFrame = {
+    val covered = duplicatedSpans(docs, idCol, textCol, n, minDocs)
+      .select(col(idCol), explode(sequence(col("span_start"),
+        col("span_start") + col("span_tokens") - 1)).as("tpos"))
+      .distinct()
+    val toks = docs
+      .select(col(idCol), posexplode(split(col(textCol), " ")))
+      .select(col(idCol), (col("pos") + 1).as("tpos"), col("col").as("tok"))
+    val keptAgg = toks.join(covered, Seq(idCol, "tpos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("tpos"), col("tok")))),
+          x => x.getField("tok"))).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    // drive from the all-docs side: a FULLY duplicated doc keeps zero
+    // tokens but must still appear, with empty clean_text
+    val nTok = toks.groupBy(col(idCol)).agg(count(lit(1)).as("n_total"))
+    nTok.join(keptAgg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_total") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
 }

@@ -1078,6 +1078,17 @@ object Extensions {
         s.read.parquet(s"$dir/documents.parquet"),
         "doc_id", "text", n = 8, minDocs = 2)),
 
+    // --- the ACTION companion of q138: boilerplate strip — every
+    // duplicated 8-gram span deleted from EVERY doc, clean text
+    // reassembled by (position, token) array_sort (deterministic on any
+    // partitioning, no window). Fully-covered docs stay as empty rows.
+    // The gate hashes the full cleaned text of all docs, so one kept or
+    // dropped token anywhere fails.
+    "q139_strip_spans" -> ((s, dir) =>
+      graft.functions.Dedup.stripDuplicatedSpans(
+        s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", n = 8, minDocs = 2)),
+
     // --- sliding-window token chunking: the context-window prep step of a
     // pretraining pipeline — chunks of 50 tokens with stride 25 (50%
     // overlap), the last chunk ragged. Pure generator shape: one scan,
@@ -2795,6 +2806,47 @@ object Extensions {
         |  CAST(count(*) AS BIGINT) AS n_hits,
         |  CAST(max(pos) - min(pos) + 8 AS INTEGER) AS span_tokens
         |FROM isl GROUP BY doc_id, isle""".stripMargin,
+
+    // q138's spans → covered positions → per-token anti-join → ordered
+    // reassembly (string_agg ORDER BY position); all docs driven from the
+    // token-count side so fully-covered docs keep their (empty) row
+    "q139_strip_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |ngr AS (
+        |  SELECT doc_id, CAST(pos AS INTEGER) AS pos,
+        |    CAST(concat('0x', substr(md5(
+        |      array_to_string(t[pos:pos+7], ' ')), 1, 10)) AS BIGINT) AS h
+        |  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 6)) AS pos) p
+        |  WHERE len(t) >= 8),
+        |duph AS (SELECT h FROM ngr GROUP BY h
+        |         HAVING count(DISTINCT doc_id) >= 2),
+        |isl AS (
+        |  SELECT g.doc_id, g.pos,
+        |    g.pos - CAST(row_number() OVER (PARTITION BY g.doc_id
+        |      ORDER BY g.pos) AS INTEGER) AS isle
+        |  FROM ngr g JOIN duph USING (h)),
+        |sp AS (SELECT doc_id, min(pos) AS a, max(pos) + 7 AS b
+        |       FROM isl GROUP BY doc_id, isle),
+        |cov AS (SELECT DISTINCT doc_id, CAST(tpos AS INTEGER) AS tpos
+        |        FROM sp, LATERAL (SELECT unnest(range(a, b + 1)) AS tpos) r),
+        |tk AS (
+        |  SELECT doc_id, CAST(pos AS INTEGER) AS tpos, t[pos] AS tok
+        |  FROM toks, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS pos) p),
+        |kept AS (
+        |  SELECT tk.doc_id, tk.tpos, tk.tok FROM tk
+        |  LEFT JOIN cov ON tk.doc_id = cov.doc_id AND tk.tpos = cov.tpos
+        |  WHERE cov.doc_id IS NULL),
+        |ka AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS clean_text,
+        |    CAST(count(*) AS BIGINT) AS n_kept
+        |  FROM kept GROUP BY doc_id),
+        |nt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_total
+        |       FROM tk GROUP BY doc_id)
+        |SELECT nt.doc_id, coalesce(ka.clean_text, '') AS clean_text,
+        |  CAST(coalesce(ka.n_kept, 0) AS BIGINT) AS n_kept,
+        |  CAST(nt.n_total - coalesce(ka.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM nt LEFT JOIN ka USING (doc_id)""".stripMargin,
 
     // mirrors Governance.mixtureSample exactly: same hi/lo-decomposed
     // integer budget/target/rate arithmetic, same 40-bit hash keep rule

@@ -422,4 +422,25 @@ class FunctionsSpec extends SparkSpec {
     assert(!got.exists(_._1 == 3L))
     assert(Dedup.duplicatedSpans(df, "doc_id", "text", 3, 4).count() == 0)
   }
+
+  // same fixture + doc5/doc6 = "a b c" verbatim (fully duplicated docs):
+  // every duplicated span is deleted from EVERY doc (boilerplate strip),
+  // untouched docs pass through verbatim, fully-covered docs survive as
+  // empty rows rather than vanishing.
+  test("stripDuplicatedSpans deletes spans everywhere and reassembles text") {
+    val df = Seq(
+      (1L, "a b c d e f"), (2L, "z a b c d q"),
+      (3L, "q w e r t y"), (4L, "a b c x x x b c d"),
+      (5L, "a b c"), (6L, "a b c"))
+      .toDF("doc_id", "text")
+    val got = Dedup.stripDuplicatedSpans(df, "doc_id", "text", 3, 2)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(
+      (1L, "e f", 2L, 4L),        // span 1..4 ("a b c d") removed
+      (2L, "z q", 2L, 4L),        // span 2..5 removed, ends survive
+      (3L, "q w e r t y", 6L, 0L), // untouched
+      (4L, "x x x", 3L, 6L),      // two islands: 1..3 and 7..9 removed
+      (5L, "", 0L, 3L), (6L, "", 0L, 3L))) // fully covered, still present
+  }
 }
