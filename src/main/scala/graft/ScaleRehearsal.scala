@@ -28,7 +28,11 @@ import org.apache.spark.sql.functions._
   */
 object ScaleRehearsal {
   private val Queries = Seq("q124_tpch_q1", "q125_tpch_q18", "q44_percentile",
-    "q64_minhash_transitive", "q66_ivf_kmeans", "q127_incremental_neardup")
+    "q64_minhash_transitive", "q66_ivf_kmeans", "q127_incremental_neardup",
+    // the substring-dedup pair: token suffixes keep 8-grams distinct
+    // ACROSS replicas while preserving each replica's dup structure, so
+    // duplicated-span work scales with the corpus — the honest shape
+    "q138_dup_spans", "q139_strip_spans")
 
   def main(args: Array[String]): Unit = {
     val small = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
