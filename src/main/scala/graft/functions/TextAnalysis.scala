@@ -109,4 +109,42 @@ object TextAnalysis {
     * (no int64 overflow). One-pass native kernel. */
   def fingerprint(text: Column): Column =
     graft.catalyst.RollingFingerprint(tokens(text))
+
+  /** Adjacent-token collocation statistics — the association-mining step
+    * of corpus analysis (phrase/compound discovery ahead of tokenizer
+    * training). For each adjacent pair (w1, w2): corpus pair count, both
+    * unigram counts, and an EXACT integer Dice score ×1e6 =
+    * 2e6·c12 div (c1 + c2) — integer division, no floating-point log, so
+    * the score hashes identically on any engine (PMI stays derivable from
+    * the counts downstream). Top-k by (c12 desc, w1, w2): fully
+    * tie-broken, deterministic.
+    *
+    * Scale: the pair explode is linear in tokens; both aggregations
+    * shuffle on word keys — zipfian-skewed, the case AQE skew handling
+    * exists for — and the unigram side is vocabulary-sized (≪ corpus), so
+    * Catalyst broadcasts it when small. The top-k lowers to
+    * TakeOrderedAndProject, never a global sort. Dice headroom: 2e6·c12
+    * wraps int64 past c12 ≈ 4.6e12 (≈ 40 TB of one repeated pair) — shard
+    * or widen to decimal beyond that. */
+  def collocations(docs: org.apache.spark.sql.DataFrame,
+                   textCol: String = "text",
+                   minCount: Long = 2L, k: Int = 100)
+      : org.apache.spark.sql.DataFrame = {
+    val t = tokens(col(textCol))
+    val pairs = docs.filter(size(t) >= 2)
+      .select(explode(transform(sequence(lit(1), size(t) - 1),
+        i => struct(element_at(t, i).as("w1"),
+          element_at(t, i + 1).as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val uni = docs.select(explode(t).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+      .withColumn("dice_micros", expr("2000000 * c12 div (c1 + c2)"))
+      .orderBy(col("c12").desc, col("w1"), col("w2"))
+      .limit(k)
+      .select("w1", "w2", "c12", "c1", "c2", "dice_micros")
+  }
 }

@@ -1078,6 +1078,16 @@ object Extensions {
         s.read.parquet(s"$dir/documents.parquet"),
         "doc_id", "text", n = 8, minDocs = 2)),
 
+    // --- adjacent-token collocations: pair + unigram counts and an exact
+    // integer Dice×1e6 (2e6·c12 div (c1+c2) — no float log, engine-exact),
+    // top-100 fully tie-broken by (c12 desc, w1, w2) so the limit is
+    // deterministic. Skewed word keys are the AQE-skew case; unigram side
+    // is vocab-sized and broadcasts.
+    "q140_collocations" -> ((s, dir) =>
+      graft.functions.TextAnalysis.collocations(
+        s.read.parquet(s"$dir/documents.parquet"),
+        "text", minCount = 2L, k = 100)),
+
     // --- the ACTION companion of q138: boilerplate strip — every
     // duplicated 8-gram span deleted from EVERY doc, clean text
     // reassembled by (position, token) array_sort (deterministic on any
@@ -2806,6 +2816,25 @@ object Extensions {
         |  CAST(count(*) AS BIGINT) AS n_hits,
         |  CAST(max(pos) - min(pos) + 8 AS INTEGER) AS span_tokens
         |FROM isl GROUP BY doc_id, isle""".stripMargin,
+
+    // same integer Dice and the same total (c12, w1, w2) order — a tie
+    // mis-break at the top-100 boundary fails the row hash
+    "q140_collocations" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |pr AS (
+        |  SELECT t[i] AS w1, t[i + 1] AS w2
+        |  FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) x
+        |  WHERE len(t) >= 2),
+        |uni AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+        |pc AS (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        |  FROM pr GROUP BY w1, w2 HAVING count(*) >= 2)
+        |SELECT p.w1, p.w2, p.c12, u1.c AS c1, u2.c AS c2,
+        |  CAST((2000000 * p.c12) // (u1.c + u2.c) AS BIGINT) AS dice_micros
+        |FROM pc p JOIN uni u1 ON p.w1 = u1.w JOIN uni u2 ON p.w2 = u2.w
+        |ORDER BY p.c12 DESC, p.w1, p.w2 LIMIT 100""".stripMargin,
 
     // q138's spans → covered positions → per-token anti-join → ordered
     // reassembly (string_agg ORDER BY position); all docs driven from the

@@ -443,4 +443,21 @@ class FunctionsSpec extends SparkSpec {
       (4L, "x x x", 3L, 6L),      // two islands: 1..3 and 7..9 removed
       (5L, "", 0L, 3L), (6L, "", 0L, 3L))) // fully covered, still present
   }
+
+  // hand-computed: pairs (the,cat)×2 (cat,sat)×2 (cat,ran) (a,cat);
+  // unigrams the=2 cat=3 sat=2 ran=1 a=1. minCount=2 keeps the two
+  // doubles; dice = 2e6·2/(2+3) = 800000 for both; the c12 tie breaks
+  // on w1 so (cat,sat) ranks before (the,cat).
+  test("collocations: exact integer Dice, deterministic tie-broken top-k") {
+    val df = Seq("the cat sat", "the cat ran", "a cat sat").toDF("text")
+    val got = TA.collocations(df, "text", minCount = 2L, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == Seq(
+      ("cat", "sat", 2L, 3L, 2L, 800000L),
+      ("the", "cat", 2L, 2L, 3L, 800000L)))
+    // k=1 must cut exactly at the tiebreak order
+    assert(TA.collocations(df, "text", 2L, 1)
+      .collect().map(_.getString(0)).toSeq == Seq("cat"))
+  }
 }
