@@ -288,4 +288,36 @@ class PlanAuditSpec extends SparkSpec {
       assert(plan.contains("TakeOrderedAndProject"))
     }
   }
+
+  test("q138: dup-hash set broadcasts back; the exploded side never shuffles pre-join") {
+    val plan = formatted("q138_dup_spans")
+    // the corpus-sized explode meets the (small) duplicated-hash set on
+    // the broadcast path — shuffling the exploded side would be an
+    // O(tokens) exchange for an O(duplicated) question
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
+    // exactly three shuffle exchanges: two for the distinct-doc-count
+    // aggregate, one for the per-doc island window (" Exchange" excludes
+    // the BroadcastExchange node)
+    val nEx = plan.linesIterator.count(_.matches(""".* Exchange \(\d+\)$"""))
+    assert(nEx == 3, s"expected 3 shuffle exchanges, got $nEx:\n$plan")
+  }
+
+  test("q139: strip is an anti-join pipeline — no product, no extra window") {
+    val plan = formatted("q139_strip_spans")
+    assert(plan.contains("LeftAnti"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"))
+    // exactly ONE window in the whole plan: the island fold inherited
+    // from span detection — the text reassembly itself is windowless
+    // (array_sort over (pos, token) structs inside the aggregate)
+    assert("Window \\(\\d+\\)".r.findAllMatchIn(plan).size == 1, plan)
+  }
+
+  test("q140: collocation top-k is a heap gather; no window anywhere") {
+    val plan = formatted("q140_collocations")
+    assert(plan.contains("TakeOrderedAndProject"))
+    assert(!plan.contains("Window"))
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
