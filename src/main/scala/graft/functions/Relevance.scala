@@ -101,4 +101,34 @@ object Relevance {
        |SELECT $idCol, score_micros FROM scored WHERE score_micros > 0
        |ORDER BY score_micros DESC, $idCol ASC LIMIT $topK""".stripMargin
   }
+
+  /** Model-based quality scoring via the hashing trick — the fastText-style
+    * linear classifier every large curation pipeline runs over the whole
+    * corpus (CCNet/GPT-3-style "does this look like reference text"
+    * filtering), expressed so that 100 TB pays exactly ONE scan and ZERO
+    * shuffles: the model is not a lookup table to broadcast but a pure
+    * function of the token hash (weight = hash-derived int in
+    * [-100, 100]), so the logit is a codegen'd array fold per row —
+    * embarrassingly parallel, no driver state, no join.
+    *
+    * `aggregate(transform(tokens, w(t)), 0, +)` with
+    * w(t) = (hash40(salt ++ (hash40(t) mod dims)) mod 201) − 100:
+    * token → bucket (hashing trick, `dims` buckets) → bucket weight. All
+    * arithmetic is int64-exact (40-bit hashes, ≤2^40·201 products), so the
+    * gate hashes engine-exactly; a REAL trained model drops in by replacing
+    * the hash-derived weight with an `element_at(lit(weights), bucket)`
+    * over a broadcast literal array — the plan shape (one scan, one fold)
+    * is identical, which is what the query pins. */
+  def hashClassifierLogit(text: Column, dims: Int, salt: String): Column = {
+    val bucket = (t: Column) => graft.catalyst.Md5Prefix40(t) % dims
+    val weight = (t: Column) =>
+      graft.catalyst.Md5Prefix40(concat(lit(salt), bucket(t).cast("string"))) % 201L - 100L
+    aggregate(tokens(text), lit(0L), (acc, t) => acc + weight(t))
+  }
+
+  /** DuckDB spelling of [[hashClassifierLogit]] over a token column `tok`. */
+  def hashClassifierOracleWeight(tokExpr: String, dims: Int, salt: String): String = {
+    val bucket = s"(CAST(concat('0x', substr(md5($tokExpr), 1, 10)) AS BIGINT) % $dims)"
+    s"(CAST(concat('0x', substr(md5(concat('$salt', CAST($bucket AS VARCHAR))), 1, 10)) AS BIGINT) % 201 - 100)"
+  }
 }

@@ -1779,6 +1779,95 @@ object Extensions {
         sha2(payload, 256).as("digest"),
         conv(substring(sha2(payload, 256), 1, 10), 16, 10).cast("bigint")
           .as("stub_feature"))
+    }),
+
+    // --- bloom-pruned semi join: sketch the filtered orders keys (one
+    // map-side-combined agg, one O(sketch-bytes) driver carry — the Lloyd-
+    // centroid discipline), prefilter lineitem with might_contain INSIDE
+    // its scan stage — below the exchange — then exact semi join over the
+    // survivors. Result-identical to the plain semi join (bloom FPs die in
+    // the exact join): the sketch can only REMOVE probe-side shuffle
+    // bytes, never change the answer — which is why the oracle is the
+    // plain EXISTS. Broadcast is forced off so the gate exercises the
+    // shuffled path the pruning exists for.
+    "q141_bloom_semijoin" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val hot = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_totalprice") > 475000.0)
+      val threshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val joined = graft.functions.BloomPrune.semiJoin(
+          li, hot, "l_orderkey", "o_orderkey",
+          estItems = 1000L, numBits = 8192L)
+        val df = joined.groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("l_quantity").cast("bigint")).as("sum_qty"))
+        val plan = df.queryExecution.executedPlan.toString
+        require(plan.contains("might_contain"),
+          "probe side must carry the bloom prefilter below its exchange")
+        require(!plan.contains("BroadcastHashJoin"),
+          "gate must exercise the shuffled-join path the pruning targets")
+        df
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    }),
+
+    // --- snapshot upsert: MERGE a daily batch (71 updates re-texted 'v2 ',
+    // 10 inserts at ids +1e6) into the corpus snapshot persisted BUCKETED
+    // by doc_id — the content-table leg of the daily ingest cycle next to
+    // q127 (arrival dedup) and q133 (index maintenance). The full-outer
+    // merge join plans with NO exchange on the snapshot side (bucket
+    // layout absorbs it; only the batch shuffles, into the snapshot's own
+    // partitioning) — asserted here exactly like q127's corpus side. The
+    // gate hashes (id, md5(text), source, version) of the WHOLE merged
+    // snapshot, so a lost update, a dropped carry-through row, or a wrong
+    // version bump anywhere fails.
+    "q142_snapshot_upsert" -> ((s, dir) => {
+      val table = "graft_q142_snapshot"
+      graft.queries.Tables.dropStagedTable(s, table)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      graft.functions.Snapshot.snapshotTap(table, 8, "doc_id").write(
+        docs.select(col("doc_id"), col("text"), col("source"),
+          lit(1L).as("version")),
+        graft.sources.SinkMode.Replace)
+      val batch = docs.filter(col("doc_id") % 7 === 3)
+        .select(col("doc_id"), concat(lit("v2 "), col("text")).as("text"),
+          col("source"))
+        .unionAll(docs.filter(col("doc_id") % 50 === 11)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+            lit("ingest").as("source")))
+      val threshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val merged = graft.functions.Snapshot.upsert(s.table(table), batch,
+          "doc_id", Seq("text", "source"), "version")
+          .select(col("doc_id"), md5(col("text")).as("text_md5"),
+            col("source"), col("version"))
+        val plan = merged.queryExecution.executedPlan.toString
+        val exchanges = "Exchange hashpartitioning\\(".r
+          .findAllMatchIn(plan).size
+        require(exchanges == 1 && plan.contains("hashpartitioning(b_key"),
+          s"merge must shuffle ONLY the batch side (got $exchanges exchanges)")
+        require(plan.contains("SelectedBucketsCount"),
+          "snapshot side must be the bucket-aware scan")
+        merged
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    }),
+
+    // --- model-based quality scoring (hashing-trick linear classifier):
+    // the fastText-shaped "does this look like reference text" filter a
+    // curation pipeline runs over the WHOLE corpus. Weights are a pure
+    // function of the token's hash bucket, so the logit is one codegen'd
+    // array fold per row: ONE scan, ZERO shuffles, no broadcast, no
+    // driver state — at 100 TB this op is scan-bound by construction.
+    // All-integer arithmetic (40-bit hashes) keeps the gate engine-exact.
+    "q143_hash_classifier" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      docs.select(col("doc_id"),
+          TA.tokenCount(col("text")).as("n_tok"),
+          graft.functions.Relevance.hashClassifierLogit(
+            col("text"), dims = 4096, salt = "w#").as("logit"))
+        .withColumn("kept", col("logit") >= 0L)
     })
   )
 
@@ -2902,6 +2991,51 @@ object Extensions {
          |FROM t JOIN r USING (source)
          |WHERE ${graft.functions.Governance.oracleRateKeep(
                    "doc_id", "rate_micros", MixtureSalt)}""".stripMargin
+    },
+
+    // the bloom prefilter cannot change the answer (no false negatives +
+    // exact join over survivors), so the oracle is the plain semi join
+    "q141_bloom_semijoin" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem l
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_orderkey = l.l_orderkey AND o.o_totalprice > 475000.0)
+        |GROUP BY 1""".stripMargin,
+
+    // same batch derivation, same match/insert/carry-through version rule
+    "q142_snapshot_upsert" ->
+      """WITH snap AS (
+        |  SELECT doc_id, text, source, CAST(1 AS BIGINT) AS version
+        |  FROM documents),
+        |batch AS (
+        |  SELECT doc_id, concat('v2 ', text) AS text, source
+        |  FROM documents WHERE doc_id % 7 = 3
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, 'ingest'
+        |  FROM documents WHERE doc_id % 50 = 11)
+        |SELECT coalesce(s.doc_id, b.doc_id) AS doc_id,
+        |  md5(CASE WHEN b.doc_id IS NOT NULL THEN b.text ELSE s.text END)
+        |    AS text_md5,
+        |  CASE WHEN b.doc_id IS NOT NULL THEN b.source ELSE s.source END
+        |    AS source,
+        |  CAST(CASE WHEN b.doc_id IS NULL THEN s.version
+        |            WHEN s.doc_id IS NULL THEN 1
+        |            ELSE s.version + 1 END AS BIGINT) AS version
+        |FROM snap s FULL OUTER JOIN batch b ON s.doc_id = b.doc_id""".stripMargin,
+
+    // same hash-derived weights: token -> bucket (mod 4096) -> weight in
+    // [-100, 100]; logit = multiplicity-weighted sum
+    "q143_hash_classifier" -> {
+      val wt = graft.functions.Relevance
+        .hashClassifierOracleWeight("tok", 4096, "w#")
+      s"""WITH w AS (
+         |  SELECT doc_id, $wt AS wt
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |        FROM documents))
+         |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_tok,
+         |CAST(sum(wt) AS BIGINT) AS logit, (sum(wt) >= 0) AS kept
+         |FROM w GROUP BY doc_id""".stripMargin
     }
   )
 }

@@ -184,4 +184,37 @@ class FormulaPinSpec extends SparkSpec {
     // non-degeneracy: the designed skew is detected (nonzero statistic)
     assert(driftSum > 0)
   }
+
+  test("q143 hash classifier: logit equals a plain-Scala recomputation of " +
+       "the hashing-trick weights, multiplicity included") {
+    val dir = stageDocs(Seq(
+      (1L, "the cat sat on the mat", "s"),   // repeated 'the' counts twice
+      (2L, "one token", "s"),
+      (3L, "zz", "s")))
+    def md5prefix40(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map(b => f"$b%02x").mkString.take(10), 16)
+    }
+    def weight(tok: String): Long =
+      md5prefix40("w#" + (md5prefix40(tok) % 4096)) % 201L - 100L
+    val expect = Map(
+      1L -> "the cat sat on the mat", 2L -> "one token", 3L -> "zz"
+    ).map { case (id, text) =>
+      id -> text.split(" ").map(weight).sum
+    }
+    val got = graft.queries.Extensions.queries("q143_hash_classifier")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (id, logit) =>
+      val (nTok, gotLogit, kept) = got(id)
+      assert(gotLogit == logit, s"doc $id logit")
+      assert(kept == (logit >= 0L), s"doc $id kept flag")
+    }
+    assert(got(1L)._1 == 6 && got(2L)._1 == 2 && got(3L)._1 == 1)
+    // non-degeneracy: the weight table is not constant across these buckets
+    assert(Set("the", "cat", "sat", "on", "mat", "one", "token", "zz")
+      .map(weight).size > 1)
+  }
 }

@@ -460,4 +460,21 @@ class FunctionsSpec extends SparkSpec {
     assert(TA.collocations(df, "text", 2L, 1)
       .collect().map(_.getString(0)).toSeq == Seq("cat"))
   }
+
+  test("Snapshot.upsert: update bumps version and replaces payload " +
+       "(including to null), insert starts at 1, untouched rows carry through") {
+    import graft.functions.Snapshot
+    val snap = Seq((1L, "old-a", 3L), (2L, "old-b", 1L), (3L, "old-c", 7L))
+      .toDF("id", "txt", "version")
+    val batch = Seq((1L, Some("new-a")), (3L, None), (9L, Some("ins")))
+      .toDF("id", "txt")
+    val out = Snapshot.upsert(snap, batch, "id", Seq("txt"), "version")
+      .collect().map(r => (r.getLong(0),
+        Option(r.getString(1)), r.getLong(2))).toSet
+    assert(out == Set(
+      (1L, Some("new-a"), 4L),  // update: payload replaced, version bumped
+      (2L, Some("old-b"), 1L),  // untouched: carried through verbatim
+      (3L, None, 8L),           // update to NULL payload still replaces
+      (9L, Some("ins"), 1L)))   // insert: version lineage starts at 1
+  }
 }

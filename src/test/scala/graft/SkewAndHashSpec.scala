@@ -169,6 +169,32 @@ class SkewAndHashSpec extends SparkSpec {
       .collect().head.getSeq[Long](0))
   }
 
+  test("explicit BloomPrune.semiJoin: row parity with the exact semi join; " +
+       "sketch prunes the probe side") {
+    import graft.functions.BloomPrune
+    // 10k probe rows over keys 1..2000; build side = keys 1..2000 with
+    // attr==0 (every 97th) — selective, so most probe rows are prunable
+    val probe = (1 to 10000).map(i => (i.toLong % 2000 + 1, s"p$i"))
+      .toDF("fk", "payload")
+    val build = (1L to 2000L).map(i => (i, i % 97)).toDF("dk", "attr")
+      .filter(col("attr") === 0)
+    val exact = probe.join(build, col("fk") === col("dk"), "left_semi")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val pruned = BloomPrune.semiJoin(probe, build, "fk", "dk",
+      estItems = 100L, numBits = 1024L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(pruned == exact, "bloom pruning must not change the join result")
+    // no false negatives: every exact-match probe row passes the sketch
+    val sketch = BloomPrune.bloomOf(build.select(col("dk")), "dk", 100L, 1024L)
+    val kept = probe.filter(BloomPrune.mightContain(sketch, col("fk")))
+    assert(kept.join(build, col("fk") === col("dk"), "left_semi").count() ==
+      exact.size)
+    // and the sketch genuinely prunes: survivors well under the probe total
+    val nKept = kept.count()
+    assert(nKept < 10000 && nKept >= exact.size,
+      s"sketch should drop most non-matching probe rows (kept $nKept)")
+  }
+
   test("Md5Prefix40 stays inside whole-stage codegen") {
     // needs a real scan: a literal-backed LocalRelation constant-folds the
     // whole projection at plan time
