@@ -1868,6 +1868,124 @@ object Extensions {
           graft.functions.Relevance.hashClassifierLogit(
             col("text"), dims = 4096, salt = "w#").as("logit"))
         .withColumn("kept", col("logit") >= 0L)
+    }),
+
+    // --- persisted inverted index: build the posting table ONCE (one
+    // corpus scan, near-uniform (term,doc) agg keys even under zipfian
+    // terms), persist bucketed BY TERM, then answer a conjunctive 3-term
+    // lookup by probing ONLY those terms' buckets — the gate asserts the
+    // scan is bucket-pruned (SelectedBucketsCount strictly under the
+    // layout total), so the O(index)-per-question plan can never silently
+    // return. The amortization counterpart of q81's scan-shaped BM25.
+    "q144_inverted_index" -> ((s, dir) => {
+      val table = "graft_q144_postings"
+      graft.queries.Tables.dropStagedTable(s, table)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      graft.functions.InvertedIndex.indexTap(table, 16).write(
+        graft.functions.InvertedIndex.build(docs, "doc_id", "text"),
+        graft.sources.SinkMode.Replace)
+      // Spark's DisableUnnecessaryBucketedScan would turn the bucketed
+      // read off here (the downstream agg keys on id, not term) — and
+      // with it the bucket PRUNING the layout exists for; pin the scan
+      // bucketed so the probe provably reads only the terms' buckets.
+      val autoScan = s.conf.get(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      try {
+        s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+          "false")
+        val df = graft.functions.InvertedIndex.queryAll(
+            s.table(table), Seq("join", "scan", "merge"))
+          .withColumnRenamed("id", "doc_id")
+        val plan = df.queryExecution.executedPlan.toString
+        val sel = "SelectedBucketsCount: (\\d+)\\D+(\\d+)".r
+          .findFirstMatchIn(plan)
+        require(sel.isDefined, "term lookup must be a bucket-pruned scan")
+        require(sel.get.group(1).toInt < sel.get.group(2).toInt,
+          "3-term probe must read strictly fewer buckets than the layout")
+        df
+      } finally s.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", autoScan)
+    }),
+
+    // --- snapshot diff (CDC between two snapshot versions): yesterday's
+    // and today's corpus snapshots live in the SAME bucketed layout, so
+    // the full-outer comparison plans with ZERO exchanges — both sides
+    // are bucket-aware scans and the merge join runs inside co-located
+    // buckets (asserted; broadcast forced off so the assert can't be
+    // satisfied vacuously by a broadcast plan). Inserts/deletes/updates
+    // are synthesized deterministically; unchanged keys must vanish.
+    "q145_snapshot_diff" -> ((s, dir) => {
+      val (t1, t2) = ("graft_q145_snap_v1", "graft_q145_snap_v2")
+      Seq(t1, t2).foreach(graft.queries.Tables.dropStagedTable(s, _))
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      graft.functions.Snapshot.snapshotTap(t1, 8, "doc_id").write(
+        docs.filter(col("doc_id") % 11 =!= 5)
+          .select(col("doc_id"), col("text"), col("source")),
+        graft.sources.SinkMode.Replace)
+      graft.functions.Snapshot.snapshotTap(t2, 8, "doc_id").write(
+        docs.filter(col("doc_id") % 13 =!= 3)
+          .select(col("doc_id"),
+            when(col("doc_id") % 7 === 2, concat(lit("v2 "), col("text")))
+              .otherwise(col("text")).as("text"),
+            col("source")),
+        graft.sources.SinkMode.Replace)
+      val threshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val df = graft.functions.Snapshot.diff(
+            s.table(t1), s.table(t2), "doc_id", Seq("text", "source"))
+          .select(col("doc_id"), col("change"),
+            md5(col("text")).as("text_md5"), col("source"))
+        val plan = df.queryExecution.executedPlan.toString
+        require(!plan.contains("Exchange"),
+          "co-bucketed snapshot diff must plan with ZERO exchanges")
+        require("SelectedBucketsCount".r.findAllMatchIn(plan).size == 2,
+          "both snapshot versions must be bucket-aware scans")
+        df
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    }),
+
+    // --- STREAMING upsert sink: the q142 merge as a live foreachBatch
+    // loop with blue/green publication — each micro-batch upserts into
+    // the current snapshot version and publishes the result as the other
+    // table of an A/B pair in the same bucketed layout (readers never see
+    // a half-written snapshot; the merge keeps its zero-snapshot-side-
+    // exchange plan every cycle). Batch keys OVERLAP across the three
+    // arrivals (%4==0 updated by all three, %4==1 by two, %4==2 by one),
+    // so the version lineage in the final snapshot proves each batch
+    // applied exactly once IN SEQUENCE; an insert mid-stream (batch 1)
+    // proves the insert path. The sequential-batch guarantee + idempotent
+    // batchId guard is exactly the production foreachBatch contract.
+    "q146_stream_upsert" -> ((s, dir) => {
+      val (in, _, chk) = freshStreamDirs("graft_q146_stream")
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"), col("source"))
+      val pp = new graft.functions.Snapshot.PingPong(
+        s, "graft_q146_snap", 8, "doc_id", Seq("text", "source"), "version")
+      pp.bootstrap(docs.withColumn("version", lit(1L)))
+      stageSliced(in, Seq(
+        docs.filter(col("doc_id") % 4 === 0)
+          .withColumn("text", concat(lit("b0 "), col("text"))),
+        docs.filter(col("doc_id") % 4 <= 1)
+          .withColumn("text", concat(lit("b1 "), col("text")))
+          .unionAll(docs.filter(col("doc_id") % 40 === 13)
+            .select((col("doc_id") + 1000000L).as("doc_id"),
+              concat(lit("ins "), col("text")).as("text"), col("source"))),
+        docs.filter(col("doc_id") % 4 <= 2)
+          .withColumn("text", concat(lit("b2 "), col("text")))))
+      withStreamPartitions(s, 8) {
+        val stream = graft.streaming.StreamOps.readStream(s, in, docs.schema,
+          Map("maxFilesPerTrigger" -> "1"))
+        val q = stream.writeStream
+          .foreachBatch((b: org.apache.spark.sql.Dataset[
+              org.apache.spark.sql.Row], id: Long) => pp.applyBatch(b, id))
+          .option("checkpointLocation", chk)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      pp.live.select(col("doc_id"), md5(col("text")).as("text_md5"),
+        col("source"), col("version"))
     })
   )
 
@@ -3023,6 +3141,56 @@ object Extensions {
         |            WHEN s.doc_id IS NULL THEN 1
         |            ELSE s.version + 1 END AS BIGINT) AS version
         |FROM snap s FULL OUTER JOIN batch b ON s.doc_id = b.doc_id""".stripMargin,
+
+    // same postings (term, doc, tf), same conjunctive ALL-terms semantics
+    "q144_inverted_index" ->
+      """WITH p AS (
+        |  SELECT tok AS term, doc_id, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+        |  CAST(sum(tf) AS BIGINT) AS total_tf
+        |FROM p WHERE term IN ('join', 'scan', 'merge')
+        |GROUP BY doc_id HAVING count(*) = 3""".stripMargin,
+
+    // same synthesized v1/v2 and the same insert/delete/update tagging;
+    // deletes carry the OLD payload, everything else the new
+    "q145_snapshot_diff" ->
+      """WITH v1 AS (
+        |  SELECT doc_id, text, source FROM documents WHERE doc_id % 11 <> 5),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 2 THEN concat('v2 ', text) ELSE text END
+        |      AS text, source
+        |  FROM documents WHERE doc_id % 13 <> 3),
+        |j AS (
+        |  SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+        |    CASE WHEN v1.doc_id IS NULL THEN 'insert'
+        |         WHEN v2.doc_id IS NULL THEN 'delete'
+        |         WHEN v1.text <> v2.text OR v1.source <> v2.source
+        |           THEN 'update' END AS change,
+        |    CASE WHEN v2.doc_id IS NULL THEN v1.text ELSE v2.text END AS text,
+        |    CASE WHEN v2.doc_id IS NULL THEN v1.source ELSE v2.source END
+        |      AS source
+        |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+        |SELECT doc_id, change, md5(text) AS text_md5, source
+        |FROM j WHERE change IS NOT NULL""".stripMargin,
+
+    // the sequential-merge fixed point: %4==0 keys see batches b0,b1,b2
+    // (version 4, last writer b2), %4==1 see b1,b2 (version 3), %4==2 see
+    // b2 (version 2), %4==3 untouched (version 1); batch-1 inserts stay
+    // at version 1 with their arrival text
+    "q146_stream_upsert" ->
+      """SELECT doc_id,
+        |  md5(CASE WHEN doc_id % 4 = 3 THEN text
+        |           ELSE concat('b2 ', text) END) AS text_md5,
+        |  source, CAST(4 - (doc_id % 4) AS BIGINT) AS version
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id + 1000000, md5(concat('ins ', text)), source,
+        |  CAST(1 AS BIGINT)
+        |FROM documents WHERE doc_id % 40 = 13""".stripMargin,
 
     // same hash-derived weights: token -> bucket (mod 4096) -> weight in
     // [-100, 100]; logit = multiplicity-weighted sum

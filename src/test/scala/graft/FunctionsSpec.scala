@@ -477,4 +477,71 @@ class FunctionsSpec extends SparkSpec {
       (3L, None, 8L),           // update to NULL payload still replaces
       (9L, Some("ins"), 1L)))   // insert: version lineage starts at 1
   }
+
+  test("Snapshot.diff: insert/delete/update tagged, unchanged dropped, " +
+       "null<->value payload transitions are updates (null-safe compare)") {
+    import graft.functions.Snapshot
+    val older = Seq((1L, Some("a"), "s1"), (2L, Some("b"), "s1"),
+      (3L, None: Option[String], "s1"), (4L, Some("d"), "s1"),
+      (5L, Some("e"), "s1")).toDF("id", "txt", "src")
+    val newer = Seq((1L, Some("a"), "s1"),            // unchanged -> dropped
+      (2L, None: Option[String], "s1"),               // value -> null: update
+      (3L, Some("c"), "s1"),                          // null -> value: update
+      (5L, Some("e"), "s2"),                          // second payload differs
+      (9L, Some("i"), "s1")).toDF("id", "txt", "src") // insert; 4 deleted
+    val out = Snapshot.diff(older, newer, "id", Seq("txt", "src"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)), r.getString(3))).toSet
+    assert(out == Set(
+      (2L, "update", None, "s1"),
+      (3L, "update", Some("c"), "s1"),
+      (4L, "delete", Some("d"), "s1"),  // delete carries the OLD payload
+      (5L, "update", Some("e"), "s2"),
+      (9L, "insert", Some("i"), "s1")))
+  }
+
+  test("Snapshot.PingPong: batches publish alternating versions; a replayed " +
+       "batchId is a no-op (the foreachBatch idempotency guard)") {
+    import graft.functions.Snapshot
+    val pp = new Snapshot.PingPong(spark, "graft_test_pp", 2, "id",
+      Seq("txt"), "version")
+    pp.bootstrap(Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("id", "txt", "version"))
+    pp.applyBatch(Seq((1L, "a2")).toDF("id", "txt"), 0L)
+    pp.applyBatch(Seq((1L, "a2")).toDF("id", "txt"), 0L) // replay: must skip
+    pp.applyBatch(Seq((3L, "c")).toDF("id", "txt"), 1L)
+    val out = pp.live.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(out == Set(
+      (1L, "a2", 2L),  // updated ONCE despite the replayed batch 0
+      (2L, "b", 1L),
+      (3L, "c", 1L)))  // batch-1 insert
+    Seq("graft_test_pp_a", "graft_test_pp_b")
+      .foreach(graft.queries.Tables.dropStagedTable(spark, _))
+  }
+
+  test("InvertedIndex: build emits hand-computed (term, doc, tf) postings; " +
+       "queryAll is conjunctive with multiplicity-summed total_tf") {
+    import graft.functions.InvertedIndex
+    val docs = Seq(
+      (1L, "x y x z"),   // tf(x)=2 — multiplicity must survive the index
+      (2L, "x y"),
+      (3L, "y z"),
+      (4L, "x")).toDF("id", "text")
+    val postings = InvertedIndex.build(docs, "id", "text")
+    val built = postings.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(built == Set(
+      ("x", 1L, 2L), ("y", 1L, 1L), ("z", 1L, 1L),
+      ("x", 2L, 1L), ("y", 2L, 1L),
+      ("y", 3L, 1L), ("z", 3L, 1L),
+      ("x", 4L, 1L)))
+    // ALL-terms semantics: docs 1 and 2 carry both x and y; doc 4 (x only)
+    // and doc 3 (y only) must not appear. total_tf counts multiplicity.
+    val got = InvertedIndex.queryAll(postings, Seq("x", "y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 3L), (2L, 2L, 2L)))
+    // single-term degenerates to a membership lookup
+    assert(InvertedIndex.queryAll(postings, Seq("z"))
+      .collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+  }
 }
