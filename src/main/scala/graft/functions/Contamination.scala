@@ -35,6 +35,39 @@ object Contamination {
       .agg(count(lit(1)).as("n_overlap"))
   }
 
+  /** CROSS-SOURCE contamination matrix: for every pair of sources, how
+    * many DISTINCT n-grams they share — the corpus-level diagnostic
+    * behind source selection ("how much of source B is already in source
+    * A"), run before paying for dedup across a new crawl.
+    *
+    * Shape: one explode scan to DISTINCT (source, ngram-hash40) rows
+    * (uniform keys); per-hash source SET via collect_set — bounded by
+    * the number of sources, NOT by how often the n-gram occurs, so a
+    * boilerplate n-gram appearing a billion times across a 100 TB corpus
+    * still costs one row of ≤ S sources (the reason this is not the
+    * quadratic per-occurrence self-join); sorted pairs explode from each
+    * set (≤ S²/2, with S = #sources ~ dozens) and a uniform count
+    * aggregates the matrix. Output: (src_a, src_b, shared_ngrams),
+    * src_a < src_b. */
+  def sourceOverlapMatrix(docs: DataFrame, textCol: String, srcCol: String,
+                          n: Int = 8): DataFrame = {
+    val t = split(col(textCol), " ")
+    val hs = docs.filter(size(t) >= n)
+      .select(col(srcCol).as("source"),
+        explode(transform(sequence(lit(1), size(t) - (n - 1)),
+          i => graft.catalyst.Md5Prefix40(
+            concat_ws(" ", slice(t, i, lit(n)))))).as("h"))
+      .distinct()
+    hs.groupBy(col("h"))
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+      .filter(size(col("ss")) >= 2)
+      .select(explode(flatten(transform(col("ss"), (x, i) =>
+        transform(slice(col("ss"), i + lit(2), size(col("ss"))), y =>
+          struct(x.as("src_a"), y.as("src_b")))))).as("p"))
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+      .agg(count(lit(1)).as("shared_ngrams"))
+  }
+
   /** DuckDB n-gram list over whitespace tokens — exact mirror of
     * `Dedup.shingles(tokens, n)`: max(len-n,0)+1 shingles, so a doc
     * shorter than n emits ONE partial shingle (out-of-range list indexes

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Data-governance operators for training corpora: PII redaction and
@@ -71,6 +71,27 @@ object Governance {
       .when(b < trainPct + valPct, "val")
       .otherwise("test")
   }
+
+  /** LEAKAGE-SAFE train/val/test split: membership is a pure function of
+    * the document's NEAR-DUP CLUSTER id, not its own id. The per-doc
+    * [[splitAssign]] puts a document in train while its 95%-identical
+    * twin lands in test — evaluation data leaking into training, the
+    * classic pretraining-split bug. Splitting by the
+    * [[Dedup.minhashClustersTransitive]] cluster representative keeps
+    * every near-dup family on ONE side of every boundary by
+    * construction. Output: (id, cluster_id, split).
+    *
+    * Scale shape: the cluster pass is the q64 label propagation (linear
+    * per-bucket-min, join-free convergence); the split itself is a
+    * zero-shuffle codegen'd hash of cluster_id. `maxIters` must match
+    * any unrolled oracle's round count (the q64 discipline). */
+  def leakageSafeSplit(df: DataFrame, idCol: String, textCol: String,
+                       trainPct: Int, valPct: Int, salt: String,
+                       k: Int = 16, bands: Int = 4,
+                       maxIters: Int = 30): DataFrame =
+    Dedup.minhashClustersTransitive(df, idCol, textCol, k, bands, maxIters)
+      .withColumn("split",
+        splitAssign(col("cluster_id"), trainPct, valPct, salt))
 
   /** DuckDB spelling of [[hashBucket]]. */
   def oracleHashBucket(keyExpr: String, salt: String): String =

@@ -1986,7 +1986,52 @@ object Extensions {
       }
       pp.live.select(col("doc_id"), md5(col("text")).as("text_md5"),
         col("source"), col("version"))
-    })
+    }),
+
+    // --- leakage-safe split: train/val/test membership keyed by the
+    // NEAR-DUP CLUSTER id (q64's label propagation), not the doc id — a
+    // per-doc split (q91) puts a doc in train while its near-identical
+    // twin lands in test; splitting by cluster keeps every near-dup
+    // family on one side of every boundary BY CONSTRUCTION. maxIters=8
+    // must equal the oracle's unrolled round count (the q64 discipline).
+    "q147_leakage_safe_split" -> ((s, dir) =>
+      graft.functions.Governance.leakageSafeSplit(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        88, 7, SplitSalt, k = 16, bands = 4, maxIters = 8)),
+
+    // --- the curation pipeline END TO END: boilerplate strip (q139 op) →
+    // model-based quality filter over the CLEANED text (q143 op) → exact
+    // dedup of the cleaned text, smallest id the keeper (q24 discipline).
+    // The point of the gate is COMPOSITION: each stage is individually
+    // oracle-proven; this proves they compose — the whole chain, hashed
+    // per surviving doc, against an independently re-spelled SQL chain.
+    // Scale: strip is the q138/q139 plan (broadcast dup set, per-doc
+    // windows), the logit is a scan-local fold, the dedup agg keys on
+    // md5(clean_text) — uniform; no stage adds a new scale hazard.
+    "q148_curation_e2e" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val cleaned = graft.functions.Dedup.stripDuplicatedSpans(
+        docs, "doc_id", "text", n = 8, minDocs = 2)
+      cleaned.filter(col("n_kept") > 0L)
+        .withColumn("logit", graft.functions.Relevance.hashClassifierLogit(
+          col("clean_text"), dims = 4096, salt = "w#"))
+        .filter(col("logit") >= 0L)
+        .groupBy(md5(col("clean_text")).as("clean_md5"))
+        .agg(min(col("doc_id")).as("doc_id"),
+          min(col("n_kept")).as("n_kept"),
+          min(col("logit")).as("logit"))
+        .select(col("doc_id"), col("clean_md5"), col("n_kept"), col("logit"))
+    }),
+
+    // --- cross-source contamination matrix: distinct shared 8-grams per
+    // source pair — the "how much of source B is already in source A"
+    // diagnostic run before paying for cross-crawl dedup. Per-hash
+    // source SETS (bounded by #sources, never by occurrence count) make
+    // this immune to boilerplate skew: a billion-occurrence n-gram still
+    // costs one ≤S-element set row.
+    "q149_source_overlap" -> ((s, dir) =>
+      graft.functions.Contamination.sourceOverlapMatrix(
+        s.read.parquet(s"$dir/documents.parquet"), "text", "source", n = 8))
   )
 
   // ---- oracle SQL ---------------------------------------------------------
@@ -2026,6 +2071,68 @@ object Extensions {
        |bands AS (
        |    $bandSelects
        |)""".stripMargin
+
+  // fixed-iteration unrolled min-label propagation; 8 rounds is a safe
+  // upper bound for the converged count (Spark side converges in 2-4 on
+  // this corpus shape and a fixed point is stable under extra rounds).
+  // Spark maxIters MUST equal the unrolled round count (see q64 comment).
+  // Shared by q64 (clusters) and q147 (leakage-safe split over clusters).
+  private val minhashTransitiveOracle: String = {
+    val rounds = 8
+    val iterCtes = (1 to rounds).map { i =>
+      s"""bl$i AS (SELECT b.band, b.key, min(l.label) AS blabel
+         |  FROM bands b JOIN l${i - 1} l ON b.doc_id = l.id GROUP BY 1, 2),
+         |l$i AS (SELECT b.doc_id AS id, min(x.blabel) AS label
+         |  FROM bands b JOIN bl$i x ON b.band = x.band AND b.key = x.key
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""$minhashCte,
+       |l0 AS (SELECT DISTINCT doc_id AS id, doc_id AS label FROM bands),
+       |$iterCtes
+       |SELECT id, label AS cluster_id FROM l$rounds""".stripMargin
+  }
+
+  // q138's spans → covered positions → per-token anti-join → ordered
+  // reassembly (string_agg ORDER BY position); all docs driven from the
+  // token-count side so fully-covered docs keep their (empty) row.
+  // Shared by q139 (the strip itself) and q148 (the curation chain).
+  private val stripSpansOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |ngr AS (
+      |  SELECT doc_id, CAST(pos AS INTEGER) AS pos,
+      |    CAST(concat('0x', substr(md5(
+      |      array_to_string(t[pos:pos+7], ' ')), 1, 10)) AS BIGINT) AS h
+      |  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 6)) AS pos) p
+      |  WHERE len(t) >= 8),
+      |duph AS (SELECT h FROM ngr GROUP BY h
+      |         HAVING count(DISTINCT doc_id) >= 2),
+      |isl AS (
+      |  SELECT g.doc_id, g.pos,
+      |    g.pos - CAST(row_number() OVER (PARTITION BY g.doc_id
+      |      ORDER BY g.pos) AS INTEGER) AS isle
+      |  FROM ngr g JOIN duph USING (h)),
+      |sp AS (SELECT doc_id, min(pos) AS a, max(pos) + 7 AS b
+      |       FROM isl GROUP BY doc_id, isle),
+      |cov AS (SELECT DISTINCT doc_id, CAST(tpos AS INTEGER) AS tpos
+      |        FROM sp, LATERAL (SELECT unnest(range(a, b + 1)) AS tpos) r),
+      |tk AS (
+      |  SELECT doc_id, CAST(pos AS INTEGER) AS tpos, t[pos] AS tok
+      |  FROM toks, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS pos) p),
+      |kept AS (
+      |  SELECT tk.doc_id, tk.tpos, tk.tok FROM tk
+      |  LEFT JOIN cov ON tk.doc_id = cov.doc_id AND tk.tpos = cov.tpos
+      |  WHERE cov.doc_id IS NULL),
+      |ka AS (
+      |  SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS clean_text,
+      |    CAST(count(*) AS BIGINT) AS n_kept
+      |  FROM kept GROUP BY doc_id),
+      |nt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_total
+      |       FROM tk GROUP BY doc_id)
+      |SELECT nt.doc_id, coalesce(ka.clean_text, '') AS clean_text,
+      |  CAST(coalesce(ka.n_kept, 0) AS BIGINT) AS n_kept,
+      |  CAST(nt.n_total - coalesce(ka.n_kept, 0) AS BIGINT) AS n_removed
+      |FROM nt LEFT JOIN ka USING (doc_id)""".stripMargin
 
   /** DuckDB spelling of Similarity.cosine: ordered left-fold dot products. */
   private def dCos(a: String, b: String) =
@@ -2181,23 +2288,7 @@ object Extensions {
          |FROM bands b JOIN bucket_min m ON b.band = m.band AND b.key = m.key
          |GROUP BY 1""".stripMargin,
 
-    "q64_minhash_transitive" -> {
-      // fixed-iteration unrolled min-label propagation; 8 rounds is a safe
-      // upper bound for the converged count (Spark side converges in 2-4 on
-      // this corpus shape and a fixed point is stable under extra rounds)
-      val rounds = 8
-      val iterCtes = (1 to rounds).map { i =>
-        s"""bl$i AS (SELECT b.band, b.key, min(l.label) AS blabel
-           |  FROM bands b JOIN l${i - 1} l ON b.doc_id = l.id GROUP BY 1, 2),
-           |l$i AS (SELECT b.doc_id AS id, min(x.blabel) AS label
-           |  FROM bands b JOIN bl$i x ON b.band = x.band AND b.key = x.key
-           |  GROUP BY 1)""".stripMargin
-      }.mkString(",\n")
-      s"""$minhashCte,
-         |l0 AS (SELECT DISTINCT doc_id AS id, doc_id AS label FROM bands),
-         |$iterCtes
-         |SELECT id, label AS cluster_id FROM l$rounds""".stripMargin
-    },
+    "q64_minhash_transitive" -> minhashTransitiveOracle,
 
     "q26_simhash" ->
       s"""SELECT doc_id,
@@ -3046,43 +3137,30 @@ object Extensions {
     // q138's spans → covered positions → per-token anti-join → ordered
     // reassembly (string_agg ORDER BY position); all docs driven from the
     // token-count side so fully-covered docs keep their (empty) row
-    "q139_strip_spans" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |ngr AS (
-        |  SELECT doc_id, CAST(pos AS INTEGER) AS pos,
-        |    CAST(concat('0x', substr(md5(
-        |      array_to_string(t[pos:pos+7], ' ')), 1, 10)) AS BIGINT) AS h
-        |  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 6)) AS pos) p
-        |  WHERE len(t) >= 8),
-        |duph AS (SELECT h FROM ngr GROUP BY h
-        |         HAVING count(DISTINCT doc_id) >= 2),
-        |isl AS (
-        |  SELECT g.doc_id, g.pos,
-        |    g.pos - CAST(row_number() OVER (PARTITION BY g.doc_id
-        |      ORDER BY g.pos) AS INTEGER) AS isle
-        |  FROM ngr g JOIN duph USING (h)),
-        |sp AS (SELECT doc_id, min(pos) AS a, max(pos) + 7 AS b
-        |       FROM isl GROUP BY doc_id, isle),
-        |cov AS (SELECT DISTINCT doc_id, CAST(tpos AS INTEGER) AS tpos
-        |        FROM sp, LATERAL (SELECT unnest(range(a, b + 1)) AS tpos) r),
-        |tk AS (
-        |  SELECT doc_id, CAST(pos AS INTEGER) AS tpos, t[pos] AS tok
-        |  FROM toks, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS pos) p),
-        |kept AS (
-        |  SELECT tk.doc_id, tk.tpos, tk.tok FROM tk
-        |  LEFT JOIN cov ON tk.doc_id = cov.doc_id AND tk.tpos = cov.tpos
-        |  WHERE cov.doc_id IS NULL),
-        |ka AS (
-        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS clean_text,
-        |    CAST(count(*) AS BIGINT) AS n_kept
-        |  FROM kept GROUP BY doc_id),
-        |nt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_total
-        |       FROM tk GROUP BY doc_id)
-        |SELECT nt.doc_id, coalesce(ka.clean_text, '') AS clean_text,
-        |  CAST(coalesce(ka.n_kept, 0) AS BIGINT) AS n_kept,
-        |  CAST(nt.n_total - coalesce(ka.n_kept, 0) AS BIGINT) AS n_removed
-        |FROM nt LEFT JOIN ka USING (doc_id)""".stripMargin,
+    "q139_strip_spans" -> stripSpansOracle,
+
+    // the full curation chain re-spelled independently: strip (the q139
+    // CTE) → n_kept>0 → hashing-trick logit over the CLEANED text →
+    // logit>=0 → exact dedup on the cleaned text (smallest id wins)
+    "q148_curation_e2e" -> {
+      val wt = graft.functions.Relevance
+        .hashClassifierOracleWeight("tok", 4096, "w#")
+      s"""WITH cleaned AS (
+         |$stripSpansOracle
+         |),
+         |surv AS (SELECT doc_id, clean_text, n_kept FROM cleaned
+         |         WHERE n_kept > 0),
+         |lg AS (
+         |  SELECT doc_id, CAST(sum($wt) AS BIGINT) AS logit
+         |  FROM (SELECT doc_id, unnest(string_split(clean_text, ' ')) AS tok
+         |        FROM surv)
+         |  GROUP BY doc_id)
+         |SELECT min(s.doc_id) AS doc_id, md5(s.clean_text) AS clean_md5,
+         |  min(s.n_kept) AS n_kept, min(lg.logit) AS logit
+         |FROM surv s JOIN lg USING (doc_id)
+         |WHERE lg.logit >= 0
+         |GROUP BY md5(s.clean_text)""".stripMargin
+    },
 
     // mirrors Governance.mixtureSample exactly: same hi/lo-decomposed
     // integer budget/target/rate arithmetic, same 40-bit hash keep rule
@@ -3191,6 +3269,33 @@ object Extensions {
         |SELECT doc_id + 1000000, md5(concat('ins ', text)), source,
         |  CAST(1 AS BIGINT)
         |FROM documents WHERE doc_id % 40 = 13""".stripMargin,
+
+    // same clusters (the q64 unrolled propagation), split keyed by
+    // cluster_id with the q91 salt/percent spelling
+    "q147_leakage_safe_split" -> {
+      val assign = graft.functions.Governance.oracleSplitAssign(
+        "cluster_id", 88, 7, SplitSalt)
+      s"""WITH clusters AS (
+         |$minhashTransitiveOracle
+         |)
+         |SELECT id, cluster_id, $assign AS split FROM clusters""".stripMargin
+    },
+
+    // same 40-bit ngram hash (the q138 spelling); the per-occurrence join
+    // collapses to distinct (source, h) rows first, so count(*) per pair
+    // = distinct shared hashes — identical to the set-explode count
+    "q149_source_overlap" ->
+      """WITH g AS (
+        |  SELECT DISTINCT source,
+        |    CAST(concat('0x', substr(md5(
+        |      array_to_string(t[pos:pos+7], ' ')), 1, 10)) AS BIGINT) AS h
+        |  FROM (SELECT source, string_split(text, ' ') AS t FROM documents) d,
+        |    LATERAL (SELECT unnest(range(1, len(t) - 6)) AS pos) p
+        |  WHERE len(t) >= 8)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |  CAST(count(*) AS BIGINT) AS shared_ngrams
+        |FROM g a JOIN g b ON a.h = b.h AND a.source < b.source
+        |GROUP BY 1, 2""".stripMargin,
 
     // same hash-derived weights: token -> bucket (mod 4096) -> weight in
     // [-100, 100]; logit = multiplicity-weighted sum

@@ -500,6 +500,24 @@ class FunctionsSpec extends SparkSpec {
       (9L, "insert", Some("i"), "s1")))
   }
 
+  test("Contamination.sourceOverlapMatrix: hand-computed distinct shared " +
+       "n-grams per source pair; within-source repeats count once") {
+    import graft.functions.Contamination
+    val docs = Seq(
+      ("A", "p q r"),           // bigrams {pq, qr}
+      ("A", "p q r"),           // duplicate doc: must NOT double-count
+      ("B", "p q s"),           // {pq, qs}
+      ("C", "q r t p q"),       // {qr, rt, tp, pq}
+      ("D", "zz ww")            // shares nothing -> absent from the matrix
+    ).toDF("source", "text")
+    val got = Contamination.sourceOverlapMatrix(docs, "text", "source", n = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(
+      ("A", "B", 1L),   // pq
+      ("A", "C", 2L),   // pq, qr
+      ("B", "C", 1L)))  // pq
+  }
+
   test("Snapshot.PingPong: batches publish alternating versions; a replayed " +
        "batchId is a no-op (the foreachBatch idempotency guard)") {
     import graft.functions.Snapshot

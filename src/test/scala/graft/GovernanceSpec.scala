@@ -194,6 +194,37 @@ class GovernanceSpec extends SparkSpec {
       s"the one exchange must partition by shard:\n$plan")
   }
 
+  test("leakageSafeSplit: near-dup twins always land on the same side; " +
+       "the per-doc split provably strands twins across the boundary") {
+    // 40 twin pairs of identical text (ids 2i / 2i+1 share a cluster by
+    // construction) + distinct filler docs. Twin texts are long enough
+    // that each pair's shingle sets match exactly.
+    val twins = (0 until 40).flatMap { i =>
+      val t = s"alpha bravo charlie delta echo foxtrot golf hotel t$i x$i y$i z$i"
+      Seq((2L * i, t), (2L * i + 1, t))
+    }
+    val df = twins.toDF("doc_id", "text")
+    val out = Governance.leakageSafeSplit(df, "doc_id", "text",
+        60, 20, "leak-spec", maxIters = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // every twin pair: same cluster AND same split
+    val byDoc = out.map(r => r._1 -> r).toMap
+    (0 until 40).foreach { i =>
+      val (a, b) = (byDoc(2L * i), byDoc(2L * i + 1))
+      assert(a._2 == b._2, s"twin pair $i must share a cluster")
+      assert(a._3 == b._3, s"twin pair $i must share a split")
+    }
+    // non-degeneracy: the split actually partitions (both sides populated)
+    assert(out.map(_._3).distinct.size >= 2)
+    // and the NAIVE per-doc split strands at least one twin pair across
+    // the boundary on this id layout — the leakage this operator removes
+    val naive = df.select(col("doc_id"),
+        Governance.splitAssign(col("doc_id"), 60, 20, "leak-spec").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert((0 until 40).exists(i => naive(2L * i) != naive(2L * i + 1)),
+      "expected the per-doc split to strand at least one twin pair")
+  }
+
   test("profile counts nulls/distincts and canonicalizes min/max in one scan") {
     val df = Seq[(java.lang.Long, String)]((1L, "a"), (2L, "b"), (null, "b"))
       .toDF("k", "s")
