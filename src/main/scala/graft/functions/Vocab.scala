@@ -1,0 +1,224 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Tokenizer-training vocabulary induction — byte-pair-encoding merge
+  * learning (Sennrich et al. 2016) as a distributed pipeline.
+  *
+  * BPE training never iterates over the corpus: it iterates over the
+  * WORD-FREQUENCY table (vocabulary-sized, ≪ corpus). That is the whole
+  * scale design here:
+  *
+  *   1. ONE corpus scan builds (word, count) — a zipfian-key aggregation
+  *      with map-side partials, the same shape as word count. At 100 TB
+  *      this is the only pass that touches the data.
+  *   2. Each merge iteration runs entirely on the vocab table: explode
+  *      adjacent symbol pairs (weighted by word count), aggregate, take
+  *      the top pair. The per-iteration driver carry is ONE row (the
+  *      winning pair) — the Lloyd-centroid discipline; the vocab table
+  *      itself never leaves the executors and is localCheckpoint'ed each
+  *      iteration so plan lineage stays O(1), not O(iterations).
+  *   3. Applying a merge is a codegen'd string `replace` over the
+  *      symbol-spaced representation — a narrow map, no shuffle.
+  *
+  * Representation: a word's symbol sequence is kept as a single string
+  * " s1 s2 ... sn " (space-separated, space-bounded), so merging pair
+  * (l, r) is `replace(repr, " l r ", " lr ")`. Cross-engine exactness:
+  * `replace` is left-to-right, non-overlapping, continue-after-replacement
+  * in both Spark (UTF8String.replace) and ANSI SQL engines — for l ≠ r
+  * occurrences can never overlap, so this IS the reference greedy merge;
+  * for the self-pair (l = r) inside a run like "a a a" the single pass
+  * merges the odd occurrences (deterministically, identically on every
+  * engine), which is the documented tie-handling of this implementation.
+  *
+  * Tie-break for the winning pair: (count DESC, left ASC, right ASC) —
+  * total order, lowered to TakeOrderedAndProject (never a global sort).
+  *
+  * Reference frame: the reference engine (cascading-flink) has no vocab
+  * induction; this is a first-class extension for LLM-training pipelines
+  * (SURVEY §2.14), sharing the whitespace tokenizer with
+  * [[TextAnalysis.tokens]].
+  */
+object Vocab {
+
+  /** Initial symbol-spaced representation of a word: "abc" → " a b c ".
+    * Regex '(.)' matches one codepoint (excluding \n in both Java regex
+    * and RE2 — mirrored by the oracle spelling). */
+  private def charSpaced(w: org.apache.spark.sql.Column) =
+    concat(lit(" "), regexp_replace(w, "(.)", "$1 "))
+
+  /** Learn `nMerges` BPE merges from the corpus' whitespace words.
+    * Returns one row per learned merge: (iter, l, r, pair_count) where
+    * pair_count is the word-frequency-weighted count of the adjacent pair
+    * at the time it was chosen. Stops early (fewer rows) if no pair is
+    * left (all words fused to single symbols). */
+  def bpeMerges(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    // Pass 1 (the only corpus scan): word counts, then symbol-space them.
+    var vocab = docs
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(charSpaced(col("w")).as("repr"), col("cnt"))
+      .localCheckpoint()
+
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var it = 1
+    var exhausted = false
+    while (it <= nMerges && !exhausted) {
+      val t = split(trim(col("repr")), " ")
+      // Adjacent symbol pairs weighted by word count; top-1 with a total
+      // tie-break order → TakeOrderedAndProject, one-row driver carry.
+      val top = vocab
+        .filter(size(t) >= 2)
+        .select(col("cnt"), explode(transform(sequence(lit(1), size(t) - 1),
+          i => struct(element_at(t, i).as("l"),
+            element_at(t, i + 1).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("l"), col("r"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val l = top(0).getString(0)
+        val r = top(0).getString(1)
+        merges += ((it, l, r, top(0).getLong(2)))
+        // Apply the merge (narrow map) and re-truncate lineage: the vocab
+        // table stays vocabulary-sized, so the checkpoint is O(vocab) per
+        // iteration — corpus-size independent.
+        vocab = vocab
+          .withColumn("repr",
+            replace(col("repr"), lit(s" $l $r "), lit(s" $l$r ")))
+          .localCheckpoint()
+        it += 1
+      }
+    }
+    merges.result().toDF("iter", "l", "r", "pair_count")
+      .select(col("iter").cast("int").as("iter"), col("l"), col("r"),
+        col("pair_count"))
+  }
+
+  /** DuckDB spelling of `bpeMerges` — the iterations unrolled as a CTE
+    * chain (the q64 unrolled-propagation discipline): wk = vocab after k
+    * merges, pk = pair counts over w(k-1), mk = the chosen pair. Generated
+    * programmatically so the merge-application string and tie-break can
+    * never drift from the Spark side. */
+  /** The unrolled learning CTE chain shared by the q150 and q152 oracles:
+    * w0 (symbol-spaced word counts), then per iteration pk (pair counts),
+    * mk (chosen pair), wk (vocab after the merge). MATERIALIZED is
+    * load-bearing: wk references w(k-1) five times, and an inlining
+    * engine would otherwise expand the chain into 5^n scans. */
+  private def oracleCtes(nMerges: Int): String = {
+    val w0 =
+      """w0 AS MATERIALIZED (
+        |  SELECT ' ' || regexp_replace(tok, '(.)', '\1 ', 'g') AS repr,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE tok <> '' GROUP BY 1)""".stripMargin
+    val iters = (1 to nMerges).map { k =>
+      s"""p$k AS MATERIALIZED (
+         |  SELECT t[i] AS l, t[i + 1] AS r, CAST(sum(cnt) AS BIGINT) AS pair_count
+         |  FROM (SELECT string_split(trim(repr), ' ') AS t, cnt FROM w${k - 1}) s,
+         |       LATERAL (SELECT unnest(range(1, len(t))) AS i) ii
+         |  GROUP BY 1, 2),
+         |m$k AS MATERIALIZED (SELECT $k AS iter, l, r, pair_count FROM p$k
+         |  ORDER BY pair_count DESC, l, r LIMIT 1),
+         |w$k AS MATERIALIZED (
+         |  SELECT replace(repr,
+         |    ' ' || (SELECT l FROM m$k) || ' ' || (SELECT r FROM m$k) || ' ',
+         |    ' ' || (SELECT l FROM m$k) || (SELECT r FROM m$k) || ' ') AS repr,
+         |    cnt FROM w${k - 1})""".stripMargin
+    }.mkString(",\n")
+    s"$w0,\n$iters"
+  }
+
+  def oracleSql(nMerges: Int): String = {
+    val union = (1 to nMerges).map(k => s"SELECT * FROM m$k").mkString("\n  UNION ALL ")
+    s"""WITH ${oracleCtes(nMerges)}
+       |SELECT CAST(iter AS INTEGER) AS iter, l, r, pair_count FROM (
+       |  $union)""".stripMargin
+  }
+
+  /** Apply a learned merge list to every word of every document — the
+    * tokenizer APPLICATION pass that q150's learning feeds — and report
+    * per-document subword statistics (n_words, n_subwords, n_chars; the
+    * compression the tokenizer achieves is n_chars/n_subwords).
+    *
+    * Scale: the merge list is O(nMerges) driver state compiled into a
+    * chain of nMerges codegen'd `replace` calls inside ONE explode scan
+    * (no broadcast table, no shuffle before the per-doc aggregation on
+    * uniform doc-id keys). Word boundaries are preserved by encoding
+    * per exploded word — a merge can never cross words. */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+                merges: Seq[(String, String)]): DataFrame = {
+    val enc = merges.foldLeft(charSpaced(col("w"))) { case (acc, (l, r)) =>
+      replace(acc, lit(s" $l $r "), lit(s" $l$r ")) }
+    docs.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(col("doc_id"), size(split(trim(enc), " ")).as("ns"),
+        length(col("w")).as("nc"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("ns")).as("n_subwords"),
+        sum(col("nc")).as("n_chars"))
+  }
+
+  /** DuckDB spelling of learn-then-encode: the q150 learning CTE chain,
+    * then the merge chain applied as nested replace() calls per word. */
+  def encodeOracleSql(nMerges: Int): String = {
+    val enc = (1 to nMerges).foldLeft(
+      "' ' || regexp_replace(tok, '(.)', '\\1 ', 'g')") { (acc, k) =>
+      s"""replace($acc,
+         |    ' ' || (SELECT l FROM m$k) || ' ' || (SELECT r FROM m$k) || ' ',
+         |    ' ' || (SELECT l FROM m$k) || (SELECT r FROM m$k) || ' ')""".stripMargin
+    }
+    s"""WITH ${oracleCtes(nMerges)},
+       |enc AS (
+       |  SELECT doc_id, len(string_split(trim($enc), ' ')) AS ns,
+       |         len(tok) AS nc
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |        FROM documents)
+       |  WHERE tok <> '')
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(ns) AS BIGINT) AS n_subwords,
+       |  CAST(sum(nc) AS BIGINT) AS n_chars
+       |FROM enc GROUP BY doc_id""".stripMargin
+  }
+
+  /** Heaps-law vocabulary-growth curve: bucket the corpus by document id
+    * (bucket = id div bucketSize — ingest order), and report per bucket
+    * how many token TYPES appear for the first time, plus cumulative
+    * types and token totals. The standard diagnostic for "is the
+    * vocabulary still growing" when sizing a tokenizer / dedup budget.
+    *
+    * Scale: one explode scan → groupBy (bucket, token) count (near-uniform
+    * keys: zipfian tokens are spread across buckets) → per-token min
+    * bucket (vocab-sized input) and per-bucket totals, both map-side
+    * combined; the cumulative window runs over O(buckets) rows. No
+    * driver-side state. */
+  def vocabGrowth(docs: DataFrame, textCol: String, idCol: String,
+                  bucketSize: Long): DataFrame = {
+    val perBucketTok = docs
+      .select(expr(s"CAST($idCol AS BIGINT) div $bucketSize").as("bucket"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("bucket", "tok").agg(count(lit(1)).as("n"))
+    val totals = perBucketTok.groupBy("bucket")
+      .agg(sum(col("n")).as("bucket_tokens"))
+    val firstSeen = perBucketTok.groupBy("tok")
+      .agg(min(col("bucket")).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("new_types"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    totals.join(firstSeen, Seq("bucket"), "left")
+      .withColumn("new_types", coalesce(col("new_types"), lit(0L)))
+      .withColumn("cum_types", sum(col("new_types")).over(w))
+      .withColumn("cum_tokens", sum(col("bucket_tokens")).over(w))
+      .select("bucket", "new_types", "cum_types", "bucket_tokens", "cum_tokens")
+  }
+}

@@ -2031,7 +2031,37 @@ object Extensions {
     // costs one ≤S-element set row.
     "q149_source_overlap" -> ((s, dir) =>
       graft.functions.Contamination.sourceOverlapMatrix(
-        s.read.parquet(s"$dir/documents.parquet"), "text", "source", n = 8))
+        s.read.parquet(s"$dir/documents.parquet"), "text", "source", n = 8)),
+
+    // --- BPE merge induction (tokenizer training). The corpus is scanned
+    // ONCE into the word-frequency table; all 8 merge iterations run over
+    // that vocab-sized table with a one-row driver carry each (the Lloyd
+    // discipline). Oracle = the iterations unrolled as a generated CTE
+    // chain, so merge application and tie-break cannot drift.
+    "q150_bpe_merges" -> ((s, dir) =>
+      graft.functions.Vocab.bpeMerges(
+        s.read.parquet(s"$dir/documents.parquet"), "text", nMerges = 8)),
+
+    // --- Heaps-law vocabulary growth over ingest order (bucket = doc_id
+    // div 50): new token types, cumulative types, token totals per
+    // bucket. One explode scan; (bucket, tok) agg keys near-uniform; the
+    // cumulative window runs over O(buckets) rows.
+    "q151_vocab_growth" -> ((s, dir) =>
+      graft.functions.Vocab.vocabGrowth(
+        s.read.parquet(s"$dir/documents.parquet"), "text", "doc_id",
+        bucketSize = 50L)),
+
+    // --- tokenizer APPLICATION: learn 8 merges (q150's loop — an
+    // O(nMerges)-row driver carry), then encode the whole corpus in one
+    // explode scan through the compiled replace chain; per-doc subword
+    // stats under the hash prove the end-to-end learn→encode story.
+    "q152_bpe_encode" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val merges = graft.functions.Vocab.bpeMerges(docs, "text", nMerges = 8)
+        .collect().sortBy(_.getInt(0))
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.functions.Vocab.bpeEncode(docs, "doc_id", "text", merges)
+    })
   )
 
   // ---- oracle SQL ---------------------------------------------------------
@@ -3309,6 +3339,34 @@ object Extensions {
          |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_tok,
          |CAST(sum(wt) AS BIGINT) AS logit, (sum(wt) >= 0) AS kept
          |FROM w GROUP BY doc_id""".stripMargin
-    }
+    },
+
+    // generated CTE chain (iterations unrolled — the q64 discipline);
+    // merge application is the same single-pass replace() both engines run
+    "q150_bpe_merges" -> graft.functions.Vocab.oracleSql(8),
+
+    "q151_vocab_growth" ->
+      """WITH bt AS (
+        |  SELECT doc_id // 50 AS bucket, tok
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  WHERE tok <> ''),
+        |g AS (SELECT bucket, tok, count(*) AS n FROM bt GROUP BY 1, 2),
+        |tot AS (SELECT bucket, CAST(sum(n) AS BIGINT) AS bucket_tokens
+        |        FROM g GROUP BY 1),
+        |fs AS (SELECT bucket, CAST(count(*) AS BIGINT) AS new_types FROM (
+        |         SELECT tok, min(bucket) AS bucket FROM g GROUP BY 1)
+        |       GROUP BY 1)
+        |SELECT t.bucket,
+        |  CAST(coalesce(f.new_types, 0) AS BIGINT) AS new_types,
+        |  CAST(sum(coalesce(f.new_types, 0)) OVER (ORDER BY t.bucket)
+        |       AS BIGINT) AS cum_types,
+        |  t.bucket_tokens,
+        |  CAST(sum(t.bucket_tokens) OVER (ORDER BY t.bucket) AS BIGINT)
+        |    AS cum_tokens
+        |FROM tot t LEFT JOIN fs f USING (bucket)""".stripMargin,
+
+    // the q150 learning chain + the merge chain applied per word
+    "q152_bpe_encode" -> graft.functions.Vocab.encodeOracleSql(8)
   )
 }

@@ -217,4 +217,104 @@ class FormulaPinSpec extends SparkSpec {
     assert(Set("the", "cat", "sat", "on", "mat", "one", "token", "zz")
       .map(weight).size > 1)
   }
+
+  test("q150 BPE merges: plain-Scala reference implementation agrees, " +
+       "including multi-char merges, the tie-break, and self-pair runs") {
+    // Sennrich-shaped fixture: 'er' dominates, then the MERGED symbol
+    // 'er' must itself pair ('w er' / 'd er'); 'xy' vs 'xz' counts tie
+    // at one iteration (lexicographic winner pinned); 'aaaa' exercises
+    // the single-pass self-pair semantics.
+    val dir = stageDocs(Seq(
+      (1L, "lower wider lower wider lower", "s"),
+      (2L, "wer der wer der wer der", "s"),
+      (3L, "xy xz xy xz", "s"),
+      (4L, "aaaa aaaa aaaa", "s")))
+
+    // reference BPE from first principles: plain JVM strings, no Spark.
+    // Pair counting is per-adjacent-occurrence; merge application is
+    // String.replace — left-to-right, non-overlapping — the exact
+    // documented contract of Vocab.bpeMerges.
+    val words = Seq("lower" -> 3L, "wider" -> 2L, "wer" -> 3L, "der" -> 3L,
+      "xy" -> 2L, "xz" -> 2L, "aaaa" -> 3L)
+    var vocab = words.map { case (w, c) =>
+      (" " + w.toCharArray.mkString(" ") + " ", c) }
+    val expect = Seq.newBuilder[(Int, String, String, Long)]
+    for (it <- 1 to 8) {
+      val counts = collection.mutable.LinkedHashMap[(String, String), Long]()
+      for ((repr, c) <- vocab; syms = repr.trim.split(" ");
+           i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) =
+          counts.getOrElse((syms(i), syms(i + 1)), 0L) + c
+      if (counts.nonEmpty) {
+        val ((l, r), c) = counts.toSeq.sortBy { case ((l, r), c) =>
+          (-c, l, r) }.head
+        expect += ((it, l, r, c))
+        vocab = vocab.map { case (repr, cnt) =>
+          (repr.replace(s" $l $r ", s" $l$r "), cnt) }
+      }
+    }
+    val got = SparkEntry.queries("q150_bpe_merges")(spark, dir)
+      .collect().map(r =>
+        (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      .sortBy(_._1)
+    assert(got == expect.result(), s"got=$got expect=${expect.result()}")
+    // the learned sequence exercises what it claims: some merge consumes
+    // a previously-merged multi-char symbol, and the self-pair fired
+    assert(got.exists(m => m._2.length > 1 || m._3.length > 1),
+      "no multi-char merge learned")
+    assert(got.exists(m => m._2 == m._3), "no self-pair merge learned")
+    // executable documentation of the single-pass self-pair semantics
+    // (odd occurrences in a run merge; the shared space is consumed)
+    assert(" a a a a ".replace(" a a ", " aa ") == " aa a a ")
+  }
+
+  test("q152 BPE encode: per-doc subword counts match a plain-Scala " +
+       "replay of the learned merges") {
+    val texts = Map(
+      1L -> "lower wider lower wider lower",
+      2L -> "wer der wer der wer der",
+      3L -> "xy xz xy xz",
+      4L -> "aaaa aaaa aaaa")
+    val dir = stageDocs(texts.toSeq.map { case (id, t) => (id, t, "s") })
+    // the learned merges (their correctness is pinned by the q150 test);
+    // here we pin that the ENCODE pass applies them faithfully
+    val merges = SparkEntry.queries("q150_bpe_merges")(spark, dir)
+      .collect().sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2)))
+    def encode(w: String): Int = {
+      var repr = " " + w.toCharArray.mkString(" ") + " "
+      for ((l, r) <- merges) repr = repr.replace(s" $l $r ", s" $l$r ")
+      repr.trim.split(" ").length
+    }
+    val expect = texts.map { case (id, t) =>
+      val ws = t.split(" ")
+      id -> (ws.length.toLong, ws.map(encode(_).toLong).sum,
+        ws.map(_.length.toLong).sum) }
+    val got = SparkEntry.queries("q152_bpe_encode")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == expect, s"got=$got expect=$expect")
+    // non-degeneracy: the merges actually compress (subwords < chars),
+    // but encoding never fuses across a word boundary (subwords >= words)
+    assert(got.values.forall(v => v._2 >= v._1 && v._2 <= v._3))
+    assert(got.values.exists(v => v._2 < v._3))
+  }
+
+  test("q151 vocab growth: hand-computed Heaps curve, including a bucket " +
+       "with zero new types and gapless cumulative sums") {
+    // bucketSize=50 (the registered query): ids 0..49 → bucket 0,
+    // 50..99 → bucket 1, 100..149 → bucket 2. Bucket 1 repeats bucket
+    // 0's tokens only (zero new types); bucket 2 adds two new types.
+    val dir = stageDocs(Seq(
+      (0L, "a b a", "s"), (1L, "b c", "s"),
+      (60L, "c a a b", "s"),
+      (110L, "d e a", "s")))
+    val got = SparkEntry.queries("q151_vocab_growth")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val expect = Map(
+      0L -> (3L, 3L, 5L, 5L),   // types a,b,c; 5 tokens
+      1L -> (0L, 3L, 4L, 9L),   // no new types; 4 tokens
+      2L -> (2L, 5L, 3L, 12L))  // d,e new; 3 tokens
+    assert(got == expect, s"got=$got expect=$expect")
+  }
 }
