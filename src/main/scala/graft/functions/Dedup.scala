@@ -307,6 +307,52 @@ object Dedup {
       .filter(col("jaccard_micros") >= thresholdMicros)
   }
 
+  /** CONTAINMENT verify of an arriving batch against the corpus — the
+    * near-SUBSET detector: an excerpt/quotation/truncated copy of a
+    * corpus doc has containment ≈ 1 (every n-gram of the smaller side
+    * appears in the larger) while its resemblance Jaccard sits near
+    * |small|/|large| — far below any near-dup threshold, invisible to
+    * [[nearDupPairs]]/[[incrementalNearDups]]. Returns one row per
+    * (batch, corpus) candidate with containment_micros =
+    * ⌊1e6·|A∩B| / min(|A|,|B|)⌋ ≥ threshold, alongside jaccard_micros so
+    * downstream policy can separate subset-dups from full near-dups.
+    *
+    * Scale (the q127 discipline): candidates exist ONLY where a batch doc
+    * shares an LSH band bucket with a corpus doc — batch×corpus never
+    * materializes and the corpus never self-joins; in production the
+    * corpus side is the [[bandIndexTap]]-persisted band index (zero
+    * corpus-side exchange) and the shingle-set verify joins key on ids
+    * (uniform). Recall caveat (inherent to resemblance LSH): a tiny
+    * excerpt of a huge doc drifts out of the band buckets as the token
+    * sets diverge — bounded excerpt ratios (≥ ~half) land in-bucket,
+    * which is the dedup-relevant regime. */
+  def containmentAgainstCorpus(corpus: DataFrame, batch: DataFrame,
+                               idCol: String, textCol: String,
+                               thresholdMicros: Long, n: Int = 3,
+                               k: Int = 16, bands: Int = 4): DataFrame = {
+    val cb = bandRows(corpus, idCol, textCol, k, bands)
+      .toDF("corpus_id", "band", "key")
+    val bb = bandRows(batch, idCol, textCol, k, bands)
+      .toDF("batch_id", "band", "key")
+    val cands = bb.join(cb, Seq("band", "key"))
+      .select(col("batch_id"), col("corpus_id")).distinct()
+    def shs(df: DataFrame, as: String, setAs: String, nAs: String) =
+      df.select(col(idCol).as(as),
+        array_distinct(shingles(col(textCol), n)).as(setAs))
+        .withColumn(nAs, size(col(setAs)).cast("long"))
+    val inter = size(array_intersect(col("bsh"), col("csh"))).cast("long")
+    cands
+      .join(shs(batch, "batch_id", "bsh", "nb"), "batch_id")
+      .join(shs(corpus, "corpus_id", "csh", "nc"), "corpus_id")
+      .select(col("batch_id"), col("corpus_id"),
+        floor(inter * 1000000L / greatest(least(col("nb"), col("nc")), lit(1L)))
+          .cast("bigint").as("containment_micros"),
+        floor(inter * 1000000L /
+          greatest(col("nb") + col("nc") - inter, lit(1L)))
+          .cast("bigint").as("jaccard_micros"))
+      .filter(col("containment_micros") >= thresholdMicros)
+  }
+
   /** Incremental NEAR-dup detection: which arriving-batch docs near-
     * duplicate something already in the corpus? The near-dup counterpart
     * of the exact-hash incremental dedup (q98): batch band rows join

@@ -2061,6 +2061,22 @@ object Extensions {
         .collect().sortBy(_.getInt(0))
         .map(r => (r.getString(1), r.getString(2))).toSeq
       graft.functions.Vocab.bpeEncode(docs, "doc_id", "text", merges)
+    }),
+
+    // --- containment (near-SUBSET) detection on arrival: a batch of
+    // half-excerpts (doc_id%50==3, ids +2e6 — crafted so the gate is
+    // non-vacuous AND containment-only: every find has jaccard ≈ 0.47,
+    // invisible to resemblance dedup) verified against the corpus via
+    // shared band buckets only — the q127 batch-vs-corpus discipline.
+    "q153_containment_arrival" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val t = split(col("text"), " ")
+      val batch = docs.filter(col("doc_id") % 50 === 3)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat_ws(" ", slice(t, lit(1),
+            expr("(size(split(text, ' ')) + 1) div 2"))).as("text"))
+      graft.functions.Dedup.containmentAgainstCorpus(
+        docs, batch, "doc_id", "text", thresholdMicros = 900000L)
     })
   )
 
@@ -3367,6 +3383,44 @@ object Extensions {
         |FROM tot t LEFT JOIN fs f USING (bucket)""".stripMargin,
 
     // the q150 learning chain + the merge chain applied per word
-    "q152_bpe_encode" -> graft.functions.Vocab.encodeOracleSql(8)
+    "q152_bpe_encode" -> graft.functions.Vocab.encodeOracleSql(8),
+
+    // batch = the same crafted half-excerpts; candidates only through
+    // shared (band, key) buckets; containment vs jaccard side by side
+    "q153_containment_arrival" -> {
+      def bandsFrom(sig: String) = (0 until 4).map { bnd =>
+        val parts = (0 until 4).map(r => s"m${4 * bnd + r}").mkString(", ")
+        s"SELECT doc_id, $bnd AS band, concat_ws(',', $parts) AS key FROM $sig"
+      }.mkString("\n    UNION ALL ")
+      s"""WITH batch AS MATERIALIZED (
+         |  SELECT doc_id + 2000000 AS doc_id,
+         |         array_to_string(t[1:(len(t)+1)//2], ' ') AS text
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+         |        WHERE doc_id % 50 = 3)),
+         |ctoks AS (SELECT doc_id, list_distinct($dToks) AS tl FROM documents),
+         |csig AS (SELECT doc_id,
+         |    $minhashSigCols
+         |  FROM ctoks),
+         |cbands AS (${bandsFrom("csig")}),
+         |btoks AS (SELECT doc_id, list_distinct($dToks) AS tl FROM batch),
+         |bsig AS (SELECT doc_id,
+         |    $minhashSigCols
+         |  FROM btoks),
+         |bbands AS (${bandsFrom("bsig")}),
+         |cands AS (SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+         |  FROM bbands b JOIN cbands c ON b.band = c.band AND b.key = c.key),
+         |cs AS (SELECT doc_id, list_distinct($dShingles) AS sset FROM documents),
+         |bs AS (SELECT doc_id, list_distinct($dShingles) AS sset FROM batch)
+         |SELECT batch_id, corpus_id,
+         |  CAST(floor(len(list_intersect(b.sset, c.sset)) * 1000000
+         |    / greatest(least(len(b.sset), len(c.sset)), 1)) AS BIGINT)
+         |    AS containment_micros,
+         |  CAST(floor(len(list_intersect(b.sset, c.sset)) * 1000000
+         |    / greatest(len(list_distinct(list_concat(b.sset, c.sset))), 1))
+         |    AS BIGINT) AS jaccard_micros
+         |FROM cands JOIN bs b ON cands.batch_id = b.doc_id
+         |  JOIN cs c ON cands.corpus_id = c.doc_id
+         |WHERE containment_micros >= 900000""".stripMargin
+    }
   )
 }

@@ -562,4 +562,30 @@ class FunctionsSpec extends SparkSpec {
     assert(InvertedIndex.queryAll(postings, Seq("z"))
       .collect().map(_.getLong(0)).toSet == Set(1L, 3L))
   }
+
+  test("containmentAgainstCorpus: an excerpt scores containment 1e6 with " +
+       "sub-threshold jaccard; disjoint and below-threshold batches drop") {
+    import spark.implicits._
+    // corpus doc 1: tokens cycle x y z then w — distinct set {x,y,z,w}.
+    val corpus = Seq(
+      (1L, "x y z x y z x y z w"),
+      (2L, "p p q q r r s s t t")).toDF("doc_id", "text")
+    // batch 10: same DISTINCT token set as doc 1 (identical minhash
+    // signature → all four bands collide, recall is deterministic) and
+    // every 3-gram ("x y z", "y z w") occurs in doc 1 → containment 1e6.
+    // batch 11: tokens disjoint from both docs → no shared bucket, no row.
+    val batch = Seq(
+      (10L, "x y z w"),
+      (11L, "aa bb cc dd ee")).toDF("doc_id", "text")
+    val got = graft.functions.Dedup.containmentAgainstCorpus(
+      corpus, batch, "doc_id", "text", thresholdMicros = 900000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // doc 1 shingle set (8 shingles): {xyz, yzx, zxy} ×cycled + "y z w";
+    // distinct = {"x y z","y z x","z x y","x y w"?..} — compute by hand:
+    // windows: xyz yzx zxy xyz yzx zxy xyz yzw → distinct {xyz,yzx,zxy,yzw} = 4
+    // batch 10 shingles: {xyz, yzw} = 2, all contained → inter=2,
+    // containment = 2e6/2 = 1e6; union = 4 → jaccard = 500000.
+    assert(got == Set((10L, 1L, 1000000L, 500000L)), s"got=$got")
+  }
 }
