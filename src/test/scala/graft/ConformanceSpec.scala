@@ -360,4 +360,84 @@ class ConformanceSpec extends SparkSpec {
     assert(rows(pipe(df).averageBy(Seq("k"), "v", "m"))
       == Set(Seq("a", 2.0), Seq("b", null)))
   }
+
+  // FieldedPipesPlatformTest.testStandardChain: several Every aggregators
+  // CHAINED on one GroupBy — each sees the group's argument stream and
+  // all results land side by side on the grouping key.
+  test("chained Every aggregators on one GroupBy emit side-by-side results") {
+    val df = Seq(("x", 1), ("x", 5), ("x", 3), ("y", 7), ("y", 2))
+      .toDF("k", "v")
+    val p = pipe(df).groupBy("k")
+      .every(Aggs.count("n"), Aggs.sum("v", "s"), Aggs.min("v", "lo"),
+        Aggs.max("v", "hi"))
+    assert(Flow.toDF(p).columns.toSeq == Seq("k", "n", "s", "lo", "hi"))
+    assert(rows(p) == Set(Seq("x", 3L, 9L, 1, 5), Seq("y", 2L, 9L, 2, 7)))
+  }
+
+  // FieldedPipesPlatformTest.testGroupBySplitGroupByJoin: aggregate, SPLIT
+  // the aggregated result, re-aggregate each branch differently, then join
+  // the branches back — the aggregation-diamond. Catalyst shares no
+  // subplans across DAG branches, so the split point re-executes unless
+  // persisted; the Pipe DSL's persist() marks it (the Cascading
+  // Checkpoint discipline) and the flow must still be value-correct.
+  test("aggregation diamond: group, split, re-aggregate, join back") {
+    val df = Seq(("a", 1), ("a", 2), ("b", 3), ("b", 4), ("c", 5))
+      .toDF("k", "v")
+    val base = pipe(df).groupBy("k").every(Aggs.sum("v", "s")).persist()
+    // keep-matches filters partition the keys: hi = {s > 3} = {b:7, c:5},
+    // lo = {s <= 3} = {a:3}
+    val hi = base.filterBy(ExpressionFilter("s > 3", removeMatch = false))
+      .rename("s" -> "s_hi")
+    val lo = base.filterBy(ExpressionFilter("s <= 3", removeMatch = false))
+      .rename("s" -> "s_lo", "k" -> "k2")
+    val joined = hi.coGroup(Seq("k"), lo, Seq("k2"), Joiner.Inner)
+    // the branches partition the keys — inner join is EMPTY, outer pads
+    assert(rows(joined) == Set.empty)
+    val outer = hi.coGroup(Seq("k"), lo, Seq("k2"), Joiner.Outer)
+    assert(rows(outer) == Set(
+      Seq(null, null, "a", 3L), Seq("b", 7L, null, null),
+      Seq("c", 5L, null, null)))
+  }
+
+  // CoGroupFieldedPipesPlatformTest.testCoGroupSamePipeName /
+  // testCoGroupDiffFieldsSameFile: two decorated branches of the SAME
+  // source joined — field resolution must keep the branches' schemas
+  // distinct while the source stays shared.
+  test("coGroup two decorated branches of one source") {
+    val df = Seq((1, "a"), (2, "b"), (3, "a")).toDF("num", "ch")
+    val src = pipe(df)
+    val left = src.each(Insert(CFields.typed("side" -> StringType), Seq("L")),
+      args = FieldSelector.Named(Nil), out = FieldSelector.All)
+    val right = src.each(Insert(CFields.typed("side2" -> StringType), Seq("R")),
+      args = FieldSelector.Named(Nil), out = FieldSelector.All)
+      .rename("num" -> "num2", "ch" -> "ch2")
+    val j = left.coGroup(Seq("ch"), right, Seq("ch2"), Joiner.Inner)
+    val got = rows(j)
+    // 'a' appears twice on each side → 4 pairs; 'b' once → 1 pair
+    assert(got.size == 5)
+    assert(got.forall(r => r(1) == r(4) && r(2) == "L" && r(5) == "R"))
+  }
+
+  // AssemblyHelpersPlatformTest.testFirstBy with sort fields: First takes
+  // the first argument under the DECLARED sort of the argument fields,
+  // not arrival order — min_by/max_by on the sort key reproduces it.
+  test("FirstBy/LastBy honor the declared argument sort, not arrival order") {
+    val df = Seq(("g", 9, "late"), ("g", 1, "early"), ("g", 5, "mid"),
+      ("h", 2, "only")).toDF("k", "ord", "v")
+    val p = pipe(df).groupBy("k")
+      .every(Aggs.firstBy("v", "ord", "first_v"),
+        Aggs.lastBy("v", "ord", "last_v"))
+    assert(rows(p) == Set(Seq("g", "early", "late"), Seq("h", "only", "only")))
+  }
+
+  // FieldedPipesPlatformTest.testSameSourceMergeThreeChainGroup: THREE
+  // branches of one source merged, then grouped — merge arity beyond the
+  // pairwise case over a shared source.
+  test("three same-source branches merge then group (merge arity 3)") {
+    val df = Seq(("a", 1), ("b", 2)).toDF("ch", "v")
+    val src = pipe(df)
+    val m = src.merge(src, src).groupBy("ch").every(Aggs.count("n"),
+      Aggs.sum("v", "s"))
+    assert(rows(m) == Set(Seq("a", 3L, 3L), Seq("b", 3L, 6L)))
+  }
 }
