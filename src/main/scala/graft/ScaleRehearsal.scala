@@ -32,7 +32,11 @@ object ScaleRehearsal {
     // the substring-dedup pair: token suffixes keep 8-grams distinct
     // ACROSS replicas while preserving each replica's dup structure, so
     // duplicated-span work scales with the corpus — the honest shape
-    "q138_dup_spans", "q139_strip_spans")
+    "q138_dup_spans", "q139_strip_spans",
+    // BPE learning: pass 1 (word count) scans the corpus; the 8 merge
+    // iterations run on the vocab table, whose growth under the token
+    // suffixes (10× types) is still ≪ corpus — expect ≈scan-bound ratio
+    "q150_bpe_merges")
 
   def main(args: Array[String]): Unit = {
     val small = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -217,6 +217,73 @@ object Governance {
     * `nShards` is the operator's own parallelism/file-size knob — at
     * 100 TB pick nShards ≈ corpus_bytes / 1 GiB ≈ 100k, giving 100k
     * uniform ~1 GiB sort tasks. */
+  /** Token-budget-capped quality curation: per source, keep the
+    * highest-quality documents until `budgetPpm` of that source's tokens
+    * is filled — the "best N% of tokens" selection step of corpus
+    * curation, exact and deterministic.
+    *
+    * Semantics: documents rank by (quality DESC, hash40(salt,id) ASC,
+    * id ASC). Whole quality classes are admitted while they fit; the one
+    * BOUNDARY class per source is admitted as the greedy prefix of its
+    * (hash, id) order until the remainder is filled (every document
+    * whose inclusive running token sum fits — a true prefix, since token
+    * counts are positive).
+    *
+    * Scale: this is NOT a per-source global sort. Class admission needs
+    * only the (source, quality) class table — O(sources × 101) rows,
+    * since quality is domain-bounded in [0,100] — so the only window
+    * runs over ≤101 rows per source. The boundary prefix is computed by
+    * the range-partitioned two-pass scan (the q51 CScanBuffer
+    * machinery): phase 1 per-range token sums, ONE O(partitions ×
+    * sources) driver carry, phase 2 emits in parallel per range —
+    * no single task ever sorts a whole source. Cost: one stats scan,
+    * two filter scans, and the boundary-subset scan. Int64 headroom:
+    * tot·budgetPpm wraps past ~9e12 tokens/source (≈36 TB of text) —
+    * the q132 bound; shard beyond that. */
+  def budgetCurate(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                   srcCol: String, quality: Column, nTok: Column,
+                   budgetPpm: Long, salt: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      col(srcCol).as("source"), quality.cast("int").as("quality"),
+      nTok.cast("long").as("n_tok"),
+      graft.catalyst.Md5Prefix40(
+        concat(lit(salt), col(idCol).cast("string"))).as("h"))
+    val classes = base.groupBy(col("source"), col("quality"))
+      .agg(sum(col("n_tok")).as("class_tok"))
+    val wq = Window.partitionBy(col("source")).orderBy(col("quality").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cls = classes
+      .withColumn("cum_before", coalesce(sum(col("class_tok")).over(wq), lit(0L)))
+    val budgets = classes.groupBy(col("source"))
+      .agg(sum(col("class_tok")).as("tot"))
+      .withColumn("budget", expr(s"tot * $budgetPpm div 1000000"))
+    val cl = cls.join(budgets, "source")
+    val fullKeep = cl.filter(col("cum_before") + col("class_tok") <= col("budget"))
+      .select(col("source"), col("quality"))
+    val boundary = cl
+      .filter(col("cum_before") < col("budget") &&
+        col("cum_before") + col("class_tok") > col("budget"))
+      .select(col("source"), col("quality"),
+        (col("budget") - col("cum_before")).as("remaining"))
+    val keptFull = base.join(broadcast(fullKeep), Seq("source", "quality"))
+      .select("doc_id", "source", "quality", "n_tok")
+    // O(sources) driver carry: one boundary class per source
+    val remaining = boundary.select("source", "remaining").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bdocs = base
+      .join(broadcast(boundary.select("source", "quality")),
+        Seq("source", "quality"))
+      .select("doc_id", "source", "quality", "n_tok", "h")
+    val keptBoundary = graft.exec.Flow.toDF(
+      graft.pipes.Pipe.source(graft.sources.DataFrameTap(bdocs))
+        .groupBySorted(Nil,
+          Seq("source" -> true, "h" -> true, "doc_id" -> true))
+        .scan(new BudgetPrefixBuffer(remaining)))(spark)
+    keptFull.unionByName(keptBoundary)
+  }
+
   def shardExport(docs: org.apache.spark.sql.DataFrame, idCol: String,
                   nShards: Int, salt: String,
                   outPath: String): org.apache.spark.sql.DataFrame = {
@@ -231,5 +298,41 @@ object Governance {
       .sortWithinPartitions(col("shard"), col("pos"))
       .write.mode("overwrite").partitionBy("shard").parquet(outPath)
     docs.sparkSession.read.parquet(outPath)
+  }
+}
+
+/** Boundary-class greedy prefix for [[Governance.budgetCurate]]: a
+  * range-partitioned two-pass scan (q51 machinery) over the boundary
+  * documents sorted by (source, hash, id). State = per-source token sums
+  * of the rows seen so far, so the phase-2 carry tells each range exactly
+  * how many tokens of each source's boundary class precede it. A document
+  * is emitted when its inclusive running sum still fits the source's
+  * remaining budget — a true prefix (token counts are positive). */
+final class BudgetPrefixBuffer(remaining: Map[String, Long])
+    extends graft.pipes.CScanBuffer[Map[String, Long]] {
+  import org.apache.spark.sql.types._
+  val resultFields: graft.model.CFields = graft.model.CFields.typed(
+    "doc_id" -> LongType, "source" -> StringType,
+    "quality" -> IntegerType, "n_tok" -> LongType)
+  def zero: Map[String, Long] = Map.empty
+  def observe(s: Map[String, Long], row: org.apache.spark.sql.Row): Map[String, Long] = {
+    val src = row.getAs[String]("source")
+    s.updated(src, s.getOrElse(src, 0L) + row.getAs[Long]("n_tok"))
+  }
+  def merge(l: Map[String, Long], r: Map[String, Long]): Map[String, Long] =
+    r.foldLeft(l) { case (m, (k, v)) => m.updated(k, m.getOrElse(k, 0L) + v) }
+  def emit(carry: Map[String, Long],
+           rows: Iterator[org.apache.spark.sql.Row]): Iterator[Seq[Any]] = {
+    val running = scala.collection.mutable.Map[String, Long]()
+    rows.flatMap { row =>
+      val src = row.getAs[String]("source")
+      val cum = running.getOrElse(src, carry.getOrElse(src, 0L)) +
+        row.getAs[Long]("n_tok")
+      running(src) = cum
+      if (cum <= remaining.getOrElse(src, 0L))
+        Some(Seq(row.getAs[Long]("doc_id"), src,
+          row.getAs[Int]("quality"), row.getAs[Long]("n_tok")))
+      else None
+    }
   }
 }

@@ -2077,7 +2077,17 @@ object Extensions {
             expr("(size(split(text, ' ')) + 1) div 2"))).as("text"))
       graft.functions.Dedup.containmentAgainstCorpus(
         docs, batch, "doc_id", "text", thresholdMicros = 900000L)
-    })
+    }),
+
+    // --- token-budget-capped quality curation: per source, the best 40%
+    // of tokens by quality class; the single boundary class per source
+    // admits the greedy (hash, id) prefix EXACTLY via the q51
+    // range-partitioned two-pass scan — no per-source global sort.
+    "q154_budget_curate" -> ((s, dir) =>
+      graft.functions.Governance.budgetCurate(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "source",
+        TA.qualityScore(col("text")), TA.tokenCount(col("text")),
+        budgetPpm = 400000L, salt = "graft-r7-budget"))
   )
 
   // ---- oracle SQL ---------------------------------------------------------
@@ -3421,6 +3431,40 @@ object Extensions {
          |FROM cands JOIN bs b ON cands.batch_id = b.doc_id
          |  JOIN cs c ON cands.corpus_id = c.doc_id
          |WHERE containment_micros >= 900000""".stripMargin
-    }
+    },
+
+    // whole classes while they fit, then the boundary class's greedy
+    // (hash, id) prefix — filter by inclusive running sum ≡ prefix stop
+    // (token counts are positive)
+    "q154_budget_curate" ->
+      s"""WITH base AS MATERIALIZED (
+         |  SELECT doc_id, source, $dQualityExpr AS quality,
+         |    CAST(len($dToks) AS BIGINT) AS n_tok,
+         |    CAST(concat('0x', substr(md5(concat('graft-r7-budget',
+         |      CAST(doc_id AS VARCHAR))), 1, 10)) AS BIGINT) AS h
+         |  FROM documents),
+         |cls AS (SELECT source, quality, CAST(sum(n_tok) AS BIGINT) AS class_tok
+         |  FROM base GROUP BY 1, 2),
+         |cum AS (SELECT source, quality, class_tok,
+         |  CAST(coalesce(sum(class_tok) OVER (PARTITION BY source
+         |    ORDER BY quality DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |    AS cum_before FROM cls),
+         |bud AS (SELECT source, CAST(sum(class_tok) * 400000 // 1000000
+         |    AS BIGINT) AS budget FROM cls GROUP BY 1),
+         |cl AS (SELECT c.*, b.budget FROM cum c JOIN bud b USING (source)),
+         |fullk AS (SELECT source, quality FROM cl
+         |  WHERE cum_before + class_tok <= budget),
+         |bound AS (SELECT source, quality, budget - cum_before AS remaining
+         |  FROM cl WHERE cum_before < budget AND cum_before + class_tok > budget),
+         |bk AS (SELECT doc_id, source, quality, n_tok FROM (
+         |  SELECT b.doc_id, b.source, b.quality, b.n_tok, r.remaining,
+         |    sum(b.n_tok) OVER (PARTITION BY b.source ORDER BY b.h, b.doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS run
+         |  FROM base b JOIN bound r ON b.source = r.source AND b.quality = r.quality)
+         |  WHERE run <= remaining)
+         |SELECT b.doc_id, b.source, b.quality, b.n_tok
+         |FROM base b JOIN fullk f ON b.source = f.source AND b.quality = f.quality
+         |UNION ALL SELECT * FROM bk""".stripMargin
   )
 }

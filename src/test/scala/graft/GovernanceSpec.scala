@@ -237,4 +237,38 @@ class GovernanceSpec extends SparkSpec {
     assert(s.getLong(2) == 0 && s.getLong(3) == 2)
     assert(s.getString(4) == "a" && s.getString(5) == "b")
   }
+
+  test("budgetCurate: whole classes admitted while they fit; the boundary " +
+       "class admits the greedy (hash, id) prefix exactly") {
+    import org.apache.spark.sql.functions._
+    // src A: classes q=9 (60 tok), q=5 (4 docs × 25 = 100 tok), q=1 (40).
+    // budget = 50% of 200 = 100: q=9 fits whole (60), q=5 is the boundary
+    // with remaining 40 → admits docs in (hash, id) order while the
+    // inclusive sum fits 40 (one 25-token doc admitted, the rest cut).
+    // src B: one class only — that class is the boundary (nothing whole).
+    val docs = Seq(
+      (1L, "A", 9, 60L), (2L, "A", 5, 25L), (3L, "A", 5, 25L),
+      (4L, "A", 5, 25L), (5L, "A", 5, 25L), (6L, "A", 1, 40L),
+      (10L, "B", 7, 30L), (11L, "B", 7, 30L))
+      .toDF("doc_id", "source", "quality", "n_tok")
+    val got = Governance.budgetCurate(docs, "doc_id", "source",
+        col("quality"), col("n_tok"), budgetPpm = 500000L, salt = "t")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getLong(3))).toSet
+    // plain-Scala replay of the contract
+    def h(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(("t" + id).getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map(b => f"$b%02x").mkString.take(10), 16)
+    }
+    // src A boundary (q=5, remaining 40): docs 2..5 sorted by (h, id),
+    // only the first fits (25; two would be 50 > 40)
+    val aFirst = Seq(2L, 3L, 4L, 5L).sortBy(id => (h(id), id)).head
+    // src B boundary (q=7, remaining 30): of 10/11 in (h, id) order the
+    // first fits (30), the second would make 60 > 30
+    val bFirst = Seq(10L, 11L).sortBy(id => (h(id), id)).head
+    val expect = Set((1L, "A", 9, 60L), (aFirst, "A", 5, 25L),
+      (bFirst, "B", 7, 30L))
+    assert(got == expect, s"got=$got expect=$expect (aFirst=$aFirst bFirst=$bFirst)")
+  }
 }
