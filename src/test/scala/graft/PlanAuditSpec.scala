@@ -320,4 +320,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Window"))
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("q153: containment candidates only through the band equi-join — " +
+       "no product anywhere") {
+    val plan = formatted("q153_containment_arrival")
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q154: class admission broadcasts; the only window runs over the " +
+       "class table, never over documents") {
+    val plan = formatted("q154_budget_curate")
+    // the doc-side joins against the tiny class tables broadcast
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+    // every Window node orders by quality DESC over the aggregated class
+    // rows (the ≤101-row-per-source cumsum) — a window over raw documents
+    // would order by (h, doc_id) instead, the per-source-sort plan this
+    // operator exists to avoid (the boundary prefix runs through the
+    // range-partitioned two-pass scan, not a window)
+    val windowLines = plan.linesIterator
+      .filter(l => l.contains("Window") && l.contains("windowspecdefinition"))
+      .toSeq
+    assert(windowLines.forall(_.contains("quality")), windowLines.mkString("\n"))
+    assert(!windowLines.exists(_.contains("doc_id")), windowLines.mkString("\n"))
+  }
 }
