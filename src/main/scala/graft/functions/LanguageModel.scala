@@ -1,0 +1,123 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Stupid Backoff n-gram language-model scoring (Brants et al. 2007,
+  * "Large Language Models in Machine Translation" §4) — the corpus-
+  * likelihood fluency signal of a CCNet-style quality filter, in the
+  * exact form that was designed FOR distributed execution: the score
+  *
+  *   S(w3 | w1 w2) = c(w1w2w3)/c(w1w2)            if c(w1w2w3) > 0
+  *                 = α · S(w3 | w2)                otherwise
+  *   S(w3 | w2)    = c(w2w3)/c(w2)                 if c(w2w3) > 0
+  *                 = α · S(w3)                     otherwise
+  *   S(w3)         = c(w3)/N                       (0 for OOV)
+  *
+  * needs NO discount normalization pass over the count tables (that is
+  * the paper's whole point — backoff LMs at web scale without the
+  * Kneser-Ney global renormalization), so training is nothing but
+  * n-gram counting.
+  *
+  * Scale shape:
+  *  - TRAIN: ONE explode scan of the training corpus emits uni-, bi- and
+  *    trigrams into a single (gram → count) table — a gram's order is
+  *    self-describing (tokens carry no spaces, so an order-n gram has
+  *    exactly n−1 spaces) and the one aggregate is map-side combined on
+  *    near-uniform gram keys. The unigram total N reduces from the
+  *    vocab-sized count table (O(vocab), not a second corpus scan) into
+  *    a 1-row broadcast.
+  *  - SCORE: one explode scan of the batch → trigram positions; scores
+  *    are computed once per DISTINCT batch trigram (5 left joins against
+  *    the count table, all keyed on distinct gram strings — no skew on
+  *    the build of any of them) and joined back to positions. The
+  *    join-back key is the raw trigram, which IS skewed under Zipf
+  *    ("of the" everywhere) — that join is the one AQE-skew candidate in
+  *    the plan and the reason scoring is factored through `distinct`
+  *    rather than joining counts to positions directly. Per-doc
+  *    aggregation keys on uniform doc ids.
+  *  - A 100 TB corpus pays one counting scan + one shuffle to train; a
+  *    daily batch pays O(batch) — the corpus count table is reusable
+  *    across batches exactly like the q127 band index.
+  *
+  * Engine portability (the BM25 discipline): the score uses only IEEE-754
+  * binary64 +,×,/ — correctly rounded, hence bit-identical across
+  * engines for the same expression tree — and is floor-quantized to
+  * integer micros before the per-doc sum, so the aggregate is exact
+  * integer arithmetic. α = 0.4 is a stored literal parsed by both
+  * engines; nested backoff multiplies α at each level (α·(α·x), never a
+  * precomputed α² literal — 0.4*0.4 does not round to the same double as
+  * the literal 0.16).
+  */
+object LanguageModel {
+
+  /** Backoff discount (Brants et al. 2007 §4: "we use α = 0.4"). */
+  val Alpha: Double = 0.4
+
+  /** 1-based n-gram strings of order `n` over token array `t` (space-
+    * joined; empty when the doc is shorter than n). */
+  private def gramList(t: Column, n: Int): Column =
+    if (n == 1) t
+    else when(size(t) >= n,
+      transform(sequence(lit(1), size(t) - (n - 1)),
+        i => concat_ws(" ", slice(t, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Train on `train`, score every document of `batch`: one row per batch
+    * document — (idCol, n_tri, sb_micros) where sb_micros is the sum over
+    * the doc's trigram positions of floor(1e6 · S). Documents with fewer
+    * than 3 tokens keep their row with (0, 0) — a too-short doc scoring
+    * as "no evidence" rather than vanishing is part of the filter
+    * contract. */
+  def stupidBackoff(train: DataFrame, batch: DataFrame,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val t = split(col(textCol), " ")
+    // one training scan → one (gram, c) table for all three orders
+    val counts = train
+      .select(explode(concat(gramList(t, 1), gramList(t, 2), gramList(t, 3)))
+        .as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c"))
+    // unigram total N: O(vocab) reduce of the count table, 1-row broadcast
+    val stats = counts.filter(!col("g").contains(" "))
+      .agg(sum(col("c")).cast("double").as("n_tokens"))
+    // batch trigram positions (one row per position, key = the gram text)
+    val pos = batch.filter(size(t) >= 3)
+      .select(col(idCol), explode(gramList(t, 3)).as("tg"))
+    // score once per DISTINCT trigram: backoff over 5 count lookups
+    val p = split(col("tg"), " ")
+    val d = pos.select(col("tg")).distinct()
+      .select(col("tg"),
+        element_at(p, 2).as("w2"), element_at(p, 3).as("w3"),
+        concat_ws(" ", element_at(p, 1), element_at(p, 2)).as("b12"),
+        concat_ws(" ", element_at(p, 2), element_at(p, 3)).as("b23"))
+    def cnt(alias: String) = counts.select(col("g"), col("c").as(alias))
+    val looked = d
+      .join(cnt("ct"), col("tg") === cnt("ct")("g"), "left").drop("g")
+      .join(cnt("cb12"), col("b12") === cnt("cb12")("g"), "left").drop("g")
+      .join(cnt("cb23"), col("b23") === cnt("cb23")("g"), "left").drop("g")
+      .join(cnt("cu2"), col("w2") === cnt("cu2")("g"), "left").drop("g")
+      .join(cnt("cu3"), col("w3") === cnt("cu3")("g"), "left").drop("g")
+      .crossJoin(broadcast(stats))
+    val score =
+      when(col("ct").isNotNull,
+        col("ct").cast("double") / col("cb12").cast("double"))
+      .otherwise(lit(Alpha) *
+        when(col("cb23").isNotNull,
+          col("cb23").cast("double") / col("cu2").cast("double"))
+        .otherwise(lit(Alpha) *
+          (coalesce(col("cu3"), lit(0L)).cast("double") / col("n_tokens"))))
+    val scored = looked
+      .select(col("tg"),
+        floor(lit(1000000.0) * score).cast("bigint").as("s"))
+    // join scores back to positions (the AQE-skew join), reduce per doc,
+    // and drive from the batch side so <3-token docs keep a (0, 0) row
+    val perDoc = pos.join(scored, Seq("tg"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tri"), sum(col("s")).as("sb"))
+    batch.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        coalesce(col("sb"), lit(0L)).as("sb_micros"))
+  }
+}

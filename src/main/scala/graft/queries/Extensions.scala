@@ -2087,7 +2087,23 @@ object Extensions {
       graft.functions.Governance.budgetCurate(
         s.read.parquet(s"$dir/documents.parquet"), "doc_id", "source",
         TA.qualityScore(col("text")), TA.tokenCount(col("text")),
-        budgetPpm = 400000L, salt = "graft-r7-budget"))
+        budgetPpm = 400000L, salt = "graft-r7-budget")),
+
+    // --- Stupid Backoff trigram LM fluency (Brants 2007 — the CCNet
+    // perplexity-filter role without libm): train on the 49/50 corpus
+    // slice, score the held-out slice with an appended doc_id-derived
+    // OOV token (qz0..qz4 — crafted so every backoff arm is reachable:
+    // unseen trigram → bigram, unseen bigram → unigram, OOV → 0).
+    // See LanguageModel.stupidBackoff for the 100 TB notes.
+    "q155_sb_fluency" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val train = docs.filter(col("doc_id") % 50 =!= 3)
+      val batch = docs.filter(col("doc_id") % 50 === 3)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" qz"),
+            (col("doc_id") % 5).cast("string")).as("text"))
+      graft.functions.LanguageModel.stupidBackoff(train, batch)
+    })
   )
 
   // ---- oracle SQL ---------------------------------------------------------
@@ -3465,6 +3481,59 @@ object Extensions {
          |  WHERE run <= remaining)
          |SELECT b.doc_id, b.source, b.quality, b.n_tok
          |FROM base b JOIN fullk f ON b.source = f.source AND b.quality = f.quality
-         |UNION ALL SELECT * FROM bk""".stripMargin
+         |UNION ALL SELECT * FROM bk""".stripMargin,
+
+    // the same single (gram, c) table for all three orders (a gram's
+    // order is its space count), the same nested-CASE backoff with α
+    // multiplied per level (never an α² literal), the same floor(1e6·S)
+    // micros quantization — IEEE-754 /,× are correctly rounded, so the
+    // doubles agree bit-for-bit and the integer per-doc sums hash-match
+    "q155_sb_fluency" ->
+      s"""WITH train AS MATERIALIZED (
+         |  SELECT string_split(text, ' ') AS t FROM documents
+         |  WHERE doc_id % 50 <> 3),
+         |score AS MATERIALIZED (
+         |  SELECT doc_id, string_split(concat(text, ' qz',
+         |    CAST(doc_id % 5 AS VARCHAR)), ' ') AS t
+         |  FROM documents WHERE doc_id % 50 = 3),
+         |cnt AS MATERIALIZED (
+         |  SELECT g, CAST(count(*) AS BIGINT) AS c FROM (
+         |    SELECT unnest(t) AS g FROM train
+         |    UNION ALL
+         |    SELECT array_to_string(t[i:i+1], ' ') AS g FROM train,
+         |      LATERAL (SELECT unnest(range(1, len(t))) AS i) x
+         |      WHERE len(t) >= 2
+         |    UNION ALL
+         |    SELECT array_to_string(t[i:i+2], ' ') AS g FROM train,
+         |      LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) y
+         |      WHERE len(t) >= 3
+         |  ) GROUP BY g),
+         |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n_tokens FROM cnt
+         |  WHERE g NOT LIKE '% %'),
+         |pos AS MATERIALIZED (
+         |  SELECT doc_id, array_to_string(t[i:i+2], ' ') AS tg
+         |  FROM score, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) z
+         |  WHERE len(t) >= 3),
+         |d AS (SELECT tg, string_split(tg, ' ') AS p
+         |  FROM (SELECT DISTINCT tg FROM pos)),
+         |sc AS (
+         |  SELECT tg, CAST(floor(1000000.0 * (CASE WHEN ct.c IS NOT NULL
+         |      THEN CAST(ct.c AS DOUBLE) / CAST(cb12.c AS DOUBLE)
+         |      ELSE 0.4 * (CASE WHEN cb23.c IS NOT NULL
+         |        THEN CAST(cb23.c AS DOUBLE) / CAST(cu2.c AS DOUBLE)
+         |        ELSE 0.4 * (CAST(coalesce(cu3.c, 0) AS DOUBLE)
+         |          / (SELECT n_tokens FROM tot)) END) END)) AS BIGINT) AS s
+         |  FROM d
+         |  LEFT JOIN cnt ct ON ct.g = d.tg
+         |  LEFT JOIN cnt cb12 ON cb12.g = p[1] || ' ' || p[2]
+         |  LEFT JOIN cnt cb23 ON cb23.g = p[2] || ' ' || p[3]
+         |  LEFT JOIN cnt cu2 ON cu2.g = p[2]
+         |  LEFT JOIN cnt cu3 ON cu3.g = p[3]),
+         |agg AS (SELECT pos.doc_id, CAST(count(*) AS BIGINT) AS n_tri,
+         |    CAST(sum(sc.s) AS BIGINT) AS sb
+         |  FROM pos JOIN sc USING (tg) GROUP BY 1)
+         |SELECT s.doc_id, CAST(coalesce(a.n_tri, 0) AS BIGINT) AS n_tri,
+         |  CAST(coalesce(a.sb, 0) AS BIGINT) AS sb_micros
+         |FROM score s LEFT JOIN agg a USING (doc_id)""".stripMargin
   )
 }

@@ -317,4 +317,54 @@ class FormulaPinSpec extends SparkSpec {
       2L -> (2L, 5L, 3L, 12L))  // d,e new; 3 tokens
     assert(got == expect, s"got=$got expect=$expect")
   }
+
+  test("q155 Stupid Backoff: plain-Scala reference agrees and every " +
+       "backoff arm fires (seen tri, tri→bi, bi→uni, OOV zero)") {
+    // train = ids %50 != 3; batch = ids %50 == 3 with ' qz<id%5>' appended
+    // (the registered query's split). Counts from train: uni a1 b1 c2 d2
+    // x1 e1 (N=8); bi 'a b'1 'b c'1 'c d'2 'x c'1; tri 'a b c'1 'b c d'1
+    // 'x c d'1. Batch doc 3 = 'z c d a b c e qz3' exercises, in order:
+    // 'z c d' α·c(c d)/c(c)=0.4 → 400000; 'c d a' α²·c(a)/N=0.16/8 →
+    // 20000; 'd a b' α·c(a b)/c(a)=0.4; 'a b c' seen → 1/1 → 1000000;
+    // 'b c e' α²·c(e)/N → 20000; 'c e qz3' OOV → 0.
+    val docs = Seq(
+      (1L, "a b c d", "s0"),
+      (2L, "x c d", "s0"),
+      (4L, "e", "s0"),
+      (3L, "z c d a b c e", "s0"),
+      (53L, "hi", "s0"))
+    val dir = stageDocs(docs)
+    val got = SparkEntry.queries("q155_sb_fluency")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    // plain-Scala Stupid Backoff, independent of the query's spelling
+    val train = docs.filter(_._1 % 50 != 3).map(_._2.split(" ").toSeq)
+    val cnt = scala.collection.mutable.Map.empty[Seq[String], Long]
+      .withDefaultValue(0L)
+    for (t <- train; n <- 1 to 3; i <- 0 to t.size - n)
+      cnt(t.slice(i, i + n)) += 1
+    val nTok = train.map(_.size).sum.toDouble
+    def sb(w1: String, w2: String, w3: String): Double =
+      if (cnt(Seq(w1, w2, w3)) > 0)
+        cnt(Seq(w1, w2, w3)).toDouble / cnt(Seq(w1, w2))
+      else 0.4 * (
+        if (cnt(Seq(w2, w3)) > 0) cnt(Seq(w2, w3)).toDouble / cnt(Seq(w2))
+        else 0.4 * (cnt(Seq(w3)).toDouble / nTok))
+    def posScores(id: Long, text: String): Seq[Long] =
+      (text + " qz" + (id % 5)).split(" ").toSeq.sliding(3)
+        .filter(_.size == 3)
+        .map(g => math.floor(1000000.0 * sb(g(0), g(1), g(2))).toLong).toSeq
+    val expect = docs.filter(_._1 % 50 == 3).map { case (id, text, _) =>
+      val ss = posScores(id, text)
+      id -> (ss.size.toLong, ss.sum)
+    }.toMap
+    assert(got == expect, s"got=$got expect=$expect")
+
+    // arm pins, hand-computed (comments above): all four regimes present
+    val s3 = posScores(3L, "z c d a b c e")
+    assert(s3 == Seq(400000L, 20000L, 400000L, 1000000L, 20000L, 0L), s3)
+    assert(got(3L) == (6L, 1840000L))
+    // a <3-token batch doc keeps its (0, 0) row rather than vanishing
+    assert(got(53L) == (0L, 0L))
+  }
 }

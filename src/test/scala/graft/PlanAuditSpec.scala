@@ -345,4 +345,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(windowLines.forall(_.contains("quality")), windowLines.mkString("\n"))
     assert(!windowLines.exists(_.contains("doc_id")), windowLines.mkString("\n"))
   }
+
+  test("q155: the only nested-loop join is the 1-row stats broadcast; " +
+       "scores reduce per DISTINCT trigram before the position join-back") {
+    val plan = formatted("q155_sb_fluency")
+    assert(!plan.contains("CartesianProduct"))
+    // crossJoin(broadcast(1-row stats)) is the single BNLJ in the plan
+    assert("\\(\\d+\\) BroadcastNestedLoopJoin".r
+      .findAllMatchIn(plan).size == 1, plan.linesIterator
+        .filter(_.contains("BroadcastNestedLoopJoin")).mkString("\n"))
+    // the distinct that factors scoring out of the position stream exists:
+    // an aggregate whose grouping key is the trigram text alone
+    assert("Keys \\[1\\]: \\[tg#".r.findFirstIn(plan).nonEmpty,
+      "distinct-trigram aggregate missing")
+  }
 }
