@@ -81,6 +81,43 @@ object Similarity {
       .filter(col("sim") >= simThreshold)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space cheaply, compare only
+    * within clusters, and keep ONE representative per semantic-duplicate
+    * set. Two deliberate departures from the paper, both for
+    * engine-reproducibility at scale:
+    *  - clusters are deterministic sign-buckets (hyperplaneBucket — no
+    *    k-means RNG, any engine recomputes the same partition of the
+    *    space);
+    *  - the survivor rule is min-id (a vector is dropped iff some
+    *    SMALLER-id vector in its bucket has cosine ≥ threshold) rather
+    *    than the paper's farthest-from-centroid, so the verdict for a row
+    *    is a pure function of its bucket's contents — no tie-prone
+    *    centroid distances.
+    * Per-row verdicts are local (not transitive-closure): of three
+    * mutually-near vectors a<b<c, only `a` survives, matching the paper's
+    * one-per-group outcome for cliques; chains that cross the threshold
+    * only pairwise keep their earliest element per adjacent pair.
+    *
+    * Scale: candidate pairs exist only within buckets (Σ bucket² work, one
+    * shuffle keyed on bucket), the drop aggregation keys on the dropped
+    * id (uniform), and the final verdict join is id-keyed. Nothing is
+    * quadratic in the corpus and no driver-side state exists, so the
+    * 100 TB form is the same plan with more buckets (`nPlanes` up). */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    simThreshold: Double, nPlanes: Int = 8): DataFrame = {
+    val pairs = embeddingNearDups(df, idCol, vecCol, simThreshold, nPlanes)
+    val drops = pairs.groupBy(col("id2").as("id"))
+      .agg(min(col("id1")).as("dup_of"),
+        count(lit(1)).as("n_smaller_dups"),
+        max(col("sim")).as("best_sim"))
+    df.select(col(idCol).as("id")).join(drops, Seq("id"), "left")
+      .select(col("id"), col("dup_of").isNull.as("kept"),
+        col("dup_of"),
+        coalesce(col("n_smaller_dups"), lit(0L)).as("n_smaller_dups"),
+        col("best_sim"))
+  }
+
   /** IVF (inverted-file) ANN — the other classic scale path:
     * 1. take `nlist` deterministic centroids (lowest ids — no RNG, so any
     *    engine reproduces the index);

@@ -2103,6 +2103,25 @@ object Extensions {
           concat(col("text"), lit(" qz"),
             (col("doc_id") % 5).cast("string")).as("text"))
       graft.functions.LanguageModel.stupidBackoff(train, batch)
+    }),
+
+    // --- SemDeDup semantic dedup over the q43 augmented table: per-vector
+    // KEEP/DROP verdicts instead of q43's raw pair list. Same deterministic
+    // augmentation (exact copies +100000, element-0-perturbed +200000) so
+    // the drop set is non-vacuous: copies drop with dup_of = their source,
+    // sim 1.0; originals keep. Verdict rule (min-id survivor) documented at
+    // Similarity.semanticDedup.
+    "q156_semantic_dedup" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val dups = e.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+      val near = e.filter(col("vec_id") >= 5 && col("vec_id") < 8)
+        .select((col("vec_id") + 200000).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            when(i === 0, x + lit(0.25f)).otherwise(x)).as("embedding"))
+      graft.functions.Similarity.semanticDedup(
+        e.union(dups).union(near), "vec_id", "embedding", simThreshold = 0.95)
     })
   )
 
@@ -3534,6 +3553,35 @@ object Extensions {
          |  FROM pos JOIN sc USING (tg) GROUP BY 1)
          |SELECT s.doc_id, CAST(coalesce(a.n_tri, 0) AS BIGINT) AS n_tri,
          |  CAST(coalesce(a.sb, 0) AS BIGINT) AS sb_micros
-         |FROM score s LEFT JOIN agg a USING (doc_id)""".stripMargin
+         |FROM score s LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    // q43's pair CTE verbatim, then the min-id survivor verdict per id
+    "q156_semantic_dedup" ->
+      s"""WITH base AS (SELECT vec_id, embedding FROM embeddings),
+         |aug AS (
+         |  SELECT vec_id, embedding FROM base
+         |  UNION ALL
+         |  SELECT vec_id + 100000, embedding FROM base WHERE vec_id < 5
+         |  UNION ALL
+         |  SELECT vec_id + 200000,
+         |    list_transform(embedding, (x, i) ->
+         |      CASE WHEN i = 1 THEN CAST(x + CAST(0.25 AS FLOAT) AS FLOAT)
+         |           ELSE x END)
+         |  FROM base WHERE vec_id >= 5 AND vec_id < 8),
+         |b AS (SELECT vec_id AS id, embedding AS vec,
+         |  ${dBucket("embedding", 8)} AS bucket FROM aug),
+         |pairs AS (
+         |  SELECT l.id AS id1, r.id AS id2, ${dCos("l.vec", "r.vec")} AS sim
+         |  FROM b l JOIN b r ON l.bucket = r.bucket AND l.id < r.id
+         |  WHERE ${dCos("l.vec", "r.vec")} >= 0.95),
+         |drops AS (
+         |  SELECT id2 AS id, CAST(min(id1) AS BIGINT) AS dup_of,
+         |    CAST(count(*) AS BIGINT) AS n_smaller_dups,
+         |    max(sim) AS best_sim
+         |  FROM pairs GROUP BY 1)
+         |SELECT b.id, d.dup_of IS NULL AS kept, d.dup_of,
+         |  CAST(coalesce(d.n_smaller_dups, 0) AS BIGINT) AS n_smaller_dups,
+         |  d.best_sim
+         |FROM b LEFT JOIN drops d ON b.id = d.id""".stripMargin
   )
 }

@@ -167,4 +167,27 @@ class BucketingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  test("semanticDedup: min-id survivor per clique, non-dups keep") {
+    // 1, 2, 4 are scaled copies (mutual cosine exactly 1 — a 3-clique);
+    // 3 points elsewhere. Min-id rule: 1 survives the clique; 2 has one
+    // smaller near vector (1), 4 has two (1 and 2); 3 keeps untouched.
+    val vs = Seq(
+      (1L, Array(3.0f, 1.0f, 2.0f)),
+      (2L, Array(6.0f, 2.0f, 4.0f)),
+      (3L, Array(-1.0f, 3.0f, -2.0f)),
+      (4L, Array(1.5f, 0.5f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val got = graft.functions.Similarity
+      .semanticDedup(vs, "vec_id", "embedding", 0.99)
+      .collect()
+      .map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == Set(
+      (1L, true, -1L, 0L),
+      (2L, false, 1L, 1L),
+      (3L, true, -1L, 0L),
+      (4L, false, 1L, 2L)))
+  }
 }
