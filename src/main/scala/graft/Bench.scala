@@ -71,15 +71,34 @@ object Bench {
       only.forall(_.exists(name.startsWith))
     }
     val loadStart = loadavg()
+    // Failure honesty: a pass that throws must NOT record its
+    // time-to-exception as the query's cost (a crash is usually FASTER than
+    // the real plan, so swallowing it silently converts breakage into an
+    // apparent speedup — observed in round 7 where 9 broken streaming
+    // queries "measured" 0.13 s each). Errored passes are counted per
+    // query, excluded from minima, and surfaced in both JSON channels; a
+    // query with zero successful passes is excluded from every total and
+    // the run is marked errored.
+    val errorCounts = scala.collection.mutable.LinkedHashMap[String, Int]()
+    val errorMsgs = scala.collection.mutable.LinkedHashMap[String, String]()
+    def timedPass(name: String,
+        fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      try { run(fn, sfDir); Some((System.nanoTime() - t0) / 1e9) }
+      catch {
+        case t: Throwable =>
+          errorCounts(name) = errorCounts.getOrElse(name, 0) + 1
+          errorMsgs.getOrElseUpdate(name,
+            (t.getClass.getSimpleName + ": " +
+              Option(t.getMessage).getOrElse("").takeWhile(_ != '\n')).take(160))
+          System.err.println(s"graft.Bench: $name pass failed: $t")
+          None
+      }
+    }
     val results = selected.map { case (name, fn) =>
       if (canWarm) { try run(fn, warmDir) catch { case _: Throwable => () } }
-      val times = (1 to passes).map { _ =>
-        spark.catalog.clearCache()
-        val t0 = System.nanoTime()
-        try run(fn, sfDir) catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> times
+      name -> (1 to passes).flatMap(_ => timedPass(name, fn))
     }
     // Confirmation pass: a contention window can cover EVERY pass of one
     // query (observed: a ~40 s system load spike made one 0.4 s query
@@ -87,44 +106,51 @@ object Bench {
     // Re-measure the heaviest queries once more, now separated in time
     // from their original passes, and keep the min.
     val median = {
-      val xs = results.values.map(_.min).toSeq.sorted
+      val xs = results.values.collect { case v if v.nonEmpty => v.min }.toSeq.sorted
       if (xs.isEmpty) 0.0 else xs(xs.size / 2)
     }
     val suspects = results.filter { case (_, v) =>
-      v.min > math.max(0.5, 3 * median) }.keys.toSeq
-    val confirmed = suspects.map { name =>
+      v.nonEmpty && v.min > math.max(0.5, 3 * median) }.keys.toSeq
+    val confirmed = suspects.flatMap { name =>
       val fn = selected(name)
       if (canWarm) { try run(fn, warmDir) catch { case _: Throwable => () } }
-      spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      try run(fn, sfDir) catch { case _: Throwable => () }
-      name -> ((System.nanoTime() - t0) / 1e9)
+      timedPass(name, fn).map(name -> _)
     }.toMap
     val finalResults = results.map { case (k, v) =>
       k -> (v ++ confirmed.get(k).toSeq) }
+    // queries with zero successful passes: no min exists — they carry no
+    // time anywhere and the run itself is marked errored
+    val measured = finalResults.filter(_._2.nonEmpty)
+    val failedQs = finalResults.collect { case (k, v) if v.isEmpty => k }.toSeq
     val loadEnd = loadavg()
     def fmt(d: Double) = f"$d%.4f"
-    val qs = finalResults.map { case (k, v) => "\"" + k + "\":" + fmt(v.min) }
+    val qs = measured.map { case (k, v) => "\"" + k + "\":" + fmt(v.min) }
       .mkString("{", ",", "}")
     val raw = finalResults.map { case (k, v) =>
       "\"" + k + "\":[" + v.map(fmt).mkString(",") + "]"
     }.mkString("{", ",", "}")
-    val flagged = finalResults.collect {
+    val flagged = measured.collect {
       case (k, v) if v.min > 0.05 && v.max / v.min > SPREAD_FLAG_RATIO => k
     }.toSeq
-    val total = finalResults.values.map(_.min).sum
+    val total = measured.values.map(_.min).sum
     // The streaming envelopes (multi-batch runs, one with a kill/restart
     // cycle) swing several seconds with filesystem load and would mask a
     // batch-plan regression inside the headline total. Split the totals so
     // the regression gate can watch batch_total alone; "stream" in the
     // query name is the naming convention every streaming entry follows.
     val (streamQs, batchQs) =
-      finalResults.partition(_._1.contains("stream"))
+      measured.partition(_._1.contains("stream"))
     val batchTotal = batchQs.values.map(_.min).sum
     val streamTotal = streamQs.values.map(_.min).sum
     def arr(xs: Seq[Double]) = xs.map(fmt).mkString("[", ",", "]")
     def names(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val contended = flagged.size > math.max(2, finalResults.size / 10)
+    val errored = errorCounts.nonEmpty
+    val errJson = errorCounts.map { case (k, n) => "\"" + k + "\":" + n }
+      .mkString("{", ",", "}")
+    val errMsgJson = errorMsgs.map { case (k, m) =>
+      "\"" + k + "\":\"" + m.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    }.mkString("{", ",", "}")
     // a few noisy queries are normal on a shared box (their MIN is still
     // the plan cost); a systemically contended run flags a broad slice
     val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec"""" +
@@ -133,6 +159,8 @@ object Bench {
       s""","loadavg_start":${arr(loadStart)},"loadavg_end":${arr(loadEnd)}""" +
       s""","remeasured":${names(suspects)}""" +
       s""","spread_flagged":${names(flagged)}""" +
+      s""","errored":$errored,"errors":$errJson,"error_msgs":$errMsgJson""" +
+      s""","failed_queries":${names(failedQs)}""" +
       s""","contended":$contended}"""
     // The driver captures only a BOUNDED TAIL (~2000 chars) of the sbt log:
     // the full JSON (~10 KB at 120+ queries) can never survive there — it
@@ -157,18 +185,28 @@ object Bench {
     // env channel is unset
     writeTo("BENCH_FULL_LATEST.json")
     def fmt3(d: Double) = f"$d%.3f"
-    val shortNames = finalResults.keys.map(n => n -> n.takeWhile(_ != '_'))
+    val shortNames = measured.keys.map(n => n -> n.takeWhile(_ != '_'))
     val shortUnique = shortNames.map(_._2).toSeq.distinct.size == shortNames.size
-    val compactQs = finalResults.map { case (k, v) =>
+    val compactQs = measured.map { case (k, v) =>
       val key = if (shortUnique) k.takeWhile(_ != '_') else k
       "\"" + key + "\":" + fmt3(v.min)
     }.mkString("{", ",", "}")
     // every byte counts against the tail window: passes/raw evidence live
     // in BENCH_FULL_LATEST.json, the stdout line carries only the spec
-    // fields + the contention verdict
-    val compact = s"""{"metric":"total","value":${fmt3(total)},"unit":"sec"""" +
-      s""","batch_total":${fmt3(batchTotal)},"stream_total":${fmt3(streamTotal)}""" +
-      s""","queries":$compactQs,"sf":"$sfDir","contended":$contended}"""
+    // fields + the contention/error verdicts
+    val errCompact = if (errored)
+      s""","errored":true,"failed_queries":${names(failedQs)}""" else ""
+    def compactLine(withQs: Boolean) =
+      s"""{"metric":"total","value":${fmt3(total)},"unit":"sec"""" +
+        s""","batch_total":${fmt3(batchTotal)},"stream_total":${fmt3(streamTotal)}""" +
+        (if (withQs) s""","queries":$compactQs""" else s""","n_queries":${measured.size}""") +
+        s""","sf":"$sfDir"$errCompact,"contended":$contended}"""
+    // the driver JSON-parses the tail's last line: past ~120 queries the
+    // per-query map alone exceeds the ~2000-char tail window, so the line
+    // would arrive mid-JSON and parse to null. Above the threshold, drop
+    // the map from stdout (totals/flags only; full map in file channels).
+    val withMap = compactLine(withQs = true)
+    val compact = if (withMap.length <= 1800) withMap else compactLine(withQs = false)
     spark.stop()
     println(compact)
   }

@@ -64,16 +64,39 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** Within-bucket pair work is Σ bucket² and sign-buckets are
+    * DATA-DEPENDENT: a dense embedding region (all of one template's
+    * near-copies, a collapsed encoder) concentrates mass in one bucket and
+    * silently turns the "bounded candidates" claim quadratic. Default cap
+    * on any single bucket's population — exceeded → directed runtime error
+    * naming the bucket, its population, and the knob (more planes splits
+    * every bucket in half per plane). 2^16 rows ⇒ ≤ 2^31 pairs in the
+    * worst bucket — the outer limit of acceptable for one skewed task. */
+  val DefaultMaxBucket: Long = 1L << 16
+
   /** Embedding-cosine near-duplicate pairs: hyperplane-LSH bucketing, then
     * exact cosine only on within-bucket pairs (id1 < id2) ≥ threshold.
     * The all-pairs product never materializes — pair count is bounded by
     * Σ bucket² over sign buckets, and vectors travel through one shuffle
-    * keyed by bucket. */
+    * keyed by bucket. `maxBucket` guards the Σ bucket² claim in-query:
+    * the population check rides the pair join itself (bucket counts are a
+    * ≤2^nPlanes-row broadcast), so an oversized bucket fails the job with
+    * a directed error instead of quietly running quadratic. */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
-                        simThreshold: Double, nPlanes: Int = 8): DataFrame = {
+                        simThreshold: Double, nPlanes: Int = 8,
+                        maxBucket: Long = DefaultMaxBucket): DataFrame = {
     val b = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       hyperplaneBucket(col(vecCol), nPlanes).as("bucket")).cache()
-    val l = b.select(col("bucket"), col("id").as("id1"), col("vec").as("v1"))
+    val counts = b.groupBy(col("bucket")).agg(count(lit(1)).as("__bn"))
+    val guard = when(col("__bn") <= maxBucket, col("bucket")).otherwise(
+      raise_error(concat(
+        lit("semanticDedup/embeddingNearDups: sign-bucket "), col("bucket"),
+        lit(" holds "), col("__bn"),
+        lit(s" vectors > maxBucket=$maxBucket — within-bucket pair work is"
+          + s" quadratic; raise nPlanes (currently $nPlanes) to split dense"
+          + " regions, or raise maxBucket deliberately"))))
+    val l = b.join(broadcast(counts), Seq("bucket"))
+      .select(guard.as("bucket"), col("id").as("id1"), col("vec").as("v1"))
     val r = b.select(col("bucket"), col("id").as("id2"), col("vec").as("v2"))
     l.join(r, Seq("bucket"))
       .filter(col("id1") < col("id2"))
@@ -103,10 +126,14 @@ object Similarity {
     * shuffle keyed on bucket), the drop aggregation keys on the dropped
     * id (uniform), and the final verdict join is id-keyed. Nothing is
     * quadratic in the corpus and no driver-side state exists, so the
-    * 100 TB form is the same plan with more buckets (`nPlanes` up). */
+    * 100 TB form is the same plan with more buckets (`nPlanes` up) — and
+    * the `maxBucket` guard (see embeddingNearDups) makes a dense region
+    * that WOULD go quadratic fail directed instead of running. */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
-                    simThreshold: Double, nPlanes: Int = 8): DataFrame = {
-    val pairs = embeddingNearDups(df, idCol, vecCol, simThreshold, nPlanes)
+                    simThreshold: Double, nPlanes: Int = 8,
+                    maxBucket: Long = DefaultMaxBucket): DataFrame = {
+    val pairs = embeddingNearDups(df, idCol, vecCol, simThreshold, nPlanes,
+      maxBucket)
     val drops = pairs.groupBy(col("id2").as("id"))
       .agg(min(col("id1")).as("dup_of"),
         count(lit(1)).as("n_smaller_dups"),

@@ -190,4 +190,32 @@ class BucketingSpec extends SparkSpec {
       (3L, true, -1L, 0L),
       (4L, false, 1L, 2L)))
   }
+
+  test("semanticDedup maxBucket guard fires on a dense embedding cluster") {
+    // 50 scaled copies of one direction → all land in ONE sign bucket
+    // (projections scale with the vector, signs are invariant): the
+    // data-dependent skew case where Σ bucket² goes quadratic. With
+    // maxBucket = 10 the in-query population guard must fail the job with
+    // the directed message, not silently run the 50²-pair bucket.
+    val dense = (1 to 50).map(i =>
+      (i.toLong, Array(3.0f * i, 1.0f * i, 2.0f * i))) :+
+      (99L, Array(-1.0f, 3.0f, -2.0f))
+    val vs = dense.toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      graft.functions.Similarity
+        .semanticDedup(vs, "vec_id", "embedding", 0.99, maxBucket = 10L)
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    val msg = messages(e).mkString("\n")
+    assert(msg.contains("maxBucket=10"), s"unexpected error: $msg")
+    assert(msg.contains("nPlanes"), s"error not directed at the knob: $msg")
+    // same corpus passes untouched under the default bound
+    val ok = graft.functions.Similarity
+      .semanticDedup(vs, "vec_id", "embedding", 0.99)
+      .filter(col("kept")).count()
+    assert(ok >= 2) // min-id survivor of the dense clique + the outlier
+  }
 }
