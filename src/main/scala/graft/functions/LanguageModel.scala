@@ -71,13 +71,38 @@ object LanguageModel {
     * contract. */
   def stupidBackoff(train: DataFrame, batch: DataFrame,
                     idCol: String = "doc_id",
-                    textCol: String = "text"): DataFrame = {
+                    textCol: String = "text"): DataFrame =
+    scoreAgainstCounts(trainCounts(train, textCol), batch, idCol, textCol)
+
+  /** The TRAIN half alone: one explode scan of the corpus → the single
+    * (gram, c) count table for orders 1-3 (a gram's order is
+    * self-describing — n−1 spaces). This is the table to persist through
+    * [[countsTap]] so daily batches score without re-counting the corpus
+    * — the q127 band-index amortization. */
+  def trainCounts(train: DataFrame, textCol: String = "text"): DataFrame = {
     val t = split(col(textCol), " ")
-    // one training scan → one (gram, c) table for all three orders
-    val counts = train
+    train
       .select(explode(concat(gramList(t, 1), gramList(t, 2), gramList(t, 3)))
         .as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("c"))
+  }
+
+  /** The tap a persisted count table is written through: bucketed by the
+    * gram string — the key of every one of scoring's five lookups — so a
+    * later batch scores with NO exchange on the count-table side: only
+    * the batch's O(distinct batch grams) probe rows are exchanged into
+    * the bucket layout. Size buckets so one bucket ≈ one task of count
+    * rows at the target corpus scale. */
+  def countsTap(table: String, buckets: Int): graft.sources.BucketedTap =
+    graft.sources.BucketedTap(table, buckets, Seq("g"))
+
+  /** The SCORE half against an existing count table ([[trainCounts]]
+    * layout — read back through [[countsTap]] for the zero-exchange
+    * plan). */
+  def scoreAgainstCounts(counts: DataFrame, batch: DataFrame,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    val t = split(col(textCol), " ")
     // unigram total N: O(vocab) reduce of the count table, 1-row broadcast
     val stats = counts.filter(!col("g").contains(" "))
       .agg(sum(col("c")).cast("double").as("n_tokens"))

@@ -167,6 +167,114 @@ object Vocab {
         sum(col("nc")).as("n_chars"))
   }
 
+  /** The SCALE form of [[bpeEncode]] — same output contract, flat plan
+    * depth, distinct-word memoization. [[bpeEncode]]'s compiled chain
+    * nests one Catalyst `replace` per merge: sound at nMerges = 8,
+    * unanalyzable at a real tokenizer's ~50k merges (thousands of nested
+    * expression nodes). Here the whole chain is ONE
+    * [[graft.catalyst.BpeEncode]] node (the merge table is a reference
+    * object the generated code loops over — merge count is data, not
+    * plan shape), and it runs once per DISTINCT word — the q155
+    * distinct-trigram factoring — so per-word cost O(nMerges · len) is
+    * paid on the vocab-sized table, never per corpus token. The join
+    * back to corpus positions keys on raw words (zipfian — the declared
+    * AQE-skew point, exactly as in LanguageModel.stupidBackoff); the
+    * per-doc aggregation keys on uniform doc ids. */
+  def bpeEncodeFlat(docs: DataFrame, idCol: String, textCol: String,
+                    merges: Seq[(String, String)]): DataFrame = {
+    val subs = merges.map { case (l, r) => (s" $l $r ", s" $l$r ") }
+    val words = docs.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val encoded = words.select(col("w")).distinct()
+      .select(col("w"), size(split(trim(
+        graft.catalyst.BpeEncode(charSpaced(col("w")), subs)), " ")).as("ns"))
+    words.join(encoded, Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("ns")).as("n_subwords"),
+        sum(length(col("w"))).as("n_chars"))
+  }
+
+  /** Word-level BPE (phrase induction, the SentencePiece-over-tokens
+    * shape): symbols are whitespace tokens, a merge fuses an adjacent
+    * token pair (l, r) into "l_r". Derivation is ROUND-BATCHED — each of
+    * `rounds` rounds counts adjacent pairs ONCE over the current corpus
+    * representation, takes the top `perRound` pairs by
+    * (count DESC, l ASC, r ASC), and applies them in rank order — so a
+    * rounds × perRound = 256-merge vocabulary costs `rounds` counting
+    * scans + `rounds` bounded driver carries (perRound rows each, via
+    * TakeOrderedAndProject), not 256 iterations. Application is one
+    * [[graft.catalyst.BpeEncode]] node per round: plan depth and lineage
+    * are O(rounds) — localCheckpoint per round, the bpeMerges
+    * discipline — regardless of total merge count.
+    *
+    * Returns one row per document: (doc_id, n_words, n_symbols) — token
+    * count before and symbol count after the 256-merge encode; the
+    * compression the phrase vocabulary achieves is n_words/n_symbols. */
+  def phraseBpe(docs: DataFrame, idCol: String, textCol: String,
+                rounds: Int, perRound: Int): DataFrame = {
+    var reprs = docs.select(col(idCol).as("doc_id"),
+        size(split(col(textCol), " ")).as("n_words"),
+        concat(lit(" "), col(textCol), lit(" ")).as("repr"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val t = split(trim(col("repr")), " ")
+      val top = reprs
+        .filter(size(t) >= 2)
+        .select(explode(transform(sequence(lit(1), size(t) - 1),
+          i => struct(element_at(t, i).as("l"),
+            element_at(t, i + 1).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(count(lit(1)).as("pc"))
+        .orderBy(col("pc").desc, col("l"), col("r"))
+        .limit(perRound)
+        .collect()
+      val subs = top.map(r =>
+        (s" ${r.getString(0)} ${r.getString(1)} ",
+          s" ${r.getString(0)}_${r.getString(1)} ")).toSeq
+      reprs = reprs.withColumn("repr",
+        graft.catalyst.BpeEncode(col("repr"), subs)).localCheckpoint()
+    }
+    reprs.select(col("doc_id"), col("n_words"),
+      size(split(trim(col("repr")), " ")).as("n_symbols"))
+  }
+
+  /** DuckDB spelling of [[phraseBpe]]: per round, pair counts + a ranked
+    * top-`perRound` merge table, then a RECURSIVE CTE applying the
+    * round's merges in rank order (one recursion step per rank — the
+    * flat-depth shape on the oracle side too, no nested replace chain). */
+  def phraseBpeOracleSql(rounds: Int, perRound: Int): String = {
+    val roundCtes = (1 to rounds).map { k =>
+      s"""p$k AS MATERIALIZED (
+         |  SELECT t[i] AS l, t[i + 1] AS r, count(*) AS pc
+         |  FROM (SELECT string_split(trim(repr), ' ') AS t FROM d${k - 1}
+         |        WHERE len(string_split(trim(repr), ' ')) >= 2) s,
+         |       LATERAL (SELECT unnest(range(1, len(t))) AS i) ii
+         |  GROUP BY 1, 2),
+         |m$k AS MATERIALIZED (
+         |  SELECT l, r, row_number() OVER (ORDER BY pc DESC, l, r) AS rk
+         |  FROM p$k QUALIFY rk <= $perRound),
+         |e$k AS (
+         |  SELECT doc_id, n_words, repr, 0 AS rk FROM d${k - 1}
+         |  UNION ALL
+         |  SELECT e.doc_id, e.n_words,
+         |    replace(e.repr, ' ' || m.l || ' ' || m.r || ' ',
+         |      ' ' || m.l || '_' || m.r || ' ') AS repr, e.rk + 1
+         |  FROM e$k e JOIN m$k m ON m.rk = e.rk + 1),
+         |d$k AS MATERIALIZED (
+         |  SELECT doc_id, n_words, repr FROM e$k
+         |  WHERE rk = (SELECT count(*) FROM m$k))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH RECURSIVE
+       |d0 AS MATERIALIZED (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS n_words,
+       |         ' ' || text || ' ' AS repr FROM documents),
+       |$roundCtes
+       |SELECT doc_id, CAST(n_words AS INTEGER) AS n_words,
+       |  CAST(len(string_split(trim(repr), ' ')) AS INTEGER) AS n_symbols
+       |FROM d$rounds""".stripMargin
+  }
+
   /** DuckDB spelling of learn-then-encode: the q150 learning CTE chain,
     * then the merge chain applied as nested replace() calls per word. */
   def encodeOracleSql(nMerges: Int): String = {

@@ -63,9 +63,14 @@ object Extensions {
   }
 
   /** Fresh (in, out, checkpoint) dirs under a per-query tmp root, deleting
-    * any previous run's tree — shared by the streaming gate queries. */
+    * any previous run's tree — shared by the streaming gate queries. The
+    * pid suffix (the stagePath pattern, Relational.scala:30) keeps
+    * concurrent gate JVMs — driver correctness + bench, or a parallel test
+    * run — from wiping each other's live staging/checkpoints: the wipe
+    * below only ever hits THIS process's previous tree. */
   private def freshStreamDirs(name: String): (String, String, String) = {
-    val root = new java.io.File(System.getProperty("java.io.tmpdir"), name)
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"${name}_p${ProcessHandle.current.pid}")
     def rmr(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rmr)
       f.delete(); ()
@@ -1034,7 +1039,8 @@ object Extensions {
     "q136_shard_export" -> ((s, dir) => {
       val back = graft.functions.Governance.shardExport(
         s.read.parquet(s"$dir/documents.parquet").select(col("doc_id")),
-        "doc_id", 16, "q136", "/tmp/graft_q136_shards")
+        "doc_id", 16, "q136",
+        s"/tmp/graft_q136_shards_p${ProcessHandle.current.pid}")
       back.groupBy(col("shard").cast("int").as("shard"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("pos") * (col("doc_id") % 1000003L)).as("order_checksum"),
@@ -2122,10 +2128,123 @@ object Extensions {
             when(i === 0, x + lit(0.25f)).otherwise(x)).as("embedding"))
       graft.functions.Similarity.semanticDedup(
         e.union(dups).union(near), "vec_id", "embedding", simThreshold = 0.95)
+    }),
+
+    // --- q152's learn→encode through the FLAT encoder: the same 8
+    // learned merges, applied as ONE BpeEncode expression node per
+    // DISTINCT word (plan depth constant in merge count — the form that
+    // survives a 50k-merge tokenizer) and joined back to corpus
+    // positions. Oracle = q152's oracle verbatim: the two encode paths
+    // are value-identical by construction, and the gate proves it.
+    "q157_bpe_encode_flat" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val merges = graft.functions.Vocab.bpeMerges(docs, "text", nMerges = 8)
+        .collect().sortBy(_.getInt(0))
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.functions.Vocab.bpeEncodeFlat(docs, "doc_id", "text", merges)
+    }),
+
+    // --- 256-merge vocabulary at flat plan depth: word-level BPE
+    // (phrase induction), 4 round-batched derivation rounds × 64 merges,
+    // each round one pair-counting scan + a 64-row driver carry + one
+    // BpeEncode node. The corpus' 31-word char vocabulary exhausts char
+    // merges near ~150, so the ≥256-merge depth gate runs at the word
+    // level where the pair space (916 distinct adjacent token pairs at
+    // sf0.01) sustains 4 full rounds.
+    "q158_phrase_bpe256" -> ((s, dir) =>
+      graft.functions.Vocab.phraseBpe(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        rounds = 4, perRound = 64)),
+
+    // --- q155's Stupid Backoff scoring against a PERSISTED count table:
+    // trainCounts written once through countsTap (bucketed by gram — the
+    // key of all five scoring lookups), then the batch scored with ZERO
+    // exchange on the count-table side (asserted in-plan: no
+    // hashpartitioning on the count table's gram column, five
+    // bucket-aware index scans; broadcast disabled so the bucket-join
+    // path is what's planned). Oracle = q155's oracle: identical values.
+    "q159_sb_fluency_indexed" -> ((s, dir) => {
+      val table = "graft_q159_lmcounts"
+      graft.queries.Tables.dropStagedTable(s, table)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val train = docs.filter(col("doc_id") % 50 =!= 3)
+      val batch = docs.filter(col("doc_id") % 50 === 3)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" qz"),
+            (col("doc_id") % 5).cast("string")).as("text"))
+      graft.functions.LanguageModel.countsTap(table, 8).write(
+        graft.functions.LanguageModel.trainCounts(train),
+        graft.sources.SinkMode.Replace)
+      val threshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val df = graft.functions.LanguageModel.scoreAgainstCounts(
+          s.table(table), batch)
+        val plan = df.queryExecution.executedPlan.toString
+        val gramExchanges = "Exchange hashpartitioning\\(g#".r
+          .findAllMatchIn(plan).size
+        require(gramExchanges == 0, "scoring must never exchange the " +
+          s"count table (got $gramExchanges gram-keyed exchanges)")
+        val bucketScans = "SelectedBucketsCount".r.findAllMatchIn(plan).size
+        require(bucketScans >= 5, "all five count lookups must be " +
+          s"bucket-aware index scans (got $bucketScans)")
+        df
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
     })
   )
 
   // ---- oracle SQL ---------------------------------------------------------
+  /** The Stupid Backoff oracle, shared by q155 (inline counting) and
+    * q159 (persisted count table) — the index changes the plan, never
+    * the values. */
+  private lazy val sbFluencyOracle: String =
+    s"""WITH train AS MATERIALIZED (
+     |  SELECT string_split(text, ' ') AS t FROM documents
+     |  WHERE doc_id % 50 <> 3),
+     |score AS MATERIALIZED (
+     |  SELECT doc_id, string_split(concat(text, ' qz',
+     |    CAST(doc_id % 5 AS VARCHAR)), ' ') AS t
+     |  FROM documents WHERE doc_id % 50 = 3),
+     |cnt AS MATERIALIZED (
+     |  SELECT g, CAST(count(*) AS BIGINT) AS c FROM (
+     |    SELECT unnest(t) AS g FROM train
+     |    UNION ALL
+     |    SELECT array_to_string(t[i:i+1], ' ') AS g FROM train,
+     |      LATERAL (SELECT unnest(range(1, len(t))) AS i) x
+     |      WHERE len(t) >= 2
+     |    UNION ALL
+     |    SELECT array_to_string(t[i:i+2], ' ') AS g FROM train,
+     |      LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) y
+     |      WHERE len(t) >= 3
+     |  ) GROUP BY g),
+     |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n_tokens FROM cnt
+     |  WHERE g NOT LIKE '% %'),
+     |pos AS MATERIALIZED (
+     |  SELECT doc_id, array_to_string(t[i:i+2], ' ') AS tg
+     |  FROM score, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) z
+     |  WHERE len(t) >= 3),
+     |d AS (SELECT tg, string_split(tg, ' ') AS p
+     |  FROM (SELECT DISTINCT tg FROM pos)),
+     |sc AS (
+     |  SELECT tg, CAST(floor(1000000.0 * (CASE WHEN ct.c IS NOT NULL
+     |      THEN CAST(ct.c AS DOUBLE) / CAST(cb12.c AS DOUBLE)
+     |      ELSE 0.4 * (CASE WHEN cb23.c IS NOT NULL
+     |        THEN CAST(cb23.c AS DOUBLE) / CAST(cu2.c AS DOUBLE)
+     |        ELSE 0.4 * (CAST(coalesce(cu3.c, 0) AS DOUBLE)
+     |          / (SELECT n_tokens FROM tot)) END) END)) AS BIGINT) AS s
+     |  FROM d
+     |  LEFT JOIN cnt ct ON ct.g = d.tg
+     |  LEFT JOIN cnt cb12 ON cb12.g = p[1] || ' ' || p[2]
+     |  LEFT JOIN cnt cb23 ON cb23.g = p[2] || ' ' || p[3]
+     |  LEFT JOIN cnt cu2 ON cu2.g = p[2]
+     |  LEFT JOIN cnt cu3 ON cu3.g = p[3]),
+     |agg AS (SELECT pos.doc_id, CAST(count(*) AS BIGINT) AS n_tri,
+     |    CAST(sum(sc.s) AS BIGINT) AS sb
+     |  FROM pos JOIN sc USING (tg) GROUP BY 1)
+     |SELECT s.doc_id, CAST(coalesce(a.n_tri, 0) AS BIGINT) AS n_tri,
+     |  CAST(coalesce(a.sb, 0) AS BIGINT) AS sb_micros
+     |FROM score s LEFT JOIN agg a USING (doc_id)""".stripMargin
+
   /** DuckDB spelling of TA.langId (shared by q21 and the q90 pipeline). */
   private lazy val dLangCase =
     s"""CASE
@@ -3507,53 +3626,19 @@ object Extensions {
     // multiplied per level (never an α² literal), the same floor(1e6·S)
     // micros quantization — IEEE-754 /,× are correctly rounded, so the
     // doubles agree bit-for-bit and the integer per-doc sums hash-match
-    "q155_sb_fluency" ->
-      s"""WITH train AS MATERIALIZED (
-         |  SELECT string_split(text, ' ') AS t FROM documents
-         |  WHERE doc_id % 50 <> 3),
-         |score AS MATERIALIZED (
-         |  SELECT doc_id, string_split(concat(text, ' qz',
-         |    CAST(doc_id % 5 AS VARCHAR)), ' ') AS t
-         |  FROM documents WHERE doc_id % 50 = 3),
-         |cnt AS MATERIALIZED (
-         |  SELECT g, CAST(count(*) AS BIGINT) AS c FROM (
-         |    SELECT unnest(t) AS g FROM train
-         |    UNION ALL
-         |    SELECT array_to_string(t[i:i+1], ' ') AS g FROM train,
-         |      LATERAL (SELECT unnest(range(1, len(t))) AS i) x
-         |      WHERE len(t) >= 2
-         |    UNION ALL
-         |    SELECT array_to_string(t[i:i+2], ' ') AS g FROM train,
-         |      LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) y
-         |      WHERE len(t) >= 3
-         |  ) GROUP BY g),
-         |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n_tokens FROM cnt
-         |  WHERE g NOT LIKE '% %'),
-         |pos AS MATERIALIZED (
-         |  SELECT doc_id, array_to_string(t[i:i+2], ' ') AS tg
-         |  FROM score, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) z
-         |  WHERE len(t) >= 3),
-         |d AS (SELECT tg, string_split(tg, ' ') AS p
-         |  FROM (SELECT DISTINCT tg FROM pos)),
-         |sc AS (
-         |  SELECT tg, CAST(floor(1000000.0 * (CASE WHEN ct.c IS NOT NULL
-         |      THEN CAST(ct.c AS DOUBLE) / CAST(cb12.c AS DOUBLE)
-         |      ELSE 0.4 * (CASE WHEN cb23.c IS NOT NULL
-         |        THEN CAST(cb23.c AS DOUBLE) / CAST(cu2.c AS DOUBLE)
-         |        ELSE 0.4 * (CAST(coalesce(cu3.c, 0) AS DOUBLE)
-         |          / (SELECT n_tokens FROM tot)) END) END)) AS BIGINT) AS s
-         |  FROM d
-         |  LEFT JOIN cnt ct ON ct.g = d.tg
-         |  LEFT JOIN cnt cb12 ON cb12.g = p[1] || ' ' || p[2]
-         |  LEFT JOIN cnt cb23 ON cb23.g = p[2] || ' ' || p[3]
-         |  LEFT JOIN cnt cu2 ON cu2.g = p[2]
-         |  LEFT JOIN cnt cu3 ON cu3.g = p[3]),
-         |agg AS (SELECT pos.doc_id, CAST(count(*) AS BIGINT) AS n_tri,
-         |    CAST(sum(sc.s) AS BIGINT) AS sb
-         |  FROM pos JOIN sc USING (tg) GROUP BY 1)
-         |SELECT s.doc_id, CAST(coalesce(a.n_tri, 0) AS BIGINT) AS n_tri,
-         |  CAST(coalesce(a.sb, 0) AS BIGINT) AS sb_micros
-         |FROM score s LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    "q155_sb_fluency" -> sbFluencyOracle,
+
+    // the flat-depth encoder is value-identical to q152's nested chain by
+    // construction — same oracle, and the gate proves the identity
+    "q157_bpe_encode_flat" -> graft.functions.Vocab.encodeOracleSql(8),
+
+    // 4 derivation rounds × 64 word-level merges, applied via one
+    // recursion step per rank on the oracle side too
+    "q158_phrase_bpe256" -> graft.functions.Vocab.phraseBpeOracleSql(4, 64),
+
+    // scoring against the persisted count table returns the exact q155
+    // values — the index changes the plan, never the numbers
+    "q159_sb_fluency_indexed" -> sbFluencyOracle,
 
     // q43's pair CTE verbatim, then the min-id survivor verdict per id
     "q156_semantic_dedup" ->

@@ -191,6 +191,38 @@ class BucketingSpec extends SparkSpec {
       (4L, false, 1L, 2L)))
   }
 
+  test("LM counts tap: scoring against the bucketed count table plans " +
+       "zero gram-side exchanges and returns the direct-scoring values") {
+    val table = "bk_lmcounts"
+    graft.queries.Tables.dropStagedTable(spark, table)
+    val train = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat ran to the mat"),
+      (3L, "a dog sat on a mat")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the cat sat on a mat"),
+      (11L, "zz qq ww")).toDF("doc_id", "text")
+    val LM = graft.functions.LanguageModel
+    LM.countsTap(table, 4).write(LM.trainCounts(train),
+      graft.sources.SinkMode.Replace)
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val indexed = LM.scoreAgainstCounts(spark.table(table), batch)
+      val plan = indexed.queryExecution.executedPlan.toString
+      assert("Exchange hashpartitioning\\(g#".r.findAllMatchIn(plan).isEmpty,
+        s"count table must never be exchanged:\n$plan")
+      assert("SelectedBucketsCount".r.findAllMatchIn(plan).size >= 5,
+        "all five lookups must be bucket-aware scans")
+      val got = indexed.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val direct = LM.stupidBackoff(train, batch).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == direct, s"indexed=$got direct=$direct")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+
   test("semanticDedup maxBucket guard fires on a dense embedding cluster") {
     // 50 scaled copies of one direction → all land in ONE sign bucket
     // (projections scale with the vector, signs are invariant): the

@@ -299,6 +299,72 @@ class FormulaPinSpec extends SparkSpec {
     assert(got.values.exists(v => v._2 < v._3))
   }
 
+  test("q157 flat BPE encode: identical to the nested chain, and a " +
+       "300-merge chain executes at constant plan depth") {
+    val texts = Map(
+      1L -> "lower wider lower wider lower",
+      2L -> "wer der wer der wer der",
+      3L -> "xy xz xy xz",
+      4L -> "aaaa aaaa aaaa")
+    val dir = stageDocs(texts.toSeq.map { case (id, t) => (id, t, "s") })
+    val flat = SparkEntry.queries("q157_bpe_encode_flat")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val nested = SparkEntry.queries("q152_bpe_encode")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(flat == nested, s"flat=$flat nested=$nested")
+    // depth gate: a merge list far past the nested chain's analyzable
+    // bound runs as ONE expression node and matches a plain-Scala replay
+    val subs = (1 to 300).map(i => (s" a a ", s" aa ")).take(1) ++
+      (2 to 300).map { i =>
+        val s = "a" * i; (s" $s$s ", " XX ") } // mostly-no-op long chain
+    val got = Seq(("a " * 40).trim).toDF("w")
+      .select(graft.catalyst.BpeEncode(
+        concat(lit(" "), col("w"), lit(" ")), subs).as("e"))
+      .collect()(0).getString(0)
+    var expect = " " + ("a " * 40).trim + " "
+    for ((p, r) <- subs) if (expect.contains(p)) expect = expect.replace(p, r)
+    assert(got == expect)
+  }
+
+  test("q158 phrase BPE: plain-Scala replay of round-batched derivation " +
+       "and application") {
+    val texts = Map(
+      1L -> "the cat sat on the mat",
+      2L -> "the cat ran to the cat",
+      3L -> "on the mat sat the cat",
+      4L -> "the cat the cat the cat")
+    val dir = stageDocs(texts.toSeq.map { case (id, t) => (id, t, "s") })
+    val rounds = 2; val perRound = 3
+    var reprs = texts.map { case (id, t) => id -> (" " + t + " ") }
+    for (_ <- 1 to rounds) {
+      val pc = scala.collection.mutable.Map[(String, String), Long]()
+      for ((_, repr) <- reprs) {
+        val t = repr.trim.split(" ")
+        for (i <- 0 until t.length - 1) {
+          pc((t(i), t(i + 1))) = pc.getOrElse((t(i), t(i + 1)), 0L) + 1
+        }
+      }
+      val top = pc.toSeq
+        .sortBy { case ((l, r), c) => (-c, l, r) }.take(perRound)
+      reprs = reprs.map { case (id, repr) =>
+        var s = repr
+        for (((l, r), _) <- top) s = s.replace(s" $l $r ", s" ${l}_$r ")
+        id -> s
+      }
+    }
+    val expect = texts.map { case (id, t) =>
+      id -> (t.split(" ").length, reprs(id).trim.split(" ").length) }
+    val got = graft.functions.Vocab.phraseBpe(
+        spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        rounds, perRound)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(got == expect, s"got=$got expect=$expect")
+    // non-degeneracy: at least one phrase merge fired
+    assert(got.exists { case (_, (nw, ns)) => ns < nw })
+  }
+
   test("q151 vocab growth: hand-computed Heaps curve, including a bucket " +
        "with zero new types and gapless cumulative sums") {
     // bucketSize=50 (the registered query): ids 0..49 → bucket 0,
