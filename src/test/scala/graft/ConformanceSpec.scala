@@ -440,4 +440,134 @@ class ConformanceSpec extends SparkSpec {
       Aggs.sum("v", "s"))
     assert(rows(m) == Set(Seq("a", 3L, 3L), Seq("b", 3L, 6L)))
   }
+
+  // SortedValuesPlatformTest.testSortedValues: the secondary sort compares
+  // by the field's DECLARED type — numeric strings order lexically
+  // ("10" < "9"), ints numerically. A type-blind comparator would agree on
+  // one and flip the other.
+  test("secondary sort compares by declared type: lexical for strings, " +
+       "numeric for ints") {
+    val df = Seq(("g", "9", 9), ("g", "10", 10), ("g", "2", 2))
+      .toDF("k", "s", "i")
+    val b = new CBuffer {
+      val resultFields: CFields = CFields.typed("seq" -> StringType)
+      def operate(key: Seq[Any], rs: Iterator[Row]): Iterator[Seq[Any]] =
+        Iterator.single(Seq(rs.map(r => r.getString(1)).mkString(",")))
+    }
+    val lex = rows(pipe(df).groupBySorted(Seq("k"), Seq("s" -> true)).buffer(b))
+    assert(lex == Set(Seq("g", "10,2,9")))
+    val num = rows(pipe(df).groupBySorted(Seq("k"), Seq("i" -> true)).buffer(b))
+    assert(num == Set(Seq("g", "2,9,10")))
+  }
+
+  // SortedValuesPlatformTest.testComprehensiveGroupBy (null corners):
+  // Cascading's tuple comparator orders null SMALLEST — nulls lead an
+  // ascending secondary sort and trail a descending one.
+  test("null sort values: first under ascending, last under descending") {
+    val df = Seq(("g", Integer.valueOf(5)), ("g", null.asInstanceOf[Integer]),
+      ("g", Integer.valueOf(1))).toDF("k", "v")
+    val b = new CBuffer {
+      val resultFields: CFields = CFields.typed("seq" -> StringType)
+      def operate(key: Seq[Any], rs: Iterator[Row]): Iterator[Seq[Any]] =
+        Iterator.single(Seq(rs.map(r =>
+          if (r.isNullAt(1)) "N" else r.getInt(1).toString).mkString(",")))
+    }
+    val asc = rows(pipe(df).groupBySorted(Seq("k"), Seq("v" -> true)).buffer(b))
+    assert(asc == Set(Seq("g", "N,1,5")))
+    val desc = rows(pipe(df).groupBySorted(Seq("k"), Seq("v" -> false)).buffer(b))
+    assert(desc == Set(Seq("g", "5,1,N")))
+  }
+
+  // TrapPlatformTest.testTrapNone: a trap on a flow where nothing fails —
+  // output is complete and the trap sink holds ZERO rows (a configured
+  // trap must not perturb a healthy flow).
+  test("trap on a healthy flow: complete output, empty trap sink") {
+    val dir = java.nio.file.Files.createTempDirectory("trapnone").toString
+    val fn = new CRowFunction {
+      val resultFields: CFields = CFields.typed("twice" -> IntegerType)
+      def apply(args: Row): Iterator[Seq[Any]] =
+        Iterator.single(Seq(args.getInt(0) * 2))
+    }
+    val p = pipe(lower).eachRow(fn, args = FieldSelector("num"),
+      out = FieldSelector.Results,
+      trap = Some(graft.sources.ParquetTap(s"$dir/trap")))
+    val good = Flow.toDFWithTraps(p)
+    assert(good.collect().map(_.getInt(0)).sorted.toSeq == Seq(2, 4, 6, 8, 10))
+    assert(spark.read.parquet(s"$dir/trap").count() == 0)
+  }
+
+  // TrapPlatformTest.testTrapEachAllSequence: EVERY row fails — the
+  // success branch is empty but keeps its schema, and the trap holds the
+  // whole input (original fields, not the op's output fields).
+  test("trap-all: empty success output with schema, full input in trap") {
+    val dir = java.nio.file.Files.createTempDirectory("trapall").toString
+    val fn = new CRowFunction {
+      val resultFields: CFields = CFields.typed("x" -> IntegerType)
+      def apply(args: Row): Iterator[Seq[Any]] =
+        throw new IllegalStateException("always fails")
+    }
+    val p = pipe(lower).eachRow(fn, args = FieldSelector("num"),
+      out = FieldSelector.Results,
+      trap = Some(graft.sources.ParquetTap(s"$dir/trap")))
+    val good = Flow.toDFWithTraps(p)
+    assert(good.columns.toSeq == Seq("x"))
+    assert(good.count() == 0)
+    val trapped = spark.read.parquet(s"$dir/trap")
+    assert(trapped.columns.toSeq == Seq("num", "ch", "__trap_err"))
+    assert(trapped.select("num").collect().map(_.getInt(0)).sorted.toSeq ==
+      Seq(1, 2, 3, 4, 5))
+  }
+
+  // TrapPlatformTest.testTrapDiagnostics: the trap record carries the
+  // failure diagnostic — exception class and message — alongside the
+  // offending input, so a trap file is debuggable without re-running.
+  test("trap rows carry the exception class and message as the diagnostic") {
+    val dir = java.nio.file.Files.createTempDirectory("trapdiag").toString
+    val fn = new CRowFunction {
+      val resultFields: CFields = CFields.typed("x" -> IntegerType)
+      def apply(args: Row): Iterator[Seq[Any]] =
+        if (args.getInt(0) == 3)
+          throw new IllegalArgumentException("bad tuple 3")
+        else Iterator.single(Seq(args.getInt(0)))
+    }
+    val p = pipe(lower).eachRow(fn, args = FieldSelector("num"),
+      out = FieldSelector.Results,
+      trap = Some(graft.sources.ParquetTap(s"$dir/trap")))
+    Flow.toDFWithTraps(p).collect()
+    val err = spark.read.parquet(s"$dir/trap")
+      .select("__trap_err").collect().map(_.getString(0))
+    assert(err.length == 1)
+    assert(err(0).contains("IllegalArgumentException") &&
+      err(0).contains("bad tuple 3"), s"diagnostic: ${err(0)}")
+  }
+
+  // TapPlatformTest.testSinkDeclaredFields: a sink declaring a field
+  // subset writes ONLY those fields, in declared order — projection is a
+  // sink property, not a separate pipe stage upstream must remember.
+  test("sink with declared fields writes the subset in declared order") {
+    val dir = java.nio.file.Files.createTempDirectory("sinkdecl").toString
+    val p = pipe(lower.withColumn("extra",
+      org.apache.spark.sql.functions.lit("zz"))).retain("ch", "num")
+    Flow.write(p, graft.sources.ParquetTap(s"$dir/out"))
+    val back = spark.read.parquet(s"$dir/out")
+    assert(back.columns.toSeq == Seq("ch", "num"))
+    assert(back.count() == 5)
+  }
+
+  // TapPlatformTest.testMultiSinkTap: one flow, two sinks — both complete
+  // in a single Flow.complete() with the shared DAG lowered once.
+  test("multi-sink flow writes both sinks from one shared DAG") {
+    val dir = java.nio.file.Files.createTempDirectory("multisink").toString
+    val src = pipe(lower)
+    // ExpressionFilter is a REMOVAL predicate (Cascading Filter.isRemove)
+    val evens = src.filterBy(ExpressionFilter("num % 2 = 1"))
+    val odds = src.filterBy(ExpressionFilter("num % 2 = 0"))
+    Flow.writeAll(Seq(
+      (evens, graft.sources.ParquetTap(s"$dir/evens"), graft.sources.SinkMode.Replace),
+      (odds, graft.sources.ParquetTap(s"$dir/odds"), graft.sources.SinkMode.Replace)))
+    assert(spark.read.parquet(s"$dir/evens").select("num")
+      .collect().map(_.getInt(0)).sorted.toSeq == Seq(2, 4))
+    assert(spark.read.parquet(s"$dir/odds").select("num")
+      .collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 3, 5))
+  }
 }
