@@ -36,7 +36,14 @@ object ScaleRehearsal {
     // BPE learning: pass 1 (word count) scans the corpus; the 8 merge
     // iterations run on the vocab table, whose growth under the token
     // suffixes (10× types) is still ≪ corpus — expect ≈scan-bound ratio
-    "q150_bpe_merges")
+    "q150_bpe_merges",
+    // round-8 heavy tier: LM scoring (counting scan + distinct-trigram
+    // factoring — the suffixes grow distinct trigrams ~10×, positions
+    // ~10×), its indexed variant (adds the bucketed count-table build),
+    // flat BPE encode (distinct-word table grows 10× under suffixes),
+    // and the 256-merge phrase induction (4 counting scans)
+    "q155_sb_fluency", "q157_bpe_encode_flat", "q158_phrase_bpe256",
+    "q159_sb_fluency_indexed")
 
   def main(args: Array[String]): Unit = {
     val small = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

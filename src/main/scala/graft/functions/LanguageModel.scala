@@ -117,12 +117,19 @@ object LanguageModel {
         concat_ws(" ", element_at(p, 1), element_at(p, 2)).as("b12"),
         concat_ws(" ", element_at(p, 2), element_at(p, 3)).as("b23"))
     def cnt(alias: String) = counts.select(col("g"), col("c").as(alias))
+    // the tg lookup goes LAST: the distinct-d probe arrives partitioned on
+    // tg by its own aggregation exchange, and a first join keyed on tg
+    // would "satisfy" the left requirement at the session partition count
+    // — Spark then re-exchanges the (bucketed) count side up to match.
+    // With tg last, every join's probe side adopts the count table's own
+    // bucket layout instead (zero count-side exchanges at any
+    // shuffle-partition setting — the q159 in-plan assert).
     val looked = d
-      .join(cnt("ct"), col("tg") === cnt("ct")("g"), "left").drop("g")
       .join(cnt("cb12"), col("b12") === cnt("cb12")("g"), "left").drop("g")
       .join(cnt("cb23"), col("b23") === cnt("cb23")("g"), "left").drop("g")
       .join(cnt("cu2"), col("w2") === cnt("cu2")("g"), "left").drop("g")
       .join(cnt("cu3"), col("w3") === cnt("cu3")("g"), "left").drop("g")
+      .join(cnt("ct"), col("tg") === cnt("ct")("g"), "left").drop("g")
       .crossJoin(broadcast(stats))
     val score =
       when(col("ct").isNotNull,

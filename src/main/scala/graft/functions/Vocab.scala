@@ -217,7 +217,7 @@ object Vocab {
         size(split(col(textCol), " ")).as("n_words"),
         concat(lit(" "), col(textCol), lit(" ")).as("repr"))
       .localCheckpoint()
-    for (_ <- 1 to rounds) {
+    for (round <- 1 to rounds) {
       val t = split(trim(col("repr")), " ")
       val top = reprs
         .filter(size(t) >= 2)
@@ -232,8 +232,13 @@ object Vocab {
       val subs = top.map(r =>
         (s" ${r.getString(0)} ${r.getString(1)} ",
           s" ${r.getString(0)}_${r.getString(1)} ")).toSeq
-      reprs = reprs.withColumn("repr",
-        graft.catalyst.BpeEncode(col("repr"), subs)).localCheckpoint()
+      val applied = reprs.withColumn("repr",
+        graft.catalyst.BpeEncode(col("repr"), subs))
+      // intermediate rounds checkpoint (the next round's counting scan
+      // must not re-run the whole chain); the FINAL application is
+      // consumed exactly once downstream — materializing it would only
+      // add a full extra pass over the corpus representation
+      reprs = if (round < rounds) applied.localCheckpoint() else applied
     }
     reprs.select(col("doc_id"), col("n_words"),
       size(split(trim(col("repr")), " ")).as("n_symbols"))

@@ -2176,8 +2176,16 @@ object Extensions {
         graft.functions.LanguageModel.trainCounts(train),
         graft.sources.SinkMode.Replace)
       val threshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      // DisableUnnecessaryBucketedScan de-buckets some of the five count
+      // scans once shuffle partitions exceed the bucket count (observed at
+      // 32 vs 8: one lookup regained a gram-keyed exchange) — pin the
+      // bucketed read, as in q144
+      val autoScan = s.conf.get(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled")
       try {
         s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+          "false")
         val df = graft.functions.LanguageModel.scoreAgainstCounts(
           s.table(table), batch)
         val plan = df.queryExecution.executedPlan.toString
@@ -2189,7 +2197,11 @@ object Extensions {
         require(bucketScans >= 5, "all five count lookups must be " +
           s"bucket-aware index scans (got $bucketScans)")
         df
-      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+      } finally {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+        s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+          autoScan)
+      }
     })
   )
 

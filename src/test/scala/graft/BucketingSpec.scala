@@ -206,8 +206,12 @@ class BucketingSpec extends SparkSpec {
     LM.countsTap(table, 4).write(LM.trainCounts(train),
       graft.sources.SinkMode.Replace)
     val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val autoScan = spark.conf.get(
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+        "false")
       val indexed = LM.scoreAgainstCounts(spark.table(table), batch)
       val plan = indexed.queryExecution.executedPlan.toString
       assert("Exchange hashpartitioning\\(g#".r.findAllMatchIn(plan).isEmpty,
@@ -219,8 +223,11 @@ class BucketingSpec extends SparkSpec {
       val direct = LM.stupidBackoff(train, batch).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       assert(got == direct, s"indexed=$got direct=$direct")
-    } finally
+    } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+        autoScan)
+    }
   }
 
   test("semanticDedup maxBucket guard fires on a dense embedding cluster") {
