@@ -554,6 +554,75 @@ class ConformanceSpec extends SparkSpec {
     assert(back.count() == 5)
   }
 
+  // MergePipesPlatformTest.testSimpleMergeThreeChainCoGroup: a 2-branch
+  // merge FEEDING one side of a CoGroup — merge output must carry a
+  // joinable schema, not just sink-able rows.
+  test("merge feeding a coGroup side") {
+    val a = Seq((1, "a1"), (2, "a2")).toDF("num", "v")
+    val b = Seq((2, "b2"), (3, "b3")).toDF("num", "v")
+    val r = Seq((1, "R1"), (2, "R2"), (3, "R3")).toDF("num2", "tag")
+    val m = pipe(a).merge(pipe(b))
+      .coGroup(Seq("num"), pipe(r), Seq("num2"), Joiner.Inner)
+    assert(rows(m) == Set(
+      Seq(1, "a1", 1, "R1"), Seq(2, "a2", 2, "R2"), Seq(2, "b2", 2, "R2"),
+      Seq(3, "b3", 3, "R3")))
+  }
+
+  // CoGroupFieldedPipesPlatformTest.testCoGroupAfterEvery: BOTH CoGroup
+  // inputs are aggregation results — the join keys on columns the
+  // upstream Every stages produced.
+  test("coGroup of two aggregated branches (join after Every on both sides)") {
+    val l = Seq(("a", 1), ("a", 2), ("b", 5)).toDF("ch", "v")
+    val r = Seq(("a", 10), ("b", 20), ("b", 30)).toDF("ch2", "w")
+    val la = pipe(l).groupBy("ch").every(Aggs.sum("v", "sv"))
+    val ra = pipe(r).groupBy("ch2").every(Aggs.count("n"))
+    val j = la.coGroup(Seq("ch"), ra, Seq("ch2"), Joiner.Inner)
+    assert(rows(j) == Set(
+      Seq("a", 3L, "a", 1L), Seq("b", 5L, "b", 2L)))
+  }
+
+  // CoGroupFieldedPipesPlatformTest.testCoGroupInnerOuter: INNER then
+  // OUTER joiners chained in one n-way flow — null padding appears only
+  // on the outer stage, and the inner stage's drops are final.
+  test("n-way coGroup chains inner then outer joiners") {
+    val a = Seq((1, "A1"), (2, "A2"), (9, "A9")).toDF("ka", "va")
+    val b = Seq((1, "B1"), (2, "B2")).toDF("kb", "vb")
+    val c = Seq((2, "C2"), (7, "C7")).toDF("kc", "vc")
+    val j = pipe(a).coGroup(Seq("ka"), pipe(b), Seq("kb"), Joiner.Inner)
+      .coGroup(Seq("ka"), pipe(c), Seq("kc"), Joiner.Outer)
+    // inner drops ka=9 for good; outer pads ka=1 (no c) and kc=7 (no ab)
+    assert(rows(j) == Set(
+      Seq(1, "A1", 1, "B1", null, null),
+      Seq(2, "A2", 2, "B2", 2, "C2"),
+      Seq(null, null, null, null, 7, "C7")))
+  }
+
+  // BufferPipesPlatformTest.testIdentityBuffer: a Buffer that re-emits
+  // each argument row unchanged — group boundaries must not add, drop,
+  // or reorder rows within the declared sort.
+  test("identity buffer re-emits every row under the declared group sort") {
+    val df = Seq(("g", 3), ("g", 1), ("h", 7), ("g", 2)).toDF("k", "v")
+    val b = new CBuffer {
+      val resultFields: CFields = CFields.typed("v_out" -> IntegerType)
+      def operate(key: Seq[Any], rs: Iterator[Row]): Iterator[Seq[Any]] =
+        rs.map(r => Seq(r.getInt(1)))
+    }
+    val p = pipe(df).groupBySorted(Seq("k"), Seq("v" -> true)).buffer(b)
+    assert(rows(p) == Set(Seq("g", 1), Seq("g", 2), Seq("g", 3), Seq("h", 7)))
+    assert(Flow.toDF(p).count() == 4)
+  }
+
+  // FieldedPipesPlatformTest (GroupBy null keys): Cascading groups null
+  // keys TOGETHER (one group), unlike SQL GROUP BY engines that may drop
+  // them — count must see the null group as a single key.
+  test("GroupBy groups null keys together as one group") {
+    val df = Seq(("a", 1), (null, 2), (null, 3), ("b", 4))
+      .toDF("k", "v")
+    val p = pipe(df).groupBy("k").every(Aggs.count("n"), Aggs.sum("v", "s"))
+    assert(rows(p) == Set(
+      Seq("a", 1L, 1L), Seq(null, 2L, 5L), Seq("b", 1L, 4L)))
+  }
+
   // TapPlatformTest.testMultiSinkTap: one flow, two sinks — both complete
   // in a single Flow.complete() with the shared DAG lowered once.
   test("multi-sink flow writes both sinks from one shared DAG") {
