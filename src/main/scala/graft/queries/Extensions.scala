@@ -2202,6 +2202,75 @@ object Extensions {
         s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
           autoScan)
       }
+    }),
+
+    // --- STREAMING curation pipeline end-to-end: the q148 composition
+    // under continuous ingestion. Arrivals (three overlapping
+    // micro-batches) are, per batch: (1) near-dup-checked against the
+    // PERSISTED corpus band index (q127/q130 discipline — O(batch) work,
+    // corpus never re-signatured), (2) quality-filtered by the
+    // hashing-trick classifier logit IN-STREAM (q143 op, scan-local
+    // fold), (3) survivors UPSERTED through the blue/green snapshot pair
+    // (q146 PingPong — idempotent per batchId, readers never see a
+    // half-written snapshot). The arrival set is crafted so EVERY stage
+    // provably fires: the original %10==7 docs all band-collide with the
+    // corpus (the 31-word synthetic vocabulary makes them resemblance
+    // dups — the dedup stage drops all 50), while their +3e6 "novel"
+    // twins carry per-doc token suffixes (qz<orig id>) giving each a
+    // private vocabulary — band-disjoint from the corpus by construction,
+    // so ONLY the quality logit decides them (~half pass at τ=0, both
+    // outcomes present). Overlapping slices make versioning non-vacuous:
+    // %30==7 arrives in batches 1+3 (version 2), ==17 in all three (3),
+    // ==27 in 2+3 (2) — (+3e6) % 30 = 0 keeps the classes aligned for
+    // the novel twins. Oracle pins the full survivor set × version
+    // lineage × payload md5.
+    "q160_stream_curation" -> ((s, dir) => {
+      val idxTable = "graft_q160_bandidx"
+      graft.queries.Tables.dropStagedTable(s, idxTable)
+      val (in, _, chk) = freshStreamDirs("graft_q160_stream")
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"), col("source"))
+      Dedup.bandIndexTap(idxTable, 8).write(
+        Dedup.bandIndex(docs.filter(col("doc_id") % 10 =!= 7),
+          "doc_id", "text"),
+        graft.sources.SinkMode.Replace)
+      val pp = new graft.functions.Snapshot.PingPong(
+        s, "graft_q160_snap", 8, "doc_id", Seq("text", "source"), "version")
+      pp.bootstrap(docs.filter(lit(false)).withColumn("version", lit(1L)))
+      val orig = docs.filter(col("doc_id") % 10 === 7)
+      val novel = orig.select((col("doc_id") + 3000000L).as("doc_id"),
+        regexp_replace(col("text"), lit("(\\S+)"),
+          concat(lit("$1qz"), col("doc_id").cast("string"))).as("text"),
+        col("source"))
+      val batch = orig.unionAll(novel)
+      stageSliced(in, Seq(
+        batch.filter(col("doc_id") % 30 === 7 || col("doc_id") % 30 === 17),
+        batch.filter(col("doc_id") % 30 === 17 || col("doc_id") % 30 === 27),
+        batch))
+      val curate = (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                    id: Long) => {
+        val flagged = Dedup.bandIndex(b.toDF(), "doc_id", "text")
+          .join(s.table(idxTable).withColumnRenamed("id", "corpus_id"),
+            Seq("band", "key"))
+          .select(col("id").as("doc_id")).distinct()
+        val survivors = b.toDF()
+          .join(flagged, Seq("doc_id"), "left_anti")
+          .filter(graft.functions.Relevance.hashClassifierLogit(
+            col("text"), dims = 4096, salt = "w#") >= 0L)
+        pp.applyBatch(survivors, id)
+      }
+      withStreamPartitions(s, 8) {
+        val stream = graft.streaming.StreamOps.readStream(s, in, batch.schema,
+          Map("maxFilesPerTrigger" -> "1"))
+        val q = stream.writeStream
+          .foreachBatch(curate)
+          .option("checkpointLocation", chk)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      pp.live.select(col("doc_id"), md5(col("text")).as("text_md5"),
+        col("source"), col("version"))
     })
   )
 
@@ -2285,14 +2354,18 @@ object Extensions {
     s"SELECT doc_id, $bnd AS band, concat_ws(',', $parts) AS key FROM sig"
   }.mkString("\n    UNION ALL ")
 
-  private val minhashCte =
-    s"""WITH toks AS (SELECT doc_id, list_distinct($dToks) AS tl FROM documents),
+  /** The minhash band CTE chain over an arbitrary source relation `src`
+    * (must expose doc_id, text) — q160 bands an AUGMENTED arrival set. */
+  private def minhashBody(src: String) =
+    s"""toks AS (SELECT doc_id, list_distinct($dToks) AS tl FROM $src),
        |sig AS (SELECT doc_id,
        |    $minhashSigCols
        |  FROM toks),
        |bands AS (
        |    $bandSelects
        |)""".stripMargin
+
+  private val minhashCte = s"WITH ${minhashBody("documents")}"
 
   // fixed-iteration unrolled min-label propagation; 8 rounds is a safe
   // upper bound for the converged count (Spark side converges in 2-4 on
@@ -3651,6 +3724,39 @@ object Extensions {
     // scoring against the persisted count table returns the exact q155
     // values — the index changes the plan, never the numbers
     "q159_sb_fluency_indexed" -> sbFluencyOracle,
+
+    // survivors = arrivals (originals + suffixed novel twins) sharing NO
+    // band bucket with the corpus AND classifier logit >= 0; version =
+    // arrival count under the staged overlap (%30: 7 → batches 1+3,
+    // 17 → 1+2+3, 27 → 2+3; +3e6 preserves the class)
+    "q160_stream_curation" -> {
+      val wt = graft.functions.Relevance
+        .hashClassifierOracleWeight("tok", 4096, "w#")
+      s"""WITH aug AS (
+         |  SELECT doc_id, text, source FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 3000000, regexp_replace(text, '(\\S+)',
+         |    '\\1qz' || CAST(doc_id AS VARCHAR), 'g'), source
+         |  FROM documents WHERE doc_id % 10 = 7),
+         |${minhashBody("aug")},
+         |cb AS (SELECT doc_id AS corpus_id, band, key FROM bands
+         |       WHERE doc_id < 3000000 AND doc_id % 10 <> 7),
+         |bb AS (SELECT doc_id, band, key FROM bands
+         |       WHERE doc_id >= 3000000 OR doc_id % 10 = 7),
+         |flagged AS (SELECT DISTINCT b.doc_id FROM bb b
+         |  JOIN cb c ON b.band = c.band AND b.key = c.key),
+         |logits AS (
+         |  SELECT doc_id, sum($wt) AS logit
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |        FROM aug WHERE doc_id >= 3000000 OR doc_id % 10 = 7)
+         |  GROUP BY 1)
+         |SELECT a.doc_id, md5(a.text) AS text_md5, a.source,
+         |  CAST(CASE a.doc_id % 30 WHEN 17 THEN 3 ELSE 2 END AS BIGINT)
+         |    AS version
+         |FROM aug a JOIN logits l USING (doc_id)
+         |WHERE (a.doc_id >= 3000000 OR a.doc_id % 10 = 7) AND l.logit >= 0
+         |  AND a.doc_id NOT IN (SELECT doc_id FROM flagged)""".stripMargin
+    },
 
     // q43's pair CTE verbatim, then the min-id survivor verdict per id
     "q156_semantic_dedup" ->
