@@ -51,12 +51,16 @@ object Contamination {
     * src_a < src_b. */
   def sourceOverlapMatrix(docs: DataFrame, textCol: String, srcCol: String,
                           n: Int = 8): DataFrame = {
-    val t = split(col(textCol), " ")
-    val hs = docs.filter(size(t) >= n)
-      .select(col(srcCol).as("source"),
-        explode(transform(sequence(lit(1), size(t) - (n - 1)),
+    // token array materialized BEFORE the lambda: referencing the split()
+    // subtree inside transform re-evaluates it per position (O(len²) per
+    // row); as an attribute it splits once and the slices stay linear
+    val hs = docs
+      .select(col(srcCol).as("source"), split(col(textCol), " ").as("__t"))
+      .filter(size(col("__t")) >= n)
+      .select(col("source"),
+        explode(transform(sequence(lit(1), size(col("__t")) - (n - 1)),
           i => graft.catalyst.Md5Prefix40(
-            concat_ws(" ", slice(t, i, lit(n)))))).as("h"))
+            concat_ws(" ", slice(col("__t"), i, lit(n)))))).as("h"))
       .distinct()
     hs.groupBy(col("h"))
       .agg(sort_array(collect_set(col("source"))).as("ss"))

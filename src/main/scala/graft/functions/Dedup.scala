@@ -424,13 +424,16 @@ object Dedup {
                       minDocs: Int = 2): DataFrame = {
     require(n >= 2, s"duplicatedSpans: n must be ≥ 2, got $n")
     require(minDocs >= 2, s"duplicatedSpans: minDocs must be ≥ 2, got $minDocs")
-    val t = split(col(textCol), " ")
+    // token array materialized BEFORE the lambda (the phraseBpe finding):
+    // the split() subtree inside transform re-evaluates per position —
+    // O(len²) per row; as an attribute it splits once, slices linear
     val grams = docs
-      .filter(size(t) >= n)
+      .select(col(idCol), split(col(textCol), " ").as("__t"))
+      .filter(size(col("__t")) >= n)
       .select(col(idCol),
-        posexplode(transform(sequence(lit(1), size(t) - (n - 1)),
+        posexplode(transform(sequence(lit(1), size(col("__t")) - (n - 1)),
           i => graft.catalyst.Md5Prefix40(
-            concat_ws(" ", slice(t, i, lit(n)))))))
+            concat_ws(" ", slice(col("__t"), i, lit(n)))))))
       .select(col(idCol), (col("pos") + 1).as("pos"), col("col").as("h"))
     val dup = grams.groupBy(col("h"))
       .agg(count_distinct(col(idCol)).as("nd"))

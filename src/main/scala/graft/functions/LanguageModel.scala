@@ -80,8 +80,12 @@ object LanguageModel {
     * [[countsTap]] so daily batches score without re-counting the corpus
     * — the q127 band-index amortization. */
   def trainCounts(train: DataFrame, textCol: String = "text"): DataFrame = {
-    val t = split(col(textCol), " ")
+    // token array materialized BEFORE the gram lambdas: a split() subtree
+    // inside transform re-evaluates per position (O(len²) per row); as an
+    // attribute it splits once and the per-gram slices stay linear
+    val t = col("__t")
     train
+      .select(split(col(textCol), " ").as("__t"))
       .select(explode(concat(gramList(t, 1), gramList(t, 2), gramList(t, 3)))
         .as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("c"))
@@ -102,13 +106,15 @@ object LanguageModel {
   def scoreAgainstCounts(counts: DataFrame, batch: DataFrame,
                          idCol: String = "doc_id",
                          textCol: String = "text"): DataFrame = {
-    val t = split(col(textCol), " ")
     // unigram total N: O(vocab) reduce of the count table, 1-row broadcast
     val stats = counts.filter(!col("g").contains(" "))
       .agg(sum(col("c")).cast("double").as("n_tokens"))
-    // batch trigram positions (one row per position, key = the gram text)
-    val pos = batch.filter(size(t) >= 3)
-      .select(col(idCol), explode(gramList(t, 3)).as("tg"))
+    // batch trigram positions (one row per position, key = the gram text);
+    // token array materialized first — see trainCounts
+    val pos = batch
+      .select(col(idCol), split(col(textCol), " ").as("__t"))
+      .filter(size(col("__t")) >= 3)
+      .select(col(idCol), explode(gramList(col("__t"), 3)).as("tg"))
     // score once per DISTINCT trigram: backoff over 5 count lookups
     val p = split(col("tg"), " ")
     val d = pos.select(col("tg")).distinct()

@@ -131,11 +131,15 @@ object TextAnalysis {
                    minCount: Long = 2L, k: Int = 100)
       : org.apache.spark.sql.DataFrame = {
     val t = tokens(col(textCol))
-    val pairs = docs.filter(size(t) >= 2)
-      .select(explode(transform(sequence(lit(1), size(t) - 1),
-        i => struct(element_at(t, i).as("w1"),
-          element_at(t, i + 1).as("w2")))).as("p"))
-      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    // adjacent pairs via slice+zip over a materialized token column —
+    // element_at inside the lambda re-evaluates the tokenize subtree per
+    // position (O(len²) per row); the zip form tokenizes once
+    val pairs = docs.select(t.as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(slice(col("__t"), lit(1), size(col("__t")) - 1).as("ls"),
+        slice(col("__t"), lit(2), size(col("__t")) - 1).as("rs"))
+      .select(explode(arrays_zip(col("ls"), col("rs"))).as("p"))
+      .select(col("p.ls").as("w1"), col("p.rs").as("w2"))
     val uni = docs.select(explode(t).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
     pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
