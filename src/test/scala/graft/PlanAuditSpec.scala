@@ -359,4 +359,31 @@ class PlanAuditSpec extends SparkSpec {
     assert("Keys \\[1\\]: \\[tg#".r.findFirstIn(plan).nonEmpty,
       "distinct-trigram aggregate missing")
   }
+
+  test("n-gram/pair explodes keep the materialized token projection " +
+       "(the O(len²) lambda-CSE regression canary)") {
+    // Catalyst does not CSE across higher-order-function lambda bodies:
+    // if the split()/tokens() subtree is referenced INSIDE the transform
+    // lambda, tokenization re-runs per position — O(len²) per row
+    // (measured 7× on q158, 5× on q140). The fix materializes the token
+    // array as a `__t` projection that CollapseProject must NOT inline
+    // (non-cheap expr, >1 reference). This canary pins the projection's
+    // survival into the OPTIMIZED plan for every operator the round-8
+    // sweep fixed; if a refactor reverts to the lambda form, `__t`
+    // disappears and this fails before the bench does.
+    val dir = sf("sf0.01")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    def optimized(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.optimizedPlan.toString
+    assert(optimized(graft.functions.Dedup.duplicatedSpans(docs))
+      .contains("__t"), "duplicatedSpans lost the token projection")
+    assert(optimized(graft.functions.TextAnalysis.collocations(docs))
+      .contains("__t"), "collocations lost the token projection")
+    assert(optimized(graft.functions.Contamination.sourceOverlapMatrix(
+      docs, "text", "source")).contains("__t"),
+      "sourceOverlapMatrix lost the token projection")
+    assert(optimized(graft.functions.LanguageModel.stupidBackoff(
+      docs.limit(50), docs.limit(10))).contains("__t"),
+      "LM gram scans lost the token projection")
+  }
 }
