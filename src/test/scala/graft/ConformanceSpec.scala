@@ -623,6 +623,42 @@ class ConformanceSpec extends SparkSpec {
       Seq("a", 1L, 1L), Seq(null, 2L, 5L), Seq("b", 1L, 4L)))
   }
 
+  // HashJoinFieldedPipesPlatformTest (null keys): Cascading joins null
+  // keys TO EACH OTHER in a HashJoin (hashtable equality, not SQL
+  // three-valued logic) — the broadcast path must honor the same
+  // null-groups-together contract as the CoGroup path (q68/q69).
+  test("null-safe hashJoin matches null keys on the broadcast path") {
+    val l = Seq((Integer.valueOf(1), "l1"), (null.asInstanceOf[Integer], "lN"))
+      .toDF("k", "lv")
+    val r = Seq((Integer.valueOf(1), "r1"), (null.asInstanceOf[Integer], "rN"))
+      .toDF("k2", "rv")
+    val j = pipe(l).hashJoin(Seq("k"), pipe(r), Seq("k2"), Joiner.Inner,
+      nullSafe = true)
+    assert(rows(j) == Set(
+      Seq(1, "l1", 1, "r1"), Seq(null, "lN", null, "rN")))
+    // the default (SQL) mode must NOT match nulls — both contracts pinned
+    // (distinct key names keep both key columns, same as the null-safe form)
+    val sql = pipe(l).hashJoin(Seq("k"), pipe(r), Seq("k2"), Joiner.Inner)
+    assert(rows(sql) == Set(Seq(1, "l1", 1, "r1")))
+  }
+
+  // BufferPipesPlatformTest (selective emission): a Buffer may emit ZERO
+  // rows for some groups — those groups vanish from the output entirely
+  // (no null padding, no empty row), while emitting groups are intact.
+  test("buffer emitting zero rows for a group drops the group") {
+    val df = Seq(("keep", 1), ("keep", 2), ("drop", 9)).toDF("k", "v")
+    val b = new CBuffer {
+      val resultFields: CFields = CFields.typed("s" -> IntegerType)
+      def operate(key: Seq[Any], rs: Iterator[Row]): Iterator[Seq[Any]] = {
+        val vs = rs.map(_.getInt(1)).toSeq
+        if (key.head == "drop") Iterator.empty
+        else Iterator.single(Seq(vs.sum))
+      }
+    }
+    val p = pipe(df).groupBySorted(Seq("k"), Seq("v" -> true)).buffer(b)
+    assert(rows(p) == Set(Seq("keep", 3)))
+  }
+
   // TapPlatformTest.testMultiSinkTap: one flow, two sinks — both complete
   // in a single Flow.complete() with the shared DAG lowered once.
   test("multi-sink flow writes both sinks from one shared DAG") {
