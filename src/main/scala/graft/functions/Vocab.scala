@@ -69,15 +69,19 @@ object Vocab {
     var it = 1
     var exhausted = false
     while (it <= nMerges && !exhausted) {
-      val t = split(trim(col("repr")), " ")
       // Adjacent symbol pairs weighted by word count; top-1 with a total
       // tie-break order → TakeOrderedAndProject, one-row driver carry.
+      // slice+zip over a materialized symbol column (the phraseBpe/
+      // lambda-CSE finding): element_at inside a transform re-splits the
+      // repr per position — O(symbols²) per word.
       val top = vocab
-        .filter(size(t) >= 2)
-        .select(col("cnt"), explode(transform(sequence(lit(1), size(t) - 1),
-          i => struct(element_at(t, i).as("l"),
-            element_at(t, i + 1).as("r")))).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .select(col("cnt"), split(trim(col("repr")), " ").as("__t"))
+        .filter(size(col("__t")) >= 2)
+        .select(col("cnt"),
+          slice(col("__t"), lit(1), size(col("__t")) - 1).as("ls"),
+          slice(col("__t"), lit(2), size(col("__t")) - 1).as("rs"))
+        .select(col("cnt"), explode(arrays_zip(col("ls"), col("rs"))).as("p"))
+        .groupBy(col("p.ls").as("l"), col("p.rs").as("r"))
         .agg(sum(col("cnt")).as("pair_count"))
         .orderBy(col("pair_count").desc, col("l"), col("r"))
         .limit(1)
