@@ -62,6 +62,14 @@ object Extensions {
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Staged CATALOG-TABLE name with a per-process nonce — the
+    * freshStreamDirs discipline for saveAsTable state: two concurrent
+    * gate JVMs (driver correctness + bench) otherwise drop/replace the
+    * SAME warehouse table mid-read. Re-runs within one JVM reuse the
+    * name and clean it via dropStagedTable. */
+  private def stagedTable(name: String): String =
+    s"${name}_p${ProcessHandle.current.pid}"
+
   /** Fresh (in, out, checkpoint) dirs under a per-query tmp root, deleting
     * any previous run's tree — shared by the streaming gate queries. The
     * pid suffix (the stagePath pattern, Relational.scala:30) keeps
@@ -879,7 +887,7 @@ object Extensions {
     // disabled while building so the bucket-join path is what's planned);
     // the oracle gates the values.
     "q127_incremental_neardup" -> ((s, dir) => {
-      val table = "graft_q127_bandidx"
+      val table = stagedTable("graft_q127_bandidx")
       graft.queries.Tables.dropStagedTable(s, table)
       val docs = s.read.parquet(s"$dir/documents.parquet")
       // one-time index build (the amortized cost in the daily loop)
@@ -915,7 +923,7 @@ object Extensions {
     // final per-doc aggregate runs batch over the sink (the gate surface);
     // a production loop would keep it in-stream with update mode.
     "q130_stream_neardup_index" -> ((s, dir) => {
-      val table = "graft_q130_bandidx"
+      val table = stagedTable("graft_q130_bandidx")
       graft.queries.Tables.dropStagedTable(s, table)
       val (in, out, chk) = freshStreamDirs("graft_q130_stream")
       val docs = s.read.parquet(s"$dir/documents.parquet")
@@ -958,16 +966,18 @@ object Extensions {
     // (plan-asserted); at 100 TB the index refresh is a scheduled job and
     // every query batch pays only its own probed-list cosine scan.
     "q131_ivf_index" -> ((s, dir) => {
-      Seq("graft_q131_ivf_cents", "graft_q131_ivf_lists")
+      val (centsT, listsT) =
+        (stagedTable("graft_q131_ivf_cents"), stagedTable("graft_q131_ivf_lists"))
+      Seq(centsT, listsT)
         .foreach(graft.queries.Tables.dropStagedTable(s, _))
       val e = s.read.parquet(s"$dir/embeddings.parquet")
       val (cents, lists) = Similarity.ivfKMeansBuild(
         e, "vec_id", "embedding", nlist = 16, iters = 2)
-      cents.write.mode("overwrite").saveAsTable("graft_q131_ivf_cents")
-      graft.sources.BucketedTap("graft_q131_ivf_lists", 8, Seq("cent"))
+      cents.write.mode("overwrite").saveAsTable(centsT)
+      graft.sources.BucketedTap(listsT, 8, Seq("cent"))
         .write(lists, graft.sources.SinkMode.Replace)
       val df = Similarity.ivfProbedQuery(
-        s.table("graft_q131_ivf_cents"), s.table("graft_q131_ivf_lists"),
+        s.table(centsT), s.table(listsT),
         e.filter(col("vec_id") < 10), "vec_id", "embedding",
         k = 3, nprobe = 4)
       val plan = df.queryExecution.executedPlan.toString
@@ -988,7 +998,7 @@ object Extensions {
     // index — ingest appends O(batch) band rows; nothing ever re-scans
     // the corpus.
     "q133_index_maintenance" -> ((s, dir) => {
-      val table = "graft_q133_bandidx"
+      val table = stagedTable("graft_q133_bandidx")
       graft.queries.Tables.dropStagedTable(s, table)
       val docs = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("text"))
@@ -1829,7 +1839,7 @@ object Extensions {
     // snapshot, so a lost update, a dropped carry-through row, or a wrong
     // version bump anywhere fails.
     "q142_snapshot_upsert" -> ((s, dir) => {
-      val table = "graft_q142_snapshot"
+      val table = stagedTable("graft_q142_snapshot")
       graft.queries.Tables.dropStagedTable(s, table)
       val docs = s.read.parquet(s"$dir/documents.parquet")
       graft.functions.Snapshot.snapshotTap(table, 8, "doc_id").write(
@@ -1884,7 +1894,7 @@ object Extensions {
     // layout total), so the O(index)-per-question plan can never silently
     // return. The amortization counterpart of q81's scan-shaped BM25.
     "q144_inverted_index" -> ((s, dir) => {
-      val table = "graft_q144_postings"
+      val table = stagedTable("graft_q144_postings")
       graft.queries.Tables.dropStagedTable(s, table)
       val docs = s.read.parquet(s"$dir/documents.parquet")
       graft.functions.InvertedIndex.indexTap(table, 16).write(
@@ -1921,7 +1931,7 @@ object Extensions {
     // satisfied vacuously by a broadcast plan). Inserts/deletes/updates
     // are synthesized deterministically; unchanged keys must vanish.
     "q145_snapshot_diff" -> ((s, dir) => {
-      val (t1, t2) = ("graft_q145_snap_v1", "graft_q145_snap_v2")
+      val (t1, t2) = (stagedTable("graft_q145_snap_v1"), stagedTable("graft_q145_snap_v2"))
       Seq(t1, t2).foreach(graft.queries.Tables.dropStagedTable(s, _))
       val docs = s.read.parquet(s"$dir/documents.parquet")
       graft.functions.Snapshot.snapshotTap(t1, 8, "doc_id").write(
@@ -1967,7 +1977,7 @@ object Extensions {
       val docs = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("text"), col("source"))
       val pp = new graft.functions.Snapshot.PingPong(
-        s, "graft_q146_snap", 8, "doc_id", Seq("text", "source"), "version")
+        s, stagedTable("graft_q146_snap"), 8, "doc_id", Seq("text", "source"), "version")
       pp.bootstrap(docs.withColumn("version", lit(1L)))
       stageSliced(in, Seq(
         docs.filter(col("doc_id") % 4 === 0)
@@ -2164,7 +2174,7 @@ object Extensions {
     // bucket-aware index scans; broadcast disabled so the bucket-join
     // path is what's planned). Oracle = q155's oracle: identical values.
     "q159_sb_fluency_indexed" -> ((s, dir) => {
-      val table = "graft_q159_lmcounts"
+      val table = stagedTable("graft_q159_lmcounts")
       graft.queries.Tables.dropStagedTable(s, table)
       val docs = s.read.parquet(s"$dir/documents.parquet")
       val train = docs.filter(col("doc_id") % 50 =!= 3)
@@ -2225,7 +2235,7 @@ object Extensions {
     // the novel twins. Oracle pins the full survivor set × version
     // lineage × payload md5.
     "q160_stream_curation" -> ((s, dir) => {
-      val idxTable = "graft_q160_bandidx"
+      val idxTable = stagedTable("graft_q160_bandidx")
       graft.queries.Tables.dropStagedTable(s, idxTable)
       val (in, _, chk) = freshStreamDirs("graft_q160_stream")
       val docs = s.read.parquet(s"$dir/documents.parquet")
@@ -2235,7 +2245,7 @@ object Extensions {
           "doc_id", "text"),
         graft.sources.SinkMode.Replace)
       val pp = new graft.functions.Snapshot.PingPong(
-        s, "graft_q160_snap", 8, "doc_id", Seq("text", "source"), "version")
+        s, stagedTable("graft_q160_snap"), 8, "doc_id", Seq("text", "source"), "version")
       pp.bootstrap(docs.filter(lit(false)).withColumn("version", lit(1L)))
       val orig = docs.filter(col("doc_id") % 10 === 7)
       val novel = orig.select((col("doc_id") + 3000000L).as("doc_id"),

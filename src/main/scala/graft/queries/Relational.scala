@@ -709,11 +709,13 @@ object Relational {
     // building so the co-located sort-merge path is what's planned) and
     // the oracle gates the values.
     "q72_bucketed_join" -> ((s, dir) => {
-      Seq("graft_q72_orders", "graft_q72_customer")
+      val (otN, ctN) = (s"graft_q72_orders_p${ProcessHandle.current.pid}",
+        s"graft_q72_customer_p${ProcessHandle.current.pid}")
+      Seq(otN, ctN)
         .foreach(graft.queries.Tables.dropStagedTable(s, _))
-      val ot = graft.sources.BucketedTap("graft_q72_orders", 8,
+      val ot = graft.sources.BucketedTap(otN, 8,
         Seq("o_custkey"), Seq("o_custkey"))
-      val ct = graft.sources.BucketedTap("graft_q72_customer", 8,
+      val ct = graft.sources.BucketedTap(ctN, 8,
         Seq("c_custkey"), Seq("c_custkey"))
       ot.write(s.read.parquet(s"$dir/orders.parquet")
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
