@@ -1,0 +1,171 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document-structure curation passes: paragraph-level exact dedup
+  * (the CCNet/C4 "drop repeated paragraphs across documents" pass),
+  * C4-style line-level cleaning, and unicode text normalization.
+  *
+  * These operate on the STRUCTURE of a document (paragraphs, lines,
+  * codepoints) where [[Dedup]] operates on token windows — together they
+  * are the standard web-corpus cleaning ladder: normalize → line-clean →
+  * paragraph-dedup → span-dedup ([[Dedup.stripDuplicatedSpans]]) →
+  * document-dedup ([[Dedup]] exact/near).
+  *
+  * Reference scope: extension beyond cascading ops (no paragraph/line
+  * operators exist there); the per-record lowering discipline follows
+  * the reference's Each pipeline (`FlinkFlowStep.java` per-record
+  * chaining) — every rule here is a scan-local column program.
+  */
+object Curation {
+
+  /** Packs (id, pos) into one int64 so a global "first occurrence"
+    * reduces to an integer `min`: id * PosCap + pos. Both components are
+    * guard-checked — the encoding is order-preserving only for
+    * 0 ≤ pos < PosCap and id ≥ 0. */
+  private val PosCap = 1000000L
+
+  /** Paragraph-level exact deduplication across documents: every
+    * paragraph (split on `sep`) that occurs more than once in the corpus
+    * survives ONLY at its first occurrence — ordered by (document id,
+    * position within document) — and is deleted everywhere else. The
+    * CCNet recipe: boilerplate ("subscribe", "all rights reserved")
+    * repeats across pages and dies here; unique prose is untouched.
+    *
+    * Returns (id, clean_text, n_kept, n_dropped) — one row per input
+    * document, empty clean_text when every paragraph was a loser.
+    *
+    * Scale: one explode scan keyed by a 40-bit paragraph hash; the
+    * duplicate-set aggregation shuffles on that uniform hash (widen to a
+    * 64-bit double-prefix key past ~2^20 distinct paragraphs — the
+    * [[Dedup.duplicatedSpans]] note); the join-back streams the exploded
+    * side against the (much smaller) duplicated-hash set —
+    * broadcast-eligible when boilerplate is rare, hash-partitioned
+    * otherwise; reassembly groups per DOCUMENT (partitions bounded by
+    * doc length) via array_sort — no window, deterministic on any
+    * partitioning. Never all-pairs. */
+  def dropDuplicateParagraphs(docs: DataFrame, idCol: String = "doc_id",
+                              textCol: String = "text",
+                              sep: String = "\n"): DataFrame = {
+    val sepLit = java.util.regex.Pattern.quote(sep)
+    val paras = docs
+      .select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), sepLit)))
+      .select(col("__id"), (col("pos") + 1).as("ppos"),
+        col("col").as("para"))
+      // directed guards: the packed first-occurrence encoding is only
+      // order-preserving inside these domains
+      .withColumn("ppos", when(col("ppos") >= PosCap || col("__id") < 0,
+          raise_error(concat(lit("dropDuplicateParagraphs: (id, pos) outside "
+            + s"packable domain (id ≥ 0, pos < $PosCap): id="),
+            col("__id"), lit(" pos="), col("ppos"))).cast("long"))
+        .otherwise(col("ppos")))
+      .withColumn("h", graft.catalyst.Md5Prefix40(col("para")))
+    val dup = paras.groupBy(col("h"))
+      .agg(count(lit(1)).as("cnt"),
+        min(col("__id") * PosCap + col("ppos")).as("keeper"))
+      .filter(col("cnt") >= 2)
+      .select(col("h"), col("keeper"))
+    val kept = paras.join(dup, Seq("h"), "left")
+      .filter(col("keeper").isNull ||
+        col("__id") * PosCap + col("ppos") === col("keeper"))
+    val agg = kept.groupBy(col("__id"))
+      .agg(concat_ws(sep, transform(
+          array_sort(collect_list(struct(col("ppos"), col("para")))),
+          x => x.getField("para"))).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    val nTot = paras.groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_total"))
+    nTot.join(agg, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_total") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
+  /** The C4 line-filter rule set, applied to one line: keep iff the line
+    * has ≥ `minWords` words, ends in terminal punctuation (. ! ? or a
+    * closing quote), and contains no curly brace, no "lorem ipsum", and
+    * no "javascript" (case-insensitive for the phrase rules). */
+  private def c4LineKeep(ln: Column, minWords: Int): Column =
+    size(filter(split(ln, " "), w => length(w) > 0)) >= minWords &&
+      ln.rlike("[.!?\"]$") &&
+      !ln.contains("{") && !ln.contains("}") &&
+      !lower(ln).contains("lorem ipsum") &&
+      !lower(ln).contains("javascript")
+
+  /** C4-style line-level cleaning (Raffel et al. 2020 §2.2): drop every
+    * line failing [[c4LineKeep]] and reassemble the survivors. Purely
+    * scan-local — one column program per row, no shuffle, no state;
+    * whole-stage-codegen'd end to end.
+    *
+    * Returns (id, clean_text, n_kept, n_dropped). */
+  def c4LineClean(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text",
+                  minWords: Int = 5): DataFrame = {
+    // materialize the line array once (the lambda-CSE discipline): a
+    // split() subtree referenced by two lambdas would re-split per use
+    docs.select(col(idCol), split(col(textCol), "\n").as("__l"))
+      .select(col(idCol),
+        filter(col("__l"), ln => c4LineKeep(ln, minWords)).as("__k"),
+        size(col("__l")).as("__n"))
+      .select(col(idCol),
+        array_join(col("__k"), "\n").as("clean_text"),
+        size(col("__k")).cast("long").as("n_kept"),
+        (col("__n") - size(col("__k"))).cast("long").as("n_dropped"))
+  }
+
+  // Normalization rule set, applied in order. Each pattern is spelled
+  // with \x{...} escapes valid in BOTH Java regex (Spark) and RE2
+  // (DuckDB); the DuckDB mirrors are generated from these constants via
+  // [[normalizeOracleExpr]] so the two engines cannot drift.
+  /** line separators → \n (CRLF first so it folds to one newline) */
+  private[functions] val ReLineSep = ("\\r\\n|[\\r\\x{2028}\\x{2029}]", "\n")
+  /** unicode space family + tab → ASCII space */
+  private[functions] val ReSpace =
+    ("[\\t\\x{00A0}\\x{1680}\\x{2000}-\\x{200A}\\x{202F}\\x{205F}\\x{3000}]",
+      " ")
+  /** control chars (not \t \n — already handled) + zero-width family +
+    * BOM → removed */
+  private[functions] val ReStrip =
+    ("[\\x{0000}-\\x{0008}\\x{000B}\\x{000C}\\x{000E}-\\x{001F}\\x{007F}" +
+      "\\x{200B}-\\x{200D}\\x{FEFF}]", "")
+  /** runs of spaces collapse to one */
+  private[functions] val ReCollapse = (" {2,}", " ")
+  /** spaces hugging a newline are dropped (so collapse can't strand
+    * them), then ≥3 newlines fold to a paragraph break */
+  private[functions] val ReEdge = (" *\n *", "\n")
+  private[functions] val ReBlank = ("\n{3,}", "\n\n")
+  private val Rules =
+    Seq(ReLineSep, ReSpace, ReStrip, ReCollapse, ReEdge, ReBlank)
+
+  /** Unicode text normalization: CRLF/unicode line separators → \n,
+    * unicode spaces → ASCII space, control/zero-width/BOM codepoints
+    * stripped, space runs collapsed, newline edges trimmed, ≥3 blank
+    * lines folded — then trimmed. One codegen'd per-row expression
+    * chain; zero shuffles.
+    *
+    * The web-corpus pass that runs BEFORE any tokenizer or hash sees the
+    * text: without it, byte-identical prose with different whitespace
+    * defeats exact dedup and inflates vocabulary. */
+  def normalizeText(text: Column): Column =
+    trim(Rules.foldLeft(text) { case (c, (pat, rep)) =>
+      regexp_replace(c, pat, rep)
+    })
+
+  /** DuckDB spelling of [[normalizeText]] over SQL expression `e` —
+    * generated from the SAME rule constants (the shared-constant
+    * discipline; the FunctionsSpec hand-pins examples so a wrong shared
+    * constant still fails somewhere). */
+  def normalizeOracleExpr(e: String): String = {
+    // DuckDB '…' literals keep backslashes verbatim (no E-string
+    // processing), so the Java pattern text passes through unchanged
+    val chain = Rules.foldLeft(e) { case (acc, (pat, rep)) =>
+      val p = pat.replace("'", "''")
+      val r = rep.replace("\n", "' || chr(10) || '")
+      s"regexp_replace($acc, '$p', '$r', 'g')"
+    }
+    s"trim($chain)"
+  }
+}

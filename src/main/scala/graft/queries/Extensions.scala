@@ -2281,8 +2281,77 @@ object Extensions {
       }
       pp.live.select(col("doc_id"), md5(col("text")).as("text_md5"),
         col("source"), col("version"))
+    }),
+
+    // --- paragraph-level exact dedup (CCNet recipe): boilerplate
+    // paragraphs injected in-query (%3 / %5 docs share two footer
+    // paragraphs, mirrored verbatim in the oracle — the q43 de-vacuize
+    // discipline) die everywhere except their global first occurrence;
+    // unique prose paragraphs pass through untouched
+    "q161_paragraph_dedup" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val aug = docs.select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0, lit("\n" + Boiler1))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit("\n" + Boiler2))
+            .otherwise(lit(""))).as("text"))
+      graft.functions.Curation.dropDuplicateParagraphs(aug, "doc_id", "text")
+        .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
+          col("n_kept"), col("n_dropped"))
+    }),
+
+    // --- C4 line-level cleaning (Raffel et al. §2.2): six constructed
+    // lines per doc — two survivable (own prose + terminal punctuation),
+    // four that each trip a different rule (brace, too short/no
+    // punctuation, lorem ipsum, javascript) — so every rule provably
+    // fires and line6's word-count rule varies with doc length
+    "q162_c4_line_clean" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val aug = docs
+        .select(col("doc_id"), split(col("text"), " ").as("__t"))
+        .select(col("doc_id"), concat_ws("\n",
+          concat(concat_ws(" ", slice(col("__t"), 1, 8)), lit(" today.")),
+          lit(C4BraceLine),
+          concat_ws(" ", slice(col("__t"), 1, 3)),
+          lit(C4LoremLine),
+          lit(C4JsLine),
+          concat(concat_ws(" ", slice(col("__t"), 9, 8)), lit(" done!"))
+        ).as("text"))
+      graft.functions.Curation.c4LineClean(aug, "doc_id", "text")
+        .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
+          col("n_kept"), col("n_dropped"))
+    }),
+
+    // --- unicode normalization: per-doc dirty text constructed with
+    // NBSP/ZWSP/BEL/CRLF/U+2028/tab/double-space injections (mirrored
+    // chr-for-chr in the oracle); the rule chain must fold it back to
+    // clean single-spaced prose — n_removed gates how many codepoints
+    // died, clean_md5 gates exactly which
+    "q163_normalize_text" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val dirty = concat(lit("\u00A0\u200B  "),
+        regexp_replace(col("text"), " ", "  \t"),
+        lit(" \r\n\u0007 x\u2028y "))
+      docs.select(col("doc_id"), dirty.as("dirty"))
+        .select(col("doc_id"),
+          graft.functions.Curation.normalizeText(col("dirty")).as("clean"),
+          length(col("dirty")).as("dirty_len"))
+        .select(col("doc_id"), md5(col("clean")).as("clean_md5"),
+          (col("dirty_len") - length(col("clean"))).cast("long")
+            .as("n_removed"))
     })
   )
+
+  // shared fixture constants for q161/q162 (Spark construction and the
+  // generated oracle both read these — they cannot drift)
+  private val Boiler1 = "follow us on example social for updates today"
+  private val Boiler2 = "all rights reserved contact the site administrator"
+  private val C4BraceLine = "{ var data = 1; }"
+  private val C4LoremLine =
+    "lorem ipsum dolor sit amet consectetur adipiscing elit."
+  private val C4JsLine =
+    "please enable javascript and cookies to continue browsing now."
 
   // ---- oracle SQL ---------------------------------------------------------
   /** The Stupid Backoff oracle, shared by q155 (inline counting) and
@@ -3795,6 +3864,89 @@ object Extensions {
          |SELECT b.id, d.dup_of IS NULL AS kept, d.dup_of,
          |  CAST(coalesce(d.n_smaller_dups, 0) AS BIGINT) AS n_smaller_dups,
          |  d.best_sim
-         |FROM b LEFT JOIN drops d ON b.id = d.id""".stripMargin
+         |FROM b LEFT JOIN drops d ON b.id = d.id""".stripMargin,
+
+    // paragraph-level exact dedup: same augmented construction, 40-bit
+    // paragraph hash, global first occurrence as the packed integer min,
+    // ordered reassembly via string_agg; every doc driven from the
+    // total-paragraph side so a fully-boilerplate doc keeps its row
+    "q161_paragraph_dedup" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 3 = 0 THEN chr(10) || '$Boiler1'
+         |         ELSE '' END ||
+         |    CASE WHEN doc_id % 5 = 0 THEN chr(10) || '$Boiler2'
+         |         ELSE '' END AS text
+         |  FROM documents),
+         |paras AS (
+         |  SELECT doc_id, CAST(pos AS BIGINT) AS ppos, p[pos] AS para
+         |  FROM (SELECT doc_id, string_split(text, chr(10)) AS p FROM aug),
+         |  LATERAL (SELECT unnest(range(1, len(p) + 1)) AS pos) r),
+         |dup AS (
+         |  SELECT CAST(concat('0x', substr(md5(para), 1, 10)) AS BIGINT)
+         |      AS h,
+         |    min(doc_id * 1000000 + ppos) AS keeper
+         |  FROM paras GROUP BY 1 HAVING count(*) >= 2),
+         |kept AS (
+         |  SELECT p.doc_id, p.ppos, p.para FROM paras p
+         |  LEFT JOIN dup ON CAST(concat('0x',
+         |      substr(md5(p.para), 1, 10)) AS BIGINT) = dup.h
+         |  WHERE dup.h IS NULL
+         |     OR p.doc_id * 1000000 + p.ppos = dup.keeper),
+         |agg AS (
+         |  SELECT doc_id,
+         |    string_agg(para, chr(10) ORDER BY ppos) AS clean_text,
+         |    CAST(count(*) AS BIGINT) AS n_kept
+         |  FROM kept GROUP BY doc_id),
+         |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_total
+         |        FROM paras GROUP BY doc_id)
+         |SELECT t.doc_id, md5(coalesce(a.clean_text, '')) AS clean_md5,
+         |  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+         |  CAST(t.n_total - coalesce(a.n_kept, 0) AS BIGINT) AS n_dropped
+         |FROM tot t LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    // C4 line cleaning: the same six constructed lines, the same five
+    // rules (word count over non-empty tokens, terminal punctuation,
+    // braces, lorem ipsum, javascript) as a list_filter lambda
+    "q162_c4_line_clean" ->
+      s"""WITH t0 AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |lines AS (SELECT doc_id, [
+         |    array_to_string(t[1:8], ' ') || ' today.',
+         |    '$C4BraceLine',
+         |    array_to_string(t[1:3], ' '),
+         |    '$C4LoremLine',
+         |    '$C4JsLine',
+         |    array_to_string(t[9:16], ' ') || ' done!'] AS ls
+         |  FROM t0),
+         |kept AS (SELECT doc_id,
+         |    list_filter(ls, l ->
+         |      len(list_filter(string_split(l, ' '), w -> len(w) > 0)) >= 5
+         |      AND regexp_matches(l, '[.!?"]$$')
+         |      AND NOT contains(l, '{') AND NOT contains(l, '}')
+         |      AND NOT contains(lower(l), 'lorem ipsum')
+         |      AND NOT contains(lower(l), 'javascript')) AS k,
+         |    len(ls) AS n
+         |  FROM lines)
+         |SELECT doc_id, md5(array_to_string(k, chr(10))) AS clean_md5,
+         |  CAST(len(k) AS BIGINT) AS n_kept,
+         |  CAST(n - len(k) AS BIGINT) AS n_dropped
+         |FROM kept""".stripMargin,
+
+    // unicode normalization: dirty construction mirrored chr-for-chr
+    // (NBSP 160, ZWSP 8203, tab 9, CR 13, LF 10, BEL 7, LS 8232); the
+    // rule chain is GENERATED from the same constants the Spark side
+    // compiles (normalizeOracleExpr) — and FunctionsSpec hand-pins the
+    // chain on literal examples so a wrong shared constant still fails
+    "q163_normalize_text" -> {
+      val dirtySql = "chr(160) || chr(8203) || '  ' || " +
+        "replace(text, ' ', '  ' || chr(9)) || " +
+        "' ' || chr(13) || chr(10) || chr(7) || ' x' || chr(8232) || 'y '"
+      val cleanSql = graft.functions.Curation.normalizeOracleExpr("dirty")
+      s"""WITH d AS (SELECT doc_id, $dirtySql AS dirty FROM documents)
+         |SELECT doc_id, md5($cleanSql) AS clean_md5,
+         |  CAST(length(dirty) - length($cleanSql) AS BIGINT) AS n_removed
+         |FROM d""".stripMargin
+    }
   )
 }
