@@ -299,6 +299,45 @@ object Governance {
       .write.mode("overwrite").partitionBy("shard").parquet(outPath)
     docs.sparkSession.read.parquet(outPath)
   }
+
+  /** Deterministic per-epoch global training order: every epoch gets its
+    * own pseudorandom permutation of the corpus, derived purely from
+    * (epochSalt, id) — the "reshuffle between epochs" a trainer's data
+    * loader needs, with no stored state and bit-identical on re-run.
+    *
+    * The global rank is materialized WITHOUT a global sort: rows hash
+    * into `nShards` uniform shards (the [[shardExport]] keying), rank
+    * within a shard comes from a per-shard window (partitions bounded by
+    * corpus/nShards), and shard base offsets are an exclusive prefix sum
+    * over the O(nShards) shard counts — a driver carry, the
+    * [[SequencePack]] discipline. Global order ≡ (shard, hash, id).
+    *
+    * Returns (idCol, shard, grank) with grank a 1-based permutation of
+    * 1..N. Scale: one exchange (the shard hash), one O(nShards) collect;
+    * at 100 TB size nShards so a shard's rows fit one task's sort
+    * (~count/nShards rows), exactly the shardExport file-size knob. */
+  def epochOrder(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                 epochSalt: String, nShards: Int): org.apache.spark.sql.DataFrame = {
+    require(nShards > 0, s"epochOrder: nShards must be positive, got $nShards")
+    val h = graft.catalyst.Md5Prefix40(
+      concat(lit(epochSalt), col(idCol).cast("string")))
+    val sharded = docs.select(col(idCol), h.as("__h"))
+      .withColumn("shard", (col("__h") % nShards).cast("int"))
+    // O(nShards) driver carry: exclusive prefix sum of shard counts
+    val counts = sharded.groupBy("shard").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val bases = counts.scanLeft((0, 0L)) { case ((_, acc), (s, n)) =>
+      (s, acc + n)
+    }.zip(counts).map { case ((_, base), (s, _)) => (s, base) }
+    val baseDf = docs.sparkSession.createDataFrame(bases.toSeq)
+      .toDF("shard", "base")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
+    sharded.withColumn("rk", row_number().over(w).cast("long"))
+      .join(broadcast(baseDf), Seq("shard"))
+      .select(col(idCol), col("shard"),
+        (col("base") + col("rk")).as("grank"))
+  }
 }
 
 /** Boundary-class greedy prefix for [[Governance.budgetCurate]]: a

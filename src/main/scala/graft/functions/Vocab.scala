@@ -199,6 +199,68 @@ object Vocab {
         sum(length(col("w"))).as("n_chars"))
   }
 
+  /** Tokenizer fertility audit: subwords-per-word and chars-per-subword
+    * (exact integer micros) per dimension group (e.g. language × source)
+    * under a given merge vocabulary. THE acceptance metric for a
+    * tokenizer over a multilingual corpus — a language with fertility 3×
+    * another's pays 3× the context budget per word, and this surfaces
+    * it per slice before training starts.
+    *
+    * Scale: rides [[bpeEncodeFlat]] (encode per DISTINCT word, join back
+    * on zipfian words — the declared AQE-skew point); the dimension
+    * aggregation runs over the doc-count-sized per-doc table with
+    * map-side partials. Integer arithmetic throughout (×1e6 then floor
+    * div), so the numbers are engine-exact. */
+  def fertility(docs: DataFrame, idCol: String, textCol: String,
+                dims: Seq[String],
+                merges: Seq[(String, String)]): DataFrame = {
+    val perDoc = bpeEncodeFlat(docs, idCol, textCol, merges)
+    perDoc.join(
+        docs.select((col(idCol).as("doc_id") +: dims.map(col)): _*),
+        Seq("doc_id"))
+      .groupBy(dims.map(col): _*)
+      .agg(sum(col("n_words")).as("n_words"),
+        sum(col("n_subwords")).as("n_subwords"),
+        sum(col("n_chars")).as("n_chars"))
+      .select(dims.map(col) ++ Seq(
+        col("n_words"), col("n_subwords"), col("n_chars"),
+        expr("n_subwords * 1000000 div n_words").as("fertility_micros"),
+        expr("n_chars * 1000000 div n_subwords")
+          .as("chars_per_subword_micros")): _*)
+  }
+
+  /** DuckDB spelling of [[fertility]] over (lang, source): the q150
+    * learning CTE chain + nested replace() per token, aggregated per
+    * dimension group with the same integer floor divisions. */
+  def fertilityOracleSql(nMerges: Int): String = {
+    val enc = (1 to nMerges).foldLeft(
+      "' ' || regexp_replace(tok, '(.)', '\\1 ', 'g')") { (acc, k) =>
+      s"""replace($acc,
+         |    ' ' || (SELECT l FROM m$k) || ' ' || (SELECT r FROM m$k) || ' ',
+         |    ' ' || (SELECT l FROM m$k) || (SELECT r FROM m$k) || ' ')""".stripMargin
+    }
+    s"""WITH ${oracleCtes(nMerges)},
+       |enc AS (
+       |  SELECT doc_id, lang, source,
+       |         len(string_split(trim($enc), ' ')) AS ns,
+       |         len(tok) AS nc
+       |  FROM (SELECT doc_id, lang, source,
+       |          unnest(string_split(text, ' ')) AS tok
+       |        FROM documents)
+       |  WHERE tok <> ''),
+       |g AS (
+       |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_words,
+       |    CAST(sum(ns) AS BIGINT) AS n_subwords,
+       |    CAST(sum(nc) AS BIGINT) AS n_chars
+       |  FROM enc GROUP BY 1, 2)
+       |SELECT lang, source, n_words, n_subwords, n_chars,
+       |  CAST(n_subwords * 1000000 // n_words AS BIGINT)
+       |    AS fertility_micros,
+       |  CAST(n_chars * 1000000 // n_subwords AS BIGINT)
+       |    AS chars_per_subword_micros
+       |FROM g""".stripMargin
+  }
+
   /** Word-level BPE (phrase induction, the SentencePiece-over-tokens
     * shape): symbols are whitespace tokens, a merge fuses an adjacent
     * token pair (l, r) into "l_r". Derivation is ROUND-BATCHED — each of

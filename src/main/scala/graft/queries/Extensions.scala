@@ -2340,6 +2340,38 @@ object Extensions {
         .select(col("doc_id"), md5(col("clean")).as("clean_md5"),
           (col("dirty_len") - length(col("clean"))).cast("long")
             .as("n_removed"))
+    }),
+
+    // --- per-epoch deterministic reshuffle: two epochs' global training
+    // orders materialized WITHOUT a global sort (uniform hash shards +
+    // per-shard windows + an O(nShards) prefix-sum driver carry); the
+    // rank-weighted checksum pins the entire permutation — one swapped
+    // pair anywhere changes it — and rank_sum = n(n+1)/2 pins that grank
+    // is a true 1..N permutation
+    "q164_epoch_reshuffle" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      def one(e: Int) = graft.functions.Governance
+        .epochOrder(docs, "doc_id", s"ep$e#", 8)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("grank")).as("rank_sum"),
+          sum(col("grank") * (pmod(col("doc_id"), lit(997L)) + 1))
+            .as("order_checksum"))
+        .select(lit(e.toLong).as("epoch"), col("n_docs"),
+          col("rank_sum"), col("order_checksum"))
+      one(0).unionAll(one(1))
+    }),
+
+    // --- tokenizer fertility audit per (lang, source): learn 8 BPE
+    // merges (q150 derivation, 1-row driver carries), encode per
+    // DISTINCT word (q157 flat-depth node), aggregate subwords-per-word
+    // and chars-per-subword as exact integer micros per corpus slice
+    "q165_tokenizer_fertility" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val merges = graft.functions.Vocab.bpeMerges(docs, "text", nMerges = 8)
+        .collect().sortBy(_.getInt(0))
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.functions.Vocab.fertility(docs, "doc_id", "text",
+        Seq("lang", "source"), merges)
     })
   )
 
@@ -3947,6 +3979,31 @@ object Extensions {
          |SELECT doc_id, md5($cleanSql) AS clean_md5,
          |  CAST(length(dirty) - length($cleanSql) AS BIGINT) AS n_removed
          |FROM d""".stripMargin
-    }
+    },
+
+    // epoch reshuffle: the global order is (shard, hash, id) — exactly
+    // what the sharded+prefix-sum Spark plan materializes
+    "q164_epoch_reshuffle" -> {
+      def epoch(e: Int): String = {
+        val h = s"CAST(concat('0x', substr(md5('ep$e#' || " +
+          "CAST(doc_id AS VARCHAR)), 1, 10)) AS BIGINT)"
+        s"""SELECT CAST($e AS BIGINT) AS epoch,
+           |  CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(grank) AS BIGINT) AS rank_sum,
+           |  CAST(sum(grank * ((doc_id % 997) + 1)) AS BIGINT)
+           |    AS order_checksum
+           |FROM (
+           |  SELECT doc_id, CAST(row_number() OVER
+           |      (ORDER BY shard, h, doc_id) AS BIGINT) AS grank
+           |  FROM (SELECT doc_id, $h AS h, $h % 8 AS shard
+           |        FROM documents))""".stripMargin
+      }
+      epoch(0) + "\nUNION ALL\n" + epoch(1)
+    },
+
+    // fertility: learning chain + nested replace encode, grouped per
+    // (lang, source) with identical integer floor divisions
+    "q165_tokenizer_fertility" ->
+      graft.functions.Vocab.fertilityOracleSql(8)
   )
 }

@@ -433,4 +433,39 @@ class FormulaPinSpec extends SparkSpec {
     // a <3-token batch doc keeps its (0, 0) row rather than vanishing
     assert(got(53L) == (0L, 0L))
   }
+
+  test("q165 fertility: per-slice integer micros match a plain-Scala replay " +
+       "and a hand-computed slice") {
+    import graft.functions.Vocab
+    val merges = Seq(("e", "r"), ("er", "s"))
+    val docs = Seq(
+      (1L, "er ers xx", "en", "sA"),
+      (2L, "ers er", "en", "sA"),
+      (3L, "xx yy", "de", "sB")).toDF("doc_id", "text", "lang", "source")
+    def encode(w: String): Int = {
+      var repr = " " + w.toCharArray.mkString(" ") + " "
+      for ((l, r) <- merges) repr = repr.replace(s" $l $r ", s" $l$r ")
+      repr.trim.split(" ").length
+    }
+    val corpus = Seq(
+      ("en", "sA", Seq("er", "ers", "xx", "ers", "er")),
+      ("de", "sB", Seq("xx", "yy")))
+    val expect = corpus.map { case (lang, src, ws) =>
+      val nw = ws.length.toLong
+      val ns = ws.map(encode(_).toLong).sum
+      val nc = ws.map(_.length.toLong).sum
+      (lang, src) -> (nw, ns, nc, ns * 1000000L / nw, nc * 1000000L / ns)
+    }.toMap
+    val got = Vocab.fertility(docs, "doc_id", "text",
+        Seq("lang", "source"), merges)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6))).toMap
+    assert(got == expect, s"got=$got expect=$expect")
+    // hand-computed anchor (not derived from the replay code): the en/sA
+    // slice is 5 words → 6 subwords ('er'/'ers' each one symbol after
+    // the two merges, 'xx' stays two) over 12 chars
+    assert(got(("en", "sA")) ==
+      ((5L, 6L, 12L, 1200000L, 2000000L)))
+  }
 }

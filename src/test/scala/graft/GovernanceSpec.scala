@@ -271,4 +271,52 @@ class GovernanceSpec extends SparkSpec {
       (bFirst, "B", 7, 30L))
     assert(got == expect, s"got=$got expect=$expect (aFirst=$aFirst bFirst=$bFirst)")
   }
+
+  test("epochOrder: grank is a 1..N permutation, salt-sensitive, rerun-stable") {
+    import graft.functions.Governance
+    val docs = (0L until 200L).toDF("doc_id")
+    val e0 = Governance.epochOrder(docs, "doc_id", "ep0#", 8)
+      .select("doc_id", "grank").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // a true permutation of 1..N
+    assert(e0.values.toSeq.sorted == (1L to 200L))
+    // same salt, independent run → bit-identical order
+    val e0b = Governance.epochOrder(docs, "doc_id", "ep0#", 8)
+      .select("doc_id", "grank").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(e0 == e0b)
+    // different salt → a genuinely different permutation (also 1..N)
+    val e1 = Governance.epochOrder(docs, "doc_id", "ep1#", 8)
+      .select("doc_id", "grank").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(e1.values.toSeq.sorted == (1L to 200L))
+    assert(e0 != e1)
+    // shard count changes the PLAN's parallelism, never the order: the
+    // global order is (shard, hash, id), so equality across nShards is
+    // NOT expected — but each is internally consistent
+    val e0n4 = Governance.epochOrder(docs, "doc_id", "ep0#", 4)
+      .select("doc_id", "grank").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(e0n4.values.toSeq.sorted == (1L to 200L))
+  }
+
+  test("epochOrder matches a plain-Scala recomputation of (shard, hash, id)") {
+    import graft.functions.Governance
+    import java.security.MessageDigest
+    def h40(s: String): Long = {
+      val d = MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(5).map(b => f"$b%02x").mkString, 16)
+    }
+    val ids = 0L until 64L
+    val expect = ids.map { id =>
+      val h = h40(s"epX#$id"); (h % 8, h, id)
+    }.sorted.zipWithIndex.map { case ((_, _, id), i) => id -> (i + 1L) }.toMap
+    val docs = ids.toDF("doc_id")
+    val got = Governance.epochOrder(docs, "doc_id", "epX#", 8)
+      .select("doc_id", "grank").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+  }
 }
