@@ -299,6 +299,40 @@ object Similarity {
     (cents, lists)
   }
 
+  /** Cluster-balanced subsampling: cap every k-means cluster at
+    * `perCluster` members, chosen by deterministic salted hash — the
+    * topic-diversity sampler for training mixes (a dense topical blob
+    * contributes at most `perCluster` docs, the long tail survives
+    * whole; SemDeDup's "prune dense regions" as a SAMPLING policy
+    * rather than a dedup).
+    *
+    * Returns (cent, idCol, rk) — rk is the 1-based hash rank within the
+    * cluster. Callers gate ties: the 52-bit hash must be duplicate-free
+    * over the corpus (the q107 tie-freedom discipline) or rank order is
+    * engine-dependent.
+    *
+    * Scale: rides [[ivfKMeansBuild]] (corpus never exchanged beyond the
+    * assignment aggregate); the cap is a bounded-heap
+    * [[graft.catalyst.TopKAgg]] per cluster — map-side-combined, never
+    * a per-cluster sort — and the winner set broadcasts back
+    * (nlist × perCluster rows). */
+  def clusterBalancedSample(corpus: DataFrame, idCol: String, vecCol: String,
+                            nlist: Int, iters: Int, perCluster: Int,
+                            salt: String): DataFrame = {
+    require(perCluster > 0,
+      s"clusterBalancedSample: perCluster must be positive, got $perCluster")
+    val (_, lists) = ivfKMeansBuild(corpus, idCol, vecCol, nlist, iters)
+    val nh = -conv(substring(md5(concat(lit(salt),
+      col("nn_id").cast("string"))), 1, 13), 16, 10).cast("double")
+    val d = lists.select(col("nn_id"), col("cent"), nh.as("nh"))
+    val tops = d.groupBy(col("cent"))
+      .agg(graft.catalyst.TopKAgg(col("nh"), perCluster).as("top"))
+    d.join(broadcast(tops), Seq("cent"))
+      .filter(array_contains(col("top"), col("nh")))
+      .select(col("cent"), col("nn_id").as(idCol),
+        array_position(col("top"), col("nh")).cast("int").as("rk"))
+  }
+
   /** The QUERY phase of [[ivfKnnKMeans]] against an already-built (or
     * persisted and re-read) index. Scale shape: the probe table is
     * queries×nprobe — small per batch — and is BROADCAST into the lists

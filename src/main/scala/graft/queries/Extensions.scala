@@ -2372,6 +2372,27 @@ object Extensions {
         .map(r => (r.getString(1), r.getString(2))).toSeq
       graft.functions.Vocab.fertility(docs, "doc_id", "text",
         Seq("lang", "source"), merges)
+    }),
+
+    // --- cluster-balanced subsampling: k-means assignment (the q66
+    // 2-round Lloyd machinery) + a per-cluster deterministic hash cap
+    // via the bounded-heap TopKAgg (the q107 Window-free discipline) —
+    // dense topical blobs contribute ≤ perCluster docs each, the long
+    // tail survives whole. Tie-freedom of the 52-bit hash is asserted
+    // over the WHOLE corpus before the gate trusts rank order.
+    "q166_cluster_balanced_sample" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val nh = -conv(substring(md5(concat(lit("graft-r8b"),
+          col("vec_id").cast("string"))), 1, 13), 16, 10).cast("double")
+      val ties = e.select(nh.as("nh"))
+        .agg(count(lit(1)).as("n"), count_distinct(col("nh")).as("nd"))
+        .collect()(0)
+      require(ties.getLong(0) == ties.getLong(1), "q166: 52-bit hash tie " +
+        "across corpus — fold a vec_id tiebreak into nh (both spellings) " +
+        "before trusting the gate")
+      graft.functions.Similarity.clusterBalancedSample(e, "vec_id",
+        "embedding", nlist = 16, iters = 2, perCluster = 8,
+        salt = "graft-r8b")
     })
   )
 
@@ -2580,7 +2601,10 @@ object Extensions {
   /** Shared by q66 (build-per-query) and q131 (query against the PERSISTED
     * index): the index round-trips through storage bit-identically, so
     * both gate against the same unrolled-Lloyd SQL. */
-  private lazy val ivfKMeansOracle: String = {
+  /** The k-means corpus-assignment CTE chain (qbase → 2 Lloyd rounds →
+    * `lists(nn_id, nn_vec, cent)`), shared by q66/q131 (probed KNN) and
+    * q166 (cluster-balanced sampling). */
+  private lazy val ivfAssignCtes: String = {
     // 2 unrolled Lloyd rounds, mirroring ivfKnnKMeans exactly: quantized
     // components floor(x*1e6) as BIGINT, assignment by the same rounded
     // ordered-fold cosine, centroid update = element-wise floor(mean)
@@ -2599,7 +2623,7 @@ object Extensions {
          |    FROM (SELECT cent_id, unnest(q) AS v,
          |          unnest(range(1, len(q) + 1)) AS pos FROM a$i)
          |    GROUP BY 1, 2) GROUP BY 1)""".stripMargin
-    s"""WITH qbase AS (
+    s"""qbase AS (
        |  SELECT vec_id AS nn_id, embedding,
        |  list_transform(embedding,
        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
@@ -2617,7 +2641,11 @@ object Extensions {
        |    row_number() OVER (PARTITION BY b2.nn_id
        |      ORDER BY ${dCos("b2.q", "c.cent_q")} DESC, c.cent_id ASC) AS rn
        |    FROM qbase b2 CROSS JOIN c2 c) WHERE rn = 1) f
-       |  JOIN qbase b USING (nn_id)),
+       |  JOIN qbase b USING (nn_id))""".stripMargin
+  }
+
+  private lazy val ivfKMeansOracle: String = {
+    s"""WITH $ivfAssignCtes,
        |probes AS (
        |  SELECT query_id, q_vec, cent FROM (
        |    SELECT b.nn_id AS query_id, b.embedding AS q_vec,
@@ -4004,6 +4032,20 @@ object Extensions {
     // fertility: learning chain + nested replace encode, grouped per
     // (lang, source) with identical integer floor divisions
     "q165_tokenizer_fertility" ->
-      graft.functions.Vocab.fertilityOracleSql(8)
+      graft.functions.Vocab.fertilityOracleSql(8),
+
+    // cluster-balanced sample: the shared k-means assignment chain +
+    // per-cluster hash rank (negated 52-bit hash, q107's spelling)
+    "q166_cluster_balanced_sample" ->
+      s"""WITH $ivfAssignCtes,
+         |d AS (
+         |  SELECT nn_id, cent,
+         |  -CAST(CAST(concat('0x', substr(md5(concat('graft-r8b',
+         |      CAST(nn_id AS VARCHAR))), 1, 13)) AS BIGINT) AS DOUBLE) AS nh
+         |  FROM lists)
+         |SELECT cent, nn_id AS vec_id, CAST(rk AS INTEGER) AS rk FROM (
+         |  SELECT cent, nn_id,
+         |    row_number() OVER (PARTITION BY cent ORDER BY nh DESC) AS rk
+         |  FROM d) WHERE rk <= 8""".stripMargin
   )
 }

@@ -588,4 +588,34 @@ class FunctionsSpec extends SparkSpec {
     // containment = 2e6/2 = 1e6; union = 4 → jaccard = 500000.
     assert(got == Set((10L, 1L, 1000000L, 500000L)), s"got=$got")
   }
+
+  test("clusterBalancedSample caps a dense cluster, spares the tail, " +
+       "ranks 1..cap, and is deterministic") {
+    // 60 near-identical vectors (one dense blob) + 12 well-spread ones:
+    // the blob must contribute at most perCluster docs, the spread tail
+    // survives whole (each alone or near-alone in its cluster)
+    val dense = (0 until 60).map(i =>
+      (i.toLong, Array(1.0f, 0.001f * i, 0.0f, 0.0f)))
+    val spread = (0 until 12).map(i =>
+      (100L + i, Array(-1.0f + 0.1f * i, 1.0f, 0.5f * i, -0.3f * i)))
+    val df = (dense ++ spread).toDF("vec_id", "embedding")
+    val got = Similarity.clusterBalancedSample(df, "vec_id", "embedding",
+      nlist = 8, iters = 2, perCluster = 5, salt = "t#")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val byCluster = got.groupBy(_._1)
+    assert(byCluster.values.forall(_.length <= 5))
+    // ranks within a cluster are exactly 1..size
+    assert(byCluster.values.forall(g =>
+      g.map(_._3).sorted.toSeq == (1 to g.length)))
+    // the dense blob was genuinely capped (60 in, ≤ 5·(#blob clusters)
+    // out with at least one cluster full), and some tail doc survived
+    val denseKept = got.count(_._2 < 60L)
+    assert(denseKept < 60 && byCluster.values.exists(_.length == 5))
+    assert(got.exists(_._2 >= 100L))
+    // deterministic: an independent run returns the identical set
+    val again = Similarity.clusterBalancedSample(df, "vec_id", "embedding",
+      nlist = 8, iters = 2, perCluster = 5, salt = "t#")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSet == again.toSet)
+  }
 }
