@@ -56,9 +56,18 @@ final class Lowering(spark: SparkSession, keepAssertions: Boolean = true,
     persistedIntermediates += intermediate
   }
 
-  /** Write all registered trap sinks (called by Flow after the main sinks). */
+  /** Write all registered trap sinks (called by Flow after the main sinks).
+    * Multiple stages may share ONE trap tap (upstream
+    * TrapPlatformTest.testTrapEachEveryAllChained): registrations are
+    * grouped per tap and unioned BY NAME with missing columns padded null
+    * (each stage traps its own input schema) so every stage's diagnostics
+    * land in the same sink instead of the last write replacing the rest. */
   def flushTraps(): Unit = {
-    pendingTraps.foreach { case (tap, bad) => tap.write(bad, SinkMode.Replace) }
+    pendingTraps.groupBy(_._1).foreach { case (tap, regs) =>
+      val united = regs.map(_._2)
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+      tap.write(united, SinkMode.Replace)
+    }
     pendingTraps.clear()
   }
 

@@ -675,4 +675,129 @@ class ConformanceSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/odds").select("num")
       .collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 3, 5))
   }
+
+  // FieldedPipesPlatformTest.testReplace: Identity with the REPLACE
+  // output selector coerces an argument field IN PLACE — same name, same
+  // position, new type; untouched fields keep their positions.
+  test("REPLACE selector coerces a field in place, preserving position") {
+    // (StringType in CFields means "untyped" — CFields.of's default — so
+    // the coercion corner uses a genuinely-typed target)
+    val p = pipe(lower).each(
+      Identity(CFields.typed("num" -> DoubleType)),
+      args = FieldSelector("num"), out = FieldSelector.Replace)
+    val df = Flow.toDF(p)
+    assert(df.columns.toSeq == Seq("num", "ch"))
+    assert(df.schema("num").dataType == DoubleType)
+    assert(rows(p) == Set(Seq(1.0, "a"), Seq(2.0, "b"), Seq(3.0, "c"),
+      Seq(4.0, "d"), Seq(5.0, "e")))
+  }
+
+  // CascadePlatformTest / checkpointed multi-flow chains: flow 1 writes
+  // a sink tap, flow 2 reads the SAME tap as its source — the values and
+  // schema must round-trip the storage boundary (the Cascading "chained
+  // taps" contract that lets pipelines compose across flows).
+  test("chained flows: second flow reads the first flow's sink tap") {
+    val dir = java.nio.file.Files.createTempDirectory("chainedtaps").toString
+    val tap = graft.sources.ParquetTap(s"$dir/mid")
+    val f1 = pipe(lower).groupBy("ch").every(Aggs.sum("num", "s"))
+    Flow.write(f1, tap)
+    // ExpressionFilter REMOVES matches: s < 3 drops groups a (1) and b
+    // (2), keeping {3, 4, 5} → total 12 over 3 groups
+    val f2 = Pipe.source(tap).filterBy(ExpressionFilter("s < 3"))
+      .groupAll.every(Aggs.sum("s", "total"), Aggs.count("n"))
+    assert(rows(f2) == Set(Seq(12L, 3L)))
+  }
+
+  // BufferPipesPlatformTest.testSimpleBuffer: a Buffer may emit MORE
+  // rows than its group holds — here each value row plus a trailing
+  // per-group total row — and the group key is replicated onto every
+  // emitted row by the runner (the Cascading group-fields contract).
+  test("buffer emits extra summary rows; group key replicates onto each") {
+    val df = Seq(("a", 1), ("a", 2), ("b", 5)).toDF("k", "v")
+    val b = new CBuffer {
+      val resultFields: CFields =
+        CFields.typed("tag" -> StringType, "x" -> IntegerType)
+      def operate(key: Seq[Any], rs: Iterator[Row]): Iterator[Seq[Any]] = {
+        var total = 0
+        val vals = rs.map { r =>
+          total += r.getInt(r.fieldIndex("v")); Seq("val", r.getInt(r.fieldIndex("v")))
+        }.toVector
+        (vals :+ Seq("sum", total)).iterator
+      }
+    }
+    val p = pipe(df).groupBySorted(Seq("k"), Seq("v" -> true)).buffer(b)
+    assert(rows(p) == Set(
+      Seq("a", "val", 1), Seq("a", "val", 2), Seq("a", "sum", 3),
+      Seq("b", "val", 5), Seq("b", "sum", 5)))
+  }
+
+  // AssemblyHelpersPlatformTest.testCompositeAggregateBy: several
+  // AggregateBys over ONE grouping fuse into a single partial-aggregated
+  // pass — exactly one shuffle for count+sum+min+max together (the
+  // map-side-combine fusion the upstream composite encodes).
+  test("fused multi-aggregate runs in ONE exchange (composite AggregateBy)") {
+    val df = Seq(("x", 1), ("x", 5), ("y", 7)).toDF("k", "v")
+    val p = pipe(df).groupBy("k")
+      .every(Aggs.count("n"), Aggs.sum("v", "s"), Aggs.min("v", "lo"),
+        Aggs.max("v", "hi"))
+    val out = Flow.toDF(p)
+    out.collect()
+    // AQE's toString prints final AND initial plans — count the final only
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllMatchIn(plan).length
+    assert(exchanges == 1, s"expected one fused exchange:\n$plan")
+    // fusion evidence: all four aggregates inside ONE HashAggregate node
+    assert("HashAggregate\\(keys=\\[k[^\\]]*\\], functions=\\[count\\(1\\), sum\\([^)]*\\), min\\([^)]*\\), max\\([^)]*\\)".r
+      .findFirstIn(plan).isDefined, s"aggregates not fused:\n$plan")
+  }
+
+  // TrapPlatformTest.testTrapEachEveryAllChained: ONE trap tap shared by
+  // an Each stage and a Buffer stage — diagnostics from BOTH granularities
+  // accumulate in the same trap, and the healthy rows keep flowing.
+  test("one trap tap shared across Each and Buffer stages accumulates both") {
+    val dir = java.nio.file.Files.createTempDirectory("trapshared").toString
+    val trap = graft.sources.ParquetTap(s"$dir/trap")
+    val fn = new CRowFunction {
+      val resultFields: CFields = CFields.typed("num2" -> IntegerType)
+      def apply(args: Row): Iterator[Seq[Any]] =
+        if (args.getInt(0) == 2) throw new IllegalStateException("each-2")
+        else Iterator.single(Seq(args.getInt(0)))
+    }
+    val buf = new CBuffer {
+      val resultFields: CFields = CFields.typed("n" -> IntegerType)
+      def operate(key: Seq[Any], rs: Iterator[Row]): Iterator[Seq[Any]] = {
+        val v = rs.toVector
+        if (key.head == 1) throw new IllegalStateException("buffer-1")
+        Iterator.single(Seq(v.size))
+      }
+    }
+    val p = pipe(lower)
+      .eachRow(fn, args = FieldSelector("num"), out = FieldSelector.Results,
+        trap = Some(trap))
+      .each(Identity(CFields.typed("g" -> IntegerType)),
+        args = FieldSelector("num2"), out = FieldSelector.All)
+      .groupBySorted(Seq("g"), Seq("num2" -> true)).buffer(buf, Some(trap))
+    val good = Flow.toDFWithTraps(p)
+    // rows 1..5 minus each-trapped 2, minus buffer-trapped group 1
+    assert(good.collect().map(r => (r.getInt(0), r.getInt(1))).toSet ==
+      Set((3, 1), (4, 1), (5, 1)))
+    val errs = spark.read.parquet(s"$dir/trap")
+      .select("__trap_err").collect().map(_.getString(0))
+    assert(errs.exists(_.contains("each-2")) &&
+      errs.exists(_.contains("buffer-1")), errs.mkString("; "))
+  }
+
+  // LimitPipesPlatformTest-shaped corner: limit AFTER aggregation is a
+  // GLOBAL limit over the aggregated result (not per-slice — that is
+  // sliceLimit's contract), deterministic under a declared order.
+  test("limit after aggregation is global and order-respecting") {
+    val df = Seq(("a", 1), ("b", 2), ("c", 3), ("d", 4), ("e", 5))
+      .toDF("k", "v")
+    val p = pipe(df).groupBy("k").every(Aggs.sum("v", "s"))
+      .orderBy("s" -> false).limit(2)
+    val got = Flow.toDF(p).collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("e", 5L), ("d", 4L)))
+  }
 }
