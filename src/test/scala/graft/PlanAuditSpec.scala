@@ -386,4 +386,47 @@ class PlanAuditSpec extends SparkSpec {
       docs.limit(50), docs.limit(10))).contains("__t"),
       "LM gram scans lost the token projection")
   }
+
+  test("q162/q163: line cleaning and normalization are scan-only — zero exchanges") {
+    for (q <- Seq("q162_c4_line_clean", "q163_normalize_text")) {
+      val plan = formatted(q)
+      assert(!plan.contains("Exchange"), s"$q should not shuffle:\n$plan")
+      // a pure scan→project pipeline: no join, no aggregate, no sort
+      // (higher-order-function lambdas are CodegenFallback by design;
+      // the scale property is the absence of any data movement)
+      assert(!plan.contains("Join") && !plan.contains("Aggregate") &&
+        !plan.contains("Sort"), s"$q grew non-scan nodes:\n$plan")
+    }
+  }
+
+  test("q161: paragraph dedup shuffles only on hash/doc keys, never a product") {
+    val plan = atScale(formatted("q161_paragraph_dedup"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the dup-set join keys on the 40-bit paragraph hash; reassembly and
+    // totals group per document — no whole-corpus sort anywhere
+    assert(!plan.contains("Sort [") || !plan.contains("global=true"),
+      s"unexpected global sort:\n$plan")
+  }
+
+  test("q164: epoch order has no single-partition window (shard-partitioned)") {
+    val plan = formatted("q164_epoch_reshuffle")
+    // every window partitions by shard — a keyless Window (global rank
+    // on one task) would be the 100 TB cliff
+    assert(plan.contains("Window"), plan)
+    assert(!plan.contains("Window [row_number()") ||
+      plan.linesIterator.filter(_.contains("windowspecdefinition"))
+        .forall(_.contains("shard")),
+      s"window not shard-partitioned:\n$plan")
+    // the shard base offsets ride a broadcast, not a shuffle
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+  }
+
+  test("q166: per-cluster cap is an aggregate + broadcast-back, not a Window") {
+    val plan = formatted("q166_cluster_balanced_sample")
+    assert(plan.contains("topk_agg") || plan.contains("TopKAgg"), plan)
+    assert(!plan.contains("windowspecdefinition"),
+      s"cap must not sort clusters via a Window:\n$plan")
+  }
 }
