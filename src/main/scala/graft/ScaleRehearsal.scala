@@ -43,7 +43,16 @@ object ScaleRehearsal {
     // flat BPE encode (distinct-word table grows 10× under suffixes),
     // and the 256-merge phrase induction (4 counting scans)
     "q155_sb_fluency", "q157_bpe_encode_flat", "q158_phrase_bpe256",
-    "q159_sb_fluency_indexed")
+    "q159_sb_fluency_indexed",
+    // round-8 continuation heavy tier: paragraph dedup (explode +
+    // uniform hash agg + join-back; the injected boilerplate dup set is
+    // corpus-size-INDEPENDENT, per-replica prose paragraphs stay
+    // distinct under the suffixes), epoch reshuffle (shard windows +
+    // O(nShards) carry — the permutation materialization), fertility
+    // (distinct-word encode table grows ~10× under suffixes), and the
+    // cluster-balanced sample (2 Lloyd rounds + bounded cap agg)
+    "q161_paragraph_dedup", "q164_epoch_reshuffle",
+    "q165_tokenizer_fertility", "q166_cluster_balanced_sample")
 
   def main(args: Array[String]): Unit = {
     val small = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
