@@ -116,6 +116,31 @@ object Curation {
         (col("__n") - size(col("__k"))).cast("long").as("n_dropped"))
   }
 
+  /** Intra-document repeated-line dedup: within ONE document, every line
+    * keeps only its first occurrence (navigation menus, repeated
+    * headers/footers inside a page). Unlike [[dropDuplicateParagraphs]]
+    * this needs NO corpus-wide state — first occurrence is decided
+    * against the document's own line array — so the whole op is one
+    * scan-local column program: zero shuffles, no join, no window.
+    *
+    * Keep rule: line i survives iff `array_position(lines, line) == i`
+    * (1-based first-occurrence index). Blank lines are exempt (paragraph
+    * separators repeat legitimately).
+    *
+    * Returns (id, clean_text, n_kept, n_dropped). */
+  def dropRepeatedLines(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    docs.select(col(idCol), split(col(textCol), "\n").as("__l"))
+      .select(col(idCol), col("__l"),
+        filter(col("__l"), (ln, i) =>
+          length(ln) === 0 || array_position(col("__l"), ln) === i + 1)
+          .as("__k"))
+      .select(col(idCol),
+        array_join(col("__k"), "\n").as("clean_text"),
+        size(col("__k")).cast("long").as("n_kept"),
+        (size(col("__l")) - size(col("__k"))).cast("long").as("n_dropped"))
+  }
+
   // Normalization rule set, applied in order. Each pattern is spelled
   // with \x{...} escapes valid in BOTH Java regex (Spark) and RE2
   // (DuckDB); the DuckDB mirrors are generated from these constants via

@@ -2393,6 +2393,27 @@ object Extensions {
       graft.functions.Similarity.clusterBalancedSample(e, "vec_id",
         "embedding", nlist = 16, iters = 2, perCluster = 8,
         salt = "graft-r8b")
+    }),
+
+    // --- intra-document repeated-line dedup: a nav menu injected three
+    // times per doc (plus a legitimately-blank separator, exempt) must
+    // survive exactly once — first occurrence, decided against the doc's
+    // OWN line array, zero shuffles
+    "q167_repeated_lines" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val aug = docs
+        .select(col("doc_id"), split(col("text"), " ").as("__t"))
+        .select(col("doc_id"), concat_ws("\n",
+          lit(NavLine),
+          concat_ws(" ", slice(col("__t"), 1, 6)),
+          lit(NavLine),
+          concat_ws(" ", slice(col("__t"), 7, 6)),
+          lit(""),
+          lit(NavLine),
+          concat_ws(" ", slice(col("__t"), 13, 6))).as("text"))
+      graft.functions.Curation.dropRepeatedLines(aug, "doc_id", "text")
+        .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
+          col("n_kept"), col("n_dropped"))
     })
   )
 
@@ -2405,6 +2426,7 @@ object Extensions {
     "lorem ipsum dolor sit amet consectetur adipiscing elit."
   private val C4JsLine =
     "please enable javascript and cookies to continue browsing now."
+  private val NavLine = "home products about contact"
 
   // ---- oracle SQL ---------------------------------------------------------
   /** The Stupid Backoff oracle, shared by q155 (inline counting) and
@@ -4046,6 +4068,31 @@ object Extensions {
          |SELECT cent, nn_id AS vec_id, CAST(rk AS INTEGER) AS rk FROM (
          |  SELECT cent, nn_id,
          |    row_number() OVER (PARTITION BY cent ORDER BY nh DESC) AS rk
-         |  FROM d) WHERE rk <= 8""".stripMargin
+         |  FROM d) WHERE rk <= 8""".stripMargin,
+
+    // repeated-line dedup: same construction; DuckDB's index lambda is
+    // 1-based where Spark's is 0-based (the recorded cross-engine
+    // lesson), so keep = list_position(ls, l) = i vs array_position = i+1
+    "q167_repeated_lines" ->
+      s"""WITH t0 AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |lines AS (SELECT doc_id, [
+         |    '$NavLine',
+         |    coalesce(array_to_string(t[1:6], ' '), ''),
+         |    '$NavLine',
+         |    coalesce(array_to_string(t[7:12], ' '), ''),
+         |    '',
+         |    '$NavLine',
+         |    coalesce(array_to_string(t[13:18], ' '), '')] AS ls
+         |  FROM t0),
+         |kept AS (SELECT doc_id,
+         |    list_filter(ls, (l, i) ->
+         |      length(l) = 0 OR list_position(ls, l) = i) AS k,
+         |    len(ls) AS n
+         |  FROM lines)
+         |SELECT doc_id, md5(array_to_string(k, chr(10))) AS clean_md5,
+         |  CAST(len(k) AS BIGINT) AS n_kept,
+         |  CAST(n - len(k) AS BIGINT) AS n_dropped
+         |FROM kept""".stripMargin
   )
 }

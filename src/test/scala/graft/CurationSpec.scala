@@ -89,6 +89,19 @@ class CurationSpec extends SparkSpec {
       Seq(doc).toDF("doc_id", "text")).collect()
   }
 
+  test("dropRepeatedLines keeps first occurrences; blanks are exempt") {
+    val doc = Seq("nav bar", "real content one", "nav bar", "", "more text",
+      "", "nav bar", "real content one").mkString("\n")
+    val r = Curation.dropRepeatedLines(Seq((1L, doc)).toDF("doc_id", "text"))
+      .collect().head
+    // both blank separators survive; nav bar and the repeated content
+    // line keep only their first occurrences
+    assert(r.getAs[String]("clean_text") ==
+      Seq("nav bar", "real content one", "", "more text", "").mkString("\n"))
+    assert(r.getAs[Long]("n_kept") == 5L)
+    assert(r.getAs[Long]("n_dropped") == 3L)
+  }
+
   test("normalize oracle expression is generated from the same rule set") {
     // the DuckDB spelling must contain every rule's pattern verbatim
     val sql = Curation.normalizeOracleExpr("t")
