@@ -2414,6 +2414,35 @@ object Extensions {
       graft.functions.Curation.dropRepeatedLines(aug, "doc_id", "text")
         .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
           col("n_kept"), col("n_dropped"))
+    }),
+
+    // --- the document-structure curation LADDER composed end-to-end:
+    // normalize (NBSP/CRLF/doubled spaces) → C4 line clean (brace line
+    // dies) → paragraph dedup (the shared subscribe-footer survives only
+    // at doc 0). Every stage provably fires on every doc; each stage is
+    // individually gated (q163/q162/q161) — this gate proves they
+    // COMPOSE (the q148 discipline for the structure ladder).
+    "q168_curation_ladder" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val dirty = docs
+        .select(col("doc_id"), split(col("text"), " ").as("__t"))
+        .select(col("doc_id"), concat(
+          lit("\u00A0 "),
+          concat_ws("  ", slice(col("__t"), 1, 8)),
+          lit("  today.\r\n"),
+          lit(C4BraceLine), lit("\n"),
+          lit(LadderBoiler)).as("dirty"))
+      val norm = dirty.select(col("doc_id"),
+        graft.functions.Curation.normalizeText(col("dirty")).as("text"))
+      val lined = graft.functions.Curation.c4LineClean(norm, "doc_id", "text")
+      val deduped = graft.functions.Curation.dropDuplicateParagraphs(
+        lined.select(col("doc_id"), col("clean_text").as("text")),
+        "doc_id", "text")
+      deduped
+        .join(lined.select(col("doc_id"),
+          col("n_dropped").as("lines_dropped")), Seq("doc_id"))
+        .select(col("doc_id"), md5(col("clean_text")).as("final_md5"),
+          col("lines_dropped"), col("n_dropped").as("paras_dropped"))
     })
   )
 
@@ -2427,6 +2456,46 @@ object Extensions {
   private val C4JsLine =
     "please enable javascript and cookies to continue browsing now."
   private val NavLine = "home products about contact"
+  private val LadderBoiler =
+    "subscribe to our newsletter for updates today."
+
+  /** DuckDB spelling of the C4 keep rule over line variable `l` (shared
+    * by q162 and the q168 ladder so the rule set cannot drift). */
+  private val C4KeepRule: String =
+    """len(list_filter(string_split(l, ' '), w -> len(w) > 0)) >= 5
+      |      AND regexp_matches(l, '[.!?"]$')
+      |      AND NOT contains(l, '{') AND NOT contains(l, '}')
+      |      AND NOT contains(lower(l), 'lorem ipsum')
+      |      AND NOT contains(lower(l), 'javascript')""".stripMargin
+
+  /** The paragraph-dedup CTE chain over a source relation `src` (must
+    * expose doc_id, text): paras → dup (packed-min keeper) → kept → agg
+    * + tot. Shared by q161 and the q168 curation-ladder composition.
+    * Callers SELECT from `agg`/`tot` (left join, coalesce for
+    * fully-deduped docs). */
+  private def paragraphDedupBody(src: String): String =
+    s"""paras AS (
+       |  SELECT doc_id, CAST(pos AS BIGINT) AS ppos, p[pos] AS para
+       |  FROM (SELECT doc_id, string_split(text, chr(10)) AS p FROM $src),
+       |  LATERAL (SELECT unnest(range(1, len(p) + 1)) AS pos) r),
+       |dup AS (
+       |  SELECT CAST(concat('0x', substr(md5(para), 1, 10)) AS BIGINT)
+       |      AS h,
+       |    min(doc_id * 1000000 + ppos) AS keeper
+       |  FROM paras GROUP BY 1 HAVING count(*) >= 2),
+       |kept AS (
+       |  SELECT p.doc_id, p.ppos, p.para FROM paras p
+       |  LEFT JOIN dup ON CAST(concat('0x',
+       |      substr(md5(p.para), 1, 10)) AS BIGINT) = dup.h
+       |  WHERE dup.h IS NULL
+       |     OR p.doc_id * 1000000 + p.ppos = dup.keeper),
+       |agg AS (
+       |  SELECT doc_id,
+       |    string_agg(para, chr(10) ORDER BY ppos) AS clean_text,
+       |    CAST(count(*) AS BIGINT) AS n_kept
+       |  FROM kept GROUP BY doc_id),
+       |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_total
+       |        FROM paras GROUP BY doc_id)""".stripMargin
 
   // ---- oracle SQL ---------------------------------------------------------
   /** The Stupid Backoff oracle, shared by q155 (inline counting) and
@@ -3960,28 +4029,7 @@ object Extensions {
          |    CASE WHEN doc_id % 5 = 0 THEN chr(10) || '$Boiler2'
          |         ELSE '' END AS text
          |  FROM documents),
-         |paras AS (
-         |  SELECT doc_id, CAST(pos AS BIGINT) AS ppos, p[pos] AS para
-         |  FROM (SELECT doc_id, string_split(text, chr(10)) AS p FROM aug),
-         |  LATERAL (SELECT unnest(range(1, len(p) + 1)) AS pos) r),
-         |dup AS (
-         |  SELECT CAST(concat('0x', substr(md5(para), 1, 10)) AS BIGINT)
-         |      AS h,
-         |    min(doc_id * 1000000 + ppos) AS keeper
-         |  FROM paras GROUP BY 1 HAVING count(*) >= 2),
-         |kept AS (
-         |  SELECT p.doc_id, p.ppos, p.para FROM paras p
-         |  LEFT JOIN dup ON CAST(concat('0x',
-         |      substr(md5(p.para), 1, 10)) AS BIGINT) = dup.h
-         |  WHERE dup.h IS NULL
-         |     OR p.doc_id * 1000000 + p.ppos = dup.keeper),
-         |agg AS (
-         |  SELECT doc_id,
-         |    string_agg(para, chr(10) ORDER BY ppos) AS clean_text,
-         |    CAST(count(*) AS BIGINT) AS n_kept
-         |  FROM kept GROUP BY doc_id),
-         |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_total
-         |        FROM paras GROUP BY doc_id)
+         |${paragraphDedupBody("aug")}
          |SELECT t.doc_id, md5(coalesce(a.clean_text, '')) AS clean_md5,
          |  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
          |  CAST(t.n_total - coalesce(a.n_kept, 0) AS BIGINT) AS n_dropped
@@ -4003,11 +4051,7 @@ object Extensions {
          |  FROM t0),
          |kept AS (SELECT doc_id,
          |    list_filter(ls, l ->
-         |      len(list_filter(string_split(l, ' '), w -> len(w) > 0)) >= 5
-         |      AND regexp_matches(l, '[.!?"]$$')
-         |      AND NOT contains(l, '{') AND NOT contains(l, '}')
-         |      AND NOT contains(lower(l), 'lorem ipsum')
-         |      AND NOT contains(lower(l), 'javascript')) AS k,
+         |      $C4KeepRule) AS k,
          |    len(ls) AS n
          |  FROM lines)
          |SELECT doc_id, md5(array_to_string(k, chr(10))) AS clean_md5,
@@ -4093,6 +4137,38 @@ object Extensions {
          |SELECT doc_id, md5(array_to_string(k, chr(10))) AS clean_md5,
          |  CAST(len(k) AS BIGINT) AS n_kept,
          |  CAST(n - len(k) AS BIGINT) AS n_dropped
-         |FROM kept""".stripMargin
+         |FROM kept""".stripMargin,
+
+    // the ladder composed: dirty construction mirrored chr-for-chr, the
+    // GENERATED normalize chain, the shared C4 keep rule, the shared
+    // paragraph-dedup body — each stage's oracle fragment is the same
+    // string its standalone gate uses
+    "q168_curation_ladder" -> {
+      val dirtySql = "chr(160) || ' ' || " +
+        "coalesce(array_to_string(t[1:8], '  '), '') || " +
+        "'  today.' || chr(13) || chr(10) || " +
+        s"'$C4BraceLine' || chr(10) || '$LadderBoiler'"
+      val cleanSql = graft.functions.Curation.normalizeOracleExpr("dirty")
+      s"""WITH t0 AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |d AS (SELECT doc_id, $dirtySql AS dirty FROM t0),
+         |n AS (SELECT doc_id, $cleanSql AS text FROM d),
+         |lraw AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM n),
+         |lc AS (SELECT doc_id,
+         |    list_filter(ls, l ->
+         |      $C4KeepRule) AS k,
+         |    len(ls) AS nl
+         |  FROM lraw),
+         |aug AS (SELECT doc_id, array_to_string(k, chr(10)) AS text,
+         |    CAST(nl - len(k) AS BIGINT) AS lines_dropped FROM lc),
+         |${paragraphDedupBody("aug")}
+         |SELECT t.doc_id, md5(coalesce(a.clean_text, '')) AS final_md5,
+         |  b.lines_dropped,
+         |  CAST(t.n_total - coalesce(a.n_kept, 0) AS BIGINT)
+         |    AS paras_dropped
+         |FROM tot t
+         |LEFT JOIN agg a USING (doc_id)
+         |JOIN aug b ON t.doc_id = b.doc_id""".stripMargin
+    }
   )
 }
