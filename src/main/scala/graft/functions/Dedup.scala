@@ -213,6 +213,37 @@ object Dedup {
     (labels.select(col("id"), col("label").as("cluster_id")), iters)
   }
 
+  /** Dedup-and-reweight: collapse every near-dup cluster to its MIN-ID
+    * representative carrying the cluster's multiplicity as a training
+    * weight — the duplicate-aware alternative to plain dropping (keep
+    * one copy, upweight its loss by how often it occurred; the recipe
+    * for corpora where duplication frequency is signal, not noise).
+    *
+    * Returns (idCol, weight): one row per cluster; weight ≥ 1;
+    * singletons pass through at weight 1. The min-label propagation
+    * makes cluster_id ≡ the cluster's min id; that identity is asserted
+    * in-query (raise_error) so a propagation change can never silently
+    * ship a non-member representative.
+    *
+    * Scale: rides [[minhashClustersTransitive]] (banded, never
+    * all-pairs); the reweight itself is one uniform-key aggregate over
+    * the (id, cluster) table. */
+  def dedupReweight(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 16, bands: Int = 4,
+                    maxIters: Int = 30): DataFrame = {
+    val clusters =
+      minhashClustersTransitive(df, idCol, textCol, k, bands, maxIters)
+    clusters.groupBy(col("cluster_id"))
+      .agg(min(col("id")).as("rep_id"), count(lit(1)).as("weight"))
+      .select(
+        when(col("rep_id") =!= col("cluster_id"),
+          raise_error(concat(lit("dedupReweight: cluster label is not the "
+            + "member min id: cluster="), col("cluster_id"),
+            lit(" min="), col("rep_id"))))
+          .otherwise(col("rep_id")).as(idCol),
+        col("weight"))
+  }
+
   /** Free a round's label table. `unpersist()` covers the persisted
     * rounds; a localCheckpoint'ed Dataset has NO CacheManager entry (its
     * blocks live on the raw RDD), so the checkpointed RDD must be

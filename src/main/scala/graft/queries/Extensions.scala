@@ -2443,7 +2443,15 @@ object Extensions {
           col("n_dropped").as("lines_dropped")), Seq("doc_id"))
         .select(col("doc_id"), md5(col("clean_text")).as("final_md5"),
           col("lines_dropped"), col("n_dropped").as("paras_dropped"))
-    })
+    }),
+
+    // --- dedup-and-reweight: one representative per q64 near-dup
+    // cluster, multiplicity carried as a training weight (keep-one-and-
+    // upweight instead of drop); rep ≡ cluster min id asserted in-query
+    "q169_dedup_reweight" -> ((s, dir) =>
+      graft.functions.Dedup.dedupReweight(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        k = 16, bands = 4, maxIters = 8))
   )
 
   // shared fixture constants for q161/q162 (Spark construction and the
@@ -2814,6 +2822,12 @@ object Extensions {
          |GROUP BY 1""".stripMargin,
 
     "q64_minhash_transitive" -> minhashTransitiveOracle,
+
+    // dedup-and-reweight: the q64 transitive clusters grouped — label IS
+    // the member min id under min-propagation, so it is the rep id
+    "q169_dedup_reweight" ->
+      s"""SELECT cluster_id AS doc_id, CAST(count(*) AS BIGINT) AS weight
+         |FROM ($minhashTransitiveOracle) GROUP BY 1""".stripMargin,
 
     "q26_simhash" ->
       s"""SELECT doc_id,

@@ -589,6 +589,22 @@ class FunctionsSpec extends SparkSpec {
     assert(got == Set((10L, 1L, 1000000L, 500000L)), s"got=$got")
   }
 
+  test("dedupReweight: one row per cluster, min-id rep, multiplicity weight") {
+    val docs = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (11L, "alpha beta gamma delta epsilon zeta eta theta"), // dup of 10
+      (12L, "alpha beta gamma delta epsilon zeta eta theta"), // dup of 10
+      (20L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupReweight(docs, "doc_id", "text",
+        k = 16, bands = 4, maxIters = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(10L) == 3L)          // the triple collapses onto min id 10
+    assert(got(20L) == 1L)          // singleton passes at weight 1
+    assert(!got.contains(11L) && !got.contains(12L))
+    assert(got.values.sum == docs.count())  // weights conserve the corpus
+  }
+
   test("clusterBalancedSample caps a dense cluster, spares the tail, " +
        "ranks 1..cap, and is deterministic") {
     // 60 near-identical vectors (one dense blob) + 12 well-spread ones:
