@@ -188,7 +188,20 @@ final class Lowering(spark: SparkSession, keepAssertions: Boolean = true,
     case bj: BufferJoinPipe => lowerBufferJoin(bj)
     case bj: BufferJoinNPipe => lowerBufferJoinN(bj)
 
-    case MergePipe(pipes) => pipes.map(lower).reduce(_ unionAll _)
+    // Merge requires IDENTICAL declared fields across inputs (the
+    // cascading Merge contract): a bare positional union would silently
+    // zip mismatched or reordered schemas — fail at plan time, directed
+    case MergePipe(pipes) =>
+      val dfs = pipes.map(lower)
+      val schemas = dfs.map(_.columns.toSeq)
+      schemas.tail.find(_ != schemas.head).foreach { bad =>
+        throw new IllegalArgumentException(
+          "Merge requires identical declared fields on every input: " +
+            s"${schemas.head.mkString("(", ", ", ")")} vs " +
+            s"${bad.mkString("(", ", ", ")")} — rename/retain the " +
+            "branches to one schema first")
+      }
+      dfs.reduce(_ unionAll _)
 
     case UniquePipe(prev, fields, include) =>
       val df = lower(prev)

@@ -789,6 +789,38 @@ class ConformanceSpec extends SparkSpec {
       errs.exists(_.contains("buffer-1")), errs.mkString("; "))
   }
 
+  // MergePipesPlatformTest mismatched-fields corner: Merge requires
+  // IDENTICAL declared fields — a renamed or REORDERED branch must fail
+  // at plan time with both schemas named (a positional union would
+  // silently zip ch into num's slot).
+  test("merge of mismatched or reordered schemas fails directed at plan time") {
+    val renamed = pipe(lower).rename("num" -> "n")
+    val e1 = intercept[IllegalArgumentException] {
+      Flow.toDF(pipe(lower).merge(renamed))
+    }
+    assert(e1.getMessage.contains("(num, ch)") &&
+      e1.getMessage.contains("(n, ch)"), e1.getMessage)
+    // reordered fields are the dangerous silent case
+    val reordered = pipe(lower.select("ch", "num"))
+    val e2 = intercept[IllegalArgumentException] {
+      Flow.toDF(pipe(lower).merge(reordered))
+    }
+    assert(e2.getMessage.contains("(ch, num)"), e2.getMessage)
+    // identical-schema merge still works
+    assert(rows(pipe(lower).merge(pipe(lower))).size == 5)
+  }
+
+  // JoinFieldedPipesPlatformTest dup-key corner: duplicate keys on the
+  // hashJoin's ACCUMULATED (broadcast) side produce the per-key cross
+  // product, exactly like the shuffle CoGroup.
+  test("hashJoin duplicate build-side keys emit the per-key cross product") {
+    val facts = pipe(Seq((1, "x"), (2, "y")).toDF("k", "v"))
+    val dims = pipe(Seq((1, "a"), (1, "b"), (3, "c")).toDF("k2", "w"))
+    val j = facts.hashJoin(Seq("k"), dims, Seq("k2"))
+    assert(rows(j) == Set(
+      Seq(1, "x", 1, "a"), Seq(1, "x", 1, "b")))
+  }
+
   // LimitPipesPlatformTest-shaped corner: limit AFTER aggregation is a
   // GLOBAL limit over the aggregated result (not per-slice — that is
   // sliceLimit's contract), deterministic under a declared order.
