@@ -300,6 +300,34 @@ object Governance {
     docs.sparkSession.read.parquet(outPath)
   }
 
+  /** Per-document FILTER ATTRIBUTION: evaluate the whole quality-filter
+    * stack in one scan and report WHY each document would be rejected as
+    * a reason bitmask (bit 0 = quality score below threshold, bit 1 =
+    * language unidentifiable, bit 2 = duplicate-bigram fraction above
+    * threshold, bit 3 = too few tokens); `kept` ⇔ no bit set. The
+    * explainability pass every curation pipeline needs before anyone
+    * trusts its drop rate — "what died and why" per slice, not just a
+    * survivor count.
+    *
+    * Scale: four scan-local column kernels fused into one projection —
+    * zero shuffles, no state; aggregate the bitmask downstream for the
+    * per-source report. */
+  def filterAttribution(docs: DataFrame, idCol: String, textCol: String,
+                        minQuality: Int = 40,
+                        maxDupBigramMicros: Long = 200000L,
+                        minTokens: Int = 5): DataFrame = {
+    import graft.functions.{TextAnalysis => TA}
+    val t = col(textCol)
+    val reasons =
+      when(TA.qualityScore(t) < minQuality, 1).otherwise(0) +
+        when(TA.langId(t) === "unknown", 2).otherwise(0) +
+        when(TA.dupNgramFractionMicros(t, 2) > maxDupBigramMicros, 4)
+          .otherwise(0) +
+        when(TA.tokenCount(t) < minTokens, 8).otherwise(0)
+    docs.select(col(idCol), reasons.cast("int").as("reasons"),
+      (reasons === 0).as("kept"))
+  }
+
   /** Deterministic per-epoch global training order: every epoch gets its
     * own pseudorandom permutation of the corpus, derived purely from
     * (epochSalt, id) — the "reshuffle between epochs" a trainer's data

@@ -2451,7 +2451,28 @@ object Extensions {
     "q169_dedup_reweight" -> ((s, dir) =>
       graft.functions.Dedup.dedupReweight(
         s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
-        k = 16, bands = 4, maxIters = 8))
+        k = 16, bands = 4, maxIters = 8)),
+
+    // --- filter attribution: the whole quality-filter stack evaluated
+    // in ONE scan, per-doc reason bitmask (quality / langid /
+    // dup-bigrams / token count) — "what died and why"; a crafted tiny
+    // doc (mirrored in the oracle) makes the token-count bit provably
+    // fire alongside the corpus-driven bits
+    "q170_filter_attribution" -> ((s, dir) => {
+      import s.implicits._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      // each crafted doc fires ONE rule in isolation (plus the tiny doc
+      // firing three at once): the per-bit evidence the corpus alone
+      // does not provide (its rejections are all langid)
+      val crafted = Seq(
+        (9000001L, AttrTinyDoc),    // quality + langid + tokens
+        (9000002L, AttrLowQualDoc), // quality only
+        (9000003L, AttrRepeatDoc)   // dup-bigrams only
+      ).toDF("doc_id", "text")
+      graft.functions.Governance.filterAttribution(
+        docs.unionAll(crafted), "doc_id", "text")
+    })
   )
 
   // shared fixture constants for q161/q162 (Spark construction and the
@@ -2466,6 +2487,11 @@ object Extensions {
   private val NavLine = "home products about contact"
   private val LadderBoiler =
     "subscribe to our newsletter for updates today."
+  // q170 crafted fixtures — each fires one attribution bit in isolation
+  private val AttrTinyDoc = "hi there"
+  private val AttrLowQualDoc = "the ab cd ef gh"
+  private val AttrRepeatDoc = "the cat and the dog runs the cat and " +
+    "the dog jumps the cat and the dog sleeps"
 
   /** DuckDB spelling of the C4 keep rule over line variable `l` (shared
     * by q162 and the q168 ladder so the rule set cannot drift). */
@@ -2828,6 +2854,28 @@ object Extensions {
     "q169_dedup_reweight" ->
       s"""SELECT cluster_id AS doc_id, CAST(count(*) AS BIGINT) AS weight
          |FROM ($minhashTransitiveOracle) GROUP BY 1""".stripMargin,
+
+    // filter attribution: each rule's oracle fragment is the SAME shared
+    // string its standalone gate uses (dQualityExpr = q22, dLangCase =
+    // q21, the dup-bigram spelling = q76, dToks = q20)
+    "q170_filter_attribution" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT 9000001, '$AttrTinyDoc'
+         |  UNION ALL SELECT 9000002, '$AttrLowQualDoc'
+         |  UNION ALL SELECT 9000003, '$AttrRepeatDoc'),
+         |r AS (
+         |  SELECT doc_id,
+         |    CAST((CASE WHEN $dQualityExpr < 40 THEN 1 ELSE 0 END)
+         |      + (CASE WHEN $dLangCase = 'unknown' THEN 2 ELSE 0 END)
+         |      + (CASE WHEN CAST(floor((len($dShingles2)
+         |            - len(list_distinct($dShingles2))) * 1000000
+         |            / greatest(len($dShingles2), 1)) AS BIGINT) > 200000
+         |         THEN 4 ELSE 0 END)
+         |      + (CASE WHEN len($dToks) < 5 THEN 8 ELSE 0 END)
+         |      AS INTEGER) AS reasons
+         |  FROM aug)
+         |SELECT doc_id, reasons, reasons = 0 AS kept FROM r""".stripMargin,
 
     "q26_simhash" ->
       s"""SELECT doc_id,

@@ -272,6 +272,28 @@ class GovernanceSpec extends SparkSpec {
     assert(got == expect, s"got=$got expect=$expect (aFirst=$aFirst bFirst=$bFirst)")
   }
 
+  test("filterAttribution sets each reason bit independently; kept ⇔ no bits") {
+    import graft.functions.Governance
+    val docs = Seq(
+      // healthy: long enough, stopworded, many tokens, no repetition
+      (1L, "the quick brown fox jumps over the lazy dog and then " +
+        "the small cat walks under the tall tree near the old house today"),
+      (2L, "the ab cd ef gh"),                       // quality only → 1
+      (3L, "xyzzy qwerty plugh foobar quux grault"), // langid only? also quality
+      (4L, "the cat and the dog runs the cat and the dog jumps " +
+        "the cat and the dog sleeps"),               // dup-bigrams only → 4
+      (5L, "hi there")                               // quality+langid+tokens → 11
+    ).toDF("doc_id", "text")
+    val got = Governance.filterAttribution(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2)))
+      .toMap
+    assert(got(1L) == ((0, true)))
+    assert(got(2L) == ((1, false)))
+    assert((got(3L)._1 & 2) == 2 && !got(3L)._2) // langid bit set
+    assert(got(4L) == ((4, false)))
+    assert(got(5L) == ((11, false)))
+  }
+
   test("epochOrder: grank is a 1..N permutation, salt-sensitive, rerun-stable") {
     import graft.functions.Governance
     val docs = (0L until 200L).toDF("doc_id")
