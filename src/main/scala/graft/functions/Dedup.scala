@@ -338,6 +338,50 @@ object Dedup {
       .filter(col("jaccard_micros") >= thresholdMicros)
   }
 
+  /** Sketch-accuracy audit: for every LSH candidate pair, the MinHash
+    * ESTIMATE of token-set Jaccard (fraction of equal signature
+    * components — the unbiased MinHash estimator) next to the EXACT
+    * Jaccard over the distinct-token sets, plus the absolute error. The
+    * operational answer to "can I trust a k=16 signature on MY corpus",
+    * measured on the pairs the pipeline actually adjudicates — run it on
+    * a sampled slice before committing a threshold at full scale.
+    *
+    * Scale shape: the corpus is scanned once into (sig, token-set) rows
+    * (cached: two consumers); candidates come from the band-bucket
+    * self-join (bounded by bucket population, never all-pairs); the two
+    * verify joins are on uniform id keys. Estimator and exact value are
+    * both exact integer micros. */
+  def minhashAccuracy(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 16, bands: Int = 4): DataFrame = {
+    val rowsPerBand = k / bands
+    val base = df.select(col(idCol).as("id"),
+        minhashSignature(col(textCol), k).as("sig"),
+        array_distinct(tokens(col(textCol))).as("ts"))
+      .cache()
+    val br = base.select(col("id"), explode(array(
+        (0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            bandKey(col("sig"), b, rowsPerBand).as("key"))): _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val pairs = br.as("l")
+      .join(br.as("r"), col("l.band") === col("r.band") &&
+        col("l.key") === col("r.key") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id1"), col("r.id").as("id2"))
+      .distinct()
+    val eq = aggregate(
+      zip_with(col("sig1"), col("sig2"),
+        (a, b) => when(a === b, 1L).otherwise(0L)),
+      lit(0L), (acc, x) => acc + x)
+    pairs
+      .join(base.toDF("id1", "sig1", "t1"), "id1")
+      .join(base.toDF("id2", "sig2", "t2"), "id2")
+      .select(col("id1"), col("id2"),
+        floor(eq * 1000000L / k).cast("bigint").as("est_micros"),
+        jaccardMicros(col("t1"), col("t2")).as("exact_micros"))
+      .withColumn("err_micros",
+        abs(col("est_micros") - col("exact_micros")))
+  }
+
   /** CONTAINMENT verify of an arriving batch against the corpus — the
     * near-SUBSET detector: an excerpt/quotation/truncated copy of a
     * corpus doc has containment ≈ 1 (every n-gram of the smaller side

@@ -366,6 +366,39 @@ object Governance {
       .select(col(idCol), col("shard"),
         (col("base") + col("rk")).as("grank"))
   }
+
+  /** Per-key quantile normalization of an integer score — the calibration
+    * step a multi-source curation pipeline needs before comparing quality
+    * scores ACROSS sources (a "70" from a clean source and a "70" from a
+    * noisy one sit at very different percentiles). Output: each row with
+    * `pct_micros` = floor(1e6 · P[score' ≤ score | key]), the within-key
+    * inclusive CDF as exact integer micros.
+    *
+    * Scale shape (the q44 micro-bucket discipline, NOT a per-key window
+    * over the corpus): one map-side-combined aggregation to the
+    * O(keys × distinct-scores) count table — bounded by the score domain
+    * (an int score has ≤ a few hundred distinct values), NOT by corpus
+    * size — a window over that tiny table, and a broadcast join back over
+    * the corpus scan. A naive `cume_dist` window partitioned by key would
+    * sort the whole corpus per key; this never sorts the big side at
+    * all. */
+  def quantileNormalize(docs: DataFrame, idCol: String, keyCol: String,
+                        scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs.groupBy(col(keyCol), col(scoreCol))
+      .agg(count(lit(1)).as("__n"))
+    val wc = Window.partitionBy(col(keyCol)).orderBy(col(scoreCol))
+    val wt = Window.partitionBy(col(keyCol))
+    val cdf = counts
+      .withColumn("__cum", sum(col("__n")).over(wc))
+      .withColumn("__tot", sum(col("__n")).over(wt))
+      .select(col(keyCol), col(scoreCol),
+        floor(col("__cum") * 1000000L / col("__tot")).cast("bigint")
+          .as("pct_micros"))
+    docs.select(col(idCol), col(keyCol), col(scoreCol))
+      .join(broadcast(cdf), Seq(keyCol, scoreCol))
+      .select(col(idCol), col(keyCol), col(scoreCol), col("pct_micros"))
+  }
 }
 
 /** Boundary-class greedy prefix for [[Governance.budgetCurate]]: a

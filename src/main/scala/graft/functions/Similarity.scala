@@ -407,4 +407,48 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("query_id"), col("nn_id"), col("sim"), col("rk"))
   }
+
+  /** Exact per-group embedding centroids in integer micros — the domain
+    * map of a multi-source corpus (each source/label/topic collapses to
+    * one vector). Components are quantized to int64 micros BEFORE the
+    * sum: a float sum over a shuffle is order-dependent (non-deterministic
+    * across runs and engines); the int sum is exact and associative, so
+    * the centroid is bit-identical anywhere. Per-component mean is
+    * floor(double(sum)/n) — sums stay < 2^53 so the double division is
+    * the same IEEE operation on every engine.
+    *
+    * Scale shape: posexplode is dim× row inflation but the aggregation
+    * keys (group, pos) are perfectly uniform; output is O(groups × dim)
+    * rows — tiny. One exchange total. */
+  def groupCentroids(emb: DataFrame, groupCol: String, vecCol: String)
+      : DataFrame =
+    emb.select(col(groupCol).as("grp"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .select(col("grp"), col("pos"),
+        floor(col("v").cast("double") * 1000000L).cast("bigint").as("q"))
+      .groupBy("grp", "pos")
+      .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+      .select(col("grp"), col("pos"),
+        floor(col("s").cast("double") / col("n")).cast("bigint")
+          .as("c_micros"))
+
+  /** Pairwise affinity between group centroids: exact int64 dot product
+    * (micros² units) plus each side's squared norm, from which cosine is
+    * derivable downstream without losing exactness here. All pairs over
+    * the O(groups × dim) centroid table — groups are few; this never
+    * touches the corpus again. Headroom: |c| ≤ 1e6-scale micros ⇒ a
+    * dot term ≤ ~1e12·dim — int64-safe through dim ~10⁶. */
+  def centroidAffinity(centroids: DataFrame): DataFrame = {
+    val l = centroids.toDF("grp_a", "pos", "ca")
+    val r = centroids.toDF("grp_b", "pos", "cb")
+    val norms = centroids.groupBy(col("grp").as("g"))
+      .agg(sum(col("c_micros") * col("c_micros")).as("norm2"))
+    l.join(r, Seq("pos"))
+      .filter(col("grp_a") < col("grp_b"))
+      .groupBy("grp_a", "grp_b")
+      .agg(sum(col("ca") * col("cb")).as("dot_u"))
+      .join(norms.toDF("grp_a", "norm2_a"), "grp_a")
+      .join(norms.toDF("grp_b", "norm2_b"), "grp_b")
+      .select(col("grp_a"), col("grp_b"), col("dot_u"),
+        col("norm2_a"), col("norm2_b"))
+  }
 }

@@ -151,4 +151,55 @@ object TextAnalysis {
       .limit(k)
       .select("w1", "w2", "c12", "c1", "c2", "dice_micros")
   }
+
+  /** The full Gopher-style document quality rule battery (Rae et al. 2021
+    * §A1.1 shape) as one scan-local column program — per-document rule
+    * attribution bits plus the keep verdict, the document-level companion
+    * to the per-line C4 rules in [[Curation.c4LineClean]]:
+    *
+    *   bit 1  — word count outside [minWords, maxWords]
+    *   bit 2  — mean word length outside [3, 10] chars
+    *   bit 4  — symbol-to-word ratio ('#', '...', '…') > 10%
+    *   bit 8  — > 90% of lines start with a bullet ('- ', '* ', '• ')
+    *   bit 16 — > 30% of lines end with an ellipsis
+    *   bit 32 — < 80% of words contain an alphabetic character
+    *   bit 64 — fewer than 2 stopword hits
+    *
+    * All ratios are exact integer micros (floor(n·1e6/den)) so the
+    * verdict hashes identically on any engine. Zero shuffles: the whole
+    * battery is one projection over the corpus scan — at 100 TB this is
+    * exactly one read. Rule constants are parameters so a pipeline can
+    * tighten or relax per source. */
+  def gopherRules(docs: org.apache.spark.sql.DataFrame,
+                  idCol: String = "doc_id", textCol: String = "text",
+                  minWords: Int = 50, maxWords: Int = 100000)
+      : org.apache.spark.sql.DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nToks = size(toks).cast("long")
+    val lines = split(t, "\n")
+    val nLines = size(lines).cast("long")
+    val meanLen = meanTokenLenMicros(t)
+    val symbols =
+      size(regexp_extract_all(t, lit("#|\\.\\.\\.|…"), lit(0))).cast("long")
+    val bulletLines = size(filter(lines, l =>
+      l.startsWith("- ") || l.startsWith("* ") || l.startsWith("• ")))
+      .cast("long")
+    val ellipsisLines = size(filter(lines, l =>
+      l.endsWith("...") || l.endsWith("…"))).cast("long")
+    val alphaWords =
+      size(filter(toks, w => w.rlike("[A-Za-z]"))).cast("long")
+    def fracMicros(n: Column, den: Column): Column =
+      floor(n * 1000000L / greatest(den, lit(1L))).cast("bigint")
+    val rules =
+      when(nToks < minWords || nToks > maxWords, 1).otherwise(0) +
+        when(meanLen < 3000000L || meanLen > 10000000L, 2).otherwise(0) +
+        when(fracMicros(symbols, nToks) > 100000L, 4).otherwise(0) +
+        when(fracMicros(bulletLines, nLines) > 900000L, 8).otherwise(0) +
+        when(fracMicros(ellipsisLines, nLines) > 300000L, 16).otherwise(0) +
+        when(fracMicros(alphaWords, nToks) < 800000L, 32).otherwise(0) +
+        when(stopwordHits(t, EnStop) < 2, 64).otherwise(0)
+    docs.select(col(idCol), rules.cast("int").as("rules"),
+      (rules === 0).as("kept"))
+  }
 }

@@ -2472,6 +2472,47 @@ object Extensions {
       ).toDF("doc_id", "text")
       graft.functions.Governance.filterAttribution(
         docs.unionAll(crafted), "doc_id", "text")
+    }),
+
+    // --- the full Gopher document-quality rule battery (7 rules, one
+    // scan): corpus + 8 crafted docs, each firing exactly ONE rule bit
+    // in isolation (plus one clean keeper) — the q170 evidence
+    // discipline applied to the whole battery
+    "q171_gopher_rules" -> ((s, dir) => {
+      import s.implicits._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val crafted = GopherFixtures.toSeq.toDF("doc_id", "text")
+      graft.functions.TextAnalysis.gopherRules(
+        docs.unionAll(crafted), "doc_id", "text",
+        minWords = 20, maxWords = 1000)
+    }),
+
+    // --- per-source quantile normalization of the quality score: the
+    // cross-source calibration step (a raw "70" means different things
+    // from different sources); micro-bucket CDF, never a corpus window
+    "q172_quantile_normalize" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("source"),
+          TA.qualityScore(col("text")).as("quality"))
+      graft.functions.Governance.quantileNormalize(
+        d, "doc_id", "source", "quality")
+    }),
+
+    // --- MinHash sketch-accuracy audit: estimator vs exact Jaccard on
+    // the LSH candidate pairs the pipeline actually adjudicates
+    "q173_minhash_accuracy" -> ((s, dir) =>
+      graft.functions.Dedup.minhashAccuracy(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        k = 16, bands = 4)),
+
+    // --- per-label embedding centroids + pairwise affinity (exact
+    // integer micros end to end: a float sum over a shuffle is
+    // order-dependent; the quantized int sum is not)
+    "q174_label_affinity" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.functions.Similarity.centroidAffinity(
+        graft.functions.Similarity.groupCentroids(e, "label", "embedding"))
     })
   )
 
@@ -2492,6 +2533,42 @@ object Extensions {
   private val AttrLowQualDoc = "the ab cd ef gh"
   private val AttrRepeatDoc = "the cat and the dog runs the cat and " +
     "the dog jumps the cat and the dog sleeps"
+
+  /** DuckDB string literal for a fixture (quotes doubled, embedded
+    * newlines spelled `chr(10)` so the literal survives any transport). */
+  private def sqlStr(s: String): String =
+    "'" + s.replace("'", "''").replace("\n", "' || chr(10) || '") + "'"
+
+  // q171 crafted fixtures — a 23-word clean filler (mean word length
+  // ~4.5, 4 stopword hits, all-alpha, no symbols) plus one violation per
+  // rule bit, constructed so each fires in ISOLATION at
+  // minWords=20/maxWords=1000 (counts verified in GovernanceSpec)
+  private val GFiller = "under the green water many people carry small " +
+    "boats and bring fresh fruit of every kind to market each morning " +
+    "with great care"
+  private[queries] val GopherFixtures: Seq[(Long, String)] = Seq(
+    9100001L -> GFiller,                                      // rules = 0
+    // 15 words < minWords → bit 1 only
+    9100002L -> ("under the green water many people carry small boats " +
+      "and bring fresh fruit of every"),
+    // +16×21-char words pushes mean length to 11.3 chars → bit 2 only
+    9100003L -> (GFiller +
+      " incomprehensibilities" * 16),
+    // 3 '#' in 26 words = 11.5% symbol ratio → bit 4 only
+    9100004L -> (GFiller + " # # #"),
+    // every line bulleted → bit 8 only
+    9100005L -> List.fill(4)("- under the green water many people")
+      .mkString("\n"),
+    // 2 of 3 lines end with an ellipsis (66% > 30%) → bit 16 only
+    9100006L -> ("under the green water many people carry small boats...\n" +
+      "bring fresh fruit of every kind to market each morning...\n" +
+      "with great care"),
+    // +6 numeric tokens: 23/29 = 79.3% alpha words < 80% → bit 32 only
+    9100007L -> (GFiller + " 12345" * 6),
+    // 20 words, zero EnStop hits → bit 64 only
+    9100008L -> ("green water people carry small boats fresh fruit " +
+      "every kind market each morning with great care many under " +
+      "bring light"))
 
   /** DuckDB spelling of the C4 keep rule over line variable `l` (shared
     * by q162 and the q168 ladder so the rule set cannot drift). */
@@ -2876,6 +2953,117 @@ object Extensions {
          |      AS INTEGER) AS reasons
          |  FROM aug)
          |SELECT doc_id, reasons, reasons = 0 AS kept FROM r""".stripMargin,
+
+    // Gopher rule battery: same fixtures, same rule constants, every
+    // ratio the same floor(n·1e6/den) integer form
+    "q171_gopher_rules" -> {
+      val fixtureRows = GopherFixtures.map { case (id, t) =>
+        s"UNION ALL SELECT $id, ${sqlStr(t)}"
+      }.mkString("\n  ")
+      val lns = "string_split(text, chr(10))"
+      def frac(n: String, den: String) =
+        s"CAST(floor($n * 1000000 / greatest($den, 1)) AS BIGINT)"
+      val meanLen = s"CAST(floor(CAST(list_sum(list_transform($dToks, " +
+        s"t -> length(t))) AS BIGINT) * 1000000 / len($dToks)) AS BIGINT)"
+      val symbols = raw"len(regexp_extract_all(text, '#|\.\.\.|…'))"
+      val bullets = s"len(list_filter($lns, l -> starts_with(l, '- ') " +
+        "OR starts_with(l, '* ') OR starts_with(l, '• ')))"
+      val ellipsis = s"len(list_filter($lns, l -> ends_with(l, '...') " +
+        "OR ends_with(l, '…')))"
+      val alpha =
+        s"len(list_filter($dToks, w -> regexp_matches(w, '[A-Za-z]')))"
+      s"""WITH aug AS (
+         |  SELECT doc_id, text FROM documents
+         |  $fixtureRows),
+         |r AS (
+         |  SELECT doc_id,
+         |    CAST((CASE WHEN len($dToks) < 20 OR len($dToks) > 1000
+         |           THEN 1 ELSE 0 END)
+         |      + (CASE WHEN $meanLen < 3000000 OR $meanLen > 10000000
+         |           THEN 2 ELSE 0 END)
+         |      + (CASE WHEN ${frac(symbols, s"len($dToks)")} > 100000
+         |           THEN 4 ELSE 0 END)
+         |      + (CASE WHEN ${frac(bullets, s"len($lns)")} > 900000
+         |           THEN 8 ELSE 0 END)
+         |      + (CASE WHEN ${frac(ellipsis, s"len($lns)")} > 300000
+         |           THEN 16 ELSE 0 END)
+         |      + (CASE WHEN ${frac(alpha, s"len($dToks)")} < 800000
+         |           THEN 32 ELSE 0 END)
+         |      + (CASE WHEN ${dStopHits(TA.EnStop)} < 2 THEN 64 ELSE 0 END)
+         |      AS INTEGER) AS rules
+         |  FROM aug)
+         |SELECT doc_id, rules, rules = 0 AS kept FROM r""".stripMargin
+    },
+
+    // per-source CDF of the quality score — dQualityExpr is the SAME
+    // shared string q22/q90/q170 use
+    "q172_quantile_normalize" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, source, $dQualityExpr AS quality FROM documents),
+         |c AS (SELECT source, quality, count(*) AS n FROM s GROUP BY 1, 2),
+         |cc AS (SELECT source, quality,
+         |    sum(n) OVER (PARTITION BY source ORDER BY quality) AS cum,
+         |    sum(n) OVER (PARTITION BY source) AS tot
+         |  FROM c)
+         |SELECT s.doc_id, s.source, s.quality,
+         |  CAST(floor(cum * 1000000 / tot) AS BIGINT) AS pct_micros
+         |FROM s JOIN cc USING (source, quality)""".stripMargin,
+
+    // MinHash estimator vs exact token-set Jaccard on the band-bucket
+    // candidate pairs (minhashBody = the q25/q27 shared CTE chain; its
+    // toks CTE is already the distinct token set)
+    "q173_minhash_accuracy" -> {
+      val eq = (0 until 16).map(i =>
+        s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""$minhashCte,
+         |p AS (
+         |  SELECT l.doc_id AS id1, r.doc_id AS id2
+         |  FROM bands l JOIN bands r
+         |    ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+         |  GROUP BY 1, 2),
+         |e AS (
+         |  SELECT id1, id2, $eq AS eq,
+         |    len(list_intersect(ta.tl, tb.tl)) AS inter,
+         |    len(ta.tl) AS n1, len(tb.tl) AS n2
+         |  FROM p JOIN sig a ON p.id1 = a.doc_id
+         |    JOIN sig b ON p.id2 = b.doc_id
+         |    JOIN toks ta ON p.id1 = ta.doc_id
+         |    JOIN toks tb ON p.id2 = tb.doc_id),
+         |m AS (
+         |  SELECT id1, id2,
+         |    CAST(floor(eq * 1000000 / 16) AS BIGINT) AS est_micros,
+         |    CAST(floor(inter * 1000000
+         |      / greatest(n1 + n2 - inter, 1)) AS BIGINT) AS exact_micros
+         |  FROM e)
+         |SELECT id1, id2, est_micros, exact_micros,
+         |  abs(est_micros - exact_micros) AS err_micros FROM m""".stripMargin
+    },
+
+    // per-label centroid affinity: quantize to micros BEFORE the sum
+    // (exact int), mean = floor(double(sum)/n) — identical IEEE ops
+    "q174_label_affinity" ->
+      s"""WITH q AS (
+         |  SELECT label AS grp, CAST(pos - 1 AS INTEGER) AS pos,
+         |    CAST(floor(CAST(embedding[pos] AS DOUBLE) * 1000000)
+         |      AS BIGINT) AS qv
+         |  FROM embeddings,
+         |    LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS pos) r),
+         |cent AS (
+         |  SELECT grp, pos,
+         |    CAST(floor(CAST(sum(qv) AS DOUBLE) / count(*)) AS BIGINT) AS c
+         |  FROM q GROUP BY 1, 2),
+         |norms AS (
+         |  SELECT grp, CAST(sum(c * c) AS BIGINT) AS norm2
+         |  FROM cent GROUP BY 1),
+         |d AS (
+         |  SELECT a.grp AS grp_a, b.grp AS grp_b,
+         |    CAST(sum(a.c * b.c) AS BIGINT) AS dot_u
+         |  FROM cent a JOIN cent b ON a.pos = b.pos AND a.grp < b.grp
+         |  GROUP BY 1, 2)
+         |SELECT grp_a, grp_b, dot_u, na.norm2 AS norm2_a,
+         |  nb.norm2 AS norm2_b
+         |FROM d JOIN norms na ON d.grp_a = na.grp
+         |  JOIN norms nb ON d.grp_b = nb.grp""".stripMargin,
 
     "q26_simhash" ->
       s"""SELECT doc_id,

@@ -634,4 +634,93 @@ class FunctionsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(got.toSet == again.toSet)
   }
+
+  test("gopherRules: each rule fires in isolation on hand-computed docs") {
+    // every doc hand-verified at minWords=3: word/char counts in comments
+    val docs = Seq(
+      // 6 words, mean 20/6=3.33, stop 2 (the, and) → clean
+      1L -> "the cat and dog runs fast",
+      // 2 words < 3 → bit 1 (mean exactly 3.0, stop 2)
+      2L -> "the and",
+      // mean 8/3 = 2.67 < 3 → bit 2
+      3L -> "the and aa",
+      // mean 69/5 = 13.8 > 10 → bit 2 (high side)
+      4L -> ("the and incomprehensibilities incomprehensibilities " +
+        "incomprehensibilities"),
+      // 2 '#' in 14 tokens = 142857 micros > 100000 → bit 4
+      // (mean 48/14 = 3.43, alpha 12/14 = 857142, stop 2)
+      5L -> "thee cats and the dogs runs fast lots more cats here good # #",
+      // both lines bulleted → bit 8 (13 tokens after the newline merge,
+      // mean 42/13 = 3.23, alpha 12/13, stop 4)
+      6L -> "- the cat and dog runs fast\n- the dog and cat sit here",
+      // 1 of 2 lines ends '...' = 500000 > 300000 → bit 16
+      // (symbols 1/11 = 90909 ≤ 100000 stays clear of bit 4)
+      7L -> "the cat and dog runs fast...\nthe dog and cat sit here",
+      // alpha 4/7 = 571428 < 800000 → bit 32 (mean 23/7 = 3.28)
+      8L -> "the cats and dogs 111 222 333",
+      // zero EnStop hits → bit 64
+      9L -> "cat dog runs fast here"
+    ).toDF("doc_id", "text")
+    val got = TA.gopherRules(docs, "doc_id", "text",
+        minWords = 3, maxWords = 1000)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2)))
+      .toMap
+    assert(got(1L) == (0, true))
+    assert(got(2L) == (1, false))
+    assert(got(3L) == (2, false))
+    assert(got(4L) == (2, false))
+    assert(got(5L) == (4, false))
+    assert(got(6L) == (8, false))
+    assert(got(7L) == (16, false))
+    assert(got(8L) == (32, false))
+    assert(got(9L) == (64, false))
+  }
+
+  test("minhashAccuracy: exact twins estimate 1.0 with zero error; " +
+       "estimator granularity is 1/k") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      1L -> base, 2L -> base,                       // identical pair
+      3L -> (base + " lambda mu nu xi"),            // superset of base
+      4L -> "totally different words entirely here" // no shared bucket
+    ).toDF("doc_id", "text")
+    val rows = Dedup.minhashAccuracy(docs, "doc_id", "text")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val (est12, exact12, err12) = rows((1L, 2L))
+    assert(est12 == 1000000L && exact12 == 1000000L && err12 == 0L)
+    // the 1↔3 pair: exact Jaccard = 10/14 hand-computed; the estimate is
+    // a multiple of 1e6/16 and err is their absolute difference
+    rows.get((1L, 3L)).foreach { case (est, exact, err) =>
+      assert(exact == 714285L)
+      assert(est % 62500L == 0L)
+      assert(err == math.abs(est - exact))
+    }
+    // ids are ordered and the disjoint doc never pairs with anyone
+    assert(rows.keys.forall { case (a, b) => a < b })
+    assert(!rows.keys.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("groupCentroids + centroidAffinity: hand-computed integer " +
+       "centroids, dot products, and norms (negatives floor correctly)") {
+    val emb = Seq(
+      (1L, 0, Array(1.0f, 0.0f)),
+      (2L, 0, Array(0.0f, 1.0f)),
+      (3L, 1, Array(1.0f, 1.0f)),
+      (4L, 2, Array(-0.5f, 0.25f))
+    ).toDF("vec_id", "label", "embedding")
+    val cent = Similarity.groupCentroids(emb, "label", "embedding")
+    val cm = cent.collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(cm((0, 0)) == 500000L && cm((0, 1)) == 500000L)
+    assert(cm((1, 0)) == 1000000L && cm((1, 1)) == 1000000L)
+    assert(cm((2, 0)) == -500000L && cm((2, 1)) == 250000L)
+    val aff = Similarity.centroidAffinity(cent).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // c0 = (5e5, 5e5), c1 = (1e6, 1e6), c2 = (-5e5, 2.5e5)
+    assert(aff((0, 1)) == (1000000000000L, 500000000000L, 2000000000000L))
+    assert(aff((0, 2)) == (-125000000000L, 500000000000L, 312500000000L))
+    assert(aff((1, 2)) == (-250000000000L, 2000000000000L, 312500000000L))
+  }
 }

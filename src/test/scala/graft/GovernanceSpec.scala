@@ -341,4 +341,20 @@ class GovernanceSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == expect)
   }
+
+  test("quantileNormalize: within-key inclusive CDF in exact micros, " +
+       "ties share a percentile, keys are independent") {
+    import graft.functions.Governance
+    val rows = Seq(
+      (1L, "A", 10), (2L, "A", 10), (3L, "A", 20), (4L, "A", 30),
+      (5L, "B", 5)
+    ).toDF("id", "src", "score")
+    val got = Governance.quantileNormalize(rows, "id", "src", "score")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // A: score 10 → 2/4, 20 → 3/4, 30 → 4/4; B: lone score → 1.0
+    assert(got(1L) == 500000L && got(2L) == 500000L)
+    assert(got(3L) == 750000L)
+    assert(got(4L) == 1000000L)
+    assert(got(5L) == 1000000L)
+  }
 }

@@ -429,4 +429,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("windowspecdefinition"),
       s"cap must not sort clusters via a Window:\n$plan")
   }
+
+  test("q171: the whole Gopher battery is scan-only — zero exchanges") {
+    val plan = formatted("q171_gopher_rules")
+    assert(!plan.contains("Exchange"), s"rule battery must not shuffle:\n$plan")
+  }
+
+  test("q172: quantile normalization windows ONLY the count table and " +
+       "broadcasts the CDF back (corpus never windowed or shuffle-joined)") {
+    val plan = formatted("q172_quantile_normalize")
+    // the corpus-side join back is a broadcast, never a shuffle join
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin"), plan)
+    // every window partitions by the key over the aggregated count table
+    // — exactly one aggregate exchange feeds it
+    assert(plan.linesIterator
+      .filter(_.contains("windowspecdefinition"))
+      .forall(_.contains("source")), s"window not keyed by source:\n$plan")
+  }
 }
