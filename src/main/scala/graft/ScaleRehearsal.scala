@@ -52,7 +52,12 @@ object ScaleRehearsal {
     // (distinct-word encode table grows ~10× under suffixes), and the
     // cluster-balanced sample (2 Lloyd rounds + bounded cap agg)
     "q161_paragraph_dedup", "q164_epoch_reshuffle",
-    "q165_tokenizer_fertility", "q166_cluster_balanced_sample")
+    "q165_tokenizer_fertility", "q166_cluster_balanced_sample",
+    // sketch-accuracy audit: candidate pairs come from band buckets,
+    // which the replica token suffixes keep replica-local — pair count
+    // scales ~10×, never ~100× (the honest LSH shape); the exact-verify
+    // joins ride uniform id keys
+    "q173_minhash_accuracy")
 
   def main(args: Array[String]): Unit = {
     val small = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

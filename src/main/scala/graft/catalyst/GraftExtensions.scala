@@ -35,6 +35,12 @@ object GraftExtensions {
       info(classOf[Md5Prefix40], "md5_prefix40", "_FUNC_(str) - 40-bit md5-prefix hash as bigint"),
       (exprs: Seq[Expression]) => Md5Prefix40(exprs.head))
 
+  val md5Prefix60Desc: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) =
+    (FunctionIdentifier("md5_prefix60"),
+      info(classOf[Md5Prefix60], "md5_prefix60", "_FUNC_(str) - 60-bit md5-prefix hash as bigint"),
+      (exprs: Seq[Expression]) => Md5Prefix60(exprs.head))
+
   val minhashSigDesc: (FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression) =
     (FunctionIdentifier("minhash_sig"),
@@ -118,7 +124,7 @@ object GraftExtensions {
           .toAggregateExpression())
 
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
-    Seq(md5Prefix40Desc, minhashSigDesc, minhashAggDesc, simhash32Desc,
+    Seq(md5Prefix40Desc, md5Prefix60Desc, minhashSigDesc, minhashAggDesc, simhash32Desc,
       rollingFingerprintDesc, shinglesDesc, cosineSimDesc, exactSumMicrosDesc,
       topTokenMassDesc, topkAggDesc, misraGriesDesc)
 

@@ -186,6 +186,7 @@ final class Lowering(spark: SparkSession, keepAssertions: Boolean = true,
     }
 
     case bj: BufferJoinPipe => lowerBufferJoin(bj)
+    case bj: BufferJoinSortedPipe => lowerBufferJoinSorted(bj)
     case bj: BufferJoinNPipe => lowerBufferJoinN(bj)
 
     // Merge requires IDENTICAL declared fields across inputs (the
@@ -811,6 +812,32 @@ final class Lowering(spark: SparkSession, keepAssertions: Boolean = true,
         }(enc)
         splitJoinTrap(runner, tap, bj.leftKeys)
     }
+  }
+
+  /** Sorted-values cogroup: each side's iterator arrives in the DECLARED
+    * order. `cogroupSorted` pushes the per-side ordering into the
+    * shuffle's sort-based group materialization (SortCogroupExec plans a
+    * (key, sortExprs) sort under each side — no per-group buffering, so
+    * an arbitrarily large group streams through sorted, the property the
+    * upstream comparator contract needs at scale). */
+  private def lowerBufferJoinSorted(bj: BufferJoinSortedPipe): DataFrame = {
+    val l = lower(bj.left); val r = lower(bj.right)
+    val keySchema = bufferKeySchema(Seq(l -> bj.leftKeys, r -> bj.rightKeys))
+    val keyEnc = Encoders.row(keySchema)
+    val fn = bj.b
+    val lKey = Lowering.keyExtractor(
+      bj.leftKeys.map(k => l.columns.indexOf(k)).toArray, keySchema)
+    val rKey = Lowering.keyExtractor(
+      bj.rightKeys.map(k => r.columns.indexOf(k)).toArray, keySchema)
+    def sortCols(s: Seq[(String, Boolean)]) =
+      s.map { case (c, asc) => if (asc) col(c).asc else col(c).desc }
+    val outEnc = Encoders.row(bj.resultFields.toStruct)
+    l.groupByKey(lKey)(keyEnc)
+      .cogroupSorted(r.groupByKey(rKey)(keyEnc))(
+        sortCols(bj.leftSort): _*)(sortCols(bj.rightSort): _*) {
+        (key: Row, ls: Iterator[Row], rs: Iterator[Row]) =>
+          fn(key.toSeq, ls, rs).map(Row.fromSeq)
+      }(outEnc)
   }
 
   /** Split a trap-enabled cogroup runner's output: failing key groups

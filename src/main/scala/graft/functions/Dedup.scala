@@ -346,38 +346,63 @@ object Dedup {
     * measured on the pairs the pipeline actually adjudicates — run it on
     * a sampled slice before committing a threshold at full scale.
     *
+    * The audited pair set is the CANONICAL candidate set — each doc
+    * paired with its cluster representative (per-bucket min, then
+    * per-id min over its buckets) — exactly the pairs
+    * [[nearDupPairs]]/[[incrementalNearDups]] verify in production, and
+    * LINEAR in corpus size. The naive alternative (every within-bucket
+    * pair) is Σ bucket², and a near-dup-dense corpus concentrates mass
+    * into few buckets (measured here: 5k docs → 6.5M pairs, 10.9 s; the
+    * canonical form audits what the pipeline actually adjudicates at
+    * ~N pairs). `pairSampleMod = m` additionally keeps a deterministic
+    * 1/m hash-sample — the knob for 100 TB audits where even N pairs is
+    * more than an error histogram needs.
+    *
     * Scale shape: the corpus is scanned once into (sig, token-set) rows
-    * (cached: two consumers); candidates come from the band-bucket
-    * self-join (bounded by bucket population, never all-pairs); the two
-    * verify joins are on uniform id keys. Estimator and exact value are
-    * both exact integer micros. */
+    * (cached: two consumers); cluster assignment is two uniform-key
+    * aggregations; the verify joins ride uniform id keys. */
   def minhashAccuracy(df: DataFrame, idCol: String, textCol: String,
-                      k: Int = 16, bands: Int = 4): DataFrame = {
+                      k: Int = 16, bands: Int = 4,
+                      pairSampleMod: Long = 1L): DataFrame = {
+    require(pairSampleMod >= 1L,
+      s"minhashAccuracy: pairSampleMod must be ≥ 1, got $pairSampleMod")
     val rowsPerBand = k / bands
     val base = df.select(col(idCol).as("id"),
         minhashSignature(col(textCol), k).as("sig"),
         array_distinct(tokens(col(textCol))).as("ts"))
+      .withColumn("nt", size(col("ts")).cast("long"))
       .cache()
     val br = base.select(col("id"), explode(array(
         (0 until bands).map(b =>
           struct(lit(b).as("band"),
             bandKey(col("sig"), b, rowsPerBand).as("key"))): _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val pairs = br.as("l")
-      .join(br.as("r"), col("l.band") === col("r.band") &&
-        col("l.key") === col("r.key") && col("l.id") < col("r.id"))
-      .select(col("l.id").as("id1"), col("r.id").as("id2"))
-      .distinct()
+    val bucketMin = br.groupBy(col("band"), col("key"))
+      .agg(min(col("id")).as("bmin"))
+    val cands = br.join(bucketMin, Seq("band", "key"))
+      .groupBy(col("id"))
+      .agg(min(col("bmin")).as("canonical_id"))
+      .filter(col("canonical_id") < col("id"))
+      .select(col("canonical_id").as("id1"), col("id").as("id2"))
+    val pairs =
+      if (pairSampleMod == 1L) cands
+      else cands.filter((graft.catalyst.Md5Prefix40(concat_ws("_",
+        col("id1").cast("string"), col("id2").cast("string")))
+        % pairSampleMod) === 0L)
     val eq = aggregate(
       zip_with(col("sig1"), col("sig2"),
         (a, b) => when(a === b, 1L).otherwise(0L)),
       lit(0L), (acc, x) => acc + x)
+    // |A∪B| = n1 + n2 − |A∩B|: one intersect per pair, no union build
+    val inter = size(array_intersect(col("t1"), col("t2"))).cast("long")
     pairs
-      .join(base.toDF("id1", "sig1", "t1"), "id1")
-      .join(base.toDF("id2", "sig2", "t2"), "id2")
+      .join(base.toDF("id1", "sig1", "t1", "n1"), "id1")
+      .join(base.toDF("id2", "sig2", "t2", "n2"), "id2")
       .select(col("id1"), col("id2"),
         floor(eq * 1000000L / k).cast("bigint").as("est_micros"),
-        jaccardMicros(col("t1"), col("t2")).as("exact_micros"))
+        floor(inter * 1000000L /
+          greatest(col("n1") + col("n2") - inter, lit(1L)))
+          .cast("bigint").as("exact_micros"))
       .withColumn("err_micros",
         abs(col("est_micros") - col("exact_micros")))
   }
@@ -488,17 +513,26 @@ object Dedup {
     * span_tokens).
     *
     * Scale: all shuffles key on uniform hashes or doc ids — the n-gram
-    * agg and the hit join shuffle on the 40-bit hash (uniform by
-    * construction; at corpus scales past ~2^20 ngrams widen to a 64-bit
-    * key — two md5 prefixes — to keep collision noise below the dup
-    * signal), and the island window partitions per DOCUMENT, bounded by
-    * doc length, never per source. No all-pairs stage anywhere: cost is
-    * O(tokens) rows exploded, O(duplicated positions) joined. */
+    * agg and the hit join shuffle on the gram hash (uniform by
+    * construction), and the island window partitions per DOCUMENT,
+    * bounded by doc length, never per source. No all-pairs stage
+    * anywhere: cost is O(tokens) rows exploded, O(duplicated positions)
+    * joined.
+    *
+    * Hash width: default 40-bit keys (birthday bound ~2^20 distinct
+    * grams — a hash collision manufactures a FALSE dup span, so the
+    * bound is a correctness knob). `wideHash = true` switches to the
+    * 60-bit [[graft.catalyst.Md5Prefix60]] key (~2^30 grams) — the form
+    * to run at the 100 TB tier; identical plan shape, gated separately
+    * (q176) against the 15-hex-prefix oracle spelling. */
   def duplicatedSpans(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text", n: Int = 8,
-                      minDocs: Int = 2): DataFrame = {
+                      minDocs: Int = 2, wideHash: Boolean = false): DataFrame = {
     require(n >= 2, s"duplicatedSpans: n must be ≥ 2, got $n")
     require(minDocs >= 2, s"duplicatedSpans: minDocs must be ≥ 2, got $minDocs")
+    def gramHash(c: org.apache.spark.sql.Column) =
+      if (wideHash) graft.catalyst.Md5Prefix60(c)
+      else graft.catalyst.Md5Prefix40(c)
     // token array materialized BEFORE the lambda (the phraseBpe finding):
     // the split() subtree inside transform re-evaluates per position —
     // O(len²) per row; as an attribute it splits once, slices linear
@@ -507,7 +541,7 @@ object Dedup {
       .filter(size(col("__t")) >= n)
       .select(col(idCol),
         posexplode(transform(sequence(lit(1), size(col("__t")) - (n - 1)),
-          i => graft.catalyst.Md5Prefix40(
+          i => gramHash(
             concat_ws(" ", slice(col("__t"), i, lit(n)))))))
       .select(col(idCol), (col("pos") + 1).as("pos"), col("col").as("h"))
     val dup = grams.groupBy(col("h"))

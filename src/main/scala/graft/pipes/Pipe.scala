@@ -114,6 +114,25 @@ sealed trait Pipe {
                  trap: Option[Tap] = None): Pipe =
     BufferJoinPipe(this, leftKeys, right, rightKeys, resultFields, buffer, trap)
 
+  /** BufferJoin with DECLARED per-side value ordering — upstream CoGroup
+    * with field comparators delivers each side's value iterator SORTED
+    * (cascading SortedValuesPlatformTest.testCoGroupComparatorValues;
+    * reference wires comparators through the serializer stack,
+    * `types/tuple/TupleComparator.java`). Lowered to Spark's native
+    * sorted cogroup: the ordering rides the shuffle's sort (one pass),
+    * never a per-group in-memory sort. Sort spec per side:
+    * (column, ascending). */
+  def bufferJoinSorted(leftKeys: Seq[String], right: Pipe,
+                       rightKeys: Seq[String],
+                       leftSort: Seq[(String, Boolean)],
+                       rightSort: Seq[(String, Boolean)],
+                       resultFields: CFields,
+                       buffer: (Seq[Any], Iterator[org.apache.spark.sql.Row],
+                                Iterator[org.apache.spark.sql.Row]) =>
+                               Iterator[Seq[Any]]): Pipe =
+    BufferJoinSortedPipe(this, leftKeys, right, rightKeys, leftSort,
+      rightSort, resultFields, buffer)
+
   /** n-way BufferJoin (3 or 4 inputs) — reference supports n-ary
     * `BufferJoin` via ordinal-tagged union (`FFS:802-851`); Spark's RDD
     * cogroup is natively 2–4-way. Trap semantics as in [[bufferJoin]]. */
@@ -359,6 +378,13 @@ final case class BufferJoinPipe(
     b: (Seq[Any], Iterator[org.apache.spark.sql.Row],
         Iterator[org.apache.spark.sql.Row]) => Iterator[Seq[Any]],
     trap: Option[Tap] = None) extends Pipe
+
+final case class BufferJoinSortedPipe(
+    left: Pipe, leftKeys: Seq[String], right: Pipe, rightKeys: Seq[String],
+    leftSort: Seq[(String, Boolean)], rightSort: Seq[(String, Boolean)],
+    resultFields: CFields,
+    b: (Seq[Any], Iterator[org.apache.spark.sql.Row],
+        Iterator[org.apache.spark.sql.Row]) => Iterator[Seq[Any]]) extends Pipe
 
 final case class BufferJoinNPipe(
     left: Pipe, leftKeys: Seq[String], others: Seq[(Pipe, Seq[String])],

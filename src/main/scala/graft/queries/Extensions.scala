@@ -1094,6 +1094,14 @@ object Extensions {
         s.read.parquet(s"$dir/documents.parquet"),
         "doc_id", "text", n = 8, minDocs = 2)),
 
+    // --- the 100 TB hash-width path of q138: 60-bit gram keys
+    // (birthday bound ~2^30 grams vs 40-bit's ~2^20 — a collision
+    // manufactures a FALSE dup span, so width is a correctness knob)
+    "q176_dup_spans_wide" -> ((s, dir) =>
+      graft.functions.Dedup.duplicatedSpans(
+        s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", n = 8, minDocs = 2, wideHash = true)),
+
     // --- adjacent-token collocations: pair + unigram counts and an exact
     // integer Dice×1e6 (2e6·c12 div (c1+c2) — no float log, engine-exact),
     // top-100 fully tie-broken by (c12 desc, w1, w2) so the limit is
@@ -2500,7 +2508,10 @@ object Extensions {
     }),
 
     // --- MinHash sketch-accuracy audit: estimator vs exact Jaccard on
-    // the LSH candidate pairs the pipeline actually adjudicates
+    // the CANONICAL candidate pairs — the pairs nearDupPairs actually
+    // verifies in production (linear in corpus; the naive within-bucket
+    // enumeration is Σ bucket² — measured 6.5M pairs / 10.9 s on this
+    // near-dup-dense corpus before the canonical form)
     "q173_minhash_accuracy" -> ((s, dir) =>
       graft.functions.Dedup.minhashAccuracy(
         s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
@@ -3016,11 +3027,16 @@ object Extensions {
       val eq = (0 until 16).map(i =>
         s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)").mkString(" + ")
       s"""$minhashCte,
+         |bucket_min AS (
+         |  SELECT band, key, min(doc_id) AS bmin FROM bands GROUP BY 1, 2),
+         |clusters AS (
+         |  SELECT b.doc_id AS id, min(m.bmin) AS canonical_id
+         |  FROM bands b JOIN bucket_min m
+         |    ON b.band = m.band AND b.key = m.key
+         |  GROUP BY 1),
          |p AS (
-         |  SELECT l.doc_id AS id1, r.doc_id AS id2
-         |  FROM bands l JOIN bands r
-         |    ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
-         |  GROUP BY 1, 2),
+         |  SELECT canonical_id AS id1, id AS id2 FROM clusters
+         |  WHERE canonical_id < id),
          |e AS (
          |  SELECT id1, id2, $eq AS eq,
          |    len(list_intersect(ta.tl, tb.tl)) AS inter,
@@ -3875,6 +3891,30 @@ object Extensions {
         |  SELECT doc_id, CAST(pos AS INTEGER) AS pos,
         |    CAST(concat('0x', substr(md5(
         |      array_to_string(t[pos:pos+7], ' ')), 1, 10)) AS BIGINT) AS h
+        |  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 6)) AS pos) p
+        |  WHERE len(t) >= 8),
+        |duph AS (SELECT h FROM ngr GROUP BY h
+        |         HAVING count(DISTINCT doc_id) >= 2),
+        |isl AS (
+        |  SELECT g.doc_id, g.pos,
+        |    g.pos - CAST(row_number() OVER (PARTITION BY g.doc_id
+        |      ORDER BY g.pos) AS INTEGER) AS isle
+        |  FROM ngr g JOIN duph USING (h))
+        |SELECT doc_id, CAST(min(pos) AS INTEGER) AS span_start,
+        |  CAST(max(pos) AS INTEGER) AS span_end_ngram,
+        |  CAST(count(*) AS BIGINT) AS n_hits,
+        |  CAST(max(pos) - min(pos) + 8 AS INTEGER) AS span_tokens
+        |FROM isl GROUP BY doc_id, isle""".stripMargin,
+
+    // q138 with the 60-bit gram key: 15 hex nibbles of the md5 instead
+    // of 10 — everything else identical
+    "q176_dup_spans_wide" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |ngr AS (
+        |  SELECT doc_id, CAST(pos AS INTEGER) AS pos,
+        |    CAST(concat('0x', substr(md5(
+        |      array_to_string(t[pos:pos+7], ' ')), 1, 15)) AS BIGINT) AS h
         |  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 6)) AS pos) p
         |  WHERE len(t) >= 8),
         |duph AS (SELECT h FROM ngr GROUP BY h

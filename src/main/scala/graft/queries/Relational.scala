@@ -311,6 +311,32 @@ object Relational {
             else Iterator.empty
           }))(s)),
 
+    // Sorted-values cogroup (cascading SortedValuesPlatformTest
+    // .testCoGroupComparatorValues): the order rides the shuffle sort —
+    // the buffer streams each customer's orders oldest→newest with O(1)
+    // state (first date, last price, count), never buffering the group
+    "q175_bufferjoin_sorted" -> ((s, dir) => Flow.toDF(
+      P(dir, "customer").retain("c_custkey", "c_name")
+        .bufferJoinSorted(Seq("c_custkey"),
+          P(dir, "orders")
+            .retain("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"),
+          Seq("o_custkey"),
+          leftSort = Seq("c_name" -> true),
+          rightSort = Seq("o_orderdate" -> true, "o_orderkey" -> true),
+          CFields.typed("custkey" -> LongType,
+            "first_date" -> TimestampNTZType,
+            "last_price" -> DoubleType, "n_orders" -> LongType),
+          (key, cs, os) => {
+            if (cs.isEmpty || !os.hasNext) Iterator.empty
+            else {
+              val first = os.next()
+              var last = first; var n = 1L
+              while (os.hasNext) { last = os.next(); n += 1 }
+              Iterator.single(Seq[Any](key.head, first.get(2),
+                last.getDouble(3), n))
+            }
+          }))(s)),
+
     // Rename / Retain / Coerce assemblies (SURVEY §2.3)
     "q19_fieldalgebra" -> ((s, dir) => Flow.toDF(
       P(dir, "lineitem")
@@ -1010,6 +1036,23 @@ object Relational {
       """SELECT c_custkey, count(*) AS n_orders, min(c_acctbal) AS c_acctbal
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |GROUP BY 1""".stripMargin,
+
+    "q175_bufferjoin_sorted" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderdate, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS rn_a,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn_d,
+        |    count(*) OVER (PARTITION BY o_custkey) AS n
+        |  FROM orders)
+        |SELECT c.c_custkey AS custkey,
+        |  a.o_orderdate AS first_date,
+        |  d.o_totalprice AS last_price,
+        |  CAST(a.n AS BIGINT) AS n_orders
+        |FROM customer c
+        |JOIN o a ON a.o_custkey = c.c_custkey AND a.rn_a = 1
+        |JOIN o d ON d.o_custkey = c.c_custkey AND d.rn_d = 1""".stripMargin,
 
     "q19_fieldalgebra" ->
       """SELECT l_orderkey, l_linenumber,

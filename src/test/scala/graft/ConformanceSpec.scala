@@ -832,4 +832,55 @@ class ConformanceSpec extends SparkSpec {
     val got = Flow.toDF(p).collect().map(r => (r.getString(0), r.getLong(1)))
     assert(got.toSeq == Seq(("e", 5L), ("d", 4L)))
   }
+
+  // SortedValuesPlatformTest.testCoGroupComparatorValues: field
+  // comparators on a CoGroup deliver each side's value iterator SORTED
+  // (upstream wires them through the co-grouping serializers). Scrambled
+  // input order, ascending left / DESCENDING right — the buffer must see
+  // both sides in their declared orders, per key.
+  test("bufferJoinSorted delivers each side's values in its declared " +
+       "order (asc left, desc right)") {
+    val left = Seq(("g", 3, "l3"), ("g", 1, "l1"), ("h", 9, "l9"),
+      ("g", 2, "l2")).toDF("k", "s", "lv")
+    val right = Seq(("g", 10, "r10"), ("g", 30, "r30"), ("g", 20, "r20"),
+      ("h", 5, "r5")).toDF("k2", "t", "rv")
+    val p = pipe(left).bufferJoinSorted(Seq("k"), pipe(right), Seq("k2"),
+      leftSort = Seq("s" -> true), rightSort = Seq("t" -> false),
+      CFields.typed("k" -> StringType, "lseq" -> StringType,
+        "rseq" -> StringType),
+      (key, ls, rs) => Iterator.single(Seq(key.head,
+        ls.map(_.getString(2)).mkString(","),
+        rs.map(_.getString(2)).mkString(","))))
+    assert(rows(p) == Set(
+      Seq("g", "l1,l2,l3", "r30,r20,r10"),
+      Seq("h", "l9", "r5")))
+  }
+
+  // RegressionPipesPlatformTest.testDeepPipeline: a deep chain of Each
+  // stages must plan and run (upstream stresses the planner's node
+  // traversal; the Spark analog is codegen/analysis depth — whole-stage
+  // codegen caps out and must FALL BACK, never fail).
+  test("a 60-deep Each chain plans and computes correctly") {
+    val df = Seq(1, 2, 3).toDF("v")
+    val deep = (1 to 60).foldLeft(pipe(df)) { (p, _) =>
+      p.each(ExpressionFunction("v", "v + 1", IntegerType),
+        args = FieldSelector("v"), out = FieldSelector.Swap)
+    }
+    assert(rows(deep) == Set(Seq(61), Seq(62), Seq(63)))
+  }
+
+  // CoGroupFieldedPipesPlatformTest.testCoGroupSplitPipe: ONE upstream
+  // pipe splits into BOTH sides of a CoGroup (self-join through a
+  // split) — the split must feed both branches the same rows and the
+  // join must still pair per key.
+  test("a split feeding both CoGroup sides self-joins correctly") {
+    val df = Seq((1, "a"), (2, "b"), (1, "c")).toDF("k", "v")
+    val base = pipe(df)
+    val rhs = base.rename("k" -> "k2", "v" -> "v2")
+    val j = base.coGroup(Seq("k"), rhs, Seq("k2"))
+    assert(rows(j) == Set(
+      Seq(1, "a", 1, "a"), Seq(1, "a", 1, "c"),
+      Seq(1, "c", 1, "a"), Seq(1, "c", 1, "c"),
+      Seq(2, "b", 2, "b")))
+  }
 }

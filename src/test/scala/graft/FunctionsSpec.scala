@@ -635,6 +635,30 @@ class FunctionsSpec extends SparkSpec {
     assert(got.toSet == again.toSet)
   }
 
+  test("Md5Prefix60 equals the 15-hex-nibble md5 prefix; wide spans " +
+       "match narrow spans on a collision-free corpus") {
+    // value parity with the portable SQL spelling, per row
+    val probe = Seq("alpha beta", "x", "", "ünïcode tøkens").toDF("text")
+    val both = probe.select(
+      graft.catalyst.Md5Prefix60(col("text")).as("native"),
+      expr("conv(substr(md5(text), 1, 15), 16, 10)").cast("long").as("sql"))
+      .collect()
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+    // 60-bit keys stay inside signed int64
+    both.foreach(r => assert(r.getLong(0) >= 0L))
+    // same spans either width when no 40-bit collision exists
+    val docs = Seq(
+      1L -> "a b c d e f g h i j k l",
+      2L -> "z z a b c d e f g h q r",
+      3L -> "totally unrelated words here with no shared grams at all"
+    ).toDF("doc_id", "text")
+    def spans(wide: Boolean) =
+      Dedup.duplicatedSpans(docs, "doc_id", "text", n = 8, minDocs = 2,
+        wideHash = wide).collect().map(_.toSeq).toSet
+    assert(spans(wide = true) == spans(wide = false))
+    assert(spans(wide = true).nonEmpty)
+  }
+
   test("gopherRules: each rule fires in isolation on hand-computed docs") {
     // every doc hand-verified at minWords=3: word/char counts in comments
     val docs = Seq(
@@ -699,6 +723,18 @@ class FunctionsSpec extends SparkSpec {
     // ids are ordered and the disjoint doc never pairs with anyone
     assert(rows.keys.forall { case (a, b) => a < b })
     assert(!rows.keys.exists { case (a, b) => a == 4L || b == 4L })
+    // pairSampleMod keeps exactly the deterministic md5 hash-subset
+    def h40(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      ((d(0) & 0xffL) << 32) | ((d(1) & 0xffL) << 24) |
+        ((d(2) & 0xffL) << 16) | ((d(3) & 0xffL) << 8) | (d(4) & 0xffL)
+    }
+    val sampled = Dedup.minhashAccuracy(docs, "doc_id", "text",
+        pairSampleMod = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sampled ==
+      rows.keys.filter { case (a, b) => h40(s"${a}_$b") % 3 == 0 }.toSet)
   }
 
   test("groupCentroids + centroidAffinity: hand-computed integer " +
