@@ -2517,6 +2517,27 @@ object Extensions {
         s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
         k = 16, bands = 4)),
 
+    // --- training-delivery composition: the dataloader's epoch plan —
+    // q164's deterministic permutation + per-shard sequence packing in
+    // permutation order (every doc gets shard, global rank, bin, offset;
+    // bit-identical on re-run, no global sort anywhere)
+    "q177_training_delivery" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val ord = graft.functions.Governance.epochOrder(
+        docs.select(col("doc_id")), "doc_id", "ep0#", 8)
+      val toks = docs.select(col("doc_id"),
+        TA.tokenCount(col("text")).cast("long").as("n_tok"))
+      val w = Window.partitionBy("shard").orderBy("grank")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ord.join(toks, "doc_id")
+        .withColumn("cum_prev",
+          coalesce(sum(col("n_tok")).over(w), lit(0L)))
+        .select(col("doc_id"), col("shard"), col("grank"), col("n_tok"),
+          expr("cum_prev div 256").as("bin"),
+          (col("cum_prev") % 256).as("bin_offset"))
+    }),
+
     // --- per-label embedding centroids + pairwise affinity (exact
     // integer micros end to end: a float sum over a shuffle is
     // order-dependent; the quantized int sum is not)
@@ -3053,6 +3074,32 @@ object Extensions {
          |  FROM e)
          |SELECT id1, id2, est_micros, exact_micros,
          |  abs(est_micros - exact_micros) AS err_micros FROM m""".stripMargin
+    },
+
+    // training delivery: q164's (shard, hash, id) permutation + the
+    // q128 cum-sum packing spelling in permutation order per shard
+    "q177_training_delivery" -> {
+      val h = "CAST(concat('0x', substr(md5('ep0#' || " +
+        "CAST(doc_id AS VARCHAR)), 1, 10)) AS BIGINT)"
+      s"""WITH o AS (
+         |  SELECT doc_id, CAST(shard AS INTEGER) AS shard,
+         |    CAST(row_number() OVER (ORDER BY shard, h, doc_id)
+         |      AS BIGINT) AS grank
+         |  FROM (SELECT doc_id, $h AS h, $h % 8 AS shard FROM documents)),
+         |t AS (SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |c AS (
+         |  SELECT o.doc_id, o.shard, o.grank, t.n_tok,
+         |    coalesce(sum(t.n_tok) OVER (PARTITION BY o.shard
+         |      ORDER BY o.grank
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS cum_prev
+         |  FROM o JOIN t USING (doc_id))
+         |SELECT doc_id, shard, grank, n_tok,
+         |  CAST(cum_prev // 256 AS BIGINT) AS bin,
+         |  CAST(cum_prev % 256 AS BIGINT) AS bin_offset
+         |FROM c""".stripMargin
     },
 
     // per-label centroid affinity: quantize to micros BEFORE the sum

@@ -869,6 +869,57 @@ class ConformanceSpec extends SparkSpec {
     assert(rows(deep) == Set(Seq(61), Seq(62), Seq(63)))
   }
 
+  // JoinFieldedPipesPlatformTest.testJoinAfterEvery: a HashJoin directly
+  // consuming an Every's aggregated output — the aggregate's schema (key
+  // + aggregate fields) is the streamed side's input schema, unchanged.
+  test("hashJoin directly after Every joins the aggregated rows") {
+    val facts = Seq(("a", 1), ("a", 2), ("b", 5)).toDF("k", "v")
+    val dims = Seq(("a", "A"), ("b", "B"), ("c", "C")).toDF("k2", "nm")
+    val p = pipe(facts).groupBy("k").every(Aggs.sum("v", "s"))
+      .hashJoin(Seq("k"), pipe(dims), Seq("k2"))
+    assert(rows(p) == Set(
+      Seq("a", 3L, "a", "A"), Seq("b", 5L, "b", "B")))
+  }
+
+  // SortedValuesPlatformTest null-comparator corner applied to the
+  // sorted cogroup: this port's declared contract is Spark's comparator
+  // defaults — ascending places nulls FIRST, descending places them
+  // LAST (upstream leaves null order to the user comparator; a port
+  // must pick one and pin it).
+  test("bufferJoinSorted null placement: asc nulls first, desc nulls last") {
+    val left = Seq(("g", Integer.valueOf(2), "l2"),
+      ("g", null.asInstanceOf[Integer], "lN"),
+      ("g", Integer.valueOf(1), "l1")).toDF("k", "s", "lv")
+    val right = Seq(("g", Integer.valueOf(5), "r5"),
+      ("g", null.asInstanceOf[Integer], "rN")).toDF("k2", "t", "rv")
+    val p = pipe(left).bufferJoinSorted(Seq("k"), pipe(right), Seq("k2"),
+      leftSort = Seq("s" -> true), rightSort = Seq("t" -> false),
+      CFields.typed("k" -> StringType, "lseq" -> StringType,
+        "rseq" -> StringType),
+      (key, ls, rs) => Iterator.single(Seq(key.head,
+        ls.map(_.getString(2)).mkString(","),
+        rs.map(_.getString(2)).mkString(","))))
+    assert(rows(p) == Set(Seq("g", "lN,l1,l2", "r5,rN")))
+  }
+
+  // JoinFieldedPipesPlatformTest.testJoinGroupBy-shaped SCALE corner: a
+  // GroupBy keyed on the join key must REUSE the join's hash
+  // partitioning — the exchanges feeding the join are the plan's only
+  // exchanges (Catalyst sees the co-partitioning; a third exchange for
+  // the aggregation would re-shuffle already-placed rows).
+  test("groupBy on the join key adds no exchange after the coGroup") {
+    val l = Seq((1, "x"), (1, "y"), (2, "z")).toDF("k", "v")
+    val r = Seq((1, 10), (2, 20)).toDF("k2", "w")
+    val p = pipe(l).coGroup(Seq("k"), pipe(r), Seq("k2"))
+      .groupBy("k").every(Aggs.count("n"))
+    val df = Flow.toDF(p)
+    assert(rows(p) == Set(Seq(1, 2L), Seq(2, 1L)))
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 2, s"agg re-shuffled the joined rows:\n$plan")
+  }
+
   // CoGroupFieldedPipesPlatformTest.testCoGroupSplitPipe: ONE upstream
   // pipe splits into BOTH sides of a CoGroup (self-join through a
   // split) — the split must feed both branches the same rows and the
