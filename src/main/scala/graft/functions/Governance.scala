@@ -345,11 +345,17 @@ object Governance {
     * at 100 TB size nShards so a shard's rows fit one task's sort
     * (~count/nShards rows), exactly the shardExport file-size knob. */
   def epochOrder(docs: org.apache.spark.sql.DataFrame, idCol: String,
-                 epochSalt: String, nShards: Int): org.apache.spark.sql.DataFrame = {
+                 epochSalt: String, nShards: Int,
+                 carry: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
     require(nShards > 0, s"epochOrder: nShards must be positive, got $nShards")
     val h = graft.catalyst.Md5Prefix40(
       concat(lit(epochSalt), col(idCol).cast("string")))
-    val sharded = docs.select(col(idCol), h.as("__h"))
+    // `carry` columns ride the permutation's one exchange instead of
+    // being joined back afterwards — a downstream consumer needing doc
+    // payload (q177: token counts) would otherwise pay two corpus
+    // exchanges for the id join plus a third back to shard partitioning
+    val sharded = docs
+      .select(col(idCol) +: carry.map(col) :+ h.as("__h"): _*)
       .withColumn("shard", (col("__h") % nShards).cast("int"))
     // O(nShards) driver carry: exclusive prefix sum of shard counts
     val counts = sharded.groupBy("shard").agg(count(lit(1)).as("n"))
@@ -363,8 +369,8 @@ object Governance {
       .partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
     sharded.withColumn("rk", row_number().over(w).cast("long"))
       .join(broadcast(baseDf), Seq("shard"))
-      .select(col(idCol), col("shard"),
-        (col("base") + col("rk")).as("grank"))
+      .select(col(idCol) +: carry.map(col) :+ col("shard") :+
+        (col("base") + col("rk")).as("grank"): _*)
   }
 
   /** Per-key quantile normalization of an integer score — the calibration

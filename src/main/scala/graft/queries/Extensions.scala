@@ -2524,13 +2524,17 @@ object Extensions {
     "q177_training_delivery" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val docs = s.read.parquet(s"$dir/documents.parquet")
+      // n_tok CARRIES through the permutation's one exchange — joining
+      // it back afterwards would cost two corpus exchanges on doc_id
+      // plus a third back to shard partitioning (plan-asserted: the
+      // whole query has exactly one exchange)
       val ord = graft.functions.Governance.epochOrder(
-        docs.select(col("doc_id")), "doc_id", "ep0#", 8)
-      val toks = docs.select(col("doc_id"),
-        TA.tokenCount(col("text")).cast("long").as("n_tok"))
+        docs.select(col("doc_id"),
+          TA.tokenCount(col("text")).cast("long").as("n_tok")),
+        "doc_id", "ep0#", 8, carry = Seq("n_tok"))
       val w = Window.partitionBy("shard").orderBy("grank")
         .rowsBetween(Window.unboundedPreceding, -1)
-      ord.join(toks, "doc_id")
+      ord
         .withColumn("cum_prev",
           coalesce(sum(col("n_tok")).over(w), lit(0L)))
         .select(col("doc_id"), col("shard"), col("grank"), col("n_tok"),

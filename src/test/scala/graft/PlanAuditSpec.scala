@@ -435,6 +435,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"rule battery must not shuffle:\n$plan")
   }
 
+  test("q177: the whole epoch delivery plan has exactly ONE shuffle " +
+       "exchange (token counts carry through the permutation)") {
+    val plan = formatted("q177_training_delivery")
+    // shard base offsets ride a broadcast; everything else — rank
+    // window, cum-sum window, bin math — reuses the one shard exchange.
+    // Count detail headers only: formatted mode prints each node twice
+    // (tree line + "(n) Exchange" section)
+    val shuffles = plan.linesIterator
+      .count(_.matches("""\(\d+\) Exchange\s*"""))
+    assert(shuffles == 1, s"expected one shuffle exchange:\n$plan")
+  }
+
   test("q172: quantile normalization windows ONLY the count table and " +
        "broadcasts the CDF back (corpus never windowed or shuffle-joined)") {
     val plan = formatted("q172_quantile_normalize")
