@@ -407,6 +407,74 @@ object Dedup {
         abs(col("est_micros") - col("exact_micros")))
   }
 
+  /** LSH pre-flight load profile — predict a dedup run's candidate-pair
+    * cost BEFORE paying it. Per (band, bucket_size): how many buckets
+    * that size exist and the pair work they imply
+    * (n·(n−1)/2 · n_buckets). The summed `pair_work` column is exactly
+    * the Σ bucket² enumeration a within-bucket pairing pass would
+    * execute — the quantity that made the naive q173 form cost 6.5M
+    * pairs on 5k documents. Run this first; if the profile is
+    * heavy-tailed, use the canonical-pair / bucket-capped forms (or more
+    * bands) instead of pair emission. Cost: the band explode plus two
+    * uniform-key aggregations — linear, no pairs materialized. */
+  def lshLoadProfile(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 16, bands: Int = 4): DataFrame =
+    bandRows(df, idCol, textCol, k, bands)
+      .groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("bucket_size"))
+      .groupBy(col("band"), col("bucket_size"))
+      .agg(count(lit(1)).as("n_buckets"))
+      .select(col("band"), col("bucket_size"), col("n_buckets"),
+        (col("bucket_size") * (col("bucket_size") - 1) / 2
+          * col("n_buckets")).cast("bigint").as("pair_work"))
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003 — the MOSS
+    * scheme): from each doc's n-gram hash sequence, every length-`w`
+    * window contributes its RIGHTMOST minimal hash; the distinct
+    * selected (position, hash) set is the document's fingerprint. The
+    * guarantee wholesale dedup wants: any shared run of ≥ w + n − 1
+    * tokens yields at least one shared fingerprint, while per-doc
+    * fingerprint density is ~2/(w+1) — a tunable, position-robust
+    * alternative to fixed-stride shingle sampling.
+    *
+    * Pure scan-local column program (zero shuffles): gram hashes are
+    * computed once into an array attribute, the per-window fold is
+    * O(G·w) element lookups per row. The fold state is the PACKED long
+    * `(h << 20) | pos` (40-bit hash + 20-bit position — docs are
+    * capped well under 2^20 grams) so distinct/explode work on flat
+    * int64s in any engine; the `<=` on the unpacked hash keeps ties'
+    * LATER position — exactly the rightmost-minimum rule. Returns one
+    * row per fingerprint: (id, pos, h), pos the 1-based gram start. */
+  def winnow(docs: DataFrame, idCol: String = "doc_id",
+             textCol: String = "text", n: Int = 4, w: Int = 4): DataFrame = {
+    require(n >= 2, s"winnow: n must be ≥ 2, got $n")
+    require(w >= 2, s"winnow: w must be ≥ 2, got $w")
+    val withH = docs
+      .select(col(idCol), split(col(textCol), " ").as("__t"))
+      .filter(size(col("__t")) - (n - 1) >= w)
+      .select(col(idCol),
+        transform(sequence(lit(1), size(col("__t")) - (n - 1)),
+          i => graft.catalyst.Md5Prefix40(
+            concat_ws(" ", slice(col("__t"), i, lit(n))))).as("__h"))
+    def packed(j: org.apache.spark.sql.Column) =
+      shiftleft(element_at(col("__h"), j), 20) + j
+    // per window start s: fold positions s+1..s+w-1 against (h[s], s).
+    // w ≥ 2 keeps the fold sequence ascending (Spark's sequence(a, b)
+    // REVERSES when a > b).
+    val fps = array_distinct(transform(
+      sequence(lit(1), size(col("__h")) - (w - 1)),
+      s => aggregate(
+        sequence(s + 1, s + (w - 1)),
+        packed(s),
+        (acc, j) => when(
+          element_at(col("__h"), j) <= shiftright(acc, 20),
+          packed(j)).otherwise(acc))))
+    withH.select(col(idCol), explode(fps).as("fp"))
+      .select(col(idCol),
+        col("fp").bitwiseAND(lit(1048575L)).cast("int").as("pos"),
+        shiftright(col("fp"), 20).as("h"))
+  }
+
   /** CONTAINMENT verify of an arriving batch against the corpus — the
     * near-SUBSET detector: an excerpt/quotation/truncated copy of a
     * corpus doc has containment ≈ 1 (every n-gram of the smaller side

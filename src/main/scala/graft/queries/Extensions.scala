@@ -2542,6 +2542,23 @@ object Extensions {
           (col("cum_prev") % 256).as("bin_offset"))
     }),
 
+    // --- LSH pre-flight load profile: per-(band, bucket_size) counts +
+    // the Σ bucket² pair work a within-bucket pairing pass would pay —
+    // the forecast that says "use the canonical/capped form" BEFORE a
+    // 6.5M-pair surprise (the measured q173 lesson, operationalized)
+    "q178_lsh_load_profile" -> ((s, dir) =>
+      graft.functions.Dedup.lshLoadProfile(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        k = 16, bands = 4)),
+
+    // --- winnowing fingerprints (Schleimer et al. 2003): rightmost
+    // minimal gram hash per length-w window; any shared run of
+    // ≥ w+n−1 tokens shares a fingerprint — scan-only, zero shuffles
+    "q179_winnowing" -> ((s, dir) =>
+      graft.functions.Dedup.winnow(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        n = 4, w = 4)),
+
     // --- per-label embedding centroids + pairwise affinity (exact
     // integer micros end to end: a float sum over a shuffle is
     // order-dependent; the quantized int sum is not)
@@ -3105,6 +3122,41 @@ object Extensions {
          |  CAST(cum_prev % 256 AS BIGINT) AS bin_offset
          |FROM c""".stripMargin
     },
+
+    // bucket-size histogram over the shared band CTE; pair_work mirrors
+    // the same n(n−1)/2 spelling
+    "q178_lsh_load_profile" ->
+      s"""$minhashCte,
+         |bs AS (
+         |  SELECT band, key, CAST(count(*) AS BIGINT) AS bucket_size
+         |  FROM bands GROUP BY 1, 2)
+         |SELECT band, bucket_size, CAST(count(*) AS BIGINT) AS n_buckets,
+         |  CAST(bucket_size * (bucket_size - 1) / 2 * count(*) AS BIGINT)
+         |    AS pair_work
+         |FROM bs GROUP BY 1, 2""".stripMargin,
+
+    // same left fold over the packed (h << 20 | pos) longs, same <=
+    // on the unpacked hash (rightmost-minimum tie rule); n=4, w=4
+    "q179_winnowing" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |hs AS (
+         |  SELECT doc_id, list_transform(range(1, len(t) - 2), i ->
+         |    CAST(concat('0x', substr(md5(
+         |      array_to_string(t[i:i+3], ' ')), 1, 10)) AS BIGINT)) AS h
+         |  FROM toks WHERE len(t) - 3 >= 4),
+         |fp AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    list_transform(range(1, len(h) - 2), s ->
+         |      list_reduce(
+         |        list_transform(range(s, s + 4), j -> (h[j] << 20) + j),
+         |        (acc, x) ->
+         |          CASE WHEN (x >> 20) <= (acc >> 20)
+         |          THEN x ELSE acc END)))) AS f
+         |  FROM hs)
+         |SELECT doc_id, CAST(f & 1048575 AS INTEGER) AS pos,
+         |  f >> 20 AS h
+         |FROM fp""".stripMargin,
 
     // per-label centroid affinity: quantize to micros BEFORE the sum
     // (exact int), mean = floor(double(sum)/n) — identical IEEE ops

@@ -737,6 +737,56 @@ class FunctionsSpec extends SparkSpec {
       rows.keys.filter { case (a, b) => h40(s"${a}_$b") % 3 == 0 }.toSet)
   }
 
+  test("winnow matches a plain-Scala winnowing replay and upholds the " +
+       "shared-run guarantee") {
+    val d1 = "a b c d e f g h i j"
+    val d2 = "a b c d e f q r s t" // shares an 6-token run ≥ w+n−1 = 7? no:
+    // shares "a b c d e f" = 6 tokens < 7 — extend to 7 so the guarantee
+    // applies: use d3 sharing "a b c d e f g" (7 tokens) with d1
+    val d3 = "a b c d e f g x y z"
+    val docs = Seq(1L -> d1, 2L -> d2, 3L -> d3).toDF("doc_id", "text")
+    val got = Dedup.winnow(docs, "doc_id", "text", n = 4, w = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(x => (x._2, x._3)).toSet).toMap
+    // plain-Scala replay of the rightmost-minimum rule
+    def md5p40(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      ((d(0) & 0xffL) << 32) | ((d(1) & 0xffL) << 24) |
+        ((d(2) & 0xffL) << 16) | ((d(3) & 0xffL) << 8) | (d(4) & 0xffL)
+    }
+    def replay(text: String, n: Int, w: Int): Set[(Int, Long)] = {
+      val t = text.split(" ")
+      val h = (0 to t.length - n).map(i =>
+        md5p40(t.slice(i, i + n).mkString(" ")))
+      (0 to h.length - w).map { s =>
+        var bp = s; var bh = h(s)
+        for (j <- s + 1 until s + w) if (h(j) <= bh) { bh = h(j); bp = j }
+        (bp + 1, bh) // 1-based
+      }.toSet
+    }
+    assert(got(1L) == replay(d1, 4, 4))
+    assert(got(2L) == replay(d2, 4, 4))
+    assert(got(3L) == replay(d3, 4, 4))
+    // guarantee: docs 1 and 3 share a 7-token run (w+n−1) → at least one
+    // common fingerprint hash at the same relative position
+    assert(got(1L).intersect(got(3L)).nonEmpty)
+  }
+
+  test("lshLoadProfile totals the exact within-bucket pair work") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(1L -> base, 2L -> base, 3L -> base,
+      4L -> "completely different tokens only here now").toDF("doc_id", "text")
+    val prof = Dedup.lshLoadProfile(docs, "doc_id", "text")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // 3 identical docs share every band bucket: each of the 4 bands has
+    // one bucket of size 3 (pair work 3) and one of size 1 (doc 4)
+    assert(prof.toSet == (0 until 4).flatMap(b =>
+      Seq((b, 3L, 1L, 3L), (b, 1L, 1L, 0L))).toSet)
+    // Σ pair_work = the pairs a within-bucket enumeration would emit
+    assert(prof.map(_._4).sum == 12L)
+  }
+
   test("groupCentroids + centroidAffinity: hand-computed integer " +
        "centroids, dot products, and norms (negatives floor correctly)") {
     val emb = Seq(
