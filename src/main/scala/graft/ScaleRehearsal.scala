@@ -53,11 +53,12 @@ object ScaleRehearsal {
     // cluster-balanced sample (2 Lloyd rounds + bounded cap agg)
     "q161_paragraph_dedup", "q164_epoch_reshuffle",
     "q165_tokenizer_fertility", "q166_cluster_balanced_sample",
-    // sketch-accuracy audit: candidate pairs come from band buckets,
-    // which the replica token suffixes keep replica-local — pair count
-    // scales ~10×, never ~100× (the honest LSH shape); the exact-verify
-    // joins ride uniform id keys
-    "q173_minhash_accuracy")
+    // sketch-accuracy audit: canonical candidate pairs are linear in
+    // corpus (the replica token suffixes keep clusters replica-local)
+    "q173_minhash_accuracy",
+    // 60-bit substring dedup (q138's plan at the wide key), the
+    // one-exchange epoch delivery plan, and the O(G·w) winnowing scan
+    "q176_dup_spans_wide", "q177_training_delivery", "q179_winnowing")
 
   def main(args: Array[String]): Unit = {
     val small = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

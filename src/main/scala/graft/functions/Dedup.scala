@@ -475,6 +475,40 @@ object Dedup {
         shiftright(col("fp"), 20).as("h"))
   }
 
+  /** Corpus winnow-fingerprint index rows: (id, h) — [[winnow]] output
+    * with positions dropped (matching is position-robust by design).
+    * Persist through [[winnowIndexTap]] (bucketed by h) and daily
+    * batches match with zero corpus-side shuffle — the band-index
+    * discipline applied to winnowing. */
+  def winnowIndex(df: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text", n: Int = 4, w: Int = 4): DataFrame =
+    winnow(df, idCol, textCol, n, w).select(col(idCol).as("id"), col("h"))
+
+  def winnowIndexTap(table: String, buckets: Int): graft.sources.BucketedTap =
+    graft.sources.BucketedTap(table, buckets, Seq("h"))
+
+  /** Match an arriving batch against a PERSISTED winnow-fingerprint
+    * index: batch docs are winnowed in-flight, fingerprints join the
+    * index on the hash (the index's bucket column — corpus side plans
+    * with NO exchange), and each (batch, corpus) pair with
+    * ≥ `minShared` distinct shared fingerprints is reported. The
+    * winnowing guarantee makes this a RUN-level detector: any shared
+    * run of ≥ w+n−1 tokens contributes at least one shared fingerprint,
+    * so minShared trades precision against the shortest shared run the
+    * pipeline cares about. n and w must match the index build. */
+  def winnowMatchesAgainstIndex(corpusIndex: DataFrame, batch: DataFrame,
+                                idCol: String, textCol: String,
+                                n: Int = 4, w: Int = 4,
+                                minShared: Long = 2L): DataFrame = {
+    val ci = corpusIndex.withColumnRenamed("id", "corpus_id")
+    val bfp = winnow(batch, idCol, textCol, n, w)
+      .select(col(idCol).as("id"), col("h"))
+    bfp.join(ci, Seq("h"))
+      .groupBy(col("id"), col("corpus_id"))
+      .agg(count_distinct(col("h")).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** CONTAINMENT verify of an arriving batch against the corpus — the
     * near-SUBSET detector: an excerpt/quotation/truncated copy of a
     * corpus doc has containment ≈ 1 (every n-gram of the smaller side

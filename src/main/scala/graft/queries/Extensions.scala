@@ -2559,6 +2559,37 @@ object Extensions {
         s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
         n = 4, w = 4)),
 
+    // --- incremental winnow dedup: the q127 persisted-index discipline
+    // on winnowing fingerprints — corpus fingerprints live in a table
+    // bucketed by h; the batch winnows in-flight and joins with ZERO
+    // corpus-side exchange (asserted in-query); run-level matches via
+    // ≥ minShared distinct shared fingerprints
+    "q180_winnow_index" -> ((s, dir) => {
+      val table = stagedTable("graft_q180_winnowidx")
+      graft.queries.Tables.dropStagedTable(s, table)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Dedup.winnowIndexTap(table, 8).write(
+        Dedup.winnowIndex(docs.filter(col("doc_id") % 10 =!= 7),
+          "doc_id", "text"),
+        graft.sources.SinkMode.Replace)
+      val threshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val df = Dedup.winnowMatchesAgainstIndex(
+          corpusIndex = s.table(table),
+          batch = docs.filter(col("doc_id") % 10 === 7),
+          "doc_id", "text", minShared = 2L)
+        val plan = df.queryExecution.executedPlan.toString
+        val exchanges = "Exchange hashpartitioning\\(h".r
+          .findAllMatchIn(plan).size
+        require(exchanges == 1, s"index join must shuffle ONLY the batch " +
+          s"fingerprints (got $exchanges h-exchanges)")
+        require(plan.contains("SelectedBucketsCount"),
+          "corpus side must be the bucket-aware index scan")
+        df
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    }),
+
     // --- per-label embedding centroids + pairwise affinity (exact
     // integer micros end to end: a float sum over a shuffle is
     // order-dependent; the quantized int sum is not)
@@ -2586,6 +2617,28 @@ object Extensions {
   private val AttrLowQualDoc = "the ab cd ef gh"
   private val AttrRepeatDoc = "the cat and the dog runs the cat and " +
     "the dog jumps the cat and the dog sleeps"
+
+  /** The packed winnow-fingerprint CTE (n=4, w=4) over `documents` rows
+    * matching `pred`: exposes (doc_id, pos, h). The exact q179 fold
+    * spelling, shared by q179 and q180 so they cannot drift. */
+  private def winnowFpCte(name: String, pred: String): String =
+    s"""$name AS (
+       |  SELECT doc_id, CAST(f & 1048575 AS INTEGER) AS pos,
+       |    f >> 20 AS h
+       |  FROM (
+       |    SELECT doc_id, unnest(list_distinct(
+       |      list_transform(range(1, len(h) - 2), s ->
+       |        list_reduce(
+       |          list_transform(range(s, s + 4), j -> (h[j] << 20) + j),
+       |          (acc, x) -> CASE WHEN (x >> 20) <= (acc >> 20)
+       |            THEN x ELSE acc END)))) AS f
+       |    FROM (
+       |      SELECT doc_id, list_transform(range(1, len(t) - 2), i ->
+       |        CAST(concat('0x', substr(md5(
+       |          array_to_string(t[i:i+3], ' ')), 1, 10)) AS BIGINT)) AS h
+       |      FROM (SELECT doc_id, string_split(text, ' ') AS t
+       |            FROM documents WHERE $pred)
+       |      WHERE len(t) - 3 >= 4)))""".stripMargin
 
   /** DuckDB string literal for a fixture (quotes doubled, embedded
     * newlines spelled `chr(10)` so the literal survives any transport). */
@@ -3138,25 +3191,19 @@ object Extensions {
     // same left fold over the packed (h << 20 | pos) longs, same <=
     // on the unpacked hash (rightmost-minimum tie rule); n=4, w=4
     "q179_winnowing" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         |hs AS (
-         |  SELECT doc_id, list_transform(range(1, len(t) - 2), i ->
-         |    CAST(concat('0x', substr(md5(
-         |      array_to_string(t[i:i+3], ' ')), 1, 10)) AS BIGINT)) AS h
-         |  FROM toks WHERE len(t) - 3 >= 4),
-         |fp AS (
-         |  SELECT doc_id, unnest(list_distinct(
-         |    list_transform(range(1, len(h) - 2), s ->
-         |      list_reduce(
-         |        list_transform(range(s, s + 4), j -> (h[j] << 20) + j),
-         |        (acc, x) ->
-         |          CASE WHEN (x >> 20) <= (acc >> 20)
-         |          THEN x ELSE acc END)))) AS f
-         |  FROM hs)
-         |SELECT doc_id, CAST(f & 1048575 AS INTEGER) AS pos,
-         |  f >> 20 AS h
-         |FROM fp""".stripMargin,
+      s"""WITH ${winnowFpCte("fp", "TRUE")}
+         |SELECT doc_id, pos, h FROM fp""".stripMargin,
+
+    // winnow-index match: the SAME fingerprint CTE on both sides of the
+    // %10 split (q98/q127's split), joined on the hash
+    "q180_winnow_index" ->
+      s"""WITH ${winnowFpCte("cw", "doc_id % 10 <> 7")},
+         |${winnowFpCte("bw", "doc_id % 10 = 7")}
+         |SELECT b.doc_id AS id, c.doc_id AS corpus_id,
+         |  CAST(count(DISTINCT b.h) AS BIGINT) AS n_shared
+         |FROM bw b JOIN cw c ON b.h = c.h
+         |GROUP BY 1, 2
+         |HAVING count(DISTINCT b.h) >= 2""".stripMargin,
 
     // per-label centroid affinity: quantize to micros BEFORE the sum
     // (exact int), mean = floor(double(sum)/n) — identical IEEE ops

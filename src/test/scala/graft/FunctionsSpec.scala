@@ -773,6 +773,32 @@ class FunctionsSpec extends SparkSpec {
     assert(got(1L).intersect(got(3L)).nonEmpty)
   }
 
+  test("winnowMatchesAgainstIndex finds the excerpt, ignores strangers, " +
+       "and respects minShared") {
+    val corpus = Seq(
+      10L -> ("the quick brown fox jumps over the lazy dog near the " +
+        "river bank today"),
+      11L -> "completely different corpus content with other words entirely"
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      // verbatim excerpt of doc 10 (≥ w+n−1 shared run) + new suffix
+      20L -> ("the quick brown fox jumps over the lazy dog plus some " +
+        "brand new trailing content"),
+      21L -> "nothing in common with anything stored in the index at all"
+    ).toDF("doc_id", "text")
+    val idx = Dedup.winnowIndex(corpus, "doc_id", "text")
+    val got = Dedup.winnowMatchesAgainstIndex(idx, batch, "doc_id", "text",
+        minShared = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.contains((20L, 10L)), got.toString)
+    assert(!got.keys.exists { case (b, c) => c == 11L || b == 21L })
+    // a minShared above the overlap suppresses the match
+    val strict = Dedup.winnowMatchesAgainstIndex(idx, batch, "doc_id",
+        "text", minShared = got((20L, 10L)) + 1)
+      .collect()
+    assert(strict.isEmpty)
+  }
+
   test("lshLoadProfile totals the exact within-bucket pair work") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val docs = Seq(1L -> base, 2L -> base, 3L -> base,
