@@ -920,6 +920,20 @@ class ConformanceSpec extends SparkSpec {
     assert(exchanges <= 2, s"agg re-shuffled the joined rows:\n$plan")
   }
 
+  // JoinFieldedPipesPlatformTest.testJoinsIntoCoGroupLhs: a HashJoin's
+  // output feeds the LEFT side of a CoGroup — the broadcast join result
+  // must flow into the shuffle join with its full (joined) schema.
+  test("hashJoin output feeds a CoGroup's left side intact") {
+    val a = Seq((1, "a1"), (2, "a2")).toDF("k", "av")
+    val dim = Seq((1, "D1"), (2, "D2")).toDF("kd", "dv")
+    val b = Seq((1, "b1"), (2, "b2"), (3, "b3")).toDF("kb", "bv")
+    val p = pipe(a).hashJoin(Seq("k"), pipe(dim), Seq("kd"))
+      .coGroup(Seq("k"), pipe(b), Seq("kb"))
+    assert(rows(p) == Set(
+      Seq(1, "a1", 1, "D1", 1, "b1"),
+      Seq(2, "a2", 2, "D2", 2, "b2")))
+  }
+
   // CoGroupFieldedPipesPlatformTest.testCoGroupSplitPipe: ONE upstream
   // pipe splits into BOTH sides of a CoGroup (self-join through a
   // split) — the split must feed both branches the same rows and the

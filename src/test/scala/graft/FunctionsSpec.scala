@@ -773,6 +773,30 @@ class FunctionsSpec extends SparkSpec {
     assert(got(1L).intersect(got(3L)).nonEmpty)
   }
 
+  test("winnowing guarantee holds across 20 seeded random shared-run " +
+       "pairs at varying offsets") {
+    val rnd = new scala.util.Random(42)
+    def word() = "w" + rnd.nextInt(5000)
+    val cases = (0 until 20).map { i =>
+      val run = Seq.fill(7)(word()) // exactly w + n − 1 shared tokens
+      def host(id: Long) = {
+        val pre = Seq.fill(1 + rnd.nextInt(8))(word())
+        val post = Seq.fill(1 + rnd.nextInt(8))(word())
+        (id, (pre ++ run ++ post).mkString(" "))
+      }
+      (host(1000L + 2 * i), host(1001L + 2 * i))
+    }
+    val docs = cases.flatMap { case (a, b) => Seq(a, b) }
+      .toDF("doc_id", "text")
+    val fps = Dedup.winnow(docs, "doc_id", "text", n = 4, w = 4)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    cases.foreach { case ((ida, _), (idb, _)) =>
+      assert(fps(ida).intersect(fps(idb)).nonEmpty,
+        s"pair ($ida, $idb) shares a 7-token run but no fingerprint")
+    }
+  }
+
   test("winnowMatchesAgainstIndex finds the excerpt, ignores strangers, " +
        "and respects minShared") {
     val corpus = Seq(
