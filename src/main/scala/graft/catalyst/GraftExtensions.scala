@@ -79,6 +79,15 @@ object GraftExtensions {
         "_FUNC_(tokens) - positional rolling-hash fingerprint mod 1e9+7"),
       (exprs: Seq[Expression]) => RollingFingerprint(exprs.head))
 
+  val winnowFpDesc: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) =
+    (FunctionIdentifier("winnow_fp"),
+      info(classOf[WinnowFingerprints], "winnow_fp",
+        "_FUNC_(tokens, n, w) - packed winnowing fingerprints (h<<20|pos)"),
+      (exprs: Seq[Expression]) =>
+        WinnowFingerprints(exprs.head, intLit(exprs(1), "winnow_fp n"),
+          intLit(exprs(2), "winnow_fp w")))
+
   val shinglesDesc: (FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression) =
     (FunctionIdentifier("shingles"),
@@ -125,8 +134,8 @@ object GraftExtensions {
 
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(md5Prefix40Desc, md5Prefix60Desc, minhashSigDesc, minhashAggDesc, simhash32Desc,
-      rollingFingerprintDesc, shinglesDesc, cosineSimDesc, exactSumMicrosDesc,
-      topTokenMassDesc, topkAggDesc, misraGriesDesc)
+      rollingFingerprintDesc, shinglesDesc, winnowFpDesc, cosineSimDesc,
+      exactSumMicrosDesc, topTokenMassDesc, topkAggDesc, misraGriesDesc)
 
   /** Register on an already-built session (tests, REPL). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -437,18 +437,28 @@ object Dedup {
     * fingerprint density is ~2/(w+1) — a tunable, position-robust
     * alternative to fixed-stride shingle sampling.
     *
-    * Pure scan-local column program (zero shuffles): gram hashes are
-    * computed once into an array attribute, the per-window fold is
-    * O(G·w) element lookups per row. The fold state is the PACKED long
-    * `(h << 20) | pos` (40-bit hash + 20-bit position — docs are
-    * capped well under 2^20 grams) so distinct/explode work on flat
-    * int64s in any engine; the `<=` on the unpacked hash keeps ties'
-    * LATER position — exactly the rightmost-minimum rule. Returns one
-    * row per fingerprint: (id, pos, h), pos the 1-based gram start. */
+    * Pure scan-local column program (zero shuffles). The default path
+    * is the native [[graft.catalyst.WinnowFingerprints]] kernel — one
+    * O(G) monotone-deque pass per row, inside codegen. `useKernel =
+    * false` runs the composed HOF fold (O(G·w) element lookups, the
+    * DuckDB-oracle-mirroring reference form; FunctionsSpec pins the two
+    * paths identical). Both pack the state as `(h << 20) | pos`
+    * (40-bit hash + 20-bit position) and keep ties' LATER position —
+    * the rightmost-minimum rule. Returns one row per fingerprint:
+    * (id, pos, h), pos the 1-based gram start. */
   def winnow(docs: DataFrame, idCol: String = "doc_id",
-             textCol: String = "text", n: Int = 4, w: Int = 4): DataFrame = {
+             textCol: String = "text", n: Int = 4, w: Int = 4,
+             useKernel: Boolean = true): DataFrame = {
     require(n >= 2, s"winnow: n must be ≥ 2, got $n")
     require(w >= 2, s"winnow: w must be ≥ 2, got $w")
+    if (useKernel) {
+      return docs.select(col(idCol),
+          explode(graft.catalyst.WinnowFingerprints(
+            split(col(textCol), " "), n, w)).as("fp"))
+        .select(col(idCol),
+          col("fp").bitwiseAND(lit(1048575L)).cast("int").as("pos"),
+          shiftright(col("fp"), 20).as("h"))
+    }
     val withH = docs
       .select(col(idCol), split(col(textCol), " ").as("__t"))
       .filter(size(col("__t")) - (n - 1) >= w)

@@ -773,6 +773,22 @@ class FunctionsSpec extends SparkSpec {
     assert(got(1L).intersect(got(3L)).nonEmpty)
   }
 
+  test("winnow kernel (monotone deque) is row-identical to the HOF fold " +
+       "on the corpus and on tie-heavy fixtures") {
+    val corpus = spark.read.parquet(sf() + "/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val tieDocs = Seq(
+      900L -> "x x x x x x x x x x",          // all grams hash equal
+      901L -> "a b a b a b a b a b a b",      // period-2 ties
+      902L -> "q r s t"                        // exactly one window (G=w? G=1<4 → empty)
+    ).toDF("doc_id", "text")
+    val docs = corpus.unionAll(tieDocs)
+    def run(kernel: Boolean) =
+      Dedup.winnow(docs, "doc_id", "text", n = 4, w = 4, useKernel = kernel)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(run(kernel = true) == run(kernel = false))
+  }
+
   test("winnowing guarantee holds across 20 seeded random shared-run " +
        "pairs at varying offsets") {
     val rnd = new scala.util.Random(42)
