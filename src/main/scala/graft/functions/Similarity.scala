@@ -408,6 +408,92 @@ object Similarity {
       .select(col("query_id"), col("nn_id"), col("sim"), col("rk"))
   }
 
+  /** Adaptive sign-bucket assignment — the escalation path for
+    * [[semanticDedup]]'s dense-region problem: every vector starts in
+    * its `basePlanes`-bit bucket; vectors whose bucket exceeds
+    * `maxBucket` re-bucket with `extraPlanes` more hyperplanes, up to
+    * `maxRounds` times. Plane bits are prefix-consistent
+    * (bucket_m = bucket_{m+d} & (2^m − 1)), so an escalated bucket is a
+    * strict refinement of its parent. Deterministic end to end — the
+    * level decision is a pure function of bucket populations, so any
+    * engine recomputes the identical assignment. Returns
+    * (id, vec, lvl, bucket) with bucket = "lvl:bits" (levels use
+    * different plane counts, so raw bits from different levels must not
+    * collide).
+    *
+    * Scale: each round is one O(buckets) count aggregate (broadcast
+    * back) + a scan-local re-bucket of ONLY the oversized population;
+    * nothing pairwise. Exact duplicates cannot be split by any plane
+    * count — the final [[semanticDedupAdaptive]] guard still fails
+    * directed if a bucket stays oversized after `maxRounds`. */
+  def adaptiveBuckets(df: DataFrame, idCol: String, vecCol: String,
+                      basePlanes: Int, extraPlanes: Int,
+                      maxBucket: Long, maxRounds: Int = 2): DataFrame = {
+    require(basePlanes >= 1 && extraPlanes >= 1 && maxRounds >= 1,
+      s"adaptiveBuckets: planes/rounds must be ≥ 1 " +
+        s"(got base=$basePlanes extra=$extraPlanes rounds=$maxRounds)")
+    var cur = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      lit(0).as("lvl"), hyperplaneBucket(col(vecCol), basePlanes).as("b"))
+    for (r <- 1 to maxRounds) {
+      val planes = basePlanes + r * extraPlanes
+      val counts = cur.filter(col("lvl") === (r - 1))
+        .groupBy(col("b").as("__cb")).agg(count(lit(1)).as("__n"))
+      cur = cur.join(broadcast(counts),
+          col("lvl") === (r - 1) && col("b") === col("__cb"), "left")
+        .select(col("id"), col("vec"),
+          when(col("__n") > maxBucket, lit(r)).otherwise(col("lvl"))
+            .as("lvl"),
+          when(col("__n") > maxBucket,
+            hyperplaneBucket(col("vec"), planes)).otherwise(col("b"))
+            .as("b"))
+    }
+    cur.select(col("id"), col("vec"), col("lvl"),
+      concat(col("lvl").cast("string"), lit(":"),
+        col("b").cast("string")).as("bucket"))
+  }
+
+  /** [[semanticDedup]] with adaptive plane escalation: dense sign-bucket
+    * regions refine themselves ([[adaptiveBuckets]]) instead of failing
+    * the fixed-plane maxBucket guard outright. The guard still stands at
+    * the FINAL level — a bucket that `maxRounds` escalations cannot
+    * split (e.g. > maxBucket exact duplicates) fails directed rather
+    * than running quadratic. Output adds `lvl` (0 = never escalated) to
+    * the per-vector verdict so the escalation distribution is part of
+    * the gated result. */
+  def semanticDedupAdaptive(df: DataFrame, idCol: String, vecCol: String,
+                            simThreshold: Double, basePlanes: Int = 6,
+                            extraPlanes: Int = 4,
+                            maxBucket: Long = DefaultMaxBucket,
+                            maxRounds: Int = 2): DataFrame = {
+    val b = adaptiveBuckets(df, idCol, vecCol, basePlanes, extraPlanes,
+      maxBucket, maxRounds).cache()
+    val counts = b.groupBy(col("bucket")).agg(count(lit(1)).as("__bn"))
+    val guard = when(col("__bn") <= maxBucket, col("bucket")).otherwise(
+      raise_error(concat(
+        lit("semanticDedupAdaptive: bucket "), col("bucket"),
+        lit(" still holds "), col("__bn"),
+        lit(s" vectors > maxBucket=$maxBucket after $maxRounds" +
+          " escalations — likely > maxBucket exact duplicates; dedup" +
+          " exact copies first, or raise maxRounds/extraPlanes/maxBucket"))))
+    val l = b.join(broadcast(counts), Seq("bucket"))
+      .select(guard.as("bucket"), col("id").as("id1"), col("vec").as("v1"))
+    val r = b.select(col("bucket"), col("id").as("id2"), col("vec").as("v2"))
+    val pairs = l.join(r, Seq("bucket"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        cosine(col("v1"), col("v2")).as("sim"))
+      .filter(col("sim") >= simThreshold)
+    val drops = pairs.groupBy(col("id2").as("id"))
+      .agg(min(col("id1")).as("dup_of"),
+        count(lit(1)).as("n_smaller_dups"),
+        max(col("sim")).as("best_sim"))
+    b.select(col("id"), col("lvl")).join(drops, Seq("id"), "left")
+      .select(col("id"), col("lvl"), col("dup_of").isNull.as("kept"),
+        col("dup_of"),
+        coalesce(col("n_smaller_dups"), lit(0L)).as("n_smaller_dups"),
+        col("best_sim"))
+  }
+
   /** Exact per-group embedding centroids in integer micros — the domain
     * map of a multi-source corpus (each source/label/topic collapses to
     * one vector). Components are quantized to int64 micros BEFORE the

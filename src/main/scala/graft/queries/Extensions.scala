@@ -2590,6 +2590,25 @@ object Extensions {
       } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
     }),
 
+    // --- SemDeDup with adaptive plane escalation: dense sign-bucket
+    // regions refine themselves (6 → 10 → 14 planes at maxBucket=12 so
+    // the escalation path provably fires on this corpus) instead of
+    // failing the fixed-plane guard; lvl is part of the gated output,
+    // so the escalation decision itself is oracle-checked per vector
+    "q181_semantic_dedup_adaptive" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      // this corpus is ~119 tight template clusters with an 83-vector
+      // floor (measured: max bucket 135 at 6 planes, 83 at 10/14/18 —
+      // extra planes add NO discrimination inside a template cluster,
+      // which is what makes them TRUE semantic-dup groups). maxBucket
+      // bounds the tolerated dup-cluster size: 100 makes the 135-member
+      // level-0 bucket escalate (provably fires at sf0.1) and the
+      // 83-member floor pass the final guard
+      graft.functions.Similarity.semanticDedupAdaptive(
+        e, "vec_id", "embedding", simThreshold = 0.95,
+        basePlanes = 6, extraPlanes = 4, maxBucket = 100L, maxRounds = 3)
+    }),
+
     // --- per-label embedding centroids + pairwise affinity (exact
     // integer micros end to end: a float sum over a shuffle is
     // order-dependent; the quantized int sum is not)
@@ -3204,6 +3223,47 @@ object Extensions {
          |FROM bw b JOIN cw c ON b.h = c.h
          |GROUP BY 1, 2
          |HAVING count(DISTINCT b.h) >= 2""".stripMargin,
+
+    // adaptive escalation mirrored level by level (CTEs generated for
+    // the same base/extra/rounds/maxBucket constants as the query):
+    // same dBucket per level, same population thresholds, same min-id
+    // verdict
+    "q181_semantic_dedup_adaptive" -> {
+      val base = 6; val extra = 4; val rounds = 3; val maxB = 100
+      val levelCtes = (1 to rounds).map { r =>
+        val planes = base + r * extra
+        val p = r - 1
+        s"""c$p AS (SELECT b, count(*) AS n FROM l$p
+           |  WHERE lvl = $p GROUP BY 1),
+           |l$r AS (
+           |  SELECT l$p.id, l$p.vec,
+           |    CASE WHEN l$p.lvl = $p AND c$p.n > $maxB THEN $r
+           |         ELSE l$p.lvl END AS lvl,
+           |    CASE WHEN l$p.lvl = $p AND c$p.n > $maxB
+           |         THEN ${dBucket(s"l$p.vec", planes)}
+           |         ELSE l$p.b END AS b
+           |  FROM l$p LEFT JOIN c$p
+           |    ON l$p.lvl = $p AND l$p.b = c$p.b)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+         |l0 AS (SELECT id, vec, 0 AS lvl, ${dBucket("vec", base)} AS b
+         |       FROM v),
+         |$levelCtes,
+         |k AS (
+         |  SELECT id, vec, CAST(lvl AS INTEGER) AS lvl,
+         |    CAST(lvl AS VARCHAR) || ':' || CAST(b AS VARCHAR) AS key
+         |  FROM l$rounds),
+         |p AS (
+         |  SELECT a.id AS id1, z.id AS id2, ${dCos("a.vec", "z.vec")} AS sim
+         |  FROM k a JOIN k z ON a.key = z.key AND a.id < z.id),
+         |drops AS (
+         |  SELECT id2 AS id, min(id1) AS dup_of,
+         |    CAST(count(*) AS BIGINT) AS n_smaller_dups, max(sim) AS best_sim
+         |  FROM p WHERE sim >= 0.95 GROUP BY 1)
+         |SELECT k.id, k.lvl, d.dup_of IS NULL AS kept, d.dup_of,
+         |  coalesce(d.n_smaller_dups, 0) AS n_smaller_dups, d.best_sim
+         |FROM k LEFT JOIN drops d USING (id)""".stripMargin
+    },
 
     // per-label centroid affinity: quantize to micros BEFORE the sum
     // (exact int), mean = floor(double(sum)/n) — identical IEEE ops

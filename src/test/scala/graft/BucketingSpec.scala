@@ -257,4 +257,45 @@ class BucketingSpec extends SparkSpec {
       .filter(col("kept")).count()
     assert(ok >= 2) // min-id survivor of the dense clique + the outlier
   }
+
+  test("semanticDedupAdaptive escalates a splittable dense region but " +
+       "still fails directed on an unsplittable one") {
+    import graft.functions.Similarity
+    // a SPLITTABLE crowd: 30 one-hot vectors on axes k = i%7 (dim 7).
+    // The plane family gives the 7 axes pairwise-distinct 11-plane sign
+    // patterns (verified by direct computation of
+    // ((j·31 + k·17) mod 7) − 3) but only 3 distinct 2-plane prefixes —
+    // so 2 base planes crowd ~13 vectors into a bucket (> maxBucket=6,
+    // escalation MUST fire) while 11 planes split every class to ≤ 5
+    val spread = (0 until 30).map { i =>
+      val v = Array.fill(7)(0.0f)
+      v(i % 7) = 1.0f + i
+      (i.toLong, v)
+    }
+    val adaptive = Similarity.semanticDedupAdaptive(
+      spread.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      simThreshold = 0.999, basePlanes = 2, extraPlanes = 3,
+      maxBucket = 6L, maxRounds = 3)
+      .collect()
+    // every vector got a verdict, and at least one escalated (a 2-plane
+    // split of 30 spread vectors cannot keep every bucket ≤ 6)
+    assert(adaptive.length == 30)
+    assert(adaptive.exists(_.getInt(1) > 0))
+    // an UNSPLITTABLE cluster (scaled copies: signs invariant under any
+    // plane) larger than maxBucket exhausts escalation → directed error
+    val unsplittable = (1 to 12).map(i =>
+      (i.toLong, Array(3.0f * i, 1.0f * i, 2.0f * i, 1.5f * i)))
+    val e = intercept[Exception] {
+      Similarity.semanticDedupAdaptive(
+        unsplittable.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        simThreshold = 0.99, basePlanes = 2, extraPlanes = 3,
+        maxBucket = 6L, maxRounds = 3).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    val msg = messages(e).mkString("\n")
+    assert(msg.contains("after 3 escalations"), s"unexpected error: $msg")
+    assert(msg.contains("maxBucket=6"), s"not directed: $msg")
+  }
 }
