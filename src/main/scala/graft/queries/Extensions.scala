@@ -2609,6 +2609,48 @@ object Extensions {
         basePlanes = 6, extraPlanes = 4, maxBucket = 100L, maxRounds = 3)
     }),
 
+    // --- streaming arrivals against the persisted winnow-fingerprint
+    // index (the q130 discipline on the q180 operator): 3 micro-batches
+    // winnow IN-STREAM (the kernel is scan-local, so the stream stays
+    // stateless append — no watermark, state never grows) and
+    // stream-static join the bucketed index; the ≥ minShared aggregate
+    // runs batch over the sink, the gate surface
+    "q182_stream_winnow" -> ((s, dir) => {
+      val table = stagedTable("graft_q182_winnowidx")
+      graft.queries.Tables.dropStagedTable(s, table)
+      val (in, out, chk) = freshStreamDirs("graft_q182_stream")
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      Dedup.winnowIndexTap(table, 8).write(
+        Dedup.winnowIndex(docs.filter(col("doc_id") % 10 =!= 7),
+          "doc_id", "text"),
+        graft.sources.SinkMode.Replace)
+      val batch = docs.filter(col("doc_id") % 10 === 7)
+      stageSliced(in, Seq(
+        batch.filter(col("doc_id") % 30 === 7),
+        batch.filter(col("doc_id") % 30 === 17),
+        batch.filter(col("doc_id") % 30 === 27)))
+      withStreamPartitions(s, 8) {
+        val index = s.table(table).withColumnRenamed("id", "corpus_id")
+        val stream = graft.streaming.StreamOps.readStream(s, in, batch.schema,
+          Map("maxFilesPerTrigger" -> "1"))
+        val matched = Dedup.winnow(stream, "doc_id", "text")
+          .select(col("doc_id").as("id"), col("h"))
+          .join(index, Seq("h"))
+          .select(col("id"), col("corpus_id"), col("h"))
+        val q = matched.writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+          .format("parquet").option("path", out)
+          .option("checkpointLocation", chk)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.read.parquet(out).groupBy(col("id"), col("corpus_id"))
+        .agg(count_distinct(col("h")).as("n_shared"))
+        .filter(col("n_shared") >= 2L)
+    }),
+
     // --- per-label embedding centroids + pairwise affinity (exact
     // integer micros end to end: a float sum over a shuffle is
     // order-dependent; the quantized int sum is not)
@@ -2658,6 +2700,17 @@ object Extensions {
        |      FROM (SELECT doc_id, string_split(text, ' ') AS t
        |            FROM documents WHERE $pred)
        |      WHERE len(t) - 3 >= 4)))""".stripMargin
+
+  /** Winnow-index match oracle, shared by q180 (batch) and q182 (the
+    * same arrivals as a stream) — the two paths must flag identically. */
+  private lazy val winnowIndexOracle: String =
+    s"""WITH ${winnowFpCte("cw", "doc_id % 10 <> 7")},
+       |${winnowFpCte("bw", "doc_id % 10 = 7")}
+       |SELECT b.doc_id AS id, c.doc_id AS corpus_id,
+       |  CAST(count(DISTINCT b.h) AS BIGINT) AS n_shared
+       |FROM bw b JOIN cw c ON b.h = c.h
+       |GROUP BY 1, 2
+       |HAVING count(DISTINCT b.h) >= 2""".stripMargin
 
   /** DuckDB string literal for a fixture (quotes doubled, embedded
     * newlines spelled `chr(10)` so the literal survives any transport). */
@@ -3215,14 +3268,10 @@ object Extensions {
 
     // winnow-index match: the SAME fingerprint CTE on both sides of the
     // %10 split (q98/q127's split), joined on the hash
-    "q180_winnow_index" ->
-      s"""WITH ${winnowFpCte("cw", "doc_id % 10 <> 7")},
-         |${winnowFpCte("bw", "doc_id % 10 = 7")}
-         |SELECT b.doc_id AS id, c.doc_id AS corpus_id,
-         |  CAST(count(DISTINCT b.h) AS BIGINT) AS n_shared
-         |FROM bw b JOIN cw c ON b.h = c.h
-         |GROUP BY 1, 2
-         |HAVING count(DISTINCT b.h) >= 2""".stripMargin,
+    "q180_winnow_index" -> winnowIndexOracle,
+
+    // the streaming arrival must flag exactly what the batch path flags
+    "q182_stream_winnow" -> winnowIndexOracle,
 
     // adaptive escalation mirrored level by level (CTEs generated for
     // the same base/extra/rounds/maxBucket constants as the query):
