@@ -405,6 +405,38 @@ object Governance {
       .join(broadcast(cdf), Seq(keyCol, scoreCol))
       .select(col(idCol), col(keyCol), col(scoreCol), col("pct_micros"))
   }
+
+  /** Per-source curation funnel — the attrition report every multi-stage
+    * pipeline needs: documents and tokens surviving each CUMULATIVE
+    * stage (raw → quality ≥ minQuality → language identified → exact
+    * dedup with the min-id keeper applied AMONG survivors), one row per
+    * source with docs/tokens at every stage. "Which stage eats which
+    * source" is the first question a data-mix owner asks; this answers
+    * it in one corpus scan + one md5-keyed keeper aggregation (uniform
+    * keys) + one O(sources) aggregate — nothing quadratic, nothing
+    * driver-side. */
+  def curationFunnel(docs: DataFrame, idCol: String = "doc_id",
+                     srcCol: String = "source", textCol: String = "text",
+                     minQuality: Int = 40): DataFrame = {
+    import graft.functions.{TextAnalysis => TA}
+    val d = docs.select(col(idCol).as("id"), col(srcCol).as("src"),
+      TA.tokenCount(col(textCol)).cast("long").as("n_tok"),
+      (TA.qualityScore(col(textCol)) >= minQuality).as("q"),
+      (TA.langId(col(textCol)) =!= "unknown").as("l"),
+      md5(col(textCol)).as("m"))
+    val keepers = d.filter(col("q") && col("l"))
+      .groupBy(col("m")).agg(min(col("id")).as("keeper"))
+    def docsAt(c: Column) = sum(when(c, 1L).otherwise(0L))
+    def toksAt(c: Column) = sum(when(c, col("n_tok")).otherwise(0L))
+    val ql = col("q") && col("l")
+    val dd = ql && col("id") === col("keeper")
+    d.join(keepers, Seq("m"), "left")
+      .groupBy(col("src").as("source"))
+      .agg(count(lit(1)).as("raw_docs"), sum(col("n_tok")).as("raw_toks"),
+        docsAt(col("q")).as("q_docs"), toksAt(col("q")).as("q_toks"),
+        docsAt(ql).as("ql_docs"), toksAt(ql).as("ql_toks"),
+        docsAt(dd).as("dedup_docs"), toksAt(dd).as("dedup_toks"))
+  }
 }
 
 /** Boundary-class greedy prefix for [[Governance.budgetCurate]]: a

@@ -2651,6 +2651,13 @@ object Extensions {
         .filter(col("n_shared") >= 2L)
     }),
 
+    // --- per-source curation funnel: docs + tokens surviving each
+    // cumulative stage (raw → quality → langid → exact dedup among
+    // survivors) — "which stage eats which source", one corpus scan
+    "q183_curation_funnel" -> ((s, dir) =>
+      graft.functions.Governance.curationFunnel(
+        s.read.parquet(s"$dir/documents.parquet"))),
+
     // --- per-label embedding centroids + pairwise affinity (exact
     // integer micros end to end: a float sum over a shuffle is
     // order-dependent; the quantized int sum is not)
@@ -3272,6 +3279,35 @@ object Extensions {
 
     // the streaming arrival must flag exactly what the batch path flags
     "q182_stream_winnow" -> winnowIndexOracle,
+
+    // funnel: the shared dQualityExpr/dLangCase fragments, keeper
+    // computed among q∧l survivors exactly as the operator does
+    "q183_curation_funnel" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |    CAST(len($dToks) AS BIGINT) AS n_tok,
+         |    $dQualityExpr >= 40 AS q,
+         |    $dLangCase <> 'unknown' AS l,
+         |    md5(text) AS m
+         |  FROM documents),
+         |k AS (SELECT m, min(doc_id) AS keeper FROM d
+         |      WHERE q AND l GROUP BY 1)
+         |SELECT source,
+         |  CAST(count(*) AS BIGINT) AS raw_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS raw_toks,
+         |  CAST(sum(CASE WHEN q THEN 1 ELSE 0 END) AS BIGINT) AS q_docs,
+         |  CAST(sum(CASE WHEN q THEN n_tok ELSE 0 END) AS BIGINT)
+         |    AS q_toks,
+         |  CAST(sum(CASE WHEN q AND l THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS ql_docs,
+         |  CAST(sum(CASE WHEN q AND l THEN n_tok ELSE 0 END) AS BIGINT)
+         |    AS ql_toks,
+         |  CAST(sum(CASE WHEN q AND l AND doc_id = k.keeper
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS dedup_docs,
+         |  CAST(sum(CASE WHEN q AND l AND doc_id = k.keeper
+         |    THEN n_tok ELSE 0 END) AS BIGINT) AS dedup_toks
+         |FROM d LEFT JOIN k USING (m)
+         |GROUP BY 1""".stripMargin,
 
     // adaptive escalation mirrored level by level (CTEs generated for
     // the same base/extra/rounds/maxBucket constants as the query):
