@@ -412,9 +412,10 @@ object Governance {
     * dedup with the min-id keeper applied AMONG survivors), one row per
     * source with docs/tokens at every stage. "Which stage eats which
     * source" is the first question a data-mix owner asks; this answers
-    * it in one corpus scan + one md5-keyed keeper aggregation (uniform
-    * keys) + one O(sources) aggregate — nothing quadratic, nothing
-    * driver-side. */
+    * it with two corpus scans (one builds the md5→keeper table over
+    * survivors — uniform keys; one attributes every doc), a keeper join
+    * on the uniform hash, and one O(sources) aggregate — nothing
+    * quadratic, nothing driver-side. */
   def curationFunnel(docs: DataFrame, idCol: String = "doc_id",
                      srcCol: String = "source", textCol: String = "text",
                      minQuality: Int = 40): DataFrame = {
