@@ -694,8 +694,9 @@ object Dedup {
     * is O(duplicated positions) and broadcast-eligible when small. */
   def stripDuplicatedSpans(docs: DataFrame, idCol: String = "doc_id",
                            textCol: String = "text", n: Int = 8,
-                           minDocs: Int = 2): DataFrame = {
-    val covered = duplicatedSpans(docs, idCol, textCol, n, minDocs)
+                           minDocs: Int = 2,
+                           wideHash: Boolean = false): DataFrame = {
+    val covered = duplicatedSpans(docs, idCol, textCol, n, minDocs, wideHash)
       .select(col(idCol), explode(sequence(col("span_start"),
         col("span_start") + col("span_tokens") - 1)).as("tpos"))
       .distinct()

@@ -1102,6 +1102,13 @@ object Extensions {
         s.read.parquet(s"$dir/documents.parquet"),
         "doc_id", "text", n = 8, minDocs = 2, wideHash = true)),
 
+    // --- the strip ACTION at the wide key (q139 ∘ q176): boilerplate
+    // removal keyed 60-bit end to end
+    "q184_strip_spans_wide" -> ((s, dir) =>
+      graft.functions.Dedup.stripDuplicatedSpans(
+        s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", n = 8, minDocs = 2, wideHash = true)),
+
     // --- adjacent-token collocations: pair + unigram counts and an exact
     // integer Dice×1e6 (2e6·c12 div (c1+c2) — no float log, engine-exact),
     // top-100 fully tie-broken by (c12 desc, w1, w2) so the limit is
@@ -2909,14 +2916,15 @@ object Extensions {
   // q138's spans → covered positions → per-token anti-join → ordered
   // reassembly (string_agg ORDER BY position); all docs driven from the
   // token-count side so fully-covered docs keep their (empty) row.
-  // Shared by q139 (the strip itself) and q148 (the curation chain).
-  private val stripSpansOracle: String =
-    """WITH toks AS (
+  // Shared by q139 (the strip itself), q148 (the curation chain), and
+  // q184 (the 60-bit hash form: nibbles = 15).
+  private def stripSpansOracleAt(nibbles: Int): String =
+    s"""WITH toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |ngr AS (
       |  SELECT doc_id, CAST(pos AS INTEGER) AS pos,
       |    CAST(concat('0x', substr(md5(
-      |      array_to_string(t[pos:pos+7], ' ')), 1, 10)) AS BIGINT) AS h
+      |      array_to_string(t[pos:pos+7], ' ')), 1, $nibbles)) AS BIGINT) AS h
       |  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 6)) AS pos) p
       |  WHERE len(t) >= 8),
       |duph AS (SELECT h FROM ngr GROUP BY h
@@ -2947,6 +2955,8 @@ object Extensions {
       |  CAST(coalesce(ka.n_kept, 0) AS BIGINT) AS n_kept,
       |  CAST(nt.n_total - coalesce(ka.n_kept, 0) AS BIGINT) AS n_removed
       |FROM nt LEFT JOIN ka USING (doc_id)""".stripMargin
+
+  private lazy val stripSpansOracle: String = stripSpansOracleAt(10)
 
   /** DuckDB spelling of Similarity.cosine: ordered left-fold dot products. */
   private def dCos(a: String, b: String) =
@@ -4248,6 +4258,9 @@ object Extensions {
     // reassembly (string_agg ORDER BY position); all docs driven from the
     // token-count side so fully-covered docs keep their (empty) row
     "q139_strip_spans" -> stripSpansOracle,
+
+    // the same strip at 15 hex nibbles (60-bit keys)
+    "q184_strip_spans_wide" -> stripSpansOracleAt(15),
 
     // the full curation chain re-spelled independently: strip (the q139
     // CTE) → n_kept>0 → hashing-trick logit over the CLEANED text →
