@@ -920,6 +920,37 @@ class ConformanceSpec extends SparkSpec {
     assert(exchanges <= 2, s"agg re-shuffled the joined rows:\n$plan")
   }
 
+  // JoinFieldedPipesPlatformTest.testJoinNone: Fields.NONE join keys on
+  // a HashJoin = the Cartesian product (upstream routes it through the
+  // same crossWithTiny path as an explicit cross).
+  test("hashJoin with empty key lists is the Cartesian product") {
+    val l = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    val r = Seq(("x", 10), ("y", 20), ("z", 30)).toDF("w", "n")
+    val j = pipe(l).hashJoin(Seq(), pipe(r), Seq())
+    assert(Flow.toDF(j).count() == 6)
+    assert(rows(j).contains(Seq(1, "a", "z", 30)))
+  }
+
+  // Coercion contract corner (the typed-fields side of testCoerce):
+  // coercing a non-castable string to a numeric type follows the
+  // engine's ANSI contract — a DIRECTED runtime error, never a silent
+  // null (the port pins ANSI mode as its Cascading coercion semantics).
+  test("coerce of a non-numeric string fails loudly, valid strings coerce") {
+    val good = pipe(Seq(("1", "a"), ("2", "b")).toDF("num", "ch"))
+      .coerce("num" -> LongType)
+    val got = Flow.toDF(good)
+    assert(got.schema("num").dataType == LongType)
+    assert(rows(good) == Set(Seq(1L, "a"), Seq(2L, "b")))
+    val bad = pipe(Seq(("oops", "a")).toDF("num", "ch"))
+      .coerce("num" -> LongType)
+    val e = intercept[Exception] { Flow.toDF(bad).collect() }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).mkString.toLowerCase.contains("cast"),
+      messages(e).mkString("\n"))
+  }
+
   // JoinFieldedPipesPlatformTest.testJoinsIntoCoGroupLhs: a HashJoin's
   // output feeds the LEFT side of a CoGroup — the broadcast join result
   // must flow into the shuffle join with its full (joined) schema.
