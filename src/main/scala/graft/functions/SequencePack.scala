@@ -44,4 +44,35 @@ object SequencePack {
         floor(col("cum_prev") / budget).cast("bigint").as("bin"),
         (col("cum_prev") % budget).cast("bigint").as("bin_offset"))
   }
+
+  /** The boundary-splitting completion of [[pack]]: a doc that straddles
+    * bin edges becomes one FRAGMENT row per bin it touches — exactly
+    * what the trainer's loader materializes (fragment 0 fills the first
+    * bin from `bin_offset`, middle fragments fill whole bins, the last
+    * takes the remainder). Σ frag_len per doc ≡ n_tok by construction.
+    * Input: [[pack]]'s output; output adds (frag, frag_len) with
+    * (bin, bin_offset) rewritten per fragment. Scan + bounded explode
+    * (≤ n_tok/budget + 1 rows per doc — linear in TOKENS, the same cost
+    * class as tokenizing), no new shuffle: fragments inherit the
+    * packing's (source, sub) bins. */
+  def packFragments(packed: DataFrame, nTokCol: String,
+                    budget: Long): DataFrame = {
+    require(budget > 0, s"packFragments: budget must be positive, got $budget")
+    val rem0 = lit(budget) - col("bin_offset") // capacity left in first bin
+    val nTok = col(nTokCol)
+    val nfrags = when(nTok <= rem0, lit(1L))
+      .otherwise(lit(1L) +
+        floor((nTok - rem0 + (budget - 1)) / budget).cast("long"))
+    packed
+      .withColumn("frag", explode(sequence(lit(0L), nfrags - 1)))
+      .select(packed.columns.filterNot(Set("bin", "bin_offset")).map(col) ++ Seq(
+        col("frag"),
+        (col("bin") + col("frag")).as("bin"),
+        when(col("frag") === 0L, col("bin_offset")).otherwise(lit(0L))
+          .as("bin_offset"),
+        when(col("frag") === 0L, least(nTok, rem0))
+          .otherwise(least(lit(budget),
+            nTok - rem0 - (col("frag") - 1) * budget))
+          .cast("bigint").as("frag_len")): _*)
+  }
 }

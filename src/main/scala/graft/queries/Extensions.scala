@@ -2665,6 +2665,18 @@ object Extensions {
       graft.functions.Governance.curationFunnel(
         s.read.parquet(s"$dir/documents.parquet"))),
 
+    // --- boundary-splitting packing: q128's bins, with straddling docs
+    // exploded into per-bin fragments (what the loader materializes);
+    // Σ frag_len per doc ≡ n_tok by construction
+    "q185_pack_fragments" -> ((s, dir) => {
+      val packed = graft.functions.SequencePack.pack(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("source"), col("doc_id"),
+            TA.tokenCount(col("text")).as("n_tok")),
+        "source", "doc_id", "n_tok", budget = 256L, substreams = 4)
+      graft.functions.SequencePack.packFragments(packed, "n_tok", 256L)
+    }),
+
     // --- per-label embedding centroids + pairwise affinity (exact
     // integer micros end to end: a float sum over a shuffle is
     // order-dependent; the quantized int sum is not)
@@ -3289,6 +3301,39 @@ object Extensions {
 
     // the streaming arrival must flag exactly what the batch path flags
     "q182_stream_winnow" -> winnowIndexOracle,
+
+    // boundary-splitting packing: the q128 CTE + per-bin fragment
+    // explosion with identical integer arithmetic
+    "q185_pack_fragments" ->
+      s"""WITH t AS (
+         |  SELECT source, CAST(doc_id % 4 AS BIGINT) AS sub, doc_id,
+         |  CAST(len($dToks) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |c AS (
+         |  SELECT source, sub, doc_id, n_tok,
+         |  coalesce(sum(n_tok) OVER (PARTITION BY source, sub ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+         |  FROM t),
+         |pk AS (
+         |  SELECT source, sub, doc_id, n_tok,
+         |  CAST(cum_prev // 256 AS BIGINT) AS bin,
+         |  CAST(cum_prev % 256 AS BIGINT) AS bin_offset
+         |  FROM c),
+         |f AS (
+         |  SELECT *, 256 - bin_offset AS rem,
+         |    CASE WHEN n_tok <= 256 - bin_offset THEN 1
+         |         ELSE 1 + CAST(floor((n_tok - (256 - bin_offset) + 255)
+         |           / 256) AS BIGINT) END AS nfrags
+         |  FROM pk)
+         |SELECT source, sub, doc_id, n_tok,
+         |  CAST(fr AS BIGINT) AS frag,
+         |  CAST(bin + fr AS BIGINT) AS bin,
+         |  CAST(CASE WHEN fr = 0 THEN bin_offset ELSE 0 END AS BIGINT)
+         |    AS bin_offset,
+         |  CAST(CASE WHEN fr = 0 THEN least(n_tok, rem)
+         |       ELSE least(256, n_tok - rem - (fr - 1) * 256) END
+         |    AS BIGINT) AS frag_len
+         |FROM f, LATERAL (SELECT unnest(range(0, nfrags)) AS fr) r""".stripMargin,
 
     // funnel: the shared dQualityExpr/dLangCase fragments, keeper
     // computed among q∧l survivors exactly as the operator does

@@ -104,6 +104,36 @@ class FormulaPinSpec extends SparkSpec {
     }
   }
 
+  test("packFragments: hand-computed boundary splits and the " +
+       "Σ frag_len ≡ n_tok invariant") {
+    def words(k: Int) = Seq.fill(k)("w").mkString(" ")
+    // S=1 stream: 100, 200, 300 tokens, budget 256:
+    //   doc 1: cum 0   → 1 frag  (bin 0 off 0   len 100)
+    //   doc 2: cum 100 → 2 frags (bin 0 off 100 len 156; bin 1 off 0 len 44)
+    //   doc 3: cum 300 → 2 frags (bin 1 off 44 len 212; bin 2 len 88)
+    val docs = Seq(
+      (1L, words(100), "s0"), (2L, words(200), "s0"),
+      (3L, words(300), "s0"))
+    val dir = stageDocs(docs)
+    val packed = graft.functions.SequencePack.pack(
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("source"), col("doc_id"),
+          graft.functions.TextAnalysis.tokenCount(col("text")).as("n_tok")),
+      "source", "doc_id", "n_tok", budget = 256L, substreams = 1)
+    val frags = graft.functions.SequencePack
+      .packFragments(packed, "n_tok", 256L)
+      .collect().map(r => (r.getLong(2), r.getLong(4)) ->
+        (r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    assert(frags == Map(
+      (1L, 0L) -> (0L, 0L, 100L),
+      (2L, 0L) -> (0L, 100L, 156L), (2L, 1L) -> (1L, 0L, 44L),
+      (3L, 0L) -> (1L, 44L, 212L), (3L, 1L) -> (2L, 0L, 88L)))
+    // conservation: fragments of a doc sum to its token count
+    val sums = frags.toSeq.groupBy(_._1._1)
+      .view.mapValues(_.map(_._2._3).sum).toMap
+    assert(sums == Map(1L -> 100L, 2L -> 200L, 3L -> 300L))
+  }
+
   test("q132 mixture sampling: brute-force recomputation of rates and keep set") {
     def words(k: Int) = Seq.fill(k)("w").mkString(" ")
     // src0 dominant (rate ends up ~0.2%), src10 fractional (~29%), src19
