@@ -169,9 +169,19 @@ object Dedup {
     * `unpersist()` it after consumption. */
   def minhashClustersTransitiveStats(df: DataFrame, idCol: String, textCol: String,
                                      k: Int = 16, bands: Int = 4,
-                                     maxIters: Int = 30): (DataFrame, Int) = {
+                                     maxIters: Int = 30): (DataFrame, Int) =
+    transitiveClustersOver(
+      bandRows(df, idCol, textCol, k, bands), maxIters)
+
+  /** Min-label propagation to a fixed point over ANY (id, band, key)
+    * bucket-membership table — the connected-components engine behind
+    * [[minhashClustersTransitive]] (band rows) and
+    * [[winnowClustersTransitive]] (fingerprint rows): two docs land in
+    * one cluster iff a chain of shared buckets connects them. */
+  def transitiveClustersOver(rows: DataFrame,
+                             maxIters: Int = 30): (DataFrame, Int) = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val br = bandRows(df, idCol, textCol, k, bands).persist(lvl)
+    val br = rows.persist(lvl)
     var labels = br.select(col("id")).distinct()
       .withColumn("label", col("id")).persist(lvl)
     var iters = 0
@@ -211,6 +221,34 @@ object Dedup {
     }
     br.unpersist()
     (labels.select(col("id"), col("label").as("cluster_id")), iters)
+  }
+
+  /** Transitive RUN-level dedup families: connected components over the
+    * doc–winnow-fingerprint bipartite graph, restricted to fingerprints
+    * shared by ≥ 2 docs (singleton hashes cannot connect anything and
+    * would only inflate the propagation's bucket table). Two docs
+    * cluster together iff a CHAIN of shared ≥(w+n−1)-token runs links
+    * them — the boilerplate-family detector (page A shares a footer
+    * with B, B shares a header with C ⇒ one family), positioned between
+    * exact dedup (q24) and MinHash resemblance clusters (q64). Same
+    * propagation engine and scale shape as q64: per-round uniform-key
+    * aggregates, monotone-sum convergence, bounded label carry. */
+  def winnowClustersTransitive(docs: DataFrame, idCol: String = "doc_id",
+                               textCol: String = "text", n: Int = 4,
+                               w: Int = 4, maxIters: Int = 30): DataFrame = {
+    val fp = winnow(docs, idCol, textCol, n, w)
+      .select(col(idCol).as("id"), col("h"))
+    val shared = fp.groupBy(col("h"))
+      .agg(count_distinct(col("id")).as("__nd"))
+      .filter(col("__nd") >= 2).select(col("h"))
+    val rows = fp.join(shared, Seq("h"))
+      .select(col("id"), lit(0).as("band"),
+        col("h").cast("string").as("key"))
+    val clustered = transitiveClustersOver(rows, maxIters)._1
+    // docs with no shared fingerprint are their own singleton cluster
+    docs.select(col(idCol).as("id")).join(clustered, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("cluster_id"), col("id")).as("cluster_id"))
   }
 
   /** Dedup-and-reweight: collapse every near-dup cluster to its MIN-ID

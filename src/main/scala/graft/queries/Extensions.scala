@@ -2665,6 +2665,15 @@ object Extensions {
       graft.functions.Governance.curationFunnel(
         s.read.parquet(s"$dir/documents.parquet"))),
 
+    // --- transitive winnow families: connected components over shared
+    // winnow fingerprints (a chain of shared ≥7-token runs links docs
+    // into ONE boilerplate family) — q64's propagation engine on the
+    // q179 operator; singleton docs are their own cluster
+    "q186_winnow_clusters" -> ((s, dir) =>
+      graft.functions.Dedup.winnowClustersTransitive(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        maxIters = 8)),
+
     // --- boundary-splitting packing: q128's bins, with straddling docs
     // exploded into per-bin fragments (what the loader materializes);
     // Σ frag_len per doc ≡ n_tok by construction
@@ -3301,6 +3310,31 @@ object Extensions {
 
     // the streaming arrival must flag exactly what the batch path flags
     "q182_stream_winnow" -> winnowIndexOracle,
+
+    // winnow families: the q64 unrolled min-label propagation over
+    // doc–fingerprint bucket rows (8 rounds, matching Spark maxIters);
+    // singleton docs coalesce to themselves
+    "q186_winnow_clusters" -> {
+      val rounds = 8
+      val iterCtes = (1 to rounds).map { i =>
+        s"""bl$i AS (SELECT b.key, min(l.label) AS blabel
+           |  FROM bands b JOIN l${i - 1} l ON b.doc_id = l.id GROUP BY 1),
+           |l$i AS (SELECT b.doc_id AS id, min(x.blabel) AS label
+           |  FROM bands b JOIN bl$i x ON b.key = x.key
+           |  GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${winnowFpCte("fp", "TRUE")},
+         |sh AS (SELECT h FROM fp GROUP BY h
+         |       HAVING count(DISTINCT doc_id) >= 2),
+         |bands AS (
+         |  SELECT DISTINCT fp.doc_id, CAST(fp.h AS VARCHAR) AS key
+         |  FROM fp JOIN sh USING (h)),
+         |l0 AS (SELECT DISTINCT doc_id AS id, doc_id AS label FROM bands),
+         |$iterCtes
+         |SELECT d.doc_id AS id,
+         |  coalesce(l$rounds.label, d.doc_id) AS cluster_id
+         |FROM documents d LEFT JOIN l$rounds ON d.doc_id = l$rounds.id""".stripMargin
+    },
 
     // boundary-splitting packing: the q128 CTE + per-bin fragment
     // explosion with identical integer arithmetic
