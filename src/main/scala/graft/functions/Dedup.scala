@@ -232,14 +232,26 @@ object Dedup {
     * with B, B shares a header with C ⇒ one family), positioned between
     * exact dedup (q24) and MinHash resemblance clusters (q64). Same
     * propagation engine and scale shape as q64: per-round uniform-key
-    * aggregates, monotone-sum convergence, bounded label carry. */
+    * aggregates, monotone-sum convergence, bounded label carry.
+    *
+    * Cost profile: the edge table is fingerprints-per-doc ×
+    * shared-fraction — an order denser than q64's fixed 4 band rows per
+    * doc, and each propagation round shuffles it twice, so this is a
+    * by-design heavy pass (q133's cost class, ~6 s at sf0.1) run at
+    * corpus-refresh cadence, not per batch; `w` trades run-length
+    * guarantee against density (~2/(w+1) fingerprints per gram). */
   def winnowClustersTransitive(docs: DataFrame, idCol: String = "doc_id",
                                textCol: String = "text", n: Int = 4,
                                w: Int = 4, maxIters: Int = 30): DataFrame = {
+    // distinct (id, h): a hash selected at several positions of one doc
+    // is ONE membership edge (dups only inflate every propagation
+    // round's bucket table); cached — two consumers (the shared-hash
+    // aggregate and the edge join)
     val fp = winnow(docs, idCol, textCol, n, w)
-      .select(col(idCol).as("id"), col("h"))
+      .select(col(idCol).as("id"), col("h")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val shared = fp.groupBy(col("h"))
-      .agg(count_distinct(col("id")).as("__nd"))
+      .agg(count(lit(1)).as("__nd"))
       .filter(col("__nd") >= 2).select(col("h"))
     val rows = fp.join(shared, Seq("h"))
       .select(col("id"), lit(0).as("band"),

@@ -2669,10 +2669,13 @@ object Extensions {
     // winnow fingerprints (a chain of shared ≥7-token runs links docs
     // into ONE boilerplate family) — q64's propagation engine on the
     // q179 operator; singleton docs are their own cluster
+    // w=8 (vs q179's 4): family detection wants the ≥(8+4−1)=11-token
+    // shared-run guarantee, and the halved fingerprint density (~2/(w+1))
+    // halves the propagation's edge table
     "q186_winnow_clusters" -> ((s, dir) =>
       graft.functions.Dedup.winnowClustersTransitive(
         s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
-        maxIters = 8)),
+        n = 4, w = 8, maxIters = 8)),
 
     // --- boundary-splitting packing: q128's bins, with straddling docs
     // exploded into per-bin fragments (what the loader materializes);
@@ -2717,15 +2720,16 @@ object Extensions {
   /** The packed winnow-fingerprint CTE (n=4, w=4) over `documents` rows
     * matching `pred`: exposes (doc_id, pos, h). The exact q179 fold
     * spelling, shared by q179 and q180 so they cannot drift. */
-  private def winnowFpCte(name: String, pred: String): String =
+  private def winnowFpCte(name: String, pred: String,
+                          w: Int = 4): String =
     s"""$name AS (
        |  SELECT doc_id, CAST(f & 1048575 AS INTEGER) AS pos,
        |    f >> 20 AS h
        |  FROM (
        |    SELECT doc_id, unnest(list_distinct(
-       |      list_transform(range(1, len(h) - 2), s ->
+       |      list_transform(range(1, len(h) - ${w - 2}), s ->
        |        list_reduce(
-       |          list_transform(range(s, s + 4), j -> (h[j] << 20) + j),
+       |          list_transform(range(s, s + $w), j -> (h[j] << 20) + j),
        |          (acc, x) -> CASE WHEN (x >> 20) <= (acc >> 20)
        |            THEN x ELSE acc END)))) AS f
        |    FROM (
@@ -2734,7 +2738,7 @@ object Extensions {
        |          array_to_string(t[i:i+3], ' ')), 1, 10)) AS BIGINT)) AS h
        |      FROM (SELECT doc_id, string_split(text, ' ') AS t
        |            FROM documents WHERE $pred)
-       |      WHERE len(t) - 3 >= 4)))""".stripMargin
+       |      WHERE len(t) - 3 >= $w)))""".stripMargin
 
   /** Winnow-index match oracle, shared by q180 (batch) and q182 (the
     * same arrivals as a stream) — the two paths must flag identically. */
@@ -3323,7 +3327,7 @@ object Extensions {
            |  FROM bands b JOIN bl$i x ON b.key = x.key
            |  GROUP BY 1)""".stripMargin
       }.mkString(",\n")
-      s"""WITH ${winnowFpCte("fp", "TRUE")},
+      s"""WITH ${winnowFpCte("fp", "TRUE", w = 8)},
          |sh AS (SELECT h FROM fp GROUP BY h
          |       HAVING count(DISTINCT doc_id) >= 2),
          |bands AS (
