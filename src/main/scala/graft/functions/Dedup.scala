@@ -179,7 +179,8 @@ object Dedup {
     * [[winnowClustersTransitive]] (fingerprint rows): two docs land in
     * one cluster iff a chain of shared buckets connects them. */
   def transitiveClustersOver(rows: DataFrame,
-                             maxIters: Int = 30): (DataFrame, Int) = {
+                             maxIters: Int = 30,
+                             requireConvergence: Boolean = true): (DataFrame, Int) = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val br = rows.persist(lvl)
     var labels = br.select(col("id")).distinct()
@@ -220,6 +221,22 @@ object Dedup {
       prevSum = sumNow
     }
     br.unpersist()
+    // Directed failure on non-convergence: a component deeper than
+    // maxIters hops (boilerplate families at corpus scale) would
+    // otherwise ship WRONG cluster labels with no error — the one
+    // silent-corruption path in the propagation engine. The monotone-sum
+    // counter already proves the fixed point, so the guard is free.
+    // requireConvergence=false opts a caller into inspecting the
+    // (labels, iters) pair itself (iters < maxIters iff converged).
+    if (requireConvergence && !converged) {
+      releaseLabels(labels)
+      throw new IllegalStateException(
+        s"transitiveClustersOver: label propagation did NOT reach its " +
+          s"fixed point within maxIters=$maxIters rounds (labels were " +
+          s"still changing at the last round). The component graph has a " +
+          s"chain deeper than $maxIters hops; raise maxIters, or pass " +
+          s"requireConvergence=false to receive the partial labels.")
+    }
     (labels.select(col("id"), col("label").as("cluster_id")), iters)
   }
 
@@ -257,6 +274,10 @@ object Dedup {
       .select(col("id"), lit(0).as("band"),
         col("h").cast("string").as("key"))
     val clustered = transitiveClustersOver(rows, maxIters)._1
+    // propagation has materialized its own label cache by now (every
+    // round's monotone-sum action) — release fp here rather than leaking
+    // a cached relation per invocation for the session lifetime
+    fp.unpersist()
     // docs with no shared fingerprint are their own singleton cluster
     docs.select(col(idCol).as("id")).join(clustered, Seq("id"), "left")
       .select(col("id"),
@@ -513,9 +534,20 @@ object Dedup {
       .select(col(idCol), split(col(textCol), " ").as("__t"))
       .filter(size(col("__t")) - (n - 1) >= w)
       .select(col(idCol),
-        transform(sequence(lit(1), size(col("__t")) - (n - 1)),
-          i => graft.catalyst.Md5Prefix40(
-            concat_ws(" ", slice(col("__t"), i, lit(n))))).as("__h"))
+        // same G < 2^20 domain guard as the kernel path's require: the
+        // packed (h << 20) | pos state silently corrupts hash bits when a
+        // position overflows 20 bits, manufacturing false dedup matches —
+        // both paths must fail loudly and stay value-identical
+        when(size(col("__t")) - (n - 1) >= lit(1 << 20),
+          raise_error(concat(
+            lit("winnow: document has "),
+            (size(col("__t")) - (n - 1)).cast("string"),
+            lit(s" grams >= 2^20; the packed (h<<20)|pos state cannot " +
+              s"address positions that wide — chunk the document first"))))
+          .otherwise(
+            transform(sequence(lit(1), size(col("__t")) - (n - 1)),
+              i => graft.catalyst.Md5Prefix40(
+                concat_ws(" ", slice(col("__t"), i, lit(n)))))).as("__h"))
     def packed(j: org.apache.spark.sql.Column) =
       shiftleft(element_at(col("__h"), j), 20) + j
     // per window start s: fold positions s+1..s+w-1 against (h[s], s).

@@ -348,6 +348,14 @@ object Governance {
                  epochSalt: String, nShards: Int,
                  carry: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
     require(nShards > 0, s"epochOrder: nShards must be positive, got $nShards")
+    // carry columns ride the internal plan unaliased, so a name collision
+    // with the reserved internals (or the id itself) would silently feed
+    // the shard/rank math the wrong column — fail loudly at construction
+    val reserved = Set("__h", "shard", "rk", "base", idCol)
+    val clash = carry.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"epochOrder: carry column(s) ${clash.mkString(", ")} collide with " +
+        s"reserved internal names (__h, shard, rk, base) or idCol=$idCol")
     val h = graft.catalyst.Md5Prefix40(
       concat(lit(epochSalt), col(idCol).cast("string")))
     // `carry` columns ride the permutation's one exchange instead of

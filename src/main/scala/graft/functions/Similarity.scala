@@ -432,8 +432,16 @@ object Similarity {
     require(basePlanes >= 1 && extraPlanes >= 1 && maxRounds >= 1,
       s"adaptiveBuckets: planes/rounds must be ≥ 1 " +
         s"(got base=$basePlanes extra=$extraPlanes rounds=$maxRounds)")
+    val lvlStore = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     var cur = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       lit(0).as("lvl"), hyperplaneBucket(col(vecCol), basePlanes).as("b"))
+    // each round reads cur twice (the counts branch + the main branch);
+    // without a per-round persist the uncached lineage re-evaluates every
+    // prior round's hyperplane projections AND the corpus scan, so cost
+    // multiplies with maxRounds. Persist the round result, drop the
+    // previous round's cache once the new one is materialized (the counts
+    // aggregate of round r+1 — or the caller's first action — does that).
+    var prev: DataFrame = null
     for (r <- 1 to maxRounds) {
       val planes = basePlanes + r * extraPlanes
       val counts = cur.filter(col("lvl") === (r - 1))
@@ -446,10 +454,19 @@ object Similarity {
           when(col("__n") > maxBucket,
             hyperplaneBucket(col("vec"), planes)).otherwise(col("b"))
             .as("b"))
+        .persist(lvlStore)
+      cur.count() // materialize before releasing the previous round
+      if (prev != null) prev.unpersist()
+      prev = cur
     }
-    cur.select(col("id"), col("vec"), col("lvl"),
+    // eager localCheckpoint: the result keeps its blocks on the raw RDD
+    // (freed on GC, no session-lifetime CacheManager entry), letting the
+    // last round's persist be released here instead of leaking
+    val out = cur.select(col("id"), col("vec"), col("lvl"),
       concat(col("lvl").cast("string"), lit(":"),
-        col("b").cast("string")).as("bucket"))
+        col("b").cast("string")).as("bucket")).localCheckpoint(true)
+    if (prev != null) prev.unpersist()
+    out
   }
 
   /** [[semanticDedup]] with adaptive plane escalation: dense sign-bucket

@@ -2717,11 +2717,16 @@ object Extensions {
   private val AttrRepeatDoc = "the cat and the dog runs the cat and " +
     "the dog jumps the cat and the dog sleeps"
 
-  /** The packed winnow-fingerprint CTE (n=4, w=4) over `documents` rows
-    * matching `pred`: exposes (doc_id, pos, h). The exact q179 fold
-    * spelling, shared by q179 and q180 so they cannot drift. */
+  /** The packed winnow-fingerprint CTE over `documents` rows matching
+    * `pred`: exposes (doc_id, pos, h). The exact q179 fold spelling,
+    * shared by q179 and q180 so they cannot drift. Both the gram size
+    * `n` and window `w` are parameters — the slice bound (i..i+n-1,
+    * DuckDB slices are inclusive), the gram count G = len(t)-(n-1)
+    * (spelled as the exclusive range end len(t)-(n-2)) and the G >= w
+    * row filter are all derived from them, so an oracle reuse at a
+    * different n cannot silently disagree with the Scala side. */
   private def winnowFpCte(name: String, pred: String,
-                          w: Int = 4): String =
+                          w: Int = 4, n: Int = 4): String =
     s"""$name AS (
        |  SELECT doc_id, CAST(f & 1048575 AS INTEGER) AS pos,
        |    f >> 20 AS h
@@ -2733,12 +2738,12 @@ object Extensions {
        |          (acc, x) -> CASE WHEN (x >> 20) <= (acc >> 20)
        |            THEN x ELSE acc END)))) AS f
        |    FROM (
-       |      SELECT doc_id, list_transform(range(1, len(t) - 2), i ->
+       |      SELECT doc_id, list_transform(range(1, len(t) - ${n - 2}), i ->
        |        CAST(concat('0x', substr(md5(
-       |          array_to_string(t[i:i+3], ' ')), 1, 10)) AS BIGINT)) AS h
+       |          array_to_string(t[i:i+${n - 1}], ' ')), 1, 10)) AS BIGINT)) AS h
        |      FROM (SELECT doc_id, string_split(text, ' ') AS t
        |            FROM documents WHERE $pred)
-       |      WHERE len(t) - 3 >= $w)))""".stripMargin
+       |      WHERE len(t) - ${n - 1} >= $w)))""".stripMargin
 
   /** Winnow-index match oracle, shared by q180 (batch) and q182 (the
     * same arrivals as a stream) — the two paths must flag identically. */

@@ -223,6 +223,45 @@ class FunctionsSpec extends SparkSpec {
     assert(single(3L) == 2L, "single-hop should stop at B for C")
   }
 
+  test("transitiveClustersOver fails DIRECTED when the component diameter " +
+    "exceeds maxIters, and requireConvergence=false returns partial labels") {
+    // a 12-node path graph: bucket i links node i and i+1, so the min
+    // label 0 needs ~diameter rounds to reach node 11 — maxIters=2 is
+    // provably too few, and silent partial labels would be WRONG clusters
+    val rows = (0L until 11L).flatMap(i =>
+      Seq((i, 0, i.toString), (i + 1, 0, i.toString)))
+      .toDF("id", "band", "key")
+    val ex = intercept[IllegalStateException] {
+      Dedup.transitiveClustersOver(rows, maxIters = 2)
+    }
+    assert(ex.getMessage.contains("did NOT reach its fixed point"))
+    assert(ex.getMessage.contains("maxIters=2"))
+    // the escape hatch hands back the (labels, iters) pair un-thrown:
+    // iters == maxIters marks non-convergence, labels are the partial state
+    val (partial, iters) =
+      Dedup.transitiveClustersOver(rows, maxIters = 2, requireConvergence = false)
+    assert(iters == 2)
+    val lbl = partial.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lbl(0L) == 0L && lbl(11L) > 0L, s"chain tail converged early: $lbl")
+    // with headroom the same graph converges to one component rooted at 0
+    val (full, it2) = Dedup.transitiveClustersOver(rows, maxIters = 30)
+    assert(it2 < 30)
+    assert(full.collect().forall(_.getLong(1) == 0L))
+  }
+
+  test("winnow HOF fold path fails loudly past the 2^20-gram packed-state " +
+    "domain (same guard as the kernel path)") {
+    val wide = Array.fill(1048580)("a").mkString(" ")
+    val docs = Seq((1L, wide)).toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      Dedup.winnow(docs, "doc_id", "text", n = 4, w = 4, useKernel = false)
+        .count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("2^20")), msgs(ex).mkString(" | "))
+  }
+
   test("simhash: hamming distance small for similar docs, large for different") {
     val df = Seq(
       ("a", "spark query engine with columnar execution and codegen"),

@@ -294,6 +294,26 @@ class GovernanceSpec extends SparkSpec {
     assert(got(5L) == ((11, false)))
   }
 
+  test("epochOrder rejects carry columns that collide with its internals " +
+    "or the id column") {
+    import graft.functions.Governance
+    val docs = (0L until 10L).toDF("doc_id")
+      .withColumn("shard", lit(99)).withColumn("n_tok", lit(1))
+    val ex = intercept[IllegalArgumentException] {
+      Governance.epochOrder(docs, "doc_id", "s#", 4, carry = Seq("shard"))
+    }
+    assert(ex.getMessage.contains("reserved internal names"))
+    val ex2 = intercept[IllegalArgumentException] {
+      Governance.epochOrder(docs, "doc_id", "s#", 4, carry = Seq("doc_id"))
+    }
+    assert(ex2.getMessage.contains("doc_id"))
+    // a non-colliding carry still rides through
+    val ok = Governance.epochOrder(docs, "doc_id", "s#", 4,
+      carry = Seq("n_tok"))
+    assert(ok.columns.toSeq == Seq("doc_id", "n_tok", "shard", "grank"))
+    assert(ok.count() == 10L)
+  }
+
   test("epochOrder: grank is a 1..N permutation, salt-sensitive, rerun-stable") {
     import graft.functions.Governance
     val docs = (0L until 200L).toDF("doc_id")
