@@ -145,6 +145,32 @@ object Bench {
     def arr(xs: Seq[Double]) = xs.map(fmt).mkString("[", ",", "]")
     def names(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val contended = flagged.size > math.max(2, finalResults.size / 10)
+    // Mechanical per-query regression gate: BASELINE_QUERIES.json is the
+    // committed record of per-query clean minima (tools/update_baseline.py
+    // maintains it as a monotone min). A single query regressing 3× inside
+    // a flat total was previously only catchable by prose-diffing
+    // BASELINE.md; here every measured min is compared to its record and
+    // the offenders are surfaced in both JSON channels. Queries under
+    // 0.15 s are exempt (pure noise band), as is a contended run's noise —
+    // the record compare uses the min-of-passes, the same number the
+    // record itself holds.
+    val records: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("BASELINE_QUERIES.json")),
+          java.nio.charset.StandardCharsets.UTF_8)
+        "\"(q[^\"]+)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+    val REGRESSION_RATIO = 3.0
+    val regressions = measured.flatMap { case (k, v) =>
+      records.get(k).collect {
+        case rec if rec > 0 && v.min > 0.15 &&
+          v.min / rec > REGRESSION_RATIO => k -> (v.min / rec)
+      }
+    }.toMap
+    val regJson = regressions.map { case (k, r) =>
+      "\"" + k + "\":" + f"$r%.2f" }.mkString("{", ",", "}")
     val errored = errorCounts.nonEmpty
     val errJson = errorCounts.map { case (k, n) => "\"" + k + "\":" + n }
       .mkString("{", ",", "}")
@@ -161,6 +187,9 @@ object Bench {
       s""","spread_flagged":${names(flagged)}""" +
       s""","errored":$errored,"errors":$errJson,"error_msgs":$errMsgJson""" +
       s""","failed_queries":${names(failedQs)}""" +
+      s""","regressed":${names(regressions.keys.toSeq)}""" +
+      s""","regression_ratios":$regJson""" +
+      s""","baseline_queries":${records.size}""" +
       s""","contended":$contended}"""
     // The driver captures only a BOUNDED TAIL (~2000 chars) of the sbt log:
     // the full JSON (~10 KB at 120+ queries) can never survive there — it
@@ -196,11 +225,13 @@ object Bench {
     // fields + the contention/error verdicts
     val errCompact = if (errored)
       s""","errored":true,"failed_queries":${names(failedQs)}""" else ""
+    val regCompact = if (regressions.nonEmpty)
+      s""","regressed":${names(regressions.keys.toSeq)}""" else ""
     def compactLine(withQs: Boolean) =
       s"""{"metric":"total","value":${fmt3(total)},"unit":"sec"""" +
         s""","batch_total":${fmt3(batchTotal)},"stream_total":${fmt3(streamTotal)}""" +
         (if (withQs) s""","queries":$compactQs""" else s""","n_queries":${measured.size}""") +
-        s""","sf":"$sfDir"$errCompact,"contended":$contended}"""
+        s""","sf":"$sfDir"$errCompact$regCompact,"contended":$contended}"""
     // the driver JSON-parses the tail's last line: past ~120 queries the
     // per-query map alone exceeds the ~2000-char tail window, so the line
     // would arrive mid-JSON and parse to null. Above the threshold, drop

@@ -58,7 +58,14 @@ object ScaleRehearsal {
     "q173_minhash_accuracy",
     // 60-bit substring dedup (q138's plan at the wide key), the
     // one-exchange epoch delivery plan, and the O(G·w) winnowing scan
-    "q176_dup_spans_wide", "q177_training_delivery", "q179_winnowing")
+    "q176_dup_spans_wide", "q177_training_delivery", "q179_winnowing",
+    // round-9: the corpus-refresh winnow-family pass (the one heavy batch
+    // query previously missing a rehearsal row — token suffixes keep
+    // families replica-local, so the edge table grows with the corpus
+    // while component diameter does not) and its incremental maintenance
+    // counterpart (subgraph propagation: cost tracks the batch, not the
+    // corpus)
+    "q186_winnow_clusters", "q187_winnow_incremental")
 
   def main(args: Array[String]): Unit = {
     val small = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

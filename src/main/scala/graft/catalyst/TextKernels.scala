@@ -216,3 +216,64 @@ object SimHash32 {
   def apply(c: Column): Column =
     ColumnBridge.column(SimHash32(ColumnBridge.expression(c)))
 }
+
+/** Top-k grams ranked by (count desc, gram asc) — the per-document
+  * character-n-gram profile of a Cavnar–Trenkle language classifier
+  * ("N-Gram-Based Text Categorization", 1994). One hash-map pass + one
+  * sort of the DISTINCT grams (≪ input length); the composed Column form
+  * (array_distinct + per-gram filter counts) is O(|distinct|·L) per row.
+  * Output order is rank order: element i is the (i+1)-th most frequent
+  * gram. Binary UTF8String comparison == DuckDB's default collation on
+  * the [a-z ] alphabet the normalizer emits. */
+case class TopGramsByCount(child: Expression, k: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"top_grams_by_count requires array<string>, got $other")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "top_grams_by_count"
+
+  protected override def nullSafeEval(input: Any): Any =
+    TopGramsByCount.compute(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.catalyst.TopGramsByCount.compute($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): TopGramsByCount =
+    copy(child = newChild)
+}
+
+object TopGramsByCount {
+  def compute(grams: ArrayData, k: Int): ArrayData = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val n = grams.numElements()
+    val counts = new java.util.HashMap[UTF8String, Int](math.min(n * 2, 1 << 16))
+    var i = 0
+    while (i < n) {
+      if (!grams.isNullAt(i)) {
+        val g = grams.getUTF8String(i)
+        val c = counts.get(g)
+        counts.put(g, if (c == 0 && !counts.containsKey(g)) 1 else c + 1)
+      }
+      i += 1
+    }
+    val entries = new java.util.ArrayList[java.util.Map.Entry[UTF8String, Int]](
+      counts.entrySet())
+    java.util.Collections.sort(entries,
+      new java.util.Comparator[java.util.Map.Entry[UTF8String, Int]] {
+        def compare(a: java.util.Map.Entry[UTF8String, Int],
+                    b: java.util.Map.Entry[UTF8String, Int]): Int = {
+          val byCount = Integer.compare(b.getValue, a.getValue)
+          if (byCount != 0) byCount else a.getKey.compareTo(b.getKey)
+        }
+      })
+    val m = math.min(k, entries.size)
+    val out = new Array[Any](m)
+    var j = 0
+    while (j < m) { out(j) = entries.get(j).getKey; j += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+  def apply(c: Column, k: Int): Column =
+    ColumnBridge.column(TopGramsByCount(ColumnBridge.expression(c), k))
+}

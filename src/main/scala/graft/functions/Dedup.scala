@@ -180,11 +180,21 @@ object Dedup {
     * one cluster iff a chain of shared buckets connects them. */
   def transitiveClustersOver(rows: DataFrame,
                              maxIters: Int = 30,
-                             requireConvergence: Boolean = true): (DataFrame, Int) = {
+                             requireConvergence: Boolean = true,
+                             seeds: Option[DataFrame] = None): (DataFrame, Int) = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val br = rows.persist(lvl)
-    var labels = br.select(col("id")).distinct()
-      .withColumn("label", col("id")).persist(lvl)
+    // labels⁰: each node's own id, unless `seeds` (id, label) carries a
+    // prior assignment — the incremental-maintenance entry point, where
+    // corpus nodes start at their persisted family label and only the
+    // arriving docs start fresh. Min propagation is monotone from ANY
+    // initial labeling, so the sum-based convergence check is unchanged.
+    var labels = seeds.fold(
+      br.select(col("id")).distinct().withColumn("label", col("id"))) { sd =>
+      br.select(col("id")).distinct()
+        .join(sd.select(col("id"), col("label").as("__seed")), Seq("id"), "left")
+        .select(col("id"), coalesce(col("__seed"), col("id")).as("label"))
+    }.persist(lvl)
     var iters = 0
     var converged = false
     // Convergence WITHOUT a per-round join: min-label propagation is
@@ -282,6 +292,72 @@ object Dedup {
     docs.select(col(idCol).as("id")).join(clustered, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+  }
+
+  /** Incremental winnow-family MAINTENANCE — the q133 append discipline
+    * applied to [[winnowClustersTransitive]], so the corpus-refresh pass
+    * stops being the only way to label arriving docs: each batch doc
+    * adopts a family by propagating over the SUBGRAPH its fingerprints
+    * touch. Corpus membership rows come from the PERSISTED winnow index
+    * restricted to the batch's hashes (the index is bucketed by h —
+    * corpus side plans with no exchange); corpus nodes are SEEDED with
+    * their persisted family labels, batch nodes with their own id, and
+    * min-label propagation runs to its fixed point over this
+    * O(batch × match-density) subgraph — never the corpus.
+    *
+    * Exactly the full refresh's answer for the batch EXCEPT when a batch
+    * doc bridges two existing families whose other members the batch
+    * never touches: the propagation then reports the merged (min) label
+    * for every node it can reach, but corpus members OUTSIDE the
+    * subgraph keep their old label until the next full refresh — the
+    * documented incremental/refresh contract (same as the band-index
+    * arrival path q130/q133). Returns (id, family_id) for batch docs;
+    * docs sharing no fingerprint run are their own singleton family.
+    * n and w must match the index build AND the refresh propagation. */
+  def winnowFamiliesIncremental(corpusIndex: DataFrame,
+                                corpusFamilies: DataFrame,
+                                batch: DataFrame, idCol: String,
+                                textCol: String, n: Int = 4, w: Int = 8,
+                                maxIters: Int = 8,
+                                assertBucketScan: Boolean = false): DataFrame = {
+    val bfp = winnow(batch, idCol, textCol, n, w)
+      .select(col(idCol).as("id"), col("h")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // corpus memberships on touched hashes only: a LEFT SEMI of the index
+    // against the batch hashes — h is the index's bucket column, so the
+    // corpus side plans with no exchange and the (small) batch-hash side
+    // exchanges exactly once (a pre-distinct would cost a second
+    // h-exchange to re-align with the bucket count; semi join needs none)
+    val cmRaw = corpusIndex.join(bfp.select(col("h")), Seq("h"), "leftsemi")
+      .select(col("id").as("corpus_id"), col("h"))
+    if (assertBucketScan) {
+      // the q180 plan discipline, asserted in-query: corpus side must be
+      // the bucket-aware index scan; only the touched-hash side may
+      // exchange on h (callers disable auto-broadcast around this)
+      val plan = cmRaw.queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning\\(h".r
+        .findAllMatchIn(plan).size
+      require(exchanges == 1, s"incremental maintenance must shuffle ONLY " +
+        s"the touched hashes (got $exchanges h-exchanges)")
+      require(plan.contains("SelectedBucketsCount"),
+        "corpus side must be the bucket-aware index scan")
+    }
+    val cm = cmRaw
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rows = bfp.select(col("id"), lit(0).as("band"),
+        col("h").cast("string").as("key"))
+      .unionByName(cm.select(col("corpus_id").as("id"), lit(0).as("band"),
+        col("h").cast("string").as("key")))
+    val seeds = corpusFamilies
+      .join(cm.select(col("corpus_id").as("id")).distinct(), Seq("id"))
+      .select(col("id"), col("family_id").as("label"))
+    val labeled = transitiveClustersOver(rows, maxIters,
+      seeds = Some(seeds))._1
+    val out = batch.select(col(idCol).as("id")).join(labeled, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("cluster_id"), col("id")).as("family_id"))
+    bfp.unpersist(); cm.unpersist()
+    out
   }
 
   /** Dedup-and-reweight: collapse every near-dup cluster to its MIN-ID

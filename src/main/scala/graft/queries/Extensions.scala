@@ -2672,10 +2672,52 @@ object Extensions {
     // w=8 (vs q179's 4): family detection wants the ≥(8+4−1)=11-token
     // shared-run guarantee, and the halved fingerprint density (~2/(w+1))
     // halves the propagation's edge table
+    // maxIters=16: headroom over the measured diameter (the guard fails
+    // directed past it; the loop exits at the fixed point, so unused
+    // headroom costs nothing — and the oracle's extra unrolled rounds
+    // are no-ops once converged)
     "q186_winnow_clusters" -> ((s, dir) =>
       graft.functions.Dedup.winnowClustersTransitive(
         s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
-        n = 4, w = 8, maxIters = 8)),
+        n = 4, w = 8, maxIters = 24)),
+
+    // --- INCREMENTAL winnow-family maintenance (the q133 append
+    // discipline on q186): arriving docs adopt existing family labels by
+    // propagating over ONLY the subgraph their fingerprints touch —
+    // corpus membership comes from the persisted bucketed winnow index
+    // (no corpus-side exchange, plan-asserted), corpus nodes are seeded
+    // with the refresh labels, and the fixed point runs over the
+    // O(batch) subgraph. Full q186 propagation drops to refresh cadence.
+    "q187_winnow_incremental" -> ((s, dir) => {
+      val table = stagedTable("graft_q187_winnowidx")
+      graft.queries.Tables.dropStagedTable(s, table)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+      val batch = docs.filter(col("doc_id") % 10 === 7)
+      Dedup.winnowIndexTap(table, 8).write(
+        Dedup.winnowIndex(corpus, "doc_id", "text", n = 4, w = 8),
+        graft.sources.SinkMode.Replace)
+      // 16 rounds: the corpus SUBSET (batch removed) has longer chains
+      // than the full corpus — dropped docs were path shortcuts
+      val families = Dedup.winnowClustersTransitive(
+          corpus, "doc_id", "text", n = 4, w = 8, maxIters = 24)
+        .withColumnRenamed("cluster_id", "family_id")
+      val threshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        // 24 rounds (vs the old 8): the subgraph EXCLUDES
+        // corpus-corpus edges on untouched hashes, so batch-to-batch
+        // chains that the full pass shortcuts through the corpus need
+        // more hops here; the convergence guard still fails directed
+        // past 24 (measured diameter at sf0.1: 19 rounds for the FULL
+        // corpus — round-8's 8-round state was a silently non-converged
+        // partial labeling that matched an equally-partial oracle)
+        Dedup.winnowFamiliesIncremental(
+          corpusIndex = s.table(table), corpusFamilies = families,
+          batch = batch, idCol = "doc_id", textCol = "text",
+          n = 4, w = 8, maxIters = 24, assertBucketScan = true)
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    }),
 
     // --- boundary-splitting packing: q128's bins, with straddling docs
     // exploded into per-bin fragments (what the loader materializes);
@@ -2727,7 +2769,9 @@ object Extensions {
     * different n cannot silently disagree with the Scala side. */
   private def winnowFpCte(name: String, pred: String,
                           w: Int = 4, n: Int = 4): String =
-    s"""$name AS (
+    // MATERIALIZED: multi-referenced in the propagation oracles; DuckDB
+    // 1.0 inlines CTEs per reference, re-running the fold per mention
+    s"""$name AS MATERIALIZED (
        |  SELECT doc_id, CAST(f & 1048575 AS INTEGER) AS pos,
        |    f >> 20 AS h
        |  FROM (
@@ -3324,25 +3368,80 @@ object Extensions {
     // doc–fingerprint bucket rows (8 rounds, matching Spark maxIters);
     // singleton docs coalesce to themselves
     "q186_winnow_clusters" -> {
-      val rounds = 8
+      val rounds = 24
+      // every CTE is MATERIALIZED: DuckDB inlines per reference, and
+      // `bands` is referenced twice per round — the inlined 24-round
+      // chain re-evaluates the winnow fold superlinearly (>400 s at
+      // sf0.01 vs 0.6 s materialized)
       val iterCtes = (1 to rounds).map { i =>
-        s"""bl$i AS (SELECT b.key, min(l.label) AS blabel
+        s"""bl$i AS MATERIALIZED (SELECT b.key, min(l.label) AS blabel
            |  FROM bands b JOIN l${i - 1} l ON b.doc_id = l.id GROUP BY 1),
-           |l$i AS (SELECT b.doc_id AS id, min(x.blabel) AS label
+           |l$i AS MATERIALIZED (SELECT b.doc_id AS id, min(x.blabel) AS label
            |  FROM bands b JOIN bl$i x ON b.key = x.key
            |  GROUP BY 1)""".stripMargin
       }.mkString(",\n")
       s"""WITH ${winnowFpCte("fp", "TRUE", w = 8)},
-         |sh AS (SELECT h FROM fp GROUP BY h
+         |sh AS MATERIALIZED (SELECT h FROM fp GROUP BY h
          |       HAVING count(DISTINCT doc_id) >= 2),
-         |bands AS (
+         |bands AS MATERIALIZED (
          |  SELECT DISTINCT fp.doc_id, CAST(fp.h AS VARCHAR) AS key
          |  FROM fp JOIN sh USING (h)),
-         |l0 AS (SELECT DISTINCT doc_id AS id, doc_id AS label FROM bands),
+         |l0 AS MATERIALIZED (SELECT DISTINCT doc_id AS id, doc_id AS label FROM bands),
          |$iterCtes
          |SELECT d.doc_id AS id,
          |  coalesce(l$rounds.label, d.doc_id) AS cluster_id
          |FROM documents d LEFT JOIN l$rounds ON d.doc_id = l$rounds.id""".stripMargin
+    },
+
+    // incremental winnow-family maintenance: corpus families from the
+    // SAME unrolled propagation as q186 restricted to the corpus split,
+    // then a second unrolled propagation over ONLY the subgraph the
+    // batch's fingerprints touch, corpus nodes seeded with their family
+    // label, batch nodes with their own id
+    "q187_winnow_incremental" -> {
+      val rounds = 24      // corpus refresh: ≥ q186's convergence depth
+      val iRounds = 24     // incremental subgraph: matches Spark maxIters=24
+      def unroll(prefix: String, bands: String,
+                 nRounds: Int = rounds): String =
+        (1 to nRounds).map { i =>
+          s"""${prefix}bl$i AS MATERIALIZED (SELECT b.key, min(l.label) AS blabel
+             |  FROM $bands b JOIN ${prefix}l${i - 1} l ON b.id = l.id
+             |  GROUP BY 1),
+             |${prefix}l$i AS MATERIALIZED (SELECT b.id, min(x.blabel) AS label
+             |  FROM $bands b JOIN ${prefix}bl$i x ON b.key = x.key
+             |  GROUP BY 1)""".stripMargin
+        }.mkString(",\n")
+      s"""WITH ${winnowFpCte("cfp", "doc_id % 10 <> 7", w = 8)},
+         |${winnowFpCte("bfp0", "doc_id % 10 = 7", w = 8)},
+         |csh AS MATERIALIZED (SELECT h FROM cfp GROUP BY h
+         |        HAVING count(DISTINCT doc_id) >= 2),
+         |cbands AS MATERIALIZED (
+         |  SELECT DISTINCT cfp.doc_id AS id, CAST(cfp.h AS VARCHAR) AS key
+         |  FROM cfp JOIN csh USING (h)),
+         |cl0 AS MATERIALIZED (SELECT DISTINCT id, id AS label FROM cbands),
+         |${unroll("c", "cbands")},
+         |fam AS MATERIALIZED (
+         |  SELECT d.doc_id AS id, coalesce(cl$rounds.label, d.doc_id)
+         |    AS family_id
+         |  FROM documents d LEFT JOIN cl$rounds ON d.doc_id = cl$rounds.id
+         |  WHERE d.doc_id % 10 <> 7),
+         |bfp AS MATERIALIZED (SELECT DISTINCT doc_id, h FROM bfp0),
+         |touched AS MATERIALIZED (SELECT DISTINCT h FROM bfp),
+         |cm AS MATERIALIZED (SELECT DISTINCT cfp.doc_id AS corpus_id, cfp.h
+         |       FROM cfp JOIN touched USING (h)),
+         |ibands AS MATERIALIZED (
+         |  SELECT doc_id AS id, CAST(h AS VARCHAR) AS key FROM bfp
+         |  UNION
+         |  SELECT corpus_id AS id, CAST(h AS VARCHAR) AS key FROM cm),
+         |il0 AS MATERIALIZED (
+         |  SELECT n.id, coalesce(f.family_id, n.id) AS label
+         |  FROM (SELECT DISTINCT id FROM ibands) n
+         |  LEFT JOIN fam f ON n.id = f.id),
+         |${unroll("i", "ibands", iRounds)}
+         |SELECT d.doc_id AS id, coalesce(il$iRounds.label, d.doc_id)
+         |  AS family_id
+         |FROM documents d LEFT JOIN il$iRounds ON d.doc_id = il$iRounds.id
+         |WHERE d.doc_id % 10 = 7""".stripMargin
     },
 
     // boundary-splitting packing: the q128 CTE + per-bin fragment
@@ -4566,7 +4665,7 @@ object Extensions {
          |csig AS (SELECT doc_id,
          |    $minhashSigCols
          |  FROM ctoks),
-         |cbands AS (${bandsFrom("csig")}),
+         |cbands AS MATERIALIZED (${bandsFrom("csig")}),
          |btoks AS (SELECT doc_id, list_distinct($dToks) AS tl FROM batch),
          |bsig AS (SELECT doc_id,
          |    $minhashSigCols
