@@ -65,6 +65,118 @@ object TextAnalysis {
       .otherwise("unknown")
   }
 
+  // --- Cavnar–Trenkle character-n-gram profile language ID ---
+  //
+  // The stopword-argmax heuristic above ([[langId]]) only sees exact
+  // function-word tokens; a CCNet/C4-class pipeline keys its funnel on a
+  // PROFILE classifier: rank the document's most frequent character
+  // trigrams and compare rank order against per-language reference
+  // profiles ("N-Gram-Based Text Categorization", Cavnar & Trenkle 1994).
+  // Everything here is scan-local, codegen'd, exact-integer: profiles are
+  // broadcast literal arrays (the q143 hash-classifier discipline), the
+  // doc profile is one TopGramsByCount kernel pass, and the out-of-place
+  // distance is an integer fold — no driver state, no shuffle, no floats.
+
+  /** Per-language seed text the reference profiles are built from:
+    * the language's most frequent function/common words (public-knowledge
+    * frequency lists). The profile is a pure function of this constant,
+    * computed once at class load in plain Scala and spelled verbatim into
+    * the DuckDB oracle as literal rows — one source of truth. */
+  val LangSeeds: Seq[(String, String)] = Seq(
+    "en" -> ("the of and to in is was he for it with as his on be at by " +
+      "had not are but from or have an they which one you were her all " +
+      "she there would their we him been has when who will no more if " +
+      "out so said what up its about into than them can only other time"),
+    "de" -> ("der die und in den von zu das mit sich des auf ist im dem " +
+      "nicht ein eine als auch es an werden aus er hat dass sie nach " +
+      "wird bei einer um am sind noch wie einem über einen so zum war " +
+      "haben nur oder aber vor zur bis mehr durch man sein wurde sei"),
+    "fr" -> ("de la le et les des en un du une que est pour qui dans a " +
+      "par plus pas au sur ne se ce il sont mais comme ou si leur y ont " +
+      "tout cette ses son dont aux avec ils aussi bien sans peut tous " +
+      "apres jamais etre fait elle deux meme nous autre notre entre"),
+    "es" -> ("de la que el en y a los del se las por un para con no una " +
+      "su al lo como mas pero sus le ya o este si porque esta entre " +
+      "cuando muy sin sobre tambien me hasta hay donde quien desde todo " +
+      "nos durante todos uno les ni contra otros ese eso ante ellos"))
+
+  /** Reference-profile length (out-of-place penalty for absent grams)
+    * and document-profile length. */
+  val LangProfileSize = 64
+  val DocProfileSize = 40
+
+  /** Plain-Scala mirror of the engine-side normalize + trigram + rank
+    * pipeline, used ONLY to derive the reference profiles from
+    * [[LangSeeds]] (and in specs as the oracle of the kernel path). */
+  def charTrigramsOf(s: String): Seq[String] = {
+    val norm = " " + s.toLowerCase.replaceAll("[^a-z]+", " ").trim + " "
+    if (norm.length < 3) Seq.empty
+    else (0 to norm.length - 3).map(i => norm.substring(i, i + 3))
+  }
+
+  def profileOf(seed: String, k: Int = LangProfileSize): Seq[String] =
+    charTrigramsOf(seed).groupBy(identity).toSeq
+      .map { case (g, gs) => (g, gs.size) }
+      .sortBy { case (g, c) => (-c, g) }.take(k).map(_._1)
+
+  /** (language, ranked trigram profile) — rank i = position i (0-based). */
+  lazy val LangProfiles: Seq[(String, Seq[String])] =
+    LangSeeds.map { case (l, seed) => l -> profileOf(seed) }
+
+  /** Lowercased, non-letters collapsed to single spaces, space-padded —
+    * the classifier's canonical character stream. */
+  def normalizedChars(text: Column): Column =
+    concat(lit(" "),
+      trim(regexp_replace(lower(text), "[^a-z]+", " ")), lit(" "))
+
+  /** Character n-grams of the normalized stream (empty array when the
+    * stream is shorter than n — sequence(1, 0) would REVERSE). */
+  def charNgrams(text: Column, n: Int = 3): Column = {
+    val s = normalizedChars(text)
+    when(length(s) >= n,
+      transform(sequence(lit(1), length(s) - (n - 1)), i => s.substr(i, lit(n))))
+      .otherwise(lit(Array.empty[String]))
+  }
+
+  /** Integer out-of-place distance of the doc's ranked profile against a
+    * reference profile literal: Σ over doc profile positions i (1-based)
+    * of |i − rank_ref(g)|, with absent grams costing [[LangProfileSize]].
+    * Bounded by DocProfileSize · LangProfileSize = 2560 — far inside
+    * int64 for the ×1e6 threshold math. */
+  private def oopDistance(docProfile: Column, ref: Seq[String]): Column = {
+    val refLit = lit(ref.toArray)
+    aggregate(
+      zip_with(docProfile,
+        sequence(lit(1), greatest(size(docProfile), lit(1))),
+        (g, i) => {
+          val pos = array_position(refLit, g)
+          when(pos === 0L, lit(LangProfileSize.toLong))
+            .otherwise(abs(pos - i.cast("long")))
+        }),
+      lit(0L), (acc, x) => acc + coalesce(x, lit(0L)))
+  }
+
+  /** Profile-based language ID: the language with the smallest
+    * out-of-place distance (ties break in [[LangSeeds]] order), or
+    * "unknown" when the doc yields no profile or the best distance
+    * exceeds `unknownCutMicros` (micros of the worst possible distance,
+    * size(profile)·LangProfileSize) — the distance-threshold reject of
+    * the original paper in exact integer arithmetic. */
+  def langIdProfile(text: Column,
+                    unknownCutMicros: Long = 800000L): Column = {
+    val prof = graft.catalyst.TopGramsByCount(
+      charNgrams(text), DocProfileSize)
+    val dists = LangProfiles.map { case (l, ref) => l -> oopDistance(prof, ref) }
+    val best = least(dists.map(_._2): _*)
+    val worst = size(prof).cast("long") * LangProfileSize
+    val pick = dists.init.foldRight(lit(dists.last._1)) {
+      case ((l, d), els) => when(d === best, l).otherwise(els)
+    }
+    when(size(prof) === 0 ||
+      best * 1000000L > worst * unknownCutMicros, "unknown")
+      .otherwise(pick)
+  }
+
   /** Quality score in [0,100], integer arithmetic only:
     * + length in a healthy band, + stopword presence, − punctuation excess,
     * − very short tokens. Mirrors common heuristic quality filters. */

@@ -2679,7 +2679,7 @@ object Extensions {
     "q186_winnow_clusters" -> ((s, dir) =>
       graft.functions.Dedup.winnowClustersTransitive(
         s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
-        n = 4, w = 8, maxIters = 24)),
+        n = 4, w = 8, maxIters = 40)),
 
     // --- INCREMENTAL winnow-family maintenance (the q133 append
     // discipline on q186): arriving docs adopt existing family labels by
@@ -2700,24 +2700,36 @@ object Extensions {
       // 16 rounds: the corpus SUBSET (batch removed) has longer chains
       // than the full corpus — dropped docs were path shortcuts
       val families = Dedup.winnowClustersTransitive(
-          corpus, "doc_id", "text", n = 4, w = 8, maxIters = 24)
+          corpus, "doc_id", "text", n = 4, w = 8, maxIters = 40)
         .withColumnRenamed("cluster_id", "family_id")
       val threshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
       try {
         s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        // 24 rounds (vs the old 8): the subgraph EXCLUDES
+        // 40 rounds (vs the old 8): the subgraph EXCLUDES
         // corpus-corpus edges on untouched hashes, so batch-to-batch
         // chains that the full pass shortcuts through the corpus need
         // more hops here; the convergence guard still fails directed
-        // past 24 (measured diameter at sf0.1: 19 rounds for the FULL
+        // past 40 (measured diameter at sf0.1: 19 rounds for the FULL
         // corpus — round-8's 8-round state was a silently non-converged
-        // partial labeling that matched an equally-partial oracle)
+        // partial labeling that matched an equally-partial oracle; at the
+        // synthesized sf1 ONE 40-bit winnow-hash collision bridges two
+        // replicas and pushes the depth to 27, the measured preview of
+        // hash-width-as-correctness-knob at corpus scale)
         Dedup.winnowFamiliesIncremental(
           corpusIndex = s.table(table), corpusFamilies = families,
           batch = batch, idCol = "doc_id", textCol = "text",
-          n = 4, w = 8, maxIters = 24, assertBucketScan = true)
+          n = 4, w = 8, maxIters = 40, assertBucketScan = true)
       } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
     }),
+
+    // --- Cavnar–Trenkle profile language ID: per-doc verdict of the
+    // character-trigram rank-distance classifier (broadcast literal
+    // profiles, one kernel pass per doc, exact-integer distance) — the
+    // real replacement for the q21 stopword heuristic
+    "q188_langid_profile" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          TA.langIdProfile(col("text")).as("lang_pred"))),
 
     // --- boundary-splitting packing: q128's bins, with straddling docs
     // exploded into per-bin fragments (what the loader materializes);
@@ -2925,6 +2937,64 @@ object Extensions {
      |SELECT s.doc_id, CAST(coalesce(a.n_tri, 0) AS BIGINT) AS n_tri,
      |  CAST(coalesce(a.sb, 0) AS BIGINT) AS sb_micros
      |FROM score s LEFT JOIN agg a USING (doc_id)""".stripMargin
+
+  /** DuckDB spelling of the Cavnar–Trenkle profile classifier
+    * ([[TA.langIdProfile]]): the reference profiles are the SAME Scala
+    * constants spelled as literal rows (one source of truth — the oracle
+    * does not re-derive them), the doc profile is the same
+    * (count desc, gram asc) rank, the distance the same integer
+    * out-of-place sum. Emits a CTE chain ending in `lid(doc_id,
+    * lang_pred)`; every CTE is MATERIALIZED (the DuckDB-1.0 inlining
+    * trap documented at [[winnowFpCte]]). */
+  private lazy val langProfileRows: String =
+    TA.LangProfiles.flatMap { case (l, ps) =>
+      ps.zipWithIndex.map { case (g, i) =>
+        s"('$l', '${g.replace("'", "''")}', ${i + 1})" }
+    }.mkString(", ")
+
+  private lazy val langPriorityCase: String =
+    "CASE lang " + TA.LangSeeds.map(_._1).zipWithIndex.map {
+      case (l, i) => s"WHEN '$l' THEN ${i + 1}" }.mkString(" ") + " ELSE 99 END"
+
+  private def langIdProfileCtes(cut: Long = 800000L): String =
+    s"""lpf(lang, g, rk) AS MATERIALIZED (VALUES $langProfileRows),
+       |lnorm AS MATERIALIZED (
+       |  SELECT doc_id, concat(' ',
+       |    trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')), ' ') AS s
+       |  FROM documents),
+       |lgrams AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, len(s) - 1), i -> s[i:i+2])) AS g
+       |  FROM lnorm WHERE len(s) >= 3),
+       |lgc AS MATERIALIZED (
+       |  SELECT doc_id, g, count(*) AS c FROM lgrams GROUP BY 1, 2),
+       |ldp AS MATERIALIZED (
+       |  SELECT doc_id, g,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rk
+       |  FROM lgc QUALIFY rk <= ${TA.DocProfileSize}),
+       |ldist AS MATERIALIZED (
+       |  SELECT ldp.doc_id, langs.lang,
+       |    sum(CASE WHEN lpf.rk IS NULL THEN ${TA.LangProfileSize}
+       |        ELSE abs(ldp.rk - lpf.rk) END) AS d,
+       |    count(*) AS np
+       |  FROM ldp
+       |  CROSS JOIN (SELECT DISTINCT lang FROM lpf) langs
+       |  LEFT JOIN lpf ON lpf.lang = langs.lang AND lpf.g = ldp.g
+       |  GROUP BY 1, 2),
+       |lpick AS MATERIALIZED (
+       |  SELECT doc_id, lang, d, np,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY d, $langPriorityCase) AS pr,
+       |    min(d) OVER (PARTITION BY doc_id) AS best
+       |  FROM ldist),
+       |lid AS MATERIALIZED (
+       |  SELECT dd.doc_id,
+       |    CASE WHEN p.doc_id IS NULL
+       |           OR p.best * 1000000 > p.np * ${TA.LangProfileSize} * $cut
+       |         THEN 'unknown' ELSE p.lang END AS lang_pred
+       |  FROM documents dd
+       |  LEFT JOIN (SELECT * FROM lpick WHERE pr = 1) p
+       |    ON dd.doc_id = p.doc_id)""".stripMargin
 
   /** DuckDB spelling of TA.langId (shared by q21 and the q90 pipeline). */
   private lazy val dLangCase =
@@ -3368,7 +3438,7 @@ object Extensions {
     // doc–fingerprint bucket rows (8 rounds, matching Spark maxIters);
     // singleton docs coalesce to themselves
     "q186_winnow_clusters" -> {
-      val rounds = 24
+      val rounds = 40
       // every CTE is MATERIALIZED: DuckDB inlines per reference, and
       // `bands` is referenced twice per round — the inlined 24-round
       // chain re-evaluates the winnow fold superlinearly (>400 s at
@@ -3399,8 +3469,8 @@ object Extensions {
     // batch's fingerprints touch, corpus nodes seeded with their family
     // label, batch nodes with their own id
     "q187_winnow_incremental" -> {
-      val rounds = 24      // corpus refresh: ≥ q186's convergence depth
-      val iRounds = 24     // incremental subgraph: matches Spark maxIters=24
+      val rounds = 40      // corpus refresh: ≥ q186's convergence depth
+      val iRounds = 40     // incremental subgraph: matches Spark maxIters=40
       def unroll(prefix: String, bands: String,
                  nRounds: Int = rounds): String =
         (1 to nRounds).map { i =>
@@ -3443,6 +3513,12 @@ object Extensions {
          |FROM documents d LEFT JOIN il$iRounds ON d.doc_id = il$iRounds.id
          |WHERE d.doc_id % 10 = 7""".stripMargin
     },
+
+    // profile language ID: profiles as literal rows from the same Scala
+    // constants, same rank + out-of-place distance + reject threshold
+    "q188_langid_profile" ->
+      s"""WITH ${langIdProfileCtes()}
+         |SELECT doc_id, lang_pred FROM lid""".stripMargin,
 
     // boundary-splitting packing: the q128 CTE + per-bin fragment
     // explosion with identical integer arithmetic

@@ -29,6 +29,52 @@ class FunctionsSpec extends SparkSpec {
     assert(one[String](TA.langId(col("text")), "xyzzy qwerty") == "unknown")
   }
 
+  test("langIdProfile discriminates real language samples and rejects " +
+    "non-language noise") {
+    val samples = Seq(
+      ("en", "The weather was cold and the children walked to the old " +
+        "school by the river with their friends in the morning"),
+      ("en", "She said that they would have been there before the end of " +
+        "the other meeting if he had not lost the keys"),
+      ("de", "Der alte Mann ging mit dem Hund durch die Stadt und kaufte " +
+        "sich ein frisches Brot bei dem kleinen Laden an der Ecke"),
+      ("de", "Die Kinder haben nach der Schule noch lange auf dem Platz " +
+        "gespielt und sind erst am Abend nach Hause gekommen"),
+      ("fr", "Le vieux chien dort dans la cuisine pendant que les enfants " +
+        "jouent dans le jardin avec leur mere et leur pere"),
+      ("fr", "Il est plus facile de parler que de faire et ce sont les " +
+        "petites choses qui font la vie de tous les jours"),
+      ("es", "El perro viejo duerme en la cocina mientras los ninos " +
+        "juegan en el jardin con su madre y con los otros amigos"),
+      ("es", "Es mas facil hablar que hacer y son las cosas pequenas las " +
+        "que hacen la vida de todos los dias para la gente"))
+    val got = samples.toDF("truth", "text")
+      .select(col("truth"), TA.langIdProfile(col("text")).as("pred"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    got.foreach { case (truth, pred) => assert(pred == truth,
+      s"expected $truth got $pred") }
+    // no letters at all → empty profile → unknown; digit soup likewise
+    assert(one[String](TA.langIdProfile(col("text")), "12345 67890 !!!") ==
+      "unknown")
+    assert(one[String](TA.langIdProfile(col("text")), "") == "unknown")
+  }
+
+  test("langIdProfile doc profile (kernel) matches the plain-Scala " +
+    "profile derivation on crafted and corpus docs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(50).select(col("doc_id"), col("text"))
+    val got = docs
+      .select(col("doc_id"), col("text"), graft.catalyst.TopGramsByCount(
+        TA.charNgrams(col("text")), TA.DocProfileSize).as("prof"))
+      .collect()
+    got.foreach { r =>
+      val expected = TA.charTrigramsOf(r.getString(1))
+        .groupBy(identity).toSeq.map { case (g, gs) => (g, gs.size) }
+        .sortBy { case (g, c) => (-c, g) }.take(TA.DocProfileSize).map(_._1)
+      assert(r.getSeq[String](2) == expected, s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("quality score rewards healthy docs, is clamped at 0") {
     val healthy = "the quick brown fox jumps over the lazy dog and then " * 3
     assert(one[Int](TA.qualityScore(col("text")), healthy) > 50)
