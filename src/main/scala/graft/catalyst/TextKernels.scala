@@ -277,3 +277,146 @@ object TopGramsByCount {
   def apply(c: Column, k: Int): Column =
     ColumnBridge.column(TopGramsByCount(ColumnBridge.expression(c), k))
 }
+
+/** Cavnar–Trenkle verdict over a ranked doc profile: integer
+  * out-of-place distance against each reference profile in ONE pass with
+  * O(1) gram lookups (gram → per-language rank map built once per JVM
+  * from the same `TextAnalysis.LangProfiles` constants the Column form
+  * reads), argmin with seed-order tie-break, micros reject threshold.
+  * Value-identical to the composed aggregate/zip_with/array_position
+  * Column pipeline it replaces (FunctionsSpec pins the two paths) —
+  * which is CodegenFallback and pays ~40 grams × 64-slot scans × 4
+  * languages of interpreted lambda per ROW (measured 300 s for the
+  * sf0.1 corpus vs ~1 s kernelized). */
+case class LangIdVerdict(child: Expression, cutMicros: Long)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"langid_verdict requires array<string>, got $other")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "langid_verdict"
+
+  protected override def nullSafeEval(input: Any): Any =
+    LangIdVerdict.compute(input.asInstanceOf[ArrayData], cutMicros)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.catalyst.LangIdVerdict.compute($c, ${cutMicros}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): LangIdVerdict =
+    copy(child = newChild)
+}
+
+object LangIdVerdict {
+  import org.apache.spark.unsafe.types.UTF8String
+  private lazy val langs: Array[UTF8String] =
+    graft.functions.TextAnalysis.LangProfiles
+      .map(p => UTF8String.fromString(p._1)).toArray
+  private lazy val profileSize: Long =
+    graft.functions.TextAnalysis.LangProfileSize.toLong
+  private val Unknown = UTF8String.fromString("unknown")
+  /** gram → 1-based rank per language (0 = absent). */
+  private lazy val rankMap: java.util.HashMap[UTF8String, Array[Int]] = {
+    val m = new java.util.HashMap[UTF8String, Array[Int]]()
+    val profs = graft.functions.TextAnalysis.LangProfiles
+    profs.zipWithIndex.foreach { case ((_, ps), l) =>
+      ps.zipWithIndex.foreach { case (g, i) =>
+        val key = UTF8String.fromString(g)
+        var ranks = m.get(key)
+        if (ranks == null) { ranks = new Array[Int](profs.size); m.put(key, ranks) }
+        ranks(l) = i + 1
+      }
+    }
+    m
+  }
+
+  def compute(prof: ArrayData, cutMicros: Long): UTF8String = {
+    val m = prof.numElements()
+    if (m == 0) return Unknown
+    val nl = langs.length
+    val dist = new Array[Long](nl)
+    var i = 0
+    while (i < m) {
+      val ranks = if (prof.isNullAt(i)) null else rankMap.get(prof.getUTF8String(i))
+      var l = 0
+      while (l < nl) {
+        val r = if (ranks == null) 0 else ranks(l)
+        dist(l) += (if (r == 0) profileSize else math.abs(r - (i + 1)).toLong)
+        l += 1
+      }
+      i += 1
+    }
+    var best = 0
+    var l = 1
+    while (l < nl) { if (dist(l) < dist(best)) best = l; l += 1 }
+    val worst = m.toLong * profileSize
+    if (dist(best) * 1000000L > worst * cutMicros) Unknown else langs(best)
+  }
+  def apply(c: Column, cutMicros: Long): Column =
+    ColumnBridge.column(LangIdVerdict(ColumnBridge.expression(c), cutMicros))
+}
+
+/** Fused character-n-gram top-k profile straight from the normalized
+  * string: gram extraction + counting + (count desc, gram asc) rank in
+  * one pass — the transform(sequence, substr) + TopGramsByCount
+  * composition walks interpreted ArrayTransform lambdas per position
+  * (CodegenFallback), this stays inside codegen end to end.
+  * Value-identical to the composition (FunctionsSpec pins it). */
+case class CharNgramProfile(child: Expression, n: Int, k: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"char_ngram_profile requires string, got $other")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_ngram_profile"
+
+  protected override def nullSafeEval(input: Any): Any =
+    CharNgramProfile.compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.catalyst.CharNgramProfile.compute($c, $n, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharNgramProfile =
+    copy(child = newChild)
+}
+
+object CharNgramProfile {
+  import org.apache.spark.unsafe.types.UTF8String
+  def compute(s: UTF8String, n: Int, k: Int): ArrayData = {
+    val str = s.toString
+    val len = str.length
+    if (len < n) return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      new Array[Any](0))
+    val counts = new java.util.HashMap[String, Int](256)
+    var i = 0
+    while (i <= len - n) {
+      val g = str.substring(i, i + n)
+      val c = counts.get(g)
+      counts.put(g, if (counts.containsKey(g)) c + 1 else 1)
+      i += 1
+    }
+    val entries = new java.util.ArrayList[java.util.Map.Entry[String, Int]](
+      counts.entrySet())
+    java.util.Collections.sort(entries,
+      new java.util.Comparator[java.util.Map.Entry[String, Int]] {
+        def compare(a: java.util.Map.Entry[String, Int],
+                    b: java.util.Map.Entry[String, Int]): Int = {
+          val byCount = Integer.compare(b.getValue, a.getValue)
+          if (byCount != 0) byCount else a.getKey.compareTo(b.getKey)
+        }
+      })
+    val m = math.min(k, entries.size)
+    val out = new Array[Any](m)
+    var j = 0
+    while (j < m) { out(j) = UTF8String.fromString(entries.get(j).getKey); j += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+  def apply(c: Column, n: Int, k: Int): Column =
+    ColumnBridge.column(CharNgramProfile(ColumnBridge.expression(c), n, k))
+}

@@ -189,6 +189,12 @@ object Dedup {
     // corpus nodes start at their persisted family label and only the
     // arriving docs start fresh. Min propagation is monotone from ANY
     // initial labeling, so the sum-based convergence check is unchanged.
+    // SEED CONTRACT (required by the pointer-jumping shortcut below,
+    // which chases label values as if they named reachable nodes): every
+    // seed label must either be absent from `rows` entirely, or be
+    // connected to its seeded node by membership rows (the family-bucket
+    // rows winnowFamiliesIncremental adds). Unseeded runs satisfy this
+    // trivially — a propagated label is always a real member's id.
     var labels = seeds.fold(
       br.select(col("id")).distinct().withColumn("label", col("id"))) { sd =>
       br.select(col("id")).distinct()
@@ -213,14 +219,46 @@ object Dedup {
         .groupBy(col("band"), col("key")).agg(min(col("label")).as("blabel"))
       var next = br.join(bucketLabel, Seq("band", "key"))
         .groupBy(col("id")).agg(min(col("blabel")).as("label"))
-      // every 5th round, swap the persist for an eager-enough
-      // localCheckpoint: truncates the logical plan to a LogicalRDD so
-      // deep components don't accumulate O(rounds)-nested plans (planning
-      // time, not correctness); other rounds keep the cheaper persist.
-      next = if (iters % 5 == 4) next.localCheckpoint(false) else next.persist(lvl)
+      // POINTER JUMPING (the Shiloach–Vishkin shortcut): after the bucket
+      // hop, chase label ← min(label, label(label)) twice. Each chase is
+      // a self-join of the LABEL table (O(docs), ≪ the edge table the
+      // bucket hop shuffles), and it collapses chain distance
+      // geometrically — measured rounds drop from the component diameter
+      // (19 at sf0.1, 27 at the synthesized sf1) to ~6. Labels stay
+      // monotone non-increasing and always name a node of the same
+      // component, so the fixed point is unchanged (= component minima):
+      // oracles compare the FINAL labels and are untouched, and the
+      // monotone-sum convergence proof still holds — an unchanged sum
+      // across the composite round means the bucket hop changed nothing,
+      // which is exactly the bucket fixed point.
+      // each chase SELF-JOINS the previous stage, so every stage must be
+      // persisted — an uncached chain would re-evaluate the bucket hop
+      // 2^jumps times (the same multi-reference lineage trap as
+      // adaptiveBuckets); the single sum action below materializes the
+      // whole chain with each stage computed exactly once
+      var stages: List[DataFrame] = Nil
+      next = next.persist(lvl)
+      stages ::= next
+      for (_ <- 1 to 2) {
+        val hop = next.select(col("id").as("__lid"), col("label").as("__ll"))
+        next = next.join(hop, col("label") === col("__lid"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("__ll"), col("label")))
+              .as("label"))
+          .persist(lvl)
+        stages ::= next
+      }
+      // EVERY round ends in a (lazy) localCheckpoint: each self-join
+      // references its input twice, so the logical plan grows 4× per
+      // round — without a per-round LogicalRDD truncation the analyzed
+      // plan string hits 2 GB by round 5 and OOMs the driver. The
+      // checkpoint rides the same sum action that materializes the
+      // round; the persisted jump stages are released right after.
+      next = next.localCheckpoint(false)
       val sumNow = next.agg(sum(col("label").cast("decimal(38,0)")))
         .head.getDecimal(0)
       releaseLabels(labels)
+      stages.foreach(_.unpersist())
       labels = next
       iters += 1
       // sums are null exactly when the frame is empty: empty input is a
@@ -294,6 +332,30 @@ object Dedup {
         coalesce(col("cluster_id"), col("id")).as("cluster_id"))
   }
 
+  /** [[winnowClustersTransitive]] computed FROM the persisted winnow
+    * index instead of re-winnowing the corpus: the refresh pass and the
+    * index build share one fingerprint scan (the index rows ARE the
+    * distinct (id, h) memberships). `allDocs` supplies the singleton
+    * universe — docs with no shared fingerprint cluster as themselves. */
+  def winnowClustersFromIndex(index: DataFrame, allDocs: DataFrame,
+                              idCol: String = "doc_id",
+                              maxIters: Int = 30): DataFrame = {
+    // the index keeps one row per selected (id, pos, h) with pos dropped,
+    // so (id, h) can repeat — distinct first or a hash selected at two
+    // positions of ONE doc would pass the shared-by-≥2-docs filter
+    val fp = index.select(col("id"), col("h")).distinct()
+    val shared = fp.groupBy(col("h"))
+      .agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= 2).select(col("h"))
+    val rows = fp.join(shared, Seq("h"))
+      .select(col("id"), lit(0).as("band"),
+        col("h").cast("string").as("key"))
+    val clustered = transitiveClustersOver(rows, maxIters)._1
+    allDocs.select(col(idCol).as("id")).join(clustered, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+  }
+
   /** Incremental winnow-family MAINTENANCE — the q133 append discipline
     * applied to [[winnowClustersTransitive]], so the corpus-refresh pass
     * stops being the only way to label arriving docs: each batch doc
@@ -344,13 +406,23 @@ object Dedup {
     }
     val cm = cmRaw
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seeds = corpusFamilies
+      .join(cm.select(col("corpus_id").as("id")).distinct(), Seq("id"))
+      .select(col("id"), col("family_id").as("label"))
+    // touched corpus nodes ALSO connect through their family label
+    // (band 1): membership in a family is free knowledge from the
+    // refresh, so a batch doc adopting family F immediately sees F's
+    // other touched members even when their corpus-side path runs
+    // through untouched hashes. This also makes every seed label an
+    // EXPLICIT edge — required for the propagation engine's
+    // pointer-jumping shortcut, which chases label values as if they
+    // were reachable nodes (see [[transitiveClustersOver]]).
     val rows = bfp.select(col("id"), lit(0).as("band"),
         col("h").cast("string").as("key"))
       .unionByName(cm.select(col("corpus_id").as("id"), lit(0).as("band"),
         col("h").cast("string").as("key")))
-    val seeds = corpusFamilies
-      .join(cm.select(col("corpus_id").as("id")).distinct(), Seq("id"))
-      .select(col("id"), col("family_id").as("label"))
+      .unionByName(seeds.select(col("id"), lit(1).as("band"),
+        concat(lit("f"), col("label").cast("string")).as("key")))
     val labeled = transitiveClustersOver(rows, maxIters,
       seeds = Some(seeds))._1
     val out = batch.select(col(idCol).as("id")).join(labeled, Seq("id"), "left")

@@ -320,7 +320,7 @@ object Governance {
     val t = col(textCol)
     val reasons =
       when(TA.qualityScore(t) < minQuality, 1).otherwise(0) +
-        when(TA.langId(t) === "unknown", 2).otherwise(0) +
+        when(TA.langIdProfile(t) === "unknown", 2).otherwise(0) +
         when(TA.dupNgramFractionMicros(t, 2) > maxDupBigramMicros, 4)
           .otherwise(0) +
         when(TA.tokenCount(t) < minTokens, 8).otherwise(0)
@@ -431,7 +431,7 @@ object Governance {
     val d = docs.select(col(idCol).as("id"), col(srcCol).as("src"),
       TA.tokenCount(col(textCol)).cast("long").as("n_tok"),
       (TA.qualityScore(col(textCol)) >= minQuality).as("q"),
-      (TA.langId(col(textCol)) =!= "unknown").as("l"),
+      (TA.langIdProfile(col(textCol)) =!= "unknown").as("l"),
       md5(col(textCol)).as("m"))
     val keepers = d.filter(col("q") && col("l"))
       .groupBy(col("m")).agg(min(col("id")).as("keeper"))

@@ -365,6 +365,50 @@ object Similarity {
       .select(col("query_id"), col("nn_id"), col("sim"), col("rk"))
   }
 
+  /** Recall@k audit of the probed-IVF path against exact brute force as
+    * nprobe varies — "can I trust nprobe=4 on MY corpus": q131 gates the
+    * index round-trip exactly, but nothing there measures what the probe
+    * budget costs in recall. One brute-force pass (the probe set is the
+    * small side — broadcast into the corpus scan, the q46 shape) and one
+    * probed query per nprobe against a single shared index build; hits
+    * are exact integer counts of (query, neighbor) agreement, recall in
+    * integer micros. On a 100 TB corpus the exact pass is the expensive
+    * leg — run the audit on a sampled probe set at index-refresh cadence
+    * (this is an AUDIT job, not a serving path).
+    *
+    * Returns one row per nprobe: (nprobe, hits, total, recall_micros),
+    * total = |exact pairs| (= probes × k when the corpus has ≥ k + 1
+    * vectors). The exact pass is persisted for the audit's lifetime (two
+    * consumers: the per-nprobe joins and the total); callers doing
+    * repeated sweeps should clearCache between runs (the
+    * [[ivfKMeansBuild]] contract). */
+  def annRecallAudit(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int, nlist: Int = 16,
+                     iters: Int = 2,
+                     nprobes: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
+    require(nprobes.nonEmpty, "annRecallAudit: nprobes must be non-empty")
+    val exact = bruteForceKnn(corpus, queries, idCol, vecCol, k)
+      .select(col("query_id"), col("nn_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (cents, lists) = ivfKMeansBuild(corpus, idCol, vecCol, nlist, iters)
+    val approx = nprobes.map { np =>
+      ivfProbedQuery(cents, lists, queries, idCol, vecCol, k, np)
+        .select(lit(np).as("nprobe"), col("query_id"), col("nn_id"))
+    }.reduce(_ unionByName _)
+    val hitCounts = approx.join(exact, Seq("query_id", "nn_id"))
+      .groupBy(col("nprobe")).agg(count(lit(1)).as("__h"))
+    val total = exact.agg(count(lit(1)).as("total"))
+    // left join against the literal nprobe list: an nprobe with ZERO
+    // agreeing pairs must still report its (hits = 0) row
+    val spark0 = corpus.sparkSession
+    import spark0.implicits._
+    nprobes.toDF("nprobe").join(hitCounts, Seq("nprobe"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("nprobe"), coalesce(col("__h"), lit(0L)).as("hits"),
+        col("total"))
+      .withColumn("recall_micros", expr("hits * 1000000 div total"))
+  }
+
   /** Symmetric int8 quantization of an embedding column — the standard 4×
     * storage/shuffle reduction for vector corpora (100 TB of float32
     * embeddings becomes 25 TB of int8 + one scale per vector).

@@ -161,9 +161,24 @@ object TextAnalysis {
     * "unknown" when the doc yields no profile or the best distance
     * exceeds `unknownCutMicros` (micros of the worst possible distance,
     * size(profile)·LangProfileSize) — the distance-threshold reject of
-    * the original paper in exact integer arithmetic. */
+    * the original paper in exact integer arithmetic. The 0.9 default
+    * separates the measured bands: real language text scores ~0.70–0.85
+    * of worst (content words pull grams outside the function-word
+    * profiles), non-language noise ~0.95+. */
   def langIdProfile(text: Column,
-                    unknownCutMicros: Long = 800000L): Column = {
+                    unknownCutMicros: Long = 900000L,
+                    useKernel: Boolean = true): Column = {
+    // default path: fused CharNgramProfile + LangIdVerdict kernels (one
+    // counting pass, O(1) gram-rank lookups, all inside codegen).
+    // useKernel=false keeps the composed transform/substr +
+    // TopGramsByCount + aggregate/zip_with/array_position Column form as
+    // the oracle-mirroring reference path — FunctionsSpec pins the two
+    // identical; every HOF in that chain is CodegenFallback and the
+    // composition measured ~300× slower.
+    if (useKernel)
+      return graft.catalyst.LangIdVerdict(
+        graft.catalyst.CharNgramProfile(normalizedChars(text), 3, DocProfileSize),
+        unknownCutMicros)
     val prof = graft.catalyst.TopGramsByCount(
       charNgrams(text), DocProfileSize)
     val dists = LangProfiles.map { case (l, ref) => l -> oopDistance(prof, ref) }

@@ -2477,11 +2477,13 @@ object Extensions {
       import s.implicits._
       val docs = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("text"))
-      // each crafted doc fires ONE rule in isolation (plus the tiny doc
-      // firing three at once): the per-bit evidence the corpus alone
-      // does not provide (its rejections are all langid)
+      // each crafted doc fires a known rule set: the per-bit evidence the
+      // corpus alone does not provide. Since the round-9 re-point at the
+      // PROFILE classifier, "hi there" correctly reads as English (the
+      // stopword heuristic called it unknown), so the tiny doc fires
+      // quality + tokens
       val crafted = Seq(
-        (9000001L, AttrTinyDoc),    // quality + langid + tokens
+        (9000001L, AttrTinyDoc),    // quality + tokens
         (9000002L, AttrLowQualDoc), // quality only
         (9000003L, AttrRepeatDoc)   // dup-bigrams only
       ).toDF("doc_id", "text")
@@ -2697,10 +2699,12 @@ object Extensions {
       Dedup.winnowIndexTap(table, 8).write(
         Dedup.winnowIndex(corpus, "doc_id", "text", n = 4, w = 8),
         graft.sources.SinkMode.Replace)
-      // 16 rounds: the corpus SUBSET (batch removed) has longer chains
-      // than the full corpus — dropped docs were path shortcuts
-      val families = Dedup.winnowClustersTransitive(
-          corpus, "doc_id", "text", n = 4, w = 8, maxIters = 40)
+      // refresh families derive FROM the just-written index — the index
+      // build and the family pass share one fingerprint scan. 40 rounds:
+      // the corpus SUBSET (batch removed) has longer chains than the
+      // full corpus — dropped docs were path shortcuts
+      val families = Dedup.winnowClustersFromIndex(
+          s.table(table), corpus, "doc_id", maxIters = 40)
         .withColumnRenamed("cluster_id", "family_id")
       val threshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
       try {
@@ -2730,6 +2734,16 @@ object Extensions {
       s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"),
           TA.langIdProfile(col("text")).as("lang_pred"))),
+
+    // --- ANN recall audit: probed IVF vs exact brute force as nprobe
+    // varies — exact integer (query, neighbor) agreement counts over one
+    // shared index build; the "can I trust nprobe=4 on MY corpus" table
+    "q189_ann_recall" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.functions.Similarity.annRecallAudit(
+        e, e.filter(col("vec_id") % 20 === 0), "vec_id", "embedding",
+        k = 10, nlist = 16, iters = 2, nprobes = Seq(1, 2, 4))
+    }),
 
     // --- boundary-splitting packing: q128's bins, with straddling docs
     // exploded into per-bin fragments (what the loader materializes);
@@ -2956,12 +2970,13 @@ object Extensions {
     "CASE lang " + TA.LangSeeds.map(_._1).zipWithIndex.map {
       case (l, i) => s"WHEN '$l' THEN ${i + 1}" }.mkString(" ") + " ELSE 99 END"
 
-  private def langIdProfileCtes(cut: Long = 800000L): String =
+  private def langIdProfileCtes(src: String = "documents",
+                                cut: Long = 900000L): String =
     s"""lpf(lang, g, rk) AS MATERIALIZED (VALUES $langProfileRows),
        |lnorm AS MATERIALIZED (
        |  SELECT doc_id, concat(' ',
        |    trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')), ' ') AS s
-       |  FROM documents),
+       |  FROM $src),
        |lgrams AS MATERIALIZED (
        |  SELECT doc_id,
        |    unnest(list_transform(range(1, len(s) - 1), i -> s[i:i+2])) AS g
@@ -2992,7 +3007,7 @@ object Extensions {
        |    CASE WHEN p.doc_id IS NULL
        |           OR p.best * 1000000 > p.np * ${TA.LangProfileSize} * $cut
        |         THEN 'unknown' ELSE p.lang END AS lang_pred
-       |  FROM documents dd
+       |  FROM $src dd
        |  LEFT JOIN (SELECT * FROM lpick WHERE pr = 1) p
        |    ON dd.doc_id = p.doc_id)""".stripMargin
 
@@ -3275,15 +3290,18 @@ object Extensions {
     // string its standalone gate uses (dQualityExpr = q22, dLangCase =
     // q21, the dup-bigram spelling = q76, dToks = q20)
     "q170_filter_attribution" ->
-      s"""WITH aug AS (
+      s"""WITH aug AS MATERIALIZED (
          |  SELECT doc_id, text FROM documents
          |  UNION ALL SELECT 9000001, '$AttrTinyDoc'
          |  UNION ALL SELECT 9000002, '$AttrLowQualDoc'
          |  UNION ALL SELECT 9000003, '$AttrRepeatDoc'),
+         |${langIdProfileCtes(src = "aug")},
          |r AS (
          |  SELECT doc_id,
          |    CAST((CASE WHEN $dQualityExpr < 40 THEN 1 ELSE 0 END)
-         |      + (CASE WHEN $dLangCase = 'unknown' THEN 2 ELSE 0 END)
+         |      + (CASE WHEN (SELECT lang_pred FROM lid
+         |                    WHERE lid.doc_id = aug.doc_id) = 'unknown'
+         |         THEN 2 ELSE 0 END)
          |      + (CASE WHEN CAST(floor((len($dShingles2)
          |            - len(list_distinct($dShingles2))) * 1000000
          |            / greatest(len($dShingles2), 1)) AS BIGINT) > 200000
@@ -3502,7 +3520,10 @@ object Extensions {
          |ibands AS MATERIALIZED (
          |  SELECT doc_id AS id, CAST(h AS VARCHAR) AS key FROM bfp
          |  UNION
-         |  SELECT corpus_id AS id, CAST(h AS VARCHAR) AS key FROM cm),
+         |  SELECT corpus_id AS id, CAST(h AS VARCHAR) AS key FROM cm
+         |  UNION
+         |  SELECT f.id, concat('f', CAST(f.family_id AS VARCHAR)) AS key
+         |  FROM fam f WHERE f.id IN (SELECT corpus_id FROM cm)),
          |il0 AS MATERIALIZED (
          |  SELECT n.id, coalesce(f.family_id, n.id) AS label
          |  FROM (SELECT DISTINCT id FROM ibands) n
@@ -3512,6 +3533,51 @@ object Extensions {
          |  AS family_id
          |FROM documents d LEFT JOIN il$iRounds ON d.doc_id = il$iRounds.id
          |WHERE d.doc_id % 10 = 7""".stripMargin
+    },
+
+    // ANN recall audit: same Lloyd CTEs as q66/q131, exact top-10 via the
+    // raw-float cosine (q28's spelling), one probe/score chain per nprobe,
+    // integer hit counts against the exact pair set
+    "q189_ann_recall" -> {
+      val ks = 10
+      def perProbe(np: Int): String =
+        s"""p$np AS MATERIALIZED (
+           |  SELECT query_id, q_vec, cent FROM (
+           |    SELECT b.nn_id AS query_id, b.embedding AS q_vec,
+           |    c.cent_id AS cent,
+           |    row_number() OVER (PARTITION BY b.nn_id
+           |      ORDER BY ${dCos("b.q", "c.cent_q")} DESC, c.cent_id ASC) AS rn
+           |    FROM qbase b CROSS JOIN c2 c WHERE b.nn_id % 20 = 0)
+           |  WHERE rn <= $np),
+           |s$np AS MATERIALIZED (
+           |  SELECT query_id, nn_id FROM (
+           |    SELECT query_id, nn_id,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY sim DESC, nn_id ASC) AS rk
+           |    FROM (SELECT DISTINCT query_id, nn_id,
+           |            ${dCos("q_vec", "nn_vec")} AS sim
+           |          FROM lists JOIN p$np USING (cent)
+           |          WHERE query_id <> nn_id)) WHERE rk <= $ks),
+           |h$np AS (
+           |  SELECT $np AS nprobe, CAST(count(*) AS BIGINT) AS hits
+           |  FROM s$np JOIN exact USING (query_id, nn_id))""".stripMargin
+      s"""WITH $ivfAssignCtes,
+         |exact AS MATERIALIZED (
+         |  SELECT query_id, nn_id FROM (
+         |    SELECT q.nn_id AS query_id, c.nn_id AS nn_id,
+         |    row_number() OVER (PARTITION BY q.nn_id
+         |      ORDER BY ${dCos("q.embedding", "c.embedding")} DESC,
+         |        c.nn_id ASC) AS rk
+         |    FROM qbase q CROSS JOIN qbase c
+         |    WHERE q.nn_id % 20 = 0 AND c.nn_id <> q.nn_id)
+         |  WHERE rk <= $ks),
+         |${perProbe(1)},
+         |${perProbe(2)},
+         |${perProbe(4)},
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM exact)
+         |SELECT nprobe, hits, total, hits * 1000000 // total AS recall_micros
+         |FROM (SELECT * FROM h1 UNION ALL SELECT * FROM h2
+         |      UNION ALL SELECT * FROM h4) CROSS JOIN tot""".stripMargin
     },
 
     // profile language ID: profiles as literal rows from the same Scala
@@ -3556,11 +3622,13 @@ object Extensions {
     // funnel: the shared dQualityExpr/dLangCase fragments, keeper
     // computed among q∧l survivors exactly as the operator does
     "q183_curation_funnel" ->
-      s"""WITH d AS (
+      s"""WITH ${langIdProfileCtes()},
+         |d AS (
          |  SELECT doc_id, source,
          |    CAST(len($dToks) AS BIGINT) AS n_tok,
          |    $dQualityExpr >= 40 AS q,
-         |    $dLangCase <> 'unknown' AS l,
+         |    (SELECT lang_pred FROM lid
+         |     WHERE lid.doc_id = documents.doc_id) <> 'unknown' AS l,
          |    md5(text) AS m
          |  FROM documents),
          |k AS (SELECT m, min(doc_id) AS keeper FROM d

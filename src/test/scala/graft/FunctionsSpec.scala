@@ -59,6 +59,23 @@ class FunctionsSpec extends SparkSpec {
     assert(one[String](TA.langIdProfile(col("text")), "") == "unknown")
   }
 
+  test("langIdProfile kernel path is row-identical to the HOF reference " +
+    "path on the corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val both = docs.select(col("doc_id"),
+      TA.langIdProfile(col("text")).as("k"),
+      TA.langIdProfile(col("text"), useKernel = false).as("h"))
+    assert(both.filter(col("k") =!= col("h")).count() == 0)
+    // and on the discrimination fixtures incl. empty/noise edges
+    val fx = Seq("", "12345 !!!", "hi there",
+      "der alte Mann ging mit dem Hund durch die Stadt")
+      .toDF("text").select(
+        TA.langIdProfile(col("text")).as("k"),
+        TA.langIdProfile(col("text"), useKernel = false).as("h"))
+    assert(fx.filter(col("k") =!= col("h")).count() == 0)
+  }
+
   test("langIdProfile doc profile (kernel) matches the plain-Scala " +
     "profile derivation on crafted and corpus docs") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
@@ -271,10 +288,11 @@ class FunctionsSpec extends SparkSpec {
 
   test("transitiveClustersOver fails DIRECTED when the component diameter " +
     "exceeds maxIters, and requireConvergence=false returns partial labels") {
-    // a 12-node path graph: bucket i links node i and i+1, so the min
-    // label 0 needs ~diameter rounds to reach node 11 — maxIters=2 is
-    // provably too few, and silent partial labels would be WRONG clusters
-    val rows = (0L until 11L).flatMap(i =>
+    // a 40-node path graph: bucket i links node i and i+1. Even with the
+    // pointer-jumping shortcut (distance shrinks ~5× per round), the min
+    // label 0 cannot reach node 39 in 2 rounds — maxIters=2 is provably
+    // too few, and silent partial labels would be WRONG clusters
+    val rows = (0L until 39L).flatMap(i =>
       Seq((i, 0, i.toString), (i + 1, 0, i.toString)))
       .toDF("id", "band", "key")
     val ex = intercept[IllegalStateException] {
@@ -288,7 +306,7 @@ class FunctionsSpec extends SparkSpec {
       Dedup.transitiveClustersOver(rows, maxIters = 2, requireConvergence = false)
     assert(iters == 2)
     val lbl = partial.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(lbl(0L) == 0L && lbl(11L) > 0L, s"chain tail converged early: $lbl")
+    assert(lbl(0L) == 0L && lbl(39L) > 0L, s"chain tail converged early: $lbl")
     // with headroom the same graph converges to one component rooted at 0
     val (full, it2) = Dedup.transitiveClustersOver(rows, maxIters = 30)
     assert(it2 < 30)

@@ -282,7 +282,7 @@ class GovernanceSpec extends SparkSpec {
       (3L, "xyzzy qwerty plugh foobar quux grault"), // langid only? also quality
       (4L, "the cat and the dog runs the cat and the dog jumps " +
         "the cat and the dog sleeps"),               // dup-bigrams only → 4
-      (5L, "hi there")                               // quality+langid+tokens → 11
+      (5L, "hi there")                               // quality+tokens → 9
     ).toDF("doc_id", "text")
     val got = Governance.filterAttribution(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2)))
@@ -291,7 +291,10 @@ class GovernanceSpec extends SparkSpec {
     assert(got(2L) == ((1, false)))
     assert((got(3L)._1 & 2) == 2 && !got(3L)._2) // langid bit set
     assert(got(4L) == ((4, false)))
-    assert(got(5L) == ((11, false)))
+    // "hi there" IS English: the profile classifier recognizes it where
+    // the old stopword-argmax called it unknown — the langid bit (2) no
+    // longer fires, only quality (1) + tokens (8)
+    assert(got(5L) == ((9, false)))
   }
 
   test("epochOrder rejects carry columns that collide with its internals " +
