@@ -420,3 +420,63 @@ object CharNgramProfile {
   def apply(c: Column, n: Int, k: Int): Column =
     ColumnBridge.column(CharNgramProfile(ColumnBridge.expression(c), n, k))
 }
+
+/** Fused decode-stub + dHash: pixel i = md5₄₀(token[i mod n]) % 256 over
+  * the 9×7 grid, then the 56 MSB-first gradient bits — one pass, ≤ 63
+  * token hashes per row, inside codegen. Value-identical to
+  * `Multimodal.dHash(Multimodal.pixelGridStub(text))` (FunctionsSpec
+  * pins it); that composition is nested CodegenFallback HOFs and
+  * measured ~60 s per sf0.1 pass vs ~1 s fused. */
+case class DHashStub(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"dhash_stub requires array<string> (tokens), got $other")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "dhash_stub"
+
+  protected override def nullSafeEval(input: Any): Any =
+    DHashStub.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.catalyst.DHashStub.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): DHashStub =
+    copy(child = newChild)
+}
+
+object DHashStub {
+  // mirror Multimodal.DHashW/H — duplicated as plain ints to keep the
+  // kernel free of an object-initialization cycle; pinned equal in spec
+  private val W = 9
+  private val H = 7
+  private val Bits = (W - 1) * H
+
+  def compute(tokens: ArrayData): Long = {
+    val n = tokens.numElements()
+    val px = new Array[Int](W * H)
+    var i = 0
+    while (i < W * H) {
+      val t = i % n
+      // element_at(toks, t+1) on a null slot hashes null → the Column
+      // form yields null pixel; split() never emits nulls, so treat a
+      // null defensively as hash 0 (cannot occur on real input)
+      val h = if (tokens.isNullAt(t)) 0L
+        else Md5Prefix40.hash(tokens.getUTF8String(t))
+      px(i) = (h % 256L).toInt
+      i += 1
+    }
+    var acc = 0L
+    var b = Bits - 1
+    while (b >= 0) {
+      val r = b / (W - 1)
+      val c = b % (W - 1)
+      acc = acc * 2L + (if (px(r * W + c) < px(r * W + c + 1)) 1L else 0L)
+      b -= 1
+    }
+    acc
+  }
+  def apply(c: Column): Column =
+    ColumnBridge.column(DHashStub(ColumnBridge.expression(c)))
+}

@@ -66,6 +66,143 @@ object Multimodal {
         least(i * floor(octet_length(payload) / n).cast("int") + 1,
           octet_length(payload)), lit(1)))
 
+
+  // --- Perceptual image dedup: dHash + Hamming-band LSH ---------------
+  //
+  // The header parsers above read metadata; CONTENT dedup needs pixels.
+  // The decode step (codec → resized grayscale grid) is stubbed per the
+  // module contract: [[pixelGridStub]] synthesizes a deterministic 9×7
+  // grayscale grid from the document text, so near-dup TEXTS produce
+  // near-dup IMAGES (pixel i = md5₄₀(token[i mod n]) % 256 — one changed
+  // token perturbs ~1/7 of pixels). Everything downstream of the stub —
+  // the dHash, the band index, the Hamming verify — is the real
+  // production plumbing and is what the oracles gate.
+
+  val DHashW = 9
+  val DHashH = 7
+  val DHashBits: Int = (DHashW - 1) * DHashH // 56: keeps the packed hash
+  // in POSITIVE int64 — a 64-bit hash's top bit would overflow the
+  // doubling fold under ANSI semantics (both engines reject it loudly)
+  val DHashBands = 4
+  val DHashBandBits: Int = DHashBits / DHashBands // 14
+
+  /** Deterministic "decoded" 9×7 grayscale pixel grid (the decode STUB —
+    * a real pipeline replaces exactly this function with codec + resize;
+    * see the module doc). */
+  def pixelGridStub(text: Column): Column = {
+    val toks = split(text, " ")
+    transform(sequence(lit(0), lit(DHashW * DHashH - 1)), i =>
+      (graft.catalyst.Md5Prefix40(
+        element_at(toks, (i % size(toks)) + 1)) % 256).cast("int"))
+  }
+
+  /** 56-bit difference hash over a 9×7 grid: bit (r,c) = 1 iff
+    * pixel(r,c) < pixel(r,c+1) — the standard dHash gradient signature,
+    * invariant to uniform brightness shifts. Packed MSB-first by a
+    * doubling fold (acc·2 + bit), identical in any SQL engine. */
+  def dHash(pixels: Column): Column =
+    aggregate(
+      sequence(lit(DHashBits - 1), lit(0)),
+      lit(0L),
+      (acc, i) => {
+        // floor-division: Column `/` on ints is DOUBLE division
+        val r = floor(i / (DHashW - 1)).cast("int")
+        val c = (i % (DHashW - 1)).cast("int")
+        val p1 = element_at(pixels, r * DHashW + c + 1)
+        val p2 = element_at(pixels, r * DHashW + c + 2)
+        acc * 2L + when(p1 < p2, 1L).otherwise(0L)
+      })
+
+
+  /** Kernel-fused [[dHash]]∘[[pixelGridStub]] — the production path
+    * (codegen, one pass); the composed Column form above stays as the
+    * oracle-mirroring reference, spec-pinned identical. */
+  def dHashStub(text: Column): Column =
+    graft.catalyst.DHashStub(split(text, " "))
+
+  /** Hamming distance between two packed hashes. */
+  def hamming(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b)).cast("int")
+
+  /** (hash, band, key) rows: 4 bands × 14 bits, with the band index
+    * FOLDED INTO the key (key = band·2¹⁴ + bits) so downstream joins key
+    * on ONE column — the single-column shape a BucketedTap needs for a
+    * zero-exchange bucketed index scan. Pigeonhole: two hashes within
+    * Hamming distance 3 share at least one exact band key. */
+  def dhashBandRows(hashes: DataFrame, hashCol: String): DataFrame =
+    hashes.select(col(hashCol).as("h"),
+        explode(bandKeys(col(hashCol))).as("bk"))
+      .select(col("h"), col("bk.band").as("band"), col("bk.key").as("key"))
+
+  /** The 4 (band, key) pairs of a hash as an array — one scan via
+    * explode (a 4-way union re-reads the source per band, and Spark's
+    * Union constraint rewrite chokes on higher-order-function
+    * constraints; explode has neither problem). */
+  def bandKeys(h: Column): Column =
+    array((0 until DHashBands).map { b =>
+      struct(lit(b).as("band"),
+        (lit(b.toLong * (1 << DHashBandBits)) +
+          shiftrightunsigned(h, b * DHashBandBits)
+            % (1 << DHashBandBits)).as("key"))
+    }: _*)
+
+  /** Near-dup image pairs over the DISTINCT hash set: exact duplicates
+    * collapse to one hash first (with multiplicities n1/n2), then banded
+    * candidates verify by exact Hamming ≤ maxHamming. The collapse is
+    * what bounds Σ bucket² — a template image repeated 10⁴ times is ONE
+    * band row, not 10⁴ (the q178 load lesson applied to images). */
+  def imageNearDupPairs(images: DataFrame, idCol: String, textCol: String,
+                        maxHamming: Int = 3): DataFrame = {
+    val hashes = images.select(col(idCol).as("id"),
+      dHashStub(col(textCol)).as("h"))
+    val counts = hashes.groupBy(col("h")).agg(count(lit(1)).as("n"))
+    val rows = dhashBandRows(counts.select("h"), "h")
+    val l = rows.select(col("h").as("h1"), col("key"))
+    val r = rows.select(col("h").as("h2"), col("key"))
+    l.join(r, Seq("key"))
+      .filter(col("h1") < col("h2"))
+      .select(col("h1"), col("h2")).distinct()
+      .filter(hamming(col("h1"), col("h2")) <= maxHamming)
+      .join(counts.select(col("h").as("h1"), col("n").as("n1")), Seq("h1"))
+      .join(counts.select(col("h").as("h2"), col("n").as("n2")), Seq("h2"))
+      .select(col("h1"), col("h2"),
+        hamming(col("h1"), col("h2")).as("hamming"),
+        col("n1"), col("n2"))
+  }
+
+  def dhashIndexTap(table: String, buckets: Int): graft.sources.BucketedTap =
+    graft.sources.BucketedTap(table, buckets, Seq("key"))
+
+  /** Corpus dHash index rows for [[graft.sources.BucketedTap]] persistence
+    * (bucketed by key): (h, band, key) over the corpus's DISTINCT hashes. */
+  def dhashIndex(images: DataFrame, idCol: String, textCol: String): DataFrame =
+    dhashBandRows(
+      images.select(dHashStub(col(textCol)).as("h")).distinct(), "h")
+
+  /** Match an arriving batch against the PERSISTED dHash band index:
+    * batch images hash in-flight, bands join the index on the bucketed
+    * key, candidates verify by exact Hamming. Corpus side plans with no
+    * exchange (the q180 discipline); output one row per (batch image,
+    * matched corpus hash). */
+  def imageMatchesAgainstIndex(corpusIndex: DataFrame, batch: DataFrame,
+                               idCol: String, textCol: String,
+                               maxHamming: Int = 3): DataFrame = {
+    // the batch id rides the band rows (no hash-collapse + join-back:
+    // the batch side is small, and re-joining the hash frame with its
+    // own band-derived candidates would self-join the same plan subtree)
+    val bh = batch.select(col(idCol).as("id"),
+      dHashStub(col(textCol)).as("bh"))
+    val bRows = bh.select(col("id"), col("bh"),
+        explode(bandKeys(col("bh"))).as("bk"))
+      .select(col("id"), col("bh"), col("bk.key").as("key"))
+    val ci = corpusIndex.select(col("h").as("ch"), col("key"))
+    bRows.join(ci, Seq("key"))
+      .select(col("id"), col("bh"), col("ch")).distinct()
+      .filter(hamming(col("bh"), col("ch")) <= maxHamming)
+      .select(col("id"), col("ch").as("corpus_h"),
+        hamming(col("bh"), col("ch")).as("hamming"))
+  }
+
   /** REAL (non-stub) image header parsing: container format + pixel
     * dimensions from the first bytes of a binary payload — PNG (IHDR),
     * GIF87a/89a (logical screen), and JPEG (SOF0/1/2 scan). Pure byte

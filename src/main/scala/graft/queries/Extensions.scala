@@ -2745,6 +2745,42 @@ object Extensions {
         k = 10, nlist = 16, iters = 2, nprobes = Seq(1, 2, 4))
     }),
 
+    // --- perceptual image dedup: dHash over the synthesized 9×7 pixel
+    // grids (decode stub), exact-dup collapse, 4×14-bit Hamming-band
+    // candidates, exact Hamming ≤ 3 verify
+    "q190_image_dhash" -> ((s, dir) =>
+      graft.functions.Multimodal.imageNearDupPairs(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")),
+
+    // --- persisted dHash band index + batch match (the q180 discipline
+    // on images): corpus hashes band into a key-bucketed tap, arriving
+    // images hash in-flight and join the index with no corpus-side
+    // exchange (plan-asserted), Hamming-verified
+    "q191_image_dhash_index" -> ((s, dir) => {
+      val table = stagedTable("graft_q191_dhashidx")
+      graft.queries.Tables.dropStagedTable(s, table)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+      val batch = docs.filter(col("doc_id") % 10 === 7)
+      graft.functions.Multimodal.dhashIndexTap(table, 8).write(
+        graft.functions.Multimodal.dhashIndex(corpus, "doc_id", "text"),
+        graft.sources.SinkMode.Replace)
+      val threshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val df = graft.functions.Multimodal.imageMatchesAgainstIndex(
+          s.table(table), batch, "doc_id", "text")
+        val plan = df.queryExecution.executedPlan.toString
+        val exchanges = "Exchange hashpartitioning\\(key".r
+          .findAllMatchIn(plan).size
+        require(exchanges == 1, s"index join must shuffle ONLY the batch " +
+          s"band keys (got $exchanges key-exchanges)")
+        require(plan.contains("SelectedBucketsCount"),
+          "corpus side must be the bucket-aware index scan")
+        df
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    }),
+
     // --- boundary-splitting packing: q128's bins, with straddling docs
     // exploded into per-bin fragments (what the loader materializes);
     // Σ frag_len per doc ≡ n_tok by construction
@@ -2951,6 +2987,37 @@ object Extensions {
      |SELECT s.doc_id, CAST(coalesce(a.n_tri, 0) AS BIGINT) AS n_tri,
      |  CAST(coalesce(a.sb, 0) AS BIGINT) AS sb_micros
      |FROM score s LEFT JOIN agg a USING (doc_id)""".stripMargin
+
+  /** DuckDB spelling of the perceptual-image pipeline: same 9×7 pixel
+    * synth (the decode stub), same MSB-first doubling fold to the 56-bit
+    * dHash (BIGINT bits — an INTEGER fold would overflow at bit 31). */
+  private lazy val dhashCtes: String = {
+    val MM = graft.functions.Multimodal
+    val (w, bits) = (MM.DHashW, MM.DHashBits)
+    s"""ipx AS MATERIALIZED (
+       |  SELECT doc_id, list_transform(range(0, ${w * MM.DHashH}), i ->
+       |    CAST(${dTokHash("t[(i % len(t)) + 1]")} % 256 AS INTEGER)) AS p
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+       |idh AS MATERIALIZED (
+       |  SELECT doc_id, list_reduce(
+       |    list_transform(range(${bits - 1}, -1, -1), i ->
+       |      CASE WHEN p[(i // ${w - 1}) * $w + (i % ${w - 1}) + 1]
+       |             < p[(i // ${w - 1}) * $w + (i % ${w - 1}) + 2]
+       |           THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END),
+       |    (acc, x) -> acc * 2 + x) AS h
+       |  FROM ipx)""".stripMargin
+  }
+
+  /** 4-band key rows (band folded into the key) over a relation exposing
+    * `h` — the oracle twin of Multimodal.dhashBandRows. */
+  private def dhashBandSql(src: String): String = {
+    val MM = graft.functions.Multimodal
+    (0 until MM.DHashBands).map { b =>
+      val div = 1L << (b * MM.DHashBandBits)
+      val base = b.toLong << MM.DHashBandBits
+      s"SELECT h, $b AS band, CAST($base + (h // $div) % ${1 << MM.DHashBandBits} AS BIGINT) AS key FROM $src"
+    }.mkString("\n  UNION ALL ")
+  }
 
   /** DuckDB spelling of the Cavnar–Trenkle profile classifier
     * ([[TA.langIdProfile]]): the reference profiles are the SAME Scala
@@ -3534,6 +3601,45 @@ object Extensions {
          |FROM documents d LEFT JOIN il$iRounds ON d.doc_id = il$iRounds.id
          |WHERE d.doc_id % 10 = 7""".stripMargin
     },
+
+    // perceptual image dedup: same pixel synth, MSB-first doubling fold,
+    // band-folded keys, exact-dup collapse, Hamming verify
+    "q190_image_dhash" ->
+      s"""WITH $dhashCtes,
+         |icnt AS MATERIALIZED (
+         |  SELECT h, CAST(count(*) AS BIGINT) AS n FROM idh GROUP BY 1),
+         |ib AS MATERIALIZED (
+         |  ${dhashBandSql("(SELECT h FROM icnt)")}),
+         |ipr AS MATERIALIZED (
+         |  SELECT DISTINCT a.h AS h1, b.h AS h2
+         |  FROM ib a JOIN ib b ON a.key = b.key AND a.h < b.h),
+         |isel AS (
+         |  SELECT h1, h2, CAST(bit_count(xor(h1, h2)) AS INTEGER) AS hamming
+         |  FROM ipr WHERE bit_count(xor(h1, h2)) <= 3)
+         |SELECT h1, h2, hamming, c1.n AS n1, c2.n AS n2
+         |FROM isel
+         |JOIN icnt c1 ON isel.h1 = c1.h
+         |JOIN icnt c2 ON isel.h2 = c2.h""".stripMargin,
+
+    // batch-vs-index image match: the same split as q180 (%10), corpus
+    // hashes banded, batch candidates Hamming-verified, reported per
+    // batch image id
+    "q191_image_dhash_index" ->
+      s"""WITH $dhashCtes,
+         |ch AS MATERIALIZED (
+         |  SELECT DISTINCT h FROM idh WHERE doc_id % 10 <> 7),
+         |cb AS MATERIALIZED (${dhashBandSql("ch")}),
+         |bh AS MATERIALIZED (
+         |  SELECT doc_id AS id, h AS bh FROM idh WHERE doc_id % 10 = 7),
+         |bdist AS MATERIALIZED (SELECT DISTINCT bh AS h FROM bh),
+         |bb AS MATERIALIZED (${dhashBandSql("bdist")}),
+         |cand AS MATERIALIZED (
+         |  SELECT DISTINCT b.h AS bh, c.h AS ch
+         |  FROM bb b JOIN cb c ON b.key = c.key
+         |  WHERE bit_count(xor(b.h, c.h)) <= 3)
+         |SELECT bh.id, cand.ch AS corpus_h,
+         |  CAST(bit_count(xor(cand.bh, cand.ch)) AS INTEGER) AS hamming
+         |FROM bh JOIN cand ON bh.bh = cand.bh""".stripMargin,
 
     // ANN recall audit: same Lloyd CTEs as q66/q131, exact top-10 via the
     // raw-float cosine (q28's spelling), one probe/score chain per nprobe,

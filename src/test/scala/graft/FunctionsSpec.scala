@@ -98,6 +98,45 @@ class FunctionsSpec extends SparkSpec {
     assert(one[Int](TA.qualityScore(col("text")), "!!!") >= 0)
   }
 
+  test("dHash: identical texts collide, one-token edits stay within a " +
+    "few bits, unrelated texts are far; banding finds close pairs") {
+    import graft.functions.Multimodal
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "walks away into the quiet forest before dawn breaks over hills"
+    val near = base.replace("quiet", "silent")
+    val far = "completely different content about spark query engines " +
+      "columnar execution vectorized operators and shuffle planning"
+    val df = Seq((1L, base), (2L, base), (3L, near), (4L, far))
+      .toDF("doc_id", "text")
+    val hs = df.select(col("doc_id"),
+        Multimodal.dHash(Multimodal.pixelGridStub(col("text"))).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hs(1L) == hs(2L), "identical texts must collide exactly")
+    assert(hs.values.forall(h => h >= 0L && h < (1L << 56)),
+      "56-bit hashes stay in positive int64")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hs(1L), hs(3L)) <= 16,
+      s"one-token edit moved ${ham(hs(1L), hs(3L))} bits")
+    assert(ham(hs(1L), hs(4L)) > 16,
+      s"unrelated text only ${ham(hs(1L), hs(4L))} bits away")
+    // the banded pair path surfaces exact dups via multiplicities and
+    // close pairs via shared band keys
+    val pairs = Multimodal.imageNearDupPairs(df, "doc_id", "text",
+      maxHamming = 16).collect()
+    assert(pairs.forall(_.getInt(2) <= 16))
+    // fused kernel ≡ composed HOF reference, on fixtures AND corpus docs
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).unionAll(df)
+    val diff = corpus.select(
+      Multimodal.dHashStub(col("text")).as("k"),
+      Multimodal.dHash(Multimodal.pixelGridStub(col("text"))).as("r"))
+      .filter(col("k") =!= col("r")).count()
+    assert(diff == 0, s"kernel diverged from HOF reference on $diff docs")
+    assert(Multimodal.DHashW == 9 && Multimodal.DHashH == 7,
+      "kernel constants are duplicated in DHashStub — update both")
+  }
+
   test("image header parsing reads PNG/GIF/JPEG dimensions from raw bytes") {
     import graft.functions.Multimodal.imageDims
     // minimal PNG: signature + IHDR length/type + 640x480 dims
