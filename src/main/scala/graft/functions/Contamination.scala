@@ -50,11 +50,20 @@ object Contamination {
     * aggregates the matrix. Output: (src_a, src_b, shared_ngrams),
     * src_a < src_b. */
   def sourceOverlapMatrix(docs: DataFrame, textCol: String, srcCol: String,
-                          n: Int = 8): DataFrame = {
+                          n: Int = 8): DataFrame =
+    pairMatrixOf(
+      sourceGramRows(docs, textCol, srcCol, n)
+        .groupBy(col("h"))
+        .agg(sort_array(collect_set(col("source"))).as("ss")))
+
+  /** Distinct (source, h) 40-bit n-gram membership rows — the shared
+    * scan of the from-scratch matrix and the persisted index build. */
+  def sourceGramRows(docs: DataFrame, textCol: String, srcCol: String,
+                     n: Int): DataFrame =
     // token array materialized BEFORE the lambda: referencing the split()
     // subtree inside transform re-evaluates it per position (O(len²) per
     // row); as an attribute it splits once and the slices stay linear
-    val hs = docs
+    docs
       .select(col(srcCol).as("source"), split(col(textCol), " ").as("__t"))
       .filter(size(col("__t")) >= n)
       .select(col("source"),
@@ -62,14 +71,63 @@ object Contamination {
           i => graft.catalyst.Md5Prefix40(
             concat_ws(" ", slice(col("__t"), i, lit(n)))))).as("h"))
       .distinct()
-    hs.groupBy(col("h"))
-      .agg(sort_array(collect_set(col("source"))).as("ss"))
+
+  /** Sorted-pair explode + count over a (h, ss sorted source set) table:
+    * the matrix aggregation both variants share. */
+  private def pairMatrixOf(sets: DataFrame): DataFrame =
+    sets
       .filter(size(col("ss")) >= 2)
       .select(explode(flatten(transform(col("ss"), (x, i) =>
         transform(slice(col("ss"), i + lit(2), size(col("ss"))), y =>
           struct(x.as("src_a"), y.as("src_b")))))).as("p"))
       .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
       .agg(count(lit(1)).as("shared_ngrams"))
+
+  /** Corpus (h, source-set) index rows for persistence through a
+    * BucketedTap keyed by h — the q159 treatment applied to the
+    * contamination matrix: the corpus's gram scan is paid once per
+    * refresh, and every new crawl's matrix recompute reads the corpus
+    * ONLY through this table. */
+  def sourceGramIndex(docs: DataFrame, textCol: String, srcCol: String,
+                      n: Int = 8): DataFrame =
+    sourceGramRows(docs, textCol, srcCol, n)
+      .groupBy(col("h"))
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+
+  def sourceGramIndexTap(table: String, buckets: Int): graft.sources.BucketedTap =
+    graft.sources.BucketedTap(table, buckets, Seq("h"))
+
+  /** The FULL-corpus contamination matrix at index cadence: batch grams
+    * full-outer-join the persisted (h, source-set) index on its bucket
+    * column (corpus side plans with NO exchange — the q180 discipline,
+    * assertable in-query), per-hash sets merge by array union, and the
+    * same sorted-pair explode aggregates the matrix. Result is
+    * EXACTLY [[sourceOverlapMatrix]] over old ∪ batch — the oracle gates
+    * that identity — without rescanning the corpus text. */
+  def sourceOverlapMatrixIndexed(corpusIndex: DataFrame, batch: DataFrame,
+                                 textCol: String, srcCol: String,
+                                 n: Int = 8, indexBuckets: Int = 8,
+                                 assertBucketScan: Boolean = false): DataFrame = {
+    // repartition to the INDEX's bucket count before the set aggregate:
+    // the aggregation then reuses that partitioning AND the join aligns
+    // with the bucketed scan — otherwise the plan pays a second
+    // h-exchange re-aligning 32 aggregate partitions to 8 buckets
+    val bs = sourceGramRows(batch, textCol, srcCol, n)
+      .repartition(indexBuckets, col("h"))
+      .groupBy(col("h")).agg(sort_array(collect_set(col("source"))).as("bss"))
+    val joined = corpusIndex.join(bs, Seq("h"), "full_outer")
+    if (assertBucketScan) {
+      val plan = joined.queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning\\(h".r
+        .findAllMatchIn(plan).size
+      require(exchanges == 1, s"indexed matrix must shuffle ONLY the " +
+        s"batch gram sets (got $exchanges h-exchanges)")
+      require(plan.contains("SelectedBucketsCount"),
+        "corpus side must be the bucket-aware index scan")
+    }
+    pairMatrixOf(joined.select(array_sort(array_union(
+      coalesce(col("ss"), lit(Array.empty[String])),
+      coalesce(col("bss"), lit(Array.empty[String])))).as("ss")))
   }
 
   /** DuckDB n-gram list over whitespace tokens — exact mirror of

@@ -2064,6 +2064,30 @@ object Extensions {
       graft.functions.Contamination.sourceOverlapMatrix(
         s.read.parquet(s"$dir/documents.parquet"), "text", "source", n = 8)),
 
+    // --- q149 at INDEX CADENCE (the q159 treatment): the corpus's
+    // (h, source-set) rows persist bucketed by h; a new crawl's matrix
+    // recompute full-outer-joins the index (zero corpus-side exchange,
+    // plan-asserted), merges sets by union, and must equal the
+    // from-scratch q149 matrix over old ∪ batch — the oracle IS q149's
+    "q192_source_overlap_indexed" -> ((s, dir) => {
+      val table = stagedTable("graft_q192_gramidx")
+      graft.queries.Tables.dropStagedTable(s, table)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+      val batch = docs.filter(col("doc_id") % 10 === 7)
+      graft.functions.Contamination.sourceGramIndexTap(table, 8).write(
+        graft.functions.Contamination.sourceGramIndex(
+          corpus, "text", "source", n = 8),
+        graft.sources.SinkMode.Replace)
+      val threshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        graft.functions.Contamination.sourceOverlapMatrixIndexed(
+          s.table(table), batch, "text", "source", n = 8,
+          assertBucketScan = true)
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    }),
+
     // --- BPE merge induction (tokenizer training). The corpus is scanned
     // ONCE into the word-frequency table; all 8 merge iterations run over
     // that vocab-sized table with a one-row driver carry each (the Lloyd
@@ -4845,6 +4869,21 @@ object Extensions {
     // collapses to distinct (source, h) rows first, so count(*) per pair
     // = distinct shared hashes — identical to the set-explode count
     "q149_source_overlap" ->
+      """WITH g AS (
+        |  SELECT DISTINCT source,
+        |    CAST(concat('0x', substr(md5(
+        |      array_to_string(t[pos:pos+7], ' ')), 1, 10)) AS BIGINT) AS h
+        |  FROM (SELECT source, string_split(text, ' ') AS t FROM documents) d,
+        |    LATERAL (SELECT unnest(range(1, len(t) - 6)) AS pos) p
+        |  WHERE len(t) >= 8)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |  CAST(count(*) AS BIGINT) AS shared_ngrams
+        |FROM g a JOIN g b ON a.h = b.h AND a.source < b.source
+        |GROUP BY 1, 2""".stripMargin,
+
+    // the indexed path must reproduce the from-scratch full-corpus
+    // matrix exactly — same oracle text as q149
+    "q192_source_overlap_indexed" ->
       """WITH g AS (
         |  SELECT DISTINCT source,
         |    CAST(concat('0x', substr(md5(
