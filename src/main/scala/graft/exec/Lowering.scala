@@ -223,9 +223,21 @@ final class Lowering(spark: SparkSession, keepAssertions: Boolean = true,
       lower(prev).drop(fields: _*)
 
     case RenamePipe(prev, pairs) =>
-      pairs.foldLeft(lower(prev)) { case (df, (from, to)) =>
-        df.withColumnRenamed(from, to)
-      }
+      // ATOMIC over the pair list (the cascading.pipe.assembly.Rename
+      // contract): rename((a,b),(b,a)) is a field SWAP. The old
+      // sequential withColumnRenamed fold made the first step collide
+      // with the still-present target column and silently produced
+      // duplicate names — found porting the swap corner.
+      val df = lower(prev)
+      val m = pairs.toMap
+      val missing = m.keySet -- df.columns.toSet
+      require(missing.isEmpty,
+        s"rename: no such field(s): ${missing.mkString(", ")}")
+      val out = df.columns.map(c => m.getOrElse(c, c))
+      require(out.distinct.length == out.length,
+        s"rename: target names collide: ${out.mkString(", ")}")
+      df.select(df.columns.zip(out).map {
+        case (c, t) => df.col(c).as(t) }: _*)
 
     case CoercePipe(prev, fields) =>
       fields.foldLeft(lower(prev)) { case (df, (f, t)) =>
@@ -400,6 +412,13 @@ final class Lowering(spark: SparkSession, keepAssertions: Boolean = true,
           .filterNot(resultNames.contains).map(df.col)
         df.select(keep ++ named: _*)
       case Replace =>
+        // a result whose name matches no incoming field has nothing to
+        // replace — upstream REPLACE fails such flows at plan time, and
+        // silently dropping the result column would be data loss
+        val stray = resultNames.filterNot(incoming.contains)
+        require(stray.isEmpty, s"REPLACE output selector: result field(s) " +
+          s"${stray.mkString(", ")} name no incoming field to replace " +
+          s"(incoming: ${incoming.mkString(", ")})")
         val m = resultNames.zip(results).toMap
         df.select(incoming.map(n => m.get(n).map(_.as(n)).getOrElse(df.col(n))): _*)
       case Args =>

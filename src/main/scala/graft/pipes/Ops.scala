@@ -191,18 +191,25 @@ final case class SqlFilter(sql: String) extends CFilter {
 
 /** Logical filter combinators — Cascading `operation.filter.{And,Or,Not,Xor}`.
   * Children see the same argument columns, matching Cascading's shared
-  * argument selector semantics. */
+  * argument selector semantics.
+  *
+  * The upstream combinators compose `isRemove`, NOT keep: `And` REMOVES a
+  * tuple iff ALL children would remove it (keep = OR of keeps), `Or`
+  * removes iff ANY child removes (keep = AND of keeps), `Xor` removes iff
+  * exactly one child removes (keep = keeps equal). Counter-intuitive but
+  * contractual — this port originally composed keep directly (swapping
+  * And/Or and inverting Xor), caught by the Logic conformance corner. */
 final case class AndFilter(filters: CFilter*) extends CFilter {
-  def keep(args: Seq[Column]): Column = filters.map(_.keep(args)).reduce(_ && _)
+  def keep(args: Seq[Column]): Column = filters.map(_.keep(args)).reduce(_ || _)
 }
 final case class OrFilter(filters: CFilter*) extends CFilter {
-  def keep(args: Seq[Column]): Column = filters.map(_.keep(args)).reduce(_ || _)
+  def keep(args: Seq[Column]): Column = filters.map(_.keep(args)).reduce(_ && _)
 }
 final case class NotFilter(f: CFilter) extends CFilter {
   def keep(args: Seq[Column]): Column = !f.keep(args)
 }
 final case class XorFilter(a: CFilter, b: CFilter) extends CFilter {
-  def keep(args: Seq[Column]): Column = a.keep(args) =!= b.keep(args)
+  def keep(args: Seq[Column]): Column = a.keep(args) === b.keep(args)
 }
 
 // ---------------------------------------------------------------------------

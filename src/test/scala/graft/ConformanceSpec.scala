@@ -979,4 +979,221 @@ class ConformanceSpec extends SparkSpec {
       Seq(1, "c", 1, "a"), Seq(1, "c", 1, "c"),
       Seq(2, "b", 2, "b")))
   }
+
+  // cascading.pipe.assembly.Rename contract: the rename is ATOMIC over
+  // the field-name pair list — rename(("a","b"),("b","a")) SWAPS the two
+  // fields. (Divergence found by this port: a sequential per-pair rename
+  // collides with the still-present target name and silently duplicates
+  // columns — Lowering now renames via one atomic projection.)
+  test("rename swaps two field names atomically") {
+    val df = Seq((1, "x"), (2, "y")).toDF("a", "b")
+    val p = pipe(df).rename("a" -> "b", "b" -> "a")
+    val out = Flow.toDF(p)
+    assert(out.columns.toSeq == Seq("b", "a"))
+    assert(rows(p) == Set(Seq(1, "x"), Seq(2, "y")))
+    // renaming a missing field fails directed at plan time
+    val e = intercept[IllegalArgumentException] {
+      Flow.toDF(pipe(df).rename("zz" -> "q"))
+    }
+    assert(e.getMessage.contains("zz"))
+  }
+
+  // REPLACE output-selector contract: every result field must NAME an
+  // incoming field to replace — a stray result has nothing to overwrite
+  // and upstream fails the flow at plan time (silently dropping it would
+  // be data loss).
+  test("REPLACE with a result field naming no incoming field fails " +
+    "directed at plan time") {
+    val df = Seq((1, "a")).toDF("num", "ch")
+    val e = intercept[IllegalArgumentException] {
+      Flow.toDF(pipe(df).each(
+        ExpressionFunction("nosuch", "num + 1", IntegerType),
+        args = FieldSelector("num"), out = FieldSelector.Replace))
+    }
+    assert(e.getMessage.contains("nosuch"))
+  }
+
+  // SortedValuesPlatformTest.testComparatorValues: a CUSTOM field
+  // comparator on the secondary sort. The documented Spark mapping
+  // (SURVEY.md §1.3) is a derived sort-key EXPRESSION — here "order
+  // strings by numeric value", which disagrees with both lexical and
+  // arrival order, ascending and descending.
+  test("custom comparator sorting: secondary sort by a derived " +
+    "expression, both directions") {
+    val df = Seq(("g", "10"), ("g", "9"), ("g", "111"), ("h", "2"),
+      ("h", "12")).toDF("k", "w")
+    def seqOf(asc: Boolean) = {
+      val p = pipe(df)
+        .groupBySorted(Seq("k"), Seq("CAST(w AS INT)" -> asc))
+        .buffer(new CBuffer {
+          val resultFields = CFields.typed("seq" -> StringType)
+          def operate(key: Seq[Any], rows0: Iterator[Row]) =
+            Iterator.single(Seq(rows0.map(_.getString(1)).mkString(",")))
+        })
+      rows(p)
+    }
+    assert(seqOf(true) == Set(Seq("g", "9,10,111"), Seq("h", "2,12")))
+    assert(seqOf(false) == Set(Seq("g", "111,10,9"), Seq("h", "12,2")))
+  }
+
+  // SortedValuesPlatformTest grouping-comparator corner
+  // (Fields.setComparator on the GROUPING field changes key
+  // equivalence — e.g. case-insensitive grouping). Spark mapping: a
+  // derived grouping key column inserted before the GroupBy, original
+  // field carried through as a value.
+  test("custom comparator grouping: case-insensitive key equivalence " +
+    "via a derived grouping key") {
+    val df = Seq(("Ab", 1), ("aB", 2), ("cd", 4), ("CD", 8))
+      .toDF("w", "v")
+    val p = pipe(df)
+      .each(ExpressionFunction("wk", "lower(w)", StringType),
+        args = FieldSelector("w"), out = FieldSelector.All)
+      .groupBy("wk").every(Aggs.sum("v", "s"), Aggs.count("n"))
+    assert(rows(p) == Set(Seq("ab", 3L, 2L), Seq("cd", 12L, 2L)))
+  }
+
+  // SortedValuesPlatformTest.testCoGroupComparatorValues with a CUSTOM
+  // comparator: the derived sort-key column is inserted on each side
+  // BEFORE the sorted cogroup and declared as that side's order — the
+  // same mapping as the grouping corner, applied to both iterators.
+  test("sorted cogroup under a derived-expression comparator orders " +
+    "both sides numerically") {
+    val left = Seq(("g", "10", "l10"), ("g", "9", "l9"))
+      .toDF("k", "s", "lv")
+    val right = Seq(("g", "111", "r111"), ("g", "20", "r20"))
+      .toDF("k2", "t", "rv")
+    val lp = pipe(left).each(
+      ExpressionFunction("sn", "CAST(s AS INT)", IntegerType),
+      args = FieldSelector("s"), out = FieldSelector.All)
+    val rp = pipe(right).each(
+      ExpressionFunction("tn", "CAST(t AS INT)", IntegerType),
+      args = FieldSelector("t"), out = FieldSelector.All)
+    val p = lp.bufferJoinSorted(Seq("k"), rp, Seq("k2"),
+      leftSort = Seq("sn" -> true), rightSort = Seq("tn" -> false),
+      CFields.typed("k" -> StringType, "lseq" -> StringType,
+        "rseq" -> StringType),
+      (key, ls, rs) => Iterator.single(Seq(key.head,
+        ls.map(_.getString(2)).mkString(","),
+        rs.map(_.getString(2)).mkString(","))))
+    assert(rows(p) == Set(Seq("g", "l9,l10", "r111,r20")))
+  }
+
+  // JoinFieldedPipesPlatformTest.testJoinAroundJoinRightMost: the first
+  // HashJoin's output becomes the ACCUMULATED (build) side of the
+  // second — the previous chain corner streams it; this one broadcasts
+  // a broadcast result.
+  test("hashJoin output as the accumulated side of a second hashJoin") {
+    val a = Seq((1, "a1"), (2, "a2")).toDF("k", "av")
+    val b = Seq((1, "b1"), (2, "b2")).toDF("kb", "bv")
+    val c = Seq((1, "c1"), (2, "c2"), (3, "c3")).toDF("kc", "cv")
+    val inner = pipe(a).hashJoin(Seq("k"), pipe(b), Seq("kb"))
+    val p = pipe(c).hashJoin(Seq("kc"), inner, Seq("k"))
+    assert(rows(p) == Set(
+      Seq(1, "c1", 1, "a1", 1, "b1"),
+      Seq(2, "c2", 2, "a2", 2, "b2")))
+  }
+
+  // JoinFieldedPipesPlatformTest.testJoinSamePipe: both join sides read
+  // the SAME TAP as independent pipes (not a split) — the self-join
+  // must pair per key exactly like distinct sources.
+  test("hashJoin of two independent reads of one tap self-joins per key") {
+    val df = Seq((1, "a"), (2, "b"), (1, "c")).toDF("k", "v")
+    val l = pipe(df)
+    val r = pipe(df).rename("k" -> "k2", "v" -> "v2")
+    val p = l.hashJoin(Seq("k"), r, Seq("k2"))
+    assert(rows(p) == Set(
+      Seq(1, "a", 1, "a"), Seq(1, "a", 1, "c"),
+      Seq(1, "c", 1, "a"), Seq(1, "c", 1, "c"),
+      Seq(2, "b", 2, "b")))
+  }
+
+  // CoGroupFieldedPipesPlatformTest outer-join field independence: a
+  // CoGroup on DIFFERENTLY-NAMED keys keeps both key columns, and OUTER
+  // padding nulls each side's keys independently (upstream emits the
+  // full declared tuple with nulls on the absent side).
+  test("outer coGroup on differently-named keys pads each side's key " +
+    "column independently") {
+    val l = Seq((1, "a"), (2, "b")).toDF("num", "v")
+    val r = Seq((2, "B"), (3, "C")).toDF("id", "w")
+    val p = pipe(l).coGroup(Seq("num"), pipe(r), Seq("id"), Joiner.Outer)
+    assert(rows(p) == Set(
+      Seq(1, "a", null, null),
+      Seq(2, "b", 2, "B"),
+      Seq(null, null, 3, "C")))
+  }
+
+  // cascading.operation.filter.Logic (And over legs with DISTINCT
+  // argument selectors): upstream And/Or accept (selector, filter)
+  // pairs; the port's documented equivalent composes ExpressionFilters
+  // whose expressions each name their own argument fields.
+  test("composed And/Not filters referencing different fields") {
+    val df = Seq((1, "a"), (5, "a"), (1, "z"), (5, "z")).toDF("n", "c")
+    // REMOVE rows where (n > 3) AND NOT(c = 'z') — keeps everything else
+    val p = pipe(df).filterBy(AndFilter(
+      ExpressionFilter("n > 3", removeMatch = true),
+      NotFilter(ExpressionFilter("c = 'z'"))))
+    assert(rows(p) == Set(Seq(1, "a"), Seq(1, "z"), Seq(5, "z")))
+  }
+
+  // JoinFieldedPipesPlatformTest.testJoinSamePipeAroundGroupBy: one
+  // branch of a split aggregates, the other does not, and a HashJoin
+  // re-joins them — the asymmetric split-join diamond.
+  test("split-join diamond: raw branch hashJoins its own aggregate") {
+    val df = Seq(("a", 1), ("a", 2), ("b", 5)).toDF("k", "v")
+    val base = pipe(df)
+    val agg = base.groupBy("k").every(Aggs.sum("v", "s"))
+      .rename("k" -> "ka")
+    val p = base.hashJoin(Seq("k"), agg, Seq("ka"))
+    assert(rows(p) == Set(
+      Seq("a", 1, "a", 3L), Seq("a", 2, "a", 3L), Seq("b", 5, "b", 5L)))
+  }
+
+  // cascading.pipe.assembly.Unique contract: dedup by a FIELD SUBSET
+  // keeps whole first tuples — the output schema retains every field,
+  // one row per key, and each emitted row is one of that key's input
+  // rows verbatim.
+  test("unique by a subset keeps one whole tuple per key from the " +
+    "key's own rows") {
+    val df = Seq((1, "a"), (1, "b"), (2, "c")).toDF("k", "v")
+    val p = pipe(df).unique("k")
+    val out = Flow.toDF(p)
+    assert(out.columns.toSeq == Seq("k", "v"))
+    val got = out.collect().map(_.toSeq)
+    assert(got.map(_.head).toSet == Set(1, 2))
+    assert(got.length == 2)
+    val byKey = Map(1 -> Set("a", "b"), 2 -> Set("c"))
+    got.foreach { r =>
+      assert(byKey(r.head.asInstanceOf[Int])
+        .contains(r(1).asInstanceOf[String]))
+    }
+  }
+
+  // Discard-after-Every (the Discard assembly on an aggregation
+  // result): dropping the grouping key keeps only aggregate columns.
+  test("discard of the grouping key after aggregation") {
+    val df = Seq(("a", 1), ("a", 2), ("b", 5)).toDF("k", "v")
+    val p = pipe(df).groupBy("k").every(Aggs.sum("v", "s")).discard("k")
+    val out = Flow.toDF(p)
+    assert(out.columns.toSeq == Seq("s"))
+    assert(rows(p) == Set(Seq(3L), Seq(5L)))
+  }
+
+  // FieldedPipesPlatformTest.testSameSourceMerge: the SAME tap read as
+  // two independent pipes and merged — the union must double the
+  // multiset (not dedupe, not collapse the shared scan's rows).
+  test("merge of two independent reads of one tap doubles the multiset") {
+    val df = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    val p = pipe(df).merge(pipe(df)).groupBy("k").every(Aggs.count("n"))
+    assert(rows(p) == Set(Seq(1, 2L), Seq(2, 2L)))
+  }
+
+  // Every with the GROUP KEY among its argument fields: upstream allows
+  // aggregator args to include grouping fields (count of distinct key
+  // occurrences rides the key column itself).
+  test("aggregator arguments may include the grouping key") {
+    val df = Seq(("a", 1), ("a", 2), ("b", 5)).toDF("k", "v")
+    val p = pipe(df).groupBy("k")
+      .every(Aggs.countArg("k", "nk"), Aggs.max("v", "mx"))
+    assert(rows(p) == Set(Seq("a", 2L, 2), Seq("b", 1L, 5)))
+  }
 }

@@ -74,17 +74,23 @@ class LoweringSpec extends SparkSpec {
     assert(rows(p).map(_.head) == Set(1, 4))
   }
 
-  test("And/Or/Not/Xor filter combinators compose over shared args") {
+  test("And/Or/Not/Xor filter combinators compose isRemove (upstream " +
+    "Logic contract)") {
     val gt1 = SqlFilter("num > 1")
     val isB = RegexFilter("^b")
     def nums(f: CFilter, args: FieldSelector = FieldSelector.All) =
       Flow.toDF(pipe(lhs).filterBy(f, args))
         .collect().map(_.getInt(0)).sorted.toSeq
-    assert(nums(AndFilter(gt1, SqlFilter("num < 4"))) == Seq(2, 2))
-    assert(nums(OrFilter(SqlFilter("num = 1"), SqlFilter("num = 4"))) == Seq(1, 4))
+    // And removes iff ALL children remove: remove iff num<=1 AND num>=4
+    // — never, so every row survives
+    assert(nums(AndFilter(gt1, SqlFilter("num < 4"))) == Seq(1, 2, 2, 4))
+    // Or removes iff ANY child removes: remove iff num<>1 OR num<>4 —
+    // always, so nothing survives
+    assert(nums(OrFilter(SqlFilter("num = 1"), SqlFilter("num = 4"))) == Seq())
     assert(nums(NotFilter(gt1)) == Seq(1))
-    // xor: (num > 1) != (ch starts with b) → num=4 (true,false), num=1 (false,false)→drop
-    assert(nums(XorFilter(gt1, SqlFilter("ch like 'b%'"))) == Seq(4))
+    // Xor removes iff EXACTLY ONE child removes: (num>1) vs (ch like b%)
+    // disagree only at num=4 (keep, remove) — it alone is removed
+    assert(nums(XorFilter(gt1, SqlFilter("ch like 'b%'"))) == Seq(1, 2, 2))
     assert(nums(isB, FieldSelector("ch")) == Seq(2, 2))
   }
 
