@@ -65,7 +65,14 @@ object ScaleRehearsal {
     // while component diameter does not) and its incremental maintenance
     // counterpart (subgraph propagation: cost tracks the batch, not the
     // corpus)
-    "q186_winnow_clusters", "q187_winnow_incremental")
+    "q186_winnow_clusters", "q187_winnow_incremental",
+    // round-9 second wave: the kernelized profile classifier (scan-shaped
+    // — ratio should track the corpus scan), the ANN recall audit (exact
+    // leg is probes × corpus — the known-quadratic audit job, run at
+    // refresh cadence), perceptual image dedup + its index path, and the
+    // indexed contamination matrix
+    "q188_langid_profile", "q189_ann_recall", "q190_image_dhash",
+    "q191_image_dhash_index", "q192_source_overlap_indexed")
 
   def main(args: Array[String]): Unit = {
     val small = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

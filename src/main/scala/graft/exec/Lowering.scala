@@ -220,7 +220,15 @@ final class Lowering(spark: SparkSession, keepAssertions: Boolean = true,
       lower(prev).select(fields.map(col): _*)
 
     case DiscardPipe(prev, fields) =>
-      lower(prev).drop(fields: _*)
+      // Spark's drop() silently ignores unknown names; upstream Discard
+      // resolves its field selector at plan time and FAILS on a missing
+      // field — a typo'd discard keeping a column alive would otherwise
+      // ship silently
+      val df0 = lower(prev)
+      val missing = fields.filterNot(df0.columns.contains)
+      require(missing.isEmpty,
+        s"discard: no such field(s): ${missing.mkString(", ")}")
+      df0.drop(fields: _*)
 
     case RenamePipe(prev, pairs) =>
       // ATOMIC over the pair list (the cascading.pipe.assembly.Rename

@@ -722,7 +722,14 @@ object Dedup {
     * discipline applied to winnowing. */
   def winnowIndex(df: DataFrame, idCol: String = "doc_id",
                   textCol: String = "text", n: Int = 4, w: Int = 4): DataFrame =
+    // DISTINCT at build time: a hash selected at several positions of one
+    // doc is ONE membership fact. The build pays the dedup shuffle once
+    // per refresh; every consumer (match counts, family propagation,
+    // incremental adoption) then reads minimal rows and skips its own
+    // distinct. Match semantics are unchanged (consumers count DISTINCT
+    // hashes already).
     winnow(df, idCol, textCol, n, w).select(col(idCol).as("id"), col("h"))
+      .distinct()
 
   def winnowIndexTap(table: String, buckets: Int): graft.sources.BucketedTap =
     graft.sources.BucketedTap(table, buckets, Seq("h"))

@@ -1196,4 +1196,68 @@ class ConformanceSpec extends SparkSpec {
       .every(Aggs.countArg("k", "nk"), Aggs.max("v", "mx"))
     assert(rows(p) == Set(Seq("a", 2L, 2), Seq("b", 1L, 5)))
   }
+
+  // FieldedPipesPlatformTest.testSplitOut: the two branches of a split
+  // apply DIFFERENT Each transforms, align schemas, and merge — the
+  // asymmetric split-merge (the existing corner merges identical
+  // branches).
+  test("split branches diverge through different Eaches then merge") {
+    val df = Seq((1, "a"), (2, "b")).toDF("num", "ch")
+    val base = pipe(df)
+    val doubled = base.each(
+      ExpressionFunction("v", "num * 2", IntegerType),
+      args = FieldSelector("num"), out = FieldSelector.Results)
+    val negated = base.each(
+      ExpressionFunction("v", "-num", IntegerType),
+      args = FieldSelector("num"), out = FieldSelector.Results)
+    val p = doubled.merge(negated)
+    assert(rows(p) == Set(Seq(2), Seq(4), Seq(-1), Seq(-2)))
+  }
+
+  // CoGroup nesting on the RIGHT: a CoGroup whose RIGHT input is itself
+  // a CoGroup (the existing join-around-join corner nests on the left).
+  test("CoGroup whose right input is a CoGroup") {
+    val a = Seq((1, "a1"), (2, "a2")).toDF("ka", "av")
+    val b = Seq((1, "b1"), (2, "b2")).toDF("kb", "bv")
+    val c = Seq((1, "c1"), (3, "c3")).toDF("kc", "cv")
+    val inner = pipe(b).coGroup(Seq("kb"), pipe(c), Seq("kc"))
+    val p = pipe(a).coGroup(Seq("ka"), inner, Seq("kb"))
+    assert(rows(p) == Set(Seq(1, "a1", 1, "b1", 1, "c1")))
+  }
+
+  // HashJoin LEFT-joiner contract: unmatched streamed rows survive with
+  // null padding, and duplicate build-side keys still cross per key.
+  test("hashJoin left joiner pads unmatched rows and crosses dup build " +
+    "keys") {
+    val l = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
+    val r = Seq((1, "X"), (1, "Y")).toDF("k2", "w")
+    val p = pipe(l).hashJoin(Seq("k"), pipe(r), Seq("k2"), Joiner.Left)
+    assert(rows(p) == Set(
+      Seq(1, "a", 1, "X"), Seq(1, "a", 1, "Y"),
+      Seq(2, "b", null, null), Seq(3, "c", null, null)))
+  }
+
+  // cascading.pipe.assembly.Retain contract: the retained fields come
+  // out in the DECLARED order (retain is a projection, not a mask).
+  test("retain projects the declared fields in declared order") {
+    val df = Seq((1, "a", true)).toDF("num", "ch", "fl")
+    val p = pipe(df).retain("fl", "num")
+    val out = Flow.toDF(p)
+    assert(out.columns.toSeq == Seq("fl", "num"))
+    assert(rows(p) == Set(Seq(true, 1)))
+  }
+
+  // Discard of an unknown field fails DIRECTED at plan time (upstream
+  // resolves field selectors eagerly; Spark's drop() is silently lenient
+  // — a typo'd discard would keep the column alive. Divergence found by
+  // this corner; Lowering now validates).
+  test("discard of an unknown field fails directed at plan time") {
+    val df = Seq((1, "a")).toDF("num", "ch")
+    val e = intercept[IllegalArgumentException] {
+      Flow.toDF(pipe(df).discard("nosuch"))
+    }
+    assert(e.getMessage.contains("nosuch"))
+    // and the valid discard still works
+    assert(Flow.toDF(pipe(df).discard("ch")).columns.toSeq == Seq("num"))
+  }
 }
