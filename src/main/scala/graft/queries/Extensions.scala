@@ -2805,6 +2805,55 @@ object Extensions {
       } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
     }),
 
+    // --- streaming image arrivals against the persisted dHash index
+    // (the q182 discipline on q191): 3 micro-batches hash IN-STREAM
+    // (DHashStub is scan-local → stateless append, no watermark) and
+    // stream-static join the key-bucketed index; the multi-band dedup +
+    // Hamming verify run batch over the sink (streaming distinct would
+    // need state). Oracle = q191's — the stream must flag exactly what
+    // the batch path flags.
+    "q193_stream_image_dhash" -> ((s, dir) => {
+      val MM = graft.functions.Multimodal
+      val table = stagedTable("graft_q193_dhashidx")
+      graft.queries.Tables.dropStagedTable(s, table)
+      val (in, out, chk) = freshStreamDirs("graft_q193_stream")
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      MM.dhashIndexTap(table, 8).write(
+        MM.dhashIndex(docs.filter(col("doc_id") % 10 =!= 7),
+          "doc_id", "text"),
+        graft.sources.SinkMode.Replace)
+      val batch = docs.filter(col("doc_id") % 10 === 7)
+      stageSliced(in, Seq(
+        batch.filter(col("doc_id") % 30 === 7),
+        batch.filter(col("doc_id") % 30 === 17),
+        batch.filter(col("doc_id") % 30 === 27)))
+      withStreamPartitions(s, 8) {
+        val index = s.table(table).select(col("h").as("ch"), col("key"))
+        val stream = graft.streaming.StreamOps.readStream(s, in,
+          batch.schema, Map("maxFilesPerTrigger" -> "1"))
+        val matched = stream
+          .select(col("doc_id").as("id"), MM.dHashStub(col("text")).as("bh"))
+          .select(col("id"), col("bh"),
+            explode(MM.bandKeys(col("bh"))).as("bk"))
+          .select(col("id"), col("bh"), col("bk.key").as("key"))
+          .join(index, Seq("key"))
+          .select(col("id"), col("bh"), col("ch"))
+        val q = matched.writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+          .format("parquet").option("path", out)
+          .option("checkpointLocation", chk)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.read.parquet(out).select(col("id"), col("bh"), col("ch"))
+        .distinct()
+        .filter(MM.hamming(col("bh"), col("ch")) <= 3)
+        .select(col("id"), col("ch").as("corpus_h"),
+          MM.hamming(col("bh"), col("ch")).as("hamming"))
+    }),
+
     // --- boundary-splitting packing: q128's bins, with straddling docs
     // exploded into per-bin fragments (what the loader materializes);
     // Σ frag_len per doc ≡ n_tok by construction
@@ -3649,6 +3698,25 @@ object Extensions {
     // hashes banded, batch candidates Hamming-verified, reported per
     // batch image id
     "q191_image_dhash_index" ->
+      s"""WITH $dhashCtes,
+         |ch AS MATERIALIZED (
+         |  SELECT DISTINCT h FROM idh WHERE doc_id % 10 <> 7),
+         |cb AS MATERIALIZED (${dhashBandSql("ch")}),
+         |bh AS MATERIALIZED (
+         |  SELECT doc_id AS id, h AS bh FROM idh WHERE doc_id % 10 = 7),
+         |bdist AS MATERIALIZED (SELECT DISTINCT bh AS h FROM bh),
+         |bb AS MATERIALIZED (${dhashBandSql("bdist")}),
+         |cand AS MATERIALIZED (
+         |  SELECT DISTINCT b.h AS bh, c.h AS ch
+         |  FROM bb b JOIN cb c ON b.key = c.key
+         |  WHERE bit_count(xor(b.h, c.h)) <= 3)
+         |SELECT bh.id, cand.ch AS corpus_h,
+         |  CAST(bit_count(xor(cand.bh, cand.ch)) AS INTEGER) AS hamming
+         |FROM bh JOIN cand ON bh.bh = cand.bh""".stripMargin,
+
+    // the streaming arrival must flag exactly what the q191 batch path
+    // flags — same oracle text
+    "q193_stream_image_dhash" ->
       s"""WITH $dhashCtes,
          |ch AS MATERIALIZED (
          |  SELECT DISTINCT h FROM idh WHERE doc_id % 10 <> 7),
