@@ -123,7 +123,10 @@ object Bench {
     val measured = finalResults.filter(_._2.nonEmpty)
     val failedQs = finalResults.collect { case (k, v) if v.isEmpty => k }.toSeq
     val loadEnd = loadavg()
-    def fmt(d: Double) = f"$d%.4f"
+    // Locale.ROOT: f"" interpolation uses the default JVM locale — under a
+    // comma-decimal locale (de_DE) the emitted JSON numbers would be invalid
+    def fmt(d: Double) =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
     val qs = measured.map { case (k, v) => "\"" + k + "\":" + fmt(v.min) }
       .mkString("{", ",", "}")
     val raw = finalResults.map { case (k, v) =>
@@ -154,14 +157,43 @@ object Bench {
     // 0.15 s are exempt (pure noise band), as is a contended run's noise —
     // the record compare uses the min-of-passes, the same number the
     // record itself holds.
-    val records: Map[String, Double] =
-      try {
-        val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get("BASELINE_QUERIES.json")),
-          java.nio.charset.StandardCharsets.UTF_8)
-        "\"(q[^\"]+)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      } catch { case _: Throwable => Map.empty }
+    // The record file is resolved against cwd AND its ancestors (sbt can
+    // run from a subdirectory); missing-file silently disabling the gate
+    // vs a parse error are distinguished — both print a loud warning
+    // instead of a quiet regressed=[].
+    val records: Map[String, Double] = {
+      val name = "BASELINE_QUERIES.json"
+      var dir = java.nio.file.Paths.get("").toAbsolutePath
+      var found: Option[java.nio.file.Path] = None
+      while (found.isEmpty && dir != null) {
+        val cand = dir.resolve(name)
+        if (java.nio.file.Files.exists(cand)) found = Some(cand)
+        dir = dir.getParent
+      }
+      found match {
+        case None =>
+          System.err.println(s"[bench] WARNING: $name not found in cwd or " +
+            "ancestors — the per-query regression gate is DISABLED this run")
+          Map.empty
+        case Some(p) =>
+          try {
+            val txt = new String(java.nio.file.Files.readAllBytes(p),
+              java.nio.charset.StandardCharsets.UTF_8)
+            val m = "\"(q[^\"]+)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(txt)
+              .map(m => m.group(1) -> m.group(2).toDouble).toMap
+            if (m.isEmpty) System.err.println(
+              s"[bench] WARNING: $p parsed to ZERO records — regression " +
+                "gate is effectively disabled")
+            m
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] WARNING: failed to parse $p " +
+                s"(${e.getClass.getSimpleName}: ${e.getMessage}) — " +
+                "regression gate is DISABLED this run")
+              Map.empty
+          }
+      }
+    }
     val REGRESSION_RATIO = 3.0
     val regressions = measured.flatMap { case (k, v) =>
       records.get(k).collect {
@@ -170,7 +202,9 @@ object Bench {
       }
     }.toMap
     val regJson = regressions.map { case (k, r) =>
-      "\"" + k + "\":" + f"$r%.2f" }.mkString("{", ",", "}")
+      "\"" + k + "\":" +
+        String.format(java.util.Locale.ROOT, "%.2f", Double.box(r))
+    }.mkString("{", ",", "}")
     val errored = errorCounts.nonEmpty
     val errJson = errorCounts.map { case (k, n) => "\"" + k + "\":" + n }
       .mkString("{", ",", "}")
@@ -213,7 +247,8 @@ object Bench {
     // so the complete per-pass evidence lands in history even when the
     // env channel is unset
     writeTo("BENCH_FULL_LATEST.json")
-    def fmt3(d: Double) = f"$d%.3f"
+    def fmt3(d: Double) =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     val shortNames = measured.keys.map(n => n -> n.takeWhile(_ != '_'))
     val shortUnique = shortNames.map(_._2).toSeq.distinct.size == shortNames.size
     val compactQs = measured.map { case (k, v) =>

@@ -455,6 +455,12 @@ object DHashStub {
 
   def compute(tokens: ArrayData): Long = {
     val n = tokens.numElements()
+    // split() never yields an empty array, but the kernel is public over
+    // arbitrary array<string>: n = 0 would throw ArithmeticException on
+    // i % n below. The composed Column path (i % size(toks) → null pixel
+    // → every `when(p1 < p2)` bit 0) folds to 0L — match it exactly so
+    // the kernel/reference equivalence holds on degenerate input too.
+    if (n == 0) return 0L
     val px = new Array[Int](W * H)
     var i = 0
     while (i < W * H) {

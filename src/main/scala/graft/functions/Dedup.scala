@@ -49,6 +49,16 @@ object Dedup {
   def minhashSignature(text: Column, k: Int): Column =
     graft.catalyst.MinHashSig(tokens(text), k)
 
+  /** WIDE (61-bit) signature — [[graft.catalyst.MinHashSig61]]: 60-bit
+    * token hashes permuted mod P₆₁ = 2⁶¹−1. The narrow form's
+    * `md5₄₀(t) mod P₃₁` reduction makes two tokens congruent mod 2³¹−1
+    * IDENTICAL in every permutation — a ~2³¹-birthday channel by which a
+    * single token collision can equate band keys of unrelated docs and
+    * chain false near-dup families at corpus scale. Band rows persisted
+    * from wide signatures move that bound to ~2⁶¹. */
+  def minhashSignatureWide(text: Column, k: Int): Column =
+    graft.catalyst.MinHashSig61(tokens(text), k)
+
   /** LSH band key for band b over `rowsPerBand` signature components,
     * joined as a string (engine-portable; int64 packing overflows past two
     * 31-bit components). */
@@ -99,8 +109,9 @@ object Dedup {
     * it becomes the corpus-side near-dup index that daily batches join
     * with zero corpus-side shuffle. */
   def bandIndex(df: DataFrame, idCol: String, textCol: String,
-                k: Int = 16, bands: Int = 4): DataFrame =
-    bandRows(df, idCol, textCol, k, bands)
+                k: Int = 16, bands: Int = 4,
+                wideHash: Boolean = false): DataFrame =
+    bandRows(df, idCol, textCol, k, bands, wideHash)
 
   /** The tap a persisted band index is written through: bucketed by the
     * join key (band, key) so a later batch-vs-corpus join plans with NO
@@ -111,9 +122,12 @@ object Dedup {
     graft.sources.BucketedTap(table, buckets, Seq("band", "key"))
 
   private def bandRows(df: DataFrame, idCol: String, textCol: String,
-                       k: Int, bands: Int): DataFrame = {
+                       k: Int, bands: Int,
+                       wideHash: Boolean = false): DataFrame = {
     val rowsPerBand = k / bands
-    df.select(col(idCol).as("id"), minhashSignature(col(textCol), k).as("sig"))
+    val sig = if (wideHash) minhashSignatureWide(col(textCol), k)
+              else minhashSignature(col(textCol), k)
+    df.select(col(idCol).as("id"), sig.as("sig"))
       .select(col("id"), explode(array(
         (0 until bands).map(b =>
           struct(lit(b).as("band"), bandKey(col("sig"), b, rowsPerBand).as("key"))): _*
@@ -159,8 +173,10 @@ object Dedup {
     * anywhere. Returns (id, cluster_id = component-min id). */
   def minhashClustersTransitive(df: DataFrame, idCol: String, textCol: String,
                                 k: Int = 16, bands: Int = 4,
-                                maxIters: Int = 30): DataFrame =
-    minhashClustersTransitiveStats(df, idCol, textCol, k, bands, maxIters)._1
+                                maxIters: Int = 30,
+                                wideHash: Boolean = false): DataFrame =
+    minhashClustersTransitiveStats(df, idCol, textCol, k, bands, maxIters,
+      wideHash)._1
 
   /** As [[minhashClustersTransitive]], also returning the number of
     * propagation rounds run (the convergence counter: strictly less than
@@ -169,9 +185,10 @@ object Dedup {
     * `unpersist()` it after consumption. */
   def minhashClustersTransitiveStats(df: DataFrame, idCol: String, textCol: String,
                                      k: Int = 16, bands: Int = 4,
-                                     maxIters: Int = 30): (DataFrame, Int) =
+                                     maxIters: Int = 30,
+                                     wideHash: Boolean = false): (DataFrame, Int) =
     transitiveClustersOver(
-      bandRows(df, idCol, textCol, k, bands), maxIters)
+      bandRows(df, idCol, textCol, k, bands, wideHash), maxIters)
 
   /** Min-label propagation to a fixed point over ANY (id, band, key)
     * bucket-membership table — the connected-components engine behind
@@ -181,9 +198,45 @@ object Dedup {
   def transitiveClustersOver(rows: DataFrame,
                              maxIters: Int = 30,
                              requireConvergence: Boolean = true,
-                             seeds: Option[DataFrame] = None): (DataFrame, Int) = {
+                             seeds: Option[DataFrame] = None,
+                             validateSeeds: Boolean = true): (DataFrame, Int) = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val br = rows.persist(lvl)
+    // SEED-CONTRACT ENFORCEMENT (one bounded pre-flight action, O(subgraph)
+    // joins on uniform keys): the documented contract below was previously
+    // trust-based — a caller whose seed label names an in-rows node of a
+    // DIFFERENT component gets silently wrong labels (the sum stays
+    // monotone, so the convergence guard cannot catch it). Check the cheap
+    // sufficient condition the winnowFamiliesIncremental construction
+    // guarantees: every seed label that itself appears as a node id in
+    // `rows` shares at least one (band, key) bucket with its seeded node.
+    // Labels absent from `rows` are fine (chasing them is a no-op).
+    // `validateSeeds = false` opts out for callers with a proven-by-
+    // construction seed set on very large subgraphs.
+    seeds.filter(_ => validateSeeds).foreach { sd =>
+      val s0 = sd.select(col("id"), col("label"))
+        .filter(col("label") =!= col("id"))
+      val labelNodes = br.select(col("id").as("label")).distinct()
+      val sharedBucket = s0
+        .join(br.select(col("id"), col("band"), col("key")), Seq("id"))
+        .join(br.select(col("id").as("label"), col("band"), col("key")),
+          Seq("label", "band", "key"), "left_semi")
+        .select(col("id"), col("label")).distinct()
+      val bad = s0.join(labelNodes, Seq("label"), "left_semi")
+        .join(sharedBucket, Seq("id", "label"), "left_anti")
+        .limit(1).collect()
+      if (bad.nonEmpty) {
+        br.unpersist()
+        throw new IllegalArgumentException(
+          s"transitiveClustersOver: seed (id=${bad.head.get(1)}, " +
+            s"label=${bad.head.get(0)}) violates the seed contract — the " +
+            "label names a node of `rows` but shares no (band, key) bucket " +
+            "with its seeded node; propagation would chase it as if " +
+            "reachable and could ship wrong labels silently. Add an " +
+            "explicit membership edge for the label (the family-bucket " +
+            "rows winnowFamiliesIncremental adds) or drop the seed.")
+      }
+    }
     // labels⁰: each node's own id, unless `seeds` (id, label) carries a
     // prior assignment — the incremental-maintenance entry point, where
     // corpus nodes start at their persisted family label and only the
@@ -307,13 +360,18 @@ object Dedup {
     * guarantee against density (~2/(w+1) fingerprints per gram). */
   def winnowClustersTransitive(docs: DataFrame, idCol: String = "doc_id",
                                textCol: String = "text", n: Int = 4,
-                               w: Int = 4, maxIters: Int = 30): DataFrame = {
+                               w: Int = 4, maxIters: Int = 30,
+                               wideHash: Boolean = false): DataFrame = {
     // distinct (id, h): a hash selected at several positions of one doc
     // is ONE membership edge (dups only inflate every propagation
     // round's bucket table); cached — two consumers (the shared-hash
-    // aggregate and the edge join)
-    val fp = winnow(docs, idCol, textCol, n, w)
-      .select(col(idCol).as("id"), col("h")).distinct()
+    // aggregate and the edge join). The wide path is distinct per doc
+    // already (kernel-level dedup) — no shuffle needed.
+    val fp = (if (wideHash)
+        winnowWide(docs, idCol, textCol, n, w)
+          .select(col(idCol).as("id"), col("h"))
+      else winnow(docs, idCol, textCol, n, w)
+        .select(col(idCol).as("id"), col("h")).distinct())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val shared = fp.groupBy(col("h"))
       .agg(count(lit(1)).as("__nd"))
@@ -381,9 +439,16 @@ object Dedup {
                                 batch: DataFrame, idCol: String,
                                 textCol: String, n: Int = 4, w: Int = 8,
                                 maxIters: Int = 8,
-                                assertBucketScan: Boolean = false): DataFrame = {
-    val bfp = winnow(batch, idCol, textCol, n, w)
-      .select(col(idCol).as("id"), col("h")).distinct()
+                                assertBucketScan: Boolean = false,
+                                wideHash: Boolean = false): DataFrame = {
+    // wideHash must match the index build's width (see
+    // [[winnowMatchesAgainstIndex]]); wide batch fingerprints are
+    // distinct per doc already — no dedup shuffle
+    val bfp = (if (wideHash)
+        winnowWide(batch, idCol, textCol, n, w)
+          .select(col(idCol).as("id"), col("h"))
+      else winnow(batch, idCol, textCol, n, w)
+        .select(col(idCol).as("id"), col("h")).distinct())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // corpus memberships on touched hashes only: a LEFT SEMI of the index
     // against the batch hashes — h is the index's bucket column, so the
@@ -715,6 +780,42 @@ object Dedup {
         shiftright(col("fp"), 20).as("h"))
   }
 
+  /** WIDE (60-bit) winnow fingerprints: (id, h) with h DISTINCT per doc,
+    * selection and key both on [[graft.catalyst.Md5Prefix60]] — the
+    * corpus-scale twin of [[winnow]] (40-bit keys birthday-bound at ~2^20
+    * distinct grams; one measured collision at the synthesized sf1 chained
+    * two unrelated families, so the persisted index layouts must be keyed
+    * wide BEFORE they entrench — the q176 precedent applied to winnowing).
+    * Positions are dropped: every index/cluster/family consumer is
+    * position-free, and dropping them also lifts the narrow path's
+    * 2^20-gram document cap (no packed state). Per window the selected
+    * value is the minimum hash (tie positions share the value, so the SET
+    * needs no tie rule). `useKernel = false` runs the composed
+    * array_min-over-slices HOF form — the DuckDB-oracle-mirroring
+    * reference path, spec-pinned identical. */
+  def winnowWide(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text", n: Int = 4, w: Int = 4,
+                 useKernel: Boolean = true): DataFrame = {
+    require(n >= 2, s"winnowWide: n must be ≥ 2, got $n")
+    require(w >= 2, s"winnowWide: w must be ≥ 2, got $w")
+    if (useKernel) {
+      return docs.select(col(idCol),
+        explode(graft.catalyst.WinnowHashes60(
+          split(col(textCol), " "), n, w)).as("h"))
+    }
+    val withH = docs
+      .select(col(idCol), split(col(textCol), " ").as("__t"))
+      .filter(size(col("__t")) - (n - 1) >= w)
+      .select(col(idCol),
+        transform(sequence(lit(1), size(col("__t")) - (n - 1)),
+          i => graft.catalyst.Md5Prefix60(
+            concat_ws(" ", slice(col("__t"), i, lit(n))))).as("__h"))
+    val sel = array_distinct(transform(
+      sequence(lit(1), size(col("__h")) - (w - 1)),
+      s => array_min(slice(col("__h"), s, lit(w)))))
+    withH.select(col(idCol), explode(sel).as("h"))
+  }
+
   /** Corpus winnow-fingerprint index rows: (id, h) — [[winnow]] output
     * with positions dropped (matching is position-robust by design).
     * Persist through [[winnowIndexTap]] (bucketed by h) and daily
@@ -731,6 +832,15 @@ object Dedup {
     winnow(df, idCol, textCol, n, w).select(col(idCol).as("id"), col("h"))
       .distinct()
 
+  /** WIDE index rows: [[winnowWide]] is already distinct per doc (the
+    * kernel dedups values inline), so the build skips the narrow path's
+    * dedup shuffle entirely — the wide layout is both collision-safe AND
+    * one exchange cheaper to build. */
+  def winnowIndexWide(df: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text", n: Int = 4,
+                      w: Int = 4): DataFrame =
+    winnowWide(df, idCol, textCol, n, w).select(col(idCol).as("id"), col("h"))
+
   def winnowIndexTap(table: String, buckets: Int): graft.sources.BucketedTap =
     graft.sources.BucketedTap(table, buckets, Seq("h"))
 
@@ -746,10 +856,17 @@ object Dedup {
   def winnowMatchesAgainstIndex(corpusIndex: DataFrame, batch: DataFrame,
                                 idCol: String, textCol: String,
                                 n: Int = 4, w: Int = 4,
-                                minShared: Long = 2L): DataFrame = {
+                                minShared: Long = 2L,
+                                wideHash: Boolean = false): DataFrame = {
     val ci = corpusIndex.withColumnRenamed("id", "corpus_id")
-    val bfp = winnow(batch, idCol, textCol, n, w)
-      .select(col(idCol).as("id"), col("h"))
+    // wideHash: batch fingerprints at the 60-bit key — n, w AND width
+    // must match the index build (a narrow batch against a wide index
+    // joins on disjoint domains and silently matches nothing)
+    val bfp =
+      if (wideHash) winnowWide(batch, idCol, textCol, n, w)
+        .select(col(idCol).as("id"), col("h"))
+      else winnow(batch, idCol, textCol, n, w)
+        .select(col(idCol).as("id"), col("h"))
     bfp.join(ci, Seq("h"))
       .groupBy(col("id"), col("corpus_id"))
       .agg(count_distinct(col("h")).as("n_shared"))
@@ -836,9 +953,12 @@ object Dedup {
   def incrementalNearDupsAgainstIndex(corpusIndex: DataFrame,
                                       batch: DataFrame,
                                       idCol: String, textCol: String,
-                                      k: Int = 16, bands: Int = 4): DataFrame = {
+                                      k: Int = 16, bands: Int = 4,
+                                      wideHash: Boolean = false): DataFrame = {
     val cb = corpusIndex.withColumnRenamed("id", "corpus_id")
-    val bb = bandRows(batch, idCol, textCol, k, bands)
+    // wideHash must match the index build's width — narrow batch keys
+    // against a wide index live in disjoint domains and match nothing
+    val bb = bandRows(batch, idCol, textCol, k, bands, wideHash)
     bb.join(cb, Seq("band", "key"))
       .groupBy(col("id"))
       .agg(min(col("corpus_id")).as("nearest_corpus_id"),

@@ -174,7 +174,16 @@ object Multimodal {
     graft.sources.BucketedTap(table, buckets, Seq("key"))
 
   /** Corpus dHash index rows for [[graft.sources.BucketedTap]] persistence
-    * (bucketed by key): (h, band, key) over the corpus's DISTINCT hashes. */
+    * (bucketed by key): (h, band, key) over the corpus's DISTINCT hashes.
+    *
+    * Hash-width note (the winnow/MinHash 40-bit-collision concern does
+    * NOT transfer here): the index persists the FULL 56-bit perceptual
+    * hash, and every banded candidate is verified by exact Hamming
+    * against it — the 14-bit band keys are CANDIDATE-GENERATION ONLY.
+    * A band-key collision costs a discarded candidate, never a false
+    * match; recall at maxHamming ≤ 3 is guaranteed by pigeonhole
+    * (4 bands, ≤ 3 flipped bits → one band intact). Both halves are
+    * spec-pinned (FunctionsSpec "dHash band keys are candidate-only"). */
   def dhashIndex(images: DataFrame, idCol: String, textCol: String): DataFrame =
     dhashBandRows(
       images.select(dHashStub(col(textCol)).as("h")).distinct(), "h")

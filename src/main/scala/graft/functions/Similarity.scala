@@ -402,11 +402,17 @@ object Similarity {
     // agreeing pairs must still report its (hits = 0) row
     val spark0 = corpus.sparkSession
     import spark0.implicits._
-    nprobes.toDF("nprobe").join(hitCounts, Seq("nprobe"), "left")
+    val out = nprobes.toDF("nprobe").join(hitCounts, Seq("nprobe"), "left")
       .crossJoin(broadcast(total))
       .select(col("nprobe"), coalesce(col("__h"), lit(0L)).as("hits"),
         col("total"))
       .withColumn("recall_micros", expr("hits * 1000000 div total"))
+      // eager localCheckpoint materializes the (O(nprobes)-row) result so
+      // the exact frame's cache entry can be released HERE instead of
+      // leaking one session-lifetime persist per audit invocation
+      .localCheckpoint(true)
+    exact.unpersist()
+    out
   }
 
   /** Symmetric int8 quantization of an embedding column — the standard 4×

@@ -15,6 +15,9 @@ object Extensions {
   /** 40-bit md5 token hash, DuckDB spelling of TA.tokenHash. */
   private def dTokHash(t: String) =
     s"CAST(concat('0x', substr(md5($t), 1, 10)) AS BIGINT)"
+  /** 60-bit md5 token hash (15 hex nibbles) — Md5Prefix60's spelling. */
+  private def dTokHash60(t: String) =
+    s"CAST(concat('0x', substr(md5($t), 1, 15)) AS BIGINT)"
   private val dToks = "string_split(text, ' ')"
   private def dStopHits(words: Seq[String]) =
     s"len(list_filter($dToks, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
@@ -2761,11 +2764,22 @@ object Extensions {
 
     // --- ANN recall audit: probed IVF vs exact brute force as nprobe
     // varies — exact integer (query, neighbor) agreement counts over one
-    // shared index build; the "can I trust nprobe=4 on MY corpus" table
+    // shared index build; the "can I trust nprobe=4 on MY corpus" table.
+    // Probe set: FIXED-SIZE deterministic sample (hash-order top-64 with
+    // vec_id tiebreak — the q107 discipline) so the audit's exact leg is
+    // O(64 × corpus), LINEAR in the corpus: the right cost for an
+    // index-refresh-cadence measurement. The previous vec_id % 20 probe
+    // set scaled WITH the corpus (exact leg O(corpus²/20), measured
+    // 3.93× at 10× data — the round-9 `weak` finding).
     "q189_ann_recall" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val probes = e.orderBy(
+        conv(substring(md5(concat(lit("q189"),
+          col("vec_id").cast("string"))), 1, 13), 16, 10)
+          .cast("bigint").asc,
+        col("vec_id").asc).limit(64)
       graft.functions.Similarity.annRecallAudit(
-        e, e.filter(col("vec_id") % 20 === 0), "vec_id", "embedding",
+        e, probes, "vec_id", "embedding",
         k = 10, nlist = 16, iters = 2, nprobes = Seq(1, 2, 4))
     }),
 
@@ -2854,6 +2868,117 @@ object Extensions {
           MM.hamming(col("bh"), col("ch")).as("hamming"))
     }),
 
+    // --- WIDE-HASH (60-bit) winnow index twin of q180: identical plan
+    // discipline (bucketed index, one batch-side h-exchange, bucket-aware
+    // corpus scan), but both the window-minimum selection and the
+    // persisted key ride Md5Prefix60 — the layout to entrench BEFORE
+    // 40-bit birthday collisions (~2^20 grams; one measured at the
+    // synthesized sf1) manufacture false matches at corpus scale. The
+    // wide index build is also one exchange cheaper: the kernel emits
+    // per-doc-distinct hashes, so no dedup shuffle.
+    "q194_winnow_index_wide" -> ((s, dir) => {
+      val table = stagedTable("graft_q194_winnowidx")
+      graft.queries.Tables.dropStagedTable(s, table)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Dedup.winnowIndexTap(table, 8).write(
+        Dedup.winnowIndexWide(docs.filter(col("doc_id") % 10 =!= 7),
+          "doc_id", "text"),
+        graft.sources.SinkMode.Replace)
+      val threshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val df = Dedup.winnowMatchesAgainstIndex(
+          corpusIndex = s.table(table),
+          batch = docs.filter(col("doc_id") % 10 === 7),
+          "doc_id", "text", minShared = 2L, wideHash = true)
+        val plan = df.queryExecution.executedPlan.toString
+        val exchanges = "Exchange hashpartitioning\\(h".r
+          .findAllMatchIn(plan).size
+        require(exchanges == 1, s"index join must shuffle ONLY the batch " +
+          s"fingerprints (got $exchanges h-exchanges)")
+        require(plan.contains("SelectedBucketsCount"),
+          "corpus side must be the bucket-aware index scan")
+        df
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    }),
+
+    // --- WIDE twin of q186: transitive winnow families at the 60-bit
+    // key — the propagation engine is width-agnostic; what changes is
+    // the collision bound on the bucket table feeding it (false shared
+    // hashes CHAIN families: the exact silent-corruption channel the
+    // sf1 rehearsal measured at 40 bits)
+    "q195_winnow_clusters_wide" -> ((s, dir) =>
+      graft.functions.Dedup.winnowClustersTransitive(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        n = 4, w = 8, maxIters = 40, wideHash = true)),
+
+    // --- WIDE twin of q187: incremental family adoption over the 60-bit
+    // persisted index — same seeded-subgraph propagation, same in-query
+    // plan assertion, collision-safe key domain
+    "q196_winnow_incremental_wide" -> ((s, dir) => {
+      val table = stagedTable("graft_q196_winnowidx")
+      graft.queries.Tables.dropStagedTable(s, table)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+      val batch = docs.filter(col("doc_id") % 10 === 7)
+      Dedup.winnowIndexTap(table, 8).write(
+        Dedup.winnowIndexWide(corpus, "doc_id", "text", n = 4, w = 8),
+        graft.sources.SinkMode.Replace)
+      val families = Dedup.winnowClustersFromIndex(
+          s.table(table), corpus, "doc_id", maxIters = 40)
+        .withColumnRenamed("cluster_id", "family_id")
+      val threshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        Dedup.winnowFamiliesIncremental(
+          corpusIndex = s.table(table), corpusFamilies = families,
+          batch = batch, idCol = "doc_id", textCol = "text",
+          n = 4, w = 8, maxIters = 40, assertBucketScan = true,
+          wideHash = true)
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    }),
+
+    // --- WIDE twin of q64: transitive MinHash clusters over 61-bit
+    // signatures. The narrow signature's md5₄₀(t) mod P₃₁ reduction
+    // makes two tokens congruent mod 2³¹−1 identical in EVERY
+    // permutation — a single such collision can equate band keys of
+    // unrelated docs and chain false families (the measured winnow
+    // failure mode transplanted to MinHash). Wide signatures move the
+    // bound to ~2⁶¹ — the domain the persisted band layouts should
+    // entrench at.
+    "q197_minhash_transitive_wide" -> ((s, dir) =>
+      Dedup.minhashClustersTransitive(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        k = 16, bands = 4, maxIters = 8, wideHash = true)),
+
+    // --- WIDE twin of q127: the persisted band index at 61-bit keys —
+    // same bucketed layout, same one-batch-side-exchange plan assert
+    "q198_band_index_wide" -> ((s, dir) => {
+      val table = stagedTable("graft_q198_bandidx")
+      graft.queries.Tables.dropStagedTable(s, table)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Dedup.bandIndexTap(table, 8).write(
+        Dedup.bandIndex(docs.filter(col("doc_id") % 10 =!= 7),
+          "doc_id", "text", wideHash = true),
+        graft.sources.SinkMode.Replace)
+      val threshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val df = Dedup.incrementalNearDupsAgainstIndex(
+          corpusIndex = s.table(table),
+          batch = docs.filter(col("doc_id") % 10 === 7),
+          "doc_id", "text", wideHash = true)
+        val plan = df.queryExecution.executedPlan.toString
+        val exchanges = "Exchange hashpartitioning\\(band".r
+          .findAllMatchIn(plan).size
+        require(exchanges == 1, s"index join must shuffle ONLY the batch " +
+          s"band rows (got $exchanges (band, key) exchanges)")
+        require(plan.contains("SelectedBucketsCount"),
+          "corpus side must be the bucket-aware index scan")
+        df
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    }),
+
     // --- boundary-splitting packing: q128's bins, with straddling docs
     // exploded into per-bin fragments (what the loader materializes);
     // Σ frag_len per doc ≡ n_tok by construction
@@ -2923,6 +3048,25 @@ object Extensions {
        |      FROM (SELECT doc_id, string_split(text, ' ') AS t
        |            FROM documents WHERE $pred)
        |      WHERE len(t) - ${n - 1} >= $w)))""".stripMargin
+
+  /** WIDE (60-bit) winnow CTE: per-doc distinct per-window minimum of
+    * 15-hex-nibble md5 gram hashes (the q176 spelling). Positions are
+    * dropped, so the fold collapses to a plain list_min per window — the
+    * value SET needs no rightmost-tie rule (tied positions share the
+    * value). Mirrors [[graft.functions.Dedup.winnowWide]] exactly. */
+  private def winnowWideCte(name: String, pred: String,
+                            w: Int = 4, n: Int = 4): String =
+    s"""$name AS MATERIALIZED (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    list_transform(range(1, len(h) - ${w - 2}), s ->
+       |      list_min(h[s:s+${w - 1}])))) AS h
+       |  FROM (
+       |    SELECT doc_id, list_transform(range(1, len(t) - ${n - 2}), i ->
+       |      CAST(concat('0x', substr(md5(
+       |        array_to_string(t[i:i+${n - 1}], ' ')), 1, 15)) AS BIGINT)) AS h
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS t
+       |          FROM documents WHERE $pred)
+       |    WHERE len(t) - ${n - 1} >= $w))""".stripMargin
 
   /** Winnow-index match oracle, shared by q180 (batch) and q182 (the
     * same arrivals as a stream) — the two paths must flag identically. */
@@ -3191,6 +3335,54 @@ object Extensions {
        |)""".stripMargin
 
   private val minhashCte = s"WITH ${minhashBody("documents")}"
+
+  /** WIDE (61-bit) minhash band CTE chain: 60-bit token hashes permuted
+    * mod P₆₁ = 2⁶¹−1 in HUGEINT arithmetic (the product is ~2⁹⁶), each
+    * component cast back to BIGINT (< 2⁶¹ always fits). Mirrors
+    * [[graft.catalyst.MinHashSig61]]; `bandSelects` is shared with the
+    * narrow chain (same m0..m15 → 4-band concat keys). MATERIALIZED: the
+    * propagation oracles reference `bands` twice per unrolled round. */
+  private val minhashSigCols61: String = (0 until 16).map { i =>
+    val a = graft.catalyst.MinHashSig61.aCoef(i)
+    val b = graft.catalyst.MinHashSig61.bCoef(i)
+    s"CAST(list_min(list_transform(tl, t -> (CAST(${dTokHash60("t")} AS HUGEINT) * $a + $b) % ${graft.catalyst.MinHashSig61.P61})) AS BIGINT) AS m$i"
+  }.mkString(",\n    ")
+
+  private def minhashBodyWide(src: String) =
+    s"""toks AS MATERIALIZED (SELECT doc_id, list_distinct($dToks) AS tl FROM $src),
+       |sig AS MATERIALIZED (SELECT doc_id,
+       |    $minhashSigCols61
+       |  FROM toks),
+       |bands AS MATERIALIZED (
+       |    $bandSelects
+       |)""".stripMargin
+
+  /** q64's unrolled propagation over the WIDE band rows — the q197 gate. */
+  private lazy val minhashTransitiveWideOracle: String = {
+    val rounds = 8
+    val iterCtes = (1 to rounds).map { i =>
+      s"""bl$i AS (SELECT b.band, b.key, min(l.label) AS blabel
+         |  FROM bands b JOIN l${i - 1} l ON b.doc_id = l.id GROUP BY 1, 2),
+         |l$i AS (SELECT b.doc_id AS id, min(x.blabel) AS label
+         |  FROM bands b JOIN bl$i x ON b.band = x.band AND b.key = x.key
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${minhashBodyWide("documents")},
+       |l0 AS (SELECT DISTINCT doc_id AS id, doc_id AS label FROM bands),
+       |$iterCtes
+       |SELECT id, label AS cluster_id FROM l$rounds""".stripMargin
+  }
+
+  /** q127's batch-vs-index match over the WIDE band rows — the q198 gate. */
+  private lazy val incNearDupWideOracle: String =
+    s"""WITH ${minhashBodyWide("documents")},
+       |cb AS (SELECT doc_id AS corpus_id, band, key FROM bands
+       |       WHERE doc_id % 10 <> 7),
+       |bb AS (SELECT doc_id, band, key FROM bands WHERE doc_id % 10 = 7)
+       |SELECT b.doc_id AS id, min(c.corpus_id) AS nearest_corpus_id,
+       |count(DISTINCT c.corpus_id) AS n_corpus_matches
+       |FROM bb b JOIN cb c ON b.band = c.band AND b.key = c.key
+       |GROUP BY 1""".stripMargin
 
   // fixed-iteration unrolled min-label propagation; 8 rounds is a safe
   // upper bound for the converged count (Spark side converges in 2-4 on
@@ -3675,6 +3867,95 @@ object Extensions {
          |WHERE d.doc_id % 10 = 7""".stripMargin
     },
 
+    "q197_minhash_transitive_wide" -> minhashTransitiveWideOracle,
+    "q198_band_index_wide" -> incNearDupWideOracle,
+
+    // wide (60-bit) winnow-index twin: identical SELECT to q180's
+    // oracle, fingerprint CTE at the 15-hex-nibble key (q176 precedent)
+    "q194_winnow_index_wide" ->
+      s"""WITH ${winnowWideCte("cw", "doc_id % 10 <> 7")},
+         |${winnowWideCte("bw", "doc_id % 10 = 7")}
+         |SELECT b.doc_id AS id, c.doc_id AS corpus_id,
+         |  CAST(count(DISTINCT b.h) AS BIGINT) AS n_shared
+         |FROM bw b JOIN cw c ON b.h = c.h
+         |GROUP BY 1, 2
+         |HAVING count(DISTINCT b.h) >= 2""".stripMargin,
+
+    // wide twin of q186's unrolled propagation — same round structure,
+    // 60-bit fingerprint CTE
+    "q195_winnow_clusters_wide" -> {
+      val rounds = 40
+      val iterCtes = (1 to rounds).map { i =>
+        s"""bl$i AS MATERIALIZED (SELECT b.key, min(l.label) AS blabel
+           |  FROM bands b JOIN l${i - 1} l ON b.doc_id = l.id GROUP BY 1),
+           |l$i AS MATERIALIZED (SELECT b.doc_id AS id, min(x.blabel) AS label
+           |  FROM bands b JOIN bl$i x ON b.key = x.key
+           |  GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${winnowWideCte("fp", "TRUE", w = 8)},
+         |sh AS MATERIALIZED (SELECT h FROM fp GROUP BY h
+         |       HAVING count(DISTINCT doc_id) >= 2),
+         |bands AS MATERIALIZED (
+         |  SELECT DISTINCT fp.doc_id, CAST(fp.h AS VARCHAR) AS key
+         |  FROM fp JOIN sh USING (h)),
+         |l0 AS MATERIALIZED (SELECT DISTINCT doc_id AS id, doc_id AS label FROM bands),
+         |$iterCtes
+         |SELECT d.doc_id AS id,
+         |  coalesce(l$rounds.label, d.doc_id) AS cluster_id
+         |FROM documents d LEFT JOIN l$rounds ON d.doc_id = l$rounds.id""".stripMargin
+    },
+
+    // wide twin of q187: the same two unrolled propagations over 60-bit
+    // fingerprint CTEs
+    "q196_winnow_incremental_wide" -> {
+      val rounds = 40
+      val iRounds = 40
+      def unroll(prefix: String, bands: String,
+                 nRounds: Int = rounds): String =
+        (1 to nRounds).map { i =>
+          s"""${prefix}bl$i AS MATERIALIZED (SELECT b.key, min(l.label) AS blabel
+             |  FROM $bands b JOIN ${prefix}l${i - 1} l ON b.id = l.id
+             |  GROUP BY 1),
+             |${prefix}l$i AS MATERIALIZED (SELECT b.id, min(x.blabel) AS label
+             |  FROM $bands b JOIN ${prefix}bl$i x ON b.key = x.key
+             |  GROUP BY 1)""".stripMargin
+        }.mkString(",\n")
+      s"""WITH ${winnowWideCte("cfp", "doc_id % 10 <> 7", w = 8)},
+         |${winnowWideCte("bfp0", "doc_id % 10 = 7", w = 8)},
+         |csh AS MATERIALIZED (SELECT h FROM cfp GROUP BY h
+         |        HAVING count(DISTINCT doc_id) >= 2),
+         |cbands AS MATERIALIZED (
+         |  SELECT DISTINCT cfp.doc_id AS id, CAST(cfp.h AS VARCHAR) AS key
+         |  FROM cfp JOIN csh USING (h)),
+         |cl0 AS MATERIALIZED (SELECT DISTINCT id, id AS label FROM cbands),
+         |${unroll("c", "cbands")},
+         |fam AS MATERIALIZED (
+         |  SELECT d.doc_id AS id, coalesce(cl$rounds.label, d.doc_id)
+         |    AS family_id
+         |  FROM documents d LEFT JOIN cl$rounds ON d.doc_id = cl$rounds.id
+         |  WHERE d.doc_id % 10 <> 7),
+         |bfp AS MATERIALIZED (SELECT DISTINCT doc_id, h FROM bfp0),
+         |touched AS MATERIALIZED (SELECT DISTINCT h FROM bfp),
+         |cm AS MATERIALIZED (SELECT DISTINCT cfp.doc_id AS corpus_id, cfp.h
+         |       FROM cfp JOIN touched USING (h)),
+         |ibands AS MATERIALIZED (
+         |  SELECT doc_id AS id, CAST(h AS VARCHAR) AS key FROM bfp
+         |  UNION
+         |  SELECT corpus_id AS id, CAST(h AS VARCHAR) AS key FROM cm
+         |  UNION
+         |  SELECT f.id, concat('f', CAST(f.family_id AS VARCHAR)) AS key
+         |  FROM fam f WHERE f.id IN (SELECT corpus_id FROM cm)),
+         |il0 AS MATERIALIZED (
+         |  SELECT n.id, coalesce(f.family_id, n.id) AS label
+         |  FROM (SELECT DISTINCT id FROM ibands) n
+         |  LEFT JOIN fam f ON n.id = f.id),
+         |${unroll("i", "ibands", iRounds)}
+         |SELECT d.doc_id AS id, coalesce(il$iRounds.label, d.doc_id)
+         |  AS family_id
+         |FROM documents d LEFT JOIN il$iRounds ON d.doc_id = il$iRounds.id
+         |WHERE d.doc_id % 10 = 7""".stripMargin
+    },
+
     // perceptual image dedup: same pixel synth, MSB-first doubling fold,
     // band-folded keys, exact-dup collapse, Hamming verify
     "q190_image_dhash" ->
@@ -3745,7 +4026,8 @@ object Extensions {
            |    c.cent_id AS cent,
            |    row_number() OVER (PARTITION BY b.nn_id
            |      ORDER BY ${dCos("b.q", "c.cent_q")} DESC, c.cent_id ASC) AS rn
-           |    FROM qbase b CROSS JOIN c2 c WHERE b.nn_id % 20 = 0)
+           |    FROM qbase b CROSS JOIN c2 c
+           |    WHERE b.nn_id IN (SELECT nn_id FROM probesel))
            |  WHERE rn <= $np),
            |s$np AS MATERIALIZED (
            |  SELECT query_id, nn_id FROM (
@@ -3760,6 +4042,11 @@ object Extensions {
            |  SELECT $np AS nprobe, CAST(count(*) AS BIGINT) AS hits
            |  FROM s$np JOIN exact USING (query_id, nn_id))""".stripMargin
       s"""WITH $ivfAssignCtes,
+         |probesel AS MATERIALIZED (
+         |  SELECT nn_id FROM qbase
+         |  ORDER BY CAST(concat('0x', substr(md5(concat('q189',
+         |    CAST(nn_id AS VARCHAR))), 1, 13)) AS BIGINT) ASC, nn_id ASC
+         |  LIMIT 64),
          |exact AS MATERIALIZED (
          |  SELECT query_id, nn_id FROM (
          |    SELECT q.nn_id AS query_id, c.nn_id AS nn_id,
@@ -3767,7 +4054,8 @@ object Extensions {
          |      ORDER BY ${dCos("q.embedding", "c.embedding")} DESC,
          |        c.nn_id ASC) AS rk
          |    FROM qbase q CROSS JOIN qbase c
-         |    WHERE q.nn_id % 20 = 0 AND c.nn_id <> q.nn_id)
+         |    WHERE q.nn_id IN (SELECT nn_id FROM probesel)
+         |      AND c.nn_id <> q.nn_id)
          |  WHERE rk <= $ks),
          |${perProbe(1)},
          |${perProbe(2)},

@@ -137,6 +137,57 @@ class FunctionsSpec extends SparkSpec {
       "kernel constants are duplicated in DHashStub — update both")
   }
 
+  test("dHash band keys are candidate-only: every ≤3-bit pair shares a " +
+       "band key (pigeonhole), and banded pairs ≡ brute-force Hamming " +
+       "join on the corpus") {
+    import graft.functions.Multimodal
+    // Unlike the winnow/MinHash indexes, the dHash index persists the
+    // FULL 56-bit hash and every candidate is verified by exact Hamming
+    // against it — band-key width is a recall/cost knob, never a
+    // correctness knob. This spec pins both halves of that claim.
+    // (1) pigeonhole recall: 4 bands × 14 bits, ≤3 flipped bits → ≥1
+    // band untouched → the pair shares that band's exact key
+    val rnd = new scala.util.Random(11)
+    val perturbed = (0 until 200).map { _ =>
+      val h = rnd.nextLong() & ((1L << 56) - 1)
+      var h2 = h
+      (0 until 1 + rnd.nextInt(3)).foreach { _ =>
+        h2 = h2 ^ (1L << rnd.nextInt(56)) }
+      (h, h2)
+    }
+    val misses = perturbed.toDF("a", "b")
+      .select(size(array_intersect(
+        transform(Multimodal.bandKeys(col("a")), x => x.getField("key")),
+        transform(Multimodal.bandKeys(col("b")), x => x.getField("key"))))
+        .as("shared"))
+      .filter(col("shared") < 1).count()
+    assert(misses == 0, s"$misses ≤3-bit pairs shared NO band key")
+    // (2) on the corpus: the banded path reports exactly the pairs a
+    // brute-force all-pairs Hamming join finds (plus fixture near-dups
+    // so the comparison is non-vacuous even if the corpus has none)
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .unionAll(Seq(
+        800L -> base, 801L -> base.replace("rho", "rhoo"),
+        802L -> base.replace("mu", "muu")).toDF("doc_id", "text"))
+    val hashes = docs
+      .select(Multimodal.dHashStub(col("text")).as("h")).distinct().cache()
+    val brute = hashes.as("a").crossJoin(hashes.as("b"))
+      .filter(col("a.h") < col("b.h"))
+      .filter(Multimodal.hamming(col("a.h"), col("b.h")) <= 3)
+      .select(col("a.h").as("h1"), col("b.h").as("h2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = Multimodal.imageNearDupPairs(docs, "doc_id", "text",
+        maxHamming = 3)
+      .select(col("h1"), col("h2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    hashes.unpersist()
+    assert(banded == brute,
+      s"banded=${banded.size} brute=${brute.size} pairs diverge")
+  }
+
   test("image header parsing reads PNG/GIF/JPEG dimensions from raw bytes") {
     import graft.functions.Multimodal.imageDims
     // minimal PNG: signature + IHDR length/type + 640x480 dims
@@ -929,6 +980,129 @@ class FunctionsSpec extends SparkSpec {
       Dedup.winnow(docs, "doc_id", "text", n = 4, w = 4, useKernel = kernel)
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(run(kernel = true) == run(kernel = false))
+  }
+
+  test("winnowWide kernel is set-identical to the composed HOF fold on " +
+       "the corpus and tie-heavy fixtures") {
+    val corpus = spark.read.parquet(sf() + "/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val tieDocs = Seq(
+      900L -> "x x x x x x x x x x",
+      901L -> "a b a b a b a b a b a b",
+      902L -> "q r s t"
+    ).toDF("doc_id", "text")
+    val docs = corpus.unionAll(tieDocs)
+    def run(kernel: Boolean) =
+      Dedup.winnowWide(docs, "doc_id", "text", n = 4, w = 4,
+          useKernel = kernel)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(run(kernel = true) == run(kernel = false))
+  }
+
+  test("winnowWide matches a plain-Scala 60-bit replay (window-min value " +
+       "set, per-doc distinct)") {
+    val d1 = "a b c d e f g h i j"
+    val d3 = "a b c d e f g x y z"
+    val docs = Seq(1L -> d1, 3L -> d3).toDF("doc_id", "text")
+    def md5p60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      val top8 =
+        ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+          ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+          ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+          ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+      top8 >>> 4
+    }
+    def replay(text: String, n: Int, w: Int): Set[Long] = {
+      val t = text.split(" ")
+      val h = (0 to t.length - n).map(i =>
+        md5p60(t.slice(i, i + n).mkString(" ")))
+      (0 to h.length - w).map(s => h.slice(s, s + w).min).toSet
+    }
+    val got = Dedup.winnowWide(docs, "doc_id", "text", n = 4, w = 4)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(got(1L) == replay(d1, 4, 4))
+    assert(got(3L) == replay(d3, 4, 4))
+    // the shared-run guarantee holds at the wide key too: 7 shared
+    // tokens = w+n−1 → at least one shared selected hash
+    assert(got(1L).intersect(got(3L)).nonEmpty)
+  }
+
+  test("wide ≡ narrow winnow clusters on a collision-free corpus") {
+    // constructed families: docs within a family share long verbatim
+    // runs (≥ w+n−1), families use DISJOINT vocabularies — with no
+    // accidental gram sharing and no hash collisions, both widths must
+    // produce the SAME components even though they select different
+    // grams per window
+    val rnd = new scala.util.Random(7)
+    def fam(famId: Int, nDocs: Int): Seq[(Long, String)] = {
+      val vocab = (0 until 40).map(j => s"f${famId}w$j")
+      val core = Seq.tabulate(12)(j => vocab(j % vocab.size))
+      (0 until nDocs).map { d =>
+        val pre = Seq.fill(2 + rnd.nextInt(3))(vocab(20 + rnd.nextInt(19)))
+        val post = Seq.fill(2 + rnd.nextInt(3))(vocab(20 + rnd.nextInt(19)))
+        (famId * 100L + d, (pre ++ core ++ post).mkString(" "))
+      }
+    }
+    val docs = ((0 until 4).flatMap(f => fam(f, 3)) ++
+      Seq(9001L -> "lone doc with nothing shared at all here today ok",
+          9002L -> "another single document entirely alone in the corpus"))
+      .toDF("doc_id", "text")
+    def clusters(wide: Boolean) =
+      Dedup.winnowClustersTransitive(docs, "doc_id", "text",
+          n = 4, w = 4, maxIters = 30, wideHash = wide)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val narrow = clusters(wide = false)
+    val wide = clusters(wide = true)
+    assert(narrow == wide)
+    // and the clustering is the intended one: one cluster per family,
+    // singletons their own
+    (0 until 4).foreach { f =>
+      assert((0 until 3).map(d => narrow(f * 100L + d)).toSet.size == 1)
+    }
+    assert(narrow(9001L) == 9001L && narrow(9002L) == 9002L)
+  }
+
+  test("MinHashSig61 matches a BigInt replay and the Mersenne modmul " +
+       "is exact") {
+    import graft.catalyst.MinHashSig61
+    val P = BigInt(MinHashSig61.P61)
+    // direct 128-bit modmul fuzz against BigInt
+    val rnd = new scala.util.Random(3)
+    (0 until 2000).foreach { _ =>
+      val a = rnd.nextLong() & ((1L << 60) - 1)
+      val b = rnd.nextLong() & ((1L << 61) - 1)
+      assert(MinHashSig61.mulMod(a, b) == ((BigInt(a) * BigInt(b)) mod P).toLong,
+        s"mulMod($a, $b)")
+    }
+    // end-to-end signature vs replay
+    def md5p60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      val top8 =
+        ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+          ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+          ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+          ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+      top8 >>> 4
+    }
+    val texts = Seq("the quick brown fox jumps", "a b a b a",
+      "unique tokens only right here now")
+    val got = texts.toDF("text")
+      .select(Dedup.minhashSignatureWide(col("text"), 16).as("s"))
+      .collect().map(_.getSeq[Long](0))
+    texts.zip(got).foreach { case (t, sig) =>
+      val toks = t.split(" ").toSeq
+      (0 until 16).foreach { i =>
+        val exp = toks.map { tok =>
+          ((BigInt(md5p60(tok)) * MinHashSig61.aCoef(i) +
+            MinHashSig61.bCoef(i)) mod P).toLong
+        }.min
+        assert(sig(i) == exp, s"component $i of '$t'")
+      }
+    }
   }
 
   test("winnowing guarantee holds across 20 seeded random shared-run " +
