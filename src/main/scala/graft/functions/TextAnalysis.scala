@@ -98,7 +98,61 @@ object TextAnalysis {
     "es" -> ("de la que el en y a los del se las por un para con no una " +
       "su al lo como mas pero sus le ya o este si porque esta entre " +
       "cuando muy sin sobre tambien me hasta hay donde quien desde todo " +
-      "nos durante todos uno les ni contra otros ese eso ante ellos"))
+      "nos durante todos uno les ni contra otros ese eso ante ellos"),
+    // Breadth set (round 10): 12 more Latin-script languages, same
+    // ASCII-folded convention as fr/es above (the [a-z] normalizer makes
+    // diacritics and non-Latin scripts invisible, so seeds are spelled
+    // the way normalized documents arrive). Appended AFTER the original
+    // four so existing tie-breaks (LangSeeds order) are unchanged.
+    "it" -> ("di e il la che in a per un del con non una le si dei al " +
+      "sono come da su lo piu ma anche questo della nel o se hanno " +
+      "essere sua ha cui gli alla loro tutti nella era dalla parte due " +
+      "anni stato quando molto prima ancora dopo senza tra questa ogni"),
+    "pt" -> ("de a o que e do da em um para com nao uma os no se na por " +
+      "mais as dos como mas ao ele das seu sua ou quando muito nos ja " +
+      "eu tambem so pelo pela ate isso ela entre depois sem mesmo aos " +
+      "seus quem nas me esse eles voce essa pode ser tem foi anos"),
+    "nl" -> ("de het een van en in is dat op te zijn met voor niet aan " +
+      "er om ook als dan maar bij uit nog naar of worden door over ze " +
+      "had hij werd heeft wordt kunnen meer tegen deze onder zich hun " +
+      "al twee wel waar na mijn moet ik je dit geen andere tot"),
+    "sv" -> ("och att det som en pa ar av for den till inte om har de " +
+      "ett men sig fran vi sa kan man nar under ska vid mot alla sina " +
+      "dar mycket nu efter andra bara in blir upp aven vara utan varit " +
+      "sedan mellan genom hade honom henne detta vilket fick mest"),
+    "da" -> ("og i at det en den til er som pa de med han af for ikke " +
+      "der var hun jeg sig men et har om vi min havde ham hende nu " +
+      "over da fra du ud sin dem os op man hvor eller hvad skal selv " +
+      "her alle vil blev kunne ind dog efter ogsaa meget noget"),
+    "fi" -> ("ja on ei se etta han oli joka mutta ovat kun niin myos " +
+      "hanen sen olla jos kuin mina vain mukaan sita voi kaikki tai " +
+      "siita ollut sille talla viela sitten koska ilman jotka seka " +
+      "nain paljon oman jo kanssa mita itse tassa ennen oltava"),
+    "pl" -> ("w i z na do sie nie to ze jest jak po co tak jego przez " +
+      "od za ale czy tego tylko juz ma mnie byl tym go moze mi pan dla " +
+      "tych przy byc sa bylo jeszcze ktory bardzo kiedy nad bez nic " +
+      "oraz ktore tej byla moga nawet gdy ich tego wszystko"),
+    "cs" -> ("a se na je to v z do o ze by ale jako i za po co tak " +
+      "jeho k ve pro si jsem s byl jsou bylo jeste vsak od nebo ktery " +
+      "pri uz pak ktere me az tim nez aby jen podle dalsi byla muze " +
+      "velmi teto proto tedy take mezi clovek svou rekl"),
+    "ro" -> ("de a in si la cu o pe un care este nu mai pentru se din " +
+      "sau dar ca au fost sa fie dupa fara prin doua acest cand unde " +
+      "sunt lor ei noi daca toate doar poate acum foarte fiind acesta " +
+      "aceasta catre asupra fiecare astfel atunci ceea alte insa"),
+    "hu" -> ("a az es hogy nem is egy ez van volt de ha mar csak meg " +
+      "mint azt el ki most erre azert vagy mert ezt ugy annak ami " +
+      "amely mi pedig lehet kell majd olyan nagy itt minden akkor " +
+      "ezek abban arra neki vele ott amikor ennek egyik lesz"),
+    "tr" -> ("bir ve bu da de icin ile olarak daha cok ama gibi kadar " +
+      "sonra ben o ki en diye var mi ne olan onun kendi yeni ancak " +
+      "bunu biz sen onu simdi bile her zaman cunku iki buyuk neden " +
+      "bana beni sana seni ise oldu olur yok nasil hem"),
+    "id" -> ("yang dan di dengan untuk dari pada ini itu tidak ke " +
+      "dalam akan adalah oleh juga saya kami mereka ada sudah bisa " +
+      "telah atau harus kita anda dia saat karena masih lebih seperti " +
+      "hanya bagi secara tetapi namun setelah sebagai para banyak " +
+      "kepada antara terhadap ketika bahwa belum dapat"))
 
   /** Reference-profile length (out-of-place penalty for absent grams)
     * and document-profile length. */

@@ -59,6 +59,61 @@ class FunctionsSpec extends SparkSpec {
     assert(one[String](TA.langIdProfile(col("text")), "") == "unknown")
   }
 
+  test("langIdProfile confusion matrix: all 16 languages discriminate " +
+    "on held-out text, none absorbs another") {
+    // held-out = NOT the seed text (the seeds are stopword lists; these
+    // are natural sentences, ASCII-folded exactly as real pipelines
+    // normalize). Every sample must classify as its own language — an
+    // exact-match assertion over the full matrix is the strongest form:
+    // any off-diagonal absorption (da↔sv, es↔pt, cs↔pl are the hard
+    // pairs) fails with the confused pair named.
+    val holdout = Seq(
+      ("en", "he did not quite know what he should say when his friend " +
+        "asked him why he had not come to the party last week"),
+      ("de", "er wusste nicht genau was er sagen sollte als sein freund " +
+        "ihn fragte warum er letzte woche nicht zum fest gekommen war"),
+      ("fr", "il ne savait pas bien ce qu il devait dire quand son ami " +
+        "lui a demande pourquoi il n etait pas venu a la fete"),
+      ("es", "no sabia bien lo que debia decir cuando su amigo le " +
+        "pregunto por que no habia venido a la fiesta ademas los ninos " +
+        "estaban jugando en el jardin y las otras personas ya se habian " +
+        "ido a sus casas"),
+      ("it", "non sapeva bene che cosa avrebbe dovuto dire quando il " +
+        "suo amico gli ha chiesto perche non era venuto alla festa"),
+      ("pt", "ele nao sabia o que deveria dizer quando o seu amigo lhe " +
+        "perguntou porque nao tinha vindo a festa da semana passada"),
+      ("nl", "hij wist niet goed wat hij moest zeggen toen zijn vriend " +
+        "hem vroeg waarom hij niet naar het feest was gekomen"),
+      ("sv", "han visste inte riktigt vad han skulle saga nar hans van " +
+        "fragade honom varfor han inte hade kommit till festen"),
+      ("da", "han vidste ikke rigtig hvad han skulle sige da hans ven " +
+        "spurgte ham hvorfor han ikke var kommet til festen i sidste uge"),
+      ("fi", "han ei tiennyt mita hanen olisi pitanyt sanoa kun hanen " +
+        "ystavansa kysyi hanelta miksi han ei ollut tullut juhliin"),
+      ("pl", "nie wiedzial co powinien powiedziec kiedy jego przyjaciel " +
+        "zapytal go dlaczego nie przyszedl na przyjecie w zeszlym tygodniu"),
+      ("cs", "nevedel co by mel rici kdyz se ho jeho pritel zeptal proc " +
+        "neprisel na oslavu minuly tyden a proto jen mlcel"),
+      ("ro", "el nu stia ce ar fi trebuit sa spuna cand prietenul sau " +
+        "l a intrebat de ce nu a venit la petrecerea de saptamana trecuta"),
+      ("hu", "nem tudta mit kellett volna mondania amikor a baratja " +
+        "megkerdezte tole hogy miert nem jott el a mult heti bulira"),
+      ("tr", "o bana ne soyleyecegini bilmiyordu cunku ben ona gecen " +
+        "hafta neden partiye gelmedigini sormustum ve o da bir sey " +
+        "soylemedi ama daha sonra bana her seyi anlatti"),
+      ("id", "dia tidak tahu apa yang harus dikatakannya ketika " +
+        "temannya bertanya mengapa dia tidak datang ke pesta minggu lalu"))
+    assert(holdout.map(_._1).toSet.size == 16)
+    assert(TA.LangSeeds.map(_._1).toSet == holdout.map(_._1).toSet,
+      "hold-out set must cover exactly the embedded profile languages")
+    val got = holdout.toDF("truth", "text")
+      .select(col("truth"), TA.langIdProfile(col("text")).as("pred"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val confused = got.filter { case (t, p) => t != p }
+    assert(confused.isEmpty,
+      "confusion: " + confused.map { case (t, p) => s"$t→$p" }.mkString(", "))
+  }
+
   test("langIdProfile kernel path is row-identical to the HOF reference " +
     "path on the corpus") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
