@@ -443,12 +443,29 @@ object Dedup {
                                 wideHash: Boolean = false): DataFrame = {
     // wideHash must match the index build's width (see
     // [[winnowMatchesAgainstIndex]]); wide batch fingerprints are
-    // distinct per doc already — no dedup shuffle
-    val bfp = (if (wideHash)
+    // distinct per doc already — the adopt core's distinct dedups either
+    val fps = if (wideHash)
         winnowWide(batch, idCol, textCol, n, w)
           .select(col(idCol).as("id"), col("h"))
       else winnow(batch, idCol, textCol, n, w)
-        .select(col(idCol).as("id"), col("h")).distinct())
+        .select(col(idCol).as("id"), col("h"))
+    winnowFamiliesAdopt(corpusIndex, corpusFamilies, fps,
+      batch.select(col(idCol).as("id")), maxIters, assertBucketScan)
+  }
+
+  /** The adoption CORE of [[winnowFamiliesIncremental]], over
+    * PRECOMPUTED batch fingerprints (id, h) — the entry point for
+    * arrival paths that fingerprint elsewhere (e.g. IN-STREAM, where the
+    * scan-shaped winnowing rides the micro-batches and this iterative
+    * fixed point runs once over the accumulated arrivals at adoption
+    * cadence). `batchIds` supplies the singleton universe: docs with no
+    * fingerprint row are their own one-doc family. */
+  def winnowFamiliesAdopt(corpusIndex: DataFrame,
+                          corpusFamilies: DataFrame,
+                          batchFps: DataFrame, batchIds: DataFrame,
+                          maxIters: Int = 8,
+                          assertBucketScan: Boolean = false): DataFrame = {
+    val bfp = batchFps.select(col("id"), col("h")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // corpus memberships on touched hashes only: a LEFT SEMI of the index
     // against the batch hashes — h is the index's bucket column, so the
@@ -490,7 +507,7 @@ object Dedup {
         concat(lit("f"), col("label").cast("string")).as("key")))
     val labeled = transitiveClustersOver(rows, maxIters,
       seeds = Some(seeds))._1
-    val out = batch.select(col(idCol).as("id")).join(labeled, Seq("id"), "left")
+    val out = batchIds.select(col("id")).join(labeled, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("cluster_id"), col("id")).as("family_id"))
     bfp.unpersist(); cm.unpersist()

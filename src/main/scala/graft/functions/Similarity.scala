@@ -561,6 +561,72 @@ object Similarity {
         col("best_sim"))
   }
 
+  /** Persisted SIGN-BUCKET INDEX rows: (id, bucket, vec) — the q127/q133
+    * index discipline applied to SemDeDup so arriving embeddings stop
+    * paying a full corpus re-bucket per batch. Write through
+    * [[signBucketIndexTap]] (bucketed by `bucket`): a later
+    * batch-vs-corpus join then plans with NO corpus-side exchange, and
+    * the per-batch append (SinkMode.Update) keeps the index current. */
+  def signBucketIndex(df: DataFrame, idCol: String, vecCol: String,
+                      nPlanes: Int = 8): DataFrame =
+    df.select(col(idCol).as("id"),
+      hyperplaneBucket(col(vecCol), nPlanes).as("bucket"),
+      col(vecCol).as("vec"))
+
+  def signBucketIndexTap(table: String, buckets: Int): graft.sources.BucketedTap =
+    graft.sources.BucketedTap(table, buckets, Seq("bucket"))
+
+  /** SemDeDup at INDEX CADENCE: which arriving vectors semantically
+    * duplicate something already in the corpus? Batch vectors bucket
+    * in-flight and join ONLY their bucket's corpus vectors from the
+    * PERSISTED sign-bucket index — the corpus is never re-bucketed and
+    * (with bucket pruning on selective batches) barely re-scanned. A
+    * batch vector is a dup iff some corpus vector in its bucket has
+    * cosine ≥ threshold; returns one row per batch vector:
+    * (id, kept, dup_of = min matching corpus id, n_corpus_dups,
+    * best_sim) — the arrival-side counterpart of [[semanticDedup]]'s
+    * corpus-refresh verdict (same one-sided semantics as q98/q127:
+    * batch-internal dups are the NEXT refresh's business).
+    *
+    * The Σ bucket² guard rides the touched buckets: corpus bucket counts
+    * aggregate bucket-aware over the index (≤ 2^nPlanes rows, broadcast)
+    * and an oversized TOUCHED bucket fails directed, exactly like
+    * [[embeddingNearDups]]. nPlanes must match the index build. */
+  def semanticDedupAgainstIndex(corpusIndex: DataFrame, batch: DataFrame,
+                                idCol: String, vecCol: String,
+                                simThreshold: Double, nPlanes: Int = 8,
+                                maxBucket: Long = DefaultMaxBucket): DataFrame = {
+    val counts = corpusIndex.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("__bn"))
+    val guard = when(col("__bn").isNull || col("__bn") <= maxBucket,
+      col("bucket")).otherwise(
+      raise_error(concat(
+        lit("semanticDedupAgainstIndex: sign-bucket "), col("bucket"),
+        lit(" holds "), col("__bn"),
+        lit(s" corpus vectors > maxBucket=$maxBucket — batch-vs-bucket " +
+          s"work is |batch bucket|×|corpus bucket|; rebuild the index " +
+          s"with more planes (currently $nPlanes), or raise maxBucket"))))
+    val bb = batch.select(col(idCol).as("id"),
+        hyperplaneBucket(col(vecCol), nPlanes).as("bucket"),
+        col(vecCol).as("vec"))
+      .join(broadcast(counts), Seq("bucket"), "left")
+      .select(guard.as("bucket"), col("id"), col("vec"))
+    val matched = bb
+      .join(corpusIndex.select(col("bucket"), col("id").as("corpus_id"),
+        col("vec").as("cvec")), Seq("bucket"))
+      .select(col("id"), col("corpus_id"),
+        cosine(col("vec"), col("cvec")).as("sim"))
+      .filter(col("sim") >= simThreshold)
+    val drops = matched.groupBy(col("id"))
+      .agg(min(col("corpus_id")).as("dup_of"),
+        count(lit(1)).as("n_corpus_dups"),
+        max(col("sim")).as("best_sim"))
+    batch.select(col(idCol).as("id")).join(drops, Seq("id"), "left")
+      .select(col("id"), col("dup_of").isNull.as("kept"), col("dup_of"),
+        coalesce(col("n_corpus_dups"), lit(0L)).as("n_corpus_dups"),
+        col("best_sim"))
+  }
+
   /** Exact per-group embedding centroids in integer micros — the domain
     * map of a multi-source corpus (each source/label/topic collapses to
     * one vector). Components are quantized to int64 micros BEFORE the

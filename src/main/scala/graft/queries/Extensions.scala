@@ -2979,6 +2979,113 @@ object Extensions {
       } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
     }),
 
+    // --- INCREMENTAL SemDeDup at index cadence (the q133 append
+    // discipline on q156): the corpus's sign-bucket table persists
+    // bucketed by bucket id; each day's arrivals bucket IN-FLIGHT, join
+    // only their buckets' corpus vectors (no corpus-side exchange,
+    // plan-asserted), get their dup-vs-corpus verdict, and append their
+    // own rows (SinkMode.Update) so day N+1 sees them. Day-2's gated
+    // verdict includes exact and near copies of day-1 rows — green ONLY
+    // if the append leg actually landed.
+    "q199_semdedup_incremental" -> ((s, dir) => {
+      val SIM = graft.functions.Similarity
+      val table = stagedTable("graft_q199_signidx")
+      graft.queries.Tables.dropStagedTable(s, table)
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val day0 = e.filter(col("vec_id") % 10 =!= 7 &&
+        col("vec_id") % 10 =!= 8)
+      val day1 = e.filter(col("vec_id") % 10 === 8)
+        .unionAll(day0.filter(col("vec_id") % 50 === 0)
+          .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+      val day2 = e.filter(col("vec_id") % 10 === 7)
+        .unionAll(e.filter(col("vec_id") % 20 === 8)
+          .select((col("vec_id") + 300000L).as("vec_id"), col("embedding")))
+        .unionAll(e.filter(col("vec_id") % 20 === 18)
+          .select((col("vec_id") + 200000L).as("vec_id"),
+            transform(col("embedding"), (x, i) =>
+              when(i === 0, x + lit(0.25f)).otherwise(x)).as("embedding")))
+      val tap = SIM.signBucketIndexTap(table, 8)
+      tap.write(SIM.signBucketIndex(day0, "vec_id", "embedding"),
+        graft.sources.SinkMode.Replace)
+      val threshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        // day-1 ingest: verdict against the day-0 index (the daily
+        // question), then append day-1's own bucket rows
+        SIM.semanticDedupAgainstIndex(s.table(table), day1,
+            "vec_id", "embedding", simThreshold = 0.95)
+          .write.mode("overwrite").format("noop").save()
+        tap.write(SIM.signBucketIndex(day1, "vec_id", "embedding"),
+          graft.sources.SinkMode.Update)
+        val df = SIM.semanticDedupAgainstIndex(s.table(table), day2,
+          "vec_id", "embedding", simThreshold = 0.95)
+        val plan = df.queryExecution.executedPlan.toString
+        val exchanges = "Exchange hashpartitioning\\(bucket".r
+          .findAllMatchIn(plan).size
+        require(exchanges == 1, s"index join must shuffle ONLY the batch " +
+          s"bucket rows (got $exchanges bucket-exchanges)")
+        require(plan.contains("SelectedBucketsCount"),
+          "corpus side must be the bucket-aware index scan")
+        df
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    }),
+
+    // --- STREAMING family adoption (the q182/q193 discipline on q187):
+    // arrivals winnow IN-STREAM (the scan-shaped stage rides the
+    // micro-batches, stateless append — no watermark, state never
+    // grows), plus one (id, null) row per doc so zero-fingerprint docs
+    // stay in the universe; the iterative seeded-subgraph fixed point
+    // (inherently a driver loop — actions per round) runs ONCE over the
+    // accumulated arrivals at adoption cadence, against the persisted
+    // index + refresh families. The gate: the streamed path must adopt
+    // EXACTLY what q187's one-shot batch adoption assigns (shared
+    // oracle).
+    "q200_stream_winnow_families" -> ((s, dir) => {
+      val table = stagedTable("graft_q200_winnowidx")
+      graft.queries.Tables.dropStagedTable(s, table)
+      val (in, out, chk) = freshStreamDirs("graft_q200_stream")
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+      val batch = docs.filter(col("doc_id") % 10 === 7)
+      Dedup.winnowIndexTap(table, 8).write(
+        Dedup.winnowIndex(corpus, "doc_id", "text", n = 4, w = 8),
+        graft.sources.SinkMode.Replace)
+      val families = Dedup.winnowClustersFromIndex(
+          s.table(table), corpus, "doc_id", maxIters = 40)
+        .withColumnRenamed("cluster_id", "family_id")
+      stageSliced(in, Seq(
+        batch.filter(col("doc_id") % 30 === 7),
+        batch.filter(col("doc_id") % 30 === 17),
+        batch.filter(col("doc_id") % 30 === 27)))
+      withStreamPartitions(s, 8) {
+        val stream = graft.streaming.StreamOps.readStream(s, in, batch.schema,
+          Map("maxFilesPerTrigger" -> "1"))
+        val fps = Dedup.winnow(stream, "doc_id", "text", n = 4, w = 8)
+          .select(col("doc_id").as("id"), col("h"))
+          .unionByName(stream.select(col("doc_id").as("id"),
+            lit(null).cast("long").as("h")))
+        val q = fps.writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+          .format("parquet").option("path", out)
+          .option("checkpointLocation", chk)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val sink = s.read.parquet(out)
+      val threshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        Dedup.winnowFamiliesAdopt(
+          corpusIndex = s.table(table), corpusFamilies = families,
+          batchFps = sink.filter(col("h").isNotNull),
+          batchIds = sink.select(col("id")).distinct(),
+          maxIters = 40, assertBucketScan = true)
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    }),
+
     // --- boundary-splitting packing: q128's bins, with straddling docs
     // exploded into per-bin fragments (what the loader materializes);
     // Σ frag_len per doc ≡ n_tok by construction
@@ -3067,6 +3174,61 @@ object Extensions {
        |    FROM (SELECT doc_id, string_split(text, ' ') AS t
        |          FROM documents WHERE $pred)
        |    WHERE len(t) - ${n - 1} >= $w))""".stripMargin
+
+  /** Incremental winnow-family adoption oracle, shared by q187 (batch)
+    * and q200 (the same arrivals fingerprinted in-stream) — corpus
+    * families from the q186-style unrolled propagation restricted to the
+    * corpus split, then a second unrolled propagation over ONLY the
+    * subgraph the batch's fingerprints touch, corpus nodes seeded with
+    * their family label, batch nodes with their own id. */
+  private lazy val winnowIncrementalOracle: String = {
+    val rounds = 40      // corpus refresh: ≥ q186's convergence depth
+    val iRounds = 40     // incremental subgraph: matches Spark maxIters=40
+    def unroll(prefix: String, bands: String,
+               nRounds: Int = rounds): String =
+      (1 to nRounds).map { i =>
+        s"""${prefix}bl$i AS MATERIALIZED (SELECT b.key, min(l.label) AS blabel
+           |  FROM $bands b JOIN ${prefix}l${i - 1} l ON b.id = l.id
+           |  GROUP BY 1),
+           |${prefix}l$i AS MATERIALIZED (SELECT b.id, min(x.blabel) AS label
+           |  FROM $bands b JOIN ${prefix}bl$i x ON b.key = x.key
+           |  GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+    s"""WITH ${winnowFpCte("cfp", "doc_id % 10 <> 7", w = 8)},
+       |${winnowFpCte("bfp0", "doc_id % 10 = 7", w = 8)},
+       |csh AS MATERIALIZED (SELECT h FROM cfp GROUP BY h
+       |        HAVING count(DISTINCT doc_id) >= 2),
+       |cbands AS MATERIALIZED (
+       |  SELECT DISTINCT cfp.doc_id AS id, CAST(cfp.h AS VARCHAR) AS key
+       |  FROM cfp JOIN csh USING (h)),
+       |cl0 AS MATERIALIZED (SELECT DISTINCT id, id AS label FROM cbands),
+       |${unroll("c", "cbands")},
+       |fam AS MATERIALIZED (
+       |  SELECT d.doc_id AS id, coalesce(cl$rounds.label, d.doc_id)
+       |    AS family_id
+       |  FROM documents d LEFT JOIN cl$rounds ON d.doc_id = cl$rounds.id
+       |  WHERE d.doc_id % 10 <> 7),
+       |bfp AS MATERIALIZED (SELECT DISTINCT doc_id, h FROM bfp0),
+       |touched AS MATERIALIZED (SELECT DISTINCT h FROM bfp),
+       |cm AS MATERIALIZED (SELECT DISTINCT cfp.doc_id AS corpus_id, cfp.h
+       |       FROM cfp JOIN touched USING (h)),
+       |ibands AS MATERIALIZED (
+       |  SELECT doc_id AS id, CAST(h AS VARCHAR) AS key FROM bfp
+       |  UNION
+       |  SELECT corpus_id AS id, CAST(h AS VARCHAR) AS key FROM cm
+       |  UNION
+       |  SELECT f.id, concat('f', CAST(f.family_id AS VARCHAR)) AS key
+       |  FROM fam f WHERE f.id IN (SELECT corpus_id FROM cm)),
+       |il0 AS MATERIALIZED (
+       |  SELECT n.id, coalesce(f.family_id, n.id) AS label
+       |  FROM (SELECT DISTINCT id FROM ibands) n
+       |  LEFT JOIN fam f ON n.id = f.id),
+       |${unroll("i", "ibands", iRounds)}
+       |SELECT d.doc_id AS id, coalesce(il$iRounds.label, d.doc_id)
+       |  AS family_id
+       |FROM documents d LEFT JOIN il$iRounds ON d.doc_id = il$iRounds.id
+       |WHERE d.doc_id % 10 = 7""".stripMargin
+  }
 
   /** Winnow-index match oracle, shared by q180 (batch) and q182 (the
     * same arrivals as a stream) — the two paths must flag identically. */
@@ -3818,57 +3980,57 @@ object Extensions {
     // then a second unrolled propagation over ONLY the subgraph the
     // batch's fingerprints touch, corpus nodes seeded with their family
     // label, batch nodes with their own id
-    "q187_winnow_incremental" -> {
-      val rounds = 40      // corpus refresh: ≥ q186's convergence depth
-      val iRounds = 40     // incremental subgraph: matches Spark maxIters=40
-      def unroll(prefix: String, bands: String,
-                 nRounds: Int = rounds): String =
-        (1 to nRounds).map { i =>
-          s"""${prefix}bl$i AS MATERIALIZED (SELECT b.key, min(l.label) AS blabel
-             |  FROM $bands b JOIN ${prefix}l${i - 1} l ON b.id = l.id
-             |  GROUP BY 1),
-             |${prefix}l$i AS MATERIALIZED (SELECT b.id, min(x.blabel) AS label
-             |  FROM $bands b JOIN ${prefix}bl$i x ON b.key = x.key
-             |  GROUP BY 1)""".stripMargin
-        }.mkString(",\n")
-      s"""WITH ${winnowFpCte("cfp", "doc_id % 10 <> 7", w = 8)},
-         |${winnowFpCte("bfp0", "doc_id % 10 = 7", w = 8)},
-         |csh AS MATERIALIZED (SELECT h FROM cfp GROUP BY h
-         |        HAVING count(DISTINCT doc_id) >= 2),
-         |cbands AS MATERIALIZED (
-         |  SELECT DISTINCT cfp.doc_id AS id, CAST(cfp.h AS VARCHAR) AS key
-         |  FROM cfp JOIN csh USING (h)),
-         |cl0 AS MATERIALIZED (SELECT DISTINCT id, id AS label FROM cbands),
-         |${unroll("c", "cbands")},
-         |fam AS MATERIALIZED (
-         |  SELECT d.doc_id AS id, coalesce(cl$rounds.label, d.doc_id)
-         |    AS family_id
-         |  FROM documents d LEFT JOIN cl$rounds ON d.doc_id = cl$rounds.id
-         |  WHERE d.doc_id % 10 <> 7),
-         |bfp AS MATERIALIZED (SELECT DISTINCT doc_id, h FROM bfp0),
-         |touched AS MATERIALIZED (SELECT DISTINCT h FROM bfp),
-         |cm AS MATERIALIZED (SELECT DISTINCT cfp.doc_id AS corpus_id, cfp.h
-         |       FROM cfp JOIN touched USING (h)),
-         |ibands AS MATERIALIZED (
-         |  SELECT doc_id AS id, CAST(h AS VARCHAR) AS key FROM bfp
-         |  UNION
-         |  SELECT corpus_id AS id, CAST(h AS VARCHAR) AS key FROM cm
-         |  UNION
-         |  SELECT f.id, concat('f', CAST(f.family_id AS VARCHAR)) AS key
-         |  FROM fam f WHERE f.id IN (SELECT corpus_id FROM cm)),
-         |il0 AS MATERIALIZED (
-         |  SELECT n.id, coalesce(f.family_id, n.id) AS label
-         |  FROM (SELECT DISTINCT id FROM ibands) n
-         |  LEFT JOIN fam f ON n.id = f.id),
-         |${unroll("i", "ibands", iRounds)}
-         |SELECT d.doc_id AS id, coalesce(il$iRounds.label, d.doc_id)
-         |  AS family_id
-         |FROM documents d LEFT JOIN il$iRounds ON d.doc_id = il$iRounds.id
-         |WHERE d.doc_id % 10 = 7""".stripMargin
-    },
+    "q187_winnow_incremental" -> winnowIncrementalOracle,
+
+    // the streamed arrival path must adopt EXACTLY what the one-shot
+    // batch adoption assigns (fingerprinting rides the micro-batches;
+    // the fixed point runs once over the accumulated arrivals)
+    "q200_stream_winnow_families" -> winnowIncrementalOracle,
 
     "q197_minhash_transitive_wide" -> minhashTransitiveWideOracle,
     "q198_band_index_wide" -> incNearDupWideOracle,
+
+    // incremental SemDeDup: the day-2 verdict recomputed FROM SCRATCH
+    // against day0+day1 (the q133 twin trick — the oracle has no index,
+    // so a missing append leg diverges immediately)
+    "q199_semdedup_incremental" ->
+      s"""WITH base AS (SELECT vec_id, embedding FROM embeddings),
+         |day0 AS MATERIALIZED (
+         |  SELECT vec_id, embedding FROM base
+         |  WHERE vec_id % 10 <> 7 AND vec_id % 10 <> 8),
+         |day1 AS MATERIALIZED (
+         |  SELECT vec_id, embedding FROM base WHERE vec_id % 10 = 8
+         |  UNION ALL
+         |  SELECT vec_id + 100000, embedding FROM day0 WHERE vec_id % 50 = 0),
+         |corpus AS MATERIALIZED (
+         |  SELECT vec_id AS corpus_id, embedding AS cvec,
+         |    ${dBucket("embedding", 8)} AS bucket
+         |  FROM (SELECT * FROM day0 UNION ALL SELECT * FROM day1)),
+         |day2 AS MATERIALIZED (
+         |  SELECT vec_id, embedding FROM base WHERE vec_id % 10 = 7
+         |  UNION ALL
+         |  SELECT vec_id + 300000, embedding FROM base WHERE vec_id % 20 = 8
+         |  UNION ALL
+         |  SELECT vec_id + 200000, list_transform(embedding, (x, i) ->
+         |    CASE WHEN i = 1 THEN CAST(x + CAST(0.25 AS FLOAT) AS FLOAT)
+         |         ELSE x END)
+         |  FROM base WHERE vec_id % 20 = 18),
+         |bb AS MATERIALIZED (
+         |  SELECT vec_id AS id, embedding AS vec,
+         |    ${dBucket("embedding", 8)} AS bucket FROM day2),
+         |m AS (
+         |  SELECT b.id, c.corpus_id, ${dCos("b.vec", "c.cvec")} AS sim
+         |  FROM bb b JOIN corpus c USING (bucket)
+         |  WHERE ${dCos("b.vec", "c.cvec")} >= 0.95),
+         |drops AS (
+         |  SELECT id, CAST(min(corpus_id) AS BIGINT) AS dup_of,
+         |    CAST(count(*) AS BIGINT) AS n_corpus_dups,
+         |    max(sim) AS best_sim
+         |  FROM m GROUP BY 1)
+         |SELECT b.id, d.dup_of IS NULL AS kept, d.dup_of,
+         |  CAST(coalesce(d.n_corpus_dups, 0) AS BIGINT) AS n_corpus_dups,
+         |  d.best_sim
+         |FROM bb b LEFT JOIN drops d ON b.id = d.id""".stripMargin,
 
     // wide (60-bit) winnow-index twin: identical SELECT to q180's
     // oracle, fingerprint CTE at the 15-hex-nibble key (q176 precedent)
