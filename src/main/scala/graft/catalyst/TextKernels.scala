@@ -473,6 +473,13 @@ object DHashStub {
       px(i) = (h % 256L).toInt
       i += 1
     }
+    ofGrid(px)
+  }
+
+  /** The MSB-first doubling fold over a W×H grid — shared by the text
+    * stub above and the REAL-decode path (Multimodal.dhashFromPayload),
+    * so both produce the same bit layout by construction. */
+  def ofGrid(px: Array[Int]): Long = {
     var acc = 0L
     var b = Bits - 1
     while (b >= 0) {

@@ -152,9 +152,16 @@ object Multimodal {
     * what bounds Σ bucket² — a template image repeated 10⁴ times is ONE
     * band row, not 10⁴ (the q178 load lesson applied to images). */
   def imageNearDupPairs(images: DataFrame, idCol: String, textCol: String,
-                        maxHamming: Int = 3): DataFrame = {
-    val hashes = images.select(col(idCol).as("id"),
-      dHashStub(col(textCol)).as("h"))
+                        maxHamming: Int = 3): DataFrame =
+    nearDupPairsFromHashes(
+      images.select(col(idCol).as("id"), dHashStub(col(textCol)).as("h")),
+      maxHamming)
+
+  /** The banded pair pipeline over PRECOMPUTED hashes (one row per image,
+    * column `h`) — shared by the stub path above and the real-decode path
+    * (q201: [[dhashFromPayload]] hashes). */
+  def nearDupPairsFromHashes(hashes: DataFrame,
+                             maxHamming: Int = 3): DataFrame = {
     val counts = hashes.groupBy(col("h")).agg(count(lit(1)).as("n"))
     val rows = dhashBandRows(counts.select("h"), "h")
     val l = rows.select(col("h").as("h1"), col("key"))
@@ -210,6 +217,194 @@ object Multimodal {
       .filter(hamming(col("bh"), col("ch")) <= maxHamming)
       .select(col("id"), col("ch").as("corpus_h"),
         hamming(col("bh"), col("ch")).as("hamming"))
+  }
+
+  // --- REAL pixel decode for the uncompressed formats ------------------
+  //
+  // The dHash pipeline above rides the documented decode STUB (no codecs
+  // in this environment). For the two uncompressed container formats a
+  // full decoder needs no codec at all — so these are REAL: binary PGM
+  // (P5) and uncompressed 24-bit BMP (BI_RGB, bottom-up or top-down,
+  // 4-byte row padding) parse byte-exactly, resample nearest-neighbor to
+  // the 9×7 dHash grid, and feed the SAME grid fold as the stub path.
+  // Payload synthesis (for gates/oracles) is deterministic — pixel j =
+  // md5₄₀(token[j mod n]) mod 256 at the chosen source size — so a DuckDB
+  // oracle recomputes the decoded grid arithmetically while the Spark
+  // path round-trips it through real container bytes: any parser bug
+  // (offset, padding, row order) diverges from the oracle immediately.
+
+  /** Deterministic grayscale source image for a text (the camera stand-in
+    * gates use): w×h pixels, pixel j = md5₄₀(token[j mod n]) mod 256. */
+  def synthPixels(text: String, w: Int, h: Int): Array[Int] = {
+    val toks = text.split(" ")
+    Array.tabulate(w * h) { j =>
+      (graft.catalyst.Md5Prefix40.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(
+          toks(j % toks.length))) % 256L).toInt
+    }
+  }
+
+  /** Binary PGM (P5) encoding of a grayscale grid. */
+  def encodePgm(px: Array[Int], w: Int, h: Int): Array[Byte] = {
+    val header = s"P5\n$w $h\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + w * h)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var i = 0
+    while (i < w * h) { out(header.length + i) = px(i).toByte; i += 1 }
+    out
+  }
+
+  /** Uncompressed 24-bit BMP (BI_RGB, bottom-up) encoding of a grayscale
+    * grid (r = g = b = gray), rows padded to 4 bytes per the format. */
+  def encodeBmp24(px: Array[Int], w: Int, h: Int): Array[Byte] = {
+    val rowBytes = (w * 3 + 3) / 4 * 4
+    val dataSize = rowBytes * h
+    val out = new Array[Byte](54 + dataSize)
+    @inline def le16(i: Int, v: Int): Unit = {
+      out(i) = v.toByte; out(i + 1) = (v >> 8).toByte }
+    @inline def le32(i: Int, v: Int): Unit = {
+      le16(i, v & 0xffff); le16(i + 2, v >>> 16) }
+    out(0) = 'B'; out(1) = 'M'
+    le32(2, 54 + dataSize); le32(10, 54)
+    le32(14, 40); le32(18, w); le32(22, h)
+    le16(26, 1); le16(28, 24); le32(30, 0); le32(34, dataSize)
+    var r = 0
+    while (r < h) {
+      val srcRow = h - 1 - r // bottom-up: file row r = image row h-1-r
+      var c = 0
+      while (c < w) {
+        val v = px(srcRow * w + c).toByte
+        val off = 54 + r * rowBytes + c * 3
+        out(off) = v; out(off + 1) = v; out(off + 2) = v
+        c += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** REAL binary-PGM (P5) decode: whitespace- and comment-tolerant
+    * header, maxval ≤ 255, raw 8-bit samples. None for anything else. */
+  def decodePgmGray(p: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (p.length < 2 || p(0) != 'P' || p(1) != '5') return None
+    var i = 2
+    def skipWs(): Unit = {
+      var go = true
+      while (go && i < p.length) {
+        val c = p(i) & 0xff
+        if (c == '#') { while (i < p.length && p(i) != '\n') i += 1 }
+        else if (c == ' ' || c == '\t' || c == '\n' || c == '\r') i += 1
+        else go = false
+      }
+    }
+    def int(): Int = {
+      skipWs()
+      var v = 0; var any = false
+      while (i < p.length && p(i) >= '0' && p(i) <= '9') {
+        v = v * 10 + (p(i) - '0'); i += 1; any = true
+      }
+      if (!any) -1 else v
+    }
+    val w = int(); val h = int(); val maxv = int()
+    if (w <= 0 || h <= 0 || maxv <= 0 || maxv > 255) return None
+    i += 1 // exactly one whitespace byte separates maxval from raster
+    if (i + w * h > p.length) return None
+    val px = new Array[Int](w * h)
+    var j = 0
+    while (j < w * h) { px(j) = p(i + j) & 0xff; j += 1 }
+    Some((w, h, px))
+  }
+
+  /** REAL uncompressed 24-bit BMP decode: BI_RGB only, padded rows,
+    * bottom-up (positive height) or top-down (negative), gray =
+    * (b + g + r) / 3. None for anything else. */
+  def decodeBmpGray(p: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    @inline def u8(i: Int): Int = p(i) & 0xff
+    @inline def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    @inline def le32(i: Int): Int =
+      u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    if (p.length < 54 || p(0) != 'B' || p(1) != 'M') return None
+    val off = le32(10)
+    val w = le32(18)
+    val rawH = le32(22)
+    val topDown = rawH < 0
+    val h = math.abs(rawH)
+    if (le16(28) != 24 || le32(30) != 0 || w <= 0 || h == 0) return None
+    val rowBytes = (w * 3 + 3) / 4 * 4
+    if (off + rowBytes.toLong * h > p.length) return None
+    val px = new Array[Int](w * h)
+    var r = 0
+    while (r < h) {
+      val imgRow = if (topDown) r else h - 1 - r
+      var c = 0
+      while (c < w) {
+        val o = off + r * rowBytes + c * 3
+        px(imgRow * w + c) = (u8(o) + u8(o + 1) + u8(o + 2)) / 3
+        c += 1
+      }
+      r += 1
+    }
+    Some((w, h, px))
+  }
+
+  /** Nearest-neighbor resample to the dHash grid: dst(r, c) =
+    * src(r·h/H, c·w/W) — pure integer index math, oracle-recomputable. */
+  def resampleToGrid(px: Array[Int], w: Int, h: Int): Array[Int] =
+    Array.tabulate(DHashW * DHashH) { i =>
+      val r = i / DHashW; val c = i % DHashW
+      px((r * h / DHashH) * w + (c * w / DHashW))
+    }
+
+  /** dHash over REAL decoded pixels: per-partition batched decode
+    * (PGM then BMP attempted — the [[extractFeatures]] shape), resample
+    * to 9×7, and the SAME grid fold as the stub kernel. Output
+    * (id, h: long, format: string); unrecognized payloads yield null h
+    * with format null. */
+  def dhashFromPayload(df: DataFrame, idCol: String,
+                       payloadCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", df.schema(idCol).dataType),
+      StructField("h", LongType),
+      StructField("format", StringType)))
+    val enc = Encoders.row(schema)
+    val idIdx = df.columns.indexOf(idCol)
+    val pIdx = df.columns.indexOf(payloadCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val p = row.getAs[Array[Byte]](pIdx)
+        val dec = decodePgmGray(p).map(d => (d, "pgm"))
+          .orElse(decodeBmpGray(p).map(d => (d, "bmp")))
+        dec match {
+          case Some(((w, h, px), fmt)) =>
+            Row(row.get(idIdx),
+              graft.catalyst.DHashStub.ofGrid(resampleToGrid(px, w, h)), fmt)
+          case None => Row(row.get(idIdx), null, null)
+        }
+      }
+    }(enc)
+  }
+
+  /** Gate-side payload synthesis: text → real container bytes, even ids
+    * as 18×14 PGM (exercising the resample), odd ids as 9×7 24-bit BMP
+    * (exercising padding + bottom-up rows). */
+  def withSynthImagePayload(df: DataFrame, idCol: String,
+                            textCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("payload", BinaryType)))
+    val enc = Encoders.row(schema)
+    val idIdx = df.columns.indexOf(idCol)
+    val tIdx = df.columns.indexOf(textCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val id = row.getLong(idIdx)
+        val text = row.getString(tIdx)
+        val payload =
+          if (id % 2 == 0) encodePgm(synthPixels(text, 18, 14), 18, 14)
+          else encodeBmp24(synthPixels(text, 9, 7), 9, 7)
+        Row(id, payload)
+      }
+    }(enc)
   }
 
   /** REAL (non-stub) image header parsing: container format + pixel

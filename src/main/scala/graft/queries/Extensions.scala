@@ -3086,6 +3086,29 @@ object Extensions {
       } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
     }),
 
+    // --- perceptual image dedup over REAL DECODED PIXELS: texts
+    // synthesize real container bytes (even ids: 18×14 binary PGM —
+    // exercising the nearest-neighbor resample; odd ids: 9×7
+    // uncompressed 24-bit BMP — exercising row padding + bottom-up
+    // order), REAL parsers decode them, and the banded dHash pipeline
+    // runs on the decoded grids. The oracle recomputes the decoded
+    // pixels ARITHMETICALLY (the synth is deterministic), so any parser
+    // bug — offset, padding, row order, resample index — diverges from
+    // the gate; a payload that fails to decode fails directed in-query.
+    "q201_image_dhash_real" -> ((s, dir) => {
+      val MM = graft.functions.Multimodal
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val hashed = MM.dhashFromPayload(
+        MM.withSynthImagePayload(docs, "doc_id", "text"), "id", "payload")
+      val verified = hashed.select(
+        when(col("h").isNull, raise_error(concat(
+          lit("q201: payload for id "), col("id").cast("string"),
+          lit(" failed to decode — real-parser regression"))))
+          .otherwise(col("h")).as("h"))
+      MM.nearDupPairsFromHashes(verified)
+    }),
+
     // --- boundary-splitting packing: q128's bins, with straddling docs
     // exploded into per-bin fragments (what the loader materializes);
     // Σ frag_len per doc ≡ n_tok by construction
@@ -3989,6 +4012,42 @@ object Extensions {
 
     "q197_minhash_transitive_wide" -> minhashTransitiveWideOracle,
     "q198_band_index_wide" -> incNearDupWideOracle,
+
+    // real-decode image dedup: the oracle recomputes the DECODED grid
+    // arithmetically — even ids sample the 18×14 source at (2r, 2c)
+    // (nearest-neighbor 18×14 → 9×7), odd ids use the 9×7 source
+    // directly; then the same doubling fold and pair SQL as q190
+    "q201_image_dhash_real" -> {
+      val MM = graft.functions.Multimodal
+      val (w, bits) = (MM.DHashW, MM.DHashBits)
+      s"""WITH rp AS MATERIALIZED (
+         |  SELECT doc_id, list_transform(range(0, ${w * MM.DHashH}), i ->
+         |    CAST(${dTokHash(
+              "t[((CASE WHEN doc_id % 2 = 0 THEN 36 * (i // 9) + 2 * (i % 9) ELSE i END) % len(t)) + 1]")} % 256 AS INTEGER)) AS p
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+         |rdh AS MATERIALIZED (
+         |  SELECT doc_id, list_reduce(
+         |    list_transform(range(${bits - 1}, -1, -1), i ->
+         |      CASE WHEN p[(i // ${w - 1}) * $w + (i % ${w - 1}) + 1]
+         |             < p[(i // ${w - 1}) * $w + (i % ${w - 1}) + 2]
+         |           THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END),
+         |    (acc, x) -> acc * 2 + x) AS h
+         |  FROM rp),
+         |icnt AS MATERIALIZED (
+         |  SELECT h, CAST(count(*) AS BIGINT) AS n FROM rdh GROUP BY 1),
+         |ib AS MATERIALIZED (
+         |  ${dhashBandSql("(SELECT h FROM icnt)")}),
+         |ipr AS MATERIALIZED (
+         |  SELECT DISTINCT a.h AS h1, b.h AS h2
+         |  FROM ib a JOIN ib b ON a.key = b.key AND a.h < b.h),
+         |isel AS (
+         |  SELECT h1, h2, CAST(bit_count(xor(h1, h2)) AS INTEGER) AS hamming
+         |  FROM ipr WHERE bit_count(xor(h1, h2)) <= 3)
+         |SELECT h1, h2, hamming, c1.n AS n1, c2.n AS n2
+         |FROM isel
+         |JOIN icnt c1 ON isel.h1 = c1.h
+         |JOIN icnt c2 ON isel.h2 = c2.h""".stripMargin
+    },
 
     // incremental SemDeDup: the day-2 verdict recomputed FROM SCRATCH
     // against day0+day1 (the q133 twin trick — the oracle has no index,

@@ -243,6 +243,54 @@ class FunctionsSpec extends SparkSpec {
       s"banded=${banded.size} brute=${brute.size} pairs diverge")
   }
 
+  test("real PGM/BMP decode: byte-exact round-trips, comment-tolerant " +
+       "headers, top-down BMP, and the 9×7 real path equals the stub " +
+       "kernel hash") {
+    import graft.functions.Multimodal
+    // PGM round-trip at the resample source size
+    val px = Multimodal.synthPixels("alpha beta gamma delta epsilon", 18, 14)
+    val pgm = Multimodal.decodePgmGray(Multimodal.encodePgm(px, 18, 14))
+    assert(pgm.exists { case (w, h, p) =>
+      w == 18 && h == 14 && p.sameElements(px) })
+    // BMP round-trip (bottom-up encode, padded rows)
+    val px2 = Multimodal.synthPixels("zeta eta theta iota", 9, 7)
+    val bmp = Multimodal.decodeBmpGray(Multimodal.encodeBmp24(px2, 9, 7))
+    assert(bmp.exists { case (w, h, p) =>
+      w == 9 && h == 7 && p.sameElements(px2) })
+    // PGM comment + whitespace tolerance
+    val commented = ("P5\n# synthetic test image\n2 2\n255\n"
+      .getBytes("US-ASCII")) ++ Array[Byte](1, 2, 3, 4)
+    assert(Multimodal.decodePgmGray(commented).exists { case (w, h, p) =>
+      w == 2 && h == 2 && p.sameElements(Array(1, 2, 3, 4)) })
+    // top-down BMP: same bytes with negative height decode as the
+    // vertical flip of the bottom-up interpretation
+    val enc = Multimodal.encodeBmp24(px2, 9, 7)
+    enc(22) = (-7 & 0xff).toByte; enc(23) = 0xff.toByte
+    enc(24) = 0xff.toByte; enc(25) = 0xff.toByte
+    val flipped = Multimodal.decodeBmpGray(enc).get._3
+    (0 until 7).foreach { r => (0 until 9).foreach { c =>
+      assert(flipped(r * 9 + c) == px2((6 - r) * 9 + c)) } }
+    // garbage rejects cleanly
+    assert(Multimodal.decodePgmGray("P6\n1 1\n255\nx".getBytes).isEmpty)
+    assert(Multimodal.decodeBmpGray(Array[Byte](1, 2, 3)).isEmpty)
+    // odd ids ride the 9×7 BMP path whose synth grid matches the stub's
+    // formula exactly — so the REAL decode chain must reproduce the
+    // stub kernel's hash bit for bit on corpus docs
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .filter(col("doc_id") % 2 === 1).limit(60)
+    val real = Multimodal.dhashFromPayload(
+        Multimodal.withSynthImagePayload(docs, "doc_id", "text"),
+        "id", "payload")
+      .select(col("id"), col("h"), col("format"))
+    val stub = docs.select(col("doc_id").as("id"),
+      Multimodal.dHashStub(col("text")).as("sh"))
+    val joined = real.join(stub, Seq("id"))
+    assert(joined.filter(col("format") =!= "bmp").count() == 0)
+    assert(joined.filter(col("h") =!= col("sh")).count() == 0,
+      "real BMP decode chain diverged from the stub kernel")
+  }
+
   test("image header parsing reads PNG/GIF/JPEG dimensions from raw bytes") {
     import graft.functions.Multimodal.imageDims
     // minimal PNG: signature + IHDR length/type + 640x480 dims
