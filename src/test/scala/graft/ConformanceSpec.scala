@@ -1260,4 +1260,300 @@ class ConformanceSpec extends SparkSpec {
     // and the valid discard still works
     assert(Flow.toDF(pipe(df).discard("ch")).columns.toSeq == Seq("num"))
   }
+
+  // ---- round-10 corners (81-100) ---------------------------------------
+
+  // JoinFieldedPipesPlatformTest.testJoinFilteredBranch: a HashJoin whose
+  // BUILD side was filtered to EMPTY — left joiner pads every streamed
+  // row, inner joiner yields the empty set, and the empty broadcast must
+  // not fail the flow.
+  test("hashJoin against a filtered-to-empty build side: left pads all, " +
+       "inner empties") {
+    // upstream joins declare distinct field names (same-named keys need
+    // declaredFields there; here they'd merge via the USING extension)
+    val empty = pipe(upper).rename("num" -> "num2", "ch" -> "CH")
+      .filterBy(ExpressionFilter("true"))
+    val left = pipe(lower).hashJoin(Seq("num"), empty, Seq("num2"),
+      Joiner.Left)
+    assert(rows(left) == Set(
+      Seq(1, "a", null, null), Seq(2, "b", null, null),
+      Seq(3, "c", null, null), Seq(4, "d", null, null),
+      Seq(5, "e", null, null)))
+    val inner = pipe(lower).hashJoin(Seq("num"), empty, Seq("num2"))
+    assert(rows(inner).isEmpty)
+    assert(Flow.toDF(inner).columns.length == 4)
+  }
+
+  // CoGroupFieldedPipesPlatformTest.testCoGroupFilteredBranch: an OUTER
+  // CoGroup with one side filtered empty — the surviving side passes
+  // through complete, null-padded on the empty side's fields.
+  test("outer coGroup with a filtered-to-empty side null-pads the " +
+       "surviving side") {
+    val empty = pipe(upper).rename("num" -> "num2", "ch" -> "CH")
+      .filterBy(ExpressionFilter("true"))
+    val p = pipe(lower).coGroup(Seq("num"), empty, Seq("num2"), Joiner.Outer)
+    assert(rows(p) == Set(
+      Seq(1, "a", null, null), Seq(2, "b", null, null),
+      Seq(3, "c", null, null), Seq(4, "d", null, null),
+      Seq(5, "e", null, null)))
+  }
+
+  // CoGroupFieldedPipesPlatformTest (null join keys): under Cascading's
+  // comparator semantics (nullSafe here) an INNER CoGroup matches null
+  // keys TO EACH OTHER; under the ANSI default they never match.
+  test("inner coGroup null keys: nullSafe matches them, default drops " +
+       "them") {
+    val l = Seq(("a", 1), (null, 2)).toDF("k", "v")
+    val r = Seq(("a", 10), (null, 20)).toDF("k2", "w")
+    val safe = pipe(l).coGroup(Seq("k"), pipe(r), Seq("k2"),
+      nullSafe = true)
+    assert(rows(safe) == Set(
+      Seq("a", 1, "a", 10), Seq(null, 2, null, 20)))
+    val ansi = pipe(l).coGroup(Seq("k"), pipe(r), Seq("k2"))
+    assert(rows(ansi) == Set(Seq("a", 1, "a", 10)))
+  }
+
+  // JoinFieldedPipesPlatformTest.testJoin (duplicate keys BOTH sides):
+  // m×n per-key cross product — 2 left × 2 right at key 1 = 4 rows.
+  test("hashJoin duplicate keys on BOTH sides emit the m×n per-key " +
+       "cross product") {
+    val l = Seq((1, "a"), (1, "b"), (2, "c")).toDF("k", "lv")
+    val r = Seq((1, "X"), (1, "Y"), (3, "Z")).toDF("k2", "rv")
+    val p = pipe(l).hashJoin(Seq("k"), pipe(r), Seq("k2"))
+    assert(rows(p) == Set(
+      Seq(1, "a", 1, "X"), Seq(1, "a", 1, "Y"),
+      Seq(1, "b", 1, "X"), Seq(1, "b", 1, "Y")))
+  }
+
+  // JoinFieldedPipesPlatformTest.testJoin (differently-named keys): both
+  // key columns survive into the joined tuple — upstream declares
+  // lhs-fields ++ rhs-fields with no key merging.
+  test("hashJoin on differently-named keys keeps BOTH key columns") {
+    val l = Seq((1, "a"), (2, "b")).toDF("num", "ch")
+    val r = Seq((1, 10.0), (2, 20.0)).toDF("id", "score")
+    val p = pipe(l).hashJoin(Seq("num"), pipe(r), Seq("id"))
+    val df = Flow.toDF(p)
+    assert(df.columns.toSeq == Seq("num", "ch", "id", "score"))
+    assert(rows(p) == Set(Seq(1, "a", 1, 10.0), Seq(2, "b", 2, 20.0)))
+  }
+
+  // JoinFieldedPipesPlatformTest.testJoinsIntoGroupBy: join output
+  // grouped on a NON-key field of the streamed side — the join's tuple
+  // layout must feed grouping on any of its fields.
+  test("join output grouped on a non-key field") {
+    val l = Seq((1, "x"), (2, "x"), (3, "y")).toDF("k", "tag")
+    val r = Seq((1, 10), (2, 20), (3, 30)).toDF("k2", "w")
+    val p = pipe(l).hashJoin(Seq("k"), pipe(r), Seq("k2"))
+      .groupBy("tag").every(Aggs.sum("w", "s"))
+    assert(rows(p) == Set(Seq("x", 30L), Seq("y", 30L)))
+  }
+
+  // JoinFieldedPipesPlatformTest (join → group → join): the aggregate of
+  // a join re-joins a fresh read — pipeline composition across an
+  // aggregation boundary.
+  test("join then groupBy then join composes") {
+    val l = Seq((1, "x"), (1, "y"), (2, "z")).toDF("k", "v")
+    val r = Seq((1, 10), (2, 20)).toDF("k2", "w")
+    val agg = pipe(l).hashJoin(Seq("k"), pipe(r), Seq("k2"))
+      .groupBy("k").every(Aggs.sum("w", "s"))
+    val back = agg.hashJoin(Seq("k"), pipe(r), Seq("k2"))
+    assert(rows(back) == Set(
+      Seq(1, 20L, 1, 10), Seq(2, 20L, 2, 20)))
+  }
+
+  // JoinFieldedPipesPlatformTest.testJoinSamePipe2/3 family: two
+  // branches of ONE source join each other, and the result joins a THIRD
+  // read of the same source — the memoized source must serve all three
+  // consumers.
+  test("same-source triple: two branches join, result joins a third read") {
+    val src = pipe(lower)
+    val a = src.filterBy(ExpressionFilter("num > 3")) // keeps 1..3
+    val b = src.rename("num" -> "num2", "ch" -> "ch2")
+    val ab = a.hashJoin(Seq("num"), b, Seq("num2"))
+    val abc = ab.hashJoin(Seq("num"), src.rename("num" -> "num3",
+      "ch" -> "ch3"), Seq("num3"))
+    assert(rows(abc) == Set(
+      Seq(1, "a", 1, "a", 1, "a"), Seq(2, "b", 2, "b", 2, "b"),
+      Seq(3, "c", 3, "c", 3, "c")))
+  }
+
+  // MergePipesPlatformTest.testSimpleMergeThreeChainCoGroup: a THREE-way
+  // merge feeding one side of a CoGroup.
+  test("three-way merge feeds a coGroup side") {
+    val a = pipe(lower).filterBy(ExpressionFilter("num > 1"))  // keeps 1
+    val b = pipe(lower).filterBy(ExpressionFilter("num <> 2")) // keeps 2
+    val c = pipe(lower).filterBy(ExpressionFilter("num <> 3")) // keeps 3
+    val merged = a.merge(b, c)
+    val p = merged.coGroup(Seq("num"),
+      pipe(upper).rename("num" -> "num2", "ch" -> "CH"), Seq("num2"))
+    assert(rows(p) == Set(
+      Seq(1, "a", 1, "A"), Seq(2, "b", 2, "B"), Seq(3, "c", 3, "C")))
+  }
+
+  // FieldedPipesPlatformTest.testSplitOut: one split branch writes a
+  // sink DIRECTLY while the other aggregates into a second sink — the
+  // raw and derived sinks share one DAG.
+  test("split: raw branch to one sink, aggregated branch to another") {
+    val dir = java.nio.file.Files.createTempDirectory("splitout").toString
+    val src = pipe(Seq(("a", 1), ("a", 2), ("b", 5)).toDF("k", "v"))
+    val agg = src.groupBy("k").every(Aggs.sum("v", "s"))
+    Flow.writeAll(Seq(
+      (src, graft.sources.ParquetTap(s"$dir/raw"), graft.sources.SinkMode.Replace),
+      (agg, graft.sources.ParquetTap(s"$dir/agg"), graft.sources.SinkMode.Replace)))
+    assert(spark.read.parquet(s"$dir/raw").count() == 3)
+    assert(spark.read.parquet(s"$dir/agg").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("a", 3L), ("b", 5L)))
+  }
+
+  // cascading Every contract (Every javadoc: "an Every may follow a
+  // GroupBy or CoGroup"): aggregating a CoGroup's key groups directly.
+  // Here that composes as coGroup → groupBy(join key) → every, and the
+  // plan must NOT re-shuffle (the join already partitioned by the key) —
+  // the zero-exchange claim of case "groupBy on the join key adds no
+  // exchange", now with the aggregate semantics pinned too.
+  test("Every after CoGroup aggregates per join-key group without a new " +
+       "exchange") {
+    val l = Seq((1, 2), (1, 3), (2, 5)).toDF("k", "v")
+    val r = Seq((1, 10), (2, 20), (2, 30)).toDF("k2", "w")
+    val p = pipe(l).coGroup(Seq("k"), pipe(r), Seq("k2"))
+      .groupBy("k").every(Aggs.sum("v", "sv"), Aggs.sum("w", "sw"))
+    val df = Flow.toDF(p)
+    assert(rows(p) == Set(Seq(1, 5L, 20L), Seq(2, 10L, 50L)))
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 2, s"Every after CoGroup re-shuffled:\n$plan")
+  }
+
+  // CoGroupFieldedPipesPlatformTest (composite keys): CoGroup on TWO key
+  // fields — the pair is the group, single-field overlap must not match.
+  test("coGroup on composite two-field keys") {
+    val l = Seq((1, "x", 100), (1, "y", 200), (2, "x", 300))
+      .toDF("a", "b", "v")
+    val r = Seq((1, "x", "m1"), (2, "x", "m2"), (1, "z", "m3"))
+      .toDF("a2", "b2", "tag")
+    val p = pipe(l).coGroup(Seq("a", "b"), pipe(r), Seq("a2", "b2"))
+    assert(rows(p) == Set(
+      Seq(1, "x", 100, 1, "x", "m1"), Seq(2, "x", 300, 2, "x", "m2")))
+  }
+
+  // LimitPipesPlatformTest (degenerate): limit 0 completes with an EMPTY
+  // result and an intact schema.
+  test("limit 0 yields empty output with intact schema") {
+    val p = pipe(lower).limit(0L)
+    val df = Flow.toDF(p)
+    assert(df.count() == 0)
+    assert(df.columns.toSeq == Seq("num", "ch"))
+  }
+
+  // AssemblyHelpersPlatformTest (CountBy Include.NO_NULLS): counting a
+  // FIELD counts only non-null values; counting tuples counts all —
+  // both variants side by side on one grouping.
+  test("CountBy Include.NO_NULLS counts non-null arguments only") {
+    val df = Seq(("a", java.lang.Integer.valueOf(1)), ("a", null),
+      ("b", java.lang.Integer.valueOf(2)))
+      .toDF("k", "v")
+    val p = pipe(df).groupBy("k")
+      .every(Aggs.count("n_all"), Aggs.countArg("v", "n_vals"))
+    assert(rows(p) == Set(Seq("a", 2L, 1L), Seq("b", 1L, 1L)))
+  }
+
+  // JoinFieldedPipesPlatformTest (RightJoin): the build side is kept
+  // complete; unmatched STREAMED rows drop and unmatched build rows pad.
+  test("hashJoin right joiner keeps the build side complete") {
+    val l = Seq((1, "a"), (2, "b")).toDF("k", "lv")
+    val r = Seq((2, "X"), (3, "Y")).toDF("k2", "rv")
+    val p = pipe(l).hashJoin(Seq("k"), pipe(r), Seq("k2"), Joiner.Right)
+    assert(rows(p) == Set(
+      Seq(2, "b", 2, "X"), Seq(null, null, 3, "Y")))
+  }
+
+  // TextDelimited quote contract (FlinkTestPlatform.java:153-167 builds
+  // the scheme with quote support): fields containing the delimiter or
+  // the quote char round-trip the CSV boundary byte-exactly.
+  test("TextDelimited round-trips quoted fields containing delimiter " +
+       "and quotes") {
+    val dir = java.nio.file.Files.createTempDirectory("csvquote").toString
+    val df = Seq((1, "plain"), (2, "has,comma"), (3, "has\"quote"))
+      .toDF("num", "txt")
+    val tap = graft.sources.CsvTap(s"$dir/q", header = true,
+      schema = Some(StructType(Seq(
+        StructField("num", IntegerType), StructField("txt", StringType)))))
+    tap.write(Flow.toDF(pipe(df)), graft.sources.SinkMode.Replace)
+    val back = rows(pipe(tap.read(spark)))
+    assert(back == Set(Seq(1, "plain"), Seq(2, "has,comma"),
+      Seq(3, "has\"quote")))
+  }
+
+  // CoGroupFieldedPipesPlatformTest.testCoGroupSelf with declaredFields:
+  // a self-CoGroup disambiguates the doubled schema via declared output
+  // names.
+  test("self coGroup with declared output fields renames both sides") {
+    val p = pipe(lower).coGroup(Seq("num"), pipe(lower), Seq("num"),
+      declared = Some(Seq("n1", "c1", "n2", "c2")))
+    val df = Flow.toDF(p)
+    assert(df.columns.toSeq == Seq("n1", "c1", "n2", "c2"))
+    assert(rows(p).size == 5)
+    assert(rows(p).contains(Seq(3, "c", 3, "c")))
+  }
+
+  // cascading.operation.buffer.FirstNBuffer (BufferPipesPlatformTest
+  // family): emit only the first N tuples of each group under the
+  // declared sort.
+  test("first-N buffer emits the leading N rows of each sorted group") {
+    val df = Seq(("g", 3), ("g", 1), ("g", 2), ("h", 7)).toDF("k", "v")
+    val firstN = new CBuffer {
+      val resultFields: CFields = CFields.typed("v_out" -> IntegerType)
+      def operate(key: Seq[Any], rs: Iterator[Row]): Iterator[Seq[Any]] =
+        rs.take(2).map(r => Seq(r.getInt(r.fieldIndex("v"))))
+    }
+    val p = pipe(df).groupBySorted(Seq("k"), Seq("v" -> true))
+      .buffer(firstN)
+    assert(rows(p) == Set(Seq("g", 1), Seq("g", 2), Seq("h", 7)))
+  }
+
+  // AssemblyHelpersPlatformTest (MaxBy over strings): Max/Min compare by
+  // the field's ordering — for strings that is LEXICAL, not arrival.
+  test("MaxBy/MinBy on string values compare lexically") {
+    val df = Seq(("a", "banana"), ("a", "apple"), ("a", "cherry"),
+      ("b", "zzz")).toDF("k", "s")
+    val p = pipe(df).groupBy("k")
+      .every(Aggs.min("s", "lo"), Aggs.max("s", "hi"))
+    assert(rows(p) == Set(
+      Seq("a", "apple", "cherry"), Seq("b", "zzz", "zzz")))
+  }
+
+  // FieldedPipesPlatformTest.testCross (empty-side corner): a Cartesian
+  // against an EMPTY side is the empty set — with schema intact.
+  test("cross against an empty side is empty with the composite schema") {
+    val empty = pipe(upper).filterBy(ExpressionFilter("true"))
+    val p = pipe(lower).cross(empty)
+    val df = Flow.toDF(p)
+    assert(df.count() == 0)
+    assert(df.columns.length == 4)
+  }
+
+  // MergePipesPlatformTest (empty-branch corner): merging an empty
+  // branch is the identity on the other branch — no rows lost, no
+  // schema drift.
+  test("merge with a filtered-to-empty branch passes the other through") {
+    val empty = pipe(lower).filterBy(ExpressionFilter("true"))
+    val p = pipe(lower).merge(empty).groupBy("ch").every(Aggs.count("n"))
+    assert(rows(p) == Set(Seq("a", 1L), Seq("b", 1L), Seq("c", 1L),
+      Seq("d", 1L), Seq("e", 1L)))
+  }
+
+  // FieldedPipesPlatformTest.testUnGroup → regroup: the pivoted rows
+  // re-aggregate back to the pre-pivot totals (pivot round-trip).
+  test("unGroup output regroups to the pre-pivot totals") {
+    val df = Seq((1, 10, 20), (2, 30, 40)).toDF("id", "a", "b")
+    val p = pipe(df)
+      .generate(UnGroup(CFields.typed("id2" -> IntegerType,
+        "v" -> IntegerType), numKeys = 1,
+        valueSelectors = Seq(Seq(1), Seq(2))),
+        args = FieldSelector.All, out = FieldSelector.Results)
+      .groupBy("id2").every(Aggs.sum("v", "s"))
+    assert(rows(p) == Set(Seq(1, 30L), Seq(2, 70L)))
+  }
 }
