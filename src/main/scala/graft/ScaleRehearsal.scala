@@ -72,7 +72,15 @@ object ScaleRehearsal {
     // refresh cadence), perceptual image dedup + its index path, and the
     // indexed contamination matrix
     "q188_langid_profile", "q189_ann_recall", "q190_image_dhash",
-    "q191_image_dhash_index", "q192_source_overlap_indexed")
+    "q191_image_dhash_index", "q192_source_overlap_indexed",
+    // round-10: the wide-hash twins (same plan shapes at the 60/61-bit
+    // keys — the ratios certify the width change costs no scale shape),
+    // incremental SemDeDup at index cadence (cost tracks the batch),
+    // and real-container image decode (scan-shaped)
+    "q194_winnow_index_wide", "q195_winnow_clusters_wide",
+    "q196_winnow_incremental_wide", "q197_minhash_transitive_wide",
+    "q198_band_index_wide", "q199_semdedup_incremental",
+    "q201_image_dhash_real")
 
   def main(args: Array[String]): Unit = {
     val small = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -89,7 +97,12 @@ object ScaleRehearsal {
     spark.sparkContext.setLogLevel("WARN")
     buildIfAbsent(spark, small, large)
 
-    val resolved = Queries.map(name => name -> SparkEntry.queries(name))
+    // optional subset for incremental rehearsals:
+    // SPARK_GRAFT_REHEARSE_ONLY=q194,q195 (prefix match, like Verify)
+    val only = sys.env.get("SPARK_GRAFT_REHEARSE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selectedQs = Queries.filter(n => only.forall(_.exists(n.startsWith)))
+    val resolved = selectedQs.map(name => name -> SparkEntry.queries(name))
     def time(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
