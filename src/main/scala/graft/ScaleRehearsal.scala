@@ -150,6 +150,30 @@ object ScaleRehearsal {
         else regexp_replace(col("text"), "(\\S+)", "$1" + s"x$i")))
     replicate("embeddings")((df, i) =>
       df.withColumn("vec_id", col("vec_id") + lit(10000000L * i)))
+    // remaining tables — needed by the WHOLE-SURFACE sf1 sweep (the
+    // per-query rehearsal tier never read them, which the first sweep
+    // exposed as 26 PATH_NOT_FOUND failures):
+    //  - region/nation verbatim: tiny dims; every replicated customer
+    //    still references a valid nation (10× customers per nation is
+    //    exactly what a 10× corpus does to a fixed-cardinality dim);
+    //  - supplier/part with offset keys: replica-0 keys keep covering
+    //    every lineitem reference, the extra rows scale the dimension
+    //    itself (verbatim replication would duplicate primary keys and
+    //    wrongly fan every join out 10×);
+    //  - events: user/event ids offset per replica (10× users, each
+    //    keeping replica-0's session structure), timestamps verbatim
+    //    (same window, 10× density — the production shape of growth).
+    Seq("region", "nation").foreach { t =>
+      spark.read.parquet(s"$small/$t.parquet")
+        .write.mode("overwrite").parquet(s"$large/$t.parquet")
+    }
+    replicate("supplier")((df, i) =>
+      df.withColumn("s_suppkey", col("s_suppkey") + lit(1000000L * i)))
+    replicate("part")((df, i) =>
+      df.withColumn("p_partkey", col("p_partkey") + lit(10000000L * i)))
+    replicate("events")((df, i) => df
+      .withColumn("event_id", col("event_id") + lit(100000000L * i))
+      .withColumn("user_id", col("user_id") + lit(10000000L * i)))
     require(marker.createNewFile(), s"cannot write $marker")
   }
 }
