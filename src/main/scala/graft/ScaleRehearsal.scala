@@ -80,7 +80,11 @@ object ScaleRehearsal {
     "q194_winnow_index_wide", "q195_winnow_clusters_wide",
     "q196_winnow_incremental_wide", "q197_minhash_transitive_wide",
     "q198_band_index_wide", "q199_semdedup_incremental",
-    "q201_image_dhash_real")
+    "q201_image_dhash_real",
+    // the q181 remedy: exact collapse first — q181 itself fails DIRECTED
+    // at this sf1 (160-fold verbatim copies defeat escalation, by
+    // design); the distinct form must SURVIVE the same data
+    "q202_semdedup_distinct")
 
   def main(args: Array[String]): Unit = {
     val small = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -561,6 +561,48 @@ object Similarity {
         col("best_sim"))
   }
 
+  /** [[semanticDedupAdaptive]] behind an EXACT-DUPLICATE collapse — the
+    * adaptive guard's own remedy, operationalized. Identical vectors can
+    * never be separated by more planes (they share every sign bucket),
+    * so a corpus with heavy exact replication drives ANY bucket cap to a
+    * directed failure (measured: the synthesized sf1's 10× verbatim
+    * copies → 160-fold buckets → q181 refuses). Collapse exact copies to
+    * their min-id representative FIRST (one aggregate keyed on the
+    * vector value — uniform, linear), run the adaptive pass on DISTINCT
+    * vectors, then expand: a non-representative copy is an exact dup of
+    * its representative (kept = false, dup_of = rep, best_sim = 1.0);
+    * representatives carry the adaptive verdict. Returns (id, lvl, kept,
+    * dup_of, n_copies, best_sim) — n_copies the exact multiplicity of
+    * the id's vector.
+    *
+    * The group table feeds two branches (reps + the expand join) and is
+    * recomputed per branch here (deterministic); a 100 TB run persists
+    * it — or keys it on a wide content hash — once per refresh. */
+  def semanticDedupDistinct(df: DataFrame, idCol: String, vecCol: String,
+                            simThreshold: Double, basePlanes: Int = 6,
+                            extraPlanes: Int = 4,
+                            maxBucket: Long = DefaultMaxBucket,
+                            maxRounds: Int = 2): DataFrame = {
+    val groups = df.groupBy(col(vecCol).as("gvec"))
+      .agg(min(col(idCol)).as("rep"), count(lit(1)).as("n_copies"))
+    val reps = groups.select(col("rep").as(idCol), col("gvec").as(vecCol))
+    val verdict = semanticDedupAdaptive(reps, idCol, vecCol, simThreshold,
+        basePlanes, extraPlanes, maxBucket, maxRounds)
+      .select(col("id").as("rep"), col("lvl"), col("kept"),
+        col("dup_of"), col("best_sim"))
+    df.select(col(idCol).as("id"), col(vecCol).as("gvec"))
+      .join(groups, Seq("gvec"))
+      .join(verdict, Seq("rep"))
+      .select(col("id"), col("lvl"),
+        when(col("id") === col("rep"), col("kept"))
+          .otherwise(lit(false)).as("kept"),
+        when(col("id") === col("rep"), col("dup_of"))
+          .otherwise(col("rep")).as("dup_of"),
+        col("n_copies"),
+        when(col("id") === col("rep"), col("best_sim"))
+          .otherwise(lit(1.0)).as("best_sim"))
+  }
+
   /** Persisted SIGN-BUCKET INDEX rows: (id, bucket, vec) — the q127/q133
     * index discipline applied to SemDeDup so arriving embeddings stop
     * paying a full corpus re-bucket per batch. Write through

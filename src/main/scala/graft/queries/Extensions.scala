@@ -3109,6 +3109,22 @@ object Extensions {
       MM.nearDupPairsFromHashes(verified)
     }),
 
+    // --- adaptive SemDeDup behind an exact-duplicate collapse: the q181
+    // guard's own remedy as a first-class operator. Identical vectors
+    // share every sign bucket at ANY plane count, so exact replication
+    // defeats escalation (the sf1 sweep measured q181 failing directed
+    // on 160-fold verbatim copies); collapsing to distinct vectors first
+    // makes the adaptive pass see only splittable mass. At this SF the
+    // corpus is already distinct, so the collapse is the identity and
+    // the verdicts equal q181's with n_copies = 1 — at the replicated
+    // sf1 this query SURVIVES where q181 refuses (rehearsed).
+    "q202_semdedup_distinct" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.functions.Similarity.semanticDedupDistinct(
+        e, "vec_id", "embedding", simThreshold = 0.95,
+        basePlanes = 6, extraPlanes = 4, maxBucket = 100L, maxRounds = 3)
+    }),
+
     // --- boundary-splitting packing: q128's bins, with straddling docs
     // exploded into per-bin fragments (what the loader materializes);
     // Σ frag_len per doc ≡ n_tok by construction
@@ -3251,6 +3267,48 @@ object Extensions {
        |  AS family_id
        |FROM documents d LEFT JOIN il$iRounds ON d.doc_id = il$iRounds.id
        |WHERE d.doc_id % 10 = 7""".stripMargin
+  }
+
+  /** The adaptive-escalation CTE chain over a prior CTE `v(id, vec)` —
+    * shared by q181 (raw corpus) and q202 (distinct vectors after exact
+    * collapse). Ends in `rv(id, lvl, kept, dup_of, n_smaller_dups,
+    * best_sim)`. Parameters mirror both registrations: base 6, extra 4,
+    * 3 rounds, maxBucket 100, threshold 0.95. */
+  private lazy val adaptiveDedupCtes: String = {
+    val base = 6; val extra = 4; val rounds = 3; val maxB = 100
+    val levelCtes = (1 to rounds).map { r =>
+      val planes = base + r * extra
+      val p = r - 1
+      s"""c$p AS (SELECT b, count(*) AS n FROM l$p
+         |  WHERE lvl = $p GROUP BY 1),
+         |l$r AS (
+         |  SELECT l$p.id, l$p.vec,
+         |    CASE WHEN l$p.lvl = $p AND c$p.n > $maxB THEN $r
+         |         ELSE l$p.lvl END AS lvl,
+         |    CASE WHEN l$p.lvl = $p AND c$p.n > $maxB
+         |         THEN ${dBucket(s"l$p.vec", planes)}
+         |         ELSE l$p.b END AS b
+         |  FROM l$p LEFT JOIN c$p
+         |    ON l$p.lvl = $p AND l$p.b = c$p.b)""".stripMargin
+    }.mkString(",\n")
+    s"""l0 AS (SELECT id, vec, 0 AS lvl, ${dBucket("vec", base)} AS b
+       |       FROM v),
+       |$levelCtes,
+       |k AS (
+       |  SELECT id, vec, CAST(lvl AS INTEGER) AS lvl,
+       |    CAST(lvl AS VARCHAR) || ':' || CAST(b AS VARCHAR) AS key
+       |  FROM l$rounds),
+       |p AS (
+       |  SELECT a.id AS id1, z.id AS id2, ${dCos("a.vec", "z.vec")} AS sim
+       |  FROM k a JOIN k z ON a.key = z.key AND a.id < z.id),
+       |drops AS (
+       |  SELECT id2 AS id, min(id1) AS dup_of,
+       |    CAST(count(*) AS BIGINT) AS n_smaller_dups, max(sim) AS best_sim
+       |  FROM p WHERE sim >= 0.95 GROUP BY 1),
+       |rv AS (
+       |  SELECT k.id, k.lvl, d.dup_of IS NULL AS kept, d.dup_of,
+       |    coalesce(d.n_smaller_dups, 0) AS n_smaller_dups, d.best_sim
+       |  FROM k LEFT JOIN drops d USING (id))""".stripMargin
   }
 
   /** Winnow-index match oracle, shared by q180 (batch) and q182 (the
@@ -4361,42 +4419,32 @@ object Extensions {
     // the same base/extra/rounds/maxBucket constants as the query):
     // same dBucket per level, same population thresholds, same min-id
     // verdict
-    "q181_semantic_dedup_adaptive" -> {
-      val base = 6; val extra = 4; val rounds = 3; val maxB = 100
-      val levelCtes = (1 to rounds).map { r =>
-        val planes = base + r * extra
-        val p = r - 1
-        s"""c$p AS (SELECT b, count(*) AS n FROM l$p
-           |  WHERE lvl = $p GROUP BY 1),
-           |l$r AS (
-           |  SELECT l$p.id, l$p.vec,
-           |    CASE WHEN l$p.lvl = $p AND c$p.n > $maxB THEN $r
-           |         ELSE l$p.lvl END AS lvl,
-           |    CASE WHEN l$p.lvl = $p AND c$p.n > $maxB
-           |         THEN ${dBucket(s"l$p.vec", planes)}
-           |         ELSE l$p.b END AS b
-           |  FROM l$p LEFT JOIN c$p
-           |    ON l$p.lvl = $p AND l$p.b = c$p.b)""".stripMargin
-      }.mkString(",\n")
+    "q181_semantic_dedup_adaptive" ->
       s"""WITH v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
-         |l0 AS (SELECT id, vec, 0 AS lvl, ${dBucket("vec", base)} AS b
-         |       FROM v),
-         |$levelCtes,
-         |k AS (
-         |  SELECT id, vec, CAST(lvl AS INTEGER) AS lvl,
-         |    CAST(lvl AS VARCHAR) || ':' || CAST(b AS VARCHAR) AS key
-         |  FROM l$rounds),
-         |p AS (
-         |  SELECT a.id AS id1, z.id AS id2, ${dCos("a.vec", "z.vec")} AS sim
-         |  FROM k a JOIN k z ON a.key = z.key AND a.id < z.id),
-         |drops AS (
-         |  SELECT id2 AS id, min(id1) AS dup_of,
-         |    CAST(count(*) AS BIGINT) AS n_smaller_dups, max(sim) AS best_sim
-         |  FROM p WHERE sim >= 0.95 GROUP BY 1)
-         |SELECT k.id, k.lvl, d.dup_of IS NULL AS kept, d.dup_of,
-         |  coalesce(d.n_smaller_dups, 0) AS n_smaller_dups, d.best_sim
-         |FROM k LEFT JOIN drops d USING (id)""".stripMargin
-    },
+         |$adaptiveDedupCtes
+         |SELECT id, lvl, kept, dup_of, n_smaller_dups, best_sim
+         |FROM rv""".stripMargin,
+
+    // q202 = exact collapse, the SAME adaptive chain over the distinct
+    // vectors, expand: reps carry the adaptive verdict, copies are exact
+    // dups of their rep (kept false, dup_of rep, best_sim 1.0)
+    "q202_semdedup_distinct" ->
+      s"""WITH base AS (SELECT vec_id, embedding FROM embeddings),
+         |g AS MATERIALIZED (
+         |  SELECT embedding AS gvec, CAST(min(vec_id) AS BIGINT) AS rep,
+         |    CAST(count(*) AS BIGINT) AS n_copies
+         |  FROM base GROUP BY 1),
+         |v AS (SELECT rep AS id, gvec AS vec FROM g),
+         |$adaptiveDedupCtes
+         |SELECT b.vec_id AS id, rv.lvl,
+         |  CASE WHEN b.vec_id = g.rep THEN rv.kept ELSE FALSE END AS kept,
+         |  CASE WHEN b.vec_id = g.rep THEN rv.dup_of ELSE g.rep END
+         |    AS dup_of,
+         |  g.n_copies,
+         |  CASE WHEN b.vec_id = g.rep THEN rv.best_sim ELSE 1.0 END
+         |    AS best_sim
+         |FROM base b JOIN g ON b.embedding = g.gvec
+         |JOIN rv ON g.rep = rv.id""".stripMargin,
 
     // per-label centroid affinity: quantize to micros BEFORE the sum
     // (exact int), mean = floor(double(sum)/n) — identical IEEE ops
