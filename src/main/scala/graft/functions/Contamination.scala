@@ -50,16 +50,22 @@ object Contamination {
     * aggregates the matrix. Output: (src_a, src_b, shared_ngrams),
     * src_a < src_b. */
   def sourceOverlapMatrix(docs: DataFrame, textCol: String, srcCol: String,
-                          n: Int = 8): DataFrame =
+                          n: Int = 8,
+                          wideHash: Boolean = false): DataFrame =
     pairMatrixOf(
-      sourceGramRows(docs, textCol, srcCol, n)
+      sourceGramRows(docs, textCol, srcCol, n, wideHash)
         .groupBy(col("h"))
         .agg(sort_array(collect_set(col("source"))).as("ss")))
 
-  /** Distinct (source, h) 40-bit n-gram membership rows — the shared
-    * scan of the from-scratch matrix and the persisted index build. */
+  /** Distinct (source, h) n-gram membership rows — the shared scan of
+    * the from-scratch matrix and the persisted index build. Default
+    * 40-bit keys; `wideHash` selects the 60-bit Md5Prefix60 key — a gram
+    * collision only INFLATES an overlap count by one (a statistic, not a
+    * family corruption), but the PERSISTED index layout (q192) should
+    * still entrench wide before ~2^20 distinct grams, matching the
+    * winnow/MinHash discipline. */
   def sourceGramRows(docs: DataFrame, textCol: String, srcCol: String,
-                     n: Int): DataFrame =
+                     n: Int, wideHash: Boolean = false): DataFrame =
     // token array materialized BEFORE the lambda: referencing the split()
     // subtree inside transform re-evaluates it per position (O(len²) per
     // row); as an attribute it splits once and the slices stay linear
@@ -68,8 +74,11 @@ object Contamination {
       .filter(size(col("__t")) >= n)
       .select(col("source"),
         explode(transform(sequence(lit(1), size(col("__t")) - (n - 1)),
-          i => graft.catalyst.Md5Prefix40(
-            concat_ws(" ", slice(col("__t"), i, lit(n)))))).as("h"))
+          i => {
+            val gram = concat_ws(" ", slice(col("__t"), i, lit(n)))
+            if (wideHash) graft.catalyst.Md5Prefix60(gram)
+            else graft.catalyst.Md5Prefix40(gram)
+          })).as("h"))
       .distinct()
 
   /** Sorted-pair explode + count over a (h, ss sorted source set) table:
@@ -89,8 +98,8 @@ object Contamination {
     * refresh, and every new crawl's matrix recompute reads the corpus
     * ONLY through this table. */
   def sourceGramIndex(docs: DataFrame, textCol: String, srcCol: String,
-                      n: Int = 8): DataFrame =
-    sourceGramRows(docs, textCol, srcCol, n)
+                      n: Int = 8, wideHash: Boolean = false): DataFrame =
+    sourceGramRows(docs, textCol, srcCol, n, wideHash)
       .groupBy(col("h"))
       .agg(sort_array(collect_set(col("source"))).as("ss"))
 
@@ -107,12 +116,14 @@ object Contamination {
   def sourceOverlapMatrixIndexed(corpusIndex: DataFrame, batch: DataFrame,
                                  textCol: String, srcCol: String,
                                  n: Int = 8, indexBuckets: Int = 8,
-                                 assertBucketScan: Boolean = false): DataFrame = {
+                                 assertBucketScan: Boolean = false,
+                                 wideHash: Boolean = false): DataFrame = {
     // repartition to the INDEX's bucket count before the set aggregate:
     // the aggregation then reuses that partitioning AND the join aligns
     // with the bucketed scan — otherwise the plan pays a second
-    // h-exchange re-aligning 32 aggregate partitions to 8 buckets
-    val bs = sourceGramRows(batch, textCol, srcCol, n)
+    // h-exchange re-aligning 32 aggregate partitions to 8 buckets.
+    // wideHash must match the index build's width.
+    val bs = sourceGramRows(batch, textCol, srcCol, n, wideHash)
       .repartition(indexBuckets, col("h"))
       .groupBy(col("h")).agg(sort_array(collect_set(col("source"))).as("bss"))
     val joined = corpusIndex.join(bs, Seq("h"), "full_outer")

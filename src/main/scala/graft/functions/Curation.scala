@@ -47,7 +47,8 @@ object Curation {
     * partitioning. Never all-pairs. */
   def dropDuplicateParagraphs(docs: DataFrame, idCol: String = "doc_id",
                               textCol: String = "text",
-                              sep: String = "\n"): DataFrame = {
+                              sep: String = "\n",
+                              wideHash: Boolean = false): DataFrame = {
     val sepLit = java.util.regex.Pattern.quote(sep)
     val paras = docs
       .select(col(idCol).as("__id"),
@@ -61,7 +62,14 @@ object Curation {
             + s"packable domain (id ≥ 0, pos < $PosCap): id="),
             col("__id"), lit(" pos="), col("ppos"))).cast("long"))
         .otherwise(col("ppos")))
-      .withColumn("h", graft.catalyst.Md5Prefix40(col("para")))
+      // wideHash: the 60-bit key (Md5Prefix60) — a paragraph-hash
+      // collision DELETES REAL CONTENT (two different paragraphs
+      // conflated, the loser erased corpus-wide), so past ~2^20 distinct
+      // paragraphs the wide key is the correctness-preserving form (the
+      // duplicatedSpans/winnow precedent)
+      .withColumn("h",
+        if (wideHash) graft.catalyst.Md5Prefix60(col("para"))
+        else graft.catalyst.Md5Prefix40(col("para")))
     val dup = paras.groupBy(col("h"))
       .agg(count(lit(1)).as("cnt"),
         min(col("__id") * PosCap + col("ppos")).as("keeper"))

@@ -3125,6 +3125,47 @@ object Extensions {
         basePlanes = 6, extraPlanes = 4, maxBucket = 100L, maxRounds = 3)
     }),
 
+    // --- WIDE twin of q161: paragraph dedup at the 60-bit key. A
+    // paragraph-hash collision DELETES real content (two different
+    // paragraphs conflated, the loser erased corpus-wide) — the same
+    // silent-corruption class as the winnow finding, so the wide form is
+    // the one to run past ~2^20 distinct paragraphs.
+    "q203_paragraph_dedup_wide" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val aug = docs.select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0, lit("\n" + Boiler1))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit("\n" + Boiler2))
+            .otherwise(lit(""))).as("text"))
+      graft.functions.Curation.dropDuplicateParagraphs(aug, "doc_id",
+          "text", wideHash = true)
+        .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
+          col("n_kept"), col("n_dropped"))
+    }),
+
+    // --- WIDE twin of q192: the persisted contamination gram index at
+    // the 60-bit key (a collision only inflates a count by one, but the
+    // persisted layout should entrench collision-safe with the rest)
+    "q204_source_overlap_wide" -> ((s, dir) => {
+      val table = stagedTable("graft_q204_gramidx")
+      graft.queries.Tables.dropStagedTable(s, table)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+      val batch = docs.filter(col("doc_id") % 10 === 7)
+      graft.functions.Contamination.sourceGramIndexTap(table, 8).write(
+        graft.functions.Contamination.sourceGramIndex(
+          corpus, "text", "source", n = 8, wideHash = true),
+        graft.sources.SinkMode.Replace)
+      val threshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        graft.functions.Contamination.sourceOverlapMatrixIndexed(
+          s.table(table), batch, "text", "source", n = 8,
+          assertBucketScan = true, wideHash = true)
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    }),
+
     // --- boundary-splitting packing: q128's bins, with straddling docs
     // exploded into per-bin fragments (what the loader materializes);
     // Σ frag_len per doc ≡ n_tok by construction
@@ -3372,20 +3413,20 @@ object Extensions {
     * + tot. Shared by q161 and the q168 curation-ladder composition.
     * Callers SELECT from `agg`/`tot` (left join, coalesce for
     * fully-deduped docs). */
-  private def paragraphDedupBody(src: String): String =
+  private def paragraphDedupBody(src: String, nibbles: Int = 10): String =
     s"""paras AS (
        |  SELECT doc_id, CAST(pos AS BIGINT) AS ppos, p[pos] AS para
        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS p FROM $src),
        |  LATERAL (SELECT unnest(range(1, len(p) + 1)) AS pos) r),
        |dup AS (
-       |  SELECT CAST(concat('0x', substr(md5(para), 1, 10)) AS BIGINT)
+       |  SELECT CAST(concat('0x', substr(md5(para), 1, $nibbles)) AS BIGINT)
        |      AS h,
        |    min(doc_id * 1000000 + ppos) AS keeper
        |  FROM paras GROUP BY 1 HAVING count(*) >= 2),
        |kept AS (
        |  SELECT p.doc_id, p.ppos, p.para FROM paras p
        |  LEFT JOIN dup ON CAST(concat('0x',
-       |      substr(md5(p.para), 1, 10)) AS BIGINT) = dup.h
+       |      substr(md5(p.para), 1, $nibbles)) AS BIGINT) = dup.h
        |  WHERE dup.h IS NULL
        |     OR p.doc_id * 1000000 + p.ppos = dup.keeper),
        |agg AS (
@@ -4070,6 +4111,36 @@ object Extensions {
 
     "q197_minhash_transitive_wide" -> minhashTransitiveWideOracle,
     "q198_band_index_wide" -> incNearDupWideOracle,
+
+    // q161 at the 15-nibble key — same fixtures, same body
+    "q203_paragraph_dedup_wide" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 3 = 0 THEN chr(10) || '$Boiler1'
+         |         ELSE '' END ||
+         |    CASE WHEN doc_id % 5 = 0 THEN chr(10) || '$Boiler2'
+         |         ELSE '' END AS text
+         |  FROM documents),
+         |${paragraphDedupBody("aug", nibbles = 15)}
+         |SELECT t.doc_id, md5(coalesce(a.clean_text, '')) AS clean_md5,
+         |  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+         |  CAST(t.n_total - coalesce(a.n_kept, 0) AS BIGINT) AS n_dropped
+         |FROM tot t LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    // q149's matrix at the 15-nibble key — the q204 wide index must
+    // reproduce it exactly
+    "q204_source_overlap_wide" ->
+      """WITH g AS (
+        |  SELECT DISTINCT source,
+        |    CAST(concat('0x', substr(md5(
+        |      array_to_string(t[pos:pos+7], ' ')), 1, 15)) AS BIGINT) AS h
+        |  FROM (SELECT source, string_split(text, ' ') AS t FROM documents) d,
+        |    LATERAL (SELECT unnest(range(1, len(t) - 6)) AS pos) p
+        |  WHERE len(t) >= 8)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |  CAST(count(*) AS BIGINT) AS shared_ngrams
+        |FROM g a JOIN g b ON a.h = b.h AND a.source < b.source
+        |GROUP BY 1, 2""".stripMargin,
 
     // real-decode image dedup: the oracle recomputes the DECODED grid
     // arithmetically — even ids sample the 18×14 source at (2r, 2c)
