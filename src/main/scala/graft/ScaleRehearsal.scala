@@ -84,7 +84,9 @@ object ScaleRehearsal {
     // the q181 remedy: exact collapse first — q181 itself fails DIRECTED
     // at this sf1 (160-fold verbatim copies defeat escalation, by
     // design); the distinct form must SURVIVE the same data
-    "q202_semdedup_distinct")
+    "q202_semdedup_distinct",
+    // the last two wide layouts (paragraph keys; contamination index)
+    "q203_paragraph_dedup_wide", "q204_source_overlap_wide")
 
   def main(args: Array[String]): Unit = {
     val small = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
