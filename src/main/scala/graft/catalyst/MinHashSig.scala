@@ -118,8 +118,12 @@ object MinHashSig61 {
   @inline def aCoef(i: Int): Long = 2654435761L * (i + 1)
   @inline def bCoef(i: Int): Long = 40503L * (i + 7)
 
-  /** (a·b) mod P₆₁ for 0 ≤ a,b < 2⁶². 128-bit product via multiplyHigh,
-    * folded with 2⁶⁴ ≡ 8 (mod 2⁶¹−1). */
+  /** (a·b) mod P₆₁ for non-negative operands whose PRODUCT stays below
+    * 2¹²¹ (so the folded sum (hi << 3) + (lo >>> 61) + (lo & P₆₁) fits a
+    * signed 64-bit long — operands near 2⁶² would overflow it silently).
+    * Callers here keep a < 2⁶⁰ (the token hash) and b < 2³⁸ (the
+    * coefficients). 128-bit product via multiplyHigh, folded with
+    * 2⁶⁴ ≡ 8 (mod 2⁶¹−1). */
   @inline def mulMod(a: Long, b: Long): Long = {
     val hi = Math.multiplyHigh(a, b)
     val lo = a * b

@@ -214,22 +214,30 @@ object Dedup {
     // `validateSeeds = false` opts out for callers with a proven-by-
     // construction seed set on very large subgraphs.
     seeds.filter(_ => validateSeeds).foreach { sd =>
+      val nodeIds = br.select(col("id")).distinct()
+      // only seeds whose id IS a node can mislead the propagation — a
+      // seed for an absent id never enters labels⁰ and is a harmless
+      // no-op whatever its label names
       val s0 = sd.select(col("id"), col("label"))
         .filter(col("label") =!= col("id"))
-      val labelNodes = br.select(col("id").as("label")).distinct()
+        .join(nodeIds, Seq("id"), "left_semi")
+      val labelNodes = nodeIds.select(col("id").as("label"))
       val sharedBucket = s0
         .join(br.select(col("id"), col("band"), col("key")), Seq("id"))
         .join(br.select(col("id").as("label"), col("band"), col("key")),
           Seq("label", "band", "key"), "left_semi")
         .select(col("id"), col("label")).distinct()
+      // after the left_anti on Seq("id","label") the using keys lead in
+      // usingColumns order: get(0) = id, get(1) = label
       val bad = s0.join(labelNodes, Seq("label"), "left_semi")
         .join(sharedBucket, Seq("id", "label"), "left_anti")
+        .select(col("id"), col("label"))
         .limit(1).collect()
       if (bad.nonEmpty) {
         br.unpersist()
         throw new IllegalArgumentException(
-          s"transitiveClustersOver: seed (id=${bad.head.get(1)}, " +
-            s"label=${bad.head.get(0)}) violates the seed contract — the " +
+          s"transitiveClustersOver: seed (id=${bad.head.get(0)}, " +
+            s"label=${bad.head.get(1)}) violates the seed contract — the " +
             "label names a node of `rows` but shares no (band, key) bucket " +
             "with its seeded node; propagation would chase it as if " +
             "reachable and could ship wrong labels silently. Add an " +

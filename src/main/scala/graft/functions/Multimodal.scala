@@ -307,6 +307,11 @@ object Multimodal {
     }
     val w = int(); val h = int(); val maxv = int()
     if (w <= 0 || h <= 0 || maxv <= 0 || maxv > 255) return None
+    // dimension sanity BEFORE any w*h arithmetic: a crafted header like
+    // 65536×65536 overflows Int w*h to 0 and would pass the bounds check
+    // with an empty pixel array (crashing downstream instead of the
+    // documented None); the raster cannot exceed the payload anyway
+    if (w.toLong * h > p.length) return None
     i += 1 // exactly one whitespace byte separates maxval from raster
     if (i + w * h > p.length) return None
     val px = new Array[Int](w * h)
@@ -328,14 +333,20 @@ object Multimodal {
     val w = le32(18)
     val rawH = le32(22)
     val topDown = rawH < 0
-    val h = math.abs(rawH)
-    if (le16(28) != 24 || le32(30) != 0 || w <= 0 || h == 0) return None
-    val rowBytes = (w * 3 + 3) / 4 * 4
-    if (off + rowBytes.toLong * h > p.length) return None
-    val px = new Array[Int](w * h)
+    // Int.MinValue survives math.abs still-negative; Long first
+    val h = math.abs(rawH.toLong)
+    // malformed-header hardening (the documented contract is None, never
+    // a crash): negative/short data offset, dimensions whose pixel count
+    // or row size exceeds the payload (also forecloses w*3 overflow)
+    if (le16(28) != 24 || le32(30) != 0 || w <= 0 || h <= 0 ||
+        off < 54 || w.toLong * h > p.length) return None
+    val hI = h.toInt // ≤ p.length after the check above
+    val rowBytes = ((w.toLong * 3 + 3) / 4 * 4).toInt
+    if (off + rowBytes.toLong * hI > p.length) return None
+    val px = new Array[Int](w * hI)
     var r = 0
-    while (r < h) {
-      val imgRow = if (topDown) r else h - 1 - r
+    while (r < hI) {
+      val imgRow = if (topDown) r else hI - 1 - r
       var c = 0
       while (c < w) {
         val o = off + r * rowBytes + c * 3
@@ -344,7 +355,7 @@ object Multimodal {
       }
       r += 1
     }
-    Some((w, h, px))
+    Some((w, hI, px))
   }
 
   /** Nearest-neighbor resample to the dHash grid: dst(r, c) =
@@ -372,8 +383,10 @@ object Multimodal {
     df.mapPartitions { it =>
       it.map { row =>
         val p = row.getAs[Array[Byte]](pIdx)
-        val dec = decodePgmGray(p).map(d => (d, "pgm"))
-          .orElse(decodeBmpGray(p).map(d => (d, "bmp")))
+        // a NULL payload is "undecodable", not a task-killing NPE
+        val dec = if (p == null) None
+          else decodePgmGray(p).map(d => (d, "pgm"))
+            .orElse(decodeBmpGray(p).map(d => (d, "bmp")))
         dec match {
           case Some(((w, h, px), fmt)) =>
             Row(row.get(idIdx),

@@ -273,6 +273,31 @@ class FunctionsSpec extends SparkSpec {
     // garbage rejects cleanly
     assert(Multimodal.decodePgmGray("P6\n1 1\n255\nx".getBytes).isEmpty)
     assert(Multimodal.decodeBmpGray(Array[Byte](1, 2, 3)).isEmpty)
+    // malformed headers must return None, never crash (the decode
+    // contract): PGM dims whose product overflows Int; BMP with
+    // Int.MinValue height (abs-negative trap), negative data offset,
+    // and a width whose w*3 would overflow
+    assert(Multimodal.decodePgmGray(
+      ("P5\n65536 65536\n255\n".getBytes("US-ASCII") :+ 1.toByte)).isEmpty)
+    def bmpWith(patch: (Int, Int)*): Array[Byte] = {
+      val b = Multimodal.encodeBmp24(px2, 9, 7)
+      patch.foreach { case (i, v) => b(i) = v.toByte }
+      b
+    }
+    assert(Multimodal.decodeBmpGray(
+      bmpWith(22 -> 0x00, 23 -> 0x00, 24 -> 0x00, 25 -> 0x80)).isEmpty)
+    assert(Multimodal.decodeBmpGray(
+      bmpWith(10 -> 0xff, 11 -> 0xff, 12 -> 0xff, 13 -> 0xff)).isEmpty)
+    assert(Multimodal.decodeBmpGray(
+      bmpWith(18 -> 0xff, 19 -> 0xff, 20 -> 0xff, 21 -> 0x7f)).isEmpty)
+    // a NULL payload row yields (id, null, null) — not a task NPE
+    val nullRow = Multimodal.dhashFromPayload(
+      Seq((1L, "x".getBytes), (2L, null.asInstanceOf[Array[Byte]]))
+        .toDF("doc_id", "payload"), "doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> (r.isNullAt(1), r.isNullAt(2)))
+      .toMap
+    assert(nullRow(2L) == ((true, true)))
+    assert(nullRow(1L) == ((true, true))) // "x" is not PGM/BMP either
     // odd ids ride the 9×7 BMP path whose synth grid matches the stub's
     // formula exactly — so the REAL decode chain must reproduce the
     // stub kernel's hash bit for bit on corpus docs
@@ -1206,6 +1231,28 @@ class FunctionsSpec extends SparkSpec {
         assert(sig(i) == exp, s"component $i of '$t'")
       }
     }
+  }
+
+  test("seed-contract validation: violating seeds fail directed with the " +
+       "right (id, label); absent-id seeds are harmless no-ops") {
+    // two disconnected components: {1,2} via bucket a, {3} via bucket b
+    val rows = Seq((1L, 0, "a"), (2L, 0, "a"), (3L, 0, "b"))
+      .toDF("id", "band", "key")
+    // seed 3 → label 1: label 1 IS a node of a DIFFERENT component and
+    // shares no bucket with 3 — the silent-wrong-labels case
+    val bad = Seq((3L, 1L)).toDF("id", "label")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.transitiveClustersOver(rows, maxIters = 5, seeds = Some(bad))
+    }
+    assert(e.getMessage.contains("id=3") && e.getMessage.contains("label=1"),
+      e.getMessage)
+    // a seed whose id is NOT a rows node is a no-op (labels⁰ never sees
+    // it) and must be accepted even when its label names a node
+    val noop = Seq((99L, 1L)).toDF("id", "label")
+    val (out, _) = Dedup.transitiveClustersOver(rows, maxIters = 5,
+      seeds = Some(noop))
+    assert(out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
   }
 
   test("winnowing guarantee holds across 20 seeded random shared-run " +
