@@ -3166,6 +3166,50 @@ object Extensions {
       } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
     }),
 
+    // --- index COMPACTION under the gate: the q133 append loop decays
+    // into small files (each Update lands writer-tasks × buckets files;
+    // the bucket-aware scan pays per FILE) — compaction rewrites the
+    // accumulated rows through the same bucket layout via a staging
+    // swap. Asserted in-query: the file count COLLAPSES to one per
+    // bucket, the bucket metadata survives the swap (the batch match
+    // still plans a bucket-aware scan with ONE batch-side exchange),
+    // and the oracle gates that compaction changed NO values.
+    "q205_index_compaction" -> ((s, dir) => {
+      val table = stagedTable("graft_q205_bandidx")
+      graft.queries.Tables.dropStagedTable(s, table)
+      s.sql(s"DROP TABLE IF EXISTS ${table}__compact")
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val day0 = docs.filter(col("doc_id") % 10 =!= 7 &&
+        col("doc_id") % 10 =!= 8)
+      val day1 = docs.filter(col("doc_id") % 10 === 8)
+      val batch = docs.filter(col("doc_id") % 10 === 7)
+      val tap = Dedup.bandIndexTap(table, 8)
+      tap.write(Dedup.bandIndex(day0, "doc_id", "text"),
+        graft.sources.SinkMode.Replace)
+      tap.write(Dedup.bandIndex(day1, "doc_id", "text"),
+        graft.sources.SinkMode.Update)
+      val filesBefore = s.table(table).inputFiles.length
+      tap.compact(s)
+      val filesAfter = s.table(table).inputFiles.length
+      require(filesAfter < filesBefore && filesAfter <= 8,
+        s"compaction must collapse the file count to ≤ buckets " +
+          s"(before=$filesBefore after=$filesAfter)")
+      val threshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val df = Dedup.incrementalNearDupsAgainstIndex(
+          corpusIndex = s.table(table), batch = batch, "doc_id", "text")
+        val plan = df.queryExecution.executedPlan.toString
+        val exchanges = "Exchange hashpartitioning\\(band".r
+          .findAllMatchIn(plan).size
+        require(exchanges == 1, s"post-compaction index join must " +
+          s"shuffle ONLY the batch band rows (got $exchanges)")
+        require(plan.contains("SelectedBucketsCount"),
+          "bucket metadata must survive the compaction swap")
+        df
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    }),
+
     // --- boundary-splitting packing: q128's bins, with straddling docs
     // exploded into per-bin fragments (what the loader materializes);
     // Σ frag_len per doc ≡ n_tok by construction
@@ -4111,6 +4155,10 @@ object Extensions {
 
     "q197_minhash_transitive_wide" -> minhashTransitiveWideOracle,
     "q198_band_index_wide" -> incNearDupWideOracle,
+
+    // compaction must change NO values: the post-compact batch match
+    // equals the from-scratch q127 matrix over the full %10<>7 corpus
+    "q205_index_compaction" -> incNearDupOracle,
 
     // q161 at the 15-nibble key — same fixtures, same body
     "q203_paragraph_dedup_wide" ->

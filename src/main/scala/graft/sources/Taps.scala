@@ -327,6 +327,57 @@ final case class BucketedTap(table: String, buckets: Int, keys: Seq[String],
     val ws = if (sortKeys.nonEmpty) w.sortBy(sortKeys.head, sortKeys.tail: _*) else w
     ws.saveAsTable(table)
   }
+
+  /** COMPACT the table in place: every `SinkMode.Update` append lands a
+    * fresh file set (up to writer-tasks × buckets files per ingest), so
+    * a daily index loop accumulates O(days) files per bucket and the
+    * bucket-aware scan pays per FILE, not per row — the classic
+    * small-files decay of an append-maintained index. Compaction
+    * rewrites the accumulated rows through the SAME bucket layout —
+    * repartitioned to the bucket count on the bucket keys, so each
+    * writer task holds exactly one bucket (Spark's repartition and
+    * bucketBy share the Murmur3 hash) and the result is ONE file per
+    * bucket — into a staging table, then swaps it in (drop + rename).
+    * Content, bucketing metadata, and every downstream zero-exchange
+    * plan are unchanged; only the file count collapses. Run at the same
+    * cadence as corpus refresh (q133's loop: many appends, one compact).
+    *
+    * The staging table is required: Spark refuses to overwrite a table
+    * that feeds its own write, and materializing the index to sidestep
+    * that would buffer the whole table in executor memory. */
+  def compact(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    val staging = table + "__compact"
+    spark.sql(s"DROP TABLE IF EXISTS $staging")
+    // Align writer tasks to BUCKETS explicitly: a plain
+    // repartition(buckets, keys) does NOT land each bucket in one task
+    // (measured: every bucket split across two partitions — Dataset
+    // repartitioning and the bucket-id function disagree), and each task
+    // then writes one file per bucket it happens to hold. The bucket id
+    // IS pmod(hash(keys), buckets) (verified against written file
+    // suffixes), so partition by that value with an identity partitioner
+    // — each task holds exactly one whole bucket and writes exactly one
+    // file. One shuffle, the same cost the repartition would have paid.
+    val df = read(spark)
+    val schema = df.schema
+    val keyed = df
+      .withColumn("__b", pmod(hash(keys.map(col): _*), lit(buckets)))
+      .rdd.map(r => (r.getAs[Int]("__b"), r))
+      .partitionBy(new org.apache.spark.Partitioner {
+        def numPartitions: Int = buckets
+        def getPartition(key: Any): Int = key.asInstanceOf[Int]
+      })
+      .values
+      .map(r => org.apache.spark.sql.Row(r.toSeq.dropRight(1): _*))
+    BucketedTap(staging, buckets, keys, sortKeys)
+      .write(spark.createDataFrame(keyed, schema), SinkMode.Replace)
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+    // the session caches the table's resolved file index by name — a
+    // reader that planned against the pre-swap listing would silently
+    // read the DROPPED files (or double-count); invalidate explicitly
+    spark.catalog.refreshTable(table)
+  }
 }
 
 /** An in-memory tap for tests and composition: wraps an existing DataFrame. */
