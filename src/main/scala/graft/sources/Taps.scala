@@ -380,6 +380,20 @@ final case class BucketedTap(table: String, buckets: Int, keys: Seq[String],
   }
 }
 
+/** Cascading `MultiSourceTap`: several taps presented as ONE source —
+  * the concatenation happens at the tap boundary, so a pipe assembly
+  * written against a single logical input runs unchanged over N physical
+  * inputs (the upstream contract; schemas must align positionally, the
+  * Merge rule). Read-only, like the upstream tap. */
+final case class MultiSourceTap(taps: Seq[Tap]) extends Tap {
+  require(taps.nonEmpty, "MultiSourceTap requires at least one child tap")
+  def read(spark: SparkSession): DataFrame =
+    taps.map(_.read(spark)).reduce(_ unionAll _)
+  def write(df: DataFrame, mode: SinkMode): Unit =
+    throw new UnsupportedOperationException(
+      "MultiSourceTap is read-only (write to a child tap)")
+}
+
 /** An in-memory tap for tests and composition: wraps an existing DataFrame. */
 final case class DataFrameTap(df: DataFrame) extends Tap {
   def read(spark: SparkSession): DataFrame = df

@@ -1544,6 +1544,146 @@ class ConformanceSpec extends SparkSpec {
       Seq("d", 1L), Seq("e", 1L)))
   }
 
+  // FieldedPipesPlatformTest (composite grouping): GroupBy on TWO key
+  // fields with a secondary sort — the key is the PAIR; a buffer sees
+  // each pair's rows in declared order.
+  test("composite two-key groupBy with secondary sort") {
+    val df = Seq(("a", 1, 30), ("a", 1, 10), ("a", 2, 5), ("b", 1, 7))
+      .toDF("k1", "k2", "v")
+    val b = new CBuffer {
+      val resultFields: CFields = CFields.typed("order" -> StringType)
+      def operate(key: Seq[Any], rs: Iterator[Row]): Iterator[Seq[Any]] =
+        Iterator(Seq(rs.map(_.getInt(2)).mkString("-")))
+    }
+    val p = pipe(df).groupBySorted(Seq("k1", "k2"), Seq("v" -> true))
+      .buffer(b)
+    assert(rows(p) == Set(
+      Seq("a", 1, "10-30"), Seq("a", 2, "5"), Seq("b", 1, "7")))
+  }
+
+  // cascading.tap.hadoop.GlobHfs: one tap over a PATH PATTERN — N
+  // physical directories read as one logical source.
+  test("glob source path reads all matching directories as one source") {
+    val dir = java.nio.file.Files.createTempDirectory("globsrc").toString
+    Flow.toDF(pipe(lower.filter($"num" <= 2)))
+      .write.parquet(s"$dir/part_a")
+    Flow.toDF(pipe(lower.filter($"num" > 2)))
+      .write.parquet(s"$dir/part_b")
+    val p = pipe(graft.sources.ParquetTap(s"$dir/part_*").read(spark))
+      .groupAll.every(Aggs.count("n"), Aggs.sum("num", "s"))
+    assert(rows(p) == Set(Seq(5L, 15L)))
+  }
+
+  // cascading.tap.MultiSourceTap: several taps presented as ONE source —
+  // a flow written against a single logical input runs unchanged over
+  // N physical inputs.
+  test("MultiSourceTap concatenates child taps into one source") {
+    val t = graft.sources.MultiSourceTap(Seq(
+      DataFrameTap(lower.filter($"num" <= 2)),
+      DataFrameTap(lower.filter($"num" === 3)),
+      DataFrameTap(lower.filter($"num" > 3))))
+    val p = Pipe.source(t).groupBy("ch").every(Aggs.count("n"))
+    assert(rows(p).size == 5)
+    assert(rows(p).forall(_(1) == 1L))
+    intercept[UnsupportedOperationException] {
+      t.write(lower, graft.sources.SinkMode.Replace)
+    }
+  }
+
+  // CoGroup declaredFields arity contract: upstream resolves the
+  // declared schema eagerly and fails when its size ≠ lhs + rhs arity.
+  test("coGroup declaredFields with wrong arity fails directed at plan " +
+       "time") {
+    val e = intercept[IllegalArgumentException] {
+      Flow.toDF(pipe(lower).coGroup(Seq("num"), pipe(upper), Seq("num"),
+        declared = Some(Seq("a", "b", "c")))) // needs 4
+    }
+    assert(e.getMessage.contains("arity"))
+  }
+
+  // cascading.pipe.assembly.Rename: renaming ONTO a still-present field
+  // is a name collision the planner rejects (the non-swap case — a swap
+  // renames BOTH, which the atomic-rename corner pins as legal).
+  test("rename onto an existing field fails directed; swap stays legal") {
+    val e = intercept[IllegalArgumentException] {
+      Flow.toDF(pipe(lower).rename("num" -> "ch"))
+    }
+    assert(e.getMessage.contains("collide"))
+    val swapped = Flow.toDF(pipe(lower).rename("num" -> "ch", "ch" -> "num"))
+    assert(swapped.columns.toSeq == Seq("ch", "num"))
+  }
+
+  // cascading.pipe.assembly.Retain resolves its selector eagerly — an
+  // unknown field fails at plan time, not as an empty column downstream.
+  test("retain of an unknown field fails at plan time") {
+    intercept[Exception] {
+      Flow.toDF(pipe(lower).retain("num", "nosuch"))
+    }
+    ()
+  }
+
+  // Coercion contract for narrowing numeric casts: upstream Coerce goes
+  // through Java's Long.intValue() — SILENT two's-complement truncation.
+  // This engine's declared contract (the same one the non-castable-string
+  // corner pins) is the ANSI one: overflow fails LOUDLY with a directed
+  // error instead of silently corrupting values — an intentional
+  // tightening, pinned here so a session-config change cannot silently
+  // flip flow semantics either way.
+  test("numeric narrowing coerce: in-range narrows, overflow fails " +
+       "loudly (declared ANSI tightening of the upstream wrap)") {
+    val ok = Flow.toDF(pipe(Seq((1, 41L)).toDF("id", "v"))
+      .coerce("v" -> IntegerType))
+    assert(ok.schema("v").dataType == IntegerType)
+    assert(ok.collect().head.getInt(1) == 41)
+    val e = intercept[Exception] {
+      Flow.toDF(pipe(Seq((1, Int.MaxValue.toLong + 2L)).toDF("id", "v"))
+        .coerce("v" -> IntegerType)).collect()
+    }
+    assert(e.getMessage.contains("CAST_OVERFLOW") ||
+      e.getMessage.toLowerCase.contains("overflow"))
+  }
+
+  // FieldedPipesPlatformTest (generator semantics): a 1→N generator
+  // yielding ZERO values for a row removes that row entirely (explode
+  // of an empty array = no output tuples), not a null row.
+  test("generator emitting zero values drops the row") {
+    val df = Seq((1, "a b"), (2, ""), (3, "c")).toDF("id", "txt")
+    val p = pipe(df).generate(RegexSplitGenerator("tok", " "),
+      args = FieldSelector("txt"), out = FieldSelector.Results)
+    assert(rows(p) == Set(Seq("a"), Seq("b"), Seq("c")))
+  }
+
+  // cascading Checkpoint pipe: a checkpoint TAP materializes the
+  // intermediate to durable storage and downstream consumes the COPY —
+  // values unchanged, and the tap itself holds the intermediate (the
+  // restartability contract).
+  test("checkpoint tap materializes the intermediate; downstream reads " +
+       "the copy") {
+    val dir = java.nio.file.Files.createTempDirectory("ckpt").toString
+    val tap = graft.sources.ParquetTap(s"$dir/mid")
+    val p = pipe(lower).filterBy(ExpressionFilter("num > 3")) // keeps 1..3
+      .checkpoint(Some(tap))
+      .groupAll.every(Aggs.sum("num", "s"))
+    assert(rows(p) == Set(Seq(6L)))
+    // the intermediate itself landed in the tap
+    assert(spark.read.parquet(s"$dir/mid").count() == 3)
+  }
+
+  // HashJoin LeftAnti with null keys, both semantics: under ANSI a null
+  // left key matches nothing → the row SURVIVES the anti join; under
+  // nullSafe (the Cascading comparator) null == null → it is dropped
+  // when the build side holds a null key.
+  test("anti hashJoin null keys: ANSI keeps them, nullSafe drops them") {
+    val l = Seq(("a", 1), (null, 2)).toDF("k", "v")
+    val r = Seq(("b", 10), (null, 20)).toDF("k2", "w")
+    val ansi = pipe(l).hashJoin(Seq("k"), pipe(r), Seq("k2"),
+      Joiner.LeftAnti)
+    assert(rows(ansi) == Set(Seq("a", 1), Seq(null, 2)))
+    val safe = pipe(l).hashJoin(Seq("k"), pipe(r), Seq("k2"),
+      Joiner.LeftAnti, nullSafe = true)
+    assert(rows(safe) == Set(Seq("a", 1)))
+  }
+
   // FieldedPipesPlatformTest.testUnGroup → regroup: the pivoted rows
   // re-aggregate back to the pre-pivot totals (pivot round-trip).
   test("unGroup output regroups to the pre-pivot totals") {
