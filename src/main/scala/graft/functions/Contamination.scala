@@ -141,6 +141,33 @@ object Contamination {
       coalesce(col("bss"), lit(Array.empty[String])))).as("ss")))
   }
 
+  /** Distinct 60-bit gram keys of the EVAL (benchmark) set, for
+    * persistence through a BucketedTap keyed by h — the index side of
+    * the arrival-time decontamination screen. 60-bit (Md5Prefix60, the
+    * q203 discipline) because a key collision here FLAGS A CLEAN
+    * DOCUMENT: a false contamination verdict deletes real training
+    * data, the silent-corruption class, not a statistic. Benchmarks are
+    * small (thousands of docs), so this whole table broadcasts. */
+  def evalGramIndex(eval: DataFrame, textCol: String, n: Int): DataFrame =
+    eval.select(explode(docGramKeysCol(col(textCol), n)).as("h")).distinct()
+
+  def evalGramIndexTap(table: String, buckets: Int): graft.sources.BucketedTap =
+    graft.sources.BucketedTap(table, buckets, Seq("h"))
+
+  /** Per-doc DISTINCT 60-bit gram-key rows: (id, h). Stateless — a pure
+    * per-row explode with no aggregation — so it composes unchanged into
+    * Structured Streaming: arriving docs key their grams in-flight and
+    * join the persisted eval index (stream-static, eval side broadcast),
+    * never shuffling the arrival stream. */
+  def docGramKeys(docs: DataFrame, idCol: String, textCol: String,
+                  n: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+      explode(docGramKeysCol(col(textCol), n)).as("h"))
+
+  private def docGramKeysCol(text: Column, n: Int): Column =
+    array_distinct(transform(Dedup.shingles(text, n),
+      g => graft.catalyst.Md5Prefix60(g)))
+
   /** DuckDB n-gram list over whitespace tokens — exact mirror of
     * `Dedup.shingles(tokens, n)`: max(len-n,0)+1 shingles, so a doc
     * shorter than n emits ONE partial shingle (out-of-range list indexes

@@ -692,6 +692,126 @@ object Similarity {
         floor(col("s").cast("double") / col("n")).cast("bigint")
           .as("c_micros"))
 
+  // ---- product quantization (Jégou/Douze/Schmid, TPAMI 2011) -----------
+
+  /** Exact integer squared-L2 distance between two equal-length long
+    * arrays (micros² units). HOF composition — the oracle-mirroring
+    * reference form; sub-vectors are dim/m ≤ 8 elements so the
+    * CodegenFallback cost stays per-subspace, not per-dimension². */
+  private def l2q(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+
+  private def qvecPq(c: Column): Column =
+    transform(c, x => floor(x.cast("double") * 1e6).cast("long"))
+
+  /** (id, sub, sq) subspace rows: the d-dim micro-quantized vector split
+    * into m contiguous dsub-long slices. One scan, m rows per vector. */
+  private def pqSubRows(df: DataFrame, idCol: String, qCol: String,
+                        m: Int, dsub: Int): DataFrame =
+    df.select(col(idCol), posexplode(
+        transform(sequence(lit(0), lit(m - 1)),
+          i => slice(col(qCol), i * dsub + 1, lit(dsub)))).as(Seq("sub", "sq")))
+
+  /** PRODUCT-QUANTIZATION codebook + code build: split `dim`-dim vectors
+    * into `m` contiguous subspaces, run per-subspace k-means (`kSub`
+    * codewords, the micro-quantized integer Lloyd of [[ivfKMeansBuild]]:
+    * floor(x·1e6) longs, exact integer squared-L2 assignment, floor-mean
+    * updates — every step engine-portable), and encode each vector as m
+    * codes. ALL subspaces train in one frame: each Lloyd round is one
+    * assignment aggregate over the (corpus × m) subspace rows plus ONE
+    * driver barrier of m·kSub centroid rows (not a job per subspace).
+    *
+    * Returns (codebooks `(sub, cent_id, cent_q)` — m·kSub tiny rows, and
+    * codes `(nn_id, sub, code)` — the 100 TB artifact: m small ints per
+    * vector instead of dim floats, a 32× storage/scan reduction at
+    * m=8/dim=64. Persist codes through a tap and [[pqAdcTopK]] never
+    * touches a raw vector again. */
+  def pqBuild(corpus: DataFrame, idCol: String, vecCol: String,
+              m: Int = 8, kSub: Int = 16, iters: Int = 2,
+              dim: Int = 64): (DataFrame, DataFrame) = {
+    require(dim % m == 0, s"pqBuild: dim=$dim not divisible by m=$m")
+    val dsub = dim / m
+    val base = corpus.select(col(idCol).as("nn_id"),
+        qvecPq(col(vecCol)).as("q"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sb = pqSubRows(base, "nn_id", "q", m, dsub)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // seed: the first kSub vectors by id, sliced per subspace (the
+    // ivfKMeansBuild seeding, deterministic on any engine)
+    var cents = pqSubRows(
+      base.orderBy(col("nn_id").asc).limit(kSub)
+        .select(col("nn_id").as("cent_id"), col("q")),
+      "cent_id", "q", m, dsub)
+      .select(col("sub"), col("cent_id"), col("sq").as("cent_q"))
+
+    def assign(payload: Column): DataFrame =
+      sb.join(broadcast(cents), Seq("sub"))
+        .groupBy(col("nn_id"), col("sub"))
+        .agg(min_by(struct(payload.as("p"), col("cent_id")),
+          struct(l2q(col("sq"), col("cent_q")), col("cent_id"))).as("__best"))
+
+    for (_ <- 1 to iters) {
+      val assigned = assign(col("sq")).select(col("sub"),
+        col("__best.cent_id").as("cent_id"), col("__best.p").as("sq"))
+      val updated = assigned
+        .select(col("sub"), col("cent_id"), posexplode(col("sq")).as(Seq("pos", "v")))
+        .groupBy(col("sub"), col("cent_id"), col("pos"))
+        .agg(floor(sum(col("v")).cast("double") / count(lit(1)))
+          .cast("long").as("cv"))
+        .groupBy(col("sub"), col("cent_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+          s => s.getField("cv")).as("cent_q"))
+      // per-round sync barrier (the ivfKMeansBuild discipline): m·kSub
+      // rows to the driver, lineage restarts from a local relation
+      val rows = updated.collect().toSeq
+      cents = corpus.sparkSession.createDataFrame(
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, updated.schema)
+    }
+
+    val codes = assign(lit(0L))
+      .select(col("nn_id"), col("sub"), col("__best.cent_id").as("code"))
+    (cents, codes)
+  }
+
+  /** ASYMMETRIC-DISTANCE (ADC) top-k over PQ codes: the query's exact
+    * integer squared-L2 table against every codeword (m·kSub tiny rows
+    * per query) BROADCASTS into the code scan, which becomes a
+    * lookup-and-sum — approximate dist(q, x) = Σ_sub ‖q_sub −
+    * codeword(x, sub)‖². The corpus side never exchanges and never
+    * reads a raw vector; at 100 TB this is the only dense-scan shape
+    * that fits (8 bytes/vector scanned, integer adds only). Exact
+    * integers end-to-end ⇒ ranks are engine-portable (ties by nn_id). */
+  def pqAdcTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, m: Int = 8, kSub: Int = 16,
+                iters: Int = 2, dim: Int = 64): DataFrame = {
+    val (cents, codes) = pqBuild(corpus, idCol, vecCol, m, kSub, iters, dim)
+    pqAdcQuery(cents, codes, queries, idCol, vecCol, k, m, dim)
+  }
+
+  /** The QUERY phase of [[pqAdcTopK]] against an already-built (or
+    * persisted and re-read) codebook + code table. */
+  def pqAdcQuery(cents: DataFrame, codes: DataFrame, queries: DataFrame,
+                 idCol: String, vecCol: String, k: Int, m: Int = 8,
+                 dim: Int = 64): DataFrame = {
+    val dsub = dim / m
+    val qs = pqSubRows(
+      queries.select(col(idCol).as("query_id"), qvecPq(col(vecCol)).as("q")),
+      "query_id", "q", m, dsub)
+    val t = qs.join(broadcast(cents), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("cent_id"),
+        l2q(col("sq"), col("cent_q")).as("d"))
+    val scored = codes.join(broadcast(t),
+        codes("sub") === t("sub") && codes("code") === t("cent_id"))
+      .filter(col("nn_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("nn_id"))
+      .agg(sum(col("d")).as("adc_dist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("nn_id").asc)
+    scored.withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= k)
+  }
+
   /** Pairwise affinity between group centroids: exact int64 dot product
     * (micros² units) plus each side's squared norm, from which cosine is
     * derivable downstream without losing exactness here. All pairs over

@@ -3210,6 +3210,70 @@ object Extensions {
       } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
     }),
 
+    // --- q82 AT ARRIVAL TIME: the decontamination screen as a stream.
+    // The benchmark's distinct 60-bit gram keys persist once (bucketed
+    // tap — benchmarks are small, the table broadcasts); arriving docs
+    // key their grams IN-FLIGHT (stateless explode, no stream shuffle,
+    // no state store) and stream-static join the index; overlap counts
+    // aggregate post-stream over the matched (id, h) rows. Oracle = the
+    // same per-doc overlap computed from scratch in SQL — stream ≡ batch
+    // screen is the gate (the q182/q200 decomposition applied to q82).
+    "q206_stream_decontaminate" -> ((s, dir) => {
+      val table = stagedTable("graft_q206_evalidx")
+      graft.queries.Tables.dropStagedTable(s, table)
+      val (in, out, chk) = freshStreamDirs("graft_q206_stream")
+      // planted contamination (the q161 fixture discipline): every eval
+      // doc and HALF the arrival slice carry a fixed phrase, so the gate
+      // has guaranteed directed positives at every SF (natural 4-gram
+      // overlap is 0 at sf0.001 — and an all-empty stream sink writes no
+      // parquet at all); the unplanted half still tests natural overlap
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 50 === 0 || col("doc_id") % 20 === 7,
+              lit(" " + DecontamPhrase)).otherwise(lit(""))).as("text"))
+      val C = graft.functions.Contamination
+      C.evalGramIndexTap(table, 8).write(
+        C.evalGramIndex(docs.filter(col("doc_id") % 50 === 0), "text",
+          DecontamN),
+        graft.sources.SinkMode.Replace)
+      val arrivals = docs.filter(col("doc_id") % 10 === 7)
+      stageSliced(in, Seq(
+        arrivals.filter(col("doc_id") % 30 === 7),
+        arrivals.filter(col("doc_id") % 30 === 17),
+        arrivals.filter(col("doc_id") % 30 === 27)))
+      withStreamPartitions(s, 8) {
+        val index = s.table(table)
+        val stream = graft.streaming.StreamOps.readStream(s, in,
+          arrivals.schema, Map("maxFilesPerTrigger" -> "1"))
+        val matched = C.docGramKeys(stream, "doc_id", "text", DecontamN)
+          .join(index, Seq("h"))
+          .select(col("id"), col("h"))
+        val q = matched.writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+          .format("parquet").option("path", out)
+          .option("checkpointLocation", chk)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.read.parquet(out).groupBy(col("id").as("doc_id"))
+        .agg(count(lit(1)).as("n_overlap"))
+    }),
+
+    // --- product quantization + ADC top-k (Jégou et al. 2011): the
+    // compressed-domain scan that makes dense similarity affordable at
+    // 100 TB — 64 floats/vector (256 B) become 8 byte-codes (32×), and
+    // the query scan is integer table-lookups, never a raw vector read.
+    // Per-subspace Lloyd rides the q66 micro-quantized integer
+    // discipline, so codebooks, codes, distances and ranks are ALL
+    // exact integers the oracle replays arithmetically.
+    "q208_pq_adc" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.functions.Similarity.pqAdcTopK(e, e.filter(col("vec_id") < 8),
+        "vec_id", "embedding", k = 5, m = 8, kSub = 16, iters = 2, dim = 64)
+    }),
+
     // --- boundary-splitting packing: q128's bins, with straddling docs
     // exploded into per-bin fragments (what the loader materializes);
     // Σ frag_len per doc ≡ n_tok by construction
@@ -3234,6 +3298,11 @@ object Extensions {
 
   // shared fixture constants for q161/q162 (Spark construction and the
   // generated oracle both read these — they cannot drift)
+  /** q206 planted-contamination fixture: appended to every eval doc and
+    * to arrivals with doc_id % 20 == 7 (words outside the synthetic
+    * corpus vocabulary, so planted overlap is exactly its own 4-grams). */
+  private val DecontamPhrase =
+    "held out benchmark answer alpha beta gamma delta"
   private val Boiler1 = "follow us on example social for updates today"
   private val Boiler2 = "all rights reserved contact the site administrator"
   private val C4BraceLine = "{ var data = 1; }"
@@ -3860,6 +3929,67 @@ object Extensions {
        |  JOIN qbase b USING (nn_id))""".stripMargin
   }
 
+  /** PQ + ADC oracle: the per-subspace Lloyd (2 rounds, m=8 subspaces of
+    * 8 dims, kSub=16) unrolled once over (nn_id, sub) subspace rows —
+    * the ivfAssignCtes pattern with exact integer squared-L2 instead of
+    * cosine, so every distance, code and rank replays arithmetically. */
+  private lazy val pqAdcOracle: String = {
+    val dsub = 8
+    def dL2(a: String, b: String) =
+      s"""list_sum(list_transform(range(1, ${dsub + 1}),
+         |      i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))""".stripMargin
+    def duckAssign(name: String, cents: String, keep: String) =
+      s"""$name AS (
+         |  SELECT nn_id, sub, $keep cent_id FROM (
+         |    SELECT b.nn_id, b.sub, b.sq, c.cent_id,
+         |    row_number() OVER (PARTITION BY b.nn_id, b.sub
+         |      ORDER BY ${dL2("b.sq", "c.cent_q")} ASC, c.cent_id ASC) AS rn
+         |    FROM sb b JOIN $cents c USING (sub)) WHERE rn = 1)""".stripMargin
+    def duckUpdate(from: String, name: String) =
+      s"""$name AS (
+         |  SELECT sub, cent_id, list(cv ORDER BY pos) AS cent_q FROM (
+         |    SELECT sub, cent_id, pos,
+         |    CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+         |    FROM (SELECT sub, cent_id, unnest(sq) AS v,
+         |          unnest(range(1, len(sq) + 1)) AS pos FROM $from)
+         |    GROUP BY 1, 2, 3) GROUP BY 1, 2)""".stripMargin
+    s"""WITH qb AS MATERIALIZED (
+       |  SELECT vec_id AS nn_id,
+       |  list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |sb AS MATERIALIZED (
+       |  SELECT nn_id, sub, q[sub * $dsub + 1 : sub * $dsub + $dsub] AS sq
+       |  FROM qb CROSS JOIN (SELECT unnest(range(0, 8)) AS sub)),
+       |c0 AS (
+       |  SELECT sub, nn_id AS cent_id, sq AS cent_q FROM sb
+       |  WHERE nn_id IN (SELECT nn_id FROM qb ORDER BY nn_id LIMIT 16)),
+       |${duckAssign("a1", "c0", "sq,")},
+       |${duckUpdate("a1", "c1")},
+       |${duckAssign("a2", "c1", "sq,")},
+       |${duckUpdate("a2", "c2")},
+       |codes AS MATERIALIZED (
+       |  SELECT nn_id, sub, cent_id AS code FROM (
+       |    SELECT b.nn_id, b.sub, c.cent_id,
+       |    row_number() OVER (PARTITION BY b.nn_id, b.sub
+       |      ORDER BY ${dL2("b.sq", "c.cent_q")} ASC, c.cent_id ASC) AS rn
+       |    FROM sb b JOIN c2 c USING (sub)) WHERE rn = 1),
+       |t AS MATERIALIZED (
+       |  SELECT b.nn_id AS query_id, b.sub, c.cent_id,
+       |  ${dL2("b.sq", "c.cent_q")} AS d
+       |  FROM sb b JOIN c2 c USING (sub) WHERE b.nn_id < 8),
+       |scored AS (
+       |  SELECT t.query_id, codes.nn_id, CAST(sum(t.d) AS BIGINT) AS adc_dist
+       |  FROM codes JOIN t ON codes.sub = t.sub AND codes.code = t.cent_id
+       |  WHERE codes.nn_id <> t.query_id
+       |  GROUP BY 1, 2)
+       |SELECT query_id, nn_id, adc_dist, rk FROM (
+       |  SELECT query_id, nn_id, adc_dist,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY adc_dist ASC, nn_id ASC) AS INTEGER) AS rk
+       |  FROM scored) WHERE rk <= 5""".stripMargin
+  }
+
   private lazy val ivfKMeansOracle: String = {
     s"""WITH $ivfAssignCtes,
        |probes AS (
@@ -4159,6 +4289,29 @@ object Extensions {
     // compaction must change NO values: the post-compact batch match
     // equals the from-scratch q127 matrix over the full %10<>7 corpus
     "q205_index_compaction" -> incNearDupOracle,
+
+    // q82's screen from scratch over the streamed arrival slice, at the
+    // stream's 60-bit gram keys — stream ≡ batch decontamination
+    "q206_stream_decontaminate" -> {
+      val ng = graft.functions.Contamination.oracleNgrams("text", DecontamN)
+      s"""WITH aug AS MATERIALIZED (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 50 = 0 OR doc_id % 20 = 7
+         |         THEN ' $DecontamPhrase' ELSE '' END AS text
+         |  FROM documents),
+         |ev AS (
+         |  SELECT DISTINCT unnest(list_distinct(list_transform($ng,
+         |    g -> ${dTokHash60("g")}))) AS h
+         |  FROM aug WHERE doc_id % 50 = 0),
+         |cg AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform($ng,
+         |    g -> ${dTokHash60("g")}))) AS h
+         |  FROM aug WHERE doc_id % 10 = 7)
+         |SELECT doc_id, count(*) AS n_overlap
+         |FROM cg JOIN ev USING (h) GROUP BY 1""".stripMargin
+    },
+
+    "q208_pq_adc" -> pqAdcOracle,
 
     // q161 at the 15-nibble key — same fixtures, same body
     "q203_paragraph_dedup_wide" ->

@@ -38,6 +38,30 @@ class GovernanceSpec extends SparkSpec {
     assert(r == Map(1L -> 1L)) // only the 'a b c' 3-gram is shared; doc 2 absent
   }
 
+  test("docGramKeys/evalGramIndex: the indexed screen equals overlapReport") {
+    // the arrival-time screen (60-bit keyed, index side distinct) must
+    // count exactly what the broadcast batch screen counts — gram-hash
+    // injectivity at test scale makes the identity exact
+    val corpus = Seq(
+      (1L, "a b c d e"),   // shares 'a b c' with eval
+      (2L, "x y z w v"),   // nothing shared
+      (3L, "a b c a b c a b")).toDF("id", "text") // dup grams count once
+    val eval = Seq((100L, "a b c q r"), (101L, "c a b q")).toDF("id", "text")
+    val idx = Contamination.evalGramIndex(eval, "text", n = 3)
+    val got = Contamination.docGramKeys(corpus, "id", "text", n = 3)
+      .join(idx, Seq("h"))
+      .groupBy("id").agg(count(lit(1)).as("n"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val want = Contamination.overlapReport(corpus, eval, "id", "text", n = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(got == want)
+    assert(got.contains(3L) && got(3L) == 2L) // 'a b c' + 'c a b', each once
+    // per-doc rows are DISTINCT (id, h) — array_distinct inside the
+    // explode, so a repeated gram never double-counts downstream
+    val rows = Contamination.docGramKeys(corpus, "id", "text", n = 3)
+    assert(rows.count() == rows.distinct().count())
+  }
+
   test("redactPii scrubs emails, phones, IPs; counts match") {
     val t = "mail bob.smith@corp.example.org or call 555-0142 from 10.0.0.1 now"
     val row = Seq(t).toDF("text").select(

@@ -62,6 +62,61 @@ class OperatorsSpec extends SparkSpec {
     assert(run(7) == a)
   }
 
+  test("pqAdcTopK: ADC distance IS the exact L2 to the PQ reconstruction") {
+    // the textbook identity: dist(q, x) under ADC = Σ_sub ‖q_sub −
+    // codeword(x, sub)‖², i.e. exact squared L2 between the quantized
+    // query and x's codeword-concatenated reconstruction — recomputed
+    // here from the raw codebooks/codes with plain scala arithmetic
+    val vs = (0 until 12).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 5 + d).toFloat))
+    }
+    val df = vs.toDF("vec_id", "embedding")
+    val (cents, codes) = Similarity.pqBuild(df, "vec_id", "embedding",
+      m = 2, kSub = 4, iters = 2, dim = 8)
+    val cent = cents.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Long](2).toArray).toMap
+    val recon = codes.collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.sortBy(_.getInt(1)).flatMap(r =>
+          cent((r.getInt(1), r.getLong(2))))
+      }
+    def qv(xs: Array[Float]): Array[Long] =
+      xs.map(x => math.floor(x.toDouble * 1e6).toLong)
+    val out = Similarity.pqAdcTopK(df, df.filter(col("vec_id") < 2),
+        "vec_id", "embedding", k = 20, m = 2, kSub = 4, iters = 2, dim = 8)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (q, x, d) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val qq = qv(vs(q.toInt)._2)
+      val expected = qq.zip(recon(x)).map { case (a, b) =>
+        (a - b) * (a - b)
+      }.sum
+      assert(d == expected, s"ADC($q,$x)=$d but exact recon L2=$expected")
+    }
+  }
+
+  test("pqAdcTopK: deterministic under repartitioning, dup codes match") {
+    val vs = (0 until 20).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 5 + d).toFloat))
+    } :+ (100L, Array.tabulate(8)(d => math.sin(3 * 5 + d).toFloat)) // dup of 3
+    val df = vs.toDF("vec_id", "embedding")
+    def run(parts: Int) = Similarity.pqAdcTopK(df.repartition(parts),
+      df.filter(col("vec_id") === 100), "vec_id", "embedding",
+      k = 25, m = 2, kSub = 4, iters = 2, dim = 8)
+      .collect().map(_.toSeq).toSet
+    val a = run(2)
+    // an exact duplicate shares every code with the query, so its ADC
+    // distance is the query's own quantization residual — the provable
+    // MINIMUM over the corpus (rank-1 dist equals it; rank-1 ID may be a
+    // smaller id whose codes happen to collide, so pin the dist, not it)
+    val dup = a.find(_(1) == 3L).get
+    val top = a.find(_(3) == 1).get
+    assert(dup(2) == top(2), s"dup dist ${dup(2)} != rank-1 dist ${top(2)}")
+    assert(run(7) == a)
+  }
+
   test("firstBy/lastBy pick values by order field, not partition order") {
     val df = Seq(("a", 3, "x3"), ("a", 1, "x1"), ("a", 2, "x2"), ("b", 9, "y9"))
       .toDF("k", "ord", "v")
