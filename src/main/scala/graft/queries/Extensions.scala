@@ -3261,6 +3261,32 @@ object Extensions {
         .agg(count(lit(1)).as("n_overlap"))
     }),
 
+    // --- URL canonicalization + URL-level dedup: the crawl pipeline's
+    // first pass (one short-key hash agg drops ~1/3 of a raw crawl
+    // before any body text is read). The corpus has no URL column, so a
+    // deterministic messy-URL fixture is injected in-query (the q83 PII
+    // discipline): four variants per canonical group exercising case,
+    // www, default ports, trailing slash, fragments, tracking params
+    // and param order — three variants collapse to one canonical form,
+    // the fragment-only variant to a second.
+    "q207_url_dedup" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val grp = (col("doc_id") % 13).cast("string")
+      val k = ((col("doc_id") % 13) % 7).cast("string")
+      val v = col("doc_id") % 4
+      val url =
+        when(v === 0, concat(lit("http://Example"), k, lit(".ORG:80/p/"),
+          grp, lit("/?b=2&a=1&utm_source=x")))
+        .when(v === 1, concat(lit("HTTP://www.example"), k, lit(".org/p/"),
+          grp, lit("?a=1&b=2")))
+        .when(v === 2, concat(lit("http://EXAMPLE"), k, lit(".org/p/"),
+          grp, lit("/#sec2")))
+        .otherwise(concat(lit("http://Example"), k, lit(".org:80/p/"),
+          grp, lit("/?fbclid=zz&b=2&a=1")))
+      graft.functions.Web.urlDedup(
+        d.select(col("doc_id"), url.as("url")), "doc_id", "url")
+    }),
+
     // --- product quantization + ADC top-k (Jégou et al. 2011): the
     // compressed-domain scan that makes dense similarity affordable at
     // 100 TB — 64 floats/vector (256 B) become 8 byte-codes (32×), and
@@ -4312,6 +4338,28 @@ object Extensions {
     },
 
     "q208_pq_adc" -> pqAdcOracle,
+
+    // same fixture, canonicalization spelled by Web.oracleCanonicalUrl
+    // (generated next to the Spark form — the two cannot drift)
+    "q207_url_dedup" -> {
+      // NOTE: no line here may START with '|' — this fragment embeds in
+      // an outer stripMargin string, which would eat one pipe of a '||'
+      val k = "CAST((doc_id % 13) % 7 AS VARCHAR)"
+      val grp = "CAST(doc_id % 13 AS VARCHAR)"
+      val urlExpr =
+        s"CASE doc_id % 4 " +
+        s"WHEN 0 THEN 'http://Example' || $k || '.ORG:80/p/' || $grp || " +
+        s"'/?b=2&a=1&utm_source=x' " +
+        s"WHEN 1 THEN 'HTTP://www.example' || $k || '.org/p/' || $grp || " +
+        s"'?a=1&b=2' " +
+        s"WHEN 2 THEN 'http://EXAMPLE' || $k || '.org/p/' || $grp || '/#sec2' " +
+        s"ELSE 'http://Example' || $k || '.org:80/p/' || $grp || " +
+        s"'/?fbclid=zz&b=2&a=1' END"
+      s"""SELECT ${graft.functions.Web.oracleCanonicalUrl("url")} AS canon_url,
+         |min(doc_id) AS keep_id, count(*) AS n_dups
+         |FROM (SELECT doc_id, $urlExpr AS url FROM documents)
+         |GROUP BY 1""".stripMargin
+    },
 
     // q161 at the 15-nibble key — same fixtures, same body
     "q203_paragraph_dedup_wide" ->

@@ -886,6 +886,55 @@ object Relational {
         .orderBy("o_totalprice" -> false, "o_orderkey" -> true)
         .limit(100))(s)),
 
+    // TPC-H Q5 shape: the 6-table local-supplier join — the deepest
+    // mixed-strategy chain in the suite. The two fact tables meet in
+    // shuffle coGroups; supplier joins on a COMPOSITE key (l_suppkey,
+    // c_nationkey) = (s_suppkey, s_nationkey) — the "local supplier"
+    // predicate expressed as join keys, not a post-filter, so the match
+    // happens inside the exchange; nation and the ASIA-filtered region
+    // ride broadcast hashJoins at the top (dims stay dim-sized at any
+    // corpus scale). Group count ≤ nations, so the final sort is trivial.
+    "q209_tpch_q5" -> ((s, dir) => Flow.toDF(
+      P(dir, "lineitem")
+        .coGroup(Seq("l_orderkey"),
+          P(dir, "orders").filterBy(SqlFilter(
+            "o_orderdate >= timestamp '1997-01-01' and o_orderdate < timestamp '1998-01-01'")),
+          Seq("o_orderkey"))
+        .coGroup(Seq("o_custkey"),
+          P(dir, "customer").retain("c_custkey", "c_nationkey"),
+          Seq("c_custkey"))
+        .coGroup(Seq("l_suppkey", "c_nationkey"),
+          P(dir, "supplier").retain("s_suppkey", "s_nationkey"),
+          Seq("s_suppkey", "s_nationkey"))
+        .hashJoin(Seq("s_nationkey"), P(dir, "nation"), Seq("n_nationkey"))
+        .hashJoin(Seq("n_regionkey"),
+          P(dir, "region").filterBy(SqlFilter("r_name = 'ASIA'")),
+          Seq("r_regionkey"))
+        .groupBy("n_name")
+        .every(Aggs.agg("revenue", xsum("l_extendedprice * (1 - l_discount)")))
+        .orderBy("revenue" -> false, "n_name" -> true))(s)),
+
+    // TPC-H Q16 shape (lineitem stands in for partsupp — the synthetic
+    // schema has no partsupp table): distinct-supplier counts per part
+    // group, minus suppliers excluded by an anti-join (s_acctbal < 2000
+    // removes ~30% of suppliers at every SF, so the anti-join provably
+    // bites). The excluded-supplier side is dim-sized → broadcast
+    // LeftAnti; the part join is the fact-side shuffle; count(DISTINCT)
+    // runs inside the group aggregate (two-phase distinct, no extra
+    // exchange beyond the group key's).
+    "q210_tpch_q16" -> ((s, dir) => Flow.toDF(
+      P(dir, "lineitem").retain("l_partkey", "l_suppkey")
+        .hashJoin(Seq("l_suppkey"),
+          P(dir, "supplier").filterBy(SqlFilter("s_acctbal < 2000"))
+            .retain("s_suppkey"),
+          Seq("s_suppkey"), joiner = Joiner.LeftAnti)
+        .coGroup(Seq("l_partkey"),
+          P(dir, "part").filterBy(SqlFilter("p_size >= 3")),
+          Seq("p_partkey"))
+        .groupBy("p_brand", "p_size")
+        .every(Aggs.sql("supplier_cnt", "count(DISTINCT l_suppkey)"))
+        .orderBy("supplier_cnt" -> false, "p_brand" -> true, "p_size" -> true))(s)),
+
     // ORC columnar round-trip under the gate (q60/q62 pattern: write the
     // staged format, read it back, aggregate — the oracle computes the
     // same aggregate from the parquet source, so a type or value
@@ -1275,6 +1324,32 @@ object Relational {
          |GROUP BY 1, 2, 3, 4, 5
          |ORDER BY o_totalprice DESC, o_orderkey
          |LIMIT 100""".stripMargin,
+
+    "q209_tpch_q5" ->
+      s"""SELECT n_name,
+         |${dsumExpr("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |GROUP BY 1
+         |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q210_tpch_q16" ->
+      s"""SELECT p_brand, p_size,
+         |CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |WHERE p_size >= 3
+         |  AND l_suppkey NOT IN (
+         |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 2000)
+         |GROUP BY 1, 2
+         |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin,
 
     "q101_orc_roundtrip" ->
       s"""SELECT l_returnflag, ${dsum("l_quantity")} AS sum_qty,

@@ -190,6 +190,29 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q209: 6-table chain — facts shuffle (incl. the composite supplier " +
+      "key), nation+region broadcast") {
+    atScale {
+      val plan = formatted("q209_tpch_q5")
+      // lineitem⋈orders, ⋈customer, ⋈supplier(composite key) all shuffle
+      assert("SortMergeJoin|ShuffledHashJoin".r.findAllMatchIn(plan).size >= 3)
+      // nation and the ASIA-filtered region ride broadcast hashJoins
+      assert("BroadcastHashJoin".r.findAllMatchIn(plan).size >= 2)
+      // the date filter reaches the orders scan
+      assert(plan.contains("o_orderdate"))
+    }
+  }
+
+  test("q210: excluded suppliers broadcast into a LeftAnti; part joins on " +
+      "the fact shuffle") {
+    atScale {
+      val plan = formatted("q210_tpch_q16")
+      assert(plan.contains("LeftAnti"))
+      assert(plan.contains("BroadcastHashJoin"))
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
+    }
+  }
+
   test("q95: customer joins through the shuffle path, only nation broadcasts") {
     atScale {
       val plan = formatted("q95_tpch_q10")
