@@ -92,6 +92,58 @@ object Curation {
         (col("n_total") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
   }
 
+  /** Corpus-wide BOILERPLATE stripping by document frequency: every
+    * paragraph appearing in ≥ `minDocFreq` DISTINCT documents is removed
+    * from ALL of them — no keeper, unlike [[dropDuplicateParagraphs]]
+    * (dedup preserves one copy of content; boilerplate — nav menus,
+    * cookie banners, footers — is noise in every copy, the RefinedWeb /
+    * CCNet boilerplate pass). Frequency counts DISTINCT docs, so a
+    * paragraph repeated five times inside one page is NOT boilerplate.
+    *
+    * Returns (id, clean_text, n_kept, n_dropped), one row per document.
+    *
+    * Scale: one explode scan; the df aggregation shuffles on the uniform
+    * paragraph hash (per-doc-distinct rows first, so a million-line page
+    * costs its distinct paragraphs); the boilerplate set that survives
+    * df ≥ K is TINY (that is what boilerplate means), so the anti-join
+    * back broadcasts under AQE; reassembly is the per-document
+    * array_sort — no window, deterministic on any partitioning.
+    * `wideHash` = the 60-bit key; a hash collision here deletes real
+    * content corpus-wide, the q203 silent-corruption class. */
+  def stripBoilerplateParagraphs(docs: DataFrame, idCol: String = "doc_id",
+                                 textCol: String = "text",
+                                 sep: String = "\n",
+                                 minDocFreq: Int = 3,
+                                 wideHash: Boolean = false): DataFrame = {
+    require(minDocFreq >= 2,
+      s"stripBoilerplateParagraphs: minDocFreq must be ≥ 2, got $minDocFreq")
+    val sepLit = java.util.regex.Pattern.quote(sep)
+    val paras = docs
+      .select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), sepLit)))
+      .select(col("__id"), (col("pos") + 1).as("ppos"), col("col").as("para"))
+      .withColumn("h",
+        if (wideHash) graft.catalyst.Md5Prefix60(col("para"))
+        else graft.catalyst.Md5Prefix40(col("para")))
+    val boiler = paras.select(col("h"), col("__id")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocFreq)
+      .select(col("h"))
+    val kept = paras.join(boiler, Seq("h"), "left_anti")
+    val agg = kept.groupBy(col("__id"))
+      .agg(concat_ws(sep, transform(
+          array_sort(collect_list(struct(col("ppos"), col("para")))),
+          x => x.getField("para"))).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    val nTot = paras.groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_total"))
+    nTot.join(agg, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_total") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
   /** The C4 line-filter rule set, applied to one line: keep iff the line
     * has ≥ `minWords` words, ends in terminal punctuation (. ! ? or a
     * closing quote), and contains no curly brace, no "lorem ipsum", and

@@ -3287,6 +3287,30 @@ object Extensions {
         d.select(col("doc_id"), url.as("url")), "doc_id", "url")
     }),
 
+    // --- corpus-wide boilerplate stripping by document frequency: q161
+    // dedups (keep-first); this REMOVES every paragraph whose distinct-
+    // doc frequency ≥ 3 from all docs (the RefinedWeb/CCNet boilerplate
+    // pass). Fixture: q161's boiler lines (df » 3 at every SF) plus a
+    // WITHIN-doc repeated paragraph on doc 1 only — df = 1, so it must
+    // survive twice (distinct-doc counting, not occurrence counting).
+    // wideHash: a paragraph-key collision deletes real content.
+    "q211_boilerplate_strip" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val aug = docs.select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0, lit("\n" + Boiler1))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit("\n" + Boiler2))
+            .otherwise(lit("")),
+          when(col("doc_id") === 1,
+            lit("\nsolo repeated para\nsolo repeated para"))
+            .otherwise(lit(""))).as("text"))
+      graft.functions.Curation.stripBoilerplateParagraphs(
+          aug, "doc_id", "text", minDocFreq = 3, wideHash = true)
+        .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
+          col("n_kept"), col("n_dropped"))
+    }),
+
     // --- product quantization + ADC top-k (Jégou et al. 2011): the
     // compressed-domain scan that makes dense similarity affordable at
     // 100 TB — 64 floats/vector (256 B) become 8 byte-codes (32×), and
@@ -4338,6 +4362,46 @@ object Extensions {
     },
 
     "q208_pq_adc" -> pqAdcOracle,
+
+    // q161's fixture + the solo-repeat plant; boilerplate = df ≥ 3 over
+    // DISTINCT docs at the 15-nibble key, losers erased everywhere
+    "q211_boilerplate_strip" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 3 = 0 THEN chr(10) || '$Boiler1'
+         |         ELSE '' END ||
+         |    CASE WHEN doc_id % 5 = 0 THEN chr(10) || '$Boiler2'
+         |         ELSE '' END ||
+         |    CASE WHEN doc_id = 1 THEN chr(10) || 'solo repeated para'
+         |         || chr(10) || 'solo repeated para'
+         |         ELSE '' END AS text
+         |  FROM documents),
+         |paras AS (
+         |  SELECT doc_id, CAST(pos AS BIGINT) AS ppos, p[pos] AS para
+         |  FROM (SELECT doc_id, string_split(text, chr(10)) AS p FROM aug),
+         |  LATERAL (SELECT unnest(range(1, len(p) + 1)) AS pos) r),
+         |boiler AS (
+         |  SELECT h FROM (
+         |    SELECT DISTINCT
+         |      CAST(concat('0x', substr(md5(para), 1, 15)) AS BIGINT) AS h,
+         |      doc_id
+         |    FROM paras) GROUP BY 1 HAVING count(*) >= 3),
+         |kept AS (
+         |  SELECT p.doc_id, p.ppos, p.para FROM paras p
+         |  LEFT JOIN boiler ON CAST(concat('0x',
+         |      substr(md5(p.para), 1, 15)) AS BIGINT) = boiler.h
+         |  WHERE boiler.h IS NULL),
+         |agg AS (
+         |  SELECT doc_id,
+         |    string_agg(para, chr(10) ORDER BY ppos) AS clean_text,
+         |    CAST(count(*) AS BIGINT) AS n_kept
+         |  FROM kept GROUP BY doc_id),
+         |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_total
+         |        FROM paras GROUP BY doc_id)
+         |SELECT t.doc_id, md5(coalesce(a.clean_text, '')) AS clean_md5,
+         |  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+         |  CAST(t.n_total - coalesce(a.n_kept, 0) AS BIGINT) AS n_dropped
+         |FROM tot t LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
     // same fixture, canonicalization spelled by Web.oracleCanonicalUrl
     // (generated next to the Spark form — the two cannot drift)

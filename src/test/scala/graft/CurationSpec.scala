@@ -75,6 +75,32 @@ class CurationSpec extends SparkSpec {
     assert(r.getAs[Long]("n_dropped") == 1L)
   }
 
+  test("stripBoilerplateParagraphs: df over DISTINCT docs, losers erased " +
+      "everywhere, no keeper") {
+    val docs = Seq(
+      (1L, "footer\nprose one\nlocal\nlocal"), // 'local' ×2 in ONE doc: df=1
+      (2L, "footer\nprose two"),
+      (3L, "footer\nprose three"),
+      (4L, "twice only\nprose four"),
+      (5L, "twice only\nprose five")           // 'twice only' df=2 < 3: kept
+    ).toDF("doc_id", "text")
+    val r = Curation.stripBoilerplateParagraphs(docs, minDocFreq = 3)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[String]("clean_text"), x.getAs[Long]("n_kept"),
+          x.getAs[Long]("n_dropped"))).toMap
+    // 'footer' df=3 → erased from ALL THREE docs (dedup would keep one)
+    assert(r(1L) == (("prose one\nlocal\nlocal", 3L, 1L)))
+    assert(r(2L) == (("prose two", 1L, 1L)))
+    assert(r(3L) == (("prose three", 1L, 1L)))
+    assert(r(4L) == (("twice only\nprose four", 2L, 0L)))
+    assert(r(5L) == (("twice only\nprose five", 2L, 0L)))
+    // wide ≡ narrow on a collision-free corpus
+    val wide = Curation.stripBoilerplateParagraphs(docs, minDocFreq = 3,
+      wideHash = true).collect().map(_.toSeq).toSet
+    assert(wide == Curation.stripBoilerplateParagraphs(docs, minDocFreq = 3)
+      .collect().map(_.toSeq).toSet)
+  }
+
   test("dropDuplicateParagraphs rejects positions outside the packable domain") {
     val doc = (1L, Seq.fill(4)("x").mkString("\n"))
     // fine at small size; the guard fires via a crafted negative id
