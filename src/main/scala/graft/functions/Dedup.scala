@@ -194,7 +194,21 @@ object Dedup {
     * bucket-membership table — the connected-components engine behind
     * [[minhashClustersTransitive]] (band rows) and
     * [[winnowClustersTransitive]] (fingerprint rows): two docs land in
-    * one cluster iff a chain of shared buckets connects them. */
+    * one cluster iff a chain of shared buckets connects them.
+    *
+    * SEED CONTRACT (normative): with the default `validateSeeds = true`,
+    * every seed label that itself appears as a node id in `rows` must
+    * share at least one DIRECT (band, key) bucket with its seeded node —
+    * the condition the winnowFamiliesIncremental construction guarantees
+    * by emitting explicit family-bucket rows. A label connected only
+    * TRANSITIVELY (reachable through other nodes but no shared bucket)
+    * is rejected with IllegalArgumentException even though propagation
+    * from it would reach a correct fixed point: the validator cannot
+    * distinguish that case from a wrong-component seed (which ships
+    * silently wrong labels) without running the propagation it guards.
+    * Callers whose construction proves transitive connectivity opt out
+    * with `validateSeeds = false` — the relaxed requirement is then only
+    * that each in-rows seed label be in the SAME component as its node. */
   def transitiveClustersOver(rows: DataFrame,
                              maxIters: Int = 30,
                              requireConvergence: Boolean = true,

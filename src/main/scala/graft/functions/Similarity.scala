@@ -769,8 +769,15 @@ object Similarity {
         scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, updated.schema)
     }
 
+    // eager localCheckpoint materializes the codes (the small build
+    // artifact: m small ints per vector) so base/sb's cache entries can
+    // be released HERE instead of leaking two session-lifetime persists
+    // per build invocation (the annRecallAudit discipline)
     val codes = assign(lit(0L))
       .select(col("nn_id"), col("sub"), col("__best.cent_id").as("code"))
+      .localCheckpoint(true)
+    sb.unpersist()
+    base.unpersist()
     (cents, codes)
   }
 

@@ -3287,6 +3287,34 @@ object Extensions {
         d.select(col("doc_id"), url.as("url")), "doc_id", "url")
     }),
 
+    // --- per-domain crawl-frontier diagnostic over a hostile URL mix:
+    // embedded absolute URLs in query params (must stay payload — the
+    // first-'://' anchor), percent-escape case variants (normalize to
+    // one canonical form), non-default ports (a DISTINCT origin), and
+    // grammar-failing strings (host NULL — the parser's error budget
+    // stays a visible row, never a silent drop). Output is the crawl
+    // operator's recrawl-budget table: pages and distinct canonical
+    // URLs per canonical host.
+    "q214_domain_stats" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val k = (col("doc_id") % 3).cast("string")
+      val grp = (col("doc_id") % 13).cast("string")
+      val v = col("doc_id") % 6
+      val url =
+        when(v === 0, concat(lit("http://Example"), k, lit(".ORG:80/p/"),
+          grp, lit("/?b=2&a=1&utm_source=x")))
+        .when(v === 1, concat(lit("HTTP://www.example"), k, lit(".org/p/"),
+          grp, lit("?a=1&b=2")))
+        .when(v === 2, concat(lit("http://example"), k,
+          lit(".org/r?next=https://target"), k, lit(".com/p")))
+        .when(v === 3, concat(lit("https://Example"), k, lit(".org:443/a%2fb/"),
+          grp, lit("?x=%3d1")))
+        .when(v === 4, concat(lit("nonsense-"), grp))
+        .otherwise(concat(lit("http://example"), k, lit(".org:8080/p/"), grp))
+      graft.functions.Web.domainStats(
+        d.select(col("doc_id"), url.as("url")), "url")
+    }),
+
     // --- corpus-wide boilerplate stripping by document frequency: q161
     // dedups (keep-first); this REMOVES every paragraph whose distinct-
     // doc frequency ≥ 3 from all docs (the RefinedWeb/CCNet boilerplate
@@ -4421,6 +4449,34 @@ object Extensions {
         s"'/?fbclid=zz&b=2&a=1' END"
       s"""SELECT ${graft.functions.Web.oracleCanonicalUrl("url")} AS canon_url,
          |min(doc_id) AS keep_id, count(*) AS n_dups
+         |FROM (SELECT doc_id, $urlExpr AS url FROM documents)
+         |GROUP BY 1""".stripMargin
+    },
+
+    // same hostile fixture, host/url canonicalization spelled by
+    // Web.oracleCanonicalHost / oracleCanonicalUrl (generated next to
+    // the Spark forms — the sides cannot drift)
+    "q214_domain_stats" -> {
+      // NOTE: no line here may START with '|' — this fragment embeds in
+      // an outer stripMargin string, which would eat one pipe of a '||'
+      val k = "CAST(doc_id % 3 AS VARCHAR)"
+      val grp = "CAST(doc_id % 13 AS VARCHAR)"
+      val urlExpr =
+        s"CASE doc_id % 6 " +
+        s"WHEN 0 THEN 'http://Example' || $k || '.ORG:80/p/' || $grp || " +
+        s"'/?b=2&a=1&utm_source=x' " +
+        s"WHEN 1 THEN 'HTTP://www.example' || $k || '.org/p/' || $grp || " +
+        s"'?a=1&b=2' " +
+        s"WHEN 2 THEN 'http://example' || $k || '.org/r?next=https://target' " +
+        s"|| $k || '.com/p' " +
+        s"WHEN 3 THEN 'https://Example' || $k || '.org:443/a%2fb/' || $grp || " +
+        s"'?x=%3d1' " +
+        s"WHEN 4 THEN 'nonsense-' || $grp " +
+        s"ELSE 'http://example' || $k || '.org:8080/p/' || $grp END"
+      s"""SELECT ${graft.functions.Web.oracleCanonicalHost("url")} AS host,
+         |count(*) AS n_pages,
+         |count(DISTINCT ${graft.functions.Web.oracleCanonicalUrl("url")})
+         |  AS n_canon_urls
          |FROM (SELECT doc_id, $urlExpr AS url FROM documents)
          |GROUP BY 1""".stripMargin
     },

@@ -30,6 +30,55 @@ class WebSpec extends SparkSpec {
       == "http://a.com/p?gclid2=x&refresh=1")
   }
 
+  test("canonicalizeUrl: first-'://' anchor — embedded absolute URLs stay payload") {
+    // an embedded URL in a query param must NOT become the parsed host
+    // (a last-occurrence anchor would collapse unrelated hosts into one
+    // dedup group — silent data deletion). The param sorts but survives.
+    assert(canon("http://a.com/r?next=https://x.com/p")
+      == "http://a.com/r?next=https://x.com/p")
+    // and two pages differing only in the embedded target stay DISTINCT
+    assert(canon("http://a.com/r?next=https://y.com/p")
+      != canon("http://a.com/r?next=https://x.com/p"))
+  }
+
+  test("canonicalizeUrl: first-'?' anchor — literal '?' in query is payload") {
+    assert(canon("https://ex.com/a?q=what?really&b=1")
+      == "https://ex.com/a?b=1&q=what?really")
+  }
+
+  test("canonicalizeUrl: percent-escape case normalization (RFC 3986 6.2.2.1)") {
+    assert(canon("http://ex.com/a%2fb?x=%3d1") == "http://ex.com/a%2Fb?x=%3D1")
+    // malformed escapes left untouched, trailing '%' survives
+    assert(canon("http://ex.com/a%zz?x=%a") == "http://ex.com/a%zz?x=%a")
+    assert(canon("http://ex.com/trail%") == "http://ex.com/trail%")
+  }
+
+  test("canonicalizeUrl: grammar guard — non-matching URLs pass through verbatim") {
+    assert(canon("not a url") == "not a url")
+    assert(canon("://nohost.com/x") == "://nohost.com/x")
+    assert(canon("mailto:someone@example.com") == "mailto:someone@example.com")
+    // non-http(s) schemes with valid grammar DO canonicalize (no port rule)
+    assert(canon("ftp://Files.Example.com/Pub/") == "ftp://files.example.com/Pub")
+    // punycode (IDN) hosts lowercase like any host; non-default port kept
+    assert(canon("http://xn--BCHER-kva.example:8080/P")
+      == "http://xn--bcher-kva.example:8080/P")
+  }
+
+  test("canonicalHost + domainStats: per-domain page/distinct-url counts") {
+    val df = Seq(
+      (1L, "http://www.A.com/p/?b=2&a=1"),
+      (2L, "HTTP://a.com:80/p?a=1&b=2&utm_campaign=z"),
+      (3L, "http://a.com/q"),
+      (4L, "https://B.org/x"),
+      (5L, "nonsense")).toDF("id", "url")
+    val got = Web.domainStats(df, "url").collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      (Some("a.com"), 3L, 2L),   // 3 pages, 2 distinct canonical urls
+      (Some("b.org"), 1L, 1L),
+      (None, 1L, 1L)))           // the parser's error budget stays visible
+  }
+
   test("urlDedup: messy variants of one URL collapse to min id") {
     val df = Seq(
       (1L, "http://www.A.com/p/?b=2&a=1"),
