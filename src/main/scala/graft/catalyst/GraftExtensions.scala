@@ -132,10 +132,21 @@ object GraftExtensions {
         MisraGriesAgg(exprs.head, intLit(exprs(1), "misra_gries k"))
           .toAggregateExpression())
 
+  val minkPairsAggDesc: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) =
+    (FunctionIdentifier("mink_pairs_agg"),
+      info(classOf[MinKPairsAgg], "mink_pairs_agg",
+        "_FUNC_(v, id, k) - k lexicographically smallest (v, id) pairs " +
+          "per group, sorted asc (aggregate); array position = rank"),
+      (exprs: Seq[Expression]) =>
+        MinKPairsAgg(exprs.head, exprs(1), intLit(exprs(2), "mink_pairs_agg k"))
+          .toAggregateExpression())
+
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(md5Prefix40Desc, md5Prefix60Desc, minhashSigDesc, minhashAggDesc, simhash32Desc,
       rollingFingerprintDesc, shinglesDesc, winnowFpDesc, cosineSimDesc,
-      exactSumMicrosDesc, topTokenMassDesc, topkAggDesc, misraGriesDesc)
+      exactSumMicrosDesc, topTokenMassDesc, topkAggDesc, misraGriesDesc,
+      minkPairsAggDesc)
 
   /** Register on an already-built session (tests, REPL). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

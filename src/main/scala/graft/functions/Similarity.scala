@@ -819,6 +819,139 @@ object Similarity {
       .filter(col("rk") <= k)
   }
 
+  /** Dense per-subspace code indices for a PQ codebook: adds `code_ix` =
+    * the 0-based rank of `cent_id` within its subspace (ordered by
+    * cent_id). [[pqBuild]] centroids carry their SEED VECTOR's id (the
+    * first-kSub-by-id seeding), which is neither contiguous nor 0-based —
+    * the dense index is what a flattened ADC lookup table keys on, and it
+    * stays correct even when a subspace's codebook SHRANK during Lloyd
+    * (a centroid that loses all members disappears from the update).
+    * The row_number window runs over m·kSub rows — the codebook, not the
+    * corpus. */
+  def pqDenseCodebook(cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("sub")).orderBy(col("cent_id").asc)
+    cents.withColumn("code_ix", (row_number().over(w) - 1).cast("int"))
+  }
+
+  /** Pack per-subspace PQ code rows into ONE row per vector:
+    * (nn_id, codes array<int> ordered by sub, holding dense code
+    * indices). This is the STORED form of the 100 TB artifact — m bytes
+    * of information per vector in one row, so the serving scan reads
+    * |corpus| rows instead of |corpus|·m and never shuffles on
+    * (query, vector) pairs. One hash aggregation at build cadence. */
+  def pqPackCodes(codes: DataFrame, denseBook: DataFrame): DataFrame = {
+    val db = denseBook.select(col("sub").as("__dbsub"),
+      col("cent_id").as("__dbcent"), col("code_ix"))
+    codes.join(broadcast(db),
+        col("sub") === col("__dbsub") && col("code") === col("__dbcent"))
+      .select(col("nn_id"), col("sub"), col("code_ix"))
+      .groupBy(col("nn_id"))
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code_ix")))),
+        s => s.getField("code_ix")).as("codes"))
+  }
+
+  /** ADC top-k over PACKED codes with a bounded-heap aggregate — the
+    * serving-path shape of [[pqAdcQuery]], with both of its corpus-sized
+    * costs removed:
+    *  - the per-(query, vector) SUM-over-subspaces aggregate becomes an
+    *    in-row lookup-table fold: each query's m·kSub exact integer
+    *    distance table broadcasts as a map and dist(q, x) =
+    *    Σ_sub dmap[sub·kSub + codes[sub]] — one pass over the packed
+    *    code rows, NO exchange keyed by (query, vector);
+    *  - the corpus-sized `row_number` window becomes
+    *    [[graft.catalyst.MinKPairsAgg]]: a k-element heap per query with
+    *    map-side partials, so the only shuffle is O(queries × k) pairs.
+    * Exact integers end-to-end ⇒ identical (dist, id) ranks to the
+    * window form — the output is [[pqAdcQuery]]'s, row for row. */
+  def pqAdcTopKPacked(denseBook: DataFrame, packedCodes: DataFrame,
+                      queries: DataFrame, idCol: String, vecCol: String,
+                      k: Int, m: Int = 8, kSub: Int = 16,
+                      dim: Int = 64): DataFrame = {
+    val dsub = dim / m
+    val qs = pqSubRows(
+      queries.select(col(idCol).as("query_id"), qvecPq(col(vecCol)).as("q")),
+      "query_id", "q", m, dsub)
+    val qmaps = qs.join(broadcast(denseBook), Seq("sub"))
+      .select(col("query_id"),
+        (col("sub") * kSub + col("code_ix")).cast("int").as("slot"),
+        l2q(col("sq"), col("cent_q")).as("d"))
+      .groupBy(col("query_id"))
+      .agg(map_from_entries(collect_list(struct(col("slot"), col("d"))))
+        .as("dmap"))
+    val scored = packedCodes.crossJoin(broadcast(qmaps))
+      .filter(col("nn_id") =!= col("query_id"))
+      .select(col("query_id"), col("nn_id"),
+        aggregate(
+          zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+            (c, i) => element_at(col("dmap"), (i * kSub + c).cast("int"))),
+          lit(0L), (acc, x) => acc + x).as("adc_dist"))
+    scored.groupBy(col("query_id"))
+      .agg(graft.catalyst.MinKPairsAgg(col("adc_dist"), col("nn_id"), k)
+        .as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("p", "pair")))
+      .select(col("query_id"), col("pair.id").as("nn_id"),
+        col("pair.v").as("adc_dist"), (col("p") + 1).cast("int").as("rk"))
+  }
+
+  /** IVFADC (Jégou et al. 2011 §III): the IVF coarse quantizer prunes
+    * WHICH vectors are scanned, PQ/ADC compresses HOW each survivor is
+    * scored — composed, a query reads nprobe/nlist of the corpus at
+    * m bytes per vector. `ivfCodes` is the stored composition artifact:
+    * (nn_id, cent, codes) — [[ivfKMeansBuild]] list assignment joined
+    * with [[pqPackCodes]] rows, persisted bucketed by `cent` so the
+    * probe join prunes at rest. This variant encodes RAW vectors (not
+    * residuals r = x − centroid): exact-integer oracle replay and
+    * codebook sharing across lists outweigh the recall gain of residual
+    * encoding at the scales gated here; the residual refinement slots in
+    * by re-pointing pqBuild at (x − cent_q) rows without changing this
+    * query shape.
+    *
+    * Scale shape: probes (queries × nprobe) + distance maps broadcast
+    * into the codes join — the corpus-sized codes side is never
+    * exchanged (bucketed by cent, not even at rest); each corpus vector
+    * sits in exactly ONE list, so no cross-probe dedup is needed; the
+    * final shuffle is MinKPairsAgg partials, O(queries × k). */
+  def ivfAdcQuery(ivfCents: DataFrame, denseBook: DataFrame,
+                  ivfCodes: DataFrame, queries: DataFrame, idCol: String,
+                  vecCol: String, k: Int, nprobe: Int = 4, m: Int = 8,
+                  kSub: Int = 16, dim: Int = 64): DataFrame = {
+    val dsub = dim / m
+    def qvec(c: Column) =
+      transform(c, x => floor(x.cast("double") * 1e6).cast("long"))
+    val qs = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      qvec(col(vecCol)).as("qq"))
+    val pw = Window.partitionBy(col("query_id")).orderBy(
+      cosine(col("qq"), col("cent_q")).desc, col("cent_id").asc)
+    val probes = qs.crossJoin(broadcast(ivfCents))
+      .withColumn("__cr", row_number().over(pw))
+      .filter(col("__cr") <= nprobe)
+      .select(col("query_id"), col("cent_id").as("cent"))
+    val qsub = pqSubRows(
+      queries.select(col(idCol).as("query_id"), qvecPq(col(vecCol)).as("q")),
+      "query_id", "q", m, dsub)
+    val qmaps = qsub.join(broadcast(denseBook), Seq("sub"))
+      .select(col("query_id"),
+        (col("sub") * kSub + col("code_ix")).cast("int").as("slot"),
+        l2q(col("sq"), col("cent_q")).as("d"))
+      .groupBy(col("query_id"))
+      .agg(map_from_entries(collect_list(struct(col("slot"), col("d"))))
+        .as("dmap"))
+    val probeMaps = probes.join(qmaps, Seq("query_id"))
+    val scored = ivfCodes.join(broadcast(probeMaps), Seq("cent"))
+      .filter(col("nn_id") =!= col("query_id"))
+      .select(col("query_id"), col("nn_id"),
+        aggregate(
+          zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+            (c, i) => element_at(col("dmap"), (i * kSub + c).cast("int"))),
+          lit(0L), (acc, x) => acc + x).as("adc_dist"))
+    scored.groupBy(col("query_id"))
+      .agg(graft.catalyst.MinKPairsAgg(col("adc_dist"), col("nn_id"), k)
+        .as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("p", "pair")))
+      .select(col("query_id"), col("pair.id").as("nn_id"),
+        col("pair.v").as("adc_dist"), (col("p") + 1).cast("int").as("rk"))
+  }
+
   /** Pairwise affinity between group centroids: exact int64 dot product
     * (micros² units) plus each side's squared norm, from which cosine is
     * derivable downstream without losing exactness here. All pairs over

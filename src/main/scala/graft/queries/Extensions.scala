@@ -3352,6 +3352,75 @@ object Extensions {
         "vec_id", "embedding", k = 5, m = 8, kSub = 16, iters = 2, dim = 64)
     }),
 
+    // --- the PQ index as a STORED artifact + the bounded-heap serving
+    // path (q208's doc contract discharged): the codebook lands in a
+    // table, the packed codes (ONE row per vector, m dense byte-codes)
+    // land in a BucketedTap, and the query phase reads both back and
+    // ranks via MinKPairsAgg — per-query distance tables broadcast into
+    // the code scan as lookup maps, the only shuffle is O(queries × k)
+    // heap partials. Plan-asserted: no Window anywhere, no exchange of
+    // the corpus-sized codes side. Same exact-integer ranks as q208's
+    // window form — the oracle is shared verbatim.
+    "q212_pq_index" -> ((s, dir) => {
+      val (bookT, codesT) =
+        (stagedTable("graft_q212_pq_book"), stagedTable("graft_q212_pq_codes"))
+      Seq(bookT, codesT).foreach(graft.queries.Tables.dropStagedTable(s, _))
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val (cents, codes) = Similarity.pqBuild(
+        e, "vec_id", "embedding", m = 8, kSub = 16, iters = 2, dim = 64)
+      val book = Similarity.pqDenseCodebook(cents)
+      book.write.mode("overwrite").saveAsTable(bookT)
+      graft.sources.BucketedTap(codesT, 8, Seq("nn_id"))
+        .write(Similarity.pqPackCodes(codes, book), graft.sources.SinkMode.Replace)
+      val df = Similarity.pqAdcTopKPacked(s.table(bookT), s.table(codesT),
+        e.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 5, m = 8, kSub = 16, dim = 64)
+      val plan = df.queryExecution.executedPlan.toString
+      require(!plan.contains("Window"),
+        "ADC serving path must not window-sort the corpus")
+      require(!plan.contains("Exchange hashpartitioning(nn_id"),
+        "packed-codes side must never exchange — top-k moves as heap partials")
+      df
+    }),
+
+    // --- IVFADC (Jégou et al. 2011 §III): the IVF coarse quantizer
+    // prunes WHICH vectors are scanned (nprobe/nlist of the corpus), PQ
+    // compresses HOW survivors are scored (m byte-codes, ADC lookups) —
+    // the composition is THE published serving shape for billion-vector
+    // ANN. Both indexes are stored artifacts (IVF centroids + codebook
+    // as tiny tables, per-list packed codes in a BucketedTap keyed by
+    // cent so the probe join prunes at rest); the query phase
+    // broadcasts probes + distance maps and ranks via MinKPairsAgg.
+    // The probe ranking windows queries × nlist rows (tiny, by design);
+    // the corpus-sized codes side is plan-asserted exchange-free.
+    "q213_ivfadc" -> ((s, dir) => {
+      val (centsT, bookT, codesT) = (stagedTable("graft_q213_ivf_cents"),
+        stagedTable("graft_q213_pq_book"), stagedTable("graft_q213_ivf_codes"))
+      Seq(centsT, bookT, codesT)
+        .foreach(graft.queries.Tables.dropStagedTable(s, _))
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val (ivfCents, lists) = Similarity.ivfKMeansBuild(
+        e, "vec_id", "embedding", nlist = 16, iters = 2)
+      val (pqCents, codes) = Similarity.pqBuild(
+        e, "vec_id", "embedding", m = 8, kSub = 16, iters = 2, dim = 64)
+      val book = Similarity.pqDenseCodebook(pqCents)
+      ivfCents.write.mode("overwrite").saveAsTable(centsT)
+      book.write.mode("overwrite").saveAsTable(bookT)
+      val ivfCodes = lists.select(col("nn_id"), col("cent"))
+        .join(Similarity.pqPackCodes(codes, book), Seq("nn_id"))
+      graft.sources.BucketedTap(codesT, 8, Seq("cent"))
+        .write(ivfCodes, graft.sources.SinkMode.Replace)
+      val df = Similarity.ivfAdcQuery(s.table(centsT), s.table(bookT),
+        s.table(codesT), e.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 5, nprobe = 4, m = 8, kSub = 16, dim = 64)
+      val plan = df.queryExecution.executedPlan.toString
+      require(!plan.contains("Exchange hashpartitioning(cent"),
+        "probed ADC must never exchange the corpus-sized codes side")
+      require(!plan.contains("Exchange hashpartitioning(nn_id"),
+        "top-k must move as MinKPairsAgg heap partials, not row exchanges")
+      df
+    }),
+
     // --- boundary-splitting packing: q128's bins, with straddling docs
     // exploded into per-bin fragments (what the loader materializes);
     // Σ frag_len per doc ≡ n_tok by construction
@@ -4011,17 +4080,26 @@ object Extensions {
     * 8 dims, kSub=16) unrolled once over (nn_id, sub) subspace rows —
     * the ivfAssignCtes pattern with exact integer squared-L2 instead of
     * cosine, so every distance, code and rank replays arithmetically. */
-  private lazy val pqAdcOracle: String = {
+  /** Exact integer squared-L2 over dsub=8-long subvector lists — the PQ
+    * oracle's distance spelling, shared by q208/q212/q213. */
+  private def pqDL2(a: String, b: String) =
+    s"""list_sum(list_transform(range(1, 9),
+       |      i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))""".stripMargin
+
+  /** The PQ build CTE chain (qb/sb subspace rows → 2 per-subspace Lloyd
+    * rounds → `codes(nn_id, sub, code)`), Lloyd CTEs prefixed `$cp` so
+    * the chain composes with [[ivfAssignCtes]] (whose c0..c2 names it
+    * would otherwise collide with) in the q213 IVFADC oracle. q208/q212
+    * and q213 all share this builder — the PQ arithmetic cannot drift
+    * between the plain and the composed form. */
+  private def pqCodeCtes(cp: String): String = {
     val dsub = 8
-    def dL2(a: String, b: String) =
-      s"""list_sum(list_transform(range(1, ${dsub + 1}),
-         |      i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))""".stripMargin
     def duckAssign(name: String, cents: String, keep: String) =
       s"""$name AS (
          |  SELECT nn_id, sub, $keep cent_id FROM (
          |    SELECT b.nn_id, b.sub, b.sq, c.cent_id,
          |    row_number() OVER (PARTITION BY b.nn_id, b.sub
-         |      ORDER BY ${dL2("b.sq", "c.cent_q")} ASC, c.cent_id ASC) AS rn
+         |      ORDER BY ${pqDL2("b.sq", "c.cent_q")} ASC, c.cent_id ASC) AS rn
          |    FROM sb b JOIN $cents c USING (sub)) WHERE rn = 1)""".stripMargin
     def duckUpdate(from: String, name: String) =
       s"""$name AS (
@@ -4031,7 +4109,7 @@ object Extensions {
          |    FROM (SELECT sub, cent_id, unnest(sq) AS v,
          |          unnest(range(1, len(sq) + 1)) AS pos FROM $from)
          |    GROUP BY 1, 2, 3) GROUP BY 1, 2)""".stripMargin
-    s"""WITH qb AS MATERIALIZED (
+    s"""qb AS MATERIALIZED (
        |  SELECT vec_id AS nn_id,
        |  list_transform(embedding,
        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
@@ -4039,23 +4117,27 @@ object Extensions {
        |sb AS MATERIALIZED (
        |  SELECT nn_id, sub, q[sub * $dsub + 1 : sub * $dsub + $dsub] AS sq
        |  FROM qb CROSS JOIN (SELECT unnest(range(0, 8)) AS sub)),
-       |c0 AS (
+       |${cp}c0 AS (
        |  SELECT sub, nn_id AS cent_id, sq AS cent_q FROM sb
        |  WHERE nn_id IN (SELECT nn_id FROM qb ORDER BY nn_id LIMIT 16)),
-       |${duckAssign("a1", "c0", "sq,")},
-       |${duckUpdate("a1", "c1")},
-       |${duckAssign("a2", "c1", "sq,")},
-       |${duckUpdate("a2", "c2")},
+       |${duckAssign(s"${cp}a1", s"${cp}c0", "sq,")},
+       |${duckUpdate(s"${cp}a1", s"${cp}c1")},
+       |${duckAssign(s"${cp}a2", s"${cp}c1", "sq,")},
+       |${duckUpdate(s"${cp}a2", s"${cp}c2")},
        |codes AS MATERIALIZED (
        |  SELECT nn_id, sub, cent_id AS code FROM (
        |    SELECT b.nn_id, b.sub, c.cent_id,
        |    row_number() OVER (PARTITION BY b.nn_id, b.sub
-       |      ORDER BY ${dL2("b.sq", "c.cent_q")} ASC, c.cent_id ASC) AS rn
-       |    FROM sb b JOIN c2 c USING (sub)) WHERE rn = 1),
+       |      ORDER BY ${pqDL2("b.sq", "c.cent_q")} ASC, c.cent_id ASC) AS rn
+       |    FROM sb b JOIN ${cp}c2 c USING (sub)) WHERE rn = 1),
        |t AS MATERIALIZED (
        |  SELECT b.nn_id AS query_id, b.sub, c.cent_id,
-       |  ${dL2("b.sq", "c.cent_q")} AS d
-       |  FROM sb b JOIN c2 c USING (sub) WHERE b.nn_id < 8),
+       |  ${pqDL2("b.sq", "c.cent_q")} AS d
+       |  FROM sb b JOIN ${cp}c2 c USING (sub) WHERE b.nn_id < 8)""".stripMargin
+  }
+
+  private lazy val pqAdcOracle: String =
+    s"""WITH ${pqCodeCtes("p")},
        |scored AS (
        |  SELECT t.query_id, codes.nn_id, CAST(sum(t.d) AS BIGINT) AS adc_dist
        |  FROM codes JOIN t ON codes.sub = t.sub AND codes.code = t.cent_id
@@ -4066,7 +4148,35 @@ object Extensions {
        |  CAST(row_number() OVER (PARTITION BY query_id
        |    ORDER BY adc_dist ASC, nn_id ASC) AS INTEGER) AS rk
        |  FROM scored) WHERE rk <= 5""".stripMargin
-  }
+
+  /** IVFADC oracle: the IVF chain ([[ivfAssignCtes]] — cosine Lloyd,
+    * probes, lists) composed with the PQ chain ([[pqCodeCtes]] prefixed
+    * `p` — L2 Lloyd, codes, query distance tables); scored pairs are
+    * RESTRICTED to each query's probed lists via the lists⋈probes join,
+    * exactly the pruning the Spark side's bucketed probe join applies. */
+  private lazy val ivfAdcOracle: String =
+    s"""WITH $ivfAssignCtes,
+       |${pqCodeCtes("p")},
+       |probes AS (
+       |  SELECT query_id, cent FROM (
+       |    SELECT b.nn_id AS query_id, c.cent_id AS cent,
+       |    row_number() OVER (PARTITION BY b.nn_id
+       |      ORDER BY ${dCos("b.q", "c.cent_q")} DESC, c.cent_id ASC) AS rn
+       |    FROM qbase b CROSS JOIN c2 c WHERE b.nn_id < 8) WHERE rn <= 4),
+       |scored AS (
+       |  SELECT t.query_id, codes.nn_id, CAST(sum(t.d) AS BIGINT) AS adc_dist
+       |  FROM codes
+       |  JOIN lists ON codes.nn_id = lists.nn_id
+       |  JOIN probes ON lists.cent = probes.cent
+       |  JOIN t ON codes.sub = t.sub AND codes.code = t.cent_id
+       |        AND t.query_id = probes.query_id
+       |  WHERE codes.nn_id <> t.query_id
+       |  GROUP BY 1, 2)
+       |SELECT query_id, nn_id, adc_dist, rk FROM (
+       |  SELECT query_id, nn_id, adc_dist,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY adc_dist ASC, nn_id ASC) AS INTEGER) AS rk
+       |  FROM scored) WHERE rk <= 5""".stripMargin
 
   private lazy val ivfKMeansOracle: String = {
     s"""WITH $ivfAssignCtes,
@@ -4390,6 +4500,11 @@ object Extensions {
     },
 
     "q208_pq_adc" -> pqAdcOracle,
+    // q212 re-reads the PQ artifacts from storage and ranks via the
+    // bounded-heap aggregate — same exact-integer (dist, id) order, so
+    // the window-form oracle is shared verbatim
+    "q212_pq_index" -> pqAdcOracle,
+    "q213_ivfadc" -> ivfAdcOracle,
 
     // q161's fixture + the solo-repeat plant; boilerplate = df ≥ 3 over
     // DISTINCT docs at the 15-nibble key, losers erased everywhere

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.functions.{Contamination, Dedup, Governance, Profile, Relevance}
+import graft.functions.{Contamination, Dedup, Governance, Profile, Relevance, Similarity}
 
 /** Round-5 pipeline operators: BM25 relevance, benchmark decontamination,
   * PII redaction, reproducible hash sampling, chunk dedup, profiling. */
@@ -172,6 +172,57 @@ class GovernanceSpec extends SparkSpec {
     val h2 = new graft.catalyst.TopKAgg.Heap(2)
     Seq(1.0, 3.0, 2.0, 9.0).foreach(h2.offer)
     assert(h2.sortedDesc().toList == List(9.0, 3.0))
+  }
+
+  test("MinKPairsAgg equals the window min-k with id tie-break, any partitioning") {
+    val rnd = new scala.util.Random(11)
+    // coarse values force ties — the id tie-break must resolve them
+    val df = (1L to 3000L).map(i => (s"g${i % 5}", rnd.nextInt(40).toLong, i))
+      .toDF("g", "v", "id")
+    def viaAgg(d: org.apache.spark.sql.DataFrame) =
+      d.groupBy("g").agg(graft.catalyst.MinKPairsAgg(col("v"), col("id"), 7).as("t"))
+        .select(col("g"), posexplode(col("t")).as(Seq("p", "pair")))
+        .collect().map(r => (r.getString(0), r.getInt(1),
+          r.getStruct(2).getLong(0), r.getStruct(2).getLong(1)))
+        .toSet
+    val expected = df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).toSeq.flatMap { case (g, vs) =>
+        vs.map(x => (x._2, x._3)).sorted.take(7).zipWithIndex
+          .map { case ((v, id), p) => (g, p, v, id) }
+      }.toSet
+    assert(viaAgg(df) == expected)
+    assert(viaAgg(df.repartition(13)) == expected) // merge path across partials
+    // SQL registration
+    graft.catalyst.GraftExtensions.register(spark)
+    df.createOrReplaceTempView("minkp_in")
+    val viaSql = spark.sql(
+      """SELECT g, p, pair.v, pair.id FROM (
+        |  SELECT g, posexplode(mink_pairs_agg(v, id, 7)) AS (p, pair)
+        |  FROM (SELECT g, v, id FROM minkp_in GROUP BY g, v, id)
+        |  GROUP BY g)""".stripMargin)
+    // note: inner GROUP BY dedups (g,v,id) triples — ids are unique in
+    // the fixture so the triple set is unchanged
+    assert(viaSql.collect().map(r =>
+      (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet == expected)
+  }
+
+  test("pqAdcTopKPacked returns pqAdcQuery's rows exactly (window ≡ heap)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (cents, codes) = Similarity.pqBuild(
+      emb, "vec_id", "embedding", m = 8, kSub = 16, iters = 2, dim = 64)
+    val queries = emb.filter(col("vec_id") < 6)
+    val viaWindow = Similarity.pqAdcQuery(cents, codes, queries,
+        "vec_id", "embedding", k = 4, m = 8, dim = 64)
+      .select("query_id", "nn_id", "adc_dist", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val book = Similarity.pqDenseCodebook(cents)
+    val viaHeap = Similarity.pqAdcTopKPacked(book,
+        Similarity.pqPackCodes(codes, book), queries,
+        "vec_id", "embedding", k = 4, m = 8, kSub = 16, dim = 64)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(viaHeap == viaWindow)
+    assert(viaHeap.nonEmpty)
   }
 
   test("shardExport: deterministic order, one file per shard, one exchange") {
