@@ -168,6 +168,57 @@ object Contamination {
     array_distinct(transform(Dedup.shingles(text, n),
       g => graft.catalyst.Md5Prefix60(g)))
 
+  /** SPAN-level decontamination — the ACTION the flag-level screens
+    * (q82/q206) feed: every token covered by an n-gram that occurs in
+    * the eval index is REMOVED from the document and the clean text
+    * reassembled, the form training pipelines actually ship (dropping
+    * whole documents over one leaked benchmark sentence wastes the rest
+    * of the document; keeping them ships the leak). The q139 strip
+    * pattern pointed at an eval-gram index instead of a corpus
+    * duplicated-span set.
+    *
+    * `evalIndex` is the persisted [[evalGramIndex]] table (distinct
+    * 60-bit keys — collisions here DELETE clean tokens, hence wide).
+    * Gram positions ride the same [[Dedup.shingles]] windows as the
+    * screen (max(len−n,0)+1 grams, one partial window for short docs),
+    * so strip coverage and screen verdicts can never disagree on which
+    * grams are contaminated. Scale shape: the index side broadcasts
+    * into the positional gram scan (benchmarks are small — the q127
+    * discipline, plan-assertable by callers); reassembly is the q139
+    * (position, token) array_sort — no window, deterministic on any
+    * partitioning. Output (id, clean_text, n_kept, n_removed); fully
+    * covered docs stay as empty rows. */
+  def stripContaminatedSpans(docs: DataFrame, evalIndex: DataFrame,
+                             idCol: String, textCol: String,
+                             n: Int): DataFrame = {
+    val base = docs.select(col(idCol), col(textCol))
+    val grams = base
+      .select(col(idCol),
+        posexplode(transform(Dedup.shingles(col(textCol), n),
+          g => graft.catalyst.Md5Prefix60(g))).as(Seq("p0", "h")))
+      .select(col(idCol), (col("p0") + 1).as("gpos"), col("h"))
+    val covered = grams
+      .join(broadcast(evalIndex.select(col("h"))), Seq("h"), "left_semi")
+      .select(col(idCol),
+        explode(sequence(col("gpos"), col("gpos") + (n - 1))).as("tpos"))
+      .distinct()
+    val toks = base
+      .select(col(idCol), posexplode(split(col(textCol), " ")))
+      .select(col(idCol), (col("pos") + 1).as("tpos"), col("col").as("tok"))
+    val keptAgg = toks.join(covered, Seq(idCol, "tpos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("tpos"), col("tok")))),
+          x => x.getField("tok"))).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    val nTok = toks.groupBy(col(idCol)).agg(count(lit(1)).as("n_total"))
+    nTok.join(keptAgg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_total") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** DuckDB n-gram list over whitespace tokens — exact mirror of
     * `Dedup.shingles(tokens, n)`: max(len-n,0)+1 shingles, so a doc
     * shorter than n emits ONE partial shingle (out-of-range list indexes

@@ -3238,6 +3238,19 @@ object Extensions {
           DecontamN),
         graft.sources.SinkMode.Replace)
       val arrivals = docs.filter(col("doc_id") % 10 === 7)
+      // plan assert on the screen's batch shape (the q127/q180 index
+      // discipline): the persisted eval-gram index must BROADCAST into
+      // the arrival gram scan — the streaming micro-batches plan the
+      // identical stream-static join, so a regression to a shuffled
+      // join (e.g. dropped table stats) fails here, not silently in
+      // production latency
+      locally {
+        val probe = C.docGramKeys(arrivals, "doc_id", "text", DecontamN)
+          .join(s.table(table), Seq("h"))
+        val pplan = probe.queryExecution.executedPlan.toString
+        require(pplan.contains("BroadcastHashJoin"),
+          "eval-gram index side must broadcast into the arrival scan")
+      }
       stageSliced(in, Seq(
         arrivals.filter(col("doc_id") % 30 === 7),
         arrivals.filter(col("doc_id") % 30 === 17),
@@ -3259,6 +3272,35 @@ object Extensions {
       }
       s.read.parquet(out).groupBy(col("id").as("doc_id"))
         .agg(count(lit(1)).as("n_overlap"))
+    }),
+
+    // --- SPAN-level decontamination: the ACTION q206's flag-level
+    // screen feeds — tokens covered by any eval-overlapping n-gram are
+    // REMOVED and the clean text reassembled (the q139 strip pattern
+    // against the eval-gram index), the form training pipelines ship:
+    // a doc leaking one benchmark sentence loses THAT SENTENCE, not its
+    // whole text. Same q206 fixture (planted phrase on eval docs and
+    // half the arrival slice), same shingles windows as the screen, so
+    // strip coverage ≡ screen verdicts; gate hashes full cleaned text.
+    // Index side plan-asserted broadcast (the q127 discipline).
+    "q215_decontaminate_strip" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 50 === 0 || col("doc_id") % 20 === 7,
+              lit(" " + DecontamPhrase)).otherwise(lit(""))).as("text"))
+      val C = graft.functions.Contamination
+      val idx = C.evalGramIndex(docs.filter(col("doc_id") % 50 === 0),
+        "text", DecontamN)
+      val df = C.stripContaminatedSpans(
+          docs.filter(col("doc_id") % 10 === 7), idx,
+          "doc_id", "text", DecontamN)
+        .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
+          col("n_kept"), col("n_removed"))
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains("BroadcastHashJoin"),
+        "eval-gram index side must broadcast into the positional gram scan")
+      df
     }),
 
     // --- URL canonicalization + URL-level dedup: the crawl pipeline's
@@ -4497,6 +4539,53 @@ object Extensions {
          |  FROM aug WHERE doc_id % 10 = 7)
          |SELECT doc_id, count(*) AS n_overlap
          |FROM cg JOIN ev USING (h) GROUP BY 1""".stripMargin
+    },
+
+    // q215: the positional form of q206's gram keys (same 60-bit hash,
+    // same shingles windows incl. the short-doc partial), covered
+    // positions exploded per matched gram, reassembly as in the q139
+    // strip oracle
+    "q215_decontaminate_strip" -> {
+      val n = DecontamN
+      val gram = s"concat_ws(' ', ${(1 to n).map(j => s"t[i + $j]").mkString(", ")})"
+      val ng = graft.functions.Contamination.oracleNgrams("text", n)
+      s"""WITH aug AS MATERIALIZED (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 50 = 0 OR doc_id % 20 = 7
+         |         THEN ' $DecontamPhrase' ELSE '' END AS text
+         |  FROM documents),
+         |ev AS (
+         |  SELECT DISTINCT unnest(list_distinct(list_transform($ng,
+         |    g -> ${dTokHash60("g")}))) AS h
+         |  FROM aug WHERE doc_id % 50 = 0),
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS t
+         |         FROM aug WHERE doc_id % 10 = 7),
+         |ngr AS (
+         |  SELECT doc_id, CAST(i + 1 AS INTEGER) AS gpos,
+         |    ${dTokHash60(gram)} AS h
+         |  FROM toks, LATERAL (SELECT unnest(range(0,
+         |    greatest(len(t) - $n, 0) + 1)) AS i) p),
+         |cov AS (
+         |  SELECT DISTINCT g.doc_id, CAST(tpos AS INTEGER) AS tpos
+         |  FROM (SELECT doc_id, gpos FROM ngr JOIN ev USING (h)) g,
+         |    LATERAL (SELECT unnest(range(g.gpos, g.gpos + $n)) AS tpos) r),
+         |tk AS (
+         |  SELECT doc_id, CAST(pos AS INTEGER) AS tpos, t[pos] AS tok
+         |  FROM toks, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS pos) p),
+         |kept AS (
+         |  SELECT tk.doc_id, tk.tpos, tk.tok FROM tk
+         |  LEFT JOIN cov ON tk.doc_id = cov.doc_id AND tk.tpos = cov.tpos
+         |  WHERE cov.doc_id IS NULL),
+         |ka AS (
+         |  SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS clean_text,
+         |    CAST(count(*) AS BIGINT) AS n_kept
+         |  FROM kept GROUP BY doc_id),
+         |nt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_total
+         |       FROM tk GROUP BY doc_id)
+         |SELECT nt.doc_id, md5(coalesce(ka.clean_text, '')) AS clean_md5,
+         |  CAST(coalesce(ka.n_kept, 0) AS BIGINT) AS n_kept,
+         |  CAST(nt.n_total - coalesce(ka.n_kept, 0) AS BIGINT) AS n_removed
+         |FROM nt LEFT JOIN ka USING (doc_id)""".stripMargin
     },
 
     "q208_pq_adc" -> pqAdcOracle,

@@ -174,6 +174,30 @@ class GovernanceSpec extends SparkSpec {
     assert(h2.sortedDesc().toList == List(9.0, 3.0))
   }
 
+  test("stripContaminatedSpans removes exactly the covered windows; screen agreement") {
+    val eval = Seq((100L, "p q r s")).toDF("id", "text") // one 4-gram
+    val corpus = Seq(
+      (1L, "a b p q r s c d"),   // leak mid-doc: tokens 3..6 covered
+      (2L, "a b c d e f"),       // clean: untouched
+      (3L, "p q r s"),           // fully covered → empty row, n_kept 0
+      (4L, "p q")                // SHORT doc: partial gram ≠ eval gram → kept
+    ).toDF("doc_id", "text")
+    val idx = Contamination.evalGramIndex(eval, "text", n = 4)
+    val got = Contamination.stripContaminatedSpans(corpus, idx,
+        "doc_id", "text", n = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == (("a b c d", 4L, 4L)))
+    assert(got(2L) == (("a b c d e f", 6L, 0L)))
+    assert(got(3L) == (("", 0L, 4L)))
+    assert(got(4L) == (("p q", 2L, 0L)))
+    // strip ⇔ screen agreement: a doc loses tokens iff the screen flags it
+    val flagged = Contamination.docGramKeys(corpus, "doc_id", "text", n = 4)
+      .join(idx, Seq("h"), "left_semi").select("id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(got.filter(_._2._3 > 0).keySet == flagged)
+  }
+
   test("MinKPairsAgg equals the window min-k with id tie-break, any partitioning") {
     val rnd = new scala.util.Random(11)
     // coarse values force ties — the id tie-break must resolve them
