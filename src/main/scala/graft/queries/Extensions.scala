@@ -3210,6 +3210,57 @@ object Extensions {
       } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
     }),
 
+    // --- q205's maintenance loop UNDER CONCURRENT READERS: the same
+    // build → append → compact → query cadence through the blue/green
+    // PingPongBucketedTap — generations alternate, the live name is a
+    // view repointed atomically at swap, and the retired generation's
+    // files survive a full compact cycle, so a reader that PLANNED
+    // before the swap (checked in-query: planned pre-compact, executed
+    // post-compact) still reads a complete, consistent file set where
+    // q205's drop+rename swap would have deleted its files mid-scan.
+    // Same zero-exchange plan asserts as q205 — the view is transparent
+    // to bucketing metadata.
+    "q216_compact_pingpong" -> ((s, dir) => {
+      val table = stagedTable("graft_q216_bandidx")
+      val tap = graft.sources.PingPongBucketedTap(table, 8, Seq("band", "key"))
+      tap.drop(s)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val day0 = docs.filter(col("doc_id") % 10 =!= 7 &&
+        col("doc_id") % 10 =!= 8)
+      val day1 = docs.filter(col("doc_id") % 10 === 8)
+      val batch = docs.filter(col("doc_id") % 10 === 7)
+      tap.write(Dedup.bandIndex(day0, "doc_id", "text"),
+        graft.sources.SinkMode.Replace)
+      tap.write(Dedup.bandIndex(day1, "doc_id", "text"),
+        graft.sources.SinkMode.Update)
+      val filesBefore = s.table(table).inputFiles.length
+      val expectedRows = s.table(table).count()
+      // the concurrent reader: fully planned BEFORE the swap
+      val preSwap = s.table(table)
+      preSwap.queryExecution.executedPlan
+      tap.compact(s)
+      require(preSwap.count() == expectedRows,
+        "a reader planned pre-swap must still read the full index")
+      val filesAfter = s.table(table).inputFiles.length
+      require(filesAfter < filesBefore && filesAfter <= 8,
+        s"compaction must collapse the file count to ≤ buckets " +
+          s"(before=$filesBefore after=$filesAfter)")
+      val threshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val df = Dedup.incrementalNearDupsAgainstIndex(
+          corpusIndex = s.table(table), batch = batch, "doc_id", "text")
+        val plan = df.queryExecution.executedPlan.toString
+        val exchanges = "Exchange hashpartitioning\\(band".r
+          .findAllMatchIn(plan).size
+        require(exchanges == 1, s"post-compaction index join must " +
+          s"shuffle ONLY the batch band rows (got $exchanges)")
+        require(plan.contains("SelectedBucketsCount"),
+          "bucket metadata must survive the view + generation swap")
+        df
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    }),
+
     // --- q82 AT ARRIVAL TIME: the decontamination screen as a stream.
     // The benchmark's distinct 60-bit gram keys persist once (bucketed
     // tap — benchmarks are small, the table broadcasts); arriving docs
@@ -4519,6 +4570,10 @@ object Extensions {
     // compaction must change NO values: the post-compact batch match
     // equals the from-scratch q127 matrix over the full %10<>7 corpus
     "q205_index_compaction" -> incNearDupOracle,
+    // q216: identical content semantics through the blue/green swap —
+    // generations and the view pointer are storage mechanics the oracle
+    // never sees
+    "q216_compact_pingpong" -> incNearDupOracle,
 
     // q82's screen from scratch over the streamed arrival slice, at the
     // stream's 60-bit gram keys — stream ≡ batch decontamination

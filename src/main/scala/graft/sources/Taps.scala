@@ -346,19 +346,41 @@ final case class BucketedTap(table: String, buckets: Int, keys: Seq[String],
     * that feeds its own write, and materializing the index to sidestep
     * that would buffer the whole table in executor memory. */
   def compact(spark: SparkSession): Unit = {
-    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
     val staging = table + "__compact"
     spark.sql(s"DROP TABLE IF EXISTS $staging")
-    // Align writer tasks to BUCKETS explicitly: a plain
-    // repartition(buckets, keys) does NOT land each bucket in one task
-    // (measured: every bucket split across two partitions — Dataset
-    // repartitioning and the bucket-id function disagree), and each task
-    // then writes one file per bucket it happens to hold. The bucket id
-    // IS pmod(hash(keys), buckets) (verified against written file
-    // suffixes), so partition by that value with an identity partitioner
-    // — each task holds exactly one whole bucket and writes exactly one
-    // file. One shuffle, the same cost the repartition would have paid.
-    val df = read(spark)
+    BucketedTap(staging, buckets, keys, sortKeys)
+      .write(BucketedTap.alignToBuckets(read(spark), buckets, keys),
+        SinkMode.Replace)
+    // SINGLE-WRITER, NO-CONCURRENT-READER swap: the drop DELETES the old
+    // generation's files immediately, so a reader that planned before the
+    // swap fails (or silently under-reads with ignoreMissingFiles) when
+    // it executes after it. This is the maintenance-window form — run it
+    // where the refresh loop owns the table exclusively (the q133/q205
+    // cadence). For compaction under concurrent readers use
+    // [[PingPongBucketedTap]], whose generation swap keeps the previous
+    // file set alive for one full compact cycle.
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+    // the session caches the table's resolved file index by name — a
+    // reader that planned against the pre-swap listing would silently
+    // read the DROPPED files (or double-count); invalidate explicitly
+    spark.catalog.refreshTable(table)
+  }
+}
+
+object BucketedTap {
+  /** Align writer tasks to BUCKETS explicitly: a plain
+    * repartition(buckets, keys) does NOT land each bucket in one task
+    * (measured: every bucket split across two partitions — Dataset
+    * repartitioning and the bucket-id function disagree), and each task
+    * then writes one file per bucket it happens to hold. The bucket id
+    * IS pmod(hash(keys), buckets) (verified against written file
+    * suffixes), so partition by that value with an identity partitioner
+    * — each task holds exactly one whole bucket and writes exactly one
+    * file. One shuffle, the same cost the repartition would have paid. */
+  private[sources] def alignToBuckets(df: DataFrame, buckets: Int,
+                                      keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
     val schema = df.schema
     val keyed = df
       .withColumn("__b", pmod(hash(keys.map(col): _*), lit(buckets)))
@@ -369,14 +391,94 @@ final case class BucketedTap(table: String, buckets: Int, keys: Seq[String],
       })
       .values
       .map(r => org.apache.spark.sql.Row(r.toSeq.dropRight(1): _*))
-    BucketedTap(staging, buckets, keys, sortKeys)
-      .write(spark.createDataFrame(keyed, schema), SinkMode.Replace)
-    spark.sql(s"DROP TABLE $table")
-    spark.sql(s"ALTER TABLE $staging RENAME TO $table")
-    // the session caches the table's resolved file index by name — a
-    // reader that planned against the pre-swap listing would silently
-    // read the DROPPED files (or double-count); invalidate explicitly
+    df.sparkSession.createDataFrame(keyed, schema)
+  }
+}
+
+/** Blue/green (ping-pong) generation wrapper around [[BucketedTap]] for
+  * indexes compacted UNDER CONCURRENT READERS. The data lives in two
+  * alternating managed bucketed tables `<table>__g0` / `<table>__g1`;
+  * `<table>` itself is a VIEW pointing at the live generation, so every
+  * reader contract (`spark.table(name)`, bucket-aware scans, bucket
+  * pruning, zero-exchange index joins — the bucketSpec rides the
+  * resolved relation, a `SELECT *` view is transparent to it) is
+  * unchanged. [[compact]] rewrites the live generation into the OTHER
+  * slot (one file per bucket via the explicit bucket-id partitioner) and
+  * atomically repoints the view — one catalog op, no data-path rename or
+  * drop at swap time. The retired generation's FILES SURVIVE until the
+  * NEXT compact retires its slot, so any reader that planned against the
+  * pre-swap view keeps reading a complete, consistent file set for a
+  * full compact cycle (at refresh cadence: typically a day) — the
+  * guarantee [[BucketedTap.compact]]'s drop+rename swap cannot give.
+  * Single WRITER still assumed (appends and compacts are one loop);
+  * only readers are concurrent. */
+final case class PingPongBucketedTap(table: String, buckets: Int,
+                                     keys: Seq[String],
+                                     sortKeys: Seq[String] = Nil) extends Tap {
+  require(keys.nonEmpty, "PingPongBucketedTap requires at least one bucket key")
+  private def gen(i: Int) = s"${table}__g$i"
+  private def inner(t: String) = BucketedTap(t, buckets, keys, sortKeys)
+
+  /** The live generation (0 or 1), parsed from the view pointer. */
+  def liveGeneration(spark: SparkSession): Int = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val txt = meta.viewText.getOrElse(throw new IllegalStateException(
+      s"PingPongBucketedTap: $table exists but is not a view — was it " +
+        "written by a plain BucketedTap? The two layouts don't mix."))
+    if (txt.contains(gen(0))) 0
+    else if (txt.contains(gen(1))) 1
+    else throw new IllegalStateException(
+      s"PingPongBucketedTap: view $table does not point at a generation " +
+        s"table (view text: $txt)")
+  }
+
+  private def repoint(spark: SparkSession, g: Int): Unit =
+    spark.sql(s"CREATE OR REPLACE VIEW $table AS SELECT * FROM ${gen(g)}")
+
+  def read(spark: SparkSession): DataFrame = spark.table(table)
+
+  def write(df: DataFrame, mode: SinkMode): Unit = {
+    val spark = df.sparkSession
+    mode match {
+      case SinkMode.Replace =>
+        // fresh layout: generation 0 carries the data, the view points
+        // at it. DROP VIEW fails directed if `table` is a plain TABLE —
+        // never silently delete a layout this tap didn't create.
+        spark.sql(s"DROP VIEW IF EXISTS $table")
+        Seq(0, 1).foreach(i => spark.sql(s"DROP TABLE IF EXISTS ${gen(i)}"))
+        inner(gen(0)).write(df, SinkMode.Replace)
+        repoint(spark, 0)
+      case SinkMode.Update =>
+        // appends land in the LIVE generation — the view keeps resolving
+        // to it, so readers see the appended rows on their next plan
+        inner(gen(liveGeneration(spark))).write(df, SinkMode.Update)
+        spark.catalog.refreshTable(gen(liveGeneration(spark)))
+      case SinkMode.Keep =>
+        inner(gen(0)).write(df, SinkMode.Keep)
+        repoint(spark, 0)
+    }
+  }
+
+  /** Rewrite the live generation into the other slot (one file per
+    * bucket) and repoint the view. The OLD generation is retired — its
+    * table and files are dropped — at the START of the NEXT compact,
+    * not now: that lag is the concurrency guarantee. */
+  def compact(spark: SparkSession): Unit = {
+    val cur = liveGeneration(spark)
+    val next = 1 - cur
+    spark.sql(s"DROP TABLE IF EXISTS ${gen(next)}")
+    inner(gen(next)).write(
+      BucketedTap.alignToBuckets(spark.table(gen(cur)), buckets, keys),
+      SinkMode.Replace)
+    repoint(spark, next)
     spark.catalog.refreshTable(table)
+  }
+
+  /** Drop the view and both generations (test/maintenance teardown). */
+  def drop(spark: SparkSession): Unit = {
+    spark.sql(s"DROP VIEW IF EXISTS $table")
+    Seq(0, 1).foreach(i => spark.sql(s"DROP TABLE IF EXISTS ${gen(i)}"))
   }
 }
 

@@ -13,6 +13,53 @@ class BucketingSpec extends SparkSpec {
   import spark.implicits._
   implicit def s: org.apache.spark.sql.SparkSession = spark
 
+  test("PingPongBucketedTap: swap is reader-safe; bucketing survives the view") {
+    val tap = graft.sources.PingPongBucketedTap("pp_spec", 4, Seq("k"))
+    tap.drop(spark)
+    val d0 = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    val d1 = (101 to 140).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    tap.write(d0, graft.sources.SinkMode.Replace)
+    assert(tap.liveGeneration(spark) == 0)
+    tap.write(d1, graft.sources.SinkMode.Update) // appends hit the live gen
+    assert(spark.table("pp_spec").count() == 140)
+    val filesBefore = spark.table("pp_spec__g0").inputFiles.length
+
+    // a reader PLANNED BEFORE the swap: force full physical planning so
+    // its file listing is the pre-swap generation's
+    val preSwap = spark.table("pp_spec").filter(col("k") <= 1000)
+    preSwap.queryExecution.executedPlan // materialize the scan
+
+    tap.compact(spark)
+    assert(tap.liveGeneration(spark) == 1)
+    val filesAfter = spark.table("pp_spec").inputFiles.length
+    assert(filesAfter <= 4 && filesAfter < filesBefore,
+      s"compact must collapse to ≤ buckets files (before=$filesBefore after=$filesAfter)")
+    // the pre-swap reader still reads a complete, consistent file set —
+    // the retired generation's files survive until the NEXT compact
+    // (BucketedTap.compact's drop+rename would have deleted them here)
+    assert(preSwap.count() == 140)
+    assert(spark.catalog.tableExists("pp_spec__g0"), "old gen survives one cycle")
+
+    // bucketing metadata is transparent through the view: an aggregate
+    // on the bucket key plans with NO exchange
+    val agg = spark.table("pp_spec").groupBy("k").count()
+    val exchanges = agg.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty, "bucket-key aggregate through the view must not shuffle")
+
+    // the NEXT compact retires g0 (its slot is rewritten)
+    tap.write((141 to 150).map(i => (i.toLong, s"v$i")).toDF("k", "v"),
+      graft.sources.SinkMode.Update)
+    tap.compact(spark)
+    assert(tap.liveGeneration(spark) == 0)
+    assert(spark.table("pp_spec").count() == 150)
+    // values round-trip exactly
+    assert(spark.table("pp_spec").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      == (1 to 150).map(i => (i.toLong, s"v$i")).toSet)
+    tap.drop(spark)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     // clear any stale managed-table locations from prior runs
     Seq("bk_a", "bk_b").foreach { t =>
