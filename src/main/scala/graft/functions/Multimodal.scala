@@ -283,6 +283,158 @@ object Multimodal {
     out
   }
 
+  /** PNG (RFC 2083) encoding of a grayscale grid: 8-bit grayscale
+    * (color type 0), zlib IDAT via `java.util.zip.Deflater`, CRC32
+    * chunk checksums, and scanline filters CYCLING None/Sub/Up by row —
+    * so a decoder must actually DE-FILTER, not just inflate. This is the
+    * gate-side synthesizer that brings a COMPRESSED container under the
+    * q201 oracle trick: pixels are deterministic, the container is real. */
+  def encodePng(px: Array[Int], w: Int, h: Int): Array[Byte] = {
+    // filtered scanlines: one filter byte + w raw bytes per row
+    val raw = new Array[Byte](h * (w + 1))
+    var r = 0
+    while (r < h) {
+      val off = r * (w + 1)
+      val f = r % 3
+      raw(off) = f.toByte
+      var c = 0
+      while (c < w) {
+        val x = px(r * w + c)
+        val v = f match {
+          case 0 => x
+          case 1 => x - (if (c > 0) px(r * w + c - 1) else 0) // Sub
+          case _ => x - (if (r > 0) px((r - 1) * w + c) else 0) // Up
+        }
+        raw(off + 1 + c) = (v & 0xff).toByte
+        c += 1
+      }
+      r += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val bos = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!defl.finished()) bos.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    val idat = bos.toByteArray
+    def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
+      val t = tag.getBytes("US-ASCII")
+      val out = java.nio.ByteBuffer.allocate(12 + data.length)
+      out.putInt(data.length); out.put(t); out.put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(t); crc.update(data)
+      out.putInt(crc.getValue.toInt)
+      out.array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+    ihdr.putInt(w); ihdr.putInt(h)
+    ihdr.put(8.toByte); ihdr.put(0.toByte) // bit depth 8, color type 0
+    ihdr.put(0.toByte); ihdr.put(0.toByte); ihdr.put(0.toByte)
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      chunk("IHDR", ihdr.array()) ++ chunk("IDAT", idat) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
+  /** REAL PNG decode via `java.util.zip.Inflater`: 8-bit grayscale
+    * (color type 0) or truecolor (type 2, gray = (r + g + b) / 3 like
+    * the BMP path), non-interlaced, multi-IDAT, ALL FIVE scanline
+    * filters (None/Sub/Up/Average/Paeth) reconstructed, per-chunk CRC32
+    * verified. None for anything else — palette, 16-bit, interlaced,
+    * truncated, or corrupt payloads fail soft, never throw. */
+  def decodePngGray(p: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (p.length < 8 || (p(0) & 0xff) != 0x89 || p(1) != 'P' ||
+        p(2) != 'N' || p(3) != 'G') return None
+    @inline def be32(i: Int): Int =
+      ((p(i) & 0xff) << 24) | ((p(i + 1) & 0xff) << 16) |
+        ((p(i + 2) & 0xff) << 8) | (p(i + 3) & 0xff)
+    var i = 8
+    var w = 0; var h = 0; var colorType = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    var sawIhdr = false; var sawIend = false
+    while (!sawIend) {
+      if (i + 12 > p.length) return None
+      val len = be32(i)
+      if (len < 0 || i + 12 + len > p.length) return None
+      val tag = new String(p, i + 4, 4, "US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(p, i + 4, 4 + len)
+      if (crc.getValue.toInt != be32(i + 8 + len)) return None
+      tag match {
+        case "IHDR" =>
+          if (len != 13) return None
+          w = be32(i + 8); h = be32(i + 12)
+          val bitDepth = p(i + 16) & 0xff
+          colorType = p(i + 17) & 0xff
+          val (compression, filter, interlace) =
+            (p(i + 18) & 0xff, p(i + 19) & 0xff, p(i + 20) & 0xff)
+          if (w <= 0 || h <= 0 || bitDepth != 8 ||
+              (colorType != 0 && colorType != 2) ||
+              compression != 0 || filter != 0 || interlace != 0) return None
+          // decompression-bomb guard: reject rasters the gates (and any
+          // sane metadata pipeline) would never decode inline
+          if (w.toLong * h > (1L << 24)) return None
+          sawIhdr = true
+        case "IDAT" =>
+          if (!sawIhdr) return None
+          idat.write(p, i + 8, len)
+        case "IEND" => sawIend = true
+        case _ => () // ancillary chunks skipped
+      }
+      i += 12 + len
+    }
+    if (!sawIhdr) return None
+    val bpp = if (colorType == 0) 1 else 3
+    val rowBytes = w * bpp
+    val expected = h * (rowBytes + 1)
+    val raw = new Array[Byte](expected)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    var got = 0
+    try {
+      while (got < expected && !inf.finished()) {
+        val n = inf.inflate(raw, got, expected - got)
+        if (n == 0 && inf.needsInput()) return None // truncated stream
+        got += n
+      }
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    finally inf.end()
+    if (got < expected) return None
+    // de-filter (RFC 2083 §6): recon bytes in place, row by row
+    @inline def paeth(a: Int, b: Int, c: Int): Int = {
+      val pa = math.abs(b - c); val pb = math.abs(a - c)
+      val pc = math.abs(a + b - c - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    val recon = new Array[Int](h * rowBytes)
+    var r = 0
+    while (r < h) {
+      val f = raw(r * (rowBytes + 1)) & 0xff
+      if (f > 4) return None
+      var c = 0
+      while (c < rowBytes) {
+        val x = raw(r * (rowBytes + 1) + 1 + c) & 0xff
+        val left = if (c >= bpp) recon(r * rowBytes + c - bpp) else 0
+        val up = if (r > 0) recon((r - 1) * rowBytes + c) else 0
+        val ul = if (r > 0 && c >= bpp) recon((r - 1) * rowBytes + c - bpp)
+                 else 0
+        recon(r * rowBytes + c) = f match {
+          case 0 => x
+          case 1 => (x + left) & 0xff
+          case 2 => (x + up) & 0xff
+          case 3 => (x + (left + up) / 2) & 0xff
+          case _ => (x + paeth(left, up, ul)) & 0xff
+        }
+        c += 1
+      }
+      r += 1
+    }
+    val px = Array.tabulate(w * h) { j =>
+      if (bpp == 1) recon(j)
+      else (recon(j * 3) + recon(j * 3 + 1) + recon(j * 3 + 2)) / 3
+    }
+    Some((w, h, px))
+  }
+
   /** REAL binary-PGM (P5) decode: whitespace- and comment-tolerant
     * header, maxval ≤ 255, raw 8-bit samples. None for anything else. */
   def decodePgmGray(p: Array[Byte]): Option[(Int, Int, Array[Int])] = {
@@ -387,6 +539,7 @@ object Multimodal {
         val dec = if (p == null) None
           else decodePgmGray(p).map(d => (d, "pgm"))
             .orElse(decodeBmpGray(p).map(d => (d, "bmp")))
+            .orElse(decodePngGray(p).map(d => (d, "png")))
         dec match {
           case Some(((w, h, px), fmt)) =>
             Row(row.get(idIdx),
@@ -416,6 +569,25 @@ object Multimodal {
           if (id % 2 == 0) encodePgm(synthPixels(text, 18, 14), 18, 14)
           else encodeBmp24(synthPixels(text, 9, 7), 9, 7)
         Row(id, payload)
+      }
+    }(enc)
+  }
+
+  /** Gate-side PNG payload synthesis: text → a real COMPRESSED container
+    * (18×14 grayscale PNG — exercising inflate, CRC verification, all
+    * three encoder filter types, and the nearest-neighbor resample). */
+  def withSynthPngPayload(df: DataFrame, idCol: String,
+                          textCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("payload", BinaryType)))
+    val enc = Encoders.row(schema)
+    val idIdx = df.columns.indexOf(idCol)
+    val tIdx = df.columns.indexOf(textCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        Row(row.getLong(idIdx),
+          encodePng(synthPixels(row.getString(tIdx), 18, 14), 18, 14))
       }
     }(enc)
   }

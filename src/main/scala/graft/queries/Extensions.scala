@@ -3109,6 +3109,29 @@ object Extensions {
       MM.nearDupPairsFromHashes(verified)
     }),
 
+    // --- q201 over a COMPRESSED container: payloads are real 18×14
+    // grayscale PNGs (zlib IDAT written by Deflater, CRC32-checksummed
+    // chunks, scanline filters cycling None/Sub/Up), decoded by the real
+    // Inflater-based parser (all five RFC 2083 filters reconstructed)
+    // and fed to the same banded dHash pipeline. The synth pixels stay
+    // deterministic, so the oracle recomputes the DECODED grid
+    // arithmetically while Spark round-trips it through compression —
+    // any inflate/de-filter/CRC bug diverges immediately; an
+    // undecodable payload fails directed in-query.
+    "q217_image_dhash_png" -> ((s, dir) => {
+      val MM = graft.functions.Multimodal
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val hashed = MM.dhashFromPayload(
+        MM.withSynthPngPayload(docs, "doc_id", "text"), "id", "payload")
+      val verified = hashed.select(
+        when(col("h").isNull || col("format") =!= "png", raise_error(concat(
+          lit("q217: PNG payload for id "), col("id").cast("string"),
+          lit(" failed to decode as png — Inflater-parser regression"))))
+          .otherwise(col("h")).as("h"))
+      MM.nearDupPairsFromHashes(verified)
+    }),
+
     // --- adaptive SemDeDup behind an exact-duplicate collapse: the q181
     // guard's own remedy as a first-class operator. Identical vectors
     // share every sign bucket at ANY plane count, so exact replication
@@ -4781,6 +4804,42 @@ object Extensions {
          |  SELECT doc_id, list_transform(range(0, ${w * MM.DHashH}), i ->
          |    CAST(${dTokHash(
               "t[((CASE WHEN doc_id % 2 = 0 THEN 36 * (i // 9) + 2 * (i % 9) ELSE i END) % len(t)) + 1]")} % 256 AS INTEGER)) AS p
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+         |rdh AS MATERIALIZED (
+         |  SELECT doc_id, list_reduce(
+         |    list_transform(range(${bits - 1}, -1, -1), i ->
+         |      CASE WHEN p[(i // ${w - 1}) * $w + (i % ${w - 1}) + 1]
+         |             < p[(i // ${w - 1}) * $w + (i % ${w - 1}) + 2]
+         |           THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END),
+         |    (acc, x) -> acc * 2 + x) AS h
+         |  FROM rp),
+         |icnt AS MATERIALIZED (
+         |  SELECT h, CAST(count(*) AS BIGINT) AS n FROM rdh GROUP BY 1),
+         |ib AS MATERIALIZED (
+         |  ${dhashBandSql("(SELECT h FROM icnt)")}),
+         |ipr AS MATERIALIZED (
+         |  SELECT DISTINCT a.h AS h1, b.h AS h2
+         |  FROM ib a JOIN ib b ON a.key = b.key AND a.h < b.h),
+         |isel AS (
+         |  SELECT h1, h2, CAST(bit_count(xor(h1, h2)) AS INTEGER) AS hamming
+         |  FROM ipr WHERE bit_count(xor(h1, h2)) <= 3)
+         |SELECT h1, h2, hamming, c1.n AS n1, c2.n AS n2
+         |FROM isel
+         |JOIN icnt c1 ON isel.h1 = c1.h
+         |JOIN icnt c2 ON isel.h2 = c2.h""".stripMargin
+    },
+
+    // q217: the q201 chain with every doc on the 18×14 PNG source —
+    // the oracle recomputes the decoded + resampled grid arithmetically
+    // (36·row + 2·col nearest-neighbor index), never seeing zlib at all:
+    // the compression round-trip is exactly what the gate proves
+    "q217_image_dhash_png" -> {
+      val MM = graft.functions.Multimodal
+      val (w, bits) = (MM.DHashW, MM.DHashBits)
+      s"""WITH rp AS MATERIALIZED (
+         |  SELECT doc_id, list_transform(range(0, ${w * MM.DHashH}), i ->
+         |    CAST(${dTokHash(
+              "t[((36 * (i // 9) + 2 * (i % 9)) % len(t)) + 1]")} % 256 AS INTEGER)) AS p
          |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
          |rdh AS MATERIALIZED (
          |  SELECT doc_id, list_reduce(

