@@ -96,9 +96,13 @@ object Contamination {
     * BucketedTap keyed by h — the q159 treatment applied to the
     * contamination matrix: the corpus's gram scan is paid once per
     * refresh, and every new crawl's matrix recompute reads the corpus
-    * ONLY through this table. */
+    * ONLY through this table. `wideHash` defaults TRUE for this
+    * PERSISTED layout (the stored-index width discipline — re-keying
+    * later costs a full rebuild); the from-scratch
+    * [[sourceOverlapMatrix]] keeps the narrow oracle-mirroring default.
+    * [[sourceOverlapMatrixIndexed]] must match the build's width. */
   def sourceGramIndex(docs: DataFrame, textCol: String, srcCol: String,
-                      n: Int = 8, wideHash: Boolean = false): DataFrame =
+                      n: Int = 8, wideHash: Boolean = true): DataFrame =
     sourceGramRows(docs, textCol, srcCol, n, wideHash)
       .groupBy(col("h"))
       .agg(sort_array(collect_set(col("source"))).as("ss"))
@@ -117,7 +121,7 @@ object Contamination {
                                  textCol: String, srcCol: String,
                                  n: Int = 8, indexBuckets: Int = 8,
                                  assertBucketScan: Boolean = false,
-                                 wideHash: Boolean = false): DataFrame = {
+                                 wideHash: Boolean = true): DataFrame = {
     // repartition to the INDEX's bucket count before the set aggregate:
     // the aggregation then reuses that partitioning AND the join aligns
     // with the bucketed scan — otherwise the plan pays a second

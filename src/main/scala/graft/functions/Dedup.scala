@@ -107,10 +107,19 @@ object Dedup {
     * clustering, and incremental paths. Public as the INDEX ROW layout:
     * persist this table bucketed by (band, key) — [[bandIndexTap]] — and
     * it becomes the corpus-side near-dup index that daily batches join
-    * with zero corpus-side shuffle. */
+    * with zero corpus-side shuffle.
+    *
+    * `wideHash` defaults TRUE for this persisted entry point (the 61-bit
+    * MinHashSig61 signature): a stored 40-bit layout entrenches a
+    * collision budget of ~2^20 docs — the sf1 sweep measured one narrow
+    * collision chaining two unrelated families — and re-keying a 100 TB
+    * index later costs a full rebuild. The narrow form stays reachable
+    * (`wideHash = false`) as the oracle-mirroring reference; legacy
+    * gates pin it explicitly. Batch-side queries must match the width
+    * ([[incrementalNearDupsAgainstIndex]]). */
   def bandIndex(df: DataFrame, idCol: String, textCol: String,
                 k: Int = 16, bands: Int = 4,
-                wideHash: Boolean = false): DataFrame =
+                wideHash: Boolean = true): DataFrame =
     bandRows(df, idCol, textCol, k, bands, wideHash)
 
   /** The tap a persisted band index is written through: bucketed by the
@@ -993,7 +1002,7 @@ object Dedup {
                                       batch: DataFrame,
                                       idCol: String, textCol: String,
                                       k: Int = 16, bands: Int = 4,
-                                      wideHash: Boolean = false): DataFrame = {
+                                      wideHash: Boolean = true): DataFrame = {
     val cb = corpusIndex.withColumnRenamed("id", "corpus_id")
     // wideHash must match the index build's width — narrow batch keys
     // against a wide index live in disjoint domains and match nothing

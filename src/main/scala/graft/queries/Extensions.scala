@@ -895,8 +895,10 @@ object Extensions {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       // one-time index build (the amortized cost in the daily loop)
       Dedup.bandIndexTap(table, 8).write(
+        // narrow oracle-mirroring layout, pinned (production default
+        // is now wide — the q197/q198 gates cover the wide twin)
         Dedup.bandIndex(docs.filter(col("doc_id") % 10 =!= 7),
-          "doc_id", "text"),
+          "doc_id", "text", wideHash = false),
         graft.sources.SinkMode.Replace)
       val threshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
       try {
@@ -904,7 +906,7 @@ object Extensions {
         val df = Dedup.incrementalNearDupsAgainstIndex(
           corpusIndex = s.table(table),
           batch = docs.filter(col("doc_id") % 10 === 7),
-          "doc_id", "text")
+          "doc_id", "text", wideHash = false)
         val plan = df.queryExecution.executedPlan.toString
         val exchanges = "Exchange hashpartitioning\\(band".r
           .findAllMatchIn(plan).size
@@ -932,8 +934,10 @@ object Extensions {
       val docs = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("text"))
       Dedup.bandIndexTap(table, 8).write(
+        // narrow oracle-mirroring layout, pinned (production default
+        // is now wide — the q197/q198 gates cover the wide twin)
         Dedup.bandIndex(docs.filter(col("doc_id") % 10 =!= 7),
-          "doc_id", "text"),
+          "doc_id", "text", wideHash = false),
         graft.sources.SinkMode.Replace)
       val batch = docs.filter(col("doc_id") % 10 === 7)
       stageSliced(in, Seq(
@@ -944,7 +948,8 @@ object Extensions {
         val index = s.table(table).withColumnRenamed("id", "corpus_id")
         val stream = graft.streaming.StreamOps.readStream(s, in, batch.schema,
           Map("maxFilesPerTrigger" -> "1"))
-        val flagged = Dedup.bandIndex(stream, "doc_id", "text")
+        val flagged = Dedup.bandIndex(stream, "doc_id", "text",
+            wideHash = false)
           .join(index, Seq("band", "key"))
           .select(col("id"), col("corpus_id"))
         val q = flagged.writeStream
@@ -1012,16 +1017,18 @@ object Extensions {
         .unionAll(day2.filter(col("doc_id") % 50 === 7)
           .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
       val tap = Dedup.bandIndexTap(table, 8)
-      tap.write(Dedup.bandIndex(day0, "doc_id", "text"),
+      // narrow oracle-mirroring layout, pinned (production default is wide)
+      tap.write(Dedup.bandIndex(day0, "doc_id", "text", wideHash = false),
         graft.sources.SinkMode.Replace)
       // day-1 ingest: flag against the day-0 index (the daily question),
       // then append the batch's own band rows — index stays current
       Dedup.incrementalNearDupsAgainstIndex(s.table(table), day1,
-        "doc_id", "text").write.mode("overwrite").format("noop").save()
-      tap.write(Dedup.bandIndex(day1, "doc_id", "text"),
+        "doc_id", "text", wideHash = false)
+        .write.mode("overwrite").format("noop").save()
+      tap.write(Dedup.bandIndex(day1, "doc_id", "text", wideHash = false),
         graft.sources.SinkMode.Update)
       Dedup.incrementalNearDupsAgainstIndex(s.table(table), day2,
-        "doc_id", "text")
+        "doc_id", "text", wideHash = false)
     }),
 
     // --- curriculum mixture sampling: down-sample each source to a TARGET
@@ -2079,15 +2086,16 @@ object Extensions {
       val corpus = docs.filter(col("doc_id") % 10 =!= 7)
       val batch = docs.filter(col("doc_id") % 10 === 7)
       graft.functions.Contamination.sourceGramIndexTap(table, 8).write(
+        // narrow oracle-mirroring layout, pinned (q204 gates the wide twin)
         graft.functions.Contamination.sourceGramIndex(
-          corpus, "text", "source", n = 8),
+          corpus, "text", "source", n = 8, wideHash = false),
         graft.sources.SinkMode.Replace)
       val threshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
       try {
         s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         graft.functions.Contamination.sourceOverlapMatrixIndexed(
           s.table(table), batch, "text", "source", n = 8,
-          assertBucketScan = true)
+          assertBucketScan = true, wideHash = false)
       } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
     }),
 
@@ -2283,8 +2291,10 @@ object Extensions {
       val docs = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("text"), col("source"))
       Dedup.bandIndexTap(idxTable, 8).write(
+        // narrow oracle-mirroring layout, pinned (production default
+        // is now wide — the q197/q198 gates cover the wide twin)
         Dedup.bandIndex(docs.filter(col("doc_id") % 10 =!= 7),
-          "doc_id", "text"),
+          "doc_id", "text", wideHash = false),
         graft.sources.SinkMode.Replace)
       val pp = new graft.functions.Snapshot.PingPong(
         s, stagedTable("graft_q160_snap"), 8, "doc_id", Seq("text", "source"), "version")
@@ -2301,7 +2311,8 @@ object Extensions {
         batch))
       val curate = (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                     id: Long) => {
-        val flagged = Dedup.bandIndex(b.toDF(), "doc_id", "text")
+        val flagged = Dedup.bandIndex(b.toDF(), "doc_id", "text",
+            wideHash = false)
           .join(s.table(idxTable).withColumnRenamed("id", "corpus_id"),
             Seq("band", "key"))
           .select(col("id").as("doc_id")).distinct()
@@ -3207,9 +3218,10 @@ object Extensions {
       val day1 = docs.filter(col("doc_id") % 10 === 8)
       val batch = docs.filter(col("doc_id") % 10 === 7)
       val tap = Dedup.bandIndexTap(table, 8)
-      tap.write(Dedup.bandIndex(day0, "doc_id", "text"),
+      // narrow oracle-mirroring layout, pinned (production default is wide)
+      tap.write(Dedup.bandIndex(day0, "doc_id", "text", wideHash = false),
         graft.sources.SinkMode.Replace)
-      tap.write(Dedup.bandIndex(day1, "doc_id", "text"),
+      tap.write(Dedup.bandIndex(day1, "doc_id", "text", wideHash = false),
         graft.sources.SinkMode.Update)
       val filesBefore = s.table(table).inputFiles.length
       tap.compact(s)
@@ -3221,7 +3233,8 @@ object Extensions {
       try {
         s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         val df = Dedup.incrementalNearDupsAgainstIndex(
-          corpusIndex = s.table(table), batch = batch, "doc_id", "text")
+          corpusIndex = s.table(table), batch = batch, "doc_id", "text",
+          wideHash = false)
         val plan = df.queryExecution.executedPlan.toString
         val exchanges = "Exchange hashpartitioning\\(band".r
           .findAllMatchIn(plan).size
@@ -3252,9 +3265,10 @@ object Extensions {
         col("doc_id") % 10 =!= 8)
       val day1 = docs.filter(col("doc_id") % 10 === 8)
       val batch = docs.filter(col("doc_id") % 10 === 7)
-      tap.write(Dedup.bandIndex(day0, "doc_id", "text"),
+      // narrow oracle-mirroring layout, pinned (production default is wide)
+      tap.write(Dedup.bandIndex(day0, "doc_id", "text", wideHash = false),
         graft.sources.SinkMode.Replace)
-      tap.write(Dedup.bandIndex(day1, "doc_id", "text"),
+      tap.write(Dedup.bandIndex(day1, "doc_id", "text", wideHash = false),
         graft.sources.SinkMode.Update)
       val filesBefore = s.table(table).inputFiles.length
       val expectedRows = s.table(table).count()
@@ -3272,7 +3286,8 @@ object Extensions {
       try {
         s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         val df = Dedup.incrementalNearDupsAgainstIndex(
-          corpusIndex = s.table(table), batch = batch, "doc_id", "text")
+          corpusIndex = s.table(table), batch = batch, "doc_id", "text",
+          wideHash = false)
         val plan = df.queryExecution.executedPlan.toString
         val exchanges = "Exchange hashpartitioning\\(band".r
           .findAllMatchIn(plan).size
