@@ -156,6 +156,19 @@ final class Lowering(spark: SparkSession, keepAssertions: Boolean = true,
 
     case AggregatePipe(grouped, aggs) =>
       val df = grouped.inputs.map(lower).reduce(_ unionAll _)
+      // Upstream resolver contract: a GroupBy's sort fields resolve at
+      // ASSEMBLY time whether or not the consumer uses them — Aggregator
+      // paths ignore the secondary sort (hash aggregation needs no order),
+      // so without this check a misspelled sort field would silently plan
+      // where Cascading fails with a FieldsResolverException naming it.
+      grouped.sort.foreach { case (f, _) =>
+        try df.selectExpr(f)
+        catch { case e: Exception =>
+          throw new IllegalArgumentException(
+            s"GroupBy sort field '$f' does not resolve against " +
+              s"[${df.columns.mkString(", ")}]", e)
+        }
+      }
       val aggCols = aggs.map(a => a.make(a.argFields.map(df.col)).as(a.resultField))
       if (grouped.keys.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
       else df.groupBy(grouped.keys.map(col): _*).agg(aggCols.head, aggCols.tail: _*)

@@ -1696,4 +1696,251 @@ class ConformanceSpec extends SparkSpec {
       .groupBy("id2").every(Aggs.sum("v", "s"))
     assert(rows(p) == Set(Seq(1, 30L), Seq(2, 70L)))
   }
+
+  // ---- round-11 wave: the JoinFieldedPipes inner/outer matrix (the
+  // suite the reference's own CI EXCLUDES, pom.xml:274-279 — corners the
+  // port can exceed it on), CoGroup field-name corners, TextDelimited
+  // quoting, and resolver contracts. ------------------------------------
+
+  // JoinFieldedPipesPlatformTest.testJoinOuter: a FULL OUTER through the
+  // HashJoin surface — Spark cannot BROADCAST a full outer, so the
+  // lowering must fall back to a shuffled join rather than fail or drop
+  // the unmatched sides; values are the full outer matrix.
+  test("hashJoin with Outer joiner: full-outer values survive the non-broadcastable shape") {
+    val l = pipe(Seq((1, "l1"), (2, "l2")).toDF("ka", "va"))
+    val r = pipe(Seq((2, "r2"), (3, "r3")).toDF("kb", "vb"))
+    val j = l.hashJoin(Seq("ka"), r, Seq("kb"), Joiner.Outer)
+    assert(rows(j) == Set(
+      Seq(1, "l1", null, null),
+      Seq(2, "l2", 2, "r2"),
+      Seq(null, null, 3, "r3")))
+  }
+
+  // JoinFieldedPipesPlatformTest.testJoinInner: duplicate keys on BOTH
+  // sides of the hash path — each left duplicate matches each broadcast
+  // duplicate (the per-key cross product, 2×2 = 4 rows for key 1).
+  test("hashJoin duplicate keys on both sides: per-key cross product") {
+    val l = pipe(Seq((1, "lx"), (1, "ly"), (2, "lz")).toDF("ka", "va"))
+    val r = pipe(Seq((1, "rx"), (1, "ry")).toDF("kb", "vb"))
+    val j = l.hashJoin(Seq("ka"), r, Seq("kb"))
+    assert(rows(j) == Set(
+      Seq(1, "lx", 1, "rx"), Seq(1, "lx", 1, "ry"),
+      Seq(1, "ly", 1, "rx"), Seq(1, "ly", 1, "ry")))
+  }
+
+  // JoinFieldedPipesPlatformTest.testJoinInnerOuter: the RIGHT-outer mix
+  // on the hash path — unmatched build-side keys survive, left side
+  // null-padded.
+  test("hashJoin Right joiner: unmatched build rows survive null-padded") {
+    val l = pipe(Seq((1, "l1")).toDF("ka", "va"))
+    val r = pipe(Seq((1, "r1"), (7, "r7")).toDF("kb", "vb"))
+    val j = l.hashJoin(Seq("ka"), r, Seq("kb"), Joiner.Right)
+    assert(rows(j) == Set(
+      Seq(1, "l1", 1, "r1"), Seq(null, null, 7, "r7")))
+  }
+
+  // CoGroupFieldedPipesPlatformTest.testCoGroupOuterInner: LEFT-outer
+  // CoGroup with duplicate left keys — matched keys cross-product,
+  // unmatched left keys null-pad, unmatched right keys drop.
+  test("coGroup Left joiner: dup-key cross product + left-only padding") {
+    val l = pipe(Seq((1, "a"), (1, "b"), (2, "c"), (5, "e")).toDF("ka", "va"))
+    val r = pipe(Seq((1, 10), (3, 30)).toDF("kb", "vb"))
+    val j = l.coGroup(Seq("ka"), r, Seq("kb"), Joiner.Left)
+    assert(rows(j) == Set(
+      Seq(1, "a", 1, 10), Seq(1, "b", 1, 10),
+      Seq(2, "c", null, null), Seq(5, "e", null, null)))
+  }
+
+  // JoinFieldedPipesPlatformTest.testJoinDiffFields: differently-named
+  // join keys — BOTH key columns appear in the output (the USING-merge
+  // applies only to same-named keys), each carrying its own value.
+  test("join on differently-named keys keeps both key columns") {
+    val j = pipe(lower).hashJoin(Seq("num"),
+      pipe(upper.withColumnRenamed("num", "id").withColumnRenamed("ch", "uc")),
+      Seq("id"))
+    val df = Flow.toDF(j)
+    assert(df.columns.toSeq == Seq("num", "ch", "id", "uc"))
+    assert(rows(j) == (1 to 5).map(i =>
+      Seq(i, "abcde" (i - 1).toString, i, "ABCDE" (i - 1).toString)).toSet)
+  }
+
+  // JoinFieldedPipesPlatformTest.testJoinSelf: the same TAP read twice
+  // (distinct pipe objects, one source) joined with itself. Same-named
+  // keys USING-merge to ONE key column; the colliding non-key field is
+  // retained TWICE (Cascading keeps both copies — addressable only
+  // positionally), and declared fields name the copies apart. With
+  // DIFFERENT key names the same collision fails directed instead
+  // (pinned by the declaredFields-contract corner above).
+  test("self join from one tap: key merges, non-key copies retained, declared renames") {
+    val tap = DataFrameTap(lower)
+    val raw = Flow.toDF(Pipe.source(tap).coGroup(Seq("num"),
+      Pipe.source(tap), Seq("num")))
+    assert(raw.columns.toSeq == Seq("num", "ch", "ch")) // both copies live
+    assert(raw.count() == 5)
+    val ok = Pipe.source(tap).coGroup(Seq("num"), Pipe.source(tap), Seq("num"),
+      declared = Some(Seq("num1", "ch1", "num2", "ch2")))
+    assert(rows(ok) == (1 to 5).map(i =>
+      Seq(i, "abcde" (i - 1).toString, i, "abcde" (i - 1).toString)).toSet)
+    assert(Flow.toDF(ok).columns.toSeq == Seq("num1", "ch1", "num2", "ch2"))
+  }
+
+  // JoinFieldedPipesPlatformTest.testJoinSplit: ONE joined result split
+  // into two differently-filtered branches — the join computes once
+  // (memoized split) and the branches never contaminate each other.
+  test("join result split into two filtered branches") {
+    val j = pipe(lower).hashJoin(Seq("num"),
+      pipe(upper.withColumnRenamed("num", "id").withColumnRenamed("ch", "uc")),
+      Seq("id"))
+    val lo = j.filterBy(ExpressionFilter("num <= 2", removeMatch = false))
+    val hi = j.filterBy(ExpressionFilter("num > 2", removeMatch = false))
+    assert(Flow.toDF(lo).count() == 2 && Flow.toDF(hi).count() == 3)
+    assert(rows(lo).map(_.head) == Set(1, 2))
+    assert(rows(hi).map(_.head) == Set(3, 4, 5))
+  }
+
+  // JoinFieldedPipesPlatformTest.testJoinsIntoCoGroupRhs: two HashJoins
+  // feeding the RIGHT side of a CoGroup — gate inputs compose from join
+  // results on either side.
+  test("hashJoins feeding the right side of a CoGroup") {
+    val base = pipe(Seq((1, "x"), (2, "y")).toDF("k", "t"))
+    val d1 = pipe(Seq((1, 10), (2, 20)).toDF("k1", "a"))
+    val d2 = pipe(Seq((1, 100), (2, 200)).toDF("k2", "b"))
+    val rhs = base.hashJoin(Seq("k"), d1, Seq("k1"))
+      .hashJoin(Seq("k"), d2, Seq("k2"))
+    val lhs = pipe(Seq((1, "L1"), (2, "L2"), (3, "L3")).toDF("kl", "vl"))
+    val j = lhs.coGroup(Seq("kl"), rhs, Seq("k"), Joiner.Inner)
+    assert(rows(j) == Set(
+      Seq(1, "L1", 1, "x", 1, 10, 1, 100),
+      Seq(2, "L2", 2, "y", 2, 20, 2, 200)))
+  }
+
+  // CoGroupFieldedPipesPlatformTest.testCoGroupDiffFields: cogroup keys
+  // named differently on the two sides — no merge, both retained, outer
+  // padding falls on each side's own key column.
+  test("coGroup on differently-named keys keeps both, outer pads per side") {
+    val l = pipe(Seq((1, "a"), (2, "b")).toDF("ka", "va"))
+    val r = pipe(Seq((2, "B"), (3, "C")).toDF("kb", "vb"))
+    val j = l.coGroup(Seq("ka"), r, Seq("kb"), Joiner.Outer)
+    val df = Flow.toDF(j)
+    assert(df.columns.toSeq == Seq("ka", "va", "kb", "vb"))
+    assert(rows(j) == Set(
+      Seq(1, "a", null, null), Seq(2, "b", 2, "B"), Seq(null, null, 3, "C")))
+  }
+
+  // CoGroupFieldedPipesPlatformTest.testCoGroupDiffFieldsSameFile: BOTH
+  // sides of the cogroup read the SAME tap, keyed through differently-
+  // renamed fields — split memoization plus key renaming must not alias
+  // the two sides.
+  test("coGroup both sides from one tap via renamed keys") {
+    val tap = DataFrameTap(lower)
+    val l = Pipe.source(tap).rename("num" -> "ka", "ch" -> "va")
+    val r = Pipe.source(tap).rename("num" -> "kb", "ch" -> "vb")
+    val j = l.coGroup(Seq("ka"), r, Seq("kb"))
+    assert(rows(j) == (1 to 5).map(i =>
+      Seq(i, "abcde" (i - 1).toString, i, "abcde" (i - 1).toString)).toSet)
+  }
+
+  // CoGroupFieldedPipesPlatformTest.testCoGroupAfterEveryNoDeclared:
+  // BOTH cogroup inputs are Every (aggregation) results whose agg output
+  // columns share a name — the collision fails directed (naming it), and
+  // declared fields resolve it, exactly like the raw-pipe case.
+  test("coGroup of two Every results: same-named agg outputs need declared") {
+    val a = pipe(Seq(("a", 1), ("a", 2), ("b", 5)).toDF("ka", "v"))
+      .groupBy("ka").every(Aggs.sum("v", "s"))
+    val b = pipe(Seq(("a", 10), ("b", 20)).toDF("kb", "v"))
+      .groupBy("kb").every(Aggs.sum("v", "s"))
+    val e = intercept[Exception] { Flow.toDF(a.coGroup(Seq("ka"), b, Seq("kb"))) }
+    assert(e.getMessage.contains("s"), e.getMessage)
+    val ok = a.coGroup(Seq("ka"), b, Seq("kb"),
+      declared = Some(Seq("ka", "s1", "kb", "s2")))
+    assert(rows(ok) == Set(Seq("a", 3L, "a", 10L), Seq("b", 5L, "b", 20L)))
+  }
+
+  // FieldedPipesPlatformTest.testSwap: Fields.SWAP with a MULTI-argument
+  // function — all argument columns drop, the results take their place,
+  // non-argument columns keep their positions.
+  test("SWAP with multi-arg function drops all args, keeps bystanders") {
+    val df = Seq((1, 2, "keep"), (30, 4, "also")).toDF("a", "b", "tag")
+    val p = pipe(df).each(
+      ExpressionFunction("apb", "a + b", IntegerType),
+      args = FieldSelector.Named(Seq("a", "b")), out = FieldSelector.Swap)
+    val out = Flow.toDF(p)
+    assert(out.columns.toSeq == Seq("tag", "apb"))
+    assert(rows(p) == Set(Seq("keep", 3), Seq("also", 34)))
+  }
+
+  // FieldedPipesPlatformTest.testSimpleChain: the canonical Each →
+  // GroupBy → Every → Each chain, end-to-end values.
+  test("simple chain: Each then GroupBy+Every then Each") {
+    val df = Seq("a", "b", "a", "c", "b", "a").toDF("ch")
+    val p = pipe(df)
+      .each(ExpressionFunction("u", "upper(ch)", StringType),
+        args = FieldSelector.Named(Seq("ch")), out = FieldSelector.Swap)
+      .groupBy("u").every(Aggs.count("n"))
+      .each(ExpressionFunction("n2", "n * 2", LongType),
+        args = FieldSelector.Named(Seq("n")), out = FieldSelector.Swap)
+    assert(rows(p) == Set(Seq("A", 6L), Seq("B", 4L), Seq("C", 2L)))
+  }
+
+  // TextDelimitedPlatformTest.testQuotedText: delimiter and quote chars
+  // INSIDE a quoted field survive a CSV round-trip byte-exactly.
+  test("TextDelimited quoted fields round-trip embedded delimiters and quotes") {
+    val dir = java.nio.file.Files.createTempDirectory("csvq").toString
+    val df = Seq(
+      (1, "plain"),
+      (2, "has,comma"),
+      (3, "has \"quotes\" inside"),
+      (4, "comma, and \"both\"")).toDF("id", "txt")
+    val tap = graft.sources.CsvTap(s"$dir/t", header = true)
+    tap.write(df, graft.sources.SinkMode.Replace)
+    val back = tap.read(spark)
+    assert(back.collect().map(r => (r.getInt(0), r.getString(1))).toSet
+      == df.collect().map(r => (r.getInt(0), r.getString(1))).toSet)
+  }
+
+  // TextDelimitedPlatformTest.testHeader: header row carries the schema —
+  // names survive the round-trip and the header row is never data.
+  test("TextDelimited header round-trip: names preserved, header is not data") {
+    val dir = java.nio.file.Files.createTempDirectory("csvh").toString
+    val tap = graft.sources.CsvTap(s"$dir/t", header = true)
+    tap.write(lower, graft.sources.SinkMode.Replace)
+    val back = tap.read(spark)
+    assert(back.columns.toSeq == Seq("num", "ch"))
+    assert(back.count() == 5)
+  }
+
+  // Upstream resolver contract applied to SORT fields: a secondary-sort
+  // column the pipe does not declare fails at PLAN time naming the field
+  // (the grouping-key twin of this corner is already pinned above).
+  test("secondary sort on an undeclared field fails at plan time, naming it") {
+    val e = intercept[Exception] {
+      Flow.toDF(pipe(lower)
+        .groupBySorted(Seq("ch"), Seq(("missing_col", true)))
+        .every(Aggs.count("n")))
+    }
+    assert(e.getMessage.contains("missing_col"), e.getMessage)
+  }
+
+  // MergePipesPlatformTest.testSimpleMerge: merge is UNION ALL — a row
+  // appearing in both inputs (or twice in one) is kept every time, never
+  // deduplicated.
+  test("merge keeps duplicate rows across inputs (union-all semantics)") {
+    val a = pipe(Seq((1, "a"), (2, "b"), (2, "b")).toDF("num", "ch"))
+    val b = pipe(Seq((2, "b"), (3, "c")).toDF("num", "ch"))
+    val m = a.merge(b)
+    assert(Flow.toDF(m).count() == 5)
+    val counted = m.groupBy("num", "ch").every(Aggs.count("n"))
+    assert(rows(counted) == Set(Seq(1, "a", 1L), Seq(2, "b", 3L),
+      Seq(3, "c", 1L)))
+  }
+
+  // AssemblyHelpersPlatformTest.testUniqueMerge: Unique over a merged
+  // stream — dedup spans BOTH inputs, first/any single representative
+  // per distinct tuple.
+  test("unique over a merge dedups across inputs") {
+    val a = pipe(Seq((1, "a"), (2, "b")).toDF("num", "ch"))
+    val b = pipe(Seq((2, "b"), (3, "c"), (3, "c")).toDF("num", "ch"))
+    val u = a.merge(b).unique()
+    assert(rows(u) == Set(Seq(1, "a"), Seq(2, "b"), Seq(3, "c")))
+  }
 }
