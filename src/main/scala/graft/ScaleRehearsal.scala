@@ -86,7 +86,24 @@ object ScaleRehearsal {
     // design); the distinct form must SURVIVE the same data
     "q202_semdedup_distinct",
     // the last two wide layouts (paragraph keys; contamination index)
-    "q203_paragraph_dedup_wide", "q204_source_overlap_wide")
+    "q203_paragraph_dedup_wide", "q204_source_overlap_wide",
+    // round-10 post-closeout batch: compaction loop (build+append+
+    // compact+query — cost tracks corpus at refresh cadence), URL
+    // canonicalization dedup + domain stats (pure scan + short-key
+    // aggs — should ride the corpus scan), boilerplate strip (explode +
+    // uniform df agg + broadcast-back strip), and the PQ window form
+    // (scored rows = corpus × fixed query batch; the corpus-sized
+    // row_number window is the documented pre-q212 serving shape)
+    "q205_index_compaction", "q207_url_dedup", "q208_pq_adc",
+    "q211_boilerplate_strip", "q214_domain_stats",
+    // round-11: the PQ stored-artifact serving path and IVFADC (build
+    // dominates at these SFs — serving scans are corpus × m byte-codes
+    // and probed lists respectively), span-level decontamination strip
+    // (positional gram scan vs broadcast index + reassembly agg),
+    // blue/green compaction (q205's loop through the view swap), and
+    // PNG decode (scan-shaped: inflate + de-filter per payload)
+    "q212_pq_index", "q213_ivfadc", "q215_decontaminate_strip",
+    "q216_compact_pingpong", "q217_image_dhash_png")
 
   def main(args: Array[String]): Unit = {
     val small = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
