@@ -728,11 +728,22 @@ object Similarity {
     * touches a raw vector again. */
   def pqBuild(corpus: DataFrame, idCol: String, vecCol: String,
               m: Int = 8, kSub: Int = 16, iters: Int = 2,
-              dim: Int = 64): (DataFrame, DataFrame) = {
+              dim: Int = 64): (DataFrame, DataFrame) =
+    pqBuildQuantized(
+      corpus.select(col(idCol).as("nn_id"), qvecPq(col(vecCol)).as("q")),
+      m, kSub, iters, dim)
+
+  /** [[pqBuild]] over ALREADY micro-quantized `(nn_id, q: array<long>)`
+    * rows — the entry point RESIDUAL encoding uses: residuals
+    * `q − cent_q` are exact long arithmetic over already-quantized
+    * values, so quantize-then-subtract keeps the whole chain integer
+    * (subtract-then-quantize would re-round and break oracle replay). */
+  def pqBuildQuantized(quant: DataFrame,
+                       m: Int = 8, kSub: Int = 16, iters: Int = 2,
+                       dim: Int = 64): (DataFrame, DataFrame) = {
     require(dim % m == 0, s"pqBuild: dim=$dim not divisible by m=$m")
     val dsub = dim / m
-    val base = corpus.select(col(idCol).as("nn_id"),
-        qvecPq(col(vecCol)).as("q"))
+    val base = quant
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sb = pqSubRows(base, "nn_id", "q", m, dsub)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -765,7 +776,7 @@ object Similarity {
       // per-round sync barrier (the ivfKMeansBuild discipline): m·kSub
       // rows to the driver, lineage restarts from a local relation
       val rows = updated.collect().toSeq
-      cents = corpus.sparkSession.createDataFrame(
+      cents = quant.sparkSession.createDataFrame(
         scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, updated.schema)
     }
 
@@ -937,6 +948,89 @@ object Similarity {
       .agg(map_from_entries(collect_list(struct(col("slot"), col("d"))))
         .as("dmap"))
     val probeMaps = probes.join(qmaps, Seq("query_id"))
+    val scored = ivfCodes.join(broadcast(probeMaps), Seq("cent"))
+      .filter(col("nn_id") =!= col("query_id"))
+      .select(col("query_id"), col("nn_id"),
+        aggregate(
+          zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+            (c, i) => element_at(col("dmap"), (i * kSub + c).cast("int"))),
+          lit(0L), (acc, x) => acc + x).as("adc_dist"))
+    scored.groupBy(col("query_id"))
+      .agg(graft.catalyst.MinKPairsAgg(col("adc_dist"), col("nn_id"), k)
+        .as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("p", "pair")))
+      .select(col("query_id"), col("pair.id").as("nn_id"),
+        col("pair.v").as("adc_dist"), (col("p") + 1).cast("int").as("rk"))
+  }
+
+  /** RESIDUAL-encoded IVFADC build (Jégou et al. 2011 §III.A — the
+    * paper's actual formulation, refining [[ivfAdcQuery]]'s raw-vector
+    * variant): each vector is PQ-encoded as its residual r = q − c(q)
+    * from its assigned coarse centroid. Residuals concentrate near the
+    * origin, so the shared per-subspace codebook spends its kSub cells
+    * on the DIFFERENCES that distinguish list members instead of the
+    * coarse structure the IVF assignment already captured — the recall
+    * win that made IVFADC the billion-vector standard. Everything stays
+    * exact integer: residuals subtract ALREADY-quantized micros
+    * (quantize-then-subtract — subtract-then-quantize would re-round),
+    * so codebooks, codes and ADC distances all replay arithmetically.
+    *
+    * Returns (ivfCents `(cent_id, cent_q)`, denseBook, ivfCodes
+    * `(nn_id, cent, codes)`) — the same stored-artifact triple as the
+    * raw-vector path; persist codes bucketed by `cent`. */
+  def ivfPqResidualBuild(corpus: DataFrame, idCol: String, vecCol: String,
+                         nlist: Int = 16, ivfIters: Int = 2, m: Int = 8,
+                         kSub: Int = 16, pqIters: Int = 2,
+                         dim: Int = 64): (DataFrame, DataFrame, DataFrame) = {
+    val (cents, lists) = ivfKMeansBuild(corpus, idCol, vecCol, nlist, ivfIters)
+    val q = corpus.select(col(idCol).as("nn_id"), qvecPq(col(vecCol)).as("q"))
+    val res = lists.select(col("nn_id"), col("cent"))
+      .join(q, Seq("nn_id"))
+      .join(broadcast(cents.select(col("cent_id").as("cent"), col("cent_q"))),
+        Seq("cent"))
+      .select(col("nn_id"), col("cent"),
+        zip_with(col("q"), col("cent_q"), (a, b) => a - b).as("q"))
+    val (pqCents, codes) = pqBuildQuantized(
+      res.select(col("nn_id"), col("q")), m, kSub, pqIters, dim)
+    val book = pqDenseCodebook(pqCents)
+    val ivfCodes = res.select(col("nn_id"), col("cent"))
+      .join(pqPackCodes(codes, book), Seq("nn_id"))
+    (cents, book, ivfCodes)
+  }
+
+  /** The QUERY phase of residual IVFADC: the query's residual is
+    * PER PROBED LIST (r_q = q − c for each probed centroid c), so the
+    * distance table is keyed (query, cent, sub, code) — still tiny
+    * (queries × nprobe × m × kSub integers) and still broadcast; the
+    * codes side joins on `cent` exactly as the raw-vector path (each
+    * vector in ONE list, no cross-probe dedup, no corpus exchange,
+    * MinKPairsAgg partials as the only shuffle). Same output shape:
+    * (query_id, nn_id, adc_dist, rk). */
+  def ivfPqResidualQuery(ivfCents: DataFrame, denseBook: DataFrame,
+                         ivfCodes: DataFrame, queries: DataFrame,
+                         idCol: String, vecCol: String, k: Int,
+                         nprobe: Int = 4, m: Int = 8, kSub: Int = 16,
+                         dim: Int = 64): DataFrame = {
+    val dsub = dim / m
+    val qs = queries.select(col(idCol).as("query_id"),
+      qvecPq(col(vecCol)).as("qq"))
+    val pw = Window.partitionBy(col("query_id")).orderBy(
+      cosine(col("qq"), col("cent_q")).desc, col("cent_id").asc)
+    val probes = qs.crossJoin(broadcast(ivfCents))
+      .withColumn("__cr", row_number().over(pw))
+      .filter(col("__cr") <= nprobe)
+      .select(col("query_id"), col("cent_id").as("cent"),
+        zip_with(col("qq"), col("cent_q"), (a, b) => a - b).as("rq"))
+    val qsub = probes.select(col("query_id"), col("cent"),
+      posexplode(transform(sequence(lit(0), lit(m - 1)),
+        i => slice(col("rq"), i * dsub + 1, lit(dsub)))).as(Seq("sub", "sq")))
+    val probeMaps = qsub.join(broadcast(denseBook), Seq("sub"))
+      .select(col("query_id"), col("cent"),
+        (col("sub") * kSub + col("code_ix")).cast("int").as("slot"),
+        l2q(col("sq"), col("cent_q")).as("d"))
+      .groupBy(col("query_id"), col("cent"))
+      .agg(map_from_entries(collect_list(struct(col("slot"), col("d"))))
+        .as("dmap"))
     val scored = ivfCodes.join(broadcast(probeMaps), Seq("cent"))
       .filter(col("nn_id") =!= col("query_id"))
       .select(col("query_id"), col("nn_id"),

@@ -3552,6 +3552,40 @@ object Extensions {
       df
     }),
 
+    // --- RESIDUAL-encoded IVFADC (the paper's §III.A formulation,
+    // refining q213's raw-vector variant): each vector PQ-encodes its
+    // residual from the assigned coarse centroid, so the shared
+    // codebook's kSub cells model within-list differences instead of
+    // the coarse structure IVF already captured. Residuals subtract
+    // ALREADY-quantized micros (exact longs — subtract-then-quantize
+    // would re-round), so the whole chain still replays arithmetically
+    // in the oracle. Query distance tables go per (query, probed cent)
+    // — still tiny, still broadcast; same exchange-free codes scan and
+    // O(queries × k) heap shuffle, plan-asserted.
+    "q218_ivfadc_residual" -> ((s, dir) => {
+      val (centsT, bookT, codesT) = (stagedTable("graft_q218_ivf_cents"),
+        stagedTable("graft_q218_pq_book"), stagedTable("graft_q218_ivf_codes"))
+      Seq(centsT, bookT, codesT)
+        .foreach(graft.queries.Tables.dropStagedTable(s, _))
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val (ivfCents, book, ivfCodes) = Similarity.ivfPqResidualBuild(
+        e, "vec_id", "embedding", nlist = 16, ivfIters = 2,
+        m = 8, kSub = 16, pqIters = 2, dim = 64)
+      ivfCents.write.mode("overwrite").saveAsTable(centsT)
+      book.write.mode("overwrite").saveAsTable(bookT)
+      graft.sources.BucketedTap(codesT, 8, Seq("cent"))
+        .write(ivfCodes, graft.sources.SinkMode.Replace)
+      val df = Similarity.ivfPqResidualQuery(s.table(centsT), s.table(bookT),
+        s.table(codesT), e.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 5, nprobe = 4, m = 8, kSub = 16, dim = 64)
+      val plan = df.queryExecution.executedPlan.toString
+      require(!plan.contains("Exchange hashpartitioning(cent"),
+        "probed residual ADC must never exchange the corpus-sized codes side")
+      require(!plan.contains("Exchange hashpartitioning(nn_id"),
+        "top-k must move as MinKPairsAgg heap partials, not row exchanges")
+      df
+    }),
+
     // --- boundary-splitting packing: q128's bins, with straddling docs
     // exploded into per-bin fragments (what the loader materializes);
     // Σ frag_len per doc ≡ n_tok by construction
@@ -4223,15 +4257,18 @@ object Extensions {
     * would otherwise collide with) in the q213 IVFADC oracle. q208/q212
     * and q213 all share this builder — the PQ arithmetic cannot drift
     * between the plain and the composed form. */
-  private def pqCodeCtes(cp: String): String = {
-    val dsub = 8
+  /** The per-subspace Lloyd chain (`{cp}c0 → {cp}c2` + `codes`) over ANY
+    * (nn_id, sub, sq) subspace-row CTE `src` — shared by the raw-vector
+    * chains (src = sb) and the residual chain (src = rsb), so the PQ
+    * arithmetic is spelled once. */
+  private def pqLloydCtes(cp: String, src: String): String = {
     def duckAssign(name: String, cents: String, keep: String) =
       s"""$name AS (
          |  SELECT nn_id, sub, $keep cent_id FROM (
          |    SELECT b.nn_id, b.sub, b.sq, c.cent_id,
          |    row_number() OVER (PARTITION BY b.nn_id, b.sub
          |      ORDER BY ${pqDL2("b.sq", "c.cent_q")} ASC, c.cent_id ASC) AS rn
-         |    FROM sb b JOIN $cents c USING (sub)) WHERE rn = 1)""".stripMargin
+         |    FROM $src b JOIN $cents c USING (sub)) WHERE rn = 1)""".stripMargin
     def duckUpdate(from: String, name: String) =
       s"""$name AS (
          |  SELECT sub, cent_id, list(cv ORDER BY pos) AS cent_q FROM (
@@ -4240,17 +4277,10 @@ object Extensions {
          |    FROM (SELECT sub, cent_id, unnest(sq) AS v,
          |          unnest(range(1, len(sq) + 1)) AS pos FROM $from)
          |    GROUP BY 1, 2, 3) GROUP BY 1, 2)""".stripMargin
-    s"""qb AS MATERIALIZED (
-       |  SELECT vec_id AS nn_id,
-       |  list_transform(embedding,
-       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
-       |  FROM embeddings),
-       |sb AS MATERIALIZED (
-       |  SELECT nn_id, sub, q[sub * $dsub + 1 : sub * $dsub + $dsub] AS sq
-       |  FROM qb CROSS JOIN (SELECT unnest(range(0, 8)) AS sub)),
-       |${cp}c0 AS (
-       |  SELECT sub, nn_id AS cent_id, sq AS cent_q FROM sb
-       |  WHERE nn_id IN (SELECT nn_id FROM qb ORDER BY nn_id LIMIT 16)),
+    s"""${cp}c0 AS (
+       |  SELECT sub, nn_id AS cent_id, sq AS cent_q FROM $src
+       |  WHERE nn_id IN (SELECT DISTINCT nn_id FROM $src
+       |                  ORDER BY nn_id LIMIT 16)),
        |${duckAssign(s"${cp}a1", s"${cp}c0", "sq,")},
        |${duckUpdate(s"${cp}a1", s"${cp}c1")},
        |${duckAssign(s"${cp}a2", s"${cp}c1", "sq,")},
@@ -4260,7 +4290,20 @@ object Extensions {
        |    SELECT b.nn_id, b.sub, c.cent_id,
        |    row_number() OVER (PARTITION BY b.nn_id, b.sub
        |      ORDER BY ${pqDL2("b.sq", "c.cent_q")} ASC, c.cent_id ASC) AS rn
-       |    FROM sb b JOIN ${cp}c2 c USING (sub)) WHERE rn = 1),
+       |    FROM $src b JOIN ${cp}c2 c USING (sub)) WHERE rn = 1)""".stripMargin
+  }
+
+  private def pqCodeCtes(cp: String): String = {
+    val dsub = 8
+    s"""qb AS MATERIALIZED (
+       |  SELECT vec_id AS nn_id,
+       |  list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |sb AS MATERIALIZED (
+       |  SELECT nn_id, sub, q[sub * $dsub + 1 : sub * $dsub + $dsub] AS sq
+       |  FROM qb CROSS JOIN (SELECT unnest(range(0, 8)) AS sub)),
+       |${pqLloydCtes(cp, "sb")},
        |t AS MATERIALIZED (
        |  SELECT b.nn_id AS query_id, b.sub, c.cent_id,
        |  ${pqDL2("b.sq", "c.cent_q")} AS d
@@ -4279,6 +4322,59 @@ object Extensions {
        |  CAST(row_number() OVER (PARTITION BY query_id
        |    ORDER BY adc_dist ASC, nn_id ASC) AS INTEGER) AS rk
        |  FROM scored) WHERE rk <= 5""".stripMargin
+
+  /** Residual IVFADC oracle: the IVF chain supplies assignments AND the
+    * residual arithmetic (q − cent_q of the ASSIGNED list, exact longs);
+    * the shared Lloyd builder runs over the residual subspace rows; the
+    * query distance tables are per (query, probed cent) residuals. */
+  private lazy val ivfPqResidualOracle: String = {
+    val dsub = 8
+    s"""WITH $ivfAssignCtes,
+       |qb AS MATERIALIZED (SELECT nn_id, q FROM qbase),
+       |rres AS MATERIALIZED (
+       |  SELECT b.nn_id, l.cent,
+       |    list_transform(range(1, len(b.q) + 1),
+       |      j -> b.q[j] - c.cent_q[j]) AS rq
+       |  FROM qb b JOIN lists l ON b.nn_id = l.nn_id
+       |  JOIN c2 c ON l.cent = c.cent_id),
+       |rsb AS MATERIALIZED (
+       |  SELECT nn_id, sub, rq[sub * $dsub + 1 : sub * $dsub + $dsub] AS sq
+       |  FROM rres CROSS JOIN (SELECT unnest(range(0, 8)) AS sub)),
+       |${pqLloydCtes("r", "rsb")},
+       |probes AS (
+       |  SELECT query_id, cent FROM (
+       |    SELECT b.nn_id AS query_id, c.cent_id AS cent,
+       |    row_number() OVER (PARTITION BY b.nn_id
+       |      ORDER BY ${dCos("b.q", "c.cent_q")} DESC, c.cent_id ASC) AS rn
+       |    FROM qbase b CROSS JOIN c2 c WHERE b.nn_id < 8) WHERE rn <= 4),
+       |qres AS (
+       |  SELECT b.nn_id AS query_id, p.cent,
+       |    list_transform(range(1, len(b.q) + 1),
+       |      j -> b.q[j] - c.cent_q[j]) AS rq
+       |  FROM qb b JOIN probes p ON b.nn_id = p.query_id
+       |  JOIN c2 c ON p.cent = c.cent_id),
+       |qrsb AS (
+       |  SELECT query_id, cent, sub,
+       |    rq[sub * $dsub + 1 : sub * $dsub + $dsub] AS sq
+       |  FROM qres CROSS JOIN (SELECT unnest(range(0, 8)) AS sub)),
+       |rt AS MATERIALIZED (
+       |  SELECT q.query_id, q.cent, q.sub, c.cent_id,
+       |  ${pqDL2("q.sq", "c.cent_q")} AS d
+       |  FROM qrsb q JOIN rc2 c USING (sub)),
+       |scored AS (
+       |  SELECT rt.query_id, codes.nn_id, CAST(sum(rt.d) AS BIGINT) AS adc_dist
+       |  FROM codes
+       |  JOIN lists ON codes.nn_id = lists.nn_id
+       |  JOIN rt ON codes.sub = rt.sub AND codes.code = rt.cent_id
+       |         AND rt.cent = lists.cent
+       |  WHERE codes.nn_id <> rt.query_id
+       |  GROUP BY 1, 2)
+       |SELECT query_id, nn_id, adc_dist, rk FROM (
+       |  SELECT query_id, nn_id, adc_dist,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY adc_dist ASC, nn_id ASC) AS INTEGER) AS rk
+       |  FROM scored) WHERE rk <= 5""".stripMargin
+  }
 
   /** IVFADC oracle: the IVF chain ([[ivfAssignCtes]] — cosine Lloyd,
     * probes, lists) composed with the PQ chain ([[pqCodeCtes]] prefixed
@@ -4687,6 +4783,7 @@ object Extensions {
     // the window-form oracle is shared verbatim
     "q212_pq_index" -> pqAdcOracle,
     "q213_ivfadc" -> ivfAdcOracle,
+    "q218_ivfadc_residual" -> ivfPqResidualOracle,
 
     // q161's fixture + the solo-repeat plant; boilerplate = df ≥ 3 over
     // DISTINCT docs at the 15-nibble key, losers erased everywhere
