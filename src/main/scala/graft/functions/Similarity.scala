@@ -1046,6 +1046,57 @@ object Similarity {
         col("pair.v").as("adc_dist"), (col("p") + 1).cast("int").as("rk"))
   }
 
+  /** Recall@k audit of the TWO IVFADC encodings against exact brute
+    * force — the measurement that justifies (or refutes) residual
+    * encoding on YOUR corpus: the paper's recall win comes from
+    * residual concentration, which a corpus can lack (e.g. one whose
+    * clusters are tight already). Shares ONE deterministic coarse
+    * quantizer across variants (both builds replay the same Lloyd);
+    * hits are exact integer counts, recall in integer micros — the
+    * q189 audit discipline applied to the compressed-domain paths.
+    * Output one row per variant: (variant, hits, total, recall_micros).
+    * An AUDIT job (brute-force leg = queries × corpus): run on a
+    * sampled probe set at index-refresh cadence, not in serving. */
+  def adcRecallAudit(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int, nlist: Int = 16,
+                     ivfIters: Int = 2, m: Int = 8, kSub: Int = 16,
+                     pqIters: Int = 2, dim: Int = 64,
+                     nprobe: Int = 4): DataFrame = {
+    val exact = bruteForceKnn(corpus, queries, idCol, vecCol, k)
+      .select(col("query_id"), col("nn_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (ivfCents, lists) = ivfKMeansBuild(corpus, idCol, vecCol, nlist,
+      ivfIters)
+    val (pqCents, rawCodes) = pqBuild(corpus, idCol, vecCol, m, kSub,
+      pqIters, dim)
+    val rawBook = pqDenseCodebook(pqCents)
+    val rawIvfCodes = lists.select(col("nn_id"), col("cent"))
+      .join(pqPackCodes(rawCodes, rawBook), Seq("nn_id"))
+    val raw = ivfAdcQuery(ivfCents, rawBook, rawIvfCodes, queries, idCol,
+      vecCol, k, nprobe, m, kSub, dim)
+    // the residual build re-runs the same deterministic IVF internally —
+    // bit-identical assignments, so the variants share one quantizer
+    val (rCents, rBook, rCodes) = ivfPqResidualBuild(corpus, idCol, vecCol,
+      nlist, ivfIters, m, kSub, pqIters, dim)
+    val res = ivfPqResidualQuery(rCents, rBook, rCodes, queries, idCol,
+      vecCol, k, nprobe, m, kSub, dim)
+    val hits = Seq("raw" -> raw, "residual" -> res).map { case (name, df) =>
+      df.select(col("query_id"), col("nn_id"))
+        .join(exact, Seq("query_id", "nn_id"))
+        .agg(count(lit(1)).as("__h"))
+        .select(lit(name).as("variant"), col("__h"))
+    }.reduce(_ unionByName _)
+    val total = exact.agg(count(lit(1)).as("total"))
+    val out = hits.crossJoin(broadcast(total))
+      .select(col("variant"), col("__h").as("hits"), col("total"))
+      .withColumn("recall_micros", expr("hits * 1000000 div total"))
+      // eager localCheckpoint materializes the 2-row result so the exact
+      // leg's cache releases here (the annRecallAudit discipline)
+      .localCheckpoint(true)
+    exact.unpersist()
+    out
+  }
+
   /** Pairwise affinity between group centroids: exact int64 dot product
     * (micros² units) plus each side's squared norm, from which cosine is
     * derivable downstream without losing exactness here. All pairs over

@@ -3586,6 +3586,20 @@ object Extensions {
       df
     }),
 
+    // --- recall@5 audit of BOTH IVFADC encodings vs exact brute force:
+    // does residual encoding actually buy recall on THIS corpus? One
+    // shared deterministic coarse quantizer, exact integer hit counts,
+    // recall in micros — the q189 audit discipline on the
+    // compressed-domain paths. An audit job (the brute leg is
+    // queries × corpus), run at refresh cadence.
+    "q219_adc_recall" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.functions.Similarity.adcRecallAudit(
+        e, e.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 5, nlist = 16, ivfIters = 2, m = 8, kSub = 16, pqIters = 2,
+        dim = 64, nprobe = 4)
+    }),
+
     // --- boundary-splitting packing: q128's bins, with straddling docs
     // exploded into per-bin fragments (what the loader materializes);
     // Σ frag_len per doc ≡ n_tok by construction
@@ -4261,7 +4275,8 @@ object Extensions {
     * (nn_id, sub, sq) subspace-row CTE `src` — shared by the raw-vector
     * chains (src = sb) and the residual chain (src = rsb), so the PQ
     * arithmetic is spelled once. */
-  private def pqLloydCtes(cp: String, src: String): String = {
+  private def pqLloydCtes(cp: String, src: String,
+                          codesName: String = "codes"): String = {
     def duckAssign(name: String, cents: String, keep: String) =
       s"""$name AS (
          |  SELECT nn_id, sub, $keep cent_id FROM (
@@ -4285,7 +4300,7 @@ object Extensions {
        |${duckUpdate(s"${cp}a1", s"${cp}c1")},
        |${duckAssign(s"${cp}a2", s"${cp}c1", "sq,")},
        |${duckUpdate(s"${cp}a2", s"${cp}c2")},
-       |codes AS MATERIALIZED (
+       |$codesName AS MATERIALIZED (
        |  SELECT nn_id, sub, cent_id AS code FROM (
        |    SELECT b.nn_id, b.sub, c.cent_id,
        |    row_number() OVER (PARTITION BY b.nn_id, b.sub
@@ -4327,11 +4342,14 @@ object Extensions {
     * residual arithmetic (q − cent_q of the ASSIGNED list, exact longs);
     * the shared Lloyd builder runs over the residual subspace rows; the
     * query distance tables are per (query, probed cent) residuals. */
-  private lazy val ivfPqResidualOracle: String = {
+  /** The residual PQ chain as reusable CTE text: residual subspace rows
+    * (corpus AND per-probe query residuals), the r-prefixed Lloyd, and
+    * the query distance tables. References qb (quantized corpus rows),
+    * qbase/c2/lists (the IVF chain) and `probes` — all must be defined
+    * EARLIER in the enclosing WITH. */
+  private def residualChainCtes(codesName: String): String = {
     val dsub = 8
-    s"""WITH $ivfAssignCtes,
-       |qb AS MATERIALIZED (SELECT nn_id, q FROM qbase),
-       |rres AS MATERIALIZED (
+    s"""rres AS MATERIALIZED (
        |  SELECT b.nn_id, l.cent,
        |    list_transform(range(1, len(b.q) + 1),
        |      j -> b.q[j] - c.cent_q[j]) AS rq
@@ -4340,13 +4358,7 @@ object Extensions {
        |rsb AS MATERIALIZED (
        |  SELECT nn_id, sub, rq[sub * $dsub + 1 : sub * $dsub + $dsub] AS sq
        |  FROM rres CROSS JOIN (SELECT unnest(range(0, 8)) AS sub)),
-       |${pqLloydCtes("r", "rsb")},
-       |probes AS (
-       |  SELECT query_id, cent FROM (
-       |    SELECT b.nn_id AS query_id, c.cent_id AS cent,
-       |    row_number() OVER (PARTITION BY b.nn_id
-       |      ORDER BY ${dCos("b.q", "c.cent_q")} DESC, c.cent_id ASC) AS rn
-       |    FROM qbase b CROSS JOIN c2 c WHERE b.nn_id < 8) WHERE rn <= 4),
+       |${pqLloydCtes("r", "rsb", codesName)},
        |qres AS (
        |  SELECT b.nn_id AS query_id, p.cent,
        |    list_transform(range(1, len(b.q) + 1),
@@ -4360,7 +4372,28 @@ object Extensions {
        |rt AS MATERIALIZED (
        |  SELECT q.query_id, q.cent, q.sub, c.cent_id,
        |  ${pqDL2("q.sq", "c.cent_q")} AS d
-       |  FROM qrsb q JOIN rc2 c USING (sub)),
+       |  FROM qrsb q JOIN rc2 c USING (sub))""".stripMargin
+  }
+
+  /** Shared probe CTE (queries = nn_id < 8, nprobe 4 by quantized
+    * cosine against the IVF centroids — the q131 spelling). */
+  private lazy val probeCte: String =
+    s"""probes AS (
+       |  SELECT query_id, cent FROM (
+       |    SELECT b.nn_id AS query_id, c.cent_id AS cent,
+       |    row_number() OVER (PARTITION BY b.nn_id
+       |      ORDER BY ${dCos("b.q", "c.cent_q")} DESC, c.cent_id ASC) AS rn
+       |    FROM qbase b CROSS JOIN c2 c WHERE b.nn_id < 8) WHERE rn <= 4)""".stripMargin
+
+  /** Residual IVFADC oracle: the IVF chain supplies assignments AND the
+    * residual arithmetic (q - cent_q of the ASSIGNED list, exact longs);
+    * the shared Lloyd builder runs over the residual subspace rows; the
+    * query distance tables are per (query, probed cent) residuals. */
+  private lazy val ivfPqResidualOracle: String =
+    s"""WITH $ivfAssignCtes,
+       |qb AS MATERIALIZED (SELECT nn_id, q FROM qbase),
+       |$probeCte,
+       |${residualChainCtes("codes")},
        |scored AS (
        |  SELECT rt.query_id, codes.nn_id, CAST(sum(rt.d) AS BIGINT) AS adc_dist
        |  FROM codes
@@ -4374,7 +4407,6 @@ object Extensions {
        |  CAST(row_number() OVER (PARTITION BY query_id
        |    ORDER BY adc_dist ASC, nn_id ASC) AS INTEGER) AS rk
        |  FROM scored) WHERE rk <= 5""".stripMargin
-  }
 
   /** IVFADC oracle: the IVF chain ([[ivfAssignCtes]] — cosine Lloyd,
     * probes, lists) composed with the PQ chain ([[pqCodeCtes]] prefixed
@@ -4784,6 +4816,61 @@ object Extensions {
     "q212_pq_index" -> pqAdcOracle,
     "q213_ivfadc" -> ivfAdcOracle,
     "q218_ivfadc_residual" -> ivfPqResidualOracle,
+    // q219: both ADC chains + the exact leg in one WITH (raw chain via
+    // pqCodeCtes/"codes", residual via residualChainCtes/"rcodes" — the
+    // codes name is parameterized exactly so the two can coexist)
+    "q219_adc_recall" ->
+      s"""WITH $ivfAssignCtes,
+         |${pqCodeCtes("p")},
+         |$probeCte,
+         |${residualChainCtes("rcodes")},
+         |topRaw AS (
+         |  SELECT query_id, nn_id FROM (
+         |    SELECT query_id, nn_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adc_dist ASC, nn_id ASC) AS rk
+         |    FROM (
+         |      SELECT t.query_id, codes.nn_id,
+         |        CAST(sum(t.d) AS BIGINT) AS adc_dist
+         |      FROM codes
+         |      JOIN lists ON codes.nn_id = lists.nn_id
+         |      JOIN probes ON lists.cent = probes.cent
+         |      JOIN t ON codes.sub = t.sub AND codes.code = t.cent_id
+         |            AND t.query_id = probes.query_id
+         |      WHERE codes.nn_id <> t.query_id
+         |      GROUP BY 1, 2)) WHERE rk <= 5),
+         |topRes AS (
+         |  SELECT query_id, nn_id FROM (
+         |    SELECT query_id, nn_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adc_dist ASC, nn_id ASC) AS rk
+         |    FROM (
+         |      SELECT rt.query_id, rcodes.nn_id,
+         |        CAST(sum(rt.d) AS BIGINT) AS adc_dist
+         |      FROM rcodes
+         |      JOIN lists ON rcodes.nn_id = lists.nn_id
+         |      JOIN rt ON rcodes.sub = rt.sub AND rcodes.code = rt.cent_id
+         |             AND rt.cent = lists.cent
+         |      WHERE rcodes.nn_id <> rt.query_id
+         |      GROUP BY 1, 2)) WHERE rk <= 5),
+         |ex AS MATERIALIZED (
+         |  SELECT query_id, nn_id FROM (
+         |    SELECT q.vec_id AS query_id, b.vec_id AS nn_id,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${dCos("q.embedding", "b.embedding")} DESC,
+         |        b.vec_id ASC) AS rn
+         |    FROM embeddings q JOIN embeddings b ON q.vec_id <> b.vec_id
+         |    WHERE q.vec_id < 8) WHERE rn <= 5),
+         |h AS (
+         |  SELECT 'raw' AS variant, CAST(count(*) AS BIGINT) AS hits
+         |  FROM topRaw JOIN ex USING (query_id, nn_id)
+         |  UNION ALL
+         |  SELECT 'residual' AS variant, CAST(count(*) AS BIGINT) AS hits
+         |  FROM topRes JOIN ex USING (query_id, nn_id)),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM ex)
+         |SELECT variant, hits, total,
+         |  CAST(hits * 1000000 // total AS BIGINT) AS recall_micros
+         |FROM h CROSS JOIN tot""".stripMargin,
 
     // q161's fixture + the solo-repeat plant; boilerplate = df ≥ 3 over
     // DISTINCT docs at the 15-nibble key, losers erased everywhere
