@@ -1046,6 +1046,74 @@ object Similarity {
         col("pair.v").as("adc_dist"), (col("p") + 1).cast("int").as("rk"))
   }
 
+  /** Encode vectors against a FROZEN dense codebook — the arrival-time
+    * counterpart of [[pqBuild]] (which trains): a per-partition JVM loop
+    * over a driver-collected codebook (m·kSub·dsub longs — KBs; the
+    * broadcast-variable production shape), so it is STATELESS and
+    * composes unchanged into Structured Streaming: arriving vectors
+    * encode in-flight and append their packed rows to the codes tap, the
+    * q133 maintenance discipline applied to the PQ index. Arithmetic is
+    * the exact integer chain of the build (floor(x·1e6) micros, integer
+    * squared-L2, (dist, cent_id) tie-break — dense code_ix order IS
+    * cent_id order, so tie-breaking on code_ix is identical), which the
+    * gate's oracle replays. Output (nn_id, codes array<int>) — the
+    * packed layout [[pqPackCodes]] stores. */
+  def pqEncodeWithBook(df: DataFrame, denseBook: DataFrame, idCol: String,
+                       vecCol: String, m: Int = 8, kSub: Int = 16,
+                       dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.types._
+    val dsub = dim / m
+    // (sub → sorted-by-code_ix array of centroid subvectors); collected
+    // once at plan time and closed over — the broadcast shape
+    val book: Array[Array[Array[Long]]] = {
+      val bySub = Array.fill(m)(
+        scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Long])])
+      denseBook.select(col("sub"), col("code_ix"), col("cent_q")).collect()
+        .foreach { r =>
+          bySub(r.getInt(0)) +=
+            ((r.getInt(1), r.getSeq[Long](2).toArray))
+        }
+      bySub.map(_.sortBy(_._1).map(_._2).toArray)
+    }
+    require(book.forall(_.nonEmpty),
+      "pqEncodeWithBook: codebook is missing a subspace")
+    val schema = StructType(Seq(
+      StructField("nn_id", df.schema(idCol).dataType),
+      StructField("codes", ArrayType(IntegerType, containsNull = false))))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idIdx = df.columns.indexOf(idCol)
+    val vIdx = df.columns.indexOf(vecCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val vec = row.getSeq[Float](vIdx)
+        val q = new Array[Long](dim)
+        var i = 0
+        while (i < dim && i < vec.length) {
+          q(i) = math.floor(vec(i).toDouble * 1e6).toLong; i += 1
+        }
+        val codes = new Array[Int](m)
+        var sub = 0
+        while (sub < m) {
+          val cands = book(sub)
+          var best = 0; var bestD = Long.MaxValue
+          var c = 0
+          while (c < cands.length) {
+            val cq = cands(c)
+            var d = 0L; var j = 0
+            while (j < dsub) {
+              val x = q(sub * dsub + j) - cq(j); d += x * x; j += 1
+            }
+            if (d < bestD) { bestD = d; best = c } // ties: first (lowest ix)
+            c += 1
+          }
+          codes(sub) = best
+          sub += 1
+        }
+        org.apache.spark.sql.Row(row.get(idIdx), codes.toSeq)
+      }
+    }(enc)
+  }
+
   /** Recall@k audit of the TWO IVFADC encodings against exact brute
     * force — the measurement that justifies (or refutes) residual
     * encoding on YOUR corpus: the paper's recall win comes from

@@ -3600,6 +3600,59 @@ object Extensions {
         dim = 64, nprobe = 4)
     }),
 
+    // --- PQ index MAINTENANCE at arrival time (the q133 loop for the
+    // compressed-domain index): day-0 trains the codebook and persists
+    // it + the packed codes; arrivals ENCODE IN-STREAM against the
+    // frozen codebook (pqEncodeWithBook — a stateless per-partition
+    // loop over the driver-collected book, no state store, no stream
+    // shuffle) and append into the codes tap (SinkMode.Update — the
+    // bucketed layout absorbs appends). The result reads THE TAP:
+    // day-0 + streamed codes must equal the whole corpus encoded
+    // against the day-0 codebook, which the oracle recomputes from
+    // scratch — a silently dead append or any encode drift fails the
+    // hash. Codes map back to centroid ids through the book so the
+    // oracle never sees the dense-index storage detail.
+    "q221_stream_pq_encode" -> ((s, dir) => {
+      val (bookT, codesT) =
+        (stagedTable("graft_q221_pq_book"), stagedTable("graft_q221_pq_codes"))
+      Seq(bookT, codesT).foreach(graft.queries.Tables.dropStagedTable(s, _))
+      val (in, out, chk) = freshStreamDirs("graft_q221_stream")
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val day0 = e.filter(col("vec_id") % 10 =!= 7)
+      val arrivals = e.filter(col("vec_id") % 10 === 7)
+      val (cents, codes) = Similarity.pqBuild(
+        day0, "vec_id", "embedding", m = 8, kSub = 16, iters = 2, dim = 64)
+      val book = Similarity.pqDenseCodebook(cents)
+      book.write.mode("overwrite").saveAsTable(bookT)
+      val tap = graft.sources.BucketedTap(codesT, 8, Seq("nn_id"))
+      tap.write(Similarity.pqPackCodes(codes, book),
+        graft.sources.SinkMode.Replace)
+      stageSliced(in, Seq(
+        arrivals.filter(col("vec_id") % 30 === 7),
+        arrivals.filter(col("vec_id") % 30 === 17),
+        arrivals.filter(col("vec_id") % 30 === 27)))
+      withStreamPartitions(s, 8) {
+        val stream = graft.streaming.StreamOps.readStream(s, in,
+          arrivals.schema, Map("maxFilesPerTrigger" -> "1"))
+        val encoded = Similarity.pqEncodeWithBook(stream, s.table(bookT),
+          "vec_id", "embedding", m = 8, kSub = 16, dim = 64)
+        val q = encoded.writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+          .format("parquet").option("path", out)
+          .option("checkpointLocation", chk)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      tap.write(s.read.parquet(out), graft.sources.SinkMode.Update)
+      s.table(codesT)
+        .select(col("nn_id"), posexplode(col("codes")).as(Seq("sub", "code_ix")))
+        .join(broadcast(s.table(bookT)
+          .select(col("sub"), col("code_ix"), col("cent_id").as("code"))),
+          Seq("sub", "code_ix"))
+        .select(col("nn_id"), col("sub"), col("code"))
+    }),
+
     // --- boundary-splitting packing: q128's bins, with straddling docs
     // exploded into per-bin fragments (what the loader materializes);
     // Σ frag_len per doc ≡ n_tok by construction
@@ -4816,6 +4869,32 @@ object Extensions {
     "q212_pq_index" -> pqAdcOracle,
     "q213_ivfadc" -> ivfAdcOracle,
     "q218_ivfadc_residual" -> ivfPqResidualOracle,
+    // q221: the whole maintained codes table (day-0 build + streamed
+    // arrival appends) recomputed from scratch — every vector encoded
+    // against the codebook trained on DAY-0 ONLY (the frozen-book
+    // contract; a codebook accidentally retrained on arrivals, a dead
+    // append, or any in-stream encode drift all diverge)
+    "q221_stream_pq_encode" -> {
+      val dsub = 8
+      s"""WITH qb AS MATERIALIZED (
+         |  SELECT vec_id AS nn_id,
+         |  list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |sb AS MATERIALIZED (
+         |  SELECT nn_id, sub, q[sub * $dsub + 1 : sub * $dsub + $dsub] AS sq
+         |  FROM qb CROSS JOIN (SELECT unnest(range(0, 8)) AS sub)),
+         |day0 AS MATERIALIZED (SELECT * FROM sb WHERE nn_id % 10 <> 7),
+         |${pqLloydCtes("f", "day0", "d0codes")},
+         |allc AS (
+         |  SELECT nn_id, sub, cent_id AS code FROM (
+         |    SELECT b.nn_id, b.sub, c.cent_id,
+         |    row_number() OVER (PARTITION BY b.nn_id, b.sub
+         |      ORDER BY ${pqDL2("b.sq", "c.cent_q")} ASC, c.cent_id ASC) AS rn
+         |    FROM sb b JOIN fc2 c USING (sub)) WHERE rn = 1)
+         |SELECT nn_id, CAST(sub AS INTEGER) AS sub, code FROM allc""".stripMargin
+    },
+
     // q219: both ADC chains + the exact leg in one WITH (raw chain via
     // pqCodeCtes/"codes", residual via residualChainCtes/"rcodes" — the
     // codes name is parameterized exactly so the two can coexist)

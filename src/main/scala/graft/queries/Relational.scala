@@ -935,6 +935,28 @@ object Relational {
         .every(Aggs.sql("supplier_cnt", "count(DISTINCT l_suppkey)"))
         .orderBy("supplier_cnt" -> false, "p_brand" -> true, "p_size" -> true))(s)),
 
+    // TPC-H Q14 shape (promotion effect): a month-windowed fact filter
+    // feeding a broadcast part join, then a CONDITIONAL aggregate ratio —
+    // sum(CASE promo)/sum(all) in one global group (the two sums ride one
+    // partial-aggregation pass; no second scan, no self-join). The ratio
+    // divides the two exact-micros sums with one IEEE double op, the q124
+    // avg discipline.
+    "q220_tpch_q14" -> ((s, dir) => Flow.toDF(
+      P(dir, "lineitem")
+        .filterBy(SqlFilter(
+          "l_shipdate >= timestamp '1997-07-01' and l_shipdate < timestamp '1997-10-01'"))
+        .hashJoin(Seq("l_partkey"),
+          P(dir, "part").retain("p_partkey", "p_type"), Seq("p_partkey"))
+        .groupAll
+        .every(
+          Aggs.agg("promo_revenue", xsum(
+            "CASE WHEN p_type = 'PROMO' " +
+              "THEN l_extendedprice * (1 - l_discount) ELSE 0 END")),
+          Aggs.agg("total_revenue",
+            xsum("l_extendedprice * (1 - l_discount)"))))(s)
+      .withColumn("promo_pct",
+        lit(100.0) * col("promo_revenue") / col("total_revenue"))),
+
     // ORC columnar round-trip under the gate (q60/q62 pattern: write the
     // staged format, read it back, aggregate — the oracle computes the
     // same aggregate from the parquet source, so a type or value
@@ -1350,6 +1372,20 @@ object Relational {
          |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 2000)
          |GROUP BY 1, 2
          |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin,
+
+    "q220_tpch_q14" ->
+      s"""WITH a AS (
+         |  SELECT
+         |  ${dsumExpr("CASE WHEN p_type = 'PROMO' " +
+              "THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
+         |    AS promo_revenue,
+         |  ${dsumExpr("l_extendedprice * (1 - l_discount)")} AS total_revenue
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE l_shipdate >= TIMESTAMP '1997-07-01'
+         |    AND l_shipdate < TIMESTAMP '1997-10-01')
+         |SELECT promo_revenue, total_revenue,
+         |100.0 * promo_revenue / total_revenue AS promo_pct
+         |FROM a""".stripMargin,
 
     "q101_orc_roundtrip" ->
       s"""SELECT l_returnflag, ${dsum("l_quantity")} AS sum_qty,

@@ -249,6 +249,24 @@ class GovernanceSpec extends SparkSpec {
     assert(viaHeap.nonEmpty)
   }
 
+  test("pqEncodeWithBook equals the build's own code assignment exactly") {
+    // the frozen-book encoder (per-partition JVM loop, the streaming
+    // path) must reproduce the build's min_by assignment bit-for-bit —
+    // same micros quantization, same integer L2, same (dist, cent_id)
+    // tie-break via dense code_ix order
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (cents, codes) = Similarity.pqBuild(
+      emb, "vec_id", "embedding", m = 8, kSub = 16, iters = 2, dim = 64)
+    val book = Similarity.pqDenseCodebook(cents)
+    val built = Similarity.pqPackCodes(codes, book).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    val enc = Similarity.pqEncodeWithBook(emb, book, "vec_id", "embedding",
+        m = 8, kSub = 16, dim = 64).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    assert(enc == built)
+    assert(enc.nonEmpty)
+  }
+
   test("shardExport: deterministic order, one file per shard, one exchange") {
     val out = "/tmp/graft_spec_shards"
     val docs = (1L to 200L).toDF("doc_id")
