@@ -103,7 +103,13 @@ object ScaleRehearsal {
     // blue/green compaction (q205's loop through the view swap), and
     // PNG decode (scan-shaped: inflate + de-filter per payload)
     "q212_pq_index", "q213_ivfadc", "q215_decontaminate_strip",
-    "q216_compact_pingpong", "q217_image_dhash_png")
+    "q216_compact_pingpong", "q217_image_dhash_png",
+    // round-11 second wave: residual IVFADC (a third Lloyd on residual
+    // rows on top of q213's two), the two-encodings recall audit (its
+    // brute leg is queries × corpus — the known audit-job shape), and
+    // the streaming PQ maintenance loop (train + persist + in-stream
+    // encode + append + whole-table read-back)
+    "q218_ivfadc_residual", "q219_adc_recall", "q221_stream_pq_encode")
 
   def main(args: Array[String]): Unit = {
     val small = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
