@@ -52,6 +52,25 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("MinKPairsAgg heap keeps the k smallest pairs, insertion-order independent") {
+    val rnd = new scala.util.Random(77)
+    for (_ <- 1 to 50) {
+      val n = 1 + rnd.nextInt(300)
+      val k = 1 + rnd.nextInt(20)
+      // coarse values force ties; unique ids make the expected set total
+      val pairs = (1 to n).map(i => (rnd.nextInt(40).toLong, i.toLong))
+      val expect = pairs.sorted.take(k)
+      def run(ps: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+        val h = new graft.catalyst.MinKPairsAgg.PairHeap(k)
+        ps.foreach { case (v, id) => h.offer(v, id) }
+        val (vs, ids) = h.sortedAsc()
+        vs.zip(ids).toSeq
+      }
+      assert(run(pairs) == expect)
+      assert(run(rnd.shuffle(pairs)) == expect)
+    }
+  }
+
   test("MinHash permutation coefficients stay within the field") {
     import graft.functions.Dedup.{aCoef, bCoef, P}
     (0 until 64).foreach { i =>

@@ -79,6 +79,33 @@ class WebSpec extends SparkSpec {
       (None, 1L, 1L)))           // the parser's error budget stays visible
   }
 
+  test("canonicalizeUrl is idempotent over randomized messy URLs") {
+    // canon(canon(u)) == canon(u): the canonical form must be a fixed
+    // point — a second pass finding more to normalize means the dedup
+    // key depends on HOW MANY times a pipeline canonicalized, which
+    // silently splits groups between ingest paths
+    val rnd = new scala.util.Random(1234)
+    val schemes = Seq("http", "HTTP", "https", "ftp", "mailto:x@y", "")
+    val hosts = Seq("Example.COM", "www.site.org", "a.b.c", "xn--BCHER-kva.de",
+      "site.org:8080", "site.org:80", "site.org:443")
+    val paths = Seq("", "/", "/A/b/", "/a%2fb", "/p%zz", "/trail%", "/x/y")
+    val queries = Seq("", "?b=2&a=1", "?utm_source=x&a=1", "?q=wh?at&z=1",
+      "?next=https://other.com/p", "?x=%3d1&y=%2F", "?gclid=1", "?a=&b=1")
+    val frags = Seq("", "#sec", "#a?b=1")
+    val urls = (1 to 400).map { _ =>
+      val s = schemes(rnd.nextInt(schemes.length))
+      val sep = if (rnd.nextBoolean()) "://" else ":"
+      s + sep + hosts(rnd.nextInt(hosts.length)) +
+        paths(rnd.nextInt(paths.length)) +
+        queries(rnd.nextInt(queries.length)) + frags(rnd.nextInt(frags.length))
+    } :+ "not a url at all" :+ "://x" :+ ""
+    val df = urls.toDF("u")
+      .select(Web.canonicalizeUrl(col("u")).as("c1"))
+      .select(col("c1"), Web.canonicalizeUrl(col("c1")).as("c2"))
+    val bad = df.filter(!(col("c1") <=> col("c2"))).collect()
+    assert(bad.isEmpty, s"non-idempotent canon: ${bad.take(5).mkString("; ")}")
+  }
+
   test("urlDedup: messy variants of one URL collapse to min id") {
     val df = Seq(
       (1L, "http://www.A.com/p/?b=2&a=1"),
