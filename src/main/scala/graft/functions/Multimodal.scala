@@ -435,6 +435,231 @@ object Multimodal {
     Some((w, h, px))
   }
 
+  /** GIF (87a/89a) encoding of a grayscale grid with REAL LZW
+    * compression — the second COMPRESSED container (after [[encodePng]])
+    * under the q201 deterministic-pixel oracle trick. The global color
+    * table is the 256-entry gray ramp, so palette index == gray value
+    * and the decoder's palette mapping is the identity on this fixture
+    * (the decoder still maps through the table — LCT/colored-GCT specs
+    * exercise the non-identity path). The compressor builds a genuine
+    * string table with code-width growth and mid-stream CLEAR resets
+    * (not the degenerate literals-only stream the spec permits), so
+    * gates prove the decoder's dictionary RECONSTRUCTION, including the
+    * deferred width bump and the cScSc corner.
+    * `interlaced = true` writes rows in the 4-pass GIF interlace order. */
+  def encodeGif(px: Array[Int], w: Int, h: Int,
+                interlaced: Boolean = false): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    @inline def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    le16(w); le16(h)
+    out.write(0xf7) // GCT present, 8 bits/channel, 256 entries
+    out.write(0); out.write(0)
+    var i = 0
+    while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
+    out.write(0x2c) // image descriptor: full frame, GCT, maybe interlaced
+    le16(0); le16(0); le16(w); le16(h)
+    out.write(if (interlaced) 0x40 else 0x00)
+    val minCode = 8
+    out.write(minCode)
+    // pixel emission order: raster rows, or interlace passes 8/0 8/4 4/2 2/1
+    val rows: Array[Int] =
+      if (!interlaced) Array.tabulate(h)(identity)
+      else (Range(0, h, 8) ++ Range(4, h, 8) ++ Range(2, h, 4) ++
+        Range(1, h, 2)).toArray
+    // GIF-variant LZW: 9-bit codes growing to 12, clear=256 eoi=257,
+    // width bumps AFTER the first entry of the wider range is assigned
+    // (next > 1<<codeSize), table-full → CLEAR + reset
+    val clear = 1 << minCode; val eoi = clear + 1
+    var codeSize = minCode + 1; var next = eoi + 1
+    val dict = new java.util.HashMap[Integer, Integer]()
+    val data = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L; var nBits = 0
+    def emit(code: Int): Unit = {
+      bitBuf |= code.toLong << nBits; nBits += codeSize
+      while (nBits >= 8) { data.write((bitBuf & 0xff).toInt); bitBuf >>= 8; nBits -= 8 }
+    }
+    emit(clear)
+    var cur = -1
+    var r = 0
+    while (r < h) {
+      val row = rows(r)
+      var c = 0
+      while (c < w) {
+        val k = px(row * w + c) & 0xff
+        if (cur < 0) cur = k
+        else {
+          val key = Integer.valueOf((cur << 8) | k)
+          val hit = dict.get(key)
+          if (hit != null) cur = hit.intValue()
+          else {
+            emit(cur)
+            if (next < 4096) {
+              dict.put(key, Integer.valueOf(next)); next += 1
+              if (next > (1 << codeSize) && codeSize < 12) codeSize += 1
+            } else {
+              emit(clear)
+              dict.clear(); codeSize = minCode + 1; next = eoi + 1
+            }
+            cur = k
+          }
+        }
+        c += 1
+      }
+      r += 1
+    }
+    if (cur >= 0) emit(cur)
+    emit(eoi)
+    if (nBits > 0) data.write((bitBuf & 0xff).toInt)
+    // data sub-blocks of ≤ 255 bytes, zero-length terminator, trailer
+    val bytes = data.toByteArray
+    var off = 0
+    while (off < bytes.length) {
+      val n = math.min(255, bytes.length - off)
+      out.write(n); out.write(bytes, off, n); off += n
+    }
+    out.write(0); out.write(0x3b)
+    out.toByteArray
+  }
+
+  /** REAL GIF decode: LZW decompression with full dictionary semantics
+    * (deferred code-width growth, the cScSc first-char corner, CLEAR
+    * resets, table-full streams), 87a/89a, global or local color table
+    * (gray = (r + g + b) / 3), 4-pass interlace, extension blocks
+    * skipped, first image frame returned. Decompression-bomb guard as
+    * [[decodePngGray]]; truncated/corrupt payloads fail soft to None. */
+  def decodeGifGray(p: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (p.length < 13 || p(0) != 'G' || p(1) != 'I' || p(2) != 'F' ||
+        p(3) != '8' || (p(4) != '7' && p(4) != '9') || p(5) != 'a')
+      return None
+    @inline def u8(i: Int): Int = p(i) & 0xff
+    @inline def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    var i = 6
+    i += 4 // logical screen w/h: the frame descriptor's dims are used
+    val lsdPacked = u8(i); i += 3
+    var gct: Array[Int] = null
+    if ((lsdPacked & 0x80) != 0) {
+      val n = 1 << ((lsdPacked & 7) + 1)
+      if (i + n * 3 > p.length) return None
+      gct = Array.tabulate(n)(j =>
+        (u8(i + j * 3) + u8(i + j * 3 + 1) + u8(i + j * 3 + 2)) / 3)
+      i += n * 3
+    }
+    while (i < p.length) {
+      u8(i) match {
+        case 0x21 => // extension: label, then sub-blocks to a 0 terminator
+          i += 2
+          var len = if (i < p.length) u8(i) else return None
+          while (len != 0) {
+            i += 1 + len
+            if (i >= p.length) return None
+            len = u8(i)
+          }
+          i += 1
+        case 0x3b => return None // trailer before any image frame
+        case 0x2c =>
+          if (i + 10 > p.length) return None
+          val iw = le16(i + 5); val ih = le16(i + 7)
+          val packed = u8(i + 9)
+          i += 10
+          var pal = gct
+          if ((packed & 0x80) != 0) {
+            val n = 1 << ((packed & 7) + 1)
+            if (i + n * 3 > p.length) return None
+            pal = Array.tabulate(n)(j =>
+              (u8(i + j * 3) + u8(i + j * 3 + 1) + u8(i + j * 3 + 2)) / 3)
+            i += n * 3
+          }
+          if (pal == null || iw <= 0 || ih <= 0) return None
+          if (iw.toLong * ih > (1L << 24)) return None // bomb guard
+          val interlaced = (packed & 0x40) != 0
+          if (i >= p.length) return None
+          val minCode = u8(i); i += 1
+          if (minCode < 2 || minCode > 8) return None
+          val data = new java.io.ByteArrayOutputStream()
+          var len = if (i < p.length) u8(i) else return None
+          while (len != 0) {
+            if (i + 1 + len > p.length) return None
+            data.write(p, i + 1, len)
+            i += 1 + len
+            if (i >= p.length) return None
+            len = u8(i)
+          }
+          val d = data.toByteArray
+          val nPx = iw * ih
+          val idx = new Array[Int](nPx)
+          // LZW decode (mirror of the encoder's width/reset discipline)
+          val clear = 1 << minCode; val eoi = clear + 1
+          var codeSize = minCode + 1; var next = eoi + 1
+          val prefix = new Array[Int](4096); val suffix = new Array[Int](4096)
+          val stack = new Array[Int](4097)
+          var bitBuf = 0L; var nBits = 0; var di = 0; var outN = 0
+          var prev = -1; var prevFirst = 0
+          while (outN < nPx) {
+            while (nBits < codeSize) {
+              if (di >= d.length) return None // truncated stream
+              bitBuf |= (d(di) & 0xffL) << nBits; nBits += 8; di += 1
+            }
+            val code = (bitBuf & ((1L << codeSize) - 1)).toInt
+            bitBuf >>= codeSize; nBits -= codeSize
+            if (code == clear) {
+              codeSize = minCode + 1; next = eoi + 1; prev = -1
+            } else if (code == eoi) {
+              return None // EOI before the raster filled
+            } else if (prev < 0) {
+              if (code >= clear) return None // first code must be a root
+              idx(outN) = code; outN += 1
+              prev = code; prevFirst = code
+            } else {
+              var sp = 0
+              var cc = code
+              if (code == next) { stack(sp) = prevFirst; sp += 1; cc = prev }
+              else if (code > next) return None // corrupt: undefined code
+              while (cc >= clear + 2) {
+                stack(sp) = suffix(cc); sp += 1; cc = prefix(cc)
+              }
+              if (cc >= clear) return None
+              val first = cc
+              stack(sp) = cc; sp += 1
+              if (outN + sp > nPx) return None
+              while (sp > 0) { sp -= 1; idx(outN) = stack(sp); outN += 1 }
+              if (next < 4096) {
+                prefix(next) = prev; suffix(next) = first; next += 1
+                // the decoder's table lags the encoder's by ONE entry
+                // (it can only add after the next code arrives), so its
+                // width bump fires at next == 1<<codeSize where the
+                // encoder's fires at next == (1<<codeSize)+1 — the
+                // classic GIF-LZW asymmetry the round-trip spec pins
+                if (next == (1 << codeSize) && codeSize < 12) codeSize += 1
+              }
+              prev = code; prevFirst = first
+            }
+          }
+          // palette map (identity on the gray-ramp fixture, exercised by
+          // the colored-table specs); out-of-table index = corrupt
+          val px = new Array[Int](nPx)
+          var j = 0
+          while (j < nPx) {
+            val v = idx(j)
+            if (v >= pal.length) return None
+            px(j) = pal(v); j += 1
+          }
+          if (!interlaced) return Some((iw, ih, px))
+          val rows = (Range(0, ih, 8) ++ Range(4, ih, 8) ++
+            Range(2, ih, 4) ++ Range(1, ih, 2)).toArray
+          val out = new Array[Int](nPx)
+          var r = 0
+          while (r < ih) {
+            System.arraycopy(px, r * iw, out, rows(r) * iw, iw)
+            r += 1
+          }
+          return Some((iw, ih, out))
+        case _ => return None
+      }
+    }
+    None
+  }
+
   /** REAL binary-PGM (P5) decode: whitespace- and comment-tolerant
     * header, maxval ≤ 255, raw 8-bit samples. None for anything else. */
   def decodePgmGray(p: Array[Byte]): Option[(Int, Int, Array[Int])] = {
@@ -540,6 +765,7 @@ object Multimodal {
           else decodePgmGray(p).map(d => (d, "pgm"))
             .orElse(decodeBmpGray(p).map(d => (d, "bmp")))
             .orElse(decodePngGray(p).map(d => (d, "png")))
+            .orElse(decodeGifGray(p).map(d => (d, "gif")))
         dec match {
           case Some(((w, h, px), fmt)) =>
             Row(row.get(idIdx),
@@ -588,6 +814,27 @@ object Multimodal {
       it.map { row =>
         Row(row.getLong(idIdx),
           encodePng(synthPixels(row.getString(tIdx), 18, 14), 18, 14))
+      }
+    }(enc)
+  }
+
+  /** Gate-side GIF payload synthesis: text → a real LZW-COMPRESSED
+    * container (18×14 grayscale GIF; odd ids interlaced, so the gate
+    * exercises both row orders — decoded pixels are identical, which is
+    * exactly what lets one oracle cover both). */
+  def withSynthGifPayload(df: DataFrame, idCol: String,
+                          textCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("payload", BinaryType)))
+    val enc = Encoders.row(schema)
+    val idIdx = df.columns.indexOf(idCol)
+    val tIdx = df.columns.indexOf(textCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val id = row.getLong(idIdx)
+        Row(id, encodeGif(synthPixels(row.getString(tIdx), 18, 14), 18, 14,
+          interlaced = id % 2 == 1))
       }
     }(enc)
   }

@@ -3143,6 +3143,26 @@ object Extensions {
       MM.nearDupPairsFromHashes(verified)
     }),
 
+    // --- the q217 chain on an LZW-COMPRESSED container: 18×14 GIFs
+    // (odd ids interlaced), decoded by the real GIF/LZW parser. Same
+    // deterministic pixels ⇒ the q217 oracle covers it verbatim; what
+    // THIS gate adds is the LZW round-trip — dictionary reconstruction
+    // with deferred width growth, CLEAR resets, palette mapping and the
+    // interlace reorder — any decoder divergence breaks the hash chain.
+    "q222_image_dhash_gif" -> ((s, dir) => {
+      val MM = graft.functions.Multimodal
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val hashed = MM.dhashFromPayload(
+        MM.withSynthGifPayload(docs, "doc_id", "text"), "id", "payload")
+      val verified = hashed.select(
+        when(col("h").isNull || col("format") =!= "gif", raise_error(concat(
+          lit("q222: GIF payload for id "), col("id").cast("string"),
+          lit(" failed to decode as gif — LZW-parser regression"))))
+          .otherwise(col("h")).as("h"))
+      MM.nearDupPairsFromHashes(verified)
+    }),
+
     // --- adaptive SemDeDup behind an exact-duplicate collapse: the q181
     // guard's own remedy as a first-class operator. Identical vectors
     // share every sign bucket at ANY plane count, so exact replication
@@ -4466,6 +4486,42 @@ object Extensions {
     * `p` — L2 Lloyd, codes, query distance tables); scored pairs are
     * RESTRICTED to each query's probed lists via the lists⋈probes join,
     * exactly the pruning the Spark side's bucketed probe join applies. */
+  /** Shared oracle for the compressed-container dHash gates (q217 PNG,
+    * q222 GIF): both synthesize the SAME deterministic 18×14 grid from
+    * doc text, so one arithmetic replay of decode+resample+dHash+bands
+    * covers both codecs without the oracle touching zlib or LZW. */
+  private lazy val synthImageDhashOracle: String = {
+    val MM = graft.functions.Multimodal
+    val (w, bits) = (MM.DHashW, MM.DHashBits)
+    s"""WITH rp AS MATERIALIZED (
+       |  SELECT doc_id, list_transform(range(0, ${w * MM.DHashH}), i ->
+       |    CAST(${dTokHash(
+            "t[((36 * (i // 9) + 2 * (i % 9)) % len(t)) + 1]")} % 256 AS INTEGER)) AS p
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+       |rdh AS MATERIALIZED (
+       |  SELECT doc_id, list_reduce(
+       |    list_transform(range(${bits - 1}, -1, -1), i ->
+       |      CASE WHEN p[(i // ${w - 1}) * $w + (i % ${w - 1}) + 1]
+       |             < p[(i // ${w - 1}) * $w + (i % ${w - 1}) + 2]
+       |           THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END),
+       |    (acc, x) -> acc * 2 + x) AS h
+       |  FROM rp),
+       |icnt AS MATERIALIZED (
+       |  SELECT h, CAST(count(*) AS BIGINT) AS n FROM rdh GROUP BY 1),
+       |ib AS MATERIALIZED (
+       |  ${dhashBandSql("(SELECT h FROM icnt)")}),
+       |ipr AS MATERIALIZED (
+       |  SELECT DISTINCT a.h AS h1, b.h AS h2
+       |  FROM ib a JOIN ib b ON a.key = b.key AND a.h < b.h),
+       |isel AS (
+       |  SELECT h1, h2, CAST(bit_count(xor(h1, h2)) AS INTEGER) AS hamming
+       |  FROM ipr WHERE bit_count(xor(h1, h2)) <= 3)
+       |SELECT h1, h2, hamming, c1.n AS n1, c2.n AS n2
+       |FROM isel
+       |JOIN icnt c1 ON isel.h1 = c1.h
+       |JOIN icnt c2 ON isel.h2 = c2.h""".stripMargin
+  }
+
   private lazy val ivfAdcOracle: String =
     s"""WITH $ivfAssignCtes,
        |${pqCodeCtes("p")},
@@ -5107,41 +5163,14 @@ object Extensions {
          |JOIN icnt c2 ON isel.h2 = c2.h""".stripMargin
     },
 
-    // q217: the q201 chain with every doc on the 18×14 PNG source —
-    // the oracle recomputes the decoded + resampled grid arithmetically
-    // (36·row + 2·col nearest-neighbor index), never seeing zlib at all:
-    // the compression round-trip is exactly what the gate proves
-    "q217_image_dhash_png" -> {
-      val MM = graft.functions.Multimodal
-      val (w, bits) = (MM.DHashW, MM.DHashBits)
-      s"""WITH rp AS MATERIALIZED (
-         |  SELECT doc_id, list_transform(range(0, ${w * MM.DHashH}), i ->
-         |    CAST(${dTokHash(
-              "t[((36 * (i // 9) + 2 * (i % 9)) % len(t)) + 1]")} % 256 AS INTEGER)) AS p
-         |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
-         |rdh AS MATERIALIZED (
-         |  SELECT doc_id, list_reduce(
-         |    list_transform(range(${bits - 1}, -1, -1), i ->
-         |      CASE WHEN p[(i // ${w - 1}) * $w + (i % ${w - 1}) + 1]
-         |             < p[(i // ${w - 1}) * $w + (i % ${w - 1}) + 2]
-         |           THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END),
-         |    (acc, x) -> acc * 2 + x) AS h
-         |  FROM rp),
-         |icnt AS MATERIALIZED (
-         |  SELECT h, CAST(count(*) AS BIGINT) AS n FROM rdh GROUP BY 1),
-         |ib AS MATERIALIZED (
-         |  ${dhashBandSql("(SELECT h FROM icnt)")}),
-         |ipr AS MATERIALIZED (
-         |  SELECT DISTINCT a.h AS h1, b.h AS h2
-         |  FROM ib a JOIN ib b ON a.key = b.key AND a.h < b.h),
-         |isel AS (
-         |  SELECT h1, h2, CAST(bit_count(xor(h1, h2)) AS INTEGER) AS hamming
-         |  FROM ipr WHERE bit_count(xor(h1, h2)) <= 3)
-         |SELECT h1, h2, hamming, c1.n AS n1, c2.n AS n2
-         |FROM isel
-         |JOIN icnt c1 ON isel.h1 = c1.h
-         |JOIN icnt c2 ON isel.h2 = c2.h""".stripMargin
-    },
+    // q217/q222: the q201 chain with every doc on an 18×14 COMPRESSED
+    // source (PNG zlib / GIF LZW) — the oracle recomputes the decoded +
+    // resampled grid arithmetically (36·row + 2·col nearest-neighbor
+    // index), never seeing either codec: the compression round-trip is
+    // exactly what each gate proves, and identical decoded pixels are
+    // why ONE oracle covers both containers
+    "q217_image_dhash_png" -> synthImageDhashOracle,
+    "q222_image_dhash_gif" -> synthImageDhashOracle,
 
     // incremental SemDeDup: the day-2 verdict recomputed FROM SCRATCH
     // against day0+day1 (the q133 twin trick — the oracle has no index,

@@ -331,6 +331,72 @@ class FunctionsSpec extends SparkSpec {
     assert(both(0)._2 == both(1)._2)
   }
 
+  test("real GIF decode: LZW round-trip, code-width growth + CLEAR " +
+       "reset, cScSc corner, interlace, LCT, palette mapping, guards") {
+    import graft.functions.Multimodal
+    // round-trip at the resample source size (both row orders)
+    val px = Multimodal.synthPixels("alpha beta gamma delta epsilon", 18, 14)
+    assert(Multimodal.decodeGifGray(Multimodal.encodeGif(px, 18, 14))
+      .exists { case (w, h, p) => w == 18 && h == 14 && p.sameElements(px) })
+    assert(Multimodal.decodeGifGray(
+        Multimodal.encodeGif(px, 18, 14, interlaced = true))
+      .exists { case (w, h, p) => w == 18 && h == 14 && p.sameElements(px) })
+    // dictionary stress: 120×100 pseudo-random pixels force the string
+    // table through every width (9→12 bits) AND a table-full CLEAR
+    // reset — a pixel-exact round-trip pins the deferred-bump discipline
+    // on both sides (an early-change encoder or decoder shears here)
+    val big = Array.tabulate(120 * 100)(j => ((j * 2654435761L) >>> 7).toInt & 0xff)
+    assert(Multimodal.decodeGifGray(Multimodal.encodeGif(big, 120, 100))
+      .exists { case (w, h, p) => w == 120 && h == 100 && p.sameElements(big) })
+    // cScSc corner: a constant raster makes the decoder read a code
+    // EQUAL to its next unassigned slot on the second symbol
+    val flat = Array.fill(16 * 4)(42)
+    assert(Multimodal.decodeGifGray(Multimodal.encodeGif(flat, 16, 4))
+      .exists(_._3.sameElements(flat)))
+    // non-identity palette: rewrite the gray ramp so index i decodes to
+    // (2i + min(i+3,255))/3 — proves pixels go THROUGH the color table
+    val enc = Multimodal.encodeGif(px, 18, 14)
+    val remap = enc.clone()
+    for (i <- 0 until 256) {
+      remap(13 + i * 3 + 2) = math.min(i + 3, 255).toByte
+    }
+    val expected = px.map(v => (2 * v + math.min(v + 3, 255)) / 3)
+    assert(Multimodal.decodeGifGray(remap).exists(_._3.sameElements(expected)))
+    // local color table: move the 768-byte table after the image
+    // descriptor and flip the GCT/LCT flags — same decoded pixels
+    val gct = enc.slice(13, 13 + 768)
+    val desc = enc.slice(13 + 768, 13 + 768 + 10)
+    desc(9) = (desc(9) | 0x87).toByte // LCT present, 256 entries
+    val lsd = enc.slice(0, 13)
+    lsd(10) = (lsd(10) & 0x7f).toByte // GCT absent
+    val lct = lsd ++ desc ++ gct ++ enc.drop(13 + 768 + 10)
+    assert(Multimodal.decodeGifGray(lct).exists { case (w, h, p) =>
+      w == 18 && h == 14 && p.sameElements(px) })
+    // GIF87a accepted alongside 89a
+    val g87 = enc.clone(); g87(4) = '7'
+    assert(Multimodal.decodeGifGray(g87).exists(_._3.sameElements(px)))
+    // guards: truncated stream, non-GIF bytes, crafted 65535×65535
+    // descriptor (bomb guard), trailer-before-image all fail soft
+    assert(Multimodal.decodeGifGray(enc.take(enc.length - 10)).isEmpty)
+    assert(Multimodal.decodeGifGray("not a gif at all".getBytes).isEmpty)
+    val bomb = enc.clone()
+    bomb(13 + 768 + 5) = 0xff.toByte; bomb(13 + 768 + 6) = 0xff.toByte
+    bomb(13 + 768 + 7) = 0xff.toByte; bomb(13 + 768 + 8) = 0xff.toByte
+    assert(Multimodal.decodeGifGray(bomb).isEmpty)
+    assert(Multimodal.decodeGifGray(
+      "GIF89a".getBytes ++ Array[Byte](1, 0, 1, 0, 0, 0, 0, 0x3b)).isEmpty)
+    // dhashFromPayload routes GIF payloads through the real decoder and
+    // the hash equals the PGM path's over the same pixels
+    import spark.implicits._
+    val both2 = Multimodal.dhashFromPayload(Seq(
+        (1L, Multimodal.encodeGif(px, 18, 14, interlaced = true)),
+        (2L, Multimodal.encodePgm(px, 18, 14))).toDF("id", "payload"),
+      "id", "payload").collect().map(r => (r.getLong(0),
+        r.getLong(1), r.getString(2))).sortBy(_._1)
+    assert(both2(0)._3 == "gif" && both2(1)._3 == "pgm")
+    assert(both2(0)._2 == both2(1)._2)
+  }
+
   test("real PGM/BMP decode: byte-exact round-trips, comment-tolerant " +
        "headers, top-down BMP, and the 9×7 real path equals the stub " +
        "kernel hash") {
