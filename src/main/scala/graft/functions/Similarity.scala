@@ -1046,6 +1046,44 @@ object Similarity {
         col("pair.v").as("adc_dist"), (col("p") + 1).cast("int").as("rk"))
   }
 
+  /** TWO-STAGE dense serving: IVFADC recall feeding an EXACT re-rank of
+    * the survivors — the production recipe for closing PQ's
+    * quantization-error gap (Jégou et al. 2011 §V evaluates exactly this
+    * refinement step). Stage 1 keeps `rerankR ≥ k` candidates per query
+    * from the compressed codes scan (never touching a raw vector);
+    * stage 2 reads raw vectors for ONLY those candidates: the
+    * O(queries × R) candidate set BROADCASTS into the raw-vector scan
+    * (no corpus-side exchange — plan-asserted in the gate), distances
+    * are the exact integer squared-L2 in micro space, and final ranks
+    * move as MinKPairsAgg heap partials. At 100 TB the raw-vector read
+    * is R/|corpus| of a brute-force pass and column-pruned to (id, vec),
+    * which is why serving systems run recall wide and rank narrow. */
+  def ivfAdcRerankTopK(ivfCents: DataFrame, denseBook: DataFrame,
+                       ivfCodes: DataFrame, corpus: DataFrame,
+                       queries: DataFrame, idCol: String, vecCol: String,
+                       k: Int, rerankR: Int, nprobe: Int = 4, m: Int = 8,
+                       kSub: Int = 16, dim: Int = 64): DataFrame = {
+    require(rerankR >= k, s"ivfAdcRerankTopK: rerankR=$rerankR < k=$k")
+    val cands = ivfAdcQuery(ivfCents, denseBook, ivfCodes, queries, idCol,
+        vecCol, rerankR, nprobe, m, kSub, dim)
+      .select(col("query_id"), col("nn_id"))
+    val vecs = corpus
+      .select(col(idCol).as("nn_id"), qvecPq(col(vecCol)).as("nq"))
+      .join(broadcast(cands), Seq("nn_id"))
+    val exact = vecs.join(
+        broadcast(queries.select(col(idCol).as("query_id"),
+          qvecPq(col(vecCol)).as("qq"))),
+        Seq("query_id"))
+      .select(col("query_id"), col("nn_id"),
+        l2q(col("qq"), col("nq")).as("exact_dist"))
+    exact.groupBy(col("query_id"))
+      .agg(graft.catalyst.MinKPairsAgg(col("exact_dist"), col("nn_id"), k)
+        .as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("p", "pair")))
+      .select(col("query_id"), col("pair.id").as("nn_id"),
+        col("pair.v").as("exact_dist"), (col("p") + 1).cast("int").as("rk"))
+  }
+
   /** Encode vectors against a FROZEN dense codebook — the arrival-time
     * counterpart of [[pqBuild]] (which trains): a per-partition JVM loop
     * over a driver-collected codebook (m·kSub·dsub longs — KBs; the

@@ -3572,6 +3572,43 @@ object Extensions {
       df
     }),
 
+    // --- TWO-STAGE serving: IVFADC recall (compressed scan, 16
+    // candidates/query) + EXACT re-rank of only those survivors against
+    // raw vectors — the refinement step that closes PQ's quantization
+    // gap in every production ANN stack. The raw-vector leg is plan-
+    // asserted exchange-free: the O(queries × R) candidate set
+    // broadcasts INTO the vector scan, so at 100 TB stage 2 reads
+    // R/|corpus| of the raw bytes instead of re-running brute force.
+    "q223_ivfadc_rerank" -> ((s, dir) => {
+      val (centsT, bookT, codesT) = (stagedTable("graft_q223_ivf_cents"),
+        stagedTable("graft_q223_pq_book"), stagedTable("graft_q223_ivf_codes"))
+      Seq(centsT, bookT, codesT)
+        .foreach(graft.queries.Tables.dropStagedTable(s, _))
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val (ivfCents, lists) = Similarity.ivfKMeansBuild(
+        e, "vec_id", "embedding", nlist = 16, iters = 2)
+      val (pqCents, codes) = Similarity.pqBuild(
+        e, "vec_id", "embedding", m = 8, kSub = 16, iters = 2, dim = 64)
+      val book = Similarity.pqDenseCodebook(pqCents)
+      ivfCents.write.mode("overwrite").saveAsTable(centsT)
+      book.write.mode("overwrite").saveAsTable(bookT)
+      val ivfCodes = lists.select(col("nn_id"), col("cent"))
+        .join(Similarity.pqPackCodes(codes, book), Seq("nn_id"))
+      graft.sources.BucketedTap(codesT, 8, Seq("cent"))
+        .write(ivfCodes, graft.sources.SinkMode.Replace)
+      val df = Similarity.ivfAdcRerankTopK(s.table(centsT), s.table(bookT),
+        s.table(codesT), e, e.filter(col("vec_id") < 8), "vec_id",
+        "embedding", k = 5, rerankR = 16, nprobe = 4, m = 8, kSub = 16,
+        dim = 64)
+      val plan = df.queryExecution.executedPlan.toString
+      require(!plan.contains("Exchange hashpartitioning(cent"),
+        "probed ADC must never exchange the corpus-sized codes side")
+      require(!plan.contains("Exchange hashpartitioning(nn_id"),
+        "candidates must broadcast into the raw-vector scan and top-k " +
+          "move as heap partials — never a corpus-side row exchange")
+      df
+    }),
+
     // --- RESIDUAL-encoded IVFADC (the paper's §III.A formulation,
     // refining q213's raw-vector variant): each vector PQ-encodes its
     // residual from the assigned coarse centroid, so the shared
@@ -4546,6 +4583,48 @@ object Extensions {
        |    ORDER BY adc_dist ASC, nn_id ASC) AS INTEGER) AS rk
        |  FROM scored) WHERE rk <= 5""".stripMargin
 
+  /** Two-stage oracle: the q213 ADC chain widened to 16 candidates,
+    * then the exact integer full-vector squared-L2 re-rank over ONLY
+    * those (query, candidate) pairs — qbase carries the micro-quantized
+    * vectors both legs share. */
+  private lazy val ivfAdcRerankOracle: String =
+    s"""WITH $ivfAssignCtes,
+       |${pqCodeCtes("p")},
+       |probes AS (
+       |  SELECT query_id, cent FROM (
+       |    SELECT b.nn_id AS query_id, c.cent_id AS cent,
+       |    row_number() OVER (PARTITION BY b.nn_id
+       |      ORDER BY ${dCos("b.q", "c.cent_q")} DESC, c.cent_id ASC) AS rn
+       |    FROM qbase b CROSS JOIN c2 c WHERE b.nn_id < 8) WHERE rn <= 4),
+       |scored AS (
+       |  SELECT t.query_id, codes.nn_id, CAST(sum(t.d) AS BIGINT) AS adc_dist
+       |  FROM codes
+       |  JOIN lists ON codes.nn_id = lists.nn_id
+       |  JOIN probes ON lists.cent = probes.cent
+       |  JOIN t ON codes.sub = t.sub AND codes.code = t.cent_id
+       |        AND t.query_id = probes.query_id
+       |  WHERE codes.nn_id <> t.query_id
+       |  GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT query_id, nn_id FROM (
+       |    SELECT query_id, nn_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc_dist ASC, nn_id ASC) AS rk
+       |    FROM scored) WHERE rk <= 16),
+       |ex AS (
+       |  SELECT c.query_id, c.nn_id,
+       |  CAST(list_sum(list_transform(range(1, 65),
+       |    i -> (qq.q[i] - nq.q[i]) * (qq.q[i] - nq.q[i]))) AS BIGINT)
+       |    AS exact_dist
+       |  FROM cand c
+       |  JOIN qbase qq ON qq.nn_id = c.query_id
+       |  JOIN qbase nq ON nq.nn_id = c.nn_id)
+       |SELECT query_id, nn_id, exact_dist, rk FROM (
+       |  SELECT query_id, nn_id, exact_dist,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY exact_dist ASC, nn_id ASC) AS INTEGER) AS rk
+       |  FROM ex) WHERE rk <= 5""".stripMargin
+
   private lazy val ivfKMeansOracle: String = {
     s"""WITH $ivfAssignCtes,
        |probes AS (
@@ -4924,6 +5003,7 @@ object Extensions {
     // the window-form oracle is shared verbatim
     "q212_pq_index" -> pqAdcOracle,
     "q213_ivfadc" -> ivfAdcOracle,
+    "q223_ivfadc_rerank" -> ivfAdcRerankOracle,
     "q218_ivfadc_residual" -> ivfPqResidualOracle,
     // q221: the whole maintained codes table (day-0 build + streamed
     // arrival appends) recomputed from scratch — every vector encoded
