@@ -1046,6 +1046,79 @@ object Similarity {
         col("pair.v").as("adc_dist"), (col("p") + 1).cast("int").as("rk"))
   }
 
+  /** SCALAR (int8) quantization build — the 4× point on the
+    * dense-serving compression spectrum (PQ is the 32× point with ADC
+    * error; SQ8 keeps per-dimension resolution so symmetric distances
+    * track exact ranks much more closely). Per-dimension affine map over
+    * the micro-quantized longs: `code_d = floor((x_d − lo_d)·255 /
+    * max(hi_d − lo_d, 1))` ∈ [0, 255] — exact integer arithmetic both
+    * engines replay (the numerator stays < 2^53, so the floor of the
+    * IEEE quotient equals integer floor-division). The bounds come from
+    * ONE min/max aggregate (an O(dim) driver carry, the Lloyd-barrier
+    * discipline) and the encode itself is SCAN-LOCAL — no shuffle at
+    * any corpus size. Returns (bounds `(pos, lo, hi)` — the dim-row
+    * stored artifact, codes `(nn_id, codes array<int>)` — 1 byte/dim at
+    * rest). */
+  def sq8Build(corpus: DataFrame, idCol: String, vecCol: String,
+               dim: Int = 64): (DataFrame, DataFrame) = {
+    val qb = corpus.select(col(idCol).as("nn_id"), qvecPq(col(vecCol)).as("q"))
+    val bounds = qb.select(posexplode(col("q")).as(Seq("pos", "v")))
+      .groupBy(col("pos"))
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+    val rows = bounds.orderBy(col("pos")).collect()
+    require(rows.length == dim,
+      s"sq8Build: expected $dim dimensions, saw ${rows.length}")
+    val lo = rows.map(_.getLong(1)).toSeq
+    val hi = rows.map(_.getLong(2)).toSeq
+    val codes = qb.select(col("nn_id"), sq8Quantize(col("q"), lo, hi).as("codes"))
+    (bounds, codes)
+  }
+
+  /** The scan-local SQ8 encoder: micro-quantized vector → int8 codes
+    * against broadcast per-dimension bounds (as literal arrays — the
+    * Column-expression twin of a broadcast variable). */
+  private def sq8Quantize(v: Column, lo: Seq[Long], hi: Seq[Long]): Column = {
+    val loC = typedLit(lo); val hiC = typedLit(hi)
+    transform(sequence(lit(1), lit(lo.length)), i =>
+      floor((element_at(v, i) - element_at(loC, i)).cast("double") * 255.0 /
+          greatest(element_at(hiC, i) - element_at(loC, i), lit(1L))
+            .cast("double"))
+        .cast("int"))
+  }
+
+  /** SQ8 top-k serving: queries quantize against the SAME stored bounds
+    * (symmetric quantization — both sides live in code space, so the
+    * distance is an exact integer both engines replay), the codes scan
+    * is brute-force but 4×-compressed and exchange-free (query codes
+    * broadcast in), and ranks move as MinKPairsAgg heap partials —
+    * O(queries × k) rows on the only shuffle. The 100 TB shape: this is
+    * the un-pruned baseline PQ/IVF refine; it exists because at modest
+    * corpus sizes (or as a re-rank stage) SQ8's rank fidelity beats
+    * ADC's and its scan cost is still 4× under raw. */
+  def sq8TopK(bounds: DataFrame, codes: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              dim: Int = 64): DataFrame = {
+    val rows = bounds.orderBy(col("pos")).collect()
+    require(rows.length == dim,
+      s"sq8TopK: bounds table has ${rows.length} rows, expected $dim")
+    val lo = rows.map(_.getLong(1)).toSeq
+    val hi = rows.map(_.getLong(2)).toSeq
+    val qs = queries.select(col(idCol).as("query_id"),
+      sq8Quantize(qvecPq(col(vecCol)), lo, hi).as("qc"))
+    val scored = codes.crossJoin(broadcast(qs))
+      .filter(col("nn_id") =!= col("query_id"))
+      .select(col("query_id"), col("nn_id"),
+        aggregate(zip_with(col("qc"), col("codes"),
+            (a, b) => (a - b).cast("long") * (a - b).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("sq_dist"))
+    scored.groupBy(col("query_id"))
+      .agg(graft.catalyst.MinKPairsAgg(col("sq_dist"), col("nn_id"), k)
+        .as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("p", "pair")))
+      .select(col("query_id"), col("pair.id").as("nn_id"),
+        col("pair.v").as("sq_dist"), (col("p") + 1).cast("int").as("rk"))
+  }
+
   /** TWO-STAGE dense serving: IVFADC recall feeding an EXACT re-rank of
     * the survivors — the production recipe for closing PQ's
     * quantization-error gap (Jégou et al. 2011 §V evaluates exactly this

@@ -3609,6 +3609,34 @@ object Extensions {
       df
     }),
 
+    // --- SCALAR (int8) quantization top-k: the 4× compression point on
+    // the dense-serving spectrum (PQ/ADC is the 32× point) — symmetric
+    // code-space distances, so ranks are exact integers both engines
+    // replay. Bounds and codes are STORED artifacts (dim-row table +
+    // bucketed codes tap — the q212 discipline, not an in-query
+    // rebuild); the serving scan is exchange-free with query codes
+    // broadcast in and MinKPairsAgg heap partials as the only shuffle.
+    "q224_sq8_topk" -> ((s, dir) => {
+      val (boundsT, codesT) = (stagedTable("graft_q224_sq8_bounds"),
+        stagedTable("graft_q224_sq8_codes"))
+      Seq(boundsT, codesT).foreach(graft.queries.Tables.dropStagedTable(s, _))
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val (bounds, codes) =
+        Similarity.sq8Build(e, "vec_id", "embedding", dim = 64)
+      bounds.write.mode("overwrite").saveAsTable(boundsT)
+      graft.sources.BucketedTap(codesT, 8, Seq("nn_id"))
+        .write(codes, graft.sources.SinkMode.Replace)
+      val df = Similarity.sq8TopK(s.table(boundsT), s.table(codesT),
+        e.filter(col("vec_id") < 8), "vec_id", "embedding", k = 5, dim = 64)
+      val plan = df.queryExecution.executedPlan.toString
+      require(!plan.contains("Window"),
+        "SQ8 serving must not window-sort the corpus")
+      require(!plan.contains("Exchange hashpartitioning(nn_id"),
+        "codes side must never exchange — query codes broadcast in, " +
+          "top-k moves as heap partials")
+      df
+    }),
+
     // --- RESIDUAL-encoded IVFADC (the paper's §III.A formulation,
     // refining q213's raw-vector variant): each vector PQ-encodes its
     // residual from the assigned coarse centroid, so the shared
@@ -5004,6 +5032,39 @@ object Extensions {
     "q212_pq_index" -> pqAdcOracle,
     "q213_ivfadc" -> ivfAdcOracle,
     "q223_ivfadc_rerank" -> ivfAdcRerankOracle,
+
+    // q224: the whole SQ8 chain replayed arithmetically — per-dim
+    // min/max bounds, affine int8 codes (// = floor division over
+    // non-negative numerators, matching Spark's exact floor), symmetric
+    // code-space distances, (dist, nn_id) ranks
+    "q224_sq8_topk" ->
+      s"""WITH qb AS MATERIALIZED (
+         |  SELECT vec_id AS nn_id, list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |bnd AS MATERIALIZED (
+         |  SELECT list(lo ORDER BY pos) AS lo, list(hi ORDER BY pos) AS hi
+         |  FROM (
+         |    SELECT pos, min(v) AS lo, max(v) AS hi FROM (
+         |      SELECT unnest(q) AS v, unnest(range(1, len(q) + 1)) AS pos
+         |      FROM qb)
+         |    GROUP BY 1)),
+         |sc AS MATERIALIZED (
+         |  SELECT nn_id, list_transform(range(1, 65),
+         |    i -> ((q[i] - lo[i]) * 255) // greatest(hi[i] - lo[i], 1)) AS c
+         |  FROM qb CROSS JOIN bnd),
+         |qs AS (SELECT nn_id AS query_id, c AS qc FROM sc WHERE nn_id < 8),
+         |d AS (
+         |  SELECT qs.query_id, sc.nn_id,
+         |    CAST(list_sum(list_transform(range(1, 65),
+         |      i -> (qs.qc[i] - sc.c[i]) * (qs.qc[i] - sc.c[i])))
+         |      AS BIGINT) AS sq_dist
+         |  FROM sc CROSS JOIN qs WHERE sc.nn_id <> qs.query_id)
+         |SELECT query_id, nn_id, sq_dist, rk FROM (
+         |  SELECT query_id, nn_id, sq_dist,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY sq_dist ASC, nn_id ASC) AS INTEGER) AS rk
+         |  FROM d) WHERE rk <= 5""".stripMargin,
     "q218_ivfadc_residual" -> ivfPqResidualOracle,
     // q221: the whole maintained codes table (day-0 build + streamed
     // arrival appends) recomputed from scratch — every vector encoded

@@ -331,6 +331,29 @@ class FunctionsSpec extends SparkSpec {
     assert(both(0)._2 == both(1)._2)
   }
 
+  test("sq8 scalar quantization: boundary codes exact (lo→0, hi→255), " +
+       "midpoint floors, constant-dimension span guard") {
+    import spark.implicits._
+    import graft.functions.Similarity
+    val df = Seq(
+      (0L, Array(0.0f, -1.0f, 5.0f)),
+      (1L, Array(1.0f, 1.0f, 5.0f)),
+      (2L, Array(0.5f, 0.0f, 5.0f))).toDF("vec_id", "embedding")
+    val (bounds, codes) = Similarity.sq8Build(df, "vec_id", "embedding", 3)
+    val m = codes.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // dim 0 spans [0, 1e6]: lo encodes to 0, hi to 255, midpoint floors
+    assert(m(0L)(0) == 0 && m(1L)(0) == 255 && m(2L)(0) == 127)
+    // dim 1 spans [-1e6, 1e6]: negative lows shift, never go negative
+    assert(m(0L)(1) == 0 && m(1L)(1) == 255 && m(2L)(1) == 127)
+    // dim 2 is constant: span-0 guard (greatest(hi-lo, 1)) → all zeros
+    assert(Seq(0L, 1L, 2L).forall(id => m(id)(2) == 0))
+    // bounds table carries the artifact the serving phase re-reads
+    val b = bounds.orderBy("pos").collect().map(r =>
+      (r.getLong(1), r.getLong(2)))
+    assert(b.sameElements(Array((0L, 1000000L), (-1000000L, 1000000L),
+      (5000000L, 5000000L))))
+  }
+
   test("real GIF decode: LZW round-trip, code-width growth + CLEAR " +
        "reset, cScSc corner, interlace, LCT, palette mapping, guards") {
     import graft.functions.Multimodal
