@@ -957,6 +957,95 @@ object Relational {
       .withColumn("promo_pct",
         lit(100.0) * col("promo_revenue") / col("total_revenue"))),
 
+    // TPC-H Q7 shape (volume shipping): the SAME dimension joined TWICE
+    // under different roles (supplier nation / customer nation — rename
+    // disambiguates the second n_nationkey before the lowering's
+    // collision check), a DISJUNCTIVE cross-nation predicate that can
+    // only apply after both sides are bound, and a derived group key
+    // (year extract via ExpressionFunction). Facts meet in shuffle
+    // coGroups; both nation decorations broadcast. Nation-key GROUPS
+    // stand in for the spec's two named nations (the synthetic data has
+    // no FRANCE/GERMANY traffic pair at small SFs).
+    "q225_tpch_q7" -> ((s, dir) => Flow.toDF(
+      P(dir, "lineitem")
+        .retain("l_orderkey", "l_suppkey", "l_shipdate",
+          "l_extendedprice", "l_discount")
+        .coGroup(Seq("l_orderkey"),
+          P(dir, "orders").retain("o_orderkey", "o_custkey"),
+          Seq("o_orderkey"))
+        .hashJoin(Seq("l_suppkey"),
+          P(dir, "supplier").retain("s_suppkey", "s_nationkey"),
+          Seq("s_suppkey"))
+        .coGroup(Seq("o_custkey"),
+          P(dir, "customer").retain("c_custkey", "c_nationkey"),
+          Seq("c_custkey"))
+        .filterBy(SqlFilter(
+          "(s_nationkey < 5 and c_nationkey >= 20) or " +
+            "(s_nationkey >= 20 and c_nationkey < 5)"))
+        .hashJoin(Seq("s_nationkey"),
+          P(dir, "nation").retain("n_nationkey", "n_name")
+            .rename("n_name" -> "supp_nation"),
+          Seq("n_nationkey"))
+        .hashJoin(Seq("c_nationkey"),
+          P(dir, "nation").retain("n_nationkey", "n_name")
+            .rename("n_name" -> "cust_nation",
+              "n_nationkey" -> "n2_nationkey"),
+          Seq("n2_nationkey"))
+        .each(ExpressionFunction("l_year", "year(l_shipdate)", IntegerType),
+          args = FieldSelector.All, out = FieldSelector.All)
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .every(Aggs.agg("volume", xsum("l_extendedprice * (1 - l_discount)")),
+               Aggs.count("n_items"))
+        .orderBy("supp_nation" -> true, "cust_nation" -> true,
+          "l_year" -> true))(s)),
+
+    // TPC-H Q13 shape (customer distribution): LEFT OUTER against a
+    // FILTERED fact (the filter is what makes the null leg real — every
+    // customer has some order, ~18% have no 1-URGENT order), a count
+    // that must SKIP outer-join nulls (count(col), not count(*)), and a
+    // second aggregate OVER the first's result — the two-level
+    // "histogram of group sizes" plan. Shuffles: one outer coGroup on
+    // the customer key + one tiny exchange on the count value.
+    "q226_tpch_q13" -> ((s, dir) => Flow.toDF(
+      P(dir, "customer").retain("c_custkey")
+        .coGroup(Seq("c_custkey"),
+          P(dir, "orders")
+            .filterBy(SqlFilter("o_orderpriority = '1-URGENT'"))
+            .retain("o_orderkey", "o_custkey"),
+          Seq("o_custkey"), joiner = Joiner.Left)
+        .groupBy("c_custkey")
+        .every(Aggs.sql("c_count", "count(o_orderkey)"))
+        .groupBy("c_count")
+        .every(Aggs.count("custdist"))
+        .orderBy("custdist" -> false, "c_count" -> false))(s)),
+
+    // TPC-H Q22 shape (global sales opportunity): a SCALAR subquery
+    // (global average over a filtered scan — exact-micros sum / count,
+    // one IEEE div, the q124 avg discipline) broadcast into the full
+    // scan as a 1-row cross, then an ANTI join against recent orders
+    // (the "has no orders since" leg; the anti side is a date slice
+    // projected to its key column — dim-sized, so it broadcasts), and a
+    // per-nation count/sum. Both engines compute the IDENTICAL
+    // threshold double, so the > comparison selects the same rows.
+    "q227_tpch_q22" -> ((s, dir) => Flow.toDF(
+      P(dir, "customer")
+        .cross(
+          P(dir, "customer").filterBy(SqlFilter("c_acctbal > 0"))
+            .retain("c_acctbal").rename("c_acctbal" -> "pos_bal")
+            .groupAll
+            .every(Aggs.agg("sum_bal", xsum("pos_bal")),
+                   Aggs.count("n_pos")))
+        .filterBy(SqlFilter("c_acctbal > sum_bal / n_pos"))
+        .hashJoin(Seq("c_custkey"),
+          P(dir, "orders")
+            .filterBy(SqlFilter("o_orderdate >= timestamp '2001-01-01'"))
+            .retain("o_custkey"),
+          Seq("o_custkey"), joiner = Joiner.LeftAnti)
+        .groupBy("c_nationkey")
+        .every(Aggs.count("numcust"),
+               Aggs.agg("totacctbal", xsum("c_acctbal")))
+        .orderBy("c_nationkey" -> true))(s)),
+
     // ORC columnar round-trip under the gate (q60/q62 pattern: write the
     // staged format, read it back, aggregate — the oracle computes the
     // same aggregate from the parquet source, so a type or value
@@ -1386,6 +1475,51 @@ object Relational {
          |SELECT promo_revenue, total_revenue,
          |100.0 * promo_revenue / total_revenue AS promo_pct
          |FROM a""".stripMargin,
+
+    "q225_tpch_q7" ->
+      s"""SELECT supp_nation, cust_nation, l_year,
+         |${dsumExpr("l_extendedprice * (1 - l_discount)")} AS volume,
+         |count(*) AS n_items
+         |FROM (
+         |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |    CAST(year(l_shipdate) AS INTEGER) AS l_year,
+         |    l_extendedprice, l_discount
+         |  FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |  WHERE (s_nationkey < 5 AND c_nationkey >= 20)
+         |     OR (s_nationkey >= 20 AND c_nationkey < 5))
+         |GROUP BY 1, 2, 3
+         |ORDER BY 1, 2, 3""".stripMargin,
+
+    "q226_tpch_q13" ->
+      s"""WITH pc AS (
+         |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+         |  FROM customer LEFT JOIN (
+         |    SELECT o_orderkey, o_custkey FROM orders
+         |    WHERE o_orderpriority = '1-URGENT') o
+         |  ON c_custkey = o_custkey
+         |  GROUP BY 1)
+         |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+         |FROM pc GROUP BY 1
+         |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q227_tpch_q22" ->
+      s"""WITH t AS (
+         |  SELECT ${dsum("c_acctbal")} / count(*) AS avg_bal
+         |  FROM customer WHERE c_acctbal > 0)
+         |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+         |${dsum("c_acctbal")} AS totacctbal
+         |FROM customer CROSS JOIN t
+         |WHERE c_acctbal > avg_bal
+         |  AND c_custkey NOT IN (
+         |    SELECT o_custkey FROM orders
+         |    WHERE o_orderdate >= TIMESTAMP '2001-01-01')
+         |GROUP BY 1
+         |ORDER BY 1""".stripMargin,
 
     "q101_orc_roundtrip" ->
       s"""SELECT l_returnflag, ${dsum("l_quantity")} AS sum_qty,
