@@ -79,13 +79,25 @@ final case class CsvTap(
     delimiter: String = ",",
     header: Boolean = false,
     schema: Option[StructType] = None,
-    quote: String = "\"") extends Tap {
+    quote: String = "\"",
+    strict: Boolean = false,
+    safe: Boolean = true) extends Tap {
   def read(spark: SparkSession): DataFrame = read(spark, Map.empty)
   override def read(spark: SparkSession, options: Map[String, String]): DataFrame = {
+    // Cascading TextDelimited's two tolerance knobs
+    // (cascading.scheme.util.DelimitedParser): `strict` = a line whose
+    // token count differs from the declared fields fails the flow;
+    // `safe` = a token that fails type coercion becomes null instead of
+    // failing. Spark's CSV parser folds both failure classes into its
+    // parse mode, so either strictness demand maps to FAILFAST and the
+    // tolerant default to PERMISSIVE (short rows pad with null, extra
+    // tokens drop, bad coercions null — upstream's non-strict+safe).
+    val mode = if (strict || !safe) "FAILFAST" else "PERMISSIVE"
     val r = spark.read
       .option("delimiter", delimiter)
       .option("header", header.toString)
       .option("quote", quote)
+      .option("mode", mode)
       .options(options) // per-pipe ConfigDef overrides win
     schema match {
       case Some(s) => r.schema(s).csv(path)

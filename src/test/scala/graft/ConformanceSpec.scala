@@ -1943,4 +1943,155 @@ class ConformanceSpec extends SparkSpec {
     val u = a.merge(b).unique()
     assert(rows(u) == Set(Seq(1, "a"), Seq(2, "b"), Seq(3, "c")))
   }
+
+  // RegressionPipesPlatformTest.testComplexLogicAnd: And removes a row
+  // only when EVERY child filter would remove it (children scoped to
+  // different fields — the expression form scopes by name).
+  test("And filter removes only rows ALL children would remove") {
+    val p = pipe(lower).filterBy(AndFilter(
+      ExpressionFilter("num = 1"), ExpressionFilter("ch = 'a'")))
+    // only (1,"a") matches both → only it is removed
+    assert(rows(p) == Set(Seq(2, "b"), Seq(3, "c"), Seq(4, "d"), Seq(5, "e")))
+    val mixed = pipe(Seq((1, "z"), (9, "a"), (1, "a")).toDF("num", "ch"))
+      .filterBy(AndFilter(
+        ExpressionFilter("num = 1"), ExpressionFilter("ch = 'a'")))
+    // one-sided matches survive — And is not Or
+    assert(rows(mixed) == Set(Seq(1, "z"), Seq(9, "a")))
+  }
+
+  // RegressionPipesPlatformTest.testComplexLogicOr: Or removes a row
+  // when ANY child filter would remove it.
+  test("Or filter removes rows ANY child would remove") {
+    val p = pipe(lower).filterBy(OrFilter(
+      ExpressionFilter("num = 1"), ExpressionFilter("ch = 'c'")))
+    assert(rows(p) == Set(Seq(2, "b"), Seq(4, "d"), Seq(5, "e")))
+  }
+
+  // RegressionPipesPlatformTest.testComplexLogicXor: Xor removes a row
+  // when EXACTLY ONE of its two children would remove it — both-match
+  // and neither-match rows pass through.
+  test("Xor filter removes rows exactly one child would remove") {
+    val p = pipe(Seq((1, "a"), (1, "z"), (9, "a"), (9, "z")).toDF("num", "ch"))
+      .filterBy(XorFilter(
+        ExpressionFilter("num = 1"), ExpressionFilter("ch = 'a'")))
+    assert(rows(p) == Set(Seq(1, "a"), Seq(9, "z")))
+  }
+
+  // RegressionPipesPlatformTest.testCopy: Each + Identity over ALL
+  // arguments is a faithful copy — every row, every field, no
+  // reordering of the schema.
+  test("Each Identity with ALL arguments copies the stream untouched") {
+    val p = pipe(lower).each(Identity(CFields.of("num", "ch")),
+      args = FieldSelector.All, out = FieldSelector.Results)
+    val df = Flow.toDF(p)
+    assert(df.columns.toSeq == Seq("num", "ch"))
+    assert(rows(p) == rows(pipe(lower)))
+  }
+
+  // RegressionPipesPlatformTest.testLastEachNotModified: an Each AFTER
+  // the final Every must not disturb the grouped results — aggregate
+  // values and grouping keys survive alongside the new field.
+  test("Each after the last Every leaves grouped results intact") {
+    val p = pipe(Seq((1, "a"), (2, "a"), (3, "b")).toDF("num", "ch"))
+      .groupBy("ch").every(Aggs.count("n"))
+      .each(ExpressionFunction("ch2", "upper(ch)", StringType),
+        args = FieldSelector.All, out = FieldSelector.All)
+    assert(rows(p) == Set(Seq("a", 2L, "A"), Seq("b", 1L, "B")))
+  }
+
+  // RegressionPipesPlatformTest.testOOMEPostGroup: a failure inside an
+  // operation AFTER the grouping boundary fails the flow (with the
+  // original error visible) — it is never swallowed when no trap is
+  // configured.
+  test("post-group operation failure propagates when untrapped") {
+    val p = pipe(lower).groupBy("ch").every(Aggs.count("n"))
+      .each(ExpressionFunction("boom",
+        "raise_error('post-group failure')", StringType),
+        args = FieldSelector.All, out = FieldSelector.All)
+    val e = intercept[Exception] { Flow.toDF(p).collect() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("post-group failure")), e.toString)
+  }
+
+  // FieldedPipesPlatformTest.testChainEndingWithEach: a flow whose LAST
+  // stage is an Each (not a group or sink aggregation) still plans and
+  // carries the aggregate's outputs through the trailing map stage.
+  test("chain ending with Each after group/every plans and computes") {
+    val p = pipe(Seq((1, "a"), (2, "a"), (3, "b")).toDF("num", "ch"))
+      .groupBy("ch")
+      .every(Aggs.agg("s", org.apache.spark.sql.functions.sum($"num")))
+      .each(ExpressionFunction("s2", "s * 10", LongType),
+        args = FieldSelector.All, out = FieldSelector.All)
+    assert(rows(p) == Set(Seq("a", 3L, 30L), Seq("b", 3L, 30L)))
+  }
+
+  // FieldedPipesPlatformTest.testConcatenation: two sources merged then
+  // grouped — the group sees rows from BOTH inputs under one key space.
+  test("concatenated sources group as one stream") {
+    val m = pipe(lower).merge(pipe(upper))
+      .groupBy("num").every(Aggs.count("n"))
+    assert(rows(m) == (1 to 5).map(i => Seq(i, 2L)).toSet)
+  }
+
+  // TextDelimitedPlatformTest.testStrict: with `strict = true` a line
+  // whose field count differs from the declared fields fails the flow;
+  // the non-strict default pads short rows with null.
+  test("TextDelimited strict mode fails short rows; lenient pads null") {
+    val dir = java.nio.file.Files.createTempDirectory("csvs").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/d.csv"),
+      java.util.Arrays.asList("1,a,x", "2,b"))
+    val schema = StructType(Seq(StructField("num", IntegerType),
+      StructField("ch", StringType), StructField("ex", StringType)))
+    val lenient = graft.sources.CsvTap(s"$dir/d.csv", schema = Some(schema))
+    assert(lenient.read(spark).collect().map(_.toSeq).toSet
+      == Set(Seq(1, "a", "x"), Seq(2, "b", null)))
+    val strictTap = graft.sources.CsvTap(s"$dir/d.csv",
+      schema = Some(schema), strict = true)
+    intercept[Exception] { strictTap.read(spark).collect() }
+  }
+
+  // TextDelimitedPlatformTest.testFieldCoercion: declared typed fields
+  // coerce on read; a token that fails coercion becomes null under
+  // `safe = true` (the default) and fails the flow under `safe = false`.
+  test("TextDelimited coercion: safe nulls bad tokens, unsafe fails") {
+    val dir = java.nio.file.Files.createTempDirectory("csvc").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/d.csv"),
+      java.util.Arrays.asList("1,a", "oops,b"))
+    val schema = StructType(Seq(StructField("num", IntegerType),
+      StructField("ch", StringType)))
+    val safeTap = graft.sources.CsvTap(s"$dir/d.csv", schema = Some(schema))
+    assert(safeTap.read(spark).collect().map(_.toSeq).toSet
+      == Set(Seq(1, "a"), Seq(null, "b")))
+    val unsafeTap = graft.sources.CsvTap(s"$dir/d.csv",
+      schema = Some(schema), safe = false)
+    intercept[Exception] { unsafeTap.read(spark).collect() }
+  }
+
+  // AssemblyHelpersPlatformTest.testCountNullNotNull: count(field)
+  // skips nulls while count(*) includes every row — and null GROUP KEYS
+  // form their own single group (grouping nulls compare equal; join
+  // keys do not — the null-semantics split the null-safe join corners
+  // pin from the other side).
+  test("null group keys form one group; count(field) skips null args") {
+    val df = Seq((Some(1), "a"), (None, "b"), (None, "c"))
+      .toDF("k", "v")
+    val p = pipe(df).groupBy("k")
+      .every(Aggs.count("n_rows"), Aggs.countArg("v", "n_vals"))
+    assert(rows(p) == Set(Seq(1, 1L, 1L), Seq(null, 2L, 2L)))
+    val nulls = Seq((Some(1), Some("a")), (Some(1), None))
+      .toDF("k", "v")
+    val q = pipe(nulls).groupBy("k")
+      .every(Aggs.count("n_rows"), Aggs.countArg("v", "n_vals"))
+    assert(rows(q) == Set(Seq(1, 2L, 1L)))
+  }
+
+  // AssemblyHelpersPlatformTest.testMaxBy / testMinBy: max/min over
+  // STRING arguments compare lexicographically, not by arrival order.
+  test("MaxBy/MinBy over strings are lexicographic") {
+    val df = Seq(("g", "pear"), ("g", "apple"), ("g", "fig")).toDF("k", "v")
+    val p = pipe(df).groupBy("k")
+      .every(Aggs.sql("mx", "max(v)"), Aggs.sql("mn", "min(v)"))
+    assert(rows(p) == Set(Seq("g", "pear", "apple")))
+  }
 }
