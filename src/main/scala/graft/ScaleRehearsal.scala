@@ -109,7 +109,14 @@ object ScaleRehearsal {
     // brute leg is queries × corpus — the known audit-job shape), and
     // the streaming PQ maintenance loop (train + persist + in-stream
     // encode + append + whole-table read-back)
-    "q218_ivfadc_residual", "q219_adc_recall", "q221_stream_pq_encode")
+    "q218_ivfadc_residual", "q219_adc_recall", "q221_stream_pq_encode",
+    // round-11 third wave: GIF decode (scan-shaped — LZW per payload),
+    // the two-stage rerank (adds a broadcast-candidate raw-vector leg
+    // on top of q213), SQ8 (scan-local encode + compressed brute scan),
+    // and the three new relational shapes (dual-role dim join /
+    // outer-join histogram / scalar-subquery anti join)
+    "q222_image_dhash_gif", "q223_ivfadc_rerank", "q224_sq8_topk",
+    "q225_tpch_q7", "q226_tpch_q13", "q227_tpch_q22")
 
   def main(args: Array[String]): Unit = {
     val small = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
