@@ -1046,6 +1046,318 @@ object Relational {
                Aggs.agg("totacctbal", xsum("c_acctbal")))
         .orderBy("c_nationkey" -> true))(s)),
 
+    // TPC-H Q2 shape (minimum-cost supplier): the aggregate-JOIN-BACK
+    // pattern — a per-part MIN computed once, then equality-joined back
+    // against the detail rows ON THE AGGREGATE VALUE itself (composite
+    // key (partkey, cost) = (partkey, min_cost); min over doubles takes
+    // an existing value, never folds, so the equality is engine-stable).
+    // partsupp stand-in: lineitem collapsed to (part, supplier, min
+    // extendedprice) — the q210 convention for the missing table. The
+    // dim chain (part → supplier → nation → EUROPE region) rides
+    // broadcasts; orderBy+limit lowers to TakeOrderedAndProject with a
+    // total order ((s_name, l_partkey) is unique per row).
+    "q228_tpch_q2" -> ((s, dir) => {
+      val ps = P(dir, "lineitem")
+        .retain("l_partkey", "l_suppkey", "l_extendedprice")
+        .groupBy("l_partkey", "l_suppkey")
+        .every(Aggs.min("l_extendedprice", "supplycost"))
+      Flow.toDF(
+        ps.coGroup(Seq("l_partkey", "supplycost"),
+            ps.groupBy("l_partkey").every(Aggs.min("supplycost", "min_cost"))
+              .rename("l_partkey" -> "mp_partkey"),
+            Seq("mp_partkey", "min_cost"))
+          .hashJoin(Seq("l_partkey"),
+            P(dir, "part").filterBy(SqlFilter("p_size <= 15"))
+              .retain("p_partkey", "p_name"),
+            Seq("p_partkey"))
+          .hashJoin(Seq("l_suppkey"),
+            P(dir, "supplier"), Seq("s_suppkey"))
+          .hashJoin(Seq("s_nationkey"),
+            P(dir, "nation"), Seq("n_nationkey"))
+          .hashJoin(Seq("n_regionkey"),
+            P(dir, "region").filterBy(SqlFilter("r_name = 'EUROPE'")),
+            Seq("r_regionkey"))
+          .retain("s_acctbal", "s_name", "n_name", "l_partkey", "p_name",
+            "supplycost")
+          .orderBy("s_acctbal" -> false, "s_name" -> true, "l_partkey" -> true)
+          .limit(100))(s)
+    }),
+
+    // TPC-H Q4 shape (order-priority checking): the canonical EXISTS —
+    // a date-windowed fact scan semi-joined against a filtered second
+    // fact (returned lines stand in for the commit<receipt predicate:
+    // the synthetic lineitem has no commit/receipt dates). The semi side
+    // is fact-sized so it goes through the SHUFFLE semi path (coGroup,
+    // never broadcast), projected to its key column before the exchange.
+    "q229_tpch_q4" -> ((s, dir) => Flow.toDF(
+      P(dir, "orders")
+        .filterBy(SqlFilter(
+          "o_orderdate >= timestamp '1997-07-01' and o_orderdate < timestamp '1997-10-01'"))
+        .coGroup(Seq("o_orderkey"),
+          P(dir, "lineitem").filterBy(SqlFilter("l_returnflag = 'R'"))
+            .retain("l_orderkey"),
+          Seq("l_orderkey"), joiner = Joiner.LeftSemi)
+        .groupBy("o_orderpriority")
+        .every(Aggs.count("order_count"))
+        .orderBy("o_orderpriority" -> true))(s)),
+
+    // TPC-H Q6 shape (forecasting revenue change): the pure pushdown
+    // probe — a conjunctive range filter (date window × discount band ×
+    // quantity cap) over ONE fact scan, then a single global exact-sum.
+    // All three predicates reach the parquet scan as PushedFilters; the
+    // aggregate moves one row per partition. The literal discount bounds
+    // are parsed to identical doubles by both engines.
+    "q230_tpch_q6" -> ((s, dir) => Flow.toDF(
+      P(dir, "lineitem")
+        .filterBy(SqlFilter(
+          "l_shipdate >= timestamp '1997-01-01' and l_shipdate < timestamp '1998-01-01'" +
+            " and l_discount >= 0.02 and l_discount <= 0.06 and l_quantity < 24"))
+        .groupAll
+        .every(Aggs.agg("revenue", xsum("l_extendedprice * l_discount")),
+               Aggs.count("n_items")))(s)),
+
+    // TPC-H Q8 shape (national market share): a conditional-share ratio
+    // — TWO exact sums in one partial-aggregation pass (CASE-gated
+    // nation volume / total volume), divided AFTER aggregation with one
+    // IEEE op (the q124 avg discipline). The two facts meet in shuffle
+    // coGroups; part (type-filtered), nation, region, supplier all ride
+    // broadcasts; the supplier nation feeds the CASE directly (no second
+    // nation join needed — the share is keyed on the nation KEY).
+    "q231_tpch_q8" -> ((s, dir) => Flow.toDF(
+      P(dir, "lineitem")
+        .hashJoin(Seq("l_partkey"),
+          P(dir, "part").filterBy(SqlFilter("p_type = 'STANDARD'"))
+            .retain("p_partkey"),
+          Seq("p_partkey"))
+        .coGroup(Seq("l_orderkey"),
+          P(dir, "orders").filterBy(SqlFilter(
+            "o_orderdate >= timestamp '1996-01-01' and o_orderdate < timestamp '1998-01-01'"))
+            .retain("o_orderkey", "o_custkey", "o_orderdate"),
+          Seq("o_orderkey"))
+        .coGroup(Seq("o_custkey"),
+          P(dir, "customer").retain("c_custkey", "c_nationkey"),
+          Seq("c_custkey"))
+        .hashJoin(Seq("c_nationkey"),
+          P(dir, "nation").retain("n_nationkey", "n_regionkey"),
+          Seq("n_nationkey"))
+        .hashJoin(Seq("n_regionkey"),
+          P(dir, "region").filterBy(SqlFilter("r_name = 'AMERICA'")),
+          Seq("r_regionkey"))
+        .hashJoin(Seq("l_suppkey"),
+          P(dir, "supplier").retain("s_suppkey", "s_nationkey"),
+          Seq("s_suppkey"))
+        .each(ExpressionFunction("o_year", "year(o_orderdate)", IntegerType),
+          args = FieldSelector.All, out = FieldSelector.All)
+        .groupBy("o_year")
+        .every(
+          Aggs.agg("nation_volume", xsum(
+            "CASE WHEN s_nationkey = 3 THEN l_extendedprice * (1 - l_discount) ELSE 0 END")),
+          Aggs.agg("total_volume", xsum("l_extendedprice * (1 - l_discount)")))
+        .orderBy("o_year" -> true))(s)
+      .withColumn("mkt_share", col("nation_volume") / col("total_volume"))),
+
+    // TPC-H Q9 shape (product-type profit): profit = revenue minus a
+    // derived cost (p_retailprice × 0.1 × quantity stands in for the
+    // missing ps_supplycost), summed exactly per (nation, year). The
+    // 0.1 literal is cast to double EXPLICITLY on both engines — Spark
+    // and DuckDB would otherwise type a bare 0.1 as decimal and the
+    // promotion rules could diverge. Orders joins in shuffle (fact);
+    // part/supplier/nation broadcast.
+    "q232_tpch_q9" -> ((s, dir) => Flow.toDF(
+      P(dir, "lineitem")
+        .hashJoin(Seq("l_partkey"),
+          P(dir, "part").filterBy(SqlFilter("p_name like '%gear%'"))
+            .retain("p_partkey", "p_retailprice"),
+          Seq("p_partkey"))
+        .hashJoin(Seq("l_suppkey"),
+          P(dir, "supplier").retain("s_suppkey", "s_nationkey"),
+          Seq("s_suppkey"))
+        .hashJoin(Seq("s_nationkey"),
+          P(dir, "nation").retain("n_nationkey", "n_name"),
+          Seq("n_nationkey"))
+        .coGroup(Seq("l_orderkey"),
+          P(dir, "orders").retain("o_orderkey", "o_orderdate"),
+          Seq("o_orderkey"))
+        .each(ExpressionFunction("o_year", "year(o_orderdate)", IntegerType),
+          args = FieldSelector.All, out = FieldSelector.All)
+        .groupBy("n_name", "o_year")
+        .every(Aggs.agg("sum_profit", xsum(
+          "l_extendedprice * (1 - l_discount) - p_retailprice * cast(0.1 as double) * l_quantity")))
+        .orderBy("n_name" -> true, "o_year" -> false))(s)),
+
+    // TPC-H Q11 shape (important stock): a HAVING against a GLOBAL
+    // scalar — per-part value sums filtered by a fraction of the
+    // corpus-wide total, the total riding a 1-row broadcast cross (the
+    // q227 scalar-subquery pattern). Both sides of the > are exact-sum
+    // doubles and the fraction literal is explicitly double, so the
+    // comparison selects identical rows on both engines. partsupp
+    // stand-in: lineitem extendedprice as the stock value.
+    "q233_tpch_q11" -> ((s, dir) => Flow.toDF(
+      P(dir, "lineitem").retain("l_partkey", "l_extendedprice")
+        .groupBy("l_partkey")
+        .every(Aggs.agg("part_value", xsum("l_extendedprice")))
+        .cross(
+          P(dir, "lineitem").retain("l_extendedprice")
+            .rename("l_extendedprice" -> "ep")
+            .groupAll
+            .every(Aggs.agg("total_value", xsum("ep"))))
+        .filterBy(SqlFilter("part_value > total_value * cast(0.001 as double)"))
+        .retain("l_partkey", "part_value")
+        .orderBy("part_value" -> false, "l_partkey" -> true))(s)),
+
+    // TPC-H Q12 shape (shipping-mode priority): one shuffle coGroup of
+    // the two facts, then TWO complementary CASE-counts in a single
+    // partial-aggregation pass — the high/low split never rescans.
+    // l_linestatus stands in for the missing l_shipmode column.
+    "q234_tpch_q12" -> ((s, dir) => Flow.toDF(
+      P(dir, "orders").retain("o_orderkey", "o_orderpriority")
+        .coGroup(Seq("o_orderkey"),
+          P(dir, "lineitem").filterBy(SqlFilter(
+            "l_shipdate >= timestamp '1997-01-01' and l_shipdate < timestamp '1998-01-01'"))
+            .retain("l_orderkey", "l_linestatus"),
+          Seq("l_orderkey"))
+        .groupBy("l_linestatus")
+        .every(
+          Aggs.sql("high_line_count",
+            "sum(CASE WHEN o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END)"),
+          Aggs.sql("low_line_count",
+            "sum(CASE WHEN o_orderpriority <> '1-URGENT' AND o_orderpriority <> '2-HIGH' THEN 1 ELSE 0 END)"))
+        .orderBy("l_linestatus" -> true))(s)),
+
+    // TPC-H Q15 shape (top supplier): equality against a global MAX —
+    // the revenue view computed ONCE (split memo), its max broadcast
+    // back as a 1-row cross, and suppliers kept where revenue = max
+    // (ties included, per the spec's view formulation). max over exact-
+    // sum doubles takes an existing value, so the = is engine-stable.
+    "q235_tpch_q15" -> ((s, dir) => {
+      val rev = P(dir, "lineitem")
+        .filterBy(SqlFilter(
+          "l_shipdate >= timestamp '1997-01-01' and l_shipdate < timestamp '1997-04-01'"))
+        .retain("l_suppkey", "l_extendedprice", "l_discount")
+        .groupBy("l_suppkey")
+        .every(Aggs.agg("total_revenue", xsum("l_extendedprice * (1 - l_discount)")))
+      Flow.toDF(
+        rev.cross(
+            rev.retain("total_revenue").rename("total_revenue" -> "tr")
+              .groupAll.every(Aggs.max("tr", "max_revenue")))
+          .filterBy(SqlFilter("total_revenue = max_revenue"))
+          .hashJoin(Seq("l_suppkey"),
+            P(dir, "supplier").retain("s_suppkey", "s_name"),
+            Seq("s_suppkey"))
+          .retain("l_suppkey", "s_name", "total_revenue")
+          .orderBy("l_suppkey" -> true))(s)
+    }),
+
+    // TPC-H Q17 shape (small-quantity-order revenue): the correlated-avg
+    // join-back — per-part exact sum+count joined back into the detail
+    // rows, the 0.2×avg threshold derived by the SAME two IEEE ops on
+    // both engines (explicit double literal, multiply, divide — never a
+    // folded avg()). Brand slice broadcasts; the join-back shares the
+    // part key with the inner aggregate so the shuffle partitioning is
+    // reused.
+    "q236_tpch_q17" -> ((s, dir) => Flow.toDF(
+      P(dir, "lineitem").retain("l_partkey", "l_quantity", "l_extendedprice")
+        .hashJoin(Seq("l_partkey"),
+          P(dir, "part").filterBy(SqlFilter("p_brand = 'Brand#9'"))
+            .retain("p_partkey"),
+          Seq("p_partkey"))
+        .coGroup(Seq("l_partkey"),
+          P(dir, "lineitem").retain("l_partkey", "l_quantity")
+            .rename("l_partkey" -> "a_partkey", "l_quantity" -> "a_qty")
+            .groupBy("a_partkey")
+            .every(Aggs.agg("qty_sum", xsum("a_qty")), Aggs.count("qty_cnt")),
+          Seq("a_partkey"))
+        .filterBy(SqlFilter(
+          "l_quantity < cast(0.2 as double) * qty_sum / qty_cnt"))
+        .groupAll
+        .every(Aggs.agg("sum_price", xsum("l_extendedprice")),
+               Aggs.count("n_items")))(s)
+      .withColumn("avg_yearly", col("sum_price") / lit(7.0))),
+
+    // TPC-H Q19 shape (discounted revenue): the DISJUNCTIVE multi-bundle
+    // join predicate — three (brand × size-range × quantity-range)
+    // conjunct bundles OR'd together, applicable only AFTER the join
+    // binds both sides (the q225 cross-binding discipline). The part
+    // side broadcasts; the residual OR evaluates inside one codegen
+    // stage, never as three scans.
+    "q237_tpch_q19" -> ((s, dir) => Flow.toDF(
+      P(dir, "lineitem")
+        .retain("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+        .hashJoin(Seq("l_partkey"),
+          P(dir, "part").retain("p_partkey", "p_brand", "p_size"),
+          Seq("p_partkey"))
+        .filterBy(SqlFilter(
+          "(p_brand = 'Brand#9' and p_size between 1 and 15 and l_quantity >= 1 and l_quantity <= 20) or " +
+            "(p_brand = 'Brand#2' and p_size between 10 and 30 and l_quantity >= 10 and l_quantity <= 30) or " +
+            "(p_brand = 'Brand#13' and p_size between 20 and 50 and l_quantity >= 20 and l_quantity <= 40)"))
+        .groupAll
+        .every(Aggs.agg("revenue", xsum("l_extendedprice * (1 - l_discount)")),
+               Aggs.count("n_items")))(s)),
+
+    // TPC-H Q20 shape (potential part promotion): NESTED semi joins —
+    // suppliers kept by a semi against an aggregate that is itself
+    // gated by a semi (the red-part slice). availqty stand-in: the
+    // all-time shipped total per supplier over red parts vs 4× the
+    // 1997 window (at the smallest SF the (part,supplier) grain is
+    // singleton rows, so the threshold is applied at supplier grain —
+    // documented divergence from the spec's partsupp grain). Both
+    // sums are exact micros; the literal factor is explicit double.
+    "q238_tpch_q20" -> ((s, dir) => Flow.toDF(
+      P(dir, "supplier").filterBy(SqlFilter("s_nationkey < 8"))
+        .coGroup(Seq("s_suppkey"),
+          P(dir, "lineitem")
+            .retain("l_partkey", "l_suppkey", "l_quantity", "l_shipdate")
+            .hashJoin(Seq("l_partkey"),
+              P(dir, "part").filterBy(SqlFilter("p_name like '%red%'"))
+                .retain("p_partkey"),
+              Seq("p_partkey"), joiner = Joiner.LeftSemi)
+            .groupBy("l_suppkey")
+            .every(
+              Aggs.agg("avail", xsum("l_quantity")),
+              Aggs.agg("shipped", xsum(
+                "CASE WHEN l_shipdate >= timestamp '1997-01-01' and l_shipdate < timestamp '1998-01-01' THEN l_quantity ELSE 0 END")))
+            .filterBy(SqlFilter(
+              "shipped > cast(0 as double) and avail > cast(4 as double) * shipped"))
+            .retain("l_suppkey"),
+          Seq("l_suppkey"), joiner = Joiner.LeftSemi)
+        .retain("s_suppkey", "s_name")
+        .orderBy("s_suppkey" -> true))(s)),
+
+    // TPC-H Q21 shape (suppliers who kept orders waiting): the multi-
+    // EXISTS self-join rewritten as per-order DISTINCT counts — one
+    // aggregate pass over the fact computes (suppliers per order, late
+    // suppliers per order); "exists another supplier AND no OTHER late
+    // supplier" becomes nsupp > 1 AND nlate = 1 on the joined-back row
+    // (l1 is late, so its supplier IS the unique late one). Returned
+    // lines stand in for receipt>commit. One extra keyed shuffle
+    // replaces the spec's two correlated self-joins.
+    "q239_tpch_q21" -> ((s, dir) => Flow.toDF(
+      P(dir, "lineitem").filterBy(SqlFilter("l_returnflag = 'R'"))
+        .retain("l_orderkey", "l_suppkey")
+        .coGroup(Seq("l_orderkey"),
+          P(dir, "orders").filterBy(SqlFilter("o_orderstatus = 'F'"))
+            .retain("o_orderkey"),
+          Seq("o_orderkey"), joiner = Joiner.LeftSemi)
+        .coGroup(Seq("l_orderkey"),
+          P(dir, "lineitem")
+            .retain("l_orderkey", "l_suppkey", "l_returnflag")
+            .rename("l_orderkey" -> "a_orderkey", "l_suppkey" -> "a_suppkey",
+              "l_returnflag" -> "a_flag")
+            .groupBy("a_orderkey")
+            .every(
+              Aggs.sql("nsupp", "count(DISTINCT a_suppkey)"),
+              Aggs.sql("nlate",
+                "count(DISTINCT CASE WHEN a_flag = 'R' THEN a_suppkey END)")),
+          Seq("a_orderkey"))
+        .filterBy(SqlFilter("nsupp > 1 and nlate = 1"))
+        .hashJoin(Seq("l_suppkey"),
+          P(dir, "supplier").retain("s_suppkey", "s_name"),
+          Seq("s_suppkey"))
+        .groupBy("s_name")
+        .every(Aggs.count("numwait"))
+        .orderBy("numwait" -> false, "s_name" -> true)
+        .limit(100))(s)),
+
     // ORC columnar round-trip under the gate (q60/q62 pattern: write the
     // staged format, read it back, aggregate — the oracle computes the
     // same aggregate from the parquet source, so a type or value
@@ -1520,6 +1832,158 @@ object Relational {
          |    WHERE o_orderdate >= TIMESTAMP '2001-01-01')
          |GROUP BY 1
          |ORDER BY 1""".stripMargin,
+
+    "q228_tpch_q2" ->
+      s"""WITH ps AS (
+         |  SELECT l_partkey, l_suppkey, min(l_extendedprice) AS supplycost
+         |  FROM lineitem GROUP BY 1, 2),
+         |mc AS (
+         |  SELECT l_partkey AS mp_partkey, min(supplycost) AS min_cost
+         |  FROM ps GROUP BY 1)
+         |SELECT s_acctbal, s_name, n_name, l_partkey, p_name, supplycost
+         |FROM ps
+         |JOIN mc ON l_partkey = mp_partkey AND supplycost = min_cost
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE p_size <= 15 AND r_name = 'EUROPE'
+         |ORDER BY s_acctbal DESC, s_name, l_partkey
+         |LIMIT 100""".stripMargin,
+
+    "q229_tpch_q4" ->
+      s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+         |FROM orders
+         |WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+         |  AND o_orderdate < TIMESTAMP '1997-10-01'
+         |  AND EXISTS (SELECT 1 FROM lineitem
+         |    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q230_tpch_q6" ->
+      s"""SELECT ${dsumExpr("l_extendedprice * l_discount")} AS revenue,
+         |CAST(count(*) AS BIGINT) AS n_items
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         |  AND l_shipdate < TIMESTAMP '1998-01-01'
+         |  AND l_discount >= 0.02 AND l_discount <= 0.06
+         |  AND l_quantity < 24""".stripMargin,
+
+    "q231_tpch_q8" ->
+      s"""SELECT o_year, nation_volume, total_volume,
+         |nation_volume / total_volume AS mkt_share
+         |FROM (
+         |  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         |    ${dsumExpr("CASE WHEN s_nationkey = 3 THEN l_extendedprice * (1 - l_discount) ELSE 0 END")} AS nation_volume,
+         |    ${dsumExpr("l_extendedprice * (1 - l_discount)")} AS total_volume
+         |  FROM lineitem
+         |  JOIN part ON l_partkey = p_partkey
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  WHERE p_type = 'STANDARD' AND r_name = 'AMERICA'
+         |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |    AND o_orderdate < TIMESTAMP '1998-01-01'
+         |  GROUP BY 1)
+         |ORDER BY o_year""".stripMargin,
+
+    "q232_tpch_q9" ->
+      s"""SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         |${dsumExpr("l_extendedprice * (1 - l_discount) - p_retailprice * cast(0.1 as double) * l_quantity")} AS sum_profit
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |WHERE p_name LIKE '%gear%'
+         |GROUP BY 1, 2 ORDER BY n_name, o_year DESC""".stripMargin,
+
+    "q233_tpch_q11" ->
+      s"""WITH pv AS (
+         |  SELECT l_partkey, ${dsum("l_extendedprice")} AS part_value
+         |  FROM lineitem GROUP BY 1),
+         |t AS (SELECT ${dsum("l_extendedprice")} AS total_value FROM lineitem)
+         |SELECT l_partkey, part_value
+         |FROM pv CROSS JOIN t
+         |WHERE part_value > total_value * CAST(0.001 AS DOUBLE)
+         |ORDER BY part_value DESC, l_partkey""".stripMargin,
+
+    "q234_tpch_q12" ->
+      s"""SELECT l_linestatus,
+         |CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+         |CAST(sum(CASE WHEN o_orderpriority <> '1-URGENT' AND o_orderpriority <> '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         |  AND l_shipdate < TIMESTAMP '1998-01-01'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q235_tpch_q15" ->
+      s"""WITH rev AS (
+         |  SELECT l_suppkey,
+         |    ${dsumExpr("l_extendedprice * (1 - l_discount)")} AS total_revenue
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         |    AND l_shipdate < TIMESTAMP '1997-04-01'
+         |  GROUP BY 1)
+         |SELECT l_suppkey, s_name, total_revenue
+         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+         |ORDER BY l_suppkey""".stripMargin,
+
+    "q236_tpch_q17" ->
+      s"""WITH pa AS (
+         |  SELECT l_partkey AS a_partkey, ${dsum("l_quantity")} AS qty_sum,
+         |    CAST(count(*) AS BIGINT) AS qty_cnt
+         |  FROM lineitem GROUP BY 1)
+         |SELECT ${dsum("l_extendedprice")} AS sum_price,
+         |CAST(count(*) AS BIGINT) AS n_items,
+         |${dsum("l_extendedprice")} / 7.0 AS avg_yearly
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN pa ON l_partkey = a_partkey
+         |WHERE p_brand = 'Brand#9'
+         |  AND l_quantity < CAST(0.2 AS DOUBLE) * qty_sum / qty_cnt""".stripMargin,
+
+    "q237_tpch_q19" ->
+      s"""SELECT ${dsumExpr("l_extendedprice * (1 - l_discount)")} AS revenue,
+         |CAST(count(*) AS BIGINT) AS n_items
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#9' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1 AND l_quantity <= 20)
+         |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 10 AND l_quantity <= 30)
+         |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 20 AND 50 AND l_quantity >= 20 AND l_quantity <= 40)""".stripMargin,
+
+    "q238_tpch_q20" ->
+      s"""WITH agg AS (
+         |  SELECT l_suppkey, ${dsum("l_quantity")} AS avail,
+         |    ${dsumExpr("CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01' THEN l_quantity ELSE 0 END")} AS shipped
+         |  FROM lineitem
+         |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%red%')
+         |  GROUP BY 1)
+         |SELECT s_suppkey, s_name
+         |FROM supplier
+         |WHERE s_nationkey < 8
+         |  AND s_suppkey IN (
+         |    SELECT l_suppkey FROM agg
+         |    WHERE shipped > CAST(0 AS DOUBLE)
+         |      AND avail > CAST(4 AS DOUBLE) * shipped)
+         |ORDER BY s_suppkey""".stripMargin,
+
+    "q239_tpch_q21" ->
+      s"""WITH st AS (
+         |  SELECT l_orderkey AS a_orderkey,
+         |    count(DISTINCT l_suppkey) AS nsupp,
+         |    count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS nlate
+         |  FROM lineitem GROUP BY 1)
+         |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+         |FROM lineitem
+         |JOIN st ON l_orderkey = a_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE l_returnflag = 'R' AND nsupp > 1 AND nlate = 1
+         |  AND l_orderkey IN (
+         |    SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+         |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
 
     "q101_orc_roundtrip" ->
       s"""SELECT l_returnflag, ${dsum("l_quantity")} AS sum_qty,
