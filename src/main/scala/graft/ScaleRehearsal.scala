@@ -116,7 +116,15 @@ object ScaleRehearsal {
     // and the three new relational shapes (dual-role dim join /
     // outer-join histogram / scalar-subquery anti join)
     "q222_image_dhash_gif", "q223_ivfadc_rerank", "q224_sq8_topk",
-    "q225_tpch_q7", "q226_tpch_q13", "q227_tpch_q22")
+    "q225_tpch_q7", "q226_tpch_q13", "q227_tpch_q22",
+    // round-11 fourth wave: the 12 shapes completing the TPC-H suite
+    // (all keyed shuffles/broadcasts — ratios should track the corpus
+    // scan; Q11/Q15/Q22-class global scalars are 1-row crosses) and
+    // JPEG decode (scan-shaped: entropy decode + IDCT per payload)
+    "q228_tpch_q2", "q229_tpch_q4", "q230_tpch_q6", "q231_tpch_q8",
+    "q232_tpch_q9", "q233_tpch_q11", "q234_tpch_q12", "q235_tpch_q15",
+    "q236_tpch_q17", "q237_tpch_q19", "q238_tpch_q20", "q239_tpch_q21",
+    "q240_image_dhash_jpeg")
 
   def main(args: Array[String]): Unit = {
     val small = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -244,6 +244,23 @@ object Multimodal {
     }
   }
 
+  /** Deterministic BLOCK-CONSTANT grayscale source (the JPEG gate's
+    * synth): every 8×8 block holds one value, block b (row-major over
+    * ceil(w/8) block columns) = md5₄₀(token[b mod n]) mod 256. Constant
+    * blocks are DC-only under the FDCT, which makes baseline JPEG with
+    * flat quantization EXACTLY invertible — the property that lets the
+    * arithmetic oracle cover a lossy codec (see [[encodeJpegGray]]). */
+  def synthBlockPixels(text: String, w: Int, h: Int): Array[Int] = {
+    val toks = text.split(" ")
+    val bcols = (w + 7) / 8
+    Array.tabulate(w * h) { j =>
+      val b = (j / w / 8) * bcols + (j % w) / 8
+      (graft.catalyst.Md5Prefix40.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(
+          toks(b % toks.length))) % 256L).toInt
+    }
+  }
+
   /** Binary PGM (P5) encoding of a grayscale grid. */
   def encodePgm(px: Array[Int], w: Int, h: Int): Array[Byte] = {
     val header = s"P5\n$w $h\n255\n".getBytes("US-ASCII")
@@ -660,6 +677,404 @@ object Multimodal {
     None
   }
 
+  // ---- baseline JPEG (ITU-T T.81), the third compressed container ----
+
+  /** Raster index of each zigzag position (u = horizontal frequency
+    * varies fastest), T.81 Figure A.6. */
+  private val JpegZigZag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** Encoder-side canonical Huffman tables, WRITTEN INTO the DHT
+    * segments (the decoder rebuilds from the stream, so any valid
+    * canonical table exercises the real path). DC: category 0 at 2
+    * bits, 1-11 at 4 bits. AC: EOB at 2 bits, ZRL + all 160 (run,size)
+    * symbols at 8 bits — Kraft-valid, all-ones codes unused. */
+  private val JpegDcCounts: Array[Int] =
+    Array(0, 1, 0, 11, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val JpegDcSymbols: Array[Int] = (0 to 11).toArray
+  private val JpegAcCounts: Array[Int] =
+    Array(0, 1, 0, 0, 0, 0, 0, 161, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val JpegAcSymbols: Array[Int] =
+    (Seq(0x00, 0xf0) ++ (for (run <- 0 to 15; size <- 1 to 10)
+      yield (run << 4) | size)).toArray
+
+  /** (code, length) per symbol from a canonical (BITS, HUFFVAL) pair —
+    * the T.81 Annex C generation procedure. */
+  private def canonicalCodes(counts: Array[Int],
+                             symbols: Array[Int]): Map[Int, (Int, Int)] = {
+    var code = 0
+    var k = 0
+    val out = Map.newBuilder[Int, (Int, Int)]
+    var len = 1
+    while (len <= 16) {
+      var i = 0
+      while (i < counts(len - 1)) {
+        out += symbols(k) -> (code, len)
+        code += 1; k += 1; i += 1
+      }
+      code <<= 1
+      len += 1
+    }
+    out.result()
+  }
+
+  private def jpegCategory(v: Int): Int = {
+    var a = math.abs(v); var s = 0
+    while (a != 0) { a >>= 1; s += 1 }
+    s
+  }
+
+  /** Baseline JPEG encoding of a grayscale grid — the third COMPRESSED
+    * container under the gate after PNG (Deflate) and GIF (LZW). One
+    * luminance component, FLAT quantization (all 1s): an 8×8-CONSTANT
+    * source block is then DC-only and the nominally lossy pipeline is
+    * exactly invertible (FDCT of a constant block is 8·(v−128) at DC
+    * with ~1e-13 AC residue killed by the coefficient round; the
+    * decoder's DC-only IDCT is the exact inverse division by 8), which
+    * is what lets the deterministic-synthesis oracle cover a lossy
+    * codec. The entropy layer is fully real regardless of content:
+    * canonical Huffman tables shipped via DHT, DC prediction across
+    * blocks, zigzag, category/extend coding, 0xFF byte stuffing, edge
+    * padding to the MCU grid, and optional restart markers
+    * (`restartInterval` > 0 → DRI segment + RSTm every n MCUs with
+    * predictor resets and bit realignment). */
+  def encodeJpegGray(px: Array[Int], w: Int, h: Int,
+                     restartInterval: Int = 0): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = bos.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xff); u8(m) }
+    marker(0xd8) // SOI
+    marker(0xdb); u16(2 + 1 + 64); u8(0x00) // DQT, Pq=0 Tq=0
+    var i = 0
+    while (i < 64) { u8(1); i += 1 } // flat table
+    marker(0xc0); u16(2 + 6 + 3) // SOF0
+    u8(8); u16(h); u16(w); u8(1) // precision, dims, 1 component
+    u8(1); u8(0x11); u8(0) // id=1, 1x1 sampling, Tq=0
+    def dht(clazz: Int, counts: Array[Int], symbols: Array[Int]): Unit = {
+      marker(0xc4); u16(2 + 1 + 16 + symbols.length)
+      u8(clazz << 4) // Tc | Th=0
+      counts.foreach(u8); symbols.foreach(u8)
+    }
+    dht(0, JpegDcCounts, JpegDcSymbols)
+    dht(1, JpegAcCounts, JpegAcSymbols)
+    if (restartInterval > 0) { marker(0xdd); u16(4); u16(restartInterval) }
+    marker(0xda); u16(2 + 1 + 2 + 3) // SOS
+    u8(1); u8(1); u8(0x00) // 1 component, id=1, Td=0 Ta=0
+    u8(0); u8(63); u8(0) // Ss, Se, Ah/Al
+    val dcCodes = canonicalCodes(JpegDcCounts, JpegDcSymbols)
+    val acCodes = canonicalCodes(JpegAcCounts, JpegAcSymbols)
+    // entropy-coded data with 0xFF byte stuffing
+    var acc = 0; var nbits = 0
+    def putBits(bits: Int, n: Int): Unit = {
+      var b = n - 1
+      while (b >= 0) {
+        acc = (acc << 1) | ((bits >> b) & 1); nbits += 1
+        if (nbits == 8) {
+          bos.write(acc)
+          if (acc == 0xff) bos.write(0x00)
+          acc = 0; nbits = 0
+        }
+        b -= 1
+      }
+    }
+    def align(): Unit = while (nbits != 0) putBits(1, 1) // pad with 1s
+    val cosT = Array.tabulate(8, 8)((x, u) =>
+      math.cos((2 * x + 1) * u * math.Pi / 16))
+    def c0(u: Int) = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+    val bw = (w + 7) / 8; val bh = (h + 7) / 8
+    var pred = 0
+    var mcu = 0; var rst = 0
+    var by = 0
+    while (by < bh) {
+      var bx = 0
+      while (bx < bw) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          align(); marker(0xd0 + rst % 8); rst += 1; pred = 0
+        }
+        // sample (edge-replicated) + level shift
+        val s = new Array[Double](64)
+        var y = 0
+        while (y < 8) {
+          val sy = math.min(by * 8 + y, h - 1)
+          var x = 0
+          while (x < 8) {
+            val sx = math.min(bx * 8 + x, w - 1)
+            s(y * 8 + x) = px(sy * w + sx) - 128.0
+            x += 1
+          }
+          y += 1
+        }
+        // FDCT + round (quant = 1)
+        val coef = new Array[Int](64)
+        var v = 0
+        while (v < 8) {
+          var u = 0
+          while (u < 8) {
+            var sum = 0.0
+            var yy = 0
+            while (yy < 8) {
+              var xx = 0
+              while (xx < 8) {
+                sum += s(yy * 8 + xx) * cosT(xx)(u) * cosT(yy)(v)
+                xx += 1
+              }
+              yy += 1
+            }
+            coef(v * 8 + u) = math.round(0.25 * c0(u) * c0(v) * sum).toInt
+            u += 1
+          }
+          v += 1
+        }
+        // DC: category + extend bits of the prediction difference
+        val diff = coef(0) - pred; pred = coef(0)
+        val dcCat = jpegCategory(diff)
+        val (dcC, dcL) = dcCodes(dcCat)
+        putBits(dcC, dcL)
+        if (dcCat > 0)
+          putBits(if (diff >= 0) diff else diff + (1 << dcCat) - 1, dcCat)
+        // AC: run/size with ZRL and EOB
+        var k = 1; var run = 0
+        while (k < 64) {
+          val a = coef(JpegZigZag(k))
+          if (a == 0) run += 1
+          else {
+            while (run >= 16) {
+              val (zc, zl) = acCodes(0xf0); putBits(zc, zl); run -= 16
+            }
+            val size = jpegCategory(a)
+            val (c, l) = acCodes((run << 4) | size)
+            putBits(c, l)
+            putBits(if (a >= 0) a else a + (1 << size) - 1, size)
+            run = 0
+          }
+          k += 1
+        }
+        if (run > 0) { val (ec, el) = acCodes(0x00); putBits(ec, el) }
+        mcu += 1
+        bx += 1
+      }
+      by += 1
+    }
+    align()
+    marker(0xd9) // EOI
+    bos.toByteArray
+  }
+
+  /** REAL baseline-JPEG decode: generic DHT canonical-Huffman rebuild
+    * (mincode/maxcode/valptr, T.81 Annex F), 8-bit DQT dequantization,
+    * DC prediction, category/extend, ZRL/EOB, 0xFF00 unstuffing,
+    * restart markers with predictor reset, double IDCT with round +
+    * clamp, and MCU-grid crop to the SOF dimensions. Grayscale baseline
+    * only (SOF0, one 1×1 component, 8-bit) — progressive, multi-
+    * component, 16-bit-quant, arithmetic-coded, truncated, or corrupt
+    * payloads fail soft to None, never throw. */
+  def decodeJpegGray(p: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (p.length < 4 || (p(0) & 0xff) != 0xff || (p(1) & 0xff) != 0xd8)
+      return None
+    try decodeJpegGrayImpl(p)
+    catch { case _: Exception => None }
+  }
+
+  private final class JpegHuff(counts: Array[Int], symbols: Array[Int]) {
+    // T.81 F.2.2.3 decode tables
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17)
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0; var len = 1
+      while (len <= 16) {
+        if (counts(len - 1) == 0) maxCode(len) = -1
+        else {
+          valPtr(len) = k
+          minCode(len) = code
+          code += counts(len - 1); k += counts(len - 1)
+          maxCode(len) = code - 1
+        }
+        code <<= 1
+        len += 1
+      }
+    }
+    def value(len: Int, code: Int): Int =
+      symbols(valPtr(len) + code - minCode(len))
+  }
+
+  private def decodeJpegGrayImpl(p: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    @inline def u8(i: Int): Int = p(i) & 0xff
+    @inline def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    var i = 2
+    var w = 0; var h = 0
+    var restartInterval = 0
+    val quant = new Array[Array[Int]](4)
+    val dcTabs = new Array[JpegHuff](4)
+    val acTabs = new Array[JpegHuff](4)
+    var qSel = -1; var dcSel = -1; var acSel = -1
+    var scanStart = -1
+    while (scanStart < 0) {
+      if (i + 4 > p.length || u8(i) != 0xff) return None
+      val m = u8(i + 1)
+      if (m == 0xd9) return None // EOI before any scan
+      val len = u16(i + 2)
+      if (i + 2 + len > p.length) return None
+      m match {
+        case 0xdb => // DQT: one or more tables
+          var j = i + 4
+          while (j < i + 2 + len) {
+            val pq = u8(j) >> 4; val tq = u8(j) & 0x0f
+            if (pq != 0 || tq > 3 || j + 65 > i + 2 + len) return None
+            quant(tq) = Array.tabulate(64)(k => u8(j + 1 + k))
+            j += 65
+          }
+        case 0xc4 => // DHT: one or more tables
+          var j = i + 4
+          while (j < i + 2 + len) {
+            val tc = u8(j) >> 4; val th = u8(j) & 0x0f
+            if (tc > 1 || th > 3) return None
+            val counts = Array.tabulate(16)(k => u8(j + 1 + k))
+            val n = counts.sum
+            if (j + 17 + n > i + 2 + len) return None
+            val symbols = Array.tabulate(n)(k => u8(j + 17 + k))
+            val tab = new JpegHuff(counts, symbols)
+            if (tc == 0) dcTabs(th) = tab else acTabs(th) = tab
+            j += 17 + n
+          }
+        case 0xc0 => // SOF0 baseline
+          if (u8(i + 4) != 8) return None // 8-bit precision only
+          h = u16(i + 5); w = u16(i + 7)
+          if (u8(i + 9) != 1) return None // one component only
+          if (u8(i + 11) != 0x11) return None // 1x1 sampling
+          qSel = u8(i + 12)
+          if (w <= 0 || h <= 0 || w * h > (1 << 24)) return None
+        case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
+             0xcb | 0xcd | 0xce | 0xcf =>
+          return None // non-baseline frame types
+        case 0xdd => // DRI
+          restartInterval = u16(i + 4)
+        case 0xda => // SOS
+          if (u8(i + 4) != 1) return None
+          dcSel = u8(i + 6) >> 4; acSel = u8(i + 6) & 0x0f
+          scanStart = i + 2 + len
+        case _ => () // APPn / COM / others: skip
+      }
+      if (scanStart < 0) i = i + 2 + len
+    }
+    if (w == 0 || qSel < 0 || quant(qSel) == null ||
+        dcTabs(dcSel) == null || acTabs(acSel) == null) return None
+    val qt = quant(qSel); val dcTab = dcTabs(dcSel); val acTab = acTabs(acSel)
+    // entropy-coded bit reader with 0xFF00 unstuffing
+    var pos = scanStart
+    var acc = 0; var nbits = 0
+    def nextBit(): Int = {
+      if (nbits == 0) {
+        if (pos >= p.length) throw new IllegalStateException("truncated")
+        var b = u8(pos); pos += 1
+        if (b == 0xff) {
+          val b2 = if (pos < p.length) u8(pos) else -1
+          if (b2 == 0x00) pos += 1 // stuffed byte
+          else throw new IllegalStateException("marker in scan")
+          b = 0xff
+        }
+        acc = b; nbits = 8
+      }
+      nbits -= 1
+      (acc >> nbits) & 1
+    }
+    def huffDecode(tab: JpegHuff): Int = {
+      var code = nextBit(); var len = 1
+      while (len <= 16 && (tab.maxCode(len) < 0 || code > tab.maxCode(len))) {
+        code = (code << 1) | nextBit(); len += 1
+      }
+      if (len > 16) throw new IllegalStateException("bad huffman code")
+      tab.value(len, code)
+    }
+    def extend(bits: Int, s: Int): Int =
+      if (s == 0) 0
+      else if (bits < (1 << (s - 1))) bits - (1 << s) + 1
+      else bits
+    def readBits(n: Int): Int = {
+      var v = 0; var k = 0
+      while (k < n) { v = (v << 1) | nextBit(); k += 1 }
+      v
+    }
+    val cosT = Array.tabulate(8, 8)((x, u) =>
+      math.cos((2 * x + 1) * u * math.Pi / 16))
+    def c0(u: Int) = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+    val bw = (w + 7) / 8; val bh = (h + 7) / 8
+    val out = new Array[Int](w * h)
+    var pred = 0
+    var mcu = 0; var rst = 0
+    var by = 0
+    while (by < bh) {
+      var bx = 0
+      while (bx < bw) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          // byte-align, then consume the expected RSTm marker
+          nbits = 0
+          if (pos + 2 > p.length || u8(pos) != 0xff ||
+              u8(pos + 1) != 0xd0 + rst % 8)
+            throw new IllegalStateException("missing restart marker")
+          pos += 2; rst += 1; pred = 0
+        }
+        val coef = new Array[Int](64)
+        val dcCat = huffDecode(dcTab)
+        if (dcCat > 11) throw new IllegalStateException("bad DC category")
+        val diff = extend(readBits(dcCat), dcCat)
+        pred += diff
+        coef(0) = pred * qt(0)
+        var k = 1
+        var eob = false
+        while (k < 64 && !eob) {
+          val rs = huffDecode(acTab)
+          if (rs == 0x00) eob = true
+          else if (rs == 0xf0) k += 16
+          else {
+            k += rs >> 4
+            val size = rs & 0x0f
+            if (k > 63) throw new IllegalStateException("AC overrun")
+            coef(JpegZigZag(k)) = extend(readBits(size), size) * qt(k)
+            k += 1
+          }
+        }
+        // IDCT + level unshift + clamp, cropped into the output grid
+        var y = 0
+        while (y < 8) {
+          val oy = by * 8 + y
+          if (oy < h) {
+            var x = 0
+            while (x < 8) {
+              val ox = bx * 8 + x
+              if (ox < w) {
+                var sum = 0.0
+                var v = 0
+                while (v < 8) {
+                  var u = 0
+                  while (u < 8) {
+                    val cv = coef(v * 8 + u)
+                    if (cv != 0)
+                      sum += c0(u) * c0(v) * cv * cosT(x)(u) * cosT(y)(v)
+                    u += 1
+                  }
+                  v += 1
+                }
+                val px = math.round(0.25 * sum + 128.0).toInt
+                out(oy * w + ox) = math.max(0, math.min(255, px))
+              }
+              x += 1
+            }
+          }
+          y += 1
+        }
+        mcu += 1
+        bx += 1
+      }
+      by += 1
+    }
+    Some((w, h, out))
+  }
+
   /** REAL binary-PGM (P5) decode: whitespace- and comment-tolerant
     * header, maxval ≤ 255, raw 8-bit samples. None for anything else. */
   def decodePgmGray(p: Array[Byte]): Option[(Int, Int, Array[Int])] = {
@@ -766,6 +1181,7 @@ object Multimodal {
             .orElse(decodeBmpGray(p).map(d => (d, "bmp")))
             .orElse(decodePngGray(p).map(d => (d, "png")))
             .orElse(decodeGifGray(p).map(d => (d, "gif")))
+            .orElse(decodeJpegGray(p).map(d => (d, "jpeg")))
         dec match {
           case Some(((w, h, px), fmt)) =>
             Row(row.get(idIdx),
@@ -835,6 +1251,29 @@ object Multimodal {
         val id = row.getLong(idIdx)
         Row(id, encodeGif(synthPixels(row.getString(tIdx), 18, 14), 18, 14,
           interlaced = id % 2 == 1))
+      }
+    }(enc)
+  }
+
+  /** Gate-side JPEG payload synthesis: text → a real baseline-JPEG
+    * container (36×28 grayscale, BLOCK-CONSTANT pixels so the lossy
+    * codec is exactly invertible; odd ids encode with restart interval
+    * 3, so the gate exercises RST markers + predictor resets alongside
+    * the plain entropy stream). 36×28 is not MCU-aligned on either axis
+    * — every payload also exercises edge padding and decoder crop. */
+  def withSynthJpegPayload(df: DataFrame, idCol: String,
+                           textCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("payload", BinaryType)))
+    val enc = Encoders.row(schema)
+    val idIdx = df.columns.indexOf(idCol)
+    val tIdx = df.columns.indexOf(textCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val id = row.getLong(idIdx)
+        Row(id, encodeJpegGray(synthBlockPixels(row.getString(tIdx), 36, 28),
+          36, 28, restartInterval = if (id % 2 == 1) 3 else 0))
       }
     }(enc)
   }

@@ -3163,6 +3163,27 @@ object Extensions {
       MM.nearDupPairsFromHashes(verified)
     }),
 
+    // --- the q217/q222 chain on the LOSSY container: 36×28 baseline
+    // JPEGs (odd ids with restart markers), decoded by the real T.81
+    // parser — DHT canonical-Huffman rebuild, DC prediction, zigzag,
+    // category/extend, 0xFF unstuffing, dequant, IDCT, MCU crop. The
+    // synth grid is BLOCK-CONSTANT, which makes flat-quant baseline
+    // JPEG exactly invertible, so the arithmetic oracle covers a lossy
+    // codec; any entropy/transform divergence breaks the hash chain.
+    "q240_image_dhash_jpeg" -> ((s, dir) => {
+      val MM = graft.functions.Multimodal
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val hashed = MM.dhashFromPayload(
+        MM.withSynthJpegPayload(docs, "doc_id", "text"), "id", "payload")
+      val verified = hashed.select(
+        when(col("h").isNull || col("format") =!= "jpeg", raise_error(concat(
+          lit("q240: JPEG payload for id "), col("id").cast("string"),
+          lit(" failed to decode as jpeg — T.81-parser regression"))))
+          .otherwise(col("h")).as("h"))
+      MM.nearDupPairsFromHashes(verified)
+    }),
+
     // --- adaptive SemDeDup behind an exact-duplicate collapse: the q181
     // guard's own remedy as a first-class operator. Identical vectors
     // share every sign bucket at ANY plane count, so exact replication
@@ -4555,13 +4576,27 @@ object Extensions {
     * q222 GIF): both synthesize the SAME deterministic 18×14 grid from
     * doc text, so one arithmetic replay of decode+resample+dHash+bands
     * covers both codecs without the oracle touching zlib or LZW. */
-  private lazy val synthImageDhashOracle: String = {
+  private lazy val synthImageDhashOracle: String =
+    synthDhashOracleFor("(36 * (i // 9) + 2 * (i % 9))")
+
+  /** The q217/q222 oracle on the JPEG gate's 36×28 BLOCK-CONSTANT grid:
+    * the 4-px-step resample always lands inside block
+    * (row (i//9)//2, col (i%9)//2) of the 5-wide block grid, so the
+    * token index is the block index — the oracle replays the decoded
+    * pixels without touching the DCT or the entropy coder, which the
+    * Spark side must invert exactly. */
+  private lazy val synthJpegDhashOracle: String =
+    synthDhashOracleFor("(((i // 9) // 2) * 5 + ((i % 9) // 2))")
+
+  /** Shared skeleton: dHash + banding + near-dup pairs over a synth
+    * grid whose RESAMPLED pixel i hashes token[idxExpr mod n]. */
+  private def synthDhashOracleFor(idxExpr: String): String = {
     val MM = graft.functions.Multimodal
     val (w, bits) = (MM.DHashW, MM.DHashBits)
     s"""WITH rp AS MATERIALIZED (
        |  SELECT doc_id, list_transform(range(0, ${w * MM.DHashH}), i ->
        |    CAST(${dTokHash(
-            "t[((36 * (i // 9) + 2 * (i % 9)) % len(t)) + 1]")} % 256 AS INTEGER)) AS p
+            s"t[($idxExpr % len(t)) + 1]")} % 256 AS INTEGER)) AS p
        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
        |rdh AS MATERIALIZED (
        |  SELECT doc_id, list_reduce(
@@ -5312,6 +5347,12 @@ object Extensions {
     // why ONE oracle covers both containers
     "q217_image_dhash_png" -> synthImageDhashOracle,
     "q222_image_dhash_gif" -> synthImageDhashOracle,
+
+    // q240: the same chain on the LOSSY container — block-constant
+    // pixels make flat-quant baseline JPEG exactly invertible, so the
+    // oracle replays the block grid arithmetically (block index =
+    // (row//2)·5 + col//2 under the 4-px resample step)
+    "q240_image_dhash_jpeg" -> synthJpegDhashOracle,
 
     // incremental SemDeDup: the day-2 verdict recomputed FROM SCRATCH
     // against day0+day1 (the q133 twin trick — the oracle has no index,

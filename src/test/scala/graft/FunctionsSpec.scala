@@ -354,6 +354,74 @@ class FunctionsSpec extends SparkSpec {
       (5000000L, 5000000L))))
   }
 
+  test("real JPEG decode: exact block-constant round-trip, restart " +
+       "markers, dense-AC bounded error, long zero runs, MCU crop, guards") {
+    import graft.functions.Multimodal
+    // EXACT round-trip: block-constant pixels are DC-only under the
+    // FDCT, so flat-quant baseline JPEG inverts exactly — the property
+    // the q240 gate's arithmetic oracle rests on. 36×28 is not
+    // MCU-aligned on either axis (pads right+bottom, crops back).
+    val px = Multimodal.synthBlockPixels("alpha beta gamma delta eps", 36, 28)
+    assert(Multimodal.decodeJpegGray(Multimodal.encodeJpegGray(px, 36, 28))
+      .exists { case (w, h, p) => w == 36 && h == 28 && p.sameElements(px) })
+    // restart markers: RSTm cadence + DC-predictor resets + bit
+    // realignment must reproduce the SAME pixels
+    assert(Multimodal.decodeJpegGray(
+        Multimodal.encodeJpegGray(px, 36, 28, restartInterval = 3))
+      .exists { case (w, h, p) => w == 36 && h == 28 && p.sameElements(px) })
+    assert(Multimodal.decodeJpegGray(
+        Multimodal.encodeJpegGray(px, 36, 28, restartInterval = 1))
+      .exists(_._3.sameElements(px)))
+    // tiny non-aligned grid (single partial MCU column/row)
+    val tiny = Multimodal.synthBlockPixels("x y z", 20, 11)
+    assert(Multimodal.decodeJpegGray(Multimodal.encodeJpegGray(tiny, 20, 11))
+      .exists { case (w, h, p) => w == 20 && h == 11 && p.sameElements(tiny) })
+    // dense-AC stress: per-pixel pseudo-random content drives every
+    // Huffman category, AC runs, EOBs and 0xFF byte stuffing; with
+    // quant=1 the only loss is FDCT coefficient rounding, whose IDCT
+    // image is within ±2 gray levels of the source
+    val big = Array.tabulate(120 * 96)(j => ((j * 2654435761L) >>> 7).toInt & 0xff)
+    val bigDec = Multimodal.decodeJpegGray(
+      Multimodal.encodeJpegGray(big, 120, 96, restartInterval = 5))
+    assert(bigDec.exists { case (w, h, p) =>
+      w == 120 && h == 96 &&
+        p.zip(big).forall { case (a, b) => math.abs(a - b) <= 2 }
+    })
+    // long zero runs: a (7,7)-cosine basis image concentrates energy at
+    // the LAST zigzag position — the encoder must bridge ~62 zeros with
+    // ZRL symbols and the decoder must replay them
+    val hf = Array.tabulate(16 * 16) { j =>
+      val x = j % 16 % 8; val y = j / 16 % 8
+      128 + math.round(60.0 * math.cos((2 * x + 1) * 7 * math.Pi / 16) *
+        math.cos((2 * y + 1) * 7 * math.Pi / 16)).toInt
+    }
+    val hfDec = Multimodal.decodeJpegGray(Multimodal.encodeJpegGray(hf, 16, 16))
+    assert(hfDec.exists { case (_, _, p) =>
+      p.zip(hf).forall { case (a, b) => math.abs(a - b) <= 2 } })
+    // guards fail soft, never throw
+    val enc = Multimodal.encodeJpegGray(px, 36, 28)
+    assert(Multimodal.decodeJpegGray(enc.take(enc.length / 2)).isEmpty,
+      "truncated scan")
+    assert(Multimodal.decodeJpegGray("not a jpeg".getBytes).isEmpty)
+    val progressive = enc.clone()
+    // SOF0 (0xC0) → SOF2 (0xC2): progressive is out of scope, directed None
+    val sofAt = enc.indices.find(i =>
+      (enc(i) & 0xff) == 0xff && (enc(i + 1) & 0xff) == 0xc0).get
+    progressive(sofAt + 1) = 0xc2.toByte
+    assert(Multimodal.decodeJpegGray(progressive).isEmpty, "progressive")
+    val wideQuant = enc.clone()
+    val dqtAt = enc.indices.find(i =>
+      (enc(i) & 0xff) == 0xff && (enc(i + 1) & 0xff) == 0xdb).get
+    wideQuant(dqtAt + 4) = 0x10.toByte // Pq=1: 16-bit table unsupported
+    assert(Multimodal.decodeJpegGray(wideQuant).isEmpty, "16-bit DQT")
+    // decode chain integration: dhashFromPayload tags the format and
+    // the hash equals the stub hash of the resampled source grid
+    assert(Multimodal.decodeJpegGray(enc).exists { case (w, h, p) =>
+      graft.catalyst.DHashStub.ofGrid(Multimodal.resampleToGrid(p, w, h)) ==
+        graft.catalyst.DHashStub.ofGrid(Multimodal.resampleToGrid(px, 36, 28))
+    })
+  }
+
   test("real GIF decode: LZW round-trip, code-width growth + CLEAR " +
        "reset, cScSc corner, interlace, LCT, palette mapping, guards") {
     import graft.functions.Multimodal
