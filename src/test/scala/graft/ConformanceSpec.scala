@@ -2094,4 +2094,122 @@ class ConformanceSpec extends SparkSpec {
       .every(Aggs.sql("mx", "max(v)"), Aggs.sql("mn", "min(v)"))
     assert(rows(p) == Set(Seq("g", "pear", "apple")))
   }
+
+  // CoGroupFieldedPipesPlatformTest.testCoGroupMixed: MIXED joiners in
+  // one chain — inner for the second pipe, LEFT for the third. The
+  // third join must null-pad rows that survived the inner step, and the
+  // inner step's drops must never reach the outer one.
+  test("mixed joiners chained: inner then left-outer pads only the survivors") {
+    val a = Seq((1, "a1"), (2, "a2"), (3, "a3")).toDF("k", "av")
+    val b = Seq((1, "b1"), (3, "b3")).toDF("kb", "bv")
+    val c = Seq((3, "c3")).toDF("kc", "cv")
+    val p = pipe(a)
+      .coGroup(Seq("k"), pipe(b), Seq("kb")) // inner: drops k=2
+      .coGroup(Seq("k"), pipe(c), Seq("kc"), joiner = Joiner.Left)
+    assert(rows(p) == Set(
+      Seq(1, "a1", 1, "b1", null, null),
+      Seq(3, "a3", 3, "b3", 3, "c3")))
+  }
+
+  // JoinFieldedPipesPlatformTest (JoinerClosure contract): a BufferJoin
+  // key present on only ONE side still invokes the buffer — the missing
+  // side arrives as an EMPTY iterator, not a skipped key (upstream
+  // OuterJoin/MixedJoin are built on exactly this closure shape).
+  test("bufferJoin invokes the buffer with an empty iterator for one-sided keys") {
+    val left = Seq((1, "l1"), (2, "l2")).toDF("k", "lv")
+    val right = Seq((2, "r2"), (9, "r9")).toDF("k2", "rv")
+    val fields = CFields.typed("key" -> IntegerType,
+      "nl" -> IntegerType, "nr" -> IntegerType)
+    val p = pipe(left).bufferJoin(Seq("k"), pipe(right), Seq("k2"), fields,
+      (key, ls, rs) => Iterator.single(Seq(key.head, ls.size, rs.size)))
+    assert(rows(p) == Set(
+      Seq(1, 1, 0), // right side empty, buffer still ran
+      Seq(2, 1, 1),
+      Seq(9, 0, 1))) // left side empty too
+  }
+
+  // FieldedPipesPlatformTest (Every chains): multiple Every on one
+  // GroupBy each consume the GROUP's argument stream and APPEND their
+  // declared results — the second aggregate reads the input values, not
+  // the first aggregate's output.
+  test("chained Everys on one GroupBy append results from the group stream") {
+    val df = Seq(("a", 1, 10.0), ("a", 2, 20.0), ("b", 5, 50.0))
+      .toDF("k", "v", "w")
+    val p = pipe(df).groupBy("k")
+      .every(Aggs.sum("v", "sv"))
+      .every(Aggs.sum("w", "sw"))
+      .every(Aggs.count("n"))
+    assert(rows(p) == Set(
+      Seq("a", 3L, 30.0, 2L), Seq("b", 5L, 50.0, 1L)))
+  }
+
+  // AssemblyHelpersPlatformTest.testRenameNamed (the swap corner):
+  // renaming a→b while b→a must resolve ATOMICALLY against the incoming
+  // schema — sequential application would alias both onto one column.
+  test("rename swapping two field names is atomic") {
+    val df = Seq((1, "x")).toDF("a", "b")
+    val p = pipe(df).rename("a" -> "b", "b" -> "a")
+    val out = Flow.toDF(p)
+    assert(out.columns.toSeq == Seq("b", "a"))
+    assert(out.collect().map(_.toSeq).toSeq == Seq(Seq(1, "x")))
+  }
+
+  // TextDelimitedPlatformTest (null round-trip): a null field writes as
+  // an EMPTY token and reads back as null under the declared typed
+  // schema (upstream DelimitedParser's safe coercion of the empty
+  // string) — never as the literal string "null" or a 0.
+  test("TextDelimited null fields round-trip as nulls under a typed schema") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv_null").toString
+    val df = Seq((1, Some("x"), Some(2.5)), (2, None, None))
+      .toDF("id", "s", "d")
+    val tap = graft.sources.CsvTap(dir, schema = Some(StructType(Seq(
+      StructField("id", IntegerType), StructField("s", StringType),
+      StructField("d", DoubleType)))))
+    tap.write(df, graft.sources.SinkMode.Replace)
+    val back = rows(pipe(tap.read(spark)))
+    assert(back == Set(Seq(1, "x", 2.5), Seq(2, null, null)))
+  }
+
+  // LimitPipesPlatformTest: a limit LARGER than the stream passes every
+  // row through (no padding, no failure) — the complement of the
+  // limit-0 corner above.
+  test("limit beyond the row count returns the full stream") {
+    assert(rows(pipe(lower).limit(100)) == rows(pipe(lower)))
+  }
+
+  // cascading Sample is seed-deterministic: the same (seed, fraction)
+  // over the same input selects the SAME multiset on every planning of
+  // the flow — two independent constructions must agree row-for-row.
+  test("sample with a fixed seed is deterministic across plans") {
+    val df = (1 to 1000).map(i => (i, s"r$i")).toDF("id", "s")
+    val once = rows(pipe(df).sample(0.2, seed = 7L))
+    val again = rows(pipe(df).sample(0.2, seed = 7L))
+    assert(once == again)
+    assert(once.nonEmpty && once.size < 1000)
+  }
+
+  // Join keys of DIFFERENT numeric widths: upstream Hadoop tuple
+  // comparators would never match an Integer against a Long (distinct
+  // serialized types) — our lowering DOCUMENTS the divergence: keys
+  // widen per SQL rules and join BY VALUE. Pinning the choice keeps it
+  // a decision, not an accident.
+  test("int-vs-long join keys widen and match by value (documented divergence)") {
+    val ints = Seq((1, "i1"), (2, "i2")).toDF("k", "iv")
+    val longs = Seq((1L, "l1"), (3L, "l3")).toDF("k2", "lv")
+    val p = pipe(ints).coGroup(Seq("k"), pipe(longs), Seq("k2"))
+    assert(rows(p) == Set(Seq(1, "i1", 1L, "l1")))
+  }
+
+  // Grouping on DOUBLE keys at the IEEE edges: NaN keys form ONE group
+  // (Double.compare semantics upstream, NaN-normalization here) and
+  // -0.0 groups WITH 0.0 (SQL value equality — upstream Double.compare
+  // would split them; divergence documented, matching Spark/DuckDB).
+  test("double group keys: NaN forms one group, -0.0 groups with 0.0") {
+    val df = Seq(Double.NaN, Double.NaN, -0.0, 0.0, 1.5)
+      .map(d => (d, 1)).toDF("k", "v")
+    val p = pipe(df).groupBy("k").every(Aggs.count("n"))
+    val out = rows(p).map { case Seq(k, n) =>
+      (if (k.asInstanceOf[Double].isNaN) "NaN" else k.toString, n) }
+    assert(out == Set(("NaN", 2L), ("0.0", 2L), ("1.5", 1L)))
+  }
 }
