@@ -124,7 +124,10 @@ object ScaleRehearsal {
     "q228_tpch_q2", "q229_tpch_q4", "q230_tpch_q6", "q231_tpch_q8",
     "q232_tpch_q9", "q233_tpch_q11", "q234_tpch_q12", "q235_tpch_q15",
     "q236_tpch_q17", "q237_tpch_q19", "q238_tpch_q20", "q239_tpch_q21",
-    "q240_image_dhash_jpeg")
+    "q240_image_dhash_jpeg",
+    // hybrid RRF: corpus cost is the two leg kernels (BM25's two scans +
+    // the 1-query brute dense leg); the fusion is k-sized
+    "q241_hybrid_rrf")
 
   def main(args: Array[String]): Unit = {
     val small = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -102,6 +102,61 @@ object Relevance {
        |ORDER BY score_micros DESC, $idCol ASC LIMIT $topK""".stripMargin
   }
 
+  /** Hybrid retrieval fusion by Reciprocal Rank Fusion (RRF, Cormack et
+    * al.): the production-default way to combine a lexical and a dense
+    * retriever — fuse the two CANDIDATE LISTS by rank, never by score
+    * (BM25 micros and cosine live on incomparable scales; ranks are
+    * scale-free). Each leg contributes 1/(rrfK + rank) for the documents
+    * it retrieved; absent legs contribute 0; final order is fused score
+    * desc, id asc.
+    *
+    * Scale shape: the corpus-sized work is ENTIRELY inside the two leg
+    * kernels — [[bm25TopK]] (two scans, k-row gather) and the dense
+    * candidate generator (here [[Similarity.bruteForceKnn]], the
+    * documented exact baseline; production swaps the IVF/SQ8/PQ serving
+    * paths — fusion is agnostic to the generator). The fusion itself
+    * touches only the two ≤legK-row lists: the rank windows are
+    * k-SIZED, not corpus-sized (the q208 lesson), the outer join is
+    * k×k, and the final top-k is an ordered LIMIT.
+    *
+    * Engine portability: ranks are small exact integers; each
+    * contribution is one correctly-rounded IEEE division; the fused
+    * score floor-quantizes to micros (the q66 discipline), so the gate
+    * hashes exactly. Absent ranks surface as 0 (not null) so the output
+    * schema is null-free on both engines. */
+  def hybridRrfTopK(docs: DataFrame, embeddings: DataFrame,
+                    docIdCol: String, textCol: String,
+                    vecIdCol: String, vecCol: String,
+                    terms: Seq[String], queryVecId: Long,
+                    legK: Int = 100, topK: Int = 20,
+                    rrfK: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = bm25TopK(docs, docIdCol, textCol, terms, legK)
+      .select(col(docIdCol).as("doc_id"), col("score_micros"))
+    // single-partition window over ≤legK rows (bounded by construction)
+    val wLex = Window.orderBy(col("score_micros").desc, col("doc_id").asc)
+    val lexRanked = lex
+      .withColumn("lr", row_number().over(wLex).cast("int"))
+      .select(col("doc_id"), col("lr"))
+    val queries = embeddings.filter(col(vecIdCol) === queryVecId)
+    val dense = Similarity
+      .bruteForceKnn(embeddings, queries, vecIdCol, vecCol, legK)
+      .select(col("nn_id").as("doc_id"), col("rk").cast("int").as("dr"))
+    val contrib = (r: Column) =>
+      when(r > 0, lit(1.0) / (lit(rrfK.toDouble) + r.cast("double")))
+        .otherwise(lit(0.0))
+    lexRanked.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("lr"), lit(0)).as("lex_rank"),
+        coalesce(col("dr"), lit(0)).as("dense_rank"))
+      .select(col("doc_id"), col("lex_rank"), col("dense_rank"),
+        floor(lit(1000000.0) *
+          (contrib(col("lex_rank")) + contrib(col("dense_rank"))))
+          .cast("bigint").as("rrf_micros"))
+      .orderBy(col("rrf_micros").desc, col("doc_id").asc)
+      .limit(topK)
+  }
+
   /** Model-based quality scoring via the hashing trick — the fastText-style
     * linear classifier every large curation pipeline runs over the whole
     * corpus (CCNet/GPT-3-style "does this look like reference text"

@@ -3184,6 +3184,19 @@ object Extensions {
       MM.nearDupPairsFromHashes(verified)
     }),
 
+    // --- hybrid retrieval fusion (RRF): the lexical leg (q81's BM25
+    // kernel at candidate depth 100) and the dense leg (the exact
+    // brute-force baseline against the vec_id=0 probe) fused by
+    // reciprocal rank — 1/(60+rank) per leg, absent legs contribute 0.
+    // The corpus-sized work lives in the leg kernels; the fusion's
+    // windows/join/top-k all operate on ≤100-row candidate lists.
+    "q241_hybrid_rrf" -> ((s, dir) =>
+      graft.functions.Relevance.hybridRrfTopK(
+        s.read.parquet(s"$dir/documents.parquet"),
+        s.read.parquet(s"$dir/embeddings.parquet"),
+        "doc_id", "text", "vec_id", "embedding",
+        Bm25Terms, queryVecId = 0L, legK = 100, topK = 20)),
+
     // --- adaptive SemDeDup behind an exact-duplicate collapse: the q181
     // guard's own remedy as a first-class operator. Identical vectors
     // share every sign bucket at ANY plane count, so exact replication
@@ -5353,6 +5366,41 @@ object Extensions {
     // oracle replays the block grid arithmetically (block index =
     // (row//2)·5 + col//2 under the 4-px resample step)
     "q240_image_dhash_jpeg" -> synthJpegDhashOracle,
+
+    // q241: both legs replayed at depth 100 (the BM25 CTE is generated
+    // from the same Scala constants as the Spark plan; the dense leg is
+    // the ordered-fold cosine), ranks fused as 1/(60+rank) with one
+    // IEEE division per leg and a floor-micros quantization
+    "q241_hybrid_rrf" -> {
+      val lexSql = graft.functions.Relevance.bm25OracleSql(
+        "documents", "doc_id", "text", Bm25Terms, topK = 100)
+      s"""WITH lex AS ($lexSql),
+         |lexr AS (
+         |  SELECT doc_id, CAST(row_number() OVER (
+         |    ORDER BY score_micros DESC, doc_id) AS INTEGER) AS lr
+         |  FROM lex),
+         |qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+         |dn AS (
+         |  SELECT vec_id AS doc_id, ${dCos("embedding", "q")} AS sim
+         |  FROM embeddings CROSS JOIN qv WHERE vec_id <> 0),
+         |dnr AS (
+         |  SELECT doc_id, CAST(row_number() OVER (
+         |    ORDER BY sim DESC, doc_id) AS INTEGER) AS dr
+         |  FROM dn ORDER BY sim DESC, doc_id LIMIT 100),
+         |fused AS (
+         |  SELECT doc_id,
+         |    coalesce(lr, 0) AS lex_rank, coalesce(dr, 0) AS dense_rank
+         |  FROM lexr FULL JOIN dnr USING (doc_id))
+         |SELECT doc_id, lex_rank, dense_rank,
+         |CAST(floor(1000000.0 * (
+         |  CASE WHEN lex_rank > 0
+         |    THEN CAST(1 AS DOUBLE) / (60.0 + lex_rank) ELSE 0 END +
+         |  CASE WHEN dense_rank > 0
+         |    THEN CAST(1 AS DOUBLE) / (60.0 + dense_rank) ELSE 0 END))
+         |  AS BIGINT) AS rrf_micros
+         |FROM fused
+         |ORDER BY rrf_micros DESC, doc_id LIMIT 20""".stripMargin
+    },
 
     // incremental SemDeDup: the day-2 verdict recomputed FROM SCRATCH
     // against day0+day1 (the q133 twin trick — the oracle has no index,
