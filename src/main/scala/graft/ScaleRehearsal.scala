@@ -127,7 +127,9 @@ object ScaleRehearsal {
     "q240_image_dhash_jpeg",
     // hybrid RRF: corpus cost is the two leg kernels (BM25's two scans +
     // the 1-query brute dense leg); the fusion is k-sized
-    "q241_hybrid_rrf")
+    "q241_hybrid_rrf",
+    // temperature mixing: one stats exchange + a scan-local keep filter
+    "q242_temperature_sample")
 
   def main(args: Array[String]): Unit = {
     val small = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

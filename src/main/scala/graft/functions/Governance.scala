@@ -119,6 +119,61 @@ object Governance {
     s"CAST(concat('0x', substr(md5(concat('$salt', CAST($keyExpr AS VARCHAR))), 1, 10)) AS BIGINT) * 1000000 " +
       s"< CAST($rateMicrosExpr AS BIGINT) * ${1L << 40}"
 
+  /** Temperature-balanced class sampling at T = 2 — the standard
+    * multilingual pretraining recipe (mBERT/XLM-R): per-class inclusion
+    * probability ∝ (class frequency)^(1/T − 1) = 1/√n_d, so head classes
+    * down-sample and tail classes keep more of their mass, with the
+    * expected TOTAL pinned to `targetFraction`·N. Expected class counts
+    * come out ∝ √n_d — the flattened f^(1/2) mix.
+    *
+    * Expected class mass E_d = targetFraction·N·√n_d/Σ_c √n_c, so the
+    * per-DOC keep probability is p_d = E_d/n_d =
+    * min(1, targetFraction · N / (√n_d · Σ_c √n_c)) — DECREASING in
+    * n_d, which is the whole point. Applied per doc by the
+    * deterministic (salt, id) hash ([[rateKeep]]) — reproducible on
+    * any engine, run, or partitioning.
+    *
+    * T is FIXED at 2 deliberately: f^(1/T) for general T needs `pow`,
+    * a libm call with no cross-engine rounding guarantee; √ is an IEEE
+    * correctly-rounded primitive, so the T = 2 thresholds are bit-equal
+    * on both engines (the reason the gate can hash-match). The
+    * normalizer Σ_c √n_c folds through DECIMAL(38,6) so partial-agg
+    * order cannot shift the double (the dsum discipline).
+    *
+    * Scale shape: class stats are one groupBy over the corpus (D rows),
+    * the normalizer one D-row aggregate, thresholds a D-row broadcast
+    * back into the scan — one corpus-sized exchange total (the stats
+    * agg), the keep-filter is scan-local. */
+  def temperatureSample(df: DataFrame, idCol: String, classCol: String,
+                        targetFraction: Double, salt: String): DataFrame = {
+    val stats = df.groupBy(col(classCol))
+      .agg(count(lit(1)).as("n_d"))
+    val norm = stats.agg(
+      sum(col("n_d")).as("n_total"),
+      sum(sqrt(col("n_d").cast("double"))
+        .cast("decimal(38,6)")).cast("double").as("s_norm"))
+    val thresh = stats.crossJoin(norm).select(
+      col(classCol),
+      least(
+        floor(lit(1000000.0) * lit(targetFraction) *
+          col("n_total").cast("double") /
+          (sqrt(col("n_d").cast("double")) * col("s_norm"))).cast("bigint"),
+        lit(1000000L)).as("keep_micros"))
+    df.join(broadcast(thresh), Seq(classCol))
+      .filter(rateKeep(col(idCol), col("keep_micros"), salt))
+      .select(col(idCol), col(classCol), col("keep_micros"))
+  }
+
+  /** DuckDB spelling of [[temperatureSample]]'s per-class threshold —
+    * the SAME literal/op order so the doubles round identically. */
+  def oracleTemperatureThreshold(targetFraction: Double): String =
+    // both factors cast to DOUBLE before multiplying — bare 1000000.0 *
+    // 0.2 would multiply as exact DECIMALs in DuckDB while Spark rounds
+    // the double product, shifting floor() at thresholds
+    s"least(CAST(floor(CAST(1000000 AS DOUBLE) * CAST($targetFraction AS DOUBLE) * " +
+      "CAST(n_total AS DOUBLE) / (sqrt(CAST(n_d AS DOUBLE)) * s_norm)) " +
+      "AS BIGINT), 1000000)"
+
   /** Per-source token budget the int64 rate arithmetic stays exact under:
     * target·1e6 and budget·share_ppm must fit int64, so ≤ 9e12 tokens
     * (≈ 36 TB of 4-byte-token text) per source per mixture pass. Beyond

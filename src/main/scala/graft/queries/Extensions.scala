@@ -29,6 +29,7 @@ object Extensions {
   private val SampleRates = Seq("en" -> 50, "de" -> 25, "fr" -> 10)
   private val SampleDefaultPct = 5
   private val SampleSalt = "graft-r5"
+  private val TempSalt = "graft-r11-temp"
   private val PipeSalt = "graft-r5-pipe"
   private val SplitSalt = "graft-r5-split"
   /** Probe words for q104 (blocked fuzzy match). The synthetic corpus has
@@ -3197,6 +3198,19 @@ object Extensions {
         "doc_id", "text", "vec_id", "embedding",
         Bm25Terms, queryVecId = 0L, legK = 100, topK = 20)),
 
+    // --- temperature-balanced language mixing at T=2 (the mBERT/XLM-R
+    // recipe): per-class keep probability ∝ 1/√n_d with the expected
+    // total pinned to 30% of the corpus — head languages down-sample,
+    // tails keep more mass. One stats exchange; thresholds broadcast
+    // back; the keep filter is the exact-int64 (salt,id) hash. T is
+    // fixed at 2 so the threshold math rides IEEE sqrt (correctly
+    // rounded) instead of libm pow (not).
+    "q242_temperature_sample" -> ((s, dir) =>
+      graft.functions.Governance.temperatureSample(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("lang")),
+        "doc_id", "lang", targetFraction = 0.3, salt = TempSalt)),
+
     // --- adaptive SemDeDup behind an exact-duplicate collapse: the q181
     // guard's own remedy as a first-class operator. Identical vectors
     // share every sign bucket at ANY plane count, so exact replication
@@ -5366,6 +5380,28 @@ object Extensions {
     // oracle replays the block grid arithmetically (block index =
     // (row//2)·5 + col//2 under the 4-px resample step)
     "q240_image_dhash_jpeg" -> synthJpegDhashOracle,
+
+    // q242: per-class thresholds replayed with the identical double op
+    // order (shared threshold-expression generator; s_norm through
+    // decimal(38,6) so partial-agg order cannot shift it), keep set via
+    // the exact-int64 rate predicate
+    "q242_temperature_sample" -> {
+      val G = graft.functions.Governance
+      s"""WITH stats AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS n_d
+         |  FROM documents GROUP BY 1),
+         |norm AS (
+         |  SELECT CAST(sum(n_d) AS BIGINT) AS n_total,
+         |    CAST(sum(CAST(sqrt(CAST(n_d AS DOUBLE))
+         |      AS DECIMAL(38,6))) AS DOUBLE) AS s_norm
+         |  FROM stats),
+         |thresh AS (
+         |  SELECT lang, ${G.oracleTemperatureThreshold(0.3)} AS keep_micros
+         |  FROM stats CROSS JOIN norm)
+         |SELECT doc_id, lang, keep_micros
+         |FROM documents JOIN thresh USING (lang)
+         |WHERE ${G.oracleRateKeep("doc_id", "keep_micros", "graft-r11-temp")}""".stripMargin
+    },
 
     // q241: both legs replayed at depth 100 (the BM25 CTE is generated
     // from the same Scala constants as the Spark plan; the dense leg is
