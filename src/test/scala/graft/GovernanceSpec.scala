@@ -497,4 +497,27 @@ class GovernanceSpec extends SparkSpec {
     assert(got(4L) == 1000000L)
     assert(got(5L) == 1000000L)
   }
+
+  test("temperatureSample: head classes keep LESS per doc, expected total pinned") {
+    import spark.implicits._
+    // 400 'en' docs vs 25 'zh': per-doc keep rate must DECREASE in class
+    // size (the direction assert — the inverted formula upweights heads
+    // and still hash-matches a mirrored oracle)
+    val df = ((0 until 400).map(i => (i.toLong, "en")) ++
+      (400 until 425).map(i => (i.toLong, "zh"))).toDF("doc_id", "lang")
+    val out = graft.functions.Governance
+      .temperatureSample(df, "doc_id", "lang", 0.3, "spec-salt")
+    val thr = out.select("lang", "keep_micros").distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(thr("en") < thr("zh"),
+      s"head must down-sample: en=${thr("en")} zh=${thr("zh")}")
+    // expected total = sum n_d * p_d = t * N (up to floor quantization):
+    // 400*p_en + 25*p_zh with p = t*N/(sqrt(n)*S), S = 20+5
+    val expected = 0.3 * 425
+    val model = 400.0 * thr("en") / 1e6 + 25.0 * thr("zh") / 1e6
+    assert(math.abs(model - expected) < 0.01 * expected)
+    // and the realized sample is in the neighborhood (hash uniformity)
+    val kept = out.count()
+    assert(kept > expected * 0.7 && kept < expected * 1.3)
+  }
 }
