@@ -129,7 +129,9 @@ object ScaleRehearsal {
     // the 1-query brute dense leg); the fusion is k-sized
     "q241_hybrid_rrf",
     // temperature mixing: one stats exchange + a scan-local keep filter
-    "q242_temperature_sample")
+    "q242_temperature_sample",
+    // RM3: two BM25 passes + the fbDocs token count; blend is k-sized
+    "q243_rm3_feedback")
 
   def main(args: Array[String]): Unit = {
     val small = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -102,6 +102,92 @@ object Relevance {
        |ORDER BY score_micros DESC, $idCol ASC LIMIT $topK""".stripMargin
   }
 
+  /** Pseudo-relevance feedback (RM3-lite): run BM25 with the original
+    * terms, mine the top `fbTerms` tokens from the top `fbDocs` hits
+    * (excluding the originals; count desc, token asc), score the corpus
+    * again with the MINED terms, and blend the two candidate lists at
+    * 3:2 — final = (3·orig + 2·exp) div 5, EXACT int64 over the two
+    * floor-micros legs (no doubles in the blend, so the gate hashes).
+    * The classic query-expansion loop of Lavrenko–Croft RM3, restricted
+    * to score interpolation over candidate lists.
+    *
+    * Scale shape: two BM25 passes (each two scans + a k-row gather), one
+    * token-count aggregate over the fbDocs slice (broadcast-joined into
+    * the scan), and a k×k candidate blend. The mined terms are a
+    * BOUNDED DRIVER CARRY (`fbTerms` strings — the Lloyd-centroid
+    * discipline) so the second pass plans with literal terms and stays
+    * codegen'd; the term selection itself is distributed.
+    *
+    * Engine portability: term selection orders by exact integer counts
+    * (token asc tiebreak); each leg's per-term scores are floor-micros
+    * integers, so the oracle's term-ROW sum equals Spark's literal-term
+    * fold regardless of order; the blend is integer division. */
+  def rm3TopK(docs: DataFrame, idCol: String, textCol: String,
+              terms: Seq[String], fbDocs: Int = 10, fbTerms: Int = 5,
+              legK: Int = 100, topK: Int = 20): DataFrame = {
+    val orig = bm25TopK(docs, idCol, textCol, terms, legK)
+      .select(col(idCol).as("doc_id"), col("score_micros").as("orig_micros"))
+    val fbIds = orig
+      .orderBy(col("orig_micros").desc, col("doc_id").asc).limit(fbDocs)
+      .select(col("doc_id"))
+    val mined = docs
+      .join(broadcast(fbIds), docs(idCol) === fbIds("doc_id"))
+      .select(explode(tokens(col(textCol))).as("tok"))
+      .filter(!col("tok").isin(terms: _*))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok").asc).limit(fbTerms)
+      .collect().map(_.getString(0)).toSeq // bounded: fbTerms strings
+    require(mined.nonEmpty,
+      "rm3TopK: feedback docs yielded no expansion terms beyond the " +
+        "originals — widen fbDocs or check the corpus")
+    val exp = bm25TopK(docs, idCol, textCol, mined, legK)
+      .select(col(idCol).as("doc_id"), col("score_micros").as("exp_micros"))
+    orig.join(exp, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("orig_micros"), lit(0L)).as("orig_micros"),
+        coalesce(col("exp_micros"), lit(0L)).as("exp_micros"))
+      .withColumn("blend_micros",
+        expr("(3 * orig_micros + 2 * exp_micros) div 5"))
+      .orderBy(col("blend_micros").desc, col("doc_id").asc)
+      .limit(topK)
+  }
+
+  /** Oracle twin of [[rm3TopK]]'s expansion leg: BM25 scoring where the
+    * query terms come from a CTE of term ROWS (`termsCte` must expose a
+    * `tok` column) instead of literals. Emits score CTEs named with
+    * `prefix`; the final relation `<prefix>scored` has (idCol,
+    * score_micros) for docs with score > 0, capped at `topK` in
+    * (score desc, id asc) order — exactly [[bm25TopK]]'s contract. The
+    * per-(doc,term) micros are floored integers, so this row-based sum
+    * equals the literal fold whatever the order. */
+  def bm25OracleSqlTermRows(table: String, idCol: String, textCol: String,
+                            termsCte: String, prefix: String,
+                            topK: Int): String = {
+    val dToks = s"string_split($textCol, ' ')"
+    val dl = s"CAST(len($dToks) AS DOUBLE)"
+    val tf = s"CAST(len(list_filter($dToks, x -> x = tok)) AS DOUBLE)"
+    s"""${prefix}stats AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+       |    CAST(sum(len($dToks)) AS DOUBLE) AS n_tokens FROM $table),
+       |${prefix}df AS (
+       |  SELECT tok, CAST(count(*) AS DOUBLE) AS df
+       |  FROM $termsCte t JOIN $table d
+       |    ON list_contains(string_split(d.$textCol, ' '), t.tok)
+       |  GROUP BY 1),
+       |${prefix}pt AS (
+       |  SELECT $idCol,
+       |    CASE WHEN $tf > 0.0 THEN CAST(floor(1000000.0 *
+       |      ((n_docs - df + 0.5) / (df + 0.5)) *
+       |      ($tf * $K1Plus1 / ($tf + $K1 * ($OneMinusB + $B * $dl * n_docs / n_tokens))))
+       |      AS BIGINT) ELSE 0 END AS term_micros
+       |  FROM $table CROSS JOIN ${prefix}stats
+       |  JOIN ${prefix}df ON true),
+       |${prefix}scored AS (
+       |  SELECT $idCol, CAST(sum(term_micros) AS BIGINT) AS score_micros
+       |  FROM ${prefix}pt GROUP BY 1 HAVING sum(term_micros) > 0
+       |  ORDER BY score_micros DESC, $idCol ASC LIMIT $topK)""".stripMargin
+  }
+
   /** Hybrid retrieval fusion by Reciprocal Rank Fusion (RRF, Cormack et
     * al.): the production-default way to combine a lexical and a dense
     * retriever — fuse the two CANDIDATE LISTS by rank, never by score

@@ -3198,6 +3198,19 @@ object Extensions {
         "doc_id", "text", "vec_id", "embedding",
         Bm25Terms, queryVecId = 0L, legK = 100, topK = 20)),
 
+    // --- pseudo-relevance feedback (RM3-lite): BM25 with the original
+    // bag, mine the top-5 tokens from the top-10 hits (count desc, token
+    // asc, originals excluded — a bounded driver carry of 5 strings, the
+    // Lloyd discipline), rescore with the mined bag, blend 3:2 in exact
+    // int64 over the two candidate lists. The expansion terms are DATA-
+    // DEPENDENT — the oracle re-mines them in SQL and scores via term
+    // ROWS, which equals the literal fold because per-term scores are
+    // floored integers.
+    "q243_rm3_feedback" -> ((s, dir) =>
+      graft.functions.Relevance.rm3TopK(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        Bm25Terms, fbDocs = 10, fbTerms = 5, legK = 100, topK = 20)),
+
     // --- temperature-balanced language mixing at T=2 (the mBERT/XLM-R
     // recipe): per-class keep probability ∝ 1/√n_d with the expected
     // total pinned to 30% of the corpus — head languages down-sample,
@@ -5380,6 +5393,38 @@ object Extensions {
     // oracle replays the block grid arithmetically (block index =
     // (row//2)·5 + col//2 under the 4-px resample step)
     "q240_image_dhash_jpeg" -> synthJpegDhashOracle,
+
+    // q243: the whole feedback loop replayed in SQL — original leg from
+    // the literal generator, expansion terms re-mined (count desc, tok
+    // asc, originals excluded), expansion leg via term-ROW scoring
+    // (order-free integer micros), 3:2 blend in integer division
+    "q243_rm3_feedback" -> {
+      val R = graft.functions.Relevance
+      val lexSql = R.bm25OracleSql(
+        "documents", "doc_id", "text", Bm25Terms, topK = 100)
+      val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      s"""WITH lex AS ($lexSql),
+         |fb AS (
+         |  SELECT doc_id FROM lex
+         |  ORDER BY score_micros DESC, doc_id LIMIT 10),
+         |mined AS (
+         |  SELECT tok FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS tok
+         |    FROM documents JOIN fb USING (doc_id))
+         |  WHERE tok NOT IN ($termList)
+         |  GROUP BY tok ORDER BY count(*) DESC, tok LIMIT 5),
+         |${R.bm25OracleSqlTermRows(
+              "documents", "doc_id", "text", "mined", "e", topK = 100)},
+         |blended AS (
+         |  SELECT coalesce(l.doc_id, e.doc_id) AS doc_id,
+         |    coalesce(l.score_micros, 0) AS orig_micros,
+         |    coalesce(e.score_micros, 0) AS exp_micros
+         |  FROM lex l FULL JOIN escored e ON l.doc_id = e.doc_id)
+         |SELECT doc_id, orig_micros, exp_micros,
+         |CAST((3 * orig_micros + 2 * exp_micros) // 5 AS BIGINT)
+         |  AS blend_micros
+         |FROM blended ORDER BY blend_micros DESC, doc_id LIMIT 20""".stripMargin
+    },
 
     // q242: per-class thresholds replayed with the identical double op
     // order (shared threshold-expression generator; s_norm through
