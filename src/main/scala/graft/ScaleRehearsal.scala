@@ -131,7 +131,9 @@ object ScaleRehearsal {
     // temperature mixing: one stats exchange + a scan-local keep filter
     "q242_temperature_sample",
     // RM3: two BM25 passes + the fbDocs token count; blend is k-sized
-    "q243_rm3_feedback")
+    "q243_rm3_feedback",
+    // MMR: one candidate-search scan; greedy loop is a bounded carry
+    "q244_mmr_diversify")
 
   def main(args: Array[String]): Unit = {
     val small = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

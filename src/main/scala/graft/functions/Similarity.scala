@@ -47,6 +47,75 @@ object Similarity {
       .select(col("query_id"), col("nn_id"), col("sim"), col("rk"))
   }
 
+  /** MMR trade-off weights as STORED literals (the K1Plus1 precedent):
+    * computing 1 − 0.7 at runtime rounds to 0.30000000000000004, a
+    * DIFFERENT double than the oracle's parsed 0.3 — both factors must
+    * parse from the same decimal text on both engines. */
+  val MmrLambda: Double = 0.7
+  val MmrMu: Double = 0.3
+
+  /** Maximal Marginal Relevance re-rank (Carbonell–Goldstein) over a
+    * dense top-k candidate list: greedily pick the candidate maximizing
+    * λ·sim(q,c) − μ·max_{s∈selected} sim(c,s) — the standard
+    * diversification pass after retrieval (dedup near-identical hits
+    * before they reach a training batch or a context window). Completes
+    * the serving chain: search (IVF/SQ8/PQ) → rerank (q223) → fuse
+    * (q241) → DIVERSIFY.
+    *
+    * Scale shape: the corpus pays ONE scan (the candidate search — here
+    * the exact baseline; any serving path drops in); everything after
+    * operates on the candK-row list: the pairwise-sim self-join is
+    * candK², and the greedy loop is a BOUNDED DRIVER CARRY (≤ candK +
+    * candK² rows, the Lloyd discipline) because k sequential argmax
+    * steps are inherently ordered — distributing a ≤20-row loop would
+    * buy nothing and cost k barriers.
+    *
+    * Engine portability: sims are the rounded-6dp cosine (engine-exact),
+    * the step score is two literal-weight multiplies and one subtract
+    * in mirrored order, ties break by id asc, and the emitted score is
+    * floor micros. The oracle unrolls the k steps as chained CTEs. */
+  def mmrDenseTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+                   queryVecId: Long, candK: Int = 20, k: Int = 8): DataFrame = {
+    val spark0 = embeddings.sparkSession
+    val q = embeddings.filter(col(idCol) === queryVecId)
+      .select(col(vecCol).as("q_vec"))
+    // candidate search: one corpus scan; eagerly materialized (candK
+    // rows) so the two downstream uses don't rescan
+    val cand = embeddings.filter(col(idCol) =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
+        cosine(col(vecCol), col("q_vec")).as("sim"))
+      .orderBy(col("sim").desc, col("id").asc).limit(candK)
+      .localCheckpoint(true)
+    // pairwise sims among candidates: candK² rows, computed distributed
+    val a = cand.select(col("id").as("id1"), col("vec").as("v1"))
+    val b = cand.select(col("id").as("id2"), col("vec").as("v2"))
+    val pairSims = a.join(b, col("id1") =!= col("id2"))
+      .select(col("id1"), col("id2"), cosine(col("v1"), col("v2")).as("ps"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val rel = cand.select(col("id"), col("sim")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).sortBy(_._1)
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+    var step = 1
+    while (step <= math.min(k, rel.length)) {
+      var bestId = -1L
+      var bestSc = Double.NegativeInfinity
+      for ((id, s) <- rel if !chosen.contains(id)) {
+        val ms = if (chosen.isEmpty) 0.0
+          else chosen.map(c => pairSims((id, c))).max
+        val sc = MmrLambda * s - MmrMu * ms
+        if (sc > bestSc) { bestSc = sc; bestId = id } // ties: first (id asc)
+      }
+      chosen += bestId
+      out += ((step, bestId, math.floor(1000000.0 * bestSc).toLong))
+      step += 1
+    }
+    spark0.createDataFrame(out.toSeq)
+      .toDF("sel_rank", "doc_id", "mmr_micros")
+  }
+
   /** Deterministic pseudo-random hyperplane coefficient for (plane j, dim d):
     * integer in [-3, 3] — reproducible in any SQL engine, no RNG. */
   def planeCoef(j: Int, d: Column): Column = (lit(j) * 31 + d * 17) % 7 - 3

@@ -3198,6 +3198,19 @@ object Extensions {
         "doc_id", "text", "vec_id", "embedding",
         Bm25Terms, queryVecId = 0L, legK = 100, topK = 20)),
 
+    // --- MMR diversification over the dense top-20 (Carbonell–
+    // Goldstein): greedy λ·rel − μ·max-sim-to-selected re-rank, 8
+    // selections — the standard post-retrieval diversity pass, closing
+    // the serving chain (search → rerank → fuse → diversify). The
+    // corpus pays one scan (the candidate search); the pairwise sims
+    // are candK² distributed rows; the greedy loop is a bounded ≤
+    // 20+400-row driver carry (k sequential argmax steps are inherently
+    // ordered). Oracle: the same 8 steps UNROLLED as chained CTEs.
+    "q244_mmr_diversify" -> ((s, dir) =>
+      graft.functions.Similarity.mmrDenseTopK(
+        s.read.parquet(s"$dir/embeddings.parquet"),
+        "vec_id", "embedding", queryVecId = 0L, candK = 20, k = 8)),
+
     // --- pseudo-relevance feedback (RM3-lite): BM25 with the original
     // bag, mine the top-5 tokens from the top-10 hits (count desc, token
     // asc, originals excluded — a bounded driver carry of 5 strings, the
@@ -5393,6 +5406,51 @@ object Extensions {
     // oracle replays the block grid arithmetically (block index =
     // (row//2)·5 + col//2 under the 4-px resample step)
     "q240_image_dhash_jpeg" -> synthJpegDhashOracle,
+
+    // q244: the greedy MMR loop unrolled — step n's CTE scores the
+    // unselected candidates against the UNION of steps 1..n-1 (max over
+    // rounded-6dp sims), both λ and μ parsed from the same decimal text
+    // as the Spark side's stored literals
+    "q244_mmr_diversify" -> {
+      val steps = 8
+      val lam = "CAST(0.7 AS DOUBLE)"
+      val mu = "CAST(0.3 AS DOUBLE)"
+      val stepCtes = (1 to steps).map { n =>
+        val selSoFar = (1 until n).map(i => s"SELECT id FROM p$i")
+          .mkString(" UNION ALL ")
+        val msExpr =
+          if (n == 1) "CAST(0 AS DOUBLE)"
+          else s"""(SELECT max(s.ps) FROM sims s
+                   | WHERE s.id1 = c.id AND s.id2 IN ($selSoFar))""".stripMargin
+        val notIn =
+          if (n == 1) ""
+          else s" WHERE c.id NOT IN ($selSoFar)"
+        s"""s$n AS MATERIALIZED (
+           |  SELECT c.id, $lam * c.sim - $mu * $msExpr AS sc
+           |  FROM cand c$notIn),
+           |p$n AS MATERIALIZED (
+           |  SELECT id, sc FROM s$n ORDER BY sc DESC, id LIMIT 1)"""
+          .stripMargin
+      }.mkString(",\n")
+      val finalSel = (1 to steps).map { n =>
+        s"""SELECT CAST($n AS INTEGER) AS sel_rank, id AS doc_id,
+           |CAST(floor(CAST(1000000 AS DOUBLE) * sc) AS BIGINT)
+           |  AS mmr_micros FROM p$n""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH qv AS MATERIALIZED (
+         |  SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+         |cand AS MATERIALIZED (
+         |  SELECT vec_id AS id, embedding AS vec,
+         |    ${dCos("embedding", "q")} AS sim
+         |  FROM embeddings CROSS JOIN qv WHERE vec_id <> 0
+         |  ORDER BY sim DESC, id LIMIT 20),
+         |sims AS MATERIALIZED (
+         |  SELECT a.id AS id1, b.id AS id2, ${dCos("a.vec", "b.vec")} AS ps
+         |  FROM cand a JOIN cand b ON a.id <> b.id),
+         |$stepCtes
+         |$finalSel
+         |ORDER BY sel_rank""".stripMargin
+    },
 
     // q243: the whole feedback loop replayed in SQL — original leg from
     // the literal generator, expansion terms re-mined (count desc, tok
