@@ -1381,4 +1381,371 @@ object Multimodal {
       }
     }(enc)
   }
+
+  // ---- REAL audio: RIFF/WAVE 16-bit PCM codec + sample-domain features --
+  //
+  // WAV carries raw PCM — no entropy coding — so it is the one audio
+  // container decodable here with zero codec dependencies, and every
+  // decoded sample is an exact int16 the DuckDB oracle can recompute
+  // arithmetically (the q201 discipline applied to sound). Reference
+  // scope: the reference treats media as opaque bytes; decode + features
+  // are this engine's extension surface (SURVEY.md §2 multimodal rows).
+
+  /** Deterministic int16 PCM source for a text (the microphone stand-in):
+    * sample i = md5₄₀(token[i mod n]) mod 65536 − 32768. The synth is the
+    * audio twin of [[synthPixels]], so a DuckDB oracle replays the decoded
+    * samples without ever seeing the container. */
+  def synthSamples(text: String, n: Int): Array[Int] = {
+    val toks = text.split(" ")
+    Array.tabulate(n) { i =>
+      (graft.catalyst.Md5Prefix40.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(
+          toks(i % toks.length))) % 65536L).toInt - 32768
+    }
+  }
+
+  /** 16-bit mono PCM RIFF/WAVE encoding. `junkChunk` inserts an
+    * odd-length unknown chunk between `fmt ` and `data` so decoders must
+    * honor the chunk walk + the RIFF odd-size pad byte. */
+  def encodeWavPcm16(samples: Array[Int], rate: Int,
+                     junkChunk: Boolean = false): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = bos.write(v & 0xff)
+    def le16(v: Int): Unit = { u8(v); u8(v >> 8) }
+    def le32(v: Int): Unit = { le16(v); le16(v >> 16) }
+    def tag(s: String): Unit = s.foreach(c => u8(c.toInt))
+    val dataBytes = samples.length * 2
+    val junk = if (junkChunk) 8 + 5 + 1 else 0 // odd payload + pad byte
+    tag("RIFF"); le32(4 + 24 + junk + 8 + dataBytes); tag("WAVE")
+    tag("fmt "); le32(16)
+    le16(1) // PCM
+    le16(1) // mono
+    le32(rate)
+    le32(rate * 2)  // byte rate
+    le16(2)         // block align
+    le16(16)        // bits
+    if (junkChunk) { tag("LIST"); le32(5); tag("INFO"); u8('x'); u8(0) }
+    tag("data"); le32(dataBytes)
+    samples.foreach(s => le16(s))
+    bos.toByteArray
+  }
+
+  /** Real RIFF/WAVE chunk-walking parser: validates the RIFF/WAVE form,
+    * walks chunks honoring the odd-size pad byte, requires PCM (format 1),
+    * mono, 16-bit, and returns (sampleRate, samples). Anything else —
+    * wrong magic, compressed format, multi-channel, truncated data —
+    * fails soft with None (decode failure is data, not an exception). */
+  def decodeWavPcm16(p: Array[Byte]): Option[(Int, Array[Int])] = {
+    @inline def u8(i: Int): Int = p(i) & 0xff
+    @inline def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    @inline def le32(i: Int): Int =
+      u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    @inline def tagAt(i: Int, s: String): Boolean =
+      s.indices.forall(j => u8(i + j) == s(j).toInt)
+    if (p.length < 12 || !tagAt(0, "RIFF") || !tagAt(8, "WAVE")) return None
+    var i = 12
+    var rate = -1; var ok = false
+    var data: Array[Int] = null
+    while (i + 8 <= p.length) {
+      val size = le32(i + 4)
+      if (size < 0 || i + 8 + size > p.length) return None
+      if (tagAt(i, "fmt ")) {
+        if (size < 16) return None
+        val fmt = le16(i + 8); val ch = le16(i + 10)
+        rate = le32(i + 12)
+        val bits = le16(i + 22)
+        ok = fmt == 1 && ch == 1 && bits == 16
+      } else if (tagAt(i, "data")) {
+        if (size % 2 != 0) return None
+        data = Array.tabulate(size / 2) { j =>
+          val v = le16(i + 8 + 2 * j)
+          if (v >= 32768) v - 65536 else v // sign-extend int16
+        }
+      }
+      i += 8 + size + (size & 1) // odd chunks are padded to even offsets
+    }
+    if (ok && rate > 0 && data != null) Some((rate, data)) else None
+  }
+
+  /** Gate-side WAV payload synthesis: even ids n=64 samples plain; odd
+    * ids n=48 with a junk LIST chunk before `data` (exercising the chunk
+    * walk + pad byte — decoded samples are unaffected, which is what lets
+    * one oracle cover both container layouts). */
+  def withSynthWavPayload(df: DataFrame, idCol: String, textCol: String,
+                          nEven: Int = 64, nOdd: Int = 48): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("payload", BinaryType)))
+    val enc = Encoders.row(schema)
+    val idIdx = df.columns.indexOf(idCol)
+    val tIdx = df.columns.indexOf(textCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val id = row.getLong(idIdx)
+        val n = if (id % 2 == 0) nEven else nOdd
+        Row(id, encodeWavPcm16(synthSamples(row.getString(tIdx), n),
+          rate = 8000, junkChunk = id % 2 == 1))
+      }
+    }(enc)
+  }
+
+  /** Sample-domain audio features over REAL decoded PCM — all exact
+    * integers so the oracle hashes them: n_samples, peak = max |s|,
+    * zero_crossings (sign(x) = x ≥ 0 transitions), energy = Σ s². An
+    * undecodable payload yields nulls (fail-soft, directed by callers). */
+  def audioFeaturesFromPayload(df: DataFrame, idCol: String,
+                               payloadCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", df.schema(idCol).dataType),
+      StructField("sample_rate", IntegerType),
+      StructField("n_samples", IntegerType),
+      StructField("peak", IntegerType),
+      StructField("zero_cross", IntegerType),
+      StructField("energy", LongType)))
+    val enc = Encoders.row(schema)
+    val idIdx = df.columns.indexOf(idCol)
+    val pIdx = df.columns.indexOf(payloadCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val p = row.getAs[Array[Byte]](pIdx)
+        (if (p == null) None else decodeWavPcm16(p)) match {
+          case Some((rate, ss)) =>
+            var peak = 0; var zc = 0; var energy = 0L
+            var i = 0
+            while (i < ss.length) {
+              val a = math.abs(ss(i))
+              if (a > peak) peak = a
+              if (i > 0 && (ss(i - 1) >= 0) != (ss(i) >= 0)) zc += 1
+              energy += ss(i).toLong * ss(i)
+              i += 1
+            }
+            Row(row.get(idIdx), rate, ss.length, peak, zc, energy)
+          case None =>
+            Row(row.get(idIdx), null, null, null, null, null)
+        }
+      }
+    }(enc)
+  }
+
+  /** Audio fingerprint: frame the PCM into `frame`-sample windows, take
+    * per-frame energies (exact Σ s²), and fold the 56 energy-delta signs
+    * e_b < e_{b+1} MSB-first into a long — the same bit layout and band
+    * pipeline as dHash, so [[nearDupPairsFromHashes]] and the persisted
+    * index machinery apply to sound unchanged. 228 samples at frame=4
+    * give exactly 57 frames → 56 bits = [[DHashBits]]. */
+  def audioFingerprintFromPayload(df: DataFrame, idCol: String,
+                                  payloadCol: String,
+                                  frame: Int = 4): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", df.schema(idCol).dataType),
+      StructField("h", LongType)))
+    val enc = Encoders.row(schema)
+    val idIdx = df.columns.indexOf(idCol)
+    val pIdx = df.columns.indexOf(payloadCol)
+    val bits = DHashBits
+    df.mapPartitions { it =>
+      it.map { row =>
+        val p = row.getAs[Array[Byte]](pIdx)
+        (if (p == null) None else decodeWavPcm16(p)) match {
+          case Some((_, ss)) if ss.length >= (bits + 1) * frame =>
+            val e = Array.tabulate(bits + 1) { f =>
+              var acc = 0L; var j = 0
+              while (j < frame) {
+                val s = ss(f * frame + j); acc += s.toLong * s; j += 1
+              }
+              acc
+            }
+            var acc = 0L
+            var b = bits - 1
+            while (b >= 0) {
+              acc = acc * 2L + (if (e(b) < e(b + 1)) 1L else 0L)
+              b -= 1
+            }
+            Row(row.get(idIdx), acc)
+          case _ => Row(row.get(idIdx), null)
+        }
+      }
+    }(enc)
+  }
+
+  // ---- REAL video: AVI/MJPEG container + temporal analysis --------------
+  //
+  // MJPEG-in-AVI is the one video form decodable with what this repo
+  // already owns: the RIFF walk (audio's container grammar) around the
+  // real baseline-JPEG decoder (q240). Block-constant synth frames keep
+  // the lossy codec exactly invertible, so per-frame pixels — and hence
+  // frame hashes, scene boundaries, and keyframes — replay in the oracle.
+
+  /** Salted block-constant grayscale source: block b = md5₄₀(
+    * token[(b + salt) mod n]) mod 256 — [[synthBlockPixels]] with a frame
+    * salt, so frames of the same scene are bit-identical and scenes far
+    * apart in Hamming space (unless the text has too few distinct tokens,
+    * in which case BOTH engines see the same degenerate content). */
+  def synthBlockPixelsSalted(text: String, w: Int, h: Int,
+                             salt: Int): Array[Int] = {
+    val toks = text.split(" ")
+    val bcols = (w + 7) / 8
+    Array.tabulate(w * h) { j =>
+      val b = (j / w / 8) * bcols + (j % w) / 8
+      (graft.catalyst.Md5Prefix40.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(
+          toks((b + salt) % toks.length))) % 256L).toInt
+    }
+  }
+
+  /** Minimal AVI/MJPEG container: RIFF('AVI '){ LIST('hdrl'){ avih,
+    * LIST('strl'){ strh, strf } }, LIST('movi'){ '00dc' frames } }.
+    * Structure follows the public AVI RIFF form (msdn AVI RIFF File
+    * Reference); only the fields the decoder validates are populated. */
+  def encodeAviMjpeg(frames: Seq[Array[Byte]], w: Int, h: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = bos.write(v & 0xff)
+    def le16(v: Int): Unit = { u8(v); u8(v >> 8) }
+    def le32(v: Int): Unit = { le16(v); le16(v >> 16) }
+    def tag(s: String): Unit = s.foreach(c => u8(c.toInt))
+    // avih: 14 dwords; we populate frame count (idx 4), streams (idx 6),
+    // width/height (idx 8/9)
+    val avih = new Array[Byte](56)
+    def putLe32(a: Array[Byte], i: Int, v: Int): Unit = {
+      a(i) = (v & 0xff).toByte; a(i + 1) = ((v >> 8) & 0xff).toByte
+      a(i + 2) = ((v >> 16) & 0xff).toByte; a(i + 3) = ((v >> 24) & 0xff).toByte
+    }
+    putLe32(avih, 16, frames.length) // dwTotalFrames
+    putLe32(avih, 24, 1)             // dwStreams
+    putLe32(avih, 32, w)
+    putLe32(avih, 36, h)
+    val strh = new Array[Byte](56)
+    "vids".zipWithIndex.foreach { case (c, i) => strh(i) = c.toByte }
+    "MJPG".zipWithIndex.foreach { case (c, i) => strh(4 + i) = c.toByte }
+    putLe32(strh, 20, 1)  // dwScale
+    putLe32(strh, 24, 25) // dwRate (25 fps)
+    putLe32(strh, 32, frames.length)
+    val strf = new Array[Byte](40) // BITMAPINFOHEADER
+    putLe32(strf, 0, 40); putLe32(strf, 4, w); putLe32(strf, 8, h)
+    strf(12) = 1; strf(14) = 24
+    "MJPG".zipWithIndex.foreach { case (c, i) => strf(16 + i) = c.toByte }
+    // assemble: sizes are computed bottom-up, so build the LISTs as bytes
+    def listBytes(listType: String, parts: Seq[Array[Byte]]): Array[Byte] = {
+      val inner = parts.map(_.length).sum + 4
+      val b = java.nio.ByteBuffer.allocate(8 + 4 + parts.map(_.length).sum)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("LIST".getBytes("US-ASCII")); b.putInt(inner)
+      b.put(listType.getBytes("US-ASCII"))
+      parts.foreach(b.put); b.array()
+    }
+    def chunkBytes(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = body.length % 2
+      val b = java.nio.ByteBuffer.allocate(8 + body.length + pad)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put(id.getBytes("US-ASCII")); b.putInt(body.length); b.put(body)
+      b.array() // trailing pad byte is already zero
+    }
+    val strl = listBytes("strl",
+      Seq(chunkBytes("strh", strh), chunkBytes("strf", strf)))
+    val hdrl = listBytes("hdrl", Seq(chunkBytes("avih", avih), strl))
+    val movi = listBytes("movi", frames.map(f => chunkBytes("00dc", f)))
+    tag("RIFF"); le32(4 + hdrl.length + movi.length); tag("AVI ")
+    bos.write(hdrl, 0, hdrl.length); bos.write(movi, 0, movi.length)
+    bos.toByteArray
+  }
+
+  /** Real AVI RIFF walker: validates the 'AVI ' form, reads dwTotalFrames
+    * from avih, collects '00dc'/'00db' payloads inside LIST('movi')
+    * honoring the odd-size pad, and returns the frames only when the
+    * count matches the header (a truncated movi fails soft). */
+  def decodeAviFrames(p: Array[Byte]): Option[Seq[Array[Byte]]] = {
+    @inline def u8(i: Int): Int = p(i) & 0xff
+    @inline def le32(i: Int): Int =
+      u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    @inline def tagAt(i: Int, s: String): Boolean =
+      i + s.length <= p.length && s.indices.forall(j => u8(i + j) == s(j).toInt)
+    if (p.length < 12 || !tagAt(0, "RIFF") || !tagAt(8, "AVI ")) return None
+    var declared = -1
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    def walk(from: Int, to: Int, inMovi: Boolean): Boolean = {
+      var i = from
+      while (i + 8 <= to) {
+        val size = le32(i + 4)
+        if (size < 0 || i + 8 + size > to) return false
+        if (tagAt(i, "LIST")) {
+          val listType = new String(p, i + 8, 4, "US-ASCII")
+          if (!walk(i + 12, i + 8 + size, inMovi || listType == "movi"))
+            return false
+        } else if (tagAt(i, "avih")) {
+          if (size < 56) return false
+          declared = le32(i + 8 + 16)
+        } else if (inMovi && (tagAt(i, "00dc") || tagAt(i, "00db"))) {
+          frames += java.util.Arrays.copyOfRange(p, i + 8, i + 8 + size)
+        }
+        i += 8 + size + (size & 1)
+      }
+      true
+    }
+    if (!walk(12, p.length, inMovi = false)) return None
+    if (declared >= 0 && frames.length == declared && declared > 0)
+      Some(frames.toSeq)
+    else None
+  }
+
+  /** Gate-side AVI payload synthesis: `nFrames` 36×28 block-constant
+    * baseline JPEGs per doc (the q240 invertibility trick), frame f
+    * salted by its SCENE index — even ids cut scenes every 2 frames, odd
+    * ids every 3 — so frames within a scene are bit-identical and scene
+    * changes are Hamming-visible. */
+  def withSynthAviPayload(df: DataFrame, idCol: String, textCol: String,
+                          nFrames: Int = 6): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("payload", BinaryType)))
+    val enc = Encoders.row(schema)
+    val idIdx = df.columns.indexOf(idCol)
+    val tIdx = df.columns.indexOf(textCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val id = row.getLong(idIdx)
+        val text = row.getString(tIdx)
+        val sceneLen = if (id % 2 == 0) 2 else 3
+        val frames = (0 until nFrames).map { f =>
+          encodeJpegGray(
+            synthBlockPixelsSalted(text, 36, 28, salt = (f / sceneLen) * 7),
+            36, 28)
+        }
+        Row(id, encodeAviMjpeg(frames, 36, 28))
+      }
+    }(enc)
+  }
+
+  /** Per-frame hashes over REAL decoded video: AVI walk → baseline-JPEG
+    * decode per frame → resample → the shared dHash fold. Output
+    * (id, frame_idx, h); an undecodable container or frame emits one
+    * (id, -1, null) row so callers fail directed in-query. Partition
+    * shape: one input row → nFrames output rows, all scan-local — no
+    * shuffle until the caller's temporal analysis. */
+  def videoFrameHashes(df: DataFrame, idCol: String,
+                       payloadCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", df.schema(idCol).dataType),
+      StructField("frame_idx", IntegerType),
+      StructField("h", LongType)))
+    val enc = Encoders.row(schema)
+    val idIdx = df.columns.indexOf(idCol)
+    val pIdx = df.columns.indexOf(payloadCol)
+    df.mapPartitions { it =>
+      it.flatMap { row =>
+        val p = row.getAs[Array[Byte]](pIdx)
+        (if (p == null) None else decodeAviFrames(p)) match {
+          case Some(frames) =>
+            val hashes = frames.map(decodeJpegGray)
+            if (hashes.exists(_.isEmpty))
+              Seq(Row(row.get(idIdx), -1, null))
+            else hashes.zipWithIndex.map { case (dec, f) =>
+              val (w, h, px) = dec.get
+              Row(row.get(idIdx), f,
+                graft.catalyst.DHashStub.ofGrid(resampleToGrid(px, w, h)))
+            }
+          case None => Seq(Row(row.get(idIdx), -1, null))
+        }
+      }
+    }(enc)
+  }
 }

@@ -3211,6 +3211,110 @@ object Extensions {
         s.read.parquet(s"$dir/embeddings.parquet"),
         "vec_id", "embedding", queryVecId = 0L, candK = 20, k = 8)),
 
+    // --- REAL audio decode + sample-domain features: texts synthesize
+    // real RIFF/WAVE 16-bit PCM containers (even ids 64 samples plain,
+    // odd ids 48 samples with a junk LIST chunk before `data` — the
+    // chunk walk + RIFF pad byte under the gate), the real parser
+    // decodes them, and the features (peak, zero crossings, Σ s²) are
+    // exact integers the oracle recomputes from the same deterministic
+    // synth — any offset/endianness/sign-extension bug diverges; an
+    // undecodable payload fails directed in-query.
+    "q245_audio_features" -> ((s, dir) => {
+      val MM = graft.functions.Multimodal
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      MM.audioFeaturesFromPayload(
+          MM.withSynthWavPayload(docs, "doc_id", "text"), "id", "payload")
+        .select(
+          when(col("n_samples").isNull, raise_error(concat(
+            lit("q245: WAV payload for id "), col("id").cast("string"),
+            lit(" failed to decode — RIFF-parser regression"))))
+            .otherwise(col("id")).as("doc_id"),
+          col("sample_rate"), col("n_samples"), col("peak"),
+          col("zero_cross"), col("energy"))
+    }),
+
+    // --- audio near-dup via energy-delta fingerprints: 228-sample PCM →
+    // 57 frame energies (exact Σ s² over 4-sample frames) → 56 delta-sign
+    // bits folded MSB-first — the same bit width, band split, and pair
+    // pipeline as image dHash, so the banded index machinery applies to
+    // sound unchanged. Candidates exist only through shared band buckets
+    // (never all-pairs); the oracle replays samples → energies → bits →
+    // bands arithmetically.
+    "q246_audio_fingerprint" -> ((s, dir) => {
+      val MM = graft.functions.Multimodal
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val fp = MM.audioFingerprintFromPayload(
+        MM.withSynthWavPayload(docs, "doc_id", "text",
+          nEven = 228, nOdd = 228), "id", "payload")
+      val verified = fp.select(
+        when(col("h").isNull, raise_error(concat(
+          lit("q246: WAV payload for id "), col("id").cast("string"),
+          lit(" failed to decode — fingerprint regression"))))
+          .otherwise(col("h")).as("h"))
+      MM.nearDupPairsFromHashes(verified)
+    }),
+
+    // --- REAL video decode + temporal scene detection: texts synthesize
+    // real AVI/MJPEG containers (6 block-constant baseline-JPEG frames;
+    // even ids cut scenes every 2 frames, odd ids every 3), the RIFF
+    // walker extracts the '00dc' frames, the q240 JPEG decoder decodes
+    // each, and scene boundaries fall where consecutive frame dHashes
+    // differ by > 3 bits. Per-video windows are bounded (6 frames), so
+    // the temporal pass is one keyed shuffle; the oracle replays the
+    // salted block grids, frame hashes, and boundary logic arithmetically.
+    "q247_video_scenes" -> ((s, dir) => {
+      val MM = graft.functions.Multimodal
+      val W = org.apache.spark.sql.expressions.Window
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val fh = MM.videoFrameHashes(
+        MM.withSynthAviPayload(docs, "doc_id", "text"), "id", "payload")
+      val verified = fh.select(col("id"), col("frame_idx"),
+        when(col("h").isNull, raise_error(concat(
+          lit("q247: AVI payload for id "), col("id").cast("string"),
+          lit(" failed to decode — container/JPEG regression"))))
+          .otherwise(col("h")).as("h"))
+      val w = W.partitionBy(col("id")).orderBy(col("frame_idx"))
+      val bd = verified
+        .withColumn("prev", lag(col("h"), 1).over(w))
+        .withColumn("bdy", when(col("prev").isNotNull &&
+          (MM.hamming(col("h"), col("prev")) > 3), 1L).otherwise(0L))
+      bd.groupBy(col("id").as("doc_id"))
+        .agg(count(lit(1)).cast("bigint").as("n_frames"),
+          (lit(1L) + sum(col("bdy"))).cast("bigint").as("n_scenes"),
+          coalesce(sum(when(col("bdy") === 1L,
+            expr("shiftleft(cast(1 as bigint), frame_idx - 1)"))
+            .otherwise(0L)), lit(0L)).cast("bigint").as("boundary_mask"))
+    }),
+
+    // --- corpus-wide KEYFRAME dedup: the q247 chain keeps only scene
+    // keyframes (frame 0 + every boundary frame) and runs the banded
+    // dHash near-dup join across the whole corpus — the video twin of
+    // q201's image dedup, with the candidate-only band discipline and
+    // per-hash multiplicity carried through. Keyframe selection cuts the
+    // indexable set by the average scene length before any join.
+    "q248_keyframe_dedup" -> ((s, dir) => {
+      val MM = graft.functions.Multimodal
+      val W = org.apache.spark.sql.expressions.Window
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val fh = MM.videoFrameHashes(
+        MM.withSynthAviPayload(docs, "doc_id", "text"), "id", "payload")
+      val verified = fh.select(col("id"), col("frame_idx"),
+        when(col("h").isNull, raise_error(concat(
+          lit("q248: AVI payload for id "), col("id").cast("string"),
+          lit(" failed to decode — container/JPEG regression"))))
+          .otherwise(col("h")).as("h"))
+      val w = W.partitionBy(col("id")).orderBy(col("frame_idx"))
+      val kf = verified
+        .withColumn("prev", lag(col("h"), 1).over(w))
+        .filter(col("prev").isNull ||
+          MM.hamming(col("h"), col("prev")) > 3)
+      MM.nearDupPairsFromHashes(kf.select(col("h")))
+    }),
+
     // --- pseudo-relevance feedback (RM3-lite): BM25 with the original
     // bag, mine the top-5 tokens from the top-10 hits (count desc, token
     // asc, originals excluded — a bounded driver carry of 5 strings, the
@@ -4641,6 +4745,49 @@ object Extensions {
   private lazy val synthJpegDhashOracle: String =
     synthDhashOracleFor("(((i // 9) // 2) * 5 + ((i % 9) // 2))")
 
+  /** Shared CTE prefix for the video gates (q247/q248): per-(doc, frame)
+    * dHash over the salted block grid — the q240 block-index formula with
+    * the frame's scene salt — plus the consecutive-frame boundary table;
+    * `withKeyframeCtes` appends keyframe selection + band rows for the
+    * dedup form. */
+  private def videoSceneOracle(finalSelect: String,
+                               withKeyframeCtes: Boolean = false): String = {
+    val MM = graft.functions.Multimodal
+    val (w, bits) = (MM.DHashW, MM.DHashBits)
+    val saltIdx = "(((((i // 9) // 2) * 5 + ((i % 9) // 2)) + " +
+      "((f // (CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 3 END)) * 7)) % len(t)) + 1"
+    val kfCtes = if (!withKeyframeCtes) "" else
+      s""",
+         |kf AS MATERIALIZED (
+         |  SELECT doc_id, f, h FROM fh WHERE f = 0
+         |  UNION ALL
+         |  SELECT b.doc_id, b.f, fh.h
+         |  FROM bd b JOIN fh ON fh.doc_id = b.doc_id AND fh.f = b.f
+         |  WHERE b.bdy = 1),
+         |icnt AS MATERIALIZED (
+         |  SELECT h, CAST(count(*) AS BIGINT) AS n FROM kf GROUP BY 1),
+         |ib AS MATERIALIZED (
+         |  ${dhashBandSql("(SELECT h FROM icnt)")})""".stripMargin
+    s"""WITH fr AS MATERIALIZED (
+       |  SELECT doc_id, f, list_transform(range(0, ${w * MM.DHashH}), i ->
+       |    CAST(${dTokHash(s"t[$saltIdx]")} % 256 AS INTEGER)) AS p
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |       (SELECT unnest(range(0, 6)) AS f)),
+       |fh AS MATERIALIZED (
+       |  SELECT doc_id, f, list_reduce(
+       |    list_transform(range(${bits - 1}, -1, -1), i ->
+       |      CASE WHEN p[(i // ${w - 1}) * $w + (i % ${w - 1}) + 1]
+       |             < p[(i // ${w - 1}) * $w + (i % ${w - 1}) + 2]
+       |           THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END),
+       |    (acc, x) -> acc * 2 + x) AS h
+       |  FROM fr),
+       |bd AS MATERIALIZED (
+       |  SELECT a.doc_id, a.f,
+       |    CASE WHEN bit_count(xor(a.h, b.h)) > 3 THEN 1 ELSE 0 END AS bdy
+       |  FROM fh a JOIN fh b ON a.doc_id = b.doc_id AND b.f = a.f - 1)$kfCtes
+       |$finalSelect""".stripMargin
+  }
+
   /** Shared skeleton: dHash + banding + near-dup pairs over a synth
     * grid whose RESAMPLED pixel i hashes token[idxExpr mod n]. */
   private def synthDhashOracleFor(idxExpr: String): String = {
@@ -5451,6 +5598,92 @@ object Extensions {
          |$finalSel
          |ORDER BY sel_rank""".stripMargin
     },
+
+    // q245: the oracle recomputes the DECODED PCM arithmetically (sample
+    // i = md5₄₀(token[i mod n]) mod 65536 − 32768 — the synth is
+    // deterministic) and derives the same exact-integer features; the
+    // container round-trip (chunk walk, pad byte, sign extension) is
+    // exactly what the gate proves
+    "q245_audio_features" ->
+      s"""WITH ss AS MATERIALIZED (
+         |  SELECT doc_id, list_transform(
+         |    range(0, CASE WHEN doc_id % 2 = 0 THEN 64 ELSE 48 END),
+         |    i -> CAST(${dTokHash("t[(i % len(t)) + 1]")} % 65536 - 32768
+         |      AS INTEGER)) AS s
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+         |SELECT doc_id,
+         |  CAST(8000 AS INTEGER) AS sample_rate,
+         |  CAST(len(s) AS INTEGER) AS n_samples,
+         |  CAST(list_max(list_transform(s, x -> abs(x))) AS INTEGER) AS peak,
+         |  CAST(list_sum(list_transform(range(1, len(s)), i ->
+         |    CASE WHEN (s[i] >= 0) != (s[i+1] >= 0) THEN 1 ELSE 0 END))
+         |    AS INTEGER) AS zero_cross,
+         |  CAST(list_sum(list_transform(s, x -> CAST(x AS BIGINT) * x))
+         |    AS BIGINT) AS energy
+         |FROM ss""".stripMargin,
+
+    // q246: samples → 57 exact frame energies → 56 delta-sign bits folded
+    // MSB-first → the SAME band/pair SQL as the image chain — one fold
+    // convention across modalities is what lets the skeleton be shared
+    "q246_audio_fingerprint" ->
+      s"""WITH ss AS MATERIALIZED (
+         |  SELECT doc_id, list_transform(range(0, 228),
+         |    i -> CAST(${dTokHash("t[(i % len(t)) + 1]")} % 65536 - 32768
+         |      AS INTEGER)) AS s
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+         |en AS MATERIALIZED (
+         |  SELECT doc_id, list_transform(range(0, 57), f ->
+         |    list_sum(list_transform(range(1, 5), j ->
+         |      CAST(s[4*f + j] AS BIGINT) * s[4*f + j]))) AS e
+         |  FROM ss),
+         |fp AS MATERIALIZED (
+         |  SELECT doc_id, list_reduce(
+         |    list_transform(range(55, -1, -1), b ->
+         |      CASE WHEN e[b+1] < e[b+2] THEN CAST(1 AS BIGINT)
+         |           ELSE CAST(0 AS BIGINT) END),
+         |    (acc, x) -> acc * 2 + x) AS h
+         |  FROM en),
+         |icnt AS MATERIALIZED (
+         |  SELECT h, CAST(count(*) AS BIGINT) AS n FROM fp GROUP BY 1),
+         |ib AS MATERIALIZED (
+         |  ${dhashBandSql("(SELECT h FROM icnt)")}),
+         |ipr AS MATERIALIZED (
+         |  SELECT DISTINCT a.h AS h1, b.h AS h2
+         |  FROM ib a JOIN ib b ON a.key = b.key AND a.h < b.h),
+         |isel AS (
+         |  SELECT h1, h2, CAST(bit_count(xor(h1, h2)) AS INTEGER) AS hamming
+         |  FROM ipr WHERE bit_count(xor(h1, h2)) <= 3)
+         |SELECT h1, h2, hamming, c1.n AS n1, c2.n AS n2
+         |FROM isel
+         |JOIN icnt c1 ON isel.h1 = c1.h
+         |JOIN icnt c2 ON isel.h2 = c2.h""".stripMargin,
+
+    // q247: per-frame hashes replay the q240 block-grid formula with the
+    // frame's SCENE salt ((f // sceneLen) · 7); boundary logic (Hamming >
+    // 3 between consecutive frames) replays in plain SQL — the container
+    // walk + per-frame JPEG decode is the round-trip the gate proves
+    "q247_video_scenes" -> videoSceneOracle(
+      """SELECT n.doc_id, n.n_frames,
+        |  CAST(1 + s.sb AS BIGINT) AS n_scenes, s.mask AS boundary_mask
+        |FROM (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames
+        |      FROM fh GROUP BY 1) n
+        |JOIN (SELECT doc_id, sum(bdy) AS sb,
+        |        CAST(coalesce(sum(CASE WHEN bdy = 1
+        |          THEN (CAST(1 AS BIGINT) << (f - 1)) ELSE 0 END), 0)
+        |          AS BIGINT) AS mask
+        |      FROM bd GROUP BY 1) s USING (doc_id)""".stripMargin),
+
+    // q248: keyframes (frame 0 + boundary frames) feed the shared band/
+    // pair SQL — the corpus-wide video-dedup twin of q201
+    "q248_keyframe_dedup" -> videoSceneOracle(
+      s"""SELECT h1, h2, hamming, c1.n AS n1, c2.n AS n2 FROM (
+         |  SELECT h1, h2, CAST(bit_count(xor(h1, h2)) AS INTEGER) AS hamming
+         |  FROM (SELECT DISTINCT a.h AS h1, b.h AS h2
+         |        FROM ib a JOIN ib b ON a.key = b.key AND a.h < b.h)
+         |  WHERE bit_count(xor(h1, h2)) <= 3) isel
+         |JOIN icnt c1 ON isel.h1 = c1.h
+         |JOIN icnt c2 ON isel.h2 = c2.h""".stripMargin,
+      withKeyframeCtes = true),
 
     // q243: the whole feedback loop replayed in SQL — original leg from
     // the literal generator, expansion terms re-mined (count desc, tok

@@ -422,6 +422,113 @@ class FunctionsSpec extends SparkSpec {
     })
   }
 
+  test("real WAV decode: PCM round-trip, chunk walk + pad byte, sign " +
+       "extension, feature arithmetic, fingerprint width, guards") {
+    import graft.functions.Multimodal
+    val ss = Multimodal.synthSamples("alpha beta gamma delta", 64)
+    // int16 round-trip, both container layouts (plain / junk LIST chunk
+    // with an odd payload exercising the RIFF pad byte)
+    assert(Multimodal.decodeWavPcm16(Multimodal.encodeWavPcm16(ss, 8000))
+      .exists { case (r, s) => r == 8000 && s.sameElements(ss) })
+    assert(Multimodal.decodeWavPcm16(
+        Multimodal.encodeWavPcm16(ss, 8000, junkChunk = true))
+      .exists { case (r, s) => r == 8000 && s.sameElements(ss) })
+    // sign extension: full-scale negative and positive extremes survive
+    val extremes = Array(-32768, 32767, -1, 0, 1)
+    assert(Multimodal.decodeWavPcm16(
+        Multimodal.encodeWavPcm16(extremes, 44100))
+      .exists { case (r, s) => r == 44100 && s.sameElements(extremes) })
+    // guards fail soft: truncated data, non-PCM format code, stereo,
+    // 8-bit, non-WAV bytes
+    val enc = Multimodal.encodeWavPcm16(ss, 8000)
+    assert(Multimodal.decodeWavPcm16(enc.take(enc.length - 3)).isEmpty,
+      "truncated data chunk")
+    val alaw = enc.clone(); alaw(20) = 6 // wFormatTag = A-law
+    assert(Multimodal.decodeWavPcm16(alaw).isEmpty, "compressed format")
+    val stereo = enc.clone(); stereo(22) = 2
+    assert(Multimodal.decodeWavPcm16(stereo).isEmpty, "stereo")
+    val eight = enc.clone(); eight(34) = 8
+    assert(Multimodal.decodeWavPcm16(eight).isEmpty, "8-bit")
+    assert(Multimodal.decodeWavPcm16("RIFFxxxxJUNK".getBytes).isEmpty)
+    // feature arithmetic matches a direct fold over the samples
+    var peak = 0; var zc = 0; var energy = 0L
+    ss.indices.foreach { i =>
+      peak = math.max(peak, math.abs(ss(i)))
+      if (i > 0 && (ss(i - 1) >= 0) != (ss(i) >= 0)) zc += 1
+      energy += ss(i).toLong * ss(i)
+    }
+    val df = Seq((2L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val feat = Multimodal.audioFeaturesFromPayload(
+      Multimodal.withSynthWavPayload(df, "doc_id", "text"),
+      "id", "payload").head()
+    assert(feat.getInt(1) == 8000 && feat.getInt(2) == 64 &&
+      feat.getInt(3) == peak && feat.getInt(4) == zc &&
+      feat.getLong(5) == energy)
+    // fingerprint: exactly DHashBits wide (57 frames → 56 delta signs);
+    // too-short audio yields null (fail soft), 228 samples succeed and
+    // the MSB-first fold matches a direct computation
+    val fp = Multimodal.audioFingerprintFromPayload(
+      Multimodal.withSynthWavPayload(df, "doc_id", "text",
+        nEven = 64, nOdd = 64), "id", "payload").head()
+    assert(fp.isNullAt(1), "64 samples < 57 frames — must be null")
+    val ss228 = Multimodal.synthSamples("alpha beta gamma delta", 228)
+    val e = Array.tabulate(57) { f =>
+      (0 until 4).map(j => ss228(4 * f + j).toLong * ss228(4 * f + j)).sum }
+    var expect = 0L
+    (Multimodal.DHashBits - 1 to 0 by -1).foreach { b =>
+      expect = expect * 2 + (if (e(b) < e(b + 1)) 1L else 0L) }
+    val fp228 = Multimodal.audioFingerprintFromPayload(
+      Multimodal.withSynthWavPayload(df, "doc_id", "text",
+        nEven = 228, nOdd = 228), "id", "payload").head()
+    assert(fp228.getLong(1) == expect)
+  }
+
+  test("real AVI decode: MJPEG frame extraction, header frame count, " +
+       "scene salts, keyframe selection, guards") {
+    import graft.functions.Multimodal
+    val text = "alpha beta gamma delta epsilon zeta"
+    // container round-trip: 6 frames in, 6 JPEG payloads out, each
+    // decoding to the salted block grid it was built from
+    val frames = (0 until 6).map { f =>
+      Multimodal.encodeJpegGray(
+        Multimodal.synthBlockPixelsSalted(text, 36, 28, (f / 2) * 7), 36, 28)
+    }
+    val avi = Multimodal.encodeAviMjpeg(frames, 36, 28)
+    val dec = Multimodal.decodeAviFrames(avi)
+    assert(dec.exists(_.length == 6))
+    dec.get.zipWithIndex.foreach { case (fb, f) =>
+      val px = Multimodal.synthBlockPixelsSalted(text, 36, 28, (f / 2) * 7)
+      assert(Multimodal.decodeJpegGray(fb).exists(_._3.sameElements(px)),
+        s"frame $f pixels")
+    }
+    // header count is validated: a movi LIST missing one frame fails soft
+    val short = Multimodal.encodeAviMjpeg(frames.take(5), 36, 28)
+    // (5 declared, 5 present — decodes; then corrupt the declared count)
+    assert(Multimodal.decodeAviFrames(short).exists(_.length == 5))
+    val lying = short.clone()
+    // avih dwTotalFrames lives at hdrl(12)+avih(8)+16 = RIFF(12)+LIST hdr
+    val avihAt = short.indices.find(i =>
+      short.slice(i, i + 4).sameElements("avih".getBytes)).get
+    lying(avihAt + 8 + 16) = 9
+    assert(Multimodal.decodeAviFrames(lying).isEmpty, "frame-count lie")
+    assert(Multimodal.decodeAviFrames("RIFFxxxxWAVE".getBytes).isEmpty,
+      "not an AVI")
+    assert(Multimodal.decodeAviFrames(avi.take(40)).isEmpty, "truncated")
+    // scene structure end-to-end: even ids cut every 2 frames (scenes
+    // 0,0,1,1,2,2 → boundaries at f=2,4 → mask 2^1 + 2^3 = 10), odd ids
+    // every 3 (boundary at f=3 → mask 4) — over hashes, not pixels
+    val df = Seq((2L, text), (3L, text)).toDF("doc_id", "text")
+    val fh = Multimodal.videoFrameHashes(
+      Multimodal.withSynthAviPayload(df, "doc_id", "text"), "id", "payload")
+    assert(fh.count() == 12 && fh.filter(col("h").isNull).count() == 0)
+    val hs = fh.collect().map(r =>
+      (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(hs((2L, 0)) == hs((2L, 1)) && hs((2L, 2)) == hs((2L, 3)) &&
+      hs((2L, 4)) == hs((2L, 5)), "even id: 3 scenes of 2")
+    assert(hs((3L, 0)) == hs((3L, 2)) && hs((3L, 3)) == hs((3L, 5)),
+      "odd id: 2 scenes of 3")
+  }
+
   test("real GIF decode: LZW round-trip, code-width growth + CLEAR " +
        "reset, cScSc corner, interlace, LCT, palette mapping, guards") {
     import graft.functions.Multimodal
