@@ -133,7 +133,15 @@ object ScaleRehearsal {
     // RM3: two BM25 passes + the fbDocs token count; blend is k-sized
     "q243_rm3_feedback",
     // MMR: one candidate-search scan; greedy loop is a bounded carry
-    "q244_mmr_diversify")
+    "q244_mmr_diversify",
+    // round-11 fifth wave: WAV decode + features (scan-shaped: PCM parse
+    // + integer folds per payload), the audio fingerprint band join
+    // (banded candidate pairs, the image-dedup shape on sound), video
+    // scene detection (scan-local 6-frame JPEG decodes + one keyed
+    // shuffle for the bounded per-video window), and keyframe dedup
+    // (the q201 band pipeline over scene keyframes)
+    "q245_audio_features", "q246_audio_fingerprint",
+    "q247_video_scenes", "q248_keyframe_dedup")
 
   def main(args: Array[String]): Unit = {
     val small = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

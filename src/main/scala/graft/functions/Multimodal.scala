@@ -1392,15 +1392,19 @@ object Multimodal {
   // are this engine's extension surface (SURVEY.md §2 multimodal rows).
 
   /** Deterministic int16 PCM source for a text (the microphone stand-in):
-    * sample i = md5₄₀(token[i mod n]) mod 65536 − 32768. The synth is the
-    * audio twin of [[synthPixels]], so a DuckDB oracle replays the decoded
-    * samples without ever seeing the container. */
+    * sample i = md5₄₀(token[i mod n] ⊕ "@i") mod 65536 − 32768. The synth
+    * is the audio twin of [[synthPixels]] with a POSITION salt: without
+    * it, docs shorter than the sample count produce periodic sample
+    * streams, whose delta-sign fingerprints collapse onto few values and
+    * skew the band buckets (a synth artifact, not engine behavior — the
+    * first sf1 rehearsal measured the skew at ratio 6.6). A DuckDB oracle
+    * replays the decoded samples without ever seeing the container. */
   def synthSamples(text: String, n: Int): Array[Int] = {
     val toks = text.split(" ")
     Array.tabulate(n) { i =>
       (graft.catalyst.Md5Prefix40.hash(
         org.apache.spark.unsafe.types.UTF8String.fromString(
-          toks(i % toks.length))) % 65536L).toInt - 32768
+          toks(i % toks.length) + "@" + i)) % 65536L).toInt - 32768
     }
   }
 

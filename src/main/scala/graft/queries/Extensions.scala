@@ -5608,8 +5608,8 @@ object Extensions {
       s"""WITH ss AS MATERIALIZED (
          |  SELECT doc_id, list_transform(
          |    range(0, CASE WHEN doc_id % 2 = 0 THEN 64 ELSE 48 END),
-         |    i -> CAST(${dTokHash("t[(i % len(t)) + 1]")} % 65536 - 32768
-         |      AS INTEGER)) AS s
+         |    i -> CAST(${dTokHash("concat(t[(i % len(t)) + 1], '@', i)")}
+         |      % 65536 - 32768 AS INTEGER)) AS s
          |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
          |SELECT doc_id,
          |  CAST(8000 AS INTEGER) AS sample_rate,
@@ -5628,8 +5628,8 @@ object Extensions {
     "q246_audio_fingerprint" ->
       s"""WITH ss AS MATERIALIZED (
          |  SELECT doc_id, list_transform(range(0, 228),
-         |    i -> CAST(${dTokHash("t[(i % len(t)) + 1]")} % 65536 - 32768
-         |      AS INTEGER)) AS s
+         |    i -> CAST(${dTokHash("concat(t[(i % len(t)) + 1], '@', i)")}
+         |      % 65536 - 32768 AS INTEGER)) AS s
          |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
          |en AS MATERIALIZED (
          |  SELECT doc_id, list_transform(range(0, 57), f ->
