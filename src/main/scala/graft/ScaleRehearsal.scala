@@ -141,7 +141,14 @@ object ScaleRehearsal {
     // shuffle for the bounded per-video window), and keyframe dedup
     // (the q201 band pipeline over scene keyframes)
     "q245_audio_features", "q246_audio_fingerprint",
-    "q247_video_scenes", "q248_keyframe_dedup")
+    "q247_video_scenes", "q248_keyframe_dedup",
+    // graph pair: the projection join is group-key-bounded and the
+    // degree cap holds wedges at V·k² — but sf1 multiplies ORDERS over
+    // the SAME 1000 suppliers (suppkeys are not replica-offset), so the
+    // raw projection densifies ~10× and the cap is what keeps the
+    // downstream iteration/wedge cost flat — exactly the densification
+    // the cap exists for
+    "q249_pagerank", "q250_triangles")
 
   def main(args: Array[String]): Unit = {
     val small = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,0 +1,127 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Graph analytics over co-occurrence projections — the OLAP-adjacent
+  * graph class (entity graphs mined from fact tables: co-purchase,
+  * co-citation, co-click). The reference has no graph surface; this is
+  * extension territory, built on the repo's existing scale primitives
+  * (bounded-heap TopKAgg for degree capping, the exact-integer oracle
+  * discipline for iterative ranks).
+  *
+  * Scale design, in order of appearance:
+  *  - the projection joins the relation with itself ON THE GROUP KEY —
+  *    fan-out is bounded by group size (lineitems per order), never
+  *    corpus size;
+  *  - co-occurrence graphs densify as data grows (more orders → more
+  *    supplier pairs), so the DEGREE CAP is load-bearing: top-`maxDegree`
+  *    neighbors per vertex by (weight desc, id asc) through TopKAgg —
+  *    O(V × k) state, no per-vertex full sort, wedge counts bounded by
+  *    V·k² downstream no matter how dense the raw projection gets;
+  *  - PageRank is EXACT-INTEGER (floor division, both engines identical),
+  *    one keyed shuffle per iteration, ranks persisted per iteration and
+  *    the previous one unpersisted (the q186 iteration discipline).
+  */
+object Graph {
+
+  /** Bounded-degree co-occurrence edges: entities (`vCol`) sharing a
+    * group key (`keyCol`), weighted by shared-group count, each vertex
+    * keeping only its `maxDegree` strongest neighbors (weight desc, id
+    * asc — deterministic). Output (src, dst, w), directed: src's
+    * retained adjacency. The TopKAgg ordering key packs (w, dst) into a
+    * double — exact while w < 2²⁸ and 0 ≤ dst < 2²⁵, enforced with a
+    * directed in-query error rather than silent precision loss. */
+  def coOccurrenceEdges(rel: DataFrame, keyCol: String, vCol: String,
+                        maxDegree: Int): DataFrame = {
+    val su = rel.select(col(keyCol).as("k"), col(vCol).as("v")).distinct()
+    val pairs = su.as("a").join(su.as("b"),
+        col("a.k") === col("b.k") && col("a.v") =!= col("b.v"))
+      .select(col("a.v").as("src"), col("b.v").as("dst"))
+    val pw = pairs.groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("w"))
+    val packed = pw.withColumn("nh",
+      when(col("dst") < 0L || col("dst") >= (1L << 25) ||
+           col("w") >= (1L << 28),
+        raise_error(concat(lit("coOccurrenceEdges: packing domain "),
+          lit("exceeded (dst "), col("dst").cast("string"),
+          lit(", w "), col("w").cast("string"),
+          lit(") — widen the (w, dst) double packing"))))
+        .otherwise((col("w") * (1L << 25) +
+          (lit((1L << 25) - 1) - col("dst"))).cast("double")))
+    val tops = packed.groupBy(col("src"))
+      .agg(graft.catalyst.TopKAgg(col("nh"), maxDegree).as("top"))
+    packed.join(tops, Seq("src"))
+      .filter(array_contains(col("top"), col("nh")))
+      .select(col("src"), col("dst"), col("w"))
+  }
+
+  /** Exact-integer PageRank over directed edges (src, dst): rank scaled
+    * by 10⁹ per vertex (r₀ = 10⁹), update
+    *   r'(v) = 150 000 000 + Σ_{u→v} (r(u)·85) div (100·outdeg(u))
+    * — the standard damping-0.85 form scaled by N·10⁹, with floor
+    * division so both engines compute bit-identical ranks. Every vertex
+    * appears as a src (co-occurrence adjacency is symmetric pre-cap), so
+    * there is no dangling mass. One keyed shuffle per iteration;
+    * contributions fit int64 while indeg·8.5·10⁸ < 2⁶³ (~10⁹ in-edges
+    * per vertex — beyond any degree-capped graph). Returns the top `k`
+    * (rank desc, vertex asc). */
+  def pageRankTopK(edges: DataFrame, iters: Int, k: Int): DataFrame = {
+    val out = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val e = edges.join(out, Seq("src"))
+      .select(col("src"), col("dst"), col("outdeg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val verts = e.select(col("src").as("v")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var rank = verts.select(col("v"), lit(1000000000L).as("r"))
+    var prev: DataFrame = null
+    (1 to iters).foreach { _ =>
+      val contrib = e.join(rank, e("src") === rank("v"))
+        .select(col("dst"), expr("(r * 85) div (100 * outdeg)").as("c"))
+      val sums = contrib.groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      val next = verts.join(sums, verts("v") === sums("dst"), "left_outer")
+        .select(verts("v"),
+          (lit(150000000L) + coalesce(col("s"), lit(0L))).as("r"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count() // materialize before dropping the previous iteration
+      if (prev != null) prev.unpersist()
+      prev = next
+      rank = next
+    }
+    // eager localCheckpoint: the k-row result keeps its blocks after the
+    // cached iteration frames are released
+    val res = rank.orderBy(col("r").desc, col("v"))
+      .limit(k)
+      .select(col("v").as("vertex"), col("r").as("rank_scaled"))
+      .localCheckpoint(true)
+    e.unpersist(); verts.unpersist()
+    if (prev != null) prev.unpersist()
+    res
+  }
+
+  /** Exact triangle census over the UNDIRECTED support of the capped
+    * edges (a pair counts if either endpoint retained it): the oriented
+    * wedge join — e₁(a,b) ⋈ e₂(b,c) with a<b<c by construction, closed
+    * by e₃(a,c) — counts each triangle exactly once, and the wedge
+    * count is bounded by V·k² under the degree cap (never Σ deg² of the
+    * raw projection). One row out: (n_vertices, n_edges, n_triangles). */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val und = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nV = und.select(col("a").as("v"))
+      .union(und.select(col("b").as("v"))).distinct()
+      .agg(count(lit(1)).as("n_vertices"))
+    val nE = und.agg(count(lit(1)).as("n_edges"))
+    val wedge = und.as("e1").join(und.as("e2"),
+        col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("x"), col("e2.b").as("z"))
+    val nT = wedge.join(und.as("e3"),
+        col("x") === col("e3.a") && col("z") === col("e3.b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val res = nV.crossJoin(nE).crossJoin(nT).localCheckpoint(true)
+    und.unpersist()
+    res
+  }
+}

@@ -3315,6 +3315,37 @@ object Extensions {
       MM.nearDupPairsFromHashes(kf.select(col("h")))
     }),
 
+    // --- exact-integer PageRank over the co-order supplier graph:
+    // suppliers sharing an order are edges (group-key self-join, fan-out
+    // bounded by order size), each vertex keeps its 64 strongest
+    // neighbors via the bounded-heap TopKAgg (co-occurrence graphs
+    // DENSIFY as data grows — the cap is the scale lever, O(V·k) state,
+    // wedges ≤ V·k² downstream), and 4 damping-0.85 iterations run in
+    // floor-division int64 so the oracle unrolls them bit-identically.
+    // One keyed shuffle per iteration; per-iteration persist +
+    // predecessor unpersist (the q186 discipline).
+    "q249_pagerank" -> ((s, dir) => {
+      val G = graft.functions.Graph
+      val edges = G.coOccurrenceEdges(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        "l_orderkey", "l_suppkey", maxDegree = 64)
+      G.pageRankTopK(edges, iters = 4, k = 20)
+    }),
+
+    // --- exact triangle census over the same capped graph: oriented
+    // wedge join (a<b<c by construction on the undirected support)
+    // closed by the third edge — each triangle counted exactly once,
+    // wedge count bounded by V·k² under the degree cap. The triangle
+    // count is the clustering diagnostic of the co-occurrence graph
+    // (how clique-ish is supplier co-ordering).
+    "q250_triangles" -> ((s, dir) => {
+      val G = graft.functions.Graph
+      val edges = G.coOccurrenceEdges(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        "l_orderkey", "l_suppkey", maxDegree = 64)
+      G.triangleStats(edges)
+    }),
+
     // --- pseudo-relevance feedback (RM3-lite): BM25 with the original
     // bag, mine the top-5 tokens from the top-10 hits (count desc, token
     // asc, originals excluded — a bounded driver carry of 5 strings, the
@@ -4745,6 +4776,23 @@ object Extensions {
   private lazy val synthJpegDhashOracle: String =
     synthDhashOracleFor("(((i // 9) // 2) * 5 + ((i % 9) // 2))")
 
+  /** Shared CTE prefix for the graph gates (q249/q250): the co-order
+    * supplier projection with the 64-neighbor degree cap — row_number
+    * over (w desc, dst asc) selects the same SET as the Spark side's
+    * TopKAgg membership filter because (w, dst) is unique per src. */
+  private val coOccurEdgeCtes: String =
+    """WITH su AS MATERIALIZED (
+      |  SELECT DISTINCT l_orderkey AS k, l_suppkey AS v FROM lineitem),
+      |pw AS MATERIALIZED (
+      |  SELECT a.v AS src, b.v AS dst, CAST(count(*) AS BIGINT) AS w
+      |  FROM su a JOIN su b ON a.k = b.k AND a.v <> b.v
+      |  GROUP BY 1, 2),
+      |e AS MATERIALIZED (
+      |  SELECT src, dst, w FROM (
+      |    SELECT src, dst, w, row_number() OVER (
+      |      PARTITION BY src ORDER BY w DESC, dst) AS rn FROM pw)
+      |  WHERE rn <= 64)""".stripMargin
+
   /** Shared CTE prefix for the video gates (q247/q248): per-(doc, frame)
     * dHash over the salted block grid — the q240 block-index formula with
     * the frame's scene salt — plus the consecutive-frame boundary table;
@@ -5672,6 +5720,49 @@ object Extensions {
         |          THEN (CAST(1 AS BIGINT) << (f - 1)) ELSE 0 END), 0)
         |          AS BIGINT) AS mask
         |      FROM bd GROUP BY 1) s USING (doc_id)""".stripMargin),
+
+    // q249: the oracle replays the degree-capped projection (row_number
+    // over (w desc, dst) ≤ 64 ≡ the TopKAgg membership filter — (w, dst)
+    // is unique per src, so the selected SETS are identical) and unrolls
+    // the 4 floor-division iterations as MATERIALIZED CTEs
+    "q249_pagerank" -> {
+      val iters = (1 to 4).map { n =>
+        s"""r$n AS MATERIALIZED (
+           |  SELECT v.v, CAST(150000000 + coalesce(s.s, 0) AS BIGINT) AS r
+           |  FROM vx v LEFT JOIN (
+           |    SELECT e.dst AS v,
+           |      sum((r.r * 85) // (100 * od.outdeg)) AS s
+           |    FROM e JOIN r${n - 1} r ON e.src = r.v
+           |    JOIN od ON e.src = od.src
+           |    GROUP BY 1) s USING (v))""".stripMargin
+      }.mkString(",\n")
+      s"""$coOccurEdgeCtes,
+         |od AS MATERIALIZED (
+         |  SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY 1),
+         |vx AS MATERIALIZED (SELECT DISTINCT src AS v FROM e),
+         |r0 AS MATERIALIZED (
+         |  SELECT v, CAST(1000000000 AS BIGINT) AS r FROM vx),
+         |$iters
+         |SELECT v AS vertex, r AS rank_scaled FROM r4
+         |ORDER BY r DESC, v LIMIT 20""".stripMargin
+    },
+
+    // q250: the oriented wedge join on the undirected support of the
+    // same capped edges; a<b<c holds by construction so each triangle
+    // closes exactly once
+    "q250_triangles" ->
+      s"""$coOccurEdgeCtes,
+         |und AS MATERIALIZED (
+         |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM e)
+         |SELECT
+         |  (SELECT CAST(count(DISTINCT v) AS BIGINT) FROM (
+         |     SELECT a AS v FROM und UNION ALL SELECT b FROM und))
+         |    AS n_vertices,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM und) AS n_edges,
+         |  (SELECT CAST(count(*) AS BIGINT)
+         |   FROM und e1 JOIN und e2 ON e1.b = e2.a
+         |   JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles""".stripMargin,
 
     // q248: keyframes (frame 0 + boundary frames) feed the shared band/
     // pair SQL — the corpus-wide video-dedup twin of q201

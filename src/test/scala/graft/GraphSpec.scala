@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Graph
+
+/** Graph-operator semantics: degree-capped co-occurrence projection,
+  * exact-integer PageRank, oriented triangle census. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("coOccurrenceEdges: weights, deterministic cap tie-break, " +
+       "packing-domain guard") {
+    val rel = Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 1L), (20L, 2L))
+      .toDF("k", "v")
+    val e = Graph.coOccurrenceEdges(rel, "k", "v", maxDegree = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // src 1 keeps dst 2 (w=2 beats w=1); src 2 keeps dst 1 (w=2); src 3
+    // ties (w=1 for both neighbors) → dst asc picks 1
+    assert(e == Set((1L, 2L, 2L), (2L, 1L, 2L), (3L, 1L, 1L)))
+    // uncapped: the full symmetric projection
+    val full = Graph.coOccurrenceEdges(rel, "k", "v", maxDegree = 64)
+    assert(full.count() == 6)
+    // packing guard: a vertex id outside [0, 2^25) fails DIRECTED
+    val wide = Seq((10L, 1L), (10L, 1L << 26)).toDF("k", "v")
+    val ex = intercept[Exception] {
+      Graph.coOccurrenceEdges(wide, "k", "v", 4).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("pageRankTopK: symmetric fixed point; hand-computed path graph") {
+    // complete K3 is a fixed point of the scaled update: every vertex
+    // keeps r = 150e6 + 2·((1e9·85) div 200) = 1e9 exactly
+    val k3 = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L), (2L, 3L), (3L, 2L))
+      .toDF("src", "dst")
+    val r3 = Graph.pageRankTopK(k3, iters = 3, k = 3).collect()
+    assert(r3.forall(_.getLong(1) == 1000000000L))
+    // path 1–2–3, two hand-computed iterations (floor division):
+    //   r1 = (575e6, 1850e6, 575e6)
+    //   r2(2) = 150e6 + 2·((575e6·85) div 100)        = 1 127 500 000
+    //   r2(1) = 150e6 + (1850e6·85) div 200           =   936 250 000
+    val path = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val r = Graph.pageRankTopK(path, iters = 2, k = 3).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(2L) == 1127500000L && r(1L) == 936250000L &&
+      r(3L) == 936250000L)
+    // top-k ordering: rank desc, vertex asc
+    val top = Graph.pageRankTopK(path, iters = 2, k = 2).collect()
+      .map(_.getLong(0)).toSeq
+    assert(top == Seq(2L, 1L))
+  }
+
+  test("triangleStats: K4 census; path has none; direction-unioned " +
+       "support") {
+    val k4 = (for { a <- 1L to 4L; b <- 1L to 4L if a != b } yield (a, b))
+      .toDF("src", "dst")
+    val s = Graph.triangleStats(k4).head()
+    assert(s.getLong(0) == 4 && s.getLong(1) == 6 && s.getLong(2) == 4)
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val p = Graph.triangleStats(path).head()
+    assert(p.getLong(0) == 3 && p.getLong(1) == 2 && p.getLong(2) == 0)
+    // an edge kept in ONE direction still contributes to the support:
+    // (1,2),(2,3) one-way plus (3,1) one-way closes the triangle
+    val oneWay = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    assert(Graph.triangleStats(oneWay).head().getLong(2) == 1)
+  }
+}
