@@ -2212,4 +2212,117 @@ class ConformanceSpec extends SparkSpec {
       (if (k.asInstanceOf[Double].isNaN) "NaN" else k.toString, n) }
     assert(out == Set(("NaN", 2L), ("0.0", 2L), ("1.5", 1L)))
   }
+
+  // FieldedPipesPlatformTest.testChainedTaps: a chain broken by
+  // intermediate TEXT taps — fields and TYPES must survive each textual
+  // round-trip mid-flow, and the downstream group computes on the copy
+  // exactly as it would on the unbroken stream.
+  test("chained text taps: types survive two mid-flow delimited round-trips") {
+    val dir = java.nio.file.Files.createTempDirectory("chain").toString
+    val sch = StructType(Seq(StructField("num", IntegerType),
+      StructField("ch", StringType)))
+    val t1 = graft.sources.CsvTap(s"$dir/mid1", header = true,
+      schema = Some(sch))
+    val t2 = graft.sources.CsvTap(s"$dir/mid2", header = true,
+      schema = Some(sch))
+    val p = pipe(lower)
+      .filterBy(ExpressionFilter("num > 4")) // keeps 1..4
+      .checkpoint(Some(t1))
+      .filterBy(ExpressionFilter("num = 2")) // drops 2
+      .checkpoint(Some(t2))
+      .groupBy("ch").every(Aggs.sum("num", "s"))
+    assert(rows(p) == Set(Seq("a", 1L), Seq("c", 3L), Seq("d", 4L)))
+    // both intermediates landed, and the first still holds the dropped row
+    assert(t1.read(spark).count() == 4 && t2.read(spark).count() == 3)
+    // the int type survived the text round-trip (not re-inferred as string)
+    assert(t2.read(spark).schema("num").dataType == IntegerType)
+  }
+
+  // FieldedPipesPlatformTest.testSplit: one head split into two branches
+  // of DIFFERENT SHAPE (a per-row branch and an aggregate branch), both
+  // written in one flow execution — the split memo must not let one
+  // branch's aggregation contaminate the other.
+  test("split into per-row and aggregate branches, one writeAll") {
+    val dir = java.nio.file.Files.createTempDirectory("split").toString
+    val src = pipe(lower).filterBy(ExpressionFilter("num > 4")) // keeps 1..4
+    val perRow = src.retain("ch")
+    val agg = src.groupAll.every(Aggs.sum("num", "s"))
+    Flow.writeAll(Seq(
+      (perRow, graft.sources.ParquetTap(s"$dir/rows"),
+        graft.sources.SinkMode.Replace),
+      (agg, graft.sources.ParquetTap(s"$dir/agg"),
+        graft.sources.SinkMode.Replace)))
+    assert(spark.read.parquet(s"$dir/rows").collect().map(_.getString(0))
+      .toSet == Set("a", "b", "c", "d"))
+    assert(spark.read.parquet(s"$dir/agg").collect().map(_.getLong(0))
+      .toSeq == Seq(10L))
+  }
+
+  // JoinFieldedPipesPlatformTest.testJoinSamePipe3: the SAME tap joined
+  // three ways — each leg under its own declared renames, key columns
+  // all retained, 5 aligned rows out.
+  test("triple self-join from one tap with declared renames") {
+    val tap = DataFrameTap(lower)
+    val a = Pipe.source(tap)
+    val b = Pipe.source(tap).rename("num" -> "num2", "ch" -> "ch2")
+    val c = Pipe.source(tap).rename("num" -> "num3", "ch" -> "ch3")
+    val j = a.hashJoin(Seq("num"), b, Seq("num2"))
+      .hashJoin(Seq("num"), c, Seq("num3"))
+    assert(rows(j) == (1 to 5).map { i =>
+      val s = "abcde"(i - 1).toString; Seq(i, s, i, s, i, s)
+    }.toSet)
+  }
+
+  // cascading.operation.buffer.FirstNBuffer contract: a Buffer may stop
+  // consuming its group iterator EARLY — the runner must skip the
+  // remainder of the group (isolation: the next group's rows never leak
+  // into this one), and the secondary sort decides WHICH rows are first.
+  test("buffer early exit: first-2 per group honors sort, isolates groups") {
+    val df = Seq(("a", 3), ("a", 1), ("a", 2), ("b", 9), ("b", 8), ("b", 7))
+      .toDF("k", "v")
+    val first2 = new CBuffer {
+      val resultFields: CFields = CFields.typed("v1" -> IntegerType)
+      def operate(key: Seq[Any], rs: Iterator[Row]): Iterator[Seq[Any]] =
+        rs.take(2).map(r => Seq[Any](r.getInt(1)))
+    }
+    val p = pipe(df).groupBySorted(Seq("k"), Seq("v" -> true)).buffer(first2)
+    assert(rows(p) == Set(Seq("a", 1), Seq("a", 2), Seq("b", 7), Seq("b", 8)))
+    // descending sort flips which rows are "first"
+    val pd = pipe(df).groupBySorted(Seq("k"), Seq("v" -> false)).buffer(first2)
+    assert(rows(pd) == Set(Seq("a", 3), Seq("a", 2), Seq("b", 9), Seq("b", 8)))
+  }
+
+  // CoGroupFieldedPipesPlatformTest.testCoGroupAroundCoGroupWith: a
+  // coGroup whose LHS is itself a coGroup result with an interposed Each
+  // — the middle op must not disturb the joined fields feeding the outer
+  // coGroup.
+  test("coGroup around coGroup with an interposed Each") {
+    val a = pipe(Seq((1, "x"), (2, "y")).toDF("k", "va"))
+    val b = pipe(Seq((1, 10), (2, 20)).toDF("kb", "vb"))
+    val c = pipe(Seq((1, "C1"), (3, "C3")).toDF("kc", "vc"))
+    val inner = a.coGroup(Seq("k"), b, Seq("kb"))
+      .each(ExpressionFunction("vb2", "vb * 2", LongType),
+        args = FieldSelector("vb"), out = FieldSelector.All)
+    val outer = inner.coGroup(Seq("k"), c, Seq("kc"), Joiner.Left)
+    assert(rows(outer) == Set(
+      Seq(1, "x", 1, 10, 20L, 1, "C1"),
+      Seq(2, "y", 2, 20, 40L, null, null)))
+  }
+
+  // JoinFieldedPipesPlatformTest.testJoinsIntoCoGroup: hashJoins build
+  // BOTH sides of a coGroup — the broadcast legs must survive on each
+  // side of the shuffle boundary independently.
+  test("hashJoins feeding both sides of a CoGroup") {
+    val dim = pipe(Seq((1, "d1"), (2, "d2"), (3, "d3")).toDF("dk", "dv"))
+    val lhs = pipe(Seq((1, "L1"), (2, "L2")).toDF("k", "lv"))
+      .hashJoin(Seq("k"), dim, Seq("dk"))
+    val rhs = pipe(Seq((1, 100), (3, 300)).toDF("k2", "rv"))
+      .hashJoin(Seq("k2"), dim.rename("dk" -> "dk2", "dv" -> "dv2"),
+        Seq("dk2"))
+    val j = lhs.coGroup(Seq("k"), rhs, Seq("k2"), Joiner.Outer)
+    assert(rows(j) == Set(
+      Seq(1, "L1", 1, "d1", 1, 100, 1, "d1"),
+      Seq(2, "L2", 2, "d2", null, null, null, null),
+      Seq(null, null, null, null, 3, 300, 3, "d3")))
+  }
 }
