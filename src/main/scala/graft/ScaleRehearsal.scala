@@ -148,7 +148,10 @@ object ScaleRehearsal {
     // raw projection densifies ~10× and the cap is what keeps the
     // downstream iteration/wedge cost flat — exactly the densification
     // the cap exists for
-    "q249_pagerank", "q250_triangles")
+    "q249_pagerank", "q250_triangles",
+    // components (pointer-jumping propagation over the capped edges) and
+    // clustering coefficients (the wedge join + corner explode)
+    "q251_components", "q252_clustering")
 
   def main(args: Array[String]): Unit = {
     val small = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

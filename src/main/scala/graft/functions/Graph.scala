@@ -100,6 +100,58 @@ object Graph {
     res
   }
 
+  /** Connected components over the undirected support, via the repo's
+    * converged min-label propagation (pointer-jumping — rounds ≈ log
+    * diameter, `Dedup.transitiveClustersOver`): each undirected edge
+    * becomes one shared bucket, so two vertices share a component iff a
+    * bucket chain links them — exactly the machinery the winnow/LSH
+    * families run on, reused on an explicit graph. The string bucket key
+    * "a_b" is collision-free by construction (no hashing — a hash
+    * collision would silently MERGE components). Output (component,
+    * size), component = min vertex id. */
+  def componentSizes(edges: DataFrame): DataFrame = {
+    val und = edges.select(least(col("src"), col("dst")).as("a"),
+      greatest(col("src"), col("dst")).as("b")).distinct()
+    val key = concat_ws("_", col("a"), col("b"))
+    val rows = und.select(col("a").as("id"), lit(0).as("band"), key.as("key"))
+      .union(und.select(col("b").as("id"), lit(0).as("band"), key.as("key")))
+    val (labels, _) = Dedup.transitiveClustersOver(rows)
+    labels.groupBy(col("cluster_id").as("component"))
+      .agg(count(lit(1)).as("size"))
+  }
+
+  /** Local clustering coefficients over the undirected support: per
+    * vertex, coeff = 2·T(v) / (d(v)·(d(v)−1)) in EXACT floor micros —
+    * T(v) from the oriented triangle join (each triangle credited to all
+    * three corners), d(v) the distinct-neighbor degree. Vertices with
+    * d < 2 are excluded (coefficient undefined). Returns the top `k` by
+    * (coeff desc, vertex asc) — deterministic, vertex ids unique. */
+  def clusteringTopK(edges: DataFrame, k: Int): DataFrame = {
+    val und = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = und.select(col("a").as("v"))
+      .union(und.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val tri = und.as("e1").join(und.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+      .join(und.as("e3"),
+        col("x") === col("e3.a") && col("z") === col("e3.b"))
+      .select(explode(array(col("x"), col("y"), col("z"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("t"))
+    val res = deg.filter(col("d") >= 2)
+      .join(tri, Seq("v"), "left_outer")
+      .select(col("v").as("vertex"), col("d").as("degree"),
+        coalesce(col("t"), lit(0L)).as("triangles"),
+        expr("(2000000 * coalesce(t, 0)) div (d * (d - 1))")
+          .as("coeff_micros"))
+      .orderBy(col("coeff_micros").desc, col("vertex"))
+      .limit(k)
+      .localCheckpoint(true)
+    und.unpersist()
+    res
+  }
+
   /** Exact triangle census over the UNDIRECTED support of the capped
     * edges (a pair counts if either endpoint retained it): the oriented
     * wedge join — e₁(a,b) ⋈ e₂(b,c) with a<b<c by construction, closed

@@ -3346,6 +3346,35 @@ object Extensions {
       G.triangleStats(edges)
     }),
 
+    // --- connected components on the capped graph, REUSING the repo's
+    // converged min-label propagation (the winnow/LSH family machinery:
+    // pointer jumping, rounds ≈ log diameter, monotone-sum convergence
+    // guard) — each undirected edge becomes one shared bucket with a
+    // collision-free string key. The oracle computes reachability with a
+    // recursive CTE and takes per-vertex minima — a different algorithm
+    // arriving at the same fixed point, which is what makes the gate
+    // meaningful.
+    "q251_components" -> ((s, dir) => {
+      val G = graft.functions.Graph
+      val edges = G.coOccurrenceEdges(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        "l_orderkey", "l_suppkey", maxDegree = 64)
+      G.componentSizes(edges)
+    }),
+
+    // --- local clustering coefficients in exact floor micros: per-vertex
+    // triangle credit (each oriented triangle explodes to its 3 corners)
+    // over distinct-neighbor degree — the how-clique-ish-is-my-
+    // neighborhood diagnostic. Integer arithmetic end-to-end, top-20 by
+    // (coeff desc, vertex asc); d < 2 excluded (undefined).
+    "q252_clustering" -> ((s, dir) => {
+      val G = graft.functions.Graph
+      val edges = G.coOccurrenceEdges(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        "l_orderkey", "l_suppkey", maxDegree = 64)
+      G.clusteringTopK(edges, k = 20)
+    }),
+
     // --- pseudo-relevance feedback (RM3-lite): BM25 with the original
     // bag, mine the top-5 tokens from the top-10 hits (count desc, token
     // asc, originals excluded — a bounded driver carry of 5 strings, the
@@ -5763,6 +5792,59 @@ object Extensions {
          |  (SELECT CAST(count(*) AS BIGINT)
          |   FROM und e1 JOIN und e2 ON e1.b = e2.a
          |   JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles""".stripMargin,
+
+    // q251: the oracle derives components by a DIFFERENT algorithm —
+    // recursive-CTE reachability closure + per-vertex min — and must land
+    // on the same fixed point as the pointer-jumping propagation
+    "q251_components" ->
+      s"""WITH RECURSIVE su AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey AS k, l_suppkey AS v FROM lineitem),
+         |pw AS MATERIALIZED (
+         |  SELECT a.v AS src, b.v AS dst, CAST(count(*) AS BIGINT) AS w
+         |  FROM su a JOIN su b ON a.k = b.k AND a.v <> b.v
+         |  GROUP BY 1, 2),
+         |e AS MATERIALIZED (
+         |  SELECT src, dst, w FROM (
+         |    SELECT src, dst, w, row_number() OVER (
+         |      PARTITION BY src ORDER BY w DESC, dst) AS rn FROM pw)
+         |  WHERE rn <= 64),
+         |und AS MATERIALIZED (
+         |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM e),
+         |bi AS MATERIALIZED (
+         |  SELECT a AS v, b AS u FROM und UNION ALL SELECT b, a FROM und),
+         |reach(v, u) AS (
+         |  SELECT DISTINCT v, v AS u FROM bi
+         |  UNION
+         |  SELECT r.v, bi.u FROM reach r JOIN bi ON bi.v = r.u)
+         |SELECT component, CAST(count(*) AS BIGINT) AS size
+         |FROM (SELECT v, min(u) AS component FROM reach GROUP BY v)
+         |GROUP BY 1""".stripMargin,
+
+    // q252: per-corner triangle credit over distinct-neighbor degree,
+    // exact floor micros, top-20 (coeff desc, vertex asc)
+    "q252_clustering" ->
+      s"""$coOccurEdgeCtes,
+         |und AS MATERIALIZED (
+         |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM e),
+         |deg AS MATERIALIZED (
+         |  SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+         |    SELECT a AS v FROM und UNION ALL SELECT b FROM und)
+         |  GROUP BY 1),
+         |tri AS MATERIALIZED (
+         |  SELECT v, CAST(count(*) AS BIGINT) AS t FROM (
+         |    SELECT unnest([e1.a, e1.b, e2.b]) AS v
+         |    FROM und e1 JOIN und e2 ON e1.b = e2.a
+         |    JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b)
+         |  GROUP BY 1)
+         |SELECT deg.v AS vertex, deg.d AS degree,
+         |  CAST(coalesce(tri.t, 0) AS BIGINT) AS triangles,
+         |  CAST((2000000 * coalesce(tri.t, 0)) // (deg.d * (deg.d - 1))
+         |    AS BIGINT) AS coeff_micros
+         |FROM deg LEFT JOIN tri ON deg.v = tri.v
+         |WHERE deg.d >= 2
+         |ORDER BY coeff_micros DESC, vertex LIMIT 20""".stripMargin,
 
     // q248: keyframes (frame 0 + boundary frames) feed the shared band/
     // pair SQL — the corpus-wide video-dedup twin of q201

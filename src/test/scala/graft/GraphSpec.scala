@@ -50,6 +50,26 @@ class GraphSpec extends SparkSpec {
     assert(top == Seq(2L, 1L))
   }
 
+  test("componentSizes: disjoint components labeled by their minima") {
+    // path {1,2} plus triangle {3,4,5} — two components, sizes 2 and 3,
+    // labels = component minima
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 5L), (5L, 3L))
+      .toDF("src", "dst")
+    val r = Graph.componentSizes(edges).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(1L -> 2L, 3L -> 3L))
+  }
+
+  test("clusteringTopK: exact floor-micros coefficients, d<2 excluded") {
+    // triangle {1,2,3} with tail 3–4: v1/v2 have d=2, t=1 → 1e6;
+    // v3 has d=3, t=1 → 2e6/(3·2) = 333333; v4 has d=1 → excluded
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
+    val r = Graph.clusteringTopK(edges, k = 10).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.toSeq == Seq((1L, 2L, 1L, 1000000L), (2L, 2L, 1L, 1000000L),
+      (3L, 3L, 1L, 333333L)))
+  }
+
   test("triangleStats: K4 census; path has none; direction-unioned " +
        "support") {
     val k4 = (for { a <- 1L to 4L; b <- 1L to 4L if a != b } yield (a, b))
