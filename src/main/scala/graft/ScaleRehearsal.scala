@@ -151,7 +151,10 @@ object ScaleRehearsal {
     "q249_pagerank", "q250_triangles",
     // components (pointer-jumping propagation over the capped edges) and
     // clustering coefficients (the wedge join + corner explode)
-    "q251_components", "q252_clustering")
+    "q251_components", "q252_clustering",
+    // incremental maintenance: base build + persisted labels + seeded
+    // adoption of the 20% arrival slice (cost tracks touched components)
+    "q253_components_incremental")
 
   def main(args: Array[String]): Unit = {
     val small = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

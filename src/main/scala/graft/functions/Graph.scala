@@ -109,15 +109,67 @@ object Graph {
     * "a_b" is collision-free by construction (no hashing — a hash
     * collision would silently MERGE components). Output (component,
     * size), component = min vertex id. */
-  def componentSizes(edges: DataFrame): DataFrame = {
+  def componentSizes(edges: DataFrame): DataFrame =
+    componentLabels(edges)
+      .groupBy(col("cluster_id").as("component"))
+      .agg(count(lit(1)).as("size"))
+
+  /** Per-vertex component labels (id, cluster_id), cluster_id = the
+    * component's min vertex id — the persisted-label form the
+    * incremental maintenance path consumes. */
+  def componentLabels(edges: DataFrame): DataFrame = {
     val und = edges.select(least(col("src"), col("dst")).as("a"),
       greatest(col("src"), col("dst")).as("b")).distinct()
     val key = concat_ws("_", col("a"), col("b"))
     val rows = und.select(col("a").as("id"), lit(0).as("band"), key.as("key"))
       .union(und.select(col("b").as("id"), lit(0).as("band"), key.as("key")))
-    val (labels, _) = Dedup.transitiveClustersOver(rows)
-    labels.groupBy(col("cluster_id").as("component"))
-      .agg(count(lit(1)).as("size"))
+    Dedup.transitiveClustersOver(rows)._1
+  }
+
+  /** Incremental component maintenance — the arrival pattern
+    * (winnowFamiliesIncremental) applied to an explicit graph: given the
+    * PERSISTED labels of the corpus graph and a batch of arriving edges,
+    * relabel only the TOUCHED subgraph and carry everything else
+    * verbatim.
+    *
+    * Touched = vertices incident to a new edge, plus every member of any
+    * component containing one (a new edge can merge two components, and
+    * the LOSING component's members must all relabel). The propagation
+    * runs over the new edges plus one membership bucket per touched
+    * component ("m_<cluster>"), SEEDED with the persisted labels — the
+    * seed contract holds by construction: each seed label is its
+    * component's min member, which shares that membership bucket. Cost
+    * tracks the BATCH (touched components), not the corpus. */
+  def componentsIncremental(corpusLabels: DataFrame,
+                            newEdges: DataFrame): DataFrame = {
+    val und = newEdges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val touchedV = und.select(col("a").as("id"))
+      .union(und.select(col("b").as("id"))).distinct()
+    val touchedClusters = corpusLabels
+      .join(touchedV, Seq("id"), "left_semi")
+      .select(col("cluster_id")).distinct()
+    val members = corpusLabels
+      .join(touchedClusters, Seq("cluster_id"), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edgeKey = concat_ws("_", col("a"), col("b"))
+    val rows = und
+      .select(col("a").as("id"), lit(0).as("band"), edgeKey.as("key"))
+      .union(und.select(col("b").as("id"), lit(0).as("band"),
+        edgeKey.as("key")))
+      .union(members.select(col("id"), lit(1).as("band"),
+        concat(lit("m_"), col("cluster_id")).as("key")))
+    val seeds = members.select(col("id"), col("cluster_id").as("label"))
+    val (relabeled, _) = Dedup.transitiveClustersOver(rows,
+      seeds = Some(seeds))
+    val untouched = corpusLabels
+      .join(members.select(col("id")), Seq("id"), "left_anti")
+    val res = untouched.select(col("id"), col("cluster_id"))
+      .unionByName(relabeled.select(col("id"), col("cluster_id")))
+      .localCheckpoint(true)
+    und.unpersist(); members.unpersist()
+    res
   }
 
   /** Local clustering coefficients over the undirected support: per

@@ -3375,6 +3375,40 @@ object Extensions {
       G.clusteringTopK(edges, k = 20)
     }),
 
+    // --- INCREMENTAL component maintenance: the arrival pattern (q187's
+    // winnow adoption) on an explicit graph — ~20% of the capped edges
+    // arrive as a batch against labels persisted from the other 80%;
+    // only TOUCHED components relabel (seeded propagation over new edges
+    // + one membership bucket per touched component), everything else is
+    // carried verbatim. The gate is the strongest possible: the final
+    // sizes must equal the FULL-graph batch recompute (oracle = q251's
+    // SQL), for ANY edge split — incremental maintenance must be
+    // indistinguishable from rebuild.
+    "q253_components_incremental" -> ((s, dir) => {
+      val G = graft.functions.Graph
+      val edges = G.coOccurrenceEdges(
+          s.read.parquet(s"$dir/lineitem.parquet"),
+          "l_orderkey", "l_suppkey", maxDegree = 64)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val isNew = pmod(hash(col("src"), col("dst")), lit(5)) === 0
+      // the label table is a PERSISTED artifact (parquet tap), exactly as
+      // in production — and feeding one propagation's in-memory output
+      // into another would let the second run's LogicalRDD release drop
+      // the first's localCheckpoint blocks (disk-backed labels are
+      // rebuildable; checkpoint blocks are not)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q253_labels").toString
+      G.componentLabels(edges.filter(!isNew))
+        .write.mode("overwrite").parquet(tmp)
+      val labels = G.componentsIncremental(
+        s.read.parquet(tmp), edges.filter(isNew))
+      val out = labels.groupBy(col("cluster_id").as("component"))
+        .agg(count(lit(1)).as("size"))
+        .localCheckpoint(true)
+      edges.unpersist()
+      out
+    }),
+
     // --- pseudo-relevance feedback (RM3-lite): BM25 with the original
     // bag, mine the top-5 tokens from the top-10 hits (count desc, token
     // asc, originals excluded — a bounded driver carry of 5 strings, the
@@ -4805,6 +4839,36 @@ object Extensions {
   private lazy val synthJpegDhashOracle: String =
     synthDhashOracleFor("(((i // 9) // 2) * 5 + ((i % 9) // 2))")
 
+  /** Component sizes by recursive-CTE reachability + per-vertex min — a
+    * DIFFERENT algorithm from the pointer-jumping propagation, required
+    * to land on the same fixed point. Shared verbatim by q251 (batch)
+    * and q253 (incremental maintenance must be indistinguishable from
+    * rebuild, for ANY edge split). */
+  private lazy val componentSizesOracle: String =
+    s"""WITH RECURSIVE su AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS k, l_suppkey AS v FROM lineitem),
+       |pw AS MATERIALIZED (
+       |  SELECT a.v AS src, b.v AS dst, CAST(count(*) AS BIGINT) AS w
+       |  FROM su a JOIN su b ON a.k = b.k AND a.v <> b.v
+       |  GROUP BY 1, 2),
+       |e AS MATERIALIZED (
+       |  SELECT src, dst, w FROM (
+       |    SELECT src, dst, w, row_number() OVER (
+       |      PARTITION BY src ORDER BY w DESC, dst) AS rn FROM pw)
+       |  WHERE rn <= 64),
+       |und AS MATERIALIZED (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM e),
+       |bi AS MATERIALIZED (
+       |  SELECT a AS v, b AS u FROM und UNION ALL SELECT b, a FROM und),
+       |reach(v, u) AS (
+       |  SELECT DISTINCT v, v AS u FROM bi
+       |  UNION
+       |  SELECT r.v, bi.u FROM reach r JOIN bi ON bi.v = r.u)
+       |SELECT component, CAST(count(*) AS BIGINT) AS size
+       |FROM (SELECT v, min(u) AS component FROM reach GROUP BY v)
+       |GROUP BY 1""".stripMargin
+
   /** Shared CTE prefix for the graph gates (q249/q250): the co-order
     * supplier projection with the 64-neighbor degree cap — row_number
     * over (w desc, dst asc) selects the same SET as the Spark side's
@@ -5795,31 +5859,11 @@ object Extensions {
 
     // q251: the oracle derives components by a DIFFERENT algorithm —
     // recursive-CTE reachability closure + per-vertex min — and must land
-    // on the same fixed point as the pointer-jumping propagation
-    "q251_components" ->
-      s"""WITH RECURSIVE su AS MATERIALIZED (
-         |  SELECT DISTINCT l_orderkey AS k, l_suppkey AS v FROM lineitem),
-         |pw AS MATERIALIZED (
-         |  SELECT a.v AS src, b.v AS dst, CAST(count(*) AS BIGINT) AS w
-         |  FROM su a JOIN su b ON a.k = b.k AND a.v <> b.v
-         |  GROUP BY 1, 2),
-         |e AS MATERIALIZED (
-         |  SELECT src, dst, w FROM (
-         |    SELECT src, dst, w, row_number() OVER (
-         |      PARTITION BY src ORDER BY w DESC, dst) AS rn FROM pw)
-         |  WHERE rn <= 64),
-         |und AS MATERIALIZED (
-         |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-         |  FROM e),
-         |bi AS MATERIALIZED (
-         |  SELECT a AS v, b AS u FROM und UNION ALL SELECT b, a FROM und),
-         |reach(v, u) AS (
-         |  SELECT DISTINCT v, v AS u FROM bi
-         |  UNION
-         |  SELECT r.v, bi.u FROM reach r JOIN bi ON bi.v = r.u)
-         |SELECT component, CAST(count(*) AS BIGINT) AS size
-         |FROM (SELECT v, min(u) AS component FROM reach GROUP BY v)
-         |GROUP BY 1""".stripMargin,
+    // on the same fixed point as the pointer-jumping propagation.
+    // q253 (incremental maintenance over an 80/20 edge split) shares it
+    // VERBATIM: incremental must be indistinguishable from rebuild.
+    "q253_components_incremental" -> componentSizesOracle,
+    "q251_components" -> componentSizesOracle,
 
     // q252: per-corner triangle credit over distinct-neighbor degree,
     // exact floor micros, top-20 (coeff desc, vertex asc)

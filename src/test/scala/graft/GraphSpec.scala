@@ -70,6 +70,20 @@ class GraphSpec extends SparkSpec {
       (3L, 3L, 1L, 333333L)))
   }
 
+  test("componentsIncremental: merge relabels the losing component, " +
+       "new vertices start fresh, untouched labels carry verbatim") {
+    // corpus: {1,2} labeled 1, {3,4} labeled 3, {7,8} labeled 7
+    val corpus = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L),
+      (7L, 7L), (8L, 7L)).toDF("id", "cluster_id")
+    // arrivals: 2–3 merges the first two components (4 must relabel to 1
+    // though it touches no new edge); 5–6 is a brand-new component
+    val arrivals = Seq((2L, 3L), (5L, 6L)).toDF("src", "dst")
+    val r = Graph.componentsIncremental(corpus, arrivals).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L))
+  }
+
   test("triangleStats: K4 census; path has none; direction-unioned " +
        "support") {
     val k4 = (for { a <- 1L to 4L; b <- 1L to 4L if a != b } yield (a, b))
