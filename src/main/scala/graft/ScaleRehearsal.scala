@@ -154,7 +154,10 @@ object ScaleRehearsal {
     "q251_components", "q252_clustering",
     // incremental maintenance: base build + persisted labels + seeded
     // adoption of the 20% arrival slice (cost tracks touched components)
-    "q253_components_incremental")
+    "q253_components_incremental",
+    // exact-integer OLS (one partial-agg scan) and the per-user EWMA
+    // buffer (one keyed shuffle + sorted fold)
+    "q254_ols_by_group", "q255_ewma")
 
   def main(args: Array[String]): Unit = {
     val small = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

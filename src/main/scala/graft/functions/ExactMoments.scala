@@ -37,4 +37,37 @@ object ExactMoments {
 
   def guardX(c: Column): Column = guard(c, XMax, "x")
   def guardY(c: Column): Column = guard(c, YMaxMicros, "y")
+
+  /** Closed-form per-group OLS (y = a + b·x) in EXACT integer arithmetic:
+    * the normal equations over decimal(38,0) moment sums,
+    *   slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²),
+    *   intercept = (ΣyΣx² − ΣxΣxy) / (nΣx² − (Σx)²),
+    * each ×10⁶ floor-quantized with the sign split out BEFORE the
+    * integral division (Spark `div` truncates toward zero, DuckDB `//`
+    * floors — identical on non-negative operands). `xCol`/`yCol` must
+    * already be integer-valued columns; groups with constant x (den = 0)
+    * are excluded — the coefficient is undefined there. One partial-agg
+    * pass; decimal(38,0) holds every product while n·Σ|x·y|·10⁶ < 10³⁸. */
+  def olsByGroup(df: org.apache.spark.sql.DataFrame,
+                 groupCols: Seq[String], xCol: String,
+                 yCol: String): org.apache.spark.sql.DataFrame = {
+    val base = df.select(groupCols.map(col) ++ Seq(
+      col(xCol).cast("decimal(38,0)").as("x"),
+      col(yCol).cast("decimal(38,0)").as("y")): _*)
+    base.groupBy(groupCols.map(col): _*).agg(
+        count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("den", expr("n * sxx - sx * sx"))
+      .filter(col("den") > 0)
+      .select(groupCols.map(col) ++ Seq(
+        col("n").cast("bigint").as("n"),
+        expr("""CASE WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 1 END *
+                (cast(abs(n * sxy - sx * sy) * 1000000 as decimal(38,0))
+                 div den)""").cast("bigint").as("slope_micros"),
+        expr("""CASE WHEN sy * sxx - sx * sxy < 0 THEN -1 ELSE 1 END *
+                (cast(abs(sy * sxx - sx * sxy) * 1000000 as decimal(38,0))
+                 div den)""").cast("bigint").as("intercept_micros")): _*)
+  }
 }

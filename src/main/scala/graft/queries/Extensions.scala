@@ -3375,6 +3375,55 @@ object Extensions {
       G.clusteringTopK(edges, k = 20)
     }),
 
+    // --- closed-form OLS per group in EXACT integer arithmetic: slope
+    // and intercept of extendedprice (cents) on quantity (units) from
+    // the normal equations, all moments as decimal(38,0) sums and the
+    // final division as sign-split integral div (Spark `div` truncates
+    // toward zero, DuckDB `//` floors — identical on NON-NEGATIVE
+    // operands, so magnitude and sign travel separately). One partial-agg
+    // pass over the fact table; groups where x is constant (den = 0) are
+    // excluded — the coefficient is undefined there.
+    "q254_ols_by_group" -> ((s, dir) =>
+      graft.functions.ExactMoments.olsByGroup(
+        s.read.parquet(s"$dir/lineitem.parquet").select(
+          col("l_returnflag"), col("l_linestatus"),
+          col("l_quantity").cast("bigint").as("x"),
+          floor(col("l_extendedprice") * 100).cast("bigint").as("y")),
+        Seq("l_returnflag", "l_linestatus"), "x", "y")),
+
+    // --- exponential smoothing (EWMA, α = 1/2) per user over the event
+    // stream, EXACT: values floor to micros, each step is
+    // floorDiv(prev + v, 2) — halving is the one smoothing constant that
+    // is exact in integer arithmetic, so the oracle replays the fold as
+    // list_reduce over the identically-ordered list. Runs as a DSL
+    // Buffer (sorted group iterator — the Cascading Every+Buffer surface
+    // doing time-series work); per-user partitions, one keyed shuffle.
+    "q255_ewma" -> ((s, dir) => {
+      import org.apache.spark.sql.Row
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        unix_micros(col("ts")).as("tus"), col("event_id"),
+        floor(col("value") * 1e6).cast("bigint").as("vm"))
+      val ewma = new graft.pipes.CBuffer {
+        val resultFields: graft.model.CFields = graft.model.CFields.typed(
+          "n_events" -> org.apache.spark.sql.types.LongType,
+          "ewma_micros" -> org.apache.spark.sql.types.LongType)
+        def operate(key: Seq[Any], rs: Iterator[Row]): Iterator[Seq[Any]] = {
+          var acc = 0L; var n = 0L
+          rs.foreach { r =>
+            val v = r.getAs[Long]("vm")
+            acc = if (n == 0L) v else Math.floorDiv(acc + v, 2L)
+            n += 1
+          }
+          Iterator.single(Seq(n, acc))
+        }
+      }
+      val p = graft.pipes.Pipe.source(graft.sources.DataFrameTap(ev))
+        .groupBySorted(Seq("user_id"),
+          Seq("tus" -> true, "event_id" -> true))
+        .buffer(ewma)
+      graft.exec.Flow.toDF(p)(s)
+    }),
+
     // --- INCREMENTAL component maintenance: the arrival pattern (q187's
     // winnow adoption) on an explicit graph — ~20% of the capped edges
     // arrive as a batch against labels persisted from the other 80%;
@@ -5864,6 +5913,44 @@ object Extensions {
     // VERBATIM: incremental must be indistinguishable from rebuild.
     "q253_components_incremental" -> componentSizesOracle,
     "q251_components" -> componentSizesOracle,
+
+    // q254: all moments as HUGEINT sums, sign-split magnitude division
+    // (`//` floors, Spark `div` truncates — identical on non-negatives)
+    "q254_ols_by_group" ->
+      """WITH b AS MATERIALIZED (
+        |  SELECT l_returnflag, l_linestatus,
+        |    CAST(l_quantity AS HUGEINT) AS x,
+        |    CAST(floor(l_extendedprice * 100) AS HUGEINT) AS y
+        |  FROM lineitem),
+        |m AS MATERIALIZED (
+        |  SELECT l_returnflag, l_linestatus,
+        |    CAST(count(*) AS HUGEINT) AS n,
+        |    sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx
+        |  FROM b GROUP BY 1, 2)
+        |SELECT l_returnflag, l_linestatus, CAST(n AS BIGINT) AS n,
+        |  CAST((CASE WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 1 END) *
+        |    ((abs(n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx))
+        |    AS BIGINT) AS slope_micros,
+        |  CAST((CASE WHEN sy * sxx - sx * sxy < 0 THEN -1 ELSE 1 END) *
+        |    ((abs(sy * sxx - sx * sxy) * 1000000) // (n * sxx - sx * sx))
+        |    AS BIGINT) AS intercept_micros
+        |FROM m WHERE n * sxx - sx * sx > 0""".stripMargin,
+
+    // q255: the fold replays as list_reduce over the identically-ordered
+    // list — list_reduce seeds with the FIRST element, exactly ew₀ = v₀;
+    // DuckDB `//` floors like Math.floorDiv
+    "q255_ewma" ->
+      """WITH ev AS MATERIALIZED (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus, event_id,
+        |    CAST(floor(value * 1000000.0) AS BIGINT) AS vm
+        |  FROM events),
+        |o AS (SELECT user_id, list(vm ORDER BY tus, event_id) AS vs
+        |      FROM ev GROUP BY 1)
+        |SELECT user_id, CAST(len(vs) AS BIGINT) AS n_events,
+        |  CAST(list_reduce(vs, (acc, x) -> (acc + x) // 2) AS BIGINT)
+        |    AS ewma_micros
+        |FROM o""".stripMargin,
 
     // q252: per-corner triangle credit over distinct-neighbor degree,
     // exact floor micros, top-20 (coeff desc, vertex asc)

@@ -167,4 +167,30 @@ class ExactSumSpec extends SparkSpec {
       .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
       .toSet == Set(Some(3L), None, Some(5L)))
   }
+
+  test("olsByGroup: hand-computed lines pin DIRECTION and the sign split") {
+    import graft.functions.ExactMoments
+    // the q242 lesson: a mirrored oracle pins arithmetic, not intent —
+    // regression coefficients need a semantic fixture. Exact lines:
+    //   group u (y = 2x):       slope +2e6,  intercept 0
+    //   group d (y = 6 − 2x):   slope −2e6,  intercept +6e6 (sign split
+    //     exercised: negative numerator, positive intercept)
+    //   group c (x constant):   den = 0 → EXCLUDED
+    val df = Seq(
+      ("u", 1L, 2L), ("u", 2L, 4L), ("u", 3L, 6L),
+      ("d", 1L, 4L), ("d", 2L, 2L), ("d", 3L, 0L),
+      ("c", 5L, 1L), ("c", 5L, 9L)).toDF("g", "x", "y")
+    val r = ExactMoments.olsByGroup(df, Seq("g"), "x", "y").collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2), x.getLong(3)))
+      .toMap
+    assert(r == Map(
+      "u" -> (3L, 2000000L, 0L),
+      "d" -> (3L, -2000000L, 6000000L)))
+    // non-exact fit floors: points (0,0),(1,1),(2,1) → slope 1/2,
+    // intercept 1/6 → 500000 and 166666 micros
+    val r2 = ExactMoments.olsByGroup(
+      Seq(("a", 0L, 0L), ("a", 1L, 1L), ("a", 2L, 1L)).toDF("g", "x", "y"),
+      Seq("g"), "x", "y").head()
+    assert(r2.getLong(2) == 500000L && r2.getLong(3) == 166666L)
+  }
 }
