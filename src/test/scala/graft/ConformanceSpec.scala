@@ -2309,6 +2309,70 @@ class ConformanceSpec extends SparkSpec {
       Seq(2, "y", 2, 20, 40L, null, null)))
   }
 
+  // JoinFieldedPipesPlatformTest.testJoinGroupByJoin: join → GroupBy over
+  // the join result → join the AGGREGATE back to a third pipe — the
+  // aggregation keys on a join output column, and the second join keys on
+  // an aggregation output row set.
+  test("join then groupBy then join-back chain") {
+    val l = pipe(Seq((1, "a"), (1, "b"), (2, "c")).toDF("k", "v"))
+    val dim = pipe(Seq((1, 10), (2, 20)).toDF("dk", "w"))
+    val agg = l.hashJoin(Seq("k"), dim, Seq("dk"))
+      .groupBy("w").every(Aggs.count("n"))
+    val names = pipe(Seq((10, "ten"), (20, "twenty")).toDF("wk", "name"))
+    val j = agg.coGroup(Seq("w"), names, Seq("wk"))
+    assert(rows(j) == Set(
+      Seq(10, 2L, 10, "ten"), Seq(20, 1L, 20, "twenty")))
+  }
+
+  // cascading.tuple.Fields declared-size contract (CoGroup constructors
+  // throw when declaredFields arity ≠ the joined tuple arity): the
+  // mismatch must fail at PLAN time with both counts named, never
+  // misalign columns silently.
+  test("declared fields arity mismatch fails directed at plan time") {
+    val l = pipe(lower)
+    val r = pipe(upper).rename("num" -> "num2", "ch" -> "ch2")
+    val bad = l.coGroup(Seq("num"), r, Seq("num2"),
+      declared = Some(Seq("a", "b", "c"))) // needs 4
+    val ex = intercept[IllegalArgumentException] { Flow.toDF(bad) }
+    assert(ex.getMessage.contains("3") && ex.getMessage.contains("arity"))
+  }
+
+  // cascading.pipe.Merge contract: every merged branch must declare the
+  // SAME fields — a positional union over mismatched schemas must fail
+  // directed at plan time, not zip columns silently.
+  test("merge of mismatched field layouts fails directed") {
+    val a = pipe(lower)
+    val b = pipe(upper).rename("ch" -> "letter")
+    val ex = intercept[IllegalArgumentException] {
+      Flow.toDF(a.merge(b))
+    }
+    assert(ex.getMessage.contains("identical declared fields"))
+    // renaming the branch to one schema repairs the merge
+    assert(rows(a.merge(pipe(upper))).size == 10)
+  }
+
+  // Coerce on an unparsable token MATCHES upstream: Tuples.coerce throws
+  // NumberFormatException mid-flow, and this engine's ANSI cast fails the
+  // flow the same way (CAST_INVALID_INPUT). The corner pins the match so
+  // a future ANSI-mode flip cannot silently change coercion to
+  // null-swallowing; null INPUTS still pass through as null (upstream
+  // coerces null without error).
+  test("coerce of an unparsable token fails the flow (upstream parity)") {
+    val df = Seq(("1", "x"), ("oops", "y")).toDF("num", "ch")
+    val p = pipe(df).coerce("num" ->
+      org.apache.spark.sql.types.IntegerType)
+    val ex = intercept[Exception] { rows(p) }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(ex).exists(_.getMessage != null) &&
+      chain(ex).exists(t => Option(t.getMessage)
+        .exists(_.contains("CAST_INVALID_INPUT"))))
+    // parsable tokens and null inputs coerce cleanly
+    val ok = pipe(Seq(("1", "x"), (null, "y")).toDF("num", "ch"))
+      .coerce("num" -> org.apache.spark.sql.types.IntegerType)
+    assert(rows(ok) == Set(Seq(1, "x"), Seq(null, "y")))
+  }
+
   // JoinFieldedPipesPlatformTest.testJoinsIntoCoGroup: hashJoins build
   // BOTH sides of a coGroup — the broadcast legs must survive on each
   // side of the shuffle boundary independently.
