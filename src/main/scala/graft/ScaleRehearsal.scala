@@ -156,8 +156,9 @@ object ScaleRehearsal {
     // adoption of the 20% arrival slice (cost tracks touched components)
     "q253_components_incremental",
     // exact-integer OLS (one partial-agg scan) and the per-user EWMA
-    // buffer (one keyed shuffle + sorted fold)
-    "q254_ols_by_group", "q255_ewma")
+    // buffer (one keyed shuffle + sorted fold) + its cross-batch
+    // streaming twin (state = one (n, ewma) pair per user)
+    "q254_ols_by_group", "q255_ewma", "q256_stream_ewma")
 
   def main(args: Array[String]): Unit = {
     val small = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

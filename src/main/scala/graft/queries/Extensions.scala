@@ -3424,6 +3424,45 @@ object Extensions {
       graft.exec.Flow.toDF(p)(s)
     }),
 
+    // --- STREAMING EWMA: the q255 ordered fold as a REAL multi-batch
+    // stream — per-user (n, ewma) state carried across 3 time-sliced
+    // micro-batches via flatMapGroupsWithState (an ORDER-SENSITIVE fold,
+    // unlike the commutative session merge: time-sliced staging is the
+    // ordering contract), closed by the far-future per-user sentinel
+    // (the q67 discipline). Oracle = q255's batch SQL verbatim —
+    // streaming must be indistinguishable from batch.
+    "q256_stream_ewma" -> ((s, dir) => {
+      val (in, out, chk) = freshStreamDirs("graft_q256_stream")
+      val ev = Tables.events(s, dir).select(col("user_id"), col("ts"),
+        col("event_id"), floor(col("value") * 1e6).cast("bigint").as("vm"))
+      val sentinelTs = "timestamp'2100-01-01 00:00:00'"
+      val sentinel = ev.select(col("user_id")).distinct()
+        .withColumn("ts", expr(sentinelTs))
+        .withColumn("event_id", lit(Long.MaxValue))
+        .withColumn("vm", lit(0L))
+      stageTimeSliced(in, ev, "ts", sentinel)
+      withStreamPartitions(s, 8) {
+        val stream = graft.streaming.StreamOps.readStream(s, in, ev.schema,
+          Map("maxFilesPerTrigger" -> "1"))
+        val folded = {
+          import s.implicits._
+          graft.streaming.StreamOps.ewmaFold(
+            stream.as[graft.streaming.StreamOps.EwmaEvent],
+            sentinelUs = java.time.Instant.parse("2100-01-01T00:00:00Z")
+              .getEpochSecond * 1000000L)
+        }
+        val q = folded.toDF().writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+          .format("parquet").option("path", out)
+          .option("checkpointLocation", chk)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.read.parquet(out)
+        .select(col("user_id"), col("n_events"), col("ewma_micros"))
+    }),
+
     // --- INCREMENTAL component maintenance: the arrival pattern (q187's
     // winnow adoption) on an explicit graph — ~20% of the capped edges
     // arrive as a batch against labels persisted from the other 80%;
@@ -4888,6 +4927,21 @@ object Extensions {
   private lazy val synthJpegDhashOracle: String =
     synthDhashOracleFor("(((i // 9) // 2) * 5 + ((i % 9) // 2))")
 
+  /** The exact-integer EWMA (α = ½) replayed as a list_reduce over the
+    * (tus, event_id)-ordered value list — shared by the batch Buffer form
+    * (q255) and the cross-batch streaming fold (q256). */
+  private lazy val ewmaOracle: String =
+    """WITH ev AS MATERIALIZED (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus, event_id,
+      |    CAST(floor(value * 1000000.0) AS BIGINT) AS vm
+      |  FROM events),
+      |o AS (SELECT user_id, list(vm ORDER BY tus, event_id) AS vs
+      |      FROM ev GROUP BY 1)
+      |SELECT user_id, CAST(len(vs) AS BIGINT) AS n_events,
+      |  CAST(list_reduce(vs, (acc, x) -> (acc + x) // 2) AS BIGINT)
+      |    AS ewma_micros
+      |FROM o""".stripMargin
+
   /** Component sizes by recursive-CTE reachability + per-vertex min — a
     * DIFFERENT algorithm from the pointer-jumping propagation, required
     * to land on the same fixed point. Shared verbatim by q251 (batch)
@@ -5939,18 +5993,11 @@ object Extensions {
 
     // q255: the fold replays as list_reduce over the identically-ordered
     // list — list_reduce seeds with the FIRST element, exactly ew₀ = v₀;
-    // DuckDB `//` floors like Math.floorDiv
-    "q255_ewma" ->
-      """WITH ev AS MATERIALIZED (
-        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus, event_id,
-        |    CAST(floor(value * 1000000.0) AS BIGINT) AS vm
-        |  FROM events),
-        |o AS (SELECT user_id, list(vm ORDER BY tus, event_id) AS vs
-        |      FROM ev GROUP BY 1)
-        |SELECT user_id, CAST(len(vs) AS BIGINT) AS n_events,
-        |  CAST(list_reduce(vs, (acc, x) -> (acc + x) // 2) AS BIGINT)
-        |    AS ewma_micros
-        |FROM o""".stripMargin,
+    // DuckDB `//` floors like Math.floorDiv. q256 (the same fold as a
+    // 3-micro-batch stream with cross-batch state) shares it VERBATIM:
+    // streaming must be indistinguishable from batch.
+    "q255_ewma" -> ewmaOracle,
+    "q256_stream_ewma" -> ewmaOracle,
 
     // q252: per-corner triangle credit over distinct-neighbor degree,
     // exact floor micros, top-20 (coeff desc, vertex asc)

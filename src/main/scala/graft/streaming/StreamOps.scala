@@ -204,4 +204,44 @@ object StreamOps {
     q.awaitTermination()
     q
   }
+
+  // ---- streaming EWMA (custom ordered-fold state machine) ----------------
+
+  case class EwmaEvent(user_id: Long, ts: java.sql.Timestamp,
+                       event_id: Long, vm: Long)
+  case class EwmaState(n: Long, ewma: Long)
+  case class EwmaOut(user_id: Long, n_events: Long, ewma_micros: Long)
+
+  /** Per-user exponential smoothing (α = ½, exact integer halving) as a
+    * CROSS-BATCH ordered fold: state carries (n, ewma) between
+    * micro-batches, each batch's events fold in (ts, event_id) order, and
+    * a row at/after `sentinelUs` CLOSES the user — emitting the final
+    * (n, ewma) and clearing state (the q67 sentinel-close discipline;
+    * append sinks cannot retract, so nothing is emitted until the close).
+    * ORDERING CONTRACT: batches must arrive in event-time order per user
+    * (time-sliced staging or an upstream watermark sort) — the fold is
+    * order-sensitive, unlike the commutative session merge above. */
+  def ewmaFold(events: org.apache.spark.sql.Dataset[EwmaEvent],
+               sentinelUs: Long)
+      : org.apache.spark.sql.Dataset[EwmaOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, evs: Iterator[EwmaEvent], state: GroupState[EwmaState]) => {
+          var st = state.getOption.getOrElse(EwmaState(0L, 0L))
+          var out = List.empty[EwmaOut]
+          var closed = false
+          evs.toSeq.sortBy(e => (toMicros(e.ts), e.event_id)).foreach { e =>
+            if (toMicros(e.ts) >= sentinelUs) {
+              if (st.n > 0L) out ::= EwmaOut(uid, st.n, st.ewma)
+              closed = true
+            } else if (!closed) {
+              st = EwmaState(st.n + 1L,
+                if (st.n == 0L) e.vm else Math.floorDiv(st.ewma + e.vm, 2L))
+            }
+          }
+          if (closed) state.remove() else state.update(st)
+          out.iterator
+        })
+  }
 }
