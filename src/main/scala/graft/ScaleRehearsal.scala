@@ -158,7 +158,10 @@ object ScaleRehearsal {
     // exact-integer OLS (one partial-agg scan) and the per-user EWMA
     // buffer (one keyed shuffle + sorted fold) + its cross-batch
     // streaming twin (state = one (n, ewma) pair per user)
-    "q254_ols_by_group", "q255_ewma", "q256_stream_ewma")
+    "q254_ols_by_group", "q255_ewma", "q256_stream_ewma",
+    // k-core: shrinking-set peel over the (larger) part graph — one
+    // keyed shuffle per round, the edge set only shrinks
+    "q257_kcore")
 
   def main(args: Array[String]): Unit = {
     val small = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -204,6 +204,59 @@ object Graph {
     res
   }
 
+  /** k-core decomposition step: the maximal subgraph where every vertex
+    * has degree ≥ k in the subgraph, by iterated peeling — a MONOTONE
+    * SHRINKING iteration (each round deletes vertices, never adds), the
+    * dual convergence class to the label propagation's monotone labels.
+    * Runs `rounds` peels and FAILS DIRECTED if the edge set is still
+    * shrinking at the last round (the q186 convergence discipline: an
+    * unconverged peel would ship a superset of the core silently) —
+    * `rounds` bounds the gate; real graphs converge in a few peels
+    * because each round removes all current sub-k vertices at once.
+    * Returns per-vertex rows (v, degree-in-core) of the surviving core;
+    * empty when the whole graph peels away. One keyed shuffle per round
+    * over a SHRINKING edge set. */
+  def kCore(edges: DataFrame, k: Int, rounds: Int = 8): DataFrame = {
+    val lvl = StorageLevel.MEMORY_AND_DISK
+    var und = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b")).distinct()
+      .persist(lvl)
+    var nEdges = und.count()
+    var converged = nEdges == 0L
+    var r = 0
+    while (!converged && r < rounds) {
+      val keep = und.select(col("a").as("v"))
+        .union(und.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k)
+        .select(col("v"))
+      val next = und
+        .join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("v").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .persist(lvl)
+      val nNext = next.count()
+      und.unpersist()
+      und = next
+      converged = nNext == nEdges || nNext == 0L
+      nEdges = nNext
+      r += 1
+    }
+    if (!converged) {
+      und.unpersist()
+      throw new IllegalStateException(
+        s"kCore: peeling had not converged after $rounds rounds (edges " +
+          s"still shrinking, $nEdges left) — raise `rounds`; shipping an " +
+          "unconverged peel would silently return a superset of the core.")
+    }
+    val res = und.select(col("a").as("v"))
+      .union(und.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("core_degree"))
+      .localCheckpoint(true)
+    und.unpersist()
+    res
+  }
+
   /** Exact triangle census over the UNDIRECTED support of the capped
     * edges (a pair counts if either endpoint retained it): the oriented
     * wedge join — e₁(a,b) ⋈ e₂(b,c) with a<b<c by construction, closed

@@ -3424,6 +3424,25 @@ object Extensions {
       graft.exec.Flow.toDF(p)(s)
     }),
 
+    // --- k-core decomposition (k = 60) on the capped PART co-occurrence
+    // graph: iterated peeling — the MONOTONE-SHRINKING iteration class
+    // (each round deletes, never adds; the dual of the propagation's
+    // monotone labels) — with the q186 convergence discipline: the
+    // operator fails DIRECTED if the edge set still shrinks at the round
+    // bound, so the oracle's fixed 8-round unroll provably reaches the
+    // same fixed point. The PART graph (not the near-regular supplier
+    // one) has real degree diversity, so the peel is PARTIAL at every SF
+    // (measured: ~2.7% of sf0.001 edges peel, core survives) — the
+    // supplier graph's min degree equals the cap, making its cores
+    // all-or-nothing, a shape that would gate nothing.
+    "q257_kcore" -> ((s, dir) => {
+      val G = graft.functions.Graph
+      val edges = G.coOccurrenceEdges(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        "l_orderkey", "l_partkey", maxDegree = 64)
+      G.kCore(edges, k = 60, rounds = 8)
+    }),
+
     // --- STREAMING EWMA: the q255 ordered fold as a REAL multi-batch
     // stream — per-user (n, ewma) state carried across 3 time-sliced
     // micro-batches via flatMapGroupsWithState (an ORDER-SENSITIVE fold,
@@ -5998,6 +6017,41 @@ object Extensions {
     // streaming must be indistinguishable from batch.
     "q255_ewma" -> ewmaOracle,
     "q256_stream_ewma" -> ewmaOracle,
+
+    // q257: 8 peel rounds unrolled — equal to the fixed point because the
+    // Spark side ASSERTS convergence within 8 (peeling is idempotent at
+    // the fixed point, so extra unrolled rounds are no-ops)
+    "q257_kcore" -> {
+      val rounds = (1 to 8).map { i =>
+        s"""k$i AS MATERIALIZED (
+           |  SELECT v FROM (
+           |    SELECT v, count(*) AS d FROM (
+           |      SELECT a AS v FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1})
+           |    GROUP BY 1) WHERE d >= 60),
+           |e$i AS MATERIALIZED (
+           |  SELECT a, b FROM e${i - 1}
+           |  WHERE a IN (SELECT v FROM k$i) AND b IN (SELECT v FROM k$i))"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH su AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey AS k, l_partkey AS v FROM lineitem),
+         |pw AS MATERIALIZED (
+         |  SELECT a.v AS src, b.v AS dst, CAST(count(*) AS BIGINT) AS w
+         |  FROM su a JOIN su b ON a.k = b.k AND a.v <> b.v
+         |  GROUP BY 1, 2),
+         |e AS MATERIALIZED (
+         |  SELECT src, dst, w FROM (
+         |    SELECT src, dst, w, row_number() OVER (
+         |      PARTITION BY src ORDER BY w DESC, dst) AS rn FROM pw)
+         |  WHERE rn <= 64),
+         |e0 AS MATERIALIZED (
+         |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM e),
+         |$rounds
+         |SELECT v, CAST(count(*) AS BIGINT) AS core_degree FROM (
+         |  SELECT a AS v FROM e8 UNION ALL SELECT b FROM e8)
+         |GROUP BY 1""".stripMargin
+    },
 
     // q252: per-corner triangle credit over distinct-neighbor degree,
     // exact floor micros, top-20 (coeff desc, vertex asc)

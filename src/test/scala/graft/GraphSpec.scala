@@ -84,6 +84,26 @@ class GraphSpec extends SparkSpec {
       5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L))
   }
 
+  test("kCore: cascade peel, surviving core degrees, empty graph, " +
+       "non-convergence fails directed") {
+    // K4 {1..4} with a pendant chain 4–5–6: 2-core = the K4 (5 and 6
+    // peel in CASCADE — 6 first, then 5 — proving multi-round peeling)
+    val g = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("src", "dst")
+    val core2 = Graph.kCore(g, k = 2, rounds = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core2 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // k = 4 peels everything (K4 degrees are 3): empty result, no error
+    assert(Graph.kCore(g, k = 4, rounds = 8).count() == 0)
+    // rounds too small for the cascade → directed failure, not a
+    // silent superset
+    val ex = intercept[IllegalStateException] {
+      Graph.kCore(g, k = 2, rounds = 1).collect()
+    }
+    assert(ex.getMessage.contains("not converged") ||
+      ex.getMessage.contains("rounds"))
+  }
+
   test("triangleStats: K4 census; path has none; direction-unioned " +
        "support") {
     val k4 = (for { a <- 1L to 4L; b <- 1L to 4L if a != b } yield (a, b))
