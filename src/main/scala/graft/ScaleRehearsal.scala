@@ -161,7 +161,11 @@ object ScaleRehearsal {
     "q254_ols_by_group", "q255_ewma", "q256_stream_ewma",
     // k-core: shrinking-set peel over the (larger) part graph — one
     // keyed shuffle per round, the edge set only shrinks
-    "q257_kcore")
+    "q257_kcore",
+    // exact set-similarity join: candidates through shared PREFIX
+    // shingles only (global-frequency order keeps prefix buckets small;
+    // token suffixes keep shingles replica-local at sf1)
+    "q258_setjoin_exact")
 
   def main(args: Array[String]): Unit = {
     val small = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1042,6 +1042,76 @@ object Dedup {
     * 60-bit [[graft.catalyst.Md5Prefix60]] key (~2^30 grams) — the form
     * to run at the 100 TB tier; identical plan shape, gated separately
     * (q176) against the 15-hex-prefix oracle spelling. */
+  /** EXACT set-similarity self-join (AllPairs/PPJoin prefix filtering,
+    * Bayardo et al. WWW'07 / Xiao et al. WWW'08 — public algorithms):
+    * all document pairs whose n-gram shingle-set Jaccard is ≥ tNum/tDen,
+    * with NO approximation — the candidate set is pruned, never the
+    * answer. The threshold is an exact RATIONAL, so every bound is
+    * integer arithmetic both engines replay bit-identically:
+    *   - prefix length p(A) = |A| − ⌈t·|A|⌉ + 1 under one GLOBAL shingle
+    *     order (df asc, hash asc — rare shingles first, the frequency
+    *     ordering that keeps prefix buckets small); J(A,B) ≥ t implies
+    *     the prefixes intersect, so joining prefixes loses nothing;
+    *   - length filter: t·max(|A|,|B|) ≤ min(|A|,|B|) (else J < t);
+    *   - verification: J ≥ tNum/tDen ⟺ (tNum+tDen)·|A∩B| ≥ tNum·(|A|+|B|).
+    * Scale shape: candidate pairs exist only through shared PREFIX
+    * shingles (never all-pairs); the verify join moves candidate×shingle
+    * rows. Complements MinHash LSH (q64): this form is exact — the gate
+    * proves prefix filtering returns EXACTLY the exhaustive
+    * share-a-shingle join's qualifying pairs. */
+  def setSimilarityJoin(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text", n: Int = 8,
+                        tNum: Long = 4L, tDen: Long = 5L): DataFrame = {
+    require(tNum > 0 && tNum < tDen, s"threshold must be in (0,1): $tNum/$tDen")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // distinct shingle-hash SET per doc (set semantics — positions and
+    // multiplicity do not matter for Jaccard)
+    val sh = docs
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("__t"))
+      .filter(size(col("__t")) >= n)
+      .select(col("id"), explode(transform(
+        sequence(lit(1), size(col("__t")) - (n - 1)),
+        i => graft.catalyst.Md5Prefix60(
+          concat_ws(" ", slice(col("__t"), i, lit(n)))))).as("h"))
+      .distinct()
+      .persist(lvl)
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("nsz"))
+    val df = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // global frequency order: position of each shingle within its doc
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("df"), col("h"))
+    val prefix = sh.join(df, Seq("h"))
+      .withColumn("pos", row_number().over(w))
+      .join(sizes, Seq("id"))
+      // p = n − ⌈t·n⌉ + 1;  ⌈tNum·n/tDen⌉ = (tNum·n + tDen − 1) div tDen
+      .filter(col("pos") <=
+        col("nsz") - expr(s"($tNum * nsz + $tDen - 1) div $tDen") + 1)
+      .select(col("id"), col("h"), col("nsz"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .filter(lit(tNum) * greatest(col("a.nsz"), col("b.nsz")) <=
+        lit(tDen) * least(col("a.nsz"), col("b.nsz")))
+      .select(col("a.id").as("ia"), col("b.id").as("ib"),
+        col("a.nsz").as("na"), col("b.nsz").as("nb"))
+      .distinct()
+    // exact verification: count shared shingles per surviving pair
+    val inter = cand
+      .join(sh.select(col("id").as("ia"), col("h")), Seq("ia"))
+      .join(sh.select(col("id").as("ib"), col("h")), Seq("ib", "h"))
+      .groupBy(col("ia"), col("ib"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
+    val res = inter
+      .filter(lit(tNum + tDen) * col("inter") >=
+        lit(tNum) * (col("na") + col("nb")))
+      .select(col("ia").as("id_a"), col("ib").as("id_b"),
+        col("inter").cast("bigint").as("inter"),
+        expr("(1000000 * inter) div (na + nb - inter)")
+          .cast("bigint").as("jaccard_micros"))
+      .localCheckpoint(true)
+    sh.unpersist()
+    res
+  }
+
   def duplicatedSpans(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text", n: Int = 8,
                       minDocs: Int = 2, wideHash: Boolean = false): DataFrame = {

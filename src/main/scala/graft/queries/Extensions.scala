@@ -3443,6 +3443,19 @@ object Extensions {
       G.kCore(edges, k = 60, rounds = 8)
     }),
 
+    // --- EXACT set-similarity self-join (AllPairs/PPJoin prefix
+    // filtering): all doc pairs with 8-gram shingle-set Jaccard ≥ 4/5,
+    // no approximation — candidates are pruned by the global-frequency
+    // prefix + length filters, never the answer. The oracle is the
+    // EXHAUSTIVE share-a-shingle join with the same rational-threshold
+    // verification, so a single missed pair (a prefix-bound bug) fails
+    // the gate. Complements MinHash (q64, probabilistic) with the exact
+    // form production dedup uses for high thresholds.
+    "q258_setjoin_exact" -> ((s, dir) =>
+      Dedup.setSimilarityJoin(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        n = 8, tNum = 4L, tDen = 5L)),
+
     // --- STREAMING EWMA: the q255 ordered fold as a REAL multi-batch
     // stream — per-user (n, ewma) state carried across 3 time-sliced
     // micro-batches via flatMapGroupsWithState (an ORDER-SENSITIVE fold,
@@ -6017,6 +6030,30 @@ object Extensions {
     // streaming must be indistinguishable from batch.
     "q255_ewma" -> ewmaOracle,
     "q256_stream_ewma" -> ewmaOracle,
+
+    // q258: the oracle is EXHAUSTIVE — every pair sharing ≥1 shingle,
+    // verified by the same rational-threshold integer arithmetic; the
+    // Spark side must return exactly this set through prefix filtering
+    "q258_setjoin_exact" ->
+      s"""WITH sh AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id AS id, ${dTokHash60(
+              "array_to_string(t[i:i+7], ' ')")} AS h
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) d,
+         |    LATERAL (SELECT unnest(range(1, len(t) - 6)) AS i) p
+         |  WHERE len(t) >= 8),
+         |sz AS MATERIALIZED (
+         |  SELECT id, CAST(count(*) AS BIGINT) AS nsz FROM sh GROUP BY 1),
+         |pairs AS MATERIALIZED (
+         |  SELECT a.id AS ia, b.id AS ib, CAST(count(*) AS BIGINT) AS inter
+         |  FROM sh a JOIN sh b ON a.h = b.h AND a.id < b.id
+         |  GROUP BY 1, 2)
+         |SELECT ia AS id_a, ib AS id_b, inter,
+         |  CAST((1000000 * inter) // (na.nsz + nb.nsz - inter) AS BIGINT)
+         |    AS jaccard_micros
+         |FROM pairs
+         |JOIN sz na ON pairs.ia = na.id
+         |JOIN sz nb ON pairs.ib = nb.id
+         |WHERE 9 * inter >= 4 * (na.nsz + nb.nsz)""".stripMargin,
 
     // q257: 8 peel rounds unrolled — equal to the fixed point because the
     // Spark side ASSERTS convergence within 8 (peeling is idempotent at

@@ -770,6 +770,29 @@ class FunctionsSpec extends SparkSpec {
     assert(r == Set((1L, 2L), (3L, 1L))) // keep_id 1 with 2 dups
   }
 
+  test("setSimilarityJoin: exact threshold boundary, prefix keeps the " +
+       "qualifying pair, identical docs score 1.0") {
+    // 17 tokens → 10 8-gram shingles. Changing the LAST token touches
+    // only shingle 10 → inter 9, J = 9/11 ≈ 0.818 ≥ 4/5 (KEPT, floor
+    // micros 818181). Changing token 16 touches shingles 9 AND 10 →
+    // inter 8, J = 8/12 < 4/5 (DROPPED). Identical docs: J = 1.
+    val toks = (1 to 17).map(i => s"w$i")
+    val a = toks.mkString(" ")
+    val b = (toks.init :+ "CHANGED").mkString(" ")
+    val c = (toks.updated(15, "ALSO") :+ "").mkString(" ").trim
+    val df = Seq((1L, a), (2L, b), (3L, c), (4L, a)).toDF("doc_id", "text")
+    val r = Dedup.setSimilarityJoin(df, "doc_id", "text", n = 8)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) ->
+        (x.getLong(2), x.getLong(3))).toMap
+    assert(r.keySet == Set((1L, 2L), (1L, 4L), (2L, 4L)))
+    assert(r((1L, 2L)) == (9L, 818181L))
+    assert(r((1L, 4L)) == (10L, 1000000L))
+    // (2,4) is b-vs-a again: same overlap as (1,2)
+    assert(r((2L, 4L)) == (9L, 818181L))
+    // doc 3 differs in two shingles from a → below threshold, absent
+    assert(!r.keySet.exists(k => k._1 == 3L || k._2 == 3L))
+  }
+
   test("minhash signature: identical texts agree, length k") {
     val df = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "v w x y z"))
       .toDF("id", "text")
