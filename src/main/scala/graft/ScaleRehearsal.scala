@@ -165,7 +165,9 @@ object ScaleRehearsal {
     // exact set-similarity join: candidates through shared PREFIX
     // shingles only (global-frequency order keeps prefix buckets small;
     // token suffixes keep shingles replica-local at sf1)
-    "q258_setjoin_exact")
+    "q258_setjoin_exact",
+    // weighted PageRank: q249's plan with the weight join
+    "q259_pagerank_weighted")
 
   def main(args: Array[String]): Unit = {
     val small = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -100,6 +100,46 @@ object Graph {
     res
   }
 
+  /** WEIGHTED exact-integer PageRank: like [[pageRankTopK]] but each
+    * neighbor receives mass proportional to its EDGE WEIGHT —
+    *   r'(v) = 15·10⁷ + Σ_{u→v} (r(u)·85·w(u,v)) div (100·sw(u)),
+    * sw(u) = Σ w over u's retained edges. Still pure floor division
+    * (products ≤ r·85·w ≈ 10¹¹·w fit int64 while w < 10⁷); the co-
+    * occurrence weight is the natural transition strength (how often the
+    * pair actually co-occurs), which plain PageRank discards after the
+    * cap. */
+  def pageRankWeightedTopK(edges: DataFrame, iters: Int,
+                           k: Int): DataFrame = {
+    val sw = edges.groupBy(col("src")).agg(sum(col("w")).as("sw"))
+    val e = edges.join(sw, Seq("src"))
+      .select(col("src"), col("dst"), col("w"), col("sw"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val verts = e.select(col("src").as("v")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var rank = verts.select(col("v"), lit(1000000000L).as("r"))
+    var prev: DataFrame = null
+    (1 to iters).foreach { _ =>
+      val contrib = e.join(rank, e("src") === rank("v"))
+        .select(col("dst"), expr("(r * 85 * w) div (100 * sw)").as("c"))
+      val sums = contrib.groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      val next = verts.join(sums, verts("v") === sums("dst"), "left_outer")
+        .select(verts("v"),
+          (lit(150000000L) + coalesce(col("s"), lit(0L))).as("r"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      if (prev != null) prev.unpersist()
+      prev = next
+      rank = next
+    }
+    val res = rank.orderBy(col("r").desc, col("v"))
+      .limit(k)
+      .select(col("v").as("vertex"), col("r").as("rank_scaled"))
+      .localCheckpoint(true)
+    e.unpersist(); verts.unpersist()
+    if (prev != null) prev.unpersist()
+    res
+  }
+
   /** Connected components over the undirected support, via the repo's
     * converged min-label propagation (pointer-jumping — rounds ≈ log
     * diameter, `Dedup.transitiveClustersOver`): each undirected edge

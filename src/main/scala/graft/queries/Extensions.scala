@@ -3443,6 +3443,19 @@ object Extensions {
       G.kCore(edges, k = 60, rounds = 8)
     }),
 
+    // --- WEIGHTED PageRank on the same capped graph: mass flows in
+    // proportion to co-occurrence COUNT (the transition strength plain
+    // PageRank discards after the cap) — r·85·w div (100·Σw), still pure
+    // floor-division int64 so the oracle unrolls the 4 iterations
+    // bit-identically. Same per-iteration plan as q249.
+    "q259_pagerank_weighted" -> ((s, dir) => {
+      val G = graft.functions.Graph
+      val edges = G.coOccurrenceEdges(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        "l_orderkey", "l_suppkey", maxDegree = 64)
+      G.pageRankWeightedTopK(edges, iters = 4, k = 20)
+    }),
+
     // --- EXACT set-similarity self-join (AllPairs/PPJoin prefix
     // filtering): all doc pairs with 8-gram shingle-set Jaccard ≥ 4/5,
     // no approximation — candidates are pruned by the global-frequency
@@ -6030,6 +6043,29 @@ object Extensions {
     // streaming must be indistinguishable from batch.
     "q255_ewma" -> ewmaOracle,
     "q256_stream_ewma" -> ewmaOracle,
+
+    // q259: q249's unroll with weighted contributions (w / Σw per src)
+    "q259_pagerank_weighted" -> {
+      val iters = (1 to 4).map { n =>
+        s"""r$n AS MATERIALIZED (
+           |  SELECT v.v, CAST(150000000 + coalesce(s.s, 0) AS BIGINT) AS r
+           |  FROM vx v LEFT JOIN (
+           |    SELECT e.dst AS v,
+           |      sum((r.r * 85 * e.w) // (100 * sw.sw)) AS s
+           |    FROM e JOIN r${n - 1} r ON e.src = r.v
+           |    JOIN sw ON e.src = sw.src
+           |    GROUP BY 1) s USING (v))""".stripMargin
+      }.mkString(",\n")
+      s"""$coOccurEdgeCtes,
+         |sw AS MATERIALIZED (
+         |  SELECT src, CAST(sum(w) AS BIGINT) AS sw FROM e GROUP BY 1),
+         |vx AS MATERIALIZED (SELECT DISTINCT src AS v FROM e),
+         |r0 AS MATERIALIZED (
+         |  SELECT v, CAST(1000000000 AS BIGINT) AS r FROM vx),
+         |$iters
+         |SELECT v AS vertex, r AS rank_scaled FROM r4
+         |ORDER BY r DESC, v LIMIT 20""".stripMargin
+    },
 
     // q258: the oracle is EXHAUSTIVE — every pair sharing ≥1 shingle,
     // verified by the same rational-threshold integer arithmetic; the

@@ -50,6 +50,26 @@ class GraphSpec extends SparkSpec {
     assert(top == Seq(2L, 1L))
   }
 
+  test("pageRankWeightedTopK: mass splits by edge weight (hand-computed)") {
+    // path 1–2–3 with weights: (1,2) w=3, (2,3) w=1. sw: 1→3, 2→4, 3→1.
+    //   r1(1) = 150e6 + (1e9·85·3) div 400 = 787 500 000
+    //   r1(2) = 150e6 + 850e6 (from 1) + 850e6 (from 3) = 1 850 000 000
+    //   r1(3) = 150e6 + (1e9·85·1) div 400 = 362 500 000
+    val g = Seq((1L, 2L, 3L), (2L, 1L, 3L), (2L, 3L, 1L), (3L, 2L, 1L))
+      .toDF("src", "dst", "w")
+    val r = Graph.pageRankWeightedTopK(g, iters = 1, k = 3).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(1L -> 787500000L, 2L -> 1850000000L, 3L -> 362500000L))
+    // uniform weights reduce to the unweighted form
+    val u = Seq((1L, 2L, 5L), (2L, 1L, 5L), (2L, 3L, 5L), (3L, 2L, 5L))
+      .toDF("src", "dst", "w")
+    val rw = Graph.pageRankWeightedTopK(u, iters = 2, k = 3).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val ru = Graph.pageRankTopK(u.select(col("src"), col("dst")), iters = 2,
+      k = 3).collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(rw == ru)
+  }
+
   test("componentSizes: disjoint components labeled by their minima") {
     // path {1,2} plus triangle {3,4,5} — two components, sizes 2 and 3,
     // labels = component minima
