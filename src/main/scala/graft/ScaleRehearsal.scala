@@ -167,7 +167,10 @@ object ScaleRehearsal {
     // token suffixes keep shingles replica-local at sf1)
     "q258_setjoin_exact",
     // weighted PageRank: q249's plan with the weight join
-    "q259_pagerank_weighted")
+    "q259_pagerank_weighted",
+    // association rules (basket self-join + two aggregates) and the
+    // cohort matrix (two aggregates + a user join)
+    "q260_association_rules", "q261_cohort_retention")
 
   def main(args: Array[String]): Unit = {
     val small = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

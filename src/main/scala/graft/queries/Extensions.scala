@@ -3443,6 +3443,62 @@ object Extensions {
       G.kCore(edges, k = 60, rounds = 8)
     }),
 
+    // --- association rules (market-basket, 2-itemsets): orders are
+    // baskets, parts are items; rules A→B with pair support ≥ 3 carry
+    // EXACT floor-micros confidence (cnt(AB)/cnt(A)) and lift
+    // (N·cnt(AB)/(cnt(A)·cnt(B))) — all integer arithmetic, both
+    // directions emitted. One group-key self-join (fan-out bounded by
+    // basket size) + two tiny aggregates; the classic retail-analytics
+    // op the co-occurrence projection was built from.
+    "q260_association_rules" -> ((s, dir) => {
+      val su = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey").as("k"), col("l_partkey").as("v"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = su.select(col("k")).distinct().count()
+      val item = su.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+      val pair = su.as("a").join(su.as("b"),
+          col("a.k") === col("b.k") && col("a.v") < col("b.v"))
+        .groupBy(col("a.v").as("ia"), col("b.v").as("ib"))
+        .agg(count(lit(1)).as("cp"))
+        .filter(col("cp") >= 3)
+      val both = pair.select(col("ia").as("ante"), col("ib").as("cons"),
+          col("cp"))
+        .unionByName(pair.select(col("ib").as("ante"),
+          col("ia").as("cons"), col("cp")))
+      val res = both
+        .join(item.select(col("v").as("ante"), col("cnt").as("ca")),
+          Seq("ante"))
+        .join(item.select(col("v").as("cons"), col("cnt").as("cc")),
+          Seq("cons"))
+        .select(col("ante"), col("cons"), col("cp").cast("bigint").as("n_pair"),
+          expr("(1000000 * cp) div ca").cast("bigint").as("conf_micros"),
+          // literal×literal folds in Int under ANSI — pre-scale in Scala
+          expr(s"(${1000000L * n} * cp) div (ca * cc)").cast("bigint")
+            .as("lift_micros"))
+        .localCheckpoint(true)
+      su.unpersist()
+      res
+    }),
+
+    // --- cohort retention: users bucketed by FIRST-SEEN week (pure
+    // integer week index: floorDiv(epoch-day, 7) — no calendar functions,
+    // so both engines agree by construction), activity counted as
+    // distinct users per (cohort_week, week_offset) — the standard
+    // product-analytics retention matrix. Two aggregates + one broadcast
+    // join back on user.
+    "q261_cohort_retention" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000 div 7").as("wk"))
+      val first = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cw"))
+      ev.join(first, Seq("user_id"))
+        .select(col("user_id"), col("cw"),
+          (col("wk") - col("cw")).as("off"))
+        .distinct()
+        .groupBy(col("cw").as("cohort_week"), col("off").as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+    }),
+
     // --- WEIGHTED PageRank on the same capped graph: mass flows in
     // proportion to co-occurrence COUNT (the transition strength plain
     // PageRank discards after the cap) — r·85·w div (100·Σw), still pure
@@ -6043,6 +6099,43 @@ object Extensions {
     // streaming must be indistinguishable from batch.
     "q255_ewma" -> ewmaOracle,
     "q256_stream_ewma" -> ewmaOracle,
+
+    // q260: rules replay as plain joins; thresholds and the floor-micros
+    // confidence/lift are pure integer arithmetic
+    "q260_association_rules" ->
+      """WITH su AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS k, l_partkey AS v FROM lineitem),
+        |nn AS (SELECT CAST(count(DISTINCT k) AS BIGINT) AS n FROM su),
+        |item AS MATERIALIZED (
+        |  SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM su GROUP BY 1),
+        |pair AS MATERIALIZED (
+        |  SELECT a.v AS ia, b.v AS ib, CAST(count(*) AS BIGINT) AS cp
+        |  FROM su a JOIN su b ON a.k = b.k AND a.v < b.v
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |bth AS (
+        |  SELECT ia AS ante, ib AS cons, cp FROM pair
+        |  UNION ALL SELECT ib, ia, cp FROM pair)
+        |SELECT ante, cons, cp AS n_pair,
+        |  CAST((1000000 * cp) // ca.cnt AS BIGINT) AS conf_micros,
+        |  CAST((1000000 * nn.n * cp) // (ca.cnt * cc.cnt) AS BIGINT)
+        |    AS lift_micros
+        |FROM bth
+        |JOIN item ca ON bth.ante = ca.v
+        |JOIN item cc ON bth.cons = cc.v
+        |CROSS JOIN nn""".stripMargin,
+
+    // q261: integer week index (epoch-day div 7) — no calendar functions,
+    // both engines agree by construction
+    "q261_cohort_retention" ->
+      """WITH ev AS MATERIALIZED (
+        |  SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 // 7 AS wk
+        |  FROM events),
+        |f AS (SELECT user_id, min(wk) AS cw FROM ev GROUP BY 1)
+        |SELECT cw AS cohort_week, wk - cw AS week_offset,
+        |  CAST(count(DISTINCT ev.user_id) AS BIGINT) AS n_active
+        |FROM ev JOIN f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
 
     // q259: q249's unroll with weighted contributions (w / Σw per src)
     "q259_pagerank_weighted" -> {
