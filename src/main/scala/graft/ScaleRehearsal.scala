@@ -168,9 +168,11 @@ object ScaleRehearsal {
     "q258_setjoin_exact",
     // weighted PageRank: q249's plan with the weight join
     "q259_pagerank_weighted",
-    // association rules (basket self-join + two aggregates) and the
-    // cohort matrix (two aggregates + a user join)
-    "q260_association_rules", "q261_cohort_retention")
+    // association rules (basket self-join + two aggregates), the
+    // cohort matrix (two aggregates + a user join), and the transition
+    // matrix (one keyed lag window + two aggregates)
+    "q260_association_rules", "q261_cohort_retention",
+    "q262_event_transitions")
 
   def main(args: Array[String]): Unit = {
     val small = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -3443,6 +3443,31 @@ object Extensions {
       G.kCore(edges, k = 60, rounds = 8)
     }),
 
+    // --- event-transition matrix (first-order Markov over per-user
+    // sequences): consecutive event-type pairs by (ts, event_id) order,
+    // counted corpus-wide, with row-normalized transition probability in
+    // EXACT floor micros (count(from,to) / count(from,*)). One keyed
+    // shuffle + per-user lag window (bounded partitions); the path-
+    // analysis primitive behind funnels and sankeys.
+    "q262_event_transitions" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        unix_micros(col("ts")).as("tus"), col("event_id"),
+        col("event_type"))
+      val w = W.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+      val pairs = ev.withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"),
+          col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = pairs.groupBy(col("from_type"))
+        .agg(sum(col("n")).as("tot"))
+      pairs.join(totals, Seq("from_type"))
+        .select(col("from_type"), col("to_type"),
+          col("n").cast("bigint").as("n"),
+          expr("(1000000 * n) div tot").cast("bigint").as("prob_micros"))
+    }),
+
     // --- association rules (market-basket, 2-itemsets): orders are
     // baskets, parts are items; rules A→B with pair support ≥ 3 carry
     // EXACT floor-micros confidence (cnt(AB)/cnt(A)) and lift
@@ -6099,6 +6124,27 @@ object Extensions {
     // streaming must be indistinguishable from batch.
     "q255_ewma" -> ewmaOracle,
     "q256_stream_ewma" -> ewmaOracle,
+
+    // q262: lead() over the same (tus, event_id) order; row-normalized
+    // probabilities in exact floor micros
+    "q262_event_transitions" ->
+      """WITH ev AS MATERIALIZED (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+        |    event_id, event_type
+        |  FROM events),
+        |p AS MATERIALIZED (
+        |  SELECT event_type AS from_type, next_type AS to_type,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT event_type, lead(event_type) OVER (
+        |          PARTITION BY user_id ORDER BY tus, event_id) AS next_type
+        |        FROM ev)
+        |  WHERE next_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot
+        |      FROM p GROUP BY 1)
+        |SELECT from_type, to_type, n,
+        |  CAST((1000000 * n) // tot AS BIGINT) AS prob_micros
+        |FROM p JOIN t USING (from_type)""".stripMargin,
 
     // q260: rules replay as plain joins; thresholds and the floor-micros
     // confidence/lift are pure integer arithmetic
