@@ -3241,10 +3241,38 @@ object Extensions {
     // sound unchanged. Candidates exist only through shared band buckets
     // (never all-pairs); the oracle replays samples → energies → bits →
     // bands arithmetically.
+    //
+    // De-vacuization (the q43 crafted-copy precedent): the raw synth
+    // never produces two payloads within Hamming 3, so every doc_id %
+    // 100 == 0 gets TWO planted twins whose token streams are the
+    // original's cyclic expansion to exactly 228 tokens (sample-
+    // identical to the original for frames 0..54) with frames 55-56
+    // overwritten by fixed tokens. Both twins share frame 55
+    // ('dup180'×4 at i=220..223, energy 1322271082); twin A's frame 56
+    // ('dup9'×4, energy 3486723474) sits ABOVE it and twin B's
+    // ('dup193'×4, energy 135922290) BELOW it, so bit 55 = 1 for A and
+    // 0 for B while bits 0..54 agree — hamming(h_A, h_B) = 1 BY
+    // CONSTRUCTION, and 3 of 4 bands match, so the banded join emits
+    // ≥1 pair per planted doc at every SF. Energies are md5-prefix
+    // arithmetic both engines replay; FunctionsSpec pins the straddle.
     "q246_audio_fingerprint" -> ((s, dir) => {
       val MM = graft.functions.Multimodal
-      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val base = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("text"))
+      def twin(off: Long, tok56: String) = base
+        .filter(col("doc_id") % 100 === 0)
+        .select(
+          (col("doc_id") + off).as("doc_id"),
+          array_join(
+            transform(sequence(lit(0), lit(227)), i =>
+              when(i >= 224, lit(tok56))
+                .when(i >= 220, lit("dup180"))
+                .otherwise(element_at(split(col("text"), " "),
+                  (i % size(split(col("text"), " "))) + 1))),
+            " ").as("text"))
+      val docs = base
+        .unionAll(twin(1000000000L, "dup9"))
+        .unionAll(twin(2000000000L, "dup193"))
       val fp = MM.audioFingerprintFromPayload(
         MM.withSynthWavPayload(docs, "doc_id", "text",
           nEven = 228, nOdd = 228), "id", "payload")
@@ -5994,13 +6022,35 @@ object Extensions {
 
     // q246: samples → 57 exact frame energies → 56 delta-sign bits folded
     // MSB-first → the SAME band/pair SQL as the image chain — one fold
-    // convention across modalities is what lets the skeleton be shared
+    // convention across modalities is what lets the skeleton be shared.
+    // The docs CTE replays the Spark-side twin planting verbatim (cyclic
+    // 228-token expansion, frames 55/56 overwritten) so the near-dup
+    // pairs the gate now demands exist identically in both engines.
     "q246_audio_fingerprint" ->
-      s"""WITH ss AS MATERIALIZED (
+      s"""WITH twinsrc AS MATERIALIZED (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+         |  WHERE doc_id % 100 = 0),
+         |docs AS MATERIALIZED (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000000,
+         |    array_to_string(list_transform(range(0, 228), i ->
+         |      CASE WHEN i >= 224 THEN 'dup9'
+         |           WHEN i >= 220 THEN 'dup180'
+         |           ELSE t[(i % len(t)) + 1] END), ' ')
+         |  FROM twinsrc
+         |  UNION ALL
+         |  SELECT doc_id + 2000000000,
+         |    array_to_string(list_transform(range(0, 228), i ->
+         |      CASE WHEN i >= 224 THEN 'dup193'
+         |           WHEN i >= 220 THEN 'dup180'
+         |           ELSE t[(i % len(t)) + 1] END), ' ')
+         |  FROM twinsrc),
+         |ss AS MATERIALIZED (
          |  SELECT doc_id, list_transform(range(0, 228),
          |    i -> CAST(${dTokHash("concat(t[(i % len(t)) + 1], '@', i)")}
          |      % 65536 - 32768 AS INTEGER)) AS s
-         |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM docs)),
          |en AS MATERIALIZED (
          |  SELECT doc_id, list_transform(range(0, 57), f ->
          |    list_sum(list_transform(range(1, 5), j ->

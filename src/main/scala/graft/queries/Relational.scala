@@ -1188,20 +1188,29 @@ object Relational {
     // TPC-H Q11 shape (important stock): a HAVING against a GLOBAL
     // scalar — per-part value sums filtered by a fraction of the
     // corpus-wide total, the total riding a 1-row broadcast cross (the
-    // q227 scalar-subquery pattern). Both sides of the > are exact-sum
-    // doubles and the fraction literal is explicitly double, so the
-    // comparison selects identical rows on both engines. partsupp
-    // stand-in: lineitem extendedprice as the stock value.
+    // q227 scalar-subquery pattern). TPC-H scales the fraction with SF
+    // (0.0001/SF); here the same self-scaling is spelled as a multiple
+    // of the MEAN per-part share — threshold = total · 1.5 / n_parts —
+    // so the gate returns rows at EVERY SF (measured: 2 / 29 / 252 at
+    // sf0.001/0.01/0.1; the previous fixed 0.001 literal selected 0
+    // rows at all gated SFs — a vacuous gate). Both sides of the > are
+    // exact-sum doubles, the 1.5 literal is explicitly double, and the
+    // *-then-/ evaluation order is identical in both engines, so the
+    // comparison selects identical rows. partsupp stand-in: lineitem
+    // extendedprice as the stock value.
     "q233_tpch_q11" -> ((s, dir) => Flow.toDF(
       P(dir, "lineitem").retain("l_partkey", "l_extendedprice")
         .groupBy("l_partkey")
         .every(Aggs.agg("part_value", xsum("l_extendedprice")))
         .cross(
-          P(dir, "lineitem").retain("l_extendedprice")
+          P(dir, "lineitem").retain("l_partkey", "l_extendedprice")
             .rename("l_extendedprice" -> "ep")
             .groupAll
-            .every(Aggs.agg("total_value", xsum("ep"))))
-        .filterBy(SqlFilter("part_value > total_value * cast(0.001 as double)"))
+            .every(
+              Aggs.agg("total_value", xsum("ep")),
+              Aggs.sql("n_parts", "count(distinct l_partkey)")))
+        .filterBy(SqlFilter(
+          "part_value > total_value * cast(1.5 as double) / cast(n_parts as double)"))
         .retain("l_partkey", "part_value")
         .orderBy("part_value" -> false, "l_partkey" -> true))(s)),
 
@@ -1904,10 +1913,11 @@ object Relational {
       s"""WITH pv AS (
          |  SELECT l_partkey, ${dsum("l_extendedprice")} AS part_value
          |  FROM lineitem GROUP BY 1),
-         |t AS (SELECT ${dsum("l_extendedprice")} AS total_value FROM lineitem)
+         |t AS (SELECT ${dsum("l_extendedprice")} AS total_value,
+         |             count(DISTINCT l_partkey) AS n_parts FROM lineitem)
          |SELECT l_partkey, part_value
          |FROM pv CROSS JOIN t
-         |WHERE part_value > total_value * CAST(0.001 AS DOUBLE)
+         |WHERE part_value > total_value * CAST(1.5 AS DOUBLE) / CAST(n_parts AS DOUBLE)
          |ORDER BY part_value DESC, l_partkey""".stripMargin,
 
     "q234_tpch_q12" ->

@@ -483,6 +483,50 @@ class FunctionsSpec extends SparkSpec {
     assert(fp228.getLong(1) == expect)
   }
 
+  test("q246 twin-plant straddle: the fixed frame-56 token energies " +
+       "bracket the shared frame-55 energy, so twin fingerprints differ " +
+       "in bit 55 exactly (hamming 1 by construction)") {
+    import graft.functions.Multimodal
+    // energy of token×4 at sample positions base..base+3, exactly the
+    // synth formula (md5-prefix-40 % 65536 - 32768, squared and summed)
+    def frameEnergy(tok: String, base: Int): Long =
+      (0 until 4).map { j =>
+        val v = (graft.catalyst.Md5Prefix40.hash(
+          org.apache.spark.unsafe.types.UTF8String.fromString(
+            tok + "@" + (base + j))) % 65536L).toInt - 32768
+        v.toLong * v
+      }.sum
+    val e55 = frameEnergy("dup180", 220) // shared by both twins
+    val eA = frameEnergy("dup9", 224)    // twin A frame 56
+    val eB = frameEnergy("dup193", 224)  // twin B frame 56
+    assert(e55 == 1322271082L && eA == 3486723474L && eB == 135922290L,
+      s"plant energies drifted: e55=$e55 eA=$eA eB=$eB — q246's " +
+      "hamming-1 guarantee (and its oracle comment) must be re-derived")
+    assert(eB < e55 && e55 < eA, "straddle broken — q246 goes vacuous")
+    // end-to-end: two docs that differ ONLY in frame 56 produce hashes
+    // exactly one bit apart (bit 55), and the banded pipeline pairs them
+    val base = "alpha beta gamma delta"
+    def twinText(tok56: String): String =
+      (0 until 228).map { i =>
+        if (i >= 224) tok56
+        else if (i >= 220) "dup180"
+        else base.split(" ")(i % 4)
+      }.mkString(" ")
+    val df = Seq((0L, twinText("dup9")), (2L, twinText("dup193")))
+      .toDF("doc_id", "text")
+    val fp = Multimodal.audioFingerprintFromPayload(
+      Multimodal.withSynthWavPayload(df, "doc_id", "text",
+        nEven = 228, nOdd = 228), "id", "payload")
+      .collect().map(_.getLong(1))
+    assert(fp.length == 2 &&
+      java.lang.Long.bitCount(fp(0) ^ fp(1)) == 1 &&
+      ((fp(0) ^ fp(1)) >>> 55) == 1L,
+      s"twin hashes must differ in bit 55 only: ${fp.mkString(",")}")
+    val pairs = Multimodal.nearDupPairsFromHashes(
+      fp.toSeq.toDF("h")).collect()
+    assert(pairs.length == 1 && pairs.head.getAs[Int]("hamming") == 1)
+  }
+
   test("real AVI decode: MJPEG frame extraction, header frame count, " +
        "scene salts, keyframe selection, guards") {
     import graft.functions.Multimodal
