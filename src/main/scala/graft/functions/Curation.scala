@@ -44,11 +44,17 @@ object Curation {
     * broadcast-eligible when boilerplate is rare, hash-partitioned
     * otherwise; reassembly groups per DOCUMENT (partitions bounded by
     * doc length) via array_sort — no window, deterministic on any
-    * partitioning. Never all-pairs. */
+    * partitioning. Never all-pairs.
+    *
+    * `wideHash` defaults TRUE: a paragraph-hash collision here DELETES
+    * REAL CONTENT (two different paragraphs conflated, the loser erased
+    * corpus-wide — the q203 silent-corruption class), and any real
+    * corpus clears the narrow key's ~2^20-distinct-paragraph budget.
+    * The narrow form stays reachable as the legacy/oracle-mirror. */
   def dropDuplicateParagraphs(docs: DataFrame, idCol: String = "doc_id",
                               textCol: String = "text",
                               sep: String = "\n",
-                              wideHash: Boolean = false): DataFrame = {
+                              wideHash: Boolean = true): DataFrame = {
     val sepLit = java.util.regex.Pattern.quote(sep)
     val paras = docs
       .select(col(idCol).as("__id"),
@@ -108,13 +114,16 @@ object Curation {
     * df ≥ K is TINY (that is what boilerplate means), so the anti-join
     * back broadcasts under AQE; reassembly is the per-document
     * array_sort — no window, deterministic on any partitioning.
-    * `wideHash` = the 60-bit key; a hash collision here deletes real
-    * content corpus-wide, the q203 silent-corruption class. */
+    * `wideHash` defaults TRUE (the 60-bit key): a hash collision here
+    * deletes real content corpus-wide, the q203 silent-corruption
+    * class — the collision-safe key is the only defensible default for
+    * a destructive operator; narrow stays reachable as the legacy
+    * oracle-mirror. */
   def stripBoilerplateParagraphs(docs: DataFrame, idCol: String = "doc_id",
                                  textCol: String = "text",
                                  sep: String = "\n",
                                  minDocFreq: Int = 3,
-                                 wideHash: Boolean = false): DataFrame = {
+                                 wideHash: Boolean = true): DataFrame = {
     require(minDocFreq >= 2,
       s"stripBoilerplateParagraphs: minDocFreq must be ≥ 2, got $minDocFreq")
     val sepLit = java.util.regex.Pattern.quote(sep)

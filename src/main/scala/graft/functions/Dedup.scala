@@ -464,14 +464,23 @@ object Dedup {
     * documented incremental/refresh contract (same as the band-index
     * arrival path q130/q133). Returns (id, family_id) for batch docs;
     * docs sharing no fingerprint run are their own singleton family.
-    * n and w must match the index build AND the refresh propagation. */
+    * n, w AND hash width must match the index build AND the refresh
+    * propagation (a narrow batch against a wide index joins on disjoint
+    * domains and silently adopts nothing).
+    *
+    * `wideHash` defaults TRUE (the [[bandIndex]] rationale): this path
+    * consumes a PERSISTED index, and a stored 40-bit layout entrenches a
+    * ~2^20-doc collision budget — the sf1 sweep measured ONE narrow
+    *  winnow collision bridging two families and pushing propagation
+    * depth 19 → 27. Narrow stays reachable for legacy 40-bit indexes
+    * and the oracle-mirroring gates (q187 pins it explicitly). */
   def winnowFamiliesIncremental(corpusIndex: DataFrame,
                                 corpusFamilies: DataFrame,
                                 batch: DataFrame, idCol: String,
                                 textCol: String, n: Int = 4, w: Int = 8,
                                 maxIters: Int = 8,
                                 assertBucketScan: Boolean = false,
-                                wideHash: Boolean = false): DataFrame = {
+                                wideHash: Boolean = true): DataFrame = {
     // wideHash must match the index build's width (see
     // [[winnowMatchesAgainstIndex]]); wide batch fingerprints are
     // distinct per doc already — the adopt core's distinct dedups either
@@ -900,12 +909,20 @@ object Dedup {
     * winnowing guarantee makes this a RUN-level detector: any shared
     * run of ≥ w+n−1 tokens contributes at least one shared fingerprint,
     * so minShared trades precision against the shortest shared run the
-    * pipeline cares about. n and w must match the index build. */
+    * pipeline cares about. n, w AND hash width must match the index
+    * build (a narrow batch against a wide index joins on disjoint
+    * domains and silently matches nothing — the directed-failure note
+    * below).
+    *
+    * `wideHash` defaults TRUE (the [[bandIndex]] rationale): the
+    * persisted-index consumer should default to the collision-safe
+    * 60-bit key; narrow stays reachable for legacy 40-bit indexes and
+    * the oracle-mirroring gates (q180 pins it explicitly). */
   def winnowMatchesAgainstIndex(corpusIndex: DataFrame, batch: DataFrame,
                                 idCol: String, textCol: String,
                                 n: Int = 4, w: Int = 4,
                                 minShared: Long = 2L,
-                                wideHash: Boolean = false): DataFrame = {
+                                wideHash: Boolean = true): DataFrame = {
     val ci = corpusIndex.withColumnRenamed("id", "corpus_id")
     // wideHash: batch fingerprints at the 60-bit key — n, w AND width
     // must match the index build (a narrow batch against a wide index

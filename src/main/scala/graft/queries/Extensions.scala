@@ -2623,10 +2623,13 @@ object Extensions {
       val threshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
       try {
         s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        // wideHash = false pinned: THIS gate's index is the legacy
+        // 40-bit build (q194 is the wide twin) — width must match the
+        // index or the join silently matches nothing
         val df = Dedup.winnowMatchesAgainstIndex(
           corpusIndex = s.table(table),
           batch = docs.filter(col("doc_id") % 10 === 7),
-          "doc_id", "text", minShared = 2L)
+          "doc_id", "text", minShared = 2L, wideHash = false)
         val plan = df.queryExecution.executedPlan.toString
         val exchanges = "Exchange hashpartitioning\\(h".r
           .findAllMatchIn(plan).size
@@ -2758,10 +2761,14 @@ object Extensions {
         // synthesized sf1 ONE 40-bit winnow-hash collision bridges two
         // replicas and pushes the depth to 27, the measured preview of
         // hash-width-as-correctness-knob at corpus scale)
+        // wideHash = false pinned: this gate's index/families are the
+        // legacy 40-bit build (q196 is the wide twin) — width must
+        // match the index or adoption silently finds no matches
         Dedup.winnowFamiliesIncremental(
           corpusIndex = s.table(table), corpusFamilies = families,
           batch = batch, idCol = "doc_id", textCol = "text",
-          n = 4, w = 8, maxIters = 40, assertBucketScan = true)
+          n = 4, w = 8, maxIters = 40, assertBucketScan = true,
+          wideHash = false)
       } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
     }),
 

@@ -94,11 +94,12 @@ class CurationSpec extends SparkSpec {
     assert(r(3L) == (("prose three", 1L, 1L)))
     assert(r(4L) == (("twice only\nprose four", 2L, 0L)))
     assert(r(5L) == (("twice only\nprose five", 2L, 0L)))
-    // wide ≡ narrow on a collision-free corpus
-    val wide = Curation.stripBoilerplateParagraphs(docs, minDocFreq = 3,
-      wideHash = true).collect().map(_.toSeq).toSet
-    assert(wide == Curation.stripBoilerplateParagraphs(docs, minDocFreq = 3)
-      .collect().map(_.toSeq).toSet)
+    // wide (the default) ≡ narrow (the pinned legacy form) on a
+    // collision-free corpus
+    val wide = Curation.stripBoilerplateParagraphs(docs, minDocFreq = 3)
+      .collect().map(_.toSeq).toSet
+    assert(wide == Curation.stripBoilerplateParagraphs(docs, minDocFreq = 3,
+      wideHash = false).collect().map(_.toSeq).toSet)
   }
 
   test("dropDuplicateParagraphs rejects positions outside the packable domain") {

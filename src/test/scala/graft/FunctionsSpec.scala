@@ -1711,7 +1711,8 @@ class FunctionsSpec extends SparkSpec {
         "brand new trailing content"),
       21L -> "nothing in common with anything stored in the index at all"
     ).toDF("doc_id", "text")
-    val idx = Dedup.winnowIndex(corpus, "doc_id", "text")
+    // wide index + the (wide) default batch path — the shipped pairing
+    val idx = Dedup.winnowIndexWide(corpus, "doc_id", "text")
     val got = Dedup.winnowMatchesAgainstIndex(idx, batch, "doc_id", "text",
         minShared = 1L)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
@@ -1722,6 +1723,14 @@ class FunctionsSpec extends SparkSpec {
         "text", minShared = got((20L, 10L)) + 1)
       .collect()
     assert(strict.isEmpty)
+    // the narrow legacy pairing still works when BOTH sides are narrow…
+    val idxN = Dedup.winnowIndex(corpus, "doc_id", "text")
+    assert(Dedup.winnowMatchesAgainstIndex(idxN, batch, "doc_id", "text",
+      minShared = 1L, wideHash = false).collect().nonEmpty)
+    // …and a width MISMATCH matches nothing (the documented failure
+    // mode the wide default + pinned gates guard against)
+    assert(Dedup.winnowMatchesAgainstIndex(idxN, batch, "doc_id", "text",
+      minShared = 1L).collect().isEmpty)
   }
 
   test("lshLoadProfile totals the exact within-bucket pair work") {
