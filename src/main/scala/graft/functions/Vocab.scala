@@ -276,9 +276,15 @@ object Vocab {
     *
     * Returns one row per document: (doc_id, n_words, n_symbols) — token
     * count before and symbol count after the 256-merge encode; the
-    * compression the phrase vocabulary achieves is n_words/n_symbols. */
+    * compression the phrase vocabulary achieves is n_words/n_symbols.
+    *
+    * `requireFullRounds` fails DIRECTED when a round's pair space can't
+    * sustain `perRound` merges (corpus fused tight / too small) — the
+    * guard that makes a "≥ rounds × perRound merges derived" claim a
+    * gated fact instead of an assumption (q263). */
   def phraseBpe(docs: DataFrame, idCol: String, textCol: String,
-                rounds: Int, perRound: Int): DataFrame = {
+                rounds: Int, perRound: Int,
+                requireFullRounds: Boolean = false): DataFrame = {
     var reprs = docs.select(col(idCol).as("doc_id"),
         size(split(col(textCol), " ")).as("n_words"),
         concat(lit(" "), col(textCol), lit(" ")).as("repr"))
@@ -299,6 +305,10 @@ object Vocab {
         .orderBy(col("pc").desc, col("l"), col("r"))
         .limit(perRound)
         .collect()
+      if (requireFullRounds) require(top.length == perRound,
+        s"phraseBpe: round $round yielded only ${top.length} of $perRound " +
+        "merges — the corpus' pair space is exhausted; lower perRound/" +
+        "rounds or drop requireFullRounds")
       val subs = top.map(r =>
         (s" ${r.getString(0)} ${r.getString(1)} ",
           s" ${r.getString(0)}_${r.getString(1)} ")).toSeq

@@ -2217,6 +2217,37 @@ object Extensions {
         s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
         rounds = 4, perRound = 64)),
 
+    // --- REALISTIC-VOCAB tokenizer: 8 rounds × 512 = 4096 derived
+    // merges (requireFullRounds fails directed if any round's pair
+    // space runs dry — measured 12k+ distinct pairs/round from round 2,
+    // so the full 4096 is a gated fact at every SF), encoded through
+    // the flat-depth BpeEncode node. This is the evidence behind the
+    // q157 "survives a 50k-merge tokenizer" claim: the in-query asserts
+    // pin that the FINAL plan carries exactly ONE bpe_encode node and
+    // a constant tree depth — merge count is data (a reference object
+    // the generated code loops over), never plan shape. FunctionsSpec
+    // pins depth(perRound=2) == depth(perRound=512) on a toy corpus.
+    "q263_phrase_bpe4k" -> ((s, dir) => {
+      val df = graft.functions.Vocab.phraseBpe(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        rounds = 8, perRound = 512, requireFullRounds = true)
+      val plan = df.queryExecution.executedPlan
+      def depth(p: org.apache.spark.sql.execution.SparkPlan): Int =
+        1 + (if (p.children.isEmpty) 0 else p.children.map(depth).max)
+      val d = depth(plan)
+      require(d <= 16, s"q263: executed-plan depth $d after 4096 merges — " +
+        "the flat encoder's depth must be constant in merge count")
+      val ps = plan.toString
+      require("bpe_encode".r.findAllMatchIn(ps).size == 1,
+        "q263: final plan must carry exactly ONE flat BpeEncode node " +
+        "(localCheckpoint truncates prior rounds; merges live in the " +
+        "node's reference table, not the plan)")
+      require(!ps.contains("replace("),
+        "q263: a nested replace chain leaked into the plan — the " +
+        "unanalyzable-at-50k form q157/q263 exist to prevent")
+      df
+    }),
+
     // --- q155's Stupid Backoff scoring against a PERSISTED count table:
     // trainCounts written once through countsTap (bucketed by gram — the
     // key of all five scoring lookups), then the batch scored with ZERO
@@ -7990,6 +8021,12 @@ object Extensions {
     // 4 derivation rounds × 64 word-level merges, applied via one
     // recursion step per rank on the oracle side too
     "q158_phrase_bpe256" -> graft.functions.Vocab.phraseBpeOracleSql(4, 64),
+
+    // q263: the same generator at 8 × 512 — per round, a MATERIALIZED
+    // pair count + ranked merge table and a recursive CTE applying the
+    // round's merges in rank order (one recursion step per rank), so the
+    // oracle replays all 4096 merges without a 4096-deep expression tree
+    "q263_phrase_bpe4k" -> graft.functions.Vocab.phraseBpeOracleSql(8, 512),
 
     // scoring against the persisted count table returns the exact q155
     // values — the index changes the plan, never the numbers

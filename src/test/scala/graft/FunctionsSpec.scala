@@ -483,6 +483,31 @@ class FunctionsSpec extends SparkSpec {
     assert(fp228.getLong(1) == expect)
   }
 
+  test("phraseBpe plan depth is constant in merge count (the q263 " +
+       "50k-merge survivability pin)") {
+    import graft.functions.Vocab
+    val docs = (0L until 40L).map(i =>
+      (i, Seq.tabulate(24)(j => s"w${(i * 7 + j * 3) % 13}").mkString(" ")))
+      .toDF("doc_id", "text")
+    def depth(p: org.apache.spark.sql.execution.SparkPlan): Int =
+      1 + (if (p.children.isEmpty) 0 else p.children.map(depth).max)
+    val small = Vocab.phraseBpe(docs, "doc_id", "text",
+      rounds = 2, perRound = 2)
+    val large = Vocab.phraseBpe(docs, "doc_id", "text",
+      rounds = 2, perRound = 512)
+    val (ds, dl) = (depth(small.queryExecution.executedPlan),
+      depth(large.queryExecution.executedPlan))
+    assert(ds == dl,
+      s"plan depth must not grow with merge count: perRound=2 → $ds, " +
+      s"perRound=512 → $dl")
+    // and the merge table really is data, not plan shape: one
+    // bpe_encode node in both final plans
+    Seq(small, large).foreach { df =>
+      val ps = df.queryExecution.executedPlan.toString
+      assert("bpe_encode".r.findAllMatchIn(ps).size == 1, ps.take(400))
+    }
+  }
+
   test("q246 twin-plant straddle: the fixed frame-56 token energies " +
        "bracket the shared frame-55 energy, so twin fingerprints differ " +
        "in bit 55 exactly (hamming 1 by construction)") {
