@@ -158,4 +158,67 @@ object LanguageModel {
         coalesce(col("n_tri"), lit(0L)).as("n_tri"),
         coalesce(col("sb"), lit(0L)).as("sb_micros"))
   }
+
+  /** Bigram-LM conditional surprisal — the CCNet perplexity-filter
+    * signal in EXACT integer bits (the q115 `bin()` trick lifted from
+    * marginal to conditional probabilities):
+    *
+    *   bits(w_i | w_{i-1}) = ⌊log2 c(w_{i-1}·)⌋ − ⌊log2 c(w_{i-1} w_i)⌋
+    *
+    * where c(prev·) is the CONTEXT count (occurrences of prev as the
+    * left element of a bigram — the denominator under which p(·|prev)
+    * sums to exactly 1; the doc-final occurrences a raw unigram count
+    * would include are not contexts). ⌊log2 x⌋ = length(bin(x)) − 1 on
+    * both engines, so the per-doc sum is exact integer arithmetic —
+    * no libm, no float drift. Lower bits/bigram = more predictable text;
+    * the filter verdict is a downstream threshold on
+    * bigram_bits/n_bi, composed by the caller.
+    *
+    * Returns one row per document: (idCol, n_bi, bigram_bits); docs with
+    * < 2 tokens keep a (0, 0) row — the [[stupidBackoff]] too-short
+    * contract.
+    *
+    * Scale shape: one explode scan emits bigram positions; the context
+    * and bigram count tables aggregate from it with map-side partials
+    * (vocab- and bigram-vocab-sized). Scoring is factored through the
+    * DISTINCT bigram table (the q155 discipline) — the two count joins
+    * key on distinct grams, skew-free; the join BACK to positions keys
+    * on the raw zipfian bigram and is the declared AQE-skew point. At
+    * 100 TB the context table for a top-V vocabulary is O(V) rows —
+    * broadcast it (the scale path: one broadcast + the single bigram
+    * count shuffle); self-scoring here trains and scores in one pass,
+    * and [[trainCounts]]/[[countsTap]] persistence applies unchanged
+    * when scoring daily batches against a fixed reference corpus. */
+  def bigramSurprisal(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    // token array materialized before the slice/zip (the trainCounts
+    // lambda-CSE note); adjacent pairs via slice+zip, linear per row
+    val pos = docs
+      .select(col(idCol), split(col(textCol), " ").as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(col(idCol),
+        slice(col("__t"), lit(1), size(col("__t")) - 1).as("ls"),
+        slice(col("__t"), lit(2), size(col("__t")) - 1).as("rs"))
+      .select(col(idCol), explode(arrays_zip(col("ls"), col("rs"))).as("p"))
+      .select(col(idCol), col("p.ls").as("prev"),
+        concat_ws(" ", col("p.ls"), col("p.rs")).as("bg"))
+    val ctx = pos.groupBy(col("prev")).agg(count(lit(1)).as("c1"))
+    val bic = pos.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    // score once per DISTINCT bigram (both lookups keyed on distinct
+    // grams); every observed bigram has c1 ≥ c2 ≥ 1, so bits ≥ 0
+    val scored = pos.select(col("bg"), col("prev")).distinct()
+      .join(bic, Seq("bg"))
+      .join(ctx, Seq("prev"))
+      .select(col("bg"),
+        ((length(bin(col("c1"))) - 1) - (length(bin(col("c2"))) - 1))
+          .cast("long").as("bits"))
+    val perDoc = pos.join(scored, Seq("bg"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bi"),
+        sum(col("bits")).cast("bigint").as("bigram_bits"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bi"), lit(0L)).as("n_bi"),
+        coalesce(col("bigram_bits"), lit(0L)).as("bigram_bits"))
+  }
 }

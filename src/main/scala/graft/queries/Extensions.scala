@@ -2248,6 +2248,18 @@ object Extensions {
       df
     }),
 
+    // --- bigram-LM conditional surprisal (the CCNet perplexity filter,
+    // exact-bits spelling): per doc, Σ ⌊log2 c(prev·)⌋ − ⌊log2 c(prev
+    // tok)⌋ over bigram positions — q115's bin() trick lifted to
+    // conditionals, context counts as the denominator so p(·|prev) sums
+    // to 1. Count tables aggregate from one explode scan; scoring is
+    // per-DISTINCT-bigram with the join-back as the declared AQE-skew
+    // point; broadcast-top-V context table is the 100 TB path
+    // (LanguageModel.bigramSurprisal scaladoc).
+    "q264_bigram_surprisal" -> ((s, dir) =>
+      graft.functions.LanguageModel.bigramSurprisal(
+        s.read.parquet(s"$dir/documents.parquet"))),
+
     // --- q155's Stupid Backoff scoring against a PERSISTED count table:
     // trainCounts written once through countsTap (bucketed by gram — the
     // key of all five scoring lookups), then the batch scored with ZERO
@@ -8027,6 +8039,29 @@ object Extensions {
     // round's merges in rank order (one recursion step per rank), so the
     // oracle replays all 4096 merges without a 4096-deep expression tree
     "q263_phrase_bpe4k" -> graft.functions.Vocab.phraseBpeOracleSql(8, 512),
+
+    // q264: the conditional-bits arithmetic replayed verbatim — context
+    // counts (prev as LEFT element only), bigram counts, bin()-length
+    // floor-log2 on both, left join back so short docs keep (0, 0)
+    "q264_bigram_surprisal" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |pos AS MATERIALIZED (
+        |  SELECT doc_id, t[i] AS prev, t[i] || ' ' || t[i + 1] AS bg
+        |  FROM t, LATERAL (SELECT unnest(range(1, len(t))) AS i) ii
+        |  WHERE len(t) >= 2),
+        |ctx AS MATERIALIZED (SELECT prev, count(*) AS c1 FROM pos GROUP BY 1),
+        |bic AS MATERIALIZED (SELECT bg, count(*) AS c2 FROM pos GROUP BY 1),
+        |sc AS (
+        |  SELECT p.doc_id,
+        |    (length(bin(c.c1)) - 1) - (length(bin(b.c2)) - 1) AS bits
+        |  FROM pos p JOIN ctx c USING (prev) JOIN bic b USING (bg)),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_bi, sum(bits) AS bb
+        |  FROM sc GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(a.n_bi, 0) AS BIGINT) AS n_bi,
+        |  CAST(coalesce(a.bb, 0) AS BIGINT) AS bigram_bits
+        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
     // scoring against the persisted count table returns the exact q155
     // values — the index changes the plan, never the numbers

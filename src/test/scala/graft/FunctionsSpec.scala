@@ -483,6 +483,25 @@ class FunctionsSpec extends SparkSpec {
     assert(fp228.getLong(1) == expect)
   }
 
+  test("bigramSurprisal: hand-computed conditional bits, context counts " +
+       "as denominator, short docs keep (0,0)") {
+    import graft.functions.LanguageModel
+    // doc 1 "a a a b": contexts c(a·)=3; bigrams c(a a)=2, c(a b)=1
+    //   bits: (a a) → ⌊log2 3⌋−⌊log2 2⌋ = 1−1 = 0 (twice)
+    //         (a b) → 1−0 = 1           → n_bi=3, bits=1
+    // doc 2 "c": too short → (0, 0)
+    // doc 3 "b a": c(b·)=1, c(b a)=1 → 0−0 = 0 → n_bi=1, bits=0
+    //   (and its 'b a' raises c(b·) only — contexts, not raw unigrams:
+    //    doc 1's final 'b' is NOT a context)
+    val docs = Seq((1L, "a a a b"), (2L, "c"), (3L, "b a"))
+      .toDF("doc_id", "text")
+    val got = LanguageModel.bigramSurprisal(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((3L, 1L)), got.toString)
+    assert(got(2L) == ((0L, 0L)), got.toString)
+    assert(got(3L) == ((1L, 0L)), got.toString)
+  }
+
   test("phraseBpe plan depth is constant in merge count (the q263 " +
        "50k-merge survivability pin)") {
     import graft.functions.Vocab
