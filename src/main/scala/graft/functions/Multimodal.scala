@@ -202,12 +202,27 @@ object Multimodal {
     * matched corpus hash). */
   def imageMatchesAgainstIndex(corpusIndex: DataFrame, batch: DataFrame,
                                idCol: String, textCol: String,
-                               maxHamming: Int = 3): DataFrame = {
-    // the batch id rides the band rows (no hash-collapse + join-back:
-    // the batch side is small, and re-joining the hash frame with its
-    // own band-derived candidates would self-join the same plan subtree)
-    val bh = batch.select(col(idCol).as("id"),
-      dHashStub(col(textCol)).as("bh"))
+                               maxHamming: Int = 3): DataFrame =
+    matchesAgainstIndexFromHashes(corpusIndex,
+      batch.select(col(idCol).as("id"), dHashStub(col(textCol)).as("h")),
+      maxHamming)
+
+  /** Batch-vs-index matching over PRECOMPUTED batch hashes (id, h) — the
+    * hash-level core shared by every modality that persists perceptual
+    * hashes through [[dhashIndexTap]] (image dHash q191, video keyframes
+    * q265): batch hashes are collapsed to DISTINCT (id, h) — a carrier
+    * with a repeated hash (e.g. a keyframe recurring inside one video)
+    * contributes ONE band probe — then the band rows join the index on
+    * the bucketed key and candidates verify by exact Hamming. Corpus
+    * side plans with no exchange (the q180 discipline); the batch id
+    * rides the band rows (no hash-collapse + join-back: the batch side
+    * is small, and re-joining the hash frame with its own band-derived
+    * candidates would self-join the same plan subtree). Output one row
+    * per (batch id, matched corpus hash). */
+  def matchesAgainstIndexFromHashes(corpusIndex: DataFrame,
+                                    batchHashes: DataFrame,
+                                    maxHamming: Int = 3): DataFrame = {
+    val bh = batchHashes.select(col("id"), col("h").as("bh")).distinct()
     val bRows = bh.select(col("id"), col("bh"),
         explode(bandKeys(col("bh"))).as("bk"))
       .select(col("id"), col("bh"), col("bk.key").as("key"))
@@ -1752,4 +1767,43 @@ object Multimodal {
       }
     }(enc)
   }
+
+  /** Per-video KEYFRAME hashes: frame 0 plus every frame whose dHash
+    * differs from its predecessor by > `boundaryBits` (q247's scene-
+    * boundary rule) — the set worth indexing: keyframe selection cuts
+    * the indexable hashes by the average scene length BEFORE any join.
+    * An undecodable payload FAILS DIRECTED here (raise_error naming the
+    * carrier) rather than flowing a null hash into the lag, where it
+    * would silently promote its successor to keyframe. The per-video
+    * window is bounded by the frame count — never corpus-sized. */
+  def videoKeyframeHashes(df: DataFrame, idCol: String, payloadCol: String,
+                          boundaryBits: Int = 3): DataFrame = {
+    val fh = videoFrameHashes(df, idCol, payloadCol)
+    val verified = fh.select(col("id"), col("frame_idx"),
+      when(col("h").isNull, raise_error(concat(
+        lit("videoKeyframeHashes: payload for id "), col("id").cast("string"),
+        lit(" failed to decode — container/JPEG regression"))))
+        .otherwise(col("h")).as("h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("frame_idx"))
+    verified
+      .withColumn("prev", lag(col("h"), 1).over(w))
+      .filter(col("prev").isNull ||
+        hamming(col("h"), col("prev")) > boundaryBits)
+      .select(col("id"), col("frame_idx"), col("h"))
+  }
+
+  /** Corpus video-keyframe index rows for [[dhashIndexTap]] persistence
+    * (the q191 layout — (h, band, key), bucketed by key): the corpus is
+    * DECODED ONCE at build time, and every later arrival batch matches
+    * against these rows via [[matchesAgainstIndexFromHashes]] with zero
+    * corpus-side decode or exchange (q265's in-plan asserts). Same
+    * hash-width note as [[dhashIndex]]: the full 56-bit hash persists,
+    * band keys are candidate-generation only. */
+  def videoKeyframeIndex(videos: DataFrame, idCol: String,
+                         payloadCol: String,
+                         boundaryBits: Int = 3): DataFrame =
+    dhashBandRows(
+      videoKeyframeHashes(videos, idCol, payloadCol, boundaryBits)
+        .select(col("h")).distinct(), "h")
 }

@@ -3393,6 +3393,49 @@ object Extensions {
       MM.nearDupPairsFromHashes(kf.select(col("h")))
     }),
 
+    // --- PERSISTED video keyframe index + arrival maintenance (the
+    // q133/q191 loop for video): the corpus's keyframe dHashes persist
+    // ONCE through the key-bucketed band-index tap — the decode cost is
+    // paid at build time — and the arriving batch (doc_id%10==7)
+    // decodes only ITSELF in-flight and band-joins the index. In-plan
+    // asserts pin the economics q248 lacks: exactly 2 MapPartitions
+    // nodes (batch synth + batch frame-hash — the index side must be a
+    // pure bucket scan, never a re-decode), one key-exchange (batch
+    // bands only), bucket-aware corpus scan.
+    "q265_video_keyframe_index" -> ((s, dir) => {
+      val MM = graft.functions.Multimodal
+      val table = stagedTable("graft_q265_vkfidx")
+      graft.queries.Tables.dropStagedTable(s, table)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+      val batch = docs.filter(col("doc_id") % 10 === 7)
+      MM.dhashIndexTap(table, 8).write(
+        MM.videoKeyframeIndex(
+          MM.withSynthAviPayload(corpus, "doc_id", "text"), "id", "payload"),
+        graft.sources.SinkMode.Replace)
+      val threshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val bkf = MM.videoKeyframeHashes(
+          MM.withSynthAviPayload(batch, "doc_id", "text"), "id", "payload")
+        val df = MM.matchesAgainstIndexFromHashes(
+          s.table(table), bkf.select(col("id"), col("h")))
+        val plan = df.queryExecution.executedPlan.toString
+        val exchanges = "Exchange hashpartitioning\\(key".r
+          .findAllMatchIn(plan).size
+        require(exchanges == 1, s"index join must shuffle ONLY the batch " +
+          s"band keys (got $exchanges key-exchanges)")
+        require(plan.contains("SelectedBucketsCount"),
+          "corpus side must be the bucket-aware index scan")
+        val decodes = "\\bMapPartitions\\b".r.findAllMatchIn(plan).size
+        require(decodes == 2, s"decode must run on the BATCH side only " +
+          s"(batch synth + batch frame-hash = 2 MapPartitions nodes; got " +
+          s"$decodes — the index side is a parquet scan, never a re-decode)")
+        df
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    }),
+
     // --- exact-integer PageRank over the co-order supplier graph:
     // suppliers sharing an order are edges (group-key self-join, fan-out
     // bounded by order size), each vertex keeps its 64 strongest
@@ -6400,6 +6443,29 @@ object Extensions {
          |  WHERE bit_count(xor(h1, h2)) <= 3) isel
          |JOIN icnt c1 ON isel.h1 = c1.h
          |JOIN icnt c2 ON isel.h2 = c2.h""".stripMargin,
+      withKeyframeCtes = true),
+
+    // q265: the q191 index-match SQL over keyframe hashes — corpus band
+    // table from DISTINCT corpus keyframe hashes, batch side DISTINCT
+    // (id, h) (a keyframe recurring inside one video probes once),
+    // candidates through shared band keys only. The leading comma
+    // continues videoSceneOracle's keyframe CTE chain.
+    "q265_video_keyframe_index" -> videoSceneOracle(
+      s""",vch AS MATERIALIZED (
+         |  SELECT DISTINCT h FROM kf WHERE doc_id % 10 <> 7),
+         |vcb AS MATERIALIZED (${dhashBandSql("vch")}),
+         |vbh AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id AS id, h AS bh FROM kf
+         |  WHERE doc_id % 10 = 7),
+         |vbdist AS MATERIALIZED (SELECT DISTINCT bh AS h FROM vbh),
+         |vbb AS MATERIALIZED (${dhashBandSql("vbdist")}),
+         |vcand AS MATERIALIZED (
+         |  SELECT DISTINCT b.h AS bh, c.h AS ch
+         |  FROM vbb b JOIN vcb c ON b.key = c.key
+         |  WHERE bit_count(xor(b.h, c.h)) <= 3)
+         |SELECT vbh.id, vcand.ch AS corpus_h,
+         |  CAST(bit_count(xor(vcand.bh, vcand.ch)) AS INTEGER) AS hamming
+         |FROM vbh JOIN vcand ON vbh.bh = vcand.bh""".stripMargin,
       withKeyframeCtes = true),
 
     // q243: the whole feedback loop replayed in SQL — original leg from
