@@ -1,0 +1,310 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structure-aware document extraction — the jusText/trafilatura shape:
+  * parse REAL markup, segment into top-level blocks, score each block by
+  * link density, and keep low-link-density prose. This is the markup-
+  * aware replacement for frequency-only boilerplate stripping
+  * ([[Curation.stripBoilerplateParagraphs]]): a nav menu is boilerplate
+  * because of its STRUCTURE (every token inside an anchor), not because
+  * it repeats.
+  *
+  * Built with the codec-wave discipline (the q217/q240/q245 recipe):
+  * deterministic synth bytes → a REAL parser → an arithmetic oracle.
+  * [[synthHtml]] renders a document's tokens into real HTML — prose
+  * paragraphs, link-dense divs, all-anchor nav lists, plus the traps a
+  * real walker must survive (a script element whose body contains fake
+  * tags, a comment containing fake tags, attribute values containing
+  * '>', self-closing void elements) — and [[walkHtmlBlocks]] parses the
+  * BYTES back with a character-level tag walker. The oracle recomputes
+  * every block's token counts arithmetically from the same token
+  * stream, so any walker bug (attribute '>' handling, script skipping,
+  * comment skipping, inline-anchor attribution) diverges immediately.
+  *
+  * Scale: the walk is mapPartitions over payload strings — per-row CPU,
+  * scan-shaped, zero exchange growth (the q247 class); extraction adds
+  * one per-document aggregation on uniform doc ids. Never corpus-keyed.
+  *
+  * Malformed markup FAILS SOFT (None → one null row), and the gates
+  * fail directed on it — the q245 decoder contract: an unterminated
+  * comment/tag/script, a mismatched or stray close tag, or trailing
+  * open elements at EOF all refuse rather than guess. (Real-web
+  * tolerance would be a recovery MODE, not silent acceptance.)
+  */
+object Html {
+
+  /** Void elements that never take a close tag (HTML5 spec list, the
+    * subset a tag walker must know to keep the open-element stack
+    * honest). */
+  private val VoidTags = Set("area", "base", "br", "col", "embed", "hr",
+    "img", "input", "link", "meta", "source", "track", "wbr")
+
+  /** Tags whose raw text content is NOT document text. */
+  private val RawSkipTags = Set("script", "style")
+
+  /** One parsed block: a direct child element of <body>, its extracted
+    * whitespace-normalized text, and how many of its tokens sit inside
+    * anchors. */
+  final case class HtmlBlock(tag: String, text: String,
+                             nTokens: Int, nLinkTokens: Int)
+
+  /** Deterministic synth HTML for gates/oracles: the document's tokens
+    * in ceil(n/8) blocks of 8 — block b holds tokens 8b..8b+7 and cycles
+    * through three shapes:
+    *   b % 3 == 0 → `<p>` prose (no links),
+    *   b % 3 == 1 → `<div>` with every 2nd token (odd local index)
+    *                wrapped in an anchor, a quoted attribute containing
+    *                '>' and a trailing `<br/>`,
+    *   b % 3 == 2 → `<nav><ul>` with EVERY token an anchored `<li>`
+    *                (link density exactly 1).
+    * The head carries a script whose body contains fake tags, and the
+    * body opens with a comment containing fake tags — the walker must
+    * skip both byte-exactly. Tokens are whitespace words (no markup
+    * characters), so no entity escaping is needed and the oracle's
+    * token arithmetic is exact. */
+  def synthHtml(text: String): String = {
+    val t = text.split(" ").filter(_.nonEmpty)
+    val sb = new StringBuilder
+    sb ++= "<!DOCTYPE html><html><head><title>doc</title>"
+    sb ++= "<script type=\"text/javascript\">var x = \"<p>not a block</p>\"; if (1 > 0) f();</script>"
+    sb ++= "</head><body>"
+    sb ++= "<!-- synth document; comment holds <p>fake tags</p> -->"
+    val nb = (t.length + 7) / 8
+    var b = 0
+    while (b < nb) {
+      val toks = t.slice(8 * b, 8 * b + 8)
+      b % 3 match {
+        case 0 =>
+          sb ++= "<p class=\"prose\">"
+          sb ++= toks.mkString(" ")
+          sb ++= "</p>"
+        case 1 =>
+          sb ++= "<div data-note=\"density > 0\">"
+          toks.zipWithIndex.foreach { case (w, j) =>
+            if (j > 0) sb += ' '
+            if (j % 2 == 1) { sb ++= "<a href=\"/w/"; sb ++= w; sb ++= "\">"; sb ++= w; sb ++= "</a>" }
+            else sb ++= w
+          }
+          sb ++= "<br/></div>"
+        case 2 =>
+          sb ++= "<nav><ul>"
+          toks.foreach { w =>
+            sb ++= "<li><a href=\"/nav/"; sb ++= w; sb ++= "\">"; sb ++= w; sb ++= "</a></li>"
+          }
+          sb ++= "</ul></nav>"
+      }
+      b += 1
+    }
+    sb ++= "</body></html>"
+    sb.toString
+  }
+
+  /** The REAL tag walker: segment an HTML string into the direct child
+    * blocks of <body>, extracting whitespace-normalized text and
+    * anchor-token counts per block. Every tag boundary is a token
+    * separator (tokens never span tags; anchors are inline, so their
+    * tokens still count into the enclosing block). Returns None on
+    * malformed markup — see the object scaladoc for what counts. */
+  def walkHtmlBlocks(html: String): Option[Seq[HtmlBlock]] = {
+    if (html == null) return None
+    val n = html.length
+    var i = 0
+    // open non-void elements, in order (body itself is tracked separately)
+    val stack = scala.collection.mutable.ArrayBuffer.empty[String]
+    var inBody = false
+    var bodySeen = false
+    var bodyBaseDepth = -1 // stack size when <body> opened
+    var blockTag: String = null
+    var blockDepth = -1 // stack size just BEFORE the block element opened
+    var textBuf: StringBuilder = null
+    var linkBuf: StringBuilder = null
+    var aDepth = 0
+    val blocks = Seq.newBuilder[HtmlBlock]
+    def lower(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c != '<') {
+        if (inBody && blockTag != null) {
+          textBuf += c
+          if (aDepth > 0) linkBuf += c else if (c.isWhitespace) linkBuf += ' '
+        } else if (inBody && !c.isWhitespace) {
+          return None // bare text directly under body — refuse, not guess
+        }
+        i += 1
+      } else if (html.startsWith("<!--", i)) {
+        val e = html.indexOf("-->", i + 4)
+        if (e < 0) return None // unterminated comment
+        i = e + 3
+      } else if (html.startsWith("<!", i) || html.startsWith("<?", i)) {
+        val e = html.indexOf('>', i + 2) // doctype / PI: no quoted '>'s
+        if (e < 0) return None
+        i = e + 1
+      } else if (i + 1 < n &&
+          (html.charAt(i + 1).isLetter || html.charAt(i + 1) == '/')) {
+        val closing = html.charAt(i + 1) == '/'
+        var j = i + (if (closing) 2 else 1)
+        val nameStart = j
+        while (j < n && html.charAt(j).isLetterOrDigit) j += 1
+        if (j == nameStart) return None // "</>" or "<1..."
+        val name = lower(html.substring(nameStart, j))
+        // attribute scan: quoted values may contain '>'
+        var selfClose = false
+        var done = false
+        while (!done) {
+          if (j >= n) return None // unterminated tag
+          html.charAt(j) match {
+            case '"' | '\'' =>
+              val q = html.charAt(j)
+              val e = html.indexOf(q, j + 1)
+              if (e < 0) return None // unterminated attribute value
+              j = e + 1
+            case '>' => done = true; j += 1
+            case '/' if j + 1 < n && html.charAt(j + 1) == '>' =>
+              selfClose = true; done = true; j += 2
+            case _ => j += 1
+          }
+        }
+        i = j // the tag's bytes are consumed; branches below adjust only state
+        if (closing) {
+          if (name == "body") {
+            if (!inBody || blockTag != null ||
+                stack.length != bodyBaseDepth) return None
+            inBody = false
+          } else {
+            if (stack.isEmpty || stack.last != name)
+              return None // mismatched or stray close tag
+            stack.remove(stack.length - 1)
+            if (name == "a" && aDepth > 0) aDepth -= 1
+            if (inBody && blockTag != null) {
+              if (stack.length == blockDepth) {
+                // the block element itself closed: emit
+                val toks = textBuf.toString.split("\\s+").filter(_.nonEmpty)
+                val ltoks = linkBuf.toString.split("\\s+").filter(_.nonEmpty)
+                blocks += HtmlBlock(blockTag, toks.mkString(" "),
+                  toks.length, ltoks.length)
+                blockTag = null; blockDepth = -1
+                textBuf = null; linkBuf = null
+              } else { textBuf += ' '; linkBuf += ' ' }
+            }
+          }
+        } else if (name == "body") {
+          if (inBody || bodySeen) return None
+          inBody = true; bodySeen = true; bodyBaseDepth = stack.length
+        } else if (RawSkipTags.contains(name)) {
+          // raw content (script/style) is skipped byte-exactly to its
+          // close tag; it contributes neither text nor structure, but is
+          // still a token separator inside a block
+          if (!selfClose) {
+            val e = lower(html).indexOf(s"</$name", j)
+            if (e < 0) return None // unterminated raw element
+            val gt = html.indexOf('>', e)
+            if (gt < 0) return None
+            i = gt + 1
+          }
+          if (inBody && blockTag != null) { textBuf += ' '; linkBuf += ' ' }
+        } else {
+          val isVoid = VoidTags.contains(name) || selfClose
+          if (inBody && blockTag == null) {
+            // a new top-level block opens; void elements directly under
+            // body (a stray <hr>) are structure-only, not blocks
+            if (!isVoid) {
+              blockTag = name
+              blockDepth = stack.length
+              textBuf = new StringBuilder
+              linkBuf = new StringBuilder
+              stack += name
+            }
+          } else {
+            if (inBody) { textBuf += ' '; linkBuf += ' ' }
+            if (!isVoid) {
+              stack += name
+              if (inBody && name == "a") aDepth += 1
+            }
+          }
+        }
+      } else {
+        return None // bare '<' not opening a tag/comment/doctype
+      }
+    }
+    if (inBody || stack.nonEmpty || blockTag != null)
+      return None // EOF inside body / open elements
+    Some(blocks.result())
+  }
+
+  /** Attach deterministic synth HTML built from a text column:
+    * (id, html) — the q245 `withSynthWavPayload` pattern for markup. */
+  def withSynthHtml(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("html", StringType)))
+    val enc = Encoders.row(schema)
+    val idIdx = df.columns.indexOf(idCol)
+    val tIdx = df.columns.indexOf(textCol)
+    df.mapPartitions { it =>
+      it.map(row => Row(row.getLong(idIdx), synthHtml(row.getString(tIdx))))
+    }(enc)
+  }
+
+  /** Per-block records over REAL HTML: one row per top-level block —
+    * (id, block_idx, tag, n_tokens, n_link_tokens, link_density_micros,
+    * text). Malformed markup yields ONE null row per carrier (fail
+    * soft), which gates fail directed on (the q245 contract).
+    * link_density_micros = ⌊1e6 · n_link/n⌋ (0 for an empty block). */
+  def htmlBlocks(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", df.schema(idCol).dataType),
+      StructField("block_idx", IntegerType),
+      StructField("tag", StringType),
+      StructField("n_tokens", IntegerType),
+      StructField("n_link_tokens", IntegerType),
+      StructField("link_density_micros", LongType),
+      StructField("text", StringType)))
+    val enc = Encoders.row(schema)
+    val idIdx = df.columns.indexOf(idCol)
+    val hIdx = df.columns.indexOf(htmlCol)
+    df.mapPartitions { it =>
+      it.flatMap { row =>
+        walkHtmlBlocks(row.getString(hIdx)) match {
+          case Some(bs) => bs.zipWithIndex.map { case (b, k) =>
+            val dens = if (b.nTokens == 0) 0L
+              else b.nLinkTokens.toLong * 1000000L / b.nTokens
+            Row(row.get(idIdx), k, b.tag, b.nTokens, b.nLinkTokens,
+              dens, b.text)
+          }
+          case None =>
+            Seq(Row(row.get(idIdx), null, null, null, null, null, null))
+        }
+      }
+    }(enc)
+  }
+
+  /** Block-level content extraction: keep blocks whose tag is not in
+    * `dropTags` AND whose link density is under the threshold; return
+    * one row per document — (id, n_blocks, n_kept, clean_text), kept
+    * blocks joined by '\n' in block order (array_sort reassembly — no
+    * window, deterministic on any partitioning). Documents whose markup
+    * yields zero blocks keep a (0, 0, "") row. */
+  def extractContent(blocks: DataFrame,
+                     maxLinkDensityMicros: Long = 500000L,
+                     dropTags: Seq[String] = Seq("nav", "footer", "aside"))
+      : DataFrame = {
+    val kept = blocks
+      .filter(!col("tag").isin(dropTags.map(x => x: Any): _*) &&
+        col("link_density_micros") < maxLinkDensityMicros)
+      .groupBy(col("id"))
+      .agg(concat_ws("\n", transform(
+          array_sort(collect_list(struct(col("block_idx"), col("text")))),
+          x => x.getField("text"))).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    val tot = blocks.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_blocks"))
+    tot.join(kept, Seq("id"), "left")
+      .select(col("id"), col("n_blocks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+}

@@ -3436,6 +3436,54 @@ object Extensions {
       } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
     }),
 
+    // --- structure-aware extraction, part 1 — the BLOCK table: texts
+    // synthesize REAL HTML (prose <p>, link-dense <div> with a quoted
+    // '>' attribute and a <br/>, all-anchor <nav>, a script with fake
+    // tags, a comment with fake tags), the real tag walker parses the
+    // bytes back into top-level blocks with link-density scores, and the
+    // oracle recomputes every count from the same token arithmetic —
+    // any walker bug (attr '>' handling, script/comment skipping,
+    // inline-anchor attribution, tag-boundary tokenization) diverges.
+    // Malformed markup fails directed (the q245 decoder contract).
+    "q266_html_blocks" -> ((s, dir) => {
+      val H = graft.functions.Html
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      H.htmlBlocks(H.withSynthHtml(docs, "doc_id", "text"), "id", "html")
+        .select(
+          when(col("block_idx").isNull, raise_error(concat(
+            lit("q266: HTML for id "), col("id").cast("string"),
+            lit(" failed to parse — tag-walker regression"))))
+            .otherwise(col("id")).as("doc_id"),
+          col("block_idx"), col("tag"), col("n_tokens"),
+          col("n_link_tokens"), col("link_density_micros"),
+          md5(col("text")).as("text_md5"))
+    }),
+
+    // --- structure-aware extraction, part 2 — the jusText verdict:
+    // keep blocks that are neither chrome by TAG (nav/footer/aside) nor
+    // chrome by STRUCTURE (link density ≥ 0.5), reassemble per document
+    // in block order (array_sort, no window). The even 8-token divs sit
+    // EXACTLY at the 500000 threshold and drop; a ragged odd-length div
+    // tail (3/7 = 428571) survives — the boundary the oracle pins.
+    "q267_html_extract" -> ((s, dir) => {
+      val H = graft.functions.Html
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val blocks = H.htmlBlocks(
+        H.withSynthHtml(docs, "doc_id", "text"), "id", "html")
+      val verified = blocks.select(
+        when(col("block_idx").isNull, raise_error(concat(
+          lit("q267: HTML for id "), col("id").cast("string"),
+          lit(" failed to parse — tag-walker regression"))))
+          .otherwise(col("id")).as("id"),
+        col("block_idx"), col("tag"), col("link_density_micros"),
+        col("text"))
+      H.extractContent(verified)
+        .select(col("id").as("doc_id"), col("n_blocks"), col("n_kept"),
+          md5(col("clean_text")).as("clean_md5"))
+    }),
+
     // --- exact-integer PageRank over the co-order supplier graph:
     // suppliers sharing an order are edges (group-key self-join, fan-out
     // bounded by order size), each vertex keeps its 64 strongest
@@ -6450,6 +6498,68 @@ object Extensions {
     // (id, h) (a keyframe recurring inside one video probes once),
     // candidates through shared band keys only. The leading comma
     // continues videoSceneOracle's keyframe CTE chain.
+    // q266/q267: the synth block structure replayed arithmetically —
+    // block b of a doc's non-empty tokens t covers t[8b..8b+7] (ragged
+    // tail), tag cycles p/div/nav, link counts 0 / ⌊n/2⌋ (odd local
+    // indices) / n, text = the slice joined by ' '. The Spark side
+    // round-trips these numbers through real HTML bytes + the real
+    // walker; the oracle never parses.
+    "q266_html_blocks" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, t, unnest(range(0, (len(t) + 7) // 8)) AS b FROM t),
+        |blk AS (
+        |  SELECT doc_id, b,
+        |    CASE CAST(b % 3 AS INTEGER) WHEN 0 THEN 'p' WHEN 1 THEN 'div'
+        |         ELSE 'nav' END AS tag,
+        |    least(8, len(t) - 8 * b) AS nt,
+        |    CASE CAST(b % 3 AS INTEGER) WHEN 0 THEN 0
+        |         WHEN 1 THEN least(8, len(t) - 8 * b) // 2
+        |         ELSE least(8, len(t) - 8 * b) END AS nl,
+        |    array_to_string(
+        |      list_slice(t, 8 * b + 1, 8 * b + least(8, len(t) - 8 * b)),
+        |      ' ') AS txt
+        |  FROM b)
+        |SELECT doc_id, CAST(b AS INTEGER) AS block_idx, tag,
+        |  CAST(nt AS INTEGER) AS n_tokens, CAST(nl AS INTEGER) AS n_link_tokens,
+        |  CAST(nl * 1000000 // nt AS BIGINT) AS link_density_micros,
+        |  md5(txt) AS text_md5
+        |FROM blk""".stripMargin,
+
+    "q267_html_extract" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, t, unnest(range(0, (len(t) + 7) // 8)) AS b FROM t),
+        |blk AS (
+        |  SELECT doc_id, b,
+        |    CASE CAST(b % 3 AS INTEGER) WHEN 0 THEN 'p' WHEN 1 THEN 'div'
+        |         ELSE 'nav' END AS tag,
+        |    least(8, len(t) - 8 * b) AS nt,
+        |    CASE CAST(b % 3 AS INTEGER) WHEN 0 THEN 0
+        |         WHEN 1 THEN least(8, len(t) - 8 * b) // 2
+        |         ELSE least(8, len(t) - 8 * b) END AS nl,
+        |    array_to_string(
+        |      list_slice(t, 8 * b + 1, 8 * b + least(8, len(t) - 8 * b)),
+        |      ' ') AS txt
+        |  FROM b),
+        |k AS (
+        |  SELECT doc_id, b, txt FROM blk
+        |  WHERE tag NOT IN ('nav', 'footer', 'aside')
+        |    AND nl * 1000000 // nt < 500000),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(txt, chr(10) ORDER BY b) AS ct
+        |  FROM k GROUP BY 1),
+        |tot AS (SELECT doc_id, count(*) AS n_blocks FROM blk GROUP BY 1)
+        |SELECT tot.doc_id, CAST(tot.n_blocks AS BIGINT) AS n_blocks,
+        |  CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
+        |  md5(coalesce(agg.ct, '')) AS clean_md5
+        |FROM tot LEFT JOIN agg USING (doc_id)""".stripMargin,
+
     "q265_video_keyframe_index" -> videoSceneOracle(
       s""",vch AS MATERIALIZED (
          |  SELECT DISTINCT h FROM kf WHERE doc_id % 10 <> 7),
