@@ -47,7 +47,11 @@ object ExactMoments {
     * floors — identical on non-negative operands). `xCol`/`yCol` must
     * already be integer-valued columns; groups with constant x (den = 0)
     * are excluded — the coefficient is undefined there. One partial-agg
-    * pass; decimal(38,0) holds every product while n·Σ|x·y|·10⁶ < 10³⁸. */
+    * pass; decimal(38,0) holds every product while
+    * max(n·Σ|x·y|, |Σy|·Σx²)·10⁶ < 10³⁸ — the second term is the
+    * INTERCEPT numerator, which can overflow somewhat before the slope's
+    * (round-11 advice); under ANSI an overflow fails loudly (a directed
+    * decimal error), never silently wrong data. */
   def olsByGroup(df: org.apache.spark.sql.DataFrame,
                  groupCols: Seq[String], xCol: String,
                  yCol: String): org.apache.spark.sql.DataFrame = {

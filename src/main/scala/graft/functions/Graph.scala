@@ -72,7 +72,13 @@ object Graph {
     val e = edges.join(out, Seq("src"))
       .select(col("src"), col("dst"), col("outdeg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val verts = e.select(col("src").as("v")).distinct()
+    // vertex set = src ∪ dst: on an asymmetric edge input a dst-only
+    // (dangling) vertex still ranks — it accumulates mass and passes
+    // none on, the standard sink semantics. (The symmetric co-occurrence
+    // callers see the identical set either way, which is why their
+    // oracles can derive it from DISTINCT src.)
+    val verts = e.select(col("src").as("v"))
+      .union(e.select(col("dst").as("v"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     var rank = verts.select(col("v"), lit(1000000000L).as("r"))
     var prev: DataFrame = null
@@ -114,7 +120,9 @@ object Graph {
     val e = edges.join(sw, Seq("src"))
       .select(col("src"), col("dst"), col("w"), col("sw"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val verts = e.select(col("src").as("v")).distinct()
+    // src ∪ dst — the pageRankTopK dangling-vertex note applies
+    val verts = e.select(col("src").as("v"))
+      .union(e.select(col("dst").as("v"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     var rank = verts.select(col("v"), lit(1000000000L).as("r"))
     var prev: DataFrame = null

@@ -1469,12 +1469,17 @@ object Multimodal {
       val size = le32(i + 4)
       if (size < 0 || i + 8 + size > p.length) return None
       if (tagAt(i, "fmt ")) {
+        if (ok) return None // duplicate fmt chunk — refuse, not last-wins
         if (size < 16) return None
         val fmt = le16(i + 8); val ch = le16(i + 10)
         rate = le32(i + 12)
         val bits = le16(i + 22)
         ok = fmt == 1 && ch == 1 && bits == 16
       } else if (tagAt(i, "data")) {
+        // RIFF/WAVE ordering: data must FOLLOW a valid fmt chunk (a
+        // decoder that accepts fmt-after-data or keeps the last of two
+        // data chunks silently reinterprets bytes — round-11 advice)
+        if (!ok || data != null) return None
         if (size % 2 != 0) return None
         data = Array.tabulate(size / 2) { j =>
           val v = le16(i + 8 + 2 * j)

@@ -3677,13 +3677,22 @@ object Extensions {
 
     // --- cohort retention: users bucketed by FIRST-SEEN week (pure
     // integer week index: floorDiv(epoch-day, 7) — no calendar functions,
-    // so both engines agree by construction), activity counted as
+    // so both engines agree by construction FOR ts ≥ epoch: Spark `div`
+    // truncates toward zero while DuckDB `//` floors, identical only on
+    // non-negatives, so a pre-epoch timestamp fails DIRECTED below
+    // rather than silently mis-bucketing (round-11 advice). Activity is
     // distinct users per (cohort_week, week_offset) — the standard
     // product-analytics retention matrix. Two aggregates + one broadcast
     // join back on user.
     "q261_cohort_retention" -> ((s, dir) => {
       val ev = Tables.events(s, dir).select(col("user_id"),
-        expr("unix_micros(ts) div 86400000000 div 7").as("wk"))
+        when(unix_micros(col("ts")) < 0, raise_error(concat(
+          lit("q261: pre-epoch event ts for user "),
+          col("user_id").cast("string"),
+          lit(" — the div/floor week-index identity needs ts >= epoch")))
+          .cast("long"))
+          .otherwise(expr("unix_micros(ts) div 86400000000 div 7"))
+          .as("wk"))
       val first = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cw"))
       ev.join(first, Seq("user_id"))
         .select(col("user_id"), col("cw"),
@@ -3789,6 +3798,13 @@ object Extensions {
         .agg(count(lit(1)).as("size"))
         .localCheckpoint(true)
       edges.unpersist()
+      // the eager localCheckpoint above fully materialized `out`, so the
+      // staged label parquet is dead — delete it here instead of leaking
+      // one temp directory per gate/bench run (round-11 advice)
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete()
+      }
+      rm(new java.io.File(tmp))
       out
     }),
 

@@ -789,6 +789,25 @@ class FunctionsSpec extends SparkSpec {
     assert(meta == Map(1L -> Some("png"), 2L -> None))
   }
 
+  test("decodeWavPcm16 chunk-order guards: data-before-fmt and duplicate " +
+       "fmt/data chunks refuse (RIFF/WAVE spec, round-11 advice)") {
+    import graft.functions.Multimodal
+    val good = Multimodal.encodeWavPcm16(Array(1, -2, 3, -4), rate = 8000)
+    assert(Multimodal.decodeWavPcm16(good).exists(_._2.toSeq ==
+      Seq(1, -2, 3, -4)))
+    // layout: RIFF header 12 + fmt chunk (8+16) + data chunk (8 + 2n)
+    val fmtChunk = good.slice(12, 36)
+    val dataChunk = good.slice(36, good.length)
+    assert(Multimodal.decodeWavPcm16(
+      good.take(12) ++ dataChunk ++ fmtChunk).isEmpty,
+      "data before fmt must refuse, not last-wins")
+    assert(Multimodal.decodeWavPcm16(
+      good.take(12) ++ fmtChunk ++ fmtChunk ++ dataChunk).isEmpty,
+      "duplicate fmt must refuse")
+    assert(Multimodal.decodeWavPcm16(good ++ dataChunk).isEmpty,
+      "duplicate data must refuse")
+  }
+
   test("audioMeta parses the RIFF fmt chunk little-endian; rejects non-RIFF") {
     import graft.functions.Multimodal.audioMeta
     // canonical 36-byte header: stereo, 44100 Hz, 16-bit

@@ -48,6 +48,13 @@ class GraphSpec extends SparkSpec {
     val top = Graph.pageRankTopK(path, iters = 2, k = 2).collect()
       .map(_.getLong(0)).toSeq
     assert(top == Seq(2L, 1L))
+    // asymmetric edges: a dst-only (dangling) vertex ranks as a sink —
+    // it accumulates mass and passes none on (the round-11 advice fix:
+    // src-only vertex derivation silently dropped it)
+    val dangle = Seq((1L, 2L)).toDF("src", "dst")
+    val rd = Graph.pageRankTopK(dangle, iters = 1, k = 2).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(rd == Map(1L -> 150000000L, 2L -> 1000000000L), rd.toString)
   }
 
   test("pageRankWeightedTopK: mass splits by edge weight (hand-computed)") {
