@@ -2389,4 +2389,202 @@ class ConformanceSpec extends SparkSpec {
       Seq(2, "L2", 2, "d2", null, null, null, null),
       Seq(null, null, null, null, 3, 300, 3, "d3")))
   }
+
+  // ---- round-12 mining wave: BasicPipes / AssemblyHelpers / Assertions /
+  // JoinFieldedPipes remainder ------------------------------------------
+
+  // BasicPipesPlatformTest.testSimpleGroup: the canonical word count —
+  // group on a data column, count per key, result carries (key, count).
+  test("simple group: word count per key (the canonical shape)") {
+    val df = Seq("apple", "banana", "apple", "cherry", "apple", "banana")
+      .toDF("w")
+    val p = pipe(df).groupBy("w").every(Aggs.count("n"))
+    assert(rows(p) == Set(Seq("apple", 3L), Seq("banana", 2L),
+      Seq("cherry", 1L)))
+  }
+
+  // BasicPipesPlatformTest.testFilter: Cascading Filter semantics REMOVE
+  // on match (isRemove = true) — ExpressionFilter drops rows where the
+  // predicate is TRUE, the opposite polarity of SQL WHERE. Both the
+  // removal direction and the keep-matches escape hatch are contract.
+  test("filter polarity: ExpressionFilter REMOVES on match") {
+    val p = pipe(lower).filterBy(ExpressionFilter("num > 3"))
+    assert(rows(p).map(_.head) == Set(1, 2, 3))
+    val keep = pipe(lower)
+      .filterBy(ExpressionFilter("num > 3", removeMatch = false))
+    assert(rows(keep).map(_.head) == Set(4, 5))
+  }
+
+  // BasicPipesPlatformTest.testCoGroup: the basic inner cogroup layout —
+  // BOTH key columns survive side by side (Cascading declares
+  // lhs-fields ++ rhs-fields; nothing merges), left fields first.
+  test("basic coGroup keeps both key columns, left fields first") {
+    val r = pipe(lower).coGroup(Seq("num"),
+      pipe(upper).rename("num" -> "num2", "ch" -> "ch2"), Seq("num2"),
+      Joiner.Inner)
+    val df = Flow.toDF(r)
+    assert(df.columns.toSeq == Seq("num", "ch", "num2", "ch2"))
+    assert(rows(r) == Set(Seq(1, "a", 1, "A"), Seq(2, "b", 2, "B"),
+      Seq(3, "c", 3, "C"), Seq(4, "d", 4, "D"), Seq(5, "e", 5, "E")))
+  }
+
+  // AssemblyHelpersPlatformTest.testCountBy: the CountBy assembly —
+  // grouped count with a declared result name, long-typed.
+  test("CountBy assembly: named long count per key") {
+    val df = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("k", "v")
+    val out = Flow.toDF(pipe(df).countBy(Seq("k"), "ct"))
+    assert(out.columns.toSeq == Seq("k", "ct"))
+    assert(out.schema("ct").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(rows(pipe(df).countBy(Seq("k"), "ct"))
+      == Set(Seq("a", 2L), Seq("b", 1L)))
+  }
+
+  // AssemblyHelpersPlatformTest.testCountAll: key-less CountBy — the
+  // global count as a 1-row flow (groupAll, no grouping column in the
+  // output).
+  test("CountAll: key-less count yields exactly one row") {
+    val df = Seq(1, 2, 3, 4).toDF("v")
+    val out = Flow.toDF(pipe(df).countBy(Seq.empty, "ct"))
+    assert(out.columns.toSeq == Seq("ct"))
+    assert(rows(pipe(df).countBy(Seq.empty, "ct")) == Set(Seq(4L)))
+  }
+
+  // AssemblyHelpersPlatformTest.testMaxBy/testMinBy: the Max/Min
+  // assemblies are TYPE-AWARE (numeric comparison on numbers, lexical on
+  // strings) — "10" < "9" lexically but 10 > 9 numerically.
+  test("MaxBy/MinBy compare by column type, not string form") {
+    val nums = Seq(("g", 10), ("g", 9), ("g", 2)).toDF("k", "v")
+    assert(rows(pipe(nums).maxBy(Seq("k"), "v", "mx"))
+      == Set(Seq("g", 10)))
+    assert(rows(pipe(nums).minBy(Seq("k"), "v", "mn"))
+      == Set(Seq("g", 2)))
+    val strs = Seq(("g", "10"), ("g", "9"), ("g", "2")).toDF("k", "v")
+    assert(rows(pipe(strs).maxBy(Seq("k"), "v", "mx"))
+      == Set(Seq("g", "9"))) // lexical max
+    assert(rows(pipe(strs).minBy(Seq("k"), "v", "mn"))
+      == Set(Seq("g", "10"))) // lexical min
+  }
+
+  // AssemblyHelpersPlatformTest.testCoerce: the Coerce assembly —
+  // string→int parses, int→string formats, null passes through in both
+  // directions (Tuples.coerce(null) == null).
+  test("Coerce assembly: cross-type with null passthrough") {
+    val df = Seq((Some("42"), Some(7)), (None, None))
+      .toDF("s", "i")
+    val p = pipe(df).coerce(
+      "s" -> org.apache.spark.sql.types.IntegerType,
+      "i" -> org.apache.spark.sql.types.StringType)
+    val out = Flow.toDF(p)
+    assert(out.schema("s").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    assert(out.schema("i").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(rows(p) == Set(Seq(42, "7"), Seq(null, null)))
+  }
+
+  // AssemblyHelpersPlatformTest.testUnique: the Unique assembly keeps ONE
+  // copy per key INCLUDING one row for the null key (null is a value to
+  // Unique) — the NO_NULLS include mode is the one that discards.
+  test("Unique assembly: one copy per key, null key kept once") {
+    val df = Seq(Some("a"), None, Some("a"), None, Some("b"))
+      .toDF("k")
+    assert(rows(pipe(df).unique("k"))
+      == Set(Seq("a"), Seq("b"), Seq(null)))
+    assert(rows(pipe(df).uniqueNoNulls("k"))
+      == Set(Seq("a"), Seq("b")))
+  }
+
+  // AssertionsPlatformTest (value assertions): a passing AssertExpression
+  // is invisible to the flow; a failing one raises a DIRECTED error
+  // carrying the declared message — never a partial result.
+  test("value assertions: pass is invisible, fail is directed") {
+    val ok = pipe(lower).assertRows("num >= 1", "positive ids")
+    assert(rows(ok).size == 5)
+    val bad = pipe(lower).assertRows("num <= 3", "id cap exceeded")
+    val e = intercept[Exception] { Flow.toDF(bad).collect() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("id cap exceeded")))
+  }
+
+  // AssertionsPlatformTest (assertion strip, both LEVELS): the planner
+  // strips row AND group assertions when the flow runs with assertions
+  // disabled (ApplyAssertionLevelTransformer, FlinkConnector.java:126-127)
+  // — a failing assertion of EITHER kind must vanish, not fire.
+  test("assertion strip removes failing row AND group assertions") {
+    val p = pipe(lower).assertRows("num <= 3", "boom")
+      .groupBy("ch").every(Aggs.count("n"))
+    val g = pipe(lower).groupBy("ch").every(Aggs.count("n"))
+      .asInstanceOf[AggregatePipe]
+      .assertGroup("__group_size >= 2", "groups too small")
+    intercept[Exception] { Flow.toDF(p).collect() }
+    intercept[Exception] { Flow.toDF(g).collect() }
+    val low = new graft.exec.Lowering(spark, keepAssertions = false)
+    assert(low.lower(p).count() == 5)
+    assert(low.lower(g).count() == 5)
+  }
+
+  // JoinFieldedPipesPlatformTest.testJoinSamePipe2: the SAME pipe
+  // instance hash-joined with itself on the SAME key (rhs renamed) —
+  // self-join without an intermediate tap.
+  test("hashJoin of a pipe with itself on the same key") {
+    val src = pipe(lower)
+    val j = src.hashJoin(Seq("num"),
+      src.rename("num" -> "num2", "ch" -> "ch2"), Seq("num2"))
+    assert(rows(j) == Set(
+      Seq(1, "a", 1, "a"), Seq(2, "b", 2, "b"), Seq(3, "c", 3, "c"),
+      Seq(4, "d", 4, "d"), Seq(5, "e", 5, "e")))
+  }
+
+  // JoinFieldedPipesPlatformTest.testJoinSamePipe3: the same pipe joined
+  // with itself on DIFFERENT fields — key resolution must not conflate
+  // the two sides' columns even though they share a source.
+  test("hashJoin of a pipe with itself on different fields") {
+    val df = Seq((1, 2), (2, 3), (3, 4)).toDF("a", "b")
+    val src = pipe(df)
+    // join a-side's b against the copy's a: (1,2)x(2,3), (2,3)x(3,4)
+    val j = src.hashJoin(Seq("b"),
+      src.rename("a" -> "a2", "b" -> "b2"), Seq("a2"))
+    assert(rows(j) == Set(Seq(1, 2, 2, 3), Seq(2, 3, 3, 4)))
+  }
+
+  // MergePipesPlatformTest.testSimpleMergeThreeChain: THREE distinct
+  // sources merged without any group — arity-3 union-all straight to the
+  // sink, duplicates preserved.
+  test("three distinct sources merge without grouping; duplicates survive") {
+    val a = pipe(Seq(("x", 1)).toDF("ch", "v"))
+    val b = pipe(Seq(("x", 1), ("y", 2)).toDF("ch", "v"))
+    val c = pipe(Seq(("z", 3)).toDF("ch", "v"))
+    val m = Flow.toDF(a.merge(b, c)).collect().map(_.toSeq).toSeq
+    assert(m.size == 4) // union-ALL: the duplicate ("x", 1) survives
+    assert(m.toSet == Set(Seq("x", 1), Seq("y", 2), Seq("z", 3)))
+  }
+
+  // AssemblyHelpersPlatformTest.testCountMerged/testSumMerged: the
+  // assemblies over a MERGE of two sources — the map-side partials these
+  // assemblies exist for must compose across the union-all (one grouped
+  // aggregate over both inputs, not one per input).
+  test("CountBy/SumBy over a merge of two sources aggregate across both") {
+    val a = pipe(Seq(("k1", 1), ("k2", 2)).toDF("k", "v"))
+    val b = pipe(Seq(("k1", 10), ("k3", 30)).toDF("k", "v"))
+    val m = a.merge(b)
+    assert(rows(m.countBy(Seq("k"), "ct"))
+      == Set(Seq("k1", 2L), Seq("k2", 1L), Seq("k3", 1L)))
+    assert(rows(m.sumBy(Seq("k"), "v", "s"))
+      == Set(Seq("k1", 11L), Seq("k2", 2L), Seq("k3", 30L)))
+  }
+
+  // FieldedPipesPlatformTest.testSplitNonSafe: a split below a NON-SAFE
+  // operation — both branches must observe the SAME rows (the operation
+  // is not replayed divergently per branch). persist() is the DSL's
+  // explicit memo point (the flinkMemo discipline); a seeded sample
+  // stands in for the unsafe op.
+  test("split below a sampled (non-replayable) op: branches agree") {
+    val big = spark.range(200).selectExpr("id", "id % 7 as m")
+    val base = pipe(big.toDF()).sample(0.5, seed = 7L).persist()
+    val left = rows(base.retain("id"))
+    val right = rows(base.filterBy(ExpressionFilter("false")).retain("id"))
+    assert(left == right, "both branches must see the same sampled rows")
+  }
 }
