@@ -46,10 +46,12 @@ object Html {
   private val RawSkipTags = Set("script", "style")
 
   /** One parsed block: a direct child element of <body>, its extracted
-    * whitespace-normalized text, and how many of its tokens sit inside
-    * anchors. */
+    * whitespace-normalized text, how many of its tokens sit inside
+    * anchors, and the anchor HREF targets in document order (the
+    * link-graph raw material — q268). */
   final case class HtmlBlock(tag: String, text: String,
-                             nTokens: Int, nLinkTokens: Int)
+                             nTokens: Int, nLinkTokens: Int,
+                             links: Seq[String] = Nil)
 
   /** Deterministic synth HTML for gates/oracles: the document's tokens
     * in ceil(n/8) blocks of 8 — block b holds tokens 8b..8b+7 and cycles
@@ -121,6 +123,7 @@ object Html {
     var blockDepth = -1 // stack size just BEFORE the block element opened
     var textBuf: StringBuilder = null
     var linkBuf: StringBuilder = null
+    var hrefs: scala.collection.mutable.Builder[String, Seq[String]] = null
     var aDepth = 0
     val blocks = Seq.newBuilder[HtmlBlock]
     def lower(s: String) = s.toLowerCase(java.util.Locale.ROOT)
@@ -151,22 +154,33 @@ object Html {
         while (j < n && html.charAt(j).isLetterOrDigit) j += 1
         if (j == nameStart) return None // "</>" or "<1..."
         val name = lower(html.substring(nameStart, j))
-        // attribute scan: quoted values may contain '>'
+        // attribute scan: quoted values may contain '>'; the href value
+        // of an anchor is CAPTURED (the link-graph raw material, q268) —
+        // names are tracked loosely (bare values are skipped, quoted
+        // values bind to the last seen name)
         var selfClose = false
         var done = false
+        var href: String = null
+        var pendingName: String = null
         while (!done) {
           if (j >= n) return None // unterminated tag
-          html.charAt(j) match {
-            case '"' | '\'' =>
-              val q = html.charAt(j)
-              val e = html.indexOf(q, j + 1)
-              if (e < 0) return None // unterminated attribute value
-              j = e + 1
-            case '>' => done = true; j += 1
-            case '/' if j + 1 < n && html.charAt(j + 1) == '>' =>
-              selfClose = true; done = true; j += 2
-            case _ => j += 1
-          }
+          val cj = html.charAt(j)
+          if (cj == '"' || cj == '\'') {
+            val e = html.indexOf(cj, j + 1)
+            if (e < 0) return None // unterminated attribute value
+            if (pendingName == "href" && href == null)
+              href = html.substring(j + 1, e)
+            pendingName = null
+            j = e + 1
+          } else if (cj == '>') { done = true; j += 1 }
+          else if (cj == '/' && j + 1 < n && html.charAt(j + 1) == '>') {
+            selfClose = true; done = true; j += 2
+          } else if (cj.isLetter) {
+            val s0 = j
+            while (j < n && (html.charAt(j).isLetterOrDigit ||
+                html.charAt(j) == '-' || html.charAt(j) == '_')) j += 1
+            pendingName = lower(html.substring(s0, j))
+          } else j += 1
         }
         i = j // the tag's bytes are consumed; branches below adjust only state
         if (closing) {
@@ -185,9 +199,9 @@ object Html {
                 val toks = textBuf.toString.split("\\s+").filter(_.nonEmpty)
                 val ltoks = linkBuf.toString.split("\\s+").filter(_.nonEmpty)
                 blocks += HtmlBlock(blockTag, toks.mkString(" "),
-                  toks.length, ltoks.length)
+                  toks.length, ltoks.length, hrefs.result())
                 blockTag = null; blockDepth = -1
-                textBuf = null; linkBuf = null
+                textBuf = null; linkBuf = null; hrefs = null
               } else { textBuf += ' '; linkBuf += ' ' }
             }
           }
@@ -216,13 +230,21 @@ object Html {
               blockDepth = stack.length
               textBuf = new StringBuilder
               linkBuf = new StringBuilder
+              hrefs = Seq.newBuilder[String]
               stack += name
+              if (name == "a") {
+                aDepth += 1
+                if (href != null) hrefs += href
+              }
             }
           } else {
             if (inBody) { textBuf += ' '; linkBuf += ' ' }
             if (!isVoid) {
               stack += name
-              if (inBody && name == "a") aDepth += 1
+              if (inBody && name == "a") {
+                aDepth += 1
+                if (href != null && hrefs != null) hrefs += href
+              }
             }
           }
         }
@@ -262,7 +284,8 @@ object Html {
       StructField("n_tokens", IntegerType),
       StructField("n_link_tokens", IntegerType),
       StructField("link_density_micros", LongType),
-      StructField("text", StringType)))
+      StructField("text", StringType),
+      StructField("links", ArrayType(StringType))))
     val enc = Encoders.row(schema)
     val idIdx = df.columns.indexOf(idCol)
     val hIdx = df.columns.indexOf(htmlCol)
@@ -273,14 +296,29 @@ object Html {
             val dens = if (b.nTokens == 0) 0L
               else b.nLinkTokens.toLong * 1000000L / b.nTokens
             Row(row.get(idIdx), k, b.tag, b.nTokens, b.nLinkTokens,
-              dens, b.text)
+              dens, b.text, b.links)
           }
           case None =>
-            Seq(Row(row.get(idIdx), null, null, null, null, null, null))
+            Seq(Row(row.get(idIdx), null, null, null, null, null, null,
+              null))
         }
       }
     }(enc)
   }
+
+  /** Corpus link-graph extraction (the CommonCrawl link-graph shape):
+    * one row per distinct HREF target with its total reference count and
+    * the number of distinct documents referencing it. Rides
+    * [[htmlBlocks]]' captured anchor targets — the walk is the only
+    * payload pass; the aggregation keys on the (zipfian) href string
+    * with map-side partials. Callers verify parse failures first (null
+    * block rows), exactly as with block extraction. */
+  def linkTargets(blocks: DataFrame): DataFrame =
+    blocks
+      .select(col("id"), explode(col("links")).as("href"))
+      .groupBy(col("href"))
+      .agg(count(lit(1)).as("n_refs"),
+        count_distinct(col("id")).as("n_docs"))
 
   /** Block-level content extraction: keep blocks whose tag is not in
     * `dropTags` AND whose link density is under the threshold; return

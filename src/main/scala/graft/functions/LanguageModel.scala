@@ -221,4 +221,81 @@ object LanguageModel {
         coalesce(col("n_bi"), lit(0L)).as("n_bi"),
         coalesce(col("bigram_bits"), lit(0L)).as("bigram_bits"))
   }
+
+  /** Interpolated Kneser–Ney bigram probabilities (Kneser & Ney 1995;
+    * Chen & Goodman 1999 eq. 4.24) — the full CCNet-class LM filter:
+    *
+    *   p_KN(w | prev) = (c(prev w) − D) / c(prev·)
+    *                  + D · N1+(prev·) / c(prev·) · p_cont(w)
+    *   p_cont(w)      = N1+(·w) / N1+(··)
+    *
+    * with discount D = 0.75 (the standard value — and a DYADIC double,
+    * exactly representable, the BM25-constant discipline). Self-scored
+    * (train = score corpus), every position's bigram is observed, so
+    * c(prev w) ≥ 1 > D and the discounted term stays positive. The
+    * continuation distribution is what distinguishes KN from raw MLE
+    * ([[bigramSurprisal]]): a word type that follows MANY distinct
+    * contexts ("francisco" follows only "san") scores by its context
+    * DIVERSITY, not its raw frequency.
+    *
+    * Engine portability: the score is +,−,×,/ over IEEE binary64 —
+    * correctly rounded, bit-identical for the same expression tree,
+    * which the oracle spells with matching parentheses — then floor-
+    * quantized to integer micros per bigram BEFORE the per-doc sum
+    * (exact integers from there; the [[stupidBackoff]] discipline,
+    * which avoids libm log entirely). Returns (idCol, n_bi, kn_micros);
+    * < 2-token docs keep a (0, 0) row.
+    *
+    * Scale shape: identical to [[bigramSurprisal]] — one explode scan,
+    * four count tables aggregated from it (context totals, bigram
+    * counts, forward type-counts N1+(prev·), backward type-counts
+    * N1+(·w) — the last two from the DISTINCT-bigram type table, which
+    * is also the scoring domain), a 1-row broadcast for N1+(··), and
+    * the position join-back on the zipfian bigram as the declared
+    * AQE-skew point. */
+  def kneserNeyBigram(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val pos = docs
+      .select(col(idCol), split(col(textCol), " ").as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(col(idCol),
+        slice(col("__t"), lit(1), size(col("__t")) - 1).as("ls"),
+        slice(col("__t"), lit(2), size(col("__t")) - 1).as("rs"))
+      .select(col(idCol), explode(arrays_zip(col("ls"), col("rs"))).as("p"))
+      .select(col(idCol), col("p.ls").as("prev"),
+        concat_ws(" ", col("p.ls"), col("p.rs")).as("bg"))
+    val ctx = pos.groupBy(col("prev")).agg(count(lit(1)).as("c1"))
+    val bic = pos.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    // the bigram TYPE table: scoring domain AND source of both N1+ views
+    // (tokens carry no spaces, so w recovers from the gram string)
+    val typ = pos.select(col("prev"), col("bg")).distinct()
+    val n1f = typ.groupBy(col("prev")).agg(count(lit(1)).as("n1f"))
+    val n1b = typ
+      .select(element_at(split(col("bg"), " "), 2).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n1b"))
+    val nt = typ.agg(count(lit(1)).cast("double").as("ntypes"))
+    val scored = typ
+      .select(col("prev"), col("bg"),
+        element_at(split(col("bg"), " "), 2).as("w"))
+      .join(bic, Seq("bg"))
+      .join(ctx, Seq("prev"))
+      .join(n1f, Seq("prev"))
+      .join(n1b, Seq("w"))
+      .crossJoin(broadcast(nt))
+      .select(col("bg"),
+        floor(lit(1000000.0) * (
+          (col("c2").cast("double") - lit(0.75)) / col("c1").cast("double")
+          + ((lit(0.75) * col("n1f").cast("double"))
+              / col("c1").cast("double"))
+            * (col("n1b").cast("double") / col("ntypes"))))
+          .cast("bigint").as("s"))
+    val perDoc = pos.join(scored, Seq("bg"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bi"),
+        sum(col("s")).cast("bigint").as("kn_micros"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bi"), lit(0L)).as("n_bi"),
+        coalesce(col("kn_micros"), lit(0L)).as("kn_micros"))
+  }
 }

@@ -3484,6 +3484,38 @@ object Extensions {
           md5(col("clean_text")).as("clean_md5"))
     }),
 
+    // --- corpus LINK GRAPH from real markup (the CommonCrawl link-graph
+    // shape): the tag walker's captured anchor hrefs, aggregated to one
+    // row per target with total references and distinct referencing
+    // docs. The synth's href structure is fully determined by the token
+    // stream (div blocks link '/w/<tok>' at odd local indices, nav
+    // blocks '/nav/<tok>' everywhere), so the oracle recomputes the
+    // whole graph arithmetically — any attribute-capture bug (quoted
+    // '>', name binding, anchor attribution) diverges.
+    "q268_link_graph" -> ((s, dir) => {
+      val H = graft.functions.Html
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val blocks = H.htmlBlocks(
+        H.withSynthHtml(docs, "doc_id", "text"), "id", "html")
+      val verified = blocks.select(
+        when(col("block_idx").isNull, raise_error(concat(
+          lit("q268: HTML for id "), col("id").cast("string"),
+          lit(" failed to parse — tag-walker regression"))))
+          .otherwise(col("id")).as("id"),
+        col("links"))
+      H.linkTargets(verified)
+    }),
+
+    // --- interpolated Kneser-Ney bigram LM (Chen & Goodman eq. 4.24,
+    // D = 0.75 dyadic): the continuation-count upgrade of q264 — a word
+    // scores by context DIVERSITY, not raw frequency. IEEE +,-,*,/ over
+    // an expression tree the oracle spells with matching parens, floored
+    // to micros per bigram before the exact per-doc sum (no libm).
+    "q269_kneser_ney" -> ((s, dir) =>
+      graft.functions.LanguageModel.kneserNeyBigram(
+        s.read.parquet(s"$dir/documents.parquet"))),
+
     // --- exact-integer PageRank over the co-order supplier graph:
     // suppliers sharing an order are edges (group-key self-join, fan-out
     // bounded by order size), each vertex keeps its 64 strongest
@@ -6575,6 +6607,66 @@ object Extensions {
         |  CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
         |  md5(coalesce(agg.ct, '')) AS clean_md5
         |FROM tot LEFT JOIN agg USING (doc_id)""".stripMargin,
+
+    // q268: the synth link structure replayed arithmetically — div
+    // blocks (b%3==1) emit '/w/'||tok at odd local indices, nav blocks
+    // (b%3==2) emit '/nav/'||tok for every token; the oracle never
+    // parses markup
+    "q268_link_graph" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, t, unnest(range(0, (len(t) + 7) // 8)) AS b FROM t),
+        |l AS (
+        |  SELECT doc_id, '/w/' || t[8 * b + j + 1] AS href
+        |  FROM b, LATERAL (SELECT unnest(range(0,
+        |    least(8, len(t) - 8 * b))) AS j) jj
+        |  WHERE CAST(b % 3 AS INTEGER) = 1 AND j % 2 = 1
+        |  UNION ALL
+        |  SELECT doc_id, '/nav/' || t[8 * b + j + 1] AS href
+        |  FROM b, LATERAL (SELECT unnest(range(0,
+        |    least(8, len(t) - 8 * b))) AS j) jj
+        |  WHERE CAST(b % 3 AS INTEGER) = 2)
+        |SELECT href, CAST(count(*) AS BIGINT) AS n_refs,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM l GROUP BY 1""".stripMargin,
+
+    // q269: the KN formula with MATCHING parentheses — (c2-0.75)/c1 +
+    // ((0.75*n1f)/c1) * (n1b/nt), floored to micros per TYPE before the
+    // per-doc sum; typ is both the scoring domain and the N1+ source
+    "q269_kneser_ney" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |pos AS MATERIALIZED (
+        |  SELECT doc_id, t[i] AS prev, t[i] || ' ' || t[i + 1] AS bg
+        |  FROM t, LATERAL (SELECT unnest(range(1, len(t))) AS i) ii
+        |  WHERE len(t) >= 2),
+        |ctx AS MATERIALIZED (SELECT prev, count(*) AS c1 FROM pos GROUP BY 1),
+        |bic AS MATERIALIZED (SELECT bg, count(*) AS c2 FROM pos GROUP BY 1),
+        |typ AS MATERIALIZED (SELECT DISTINCT prev, bg FROM pos),
+        |n1f AS MATERIALIZED (SELECT prev, count(*) AS n1f FROM typ GROUP BY 1),
+        |n1b AS MATERIALIZED (
+        |  SELECT string_split(bg, ' ')[2] AS w, count(*) AS n1b
+        |  FROM typ GROUP BY 1),
+        |nt AS (SELECT count(*) AS nt FROM typ),
+        |sc AS (
+        |  SELECT typ.bg,
+        |    CAST(floor(1000000.0 * (
+        |      (CAST(c2 AS DOUBLE) - 0.75) / CAST(c1 AS DOUBLE)
+        |      + ((0.75 * CAST(n1f.n1f AS DOUBLE)) / CAST(c1 AS DOUBLE))
+        |        * (CAST(n1b.n1b AS DOUBLE) / CAST(nt.nt AS DOUBLE))))
+        |      AS BIGINT) AS s
+        |  FROM typ
+        |  JOIN bic USING (bg) JOIN ctx USING (prev) JOIN n1f USING (prev)
+        |  JOIN n1b ON n1b.w = string_split(typ.bg, ' ')[2]
+        |  CROSS JOIN nt),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_bi, sum(s) AS km
+        |  FROM pos JOIN sc USING (bg) GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(a.n_bi, 0) AS BIGINT) AS n_bi,
+        |  CAST(coalesce(a.km, 0) AS BIGINT) AS kn_micros
+        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
     "q265_video_keyframe_index" -> videoSceneOracle(
       s""",vch AS MATERIALIZED (

@@ -502,6 +502,26 @@ class FunctionsSpec extends SparkSpec {
     assert(got(3L) == ((1L, 0L)), got.toString)
   }
 
+  test("kneserNeyBigram: hand-derived KN probabilities in the exact " +
+       "JVM-double spelling; short docs keep (0,0)") {
+    import graft.functions.LanguageModel
+    // corpus "a a a b" + "c": bigrams (a a)x2, (a b)x1; c(a·)=3;
+    // types {aa, ab} → N1+(a·)=2, N1+(·a)=N1+(·b)=1, N1+(··)=2
+    val docs = Seq((1L, "a a a b"), (2L, "c")).toDF("doc_id", "text")
+    def kn(c2: Double, c1: Double, n1f: Double, n1b: Double,
+           nt: Double): Long =
+      math.floor(1000000.0 * (
+        (c2 - 0.75) / c1 + ((0.75 * n1f) / c1) * (n1b / nt))).toLong
+    val expected = 2 * kn(2, 3, 2, 1, 2) + kn(1, 3, 2, 1, 2)
+    val got = LanguageModel.kneserNeyBigram(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((3L, expected)), s"${got(1L)} vs (3, $expected)")
+    assert(got(2L) == ((0L, 0L)))
+    // sanity: KN mass over each context sums to ~1 (2·p(a|a)·... here:
+    // 3 positions carry p(a|a)+p(a|a)+p(b|a), and p(a|a)+p(b|a) = 1)
+    assert(kn(2, 3, 2, 1, 2) + kn(1, 3, 2, 1, 2) >= 999998L)
+  }
+
   test("phraseBpe plan depth is constant in merge count (the q263 " +
        "50k-merge survivability pin)") {
     import graft.functions.Vocab

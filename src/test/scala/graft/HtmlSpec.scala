@@ -72,6 +72,23 @@ class HtmlSpec extends AnyFunSuite {
     assert(Html.walkHtmlBlocks(null).isEmpty)
   }
 
+  test("href capture: anchor targets per block, in document order; " +
+       "non-anchor and unquoted-bare attributes never captured") {
+    val bs = Html.walkHtmlBlocks(Html.synthHtml(text20)).get
+    val Seq(p, d, nav) = bs
+    assert(p.links.isEmpty)
+    assert(d.links == Seq("/w/w9", "/w/w11", "/w/w13", "/w/w15"))
+    assert(nav.links == (16 until 20).map(i => s"/nav/w$i"))
+    // a quoted '>' inside a NON-href attribute must not shift capture;
+    // href on a non-anchor element is not a link
+    val h = "<html><body><div data-x=\"a > b\">" +
+      "<a class=\"k\" href=\"/t1\">x</a>" +
+      "<img src=\"/not-a-link\"/><area href=\"/void-no-capture\"/>" +
+      "<a href=\"/t2\">y</a></div></body></html>"
+    val b = Html.walkHtmlBlocks(h).get.head
+    assert(b.links == Seq("/t1", "/t2"), b.links.toString)
+  }
+
   test("density arithmetic: floor micros, zero-token block safe") {
     val h = "<html><body><div><a href='/x'>one</a> two three</div>" +
       "<p></p></body></html>"
