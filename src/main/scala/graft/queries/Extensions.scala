@@ -3507,6 +3507,48 @@ object Extensions {
       H.linkTargets(verified)
     }),
 
+    // --- STREAMING structure-aware extraction (the q193 discipline on
+    // q267): markup synthesizes and the tag walker runs IN-STREAM over 3
+    // micro-batches (both are stateless mapPartitions — append mode, no
+    // watermark, no state store); per-block rows land in the sink and
+    // the per-document verdict aggregation runs batch over it (streaming
+    // distinct/collect_list would need state for no semantic gain).
+    // Oracle = q267's SQL verbatim: the stream must extract exactly what
+    // the batch path extracts.
+    "q270_stream_html_extract" -> ((s, dir) => {
+      val H = graft.functions.Html
+      val (in, out, chk) = freshStreamDirs("graft_q270_stream")
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      stageSliced(in, Seq(
+        docs.filter(col("doc_id") % 3 === 0),
+        docs.filter(col("doc_id") % 3 === 1),
+        docs.filter(col("doc_id") % 3 === 2)))
+      withStreamPartitions(s, 8) {
+        val stream = graft.streaming.StreamOps.readStream(s, in,
+          docs.schema, Map("maxFilesPerTrigger" -> "1"))
+        val blocks = H.htmlBlocks(
+          H.withSynthHtml(stream, "doc_id", "text"), "id", "html")
+        val q = blocks.drop("links").writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+          .format("parquet").option("path", out)
+          .option("checkpointLocation", chk)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val verified = s.read.parquet(out).select(
+        when(col("block_idx").isNull, raise_error(concat(
+          lit("q270: HTML for id "), col("id").cast("string"),
+          lit(" failed to parse in-stream — tag-walker regression"))))
+          .otherwise(col("id")).as("id"),
+        col("block_idx"), col("tag"), col("link_density_micros"),
+        col("text"))
+      graft.functions.Html.extractContent(verified)
+        .select(col("id").as("doc_id"), col("n_blocks"), col("n_kept"),
+          md5(col("clean_text")).as("clean_md5"))
+    }),
+
     // --- interpolated Kneser-Ney bigram LM (Chen & Goodman eq. 4.24,
     // D = 0.75 dyadic): the continuation-count upgrade of q264 — a word
     // scores by context DIVERSITY, not raw frequency. IEEE +,-,*,/ over
@@ -5337,6 +5379,41 @@ object Extensions {
     * the frame's scene salt — plus the consecutive-frame boundary table;
     * `withKeyframeCtes` appends keyframe selection + band rows for the
     * dedup form. */
+  /** The q267/q270 per-document extraction oracle (batch and stream must
+    * agree): the synth block structure replayed arithmetically — see the
+    * q266 oracle comment. */
+  private val htmlExtractOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, t, unnest(range(0, (len(t) + 7) // 8)) AS b FROM t),
+      |blk AS (
+      |  SELECT doc_id, b,
+      |    CASE CAST(b % 3 AS INTEGER) WHEN 0 THEN 'p' WHEN 1 THEN 'div'
+      |         ELSE 'nav' END AS tag,
+      |    least(8, len(t) - 8 * b) AS nt,
+      |    CASE CAST(b % 3 AS INTEGER) WHEN 0 THEN 0
+      |         WHEN 1 THEN least(8, len(t) - 8 * b) // 2
+      |         ELSE least(8, len(t) - 8 * b) END AS nl,
+      |    array_to_string(
+      |      list_slice(t, 8 * b + 1, 8 * b + least(8, len(t) - 8 * b)),
+      |      ' ') AS txt
+      |  FROM b),
+      |k AS (
+      |  SELECT doc_id, b, txt FROM blk
+      |  WHERE tag NOT IN ('nav', 'footer', 'aside')
+      |    AND nl * 1000000 // nt < 500000),
+      |agg AS (
+      |  SELECT doc_id, count(*) AS n_kept,
+      |    string_agg(txt, chr(10) ORDER BY b) AS ct
+      |  FROM k GROUP BY 1),
+      |tot AS (SELECT doc_id, count(*) AS n_blocks FROM blk GROUP BY 1)
+      |SELECT tot.doc_id, CAST(tot.n_blocks AS BIGINT) AS n_blocks,
+      |  CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
+      |  md5(coalesce(agg.ct, '')) AS clean_md5
+      |FROM tot LEFT JOIN agg USING (doc_id)""".stripMargin
+
   private def videoSceneOracle(finalSelect: String,
                                withKeyframeCtes: Boolean = false): String = {
     val MM = graft.functions.Multimodal
@@ -6576,37 +6653,11 @@ object Extensions {
         |  md5(txt) AS text_md5
         |FROM blk""".stripMargin,
 
-    "q267_html_extract" ->
-      """WITH t AS (
-        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t
-        |  FROM documents),
-        |b AS (
-        |  SELECT doc_id, t, unnest(range(0, (len(t) + 7) // 8)) AS b FROM t),
-        |blk AS (
-        |  SELECT doc_id, b,
-        |    CASE CAST(b % 3 AS INTEGER) WHEN 0 THEN 'p' WHEN 1 THEN 'div'
-        |         ELSE 'nav' END AS tag,
-        |    least(8, len(t) - 8 * b) AS nt,
-        |    CASE CAST(b % 3 AS INTEGER) WHEN 0 THEN 0
-        |         WHEN 1 THEN least(8, len(t) - 8 * b) // 2
-        |         ELSE least(8, len(t) - 8 * b) END AS nl,
-        |    array_to_string(
-        |      list_slice(t, 8 * b + 1, 8 * b + least(8, len(t) - 8 * b)),
-        |      ' ') AS txt
-        |  FROM b),
-        |k AS (
-        |  SELECT doc_id, b, txt FROM blk
-        |  WHERE tag NOT IN ('nav', 'footer', 'aside')
-        |    AND nl * 1000000 // nt < 500000),
-        |agg AS (
-        |  SELECT doc_id, count(*) AS n_kept,
-        |    string_agg(txt, chr(10) ORDER BY b) AS ct
-        |  FROM k GROUP BY 1),
-        |tot AS (SELECT doc_id, count(*) AS n_blocks FROM blk GROUP BY 1)
-        |SELECT tot.doc_id, CAST(tot.n_blocks AS BIGINT) AS n_blocks,
-        |  CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
-        |  md5(coalesce(agg.ct, '')) AS clean_md5
-        |FROM tot LEFT JOIN agg USING (doc_id)""".stripMargin,
+    "q267_html_extract" -> htmlExtractOracle,
+
+    // q270: the stream must extract exactly what the batch path
+    // extracts — q267's oracle text, shared by reference
+    "q270_stream_html_extract" -> htmlExtractOracle,
 
     // q268: the synth link structure replayed arithmetically — div
     // blocks (b%3==1) emit '/w/'||tok at odd local indices, nav blocks
