@@ -329,4 +329,73 @@ object Graph {
     und.unpersist()
     res
   }
+
+  /** HITS hubs-and-authorities (Kleinberg 1999) over a DIRECTED (often
+    * bipartite) edge set — the link-analysis dual of PageRank, natural
+    * over the doc→href graph the HTML walker extracts (q268): a target
+    * is authoritative when good hubs point at it, a hub is good when it
+    * points at authorities.
+    *
+    * EXACT integer spelling (the PageRank discipline, with the
+    * normalization HITS needs to keep iterations bounded): hubs start at
+    * 10⁹; each iteration sums hub scores into raw authorities, rescales
+    * by the MAXIMUM (L∞ norm — a_i = (raw_i · 10⁹) div max raw, pure
+    * floor division over decimal(38,0) sums, so the oracle unrolls the
+    * iterations bit-identically; the conventional L2 norm needs a square
+    * root — not engine-exact), then mirrors the same two steps back into
+    * hubs (skipped on the last iteration — the final authorities are the
+    * result). All operands non-negative, so Spark `div` (truncate) and
+    * DuckDB `//` (floor) agree. Overflow headroom: raw ≤ nHubs·10⁹, and
+    * raw·10⁹ < 10³⁸ holds for any nHubs < 10²⁰.
+    *
+    * Scale: two keyed shuffles per iteration over the DISTINCT edge set
+    * + a 1-row max broadcast each; per-iteration persist with
+    * predecessor unpersist (the q186 discipline). Returns the top-`k`
+    * authorities (target, authority_scaled), (score desc, target asc). */
+  def hitsTopK(edges: DataFrame, iters: Int = 2, k: Int = 20): DataFrame = {
+    require(iters >= 1, s"hitsTopK: iters must be >= 1, got $iters")
+    val lvl = StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col("src"), col("dst")).distinct().persist(lvl)
+    var hub = e.select(col("src")).distinct()
+      .select(col("src"), lit(1000000000L).as("h"))
+    var auth: DataFrame = null
+    var prevAuth: DataFrame = null
+    var prevHub: DataFrame = null
+    (1 to iters).foreach { i =>
+      val aRaw = e.join(hub, Seq("src"))
+        .groupBy(col("dst"))
+        .agg(sum(col("h")).cast("decimal(38,0)").as("ar"))
+      val aMax = aRaw.agg(max(col("ar")).as("amax"))
+      val nextAuth = aRaw.crossJoin(broadcast(aMax))
+        .select(col("dst"),
+          expr("CAST(ar * 1000000000 div amax AS BIGINT)").as("a"))
+        .persist(lvl)
+      nextAuth.count() // materialize before releasing the predecessors
+      if (prevAuth != null) prevAuth.unpersist()
+      prevAuth = nextAuth
+      auth = nextAuth
+      if (i < iters) {
+        val hRaw = e.join(nextAuth, Seq("dst"))
+          .groupBy(col("src"))
+          .agg(sum(col("a")).cast("decimal(38,0)").as("hr"))
+        val hMax = hRaw.agg(max(col("hr")).as("hmax"))
+        val nextHub = hRaw.crossJoin(broadcast(hMax))
+          .select(col("src"),
+            expr("CAST(hr * 1000000000 div hmax AS BIGINT)").as("h"))
+          .persist(lvl)
+        nextHub.count()
+        if (prevHub != null) prevHub.unpersist()
+        prevHub = nextHub
+        hub = nextHub
+      }
+    }
+    val res = auth.orderBy(col("a").desc, col("dst"))
+      .limit(k)
+      .select(col("dst").as("target"), col("a").as("authority_scaled"))
+      .localCheckpoint(true)
+    e.unpersist()
+    if (prevAuth != null) prevAuth.unpersist()
+    if (prevHub != null) prevHub.unpersist()
+    res
+  }
 }

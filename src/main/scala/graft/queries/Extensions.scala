@@ -3549,6 +3549,29 @@ object Extensions {
           md5(col("clean_text")).as("clean_md5"))
     }),
 
+    // --- HITS authorities over the EXTRACTED link graph (Kleinberg
+    // 1999): the doc→href edges the tag walker captures (q268), two
+    // hub/authority iterations in exact integers — decimal(38,0) sums,
+    // L∞ rescale by floor division (the one norm that needs no square
+    // root), so the oracle unrolls both iterations bit-identically. The
+    // link-analysis composition: parse → extract links → rank targets.
+    "q271_hits_authorities" -> ((s, dir) => {
+      val H = graft.functions.Html
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val blocks = H.htmlBlocks(
+        H.withSynthHtml(docs, "doc_id", "text"), "id", "html")
+      val verified = blocks.select(
+        when(col("block_idx").isNull, raise_error(concat(
+          lit("q271: HTML for id "), col("id").cast("string"),
+          lit(" failed to parse — tag-walker regression"))))
+          .otherwise(col("id")).as("id"),
+        col("links"))
+      val edges = verified
+        .select(col("id").as("src"), explode(col("links")).as("dst"))
+      graft.functions.Graph.hitsTopK(edges, iters = 2, k = 20)
+    }),
+
     // --- interpolated Kneser-Ney bigram LM (Chen & Goodman eq. 4.24,
     // D = 0.75 dyadic): the continuation-count upgrade of q264 — a word
     // scores by context DIVERSITY, not raw frequency. IEEE +,-,*,/ over
@@ -6682,6 +6705,44 @@ object Extensions {
         |SELECT href, CAST(count(*) AS BIGINT) AS n_refs,
         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
         |FROM l GROUP BY 1""".stripMargin,
+
+    // q271: q268's edge arithmetic + both HITS iterations unrolled —
+    // hugeint sums, (raw * 1e9) // max rescale, non-negative so // == div
+    "q271_hits_authorities" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, t, unnest(range(0, (len(t) + 7) // 8)) AS b FROM t),
+        |l AS (
+        |  SELECT doc_id, '/w/' || t[8 * b + j + 1] AS href
+        |  FROM b, LATERAL (SELECT unnest(range(0,
+        |    least(8, len(t) - 8 * b))) AS j) jj
+        |  WHERE CAST(b % 3 AS INTEGER) = 1 AND j % 2 = 1
+        |  UNION ALL
+        |  SELECT doc_id, '/nav/' || t[8 * b + j + 1] AS href
+        |  FROM b, LATERAL (SELECT unnest(range(0,
+        |    least(8, len(t) - 8 * b))) AS j) jj
+        |  WHERE CAST(b % 3 AS INTEGER) = 2),
+        |e AS MATERIALIZED (SELECT DISTINCT doc_id AS src, href AS dst FROM l),
+        |h0 AS (SELECT DISTINCT src, CAST(1000000000 AS BIGINT) AS h FROM e),
+        |a1r AS MATERIALIZED (
+        |  SELECT dst, sum(h) AS ar FROM e JOIN h0 USING (src) GROUP BY 1),
+        |a1 AS MATERIALIZED (
+        |  SELECT dst, CAST((ar * 1000000000) // (SELECT max(ar) FROM a1r)
+        |    AS BIGINT) AS a FROM a1r),
+        |h1r AS MATERIALIZED (
+        |  SELECT src, sum(a) AS hr FROM e JOIN a1 USING (dst) GROUP BY 1),
+        |h1 AS MATERIALIZED (
+        |  SELECT src, CAST((hr * 1000000000) // (SELECT max(hr) FROM h1r)
+        |    AS BIGINT) AS h FROM h1r),
+        |a2r AS MATERIALIZED (
+        |  SELECT dst, sum(h) AS ar FROM e JOIN h1 USING (src) GROUP BY 1)
+        |SELECT dst AS target,
+        |  CAST((ar * 1000000000) // (SELECT max(ar) FROM a2r) AS BIGINT)
+        |    AS authority_scaled
+        |FROM a2r
+        |ORDER BY authority_scaled DESC, dst LIMIT 20""".stripMargin,
 
     // q269: the KN formula with MATCHING parentheses — (c2-0.75)/c1 +
     // ((0.75*n1f)/c1) * (n1b/nt), floored to micros per TYPE before the

@@ -57,6 +57,23 @@ class GraphSpec extends SparkSpec {
     assert(rd == Map(1L -> 150000000L, 2L -> 1000000000L), rd.toString)
   }
 
+  test("hitsTopK: hand-computed two-iteration authorities with the L-inf " +
+       "integer rescale; duplicate edges collapse") {
+    // bipartite 1→x, 2→x, 3→y (plus a duplicate 1→x that must collapse):
+    //   a1 raw: x = 2e9, y = 1e9 → rescale by max: x = 1e9, y = 5e8
+    //   h1 raw: 1 = 1e9, 2 = 1e9, 3 = 5e8 → h1 = (1e9, 1e9, 5e8)
+    //   a2 raw: x = 2e9, y = 5e8 → a2: x = 1e9, y = (5e8·1e9) div 2e9
+    val edges = Seq((1L, "x"), (1L, "x"), (2L, "x"), (3L, "y"))
+      .toDF("src", "dst")
+    val got = Graph.hitsTopK(edges, iters = 2, k = 10).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("x" -> 1000000000L, "y" -> 250000000L), got.toString)
+    // one iteration = plain in-degree ranking (hub scores constant)
+    val one = Graph.hitsTopK(edges, iters = 1, k = 10).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(one == Map("x" -> 1000000000L, "y" -> 500000000L), one.toString)
+  }
+
   test("pageRankWeightedTopK: mass splits by edge weight (hand-computed)") {
     // path 1–2–3 with weights: (1,2) w=3, (2,3) w=1. sw: 1→3, 2→4, 3→1.
     //   r1(1) = 150e6 + (1e9·85·3) div 400 = 787 500 000
