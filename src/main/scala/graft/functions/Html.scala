@@ -320,6 +320,32 @@ object Html {
       .agg(count(lit(1)).as("n_refs"),
         count_distinct(col("id")).as("n_docs"))
 
+  /** Link-INDEX rows for persistence through [[linkIndexTap]] (bucketed
+    * by href): one row per (href, id) carrying the anchor-occurrence
+    * count. The layout decision that makes corpus link stats an
+    * O(index) bucket-local aggregate ([[linkTargetsFromIndex]] plans
+    * with NO exchange) and arrival maintenance a plain APPEND: documents
+    * are immutable and append-only (the q133 delivery contract), so a
+    * batch's (href, id) pairs can never collide with persisted ones —
+    * no read-modify-write, no anti-join. */
+  def linkIndexRows(blocks: DataFrame): DataFrame =
+    blocks
+      .select(col("id"), explode(col("links")).as("href"))
+      .groupBy(col("href"), col("id"))
+      .agg(count(lit(1)).cast("long").as("n"))
+
+  def linkIndexTap(table: String, buckets: Int): graft.sources.BucketedTap =
+    graft.sources.BucketedTap(table, buckets, Seq("href"))
+
+  /** Corpus link stats from the PERSISTED index — value-identical to
+    * [[linkTargets]] over the same documents, but the aggregation keys
+    * on the index's own bucket column, so the plan is a bucket-aware
+    * scan + partial agg with zero exchange (asserted in-query by q272). */
+  def linkTargetsFromIndex(index: DataFrame): DataFrame =
+    index.groupBy(col("href"))
+      .agg(sum(col("n")).cast("bigint").as("n_refs"),
+        count(lit(1)).as("n_docs"))
+
   /** Block-level content extraction: keep blocks whose tag is not in
     * `dropTags` AND whose link density is under the threshold; return
     * one row per document — (id, n_blocks, n_kept, clean_text), kept

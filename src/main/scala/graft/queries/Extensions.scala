@@ -3549,6 +3549,45 @@ object Extensions {
           md5(col("clean_text")).as("clean_md5"))
     }),
 
+    // --- PERSISTED link-graph index + arrival maintenance (the q133
+    // loop for the link graph): corpus (href, doc, n) pairs persist once
+    // through the href-bucketed tap, the arriving batch parses only
+    // ITSELF and APPENDS (docs are immutable/append-only — no
+    // read-modify-write), and the stats aggregate keys on the bucket
+    // column so it plans with ZERO exchange (asserted). The gate demands
+    // the post-append stats equal the FULL-corpus rebuild (oracle =
+    // q268's SQL verbatim) — the rebuild-equality discipline.
+    "q272_link_index_maintenance" -> ((s, dir) => {
+      val H = graft.functions.Html
+      val table = stagedTable("graft_q272_linkidx")
+      graft.queries.Tables.dropStagedTable(s, table)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      def pairsOf(d: org.apache.spark.sql.DataFrame) = {
+        val blocks = H.htmlBlocks(
+          H.withSynthHtml(d, "doc_id", "text"), "id", "html")
+        H.linkIndexRows(blocks.select(
+          when(col("block_idx").isNull, raise_error(concat(
+            lit("q272: HTML for id "), col("id").cast("string"),
+            lit(" failed to parse — tag-walker regression"))))
+            .otherwise(col("id")).as("id"),
+          col("links")))
+      }
+      val tap = H.linkIndexTap(table, 8)
+      tap.write(pairsOf(docs.filter(col("doc_id") % 10 =!= 7)),
+        graft.sources.SinkMode.Replace)
+      tap.write(pairsOf(docs.filter(col("doc_id") % 10 === 7)),
+        graft.sources.SinkMode.Update)
+      val df = graft.functions.Html.linkTargetsFromIndex(s.table(table))
+      val plan = df.queryExecution.executedPlan.toString
+      require(!plan.contains("Exchange hashpartitioning(href"),
+        "q272: the stats aggregate keys on the index's bucket column — " +
+        "it must plan with NO href exchange (bucket-local partials)")
+      require(plan.contains("SelectedBucketsCount"),
+        "q272: the index side must be the bucket-aware scan")
+      df
+    }),
+
     // --- HITS authorities over the EXTRACTED link graph (Kleinberg
     // 1999): the doc→href edges the tag walker captures (q268), two
     // hub/authority iterations in exact integers — decimal(38,0) sums,
@@ -5402,6 +5441,29 @@ object Extensions {
     * the frame's scene salt — plus the consecutive-frame boundary table;
     * `withKeyframeCtes` appends keyframe selection + band rows for the
     * dedup form. */
+  /** The q268/q272 corpus link-graph oracle (direct extraction and the
+    * persisted-index maintenance loop must agree): the synth link
+    * structure replayed arithmetically, never parsed. */
+  private val linkGraphOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, t, unnest(range(0, (len(t) + 7) // 8)) AS b FROM t),
+      |l AS (
+      |  SELECT doc_id, '/w/' || t[8 * b + j + 1] AS href
+      |  FROM b, LATERAL (SELECT unnest(range(0,
+      |    least(8, len(t) - 8 * b))) AS j) jj
+      |  WHERE CAST(b % 3 AS INTEGER) = 1 AND j % 2 = 1
+      |  UNION ALL
+      |  SELECT doc_id, '/nav/' || t[8 * b + j + 1] AS href
+      |  FROM b, LATERAL (SELECT unnest(range(0,
+      |    least(8, len(t) - 8 * b))) AS j) jj
+      |  WHERE CAST(b % 3 AS INTEGER) = 2)
+      |SELECT href, CAST(count(*) AS BIGINT) AS n_refs,
+      |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      |FROM l GROUP BY 1""".stripMargin
+
   /** The q267/q270 per-document extraction oracle (batch and stream must
     * agree): the synth block structure replayed arithmetically — see the
     * q266 oracle comment. */
@@ -6686,25 +6748,11 @@ object Extensions {
     // blocks (b%3==1) emit '/w/'||tok at odd local indices, nav blocks
     // (b%3==2) emit '/nav/'||tok for every token; the oracle never
     // parses markup
-    "q268_link_graph" ->
-      """WITH t AS (
-        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t
-        |  FROM documents),
-        |b AS (
-        |  SELECT doc_id, t, unnest(range(0, (len(t) + 7) // 8)) AS b FROM t),
-        |l AS (
-        |  SELECT doc_id, '/w/' || t[8 * b + j + 1] AS href
-        |  FROM b, LATERAL (SELECT unnest(range(0,
-        |    least(8, len(t) - 8 * b))) AS j) jj
-        |  WHERE CAST(b % 3 AS INTEGER) = 1 AND j % 2 = 1
-        |  UNION ALL
-        |  SELECT doc_id, '/nav/' || t[8 * b + j + 1] AS href
-        |  FROM b, LATERAL (SELECT unnest(range(0,
-        |    least(8, len(t) - 8 * b))) AS j) jj
-        |  WHERE CAST(b % 3 AS INTEGER) = 2)
-        |SELECT href, CAST(count(*) AS BIGINT) AS n_refs,
-        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
-        |FROM l GROUP BY 1""".stripMargin,
+    "q268_link_graph" -> linkGraphOracle,
+
+    // q272: post-append index stats must equal the FULL-corpus rebuild —
+    // q268's oracle text, shared by reference
+    "q272_link_index_maintenance" -> linkGraphOracle,
 
     // q271: q268's edge arithmetic + both HITS iterations unrolled —
     // hugeint sums, (raw * 1e9) // max rescale, non-negative so // == div
