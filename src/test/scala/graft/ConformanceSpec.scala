@@ -2575,6 +2575,36 @@ class ConformanceSpec extends SparkSpec {
       == Set(Seq("k1", 11L), Seq("k2", 2L), Seq("k3", 30L)))
   }
 
+  // AssemblyHelpersPlatformTest.testRenameNamed: the Rename assembly
+  // renames IN PLACE — untouched columns keep their positions, renamed
+  // ones keep theirs under the new name (field ORDER is contract in
+  // Cascading; a rename must never reorder).
+  test("Rename assembly renames in place, preserving field order") {
+    val df = Seq((1, "a", 2.0)).toDF("x", "y", "z")
+    val out = Flow.toDF(pipe(df).rename("y" -> "why"))
+    assert(out.columns.toSeq == Seq("x", "why", "z"))
+    assert(rows(pipe(df).rename("y" -> "why")) == Set(Seq(1, "a", 2.0)))
+  }
+
+  // AssemblyHelpersPlatformTest.testRetainNarrow: Retain keeps ONLY the
+  // named fields, in the DECLARED order (not source order) — retain is
+  // both a projection and a reordering.
+  test("Retain assembly projects to the declared order") {
+    val df = Seq((1, "a", 2.0)).toDF("x", "y", "z")
+    val out = Flow.toDF(pipe(df).retain("z", "x"))
+    assert(out.columns.toSeq == Seq("z", "x"))
+    assert(rows(pipe(df).retain("z", "x")) == Set(Seq(2.0, 1)))
+  }
+
+  // AssemblyHelpersPlatformTest.testDiscardNarrow: Discard removes the
+  // named fields and leaves the rest in SOURCE order.
+  test("Discard assembly drops named fields, keeps source order") {
+    val df = Seq((1, "a", 2.0, true)).toDF("x", "y", "z", "w")
+    val out = Flow.toDF(pipe(df).discard("y", "w"))
+    assert(out.columns.toSeq == Seq("x", "z"))
+    assert(rows(pipe(df).discard("y", "w")) == Set(Seq(1, 2.0)))
+  }
+
   // FieldedPipesPlatformTest.testSplitNonSafe: a split below a NON-SAFE
   // operation — both branches must observe the SAME rows (the operation
   // is not replayed divergently per branch). persist() is the DSL's
