@@ -211,10 +211,16 @@ object Html {
         } else if (RawSkipTags.contains(name)) {
           // raw content (script/style) is skipped byte-exactly to its
           // close tag; it contributes neither text nor structure, but is
-          // still a token separator inside a block
+          // still a token separator inside a block. The close-tag scan is
+          // case-insensitive via regionMatches on the ORIGINAL string —
+          // a lowercased copy could change length (U+0130 → "i" + U+0307)
+          // and misalign every index after it.
           if (!selfClose) {
-            val e = lower(html).indexOf(s"</$name", j)
-            if (e < 0) return None // unterminated raw element
+            val close = s"</$name"
+            var e = j
+            while (e >= 0 && e + close.length <= n &&
+                !html.regionMatches(true, e, close, 0, close.length)) e += 1
+            if (e + close.length > n) return None // unterminated raw element
             val gt = html.indexOf('>', e)
             if (gt < 0) return None
             i = gt + 1
