@@ -483,4 +483,49 @@ class PlanAuditSpec extends SparkSpec {
       .filter(_.contains("windowspecdefinition"))
       .forall(_.contains("source")), s"window not keyed by source:\n$plan")
   }
+
+  test("q264/q269: the LM pair plans with no window, no cartesian " +
+       "product, and a BROADCAST 1-row total (q269) — keyed shuffles only") {
+    Seq("q264_bigram_surprisal", "q269_kneser_ney").foreach { q =>
+      val plan = formatted(q)
+      assert(!plan.contains("Window"), s"$q: corpus-keyed window leaked")
+      assert(!plan.contains("CartesianProduct"),
+        s"$q: a non-broadcast cross leaked")
+    }
+    // q269's N1+(··) total rides a broadcast nested-loop (1-row cross),
+    // never a shuffled cross
+    val kn = formatted("q269_kneser_ney")
+    assert(kn.contains("BroadcastNestedLoopJoin") ||
+      kn.contains("BroadcastHashJoin"), kn.take(400))
+  }
+
+  test("q271 shape: a HITS half-iteration + top-k is keyed aggregate + " +
+       "broadcast 1-row max + TakeOrderedAndProject — no window, no " +
+       "cartesian, no global sort") {
+    // hitsTopK eagerly localCheckpoints its k-row result (the PageRank
+    // block-retention discipline), so its own executed plan reads as an
+    // RDD scan after the fact; audit the structurally identical
+    // half-iteration inline instead. The source must be parquet-backed:
+    // a local table's KNOWN maxRows lets EliminateLimits drop the
+    // Limit (maxRows ≤ k) and the TakeOrderedAndProject never forms.
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
+      .select(col("doc_id").as("src"),
+        (col("doc_id") % 7).cast("string").as("dst"))
+    val hub = e.select(col("src")).distinct()
+      .select(col("src"), lit(1000000000L).as("h"))
+    val aRaw = e.join(hub, Seq("src")).groupBy(col("dst"))
+      .agg(sum(col("h")).cast("decimal(38,0)").as("ar"))
+    val topk = aRaw.crossJoin(broadcast(aRaw.agg(max(col("ar")).as("amax"))))
+      .select(col("dst"),
+        expr("CAST(ar * 1000000000 div amax AS BIGINT)").as("a"))
+      .orderBy(col("a").desc, col("dst")).limit(20)
+    val plan = topk.queryExecution.explainString(FormattedMode)
+    assert(!plan.contains("Window"), "corpus-keyed window leaked")
+    assert(!plan.contains("CartesianProduct"), "non-broadcast cross leaked")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan.take(400))
+    // the top-k lowers to TakeOrderedAndProject, never a global Sort
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(400))
+  }
 }
