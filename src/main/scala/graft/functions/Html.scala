@@ -217,9 +217,19 @@ object Html {
           // and misalign every index after it.
           if (!selfClose) {
             val close = s"</$name"
+            // per the HTML spec an appropriate end tag requires the name
+            // to be FOLLOWED by '>', '/', or whitespace — '</scripts>'
+            // inside script text must NOT terminate the skip
+            def closesAt(e: Int): Boolean =
+              html.regionMatches(true, e, close, 0, close.length) && {
+                val after = e + close.length
+                after < n && {
+                  val ca = html.charAt(after)
+                  ca == '>' || ca == '/' || ca.isWhitespace
+                }
+              }
             var e = j
-            while (e >= 0 && e + close.length <= n &&
-                !html.regionMatches(true, e, close, 0, close.length)) e += 1
+            while (e + close.length <= n && !closesAt(e)) e += 1
             if (e + close.length > n) return None // unterminated raw element
             val gt = html.indexOf('>', e)
             if (gt < 0) return None
@@ -357,7 +367,11 @@ object Html {
     * one row per document — (id, n_blocks, n_kept, clean_text), kept
     * blocks joined by '\n' in block order (array_sort reassembly — no
     * window, deterministic on any partitioning). Documents whose markup
-    * yields zero blocks keep a (0, 0, "") row. */
+    * yields ZERO blocks emit no rows from [[htmlBlocks]] and are
+    * therefore ABSENT from this output (total-corpus accounting needs
+    * the carrier DataFrame); callers must verify parse-failure null
+    * block rows FIRST — an unverified null row counts into n_blocks but
+    * can never be kept. */
   def extractContent(blocks: DataFrame,
                      maxLinkDensityMicros: Long = 500000L,
                      dropTags: Seq[String] = Seq("nav", "footer", "aside"))

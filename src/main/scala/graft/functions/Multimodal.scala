@@ -1463,13 +1463,17 @@ object Multimodal {
       s.indices.forall(j => u8(i + j) == s(j).toInt)
     if (p.length < 12 || !tagAt(0, "RIFF") || !tagAt(8, "WAVE")) return None
     var i = 12
-    var rate = -1; var ok = false
+    var rate = -1; var ok = false; var fmtSeen = false
     var data: Array[Int] = null
     while (i + 8 <= p.length) {
       val size = le32(i + 4)
       if (size < 0 || i + 8 + size > p.length) return None
       if (tagAt(i, "fmt ")) {
-        if (ok) return None // duplicate fmt chunk — refuse, not last-wins
+        // ANY second fmt chunk — even after an invalid first one — is a
+        // refusal, not last-wins (round-12 advice: an invalid-fmt →
+        // valid-fmt → data sequence must not be accepted)
+        if (fmtSeen) return None
+        fmtSeen = true
         if (size < 16) return None
         val fmt = le16(i + 8); val ch = le16(i + 10)
         rate = le32(i + 12)

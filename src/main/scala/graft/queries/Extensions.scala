@@ -8585,7 +8585,7 @@ object Extensions {
          |    CASE WHEN doc_id % 5 = 0 THEN chr(10) || '$Boiler2'
          |         ELSE '' END AS text
          |  FROM documents),
-         |${paragraphDedupBody("aug")}
+         |${paragraphDedupBody("aug", nibbles = 15)}
          |SELECT t.doc_id, md5(coalesce(a.clean_text, '')) AS clean_md5,
          |  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
          |  CAST(t.n_total - coalesce(a.n_kept, 0) AS BIGINT) AS n_dropped
@@ -8717,7 +8717,7 @@ object Extensions {
          |  FROM lraw),
          |aug AS (SELECT doc_id, array_to_string(k, chr(10)) AS text,
          |    CAST(nl - len(k) AS BIGINT) AS lines_dropped FROM lc),
-         |${paragraphDedupBody("aug")}
+         |${paragraphDedupBody("aug", nibbles = 15)}
          |SELECT t.doc_id, md5(coalesce(a.clean_text, '')) AS final_md5,
          |  b.lines_dropped,
          |  CAST(t.n_total - coalesce(a.n_kept, 0) AS BIGINT)

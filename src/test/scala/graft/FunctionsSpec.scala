@@ -826,6 +826,13 @@ class FunctionsSpec extends SparkSpec {
       "duplicate fmt must refuse")
     assert(Multimodal.decodeWavPcm16(good ++ dataChunk).isEmpty,
       "duplicate data must refuse")
+    // round-12 advice: an INVALID first fmt (stereo) followed by a valid
+    // fmt must still refuse — fmt presence is tracked, not fmt validity
+    val badFmt = fmtChunk.clone()
+    badFmt(10) = 2 // channels le16 low byte → stereo (invalid for PCM16 mono)
+    assert(Multimodal.decodeWavPcm16(
+      good.take(12) ++ badFmt ++ fmtChunk ++ dataChunk).isEmpty,
+      "invalid-fmt then valid-fmt must refuse, not last-wins")
   }
 
   test("audioMeta parses the RIFF fmt chunk little-endian; rejects non-RIFF") {

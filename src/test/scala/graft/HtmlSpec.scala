@@ -89,6 +89,21 @@ class HtmlSpec extends AnyFunSuite {
     assert(b.links == Seq("/t1", "/t2"), b.links.toString)
   }
 
+  test("raw-skip close tag requires a delimiter after the name: " +
+       "'</scripts>' inside script text must not terminate the skip") {
+    // per spec an end tag's name must be followed by '>', '/', or
+    // whitespace — the bare-prefix match would end the skip at
+    // '</scripts>' and misparse the rest (round-12 advice)
+    val h = "<html><body><div>alpha " +
+      "<script>var s = \"</scripts> not a close\";</script>" +
+      " beta</div></body></html>"
+    val bs = Html.walkHtmlBlocks(h).get
+    assert(bs.length == 1 && bs.head.text == "alpha beta")
+    // whitespace and '/' after the name are valid close-tag forms
+    val h2 = "<html><body><div>a<script>x</script >b</div></body></html>"
+    assert(Html.walkHtmlBlocks(h2).get.head.text == "a b")
+  }
+
   test("density arithmetic: floor micros, zero-token block safe") {
     val h = "<html><body><div><a href='/x'>one</a> two three</div>" +
       "<p></p></body></html>"
