@@ -186,9 +186,11 @@ object LanguageModel {
     * on the raw zipfian bigram and is the declared AQE-skew point. At
     * 100 TB the context table for a top-V vocabulary is O(V) rows —
     * broadcast it (the scale path: one broadcast + the single bigram
-    * count shuffle); self-scoring here trains and scores in one pass,
-    * and [[trainCounts]]/[[countsTap]] persistence applies unchanged
-    * when scoring daily batches against a fixed reference corpus. */
+    * count shuffle); self-scoring here trains and scores in one pass.
+    * The persisted/arrival form — [[scoreBigramBitsAgainstCounts]] over
+    * [[bigramTrainCounts]] through [[bigramCountsTap]] — EXECUTES that
+    * broadcast-context shape and is gated as q273 with the join plan
+    * asserted in-query. */
   def bigramSurprisal(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {
     // token array materialized before the slice/zip (the trainCounts
@@ -252,7 +254,177 @@ object LanguageModel {
     * N1+(·w) — the last two from the DISTINCT-bigram type table, which
     * is also the scoring domain), a 1-row broadcast for N1+(··), and
     * the position join-back on the zipfian bigram as the declared
-    * AQE-skew point. */
+    * AQE-skew point. The persisted/arrival form is
+    * [[scoreKneserNeyAgainstCounts]] over [[bigramTrainCounts]] —
+    * gated as q274 with the bucket-local/broadcast join shape asserted
+    * in-plan. */
+  /** Bigram positions of a corpus: one row per adjacent token pair —
+    * (prev, w, bg) with bg = "prev w". Token array materialized before
+    * the slice/zip (the [[trainCounts]] lambda-CSE note); linear per
+    * row. Shared by the bigram-family TRAIN/SCORE halves below; the
+    * self-scoring forms ([[bigramSurprisal]]/[[kneserNeyBigram]]) keep
+    * their own inlined copies so their gated plans stay byte-stable. */
+  private def bigramPositions(docs: DataFrame, idCol: String,
+                              textCol: String): DataFrame =
+    docs
+      .select(col(idCol), split(col(textCol), " ").as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(col(idCol),
+        slice(col("__t"), lit(1), size(col("__t")) - 1).as("ls"),
+        slice(col("__t"), lit(2), size(col("__t")) - 1).as("rs"))
+      .select(col(idCol), explode(arrays_zip(col("ls"), col("rs"))).as("p"))
+      .select(col(idCol), col("p.ls").as("prev"), col("p.rs").as("w"),
+        concat_ws(" ", col("p.ls"), col("p.rs")).as("bg"))
+
+  /** The bigram-family TRAIN half: one explode scan of the corpus → a
+    * single self-describing (g, c, n1f, n1b) table serving BOTH bigram
+    * filters ([[scoreBigramBitsAgainstCounts]] and
+    * [[scoreKneserNeyAgainstCounts]]):
+    *  - bigram rows (g has one space): c = c(prev w), n1f = n1b = 0;
+    *  - unigram rows (no space): c = the CONTEXT count c(prev·)
+    *    (occurrences as LEFT element — 0 for a token only ever
+    *    doc-final), n1f = N1+(prev·) forward type count, n1b = N1+(·w)
+    *    backward type count (0 for a token only ever doc-initial).
+    * The context count and forward type count reduce in ONE aggregate
+    * (count + count_distinct over the same grouping); the backward type
+    * count is the only second shuffle, and both merge into the unigram
+    * row via a vocab-sized full outer join — all train-once costs.
+    * ntypes = Σ n1f over unigram rows, so the KN normalizer needs no
+    * extra persisted row. Persist through [[bigramCountsTap]] (bucketed
+    * by g) and daily batches score with ZERO count-side exchange — the
+    * q159/[[countsTap]] amortization applied to the bigram family. */
+  def bigramTrainCounts(train: DataFrame,
+                        textCol: String = "text"): DataFrame = {
+    val pos = bigramPositions(train.select(lit(0L).as("__id"),
+      col(textCol)), "__id", textCol)
+    val left = pos.groupBy(col("prev"))
+      .agg(count(lit(1)).as("c"), count_distinct(col("bg")).as("n1f"))
+    val right = pos.groupBy(col("w"))
+      .agg(count_distinct(col("bg")).as("n1b"))
+    val uni = left.withColumnRenamed("prev", "g")
+      .join(right.withColumnRenamed("w", "g"), Seq("g"), "full")
+      .select(col("g"), coalesce(col("c"), lit(0L)).as("c"),
+        coalesce(col("n1f"), lit(0L)).as("n1f"),
+        coalesce(col("n1b"), lit(0L)).as("n1b"))
+    val bi = pos.groupBy(col("bg")).agg(count(lit(1)).as("c"))
+      .select(col("bg").as("g"), col("c"),
+        lit(0L).as("n1f"), lit(0L).as("n1b"))
+    uni.unionAll(bi)
+  }
+
+  /** The tap a persisted bigram-family count table is written through:
+    * bucketed by the gram string — the key of every scoring lookup.
+    * Same sizing rule as [[countsTap]]. */
+  def bigramCountsTap(table: String, buckets: Int): graft.sources.BucketedTap =
+    graft.sources.BucketedTap(table, buckets, Seq("g"))
+
+  /** [[bigramSurprisal]]'s SCORE half against a persisted
+    * [[bigramTrainCounts]] table — value-identical to self-scoring when
+    * batch = train (the index changes the plan, never the numbers; the
+    * q159 contract), with the 100 TB join shape EXECUTED, not documented:
+    *  - the bigram count lookup keys on the table's own bucket column
+    *    (read through [[bigramCountsTap]] → bucket-aware scan, zero
+    *    count-side exchange);
+    *  - the CONTEXT lookup broadcasts the unigram slice — O(vocab) rows
+    *    (cap to top-V upstream when the vocab is unbounded), which is
+    *    what removes the zipfian context key from the shuffle entirely;
+    *  - the join BACK to positions stays the declared AQE-skew point.
+    * Arrival semantics (new in the persisted form — batch grams may be
+    * absent from a FROZEN count table): a position whose CONTEXT is
+    * unseen (no unigram row, or context count 0) is unsheltered evidence
+    * — counted in n_oov, excluded from n_bi and the bit sum; a position
+    * with a seen context but UNSEEN bigram scores ⌊log2 c1⌋ + 1 bits
+    * (one bit beyond the rarest observed continuation c2 = 1, which
+    * scores ⌊log2 c1⌋ — monotone, still exact integers). Self-scoring
+    * has n_oov ≡ 0 and reproduces [[bigramSurprisal]] bit-for-bit.
+    * Returns (idCol, n_bi, bigram_bits, n_oov); < 2-token docs keep a
+    * (0, 0, 0) row. */
+  def scoreBigramBitsAgainstCounts(counts: DataFrame, batch: DataFrame,
+                                   idCol: String = "doc_id",
+                                   textCol: String = "text"): DataFrame = {
+    val pos = bigramPositions(batch, idCol, textCol)
+      .select(col(idCol), col("prev"), col("bg"))
+    val uniC = counts.filter(!col("g").contains(" "))
+    val biC = counts.filter(col("g").contains(" "))
+    val d = pos.select(col("prev"), col("bg")).distinct()
+    val looked = d
+      .join(biC.select(col("g"), col("c").as("c2")),
+        col("bg") === col("g"), "left").drop("g")
+      .join(broadcast(uniC.select(col("g"), col("c").as("c1"))),
+        col("prev") === col("g"), "left").drop("g")
+    val bits = when(col("c1").isNull || col("c1") === 0L,
+        lit(null).cast("long"))
+      .otherwise(when(col("c2").isNotNull,
+        ((length(bin(col("c1"))) - 1) - (length(bin(col("c2"))) - 1))
+          .cast("long"))
+        .otherwise(length(bin(col("c1"))).cast("long")))
+    val scored = looked.select(col("bg"), bits.as("bits"))
+    val perDoc = pos.join(scored, Seq("bg"))
+      .groupBy(col(idCol))
+      .agg(count(col("bits")).as("n_bi"),
+        sum(col("bits")).cast("bigint").as("bb"),
+        count(when(col("bits").isNull, lit(1))).as("oov"))
+    batch.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bi"), lit(0L)).as("n_bi"),
+        coalesce(col("bb"), lit(0L)).as("bigram_bits"),
+        coalesce(col("oov"), lit(0L)).as("n_oov"))
+  }
+
+  /** [[kneserNeyBigram]]'s SCORE half against a persisted
+    * [[bigramTrainCounts]] table — the same executed join shape as
+    * [[scoreBigramBitsAgainstCounts]] (bucket-local bigram lookup,
+    * BROADCAST unigram slice for both the context stats (c1, n1f) and
+    * the continuation type count n1b, position join-back as the skew
+    * point), plus the 1-row ntypes normalizer reduced from the unigram
+    * slice (Σ n1f = |bigram types| — an O(vocab) scan, no second
+    * corpus pass). Arrival semantics: interpolated KN SMOOTHES unseen
+    * continuations natively — an unseen bigram under a seen context
+    * scores max(c2−D, 0)/c1 + D·n1f/c1 · n1b/ntypes with c2 = 0 (pure
+    * continuation mass; an unseen w has n1b = 0 → score 0) — so only
+    * context-unseen positions are n_oov. The observed-bigram expression
+    * tree is parenthesis-identical to [[kneserNeyBigram]] (max(x,0) = x
+    * exactly when x > 0; coalesce over a non-null is the identity cast),
+    * so self-scoring reproduces it bit-for-bit with n_oov ≡ 0.
+    * Returns (idCol, n_bi, kn_micros, n_oov). */
+  def scoreKneserNeyAgainstCounts(counts: DataFrame, batch: DataFrame,
+                                  idCol: String = "doc_id",
+                                  textCol: String = "text"): DataFrame = {
+    val pos = bigramPositions(batch, idCol, textCol)
+    val uniC = counts.filter(!col("g").contains(" "))
+    val biC = counts.filter(col("g").contains(" "))
+    val nt = uniC.agg(sum(col("n1f")).cast("double").as("ntypes"))
+    val d = pos.select(col("prev"), col("w"), col("bg")).distinct()
+    val looked = d
+      .join(biC.select(col("g"), col("c").as("c2")),
+        col("bg") === col("g"), "left").drop("g")
+      .join(broadcast(uniC.select(col("g"), col("c").as("c1"),
+          col("n1f").as("n1f"))),
+        col("prev") === col("g"), "left").drop("g")
+      .join(broadcast(uniC.select(col("g"), col("n1b").as("n1b"))),
+        col("w") === col("g"), "left").drop("g")
+      .crossJoin(broadcast(nt))
+    val p =
+      greatest(coalesce(col("c2"), lit(0L)).cast("double") - lit(0.75),
+          lit(0.0)) / col("c1").cast("double") +
+        ((lit(0.75) * col("n1f").cast("double")) / col("c1").cast("double")) *
+          (coalesce(col("n1b"), lit(0L)).cast("double") / col("ntypes"))
+    val score = when(col("c1").isNull || col("c1") === 0L,
+        lit(null).cast("bigint"))
+      .otherwise(floor(lit(1000000.0) * p).cast("bigint"))
+    val scored = looked.select(col("bg"), score.as("s"))
+    val perDoc = pos.join(scored, Seq("bg"))
+      .groupBy(col(idCol))
+      .agg(count(col("s")).as("n_bi"),
+        sum(col("s")).cast("bigint").as("km"),
+        count(when(col("s").isNull, lit(1))).as("oov"))
+    batch.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bi"), lit(0L)).as("n_bi"),
+        coalesce(col("km"), lit(0L)).as("kn_micros"),
+        coalesce(col("oov"), lit(0L)).as("n_oov"))
+  }
+
   def kneserNeyBigram(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {
     val pos = docs

@@ -522,6 +522,80 @@ class FunctionsSpec extends SparkSpec {
     assert(kn(2, 3, 2, 1, 2) + kn(1, 3, 2, 1, 2) >= 999998L)
   }
 
+  test("bigramTrainCounts: self-describing (g, c, n1f, n1b) layout — " +
+       "context counts, forward/backward type counts, bigram rows") {
+    import graft.functions.LanguageModel
+    val train = Seq((1L, "a a a b"), (3L, "b a")).toDF("doc_id", "text")
+    val rows = LanguageModel.bigramTrainCounts(train).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // unigram rows: c = CONTEXT count (left-element occurrences),
+    // n1f = N1+(g·), n1b = N1+(·g)
+    assert(rows("a") == ((3L, 2L, 2L)), rows.toString)   // aa,ab / aa,ba
+    assert(rows("b") == ((1L, 1L, 1L)), rows.toString)   // ba / ab
+    // bigram rows: c = c(prev w), type stats zero
+    assert(rows("a a") == ((2L, 0L, 0L)))
+    assert(rows("a b") == ((1L, 0L, 0L)))
+    assert(rows("b a") == ((1L, 0L, 0L)))
+    assert(rows.size == 5)
+  }
+
+  test("scoreBigramBitsAgainstCounts arrival semantics: unseen context " +
+       "→ n_oov; unseen bigram under seen context → ⌊log2 c1⌋+1 bits") {
+    import graft.functions.LanguageModel
+    val train = Seq((1L, "a a a b"), (3L, "b a")).toDF("doc_id", "text")
+    val counts = LanguageModel.bigramTrainCounts(train)
+    val batch = Seq((10L, "a c"), (11L, "z a"), (12L, "a b b a"))
+      .toDF("doc_id", "text")
+    val got = LanguageModel.scoreBigramBitsAgainstCounts(counts, batch)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // "a c": context a seen (c1=3), bigram unseen → ⌊log2 3⌋+1 = 2 bits
+    assert(got(10L) == ((1L, 2L, 0L)), got.toString)
+    // "z a": context z unseen → pure OOV, excluded from n_bi
+    assert(got(11L) == ((0L, 0L, 1L)), got.toString)
+    // "a b" seen (1−0=1), "b b" unseen under b (⌊log2 1⌋+1=1),
+    // "b a" seen (0−0=0)
+    assert(got(12L) == ((3L, 2L, 0L)), got.toString)
+  }
+
+  test("scoreKneserNeyAgainstCounts: KN smooths unseen continuations " +
+       "natively; unseen context is the only n_oov; self-scoring " +
+       "reproduces kneserNeyBigram bit-for-bit") {
+    import graft.functions.LanguageModel
+    val train = Seq((1L, "a a a b"), (3L, "b a")).toDF("doc_id", "text")
+    val counts = LanguageModel.bigramTrainCounts(train)
+    val batch = Seq((10L, "a c"), (11L, "z a"), (12L, "b b"))
+      .toDF("doc_id", "text")
+    val got = LanguageModel.scoreKneserNeyAgainstCounts(counts, batch)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // ntypes = Σ n1f = 3
+    // "a c": c2=0, c1=3, n1f(a)=2, n1b(c)=0 → 0 + (0.75·2/3)·(0/3) = 0
+    assert(got(10L) == ((1L, 0L, 0L)), got.toString)
+    assert(got(11L) == ((0L, 0L, 1L)), got.toString)
+    // "b b": c2=0, c1=1, n1f(b)=1, n1b(b)=1 → (0.75·1/1)·(1/3) = 0.25
+    assert(got(12L) == ((1L, 250000L, 0L)), got.toString)
+    // self-scoring equality (the q273/q274 verbatim-oracle contract,
+    // pinned here at unit scale): persisted-table scoring == the
+    // one-pass form, and bits likewise
+    val docs = Seq((1L, "a a a b"), (2L, "c"), (3L, "b a"))
+      .toDF("doc_id", "text")
+    val cts = LanguageModel.bigramTrainCounts(docs)
+    val knIdx = LanguageModel.scoreKneserNeyAgainstCounts(cts, docs)
+      .select(col("doc_id"), col("n_bi"), col("kn_micros"))
+      .collect().map(_.toSeq).toSet
+    val knOne = LanguageModel.kneserNeyBigram(docs)
+      .collect().map(_.toSeq).toSet
+    assert(knIdx == knOne)
+    val bitsIdx = LanguageModel.scoreBigramBitsAgainstCounts(cts, docs)
+      .select(col("doc_id"), col("n_bi"), col("bigram_bits"))
+      .collect().map(_.toSeq).toSet
+    val bitsOne = LanguageModel.bigramSurprisal(docs)
+      .collect().map(_.toSeq).toSet
+    assert(bitsIdx == bitsOne)
+  }
+
   test("phraseBpe plan depth is constant in merge count (the q263 " +
        "50k-merge survivability pin)") {
     import graft.functions.Vocab
