@@ -31,8 +31,12 @@ import org.apache.spark.sql.types._
   * Malformed markup FAILS SOFT (None → one null row), and the gates
   * fail directed on it — the q245 decoder contract: an unterminated
   * comment/tag/script, a mismatched or stray close tag, or trailing
-  * open elements at EOF all refuse rather than guess. (Real-web
-  * tolerance would be a recovery MODE, not silent acceptance.)
+  * open elements at EOF all refuse rather than guess. Real-web
+  * tolerance is the opt-in RECOVERY MODE (`recover = true`, never
+  * silent): auto-close at close-tag/EOF boundaries, skip stray closes,
+  * decode the basic entity set — gated by q275 against
+  * deterministically corrupted markup ([[corruptSynthHtml]]), with
+  * strict-mode refusal of the same pages asserted in-query.
   */
 object Html {
 
@@ -104,13 +108,73 @@ object Html {
     sb.toString
   }
 
+  /** Decode the basic HTML entity set — `&amp; &lt; &gt; &quot; &apos;`
+    * and decimal `&#NN;` — in ONE left-to-right pass (no re-scan:
+    * "&amp;lt;" decodes to the LITERAL "&lt;", per spec). Unrecognized
+    * or unterminated entities pass through verbatim (lenient — real-web
+    * text is full of bare '&'). Recovery-mode text/href treatment; the
+    * strict walker never decodes (round-12 contract: the synth never
+    * needs it). */
+  def decodeEntities(s: String): String = {
+    var i = s.indexOf('&')
+    if (i < 0) return s
+    val n = s.length
+    val sb = new StringBuilder(n)
+    sb ++= s.substring(0, i)
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c != '&') { sb += c; i += 1 }
+      else {
+        val semi = s.indexOf(';', i + 1)
+        val body = if (semi < 0 || semi > i + 8) null
+          else s.substring(i + 1, semi)
+        val dec: String = body match {
+          case null => null
+          case "amp" => "&"
+          case "lt" => "<"
+          case "gt" => ">"
+          case "quot" => "\""
+          case "apos" => "'"
+          case b if b.length >= 2 && b.charAt(0) == '#' &&
+              b.substring(1).forall(_.isDigit) =>
+            val cp = b.substring(1).toLong
+            if (cp > 0 && cp <= Char.MaxValue.toLong) cp.toChar.toString
+            else null
+          case _ => null
+        }
+        if (dec == null) { sb += c; i += 1 }
+        else { sb ++= dec; i = semi + 1 }
+      }
+    }
+    sb.toString
+  }
+
   /** The REAL tag walker: segment an HTML string into the direct child
     * blocks of <body>, extracting whitespace-normalized text and
     * anchor-token counts per block. Every tag boundary is a token
     * separator (tokens never span tags; anchors are inline, so their
     * tokens still count into the enclosing block). Returns None on
-    * malformed markup — see the object scaladoc for what counts. */
-  def walkHtmlBlocks(html: String): Option[Seq[HtmlBlock]] = {
+    * malformed markup — see the object scaladoc for what counts.
+    *
+    * `recover = true` is the real-web tolerance MODE (round-12 verdict
+    * item; strict stays the default contract):
+    *  - a close tag whose name sits DEEPER on the open-element stack
+    *    auto-closes everything above it (the unclosed-`<a>`/`<li>`
+    *    class); `</body>` and EOF auto-close all open elements and emit
+    *    the in-progress block (implicit body close at EOF);
+    *  - a close tag matching NOTHING on the stack is a stray — skipped
+    *    (still a token separator inside a block);
+    *  - block text and captured hrefs decode the basic entity set via
+    *    [[decodeEntities]] (counts are over the DECODED text — an
+    *    entity never introduces whitespace in the supported set except
+    *    an explicit `&#32;`).
+    * On well-formed markup, recovery is VERBATIM-identical to strict
+    * for entity-free documents (HtmlSpec pins this; q275 gates it
+    * transitively through the shared oracle arithmetic). Out of
+    * recovery scope — still a refusal: unterminated comments/tags/
+    * attribute values/raw elements, bare text directly under body, a
+    * second `<body>`. */
+  def walkHtmlBlocks(html: String, recover: Boolean): Option[Seq[HtmlBlock]] = {
     if (html == null) return None
     val n = html.length
     var i = 0
@@ -127,6 +191,30 @@ object Html {
     var aDepth = 0
     val blocks = Seq.newBuilder[HtmlBlock]
     def lower(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    // the block element itself closed (or was auto-closed): emit
+    def emitBlock(): Unit = {
+      val rawT = textBuf.toString; val rawL = linkBuf.toString
+      val (tTxt, lTxt) =
+        if (recover) (decodeEntities(rawT), decodeEntities(rawL))
+        else (rawT, rawL)
+      val toks = tTxt.split("\\s+").filter(_.nonEmpty)
+      val ltoks = lTxt.split("\\s+").filter(_.nonEmpty)
+      blocks += HtmlBlock(blockTag, toks.mkString(" "),
+        toks.length, ltoks.length, hrefs.result())
+      blockTag = null; blockDepth = -1
+      textBuf = null; linkBuf = null; hrefs = null
+    }
+    // pop ONE open element, maintaining anchor depth; emits the block
+    // when the popped element is the block element itself, otherwise a
+    // nested close is a token separator
+    def popOne(): Unit = {
+      val popped = stack.remove(stack.length - 1)
+      if (popped == "a" && aDepth > 0) aDepth -= 1
+      if (inBody && blockTag != null) {
+        if (stack.length == blockDepth) emitBlock()
+        else { textBuf += ' '; linkBuf += ' ' }
+      }
+    }
 
     while (i < n) {
       val c = html.charAt(i)
@@ -168,8 +256,10 @@ object Html {
           if (cj == '"' || cj == '\'') {
             val e = html.indexOf(cj, j + 1)
             if (e < 0) return None // unterminated attribute value
-            if (pendingName == "href" && href == null)
-              href = html.substring(j + 1, e)
+            if (pendingName == "href" && href == null) {
+              val v = html.substring(j + 1, e)
+              href = if (recover) decodeEntities(v) else v
+            }
             pendingName = null
             j = e + 1
           } else if (cj == '>') { done = true; j += 1 }
@@ -185,25 +275,30 @@ object Html {
         i = j // the tag's bytes are consumed; branches below adjust only state
         if (closing) {
           if (name == "body") {
-            if (!inBody || blockTag != null ||
-                stack.length != bodyBaseDepth) return None
-            inBody = false
-          } else {
-            if (stack.isEmpty || stack.last != name)
-              return None // mismatched or stray close tag
-            stack.remove(stack.length - 1)
-            if (name == "a" && aDepth > 0) aDepth -= 1
-            if (inBody && blockTag != null) {
-              if (stack.length == blockDepth) {
-                // the block element itself closed: emit
-                val toks = textBuf.toString.split("\\s+").filter(_.nonEmpty)
-                val ltoks = linkBuf.toString.split("\\s+").filter(_.nonEmpty)
-                blocks += HtmlBlock(blockTag, toks.mkString(" "),
-                  toks.length, ltoks.length, hrefs.result())
-                blockTag = null; blockDepth = -1
-                textBuf = null; linkBuf = null; hrefs = null
-              } else { textBuf += ' '; linkBuf += ' ' }
+            if (recover) {
+              if (inBody) { // stray </body> outside body: skipped
+                // auto-close every element the markup left open
+                while (stack.length > bodyBaseDepth) popOne()
+                inBody = false
+              }
+            } else {
+              if (!inBody || blockTag != null ||
+                  stack.length != bodyBaseDepth) return None
+              inBody = false
             }
+          } else if (stack.nonEmpty && stack.last == name) {
+            popOne() // the well-formed case, both modes
+          } else if (recover) {
+            if (stack.contains(name)) {
+              // the name sits deeper: auto-close everything above it
+              while (stack.last != name) popOne()
+              popOne()
+            } else if (inBody && blockTag != null) {
+              // stray close inside a block: still a token separator
+              textBuf += ' '; linkBuf += ' '
+            } // stray close elsewhere: skipped
+          } else {
+            return None // mismatched or stray close tag
           }
         } else if (name == "body") {
           if (inBody || bodySeen) return None
@@ -268,10 +363,19 @@ object Html {
         return None // bare '<' not opening a tag/comment/doctype
       }
     }
-    if (inBody || stack.nonEmpty || blockTag != null)
-      return None // EOF inside body / open elements
-    Some(blocks.result())
+    if (recover) {
+      // implicit close of everything at EOF (the truncated-page class):
+      // popping crosses the block boundary, emitting an in-progress block
+      while (stack.nonEmpty) popOne()
+      Some(blocks.result())
+    } else if (inBody || stack.nonEmpty || blockTag != null) {
+      None // EOF inside body / open elements
+    } else Some(blocks.result())
   }
+
+  /** Strict-mode walk — the default contract (see the 2-arg form). */
+  def walkHtmlBlocks(html: String): Option[Seq[HtmlBlock]] =
+    walkHtmlBlocks(html, recover = false)
 
   /** Attach deterministic synth HTML built from a text column:
     * (id, html) — the q245 `withSynthWavPayload` pattern for markup. */
@@ -287,12 +391,83 @@ object Html {
     }(enc)
   }
 
+  /** Deterministic REAL-WEB corruption of [[synthHtml]] output, keyed by
+    * `cls` (the gate uses id % 4) — the q245 decoder contract INVERTED:
+    * strict must REFUSE the structurally corrupted classes and recovery
+    * must parse 100% with output the oracle computes arithmetically.
+    *   0 → untouched (the strict-agreement subset);
+    *   1 → truncated page: the final close tag and the `</body></html>`
+    *       tail dropped (the EOF auto-close class);
+    *   2 → stray closes: `</span>` right after `<body>`, `</strong>`
+    *       inside the first block, `</em>` before `</body>` (skip-stray
+    *       + separator semantics);
+    *   3 → entities + unclosed inline anchor: each p-block's FIRST
+    *       token is entity-decorated in the markup
+    *       (`&amp;&lt;w&gt;&quot;&#33;` decodes to `&<w>"!`), and the
+    *       last nav `</a></li>` loses its `</a>` (auto-closed at the
+    *       enclosing `</li>`; no tokens sit between a nav anchor and
+    *       its `</li>`, so every count matches the well-formed
+    *       arithmetic — only the decoded p-block text shifts, which the
+    *       oracle recomputes).
+    */
+  def corruptSynthHtml(text: String, cls: Int): String = cls match {
+    case 0 => synthHtml(text)
+    case 1 =>
+      val h = synthHtml(text).stripSuffix("</body></html>")
+      val k = h.lastIndexOf("</")
+      if (k < 0) h
+      else h.substring(0, k) + h.substring(h.indexOf('>', k) + 1)
+    case 2 =>
+      val h = synthHtml(text)
+      def replaceFirstLit(s: String, find: String, repl: String): String = {
+        val i = s.indexOf(find)
+        if (i < 0) s
+        else s.substring(0, i) + repl + s.substring(i + find.length)
+      }
+      replaceFirstLit(
+        replaceFirstLit(
+          replaceFirstLit(h, "<body>", "<body></span>"),
+          "<p class=\"prose\">", "<p class=\"prose\"></strong>"),
+        "</body></html>", "</em></body></html>")
+    case 3 =>
+      val t = text.split(" ").filter(_.nonEmpty)
+      val dec = t.zipWithIndex.map { case (w, i) =>
+        if (i % 24 == 0) "&amp;&lt;" + w + "&gt;&quot;&#33;" else w }
+      val h = synthHtml(dec.mkString(" "))
+      val k = h.lastIndexOf("</a></li>")
+      if (k < 0) h else h.substring(0, k) + h.substring(k + 4)
+    case other =>
+      throw new IllegalArgumentException(
+        s"corruptSynthHtml: class must be 0-3, got $other")
+  }
+
+  /** Attach deterministically CORRUPTED synth HTML, corruption class =
+    * id % 4 — the q275 gate's payload (the [[withSynthHtml]] pattern). */
+  def withCorruptSynthHtml(df: DataFrame, idCol: String,
+                           textCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("html", StringType)))
+    val enc = Encoders.row(schema)
+    val idIdx = df.columns.indexOf(idCol)
+    val tIdx = df.columns.indexOf(textCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val id = row.getLong(idIdx)
+        Row(id, corruptSynthHtml(row.getString(tIdx), (id % 4).toInt))
+      }
+    }(enc)
+  }
+
   /** Per-block records over REAL HTML: one row per top-level block —
     * (id, block_idx, tag, n_tokens, n_link_tokens, link_density_micros,
     * text). Malformed markup yields ONE null row per carrier (fail
     * soft), which gates fail directed on (the q245 contract).
-    * link_density_micros = ⌊1e6 · n_link/n⌋ (0 for an empty block). */
-  def htmlBlocks(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    * link_density_micros = ⌊1e6 · n_link/n⌋ (0 for an empty block).
+    * `recover = true` walks in real-web recovery mode (see
+    * [[walkHtmlBlocks]]) — the q275 gate. */
+  def htmlBlocks(df: DataFrame, idCol: String, htmlCol: String,
+                 recover: Boolean = false): DataFrame = {
     val schema = StructType(Seq(
       StructField("id", df.schema(idCol).dataType),
       StructField("block_idx", IntegerType),
@@ -307,7 +482,7 @@ object Html {
     val hIdx = df.columns.indexOf(htmlCol)
     df.mapPartitions { it =>
       it.flatMap { row =>
-        walkHtmlBlocks(row.getString(hIdx)) match {
+        walkHtmlBlocks(row.getString(hIdx), recover) match {
           case Some(bs) => bs.zipWithIndex.map { case (b, k) =>
             val dens = if (b.nTokens == 0) 0L
               else b.nLinkTokens.toLong * 1000000L / b.nTokens

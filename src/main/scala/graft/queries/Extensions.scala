@@ -3460,6 +3460,39 @@ object Extensions {
           md5(col("text")).as("text_md5"))
     }),
 
+    // --- REAL-WEB RECOVERY MODE (round-12 verdict item 2): the q266
+    // block table over deterministically CORRUPTED markup — class =
+    // doc_id % 4: untouched / truncated page (EOF auto-close) / stray
+    // closes (skipped) / entities + unclosed inline anchor (decoded,
+    // auto-closed). Non-vacuity is asserted in-query: STRICT mode must
+    // refuse every class-1/2 page (the corruption is real), recovery
+    // must parse 100% (raise_error on any null row). Agreement with
+    // strict on the well-formed subset is transitive through the shared
+    // oracle arithmetic: class-0 rows are computed by exactly q266's
+    // SQL, which q266 gates against the strict walker.
+    "q275_html_recovery" -> ((s, dir) => {
+      val H = graft.functions.Html
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val corrupted = H.withCorruptSynthHtml(docs, "doc_id", "text")
+      require(
+        H.htmlBlocks(
+            corrupted.filter(col("id") % 4 === 1 || col("id") % 4 === 2),
+            "id", "html")
+          .filter(col("block_idx").isNotNull).limit(1).isEmpty,
+        "q275: strict mode parsed a structurally corrupted page — the " +
+        "corruption is vacuous")
+      H.htmlBlocks(corrupted, "id", "html", recover = true)
+        .select(
+          when(col("block_idx").isNull, raise_error(concat(
+            lit("q275: recovery failed to parse corrupted HTML for id "),
+            col("id").cast("string"))))
+            .otherwise(col("id")).as("doc_id"),
+          col("block_idx"), col("tag"), col("n_tokens"),
+          col("n_link_tokens"), col("link_density_micros"),
+          md5(col("text")).as("text_md5"))
+    }),
+
     // --- structure-aware extraction, part 2 — the jusText verdict:
     // keep blocks that are neither chrome by TAG (nav/footer/aside) nor
     // chrome by STRUCTURE (link density ≥ 0.5), reassemble per document
@@ -6888,6 +6921,41 @@ object Extensions {
         |FROM blk""".stripMargin,
 
     "q267_html_extract" -> htmlExtractOracle,
+
+    // q275: q266's block arithmetic over the corrupted corpus — classes
+    // 1/2 (truncation, stray closes) change NO text or counts once
+    // recovered; class 3's entity decoration shifts only the p-block
+    // first token, recomputed here from the raw token stream
+    "q275_html_recovery" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, t, unnest(range(0, (len(t) + 7) // 8)) AS b FROM t),
+        |blk AS (
+        |  SELECT doc_id, b,
+        |    CASE CAST(b % 3 AS INTEGER) WHEN 0 THEN 'p' WHEN 1 THEN 'div'
+        |         ELSE 'nav' END AS tag,
+        |    least(8, len(t) - 8 * b) AS nt,
+        |    CASE CAST(b % 3 AS INTEGER) WHEN 0 THEN 0
+        |         WHEN 1 THEN least(8, len(t) - 8 * b) // 2
+        |         ELSE least(8, len(t) - 8 * b) END AS nl,
+        |    CASE WHEN doc_id % 4 = 3 AND b % 3 = 0 THEN
+        |      '&<' || t[8 * b + 1] || '>"!' ||
+        |      CASE WHEN least(8, len(t) - 8 * b) > 1 THEN ' ' ||
+        |        array_to_string(list_slice(t, 8 * b + 2,
+        |          8 * b + least(8, len(t) - 8 * b)), ' ')
+        |      ELSE '' END
+        |    ELSE array_to_string(
+        |      list_slice(t, 8 * b + 1, 8 * b + least(8, len(t) - 8 * b)),
+        |      ' ')
+        |    END AS txt
+        |  FROM b)
+        |SELECT doc_id, CAST(b AS INTEGER) AS block_idx, tag,
+        |  CAST(nt AS INTEGER) AS n_tokens, CAST(nl AS INTEGER) AS n_link_tokens,
+        |  CAST(nl * 1000000 // nt AS BIGINT) AS link_density_micros,
+        |  md5(txt) AS text_md5
+        |FROM blk""".stripMargin,
 
     // q270: the stream must extract exactly what the batch path
     // extracts — q267's oracle text, shared by reference

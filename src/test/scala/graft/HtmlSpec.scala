@@ -104,6 +104,106 @@ class HtmlSpec extends AnyFunSuite {
     assert(Html.walkHtmlBlocks(h2).get.head.text == "a b")
   }
 
+  test("decodeEntities: basic set, decimal refs, ONE pass (no re-scan), " +
+       "lenient passthrough of bare '&' and unknown/unterminated refs") {
+    assert(Html.decodeEntities("a &amp; b &lt;c&gt; &quot;d&quot; &apos;e&apos;")
+      == "a & b <c> \"d\" 'e'")
+    assert(Html.decodeEntities("&#33;&#65;&#8364;") == "!A€")
+    // single pass: "&amp;lt;" is the LITERAL "&lt;", never '<'
+    assert(Html.decodeEntities("&amp;lt;") == "&lt;")
+    // lenient: bare '&', unknown name, unterminated, oversized, zero cp
+    assert(Html.decodeEntities("AT&T &bogus; &amp &toolongname; &#0; x")
+      == "AT&T &bogus; &amp &toolongname; &#0; x")
+    assert(Html.decodeEntities("no entities") == "no entities")
+  }
+
+  test("recovery mode is VERBATIM-identical to strict on well-formed " +
+       "entity-free markup (the q275 agreement contract)") {
+    for (ntok <- Seq(1, 8, 20, 25, 40)) {
+      val h = Html.synthHtml((0 until ntok).map(i => s"w$i").mkString(" "))
+      assert(Html.walkHtmlBlocks(h, recover = true).get ==
+        Html.walkHtmlBlocks(h).get, s"ntok=$ntok")
+    }
+  }
+
+  test("corruption class 1 (truncated page): strict refuses, recovery " +
+       "EOF-auto-closes and emits the in-progress block") {
+    val text = (0 until 20).map(i => s"w$i").mkString(" ")
+    val h = Html.corruptSynthHtml(text, 1)
+    assert(!h.contains("</html>"))
+    assert(Html.walkHtmlBlocks(h).isEmpty, "strict must refuse")
+    assert(Html.walkHtmlBlocks(h, recover = true).get ==
+      Html.walkHtmlBlocks(Html.synthHtml(text)).get)
+  }
+
+  test("corruption class 2 (stray closes): strict refuses, recovery " +
+       "skips them (separator inside a block, no-op between blocks)") {
+    val text = (0 until 20).map(i => s"w$i").mkString(" ")
+    val h = Html.corruptSynthHtml(text, 2)
+    assert(h.contains("</span>") && h.contains("</strong>") &&
+      h.contains("</em>"))
+    assert(Html.walkHtmlBlocks(h).isEmpty, "strict must refuse")
+    assert(Html.walkHtmlBlocks(h, recover = true).get ==
+      Html.walkHtmlBlocks(Html.synthHtml(text)).get)
+  }
+
+  test("corruption class 3 (entities + unclosed nav anchor): strict " +
+       "refuses, recovery decodes and auto-closes with identical counts") {
+    val toks = (0 until 25).map(i => s"w$i")
+    val h = Html.corruptSynthHtml(toks.mkString(" "), 3)
+    assert(Html.walkHtmlBlocks(h).isEmpty,
+      "strict must refuse the unclosed anchor")
+    val got = Html.walkHtmlBlocks(h, recover = true).get
+    val wf = Html.walkHtmlBlocks(Html.synthHtml(toks.mkString(" "))).get
+    // counts, tags, links: identical to the well-formed arithmetic
+    assert(got.map(b => (b.tag, b.nTokens, b.nLinkTokens, b.links)) ==
+      wf.map(b => (b.tag, b.nTokens, b.nLinkTokens, b.links)))
+    // p-block first tokens decode to the decorated form
+    assert(got.head.text ==
+      ("&<w0>\"!" +: toks.slice(1, 8)).mkString(" "))
+    assert(got(3).text == ("&<w24>\"!"))
+    // non-p blocks verbatim
+    assert(got(1).text == wf(1).text && got(2).text == wf(2).text)
+  }
+
+  test("recovery: close tag deeper on the stack auto-closes " +
+       "intermediates; tokens inside the unclosed anchor stay links") {
+    // <div>a <a>b c</div> — the anchor never closes; b and c are inside
+    // it when </div> auto-closes, so both count as link tokens
+    val h = "<html><body><div>a <a href=\"/x\">b c</div></body></html>"
+    assert(Html.walkHtmlBlocks(h).isEmpty)
+    val b = Html.walkHtmlBlocks(h, recover = true).get.head
+    assert(b.nTokens == 3 && b.nLinkTokens == 2 && b.text == "a b c" &&
+      b.links == Seq("/x"))
+  }
+
+  test("recovery: stray </body> and close-after-EOF-body are skipped; " +
+       "href entity decoding applies in recovery only") {
+    val h = "<html><body><p>x</p></body></body></html>"
+    assert(Html.walkHtmlBlocks(h).isEmpty)
+    assert(Html.walkHtmlBlocks(h, recover = true).get.head.text == "x")
+    val ha = "<html><body><div><a href=\"/q?a=1&amp;b=2\">t</a></div>" +
+      "</body></html>"
+    assert(Html.walkHtmlBlocks(ha).get.head.links == Seq("/q?a=1&amp;b=2"))
+    assert(Html.walkHtmlBlocks(ha, recover = true).get.head.links ==
+      Seq("/q?a=1&b=2"))
+  }
+
+  test("recovery keeps the out-of-scope refusals: unterminated comment/" +
+       "tag/raw element, bare text under body, double <body>") {
+    val bad = Seq(
+      "<html><body><!-- unterminated <p>x</p>",
+      "<html><body><p>text",                          // EOF inside body…
+      "<html><body><script>var x = 1;</body></html>", // unterminated raw
+      "<html><body>bare text under body</body></html>",
+      "<html><body><p>a</p></body><body><p>b</p></body></html>")
+    // …but EOF-inside-body IS recoverable; the rest must still refuse
+    assert(Html.walkHtmlBlocks(bad(1), recover = true).get.head.text
+      == "text")
+    for (h <- Seq(bad(0), bad(2), bad(3), bad(4)))
+      assert(Html.walkHtmlBlocks(h, recover = true).isEmpty, h.take(40))
+  }
+
   test("density arithmetic: floor micros, zero-token block safe") {
     val h = "<html><body><div><a href='/x'>one</a> two three</div>" +
       "<p></p></body></html>"
