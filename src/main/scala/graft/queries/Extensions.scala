@@ -2248,6 +2248,36 @@ object Extensions {
       df
     }),
 
+    // --- the 4096-merge gate at a REALISTIC VOCABULARY (round-12
+    // verdict item 3): token ⊕ doc-id salting widens the 31-word synth
+    // to 31 × n_docs word types (15.5k at the gate SF, 155k at sf0.1),
+    // and 16 rounds × 1024 derive 16,384 merges through the same
+    // round-batched loop — merge diversity is now empirical, not
+    // plan-depth-extrapolated. requireFullRounds fails directed if any
+    // round's pair space runs dry; the driver carry stays 1024 rows per
+    // round; the plan asserts are q263's verbatim (ONE flat bpe_encode
+    // node, constant depth — 16k merges are DATA, not plan shape).
+    "q276_phrase_bpe16k" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          regexp_replace(col("text"), lit("(\\S+)"),
+            concat(lit("$1~"), col("doc_id").cast("string"))).as("text"))
+      val df = graft.functions.Vocab.phraseBpe(docs, "doc_id", "text",
+        rounds = 16, perRound = 1024, requireFullRounds = true)
+      val plan = df.queryExecution.executedPlan
+      def depth(p: org.apache.spark.sql.execution.SparkPlan): Int =
+        1 + (if (p.children.isEmpty) 0 else p.children.map(depth).max)
+      val d = depth(plan)
+      require(d <= 16, s"q276: executed-plan depth $d after 16384 merges " +
+        "— the flat encoder's depth must be constant in merge count")
+      val ps = plan.toString
+      require("bpe_encode".r.findAllMatchIn(ps).size == 1,
+        "q276: final plan must carry exactly ONE flat BpeEncode node")
+      require(!ps.contains("replace("),
+        "q276: a nested replace chain leaked into the plan")
+      df
+    }),
+
     // --- bigram-LM conditional surprisal (the CCNet perplexity filter,
     // exact-bits spelling): per doc, Σ ⌊log2 c(prev·)⌋ − ⌊log2 c(prev
     // tok)⌋ over bigram positions — q115's bin() trick lifted to
@@ -8671,6 +8701,9 @@ object Extensions {
     // round's merges in rank order (one recursion step per rank), so the
     // oracle replays all 4096 merges without a 4096-deep expression tree
     "q263_phrase_bpe4k" -> graft.functions.Vocab.phraseBpeOracleSql(8, 512),
+
+    "q276_phrase_bpe16k" ->
+      graft.functions.Vocab.phraseBpeSaltedOracleSql(16, 1024),
 
     // q264: the conditional-bits arithmetic replayed verbatim — context
     // counts (prev as LEFT element only), bigram counts, bin()-length
