@@ -352,6 +352,107 @@ object Graph {
     * + a 1-row max broadcast each; per-iteration persist with
     * predecessor unpersist (the q186 discipline). Returns the top-`k`
     * authorities (target, authority_scaled), (score desc, target asc). */
+  /** HITS iterated to the exact-integer FIXED POINT (successive
+    * authority vectors bit-equal), optionally WARM-STARTED from a
+    * previous cadence's converged authorities (q277 — the incremental
+    * rank refresh over the q272 link index): `initAuth` seeds the hub
+    * vector through one half-step (h₀ = L∞-normalized E·a₀; targets the
+    * new graph lacks drop out, new targets start cold), then the
+    * [[hitsTopK]] iteration runs until a(t+1) == a(t) exactly.
+    *
+    * The floor divisions make the fixed point unique only up to ±1 unit
+    * at the 10⁹ scale: different trajectories (cold vs warm) can settle
+    * on NEIGHBORING fixed points (observed: one target off by 1 of 62
+    * at the gate SF). Callers gate the COLD fixed point against the
+    * unrolled oracle bit-exactly, and pin the warm vector to it with an
+    * explicit ulp bound + a fewer-rounds assert — bit-exact
+    * warm == cold is not a theorem in floored arithmetic and is not
+    * claimed.
+    *
+    * Per iteration: the two keyed shuffles + 1-row max broadcasts of
+    * [[hitsTopK]], plus ONE bounded driver action (a limit(1) existence
+    * check on the successive-difference join — the Lloyd discipline).
+    * Fails DIRECTED after `maxIters` rounds without a fixed point (the
+    * floor map could in principle 2-cycle; it has not on any gated
+    * corpus). Returns (full converged authority table — localCheckpoint,
+    * caller-owned — and the round count). */
+  def hitsConverge(edges: DataFrame, initAuth: Option[DataFrame] = None,
+                   maxIters: Int = 14): (DataFrame, Int) = {
+    val lvl = StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col("src"), col("dst")).distinct().persist(lvl)
+    def normAuth(raw: DataFrame): DataFrame = {
+      val m = raw.agg(max(col("ar")).as("amax"))
+      raw.crossJoin(broadcast(m))
+        .select(col("dst"),
+          expr("CAST(ar * 1000000000 div amax AS BIGINT)").as("a"))
+    }
+    def normHub(raw: DataFrame): DataFrame = {
+      val m = raw.agg(max(col("hr")).as("hmax"))
+      raw.crossJoin(broadcast(m))
+        .select(col("src"),
+          expr("CAST(hr * 1000000000 div hmax AS BIGINT)").as("h"))
+    }
+    // EVERY round's auth/hub ends in an EAGER localCheckpoint: normAuth/
+    // normHub reference their input TWICE (the table and its 1-row max),
+    // so without per-round LogicalRDD truncation the analyzed plan
+    // doubles per half-step — 2^rounds nodes OOMs the driver by round
+    // ~10 (the duplicatedSpans multi-reference lineage trap; persist
+    // caches data, never the plan). Checkpointed rounds are released at
+    // the RDD level (no CacheManager entry — the releaseLabels note).
+    def release(df: DataFrame): Unit = if (df != null) {
+      df.unpersist()
+      df.queryExecution.analyzed.foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(false)
+        case _ => ()
+      }
+    }
+    var auth: DataFrame = initAuth.map(_.select(col("dst"), col("a"))
+      .localCheckpoint(true)).orNull
+    var hub = (initAuth match {
+      case Some(_) =>
+        normHub(e.join(auth, Seq("dst"))
+          .groupBy(col("src"))
+          .agg(sum(col("a")).cast("decimal(38,0)").as("hr")))
+      case None =>
+        e.select(col("src")).distinct()
+          .select(col("src"), lit(1000000000L).as("h"))
+    }).localCheckpoint(true)
+    var rounds = -1
+    var i = 0
+    while (rounds < 0 && i < maxIters) {
+      i += 1
+      val nextAuth = normAuth(
+        e.join(hub, Seq("src"))
+          .groupBy(col("dst"))
+          .agg(sum(col("h")).cast("decimal(38,0)").as("ar")))
+        .localCheckpoint(true)
+      val fixed = auth != null &&
+        nextAuth.as("n").join(auth.as("o"), Seq("dst"), "full")
+          .filter(col("n.a").isNull || col("o.a").isNull ||
+            col("n.a") =!= col("o.a"))
+          .limit(1).isEmpty
+      release(auth)
+      auth = nextAuth
+      if (fixed) rounds = i
+      else {
+        val nextHub = normHub(
+          e.join(nextAuth, Seq("dst"))
+            .groupBy(col("src"))
+            .agg(sum(col("a")).cast("decimal(38,0)").as("hr")))
+          .localCheckpoint(true)
+        release(hub)
+        hub = nextHub
+      }
+    }
+    require(rounds > 0, s"hitsConverge: no exact fixed point within " +
+      s"$maxIters iterations — raise maxIters or inspect the graph " +
+      "for a floor-map cycle")
+    val res = auth.select(col("dst"), col("a")).localCheckpoint(true)
+    e.unpersist(); release(hub); release(auth)
+    (res, rounds)
+  }
+
   def hitsTopK(edges: DataFrame, iters: Int = 2, k: Int = 20): DataFrame = {
     require(iters >= 1, s"hitsTopK: iters must be >= 1, got $iters")
     val lvl = StorageLevel.MEMORY_AND_DISK

@@ -3651,6 +3651,74 @@ object Extensions {
       df
     }),
 
+    // --- INCREMENTAL RANK REFRESH over the persisted link index
+    // (round-12 verdict item 5): q272 maintains the index; this gate
+    // re-ranks WITHOUT a cold start — the previous cadence's converged
+    // authorities seed the hub vector over the post-append index, and
+    // the exact-integer HITS map iterates to its fixed point. Measured
+    // in-query: the warm start must converge in strictly fewer rounds
+    // than the cold start on the same post-append graph. The floor
+    // divisions make fixed points unique only up to ±1 unit at the 1e9
+    // scale (different trajectories can settle on neighbors — observed
+    // 1 of 62 targets off by 1), so the gate pins the COLD fixed point
+    // bit-exactly against the 14-round unrolled oracle and bounds the
+    // warm vector to it at ≤ 2 units — bit-exact warm == cold is not a
+    // theorem in floored arithmetic and is not claimed.
+    "q277_hits_warm_refresh" -> ((s, dir) => {
+      val H = graft.functions.Html
+      val G = graft.functions.Graph
+      val table = stagedTable("graft_q277_linkidx")
+      graft.queries.Tables.dropStagedTable(s, table)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      def pairsOf(d: org.apache.spark.sql.DataFrame) = {
+        val blocks = H.htmlBlocks(
+          H.withSynthHtml(d, "doc_id", "text"), "id", "html")
+        H.linkIndexRows(blocks.select(
+          when(col("block_idx").isNull, raise_error(concat(
+            lit("q277: HTML for id "), col("id").cast("string"),
+            lit(" failed to parse — tag-walker regression"))))
+            .otherwise(col("id")).as("id"),
+          col("links")))
+      }
+      val tap = H.linkIndexTap(table, 8)
+      tap.write(pairsOf(docs.filter(col("doc_id") % 10 =!= 7)),
+        graft.sources.SinkMode.Replace)
+      val autoScan = s.conf.get(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      try {
+        s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+          "false")
+        def idxEdges() = s.table(table)
+          .select(col("id").as("src"), col("href").as("dst"))
+        // previous cadence: converged ranks over the pre-append index
+        val (aPre, _) = G.hitsConverge(idxEdges())
+        tap.write(pairsOf(docs.filter(col("doc_id") % 10 === 7)),
+          graft.sources.SinkMode.Update)
+        val post = idxEdges()
+        require(post.queryExecution.executedPlan.toString
+            .contains("SelectedBucketsCount"),
+          "q277: refresh reads must be bucket-aware index scans")
+        val (aCold, tCold) = G.hitsConverge(post)
+        val (aWarm, tWarm) = G.hitsConverge(post, Some(aPre))
+        require(tWarm < tCold, "q277: warm start must converge in fewer " +
+          s"rounds than cold (warm=$tWarm, cold=$tCold)")
+        require(tCold <= 14, s"q277: cold start took $tCold rounds — " +
+          "beyond the oracle's 14-round unroll")
+        require(
+          aWarm.as("w").join(aCold.as("c"), Seq("dst"), "full")
+            .filter(col("w.a").isNull || col("c.a").isNull ||
+              abs(col("w.a") - col("c.a")) > 2)
+            .limit(1).isEmpty,
+          "q277: warm fixed point drifted > 2 units from cold — beyond " +
+          "the floor-arithmetic ulp bound")
+        aCold.select(col("dst").as("target"), col("a").as("authority_scaled"))
+      } finally {
+        s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+          autoScan)
+      }
+    }),
+
     // --- HITS authorities over the EXTRACTED link graph (Kleinberg
     // 1999): the doc→href edges the tag walker captures (q268), two
     // hub/authority iterations in exact integers — decimal(38,0) sums,
@@ -5812,6 +5880,51 @@ object Extensions {
        |  FROM scored) WHERE rk <= 3""".stripMargin
   }
 
+  /** The q271 link-graph edge extraction + `iters` UNROLLED rounds of
+    * the exact-integer HITS map (q277): each round is the a-step then
+    * the h-step (the h-step omitted on the final round — the
+    * authorities are the result). All-rows output, no top-k. */
+  private def hitsFixedPointOracle(iters: Int): String = {
+    val rounds = (1 to iters).map { k =>
+      val a =
+        s"""a${k}r AS MATERIALIZED (
+           |  SELECT dst, sum(h) AS ar FROM e JOIN h${k - 1} USING (src)
+           |  GROUP BY 1),
+           |a$k AS MATERIALIZED (
+           |  SELECT dst, CAST((ar * 1000000000) //
+           |    (SELECT max(ar) FROM a${k}r) AS BIGINT) AS a FROM a${k}r)"""
+          .stripMargin
+      val h =
+        s""",h${k}r AS MATERIALIZED (
+           |  SELECT src, sum(a) AS hr FROM e JOIN a$k USING (dst)
+           |  GROUP BY 1),
+           |h$k AS MATERIALIZED (
+           |  SELECT src, CAST((hr * 1000000000) //
+           |    (SELECT max(hr) FROM h${k}r) AS BIGINT) AS h FROM h${k}r)"""
+          .stripMargin
+      if (k < iters) a + h else a
+    }.mkString(",\n")
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t
+       |  FROM documents),
+       |b AS (
+       |  SELECT doc_id, t, unnest(range(0, (len(t) + 7) // 8)) AS b FROM t),
+       |l AS (
+       |  SELECT doc_id, '/w/' || t[8 * b + j + 1] AS href
+       |  FROM b, LATERAL (SELECT unnest(range(0,
+       |    least(8, len(t) - 8 * b))) AS j) jj
+       |  WHERE CAST(b % 3 AS INTEGER) = 1 AND j % 2 = 1
+       |  UNION ALL
+       |  SELECT doc_id, '/nav/' || t[8 * b + j + 1] AS href
+       |  FROM b, LATERAL (SELECT unnest(range(0,
+       |    least(8, len(t) - 8 * b))) AS j) jj
+       |  WHERE CAST(b % 3 AS INTEGER) = 2),
+       |e AS MATERIALIZED (SELECT DISTINCT doc_id AS src, href AS dst FROM l),
+       |h0 AS (SELECT DISTINCT src, CAST(1000000000 AS BIGINT) AS h FROM e),
+       |$rounds
+       |SELECT dst AS target, a AS authority_scaled FROM a$iters""".stripMargin
+  }
+
   /** q264's oracle — shared verbatim with q273 (the persisted
     * count-table form): the index changes the plan, never the
     * numbers. */
@@ -7003,6 +7116,12 @@ object Extensions {
 
     // q271: q268's edge arithmetic + both HITS iterations unrolled —
     // hugeint sums, (raw * 1e9) // max rescale, non-negative so // == div
+    // q277: the cold-start fixed point, 14 rounds unrolled — the Spark
+    // side asserts in-query that its cold run converged within 14, and
+    // once two successive iterates are equal the map repeats, so round
+    // 14 IS the fixed point the converged Spark output carries
+    "q277_hits_warm_refresh" -> hitsFixedPointOracle(14),
+
     "q271_hits_authorities" ->
       """WITH t AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t

@@ -74,6 +74,43 @@ class GraphSpec extends SparkSpec {
     assert(one == Map("x" -> 1000000000L, "y" -> 500000000L), one.toString)
   }
 
+  test("hitsConverge: reaches the exact fixed point; warm start from " +
+       "the converged pre-append ranks takes fewer rounds; drift stays " +
+       "within the floor-arithmetic ulp bound") {
+    // a connected bipartite graph (10 hubs → x and y, 3 of them → z):
+    // simulated fixed point at z = 333333333 after 10 rounds. (A
+    // DISCONNECTED minority component decays geometrically to 0 under
+    // the L∞ rescale — ~30 rounds for a 2-target toy — so convergence
+    // tests need connected graphs, as does any caller with a small
+    // round budget.)
+    val pre = ((0L until 10L).flatMap(i => Seq((i, "x"), (i, "y"))) ++
+      (0L until 3L).map(i => (i, "z"))).toDF("src", "dst")
+    val (aPre, tPre) = Graph.hitsConverge(pre)
+    assert(tPre >= 2, s"cold start cannot detect a fixed point before " +
+      s"round 2, got $tPre")
+    val preMap = aPre.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(preMap == Map("x" -> 1000000000L, "y" -> 1000000000L,
+      "z" -> 333333333L), preMap.toString)
+    // append one hub edge 100→z (the q277 cadence shape): warm start
+    // from the pre-append fixed point must converge in fewer rounds
+    val post = pre.unionAll(Seq((100L, "z")).toDF("src", "dst"))
+    val (aCold, tCold) = Graph.hitsConverge(post)
+    val (aWarm, tWarm) = Graph.hitsConverge(post, Some(
+      aPre.select(org.apache.spark.sql.functions.col("dst"),
+        org.apache.spark.sql.functions.col("a"))))
+    assert(tWarm < tCold, s"warm=$tWarm cold=$tCold")
+    val cm = aCold.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wm = aWarm.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cm.keySet == wm.keySet)
+    cm.foreach { case (k, v) =>
+      assert(math.abs(v - wm(k)) <= 2, s"$k: cold=$v warm=${wm(k)}") }
+    // directed failure when the round budget can't reach a fixed point
+    val ex = intercept[IllegalArgumentException] {
+      Graph.hitsConverge(post, maxIters = 1)
+    }
+    assert(ex.getMessage.contains("fixed point"))
+  }
+
   test("pageRankWeightedTopK: mass splits by edge weight (hand-computed)") {
     // path 1–2–3 with weights: (1,2) w=3, (2,3) w=1. sw: 1→3, 2→4, 3→1.
     //   r1(1) = 150e6 + (1e9·85·3) div 400 = 787 500 000
