@@ -441,10 +441,14 @@ object Html {
         s"corruptSynthHtml: class must be 0-3, got $other")
   }
 
-  /** Attach deterministically CORRUPTED synth HTML, corruption class =
-    * id % 4 — the q275 gate's payload (the [[withSynthHtml]] pattern). */
-  def withCorruptSynthHtml(df: DataFrame, idCol: String,
-                           textCol: String): DataFrame = {
+  /** Attach deterministically CORRUPTED synth HTML — the q275 gate's
+    * payload (the [[withSynthHtml]] pattern). `clsOf` picks the
+    * [[corruptSynthHtml]] class per id (default id % 4, the full
+    * spectrum; q278's crawl-to-clean ladder uses 1 + id % 2 — the
+    * text-preserving structural classes only). */
+  def withCorruptSynthHtml(df: DataFrame, idCol: String, textCol: String,
+                           clsOf: Long => Int = id => (id % 4).toInt)
+      : DataFrame = {
     val schema = StructType(Seq(
       StructField("id", LongType),
       StructField("html", StringType)))
@@ -454,7 +458,7 @@ object Html {
     df.mapPartitions { it =>
       it.map { row =>
         val id = row.getLong(idIdx)
-        Row(id, corruptSynthHtml(row.getString(tIdx), (id % 4).toInt))
+        Row(id, corruptSynthHtml(row.getString(tIdx), clsOf(id)))
       }
     }(enc)
   }

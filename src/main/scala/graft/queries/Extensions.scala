@@ -3523,6 +3523,64 @@ object Extensions {
           md5(col("text")).as("text_md5"))
     }),
 
+    // --- the CRAWL-TO-CLEAN ladder end-to-end from REAL BYTES (round-12
+    // verdict item 7, the q168 composition discipline applied to q275's
+    // recovery mode): dirtied tokens → synth markup → deterministic
+    // structural corruption (classes 1/2, text-preserving) → RECOVERY
+    // parse (entities decoded) → jusText extraction → normalize → C4
+    // line clean → corpus-wide paragraph dedup. Every stage provably
+    // fires: recovery parses pages strict refuses (class 1/2 markup
+    // damage); the `&#160;&#160;` entity dirt on p-block first tokens
+    // decodes to NBSPs that ONLY normalizeText removes (the oracle
+    // models the post-normalize text — a broken decode or normalize
+    // shifts every md5); block-final '.' makes full blocks C4-keepable
+    // while ragged tails < 5 words die; the '{' dirt kills its line by
+    // the brace rule; and the shared 8-token boiler block dies
+    // everywhere but its global first occurrence. Oracle reuses
+    // C4KeepRule and paragraphDedupBody verbatim (stage-shared
+    // fragments) + the q266 block arithmetic over the dirtied stream.
+    "q278_crawl_to_clean" -> ((s, dir) => {
+      val H = graft.functions.Html
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val full = concat(
+        array(CrawlBoiler.map(lit): _*),
+        expr("filter(split(text, ' '), w -> w != '')"))
+      val dirtied = docs.select(col("doc_id"),
+        array_join(transform(full, (w, i) => concat(
+          w,
+          when(i % 48 === 25, lit("{")).otherwise(lit("")),
+          when(i % 8 === 7 || i === size(full) - 1, lit("."))
+            .otherwise(lit("")),
+          when(i % 24 === 0, lit("&#160;&#160;")).otherwise(lit("")))),
+          " ").as("text"))
+      val corrupted = H.withCorruptSynthHtml(dirtied, "doc_id", "text",
+        clsOf = id => 1 + (id % 2).toInt)
+      val blocks = H.htmlBlocks(corrupted, "id", "html", recover = true)
+      val verified = blocks.select(
+        when(col("block_idx").isNull, raise_error(concat(
+          lit("q278: recovery failed to parse corrupted HTML for id "),
+          col("id").cast("string"))))
+          .otherwise(col("id")).as("id"),
+        col("block_idx"), col("tag"), col("link_density_micros"),
+        col("text"))
+      val ext = H.extractContent(verified)
+      val norm = ext.select(col("id"), col("n_blocks"), col("n_kept"),
+        graft.functions.Curation.normalizeText(col("clean_text")).as("text"))
+      val lined = graft.functions.Curation.c4LineClean(norm, "id", "text")
+      val deduped = graft.functions.Curation.dropDuplicateParagraphs(
+        lined.select(col("id"), col("clean_text").as("text")), "id", "text")
+      deduped
+        .join(norm.select(col("id"), col("n_blocks"),
+          col("n_kept").as("n_kept_blocks")), Seq("id"))
+        .join(lined.select(col("id"),
+          col("n_dropped").as("lines_dropped")), Seq("id"))
+        .select(col("id").as("doc_id"), col("n_blocks"),
+          col("n_kept_blocks"), col("lines_dropped"),
+          col("n_dropped").as("paras_dropped"),
+          md5(col("clean_text")).as("final_md5"))
+    }),
+
     // --- structure-aware extraction, part 2 — the jusText verdict:
     // keep blocks that are neither chrome by TAG (nav/footer/aside) nor
     // chrome by STRUCTURE (link density ≥ 0.5), reassemble per document
@@ -4797,6 +4855,13 @@ object Extensions {
     * corpus vocabulary, so planted overlap is exactly its own 4-grams). */
   private val DecontamPhrase =
     "held out benchmark answer alpha beta gamma delta"
+  /** q278's shared boilerplate block: exactly 8 tokens, so it is block 0
+    * (a p block) of every synth page — the corpus-wide duplicate
+    * paragraph the ladder's dedup stage provably kills everywhere but
+    * its global first occurrence. */
+  private val CrawlBoiler = Seq("subscribe", "to", "our", "newsletter",
+    "for", "daily", "curated", "updates")
+
   private val Boiler1 = "follow us on example social for updates today"
   private val Boiler2 = "all rights reserved contact the site administrator"
   private val C4BraceLine = "{ var data = 1; }"
@@ -5878,6 +5943,66 @@ object Extensions {
        |  CAST(row_number() OVER (PARTITION BY query_id
        |    ORDER BY sim DESC, nn_id ASC) AS INTEGER) AS rk
        |  FROM scored) WHERE rk <= 3""".stripMargin
+  }
+
+  /** The q278 crawl-to-clean oracle — see the registration comment. */
+  private lazy val crawlToCleanOracle: String = {
+    val bo = CrawlBoiler.map(w => s"'$w'").mkString(", ")
+    s"""WITH raw AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '')
+       |    AS t0
+       |  FROM documents),
+       |dpos AS MATERIALIZED (
+       |  SELECT doc_id, i,
+       |    (CASE WHEN i <= 8 THEN [$bo][i] ELSE t0[i - 8] END)
+       |    || (CASE WHEN (i - 1) % 48 = 25 THEN '{' ELSE '' END)
+       |    || (CASE WHEN (i - 1) % 8 = 7 OR i = len(t0) + 8 THEN '.'
+       |        ELSE '' END) AS w
+       |  FROM raw, LATERAL (SELECT unnest(range(1, len(t0) + 9)) AS i) ii),
+       |t AS MATERIALIZED (
+       |  SELECT doc_id, list(w ORDER BY i) AS t FROM dpos GROUP BY 1),
+       |b AS (
+       |  SELECT doc_id, t, unnest(range(0, (len(t) + 7) // 8)) AS b FROM t),
+       |blk AS (
+       |  SELECT doc_id, b,
+       |    CASE CAST(b % 3 AS INTEGER) WHEN 0 THEN 'p' WHEN 1 THEN 'div'
+       |         ELSE 'nav' END AS tag,
+       |    least(8, len(t) - 8 * b) AS nt,
+       |    CASE CAST(b % 3 AS INTEGER) WHEN 0 THEN 0
+       |         WHEN 1 THEN least(8, len(t) - 8 * b) // 2
+       |         ELSE least(8, len(t) - 8 * b) END AS nl,
+       |    array_to_string(
+       |      list_slice(t, 8 * b + 1, 8 * b + least(8, len(t) - 8 * b)),
+       |      ' ') AS txt
+       |  FROM b),
+       |k AS (
+       |  SELECT doc_id, b, txt FROM blk
+       |  WHERE tag NOT IN ('nav', 'footer', 'aside')
+       |    AND nl * 1000000 // nt < 500000),
+       |ext AS (
+       |  SELECT doc_id, count(*) AS n_kept,
+       |    string_agg(txt, chr(10) ORDER BY b) AS ct
+       |  FROM k GROUP BY 1),
+       |tot0 AS (SELECT doc_id, count(*) AS n_blocks FROM blk GROUP BY 1),
+       |lraw AS (SELECT doc_id, string_split(ct, chr(10)) AS ls FROM ext),
+       |lc AS (SELECT doc_id,
+       |    list_filter(ls, l ->
+       |      $C4KeepRule) AS kl,
+       |    len(ls) AS nlines
+       |  FROM lraw),
+       |aug AS (SELECT doc_id, array_to_string(kl, chr(10)) AS text,
+       |    CAST(nlines - len(kl) AS BIGINT) AS lines_dropped FROM lc),
+       |${paragraphDedupBody("aug", nibbles = 15)}
+       |SELECT tot.doc_id,
+       |  CAST(tot0.n_blocks AS BIGINT) AS n_blocks,
+       |  CAST(ext.n_kept AS BIGINT) AS n_kept_blocks,
+       |  aug.lines_dropped,
+       |  CAST(tot.n_total - coalesce(a.n_kept, 0) AS BIGINT)
+       |    AS paras_dropped,
+       |  md5(coalesce(a.clean_text, '')) AS final_md5
+       |FROM tot LEFT JOIN agg a USING (doc_id)
+       |JOIN tot0 USING (doc_id) JOIN ext USING (doc_id)
+       |JOIN aug USING (doc_id)""".stripMargin
   }
 
   /** The q271 link-graph edge extraction + `iters` UNROLLED rounds of
@@ -7064,6 +7189,15 @@ object Extensions {
         |FROM blk""".stripMargin,
 
     "q267_html_extract" -> htmlExtractOracle,
+
+    // q278: the whole crawl-to-clean ladder replayed arithmetically —
+    // the dirtied token stream (boiler block + '{' + block-final '.'),
+    // q266's block arithmetic, the q267 extraction verdict, then the
+    // SHARED C4KeepRule and paragraphDedupBody fragments verbatim. The
+    // oracle models the POST-normalize text: the `&#160;` entity dirt
+    // never appears here because recovery decode + normalizeText must
+    // erase it — either breaking shifts every md5
+    "q278_crawl_to_clean" -> crawlToCleanOracle,
 
     // q275: q266's block arithmetic over the corrupted corpus — classes
     // 1/2 (truncation, stray closes) change NO text or counts once
