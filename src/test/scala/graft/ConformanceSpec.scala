@@ -2617,4 +2617,175 @@ class ConformanceSpec extends SparkSpec {
     val right = rows(base.filterBy(ExpressionFilter("false")).retain("id"))
     assert(left == right, "both branches must see the same sampled rows")
   }
+
+  // ---- round-13 wave: the AggregateBy/Buffer remainder of the
+  // cascading-platform pool (AssemblyHelpers aggregate family,
+  // BufferPipes cardinality/joiner corners, the each-only flow) --------
+
+  // AssemblyHelpersPlatformTest.testSumBy: SumBy groups on the key and
+  // sums the value field into the declared result — integer input, LONG
+  // result (SQL sum widens; upstream declares the result type).
+  test("SumBy sums per key into the declared result field") {
+    val df = Seq(("a", 1), ("a", 2), ("b", 5)).toDF("ch", "v")
+    val p = pipe(df).sumBy(Seq("ch"), "v", "s")
+    assert(Flow.toDF(p).columns.toSeq == Seq("ch", "s"))
+    assert(rows(p) == Set(Seq("a", 3L), Seq("b", 5L)))
+  }
+
+  // AssemblyHelpersPlatformTest.testAverageBy: AverageBy yields a DOUBLE
+  // mean per key — exact here (dyadic operands) so the assert is exact.
+  test("AverageBy yields the per-key double mean") {
+    val df = Seq(("a", 1), ("a", 2), ("b", 5)).toDF("ch", "v")
+    assert(rows(pipe(df).averageBy(Seq("ch"), "v", "m")) ==
+      Set(Seq("a", 1.5), Seq("b", 5.0)))
+  }
+
+  // AssemblyHelpersPlatformTest.testMinBy: MinBy keeps the per-key
+  // minimum (testMaxBy's dual — both ride one partial-aggregated pass).
+  test("MinBy keeps the per-key minimum") {
+    val df = Seq(("a", 3), ("a", 1), ("b", 5)).toDF("ch", "v")
+    assert(rows(pipe(df).minBy(Seq("ch"), "v", "lo")) ==
+      Set(Seq("a", 1), Seq("b", 5)))
+  }
+
+  // AssemblyHelpersPlatformTest.testMinByString: Min over a STRING field
+  // — comparator semantics are lexicographic in both engines (cascading
+  // compares Comparables; Spark's min on StringType is binary collation).
+  test("MinBy over strings is lexicographic") {
+    val df = Seq((1, "pear"), (1, "apple"), (2, "fig")).toDF("k", "w")
+    assert(rows(pipe(df).minBy(Seq("k"), "w", "first")) ==
+      Set(Seq(1, "apple"), Seq(2, "fig")))
+  }
+
+  // AssemblyHelpersPlatformTest.testSumByNulls: upstream Sum reads its
+  // argument through Tuples.toDouble(null) == 0 — a null contributes 0
+  // and an ALL-NULL group sums to 0, never null. SQL sum would return
+  // null for the all-null group; the coerced variant pins upstream.
+  test("SumBy null coercion: nulls contribute 0; all-null group sums 0") {
+    val df = Seq(("a", Some(1)), ("a", None), ("b", None), ("b", None))
+      .toDF("ch", "v")
+    assert(rows(pipe(df).sumByCoerced(Seq("ch"), "v", "s")) ==
+      Set(Seq("a", 1L), Seq("b", 0L)))
+    // and the PLAIN (SQL-semantics) form differs exactly on the all-null
+    // group — the divergence this corner exists to document
+    assert(rows(pipe(df).sumBy(Seq("ch"), "v", "s")) ==
+      Set(Seq("a", 1L), Seq("b", null)))
+  }
+
+  // AssemblyHelpersPlatformTest.testAverageByNull: upstream Average
+  // counts EVERY tuple into the denominator (null → 0 value, still one
+  // tuple); SQL avg divides by the non-null count only.
+  test("AverageBy null coercion: null counts into the denominator") {
+    val df = Seq(("a", Some(3)), ("a", None)).toDF("ch", "v")
+    assert(rows(pipe(df).averageByCoerced(Seq("ch"), "v", "m")) ==
+      Set(Seq("a", 1.5)))
+    assert(rows(pipe(df).averageBy(Seq("ch"), "v", "m")) ==
+      Set(Seq("a", 3.0)))
+  }
+
+  // AssemblyHelpersPlatformTest.testParallelAggregates: several
+  // AggregateBy assemblies over ONE grouping compose into a single pass
+  // (upstream shares the partial-aggregation hash table; here Spark's
+  // multi-aggregate HashAggregate is that single pass).
+  test("parallel aggregates compose over one grouping in one pass") {
+    val df = Seq(("a", 1), ("a", 2), ("b", 5)).toDF("ch", "v")
+    val p = pipe(df).groupBy("ch")
+      .every(Aggs.count("n"), Aggs.sum("v", "s"), Aggs.avg("v", "m"),
+        Aggs.min("v", "lo"), Aggs.max("v", "hi"))
+    assert(rows(p) == Set(
+      Seq("a", 2L, 3L, 1.5, 1, 2), Seq("b", 1L, 5L, 5.0, 5, 5)))
+    // one aggregation in the plan — the assemblies fused, not chained
+    val plan = Flow.toDF(p).queryExecution.executedPlan.toString
+    assert("HashAggregate".r.findAllMatchIn(plan).size <= 2,
+      "expected one partial+final aggregate pair:\n" + plan)
+  }
+
+  // AssemblyHelpersPlatformTest.testParallelAggregatesMerged: the same
+  // parallel composition over a MERGED (multi-pipe) input — the merge
+  // must happen before the single aggregation pass.
+  test("parallel aggregates over a merged input") {
+    val p1 = pipe(Seq(("a", 1), ("b", 2)).toDF("ch", "v"))
+    val p2 = pipe(Seq(("a", 10)).toDF("ch", "v"))
+    val p = p1.merge(p2).groupBy("ch")
+      .every(Aggs.count("n"), Aggs.sum("v", "s"))
+    assert(rows(p) == Set(Seq("a", 2L, 11L), Seq("b", 1L, 2L)))
+  }
+
+  // AssemblyHelpersPlatformTest.testRename: the positional Rename of
+  // EVERY field — order preserved, data untouched.
+  test("Rename of all fields keeps order and data") {
+    val out = Flow.toDF(pipe(lower).rename("num" -> "id", "ch" -> "name"))
+    assert(out.columns.toSeq == Seq("id", "name"))
+    assert(out.count() == 5)
+  }
+
+  // AssemblyHelpersPlatformTest.testRetain: Retain with the FULL field
+  // list is the identity (the degenerate projection upstream pins).
+  test("Retain of every field is the identity") {
+    assert(rows(pipe(lower).retain("num", "ch")) == rows(pipe(lower)))
+  }
+
+  // AssemblyHelpersPlatformTest.testDiscard: Discard of one field — the
+  // complement of retain; remaining fields keep source order.
+  test("Discard of a single field keeps the rest in source order") {
+    val out = Flow.toDF(pipe(lower).discard("num"))
+    assert(out.columns.toSeq == Seq("ch"))
+    assert(rows(pipe(lower).discard("num")) ==
+      Set(Seq("a"), Seq("b"), Seq("c"), Seq("d"), Seq("e")))
+  }
+
+  // FieldedPipesPlatformTest.testNoGroup: an Each-only flow (no GroupBy
+  // anywhere) — per-record ops alone must plan and run (no implicit
+  // grouping, no shuffle).
+  test("each-only flow runs without any grouping; plan has no exchange") {
+    val p = pipe(lower).each(
+      ExpressionFunction("up", "upper(ch)", StringType),
+      args = FieldSelector("ch"), out = FieldSelector.All)
+    val df = Flow.toDF(p)
+    assert(rows(p).map(_.last) == Set("A", "B", "C", "D", "E"))
+    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"),
+      "an each-only flow must not shuffle")
+  }
+
+  // BufferPipesPlatformTest.testSimpleBuffer2: Buffer output cardinality
+  // is FREE downward too — a buffer may emit fewer rows than the group,
+  // including NONE (the group is then absent from the output entirely,
+  // not null-padded).
+  test("buffer may emit zero rows for a group — group absent, not null") {
+    val df = Seq(("a", 1), ("a", 2), ("b", 5)).toDF("k", "v")
+    val b = new CBuffer {
+      val resultFields: CFields = CFields.typed("s" -> IntegerType)
+      def operate(key: Seq[Any], rs: Iterator[Row]): Iterator[Seq[Any]] = {
+        val total = rs.map(_.getInt(1)).sum
+        if (total % 2 == 0) Iterator.empty else Iterator.single(Seq(total))
+      }
+    }
+    val p = pipe(df).groupBySorted(Seq("k"), Seq("v" -> true)).buffer(b)
+    // a sums to 3 (odd → emitted), b sums to 5 (odd → emitted); with a
+    // third all-even group the row disappears
+    val df2 = Seq(("a", 1), ("b", 2), ("b", 2)).toDF("k", "v")
+    val p2 = pipe(df2).groupBySorted(Seq("k"), Seq("v" -> true)).buffer(b)
+    assert(rows(p) == Set(Seq("a", 3), Seq("b", 5)))
+    assert(rows(p2) == Set(Seq("a", 1)))
+  }
+
+  // BufferPipesPlatformTest.testJoinerClosure: the BufferJoin form — a
+  // custom joiner sees BOTH sides' iterators per key (the JoinerClosure
+  // API) and emits any shape; keys missing from one side still reach the
+  // joiner with an empty iterator (full-outer delivery, joiner decides).
+  test("bufferJoin joiner sees both iterators per key, empty side included") {
+    val left = pipe(Seq((1, "x"), (1, "y"), (3, "z")).toDF("k", "lv"))
+    val right = pipe(Seq((1, "A"), (2, "B")).toDF("rk", "rv"))
+    val out = left.bufferJoin(Seq("k"), right, Seq("rk"),
+      CFields.typed("k" -> IntegerType, "nl" -> IntegerType,
+        "nr" -> IntegerType, "cat" -> StringType),
+      (key, ls, rs) => {
+        val l = ls.map(_.getString(1)).toVector
+        val r = rs.map(_.getString(1)).toVector
+        Iterator.single(Seq(key.head, l.length, r.length,
+          (l ++ r).sorted.mkString("")))
+      })
+    assert(rows(out) == Set(
+      Seq(1, 2, 1, "Axy"), Seq(3, 1, 0, "z"), Seq(2, 0, 1, "B")))
+  }
 }
