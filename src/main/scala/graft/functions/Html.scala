@@ -314,7 +314,12 @@ object Html {
             val close = s"</$name"
             // per the HTML spec an appropriate end tag requires the name
             // to be FOLLOWED by '>', '/', or whitespace — '</scripts>'
-            // inside script text must NOT terminate the skip
+            // inside script text must NOT terminate the skip. Candidates
+            // come from indexOf("</") (near-O(n) library scan), each
+            // verified case-insensitively with regionMatches — the
+            // round-12 note's fix for the O(n·taglen) per-char loop.
+            // Case-insensitivity stays index-safe: nothing is lowercased
+            // (U+0130 → "i" + U+0307 would change lengths).
             def closesAt(e: Int): Boolean =
               html.regionMatches(true, e, close, 0, close.length) && {
                 val after = e + close.length
@@ -323,9 +328,11 @@ object Html {
                   ca == '>' || ca == '/' || ca.isWhitespace
                 }
               }
-            var e = j
-            while (e + close.length <= n && !closesAt(e)) e += 1
-            if (e + close.length > n) return None // unterminated raw element
+            var e = html.indexOf("</", j)
+            while (e >= 0 && e + close.length <= n && !closesAt(e))
+              e = html.indexOf("</", e + 1)
+            if (e < 0 || e + close.length > n)
+              return None // unterminated raw element
             val gt = html.indexOf('>', e)
             if (gt < 0) return None
             i = gt + 1
