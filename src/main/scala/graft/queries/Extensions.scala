@@ -3859,6 +3859,49 @@ object Extensions {
       }
     }),
 
+    // --- the TRUE ARRIVAL cadence for the bigram filters (the q159
+    // batch shape): the count table freezes on the %50≠3 corpus, the
+    // %50==3 batch arrives carrying two per-doc novel tokens
+    // (" qz<k> qw<k>") so every documented OOV rule provably fires —
+    // "<last> qz<k>" is a seen context with an UNSEEN continuation
+    // (⌊log2 c1⌋+1 bits), "qz<k> qw<k>" is an UNSEEN context (n_oov,
+    // excluded from n_bi). q273 proves plan + self-scoring values; this
+    // gate proves the frozen-table SEMANTICS under a DuckDB oracle that
+    // implements the same rules from the train/batch split.
+    "q279_bigram_bits_arrival" -> ((s, dir) => {
+      val table = stagedTable("graft_q279_bgcounts")
+      graft.queries.Tables.dropStagedTable(s, table)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val train = docs.filter(col("doc_id") % 50 =!= 3)
+      val batch = docs.filter(col("doc_id") % 50 === 3)
+        .select(col("doc_id"),
+          concat(col("text"),
+            lit(" qz"), (col("doc_id") % 5).cast("string"),
+            lit(" qw"), (col("doc_id") % 5).cast("string")).as("text"))
+      graft.functions.LanguageModel.bigramCountsTap(table, 8).write(
+        graft.functions.LanguageModel.bigramTrainCounts(train),
+        graft.sources.SinkMode.Replace)
+      graft.functions.LanguageModel
+        .scoreBigramBitsAgainstCounts(s.table(table), batch)
+    }),
+
+    "q280_kneser_ney_arrival" -> ((s, dir) => {
+      val table = stagedTable("graft_q280_bgcounts")
+      graft.queries.Tables.dropStagedTable(s, table)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val train = docs.filter(col("doc_id") % 50 =!= 3)
+      val batch = docs.filter(col("doc_id") % 50 === 3)
+        .select(col("doc_id"),
+          concat(col("text"),
+            lit(" qz"), (col("doc_id") % 5).cast("string"),
+            lit(" qw"), (col("doc_id") % 5).cast("string")).as("text"))
+      graft.functions.LanguageModel.bigramCountsTap(table, 8).write(
+        graft.functions.LanguageModel.bigramTrainCounts(train),
+        graft.sources.SinkMode.Replace)
+      graft.functions.LanguageModel
+        .scoreKneserNeyAgainstCounts(s.table(table), batch)
+    }),
+
     // --- q269's interpolated KN against the SAME persisted table (one
     // table serves the whole bigram family — that is the point of the
     // (g, c, n1f, n1b) self-describing layout): bucket-local bigram
@@ -6050,6 +6093,89 @@ object Extensions {
        |SELECT dst AS target, a AS authority_scaled FROM a$iters""".stripMargin
   }
 
+  /** The q279/q280 train/batch split + TRAIN-side count CTEs, shared so
+    * the two arrival oracles cannot drift: counts freeze on the %50≠3
+    * corpus; the %50==3 batch carries " qz<k> qw<k>" novel-token tails
+    * (seen-context/unseen-continuation AND unseen-context positions both
+    * provably occur). */
+  private val lmArrivalCtes: String =
+    """train AS MATERIALIZED (
+      |  SELECT text FROM documents WHERE doc_id % 50 <> 3),
+      |batch AS MATERIALIZED (
+      |  SELECT doc_id, text || ' qz' || CAST(doc_id % 5 AS VARCHAR)
+      |                      || ' qw' || CAST(doc_id % 5 AS VARCHAR) AS text
+      |  FROM documents WHERE doc_id % 50 = 3),
+      |tt AS (SELECT string_split(text, ' ') AS t FROM train),
+      |tpos AS MATERIALIZED (
+      |  SELECT t[i] AS prev, t[i] || ' ' || t[i + 1] AS bg
+      |  FROM tt, LATERAL (SELECT unnest(range(1, len(t))) AS i) ii
+      |  WHERE len(t) >= 2),
+      |ctx AS MATERIALIZED (SELECT prev, count(*) AS c1 FROM tpos GROUP BY 1),
+      |bic AS MATERIALIZED (SELECT bg, count(*) AS c2 FROM tpos GROUP BY 1),
+      |bt AS (SELECT doc_id, string_split(text, ' ') AS t FROM batch),
+      |bpos AS MATERIALIZED (
+      |  SELECT doc_id, t[i] AS prev, t[i + 1] AS w,
+      |    t[i] || ' ' || t[i + 1] AS bg
+      |  FROM bt, LATERAL (SELECT unnest(range(1, len(t))) AS i) ii
+      |  WHERE len(t) >= 2)""".stripMargin
+
+  /** q279: the documented frozen-table bits rules in SQL — NULL bits for
+    * an unseen context (counted as n_oov), ⌊log2 c1⌋+1 for a seen
+    * context with an unseen continuation, the q264 arithmetic otherwise. */
+  private lazy val bigramBitsArrivalOracle: String =
+    s"""WITH $lmArrivalCtes,
+       |sc AS (
+       |  SELECT p.doc_id,
+       |    CASE WHEN c.c1 IS NULL THEN NULL
+       |         WHEN b.c2 IS NULL THEN length(bin(c.c1))
+       |         ELSE (length(bin(c.c1)) - 1) - (length(bin(b.c2)) - 1)
+       |    END AS bits
+       |  FROM bpos p LEFT JOIN ctx c USING (prev) LEFT JOIN bic b USING (bg)),
+       |agg AS (
+       |  SELECT doc_id, count(bits) AS n_bi, sum(bits) AS bb,
+       |    count(*) - count(bits) AS oov
+       |  FROM sc GROUP BY 1)
+       |SELECT d.doc_id, CAST(coalesce(a.n_bi, 0) AS BIGINT) AS n_bi,
+       |  CAST(coalesce(a.bb, 0) AS BIGINT) AS bigram_bits,
+       |  CAST(coalesce(a.oov, 0) AS BIGINT) AS n_oov
+       |FROM batch d LEFT JOIN agg a USING (doc_id)""".stripMargin
+
+  /** q280: interpolated KN against the frozen table — unseen
+    * continuations smooth natively (c2 = 0 pure continuation mass, the
+    * greatest(x, 0) arm; an unseen w has n1b = 0 → 0), unseen context is
+    * the only n_oov. Expression tree mirrors the Spark side paren-for-
+    * paren (the q269 discipline). */
+  private lazy val knArrivalOracle: String =
+    s"""WITH $lmArrivalCtes,
+       |typ AS MATERIALIZED (SELECT DISTINCT prev, bg FROM tpos),
+       |n1f AS MATERIALIZED (SELECT prev, count(*) AS n1f FROM typ GROUP BY 1),
+       |n1b AS MATERIALIZED (
+       |  SELECT string_split(bg, ' ')[2] AS w, count(*) AS n1b
+       |  FROM typ GROUP BY 1),
+       |nt AS (SELECT count(*) AS nt FROM typ),
+       |sc AS (
+       |  SELECT p.doc_id,
+       |    CASE WHEN c.c1 IS NULL THEN NULL
+       |    ELSE CAST(floor(1000000.0 * (
+       |      greatest(CAST(coalesce(b.c2, 0) AS DOUBLE) - 0.75,
+       |               CAST(0.0 AS DOUBLE)) / CAST(c.c1 AS DOUBLE)
+       |      + ((0.75 * CAST(f.n1f AS DOUBLE)) / CAST(c.c1 AS DOUBLE))
+       |        * (CAST(coalesce(nb.n1b, 0) AS DOUBLE)
+       |           / CAST(nt.nt AS DOUBLE)))) AS BIGINT)
+       |    END AS s
+       |  FROM bpos p
+       |  LEFT JOIN ctx c USING (prev) LEFT JOIN bic b USING (bg)
+       |  LEFT JOIN n1f f USING (prev) LEFT JOIN n1b nb ON nb.w = p.w
+       |  CROSS JOIN nt),
+       |agg AS (
+       |  SELECT doc_id, count(s) AS n_bi, sum(s) AS km,
+       |    count(*) - count(s) AS oov
+       |  FROM sc GROUP BY 1)
+       |SELECT d.doc_id, CAST(coalesce(a.n_bi, 0) AS BIGINT) AS n_bi,
+       |  CAST(coalesce(a.km, 0) AS BIGINT) AS kn_micros,
+       |  CAST(coalesce(a.oov, 0) AS BIGINT) AS n_oov
+       |FROM batch d LEFT JOIN agg a USING (doc_id)""".stripMargin
+
   /** q264's oracle — shared verbatim with q273 (the persisted
     * count-table form): the index changes the plan, never the
     * numbers. */
@@ -7297,6 +7423,8 @@ object Extensions {
     // per-doc sum; typ is both the scoring domain and the N1+ source
     "q269_kneser_ney" -> knBigramOracle,
     "q274_kneser_ney_indexed" -> knBigramOracle,
+    "q279_bigram_bits_arrival" -> bigramBitsArrivalOracle,
+    "q280_kneser_ney_arrival" -> knArrivalOracle,
     
 
     "q265_video_keyframe_index" -> videoSceneOracle(
