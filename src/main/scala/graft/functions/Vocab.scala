@@ -464,4 +464,281 @@ object Vocab {
       .withColumn("cum_tokens", sum(col("bucket_tokens")).over(w))
       .select("bucket", "new_types", "cum_types", "bucket_tokens", "cum_tokens")
   }
+
+  // --------------------------------------------------------------------
+  // Unigram-LM tokenizer (Kudo 2018, SentencePiece) — the OTHER subword
+  // family next to BPE. Same scale contract as bpeMerges: ONE corpus scan
+  // builds the word-frequency table; everything after (piece inventory,
+  // scoring, Viterbi, hard-EM re-estimation) runs on vocab-sized tables,
+  // and the piece table — the MODEL, O(V) rows like a BPE merge list —
+  // is the only driver carry. All arithmetic is exact-integer bits
+  // (s(p) = ⌊log2 f(p)⌋ − ⌊log2 F⌋, the q115/q264 bin() discipline), so
+  // Spark and the DuckDB oracle agree bit-for-bit with no float drift.
+  // The oracle segments by EXHAUSTIVE composition enumeration (recursive
+  // CTE), independently validating the DP in catalyst.UnigramSegment.
+  // --------------------------------------------------------------------
+
+  /** Default unigram-LM hyperparameters: pieces up to 4 chars, top-256
+    * multi-char seeds by the SentencePiece freq×len seeding heuristic. */
+  val UnigramMaxPieceLen = 4
+  val UnigramTopK = 256
+
+  /** The q282 arrival batch's novel words: concatenations of corpus word
+    * pairs, picked by doc_id % 5 — unseen as WORDS at every SF (the
+    * corpus word list is fixed) while every character is covered by the
+    * trained piece inventory, so the frozen vocabulary must GENERALIZE:
+    * segment words it never saw into pieces it did. */
+  val UnigramNovelWords: Seq[String] =
+    Seq("sortmerge", "hashjoin", "batchscan", "streamfilter", "keyvalue")
+
+  /** One corpus scan: the (w, cnt) word-frequency table. */
+  def unigramWordTable(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+
+  /** Seed piece inventory from the word table: every substring of length
+    * ≤ maxPieceLen, occurrence-weighted (a word containing p twice
+    * contributes 2·cnt to f(p)). Kept set = ALL single characters (so
+    * every observed word stays coverable) plus the top-K multi-char
+    * pieces by (f·len DESC, p ASC) — the SentencePiece seeding heuristic,
+    * lowered to TakeOrderedAndProject (never a global sort). */
+  def unigramPieceTable(words: DataFrame, maxPieceLen: Int = UnigramMaxPieceLen,
+                        topK: Int = UnigramTopK): DataFrame = {
+    val subs = words
+      .select(col("cnt"), explode(expr(
+        s"""flatten(transform(sequence(1, char_length(w)),
+           |  s -> transform(sequence(1, least($maxPieceLen, char_length(w) - s + 1)),
+           |    l -> substring(w, s, l))))""".stripMargin)).as("p"))
+      .groupBy("p").agg(sum(col("cnt")).as("f"))
+    val multi = subs.filter(length(col("p")) >= 2)
+      .orderBy((col("f") * length(col("p"))).desc, col("p").asc)
+      .limit(topK)
+    subs.filter(length(col("p")) === 1).unionByName(multi)
+  }
+
+  /** Collect a (p, f)-shaped piece/usage table into exact bits-scores:
+    * (pieces with s(p) = ⌊log2 f⌋ − ⌊log2 Σf⌋, and ⌊log2 Σf⌋ itself).
+    * Driver carry is O(V) — the tokenizer-model contract (a BPE merge
+    * list is the same carry; q157/q276). */
+  def unigramScoredPieces(pieceTable: DataFrame,
+                          freqCol: String = "f"): (Array[(String, Long)], Long) = {
+    val rows = pieceTable.select(col("p"), col(freqCol).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    require(rows.nonEmpty, "unigram piece table is empty")
+    val bTot = 63 - java.lang.Long.numberOfLeadingZeros(rows.map(_._2).sum)
+    (rows.map { case (p, f) =>
+      (p, (63 - java.lang.Long.numberOfLeadingZeros(f)).toLong - bTot)
+    }, bTot.toLong)
+  }
+
+  /** Segment every word of a (w, …) table against a scored piece
+    * vocabulary; an uncoverable word fails DIRECTED (raise_error names
+    * it) rather than silently dropping from the output. */
+  def unigramSegmentCol(word: org.apache.spark.sql.Column,
+                        scored: Array[(String, Long)]): org.apache.spark.sql.Column = {
+    val seg = graft.catalyst.UnigramSegment(word, scored.toSeq)
+    when(seg === "", raise_error(concat(
+      lit("unigram: word not coverable by the piece vocabulary: "), word)))
+      .otherwise(seg)
+  }
+
+  /** Viterbi + ONE hard-EM round (Viterbi re-estimation: f′(p) = usage of
+    * p in the round-1 argmax segmentations, dead pieces dropped), scored
+    * and re-segmented — per DISTINCT word:
+    * (w, cnt, seg0, seg, n_pieces, seg_bits) where seg0 is the round-1
+    * segmentation, seg/n_pieces/seg_bits the round-2 state. On this
+    * corpus hard EM reaches its fixed point in one round (seg == seg0 —
+    * observed, NOT asserted: the oracle recomputes both rounds, so a
+    * divergence would surface as a value mismatch, and the usage-based
+    * seg_bits differ numerically from round-1 scores either way).
+    *
+    * Scale: `words` is localCheckpoint'ed after the one corpus scan —
+    * the whole EM chain below it is vocab-sized and corpus-free (the
+    * q281 gate asserts the final plan contains no corpus file scan). The
+    * per-piece bits join BROADCASTS the piece table back to the exploded
+    * segmentations. Round-1 coverage is total by construction (all
+    * single chars kept); round-2 coverage follows because a word's own
+    * round-1 pieces all have usage ≥ cnt(w) ≥ 1 and therefore survive
+    * the dead-piece drop. */
+  def unigramEmSegmented(docs: DataFrame, textCol: String,
+                         maxPieceLen: Int = UnigramMaxPieceLen,
+                         topK: Int = UnigramTopK): DataFrame = {
+    val words = unigramWordTable(docs, textCol).localCheckpoint()
+    val (scored1, _) = unigramScoredPieces(unigramPieceTable(words, maxPieceLen, topK))
+    val seg1 = words.withColumn("seg0", unigramSegmentCol(col("w"), scored1))
+    val usage = seg1
+      .select(col("cnt"), explode(split(col("seg0"), "\\|")).as("p"))
+      .groupBy("p").agg(sum(col("cnt")).as("u"))
+      .localCheckpoint()
+    val (scored2, bTot2) = unigramScoredPieces(usage, "u")
+    seg1
+      .withColumn("seg", unigramSegmentCol(col("w"), scored2))
+      .select(col("w"), col("cnt"), col("seg0"), col("seg"),
+        explode(split(col("seg"), "\\|")).as("p"))
+      .join(broadcast(usage), Seq("p"))
+      .groupBy("w", "cnt", "seg0", "seg")
+      .agg(count(lit(1)).as("n_pieces"),
+        sum((length(bin(col("u"))) - 1).cast("long") - lit(bTot2)).as("seg_bits"))
+  }
+
+  /** The tap a frozen unigram-LM model (the post-EM usage table (p, u))
+    * persists through — plain parquet: scoring COLLECTS the O(V) model
+    * (the merge-list carry), it never joins corpus-side on p, so
+    * bucketing buys nothing here. */
+  def unigramModelTap(path: String): graft.sources.ParquetTap =
+    graft.sources.ParquetTap(path)
+
+  /** Train the frozen model: word table → seed pieces → Viterbi →
+    * usage re-estimation. Returns the (p, u) table to persist. */
+  def unigramTrainModel(docs: DataFrame, textCol: String,
+                        maxPieceLen: Int = UnigramMaxPieceLen,
+                        topK: Int = UnigramTopK): DataFrame = {
+    val words = unigramWordTable(docs, textCol).localCheckpoint()
+    val (scored1, _) = unigramScoredPieces(unigramPieceTable(words, maxPieceLen, topK))
+    words.withColumn("seg0", unigramSegmentCol(col("w"), scored1))
+      .select(col("cnt"), explode(split(col("seg0"), "\\|")).as("p"))
+      .groupBy("p").agg(sum(col("cnt")).as("u"))
+  }
+
+  /** Score an ARRIVAL batch against a frozen persisted model — the q159
+    * amortization discipline applied to the tokenizer: the corpus is
+    * never rescanned and never re-trained; batch words the model never
+    * saw (including genuinely novel words) segment by Viterbi over the
+    * pieces it did learn. Per batch document:
+    * (idCol, n_tok, n_pieces, doc_bits).
+    *
+    * Shape: distinct BATCH words (batch-vocab-sized) segment via the
+    * collected model; per-word bits come from broadcasting the model
+    * TABLE to the exploded segmentations (the model scan is IN this
+    * plan — asserted by the q282 gate); the per-word rows then broadcast
+    * back to the batch token stream. Both joins carry explicit
+    * broadcast() hints. */
+  def scoreUnigramArrivals(model: DataFrame, batch: DataFrame,
+                           idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame = {
+    val (scored, bTot) = unigramScoredPieces(model, "u")
+    val bWords = batch
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0).distinct()
+    val wseg = bWords
+      .withColumn("seg", unigramSegmentCol(col("w"), scored))
+      .select(col("w"), col("seg"), explode(split(col("seg"), "\\|")).as("p"))
+      .join(broadcast(model), Seq("p"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("wp"),
+        sum((length(bin(col("u"))) - 1).cast("long") - lit(bTot)).as("wb"))
+    batch.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(broadcast(wseg), Seq("w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(col("wp")).as("n_pieces"),
+        sum(col("wb")).as("doc_bits"))
+  }
+
+  /** Shared oracle CTE chain: corpus → word table → seed pieces → scores
+    * → exhaustive-composition round-1 segmentation → usage → re-scored
+    * round-2 state. `source` is the training-corpus CTE body. */
+  private def unigramOracleCtes(source: String, maxPieceLen: Int,
+                                topK: Int): String =
+    s"""srcdocs AS MATERIALIZED ($source),
+       |toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM srcdocs),
+       |words AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM toks WHERE len(w) > 0 GROUP BY 1),
+       |subs AS MATERIALIZED (
+       |  SELECT substr(w, s, l) AS p, sum(cnt) AS f
+       |  FROM words,
+       |    LATERAL (SELECT unnest(range(1, len(w) + 1)) AS s) ss,
+       |    LATERAL (SELECT unnest(range(1, least($maxPieceLen, len(w) - s + 1) + 1)) AS l) ll
+       |  GROUP BY 1),
+       |keep AS MATERIALIZED (
+       |  SELECT p, f FROM subs WHERE len(p) = 1
+       |  UNION ALL
+       |  SELECT p, f FROM (
+       |    SELECT p, f, row_number() OVER (ORDER BY f * len(p) DESC, p ASC) AS rn
+       |    FROM subs WHERE len(p) >= 2) WHERE rn <= $topK),
+       |tot AS (SELECT length(bin(sum(f))) - 1 AS b FROM keep),
+       |scored AS MATERIALIZED (
+       |  SELECT p, CAST(length(bin(f)) - 1 - (SELECT b FROM tot) AS BIGINT) AS s
+       |  FROM keep),
+       |paths AS (
+       |  SELECT w, cnt, 0 AS pos, CAST(0 AS BIGINT) AS sc, 0 AS np, '' AS seg
+       |  FROM words
+       |  UNION ALL
+       |  SELECT t.w, t.cnt, t.pos + len(v.p), t.sc + v.s, t.np + 1,
+       |         CASE WHEN t.seg = '' THEN v.p ELSE t.seg || '|' || v.p END
+       |  FROM paths t JOIN scored v ON substr(t.w, t.pos + 1, len(v.p)) = v.p),
+       |best AS (
+       |  SELECT w, cnt, seg, np, sc,
+       |    row_number() OVER (PARTITION BY w ORDER BY sc DESC, np ASC, seg ASC) AS rn
+       |  FROM paths WHERE pos = len(w)),
+       |usg AS MATERIALIZED (
+       |  SELECT p, sum(cnt) AS u FROM (
+       |    SELECT b.cnt, unnest(string_split(b.seg, '|')) AS p
+       |    FROM best b WHERE b.rn = 1) GROUP BY 1),
+       |tot2 AS (SELECT length(bin(sum(u))) - 1 AS b FROM usg),
+       |scored2 AS MATERIALIZED (
+       |  SELECT p, CAST(length(bin(u)) - 1 - (SELECT b FROM tot2) AS BIGINT) AS s
+       |  FROM usg)""".stripMargin
+
+  /** q281 oracle: the whole EM chain over the full corpus, final state
+    * per distinct word. Exhaustive composition enumeration — validates
+    * the Spark side's Viterbi DP (and its tie order) independently. */
+  def unigramEmOracleSql(maxPieceLen: Int = UnigramMaxPieceLen,
+                         topK: Int = UnigramTopK): String =
+    s"""WITH RECURSIVE
+       |${unigramOracleCtes("SELECT text FROM documents", maxPieceLen, topK)},
+       |paths2 AS (
+       |  SELECT w, cnt, 0 AS pos, CAST(0 AS BIGINT) AS sc, 0 AS np, '' AS seg
+       |  FROM words
+       |  UNION ALL
+       |  SELECT t.w, t.cnt, t.pos + len(v.p), t.sc + v.s, t.np + 1,
+       |         CASE WHEN t.seg = '' THEN v.p ELSE t.seg || '|' || v.p END
+       |  FROM paths2 t JOIN scored2 v ON substr(t.w, t.pos + 1, len(v.p)) = v.p),
+       |best2 AS (
+       |  SELECT w, cnt, seg, np, sc,
+       |    row_number() OVER (PARTITION BY w ORDER BY sc DESC, np ASC, seg ASC) AS rn
+       |  FROM paths2 WHERE pos = len(w))
+       |SELECT b1.w AS w, b1.cnt AS cnt, b1.seg AS seg0, b2.seg AS seg,
+       |  CAST(b2.np AS BIGINT) AS n_pieces, b2.sc AS seg_bits
+       |FROM (SELECT * FROM best WHERE rn = 1) b1
+       |JOIN (SELECT * FROM best2 WHERE rn = 1) b2 USING (w)""".stripMargin
+
+  /** q282 oracle: train on doc_id % 50 <> 3, freeze, score the arrival
+    * batch (%50 = 3 docs each carrying one novel concatenated word). */
+  def unigramArrivalOracleSql(maxPieceLen: Int = UnigramMaxPieceLen,
+                              topK: Int = UnigramTopK): String = {
+    val novel = UnigramNovelWords.zipWithIndex
+      .map { case (wd, k) => s"($k, '$wd')" }.mkString(",")
+    s"""WITH RECURSIVE
+       |${unigramOracleCtes("SELECT text FROM documents WHERE doc_id % 50 <> 3", maxPieceLen, topK)},
+       |novel AS (SELECT * FROM (VALUES $novel) AS t(k, nw)),
+       |batch AS MATERIALIZED (
+       |  SELECT d.doc_id, d.text || ' ' || n.nw AS text
+       |  FROM documents d JOIN novel n ON d.doc_id % 5 = n.k
+       |  WHERE d.doc_id % 50 = 3),
+       |bwords AS MATERIALIZED (
+       |  SELECT DISTINCT w FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM batch)
+       |  WHERE len(w) > 0),
+       |paths2 AS (
+       |  SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS sc, 0 AS np, '' AS seg
+       |  FROM bwords
+       |  UNION ALL
+       |  SELECT t.w, t.pos + len(v.p), t.sc + v.s, t.np + 1,
+       |         CASE WHEN t.seg = '' THEN v.p ELSE t.seg || '|' || v.p END
+       |  FROM paths2 t JOIN scored2 v ON substr(t.w, t.pos + 1, len(v.p)) = v.p),
+       |best2 AS (
+       |  SELECT w, seg, np, sc,
+       |    row_number() OVER (PARTITION BY w ORDER BY sc DESC, np ASC, seg ASC) AS rn
+       |  FROM paths2 WHERE pos = len(w)),
+       |wseg AS (SELECT w, np, sc FROM best2 WHERE rn = 1),
+       |dtok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM batch)
+       |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+       |  CAST(sum(ws.np) AS BIGINT) AS n_pieces,
+       |  CAST(sum(ws.sc) AS BIGINT) AS doc_bits
+       |FROM dtok d JOIN wseg ws USING (w) WHERE len(d.w) > 0 GROUP BY 1""".stripMargin
+  }
 }

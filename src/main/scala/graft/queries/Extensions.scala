@@ -2278,6 +2278,145 @@ object Extensions {
       df
     }),
 
+    // --- the OTHER subword-tokenizer family: unigram-LM Viterbi
+    // segmentation + ONE hard-EM re-estimation round (Kudo 2018 /
+    // SentencePiece, hard-EM variant), all exact-integer bits scores
+    // (Vocab.scala scaladoc). The oracle does NOT re-implement the DP —
+    // it enumerates EVERY composition of every word into vocabulary
+    // pieces (recursive CTE) and takes the same (score DESC, n_pieces
+    // ASC, seg ASC) argmax, so the Viterbi table, its tie order, and the
+    // prefix-decomposability argument in UnigramSegment.scala are all
+    // independently verified. Plan asserts: the ONE corpus scan is
+    // checkpointed away, so the EM chain's final plan is corpus-free,
+    // and the per-piece bits join is the explicit broadcast
+    // (auto-broadcast pinned off).
+    "q281_unigram_em_segment" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val threshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val df = graft.functions.Vocab.unigramEmSegmented(docs, "text")
+        val ps = df.queryExecution.executedPlan.toString
+        require(!ps.contains("documents.parquet"),
+          "q281: the EM chain must be corpus-free after the checkpointed " +
+          "word table (one corpus scan total)")
+        require("unigram_segment".r.findAllMatchIn(ps).nonEmpty,
+          "q281: the Viterbi expression node is missing from the plan")
+        require(ps.contains("BroadcastHashJoin"),
+          "q281: the per-piece bits join must execute the broadcast " +
+          "(auto-broadcast is off — only the hint can plan one)")
+        df
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    }),
+
+    // --- the frozen-tokenizer ARRIVAL cadence (the q159/q273
+    // amortization discipline applied to the unigram model): train on
+    // the %50≠3 corpus once, persist the post-EM (p, u) usage table —
+    // the MODEL, O(V) rows, the same carry contract as a BPE merge list
+    // — then score the %50=3 batch against the frozen tap. Each batch
+    // doc carries one NOVEL concatenated word (corpus word pairs, so
+    // every character is covered but the WORD is unseen at every SF):
+    // the frozen vocabulary must generalize — segment words it never
+    // saw into pieces it did learn ("streamfilter" → st|ream|filt|er).
+    // Plan asserts: the scoring plan never rescans the corpus (batch is
+    // checkpointed; the only file scan is the model tap) and both the
+    // piece-bits join and the word-seg join-back broadcast explicitly.
+    "q282_unigram_frozen_arrival" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val tap = graft.functions.Vocab.unigramModelTap(
+        graft.queries.Relational.stagePath("graft_q282_unigram_model", dir))
+      tap.write(
+        graft.functions.Vocab.unigramTrainModel(
+          docs.filter(col("doc_id") % 50 =!= 3), "text"),
+        graft.sources.SinkMode.Replace)
+      val novel = graft.functions.Vocab.UnigramNovelWords
+      val batch = docs.filter(col("doc_id") % 50 === 3)
+        .select(col("doc_id"), concat(col("text"), lit(" "),
+          element_at(
+            array(novel.map(lit): _*),
+            (col("doc_id") % 5 + 1).cast("int"))).as("text"))
+        .localCheckpoint()
+      val threshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val df = graft.functions.Vocab.scoreUnigramArrivals(tap.read(s), batch)
+        val ps = df.queryExecution.executedPlan.toString
+        require(!ps.contains("documents.parquet"),
+          "q282: arrival scoring must never rescan the corpus — the " +
+          "frozen model tap is the only file scan allowed in this plan")
+        require(ps.contains("graft_q282_unigram_model"),
+          "q282: the frozen model tap scan is missing from the plan")
+        require("BroadcastHashJoin".r.findAllMatchIn(ps).size >= 2,
+          "q282: the piece-bits join and the word-seg join-back must " +
+          "both execute as explicit broadcasts (auto-broadcast is off)")
+        df
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    }),
+
+    // --- multinomial Naive Bayes posterior in exact bits (the fastText-
+    // class quality/language router; Classify.scala scaladoc has the
+    // quantized formula — it IS the contract, recomputed verbatim by the
+    // oracle). Self-scoring form: train = batch = the full corpus; the
+    // model table is localCheckpoint'ed so the one training scan never
+    // re-executes under the scoring plan's three references (wc slice +
+    // two bounded driver carries).
+    "q283_nb_posterior" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val model = graft.functions.Classify
+        .nbTrainCounts(docs, "lang", "text").localCheckpoint()
+      val threshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val df = graft.functions.Classify.scoreNaiveBayes(model, docs)
+        val ps = df.queryExecution.executedPlan.toString
+        require(ps.contains("BroadcastHashJoin"),
+          "q283: the wc-slice lookup must execute the broadcast " +
+          "(auto-broadcast is off — only the hint can plan one)")
+        require(ps.contains("BroadcastNestedLoopJoin"),
+          "q283: the class cross join must broadcast the O(classes) side")
+        df
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    }),
+
+    // --- the frozen-classifier ARRIVAL cadence: model trained on %50≠3
+    // once, persisted through the tap, batch = %50=3 docs carrying the
+    // lmArrivalCtes qz/qw novel tokens — every batch doc hits the
+    // add-one smoothing's unseen-word arm (bits(0+1) = 0 through the
+    // null coalesce), so the smoothing path is in the gated VALUES, not
+    // just the code. Plan asserts: scoring never rescans the corpus (the
+    // batch is checkpointed; the model tap is the only file scan) and
+    // both join shapes broadcast explicitly.
+    "q284_nb_frozen_arrival" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val tap = graft.functions.Classify.nbModelTap(
+        graft.queries.Relational.stagePath("graft_q284_nb_model", dir))
+      tap.write(
+        graft.functions.Classify.nbTrainCounts(
+          docs.filter(col("doc_id") % 50 =!= 3), "lang", "text"),
+        graft.sources.SinkMode.Replace)
+      val batch = docs.filter(col("doc_id") % 50 === 3)
+        .select(col("doc_id"), concat(col("text"),
+          lit(" qz"), (col("doc_id") % 5).cast("string"),
+          lit(" qw"), (col("doc_id") % 5).cast("string")).as("text"))
+        .localCheckpoint()
+      val threshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val df = graft.functions.Classify.scoreNaiveBayes(tap.read(s), batch)
+        val ps = df.queryExecution.executedPlan.toString
+        require(!ps.contains("documents.parquet"),
+          "q284: arrival scoring must never rescan the corpus — the " +
+          "frozen model tap is the only file scan allowed in this plan")
+        require(ps.contains("graft_q284_nb_model"),
+          "q284: the frozen model tap scan is missing from the plan")
+        require(ps.contains("BroadcastHashJoin") &&
+                ps.contains("BroadcastNestedLoopJoin"),
+          "q284: both scoring joins must broadcast explicitly " +
+          "(auto-broadcast is off)")
+        df
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    }),
+
     // --- bigram-LM conditional surprisal (the CCNet perplexity filter,
     // exact-bits spelling): per doc, Σ ⌊log2 c(prev·)⌋ − ⌊log2 c(prev
     // tok)⌋ over bigram positions — q115's bin() trick lifted to
@@ -6102,8 +6241,7 @@ object Extensions {
     """train AS MATERIALIZED (
       |  SELECT text FROM documents WHERE doc_id % 50 <> 3),
       |batch AS MATERIALIZED (
-      |  SELECT doc_id, text || ' qz' || CAST(doc_id % 5 AS VARCHAR)
-      |                      || ' qw' || CAST(doc_id % 5 AS VARCHAR) AS text
+      |  SELECT doc_id, text || ' qz' || CAST(doc_id % 5 AS VARCHAR) || ' qw' || CAST(doc_id % 5 AS VARCHAR) AS text
       |  FROM documents WHERE doc_id % 50 = 3),
       |tt AS (SELECT string_split(text, ' ') AS t FROM train),
       |tpos AS MATERIALIZED (
@@ -7425,7 +7563,20 @@ object Extensions {
     "q274_kneser_ney_indexed" -> knBigramOracle,
     "q279_bigram_bits_arrival" -> bigramBitsArrivalOracle,
     "q280_kneser_ney_arrival" -> knArrivalOracle,
-    
+
+    // q281/q282: the unigram-LM tokenizer — the oracle enumerates EVERY
+    // composition of every word into vocabulary pieces (recursive CTE)
+    // instead of running Viterbi, independently validating the DP and
+    // its tie order (Vocab.unigramEmOracleSql scaladoc)
+    "q281_unigram_em_segment" -> graft.functions.Vocab.unigramEmOracleSql(),
+    "q282_unigram_frozen_arrival" ->
+      graft.functions.Vocab.unigramArrivalOracleSql(),
+
+    // q283/q284: the exact-bits NB posterior (Classify.scala's quantized
+    // formula, recomputed verbatim; margin = best − runner-up)
+    "q283_nb_posterior" -> graft.functions.Classify.nbSelfOracleSql(),
+    "q284_nb_frozen_arrival" -> graft.functions.Classify.nbArrivalOracleSql(),
+
 
     "q265_video_keyframe_index" -> videoSceneOracle(
       s""",vch AS MATERIALIZED (

@@ -1933,4 +1933,107 @@ class FunctionsSpec extends SparkSpec {
     assert(aff((0, 2)) == (-125000000000L, 500000000000L, 312500000000L))
     assert(aff((1, 2)) == (-250000000000L, 2000000000000L, 312500000000L))
   }
+
+  // ---- unigram-LM tokenizer (UnigramSegment Viterbi + Vocab EM chain) ----
+
+  private def segOne(w: String, pieces: Seq[(String, Long)]): String =
+    Seq(w).toDF("w")
+      .select(graft.catalyst.UnigramSegment(col("w"), pieces).as("r"))
+      .collect().head.getString(0)
+
+  test("UnigramSegment: argmax by score, then FEWER pieces, then the " +
+       "lexicographically smallest segmentation") {
+    // score tie between ab|c and a|bc (both -6), np tie (2 = 2) →
+    // lexicographic on the SEGMENTATION STRING, byte-wise like the
+    // oracle's binary collation: 'b' (0x62) < '|' (0x7C), so
+    // "ab|c" < "a|bc" — the separator sorts AFTER every letter
+    val tie = Seq(("a", -5L), ("ab", -1L), ("bc", -1L), ("c", -5L),
+      ("b", -9L), ("abc", -20L))
+    assert(segOne("abc", tie) == "ab|c")
+    // higher total score beats fewer pieces: whole-word 'abc' at -20
+    // loses to the -6 two-piece splits even though np=1
+    // fewer pieces wins a pure score tie: make abc = -6 too
+    val np = tie.map { case ("abc", _) => ("abc", -6L); case x => x }
+    assert(segOne("abc", np) == "abc")
+    // uncoverable (no 'z') and empty input → empty string
+    assert(segOne("az", tie) == "")
+    assert(segOne("", tie) == "")
+  }
+
+  test("UnigramSegment: negative-score DP still prefers reachable best " +
+       "path through a low-scoring bridge piece") {
+    // 'xy' only coverable as x|y despite terrible scores
+    val p = Seq(("x", -30L), ("y", -30L), ("xq", -1L))
+    assert(segOne("xy", p) == "x|y")
+  }
+
+  test("unigramScoredPieces: exact-bits scores at power-of-two " +
+       "boundaries, B = bits of the total") {
+    val pt = Seq(("a", 8L), ("b", 7L), ("c", 1L)).toDF("p", "f")
+    // Σf = 16 → B = 4; bits: 8→3, 7→2, 1→0
+    val (scored, b) = graft.functions.Vocab.unigramScoredPieces(pt)
+    assert(b == 4L)
+    assert(scored.toMap == Map("a" -> -1L, "b" -> -2L, "c" -> -4L))
+  }
+
+  test("unigramEmSegmented: round-2 coverage survives the dead-piece " +
+       "drop, and per-word bits re-score from USAGE, not substring " +
+       "frequency") {
+    // corpus: 'abab' ×4, 'ab' ×2 — pieces seeded from substrings; the
+    // round-1 segs only use a subset; round-2 vocab = that subset
+    val docs = Seq.fill(4)("abab ab").toDF("text")
+    val out = graft.functions.Vocab
+      .unigramEmSegmented(docs, "text", maxPieceLen = 4, topK = 4)
+      .collect().map(r => r.getString(0) ->
+        (r.getString(2), r.getString(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out.keySet == Set("abab", "ab"))
+    val (s0a, s2a, npa, _) = out("abab")
+    assert(s0a == s2a && npa >= 1) // hard-EM fixed point on this corpus
+    // every word still segmentable (raise_error would have fired)
+    assert(out("ab")._3 >= 1)
+  }
+
+  // ---- exact-bits multinomial Naive Bayes (Classify) ----
+
+  test("scoreNaiveBayes: hand-computed bits posterior, tie → class ASC, " +
+       "unseen word hits the add-one zero arm") {
+    // train: class a = {x x y} over 2 docs, class b = {x} over 1 doc
+    // V = 2; tok(a)=3, tok(b)=1; N=3
+    // denom(a) = bits(3+2) = 2, denom(b) = bits(1+2) = 1
+    // prior(a) = bits(2) - bits(3) = 0, prior(b) = bits(1) - bits(3) = -1
+    val train = Seq(("a", "x x"), ("a", "y"), ("b", "x")).toDF("lang", "text")
+    val model = graft.functions.Classify.nbTrainCounts(train, "lang", "text")
+      .localCheckpoint()
+    // batch doc: "x z" (z unseen → bits(0+1)=0 in every class)
+    // a: 0 + (bits(2+1)-2) + (0-2) = 0 + (1-2) + (-2) = -3
+    // b: -1 + (bits(1+1)-1) + (0-1) = -1 + 0 - 1 = -2  → pred b, margin 1
+    val batch = Seq((7L, "x z")).toDF("doc_id", "text")
+    val r = graft.functions.Classify.scoreNaiveBayes(model, batch)
+      .collect().head
+    assert(r.getLong(0) == 7L && r.getString(1) == "b")
+    assert(r.getLong(2) == -2L && r.getLong(3) == 1L)
+  }
+
+  test("scoreNaiveBayes: exact score tie breaks to the smaller class " +
+       "name; margin 0") {
+    // two classes with identical counts → identical scores everywhere
+    val train = Seq(("a", "x"), ("b", "x")).toDF("lang", "text")
+    val model = graft.functions.Classify.nbTrainCounts(train, "lang", "text")
+      .localCheckpoint()
+    val r = graft.functions.Classify.scoreNaiveBayes(
+      model, Seq((1L, "x x")).toDF("doc_id", "text")).collect().head
+    assert(r.getString(1) == "a" && r.getLong(3) == 0L)
+  }
+
+  test("scoreUnigramArrivals: frozen model segments NOVEL words into " +
+       "learned pieces; per-doc sums are exact") {
+    val train = Seq.fill(8)("stream filter").toDF("text")
+    val model = graft.functions.Vocab.unigramTrainModel(
+      train, "text", maxPieceLen = 4, topK = 8)
+    val batch = Seq((1L, "stream streamfilter")).toDF("doc_id", "text")
+    val r = graft.functions.Vocab.scoreUnigramArrivals(model, batch)
+      .collect().head
+    assert(r.getLong(1) == 2L)           // n_tok
+    assert(r.getLong(2) >= 3L)           // novel word needs ≥ 2 pieces
+  }
 }
