@@ -265,6 +265,19 @@ final class Lowering(spark: SparkSession, keepAssertions: Boolean = true,
         df.withColumn(f, df.col(f).cast(t))
       }
 
+    // primitive-form Coercions (int.class family): cast, then the
+    // primitive null-default — 0 for numerics, false for boolean
+    // (`cascading/tuple/coerce/Coercions.java`; Pipe.coercePrimitive doc)
+    case CoercePrimitivePipe(prev, fields) =>
+      fields.foldLeft(lower(prev)) { case (df, (f, t)) =>
+        val default: Any = t match {
+          case BooleanType => false
+          case DoubleType | FloatType => 0.0
+          case _ => 0L
+        }
+        df.withColumn(f, coalesce(df.col(f).cast(t), lit(default).cast(t)))
+      }
+
     case LimitPipe(prev, n)           => lower(prev).limit(n.toInt)
     // per-slice Limit parity (Cascading semantics): LocalLimit alone —
     // every partition caps at n, nothing gathers to one partition

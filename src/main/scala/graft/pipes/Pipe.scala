@@ -188,6 +188,19 @@ sealed trait Pipe {
   def rename(pairs: (String, String)*): Pipe = RenamePipe(this, pairs)
   def coerce(fields: (String, DataType)*): Pipe = CoercePipe(this, fields)
 
+  /** Upstream-parity PRIMITIVE coercion: Cascading routes `Coerce`
+    * through `cascading/tuple/coerce/Coercions.java`, which keeps TWO
+    * coercers per numeric type — the object form (`Integer.class`,
+    * null stays null) and the primitive form (`int.class`, null becomes
+    * 0; `boolean.class` → false). [[coerce]] is the object form (SQL
+    * cast); this is the primitive form: cast, then null-default. An
+    * unparseable numeric STRING nulls under Spark's non-ANSI cast and
+    * therefore lands on the default here — upstream's `safe = true` tap
+    * semantics (Coercions itself would throw NumberFormatException; the
+    * safe mapping is pinned in ConformanceSpec). */
+  def coercePrimitive(fields: (String, DataType)*): Pipe =
+    CoercePrimitivePipe(this, fields)
+
   /** Global limit — the useful tightening of Cascading's per-slice `Limit`
     * (SURVEY.md §7.4), encoded in the oracle. Both semantics exist:
     * `limit` is a true global limit; [[sliceLimit]] is the per-slice
@@ -405,6 +418,8 @@ final case class RetainPipe(prev: Pipe, fields: Seq[String]) extends Pipe
 final case class DiscardPipe(prev: Pipe, fields: Seq[String]) extends Pipe
 final case class RenamePipe(prev: Pipe, pairs: Seq[(String, String)]) extends Pipe
 final case class CoercePipe(prev: Pipe, fields: Seq[(String, DataType)]) extends Pipe
+final case class CoercePrimitivePipe(prev: Pipe,
+    fields: Seq[(String, DataType)]) extends Pipe
 final case class LimitPipe(prev: Pipe, n: Long) extends Pipe
 final case class SliceLimitPipe(prev: Pipe, n: Long) extends Pipe
 final case class SamplePipe(prev: Pipe, fraction: Double, seed: Long) extends Pipe

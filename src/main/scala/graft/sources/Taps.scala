@@ -97,6 +97,12 @@ final case class CsvTap(
       .option("delimiter", delimiter)
       .option("header", header.toString)
       .option("quote", quote)
+      // Cascading's DelimitedParser escapes a quote INSIDE a quoted
+      // field by DOUBLING it (RFC 4180), never by backslash; Spark's
+      // default escape is '\\', which would misparse upstream-written
+      // files (and write files upstream misparses). Setting escape =
+      // quote selects univocity's quote-doubling mode on both sides.
+      .option("escape", quote)
       .option("mode", mode)
       .options(options) // per-pipe ConfigDef overrides win
     schema match {
@@ -107,6 +113,7 @@ final case class CsvTap(
   def write(df: DataFrame, mode: SinkMode): Unit =
     df.write.mode(mode.toSaveMode)
       .option("delimiter", delimiter).option("header", header.toString)
+      .option("quote", quote).option("escape", quote) // RFC quote doubling
       .csv(path)
 }
 

@@ -2788,4 +2788,99 @@ class ConformanceSpec extends SparkSpec {
     assert(rows(out) == Set(
       Seq(1, 2, 1, "Axy"), Seq(3, 1, 0, "z"), Seq(2, 0, 1, "B")))
   }
+
+  // ---- wave 14: TextDelimited quote-escaping file-format parity +
+  //      the Coercions primitive/object split ----
+
+  // TextDelimitedPlatformTest.testQuotedText (file-format half):
+  // upstream's DelimitedParser escapes a quote inside a quoted field by
+  // DOUBLING it (RFC 4180) — an upstream-written file must parse here.
+  // Spark's CSV default escape is '\', which silently misparses the
+  // doubled form; CsvTap pins escape = quote (the divergence this corner
+  // exists to keep fixed).
+  test("TextDelimited parses upstream-style DOUBLED quotes in quoted fields") {
+    val dir = java.nio.file.Files.createTempDirectory("csvdq")
+    java.nio.file.Files.writeString(dir.resolve("part-00000.csv"),
+      "\"a\"\"b\",c\n\"x,y\",\"say \"\"hi\"\" twice\"\n")
+    val tap = graft.sources.CsvTap(dir.toString,
+      schema = Some(StructType(Seq(StructField("p", StringType),
+        StructField("q", StringType)))))
+    val got = tap.read(spark).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("a\"b", "c"), ("x,y", "say \"hi\" twice")))
+  }
+
+  // TextDelimitedPlatformTest.testQuotedText (writer half): what CsvTap
+  // WRITES must be readable by upstream — quotes double in the raw
+  // bytes, never backslash-escape.
+  test("TextDelimited writes RFC-doubled quotes, not backslash escapes") {
+    val dir = java.nio.file.Files.createTempDirectory("csvwq").toString
+    val tap = graft.sources.CsvTap(s"$dir/t")
+    tap.write(Seq(("a\"b", "x,y")).toDF("p", "q"),
+      graft.sources.SinkMode.Replace)
+    val part = new java.io.File(s"$dir/t").listFiles()
+      .filter(_.getName.endsWith(".csv")).head
+    val bytes = new String(java.nio.file.Files.readAllBytes(part.toPath))
+    assert(bytes.contains("\"a\"\"b\""), s"raw bytes were: $bytes")
+    assert(!bytes.contains("\\\""), s"backslash escape leaked: $bytes")
+    // and the round-trip still closes
+    assert(tap.read(spark).collect().map(_.getString(0)).toSeq == Seq("a\"b"))
+  }
+
+  // cascading/tuple/coerce/Coercions.java keeps TWO coercers per type:
+  // object (Integer.class — null stays null) and primitive (int.class —
+  // null becomes 0, boolean.class false). `coerce` is the object form;
+  // `coercePrimitive` pins the primitive form from both sides.
+  test("Coercions primitive/object split: null → 0/false vs null stays null") {
+    val df = Seq(("a", Some("3"), Some("true")), ("b", None, None))
+      .toDF("k", "n", "fl")
+    // object form (Integer.class): null survives the cast
+    assert(rows(pipe(df).coerce("n" -> IntegerType, "fl" -> BooleanType)) ==
+      Set(Seq("a", 3, true), Seq("b", null, null)))
+    // primitive form (int.class / boolean.class): null-defaults
+    assert(rows(pipe(df).coercePrimitive(
+      "n" -> IntegerType, "fl" -> BooleanType)) ==
+      Set(Seq("a", 3, true), Seq("b", 0, false)))
+  }
+
+  // Coercions.java throws NumberFormatException on an unparseable
+  // numeric string ("1.5" through Integer.valueOf) — and Spark 4's ANSI
+  // cast AGREES (CAST_INVALID_INPUT), in both the object and the
+  // primitive form: the coercion failure is a flow failure on both
+  // engines, never a silent null/default. (The null-on-failure mapping
+  // upstream exposes is the TAP's `safe = true`, pinned separately in
+  // the TextDelimited coercion corner.)
+  test("unparseable numeric string FAILS coercion on both engines " +
+       "(Coercions NumberFormatException ≙ ANSI CAST_INVALID_INPUT)") {
+    val df = Seq(("a", "1.5"), ("b", "7")).toDF("k", "n")
+    val e1 = intercept[Exception] { rows(pipe(df).coerce("n" -> IntegerType)) }
+    assert(e1.toString.contains("CAST_INVALID_INPUT")
+      || e1.getMessage.contains("CAST_INVALID_INPUT"), e1.toString)
+    val e2 = intercept[Exception] {
+      rows(pipe(df).coercePrimitive("n" -> IntegerType)) }
+    assert(e2.toString.contains("CAST_INVALID_INPUT")
+      || e2.getMessage.contains("CAST_INVALID_INPUT"), e2.toString)
+    // parseable rows coerce identically in both forms
+    val ok = Seq(("b", "7"), ("c", null: String)).toDF("k", "n")
+    assert(rows(pipe(ok).coerce("n" -> IntegerType)) ==
+      Set(Seq("b", 7), Seq("c", null)))
+    assert(rows(pipe(ok).coercePrimitive("n" -> IntegerType)) ==
+      Set(Seq("b", 7), Seq("c", 0)))
+  }
+
+  // Boolean string literal sets DIVERGE: Boolean.parseBoolean accepts
+  // only case-insensitive "true" (everything else false, never an
+  // error); Spark's cast accepts the SQL literal family
+  // t/true/y/yes/1 — so "yes" is true here where upstream says false.
+  // Pinned as a documented divergence (the Filter REMOVE-polarity
+  // precedent): agreement on "true"/"TRUE", the wider literal set named.
+  test("boolean coercion: case-insensitive true agrees; Spark's SQL " +
+       "literal set is WIDER ('yes' → true, upstream false)") {
+    val df = Seq(("a", "TRUE"), ("b", "true"), ("c", "yes"))
+      .toDF("k", "fl")
+    assert(rows(pipe(df).coerce("fl" -> BooleanType)) ==
+      Set(Seq("a", true), Seq("b", true), Seq("c", true)))
+    assert(rows(pipe(df).coercePrimitive("fl" -> BooleanType)) ==
+      Set(Seq("a", true), Seq("b", true), Seq("c", true)))
+  }
 }
