@@ -262,4 +262,65 @@ object Curation {
     }
     s"trim($chain)"
   }
+
+  // --------------------------------------------------------------------
+  // PII scrubbing — the redaction pass every compliance-bound training
+  // pipeline runs before text leaves curation. Same shared-constant
+  // discipline as normalizeText: ONE rule table drives the Spark kernel
+  // chain and the DuckDB oracle spelling, in the engines' common regex
+  // subset (no lookaround, no backrefs — Java regex and RE2 agree on
+  // character classes, {m,n} bounds, and ASCII \b here).
+  // --------------------------------------------------------------------
+
+  /** (label, pattern, replacement token), applied in order. Emails
+    * first: an address contains dotted runs the IPv4 rule could nibble
+    * at if it ran earlier. Counting is defined over the ORIGINAL text
+    * per rule (order-free); scrubbing is the sequential fold. */
+  val PiiRules: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "\\b\\d{3}-\\d{3}-\\d{4}\\b", "<PHONE>"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"))
+
+  /** Sequential redaction fold — one codegen'd per-row expression chain,
+    * zero shuffles (the q285 gate asserts the WHOLE plan is
+    * exchange-free). */
+  def piiScrub(text: Column): Column =
+    PiiRules.foldLeft(text) { case (c, (_, pat, rep)) =>
+      regexp_replace(c, pat, rep)
+    }
+
+  /** Match count for one rule over the original text. */
+  def piiCount(text: Column, label: String): Column = {
+    val pat = PiiRules.find(_._1 == label).get._2
+    regexp_count(text, lit(pat)).cast("long")
+  }
+
+  /** All matches for one rule, sorted and '|'-joined — gates the
+    * extracted VALUES, not just their count. */
+  def piiMatches(text: Column, label: String): Column = {
+    val pat = PiiRules.find(_._1 == label).get._2
+    array_join(array_sort(regexp_extract_all(text, lit(pat), lit(0))), "|")
+  }
+
+  private def sq(s: String): String = s.replace("'", "''")
+
+  /** DuckDB spelling of [[piiScrub]] over SQL expression `e`. */
+  def piiScrubOracleExpr(e: String): String =
+    PiiRules.foldLeft(e) { case (acc, (_, pat, rep)) =>
+      s"regexp_replace($acc, '${sq(pat)}', '${sq(rep)}', 'g')"
+    }
+
+  /** DuckDB spelling of [[piiCount]]. */
+  def piiCountOracleExpr(e: String, label: String): String = {
+    val pat = PiiRules.find(_._1 == label).get._2
+    s"CAST(len(regexp_extract_all($e, '${sq(pat)}')) AS BIGINT)"
+  }
+
+  /** DuckDB spelling of [[piiMatches]]. DuckDB's array_to_string maps an
+    * EMPTY list to NULL where Spark's array_join gives '' — coalesced. */
+  def piiMatchesOracleExpr(e: String, label: String): String = {
+    val pat = PiiRules.find(_._1 == label).get._2
+    s"coalesce(array_to_string(list_sort(" +
+      s"regexp_extract_all($e, '${sq(pat)}')), '|'), '')"
+  }
 }

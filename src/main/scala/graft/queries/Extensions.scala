@@ -2353,6 +2353,36 @@ object Extensions {
       } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
     }),
 
+    // --- PII scrubbing (the compliance redaction pass): email/phone/
+    // IPv4 rules from ONE shared constant table (Curation.PiiRules)
+    // driving both the Spark kernel chain and the DuckDB oracle
+    // spelling, in the engines' common regex subset. Dirt is planted
+    // deterministically on doc_id residues (the q211/q278 discipline) so
+    // every rule provably fires — and fires MULTIPLE times on the
+    // residue intersections; the gate hashes the scrubbed text and the
+    // extracted VALUES, not just counts. Plan assert: the whole query is
+    // ONE scan-shaped projection — exchange-free.
+    "q285_pii_scrub" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      def plant(m: Int, dirt: String) =
+        when(col("doc_id") % m === 0, lit(dirt)).otherwise(lit(""))
+      val aug = docs.select(col("doc_id"), concat(col("text"),
+        plant(7, " contact j.doe+spam@mail-example.org today"),
+        plant(11, " call 555-867-5309 now"),
+        plant(13, " from 192.168.001.042 logged"),
+        plant(49, " cc e2@a.bc also")).as("text"))
+      val C = graft.functions.Curation
+      val df = aug.select(col("doc_id"),
+        C.piiCount(col("text"), "email").as("n_email"),
+        C.piiCount(col("text"), "phone").as("n_phone"),
+        C.piiCount(col("text"), "ip").as("n_ip"),
+        C.piiMatches(col("text"), "email").as("emails_found"),
+        md5(C.piiScrub(col("text"))).as("clean_md5"))
+      require(!df.queryExecution.executedPlan.toString.contains("Exchange"),
+        "q285: the redaction pass must be a single exchange-free scan")
+      df
+    }),
+
     // --- multinomial Naive Bayes posterior in exact bits (the fastText-
     // class quality/language router; Classify.scala scaladoc has the
     // quantized formula — it IS the contract, recomputed verbatim by the
@@ -7576,6 +7606,27 @@ object Extensions {
     // formula, recomputed verbatim; margin = best − runner-up)
     "q283_nb_posterior" -> graft.functions.Classify.nbSelfOracleSql(),
     "q284_nb_frozen_arrival" -> graft.functions.Classify.nbArrivalOracleSql(),
+
+    // q285: PII scrub — rule table shared with the Spark side
+    // (Curation.PiiRules), dirt planted on the same residues
+    "q285_pii_scrub" -> {
+      val C = graft.functions.Curation
+      s"""WITH aug AS (
+         |  SELECT doc_id, text
+         |    || CASE WHEN doc_id % 7 = 0 THEN ' contact j.doe+spam@mail-example.org today' ELSE '' END
+         |    || CASE WHEN doc_id % 11 = 0 THEN ' call 555-867-5309 now' ELSE '' END
+         |    || CASE WHEN doc_id % 13 = 0 THEN ' from 192.168.001.042 logged' ELSE '' END
+         |    || CASE WHEN doc_id % 49 = 0 THEN ' cc e2@a.bc also' ELSE '' END
+         |    AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  ${C.piiCountOracleExpr("text", "email")} AS n_email,
+         |  ${C.piiCountOracleExpr("text", "phone")} AS n_phone,
+         |  ${C.piiCountOracleExpr("text", "ip")} AS n_ip,
+         |  ${C.piiMatchesOracleExpr("text", "email")} AS emails_found,
+         |  md5(${C.piiScrubOracleExpr("text")}) AS clean_md5
+         |FROM aug""".stripMargin
+    },
 
 
     "q265_video_keyframe_index" -> videoSceneOracle(

@@ -1993,6 +1993,50 @@ class FunctionsSpec extends SparkSpec {
     assert(out("ab")._3 >= 1)
   }
 
+  // ---- PII scrubbing (Curation.PiiRules hand-pins: a wrong shared
+  //      constant must fail HERE even if both oracle spellings drift
+  //      with it) ----
+
+  test("piiScrub redacts email, phone, and IPv4 in rule order; counts " +
+       "and extracted values are exact") {
+    import graft.functions.Curation._
+    val t = "mail a.b+c@x-y.org or 555-123-4567 from 10.0.0.1 ok"
+    val r = Seq(t).toDF("text").select(
+      piiScrub(col("text")).as("s"),
+      piiCount(col("text"), "email").as("ne"),
+      piiCount(col("text"), "phone").as("np"),
+      piiCount(col("text"), "ip").as("ni"),
+      piiMatches(col("text"), "email").as("em")).collect().head
+    assert(r.getString(0) == "mail <EMAIL> or <PHONE> from <IP> ok")
+    assert(r.getLong(1) == 1L && r.getLong(2) == 1L && r.getLong(3) == 1L)
+    assert(r.getString(4) == "a.b+c@x-y.org")
+  }
+
+  test("piiScrub rule order: the email rule consumes dotted runs " +
+       "before the IPv4 rule can nibble at them; no matches → '' join") {
+    import graft.functions.Curation._
+    // the local part + domain contain digit.dot runs that LOOK IPv4-ish
+    val t = "u1.2.3.4@9.8.7.co end"
+    val r = Seq(t).toDF("text").select(
+      piiScrub(col("text")).as("s"),
+      piiCount(col("text"), "ip").as("ni"),
+      piiMatches(col("text"), "phone").as("pm")).collect().head
+    assert(r.getString(0) == "<EMAIL> end")
+    assert(r.getString(2) == "")
+    // the \b guard keeps the ip rule from firing inside the address:
+    // 'u1.2.3.4' has no word boundary between 'u' and '1', and the
+    // remaining dotted runs never reach 4 octets
+    assert(r.getLong(1) == 0L)
+  }
+
+  test("piiMatches sorts and joins multiple hits deterministically") {
+    import graft.functions.Curation._
+    val t = "z@b.cc then a@b.cc"
+    val r = Seq(t).toDF("text")
+      .select(piiMatches(col("text"), "email")).collect().head.getString(0)
+    assert(r == "a@b.cc|z@b.cc")
+  }
+
   // ---- exact-bits multinomial Naive Bayes (Classify) ----
 
   test("scoreNaiveBayes: hand-computed bits posterior, tie → class ASC, " +
