@@ -563,9 +563,15 @@ object Vocab {
     * the dead-piece drop. */
   def unigramEmSegmented(docs: DataFrame, textCol: String,
                          maxPieceLen: Int = UnigramMaxPieceLen,
-                         topK: Int = UnigramTopK): DataFrame = {
+                         topK: Int = UnigramTopK,
+                         minMultiPieces: Int = 0): DataFrame = {
     val words = unigramWordTable(docs, textCol).localCheckpoint()
     val (scored1, _) = unigramScoredPieces(unigramPieceTable(words, maxPieceLen, topK))
+    // the q276 requireFullRounds discipline: a piece space too small for
+    // the demanded scale fails DIRECTED, never silently under-trains
+    require(scored1.count(_._1.length >= 2) >= minMultiPieces,
+      s"unigram: seed piece space has ${scored1.count(_._1.length >= 2)} " +
+      s"multi-char pieces, below the demanded $minMultiPieces")
     val seg1 = words.withColumn("seg0", unigramSegmentCol(col("w"), scored1))
     val usage = seg1
       .select(col("cnt"), explode(split(col("seg0"), "\\|")).as("p"))
@@ -640,8 +646,10 @@ object Vocab {
   /** Shared oracle CTE chain: corpus → word table → seed pieces → scores
     * → exhaustive-composition round-1 segmentation → usage → re-scored
     * round-2 state. `source` is the training-corpus CTE body. */
-  private def unigramOracleCtes(source: String, maxPieceLen: Int,
-                                topK: Int): String =
+  /** Head CTEs shared by every unigram oracle form: corpus → word table
+    * → seed pieces → round-1 scores. */
+  private def unigramHeadCtes(source: String, maxPieceLen: Int,
+                              topK: Int): String =
     s"""srcdocs AS MATERIALIZED ($source),
        |toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM srcdocs),
        |words AS MATERIALIZED (
@@ -662,7 +670,11 @@ object Vocab {
        |tot AS (SELECT length(bin(sum(f))) - 1 AS b FROM keep),
        |scored AS MATERIALIZED (
        |  SELECT p, CAST(length(bin(f)) - 1 - (SELECT b FROM tot) AS BIGINT) AS s
-       |  FROM keep),
+       |  FROM keep)""".stripMargin
+
+  private def unigramOracleCtes(source: String, maxPieceLen: Int,
+                                topK: Int): String =
+    s"""${unigramHeadCtes(source, maxPieceLen, topK)},
        |paths AS (
        |  SELECT w, cnt, 0 AS pos, CAST(0 AS BIGINT) AS sc, 0 AS np, '' AS seg
        |  FROM words
@@ -687,9 +699,10 @@ object Vocab {
     * per distinct word. Exhaustive composition enumeration — validates
     * the Spark side's Viterbi DP (and its tie order) independently. */
   def unigramEmOracleSql(maxPieceLen: Int = UnigramMaxPieceLen,
-                         topK: Int = UnigramTopK): String =
+                         topK: Int = UnigramTopK,
+                         source: String = "SELECT text FROM documents"): String =
     s"""WITH RECURSIVE
-       |${unigramOracleCtes("SELECT text FROM documents", maxPieceLen, topK)},
+       |${unigramOracleCtes(source, maxPieceLen, topK)},
        |paths2 AS (
        |  SELECT w, cnt, 0 AS pos, CAST(0 AS BIGINT) AS sc, 0 AS np, '' AS seg
        |  FROM words
@@ -705,6 +718,65 @@ object Vocab {
        |  CAST(b2.np AS BIGINT) AS n_pieces, b2.sc AS seg_bits
        |FROM (SELECT * FROM best WHERE rn = 1) b1
        |JOIN (SELECT * FROM best2 WHERE rn = 1) b2 USING (w)""".stripMargin
+
+  /** One UNROLLED-DP segmentation round for the oracle (the HITS
+    * 14-round-unroll precedent): per position i ≤ maxWordLen, candidates
+    * extend the best states at positions i−1..i−maxPieceLen with a piece
+    * of exactly the bridging length, and row_number keeps the single
+    * best per word under the (sc DESC, np ASC, seg ASC) tie order — the
+    * DP itself, spelled in SQL. Exhaustive-enumeration validation of the
+    * SAME DP is q281's job (tractable at the 31-word vocabulary); this
+    * form exists because enumeration over a 12k-word salted vocabulary
+    * costs minutes while the DP costs under a second. */
+  private def dpRoundCtes(r: Int, scoredCte: String, maxPieceLen: Int,
+                          maxWordLen: Int): String = {
+    val steps = Seq.newBuilder[String]
+    steps += s"n${r}_0 AS (SELECT w, cnt, 0 AS pos, " +
+      "CAST(0 AS BIGINT) AS sc, 0 AS np, '' AS seg FROM words)"
+    for (i <- 1 to maxWordLen) {
+      val cands = (1 to math.min(maxPieceLen, i)).map { l =>
+        s"""SELECT b.w, b.cnt, b.sc + v.s AS sc, b.np + 1 AS np,
+           |      CASE WHEN b.seg = '' THEN v.p ELSE b.seg || '|' || v.p END AS seg
+           |    FROM n${r}_${i - l} b JOIN $scoredCte v
+           |      ON len(v.p) = $l AND $i <= len(b.w)
+           |         AND substr(b.w, ${i - l} + 1, $l) = v.p""".stripMargin
+      }.mkString("\n    UNION ALL\n    ")
+      steps +=
+        s"""n${r}_$i AS MATERIALIZED (
+           |  SELECT w, cnt, $i AS pos, sc, np, seg FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY w
+           |      ORDER BY sc DESC, np ASC, seg ASC) AS rn
+           |    FROM ($cands)) WHERE rn = 1)""".stripMargin
+    }
+    val fin = (1 to maxWordLen)
+      .map(i => s"SELECT w, cnt, seg, np, sc FROM n${r}_$i WHERE len(w) = $i")
+      .mkString("\n  UNION ALL\n  ")
+    steps += s"best$r AS MATERIALIZED (\n  $fin)"
+    steps.result().mkString(",\n")
+  }
+
+  /** q287 oracle: the q281 EM chain with both segmentation passes as
+    * unrolled DP (see [[dpRoundCtes]]) — SF-stable cost over the salted
+    * 12k-word vocabulary. Words longer than maxWordLen would silently
+    * miss from bestN and fail the gate on row count — directed. */
+  def unigramEmDpOracleSql(maxPieceLen: Int, topK: Int, source: String,
+                           maxWordLen: Int): String = {
+    s"""WITH
+       |${unigramHeadCtes(source, maxPieceLen, topK)},
+       |${dpRoundCtes(1, "scored", maxPieceLen, maxWordLen)},
+       |usg AS MATERIALIZED (
+       |  SELECT p, sum(cnt) AS u FROM (
+       |    SELECT b.cnt, unnest(string_split(b.seg, '|')) AS p
+       |    FROM best1 b) GROUP BY 1),
+       |tot2 AS (SELECT length(bin(sum(u))) - 1 AS b FROM usg),
+       |scored2 AS MATERIALIZED (
+       |  SELECT p, CAST(length(bin(u)) - 1 - (SELECT b FROM tot2) AS BIGINT) AS s
+       |  FROM usg),
+       |${dpRoundCtes(2, "scored2", maxPieceLen, maxWordLen)}
+       |SELECT b1.w AS w, b1.cnt AS cnt, b1.seg AS seg0, b2.seg AS seg,
+       |  CAST(b2.np AS BIGINT) AS n_pieces, b2.sc AS seg_bits
+       |FROM best1 b1 JOIN best2 b2 USING (w)""".stripMargin
+  }
 
   /** q282 oracle: train on doc_id % 50 <> 3, freeze, score the arrival
     * batch (%50 = 3 docs each carrying one novel concatenated word). */

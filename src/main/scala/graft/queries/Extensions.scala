@@ -2353,6 +2353,38 @@ object Extensions {
       } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
     }),
 
+    // --- the unigram family at a REALISTIC WORD SPACE (the q276
+    // realism discipline applied to q281): token ⊕ (doc_id % 512)
+    // salting widens the 31-word synth to ~12-16k word TYPES — capped at
+    // 512 salts so the vocabulary (and the oracle's exhaustive
+    // enumeration cost) is stable across SFs — and the FULL multi-char
+    // piece inventory trains, floored at ≥ 2048 pieces (fails DIRECTED
+    // if the space runs dry; piece-count realism beyond the substring
+    // diversity of this synth is the BPE family's q276). Same corpus-
+    // free-after-checkpoint and explicit-broadcast plan asserts as q281;
+    // the Viterbi table here carries thousands of entries as DATA in the
+    // expression's reference object — plan shape unchanged.
+    "q287_unigram_salted" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          regexp_replace(col("text"), lit("(\\S+)"),
+            concat(lit("$1~"), (col("doc_id") % 512).cast("string")))
+            .as("text"))
+      val threshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val df = graft.functions.Vocab.unigramEmSegmented(docs, "text",
+          maxPieceLen = 4, topK = 4096, minMultiPieces = 2048)
+        val ps = df.queryExecution.executedPlan.toString
+        require(!ps.contains("documents.parquet"),
+          "q287: the EM chain must be corpus-free after the checkpointed " +
+          "word table (one corpus scan total)")
+        require(ps.contains("BroadcastHashJoin"),
+          "q287: the per-piece bits join must execute the broadcast")
+        df
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    }),
+
     // --- PII scrubbing (the compliance redaction pass): email/phone/
     // IPv4 rules from ONE shared constant table (Curation.PiiRules)
     // driving both the Spark kernel chain and the DuckDB oracle
@@ -2363,24 +2395,38 @@ object Extensions {
     // extracted VALUES, not just counts. Plan assert: the whole query is
     // ONE scan-shaped projection — exchange-free.
     "q285_pii_scrub" -> ((s, dir) => {
-      val docs = s.read.parquet(s"$dir/documents.parquet")
-      def plant(m: Int, dirt: String) =
-        when(col("doc_id") % m === 0, lit(dirt)).otherwise(lit(""))
-      val aug = docs.select(col("doc_id"), concat(col("text"),
-        plant(7, " contact j.doe+spam@mail-example.org today"),
-        plant(11, " call 555-867-5309 now"),
-        plant(13, " from 192.168.001.042 logged"),
-        plant(49, " cc e2@a.bc also")).as("text"))
-      val C = graft.functions.Curation
-      val df = aug.select(col("doc_id"),
-        C.piiCount(col("text"), "email").as("n_email"),
-        C.piiCount(col("text"), "phone").as("n_phone"),
-        C.piiCount(col("text"), "ip").as("n_ip"),
-        C.piiMatches(col("text"), "email").as("emails_found"),
-        md5(C.piiScrub(col("text"))).as("clean_md5"))
+      val df = piiScrubProjection(s.read.parquet(s"$dir/documents.parquet"))
       require(!df.queryExecution.executedPlan.toString.contains("Exchange"),
         "q285: the redaction pass must be a single exchange-free scan")
       df
+    }),
+
+    // --- the STREAMING PII screen (the q270 stateless-in-stream
+    // discipline): the same planted corpus arrives as file micro-batches,
+    // the whole redaction runs per-row in Append mode — no state store,
+    // no watermark, nothing to recover — and the sink is verified against
+    // q285's batch oracle VERBATIM. This is the compliance screen at
+    // ingest cadence: scrub-before-land, not scrub-after-accumulate.
+    "q286_stream_pii_screen" -> ((s, dir) => {
+      val (in, out, chk) = freshStreamDirs("graft_q286_stream")
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      stageSliced(in, Seq(
+        docs.filter(col("doc_id") % 3 === 0),
+        docs.filter(col("doc_id") % 3 === 1),
+        docs.filter(col("doc_id") % 3 === 2)))
+      withStreamPartitions(s, 8) {
+        val stream = graft.streaming.StreamOps.readStream(s, in,
+          docs.schema, Map("maxFilesPerTrigger" -> "1"))
+        val q = piiScrubProjection(stream).writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+          .format("parquet").option("path", out)
+          .option("checkpointLocation", chk)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.read.parquet(out)
     }),
 
     // --- multinomial Naive Bayes posterior in exact bits (the fastText-
@@ -6287,6 +6333,49 @@ object Extensions {
       |  FROM bt, LATERAL (SELECT unnest(range(1, len(t))) AS i) ii
       |  WHERE len(t) >= 2)""".stripMargin
 
+  /** q285/q286 shared Spark side: plant the dirt, redact, count,
+    * extract, hash — all per-row Column kernels (works unchanged over a
+    * batch scan and a stream). */
+  private def piiScrubProjection(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    def plant(m: Int, dirt: String) =
+      when(col("doc_id") % m === 0, lit(dirt)).otherwise(lit(""))
+    val aug = docs.select(col("doc_id"), concat(col("text"),
+      plant(7, " contact j.doe+spam@mail-example.org today"),
+      plant(11, " call 555-867-5309 now"),
+      plant(13, " from 192.168.001.042 logged"),
+      plant(49, " cc e2@a.bc also")).as("text"))
+    val C = graft.functions.Curation
+    aug.select(col("doc_id"),
+      C.piiCount(col("text"), "email").as("n_email"),
+      C.piiCount(col("text"), "phone").as("n_phone"),
+      C.piiCount(col("text"), "ip").as("n_ip"),
+      C.piiMatches(col("text"), "email").as("emails_found"),
+      md5(C.piiScrub(col("text"))).as("clean_md5"))
+  }
+
+  /** q285/q286 shared oracle: the PII redaction pass over the planted
+    * corpus — every spelling generated from Curation.PiiRules (the
+    * shared-constant discipline). */
+  private lazy val piiScrubOracle: String = {
+    val C = graft.functions.Curation
+    s"""WITH aug AS (
+       |  SELECT doc_id, text
+       |    || CASE WHEN doc_id % 7 = 0 THEN ' contact j.doe+spam@mail-example.org today' ELSE '' END
+       |    || CASE WHEN doc_id % 11 = 0 THEN ' call 555-867-5309 now' ELSE '' END
+       |    || CASE WHEN doc_id % 13 = 0 THEN ' from 192.168.001.042 logged' ELSE '' END
+       |    || CASE WHEN doc_id % 49 = 0 THEN ' cc e2@a.bc also' ELSE '' END
+       |    AS text
+       |  FROM documents)
+       |SELECT doc_id,
+       |  ${C.piiCountOracleExpr("text", "email")} AS n_email,
+       |  ${C.piiCountOracleExpr("text", "phone")} AS n_phone,
+       |  ${C.piiCountOracleExpr("text", "ip")} AS n_ip,
+       |  ${C.piiMatchesOracleExpr("text", "email")} AS emails_found,
+       |  md5(${C.piiScrubOracleExpr("text")}) AS clean_md5
+       |FROM aug""".stripMargin
+  }
+
   /** q279: the documented frozen-table bits rules in SQL — NULL bits for
     * an unseen context (counted as n_oov), ⌊log2 c1⌋+1 for a seen
     * context with an unseen continuation, the q264 arithmetic otherwise. */
@@ -7602,31 +7691,28 @@ object Extensions {
     "q282_unigram_frozen_arrival" ->
       graft.functions.Vocab.unigramArrivalOracleSql(),
 
+    // q287: the q281 EM chain over the salt-widened corpus, both
+    // segmentation passes as UNROLLED DP (exhaustive enumeration over a
+    // 12k-word vocabulary costs minutes; the DP spelling costs <1s and
+    // the enumeration-vs-DP equivalence is exactly what q281 pins)
+    "q287_unigram_salted" -> graft.functions.Vocab.unigramEmDpOracleSql(
+      maxPieceLen = 4, topK = 4096,
+      source = "SELECT regexp_replace(text, '(\\S+)', " +
+        "'\\1~' || CAST(doc_id % 512 AS VARCHAR), 'g') AS text " +
+        "FROM documents",
+      maxWordLen = 12),
+
     // q283/q284: the exact-bits NB posterior (Classify.scala's quantized
     // formula, recomputed verbatim; margin = best − runner-up)
     "q283_nb_posterior" -> graft.functions.Classify.nbSelfOracleSql(),
     "q284_nb_frozen_arrival" -> graft.functions.Classify.nbArrivalOracleSql(),
 
-    // q285: PII scrub — rule table shared with the Spark side
-    // (Curation.PiiRules), dirt planted on the same residues
-    "q285_pii_scrub" -> {
-      val C = graft.functions.Curation
-      s"""WITH aug AS (
-         |  SELECT doc_id, text
-         |    || CASE WHEN doc_id % 7 = 0 THEN ' contact j.doe+spam@mail-example.org today' ELSE '' END
-         |    || CASE WHEN doc_id % 11 = 0 THEN ' call 555-867-5309 now' ELSE '' END
-         |    || CASE WHEN doc_id % 13 = 0 THEN ' from 192.168.001.042 logged' ELSE '' END
-         |    || CASE WHEN doc_id % 49 = 0 THEN ' cc e2@a.bc also' ELSE '' END
-         |    AS text
-         |  FROM documents)
-         |SELECT doc_id,
-         |  ${C.piiCountOracleExpr("text", "email")} AS n_email,
-         |  ${C.piiCountOracleExpr("text", "phone")} AS n_phone,
-         |  ${C.piiCountOracleExpr("text", "ip")} AS n_ip,
-         |  ${C.piiMatchesOracleExpr("text", "email")} AS emails_found,
-         |  md5(${C.piiScrubOracleExpr("text")}) AS clean_md5
-         |FROM aug""".stripMargin
-    },
+    // q285/q286: PII scrub — rule table shared with the Spark side
+    // (Curation.PiiRules), dirt planted on the same residues; the
+    // streaming form shares the batch oracle verbatim (the q270
+    // discipline)
+    "q285_pii_scrub" -> piiScrubOracle,
+    "q286_stream_pii_screen" -> piiScrubOracle,
 
 
     "q265_video_keyframe_index" -> videoSceneOracle(
