@@ -172,7 +172,15 @@ object ScaleRehearsal {
     // cohort matrix (two aggregates + a user join), and the transition
     // matrix (one keyed lag window + two aggregates)
     "q260_association_rules", "q261_cohort_retention",
-    "q262_event_transitions")
+    "q262_event_transitions",
+    // round-13 continuation: the unigram tokenizer family (vocab-sized
+    // EM chain after one corpus scan; q287's salted word space is
+    // SF-stable by the %512 cap, so its ratio tracks the scan alone),
+    // the exact-bits NB classifier (one counting scan + broadcast-only
+    // scoring), and the PII screens (pure scan-shaped kernel chains)
+    "q281_unigram_em_segment", "q282_unigram_frozen_arrival",
+    "q283_nb_posterior", "q284_nb_frozen_arrival",
+    "q285_pii_scrub", "q286_stream_pii_screen", "q287_unigram_salted")
 
   def main(args: Array[String]): Unit = {
     val small = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

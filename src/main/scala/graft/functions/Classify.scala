@@ -113,6 +113,51 @@ object Classify {
           col("a").getItem(0).getField("ns")).as("margin"))
   }
 
+  /** The KERNEL form — the whole posterior as one [[graft.catalyst.NbScore]]
+    * expression (model collected into its reference objects: classes
+    * sorted ascending, per-class prior/denominator bits, the (w →
+    * per-class counts) map). Bit-identical to [[scoreNaiveBayes]] (the
+    * q288 gate shares q283's oracle) with the plan collapsed to a single
+    * scan-shaped projection: zero joins, zero exchanges — and therefore
+    * stateless under structured streaming (the q289 router). */
+  def scoreNaiveBayesKernel(model: DataFrame, batch: DataFrame,
+                            idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame = {
+    val docsRows = model.filter(col("kind") === "docs")
+      .select(col("c"), col("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val tokRows = model.filter(col("kind") === "tok")
+      .select(col("c"), col("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    require(docsRows.nonEmpty, "nb: model has no class rows")
+    val vocabV = model.filter(col("kind") === "wc")
+      .select(countDistinct(col("w"))).collect().head.getLong(0)
+    def b(x: Long): Long = (63 - java.lang.Long.numberOfLeadingZeros(x)).toLong
+    val nTotal = docsRows.map(_._2).sum
+    val classes = docsRows.map(_._1)
+    val idx = classes.zipWithIndex.toMap
+    val prior = docsRows.map { case (_, nd) => b(nd) - b(nTotal) }
+    val denom = classes.map(c => b(tokRows.getOrElse(c, 0L) + vocabV))
+    // O(V · classes) driver carry — the model IS the carry (merge-list
+    // contract); absent (w, c) pairs stay 0 (the unseen arm)
+    val wcMap = model.filter(col("kind") === "wc")
+      .select(col("w"), col("c"), col("n")).collect()
+      .groupBy(_.getString(0))
+      .map { case (w, rows) =>
+        val a = new Array[Long](classes.length)
+        rows.foreach(r => a(idx(r.getString(1))) = r.getLong(2))
+        w -> a
+      }
+    val scored = graft.catalyst.NbScore(col(textCol),
+      classes.toSeq, prior.toSeq, denom.toSeq, wcMap)
+    batch.select(col(idCol), scored.as("r"))
+      .filter(col("r").isNotNull) // token-less docs: the join form drops them
+      .select(col(idCol),
+        split(col("r"), ",").getItem(0).as("pred"),
+        split(col("r"), ",").getItem(1).cast("long").as("best_bits"),
+        split(col("r"), ",").getItem(2).cast("long").as("margin"))
+  }
+
   /** Shared oracle CTEs: NB counts over `source` docs, scored positions
     * over `batch` docs — the formula of the scaladoc, verbatim in SQL. */
   private def nbOracle(source: String, batch: String): String =

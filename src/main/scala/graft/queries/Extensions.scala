@@ -2429,6 +2429,60 @@ object Extensions {
       s.read.parquet(out)
     }),
 
+    // --- the NB KERNEL form (the q157/q263 same-values-new-plan
+    // discipline): the whole posterior as ONE NbScore expression — model
+    // in the codegen reference objects, zero joins, zero exchanges
+    // (asserted: the plan is a single scan-shaped projection). Oracle is
+    // q283's VERBATIM — the kernel changes the plan, never the numbers.
+    "q288_nb_kernel" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val model = graft.functions.Classify
+        .nbTrainCounts(docs, "lang", "text").localCheckpoint()
+      val df = graft.functions.Classify.scoreNaiveBayesKernel(model, docs)
+      val ps = df.queryExecution.executedPlan.toString
+      require(!ps.contains("Exchange") && !ps.contains("Join"),
+        "q288: the kernel form must plan as a single scan-shaped " +
+        "projection — no exchange, no join")
+      require(ps.contains("nb_score"),
+        "q288: the NbScore kernel node is missing from the plan")
+      df
+    }),
+
+    // --- the STREAMING NB router: the kernel form is stateless, so the
+    // frozen-model arrival scoring of q284 runs per-row in Append mode —
+    // classify-on-ingest (language routing at crawl cadence). The sink
+    // is verified against q284's batch oracle VERBATIM.
+    "q289_stream_nb_router" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val tap = graft.functions.Classify.nbModelTap(
+        graft.queries.Relational.stagePath("graft_q289_nb_model", dir))
+      tap.write(
+        graft.functions.Classify.nbTrainCounts(
+          docs.filter(col("doc_id") % 50 =!= 3), "lang", "text"),
+        graft.sources.SinkMode.Replace)
+      val batch = docs.filter(col("doc_id") % 50 === 3)
+        .select(col("doc_id"), concat(col("text"),
+          lit(" qz"), (col("doc_id") % 5).cast("string"),
+          lit(" qw"), (col("doc_id") % 5).cast("string")).as("text"))
+      val (in, out, chk) = freshStreamDirs("graft_q289_stream")
+      stageSliced(in, Seq(
+        batch.filter(col("doc_id") % 2 === 0),
+        batch.filter(col("doc_id") % 2 === 1)))
+      withStreamPartitions(s, 8) {
+        val stream = graft.streaming.StreamOps.readStream(s, in,
+          batch.schema, Map("maxFilesPerTrigger" -> "1"))
+        val q = graft.functions.Classify
+          .scoreNaiveBayesKernel(tap.read(s), stream).writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+          .format("parquet").option("path", out)
+          .option("checkpointLocation", chk)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.read.parquet(out)
+    }),
+
     // --- multinomial Naive Bayes posterior in exact bits (the fastText-
     // class quality/language router; Classify.scala scaladoc has the
     // quantized formula — it IS the contract, recomputed verbatim by the
@@ -7706,6 +7760,10 @@ object Extensions {
     // formula, recomputed verbatim; margin = best − runner-up)
     "q283_nb_posterior" -> graft.functions.Classify.nbSelfOracleSql(),
     "q284_nb_frozen_arrival" -> graft.functions.Classify.nbArrivalOracleSql(),
+    // q288/q289: the kernel + streaming forms share the join forms'
+    // oracles verbatim — new plan, same numbers
+    "q288_nb_kernel" -> graft.functions.Classify.nbSelfOracleSql(),
+    "q289_stream_nb_router" -> graft.functions.Classify.nbArrivalOracleSql(),
 
     // q285/q286: PII scrub — rule table shared with the Spark side
     // (Curation.PiiRules), dirt planted on the same residues; the

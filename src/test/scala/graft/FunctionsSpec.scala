@@ -2069,6 +2069,22 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getString(1) == "a" && r.getLong(3) == 0L)
   }
 
+  test("scoreNaiveBayesKernel is row-identical to the join form " +
+       "(same bits, same tie order, token-less docs dropped by both)") {
+    val train = Seq(("a", "x x"), ("a", "y"), ("b", "x")).toDF("lang", "text")
+    val model = graft.functions.Classify.nbTrainCounts(train, "lang", "text")
+      .localCheckpoint()
+    val batch = Seq((7L, "x z"), (8L, "y y x"), (9L, " "))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val join = rows(graft.functions.Classify.scoreNaiveBayes(model, batch))
+    val kern = rows(graft.functions.Classify.scoreNaiveBayesKernel(model, batch))
+    assert(join == kern)
+    assert(!kern.exists(_._1 == 9L)) // token-less doc absent from both
+  }
+
   test("scoreUnigramArrivals: frozen model segments NOVEL words into " +
        "learned pieces; per-doc sums are exact") {
     val train = Seq.fill(8)("stream filter").toDF("text")
