@@ -180,7 +180,11 @@ object ScaleRehearsal {
     // scoring), and the PII screens (pure scan-shaped kernel chains)
     "q281_unigram_em_segment", "q282_unigram_frozen_arrival",
     "q283_nb_posterior", "q284_nb_frozen_arrival",
-    "q285_pii_scrub", "q286_stream_pii_screen", "q287_unigram_salted")
+    "q285_pii_scrub", "q286_stream_pii_screen", "q287_unigram_salted",
+    // the kernel/stream NB forms (single scan-shaped projection) and the
+    // CMS (fixed d × 4096 sketch regardless of corpus; estimate side
+    // broadcasts it)
+    "q288_nb_kernel", "q289_stream_nb_router", "q290_countmin")
 
   def main(args: Array[String]): Unit = {
     val small = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-Min sketch (Cormode & Muthukrishnan 2005) with DETERMINISTIC
+  * md5-nibble hashing — the bounded-memory counting structure, built so
+  * the DuckDB oracle reproduces every cell and every estimate exactly
+  * (both engines spell md5 identically; the cell key is a hex-nibble
+  * PREFIX STRING, so no cross-engine integer conversion is needed).
+  *
+  *   cell_j(w) = substr(md5(j || ':' || w), 1, 3)   — 4096 cells/row
+  *   est(w)    = min_j n[j, cell_j(w)]              — depth 4
+  *
+  * CMS guarantees est ≥ exact (never under), with overcounts bounded by
+  * collisions; on the salted synth ~2% of the ~2k tokens collide at
+  * every SF, so the min-over-rows arm is exercised in the gated VALUES.
+  *
+  * The 100 TB story is the whole point of the structure: the sketch is
+  * d × 4096 rows NO MATTER the corpus size — built in one counting scan
+  * with map-side partials (cell-wise addition IS the merge operator, so
+  * partial aggregation is sketch merging), and the estimate side
+  * broadcasts it. Exact heavy-hitters live in MisraGriesAgg (q97); the
+  * CMS answers point queries over the full key space at fixed memory.
+  *
+  * Reference frame: no sketch surface in cascading-flink; first-class
+  * LLM-pipeline extension (SURVEY §2.28) next to HLL (q42) and
+  * Misra–Gries (q97). */
+object Sketch {
+  val CmsDepth = 4
+  val CmsNibbles = 3 // 16^3 = 4096 cells per row
+
+  /** Row-j cell key of a token — a hex-nibble prefix string. */
+  def cmsCell(tok: Column, j: Int): Column =
+    substring(md5(concat(lit(s"$j:"), tok)), 1, CmsNibbles)
+
+  private def jcArray(tok: Column): Column =
+    array((0 until CmsDepth).map(j =>
+      struct(lit(j).as("j"), cmsCell(tok, j).as("cell"))): _*)
+
+  /** Build the sketch from the corpus: one counting scan → the
+    * (j, cell, n) table, ≤ depth × 16^nibbles rows. */
+  def cmsBuild(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("exact"))
+      .select(col("exact"), explode(jcArray(col("w"))).as("jc"))
+      .groupBy(col("jc.j").as("j"), col("jc.cell").as("cell"))
+      .agg(sum(col("exact")).as("n"))
+
+  /** Point-query every distinct corpus token against the sketch:
+    * (w, exact, est, over) with est = min over rows, over = est − exact
+    * (≥ 0 by the CMS guarantee). The sketch side broadcasts. */
+  def cmsEstimates(sketch: DataFrame, docs: DataFrame,
+                   textCol: String): DataFrame =
+    docs.select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("exact"))
+      .select(col("w"), col("exact"), explode(jcArray(col("w"))).as("jc"))
+      .join(broadcast(sketch),
+        col("jc.j") === sketch("j") && col("jc.cell") === sketch("cell"))
+      .groupBy("w", "exact").agg(min(col("n")).as("est"))
+      .select(col("w"), col("exact"), col("est"),
+        (col("est") - col("exact")).as("over"))
+
+  /** The whole chain in SQL — cells and estimates from the same
+    * md5-prefix arithmetic. `source` must yield (text). */
+  def cmsOracleSql(source: String): String =
+    s"""WITH src AS MATERIALIZED ($source),
+       |pos AS (SELECT unnest(string_split(text, ' ')) AS w FROM src),
+       |tw AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS exact
+       |  FROM pos WHERE len(w) > 0 GROUP BY 1),
+       |cells AS MATERIALIZED (
+       |  SELECT j, substr(md5(CAST(j AS VARCHAR) || ':' || w), 1, $CmsNibbles) AS cell,
+       |         CAST(sum(exact) AS BIGINT) AS n
+       |  FROM tw, LATERAL (SELECT unnest(range(0, $CmsDepth)) AS j) jj
+       |  GROUP BY 1, 2)
+       |SELECT t.w, t.exact, min(c.n) AS est, min(c.n) - t.exact AS over
+       |FROM tw t, LATERAL (SELECT unnest(range(0, $CmsDepth)) AS j) jj
+       |JOIN cells c ON c.j = jj.j
+       |  AND c.cell = substr(md5(CAST(jj.j AS VARCHAR) || ':' || t.w), 1, $CmsNibbles)
+       |GROUP BY t.w, t.exact""".stripMargin
+}

@@ -2429,6 +2429,33 @@ object Extensions {
       s.read.parquet(out)
     }),
 
+    // --- Count-Min sketch with deterministic md5-nibble hashing
+    // (Sketch.scala scaladoc): built over the %64-salted token space
+    // (~2k types) so collisions provably fire the min-over-rows arm
+    // (~2% of tokens overcount at every SF, never undercount — the CMS
+    // guarantee is IN the gated values via the `over` column). Plan
+    // asserts: the sketch is hard-bounded (d × 4096 rows, an action on
+    // the bounded table) and the estimate join broadcasts it.
+    "q290_countmin" -> ((s, dir) => {
+      val K = graft.functions.Sketch
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(regexp_replace(col("text"), lit("(\\S+)"),
+          concat(lit("$1~"), (col("doc_id") % 64).cast("string"))).as("text"))
+      val sketch = K.cmsBuild(docs, "text").localCheckpoint()
+      val nCells = sketch.count()
+      require(nCells <= K.CmsDepth.toLong * (1L << (4 * K.CmsNibbles)),
+        s"q290: sketch has $nCells cells — exceeds the fixed-memory bound")
+      val threshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val df = K.cmsEstimates(sketch, docs, "text")
+        require(df.queryExecution.executedPlan.toString
+            .contains("BroadcastHashJoin"),
+          "q290: the estimate lookup must broadcast the bounded sketch")
+        df
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    }),
+
     // --- the NB KERNEL form (the q157/q263 same-values-new-plan
     // discipline): the whole posterior as ONE NbScore expression — model
     // in the codegen reference objects, zero joins, zero exchanges
@@ -7764,6 +7791,12 @@ object Extensions {
     // oracles verbatim — new plan, same numbers
     "q288_nb_kernel" -> graft.functions.Classify.nbSelfOracleSql(),
     "q289_stream_nb_router" -> graft.functions.Classify.nbArrivalOracleSql(),
+
+    // q290: every cell and estimate from the same md5-prefix arithmetic
+    "q290_countmin" -> graft.functions.Sketch.cmsOracleSql(
+      "SELECT regexp_replace(text, '(\\S+)', " +
+        "'\\1~' || CAST(doc_id % 64 AS VARCHAR), 'g') AS text " +
+        "FROM documents"),
 
     // q285/q286: PII scrub — rule table shared with the Spark side
     // (Curation.PiiRules), dirt planted on the same residues; the

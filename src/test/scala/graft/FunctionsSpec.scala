@@ -2037,6 +2037,42 @@ class FunctionsSpec extends SparkSpec {
     assert(r == "a@b.cc|z@b.cc")
   }
 
+  // ---- Count-Min sketch (Sketch) ----
+
+  test("cmsEstimates: est = min over depth rows of md5-keyed cells; " +
+       "never undercounts; exact when no collision") {
+    import graft.functions.Sketch
+    val docs = Seq("aa aa bb", "bb cc").toDF("text")
+    val sk = Sketch.cmsBuild(docs, "text").localCheckpoint()
+    val est = Sketch.cmsEstimates(sk, docs, "text").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(est.keySet == Set("aa", "bb", "cc"))
+    assert(est("aa")._1 == 2L && est("bb")._1 == 2L && est("cc")._1 == 1L)
+    // CMS guarantee: est >= exact always
+    assert(est.values.forall { case (exact, e, over) =>
+      e >= exact && over == e - exact })
+    // 3 tokens in 4096 cells: a same-row collision (same 3-nibble md5
+    // prefix) is astronomically unlikely — estimates are exact here
+    assert(est.values.forall { case (exact, e, _) => e == exact })
+  }
+
+  test("cmsBuild: sketch merge is cell-wise addition (the map-side " +
+       "partial-agg claim), and the cell space is hard-bounded") {
+    import graft.functions.Sketch
+    val a = Seq("x y", "x").toDF("text")
+    val b = Seq("y z").toDF("text")
+    val both = a.unionAll(b)
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      Sketch.cmsBuild(df, "text").collect()
+        .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    val ca = cells(a); val cb = cells(b); val cu = cells(both)
+    val merged = (ca.keySet ++ cb.keySet).map(k =>
+      k -> (ca.getOrElse(k, 0L) + cb.getOrElse(k, 0L))).toMap
+    assert(cu == merged)
+    assert(cu.size <= Sketch.CmsDepth * (1 << (4 * Sketch.CmsNibbles)))
+  }
+
   // ---- exact-bits multinomial Naive Bayes (Classify) ----
 
   test("scoreNaiveBayes: hand-computed bits posterior, tie → class ASC, " +
