@@ -184,7 +184,9 @@ object ScaleRehearsal {
     // the kernel/stream NB forms (single scan-shaped projection) and the
     // CMS (fixed d × 4096 sketch regardless of corpus; estimate side
     // broadcasts it)
-    "q288_nb_kernel", "q289_stream_nb_router", "q290_countmin")
+    "q288_nb_kernel", "q289_stream_nb_router", "q290_countmin",
+    // CMS arrival maintenance: cell-wise merge of tap + batch cells
+    "q291_cms_arrival")
 
   def main(args: Array[String]): Unit = {
     val small = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

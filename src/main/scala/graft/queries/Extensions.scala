@@ -2456,6 +2456,46 @@ object Extensions {
       } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
     }),
 
+    // --- CMS at ARRIVAL cadence (the q272 rebuild-equality discipline):
+    // the sketch persists once over the %50≠3 corpus, the %50=3 batch
+    // builds ITS OWN d×4096 cells, and maintenance is cell-wise
+    // addition — which by the CMS merge property equals the full-corpus
+    // rebuild EXACTLY, so the oracle is the full rebuild (q290's SQL
+    // shape) and any drift in the merge arithmetic fails the hash. Plan
+    // asserts: the corpus is scanned ONCE (the estimate side's token
+    // list; the sketch side reads only the tap + the checkpointed
+    // batch).
+    "q291_cms_arrival" -> ((s, dir) => {
+      val K = graft.functions.Sketch
+      def salted(d: org.apache.spark.sql.DataFrame) =
+        d.select(regexp_replace(col("text"), lit("(\\S+)"),
+          concat(lit("$1~"), (col("doc_id") % 64).cast("string"))).as("text"))
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val tap = graft.sources.ParquetTap(
+        graft.queries.Relational.stagePath("graft_q291_cms", dir))
+      tap.write(K.cmsBuild(salted(docs.filter(col("doc_id") % 50 =!= 3)),
+        "text"), graft.sources.SinkMode.Replace)
+      val batchCells = K
+        .cmsBuild(salted(docs.filter(col("doc_id") % 50 === 3)), "text")
+        .localCheckpoint()
+      val merged = tap.read(s).unionByName(batchCells)
+        .groupBy("j", "cell").agg(sum(col("n")).as("n"))
+      val threshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val df = K.cmsEstimates(merged, salted(docs), "text")
+        val ps = df.queryExecution.executedPlan.toString
+        require("documents\\.parquet".r.findAllMatchIn(ps).size == 1,
+          "q291: the corpus may be scanned ONCE (the estimate token " +
+          "list) — the sketch side must come from the tap + the batch")
+        require(ps.contains("graft_q291_cms"),
+          "q291: the persisted sketch tap scan is missing from the plan")
+        require(ps.contains("BroadcastHashJoin"),
+          "q291: the estimate lookup must broadcast the merged sketch")
+        df
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    }),
+
     // --- the NB KERNEL form (the q157/q263 same-values-new-plan
     // discipline): the whole posterior as ONE NbScore expression — model
     // in the codegen reference objects, zero joins, zero exchanges
@@ -7792,8 +7832,14 @@ object Extensions {
     "q288_nb_kernel" -> graft.functions.Classify.nbSelfOracleSql(),
     "q289_stream_nb_router" -> graft.functions.Classify.nbArrivalOracleSql(),
 
-    // q290: every cell and estimate from the same md5-prefix arithmetic
+    // q290: every cell and estimate from the same md5-prefix arithmetic;
+    // q291: the arrival merge equals the full rebuild EXACTLY (the CMS
+    // merge property), so it shares the rebuild oracle
     "q290_countmin" -> graft.functions.Sketch.cmsOracleSql(
+      "SELECT regexp_replace(text, '(\\S+)', " +
+        "'\\1~' || CAST(doc_id % 64 AS VARCHAR), 'g') AS text " +
+        "FROM documents"),
+    "q291_cms_arrival" -> graft.functions.Sketch.cmsOracleSql(
       "SELECT regexp_replace(text, '(\\S+)', " +
         "'\\1~' || CAST(doc_id % 64 AS VARCHAR), 'g') AS text " +
         "FROM documents"),
