@@ -528,4 +528,29 @@ class PlanAuditSpec extends SparkSpec {
     // the top-k lowers to TakeOrderedAndProject, never a global Sort
     assert(plan.contains("TakeOrderedAndProject"), plan.take(400))
   }
+
+  test("q288: the NB kernel is ONE scan-shaped projection — no join, " +
+       "no exchange, no aggregate; the model rides the expression") {
+    val plan = formatted("q288_nb_kernel")
+    assert(!plan.contains("Exchange"), "exchange leaked into the kernel")
+    assert(!plan.contains("Join"), "a join survived the kernel collapse")
+    assert(!plan.contains("HashAggregate"), "an aggregate leaked")
+    assert(plan.contains("nb_score"), plan.take(400))
+  }
+
+  test("q285: the PII redaction battery is scan-only — zero exchanges, " +
+       "regex kernels fused in one projection") {
+    val plan = formatted("q285_pii_scrub")
+    assert(!plan.contains("Exchange"), "the redaction pass must not shuffle")
+    assert(!plan.contains("Join"))
+  }
+
+  test("q290: the CMS estimate side broadcasts the bounded sketch and " +
+       "aggregates on the vocab-sized token table — no corpus-keyed " +
+       "window, no sort-merge join") {
+    val plan = formatted("q290_countmin")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(400))
+    assert(!plan.contains("SortMergeJoin"))
+    assert(!plan.contains("Window"))
+  }
 }
