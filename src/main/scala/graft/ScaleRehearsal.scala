@@ -186,7 +186,9 @@ object ScaleRehearsal {
     // broadcasts it)
     "q288_nb_kernel", "q289_stream_nb_router", "q290_countmin",
     // CMS arrival maintenance: cell-wise merge of tap + batch cells
-    "q291_cms_arrival")
+    "q291_cms_arrival",
+    // blocklist screen: one automaton pass per doc — pure scan
+    "q292_blocklist_screen")
 
   def main(args: Array[String]): Unit = {
     val small = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -323,4 +323,49 @@ object Curation {
     s"coalesce(array_to_string(list_sort(" +
       s"regexp_extract_all($e, '${sq(pat)}')), '|'), '')"
   }
+
+  // --------------------------------------------------------------------
+  // Blocklist screening — single-pass multi-pattern matching
+  // (catalyst.MultiMatch, Aho–Corasick). The other half of the
+  // compliance pass next to PII redaction: a banned-term list evaluated
+  // in ONE scan per document regardless of list size.
+  // --------------------------------------------------------------------
+
+  /** The q292 term list — chosen so every automaton path provably fires
+    * on the synth: 'a' (same-position density), able/str/win/dow
+    * (substring and cross-pattern overlap inside table/stream/window),
+    * merge/key/slow (plain word hits). Counts are ALL occurrences at
+    * all positions (overlapping included) — the definition the oracle
+    * reproduces by brute positional enumeration. */
+  val BlockTerms: Seq[String] =
+    Seq("a", "merge", "str", "able", "win", "dow", "key", "slow")
+
+  /** Per-document blocklist count vector ('|'-joined, term-list order)
+    * and total, as one single-pass expression + a fold. */
+  def blocklistScreen(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+      graft.catalyst.MultiMatch(col(textCol), BlockTerms).as("hits"))
+      .withColumn("n_hits", expr(
+        "aggregate(transform(split(hits, '\\\\|'), x -> CAST(x AS BIGINT))," +
+          " 0L, (acc, x) -> acc + x)"))
+
+  /** Oracle: brute positional enumeration — substr(text, i, len(kw)) =
+    * kw over every (position, term) pair, which IS the all-occurrences
+    * definition the automaton implements. */
+  def blocklistOracleSql: String = {
+    val kw = BlockTerms.zipWithIndex
+      .map { case (t, k) => s"($k, '${sq(t)}')" }.mkString(", ")
+    s"""WITH kw(k, t) AS (SELECT * FROM (VALUES $kw)),
+       |cnt AS (
+       |  SELECT d.doc_id, k.k,
+       |    CAST(count(*) FILTER (substr(d.text, i.i, len(k.t)) = k.t)
+       |      AS BIGINT) AS c
+       |  FROM documents d CROSS JOIN kw k,
+       |    LATERAL (SELECT unnest(range(1, len(d.text) + 1)) AS i) i
+       |  GROUP BY 1, 2)
+       |SELECT doc_id, string_agg(CAST(c AS VARCHAR), '|' ORDER BY k) AS hits,
+       |  CAST(sum(c) AS BIGINT) AS n_hits
+       |FROM cnt GROUP BY 1""".stripMargin
+  }
 }

@@ -2456,6 +2456,23 @@ object Extensions {
       } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
     }),
 
+    // --- blocklist screening (Curation.BlockTerms scaladoc): the whole
+    // banned-term list in ONE Aho–Corasick pass per document (a 10k-term
+    // list as contains/regex chains costs one scan PER TERM); the gate
+    // carries the full per-term count VECTOR, overlapping occurrences
+    // included, against a brute positional-enumeration oracle. Plan:
+    // scan-only, exchange-free (asserted).
+    "q292_blocklist_screen" -> ((s, dir) => {
+      val df = graft.functions.Curation.blocklistScreen(
+        s.read.parquet(s"$dir/documents.parquet"))
+      val ps = df.queryExecution.executedPlan.toString
+      require(!ps.contains("Exchange") && !ps.contains("Join"),
+        "q292: the blocklist screen must be a single exchange-free scan")
+      require(ps.contains("multi_match"),
+        "q292: the MultiMatch automaton node is missing from the plan")
+      df
+    }),
+
     // --- CMS at ARRIVAL cadence (the q272 rebuild-equality discipline):
     // the sketch persists once over the %50≠3 corpus, the %50=3 batch
     // builds ITS OWN d×4096 cells, and maintenance is cell-wise
@@ -7843,6 +7860,9 @@ object Extensions {
       "SELECT regexp_replace(text, '(\\S+)', " +
         "'\\1~' || CAST(doc_id % 64 AS VARCHAR), 'g') AS text " +
         "FROM documents"),
+
+    // q292: all-occurrences counts by brute positional enumeration
+    "q292_blocklist_screen" -> graft.functions.Curation.blocklistOracleSql,
 
     // q285/q286: PII scrub — rule table shared with the Spark side
     // (Curation.PiiRules), dirt planted on the same residues; the

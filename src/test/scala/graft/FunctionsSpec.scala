@@ -2037,6 +2037,38 @@ class FunctionsSpec extends SparkSpec {
     assert(r == "a@b.cc|z@b.cc")
   }
 
+  // ---- Aho–Corasick blocklist screen (MultiMatch) ----
+
+  private def mm(text: String, terms: Seq[String]): Seq[Long] =
+    Seq(text).toDF("t")
+      .select(graft.catalyst.MultiMatch(col("t"), terms).as("r"))
+      .collect().head.getString(0).split("\\|").map(_.toLong).toSeq
+
+  test("MultiMatch counts ALL occurrences: same-pattern overlap, " +
+       "cross-pattern suffix hits via fail links, nested terms") {
+    // "aaa" holds 'aa' at 0 and 1 (overlapping), 'a' at 0,1,2
+    assert(mm("aaa", Seq("a", "aa")) == Seq(3L, 2L))
+    // a position ending several patterns: 'she' ends 'she' AND 'he'
+    assert(mm("ushers", Seq("he", "she", "hers")) == Seq(1L, 1L, 1L))
+    // fail-link walk mid-pattern: matching 'window' must not lose the
+    // 'dow' hit that starts inside the 'win' prefix
+    assert(mm("window", Seq("win", "dow", "ndo")) == Seq(1L, 1L, 1L))
+    // no hits → all-zero vector, not empty output
+    assert(mm("xyz", Seq("win", "dow")) == Seq(0L, 0L))
+  }
+
+  test("MultiMatch matches the brute positional definition on the " +
+       "corpus term list over a corpus-like line") {
+    import graft.functions.Curation
+    val line = "the fast table window stream merge key slow a window"
+    val got = mm(line, Curation.BlockTerms)
+    val brute = Curation.BlockTerms.map { t =>
+      (0 to line.length - t.length)
+        .count(i => line.regionMatches(i, t, 0, t.length)).toLong
+    }
+    assert(got == brute)
+  }
+
   // ---- Count-Min sketch (Sketch) ----
 
   test("cmsEstimates: est = min over depth rows of md5-keyed cells; " +
