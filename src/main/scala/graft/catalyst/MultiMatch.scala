@@ -24,7 +24,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Returns the per-term counts '|'-joined in the TERM LIST'S ORDER
   * (e.g. "2|0|1") — gate output carries the full count vector, not a
-  * lossy total. */
+  * lossy total.
+  *
+  * Encoding caveat: the automaton steps UTF-16 code units while the
+  * oracle's substr enumerates codepoints — identical on ASCII (this
+  * corpus and any realistic blocklist); terms containing supplementary
+  * characters would need a codepoint-stepping automaton first. */
 case class MultiMatch(child: Expression, terms: Seq[String])
     extends UnaryExpression {
 

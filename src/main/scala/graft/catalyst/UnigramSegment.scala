@@ -32,6 +32,13 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   * callers that guarantee per-character coverage (all observed single
   * chars in the vocab) never see it and assert so in-query.
   *
+  * Encoding caveat: the lexicographic tie-break compares Java UTF-16
+  * code units while the oracle's binary collation compares UTF-8 bytes
+  * — identical on ASCII (this corpus), divergent only on exact
+  * score+count ties between segmentations differing in supplementary
+  * characters. Non-ASCII corpora would pin a byte-order comparator
+  * here first.
+  *
   * Scale: like [[BpeEncode]], the vocabulary is a reference object the
   * generated code loops over — vocab size is data, not plan shape. Per
   * word the DP is O(len · maxPieceLen) map probes; callers apply it per
