@@ -188,7 +188,9 @@ object ScaleRehearsal {
     // CMS arrival maintenance: cell-wise merge of tap + batch cells
     "q291_cms_arrival",
     // blocklist screen: one automaton pass per doc — pure scan
-    "q292_blocklist_screen")
+    "q292_blocklist_screen",
+    // tokenize-and-pack composition: fertility decides bin boundaries
+    "q293_tokenize_and_pack")
 
   def main(args: Array[String]): Unit = {
     val small = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

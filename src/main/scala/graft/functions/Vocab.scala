@@ -759,11 +759,10 @@ object Vocab {
     * unrolled DP (see [[dpRoundCtes]]) — SF-stable cost over the salted
     * 12k-word vocabulary. Words longer than maxWordLen would silently
     * miss from bestN and fail the gate on row count — directed. */
-  def unigramEmDpOracleSql(maxPieceLen: Int, topK: Int, source: String,
-                           maxWordLen: Int): String = {
-    s"""WITH
-       |${unigramHeadCtes(source, maxPieceLen, topK)},
-       |${dpRoundCtes(1, "scored", maxPieceLen, maxWordLen)},
+  /** Both unrolled-DP rounds with the hard-EM usage re-scoring between
+    * them — the shared middle of every DP-oracle form. */
+  private def dpEmChainCtes(maxPieceLen: Int, maxWordLen: Int): String =
+    s"""${dpRoundCtes(1, "scored", maxPieceLen, maxWordLen)},
        |usg AS MATERIALIZED (
        |  SELECT p, sum(cnt) AS u FROM (
        |    SELECT b.cnt, unnest(string_split(b.seg, '|')) AS p
@@ -772,11 +771,44 @@ object Vocab {
        |scored2 AS MATERIALIZED (
        |  SELECT p, CAST(length(bin(u)) - 1 - (SELECT b FROM tot2) AS BIGINT) AS s
        |  FROM usg),
-       |${dpRoundCtes(2, "scored2", maxPieceLen, maxWordLen)}
+       |${dpRoundCtes(2, "scored2", maxPieceLen, maxWordLen)}""".stripMargin
+
+  def unigramEmDpOracleSql(maxPieceLen: Int, topK: Int, source: String,
+                           maxWordLen: Int): String = {
+    s"""WITH
+       |${unigramHeadCtes(source, maxPieceLen, topK)},
+       |${dpEmChainCtes(maxPieceLen, maxWordLen)}
        |SELECT b1.w AS w, b1.cnt AS cnt, b1.seg AS seg0, b2.seg AS seg,
        |  CAST(b2.np AS BIGINT) AS n_pieces, b2.sc AS seg_bits
        |FROM best1 b1 JOIN best2 b2 USING (w)""".stripMargin
   }
+
+  /** q293 oracle: the EM chain's per-word piece counts, summed per doc
+    * and fed through the q128 packing arithmetic — tokenizer fertility
+    * deciding bin boundaries, end to end. */
+  def unigramPackOracleSql(maxPieceLen: Int, topK: Int, maxWordLen: Int,
+                           budget: Long, substreams: Int): String =
+    s"""WITH
+       |${unigramHeadCtes("SELECT text FROM documents", maxPieceLen, topK)},
+       |${dpEmChainCtes(maxPieceLen, maxWordLen)},
+       |wnp AS (SELECT w, np FROM best2),
+       |dtok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |         FROM documents),
+       |dnp AS (SELECT doc_id, CAST(sum(ws.np) AS BIGINT) AS n_pieces
+       |        FROM dtok d JOIN wnp ws ON ws.w = d.w
+       |        WHERE len(d.w) > 0 GROUP BY 1),
+       |t AS (SELECT doc.source, CAST(doc.doc_id % $substreams AS BIGINT) AS sub,
+       |             doc.doc_id, dnp.n_pieces
+       |      FROM documents doc JOIN dnp USING (doc_id)),
+       |c AS (SELECT source, sub, doc_id, n_pieces,
+       |  coalesce(sum(n_pieces) OVER (PARTITION BY source, sub
+       |    ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+       |  FROM t)
+       |SELECT source, sub, doc_id, n_pieces,
+       |  CAST(cum_prev // $budget AS BIGINT) AS bin,
+       |  CAST(cum_prev % $budget AS BIGINT) AS bin_offset
+       |FROM c""".stripMargin
 
   /** q282 oracle: train on doc_id % 50 <> 3, freeze, score the arrival
     * batch (%50 = 3 docs each carrying one novel concatenated word). */

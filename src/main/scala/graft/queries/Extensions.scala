@@ -2456,6 +2456,39 @@ object Extensions {
       } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
     }),
 
+    // --- the tokenizer-to-trainer composition: unigram piece counts
+    // (the q281 EM chain) decide the q128 packing's bin boundaries —
+    // fertility feeding delivery, end to end. Any drift anywhere in the
+    // chain (seed pieces, EM usage, Viterbi, per-doc sums, prefix-sum
+    // packing) moves bins for every later doc in the substream. Shapes:
+    // one corpus scan for words (checkpointed), per-doc sums through the
+    // broadcast word→pieces table, the (source, sub)-namespaced packing
+    // window (q128's assert repeated here).
+    "q293_tokenize_and_pack" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val threshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val wnp = graft.functions.Vocab.unigramEmSegmented(docs, "text")
+          .select(col("w"), col("n_pieces")).localCheckpoint()
+        val dnp = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .filter(length(col("w")) > 0)
+          .join(broadcast(wnp), Seq("w"))
+          .groupBy("doc_id").agg(sum(col("n_pieces")).as("n_pieces"))
+        val df = graft.functions.SequencePack.pack(
+          docs.select(col("source"), col("doc_id")).join(dnp, Seq("doc_id")),
+          "source", "doc_id", "n_pieces", budget = 512L, substreams = 4)
+        val ps = df.queryExecution.executedPlan.toString
+        require("windowspecdefinition\\(source#\\d+, sub#\\d+L".r
+            .findFirstIn(ps).isDefined,
+          "q293: packing window must partition by (source, sub)")
+        require(ps.contains("BroadcastHashJoin"),
+          "q293: the word→pieces lookup must broadcast the vocab table")
+        df
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    }),
+
     // --- blocklist screening (Curation.BlockTerms scaladoc): the whole
     // banned-term list in ONE Aho–Corasick pass per document (a 10k-term
     // list as contains/regex chains costs one scan PER TERM); the gate
@@ -7863,6 +7896,12 @@ object Extensions {
 
     // q292: all-occurrences counts by brute positional enumeration
     "q292_blocklist_screen" -> graft.functions.Curation.blocklistOracleSql,
+
+    // q293: the q281 DP chain's per-word piece counts through the q128
+    // packing arithmetic (max core word length 8 on the plain corpus)
+    "q293_tokenize_and_pack" -> graft.functions.Vocab.unigramPackOracleSql(
+      maxPieceLen = 4, topK = 256, maxWordLen = 8,
+      budget = 512L, substreams = 4),
 
     // q285/q286: PII scrub — rule table shared with the Spark side
     // (Curation.PiiRules), dirt planted on the same residues; the
