@@ -2841,6 +2841,13 @@ class ConformanceSpec extends SparkSpec {
     assert(rows(pipe(df).coercePrimitive(
       "n" -> IntegerType, "fl" -> BooleanType)) ==
       Set(Seq("a", 3, true), Seq("b", 0, false)))
+    // the long.class / double.class coercers share the split: 0L and
+    // 0.0 primitive defaults, null under the object form
+    assert(rows(pipe(df).coercePrimitive(
+      "n" -> LongType, "fl" -> BooleanType)) ==
+      Set(Seq("a", 3L, true), Seq("b", 0L, false)))
+    assert(rows(pipe(df).coercePrimitive("n" -> DoubleType)) ==
+      Set(Seq("a", 3.0, "true"), Seq("b", 0.0, null)))
   }
 
   // Coercions.java throws NumberFormatException on an unparseable
