@@ -29,6 +29,12 @@ case class NbScore(child: Expression,
                    wc: Map[String, Array[Long]])
     extends UnaryExpression {
 
+  // the result packs as "pred,best_bits,margin" and callers split on ','
+  // — a comma inside a class label would silently corrupt all three
+  require(classes.forall(!_.contains(",")),
+    s"nb_score: class labels must not contain ',' (got: " +
+      s"${classes.filter(_.contains(",")).mkString("; ")})")
+
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(

@@ -278,10 +278,17 @@ final class Lowering(spark: SparkSession, keepAssertions: Boolean = true,
         df.withColumn(f, coalesce(df.col(f).cast(t), lit(default).cast(t)))
       }
 
-    case LimitPipe(prev, n)           => lower(prev).limit(n.toInt)
+    // Spark limits are Int-typed — a Long above 2^31-1 must fail
+    // directed, not silently truncate to a smaller limit
+    case LimitPipe(prev, n) =>
+      require(n >= 0 && n <= Int.MaxValue,
+        s"limit($n): Spark's global limit is Int-bounded [0, 2^31-1]")
+      lower(prev).limit(n.toInt)
     // per-slice Limit parity (Cascading semantics): LocalLimit alone —
     // every partition caps at n, nothing gathers to one partition
     case SliceLimitPipe(prev, n) =>
+      require(n >= 0 && n <= Int.MaxValue,
+        s"sliceLimit($n): Spark's local limit is Int-bounded [0, 2^31-1]")
       org.apache.spark.sql.graftbridge.PlanBridge.localLimit(lower(prev), n.toInt)
     case SamplePipe(prev, frac, seed) => lower(prev).sample(frac, seed)
 

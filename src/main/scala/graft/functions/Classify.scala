@@ -175,8 +175,9 @@ object Classify {
        |  SELECT dc.c,
        |    (length(bin(dc.nd)) - 1)
        |      - (length(bin((SELECT n FROM ntot))) - 1) AS prior_bits,
-       |    (length(bin(tokc.n + (SELECT v FROM vv))) - 1) AS denom_bits
-       |  FROM dc JOIN tokc USING (c)),
+       |    (length(bin(coalesce(tokc.n, 0) + (SELECT v FROM vv))) - 1)
+       |      AS denom_bits
+       |  FROM dc LEFT JOIN tokc USING (c)),
        |bpos AS MATERIALIZED (
        |  SELECT doc_id, w FROM (
        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM batch)

@@ -108,13 +108,69 @@ object Html {
     sb.toString
   }
 
-  /** Decode the basic HTML entity set — `&amp; &lt; &gt; &quot; &apos;`
-    * and decimal `&#NN;` — in ONE left-to-right pass (no re-scan:
-    * "&amp;lt;" decodes to the LITERAL "&lt;", per spec). Unrecognized
-    * or unterminated entities pass through verbatim (lenient — real-web
-    * text is full of bare '&'). Recovery-mode text/href treatment; the
-    * strict walker never decodes (round-12 contract: the synth never
-    * needs it). */
+  /** The named-entity core set — XML basics + the W3C top tier every
+    * real crawl page is saturated with (`&nbsp;` is the single most
+    * common entity on the web). ONE table drives the recovery decoder
+    * AND every oracle spelling via [[entityText]]/[[entityRef]] (the
+    * PiiRules shared-constant discipline) — the two sides cannot drift.
+    * Every name is ≤ 7 chars (the decoder's entity-body window). */
+  val NamedEntities: Seq[(String, String)] = Seq(
+    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"",
+    "apos" -> "'",
+    "nbsp" -> "\u00A0", "shy" -> "\u00AD", // NBSP / soft hyphen
+    "ndash" -> "–", "mdash" -> "—", "hellip" -> "…",
+    "lsquo" -> "‘", "rsquo" -> "’",
+    "ldquo" -> "“", "rdquo" -> "”",
+    "laquo" -> "«", "raquo" -> "»",
+    "copy" -> "©", "reg" -> "®", "trade" -> "™",
+    "deg" -> "°", "middot" -> "·", "bull" -> "•",
+    "sect" -> "§", "para" -> "¶", "dagger" -> "†",
+    "times" -> "×", "divide" -> "÷", "plusmn" -> "±",
+    "frac12" -> "½", "frac14" -> "¼", "frac34" -> "¾",
+    "sup2" -> "²", "sup3" -> "³", "micro" -> "µ",
+    "pound" -> "£", "euro" -> "€", "cent" -> "¢",
+    "agrave" -> "à", "eacute" -> "é", "egrave" -> "è",
+    "ccedil" -> "ç", "ntilde" -> "ñ",
+    "auml" -> "ä", "ouml" -> "ö", "uuml" -> "ü",
+    "szlig" -> "ß")
+
+  private val NamedEntityMap: java.util.HashMap[String, String] = {
+    val m = new java.util.HashMap[String, String](NamedEntities.size * 2)
+    NamedEntities.foreach { case (k, v) =>
+      require(k.length <= 7, s"entity name '$k' exceeds the 7-char window")
+      m.put(k, v)
+    }
+    m
+  }
+
+  /** Markup-side spelling of a named entity (`&name;`) — gate dirt
+    * construction interpolates this. */
+  def entityRef(name: String): String = {
+    require(NamedEntityMap.containsKey(name), s"unknown entity '$name'")
+    s"&$name;"
+  }
+
+  /** Decoded replacement text of a named entity — oracle spellings
+    * interpolate THIS, never a hand-typed character. */
+  def entityText(name: String): String = {
+    val v = NamedEntityMap.get(name)
+    require(v != null, s"unknown entity '$name'")
+    v
+  }
+
+  /** Decode HTML entities in ONE left-to-right pass (no re-scan:
+    * "&amp;lt;" decodes to the LITERAL "&lt;", per spec):
+    *  - the [[NamedEntities]] table (`&name;`, body ≤ 7 chars);
+    *  - numeric refs, decimal `&#NN;` and hex `&#xNN;`/`&#XNN;`
+    *    (BMP only — a code point outside (0, U+FFFF] passes through
+    *    verbatim);
+    *  - the bare-`&amp`-without-semicolon tolerance rule (the web's
+    *    most common semicolonless entity): `&amp` not followed by an
+    *    ASCII letter/digit/'=' decodes to '&'.
+    * Anything else — unknown names, unterminated or overlong bodies —
+    * passes through verbatim (lenient — real-web text is full of bare
+    * '&'). Recovery-mode text/href treatment; the strict walker never
+    * decodes (round-12 contract: the synth never needs it). */
   def decodeEntities(s: String): String = {
     var i = s.indexOf('&')
     if (i < 0) return s
@@ -128,22 +184,32 @@ object Html {
         val semi = s.indexOf(';', i + 1)
         val body = if (semi < 0 || semi > i + 8) null
           else s.substring(i + 1, semi)
-        val dec: String = body match {
-          case null => null
-          case "amp" => "&"
-          case "lt" => "<"
-          case "gt" => ">"
-          case "quot" => "\""
-          case "apos" => "'"
-          case b if b.length >= 2 && b.charAt(0) == '#' &&
-              b.substring(1).forall(_.isDigit) =>
-            val cp = b.substring(1).toLong
-            if (cp > 0 && cp <= Char.MaxValue.toLong) cp.toChar.toString
-            else null
-          case _ => null
-        }
+        var dec: String = if (body == null) null
+          else {
+            val named = NamedEntityMap.get(body)
+            if (named != null) named
+            else if (body.length >= 2 && body.charAt(0) == '#') {
+              val num = body.substring(1)
+              val cp: Long =
+                if ((num.charAt(0) == 'x' || num.charAt(0) == 'X') &&
+                    num.length >= 2 &&
+                    num.substring(1).forall(ch => Character.digit(ch, 16) >= 0))
+                  java.lang.Long.parseLong(num.substring(1), 16)
+                else if (num.forall(_.isDigit)) num.toLong
+                else -1L
+              if (cp > 0 && cp <= Char.MaxValue.toLong) cp.toChar.toString
+              else null
+            } else null
+          }
+        var consumed = 0
+        if (dec != null) consumed = semi + 1 - i
+        else if (s.regionMatches(i + 1, "amp", 0, 3) &&
+            (i + 4 >= n || {
+              val ca = s.charAt(i + 4)
+              !(ca.isLetterOrDigit || ca == '=')
+            })) { dec = "&"; consumed = 4 }
         if (dec == null) { sb += c; i += 1 }
-        else { sb ++= dec; i = semi + 1 }
+        else { sb ++= dec; i += consumed }
       }
     }
     sb.toString

@@ -50,7 +50,12 @@ object Sketch {
 
   /** Point-query every distinct corpus token against the sketch:
     * (w, exact, est, over) with est = min over rows, over = est − exact
-    * (≥ 0 by the CMS guarantee). The sketch side broadcasts. */
+    * (≥ 0 by the CMS guarantee). The sketch side broadcasts. A queried
+    * cell ABSENT from the sketch table counts 0 (the zero-initialized
+    * CMS array) — left join + coalesce, so a token outside the build
+    * corpus estimates 0 instead of dropping (true point-query
+    * semantics; value-identical for q290/q291 where estimate tokens =
+    * build tokens and every cell exists). */
   def cmsEstimates(sketch: DataFrame, docs: DataFrame,
                    textCol: String): DataFrame =
     docs.select(explode(split(col(textCol), " ")).as("w"))
@@ -58,8 +63,10 @@ object Sketch {
       .groupBy("w").agg(count(lit(1)).as("exact"))
       .select(col("w"), col("exact"), explode(jcArray(col("w"))).as("jc"))
       .join(broadcast(sketch),
-        col("jc.j") === sketch("j") && col("jc.cell") === sketch("cell"))
-      .groupBy("w", "exact").agg(min(col("n")).as("est"))
+        col("jc.j") === sketch("j") && col("jc.cell") === sketch("cell"),
+        "left")
+      .groupBy("w", "exact")
+      .agg(min(coalesce(col("n"), lit(0L))).as("est"))
       .select(col("w"), col("exact"), col("est"),
         (col("est") - col("exact")).as("over"))
 

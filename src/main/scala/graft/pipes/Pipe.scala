@@ -193,11 +193,11 @@ sealed trait Pipe {
     * coercers per numeric type — the object form (`Integer.class`,
     * null stays null) and the primitive form (`int.class`, null becomes
     * 0; `boolean.class` → false). [[coerce]] is the object form (SQL
-    * cast); this is the primitive form: cast, then null-default. An
-    * unparseable numeric STRING nulls under Spark's non-ANSI cast and
-    * therefore lands on the default here — upstream's `safe = true` tap
-    * semantics (Coercions itself would throw NumberFormatException; the
-    * safe mapping is pinned in ConformanceSpec). */
+    * cast); this is the primitive form: cast, then null-default. Only
+    * GENUINE nulls take the 0/false default: the engine runs ANSI, so
+    * an unparseable numeric STRING fails the flow (CAST_INVALID_INPUT
+    * ≙ upstream Coercions' NumberFormatException — ConformanceSpec pins
+    * the throw for the same input in both coerce and coercePrimitive). */
   def coercePrimitive(fields: (String, DataType)*): Pipe =
     CoercePrimitivePipe(this, fields)
 

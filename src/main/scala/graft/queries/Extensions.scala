@@ -3916,15 +3916,24 @@ object Extensions {
     // parse (entities decoded) → jusText extraction → normalize → C4
     // line clean → corpus-wide paragraph dedup. Every stage provably
     // fires: recovery parses pages strict refuses (class 1/2 markup
-    // damage); the `&#160;&#160;` entity dirt on p-block first tokens
-    // decodes to NBSPs that ONLY normalizeText removes (the oracle
-    // models the post-normalize text — a broken decode or normalize
-    // shifts every md5); block-final '.' makes full blocks C4-keepable
-    // while ragged tails < 5 words die; the '{' dirt kills its line by
-    // the brace rule; and the shared 8-token boiler block dies
-    // everywhere but its global first occurrence. Oracle reuses
-    // C4KeepRule and paragraphDedupBody verbatim (stage-shared
-    // fragments) + the q266 block arithmetic over the dirtied stream.
+    // damage); the real-web entity dirt classes (round-13 verdict item
+    // 1, every spelling from Html.NamedEntities — the shared-constant
+    // discipline) each exercise one decoder arm:
+    //  - `&nbsp;&#xA0;` on p-block first tokens (i%24==0): NAMED + HEX
+    //    NBSP, which ONLY normalizeText removes (a broken named/hex
+    //    decode or normalize shifts every md5);
+    //  - `&mdash;` on i%48==29 (a kept p-block position): decodes to a
+    //    VISIBLE char that survives normalize into the final text — the
+    //    oracle spells Html.entityText("mdash") into the modeled word;
+    //  - bare `&amp` (no semicolon, i%48==3 — a boiler-block position,
+    //    uniform across docs): the semicolonless tolerance rule,
+    //    decoded '&' modeled in the oracle.
+    // Block-final '.' makes full blocks C4-keepable while ragged tails
+    // < 5 words die; the '{' dirt kills its line by the brace rule; and
+    // the shared 8-token boiler block dies everywhere but its global
+    // first occurrence. Oracle reuses C4KeepRule and paragraphDedupBody
+    // verbatim (stage-shared fragments) + the q266 block arithmetic
+    // over the dirtied stream.
     "q278_crawl_to_clean" -> ((s, dir) => {
       val H = graft.functions.Html
       val docs = s.read.parquet(s"$dir/documents.parquet")
@@ -3936,9 +3945,12 @@ object Extensions {
         array_join(transform(full, (w, i) => concat(
           w,
           when(i % 48 === 25, lit("{")).otherwise(lit("")),
+          when(i % 48 === 29, lit(H.entityRef("mdash"))).otherwise(lit("")),
+          when(i % 48 === 3, lit("&" + "amp")).otherwise(lit("")),
           when(i % 8 === 7 || i === size(full) - 1, lit("."))
             .otherwise(lit("")),
-          when(i % 24 === 0, lit("&#160;&#160;")).otherwise(lit("")))),
+          when(i % 24 === 0, lit(H.entityRef("nbsp") + "&#xA0;"))
+            .otherwise(lit("")))),
           " ").as("text"))
       val corrupted = H.withCorruptSynthHtml(dirtied, "doc_id", "text",
         clsOf = id => 1 + (id % 2).toInt)
@@ -6374,9 +6386,15 @@ object Extensions {
        |  FROM scored) WHERE rk <= 3""".stripMargin
   }
 
-  /** The q278 crawl-to-clean oracle — see the registration comment. */
+  /** The q278 crawl-to-clean oracle — see the registration comment. The
+    * entity dirt appears POST-DECODE + POST-NORMALIZE: the NBSP class
+    * vanishes (ReSpace + collapse), the mdash/bare-amp classes keep
+    * their decoded characters — both interpolated from
+    * Html.NamedEntities via entityText (shared-constant discipline). */
   private lazy val crawlToCleanOracle: String = {
     val bo = CrawlBoiler.map(w => s"'$w'").mkString(", ")
+    val mdash = graft.functions.Html.entityText("mdash")
+    val amp = graft.functions.Html.entityText("amp")
     s"""WITH raw AS (
        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '')
        |    AS t0
@@ -6385,6 +6403,8 @@ object Extensions {
        |  SELECT doc_id, i,
        |    (CASE WHEN i <= 8 THEN [$bo][i] ELSE t0[i - 8] END)
        |    || (CASE WHEN (i - 1) % 48 = 25 THEN '{' ELSE '' END)
+       |    || (CASE WHEN (i - 1) % 48 = 29 THEN '$mdash' ELSE '' END)
+       |    || (CASE WHEN (i - 1) % 48 = 3 THEN '$amp' ELSE '' END)
        |    || (CASE WHEN (i - 1) % 8 = 7 OR i = len(t0) + 8 THEN '.'
        |        ELSE '' END) AS w
        |  FROM raw, LATERAL (SELECT unnest(range(1, len(t0) + 9)) AS i) ii),

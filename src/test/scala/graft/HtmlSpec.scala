@@ -111,10 +111,39 @@ class HtmlSpec extends AnyFunSuite {
     assert(Html.decodeEntities("&#33;&#65;&#8364;") == "!A€")
     // single pass: "&amp;lt;" is the LITERAL "&lt;", never '<'
     assert(Html.decodeEntities("&amp;lt;") == "&lt;")
-    // lenient: bare '&', unknown name, unterminated, oversized, zero cp
-    assert(Html.decodeEntities("AT&T &bogus; &amp &toolongname; &#0; x")
-      == "AT&T &bogus; &amp &toolongname; &#0; x")
+    // lenient: bare '&', unknown name, unterminated non-amp name,
+    // oversized body, zero cp (bare `&amp` now DECODES — see below)
+    assert(Html.decodeEntities("AT&T &bogus; &nbsp &toolongname; &#0; x")
+      == "AT&T &bogus; &nbsp &toolongname; &#0; x")
     assert(Html.decodeEntities("no entities") == "no entities")
+  }
+
+  test("decodeEntities: named core set (round-13 verdict item 1), hex " +
+       "refs, and the bare-&amp tolerance rule — every expectation " +
+       "spelled from Html.NamedEntities") {
+    // the W3C-tier names all decode to their table value, in text
+    for ((name, rep) <- Html.NamedEntities)
+      assert(Html.decodeEntities(s"x &$name; y") == s"x $rep y", name)
+    // nbsp is the headline real-web case: named and hex agree
+    assert(Html.decodeEntities("a&nbsp;b") == "a\u00A0b")
+    assert(Html.decodeEntities("a&#xA0;b&#Xa0;c") == "a\u00A0b\u00A0c")
+    // hex general: case-insensitive marker and digits
+    assert(Html.decodeEntities("&#x41;&#x2014;&#X20aC;") == "A—€")
+    // hex rejects: no digits, non-hex digit, out of BMP, zero
+    assert(Html.decodeEntities("&#x; &#xG1; &#x110000; &#x0;")
+      == "&#x; &#xG1; &#x110000; &#x0;")
+    // ONE pass composes with named refs: "&amp;nbsp;" is LITERAL
+    assert(Html.decodeEntities("&amp;nbsp;") == "&nbsp;")
+    // bare &amp: decodes when not followed by letter/digit/'=' (end,
+    // space, punctuation), passes through verbatim otherwise —
+    // "&amp;" itself takes the semicolon path first
+    assert(Html.decodeEntities("S&amp P") == "S& P")
+    assert(Html.decodeEntities("end&amp") == "end&")
+    assert(Html.decodeEntities("w&amp.") == "w&.")
+    assert(Html.decodeEntities("&amplt &ampx &amp9 &amp=1")
+      == "&amplt &ampx &amp9 &amp=1")
+    // the other names do NOT take the semicolonless rule
+    assert(Html.decodeEntities("&nbsp &mdash x") == "&nbsp &mdash x")
   }
 
   test("recovery mode is VERBATIM-identical to strict on well-formed " +
