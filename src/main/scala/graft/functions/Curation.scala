@@ -344,8 +344,43 @@ object Curation {
     * and total, as one single-pass expression + a fold. */
   def blocklistScreen(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame =
+    blocklistScreenWith(docs, BlockTerms, idCol, textCol)
+
+  /** Versioned blocklist ARTIFACT rows: (version, k, term) — the q133
+    * maintenance shape applied to the compliance list. The banned-term
+    * list is a DATA artifact, not a driver-side constant: a list update
+    * lands as a NEW version (plain append, no read-modify-write), and
+    * scoring always rebuilds the automaton from the latest version. */
+  def blocklistVersionRows(spark: org.apache.spark.sql.SparkSession,
+                           version: Long, terms: Seq[String]): DataFrame = {
+    import spark.implicits._
+    terms.zipWithIndex
+      .map { case (t, k) => (version, k.toLong, t) }
+      .toDF("version", "k", "term")
+  }
+
+  /** Load the LATEST version's term list from the persisted artifact —
+    * an O(versions × terms) bounded driver carry (the merge-list
+    * contract: the list IS the model; the automaton rebuilds from it
+    * and rides the codegen reference object into a scan-shaped pass).
+    * Returns (version, terms in k order). */
+  def loadLatestBlockTerms(artifact: DataFrame): (Long, Seq[String]) = {
+    val rows = artifact.select(col("version").cast("long"),
+        col("k").cast("long"), col("term")).collect()
+    require(rows.nonEmpty, "blocklist artifact is empty")
+    val latest = rows.iterator.map(_.getLong(0)).max
+    val terms = rows.filter(_.getLong(0) == latest).sortBy(_.getLong(1))
+      .map(_.getString(2)).toSeq
+    (latest, terms)
+  }
+
+  /** [[blocklistScreen]] with the term list taken from a LOADED
+    * artifact version instead of the [[BlockTerms]] constant. */
+  def blocklistScreenWith(docs: DataFrame, terms: Seq[String],
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame =
     docs.select(col(idCol),
-      graft.catalyst.MultiMatch(col(textCol), BlockTerms).as("hits"))
+      graft.catalyst.MultiMatch(col(textCol), terms).as("hits"))
       .withColumn("n_hits", expr(
         "aggregate(transform(split(hits, '\\\\|'), x -> CAST(x AS BIGINT))," +
           " 0L, (acc, x) -> acc + x)"))

@@ -70,6 +70,32 @@ object Sketch {
       .select(col("w"), col("exact"), col("est"),
         (col("est") - col("exact")).as("over"))
 
+  /** PER-WINDOW sketch cells — the sliding-cadence layout: (win, j,
+    * cell, n), one bounded d × 4096 table per window. The design point
+    * is how the monitor FORGETS: eviction is DROPPING an expired
+    * window's rows (a partition delete at scale), never decrementing a
+    * shared table — CMS cells can be added but not safely subtracted
+    * under concurrent merge. Memory is (live windows) × d × 4096
+    * no matter the corpus. */
+  def cmsBuildWindowed(docs: DataFrame, winCol: String,
+                       textCol: String): DataFrame =
+    docs.select(col(winCol).cast("long").as("win"),
+        explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("win", "w").agg(count(lit(1)).as("exact"))
+      .select(col("win"), col("exact"), explode(jcArray(col("w"))).as("jc"))
+      .groupBy(col("win"), col("jc.j").as("j"), col("jc.cell").as("cell"))
+      .agg(sum(col("exact")).as("n"))
+
+  /** Collapse the LIVE windows to one queryable sketch: cell-wise Σ
+    * over exactly `liveWins` — by the CMS merge property this EQUALS
+    * the rebuild over the live windows' corpus (the q297 gate's oracle
+    * is that rebuild), so sliding the window is: append the new
+    * window's table, drop the expired one, re-sum. */
+  def cmsLive(windowed: DataFrame, liveWins: Seq[Long]): DataFrame =
+    windowed.filter(col("win").isin(liveWins.map(x => x: Any): _*))
+      .groupBy("j", "cell").agg(sum(col("n")).as("n"))
+
   /** The whole chain in SQL — cells and estimates from the same
     * md5-prefix arithmetic. `source` must yield (text). */
   def cmsOracleSql(source: String): String =

@@ -2506,6 +2506,77 @@ object Extensions {
       df
     }),
 
+    // --- the blocklist as a VERSIONED DATA ARTIFACT (round-13 verdict
+    // item 6 — the q133 maintenance shape applied to the compliance
+    // list): version 1 persists a PARTIAL term list, the list UPDATE
+    // lands as version 2 (plain append — versions are immutable), and
+    // scoring loads the LATEST version and rebuilds the automaton from
+    // the tap's rows. Non-vacuity: v1 ≠ v2 and the oracle is q292's
+    // spelling over the FULL list, so a loader that picked v1 (shorter
+    // count vector) or scrambled k-order fails the hash; the version
+    // pick is also asserted directly. Plan: same exchange-free
+    // single-scan shape as q292 — the artifact costs a bounded driver
+    // carry, never a join.
+    "q295_blocklist_tap" -> ((s, dir) => {
+      val C = graft.functions.Curation
+      val tap = graft.sources.ParquetTap(
+        graft.queries.Relational.stagePath("graft_q295_blocklist", dir))
+      tap.write(C.blocklistVersionRows(s, 1L, C.BlockTerms.dropRight(3)),
+        graft.sources.SinkMode.Replace)
+      tap.write(C.blocklistVersionRows(s, 2L, C.BlockTerms),
+        graft.sources.SinkMode.Update)
+      val (version, terms) = C.loadLatestBlockTerms(tap.read(s))
+      require(version == 2L && terms.length == C.BlockTerms.length,
+        s"q295: expected the v2 list, got v$version with " +
+          s"${terms.length} terms")
+      val df = C.blocklistScreenWith(
+        s.read.parquet(s"$dir/documents.parquet"), terms)
+      val ps = df.queryExecution.executedPlan.toString
+      require(!ps.contains("Exchange") && !ps.contains("Join"),
+        "q295: the artifact-driven screen must stay a single " +
+          "exchange-free scan")
+      require(ps.contains("multi_match"),
+        "q295: the MultiMatch automaton node is missing from the plan")
+      df
+    }),
+
+    // --- the STREAMING blocklist screen (q286's scrub-before-land
+    // discipline on q292): documents arrive as file micro-batches and
+    // the automaton — rebuilt from the persisted v2 artifact, not the
+    // constant — runs per-row in Append mode: stateless, no watermark,
+    // no state store. Oracle = q292's batch spelling verbatim: the
+    // stream must screen exactly what the batch screens.
+    "q296_stream_blocklist" -> ((s, dir) => {
+      val C = graft.functions.Curation
+      val tap = graft.sources.ParquetTap(
+        graft.queries.Relational.stagePath("graft_q296_blocklist", dir))
+      tap.write(C.blocklistVersionRows(s, 1L, C.BlockTerms.dropRight(3)),
+        graft.sources.SinkMode.Replace)
+      tap.write(C.blocklistVersionRows(s, 2L, C.BlockTerms),
+        graft.sources.SinkMode.Update)
+      val (version, terms) = C.loadLatestBlockTerms(tap.read(s))
+      require(version == 2L, s"q296: expected v2, got v$version")
+      val (in, out, chk) = freshStreamDirs("graft_q296_stream")
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      stageSliced(in, Seq(
+        docs.filter(col("doc_id") % 3 === 0),
+        docs.filter(col("doc_id") % 3 === 1),
+        docs.filter(col("doc_id") % 3 === 2)))
+      withStreamPartitions(s, 8) {
+        val stream = graft.streaming.StreamOps.readStream(s, in,
+          docs.schema, Map("maxFilesPerTrigger" -> "1"))
+        val q = C.blocklistScreenWith(stream, terms).writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+          .format("parquet").option("path", out)
+          .option("checkpointLocation", chk)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.read.parquet(out)
+    }),
+
     // --- CMS at ARRIVAL cadence (the q272 rebuild-equality discipline):
     // the sketch persists once over the %50≠3 corpus, the %50=3 batch
     // builds ITS OWN d×4096 cells, and maintenance is cell-wise
@@ -2542,6 +2613,47 @@ object Extensions {
           "q291: the persisted sketch tap scan is missing from the plan")
         require(ps.contains("BroadcastHashJoin"),
           "q291: the estimate lookup must broadcast the merged sketch")
+        df
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    }),
+
+    // --- CMS at SLIDING-WINDOW cadence (round-13 verdict item 7 — the
+    // q121 drift-monitor's frequency companion): per-window d×4096 cell
+    // tables (win = doc_id % 4 — the epoch key), the monitor FORGETS by
+    // DROPPING the expired window's table (never decrementing), and the
+    // live estimate is the cell-wise Σ over live windows — which by the
+    // CMS merge property equals the rebuild over the live corpus, so
+    // the oracle IS that rebuild (q290's SQL shape filtered to live
+    // docs). The salt runs % 61 (CO-PRIME with the window count): every
+    // token type occurs in EVERY window, so a leaked expired-window row
+    // inflates every estimate, not just collision victims — eviction
+    // failure breaks the hash everywhere. Non-vacuity: the expired
+    // window must hold real mass (asserted).
+    "q297_cms_window" -> ((s, dir) => {
+      val K = graft.functions.Sketch
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          regexp_replace(col("text"), lit("(\\S+)"),
+            concat(lit("$1~"), (col("doc_id") % 61).cast("string")))
+            .as("text"))
+      val windowed = K.cmsBuildWindowed(
+          docs.withColumn("win", col("doc_id") % 4), "win", "text")
+        .localCheckpoint()
+      val nCells = windowed.count()
+      require(nCells <=
+          4L * K.CmsDepth.toLong * (1L << (4 * K.CmsNibbles)),
+        s"q297: $nCells cells exceed the (windows × d × 4096) bound")
+      require(windowed.filter(col("win") === 0).limit(1).count() == 1,
+        "q297: the expiring window holds no mass — eviction is vacuous")
+      val live = K.cmsLive(windowed, Seq(1L, 2L, 3L))
+      val liveDocs = docs.filter(col("doc_id") % 4 =!= 0)
+      val threshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val df = K.cmsEstimates(live, liveDocs, "text")
+        require(df.queryExecution.executedPlan.toString
+            .contains("BroadcastHashJoin"),
+          "q297: the estimate lookup must broadcast the live sketch")
         df
       } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
     }),
@@ -7909,13 +8021,24 @@ object Extensions {
       "SELECT regexp_replace(text, '(\\S+)', " +
         "'\\1~' || CAST(doc_id % 64 AS VARCHAR), 'g') AS text " +
         "FROM documents"),
+    // q297: the sliding-window estimate must equal the REBUILD over the
+    // live (non-expired) windows' corpus — the CMS merge property is
+    // the gate; %61 salt is co-prime with the 4-window cadence
+    "q297_cms_window" -> graft.functions.Sketch.cmsOracleSql(
+      "SELECT regexp_replace(text, '(\\S+)', " +
+        "'\\1~' || CAST(doc_id % 61 AS VARCHAR), 'g') AS text " +
+        "FROM documents WHERE doc_id % 4 <> 0"),
     "q291_cms_arrival" -> graft.functions.Sketch.cmsOracleSql(
       "SELECT regexp_replace(text, '(\\S+)', " +
         "'\\1~' || CAST(doc_id % 64 AS VARCHAR), 'g') AS text " +
         "FROM documents"),
 
-    // q292: all-occurrences counts by brute positional enumeration
+    // q292: all-occurrences counts by brute positional enumeration;
+    // q295 (versioned-artifact arrival) and q296 (streaming screen)
+    // must produce exactly the batch screen — same oracle verbatim
     "q292_blocklist_screen" -> graft.functions.Curation.blocklistOracleSql,
+    "q295_blocklist_tap" -> graft.functions.Curation.blocklistOracleSql,
+    "q296_stream_blocklist" -> graft.functions.Curation.blocklistOracleSql,
 
     // q293: the q281 DP chain's per-word piece counts through the q128
     // packing arithmetic (max core word length 8 on the plain corpus)

@@ -136,4 +136,20 @@ class CurationSpec extends SparkSpec {
     assert(sql.contains("2028") && sql.contains("200B") &&
       sql.contains("FEFF") && sql.contains(" {2,}"))
   }
+
+  test("blocklist artifact: latest version wins, k-order preserved, " +
+       "empty artifact refused (the q295 loader contract)") {
+    val v1 = Curation.blocklistVersionRows(spark, 1L, Seq("zz", "aa"))
+    val v2 = Curation.blocklistVersionRows(spark, 2L, Seq("mm", "bb", "cc"))
+    // versions arrive unioned in any order; the list order is k, NOT
+    // alphabetical and NOT row order
+    val (ver, terms) = Curation.loadLatestBlockTerms(
+      v2.orderBy(desc("term")).unionByName(v1))
+    assert(ver == 2L && terms == Seq("mm", "bb", "cc"))
+    val (v, t) = Curation.loadLatestBlockTerms(v1)
+    assert(v == 1L && t == Seq("zz", "aa"))
+    intercept[IllegalArgumentException] {
+      Curation.loadLatestBlockTerms(v1.filter(col("version") === 99L))
+    }
+  }
 }

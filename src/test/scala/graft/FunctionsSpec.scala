@@ -2105,6 +2105,29 @@ class FunctionsSpec extends SparkSpec {
     assert(cu.size <= Sketch.CmsDepth * (1 << (4 * Sketch.CmsNibbles)))
   }
 
+  test("cmsBuildWindowed/cmsLive: window EVICTION pin — dropping the " +
+       "expired window's table removes exactly its mass (q297)") {
+    import graft.functions.Sketch
+    // window 0 (expiring): x x y | window 1: x z | window 2: y
+    val docs = Seq((0L, "x x y"), (1L, "x z"), (2L, "y"))
+      .toDF("win", "text")
+    val wd = Sketch.cmsBuildWindowed(docs, "win", "text").localCheckpoint()
+    // per-window tables are independently bounded and window-keyed
+    assert(wd.select("win").distinct().collect().map(_.getLong(0)).toSet
+      == Set(0L, 1L, 2L))
+    def est(liveWins: Seq[Long], live: org.apache.spark.sql.DataFrame) =
+      Sketch.cmsEstimates(Sketch.cmsLive(wd, liveWins), live, "text")
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val liveDocs = docs.filter(col("win") =!= 0L)
+    // live = {1,2}: x→1, z→1, y→1 (window 0's x x y mass is GONE —
+    // eviction by dropping, no subtraction anywhere)
+    assert(est(Seq(1L, 2L), liveDocs) == Map("x" -> 1L, "y" -> 1L, "z" -> 1L))
+    // keeping all three windows over-counts x and y by window 0's mass
+    // — proving the evicted rows really carried it
+    assert(est(Seq(0L, 1L, 2L), liveDocs)
+      == Map("x" -> 3L, "y" -> 2L, "z" -> 1L))
+  }
+
   // ---- exact-bits multinomial Naive Bayes (Classify) ----
 
   test("scoreNaiveBayes: hand-computed bits posterior, tie → class ASC, " +
