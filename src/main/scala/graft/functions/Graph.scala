@@ -148,6 +148,100 @@ object Graph {
     res
   }
 
+  /** PageRank iterated to a TOLERANCE-gated stop (round-13 verdict item
+    * 4 — the q277 warm-start honesty contract generalized from HITS to
+    * PageRank, where an EXACT integer fixed point is out of reach: the
+    * 0.85 contraction needs ~130 rounds to quiesce the last unit at the
+    * 10⁹ scale, so production refreshes stop at max |Δr| ≤ ε units
+    * instead): run [[pageRankTopK]]'s exact floor-division update until
+    * the max absolute per-vertex change is ≤ `epsUnits`, optionally
+    * WARM-STARTED from a previous cadence's converged ranks (`initRank`
+    * (v, r); vertices the new graph lacks drop out, new vertices start
+    * cold at 10⁹).
+    *
+    * The honesty contract: a trajectory stopped at tolerance ε sits
+    * within ε·λ/(1−λ) ≈ 5.67ε of the true fixed point (λ = 0.85), so
+    * cold and warm stops can legitimately differ by up to ~11.3ε —
+    * callers gate the COLD stop against an oracle replaying the SAME
+    * stopping rule over unrolled rounds, and pin the warm vector to the
+    * cold one with an explicit ε-multiple bound plus a strictly-fewer-
+    * rounds assert. Bit-equal warm == cold is not a theorem and is not
+    * claimed.
+    *
+    * Per iteration: ONE keyed shuffle (the dst-keyed contribution sum;
+    * the rank and vertex joins broadcast at gate scale and stay
+    * rank-keyed co-partitioned at cluster scale) + one bounded driver
+    * action (the 1-row max-|Δ| check — the Lloyd discipline). Every
+    * round ends in an eager localCheckpoint with RDD-level release of
+    * its predecessor (the q277 lineage discipline: the diff check
+    * references two rounds at once — without truncation the plan
+    * doubles per round). Fails DIRECTED after `maxIters` rounds above
+    * tolerance. Returns (full rank table (v, r) — caller-owned — and
+    * the stop round). */
+  /** ONE PageRank round over prepared inputs — `e` (src, dst, outdeg),
+    * `verts` (v), `rank` (v, r) → next (v, r). Exposed for the
+    * PlanAuditSpec shuffle-count audit: the dst-keyed contribution sum
+    * is the round's only keyed shuffle when the (bounded) rank and
+    * vertex tables broadcast. */
+  private[graft] def prNext(e: DataFrame, verts: DataFrame,
+                            rank: DataFrame): DataFrame = {
+    val contrib = e.join(rank, e("src") === rank("v"))
+      .select(col("dst"), expr("(r * 85) div (100 * outdeg)").as("c"))
+    val sums = contrib.groupBy(col("dst")).agg(sum(col("c")).as("s"))
+    verts.join(sums, verts("v") === sums("dst"), "left_outer")
+      .select(verts("v"),
+        (lit(150000000L) + coalesce(col("s"), lit(0L))).as("r"))
+  }
+
+  def pageRankConverge(edges: DataFrame, epsUnits: Long,
+                       initRank: Option[DataFrame] = None,
+                       maxIters: Int = 24): (DataFrame, Int) = {
+    require(epsUnits >= 0, s"pageRankConverge: epsUnits must be >= 0")
+    val lvl = StorageLevel.MEMORY_AND_DISK
+    val out = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val e = edges.join(out, Seq("src"))
+      .select(col("src"), col("dst"), col("outdeg")).persist(lvl)
+    val verts = e.select(col("src").as("v"))
+      .union(e.select(col("dst").as("v"))).distinct().persist(lvl)
+    def release(df: DataFrame): Unit = if (df != null) {
+      df.unpersist()
+      df.queryExecution.analyzed.foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(false)
+        case _ => ()
+      }
+    }
+    var rank: DataFrame = (initRank match {
+      case Some(init) =>
+        verts.join(init.select(col("v"), col("r").as("__ri")), Seq("v"),
+            "left_outer")
+          .select(col("v"),
+            coalesce(col("__ri"), lit(1000000000L)).as("r"))
+      case None => verts.select(col("v"), lit(1000000000L).as("r"))
+    }).localCheckpoint(true)
+    var rounds = -1
+    var i = 0
+    while (rounds < 0 && i < maxIters) {
+      i += 1
+      val next = prNext(e, verts, rank).localCheckpoint(true)
+      // vertex set is fixed across rounds (verts), so an inner join
+      // covers every vertex — max |Δr| is the stopping statistic
+      val maxDiff = next.as("n")
+        .join(rank.as("o"), col("n.v") === col("o.v"))
+        .agg(max(abs(col("n.r") - col("o.r"))).as("d"))
+        .collect().head.getLong(0)
+      release(rank)
+      rank = next
+      if (maxDiff <= epsUnits) rounds = i
+    }
+    require(rounds > 0, s"pageRankConverge: max |Δr| still above " +
+      s"$epsUnits units after $maxIters rounds — raise maxIters or " +
+      "loosen the tolerance")
+    val res = rank.select(col("v"), col("r")).localCheckpoint(true)
+    e.unpersist(); verts.unpersist(); release(rank)
+    (res, rounds)
+  }
+
   /** Connected components over the undirected support, via the repo's
     * converged min-label propagation (pointer-jumping — rounds ≈ log
     * diameter, `Dedup.transitiveClustersOver`): each undirected edge

@@ -111,6 +111,51 @@ class GraphSpec extends SparkSpec {
     assert(ex.getMessage.contains("fixed point"))
   }
 
+  test("pageRankConverge: tolerance stop, agreement with the unrolled " +
+       "update, warm-from-converged stops immediately, directed failure") {
+    // complete K3 is an EXACT fixed point of the scaled update (every
+    // round recomputes r = 1e9), so max |Δr| = 0 at round 1
+    val k3 = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L), (2L, 3L), (3L, 2L))
+      .toDF("src", "dst")
+    val (rk3, t3) = Graph.pageRankConverge(k3, epsUnits = 0L)
+    assert(t3 == 1)
+    assert(rk3.collect().forall(_.getLong(1) == 1000000000L))
+    // path 1–2–3 with ε = 8e8, hand-unrolled (the q249 spec's numbers):
+    //   Δ₁ = max|r₁ − 1e9| = 8.5e8 > ε  (r₁ = 575e6, 1850e6, 575e6)
+    //   Δ₂ = max|r₂ − r₁| = 722.5e6 ≤ ε → stop at round 2 with
+    //   r₂ = (936 250 000, 1 127 500 000, 936 250 000)
+    val path = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val eps = 800000000L
+    val (conv, rounds) = Graph.pageRankConverge(path, eps)
+    assert(rounds == 2, s"expected the hand-computed stop at round 2, " +
+      s"got $rounds")
+    val cm = conv.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cm == Map(1L -> 936250000L, 2L -> 1127500000L,
+      3L -> 936250000L), cm.toString)
+    // cross-check against the independently-coded unrolled loop
+    val tm = Graph.pageRankTopK(path, iters = 2, k = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cm == tm, s"converge=$cm vs topK(2)=$tm")
+    // warm start FROM the converged vector: the contraction keeps the
+    // next delta ≤ λ·ε, so the refresh stops at round 1 within ε
+    val (warm, rw) = Graph.pageRankConverge(path, eps,
+      Some(conv.select(col("v"), col("r"))))
+    assert(rw == 1)
+    val wm = warm.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(wm.keySet == cm.keySet &&
+      wm.forall { case (v, r) => math.abs(r - cm(v)) <= eps })
+    // init hygiene: unknown vertices ignored, missing vertices start
+    // cold at 1e9 — output covers exactly the graph's vertex set
+    val (init, _) = Graph.pageRankConverge(path, eps,
+      Some(Seq((2L, 900000000L), (99L, 5L)).toDF("v", "r")))
+    assert(init.collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    // directed failure when the budget can't reach tolerance
+    val ex = intercept[IllegalArgumentException] {
+      Graph.pageRankConverge(path, epsUnits = 0L, maxIters = 2)
+    }
+    assert(ex.getMessage.contains("units"))
+  }
+
   test("pageRankWeightedTopK: mass splits by edge weight (hand-computed)") {
     // path 1–2–3 with weights: (1,2) w=3, (2,3) w=1. sw: 1→3, 2→4, 3→1.
     //   r1(1) = 150e6 + (1e9·85·3) div 400 = 787 500 000

@@ -553,4 +553,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"))
     assert(!plan.contains("Window"))
   }
+
+  test("q298: ONE PageRank iteration is a single keyed shuffle — the " +
+       "dst-keyed contribution sum; rank and vertex joins broadcast") {
+    import org.apache.spark.sql.functions._
+    val G = graft.functions.Graph
+    val edges = G.coOccurrenceEdges(
+      spark.read.parquet(s"${sf("sf0.01")}/lineitem.parquet"),
+      "l_orderkey", "l_partkey", maxDegree = 64)
+    // materialize the loop-invariant inputs exactly as pageRankConverge
+    // holds them (persisted edges, checkpointed rank), then audit the
+    // round's own plan in isolation
+    val out = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val e = edges.join(out, Seq("src"))
+      .select(col("src"), col("dst"), col("outdeg")).localCheckpoint(true)
+    val verts = e.select(col("src").as("v")).distinct().localCheckpoint(true)
+    val rank = verts.select(col("v"), lit(1000000000L).as("r"))
+      .localCheckpoint(true)
+    val df = G.prNext(e, verts, rank)
+    df.collect() // AQE decides broadcasts at runtime — audit the FINAL plan
+    val full = df.queryExecution.executedPlan.toString
+    assert(full.contains("isFinalPlan=true"), full.take(200))
+    val plan = full.split("== Initial Plan ==").head
+    // the dst-keyed contribution sum is the round's only repartitioning
+    // shuffle; both the rank lookup and the vertex re-attach broadcast
+    // (AQE may still write the speculative verts shuffle and read it
+    // LOCALLY — a no-op repartition, not a keyed movement)
+    assert("Exchange hashpartitioning\\(dst".r.findAllMatchIn(plan).size == 1,
+      plan.take(800))
+    assert("BroadcastHashJoin".r.findAllMatchIn(plan).size == 2,
+      "rank lookup and vertex re-attach must both broadcast at gate scale")
+    assert(!plan.contains("SortMergeJoin"))
+  }
 }
