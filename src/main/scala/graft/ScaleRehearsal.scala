@@ -190,7 +190,15 @@ object ScaleRehearsal {
     // blocklist screen: one automaton pass per doc — pure scan
     "q292_blocklist_screen",
     // tokenize-and-pack composition: fertility decides bin boundaries
-    "q293_tokenize_and_pack")
+    "q293_tokenize_and_pack",
+    // round-14 wave: the pruned-EM schedule (vocab-sized rounds after
+    // one corpus scan), the artifact-driven blocklist forms (scan +
+    // O(terms) carry; the stream adds file-micro-batch overhead),
+    // windowed CMS (4 bounded per-window tables), and warm-start
+    // PageRank (cold+warm+pre — three converge runs on the capped part
+    // graph; per-round cost is the dst-keyed sum)
+    "q294_unigram_pruned_em", "q295_blocklist_tap",
+    "q296_stream_blocklist", "q297_cms_window", "q298_pagerank_warm")
 
   def main(args: Array[String]): Unit = {
     val small = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

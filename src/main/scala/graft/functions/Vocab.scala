@@ -588,6 +588,90 @@ object Vocab {
         sum((length(bin(col("u"))) - 1).cast("long") - lit(bTot2)).as("seg_bits"))
   }
 
+  /** MULTI-ROUND hard EM with a SHRINKING-VOCABULARY pruning schedule
+    * (round-13 verdict item 3 — the SentencePiece training loop shape
+    * that [[unigramEmSegmented]]'s single re-estimation round left
+    * unexercised). Per round t = 1..rounds:
+    *   1. Viterbi-segment the word table against the current scores;
+    *   2. re-estimate usage u(p) = Σ cnt over the argmax segmentations
+    *      (dead pieces drop — they have no usage row);
+    *   3. PRUNE: among the M used multi-char pieces, keep the top
+    *      ⌈M·keepPct/100⌉ by (u·(len−1) DESC, p ASC) — u·(len−1) is the
+    *      exact-integer loss proxy (characters the piece merges per
+    *      occurrence × occurrences = the hard-EM bit cost of losing
+    *      it); SentencePiece's float likelihood-drop ranking is not
+    *      engine-exact;
+    *   4. COVERAGE floor: every single character of the SEED survives
+    *      with u′(c) = max(u(c), 1) — the SentencePiece
+    *      required-character rule, and the invariant that keeps every
+    *      word segmentable after ANY prune (a word whose multi pieces
+    *      all die re-segments through its characters).
+    * The returned state is the FINAL ENCODE: the word table segmented
+    * against the round-`rounds` pruned model, with bits under that
+    * model — (w, cnt, seg, n_pieces, seg_bits, live_multi), live_multi
+    * = the final model's multi-piece count (the schedule's endpoint,
+    * gated). Also returns the per-round (used-multi, kept-multi)
+    * schedule so gates can assert the prune actually fired and shrank.
+    *
+    * Scale: the q281 contract unchanged — ONE corpus scan builds the
+    * checkpointed word table; every round below it is vocab-sized
+    * (segmentation is a codegen'd column over DISTINCT words, usage a
+    * vocab-keyed aggregate, the prune a TakeOrderedAndProject); the
+    * model is the O(V) driver carry; per-round usage tables are
+    * localCheckpoint'ed (the q276/q277 lineage discipline). */
+  def unigramEmPruned(docs: DataFrame, textCol: String,
+                      rounds: Int = 3, keepPct: Int = 50,
+                      maxPieceLen: Int = UnigramMaxPieceLen,
+                      topK: Int = UnigramTopK)
+      : (DataFrame, Seq[(Long, Long)]) = {
+    require(rounds >= 1, s"unigramEmPruned: rounds must be >= 1")
+    require(keepPct >= 1 && keepPct <= 100,
+      s"unigramEmPruned: keepPct must be in [1, 100], got $keepPct")
+    val words = unigramWordTable(docs, textCol).localCheckpoint()
+    val seed = unigramPieceTable(words, maxPieceLen, topK)
+    // the seed's single characters — the coverage-floor set, fixed for
+    // the whole schedule (O(alphabet) driver carry)
+    val chars = seed.filter(length(col("p")) === 1)
+      .select(col("p")).localCheckpoint()
+    var (scored, _) = unigramScoredPieces(seed)
+    var usage: DataFrame = null
+    val schedule = Seq.newBuilder[(Long, Long)]
+    var t = 0
+    while (t < rounds) {
+      t += 1
+      val seg = words.withColumn("seg", unigramSegmentCol(col("w"), scored))
+      val raw = seg
+        .select(col("cnt"), explode(split(col("seg"), "\\|")).as("p"))
+        .groupBy("p").agg(sum(col("cnt")).as("u"))
+        .localCheckpoint()
+      val m = raw.filter(length(col("p")) >= 2).count()
+      val keepN = ((m * keepPct + 99) / 100).toInt
+      val keptMulti = raw.filter(length(col("p")) >= 2)
+        .orderBy((col("u") * (length(col("p")) - 1)).desc, col("p").asc)
+        .limit(keepN)
+      val floored = chars.join(raw, Seq("p"), "left_outer")
+        .select(col("p"), greatest(coalesce(col("u"), lit(0L)), lit(1L))
+          .as("u"))
+      usage = floored.unionByName(keptMulti).localCheckpoint()
+      schedule += ((m, keepN.toLong))
+      val (s2, _) = unigramScoredPieces(usage, "u")
+      scored = s2
+    }
+    val liveMulti = scored.count(_._1.length >= 2).toLong
+    val (_, bTot) = unigramScoredPieces(usage, "u")
+    val df = words
+      .withColumn("seg", unigramSegmentCol(col("w"), scored))
+      .select(col("w"), col("cnt"), col("seg"),
+        explode(split(col("seg"), "\\|")).as("p"))
+      .join(broadcast(usage), Seq("p"))
+      .groupBy("w", "cnt", "seg")
+      .agg(count(lit(1)).as("n_pieces"),
+        sum((length(bin(col("u"))) - 1).cast("long") - lit(bTot))
+          .as("seg_bits"))
+      .withColumn("live_multi", lit(liveMulti))
+    (df, schedule.result())
+  }
+
   /** The tap a frozen unigram-LM model (the post-EM usage table (p, u))
     * persists through — plain parquet: scoring COLLECTS the O(V) model
     * (the merge-list carry), it never joins corpus-side on p, so
@@ -781,6 +865,52 @@ object Vocab {
        |SELECT b1.w AS w, b1.cnt AS cnt, b1.seg AS seg0, b2.seg AS seg,
        |  CAST(b2.np AS BIGINT) AS n_pieces, b2.sc AS seg_bits
        |FROM best1 b1 JOIN best2 b2 USING (w)""".stripMargin
+  }
+
+  /** q294 oracle: the multi-round pruned EM ([[unigramEmPruned]])
+    * replayed round-for-round — per round an unrolled-DP segmentation
+    * ([[dpRoundCtes]], the q287 spelling), the usage re-estimation, the
+    * ⌈M·keepPct/100⌉ loss-proxy prune and the single-char coverage
+    * floor, then the FINAL encode against the round-`rounds` model.
+    * Every round's scores feed the next round's DP, so a drift anywhere
+    * in the schedule shifts every later segmentation. */
+  def unigramEmPrunedOracleSql(maxPieceLen: Int, topK: Int, source: String,
+                               maxWordLen: Int, rounds: Int,
+                               keepPct: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      val scoredCte = if (r == 1) "scored" else s"scoredp${r - 1}"
+      s"""${dpRoundCtes(r, scoredCte, maxPieceLen, maxWordLen)},
+         |u${r}raw AS MATERIALIZED (
+         |  SELECT p, sum(cnt) AS u FROM (
+         |    SELECT b.cnt, unnest(string_split(b.seg, '|')) AS p
+         |    FROM best$r b) GROUP BY 1),
+         |m$r AS (SELECT count(*) AS m FROM u${r}raw WHERE len(p) >= 2),
+         |keepp$r AS MATERIALIZED (
+         |  SELECT c.p, greatest(coalesce(u.u, 0), 1) AS u
+         |  FROM chars c LEFT JOIN u${r}raw u ON u.p = c.p
+         |  UNION ALL
+         |  SELECT p, u FROM (
+         |    SELECT p, u, row_number() OVER (
+         |      ORDER BY u * (len(p) - 1) DESC, p ASC) AS rn
+         |    FROM u${r}raw WHERE len(p) >= 2)
+         |  WHERE rn <= ((SELECT m FROM m$r) * $keepPct + 99) // 100),
+         |tot$r AS (SELECT length(bin(sum(u))) - 1 AS b FROM keepp$r),
+         |scoredp$r AS MATERIALIZED (
+         |  SELECT p,
+         |    CAST(length(bin(u)) - 1 - (SELECT b FROM tot$r) AS BIGINT) AS s
+         |  FROM keepp$r)""".stripMargin
+    }.mkString(",\n")
+    val fin = rounds + 1
+    s"""WITH
+       |${unigramHeadCtes(source, maxPieceLen, topK)},
+       |chars AS (SELECT p FROM keep WHERE len(p) = 1),
+       |$roundCtes,
+       |${dpRoundCtes(fin, s"scoredp$rounds", maxPieceLen, maxWordLen)},
+       |lm AS (SELECT CAST(count(*) AS BIGINT) AS n
+       |       FROM scoredp$rounds WHERE len(p) >= 2)
+       |SELECT b.w, b.cnt, b.seg, CAST(b.np AS BIGINT) AS n_pieces,
+       |  b.sc AS seg_bits, (SELECT n FROM lm) AS live_multi
+       |FROM best$fin b""".stripMargin
   }
 
   /** q293 oracle: the EM chain's per-word piece counts, summed per doc

@@ -2309,6 +2309,41 @@ object Extensions {
       } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
     }),
 
+    // --- MULTI-ROUND unigram EM with the SHRINKING-VOCABULARY pruning
+    // schedule (round-13 verdict item 3): 3 rounds of Viterbi →
+    // usage re-estimation → keep-top-⌈M/2⌉ loss-proxy prune +
+    // single-char coverage floor, then the final encode against the
+    // round-3 model. The oracle replays the WHOLE schedule round-for-
+    // round as unrolled DP (the q287 spelling) — a wrong prune rank, a
+    // missed floor, or an off-by-one in ⌈M·keepPct/100⌉ shifts every
+    // later round's scores and fails the hash; live_multi (the
+    // schedule's endpoint) is a gated column. Non-vacuity asserted
+    // in-query: every round PRUNED (kept < used) and the used set never
+    // grows back above the previous round's kept set. Plan: the q281
+    // contract — corpus-free after the one checkpointed word-table
+    // scan, Viterbi as the codegen'd expression node.
+    "q294_unigram_pruned_em" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val (df, schedule) = graft.functions.Vocab.unigramEmPruned(
+        docs, "text", rounds = 3, keepPct = 50)
+      schedule.foreach { case (m, k) =>
+        require(k < m, s"q294: a round kept $k of $m used multi pieces " +
+          "— the prune never fired (vacuous schedule)")
+      }
+      require(schedule.sliding(2).forall {
+        case Seq((_, k1), (m2, _)) => m2 <= k1
+        case _ => true
+      }, s"q294: used-piece counts grew across rounds ($schedule) — " +
+        "a pruned piece came back")
+      val ps = df.queryExecution.executedPlan.toString
+      require(!ps.contains("documents.parquet"),
+        "q294: the EM schedule must be corpus-free after the " +
+          "checkpointed word table (one corpus scan total)")
+      require("unigram_segment".r.findAllMatchIn(ps).nonEmpty,
+        "q294: the Viterbi expression node is missing from the plan")
+      df
+    }),
+
     // --- the frozen-tokenizer ARRIVAL cadence (the q159/q273
     // amortization discipline applied to the unigram model): train on
     // the %50≠3 corpus once, persist the post-EM (p, u) usage table —
@@ -8086,6 +8121,15 @@ object Extensions {
     // instead of running Viterbi, independently validating the DP and
     // its tie order (Vocab.unigramEmOracleSql scaladoc)
     "q281_unigram_em_segment" -> graft.functions.Vocab.unigramEmOracleSql(),
+
+    // q294: the pruning schedule replayed round-for-round (3 rounds,
+    // keep 50%, unrolled DP per round — the q287 spelling)
+    "q294_unigram_pruned_em" -> graft.functions.Vocab
+      .unigramEmPrunedOracleSql(
+        maxPieceLen = graft.functions.Vocab.UnigramMaxPieceLen,
+        topK = graft.functions.Vocab.UnigramTopK,
+        source = "SELECT text FROM documents",
+        maxWordLen = 8, rounds = 3, keepPct = 50),
     "q282_unigram_frozen_arrival" ->
       graft.functions.Vocab.unigramArrivalOracleSql(),
 

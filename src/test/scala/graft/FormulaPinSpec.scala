@@ -498,4 +498,80 @@ class FormulaPinSpec extends SparkSpec {
     assert(got(("en", "sA")) ==
       ((5L, 6L, 12L, 1200000L, 2000000L)))
   }
+
+  test("q294 pruned EM: plain-Scala replay of the whole schedule — seed, " +
+       "Viterbi tie order, usage, loss-proxy prune, coverage floor") {
+    import graft.functions.Vocab
+    def bits(x: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    // reference implementation, written independently of Vocab's code
+    def viterbi(w: String, scored: Map[String, Long]): (String, Int, Long) = {
+      // best (seg, np, sc) per prefix length under (sc DESC, np ASC,
+      // seg ASC); pieces up to 4 chars
+      val best = new Array[(String, Int, Long)](w.length + 1)
+      best(0) = ("", 0, 0L)
+      for (i <- 1 to w.length) {
+        var b: (String, Int, Long) = null
+        for (l <- 1 to math.min(4, i)) {
+          val p = w.substring(i - l, i)
+          if (scored.contains(p) && best(i - l) != null) {
+            val (ps, pn, pc) = best(i - l)
+            val cand = (if (ps.isEmpty) p else ps + "|" + p,
+              pn + 1, pc + scored(p))
+            if (b == null || cand._3 > b._3 ||
+                (cand._3 == b._3 && (cand._2 < b._2 ||
+                  (cand._2 == b._2 && cand._1 < b._1)))) b = cand
+          }
+        }
+        best(i) = b
+      }
+      best(w.length)
+    }
+    def scoreOf(t: Map[String, Long]): Map[String, Long] = {
+      val bTot = bits(t.values.sum)
+      t.map { case (p, f) => p -> (bits(f) - bTot) }
+    }
+    val rows = Seq((1L, "abab abab cded cded cded ab", "s"),
+      (2L, "abab cded ab ab fgfg", "s"))
+    val words = rows.flatMap(_._2.split(" ")).groupBy(identity)
+      .map { case (w, xs) => w -> xs.length.toLong }
+    // seed: singles + top-6 multi by (f·len DESC, p ASC), occurrence-
+    // weighted substrings up to length 4
+    val subs = words.toSeq.flatMap { case (w, cnt) =>
+      for (s <- 0 until w.length; l <- 1 to math.min(4, w.length - s))
+        yield (w.substring(s, s + l), cnt)
+    }.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+    val topK = 6
+    val multi = subs.filter(_._1.length >= 2).toSeq
+      .sortBy { case (p, f) => (-f * p.length, p) }.take(topK)
+    val chars = subs.filter(_._1.length == 1)
+    var model: Map[String, Long] = chars ++ multi
+    val refSchedule = Seq.newBuilder[(Long, Long)]
+    for (_ <- 1 to 2) { // rounds = 2, keepPct = 50
+      val scored = scoreOf(model)
+      val usage = words.toSeq.flatMap { case (w, cnt) =>
+        viterbi(w, scored)._1.split("\\|").map(_ -> cnt)
+      }.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+      val m = usage.count(_._1.length >= 2)
+      val keepN = (m * 50 + 99) / 100
+      val kept = usage.filter(_._1.length >= 2).toSeq
+        .sortBy { case (p, u) => (-u * (p.length - 1), p) }.take(keepN)
+      refSchedule += ((m.toLong, keepN.toLong))
+      model = chars.map { case (c, _) =>
+        c -> math.max(usage.getOrElse(c, 0L), 1L) } ++ kept
+    }
+    val scoredF = scoreOf(model)
+    val expect = words.map { case (w, cnt) =>
+      val (seg, np, sc) = viterbi(w, scoredF)
+      w -> ((cnt, seg, np.toLong, sc))
+    }
+    val docs = rows.toDF("doc_id", "text", "source")
+    val (df, schedule) = Vocab.unigramEmPruned(docs, "text",
+      rounds = 2, keepPct = 50, maxPieceLen = 4, topK = topK)
+    assert(schedule == refSchedule.result(), s"schedule=$schedule")
+    val got = df.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expect, s"got=$got\nexpect=$expect")
+    // the schedule must actually have pruned a used piece
+    assert(schedule.forall { case (m, k) => k < m }, schedule.toString)
+  }
 }
