@@ -2890,4 +2890,207 @@ class ConformanceSpec extends SparkSpec {
     assert(rows(pipe(df).coercePrimitive("fl" -> BooleanType)) ==
       Set(Seq("a", true), Seq("b", true), Seq("c", true)))
   }
+
+  // ------------------------------------------------------------------
+  // Conformance wave 15 (round 14): MergePipes / JoinFieldedPipes /
+  // CoGroupFieldedPipes / AssemblyHelpers / TextDelimited remainder
+  // ------------------------------------------------------------------
+
+  // MergePipesPlatformTest.testSimpleMergeFail: merging streams whose
+  // declared fields DIFFER is an assembly-time error upstream — and a
+  // plan-time directed error here, including the same-names-reordered
+  // shape a positional union would silently zip.
+  test("merge of mismatched declared fields fails DIRECTED at plan " +
+       "time; reordered same-name fields fail too") {
+    val a = Seq((1, "a")).toDF("num", "ch")
+    val b = Seq(("b", 2)).toDF("ch", "num")
+    val c = Seq((3, "c")).toDF("num", "other")
+    val e1 = intercept[IllegalArgumentException] {
+      rows(pipe(a).merge(pipe(c)))
+    }
+    assert(e1.getMessage.contains("identical declared fields"))
+    // same names, different ORDER: still a refusal, never a silent zip
+    val e2 = intercept[IllegalArgumentException] {
+      rows(pipe(a).merge(pipe(b)))
+    }
+    assert(e2.getMessage.contains("identical declared fields"))
+    // the fix upstream prescribes — rename/retain to one schema — works
+    assert(rows(pipe(a).merge(pipe(b).retain("num", "ch"))) ==
+      Set(Seq(1, "a"), Seq(2, "b")))
+  }
+
+  // JoinFieldedPipesPlatformTest.testJoinSamePipe2: the SAME pipe
+  // object on both sides where one side is additionally NARROWED — the
+  // planner must branch the shared upstream, not conflate the selectors.
+  test("self hashJoin where the rhs branch narrows the shared pipe") {
+    val p = pipe(lower)
+    val j = p.hashJoin(Seq("num"), p.retain("num"), Seq("num"),
+      declared = Some(Seq("num1", "ch1", "num2")))
+    assert(Flow.toDF(j).columns.toSeq == Seq("num1", "ch1", "num2"))
+    assert(rows(j) == (1 to 5).map(i =>
+      Seq(i, "abcde"(i - 1).toString, i)).toSet)
+  }
+
+  // JoinFieldedPipesPlatformTest.testJoinSamePipe3: the same pipe
+  // object joined with itself on a DIFFERENT key pair (ch → ch) — key
+  // resolution must bind per SIDE, not per shared object.
+  test("self hashJoin on a non-leading key field of the same object") {
+    val p = pipe(lower)
+    val j = p.hashJoin(Seq("ch"), p, Seq("ch"),
+      declared = Some(Seq("num1", "ch1", "num2", "ch2")))
+    assert(rows(j) == (1 to 5).map(i =>
+      Seq(i, "abcde"(i - 1).toString, i, "abcde"(i - 1).toString)).toSet)
+  }
+
+  // JoinFieldedPipesPlatformTest.testJoinWithUnknowns: one join side's
+  // fields are not user-declared — they resolve at plan time from an
+  // upstream GENERATOR (Fields.UNKNOWN upstream); the join binds the
+  // resolved names.
+  test("hashJoin against a generator-resolved (undeclared) schema") {
+    val wide = Seq((1, "x1", "y1"), (2, "x2", "y2")).toDF("num", "va", "vb")
+    val gen = pipe(wide).generate(
+      UnGroup(CFields.typed("k" -> IntegerType, "v" -> StringType),
+        numKeys = 1, valueSelectors = Seq(Seq(1), Seq(2))),
+      args = FieldSelector.All, out = FieldSelector.Results)
+    val j = pipe(lower).hashJoin(Seq("num"), gen, Seq("k"),
+      declared = Some(Seq("num", "ch", "k", "v")))
+    assert(rows(j) == Set(
+      Seq(1, "a", 1, "x1"), Seq(1, "a", 1, "y1"),
+      Seq(2, "b", 2, "x2"), Seq(2, "b", 2, "y2")))
+  }
+
+  // CoGroupFieldedPipesPlatformTest.testCoGroupWithUnknowns: the same
+  // resolved-schema contract through the SHUFFLE join, with the outer
+  // joiner's null padding on the generator side.
+  test("outer coGroup against a generator-resolved schema pads nulls") {
+    val wide = Seq((1, "x1", "y1")).toDF("num", "va", "vb")
+    val gen = pipe(wide).generate(
+      UnGroup(CFields.typed("k" -> IntegerType, "v" -> StringType),
+        numKeys = 1, valueSelectors = Seq(Seq(1), Seq(2))),
+      args = FieldSelector.All, out = FieldSelector.Results)
+    val j = pipe(lower).coGroup(Seq("num"), gen, Seq("k"),
+      joiner = Joiner.Left,
+      declared = Some(Seq("num", "ch", "k", "v")))
+    assert(rows(j) == Set(
+      Seq(1, "a", 1, "x1"), Seq(1, "a", 1, "y1"),
+      Seq(2, "b", null, null), Seq(3, "c", null, null),
+      Seq(4, "d", null, null), Seq(5, "e", null, null)))
+  }
+
+  // AssemblyHelpersPlatformTest.testMaxByString: MaxBy over a STRING
+  // argument — lexicographic comparator, the MinByString twin.
+  test("maxBy on strings is lexicographic (MinByString's twin)") {
+    val df = Seq((1, "pear"), (1, "apple"), (2, "Zebra"), (2, "zebra"))
+      .toDF("k", "s")
+    // ASCII order: uppercase 'Z' < lowercase 'z'
+    assert(rows(pipe(df).maxBy(Seq("k"), "s", "mx")) ==
+      Set(Seq(1, "pear"), Seq(2, "zebra")))
+  }
+
+  // AssemblyHelpersPlatformTest.testAverageMerged: AverageBy over the
+  // MERGE of branches — partials combine across inputs before the
+  // average divides (the SumMerged/CountMerged triple completed).
+  test("averageBy over merged branches divides the combined totals") {
+    val a = Seq(("x", 1), ("y", 10)).toDF("ch", "v")
+    val b = Seq(("x", 3), ("y", 20), ("y", 30)).toDF("ch", "v")
+    val p = pipe(a).merge(pipe(b)).averageBy(Seq("ch"), "v", "mean")
+    assert(rows(p) == Set(Seq("x", 2.0), Seq("y", 20.0)))
+  }
+
+  // AssemblyHelpersPlatformTest.testFirstBy's dual: Last under the
+  // declared argument sort — max_by on the sort key, deterministic on
+  // any partitioning (never "last seen").
+  test("lastBy takes the value at the MAX of the declared sort key") {
+    val df = Seq((1, "a", 10), (1, "b", 30), (1, "c", 20), (2, "d", 5))
+      .toDF("k", "v", "ord")
+    val p = pipe(df).groupBy("k").every(Aggs.lastBy("v", "ord", "last_v"),
+      Aggs.firstBy("v", "ord", "first_v"))
+    assert(rows(p) == Set(Seq(1, "b", "a"), Seq(2, "d", "d")))
+  }
+
+  // TextDelimitedPlatformTest.testQuotedTextAll: a file where EVERY
+  // field is quoted — including numerics — parses identically to its
+  // unquoted spelling (quotes are a transport artifact, not data).
+  test("all-fields-quoted CSV parses identically to unquoted") {
+    val dir = java.nio.file.Files.createTempDirectory("csvall")
+    java.nio.file.Files.write(dir.resolve("d.csv"),
+      "\"1\",\"a b\"\n\"2\",\"c,d\"\n".getBytes("UTF-8"))
+    val schema = StructType(Seq(StructField("n", IntegerType),
+      StructField("s", StringType)))
+    val tap = graft.sources.CsvTap(dir.toString, schema = Some(schema))
+    assert(tap.read(spark).collect().toSet.map((r: Row) => r.toSeq) ==
+      Set(Seq(1, "a b"), Seq(2, "c,d")))
+  }
+
+  // TextDelimitedPlatformTest.testQuotedText — the spec-char bytes the
+  // round-13 RFC fix implies: delimiter inside a quoted value, the
+  // quote char at field EDGES (doubled), and the empty quoted field,
+  // round-tripped in both directions.
+  test("CSV spec-char round-trip: delimiter-in-value, edge quotes, " +
+       "empty quoted field") {
+    val vals = Seq("a,b", "\"edge\"", "", "plain")
+    val dir = java.nio.file.Files.createTempDirectory("csvspec").toString
+    val tap = graft.sources.CsvTap(s"$dir/out",
+      schema = Some(StructType(Seq(StructField("s", StringType)))))
+    tap.write(vals.toDF("s"), graft.sources.SinkMode.Replace)
+    val bytes = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/out"))
+      .toArray.map(_.toString).filter(_.endsWith(".csv"))
+      .flatMap(p => new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p)), "UTF-8").linesIterator)
+      .toSet
+    // RFC 4180 bytes: comma forces quoting; quotes double; empty stays
+    assert(bytes.contains("\"a,b\""), bytes.toString)
+    assert(bytes.contains("\"\"\"edge\"\"\""), bytes.toString)
+    val back = tap.read(spark).collect().map(_.getString(0)).toSet
+    assert((back - null) == Set("a,b", "\"edge\"", "plain"),
+      back.toString) // empty string reads back null (Spark CSV contract)
+  }
+
+  // JoinFieldedPipesPlatformTest family — the empty-stream corner
+  // (testFilterAll composed into HashJoin): an all-filtered build side
+  // must yield an empty inner join WITH the joined schema, and a left
+  // outer join that null-pads every probe row.
+  test("hashJoin with an empty (filter-all) build side: inner empty " +
+       "with intact schema, left outer fully null-padded") {
+    val empty = pipe(upper).filterBy(ExpressionFilter("true"))
+      .rename("num" -> "num2", "ch" -> "ch2")
+    val inner = pipe(lower).hashJoin(Seq("num"), empty, Seq("num2"))
+    assert(Flow.toDF(inner).columns.toSeq ==
+      Seq("num", "ch", "num2", "ch2"))
+    assert(Flow.toDF(inner).count() == 0)
+    val louter = pipe(lower).hashJoin(Seq("num"), empty, Seq("num2"),
+      joiner = Joiner.Left)
+    assert(rows(louter) == (1 to 5).map(i =>
+      Seq(i, "abcde"(i - 1).toString, null, null)).toSet)
+  }
+
+  // The LeftSemi/LeftAnti joiners at the PIPE level (the q13/q14
+  // operators' semantics corner): duplicate keys on the probe-side
+  // build table must never multiply semi-join output rows, and the two
+  // joiners partition the lhs exactly.
+  test("semi join never multiplies on dup build keys; semi + anti " +
+       "partition the lhs") {
+    val dups = Seq((1, "x"), (1, "y"), (3, "z")).toDF("num2", "v")
+    val semi = pipe(lower).hashJoin(Seq("num"), pipe(dups), Seq("num2"),
+      joiner = Joiner.LeftSemi)
+    assert(Flow.toDF(semi).columns.toSeq == Seq("num", "ch"))
+    assert(rows(semi) == Set(Seq(1, "a"), Seq(3, "c")))
+    val anti = pipe(lower).hashJoin(Seq("num"), pipe(dups), Seq("num2"),
+      joiner = Joiner.LeftAnti)
+    assert(rows(anti) == Set(Seq(2, "b"), Seq(4, "d"), Seq(5, "e")))
+  }
+
+  // The null-key grouping contract (the CoGroup null-safe family's
+  // GroupBy side): GroupBy and Unique treat null as ONE ordinary key —
+  // only the NO_NULLS include mode drops such tuples.
+  test("GroupBy groups null keys as one group; unique keeps one null " +
+       "row; NO_NULLS drops them") {
+    val df = Seq((Some("a"), 1), (None, 2), (None, 3), (Some("a"), 4))
+      .toDF("k", "v")
+    assert(rows(pipe(df).groupBy("k").every(Aggs.sum("v", "s"))) ==
+      Set(Seq("a", 5L), Seq(null, 5L)))
+    assert(rows(pipe(df).retain("k").unique("k")) ==
+      Set(Seq("a"), Seq(null)))
+    assert(rows(pipe(df).retain("k").uniqueNoNulls("k")) == Set(Seq("a")))
+  }
 }
