@@ -198,7 +198,10 @@ object ScaleRehearsal {
     // PageRank (cold+warm+pre — three converge runs on the capped part
     // graph; per-round cost is the dst-keyed sum)
     "q294_unigram_pruned_em", "q295_blocklist_tap",
-    "q296_stream_blocklist", "q297_cms_window", "q298_pagerank_warm")
+    "q296_stream_blocklist", "q297_cms_window", "q298_pagerank_warm",
+    // the pruned schedule at the %512-salted word space (SF-stable
+    // vocabulary by the cap — the ratio tracks the corpus scan)
+    "q299_unigram_pruned_salted")
 
   def main(args: Array[String]): Unit = {
     val small = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2344,6 +2344,40 @@ object Extensions {
       df
     }),
 
+    // --- the pruning schedule at the REALISTIC word space (q287 × q294
+    // composition): the %512-salted ~12k-type vocabulary (SF-stable by
+    // the cap — the oracle's DP cost is pinned), seed 4096 multi-char
+    // pieces, 3 pruning rounds at keep-50%. The q287 realism floor
+    // carries as a schedule assert: the first round must USE ≥ 1024
+    // multi pieces, so the prune has a real population to cut. Oracle =
+    // the q294 round-for-round DP replay at maxWordLen 12 (salt suffix
+    // ~NNN). Demonstrates the schedule's scale contract: rounds are
+    // vocab-sized, the model carry shrinks geometrically, plan shape is
+    // constant in both round count and vocabulary size.
+    "q299_unigram_pruned_salted" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          regexp_replace(col("text"), lit("(\\S+)"),
+            concat(lit("$1~"), (col("doc_id") % 512).cast("string")))
+            .as("text"))
+      val (df, schedule) = graft.functions.Vocab.unigramEmPruned(
+        docs, "text", rounds = 3, keepPct = 50,
+        maxPieceLen = 4, topK = 4096)
+      require(schedule.head._1 >= 1024,
+        s"q299: round 1 used only ${schedule.head._1} multi pieces — " +
+          "below the realism floor (the q287 discipline)")
+      schedule.foreach { case (m, k) =>
+        require(k < m, s"q299: a round kept $k of $m — vacuous prune")
+      }
+      val ps = df.queryExecution.executedPlan.toString
+      require(!ps.contains("documents.parquet"),
+        "q299: the EM schedule must be corpus-free after the " +
+          "checkpointed word table")
+      require("unigram_segment".r.findAllMatchIn(ps).nonEmpty,
+        "q299: the Viterbi expression node is missing from the plan")
+      df
+    }),
+
     // --- the frozen-tokenizer ARRIVAL cadence (the q159/q273
     // amortization discipline applied to the unigram model): train on
     // the %50≠3 corpus once, persist the post-EM (p, u) usage table —
@@ -8130,6 +8164,16 @@ object Extensions {
         topK = graft.functions.Vocab.UnigramTopK,
         source = "SELECT text FROM documents",
         maxWordLen = 8, rounds = 3, keepPct = 50),
+
+    // q299: the same schedule over the %512-salted realistic word
+    // space — q287's source and maxWordLen, q294's round chain
+    "q299_unigram_pruned_salted" -> graft.functions.Vocab
+      .unigramEmPrunedOracleSql(
+        maxPieceLen = 4, topK = 4096,
+        source = "SELECT regexp_replace(text, '(\\S+)', " +
+          "'\\1~' || CAST(doc_id % 512 AS VARCHAR), 'g') AS text " +
+          "FROM documents",
+        maxWordLen = 12, rounds = 3, keepPct = 50),
     "q282_unigram_frozen_arrival" ->
       graft.functions.Vocab.unigramArrivalOracleSql(),
 
