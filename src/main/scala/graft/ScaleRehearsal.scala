@@ -201,7 +201,9 @@ object ScaleRehearsal {
     "q296_stream_blocklist", "q297_cms_window", "q298_pagerank_warm",
     // the pruned schedule at the %512-salted word space (SF-stable
     // vocabulary by the cap — the ratio tracks the corpus scan)
-    "q299_unigram_pruned_salted")
+    "q299_unigram_pruned_salted",
+    // index-served BM25: one-time postings build + bucket-pruned probe
+    "q300_bm25_from_index")
 
   def main(args: Array[String]): Unit = {
     val small = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -40,6 +40,20 @@ object InvertedIndex {
       .groupBy(col("term"), col("id"))
       .agg(count(lit(1)).as("tf"))
 
+  /** Posting rows with the DOCUMENT LENGTH denormalized onto every row
+    * — `(term, id, tf, dl)`. The layout decision that makes index-served
+    * BM25 ([[Relevance.bm25FromIndex]]) a pure index probe: tf and dl
+    * both live on the posting, so scoring never joins a corpus-sized
+    * doc-length table (at 100 TB that join would dwarf the probe).
+    * Append-only under arrival (immutable ids — the q133 contract). */
+  def buildWithDl(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    df.select(col(idCol).as("id"), size(toks).cast("long").as("dl"),
+        explode(toks).as("term"))
+      .groupBy(col("term"), col("id"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+  }
+
   /** The tap a persisted posting table is written through: bucketed by
     * `term` so lookups bucket-prune to the query terms' buckets. Bucket
     * count is the layout knob — size it so one bucket ≈ one task of

@@ -76,6 +76,73 @@ object Relevance {
       .limit(topK)
   }
 
+  /** Corpus-level BM25 stats as ONE row (n_docs, n_tokens) — exact
+    * longs, so arrival maintenance is pure ADDITION (append a batch's
+    * stats row; scoring sums the rows — merge equals rebuild by
+    * construction, the CMS discipline). Zero-token documents count into
+    * n_docs here even though they have no posting rows — exactly like
+    * [[bm25TopK]]'s count(*). */
+  def corpusStats(df: DataFrame, textCol: String): DataFrame =
+    df.agg(count(lit(1)).cast("long").as("n_docs"),
+      coalesce(sum(size(tokens(col(textCol))).cast("long")), lit(0L))
+        .cast("long").as("n_tokens"))
+
+  /** BM25 served ENTIRELY from the persisted postings index — the
+    * amortized form of [[bm25TopK]]: tf and dl come off the probed
+    * posting rows ([[InvertedIndex.buildWithDl]]'s denormalized layout),
+    * per-term document frequencies are counted over the SAME probe
+    * (a posting row exists iff tf ≥ 1, so the probe-local count IS the
+    * corpus df), and N/T come from the maintained [[corpusStats]] rows
+    * (summed — additive under arrival). Scoring therefore touches
+    * O(postings of the query terms) — the corpus is NEVER scanned
+    * (asserted in-query by q300).
+    *
+    * Value-identical to [[bm25TopK]] by construction: the probe pivots
+    * to per-term tf columns and folds the SAME Column expression tree
+    * in the same term order (float addition order pinned — a SUM over
+    * per-row scores would re-associate doubles), so q300 shares q81's
+    * corpus-scan oracle VERBATIM. */
+  def bm25FromIndex(postings: DataFrame, stats: DataFrame,
+                    terms: Seq[String], topK: Int = 20): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 32,
+      s"bm25FromIndex: 1..32 literal query terms, got ${terms.size}")
+    // read twice (dfs + pivot) — two bucket-pruned scans of the query
+    // terms' buckets, both O(query postings); deliberately NOT
+    // checkpointed so the probing scan stays plan-visible (q300 asserts
+    // SelectedBucketsCount on it)
+    val probe = postings.filter(col("term").isin(terms: _*))
+    val dfAggs = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, 1L).otherwise(0L))
+        .cast("double").as(s"df_$i")
+    }
+    val termStats = probe.agg(dfAggs.head, dfAggs.tail: _*)
+    val pivotAggs = max(col("dl")).as("dl") +:
+      terms.zipWithIndex.map { case (t, i) =>
+        max(when(col("term") === t, col("tf"))).as(s"tf_$i")
+      }
+    val pivoted = probe.groupBy(col("id"))
+      .agg(pivotAggs.head, pivotAggs.tail: _*)
+    val glob = stats
+      .agg(sum(col("n_docs")).cast("double").as("n_docs"),
+        sum(col("n_tokens")).cast("double").as("n_tokens"))
+    val dl = col("dl").cast("double")
+    val score = terms.indices.map { i =>
+      val tf = coalesce(col(s"tf_$i"), lit(0L)).cast("double")
+      val df_ = col(s"df_$i")
+      val idf = (col("n_docs") - df_ + lit(0.5)) / (df_ + lit(0.5))
+      val tfn = tf * lit(K1Plus1) /
+        (tf + lit(K1) * (lit(OneMinusB) +
+          lit(B) * dl * col("n_docs") / col("n_tokens")))
+      when(tf > lit(0.0), floor(lit(1000000.0) * idf * tfn).cast("bigint"))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    pivoted.crossJoin(broadcast(glob)).crossJoin(broadcast(termStats))
+      .select(col("id"), score.as("score_micros"))
+      .filter(col("score_micros") > 0L)
+      .orderBy(col("score_micros").desc, col("id").asc)
+      .limit(topK)
+  }
+
   /** DuckDB spelling of the same score, for oracle generation. `table`
     * must expose `id`/`text`; emits the full top-k query. Every literal is
     * printed from the SAME Scala constants the Spark plan uses. */

@@ -1949,6 +1949,63 @@ object Extensions {
         "spark.sql.sources.bucketing.autoBucketedScan.enabled", autoScan)
     }),
 
+    // --- BM25 served FROM the persisted postings index at ARRIVAL
+    // cadence (the q144 layout promoted to a scoring surface; the
+    // q274/q288 same-values-new-plan discipline): postings carry tf AND
+    // the denormalized doc length (scoring never joins a corpus-sized
+    // length table), the corpus stats row maintains by pure ADDITION
+    // (append the batch's row, sum at read — merge = rebuild, exact
+    // longs), and arrival postings APPEND (immutable doc ids, the q133
+    // contract). Per-term dfs count over the probe itself (a posting
+    // row exists iff tf ≥ 1, so probe-local df IS corpus df). Oracle =
+    // q81's corpus-scan BM25 SQL VERBATIM — the index changes the plan,
+    // never the numbers. Plan asserts: the term probe bucket-prunes
+    // (strictly fewer buckets than the layout) and the SERVING plan
+    // never scans documents.parquet — the amortization claim itself.
+    "q300_bm25_from_index" -> ((s, dir) => {
+      val I = graft.functions.InvertedIndex
+      val R = graft.functions.Relevance
+      val table = stagedTable("graft_q300_postings")
+      graft.queries.Tables.dropStagedTable(s, table)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val pre = docs.filter(col("doc_id") % 50 =!= 3)
+      val batch = docs.filter(col("doc_id") % 50 === 3)
+      val tap = I.indexTap(table, 16)
+      tap.write(I.buildWithDl(pre, "doc_id", "text"),
+        graft.sources.SinkMode.Replace)
+      val statsTap = graft.sources.ParquetTap(
+        graft.queries.Relational.stagePath("graft_q300_stats", dir))
+      statsTap.write(R.corpusStats(pre, "text"),
+        graft.sources.SinkMode.Replace)
+      // the arrival: postings append; stats append (scoring sums rows)
+      tap.write(I.buildWithDl(batch, "doc_id", "text"),
+        graft.sources.SinkMode.Update)
+      statsTap.write(R.corpusStats(batch, "text"),
+        graft.sources.SinkMode.Update)
+      val autoScan = s.conf.get(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      try {
+        s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+          "false")
+        val df = R.bm25FromIndex(s.table(table), statsTap.read(s),
+            Bm25Terms, topK = 20)
+          .withColumnRenamed("id", "doc_id")
+        val plan = df.queryExecution.executedPlan.toString
+        require(!plan.contains("documents.parquet"),
+          "q300: serving must read ONLY the index + stats taps — the " +
+            "corpus scan is what the index amortizes away")
+        val sel = "SelectedBucketsCount: (\\d+)\\D+(\\d+)".r
+          .findFirstMatchIn(plan)
+        require(sel.isDefined,
+          "q300: the term probe must be a bucket-pruned scan")
+        require(sel.get.group(1).toInt < sel.get.group(2).toInt,
+          "q300: the probe must read strictly fewer buckets than the " +
+            "layout")
+        df
+      } finally s.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", autoScan)
+    }),
+
     // --- snapshot diff (CDC between two snapshot versions): yesterday's
     // and today's corpus snapshots live in the SAME bucketed layout, so
     // the full-outer comparison plans with ZERO exchanges — both sides
@@ -8975,6 +9032,12 @@ object Extensions {
     },
 
     "q81_bm25" ->
+      graft.functions.Relevance.bm25OracleSql(
+        "documents", "doc_id", "text", Bm25Terms, topK = 20),
+
+    // q300: index-served BM25 after the arrival append must equal the
+    // corpus-scan score — q81's oracle verbatim
+    "q300_bm25_from_index" ->
       graft.functions.Relevance.bm25OracleSql(
         "documents", "doc_id", "text", Bm25Terms, topK = 20),
 

@@ -28,6 +28,31 @@ class GovernanceSpec extends SparkSpec {
     assert(r(1L) > r(2L))
   }
 
+  test("bm25FromIndex is ROW-IDENTICAL to the corpus-scan bm25TopK " +
+       "(the q288 same-values-new-plan discipline), including the " +
+       "split/append stats path and a zero-token doc in n_docs") {
+    val docs = Seq(
+      (1L, "spark spark spark join query fast"),
+      (2L, "spark table scan"),
+      (3L, "batch window merge sort"),
+      (4L, ""), // zero tokens: no postings, but counts into n_docs
+      (5L, "query query spark spark table fast merge")).toDF("doc_id", "text")
+    val terms = Seq("spark", "query", "merge")
+    val scan = Relevance.bm25TopK(docs, "doc_id", "text", terms, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val I = graft.functions.InvertedIndex
+    // split + append exactly like q300's arrival shape
+    val pre = docs.filter(col("doc_id") % 2 === 1)
+    val batch = docs.filter(col("doc_id") % 2 === 0)
+    val postings = I.buildWithDl(pre, "doc_id", "text")
+      .unionByName(I.buildWithDl(batch, "doc_id", "text"))
+    val stats = Relevance.corpusStats(pre, "text")
+      .unionByName(Relevance.corpusStats(batch, "text"))
+    val idx = Relevance.bm25FromIndex(postings, stats, terms, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(idx == scan, s"index=$idx scan=$scan")
+  }
+
   test("overlapReport counts distinct shared n-grams, inner semantics") {
     val corpus = Seq(
       (1L, "a b c d e"),   // shares 'a b c' with eval (distinct-counted once)
