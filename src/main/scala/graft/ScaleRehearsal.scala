@@ -203,7 +203,9 @@ object ScaleRehearsal {
     // vocabulary by the cap — the ratio tracks the corpus scan)
     "q299_unigram_pruned_salted",
     // index-served BM25: one-time postings build + bucket-pruned probe
-    "q300_bm25_from_index")
+    "q300_bm25_from_index",
+    // decayed CMS: same bounded per-window tables, shift-weighted sum
+    "q301_cms_decayed")
 
   def main(args: Array[String]): Unit = {
     val small = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -96,6 +96,72 @@ object Sketch {
     windowed.filter(col("win").isin(liveWins.map(x => x: Any): _*))
       .groupBy("j", "cell").agg(sum(col("n")).as("n"))
 
+  /** DECAYED estimates over the per-window tables — exponential
+    * forgetting in EXACT integers: a window aged `a` epochs weighs in at
+    * n >> a (halving per epoch — the float λ·n decay is not
+    * engine-exact; right-shift is). The decayed sketch is still a
+    * cell-wise SUM of (shifted) per-window tables, so the monitor keeps
+    * the q297 maintenance shape: advance the epoch by re-summing with
+    * new ages, drop windows only when their weight shifts to zero.
+    * Returns (w, exact, est, over) where `exact` is the DECAYED exact
+    * count Σ_w (count_w >> age_w) — est ≥ exact still holds because
+    * per-window CMS dominance survives shifting and summing. `docs`
+    * must expose (`winCol`, textCol). */
+  def cmsDecayedEstimates(windowed: DataFrame, docs: DataFrame,
+                          winCol: String, textCol: String,
+                          curWin: Long): DataFrame = {
+    val weighted = windowed
+      .select(col("j"), col("cell"),
+        expr(s"shiftright(n, CAST($curWin - win AS INT))").as("nw"))
+      .groupBy("j", "cell").agg(sum(col("nw")).as("n"))
+    val decayedExact = docs
+      .select(col(winCol).cast("long").as("win"),
+        explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("win", "w").agg(count(lit(1)).as("c"))
+      .select(col("w"),
+        expr(s"shiftright(c, CAST($curWin - win AS INT))").as("cw"))
+      .groupBy("w").agg(sum(col("cw")).as("exact"))
+    decayedExact
+      .select(col("w"), col("exact"), explode(jcArray(col("w"))).as("jc"))
+      .join(broadcast(weighted),
+        col("jc.j") === weighted("j") && col("jc.cell") === weighted("cell"),
+        "left")
+      .groupBy("w", "exact")
+      .agg(min(coalesce(col("n"), lit(0L))).as("est"))
+      .select(col("w"), col("exact"), col("est"),
+        (col("est") - col("exact")).as("over"))
+  }
+
+  /** The q301 oracle: the decayed chain in SQL — per-window cells and
+    * per-window exact counts both right-shifted by age, summed, min'd.
+    * `source` must yield (win, text). */
+  def cmsDecayedOracleSql(source: String, curWin: Long): String =
+    s"""WITH src AS MATERIALIZED ($source),
+       |pos AS (SELECT win, unnest(string_split(text, ' ')) AS w FROM src),
+       |tw AS MATERIALIZED (
+       |  SELECT win, w, CAST(count(*) AS BIGINT) AS c
+       |  FROM pos WHERE len(w) > 0 GROUP BY 1, 2),
+       |dexact AS MATERIALIZED (
+       |  SELECT w, CAST(sum(c >> CAST($curWin - win AS INTEGER)) AS BIGINT)
+       |    AS exact
+       |  FROM tw GROUP BY 1),
+       |wcells AS MATERIALIZED (
+       |  SELECT j,
+       |    substr(md5(CAST(j AS VARCHAR) || ':' || w), 1, $CmsNibbles) AS cell,
+       |    win, CAST(sum(c) AS BIGINT) AS n
+       |  FROM tw, LATERAL (SELECT unnest(range(0, $CmsDepth)) AS j) jj
+       |  GROUP BY 1, 2, 3),
+       |cells AS MATERIALIZED (
+       |  SELECT j, cell,
+       |    CAST(sum(n >> CAST($curWin - win AS INTEGER)) AS BIGINT) AS n
+       |  FROM wcells GROUP BY 1, 2)
+       |SELECT t.w, t.exact, min(c.n) AS est, min(c.n) - t.exact AS over
+       |FROM dexact t, LATERAL (SELECT unnest(range(0, $CmsDepth)) AS j) jj
+       |JOIN cells c ON c.j = jj.j
+       |  AND c.cell = substr(md5(CAST(jj.j AS VARCHAR) || ':' || t.w), 1, $CmsNibbles)
+       |GROUP BY t.w, t.exact""".stripMargin
+
   /** The whole chain in SQL — cells and estimates from the same
     * md5-prefix arithmetic. `source` must yield (text). */
   def cmsOracleSql(source: String): String =

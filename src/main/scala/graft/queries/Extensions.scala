@@ -2784,6 +2784,40 @@ object Extensions {
       } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
     }),
 
+    // --- CMS with EXPONENTIAL DECAY (q297's sliding window's smooth
+    // sibling — the drift monitor that forgets gradually): a window
+    // aged `a` epochs weighs n >> a — halving per epoch in EXACT
+    // integers (float λ·n is not engine-exact; right-shift is). The
+    // gated `exact` column is the DECAYED exact count (same shifts over
+    // per-window token counts), and est ≥ exact survives because
+    // per-window CMS dominance is preserved by shifting and summing —
+    // the `over` column carries the guarantee into the hash. Non-
+    // vacuity: at least one aged window must hold mass (else the decay
+    // never fires) and the newest window must too (weight 1 arm).
+    "q301_cms_decayed" -> ((s, dir) => {
+      val K = graft.functions.Sketch
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select((col("doc_id") % 4).as("win"),
+          regexp_replace(col("text"), lit("(\\S+)"),
+            concat(lit("$1~"), (col("doc_id") % 61).cast("string")))
+            .as("text"))
+      val windowed = K.cmsBuildWindowed(docs, "win", "text")
+        .localCheckpoint()
+      require(windowed.filter(col("win") < 3).limit(1).count() == 1 &&
+          windowed.filter(col("win") === 3).limit(1).count() == 1,
+        "q301: decay needs mass in BOTH an aged window and the newest")
+      val threshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val df = K.cmsDecayedEstimates(windowed, docs, "win", "text",
+          curWin = 3L)
+        require(df.queryExecution.executedPlan.toString
+            .contains("BroadcastHashJoin"),
+          "q301: the estimate lookup must broadcast the decayed sketch")
+        df
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    }),
+
     // --- the NB KERNEL form (the q157/q263 same-values-new-plan
     // discipline): the whole posterior as ONE NbScore expression — model
     // in the codegen reference objects, zero joins, zero exchanges
@@ -8268,6 +8302,12 @@ object Extensions {
       "SELECT regexp_replace(text, '(\\S+)', " +
         "'\\1~' || CAST(doc_id % 61 AS VARCHAR), 'g') AS text " +
         "FROM documents WHERE doc_id % 4 <> 0"),
+    // q301: the decayed chain — per-window cells AND per-window exact
+    // counts both right-shifted by age, summed, min'd
+    "q301_cms_decayed" -> graft.functions.Sketch.cmsDecayedOracleSql(
+      "SELECT doc_id % 4 AS win, regexp_replace(text, '(\\S+)', " +
+        "'\\1~' || CAST(doc_id % 61 AS VARCHAR), 'g') AS text " +
+        "FROM documents", curWin = 3L),
     "q291_cms_arrival" -> graft.functions.Sketch.cmsOracleSql(
       "SELECT regexp_replace(text, '(\\S+)', " +
         "'\\1~' || CAST(doc_id % 64 AS VARCHAR), 'g') AS text " +

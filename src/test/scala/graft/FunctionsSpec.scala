@@ -2128,6 +2128,22 @@ class FunctionsSpec extends SparkSpec {
       == Map("x" -> 3L, "y" -> 2L, "z" -> 1L))
   }
 
+  test("cmsDecayedEstimates: hand-computed right-shift decay — age-a " +
+       "windows weigh n >> a in both the estimate and the exact (q301)") {
+    import graft.functions.Sketch
+    // window 0 (age 2): x x x x x | window 1 (age 1): x x x y | win 2: y
+    val docs = Seq((0L, "x x x x x"), (1L, "x x x y"), (2L, "y"))
+      .toDF("win", "text")
+    val wd = Sketch.cmsBuildWindowed(docs, "win", "text").localCheckpoint()
+    val r = Sketch.cmsDecayedEstimates(wd, docs, "win", "text", curWin = 2L)
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    // x: 5>>2 + 3>>1 + 0 = 1 + 1 = 2;  y: 1>>1 + 1 = 1 (shift floors)
+    // 2 tokens in 4096 cells: no collision — est == exact here
+    assert(r == Map("x" -> ((2L, 2L, 0L)), "y" -> ((1L, 1L, 0L))),
+      r.toString)
+  }
+
   // ---- exact-bits multinomial Naive Bayes (Classify) ----
 
   test("scoreNaiveBayes: hand-computed bits posterior, tie → class ASC, " +
