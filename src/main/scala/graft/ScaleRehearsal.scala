@@ -205,7 +205,9 @@ object ScaleRehearsal {
     // index-served BM25: one-time postings build + bucket-pruned probe
     "q300_bm25_from_index",
     // decayed CMS: same bounded per-window tables, shift-weighted sum
-    "q301_cms_decayed")
+    "q301_cms_decayed",
+    // table extraction: scan-shaped per-page walks (strict + recovery)
+    "q302_html_tables", "q303_html_tables_recovery")
 
   def main(args: Array[String]): Unit = {
     val small = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

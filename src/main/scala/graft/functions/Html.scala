@@ -574,6 +574,296 @@ object Html {
     }(enc)
   }
 
+  /** One extracted table cell: table ordinal within the page, row and
+    * column ordinals within the table, whether the cell is a `<th>`,
+    * and its whitespace-normalized text. */
+  final case class TableCell(tableIdx: Int, rowIdx: Int, colIdx: Int,
+                             header: Boolean, text: String)
+
+  /** Deterministic synth page with TWO data tables for the q302/q303
+    * gates: token i (0-based) goes to table i%2 at in-table ordinal
+    * j = i div 2, row j div 3, column j%3; row 0 renders as `<th>`
+    * cells. Traps: a head script whose body holds a fake table, a
+    * comment holding a fake table, a quoted '>' attribute on each
+    * `<table>`, an inline anchor wrapped around every (row+col)%5==0
+    * cell of table 0 (inline markup must join cell text, not split
+    * cells), and `<thead>`/`<tbody>` grouping on table 0 (transparent —
+    * row ordinals continue across them). A `<p>` of static prose
+    * precedes each table (non-table text never leaks into cells). */
+  def synthTableHtml(text: String): String = {
+    val t = text.split(" ").filter(_.nonEmpty)
+    val sb = new StringBuilder
+    sb ++= "<!DOCTYPE html><html><head><title>t</title>"
+    sb ++= "<script>var t = \"<table><tr><td>fake</td></tr></table>\";</script>"
+    sb ++= "</head><body>"
+    sb ++= "<!-- trap: <table><tr><td>fake</td></tr></table> -->"
+    for (k <- 0 until 2) {
+      sb ++= "<p>intro prose for the next data table.</p>"
+      sb ++= s"""<table class="data" data-note="cols > 0">"""
+      val toks = t.zipWithIndex.filter(_._2 % 2 == k).map(_._1)
+      val nRows = (toks.length + 2) / 3
+      var r = 0
+      while (r < nRows) {
+        if (k == 0 && r == 0 && nRows > 1) sb ++= "<thead>"
+        sb ++= "<tr>"
+        val cells = toks.slice(3 * r, 3 * r + 3)
+        cells.zipWithIndex.foreach { case (w, c) =>
+          val tag = if (r == 0) "th" else "td"
+          sb ++= s"<$tag>"
+          if (k == 0 && (r + c) % 5 == 0) {
+            sb ++= "<a href=\"/t/"; sb ++= w; sb ++= "\">"; sb ++= w
+            sb ++= "</a>"
+          } else sb ++= w
+          sb ++= s"</$tag>"
+        }
+        sb ++= "</tr>"
+        if (k == 0 && r == 0 && nRows > 1) sb ++= "</thead><tbody>"
+        if (k == 0 && r == nRows - 1 && nRows > 1) sb ++= "</tbody>"
+        r += 1
+      }
+      sb ++= "</table>"
+    }
+    sb ++= "</body></html>"
+    sb.toString
+  }
+
+  /** Deterministic REAL-WEB corruption of [[synthTableHtml]] — the q275
+    * recipe for tables, keyed by `cls` (the q303 gate uses id % 3):
+    *   0 → untouched (the strict-agreement subset);
+    *   1 → IMPLIED END TAGS: every `</td>`, `</th>` and `</tr>` dropped
+    *       (the single most common real-crawl table shape — HTML5's
+    *       implied-end-tag rules make them optional);
+    *   2 → truncated page (`</table></body></html>` tail dropped — the
+    *       EOF implied-close class) + entity dirt: each `<th>` cell's
+    *       token spelled `&nbsp;w&mdash;` in the markup (decodes to
+    *       NBSP-w-mdash, which stays ONE cell token — NBSP is not \\s). */
+  def corruptSynthTableHtml(text: String, cls: Int): String = cls match {
+    case 0 => synthTableHtml(text)
+    case 1 => synthTableHtml(text)
+      .replace("</td>", "").replace("</th>", "").replace("</tr>", "")
+    case 2 =>
+      val h = synthTableHtml(text)
+        .stripSuffix("</body></html>") match {
+          case s if s.endsWith("</table>") => s.stripSuffix("</table>")
+          case s => s
+        }
+      // entity-decorate the th cell text (never the fake-table traps:
+      // those live in script/comment bodies, not inside <th>)
+      h.replaceAll("<th>([^<&]+)</th>",
+        "<th>" + entityRef("nbsp") + "$1" + entityRef("mdash") + "</th>")
+        .replaceAll("<th><a ([^>]*)>([^<&]+)</a></th>",
+          "<th><a $1>" + entityRef("nbsp") + "$2" + entityRef("mdash") +
+            "</a></th>")
+    case other =>
+      throw new IllegalArgumentException(
+        s"corruptSynthTableHtml: class must be 0-2, got $other")
+  }
+
+  /** TABLE extraction — the CommonCrawl structured-data walk: parse the
+    * page's `<table>` elements into (table, row, col, header, text)
+    * cells. Strict mode demands explicit closes; `recover = true`
+    * applies HTML5's IMPLIED-END-TAG rules (`<td>`/`<th>`/`<tr>` close
+    * an open cell/row; `</table>`/EOF close everything open — most real
+    * crawl tables omit `</td>`/`</tr>`) and decodes entities in cell
+    * text ([[decodeEntities]]). `<thead>`/`<tbody>`/`<tfoot>` are
+    * transparent grouping (row ordinals continue across them). Inline
+    * markup inside a cell is a token separator; its text joins the
+    * cell. Out of scope — a refusal in BOTH modes (directed, never a
+    * guess): nested tables, `<caption>`, rows outside a table, cells
+    * outside a row, non-whitespace text between table structure tags,
+    * and colspan/rowspan-aware grids (ordinals here are ORDINAL cell
+    * positions; span-aware layout is a declared non-goal).
+    *
+    * Scale: one mapPartitions pass over payload strings (the
+    * [[walkHtmlBlocks]] contract) — per-row CPU, zero exchange. */
+  def walkTableCells(html: String, recover: Boolean): Option[Seq[TableCell]] = {
+    if (html == null) return None
+    val n = html.length
+    var i = 0
+    var tableIdx = -1
+    var inTable = false
+    var inRow = false
+    var inCell = false
+    var rowIdx = -1
+    var colIdx = -1
+    var headerCell = false
+    var cellBuf: StringBuilder = null
+    val cells = Seq.newBuilder[TableCell]
+    def lower(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    def emitCell(): Unit = {
+      val raw = cellBuf.toString
+      val txt = if (recover) decodeEntities(raw) else raw
+      cells += TableCell(tableIdx, rowIdx, colIdx, headerCell,
+        txt.split("\\s+").filter(_.nonEmpty).mkString(" "))
+      inCell = false; cellBuf = null
+    }
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c != '<') {
+        if (inCell) cellBuf += c
+        else if (inTable && !c.isWhitespace) return None // junk in table
+        i += 1
+      } else if (html.startsWith("<!--", i)) {
+        val e = html.indexOf("-->", i + 4)
+        if (e < 0) return None
+        i = e + 3
+      } else if (html.startsWith("<!", i) || html.startsWith("<?", i)) {
+        val e = html.indexOf('>', i + 2)
+        if (e < 0) return None
+        i = e + 1
+      } else if (i + 1 < n &&
+          (html.charAt(i + 1).isLetter || html.charAt(i + 1) == '/')) {
+        val closing = html.charAt(i + 1) == '/'
+        var j = i + (if (closing) 2 else 1)
+        val nameStart = j
+        while (j < n && html.charAt(j).isLetterOrDigit) j += 1
+        if (j == nameStart) return None
+        val name = lower(html.substring(nameStart, j))
+        // attribute scan — quoted values may contain '>'
+        var selfClose = false
+        var done = false
+        while (!done) {
+          if (j >= n) return None
+          val cj = html.charAt(j)
+          if (cj == '"' || cj == '\'') {
+            val e = html.indexOf(cj, j + 1)
+            if (e < 0) return None
+            j = e + 1
+          } else if (cj == '>') { done = true; j += 1 }
+          else if (cj == '/' && j + 1 < n && html.charAt(j + 1) == '>') {
+            selfClose = true; done = true; j += 2
+          } else j += 1
+        }
+        i = j
+        name match {
+          case "table" if !closing =>
+            if (inTable) return None // nested table: out of scope
+            tableIdx += 1; inTable = true; rowIdx = -1
+          case "table" if closing =>
+            if (!inTable) return None
+            if (inCell || inRow) {
+              if (!recover) return None
+              if (inCell) emitCell()
+              inRow = false
+            }
+            inTable = false
+          case "caption" => return None // declared out of scope
+          case "thead" | "tbody" | "tfoot" =>
+            if (!inTable) return None // grouping is table structure
+            if (inCell) { // implied </td> + </tr> at a group boundary
+              if (!recover) return None
+              emitCell()
+            }
+            if (inRow) {
+              if (!recover) return None
+              inRow = false
+            }
+          case "tr" if !closing =>
+            if (!inTable) return None
+            if (inCell || inRow) {
+              if (!recover) return None
+              if (inCell) emitCell()
+            }
+            inRow = true; rowIdx += 1; colIdx = -1
+          case "tr" if closing =>
+            if (!inRow) return None
+            if (inCell) {
+              if (!recover) return None
+              emitCell()
+            }
+            inRow = false
+          case "td" | "th" if !closing =>
+            if (!inRow) return None
+            if (inCell) {
+              if (!recover) return None
+              emitCell()
+            }
+            inCell = true; colIdx += 1
+            headerCell = name == "th"
+            cellBuf = new StringBuilder
+          case "td" | "th" if closing =>
+            if (!inCell || (name == "th") != headerCell) return None
+            emitCell()
+          case rn if RawSkipTags.contains(rn) && !closing =>
+            if (!selfClose) {
+              val close = s"</$rn"
+              def closesAt(e: Int): Boolean =
+                html.regionMatches(true, e, close, 0, close.length) && {
+                  val after = e + close.length
+                  after < n && {
+                    val ca = html.charAt(after)
+                    ca == '>' || ca == '/' || ca.isWhitespace
+                  }
+                }
+              var e = html.indexOf("</", j)
+              while (e >= 0 && e + close.length <= n && !closesAt(e))
+                e = html.indexOf("</", e + 1)
+              if (e < 0 || e + close.length > n) return None
+              val gt = html.indexOf('>', e)
+              if (gt < 0) return None
+              i = gt + 1
+            }
+            if (inCell) { cellBuf += ' ' }
+          case _ =>
+            // any other element: a token separator inside a cell,
+            // page structure outside (not this walker's concern)
+            if (inCell) cellBuf += ' '
+        }
+      } else {
+        return None // bare '<'
+      }
+    }
+    if (inTable || inRow || inCell) {
+      if (!recover) return None
+      if (inCell) emitCell()
+    }
+    Some(cells.result())
+  }
+
+  /** Per-cell records over real HTML: one row per extracted cell —
+    * (id, table_idx, row_idx, col_idx, is_header, text). Malformed
+    * markup yields ONE null row (fail soft — the q245 contract). */
+  def htmlTableCells(df: DataFrame, idCol: String, htmlCol: String,
+                     recover: Boolean = false): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", df.schema(idCol).dataType),
+      StructField("table_idx", IntegerType),
+      StructField("row_idx", IntegerType),
+      StructField("col_idx", IntegerType),
+      StructField("is_header", BooleanType),
+      StructField("text", StringType)))
+    val enc = Encoders.row(schema)
+    val idIdx = df.columns.indexOf(idCol)
+    val hIdx = df.columns.indexOf(htmlCol)
+    df.mapPartitions { it =>
+      it.flatMap { row =>
+        walkTableCells(row.getString(hIdx), recover) match {
+          case Some(cs) => cs.map(c =>
+            Row(row.get(idIdx), c.tableIdx, c.rowIdx, c.colIdx,
+              c.header, c.text))
+          case None => Seq(Row(row.get(idIdx), null, null, null, null, null))
+        }
+      }
+    }(enc)
+  }
+
+  /** Attach [[synthTableHtml]] pages (the [[withSynthHtml]] pattern). */
+  def withSynthTableHtml(df: DataFrame, idCol: String, textCol: String,
+                         clsOf: Long => Int = _ => 0): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("html", StringType)))
+    val enc = Encoders.row(schema)
+    val idIdx = df.columns.indexOf(idCol)
+    val tIdx = df.columns.indexOf(textCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val id = row.getLong(idIdx)
+        Row(id, corruptSynthTableHtml(row.getString(tIdx), clsOf(id)))
+      }
+    }(enc)
+  }
+
   /** Corpus link-graph extraction (the CommonCrawl link-graph shape):
     * one row per distinct HREF target with its total reference count and
     * the number of distinct documents referencing it. Rides

@@ -4251,6 +4251,61 @@ object Extensions {
           md5(col("clean_text")).as("final_md5"))
     }),
 
+    // --- TABLE extraction from real markup (the CommonCrawl
+    // structured-data shape; Html.walkTableCells scaladoc): the synth
+    // renders every token into a deterministic two-table grid (token i →
+    // table i%2, row (i div 2) div 3, column (i div 2) % 3, row 0 as
+    // <th>), wrapped in the trap battery (script/comment fake tables,
+    // quoted '>', inline anchors inside cells, thead/tbody grouping) —
+    // and the oracle recomputes the whole grid arithmetically, so any
+    // walker bug (group transparency, inline-markup cell joining,
+    // ordinal drift, header attribution) diverges immediately.
+    "q302_html_tables" -> ((s, dir) => {
+      val H = graft.functions.Html
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val cells = H.htmlTableCells(
+        H.withSynthTableHtml(docs, "doc_id", "text"), "id", "html")
+      cells.select(
+        when(col("table_idx").isNull, raise_error(concat(
+          lit("q302: table HTML for id "), col("id").cast("string"),
+          lit(" failed to parse — table-walker regression"))))
+          .otherwise(col("id")).as("doc_id"),
+        col("table_idx"), col("row_idx"), col("col_idx"),
+        col("is_header"), col("text"))
+    }),
+
+    // --- table extraction in RECOVERY mode against deterministically
+    // corrupted markup (the q275 recipe for tables): class = doc_id % 3
+    // — untouched / IMPLIED END TAGS (every </td> </th> </tr> dropped,
+    // the single most common real-crawl table shape) / truncated page +
+    // entity-decorated header cells (`&nbsp;w&mdash;` decodes to ONE
+    // glued cell token — NBSP is not \s — spelled from Html.
+    // NamedEntities on both sides). STRICT must refuse every class-1/2
+    // page (asserted — the corruption is real); recovery parses 100%
+    // and must land on the SAME grid, headers decorated.
+    "q303_html_tables_recovery" -> ((s, dir) => {
+      val H = graft.functions.Html
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val pages = H.withSynthTableHtml(docs, "doc_id", "text",
+        clsOf = id => (id % 3).toInt)
+      require(
+        H.htmlTableCells(
+            pages.filter(col("id") % 3 =!= 0), "id", "html")
+          .filter(col("table_idx").isNotNull).limit(1).isEmpty,
+        "q303: strict mode parsed a corrupted table page — the " +
+          "corruption is vacuous")
+      H.htmlTableCells(pages, "id", "html", recover = true)
+        .select(
+          when(col("table_idx").isNull, raise_error(concat(
+            lit("q303: recovery failed to parse table HTML for id "),
+            col("id").cast("string"))))
+            .otherwise(col("id")).as("doc_id"),
+          col("table_idx"), col("row_idx"), col("col_idx"),
+          col("is_header"), col("text"))
+    }),
+
     // --- structure-aware extraction, part 2 — the jusText verdict:
     // keep blocks that are neither chrome by TAG (nav/footer/aside) nor
     // chrome by STRUCTURE (link density ≥ 0.5), reassemble per document
@@ -8312,6 +8367,47 @@ object Extensions {
       "SELECT regexp_replace(text, '(\\S+)', " +
         "'\\1~' || CAST(doc_id % 64 AS VARCHAR), 'g') AS text " +
         "FROM documents"),
+
+    // q302/q303: the synth table grid recomputed arithmetically —
+    // token i → table i%2, row (i div 2) div 3, col (i div 2) % 3, row
+    // 0 is the header; q303's class-2 header cells carry the DECODED
+    // entity decoration (NamedEntities-interpolated, glued — NBSP is
+    // not whitespace to the cell tokenizer)
+    "q302_html_tables" -> {
+      s"""WITH t AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '')
+         |    AS t
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, i - 1 AS i0, t[i] AS w
+         |  FROM t, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) ii)
+         |SELECT doc_id,
+         |  CAST(i0 % 2 AS INTEGER) AS table_idx,
+         |  CAST((i0 // 2) // 3 AS INTEGER) AS row_idx,
+         |  CAST((i0 // 2) % 3 AS INTEGER) AS col_idx,
+         |  ((i0 // 2) // 3 = 0) AS is_header,
+         |  w AS text
+         |FROM c""".stripMargin
+    },
+    "q303_html_tables_recovery" -> {
+      val nb = graft.functions.Html.entityText("nbsp")
+      val md = graft.functions.Html.entityText("mdash")
+      s"""WITH t AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '')
+         |    AS t
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, i - 1 AS i0, t[i] AS w
+         |  FROM t, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) ii)
+         |SELECT doc_id,
+         |  CAST(i0 % 2 AS INTEGER) AS table_idx,
+         |  CAST((i0 // 2) // 3 AS INTEGER) AS row_idx,
+         |  CAST((i0 // 2) % 3 AS INTEGER) AS col_idx,
+         |  ((i0 // 2) // 3 = 0) AS is_header,
+         |  CASE WHEN doc_id % 3 = 2 AND (i0 // 2) // 3 = 0
+         |       THEN '$nb' || w || '$md' ELSE w END AS text
+         |FROM c""".stripMargin
+    },
 
     // q292: all-occurrences counts by brute positional enumeration;
     // q295 (versioned-artifact arrival) and q296 (streaming screen)

@@ -239,4 +239,59 @@ class HtmlSpec extends AnyFunSuite {
     val bs = Html.walkHtmlBlocks(h).get
     assert(bs.map(b => (b.nTokens, b.nLinkTokens)) == Seq((3, 1), (0, 0)))
   }
+
+  test("walkTableCells: synth grid round-trip, thead/tbody transparent, " +
+       "inline anchors join cell text, ragged last row") {
+    // 8 tokens → table 0 gets w0 w2 w4 w6 (rows of 3: ragged row 1),
+    // table 1 gets w1 w3 w5 w7
+    val h = Html.synthTableHtml((0 until 8).map(i => s"w$i").mkString(" "))
+    val cs = Html.walkTableCells(h, recover = false).get
+    val expect = (0 until 8).map { i =>
+      Html.TableCell(i % 2, (i / 2) / 3, (i / 2) % 3,
+        (i / 2) / 3 == 0, s"w$i")
+    }.sortBy(c => (c.tableIdx, c.rowIdx, c.colIdx))
+    assert(cs.sortBy(c => (c.tableIdx, c.rowIdx, c.colIdx)) == expect)
+    // recovery is verbatim-identical on well-formed entity-free pages
+    assert(Html.walkTableCells(h, recover = true).get == cs)
+    // a multi-token cell with inline markup stays ONE cell
+    val h2 = "<table><tr><td>alpha <b>beta</b> gamma</td></tr></table>"
+    assert(Html.walkTableCells(h2, recover = false).get ==
+      Seq(Html.TableCell(0, 0, 0, header = false, "alpha beta gamma")))
+  }
+
+  test("walkTableCells: implied end tags parse in recovery, refuse in " +
+       "strict; truncation EOF-closes; entities decode in recovery only") {
+    val implied = "<table><tr><td>a<td>b<tr><td>c</table>"
+    assert(Html.walkTableCells(implied, recover = false).isEmpty)
+    assert(Html.walkTableCells(implied, recover = true).get ==
+      Seq(Html.TableCell(0, 0, 0, header = false, "a"),
+        Html.TableCell(0, 0, 1, header = false, "b"),
+        Html.TableCell(0, 1, 0, header = false, "c")))
+    val truncated = "<table><tr><th>x</th><td>y"
+    assert(Html.walkTableCells(truncated, recover = false).isEmpty)
+    assert(Html.walkTableCells(truncated, recover = true).get ==
+      Seq(Html.TableCell(0, 0, 0, header = true, "x"),
+        Html.TableCell(0, 0, 1, header = false, "y")))
+    // the NBSP-glued decoration stays ONE cell token after decode
+    val ent = "<table><tr><td>&nbsp;w&mdash;</td></tr></table>"
+    assert(Html.walkTableCells(ent, recover = false).get.head.text ==
+      "&nbsp;w&mdash;")
+    assert(Html.walkTableCells(ent, recover = true).get.head.text ==
+      Html.entityText("nbsp") + "w" + Html.entityText("mdash"))
+  }
+
+  test("walkTableCells: out-of-scope shapes refuse DIRECTED in both " +
+       "modes — nested table, caption, cell outside row, junk in table") {
+    val bad = Seq(
+      "<table><tr><td><table></table></td></tr></table>", // nested
+      "<table><caption>c</caption><tr><td>x</td></tr></table>",
+      "<table><td>x</td></table>",                         // td sans tr
+      "<table>stray<tr><td>x</td></tr></table>",           // junk text
+      "<div><tr><td>x</td></tr></div>")                    // tr sans table
+    for (h <- bad; rec <- Seq(false, true))
+      assert(Html.walkTableCells(h, rec).isEmpty, s"$h rec=$rec")
+    // a th closed as td is a structure lie — refused even in recovery
+    assert(Html.walkTableCells("<table><tr><th>x</td></tr></table>",
+      recover = true).isEmpty)
+  }
 }
