@@ -207,7 +207,9 @@ object ScaleRehearsal {
     // decayed CMS: same bounded per-window tables, shift-weighted sum
     "q301_cms_decayed",
     // table extraction: scan-shaped per-page walks (strict + recovery)
-    "q302_html_tables", "q303_html_tables_recovery")
+    "q302_html_tables", "q303_html_tables_recovery",
+    // distillation: label scan + NB train scan + one kernel pass
+    "q304_quality_distill")
 
   def main(args: Array[String]): Unit = {
     val small = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

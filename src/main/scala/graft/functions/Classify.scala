@@ -160,6 +160,11 @@ object Classify {
 
   /** Shared oracle CTEs: NB counts over `source` docs, scored positions
     * over `batch` docs — the formula of the scaladoc, verbatim in SQL. */
+  /** Public for composed oracles (q304 distillation): `source` must
+    * yield (c, text), `batch` (doc_id, text). */
+  def nbOracleSql(source: String, batch: String): String =
+    nbOracle(source, batch)
+
   private def nbOracle(source: String, batch: String): String =
     s"""WITH train AS MATERIALIZED ($source),
        |batch AS MATERIALIZED ($batch),

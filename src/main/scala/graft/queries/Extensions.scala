@@ -22,6 +22,39 @@ object Extensions {
   private def dStopHits(words: Seq[String]) =
     s"len(list_filter($dToks, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
 
+  /** The Gopher 7-rule verdict as one SQL expression over a relation
+    * exposing `text` — TextAnalysis.gopherRules' spelling, shared by the
+    * q171 battery oracle and the q304 distillation labels so the rule
+    * set cannot drift between them. */
+  private def gopherRulesSqlExpr(minWords: Int, maxWords: Int): String = {
+    val lns = "string_split(text, chr(10))"
+    def frac(n: String, den: String) =
+      s"CAST(floor($n * 1000000 / greatest($den, 1)) AS BIGINT)"
+    val meanLen = s"CAST(floor(CAST(list_sum(list_transform($dToks, " +
+      s"t -> length(t))) AS BIGINT) * 1000000 / len($dToks)) AS BIGINT)"
+    val symbols = raw"len(regexp_extract_all(text, '#|\.\.\.|…'))"
+    val bullets = s"len(list_filter($lns, l -> starts_with(l, '- ') " +
+      "OR starts_with(l, '* ') OR starts_with(l, '• ')))"
+    val ellipsis = s"len(list_filter($lns, l -> ends_with(l, '...') " +
+      "OR ends_with(l, '…')))"
+    val alpha =
+      s"len(list_filter($dToks, w -> regexp_matches(w, '[A-Za-z]')))"
+    s"""CAST((CASE WHEN len($dToks) < $minWords OR len($dToks) > $maxWords
+       |           THEN 1 ELSE 0 END)
+       |      + (CASE WHEN $meanLen < 3000000 OR $meanLen > 10000000
+       |           THEN 2 ELSE 0 END)
+       |      + (CASE WHEN ${frac(symbols, s"len($dToks)")} > 100000
+       |           THEN 4 ELSE 0 END)
+       |      + (CASE WHEN ${frac(bullets, s"len($lns)")} > 900000
+       |           THEN 8 ELSE 0 END)
+       |      + (CASE WHEN ${frac(ellipsis, s"len($lns)")} > 300000
+       |           THEN 16 ELSE 0 END)
+       |      + (CASE WHEN ${frac(alpha, s"len($dToks)")} < 800000
+       |           THEN 32 ELSE 0 END)
+       |      + (CASE WHEN ${dStopHits(TA.EnStop)} < 2 THEN 64 ELSE 0 END)
+       |      AS INTEGER)""".stripMargin
+  }
+
   // ---- shared constants for the governance/relevance queries (used by
   // both the Spark plan and the generated oracle so they cannot drift) ----
   private val Bm25Terms = Seq("spark", "query", "join")
@@ -3273,6 +3306,41 @@ object Extensions {
       graft.functions.TextAnalysis.gopherRules(
         docs.unionAll(crafted), "doc_id", "text",
         minWords = 20, maxWords = 1000)
+    }),
+
+    // --- QUALITY-CLASSIFIER DISTILLATION (the FineWeb-Edu shape): the
+    // heuristic Gopher battery labels the corpus (minWords=60 splits
+    // the synthetic corpus roughly in half at every SF — both classes
+    // provably populated, asserted), an exact-bits NB trains on those
+    // labels, and the KERNEL scores every document — model-based
+    // quality filtering distilled from rule-based labels, end to end.
+    // Output carries label, prediction, and the agreement bit; the
+    // oracle chains the shared gopherRulesSqlExpr into the NB oracle
+    // (both spellings shared with their own gates q171/q283). Plan:
+    // the scoring leg is the q288 kernel (one nb_score node, asserted).
+    "q304_quality_distill" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val labels = graft.functions.TextAnalysis.gopherRules(
+          docs, "doc_id", "text", minWords = 60, maxWords = 1000)
+        .select(col("doc_id"),
+          when(col("kept"), lit("keep")).otherwise(lit("drop")).as("c"))
+      val labeled = docs.join(labels, Seq("doc_id")).localCheckpoint()
+      require(labeled.filter(col("c") === "keep").limit(1).count() == 1 &&
+          labeled.filter(col("c") === "drop").limit(1).count() == 1,
+        "q304: the label rule must populate BOTH classes — the " +
+          "distillation is vacuous otherwise")
+      val model = graft.functions.Classify.nbTrainCounts(labeled, "c", "text")
+        .localCheckpoint()
+      val scored = graft.functions.Classify.scoreNaiveBayesKernel(
+        model, labeled)
+      require(scored.queryExecution.executedPlan.toString
+          .contains("nb_score"),
+        "q304: scoring must run the NbScore kernel node")
+      scored.join(labeled.select(col("doc_id"), col("c")), Seq("doc_id"))
+        .select(col("doc_id"), col("c").as("label"), col("pred"),
+          (col("c") === col("pred")).as("agree"),
+          col("best_bits"), col("margin"))
     }),
 
     // --- per-source quantile normalization of the quality score: the
@@ -7147,39 +7215,27 @@ object Extensions {
       val fixtureRows = GopherFixtures.map { case (id, t) =>
         s"UNION ALL SELECT $id, ${sqlStr(t)}"
       }.mkString("\n  ")
-      val lns = "string_split(text, chr(10))"
-      def frac(n: String, den: String) =
-        s"CAST(floor($n * 1000000 / greatest($den, 1)) AS BIGINT)"
-      val meanLen = s"CAST(floor(CAST(list_sum(list_transform($dToks, " +
-        s"t -> length(t))) AS BIGINT) * 1000000 / len($dToks)) AS BIGINT)"
-      val symbols = raw"len(regexp_extract_all(text, '#|\.\.\.|…'))"
-      val bullets = s"len(list_filter($lns, l -> starts_with(l, '- ') " +
-        "OR starts_with(l, '* ') OR starts_with(l, '• ')))"
-      val ellipsis = s"len(list_filter($lns, l -> ends_with(l, '...') " +
-        "OR ends_with(l, '…')))"
-      val alpha =
-        s"len(list_filter($dToks, w -> regexp_matches(w, '[A-Za-z]')))"
       s"""WITH aug AS (
          |  SELECT doc_id, text FROM documents
          |  $fixtureRows),
          |r AS (
-         |  SELECT doc_id,
-         |    CAST((CASE WHEN len($dToks) < 20 OR len($dToks) > 1000
-         |           THEN 1 ELSE 0 END)
-         |      + (CASE WHEN $meanLen < 3000000 OR $meanLen > 10000000
-         |           THEN 2 ELSE 0 END)
-         |      + (CASE WHEN ${frac(symbols, s"len($dToks)")} > 100000
-         |           THEN 4 ELSE 0 END)
-         |      + (CASE WHEN ${frac(bullets, s"len($lns)")} > 900000
-         |           THEN 8 ELSE 0 END)
-         |      + (CASE WHEN ${frac(ellipsis, s"len($lns)")} > 300000
-         |           THEN 16 ELSE 0 END)
-         |      + (CASE WHEN ${frac(alpha, s"len($dToks)")} < 800000
-         |           THEN 32 ELSE 0 END)
-         |      + (CASE WHEN ${dStopHits(TA.EnStop)} < 2 THEN 64 ELSE 0 END)
-         |      AS INTEGER) AS rules
+         |  SELECT doc_id, ${gopherRulesSqlExpr(20, 1000)} AS rules
          |  FROM aug)
          |SELECT doc_id, rules, rules = 0 AS kept FROM r""".stripMargin
+    },
+
+    // q304: the gopher labels (shared gopherRulesSqlExpr) chained into
+    // the NB oracle (q283's spelling), agreement joined back
+    "q304_quality_distill" -> {
+      val lab = s"SELECT doc_id, CASE WHEN ${gopherRulesSqlExpr(60, 1000)}" +
+        " = 0 THEN 'keep' ELSE 'drop' END AS c, text FROM documents"
+      val nb = graft.functions.Classify.nbOracleSql(
+        "SELECT c, text FROM lab", "SELECT doc_id, text FROM lab")
+      val composed = s"WITH lab AS MATERIALIZED ($lab),\n" +
+        nb.stripPrefix("WITH ")
+      s"""SELECT n.doc_id, l.c AS label, n.pred, l.c = n.pred AS agree,
+         |  n.best_bits, n.margin
+         |FROM ($composed) n JOIN ($lab) l USING (doc_id)""".stripMargin
     },
 
     // per-source CDF of the quality score — dQualityExpr is the SAME
