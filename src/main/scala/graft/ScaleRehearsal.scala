@@ -209,7 +209,9 @@ object ScaleRehearsal {
     // table extraction: scan-shaped per-page walks (strict + recovery)
     "q302_html_tables", "q303_html_tables_recovery",
     // distillation: label scan + NB train scan + one kernel pass
-    "q304_quality_distill")
+    "q304_quality_distill",
+    // header-keyed records: the per-doc (id, table, col) join
+    "q305_table_records")
 
   def main(args: Array[String]): Unit = {
     val small = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -864,6 +864,25 @@ object Html {
     }(enc)
   }
 
+  /** HEADER-KEYED table records — the "table understanding" step over
+    * [[htmlTableCells]]: body cells join their `<th>` row's cell at the
+    * same column, yielding (id, table_idx, row_idx, col_name, value)
+    * tuples — markup tables become relational records. The join keys
+    * on (id, table, col): per-document, uniform, never corpus-keyed.
+    * Body cells whose column has no header (a body row wider than the
+    * header row) drop — records without a schema are not records. */
+  def tableRecords(cells: DataFrame): DataFrame = {
+    val headers = cells.filter(col("is_header"))
+      .select(col("id"), col("table_idx"), col("col_idx"),
+        col("text").as("col_name"))
+    cells.filter(!col("is_header"))
+      .select(col("id"), col("table_idx"), col("row_idx"),
+        col("col_idx"), col("text").as("value"))
+      .join(headers, Seq("id", "table_idx", "col_idx"))
+      .select(col("id"), col("table_idx"), col("row_idx"),
+        col("col_name"), col("value"))
+  }
+
   /** Corpus link-graph extraction (the CommonCrawl link-graph shape):
     * one row per distinct HREF target with its total reference count and
     * the number of distinct documents referencing it. Rides

@@ -4343,6 +4343,29 @@ object Extensions {
         col("is_header"), col("text"))
     }),
 
+    // --- HEADER-KEYED table records (table understanding on q302's
+    // cells): body cells join their <th> row's cell at the same column
+    // — markup tables become relational (row, col_name, value) records.
+    // The oracle derives the header token arithmetically (column c of
+    // table k is corpus token 2c+k) and attaches it to every body cell.
+    "q305_table_records" -> ((s, dir) => {
+      val H = graft.functions.Html
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val cells = H.htmlTableCells(
+        H.withSynthTableHtml(docs, "doc_id", "text"), "id", "html")
+      val verified = cells.select(
+        when(col("table_idx").isNull, raise_error(concat(
+          lit("q305: table HTML for id "), col("id").cast("string"),
+          lit(" failed to parse — table-walker regression"))))
+          .otherwise(col("id")).as("id"),
+        col("table_idx"), col("row_idx"), col("col_idx"),
+        col("is_header"), col("text"))
+      H.tableRecords(verified)
+        .select(col("id").as("doc_id"), col("table_idx"), col("row_idx"),
+          col("col_name"), col("value"))
+    }),
+
     // --- table extraction in RECOVERY mode against deterministically
     // corrupted markup (the q275 recipe for tables): class = doc_id % 3
     // — untouched / IMPLIED END TAGS (every </td> </th> </tr> dropped,
@@ -8463,6 +8486,24 @@ object Extensions {
          |  CASE WHEN doc_id % 3 = 2 AND (i0 // 2) // 3 = 0
          |       THEN '$nb' || w || '$md' ELSE w END AS text
          |FROM c""".stripMargin
+    },
+
+    // q305: body cells (row ≥ 1) of the q302 grid, header token derived
+    // arithmetically — column c of table k is corpus token 2c + k
+    "q305_table_records" -> {
+      s"""WITH t AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '')
+         |    AS t
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, i - 1 AS i0, t, t[i] AS w
+         |  FROM t, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) ii)
+         |SELECT doc_id,
+         |  CAST(i0 % 2 AS INTEGER) AS table_idx,
+         |  CAST((i0 // 2) // 3 AS INTEGER) AS row_idx,
+         |  t[2 * ((i0 // 2) % 3) + (i0 % 2) + 1] AS col_name,
+         |  w AS value
+         |FROM c WHERE (i0 // 2) // 3 >= 1""".stripMargin
     },
 
     // q292: all-occurrences counts by brute positional enumeration;
