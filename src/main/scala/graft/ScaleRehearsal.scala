@@ -211,7 +211,9 @@ object ScaleRehearsal {
     // distillation: label scan + NB train scan + one kernel pass
     "q304_quality_distill",
     // header-keyed records: the per-doc (id, table, col) join
-    "q305_table_records")
+    "q305_table_records",
+    // stream forms: router + table walk (file-micro-batch overhead)
+    "q306_stream_quality_router", "q307_stream_html_tables")
 
   def main(args: Array[String]): Unit = {
     val small = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

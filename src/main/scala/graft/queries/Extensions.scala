@@ -3343,6 +3343,46 @@ object Extensions {
           col("best_bits"), col("margin"))
     }),
 
+    // --- the distilled quality model as a STREAMING ROUTER (q289's
+    // discipline on q304): the NB model trains batch-side on the Gopher
+    // labels, then documents arrive as file micro-batches and the
+    // kernel scores them per-row in Append mode — quality routing at
+    // ingest, stateless, model in the codegen reference objects. The
+    // sink joins labels batch-side; oracle = q304's VERBATIM (the
+    // stream changes the delivery, never the numbers).
+    "q306_stream_quality_router" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val labels = graft.functions.TextAnalysis.gopherRules(
+          docs, "doc_id", "text", minWords = 60, maxWords = 1000)
+        .select(col("doc_id"),
+          when(col("kept"), lit("keep")).otherwise(lit("drop")).as("c"))
+        .localCheckpoint()
+      val model = graft.functions.Classify.nbTrainCounts(
+        docs.join(labels, Seq("doc_id")), "c", "text").localCheckpoint()
+      val (in, out, chk) = freshStreamDirs("graft_q306_stream")
+      stageSliced(in, Seq(
+        docs.filter(col("doc_id") % 3 === 0),
+        docs.filter(col("doc_id") % 3 === 1),
+        docs.filter(col("doc_id") % 3 === 2)))
+      withStreamPartitions(s, 8) {
+        val stream = graft.streaming.StreamOps.readStream(s, in,
+          docs.schema, Map("maxFilesPerTrigger" -> "1"))
+        val q = graft.functions.Classify.scoreNaiveBayesKernel(model, stream)
+          .writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+          .format("parquet").option("path", out)
+          .option("checkpointLocation", chk)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.read.parquet(out).join(labels, Seq("doc_id"))
+        .select(col("doc_id"), col("c").as("label"), col("pred"),
+          (col("c") === col("pred")).as("agree"),
+          col("best_bits"), col("margin"))
+    }),
+
     // --- per-source quantile normalization of the quality score: the
     // cross-source calibration step (a raw "70" means different things
     // from different sources); micro-bucket CDF, never a corpus window
@@ -4341,6 +4381,43 @@ object Extensions {
           .otherwise(col("id")).as("doc_id"),
         col("table_idx"), col("row_idx"), col("col_idx"),
         col("is_header"), col("text"))
+    }),
+
+    // --- STREAMING table extraction (the q270 discipline on q302):
+    // synth + the cell walk run IN-STREAM over 3 micro-batches (both
+    // stateless mapPartitions — Append mode, no state store); per-cell
+    // rows land in the sink. Oracle = q302's SQL verbatim: the stream
+    // must extract exactly what the batch walk extracts.
+    "q307_stream_html_tables" -> ((s, dir) => {
+      val H = graft.functions.Html
+      val (in, out, chk) = freshStreamDirs("graft_q307_stream")
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      stageSliced(in, Seq(
+        docs.filter(col("doc_id") % 3 === 0),
+        docs.filter(col("doc_id") % 3 === 1),
+        docs.filter(col("doc_id") % 3 === 2)))
+      withStreamPartitions(s, 8) {
+        val stream = graft.streaming.StreamOps.readStream(s, in,
+          docs.schema, Map("maxFilesPerTrigger" -> "1"))
+        val cells = H.htmlTableCells(
+          H.withSynthTableHtml(stream, "doc_id", "text"), "id", "html")
+        val q = cells.select(
+            when(col("table_idx").isNull, raise_error(concat(
+              lit("q307: table HTML for id "), col("id").cast("string"),
+              lit(" failed to parse in-stream"))))
+              .otherwise(col("id")).as("doc_id"),
+            col("table_idx"), col("row_idx"), col("col_idx"),
+            col("is_header"), col("text"))
+          .writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+          .format("parquet").option("path", out)
+          .option("checkpointLocation", chk)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.read.parquet(out)
     }),
 
     // --- HEADER-KEYED table records (table understanding on q302's
@@ -6846,6 +6923,40 @@ object Extensions {
        |  FROM scored) WHERE rk <= 3""".stripMargin
   }
 
+  /** The q302/q307 table-grid oracle: the synth grid recomputed
+    * arithmetically — token i → table i%2, row (i div 2) div 3,
+    * col (i div 2) % 3, row 0 is the header. */
+  private lazy val tableGridOracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '')
+       |    AS t
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, i - 1 AS i0, t[i] AS w
+       |  FROM t, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) ii)
+       |SELECT doc_id,
+       |  CAST(i0 % 2 AS INTEGER) AS table_idx,
+       |  CAST((i0 // 2) // 3 AS INTEGER) AS row_idx,
+       |  CAST((i0 // 2) % 3 AS INTEGER) AS col_idx,
+       |  ((i0 // 2) // 3 = 0) AS is_header,
+       |  w AS text
+       |FROM c""".stripMargin
+
+  /** The q304/q306 distillation oracle: gopher labels (the shared
+    * gopherRulesSqlExpr) chained into the NB oracle, agreement joined
+    * back. */
+  private lazy val qualityDistillOracle: String = {
+    val lab = s"SELECT doc_id, CASE WHEN ${gopherRulesSqlExpr(60, 1000)}" +
+      " = 0 THEN 'keep' ELSE 'drop' END AS c, text FROM documents"
+    val nb = graft.functions.Classify.nbOracleSql(
+      "SELECT c, text FROM lab", "SELECT doc_id, text FROM lab")
+    val composed = s"WITH lab AS MATERIALIZED ($lab),\n" +
+      nb.stripPrefix("WITH ")
+    s"""SELECT n.doc_id, l.c AS label, n.pred, l.c = n.pred AS agree,
+       |  n.best_bits, n.margin
+       |FROM ($composed) n JOIN ($lab) l USING (doc_id)""".stripMargin
+  }
+
   /** The q278 crawl-to-clean oracle — see the registration comment. The
     * entity dirt appears POST-DECODE + POST-NORMALIZE: the NBSP class
     * vanishes (ReSpace + collapse), the mdash/bare-amp classes keep
@@ -7248,18 +7359,11 @@ object Extensions {
     },
 
     // q304: the gopher labels (shared gopherRulesSqlExpr) chained into
-    // the NB oracle (q283's spelling), agreement joined back
-    "q304_quality_distill" -> {
-      val lab = s"SELECT doc_id, CASE WHEN ${gopherRulesSqlExpr(60, 1000)}" +
-        " = 0 THEN 'keep' ELSE 'drop' END AS c, text FROM documents"
-      val nb = graft.functions.Classify.nbOracleSql(
-        "SELECT c, text FROM lab", "SELECT doc_id, text FROM lab")
-      val composed = s"WITH lab AS MATERIALIZED ($lab),\n" +
-        nb.stripPrefix("WITH ")
-      s"""SELECT n.doc_id, l.c AS label, n.pred, l.c = n.pred AS agree,
-         |  n.best_bits, n.margin
-         |FROM ($composed) n JOIN ($lab) l USING (doc_id)""".stripMargin
-    },
+    // the NB oracle (q283's spelling), agreement joined back; q306
+    // (the streaming router) shares it VERBATIM — the stream changes
+    // the delivery, never the numbers
+    "q304_quality_distill" -> qualityDistillOracle,
+    "q306_stream_quality_router" -> qualityDistillOracle,
 
     // per-source CDF of the quality score — dQualityExpr is the SAME
     // shared string q22/q90/q170 use
@@ -8452,22 +8556,9 @@ object Extensions {
     // 0 is the header; q303's class-2 header cells carry the DECODED
     // entity decoration (NamedEntities-interpolated, glued — NBSP is
     // not whitespace to the cell tokenizer)
-    "q302_html_tables" -> {
-      s"""WITH t AS (
-         |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '')
-         |    AS t
-         |  FROM documents),
-         |c AS (
-         |  SELECT doc_id, i - 1 AS i0, t[i] AS w
-         |  FROM t, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) ii)
-         |SELECT doc_id,
-         |  CAST(i0 % 2 AS INTEGER) AS table_idx,
-         |  CAST((i0 // 2) // 3 AS INTEGER) AS row_idx,
-         |  CAST((i0 // 2) % 3 AS INTEGER) AS col_idx,
-         |  ((i0 // 2) // 3 = 0) AS is_header,
-         |  w AS text
-         |FROM c""".stripMargin
-    },
+    "q302_html_tables" -> tableGridOracle,
+    // q307 (the streaming walk) must land exactly the batch cells
+    "q307_stream_html_tables" -> tableGridOracle,
     "q303_html_tables_recovery" -> {
       val nb = graft.functions.Html.entityText("nbsp")
       val md = graft.functions.Html.entityText("mdash")
