@@ -214,6 +214,12 @@ object ScaleRehearsal {
     "q305_table_records",
     // stream forms: router + table walk (file-micro-batch overhead)
     "q306_stream_quality_router", "q307_stream_html_tables")
+    // q308 (MRL audit) is EXCLUDED by design: the scale-up replicates
+    // vectors VERBATIM, so every query's top-3 is its own identical
+    // replicas under both the truncated and the full ranking — the
+    // gate's non-vacuity guard fires (correctly) on the replica
+    // artifact, not on engine scaling. Its cost shape is q189's
+    // (queries x corpus, two scans), already rehearsed there.
 
   def main(args: Array[String]): Unit = {
     val small = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

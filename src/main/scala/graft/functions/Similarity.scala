@@ -47,6 +47,40 @@ object Similarity {
       .select(col("query_id"), col("nn_id"), col("sim"), col("rk"))
   }
 
+  /** MATRYOSHKA truncation audit (Kusupati et al. 2022, MRL): retrieve
+    * with only the first `dims` dimensions — the dimension-adaptive
+    * serving trick (a prefix slice of an MRL-trained embedding is
+    * itself a valid embedding; cosine renormalizes implicitly) — and
+    * audit each truncated top-k hit against the FULL-dimension exact
+    * top-k (`in_full_topk`). The audit-job twin of the ANN recall
+    * audits (q189/q219): run at refresh cadence to pick the cheapest
+    * prefix width that still retrieves what the full vectors retrieve.
+    *
+    * Scale shape: the corpus pays two scans (truncated scoring + the
+    * full-dim baseline), both against the BROADCAST query set — the
+    * known queries × corpus audit cost; production serving pays only
+    * the truncated scan (dims/64 of the dot-product flops and, with a
+    * prefix-sliced storage layout, of the bytes). */
+  def mrlTruncationAudit(corpus: DataFrame, queries: DataFrame,
+                         idCol: String, vecCol: String,
+                         k: Int, dims: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val full = bruteForceKnn(corpus, queries, idCol, vecCol, k)
+      .select(col("query_id"), col("nn_id"), lit(true).as("__hit"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("nn_id"))
+      .select(col("query_id"), col("nn_id"),
+        cosine(slice(col("q_vec"), 1, dims), slice(col("nn_vec"), 1, dims))
+          .as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("nn_id").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .join(full, Seq("query_id", "nn_id"), "left_outer")
+      .select(col("query_id"), col("nn_id"), col("rk"), col("sim"),
+        coalesce(col("__hit"), lit(false)).as("in_full_topk"))
+  }
+
   /** MMR trade-off weights as STORED literals (the K1Plus1 precedent):
     * computing 1 − 0.7 at runtime rounds to 0.30000000000000004, a
     * DIFFERENT double than the oracle's parsed 0.3 — both factors must

@@ -276,6 +276,26 @@ object Extensions {
         .groupBy("bucket").agg(count(lit(1)).as("n"))
     }),
 
+    // --- MATRYOSHKA truncation audit (Similarity.mrlTruncationAudit
+    // scaladoc): retrieve with the first 16 of 64 dims, audit each hit
+    // against the full-dim exact top-k. Non-vacuity asserted both ways:
+    // truncation must CHANGE at least one hit (a vacuous prefix width
+    // gates nothing) and must AGREE on at least one (a prefix that
+    // retrieves nothing shared is a broken slice, not an audit).
+    "q308_mrl_truncation" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val df = graft.functions.Similarity.mrlTruncationAudit(
+        e, e.filter(col("vec_id") < 20), "vec_id", "embedding",
+        k = 3, dims = 16)
+      require(df.filter(!col("in_full_topk")).limit(1).count() == 1,
+        "q308: truncation to 16 dims changed NO top-k hit — the audit " +
+          "is vacuous at this prefix width")
+      require(df.filter(col("in_full_topk")).limit(1).count() == 1,
+        "q308: the truncated retrieval shares NO hit with full-dim — " +
+          "slice arithmetic broken")
+      df
+    }),
+
     "q48_ivf_knn" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
       graft.functions.Similarity.ivfKnn(e, e.filter(col("vec_id") < 10),
@@ -9131,6 +9151,30 @@ object Extensions {
       s"""SELECT bucket, count(*) AS n FROM (
          |  SELECT vec_id, ${dBucket("embedding", 8)} AS bucket FROM embeddings
          |) GROUP BY 1""".stripMargin,
+
+    // q308: truncated-prefix retrieval ranked by the 16-dim cosine,
+    // membership-flagged against the full-dim exact top-k
+    "q308_mrl_truncation" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |           FROM embeddings WHERE vec_id < 20),
+         |c AS (SELECT vec_id AS nn_id, embedding AS cv FROM embeddings),
+         |ft AS (SELECT query_id, nn_id FROM (
+         |  SELECT query_id, nn_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY ${dCos("qv", "cv")} DESC, nn_id ASC) AS rk
+         |  FROM q CROSS JOIN c WHERE query_id <> nn_id) WHERE rk <= 3),
+         |st AS (SELECT query_id, nn_id,
+         |    ${dCos("list_slice(qv, 1, 16)", "list_slice(cv, 1, 16)")} AS sim
+         |  FROM q CROSS JOIN c WHERE query_id <> nn_id),
+         |tt AS (SELECT query_id, nn_id, sim, rk FROM (
+         |  SELECT query_id, nn_id, sim,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, nn_id ASC) AS INTEGER) AS rk
+         |  FROM st) WHERE rk <= 3)
+         |SELECT t.query_id, t.nn_id, t.rk, t.sim,
+         |  ft.nn_id IS NOT NULL AS in_full_topk
+         |FROM tt t LEFT JOIN ft
+         |  ON t.query_id = ft.query_id AND t.nn_id = ft.nn_id""".stripMargin,
 
     "q33_lsh_knn" ->
       s"""WITH b AS (SELECT vec_id, embedding, ${dBucket("embedding", 8)} AS bucket FROM embeddings),
