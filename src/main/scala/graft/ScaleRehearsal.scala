@@ -213,7 +213,9 @@ object ScaleRehearsal {
     // header-keyed records: the per-doc (id, table, col) join
     "q305_table_records",
     // stream forms: router + table walk (file-micro-batch overhead)
-    "q306_stream_quality_router", "q307_stream_html_tables")
+    "q306_stream_quality_router", "q307_stream_html_tables",
+    // per-source dataset card: one scan, O(sources) keys
+    "q309_dataset_card")
     // q308 (MRL audit) is EXCLUDED by design: the scale-up replicates
     // vectors VERBATIM, so every query's top-3 is its own identical
     // replicas under both the truncated and the full ranking — the

@@ -3403,6 +3403,32 @@ object Extensions {
           col("best_bits"), col("margin"))
     }),
 
+    // --- per-source DATASET CARD (the governance rollup every corpus
+    // release ships): one row per source with its volume (docs,
+    // tokens), exact-dedup health (distinct text ratio in floor
+    // micros), and the quality profile (exact-integer mean + min/max of
+    // the shared q22 score). One scan, map-side partials on the
+    // O(sources) key — the cheapest query in the registry at any
+    // scale; the value is the COMPOSITION being gated (volume + dedup +
+    // quality signals agreeing with their standalone gates' spellings).
+    "q309_dataset_card" -> ((s, dir) => {
+      val TA2 = graft.functions.TextAnalysis
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("source"), col("text"),
+          TA2.qualityScore(col("text")).as("q"),
+          size(expr("filter(split(text, ' '), w -> w != '')"))
+            .cast("long").as("ntok"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ntok")).as("n_tokens"),
+          count_distinct(col("text")).as("n_distinct_texts"),
+          floor(count_distinct(col("text")) * lit(1000000L) / count(lit(1)))
+            .cast("long").as("distinct_ratio_micros"),
+          floor(sum(col("q").cast("long")) * lit(1000000L) / count(lit(1)))
+            .cast("long").as("mean_quality_micros"),
+          min(col("q")).as("min_quality"), max(col("q")).as("max_quality"))
+    }),
+
     // --- per-source quantile normalization of the quality score: the
     // cross-source calibration step (a raw "70" means different things
     // from different sources); micro-bucket CDF, never a corpus window
@@ -7384,6 +7410,22 @@ object Extensions {
     // the delivery, never the numbers
     "q304_quality_distill" -> qualityDistillOracle,
     "q306_stream_quality_router" -> qualityDistillOracle,
+
+    // q309: the per-source card — volume + dedup ratio + quality
+    // profile, every signal in its standalone gate's spelling
+    "q309_dataset_card" ->
+      s"""SELECT source,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(len(list_filter($dToks, w -> w <> ''))) AS BIGINT)
+         |    AS n_tokens,
+         |  CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_texts,
+         |  CAST(floor(count(DISTINCT text) * 1000000 / count(*)) AS BIGINT)
+         |    AS distinct_ratio_micros,
+         |  CAST(floor(sum($dQualityExpr) * 1000000 / count(*)) AS BIGINT)
+         |    AS mean_quality_micros,
+         |  min($dQualityExpr) AS min_quality,
+         |  max($dQualityExpr) AS max_quality
+         |FROM documents GROUP BY 1""".stripMargin,
 
     // per-source CDF of the quality score — dQualityExpr is the SAME
     // shared string q22/q90/q170 use
