@@ -197,7 +197,12 @@ object Html {
                   java.lang.Long.parseLong(num.substring(1), 16)
                 else if (num.forall(_.isDigit)) num.toLong
                 else -1L
-              if (cp > 0 && cp <= Char.MaxValue.toLong) cp.toChar.toString
+              // surrogate code points (U+D800-U+DFFF) are not characters
+              // — cp.toChar would mint an unpaired surrogate (invalid
+              // UTF-16, corrupts downstream UTF-8 encodes e.g. parquet);
+              // pass the reference through verbatim like zero/out-of-BMP
+              if (cp > 0 && cp <= Char.MaxValue.toLong &&
+                  !(cp >= 0xD800L && cp <= 0xDFFFL)) cp.toChar.toString
               else null
             } else null
           }
@@ -870,11 +875,26 @@ object Html {
     * tuples — markup tables become relational records. The join keys
     * on (id, table, col): per-document, uniform, never corpus-keyed.
     * Body cells whose column has no header (a body row wider than the
-    * header row) drop — records without a schema are not records. */
+    * header row) drop — records without a schema are not records.
+    * A table with MORE than one `<th>` row (legal markup, common in
+    * real crawls) has no single header schema — joining all header
+    * rows would silently duplicate every body record, so it refuses
+    * DIRECTED instead (span-aware header groups are the walker's
+    * declared non-goal). */
   def tableRecords(cells: DataFrame): DataFrame = {
-    val headers = cells.filter(col("is_header"))
-      .select(col("id"), col("table_idx"), col("col_idx"),
+    val headers0 = cells.filter(col("is_header"))
+      .select(col("id"), col("table_idx"), col("row_idx"), col("col_idx"),
         col("text").as("col_name"))
+    val hdrRows = headers0.groupBy("id", "table_idx")
+      .agg(count_distinct(col("row_idx")).as("__n_hdr_rows"))
+    val headers = headers0.join(hdrRows, Seq("id", "table_idx"))
+      .select(col("id"), col("table_idx"), col("col_idx"),
+        when(col("__n_hdr_rows") > 1, raise_error(concat(
+          lit("tableRecords: table "), col("table_idx").cast("string"),
+          lit(" of id "), col("id").cast("string"),
+          lit(" has multiple <th> rows — header-keyed records need " +
+            "exactly one header row"))))
+          .otherwise(col("col_name")).as("col_name"))
     cells.filter(!col("is_header"))
       .select(col("id"), col("table_idx"), col("row_idx"),
         col("col_idx"), col("text").as("value"))

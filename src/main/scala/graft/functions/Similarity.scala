@@ -64,6 +64,17 @@ object Similarity {
   def mrlTruncationAudit(corpus: DataFrame, queries: DataFrame,
                          idCol: String, vecCol: String,
                          k: Int, dims: Int): DataFrame = {
+    require(dims >= 1,
+      s"mrlTruncationAudit: dims must be >= 1, got $dims — a zero/" +
+        "negative prefix has no cosine")
+    // the query side is the broadcast (small) side — a one-row driver
+    // peek validates the prefix fits the stored width instead of
+    // letting slice() silently shorten and skew the audit
+    queries.select(size(col(vecCol)).as("__d")).head(1).foreach { r =>
+      require(dims <= r.getInt(0),
+        s"mrlTruncationAudit: dims=$dims exceeds the embedding width " +
+          s"${r.getInt(0)}")
+    }
     val c = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
     val full = bruteForceKnn(corpus, queries, idCol, vecCol, k)

@@ -106,21 +106,38 @@ object Sketch {
     * Returns (w, exact, est, over) where `exact` is the DECAYED exact
     * count Σ_w (count_w >> age_w) — est ≥ exact still holds because
     * per-window CMS dominance survives shifting and summing. `docs`
-    * must expose (`winCol`, textCol). */
+    * must expose (`winCol`, textCol).
+    *
+    * Shift-domain guard: Spark's `shiftright` follows Java semantics
+    * (shift amount masked mod 64), so a window aged ≥ 64 epochs — or an
+    * invalid FUTURE window (win > curWin, a negative shift) — would
+    * silently regain full weight instead of decaying to zero. Ages ≥ 64
+    * are mathematically zero-weight (n < 2^64) and are FILTERED on both
+    * engines; a future window is corrupt input and refuses DIRECTED. */
   def cmsDecayedEstimates(windowed: DataFrame, docs: DataFrame,
                           winCol: String, textCol: String,
                           curWin: Long): DataFrame = {
+    def guardedAge(win: Column): Column =
+      when(win > curWin, raise_error(concat(
+        lit("cmsDecayedEstimates: window "), win.cast("string"),
+        lit(s" is ahead of the current epoch $curWin — a negative " +
+          "shift would wrap, not decay"))))
+        .otherwise((lit(curWin) - win).cast("int"))
     val weighted = windowed
+      .filter(col("win") > curWin - 64L)
       .select(col("j"), col("cell"),
-        expr(s"shiftright(n, CAST($curWin - win AS INT))").as("nw"))
+        call_function("shiftright", col("n"), guardedAge(col("win")))
+          .as("nw"))
       .groupBy("j", "cell").agg(sum(col("nw")).as("n"))
     val decayedExact = docs
       .select(col(winCol).cast("long").as("win"),
         explode(split(col(textCol), " ")).as("w"))
       .filter(length(col("w")) > 0)
+      .filter(col("win") > curWin - 64L)
       .groupBy("win", "w").agg(count(lit(1)).as("c"))
       .select(col("w"),
-        expr(s"shiftright(c, CAST($curWin - win AS INT))").as("cw"))
+        call_function("shiftright", col("c"), guardedAge(col("win")))
+          .as("cw"))
       .groupBy("w").agg(sum(col("cw")).as("exact"))
     decayedExact
       .select(col("w"), col("exact"), explode(jcArray(col("w"))).as("jc"))
@@ -145,7 +162,7 @@ object Sketch {
        |dexact AS MATERIALIZED (
        |  SELECT w, CAST(sum(c >> CAST($curWin - win AS INTEGER)) AS BIGINT)
        |    AS exact
-       |  FROM tw GROUP BY 1),
+       |  FROM tw WHERE win > $curWin - 64 GROUP BY 1),
        |wcells AS MATERIALIZED (
        |  SELECT j,
        |    substr(md5(CAST(j AS VARCHAR) || ':' || w), 1, $CmsNibbles) AS cell,
@@ -155,7 +172,7 @@ object Sketch {
        |cells AS MATERIALIZED (
        |  SELECT j, cell,
        |    CAST(sum(n >> CAST($curWin - win AS INTEGER)) AS BIGINT) AS n
-       |  FROM wcells GROUP BY 1, 2)
+       |  FROM wcells WHERE win > $curWin - 64 GROUP BY 1, 2)
        |SELECT t.w, t.exact, min(c.n) AS est, min(c.n) - t.exact AS over
        |FROM dexact t, LATERAL (SELECT unnest(range(0, $CmsDepth)) AS j) jj
        |JOIN cells c ON c.j = jj.j

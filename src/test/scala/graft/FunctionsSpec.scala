@@ -1196,6 +1196,52 @@ class FunctionsSpec extends SparkSpec {
     assert(r.toSet == Set((1L, 1, true), (2L, 2, false)), r.mkString(","))
   }
 
+  test("mrlTruncationAudit: dims out of range refuses directed — " +
+       "dims < 1 and dims > the stored width (r14 advice: slice() " +
+       "would silently shorten and skew the audit)") {
+    val df = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val q = df.filter(col("vec_id") === 0)
+    intercept[IllegalArgumentException] {
+      Similarity.mrlTruncationAudit(df, q, "vec_id", "embedding",
+        k = 1, dims = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.mrlTruncationAudit(df, q, "vec_id", "embedding",
+        k = 1, dims = 3)
+    }
+  }
+
+  test("tableRecords: a table with MORE than one <th> row refuses " +
+       "directed — joining all header rows would silently duplicate " +
+       "every body record (r14 advice)") {
+    import graft.functions.Html
+    def cells(rows: (Long, Int, Int, Int, Boolean, String)*) =
+      rows.toDF("id", "table_idx", "row_idx", "col_idx", "is_header",
+        "text")
+    // single header row: records key on it, no refusal
+    val ok = Html.tableRecords(cells(
+      (1L, 0, 0, 0, true, "h0"), (1L, 0, 0, 1, true, "h1"),
+      (1L, 0, 1, 0, false, "a"), (1L, 0, 1, 1, false, "b")))
+      .collect().map(r => (r.getString(3), r.getString(4))).toSet
+    assert(ok == Set(("h0", "a"), ("h1", "b")))
+    // two header rows in the SAME table: directed refusal
+    val ex = intercept[Exception] {
+      Html.tableRecords(cells(
+        (2L, 0, 0, 0, true, "h0"), (2L, 0, 1, 0, true, "H0"),
+        (2L, 0, 2, 0, false, "a"))).collect()
+    }
+    assert(ex.getMessage != null &&
+      ex.getMessage.contains("multiple <th> rows"), ex.getMessage)
+    // two header rows in DIFFERENT tables of one doc: both fine
+    val two = Html.tableRecords(cells(
+      (3L, 0, 0, 0, true, "x"), (3L, 0, 1, 0, false, "v0"),
+      (3L, 1, 0, 0, true, "y"), (3L, 1, 1, 0, false, "v1")))
+      .collect().map(r => (r.getInt(1), r.getString(3), r.getString(4)))
+      .toSet
+    assert(two == Set((0, "x", "v0"), (1, "y", "v1")))
+  }
+
   test("hyperplane bucket is deterministic and stable") {
     val df = Seq((0L, Array(1.0f, -2.0f, 0.5f))).toDF("id", "v")
     val b1 = df.select(Similarity.hyperplaneBucket(col("v"), 8)).collect().head.getLong(0)
@@ -2165,6 +2211,30 @@ class FunctionsSpec extends SparkSpec {
     // 2 tokens in 4096 cells: no collision — est == exact here
     assert(r == Map("x" -> ((2L, 2L, 0L)), "y" -> ((1L, 1L, 0L))),
       r.toString)
+  }
+
+  test("cmsDecayedEstimates: shift-domain guard — an age-64 window " +
+       "drops to zero weight (never wraps to full), a FUTURE window " +
+       "refuses directed (r14 advice: Java shiftright masks mod 64)") {
+    import graft.functions.Sketch
+    // window 0 aged exactly 64: Java's 5 >> 64 == 5 (mask) — the guard
+    // must FILTER it, so only window 64's own count survives
+    val docs = Seq((0L, "x x x x x"), (64L, "x")).toDF("win", "text")
+    val wd = Sketch.cmsBuildWindowed(docs, "win", "text").localCheckpoint()
+    val r = Sketch.cmsDecayedEstimates(wd, docs, "win", "text",
+        curWin = 64L).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r == Map("x" -> ((1L, 1L))), r.toString)
+    // a window AHEAD of the epoch is corrupt input: directed refusal
+    val bad = Seq((3L, "y")).toDF("win", "text")
+    val wdBad = Sketch.cmsBuildWindowed(bad, "win", "text")
+      .localCheckpoint()
+    val ex = intercept[Exception] {
+      Sketch.cmsDecayedEstimates(wdBad, bad, "win", "text", curWin = 2L)
+        .collect()
+    }
+    assert(ex.getMessage != null &&
+      ex.getMessage.contains("ahead of the current epoch"), ex.getMessage)
   }
 
   // ---- exact-bits multinomial Naive Bayes (Classify) ----

@@ -118,6 +118,16 @@ class HtmlSpec extends AnyFunSuite {
     assert(Html.decodeEntities("no entities") == "no entities")
   }
 
+  test("decodeEntities: surrogate-range refs (U+D800-U+DFFF) pass " +
+       "through verbatim — decoding would mint an unpaired surrogate " +
+       "(invalid UTF-16) that corrupts downstream UTF-8 encodes") {
+    assert(Html.decodeEntities("&#xD800; &#xDFFF; &#55296; &#57343;")
+      == "&#xD800; &#xDFFF; &#55296; &#57343;")
+    // the boundary neighbors are real characters and still decode
+    assert(Html.decodeEntities("&#xD7FF;") == "\uD7FF")
+    assert(Html.decodeEntities("&#xE000;") == "\uE000")
+  }
+
   test("decodeEntities: named core set (round-13 verdict item 1), hex " +
        "refs, and the bare-&amp tolerance rule — every expectation " +
        "spelled from Html.NamedEntities") {
