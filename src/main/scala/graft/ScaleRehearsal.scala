@@ -215,7 +215,9 @@ object ScaleRehearsal {
     // stream forms: router + table walk (file-micro-batch overhead)
     "q306_stream_quality_router", "q307_stream_html_tables",
     // per-source dataset card: one scan, O(sources) keys
-    "q309_dataset_card")
+    "q309_dataset_card",
+    "q310_html_span_tables", "q311_html_span_recovery",
+    "q312_span_table_records")
     // q308 (MRL audit) is EXCLUDED by design: the scale-up replicates
     // vectors VERBATIM, so every query's top-3 is its own identical
     // replicas under both the truncated and the full ranking — the

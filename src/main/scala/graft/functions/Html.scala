@@ -664,23 +664,173 @@ object Html {
         s"corruptSynthTableHtml: class must be 0-2, got $other")
   }
 
+  /** Deterministic SPAN synth page for the q310-q312 gates — one table
+    * whose layout exercises every span rule [[walkTableCells]] claims:
+    * caption = token 0; header row = `<th colspan="2">t1</th><th>t2
+    * </th>` (expands to 3 header positions); body tokens come in pairs
+    * of rows — slot 0 of each 5-token group renders `<td rowspan=2>`
+    * at col 0 (covering BOTH rows of its pair), slots 1-2 fill row A
+    * cols 1-2, slots 3-4 fill row B cols 1-2 (placing AFTER the
+    * occupied col 0 — the skip rule). A ragged tail with slots 3-4
+    * missing leaves row B unrendered, so the rowspan CLIPS (the
+    * standard's grow-only-as-rows-exist rule) — the oracle recomputes
+    * exactly that arithmetic. Traps: a script fake table WITH spans, a
+    * comment fake table, a quoted '>' attribute, a `data-colspan`
+    * attribute on the table AND on every slot-1 cell (the span-name
+    * word-boundary trap), both quoted and unquoted span spellings. */
+  def synthSpanTableHtml(text: String): String = {
+    val t = text.split(" ").filter(_.nonEmpty)
+    require(t.length >= 3,
+      s"synthSpanTableHtml: needs >= 3 tokens, got ${t.length}")
+    val sb = new StringBuilder
+    sb ++= "<!DOCTYPE html><html><head><title>s</title>"
+    sb ++= "<script>var t = \"<table><caption>fake</caption>" +
+      "<tr><td colspan=9>fake</td></tr></table>\";</script>"
+    sb ++= "</head><body>"
+    sb ++= "<!-- trap: <table><tr><td rowspan=7>fake</td></tr></table> -->"
+    sb ++= "<p>intro prose for the span table.</p>"
+    sb ++= "<table class=\"data\" data-colspan=\"9\" data-note=\"cols > 0\">"
+    sb ++= "<caption>"; sb ++= t(0); sb ++= "</caption>"
+    sb ++= "<tr><th colspan=\"2\">"; sb ++= t(1); sb ++= "</th><th>"
+    sb ++= t(2); sb ++= "</th></tr>"
+    val m = t.length - 3
+    var p = 0
+    while (5 * p < m) {
+      val base = 3 + 5 * p
+      sb ++= "<tr><td rowspan=2>"; sb ++= t(base); sb ++= "</td>"
+      if (base + 1 < t.length) {
+        sb ++= "<td data-colspan=\"7\">"; sb ++= t(base + 1); sb ++= "</td>"
+      }
+      if (base + 2 < t.length) {
+        sb ++= "<td>"; sb ++= t(base + 2); sb ++= "</td>"
+      }
+      sb ++= "</tr>"
+      if (base + 3 < t.length) {
+        sb ++= "<tr><td>"; sb ++= t(base + 3); sb ++= "</td>"
+        if (base + 4 < t.length) {
+          sb ++= "<td>"; sb ++= t(base + 4); sb ++= "</td>"
+        }
+        sb ++= "</tr>"
+      }
+      p += 1
+    }
+    sb ++= "</table></body></html>"
+    sb.toString
+  }
+
+  /** Deterministic real-web corruption of [[synthSpanTableHtml]] — the
+    * q303 classes re-cut for spans (the q311 gate uses id % 3):
+    *   0 → untouched (the strict-agreement subset);
+    *   1 → IMPLIED END TAGS: every `</td>`, `</th>`, `</tr>` AND
+    *       `</caption>` dropped (the implied-caption-close class);
+    *   2 → truncated page (EOF implied-close) + entity dirt on every
+    *       `<th>` cell and the caption (`&nbsp;w&mdash;` — decodes to
+    *       ONE glued token, NBSP is not \s). */
+  def corruptSynthSpanTableHtml(text: String, cls: Int): String =
+    cls match {
+      case 0 => synthSpanTableHtml(text)
+      case 1 => synthSpanTableHtml(text)
+        .replace("</td>", "").replace("</th>", "").replace("</tr>", "")
+        .replace("</caption>", "")
+      case 2 =>
+        val h = synthSpanTableHtml(text)
+          .stripSuffix("</body></html>") match {
+            case s if s.endsWith("</table>") => s.stripSuffix("</table>")
+            case s => s
+          }
+        h.replaceAll("<th([^>]*)>([^<&]+)</th>",
+          "<th$1>" + entityRef("nbsp") + "$2" + entityRef("mdash") +
+            "</th>")
+          .replaceAll("<caption>([^<&]+)</caption>",
+            "<caption>" + entityRef("nbsp") + "$1" + entityRef("mdash") +
+              "</caption>")
+      case other =>
+        throw new IllegalArgumentException(
+          s"corruptSynthSpanTableHtml: class must be 0-2, got $other")
+    }
+
+  /** Attach [[synthSpanTableHtml]] pages (the [[withSynthHtml]]
+    * pattern). */
+  def withSynthSpanTableHtml(df: DataFrame, idCol: String,
+                             textCol: String,
+                             clsOf: Long => Int = _ => 0): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("html", StringType)))
+    val enc = Encoders.row(schema)
+    val idIdx = df.columns.indexOf(idCol)
+    val tIdx = df.columns.indexOf(textCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        Row(row.getLong(idIdx),
+          corruptSynthSpanTableHtml(row.getString(tIdx), clsOf(row.getLong(idIdx))))
+      }
+    }(enc)
+  }
+
+  /** The q310/q311 span-grid oracle CTE: every (doc, position) the
+    * EXPANDED grid holds, recomputed arithmetically from token ordinals
+    * — caption at (−1, 0); header token 1 at cols 0 AND 1 (colspan 2),
+    * token 2 at col 2; body 5-token groups place slot 0 at col 0 of
+    * BOTH pair rows (the second only when the slot-3 token exists —
+    * the CLIP rule), slots 1-2 / 3-4 at cols 1-2 of rows A / B. Emits
+    * (doc_id, i0, r, cx, hdr, w): `i0` the source-token ordinal (so
+    * callers can re-derive header tokens), `w` the token itself. */
+  def spanGridOracleCte: String =
+    """t AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '')
+      |    AS t
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, i - 1 AS i0, len(t) - 3 AS m, t[i] AS w
+      |  FROM t, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) ii),
+      |pos AS (
+      |  SELECT doc_id, i0, -1 AS r, 0 AS cx, FALSE AS hdr, w
+      |  FROM c WHERE i0 = 0
+      |  UNION ALL SELECT doc_id, i0, 0, 0, TRUE, w FROM c WHERE i0 = 1
+      |  UNION ALL SELECT doc_id, i0, 0, 1, TRUE, w FROM c WHERE i0 = 1
+      |  UNION ALL SELECT doc_id, i0, 0, 2, TRUE, w FROM c WHERE i0 = 2
+      |  UNION ALL SELECT doc_id, i0, 1 + 2 * ((i0 - 3) // 5), 0, FALSE, w
+      |    FROM c WHERE i0 >= 3 AND (i0 - 3) % 5 = 0
+      |  UNION ALL SELECT doc_id, i0, 2 + 2 * ((i0 - 3) // 5), 0, FALSE, w
+      |    FROM c WHERE i0 >= 3 AND (i0 - 3) % 5 = 0
+      |      AND m > 5 * ((i0 - 3) // 5) + 3
+      |  UNION ALL SELECT doc_id, i0, 1 + 2 * ((i0 - 3) // 5),
+      |      (i0 - 3) % 5, FALSE, w
+      |    FROM c WHERE i0 >= 3 AND (i0 - 3) % 5 IN (1, 2)
+      |  UNION ALL SELECT doc_id, i0, 2 + 2 * ((i0 - 3) // 5),
+      |      (i0 - 3) % 5 - 2, FALSE, w
+      |    FROM c WHERE i0 >= 3 AND (i0 - 3) % 5 IN (3, 4))""".stripMargin
+
   /** TABLE extraction — the CommonCrawl structured-data walk: parse the
     * page's `<table>` elements into (table, row, col, header, text)
-    * cells. Strict mode demands explicit closes; `recover = true`
-    * applies HTML5's IMPLIED-END-TAG rules (`<td>`/`<th>`/`<tr>` close
-    * an open cell/row; `</table>`/EOF close everything open — most real
-    * crawl tables omit `</td>`/`</tr>`) and decodes entities in cell
-    * text ([[decodeEntities]]). `<thead>`/`<tbody>`/`<tfoot>` are
+    * cells, SPAN-AWARE per the HTML table processing model (WHATWG
+    * HTML §4.9.12 "Processing model — forming a table"): a
+    * `colspan=c rowspan=r` cell covers its c × r grid rectangle and is
+    * emitted once per covered (row, col) position; a later cell in the
+    * same row places at the first column not occupied by an earlier
+    * span; a rowspan reaching past the table's LAST actual row clips
+    * to it (the standard's "grow downward only as rows exist" rule).
+    * `<caption>` (first child, at most one) is captured as a cell at
+    * row −1, col 0, is_header = false. Strict mode demands explicit
+    * closes; `recover = true` applies HTML5's IMPLIED-END-TAG rules
+    * (`<td>`/`<th>`/`<tr>` close an open cell/row/caption;
+    * `</table>`/EOF close everything open — most real crawl tables
+    * omit `</td>`/`</tr>`) and decodes entities in cell text
+    * ([[decodeEntities]]). `<thead>`/`<tbody>`/`<tfoot>` are
     * transparent grouping (row ordinals continue across them). Inline
     * markup inside a cell is a token separator; its text joins the
     * cell. Out of scope — a refusal in BOTH modes (directed, never a
-    * guess): nested tables, `<caption>`, rows outside a table, cells
-    * outside a row, non-whitespace text between table structure tags,
-    * and colspan/rowspan-aware grids (ordinals here are ORDINAL cell
-    * positions; span-aware layout is a declared non-goal).
+    * guess): nested tables, rows outside a table, cells outside a row,
+    * a caption after the first row or a second caption,
+    * non-whitespace text between table structure tags, and span
+    * values that are not plain integers in [1, 1000] (HTML's
+    * `rowspan=0` extend-to-row-group rule stays out of scope).
     *
     * Scale: one mapPartitions pass over payload strings (the
-    * [[walkHtmlBlocks]] contract) — per-row CPU, zero exchange. */
+    * [[walkHtmlBlocks]] contract) — per-row CPU, zero exchange; the
+    * per-table buffer (needed for rowspan clipping) is one page's
+    * cells, never corpus state. */
   def walkTableCells(html: String, recover: Boolean): Option[Seq[TableCell]] = {
     if (html == null) return None
     val n = html.length
@@ -689,23 +839,94 @@ object Html {
     var inTable = false
     var inRow = false
     var inCell = false
+    var inCaption = false
+    var sawCaption = false
     var rowIdx = -1
-    var colIdx = -1
+    var colCursor = 0
+    var cellCol = -1
+    var cellColspan = 1
+    var cellRowspan = 1
     var headerCell = false
     var cellBuf: StringBuilder = null
+    var captionBuf: StringBuilder = null
+    // col → rows this column stays occupied, INCLUDING the current row
+    val live = scala.collection.mutable.HashMap.empty[Int, Int]
+    // per-table placements: (row, col, rowspan, colspan, header, text);
+    // row −1 is the caption — expanded (and clipped) at table close
+    val placed = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Int, Int, Int, Boolean, String)]
     val cells = Seq.newBuilder[TableCell]
     def lower(s: String) = s.toLowerCase(java.util.Locale.ROOT)
-    def emitCell(): Unit = {
-      val raw = cellBuf.toString
+    def norm(raw: String): String = {
       val txt = if (recover) decodeEntities(raw) else raw
-      cells += TableCell(tableIdx, rowIdx, colIdx, headerCell,
-        txt.split("\\s+").filter(_.nonEmpty).mkString(" "))
+      txt.split("\\s+").filter(_.nonEmpty).mkString(" ")
+    }
+    def emitCell(): Unit = {
+      placed += ((rowIdx, cellCol, cellRowspan, cellColspan, headerCell,
+        norm(cellBuf.toString)))
       inCell = false; cellBuf = null
+    }
+    def emitCaption(): Unit = {
+      placed += ((-1, 0, 1, 1, false, norm(captionBuf.toString)))
+      inCaption = false; captionBuf = null; sawCaption = true
+    }
+    def closeTable(): Unit = {
+      val totalRows = rowIdx + 1
+      placed.foreach { case (r, c0, rs, cs, hdr, txt) =>
+        if (r < 0) cells += TableCell(tableIdx, -1, 0, hdr, txt)
+        else {
+          var rr = r
+          val rEnd = math.min(r + rs, totalRows)
+          while (rr < rEnd) {
+            var cc = c0
+            while (cc < c0 + cs) {
+              cells += TableCell(tableIdx, rr, cc, hdr, txt); cc += 1
+            }
+            rr += 1
+          }
+        }
+      }
+      placed.clear(); live.clear()
+      inTable = false; inRow = false; rowIdx = -1; sawCaption = false
+    }
+    // span attribute value: absent → 1; a non-integer or out-of-range
+    // value → −1 (the caller refuses — never a guess)
+    def spanAttr(attrs: String, name: String): Int = {
+      val la = lower(attrs)
+      var p = la.indexOf(name)
+      while (p >= 0 &&
+          (p > 0 && (la.charAt(p - 1).isLetterOrDigit ||
+            la.charAt(p - 1) == '-')))
+        p = la.indexOf(name, p + 1)
+      if (p < 0) return 1
+      var j = p + name.length
+      while (j < la.length && la.charAt(j).isWhitespace) j += 1
+      if (j >= la.length || la.charAt(j) != '=') return -1
+      j += 1
+      while (j < la.length && la.charAt(j).isWhitespace) j += 1
+      if (j >= la.length) return -1
+      val q = la.charAt(j)
+      val v =
+        if (q == '"' || q == '\'') {
+          val e = la.indexOf(q, j + 1)
+          if (e < 0) return -1
+          la.substring(j + 1, e)
+        } else {
+          var e = j
+          while (e < la.length && !la.charAt(e).isWhitespace &&
+            la.charAt(e) != '/' && la.charAt(e) != '>') e += 1
+          la.substring(j, e)
+        }
+      if (v.nonEmpty && v.length <= 4 && v.forall(_.isDigit)) {
+        val x = v.toInt
+        if (x >= 1 && x <= 1000) x else -1
+      } else -1
     }
     while (i < n) {
       val c = html.charAt(i)
       if (c != '<') {
         if (inCell) cellBuf += c
+        else if (inCaption) captionBuf += c
         else if (inTable && !c.isWhitespace) return None // junk in table
         i += 1
       } else if (html.startsWith("<!--", i)) {
@@ -725,6 +946,8 @@ object Html {
         if (j == nameStart) return None
         val name = lower(html.substring(nameStart, j))
         // attribute scan — quoted values may contain '>'
+        val attrStart = j
+        var attrEnd = j
         var selfClose = false
         var done = false
         while (!done) {
@@ -734,9 +957,9 @@ object Html {
             val e = html.indexOf(cj, j + 1)
             if (e < 0) return None
             j = e + 1
-          } else if (cj == '>') { done = true; j += 1 }
+          } else if (cj == '>') { done = true; attrEnd = j; j += 1 }
           else if (cj == '/' && j + 1 < n && html.charAt(j + 1) == '>') {
-            selfClose = true; done = true; j += 2
+            selfClose = true; done = true; attrEnd = j; j += 2
           } else j += 1
         }
         i = j
@@ -746,18 +969,28 @@ object Html {
             tableIdx += 1; inTable = true; rowIdx = -1
           case "table" if closing =>
             if (!inTable) return None
-            if (inCell || inRow) {
+            if (inCell || inRow || inCaption) {
               if (!recover) return None
               if (inCell) emitCell()
-              inRow = false
+              if (inCaption) emitCaption()
             }
-            inTable = false
-          case "caption" => return None // declared out of scope
+            closeTable()
+          case "caption" if !closing =>
+            if (!inTable || inRow || inCell || inCaption) return None
+            if (sawCaption || rowIdx >= 0) return None // first child, once
+            inCaption = true; captionBuf = new StringBuilder
+          case "caption" if closing =>
+            if (!inCaption) return None
+            emitCaption()
           case "thead" | "tbody" | "tfoot" =>
             if (!inTable) return None // grouping is table structure
             if (inCell) { // implied </td> + </tr> at a group boundary
               if (!recover) return None
               emitCell()
+            }
+            if (inCaption) { // implied </caption> at a group boundary
+              if (!recover) return None
+              emitCaption()
             }
             if (inRow) {
               if (!recover) return None
@@ -765,11 +998,17 @@ object Html {
             }
           case "tr" if !closing =>
             if (!inTable) return None
-            if (inCell || inRow) {
+            if (inCell || inRow || inCaption) {
               if (!recover) return None
               if (inCell) emitCell()
+              if (inCaption) emitCaption()
             }
-            inRow = true; rowIdx += 1; colIdx = -1
+            // the previous row is done: spans burn one occupied row
+            live.keys.toSeq.foreach { k =>
+              val left = live(k) - 1
+              if (left <= 0) live.remove(k) else live(k) = left
+            }
+            inRow = true; rowIdx += 1; colCursor = 0
           case "tr" if closing =>
             if (!inRow) return None
             if (inCell) {
@@ -783,7 +1022,18 @@ object Html {
               if (!recover) return None
               emitCell()
             }
-            inCell = true; colIdx += 1
+            val attrs = html.substring(attrStart, attrEnd)
+            val cs = spanAttr(attrs, "colspan")
+            val rs = spanAttr(attrs, "rowspan")
+            if (cs < 1 || rs < 1) return None // malformed span: refuse
+            // place at the first column not occupied by an earlier span
+            var c0 = colCursor
+            while (live.getOrElse(c0, 0) > 0) c0 += 1
+            cellCol = c0; cellColspan = cs; cellRowspan = rs
+            var cc = c0
+            while (cc < c0 + cs) { live(cc) = rs; cc += 1 }
+            colCursor = c0 + cs
+            inCell = true
             headerCell = name == "th"
             cellBuf = new StringBuilder
           case "td" | "th" if closing =>
@@ -809,18 +1059,23 @@ object Html {
               i = gt + 1
             }
             if (inCell) { cellBuf += ' ' }
+            else if (inCaption) { captionBuf += ' ' }
           case _ =>
-            // any other element: a token separator inside a cell,
-            // page structure outside (not this walker's concern)
+            // any other element: a token separator inside a cell or
+            // caption, page structure outside (not this walker's
+            // concern)
             if (inCell) cellBuf += ' '
+            else if (inCaption) captionBuf += ' '
         }
       } else {
         return None // bare '<'
       }
     }
-    if (inTable || inRow || inCell) {
+    if (inTable || inRow || inCell || inCaption) {
       if (!recover) return None
       if (inCell) emitCell()
+      if (inCaption) emitCaption()
+      closeTable()
     }
     Some(cells.result())
   }
@@ -875,7 +1130,8 @@ object Html {
     * tuples — markup tables become relational records. The join keys
     * on (id, table, col): per-document, uniform, never corpus-keyed.
     * Body cells whose column has no header (a body row wider than the
-    * header row) drop — records without a schema are not records.
+    * header row) drop — records without a schema are not records;
+    * caption rows (row −1) are table metadata, never body records.
     * A table with MORE than one `<th>` row (legal markup, common in
     * real crawls) has no single header schema — joining all header
     * rows would silently duplicate every body record, so it refuses
@@ -895,7 +1151,7 @@ object Html {
           lit(" has multiple <th> rows — header-keyed records need " +
             "exactly one header row"))))
           .otherwise(col("col_name")).as("col_name"))
-    cells.filter(!col("is_header"))
+    cells.filter(!col("is_header") && col("row_idx") >= 0)
       .select(col("id"), col("table_idx"), col("row_idx"),
         col("col_idx"), col("text").as("value"))
       .join(headers, Seq("id", "table_idx", "col_idx"))

@@ -3429,6 +3429,83 @@ object Extensions {
           min(col("q")).as("min_quality"), max(col("q")).as("max_quality"))
     }),
 
+    // --- SPAN-AWARE table extraction (r14 verdict #1 — the most common
+    // real-web table shape the walker previously refused): the synth
+    // renders ONE table per page with a caption, a colspan-2 header,
+    // and rowspan-2 first-column cells whose pair row may be missing
+    // (the CLIP rule), plus the trap battery (script fake table WITH
+    // spans, data-colspan word-boundary trap on the table and on body
+    // cells, quoted '>' attribute, both span quote spellings). The
+    // oracle recomputes the EXPANDED grid arithmetically — any
+    // placement bug (skip-occupied-column, coverage emission, clip,
+    // caption ordinal) diverges immediately.
+    "q310_html_span_tables" -> ((s, dir) => {
+      val H = graft.functions.Html
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val cells = H.htmlTableCells(
+        H.withSynthSpanTableHtml(docs, "doc_id", "text"), "id", "html")
+      cells.select(
+        when(col("table_idx").isNull, raise_error(concat(
+          lit("q310: span-table HTML for id "), col("id").cast("string"),
+          lit(" failed to parse — span-walker regression"))))
+          .otherwise(col("id")).as("doc_id"),
+        col("table_idx"), col("row_idx"), col("col_idx"),
+        col("is_header"), col("text"))
+    }),
+
+    // --- span-table extraction in RECOVERY mode against deterministic
+    // corruption (the q303 recipe re-cut for spans): class = doc_id % 3
+    // — untouched / implied end tags INCLUDING </caption> / truncated
+    // page + entity-decorated header AND caption cells. STRICT must
+    // refuse every class-1/2 page (asserted); recovery parses 100% and
+    // must land on the SAME expanded grid, headers+caption decorated.
+    "q311_html_span_recovery" -> ((s, dir) => {
+      val H = graft.functions.Html
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val pages = H.withSynthSpanTableHtml(docs, "doc_id", "text",
+        clsOf = id => (id % 3).toInt)
+      require(
+        H.htmlTableCells(
+            pages.filter(col("id") % 3 =!= 0), "id", "html")
+          .filter(col("table_idx").isNotNull).limit(1).isEmpty,
+        "q311: strict mode parsed a corrupted span-table page — the " +
+          "corruption is vacuous")
+      H.htmlTableCells(pages, "id", "html", recover = true)
+        .select(
+          when(col("table_idx").isNull, raise_error(concat(
+            lit("q311: recovery failed to parse span-table HTML for id "),
+            col("id").cast("string"))))
+            .otherwise(col("id")).as("doc_id"),
+          col("table_idx"), col("row_idx"), col("col_idx"),
+          col("is_header"), col("text"))
+    }),
+
+    // --- header-keyed records over the EXPANDED span grid (q305
+    // re-gated over spanned headers, r14 verdict #1's "done" bar): the
+    // colspan-2 header token names BOTH its covered columns, the
+    // rowspan body cell contributes a record in EACH covered row, and
+    // the caption row (−1) is excluded — tableRecords' row_idx >= 0
+    // filter is load-bearing here (a caption is not a body cell).
+    "q312_span_table_records" -> ((s, dir) => {
+      val H = graft.functions.Html
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val cells = H.htmlTableCells(
+        H.withSynthSpanTableHtml(docs, "doc_id", "text"), "id", "html")
+      val verified = cells.select(
+        when(col("table_idx").isNull, raise_error(concat(
+          lit("q312: span-table HTML for id "), col("id").cast("string"),
+          lit(" failed to parse — span-walker regression"))))
+          .otherwise(col("id")).as("id"),
+        col("table_idx"), col("row_idx"), col("col_idx"),
+        col("is_header"), col("text"))
+      H.tableRecords(verified)
+        .select(col("id").as("doc_id"), col("table_idx"), col("row_idx"),
+          col("col_name"), col("value"))
+    }),
+
     // --- per-source quantile normalization of the quality score: the
     // cross-source calibration step (a raw "70" means different things
     // from different sources); micro-bucket CDF, never a corpus window
@@ -6988,6 +7065,28 @@ object Extensions {
        |  w AS text
        |FROM c""".stripMargin
 
+  /** The q310/q311 span-grid oracle: the expanded-coverage CTE from
+    * Html.spanGridOracleCte projected to the walker's cell schema;
+    * `decorated` adds q311's class-2 entity dirt on header + caption
+    * cells (NamedEntities-interpolated, glued — the q303 spelling). */
+  private def spanGridOracle(decorated: Boolean): String = {
+    val nb = graft.functions.Html.entityText("nbsp")
+    val md = graft.functions.Html.entityText("mdash")
+    val txt =
+      if (decorated)
+        s"CASE WHEN doc_id % 3 = 2 AND (hdr OR r = -1) " +
+          s"THEN '$nb' || w || '$md' ELSE w END"
+      else "w"
+    s"""WITH ${graft.functions.Html.spanGridOracleCte}
+       |SELECT doc_id,
+       |  CAST(0 AS INTEGER) AS table_idx,
+       |  CAST(r AS INTEGER) AS row_idx,
+       |  CAST(cx AS INTEGER) AS col_idx,
+       |  hdr AS is_header,
+       |  $txt AS text
+       |FROM pos""".stripMargin
+  }
+
   /** The q304/q306 distillation oracle: gopher labels (the shared
     * gopherRulesSqlExpr) chained into the NB oracle, agreement joined
     * back. */
@@ -8657,6 +8756,28 @@ object Extensions {
          |  t[2 * ((i0 // 2) % 3) + (i0 % 2) + 1] AS col_name,
          |  w AS value
          |FROM c WHERE (i0 // 2) // 3 >= 1""".stripMargin
+    },
+
+    // q310/q311: the EXPANDED span grid recomputed arithmetically —
+    // the coverage CTE lives in Html.spanGridOracleCte (one Scala
+    // constant feeds the renderer contract, the strict gate, the
+    // recovery gate, and the records gate); q311's class-2 header and
+    // caption cells carry the DECODED entity decoration
+    "q310_html_span_tables" -> spanGridOracle(decorated = false),
+    "q311_html_span_recovery" -> spanGridOracle(decorated = true),
+
+    // q312: header-keyed records over the EXPANDED grid — cols 0-1 are
+    // named by token 1 (the colspan-2 header), col 2 by token 2; the
+    // rowspan body cell records in BOTH covered rows; caption excluded
+    "q312_span_table_records" -> {
+      s"""WITH ${graft.functions.Html.spanGridOracleCte}
+         |SELECT p.doc_id,
+         |  CAST(0 AS INTEGER) AS table_idx,
+         |  CAST(p.r AS INTEGER) AS row_idx,
+         |  CASE WHEN p.cx <= 1 THEN t.t[2] ELSE t.t[3] END AS col_name,
+         |  p.w AS value
+         |FROM pos p JOIN t ON t.doc_id = p.doc_id
+         |WHERE p.r >= 1""".stripMargin
     },
 
     // q292: all-occurrences counts by brute positional enumeration;

@@ -291,17 +291,77 @@ class HtmlSpec extends AnyFunSuite {
   }
 
   test("walkTableCells: out-of-scope shapes refuse DIRECTED in both " +
-       "modes — nested table, caption, cell outside row, junk in table") {
+       "modes — nested table, cell outside row, junk in table, " +
+       "misplaced/duplicate caption, malformed span values") {
     val bad = Seq(
       "<table><tr><td><table></table></td></tr></table>", // nested
-      "<table><caption>c</caption><tr><td>x</td></tr></table>",
       "<table><td>x</td></table>",                         // td sans tr
       "<table>stray<tr><td>x</td></tr></table>",           // junk text
-      "<div><tr><td>x</td></tr></div>")                    // tr sans table
+      "<div><tr><td>x</td></tr></div>",                    // tr sans table
+      // caption is FIRST CHILD, at most once (HTML content model)
+      "<table><tr><td>x</td></tr><caption>late</caption></table>",
+      "<table><caption>a</caption><caption>b</caption>" +
+        "<tr><td>x</td></tr></table>",
+      "<table><tr><caption>in-row</caption></tr></table>",
+      // span values must be plain integers in [1, 1000]
+      "<table><tr><td colspan=\"0\">x</td></tr></table>",
+      "<table><tr><td rowspan=\"0\">x</td></tr></table>", // 0 = row-group
+      "<table><tr><td colspan=\"two\">x</td></tr></table>",
+      "<table><tr><td rowspan=\"1001\">x</td></tr></table>",
+      "<table><tr><td colspan>x</td></tr></table>")
     for (h <- bad; rec <- Seq(false, true))
       assert(Html.walkTableCells(h, rec).isEmpty, s"$h rec=$rec")
     // a th closed as td is a structure lie — refused even in recovery
     assert(Html.walkTableCells("<table><tr><th>x</td></tr></table>",
       recover = true).isEmpty)
+  }
+
+  test("walkTableCells: SPAN-AWARE grid — colspan covers its columns, " +
+       "rowspan covers following rows, later cells skip occupied " +
+       "columns, a rowspan past the last row CLIPS (r14 verdict #1)") {
+    // header: A colspan=2, B → (0,0,A),(0,1,A),(0,2,B)
+    // row 1:  X rowspan=2, b1, b2 → X also covers (2,0)
+    // row 2:  c1, c2 place at cols 1,2 (col 0 occupied by X)
+    val h = "<table>" +
+      "<tr><th colspan=\"2\">A</th><th>B</th></tr>" +
+      "<tr><td rowspan=2>X</td><td>b1</td><td>b2</td></tr>" +
+      "<tr><td>c1</td><td>c2</td></tr></table>"
+    val cs = Html.walkTableCells(h, recover = false).get
+      .map(c => (c.rowIdx, c.colIdx, c.header, c.text)).toSet
+    assert(cs == Set(
+      (0, 0, true, "A"), (0, 1, true, "A"), (0, 2, true, "B"),
+      (1, 0, false, "X"), (1, 1, false, "b1"), (1, 2, false, "b2"),
+      (2, 0, false, "X"), (2, 1, false, "c1"), (2, 2, false, "c2")))
+    // clip: rowspan=3 with only 2 rows emits 2 coverage rows
+    val h2 = "<table><tr><td rowspan='3'>X</td><td>a</td></tr>" +
+      "<tr><td>b</td></tr></table>"
+    val cs2 = Html.walkTableCells(h2, recover = false).get
+      .map(c => (c.rowIdx, c.colIdx, c.text)).toSet
+    assert(cs2 == Set((0, 0, "X"), (0, 1, "a"), (1, 0, "X"), (1, 1, "b")))
+    // both quote forms + unquoted parse; absent spans default to 1;
+    // an unrelated data-colspan attribute must NOT match
+    val h3 = "<table><tr><td data-colspan=\"9\">a</td><td>b</td></tr>" +
+      "</table>"
+    assert(Html.walkTableCells(h3, recover = false).get.map(_.colIdx)
+      == Seq(0, 1))
+    // recovery agrees with strict on well-formed span pages
+    assert(Html.walkTableCells(h, recover = true).get ==
+      Html.walkTableCells(h, recover = false).get)
+  }
+
+  test("walkTableCells: caption captured at row −1 col 0, implied " +
+       "</caption> in recovery only; caption text joins like a cell") {
+    val h = "<table><caption>tbl <b>one</b></caption>" +
+      "<tr><td>x</td></tr></table>"
+    val cs = Html.walkTableCells(h, recover = false).get
+    assert(cs == Seq(
+      Html.TableCell(0, -1, 0, header = false, "tbl one"),
+      Html.TableCell(0, 0, 0, header = false, "x")))
+    // implied </caption> at <tr>: recovery parses, strict refuses
+    val implied = "<table><caption>cap<tr><td>x</table>"
+    assert(Html.walkTableCells(implied, recover = false).isEmpty)
+    assert(Html.walkTableCells(implied, recover = true).get ==
+      Seq(Html.TableCell(0, -1, 0, header = false, "cap"),
+        Html.TableCell(0, 0, 0, header = false, "x")))
   }
 }
