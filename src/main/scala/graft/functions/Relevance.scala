@@ -283,22 +283,40 @@ object Relevance {
                     terms: Seq[String], queryVecId: Long,
                     legK: Int = 100, topK: Int = 20,
                     rrfK: Int = 60): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val lex = bm25TopK(docs, docIdCol, textCol, terms, legK)
-      .select(col(docIdCol).as("doc_id"), col("score_micros"))
-    // single-partition window over ≤legK rows (bounded by construction)
-    val wLex = Window.orderBy(col("score_micros").desc, col("doc_id").asc)
-    val lexRanked = lex
-      .withColumn("lr", row_number().over(wLex).cast("int"))
-      .select(col("doc_id"), col("lr"))
+    val lexRanked = rankByScore(
+      bm25TopK(docs, docIdCol, textCol, terms, legK)
+        .select(col(docIdCol).as("doc_id"), col("score_micros")))
     val queries = embeddings.filter(col(vecIdCol) === queryVecId)
     val dense = Similarity
       .bruteForceKnn(embeddings, queries, vecIdCol, vecCol, legK)
       .select(col("nn_id").as("doc_id"), col("rk").cast("int").as("dr"))
+    rrfFuse(lexRanked, dense, topK, rrfK)
+  }
+
+  /** Rank a k-sized (doc_id, score_micros) candidate list → (doc_id,
+    * lr): the lexical leg's rank assignment, score desc / id asc. A
+    * single-partition window over ≤ legK rows — bounded by the leg's
+    * own LIMIT, never corpus-sized. */
+  def rankByScore(scored: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("score_micros").desc, col("doc_id").asc)
+    scored.withColumn("lr", row_number().over(w).cast("int"))
+      .select(col("doc_id"), col("lr"))
+  }
+
+  /** The RRF fusion step ALONE, generator-agnostic (the claim
+    * [[hybridRrfTopK]]'s scaladoc makes, now an API surface the
+    * composed index-served stack exercises): fuse a lexical ranked
+    * list (doc_id, lr) and a dense ranked list (doc_id, dr) as
+    * 1/(rrfK + rank) per leg, absent legs contributing 0, fused score
+    * floor-quantized to micros, order fused desc / id asc, top-k.
+    * Everything here is k×k-sized — both inputs are candidate lists. */
+  def rrfFuse(lexRanked: DataFrame, denseRanked: DataFrame,
+              topK: Int, rrfK: Int = 60): DataFrame = {
     val contrib = (r: Column) =>
       when(r > 0, lit(1.0) / (lit(rrfK.toDouble) + r.cast("double")))
         .otherwise(lit(0.0))
-    lexRanked.join(dense, Seq("doc_id"), "full_outer")
+    lexRanked.join(denseRanked, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
         coalesce(col("lr"), lit(0)).as("lex_rank"),
         coalesce(col("dr"), lit(0)).as("dense_rank"))

@@ -3506,6 +3506,101 @@ object Extensions {
           col("col_name"), col("value"))
     }),
 
+    // --- the COMPOSED index-served retrieval stack (r14 verdict #2):
+    // RRF fusion (q241's arithmetic, now the generator-agnostic
+    // Relevance.rrfFuse) over BOTH persisted serving paths — the BM25
+    // leg from the q300 postings+stats taps, the dense leg from the
+    // q223 IVF/PQ artifacts with the raw-vector rerank reading a
+    // PERSISTED vector tap (production stores raw vectors too; the
+    // query vector itself is a 1-row driver carry). Plan-asserted: the
+    // fused serving plan reads ONLY artifacts (no documents.parquet,
+    // no embeddings.parquet scan on EITHER leg), the term probe is
+    // bucket-pruned, and the codes side never exchanges. Oracle = the
+    // two legs' existing oracle chains (q81's corpus-scan BM25, q223's
+    // unrolled ADC+rerank chain via the shared ivfAdcRerankChainCtes
+    // builder) composed into q241's fusion spelling.
+    "q313_indexed_rrf" -> ((s, dir) => {
+      val I = graft.functions.InvertedIndex
+      val R = graft.functions.Relevance
+      val postT = stagedTable("graft_q313_postings")
+      val centsT = stagedTable("graft_q313_ivf_cents")
+      val bookT = stagedTable("graft_q313_pq_book")
+      val codesT = stagedTable("graft_q313_ivf_codes")
+      val vecsT = stagedTable("graft_q313_raw_vecs")
+      Seq(postT, centsT, bookT, codesT, vecsT)
+        .foreach(graft.queries.Tables.dropStagedTable(s, _))
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      // --- build & persist the lexical artifacts (the q300 layout)
+      val tap = I.indexTap(postT, 16)
+      tap.write(I.buildWithDl(docs, "doc_id", "text"),
+        graft.sources.SinkMode.Replace)
+      val statsTap = graft.sources.ParquetTap(
+        graft.queries.Relational.stagePath("graft_q313_stats", dir))
+      statsTap.write(R.corpusStats(docs, "text"),
+        graft.sources.SinkMode.Replace)
+      // --- build & persist the dense artifacts (the q223 layout) plus
+      // the raw-vector tap the rerank leg serves from
+      val (ivfCents, lists) = Similarity.ivfKMeansBuild(
+        e, "vec_id", "embedding", nlist = 16, iters = 2)
+      val (pqCents, codes) = Similarity.pqBuild(
+        e, "vec_id", "embedding", m = 8, kSub = 16, iters = 2, dim = 64)
+      val book = Similarity.pqDenseCodebook(pqCents)
+      ivfCents.write.mode("overwrite").saveAsTable(centsT)
+      book.write.mode("overwrite").saveAsTable(bookT)
+      val ivfCodes = lists.select(col("nn_id"), col("cent"))
+        .join(Similarity.pqPackCodes(codes, book), Seq("nn_id"))
+      graft.sources.BucketedTap(codesT, 8, Seq("cent"))
+        .write(ivfCodes, graft.sources.SinkMode.Replace)
+      graft.sources.BucketedTap(vecsT, 8, Seq("vec_id"))
+        .write(e.select(col("vec_id"), col("embedding")),
+          graft.sources.SinkMode.Replace)
+      // the probe vector: a 1-row driver carry (the known-query shape —
+      // reading it from embeddings.parquet inside the serving plan
+      // would defeat the no-corpus-scan assert)
+      val qSel = e.select(col("vec_id"), col("embedding"))
+      val qRows = qSel.filter(col("vec_id") === 0L).collect()
+      require(qRows.length == 1, "q313: probe vector vec_id=0 missing")
+      val qDf = s.createDataFrame(
+        java.util.Arrays.asList(qRows: _*), qSel.schema)
+      val autoScan = s.conf.get(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      try {
+        s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+          "false")
+        val lexRanked = R.rankByScore(
+          R.bm25FromIndex(s.table(postT), statsTap.read(s),
+              Bm25Terms, topK = 100)
+            .withColumnRenamed("id", "doc_id"))
+        val dense = Similarity.ivfAdcRerankTopK(s.table(centsT),
+            s.table(bookT), s.table(codesT), s.table(vecsT), qDf,
+            "vec_id", "embedding", k = 5, rerankR = 16, nprobe = 4,
+            m = 8, kSub = 16, dim = 64)
+          .select(col("nn_id").as("doc_id"), col("rk").as("dr"))
+        val df = R.rrfFuse(lexRanked, dense, topK = 20)
+        val plan = df.queryExecution.executedPlan.toString
+        require(!plan.contains("documents.parquet") &&
+            !plan.contains("embeddings.parquet"),
+          "q313: the composed serving plan must read ONLY the persisted " +
+            "artifacts — a corpus scan on either leg is what the " +
+            "indexes amortize away")
+        val sel = "SelectedBucketsCount: (\\d+)\\D+(\\d+)".r
+          .findFirstMatchIn(plan)
+        require(sel.isDefined,
+          "q313: the term probe must be a bucket-pruned scan")
+        require(sel.get.group(1).toInt < sel.get.group(2).toInt,
+          "q313: the probe must read strictly fewer buckets than the " +
+            "layout")
+        require(!plan.contains("Exchange hashpartitioning(cent"),
+          "q313: probed ADC must never exchange the codes side")
+        require(!plan.contains("Exchange hashpartitioning(nn_id"),
+          "q313: rerank top-k must move as heap partials, never a " +
+            "corpus-side row exchange")
+        df
+      } finally s.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", autoScan)
+    }),
+
     // --- per-source quantile normalization of the quality score: the
     // cross-source calibration step (a raw "70" means different things
     // from different sources); micro-bucket CDF, never a corpus window
@@ -6642,7 +6737,8 @@ object Extensions {
        |    FROM $src b JOIN ${cp}c2 c USING (sub)) WHERE rn = 1)""".stripMargin
   }
 
-  private def pqCodeCtes(cp: String): String = {
+  private def pqCodeCtes(cp: String,
+                         queryPred: String = "b.nn_id < 8"): String = {
     val dsub = 8
     s"""qb AS MATERIALIZED (
        |  SELECT vec_id AS nn_id,
@@ -6656,7 +6752,7 @@ object Extensions {
        |t AS MATERIALIZED (
        |  SELECT b.nn_id AS query_id, b.sub, c.cent_id,
        |  ${pqDL2("b.sq", "c.cent_q")} AS d
-       |  FROM sb b JOIN ${cp}c2 c USING (sub) WHERE b.nn_id < 8)""".stripMargin
+       |  FROM sb b JOIN ${cp}c2 c USING (sub) WHERE $queryPred)""".stripMargin
   }
 
   private lazy val pqAdcOracle: String =
@@ -6988,15 +7084,19 @@ object Extensions {
     * then the exact integer full-vector squared-L2 re-rank over ONLY
     * those (query, candidate) pairs — qbase carries the micro-quantized
     * vectors both legs share. */
-  private lazy val ivfAdcRerankOracle: String =
-    s"""WITH $ivfAssignCtes,
-       |${pqCodeCtes("p")},
+  /** The IVFADC+rerank chain as reusable CTE text ending in `adc_topk`
+    * (query_id, nn_id, exact_dist, rk) — parameterized by the query
+    * predicate so q223 (vec_id < 8) and the composed index-served
+    * fusion q313 (vec_id = 0) share ONE spelling. */
+  private def ivfAdcRerankChainCtes(queryPred: String): String =
+    s"""$ivfAssignCtes,
+       |${pqCodeCtes("p", queryPred)},
        |probes AS (
        |  SELECT query_id, cent FROM (
        |    SELECT b.nn_id AS query_id, c.cent_id AS cent,
        |    row_number() OVER (PARTITION BY b.nn_id
        |      ORDER BY ${dCos("b.q", "c.cent_q")} DESC, c.cent_id ASC) AS rn
-       |    FROM qbase b CROSS JOIN c2 c WHERE b.nn_id < 8) WHERE rn <= 4),
+       |    FROM qbase b CROSS JOIN c2 c WHERE $queryPred) WHERE rn <= 4),
        |scored AS (
        |  SELECT t.query_id, codes.nn_id, CAST(sum(t.d) AS BIGINT) AS adc_dist
        |  FROM codes
@@ -7019,12 +7119,17 @@ object Extensions {
        |    AS exact_dist
        |  FROM cand c
        |  JOIN qbase qq ON qq.nn_id = c.query_id
-       |  JOIN qbase nq ON nq.nn_id = c.nn_id)
-       |SELECT query_id, nn_id, exact_dist, rk FROM (
-       |  SELECT query_id, nn_id, exact_dist,
-       |  CAST(row_number() OVER (PARTITION BY query_id
-       |    ORDER BY exact_dist ASC, nn_id ASC) AS INTEGER) AS rk
-       |  FROM ex) WHERE rk <= 5""".stripMargin
+       |  JOIN qbase nq ON nq.nn_id = c.nn_id),
+       |adc_topk AS (
+       |  SELECT query_id, nn_id, exact_dist, rk FROM (
+       |    SELECT query_id, nn_id, exact_dist,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY exact_dist ASC, nn_id ASC) AS INTEGER) AS rk
+       |    FROM ex) WHERE rk <= 5)""".stripMargin
+
+  private lazy val ivfAdcRerankOracle: String =
+    s"""WITH ${ivfAdcRerankChainCtes("b.nn_id < 8")}
+       |SELECT query_id, nn_id, exact_dist, rk FROM adc_topk""".stripMargin
 
   private lazy val ivfKMeansOracle: String = {
     s"""WITH $ivfAssignCtes,
@@ -8778,6 +8883,38 @@ object Extensions {
          |  p.w AS value
          |FROM pos p JOIN t ON t.doc_id = p.doc_id
          |WHERE p.r >= 1""".stripMargin
+    },
+
+    // q313: the composed index-served stack — the BM25 leg replays as
+    // q81's corpus-scan spelling (q300 proved index == scan), the dense
+    // leg as q223's unrolled ADC+rerank chain (the SHARED
+    // ivfAdcRerankChainCtes builder, predicate vec_id = 0), fused by
+    // q241's RRF spelling verbatim
+    "q313_indexed_rrf" -> {
+      val lexSql = graft.functions.Relevance.bm25OracleSql(
+        "documents", "doc_id", "text", Bm25Terms, topK = 100)
+      s"""WITH ${ivfAdcRerankChainCtes("b.nn_id = 0")},
+         |lex AS ($lexSql),
+         |lexr AS (
+         |  SELECT doc_id, CAST(row_number() OVER (
+         |    ORDER BY score_micros DESC, doc_id) AS INTEGER) AS lr
+         |  FROM lex),
+         |dnr AS (
+         |  SELECT nn_id AS doc_id, rk AS dr FROM adc_topk
+         |  WHERE query_id = 0),
+         |fused AS (
+         |  SELECT doc_id,
+         |    coalesce(lr, 0) AS lex_rank, coalesce(dr, 0) AS dense_rank
+         |  FROM lexr FULL JOIN dnr USING (doc_id))
+         |SELECT doc_id, lex_rank, dense_rank,
+         |CAST(floor(1000000.0 * (
+         |  CASE WHEN lex_rank > 0
+         |    THEN CAST(1 AS DOUBLE) / (60.0 + lex_rank) ELSE 0 END +
+         |  CASE WHEN dense_rank > 0
+         |    THEN CAST(1 AS DOUBLE) / (60.0 + dense_rank) ELSE 0 END))
+         |  AS BIGINT) AS rrf_micros
+         |FROM fused
+         |ORDER BY rrf_micros DESC, doc_id LIMIT 20""".stripMargin
     },
 
     // q292: all-occurrences counts by brute positional enumeration;

@@ -1196,6 +1196,20 @@ class FunctionsSpec extends SparkSpec {
     assert(r.toSet == Set((1L, 1, true), (2L, 2, false)), r.mkString(","))
   }
 
+  test("rrfFuse: hand-computed reciprocal-rank fusion — a both-leg doc " +
+       "sums two contributions, single-leg docs one, absent rank = 0 " +
+       "(the generator-agnostic step q313 composes over indexes)") {
+    import graft.functions.Relevance
+    val lex = Seq((1L, 1), (2L, 2)).toDF("doc_id", "lr")
+    val dense = Seq((2L, 1), (3L, 2)).toDF("doc_id", "dr")
+    val r = Relevance.rrfFuse(lex, dense, topK = 10)
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getInt(2),
+        x.getLong(3)))
+    // doc2: 1/62 + 1/61 → 32522 µ; doc1: 1/61 → 16393; doc3: 1/62 → 16129
+    assert(r.toSeq == Seq((2L, 2, 1, 32522L), (1L, 1, 0, 16393L),
+      (3L, 0, 2, 16129L)), r.mkString(","))
+  }
+
   test("mrlTruncationAudit: dims out of range refuses directed — " +
        "dims < 1 and dims > the stored width (r14 advice: slice() " +
        "would silently shorten and skew the audit)") {
