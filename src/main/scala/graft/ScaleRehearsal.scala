@@ -217,7 +217,8 @@ object ScaleRehearsal {
     // per-source dataset card: one scan, O(sources) keys
     "q309_dataset_card",
     "q310_html_span_tables", "q311_html_span_recovery",
-    "q312_span_table_records", "q313_indexed_rrf")
+    "q312_span_table_records", "q313_indexed_rrf",
+    "q314_pagerank_artifact")
     // q308 (MRL audit) is EXCLUDED by design: the scale-up replicates
     // vectors VERBATIM, so every query's top-3 is its own identical
     // replicas under both the truncated and the full ranking — the

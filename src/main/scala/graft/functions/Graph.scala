@@ -26,25 +26,38 @@ import org.apache.spark.storage.StorageLevel
   */
 object Graph {
 
-  /** Bounded-degree co-occurrence edges: entities (`vCol`) sharing a
-    * group key (`keyCol`), weighted by shared-group count, each vertex
-    * keeping only its `maxDegree` strongest neighbors (weight desc, id
-    * asc — deterministic). Output (src, dst, w), directed: src's
-    * retained adjacency. The TopKAgg ordering key packs (w, dst) into a
-    * double — exact while w < 2²⁸ and 0 ≤ dst < 2²⁵, enforced with a
-    * directed in-query error rather than silent precision loss. */
-  def coOccurrenceEdges(rel: DataFrame, keyCol: String, vCol: String,
-                        maxDegree: Int): DataFrame = {
+  /** ADDITIVE pair-weight rows — the artifact form of the co-occurrence
+    * graph: w is a plain co-listing count, so arrival maintenance is
+    * APPEND + per-pair sum (merge == rebuild when the group key — the
+    * order — partitions between batches; the corpusStats/CMS
+    * discipline). The degree cap is NOT additive (a capped pre table
+    * cannot adopt a batch — a new heavy edge can evict a kept one), so
+    * capping applies at READ time over the summed table
+    * ([[capByDegree]]), never inside the artifact. */
+  def coOccurrencePairWeights(rel: DataFrame, keyCol: String,
+                              vCol: String): DataFrame = {
     val su = rel.select(col(keyCol).as("k"), col(vCol).as("v")).distinct()
     val pairs = su.as("a").join(su.as("b"),
         col("a.k") === col("b.k") && col("a.v") =!= col("b.v"))
       .select(col("a.v").as("src"), col("b.v").as("dst"))
-    val pw = pairs.groupBy(col("src"), col("dst"))
+    pairs.groupBy(col("src"), col("dst"))
       .agg(count(lit(1)).as("w"))
+  }
+
+  /** Sum appended pair-weight batches back to one row per (src, dst) —
+    * the read side of the [[coOccurrencePairWeights]] artifact. */
+  def mergePairWeights(tapRows: DataFrame): DataFrame =
+    tapRows.groupBy(col("src"), col("dst"))
+      .agg(sum(col("w")).cast("long").as("w"))
+
+  /** Keep each vertex's `maxDegree` strongest neighbors (weight desc,
+    * dst asc via the packed tie-break) — the densification lever,
+    * applied over COMPLETE pair weights. */
+  def capByDegree(pw: DataFrame, maxDegree: Int): DataFrame = {
     val packed = pw.withColumn("nh",
       when(col("dst") < 0L || col("dst") >= (1L << 25) ||
            col("w") >= (1L << 28),
-        raise_error(concat(lit("coOccurrenceEdges: packing domain "),
+        raise_error(concat(lit("capByDegree: packing domain "),
           lit("exceeded (dst "), col("dst").cast("string"),
           lit(", w "), col("w").cast("string"),
           lit(") — widen the (w, dst) double packing"))))
@@ -56,6 +69,17 @@ object Graph {
       .filter(array_contains(col("top"), col("nh")))
       .select(col("src"), col("dst"), col("w"))
   }
+
+  /** Bounded-degree co-occurrence edges: entities (`vCol`) sharing a
+    * group key (`keyCol`), weighted by shared-group count, each vertex
+    * keeping only its `maxDegree` strongest neighbors (weight desc, id
+    * asc — deterministic). Output (src, dst, w), directed: src's
+    * retained adjacency. The TopKAgg ordering key packs (w, dst) into a
+    * double — exact while w < 2²⁸ and 0 ≤ dst < 2²⁵, enforced with a
+    * directed in-query error rather than silent precision loss. */
+  def coOccurrenceEdges(rel: DataFrame, keyCol: String, vCol: String,
+                        maxDegree: Int): DataFrame =
+    capByDegree(coOccurrencePairWeights(rel, keyCol, vCol), maxDegree)
 
   /** Exact-integer PageRank over directed edges (src, dst): rank scaled
     * by 10⁹ per vertex (r₀ = 10⁹), update

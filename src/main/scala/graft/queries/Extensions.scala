@@ -2059,6 +2059,71 @@ object Extensions {
         "spark.sql.sources.bucketing.autoBucketedScan.enabled", autoScan)
     }),
 
+    // --- the PageRank rank-ARTIFACT maintenance loop (r14 verdict #3 —
+    // q298's contract at production cadence, the q277/q253 shape):
+    // converged ranks PERSIST through a bucketed tap; arrival APPENDS
+    // pair-weight rows (additive — the degree cap applies at read time,
+    // never inside the artifact, because capping is not additive); the
+    // refresh warm-starts pageRankConverge from the PERSISTED ranks
+    // over the post-append graph. Asserted in-query: the merged edge
+    // artifact is row-identical to the from-scratch graph (both ways),
+    // the warm refresh stops in STRICTLY fewer rounds than cold, and
+    // warm ranks sit within ε of cold. Gated output = the cold
+    // comparator with its stop round — q298's oracle VERBATIM (a
+    // missing append leg, a stale rank load, or a broken warm start
+    // all diverge through the in-query asserts).
+    "q314_pagerank_artifact" -> ((s, dir) => {
+      val G = graft.functions.Graph
+      val eps = 500000L
+      val edgeT = stagedTable("graft_q314_pairw")
+      val rankT = stagedTable("graft_q314_ranks")
+      Seq(edgeT, rankT).foreach(graft.queries.Tables.dropStagedTable(s, _))
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val edgeTap = graft.sources.BucketedTap(edgeT, 8, Seq("src"))
+      edgeTap.write(
+        G.coOccurrencePairWeights(
+          li.filter(col("l_orderkey") % 50 =!= 3),
+          "l_orderkey", "l_partkey"),
+        graft.sources.SinkMode.Replace)
+      val (preRank, _) = G.pageRankConverge(
+        G.capByDegree(G.mergePairWeights(edgeTap.read(s)), 64),
+        eps, None, 16)
+      val rankTap = graft.sources.BucketedTap(rankT, 8, Seq("v"))
+      rankTap.write(preRank, graft.sources.SinkMode.Replace)
+      // the arrival: the batch's pair weights APPEND (orders partition
+      // between batches, so per-pair sums merge == rebuild)
+      edgeTap.write(
+        G.coOccurrencePairWeights(
+          li.filter(col("l_orderkey") % 50 === 3),
+          "l_orderkey", "l_partkey"),
+        graft.sources.SinkMode.Update)
+      val merged = G.capByDegree(G.mergePairWeights(edgeTap.read(s)), 64)
+        .localCheckpoint(true)
+      val scratch = G.coOccurrenceEdges(li, "l_orderkey", "l_partkey", 64)
+        .localCheckpoint(true)
+      require(merged.exceptAll(scratch).limit(1).isEmpty &&
+          scratch.exceptAll(merged).limit(1).isEmpty,
+        "q314: the appended pair-weight artifact does not reproduce " +
+          "the from-scratch capped graph — merge != rebuild")
+      val (warm, rw) = G.pageRankConverge(merged, eps,
+        Some(rankTap.read(s)), 16)
+      val (cold, rc) = G.pageRankConverge(scratch, eps, None, 16)
+      require(rc >= 2 && rc <= 12,
+        s"q314: cold stop at $rc rounds — outside the oracle's " +
+          "unrolled window [2, 12]")
+      require(rw < rc,
+        s"q314: the artifact warm start must converge in STRICTLY " +
+          s"fewer rounds (warm $rw vs cold $rc) — the persisted ranks " +
+          "bought nothing")
+      val drift = warm.as("w").join(cold.as("c"), col("w.v") === col("c.v"))
+        .agg(max(abs(col("w.r") - col("c.r"))).as("d"))
+        .collect().head.getLong(0)
+      require(drift <= eps,
+        s"q314: warm stop sits $drift units from cold — above the ε pin")
+      cold.select(col("v").as("vertex"), col("r").as("rank_scaled"),
+        lit(rc.toLong).as("rounds"))
+    }),
+
     // --- snapshot diff (CDC between two snapshot versions): yesterday's
     // and today's corpus snapshots live in the SAME bucketed layout, so
     // the full-outer comparison plans with ZERO exchanges — both sides
@@ -7151,6 +7216,60 @@ object Extensions {
        |  FROM scored) WHERE rk <= 3""".stripMargin
   }
 
+  /** The q298/q314 tolerance-gated PageRank oracle: 12 unrolled
+    * exact-integer rounds over the capped part graph, per-round
+    * max |dr|, the first round at tolerance selected by the SAME
+    * stopping rule (rounds is a gated column). q314 (the rank-
+    * ARTIFACT cadence) shares it VERBATIM: the persisted-rank warm
+    * loop must be indistinguishable from the from-scratch cold
+    * refresh (the q253/q292 twin discipline). */
+  private lazy val pageRankWarmOracle: String = {
+      val eps = 500000L
+      val rmax = 12
+      val rounds = (1 to rmax).map { n =>
+        s"""r$n AS MATERIALIZED (
+           |  SELECT v.v, CAST(150000000 + coalesce(s.s, 0) AS BIGINT) AS r
+           |  FROM vx v LEFT JOIN (
+           |    SELECT e.dst AS v,
+           |      sum((r.r * 85) // (100 * od.outdeg)) AS s
+           |    FROM e JOIN r${n - 1} r ON e.src = r.v
+           |    JOIN od ON e.src = od.src
+           |    GROUP BY 1) s USING (v)),
+           |d$n AS (
+           |  SELECT max(abs(a.r - b.r)) AS d
+           |  FROM r$n a JOIN r${n - 1} b USING (v))""".stripMargin
+      }.mkString(",\n")
+      val ds = (1 to rmax)
+        .map(n => s"SELECT $n AS t, (SELECT d FROM d$n) AS d")
+        .mkString(" UNION ALL ")
+      val allr = (1 to rmax)
+        .map(n => s"SELECT $n AS t, v, r FROM r$n")
+        .mkString(" UNION ALL ")
+      s"""WITH su AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey AS k, l_partkey AS v FROM lineitem),
+         |pw AS MATERIALIZED (
+         |  SELECT a.v AS src, b.v AS dst, CAST(count(*) AS BIGINT) AS w
+         |  FROM su a JOIN su b ON a.k = b.k AND a.v <> b.v
+         |  GROUP BY 1, 2),
+         |e AS MATERIALIZED (
+         |  SELECT src, dst FROM (
+         |    SELECT src, dst, row_number() OVER (
+         |      PARTITION BY src ORDER BY w DESC, dst) AS rn FROM pw)
+         |  WHERE rn <= 64),
+         |od AS MATERIALIZED (
+         |  SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY 1),
+         |vx AS MATERIALIZED (SELECT DISTINCT src AS v FROM e),
+         |r0 AS MATERIALIZED (
+         |  SELECT v, CAST(1000000000 AS BIGINT) AS r FROM vx),
+         |$rounds,
+         |ds AS ($ds),
+         |stop AS (SELECT min(t) AS t FROM ds WHERE d <= $eps),
+         |allr AS ($allr)
+         |SELECT v AS vertex, r AS rank_scaled,
+         |  CAST((SELECT t FROM stop) AS BIGINT) AS rounds
+         |FROM allr WHERE t = (SELECT t FROM stop)""".stripMargin
+  }
+
   /** The q302/q307 table-grid oracle: the synth grid recomputed
     * arithmetically — token i → table i%2, row (i div 2) div 3,
     * col (i div 2) % 3, row 0 is the header. */
@@ -8318,52 +8437,9 @@ object Extensions {
     // ranks AT that round (plus the round number) emitted. A Spark-side
     // stop one round early or late changes both the `rounds` column and
     // every rank — the stopping rule itself is under the hash.
-    "q298_pagerank_warm" -> {
-      val eps = 500000L
-      val rmax = 12
-      val rounds = (1 to rmax).map { n =>
-        s"""r$n AS MATERIALIZED (
-           |  SELECT v.v, CAST(150000000 + coalesce(s.s, 0) AS BIGINT) AS r
-           |  FROM vx v LEFT JOIN (
-           |    SELECT e.dst AS v,
-           |      sum((r.r * 85) // (100 * od.outdeg)) AS s
-           |    FROM e JOIN r${n - 1} r ON e.src = r.v
-           |    JOIN od ON e.src = od.src
-           |    GROUP BY 1) s USING (v)),
-           |d$n AS (
-           |  SELECT max(abs(a.r - b.r)) AS d
-           |  FROM r$n a JOIN r${n - 1} b USING (v))""".stripMargin
-      }.mkString(",\n")
-      val ds = (1 to rmax)
-        .map(n => s"SELECT $n AS t, (SELECT d FROM d$n) AS d")
-        .mkString(" UNION ALL ")
-      val allr = (1 to rmax)
-        .map(n => s"SELECT $n AS t, v, r FROM r$n")
-        .mkString(" UNION ALL ")
-      s"""WITH su AS MATERIALIZED (
-         |  SELECT DISTINCT l_orderkey AS k, l_partkey AS v FROM lineitem),
-         |pw AS MATERIALIZED (
-         |  SELECT a.v AS src, b.v AS dst, CAST(count(*) AS BIGINT) AS w
-         |  FROM su a JOIN su b ON a.k = b.k AND a.v <> b.v
-         |  GROUP BY 1, 2),
-         |e AS MATERIALIZED (
-         |  SELECT src, dst FROM (
-         |    SELECT src, dst, row_number() OVER (
-         |      PARTITION BY src ORDER BY w DESC, dst) AS rn FROM pw)
-         |  WHERE rn <= 64),
-         |od AS MATERIALIZED (
-         |  SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY 1),
-         |vx AS MATERIALIZED (SELECT DISTINCT src AS v FROM e),
-         |r0 AS MATERIALIZED (
-         |  SELECT v, CAST(1000000000 AS BIGINT) AS r FROM vx),
-         |$rounds,
-         |ds AS ($ds),
-         |stop AS (SELECT min(t) AS t FROM ds WHERE d <= $eps),
-         |allr AS ($allr)
-         |SELECT v AS vertex, r AS rank_scaled,
-         |  CAST((SELECT t FROM stop) AS BIGINT) AS rounds
-         |FROM allr WHERE t = (SELECT t FROM stop)""".stripMargin
-    },
+    "q298_pagerank_warm" -> pageRankWarmOracle,
+    // q314: the artifact cadence shares q298's oracle VERBATIM
+    "q314_pagerank_artifact" -> pageRankWarmOracle,
 
     // q250: the oriented wedge join on the undirected support of the
     // same capped edges; a<b<c holds by construction so each triangle

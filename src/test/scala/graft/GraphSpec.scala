@@ -156,6 +156,48 @@ class GraphSpec extends SparkSpec {
     assert(ex.getMessage.contains("units"))
   }
 
+  test("pair-weight artifact: appended batches merge to the from-scratch " +
+       "capped graph — new vertex, strengthened pair, cap re-applied at " +
+       "read (q314's maintenance fixture)") {
+    // pre: orders 10 (a,b) and 11 (a,b,c); batch: order 12 (b,c,d) —
+    // d is a NEW vertex, (b,c) strengthens from w=1 to w=2
+    val pre = Seq((10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L), (11L, 3L))
+      .toDF("k", "v")
+    val batch = Seq((12L, 2L), (12L, 3L), (12L, 4L)).toDF("k", "v")
+    val all = pre.union(batch)
+    val appended = Graph.coOccurrencePairWeights(pre, "k", "v")
+      .union(Graph.coOccurrencePairWeights(batch, "k", "v"))
+    val merged = Graph.capByDegree(Graph.mergePairWeights(appended), 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val scratch = Graph.coOccurrenceEdges(all, "k", "v", 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(merged == scratch, s"merged=$merged scratch=$scratch")
+    assert(merged.contains((2L, 3L, 2L)) && merged.contains((2L, 4L, 1L)),
+      merged.toString)
+    // the cap is NOT additive: with maxDegree = 1, b keeps only its
+    // strongest neighbor from the MERGED weights ((b,a) w=2 ties (b,c)
+    // w=2 → dst asc keeps a); capping the pre table first would have
+    // decided from stale weights
+    val capped = Graph.capByDegree(Graph.mergePairWeights(appended), 1)
+      .filter(col("src") === 2L)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(capped == Set((1L, 2L)), capped.toString)
+    // warm start over the merged graph from the pre-converged ranks:
+    // the NEW vertex (d) starts cold at 1e9 and still ranks
+    val (preRank, _) = Graph.pageRankConverge(
+      Graph.coOccurrenceEdges(pre, "k", "v", 64), epsUnits = 500000L)
+    val (warm, _) = Graph.pageRankConverge(
+      Graph.coOccurrenceEdges(all, "k", "v", 64), epsUnits = 500000L,
+      initRank = Some(preRank))
+    val wm = warm.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(wm.contains(4L) && wm.size == 4, wm.toString)
+    val (cold, _) = Graph.pageRankConverge(
+      Graph.coOccurrenceEdges(all, "k", "v", 64), epsUnits = 500000L)
+    val cm = cold.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val drift = wm.map { case (v, r) => math.abs(r - cm(v)) }.max
+    assert(drift <= 500000L, s"warm-vs-cold drift $drift")
+  }
+
   test("pageRankWeightedTopK: mass splits by edge weight (hand-computed)") {
     // path 1–2–3 with weights: (1,2) w=3, (2,3) w=1. sw: 1→3, 2→4, 3→1.
     //   r1(1) = 150e6 + (1e9·85·3) div 400 = 787 500 000
