@@ -2124,6 +2124,73 @@ object Extensions {
         lit(rc.toLong).as("rounds"))
     }),
 
+    // --- the FULL dataset card (r14 verdict #4 — q309 extended with
+    // the signals the repo already computes, each column spelled from
+    // its standalone gate's shared fragment so the card cannot drift
+    // from the component gates): q309's volume/dedup/quality rollup +
+    // per-source language mix (q188's Cavnar–Trenkle classifier —
+    // modal language and its doc count), PII hit rate (q285's planted
+    // corpus + PiiRules counts), and eval-contamination rate (q82's
+    // split and gram spelling over the training docs). All signal
+    // tables are O(sources) rows; the joins are source-keyed.
+    "q315_dataset_card_full" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val TA2 = graft.functions.TextAnalysis
+      val C = graft.functions.Curation
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val base = docs
+        .select(col("source"), col("text"),
+          TA2.qualityScore(col("text")).as("q"),
+          size(expr("filter(split(text, ' '), w -> w != '')"))
+            .cast("long").as("ntok"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ntok")).as("n_tokens"),
+          floor(count_distinct(col("text")) * lit(1000000L) / count(lit(1)))
+            .cast("long").as("distinct_ratio_micros"),
+          floor(sum(col("q").cast("long")) * lit(1000000L) / count(lit(1)))
+            .cast("long").as("mean_quality_micros"))
+      val lang = docs
+        .select(col("source"), TA2.langIdProfile(col("text")).as("lang_pred"))
+        .groupBy(col("source"), col("lang_pred")).agg(count(lit(1)).as("n"))
+      val wl = Window.partitionBy(col("source"))
+        .orderBy(col("n").desc, col("lang_pred").asc)
+      val topLang = lang.withColumn("rk", row_number().over(wl))
+        .filter(col("rk") === 1)
+        .select(col("source"), col("lang_pred").as("top_lang"),
+          col("n").as("top_lang_docs"))
+      val aug = docs.select(col("doc_id"), col("source"),
+        piiPlantedText.as("text"))
+      val pii = aug.select(col("source"),
+          when(C.piiCount(col("text"), "email") +
+            C.piiCount(col("text"), "phone") +
+            C.piiCount(col("text"), "ip") > 0, 1L).otherwise(0L).as("hit"))
+        .groupBy(col("source"))
+        .agg(sum(col("hit")).as("pii_docs"), count(lit(1)).as("__n"))
+        .select(col("source"), col("pii_docs"),
+          floor(col("pii_docs") * lit(1000000L) / col("__n"))
+            .cast("long").as("pii_rate_micros"))
+      val train = docs.filter(col("doc_id") % 50 =!= 0)
+      val flagged = graft.functions.Contamination.overlapReport(
+          train, docs.filter(col("doc_id") % 50 === 0),
+          "doc_id", "text", n = DecontamN)
+        .select(col("id").as("doc_id"))
+      val contam = train.select(col("doc_id"), col("source"))
+        .join(flagged, Seq("doc_id"), "left_semi")
+        .groupBy(col("source")).agg(count(lit(1)).as("contam_docs"))
+      val ctr = train.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_train_docs"))
+        .join(contam, Seq("source"), "left_outer")
+        .select(col("source"), col("n_train_docs"),
+          coalesce(col("contam_docs"), lit(0L)).as("contam_docs"))
+        .select(col("source"), col("n_train_docs"), col("contam_docs"),
+          floor(col("contam_docs") * lit(1000000L) / col("n_train_docs"))
+            .cast("long").as("contam_rate_micros"))
+      base.join(topLang, Seq("source"))
+        .join(pii, Seq("source"))
+        .join(ctr, Seq("source"))
+    }),
+
     // --- snapshot diff (CDC between two snapshot versions): yesterday's
     // and today's corpus snapshots live in the SAME bucketed layout, so
     // the full-outer comparison plans with ZERO exchanges — both sides
@@ -7467,15 +7534,22 @@ object Extensions {
   /** q285/q286 shared Spark side: plant the dirt, redact, count,
     * extract, hash — all per-row Column kernels (works unchanged over a
     * batch scan and a stream). */
-  private def piiScrubProjection(
-      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  /** The q285/q286/q315 planted-PII text — ONE Column spelling for the
+    * scrub gates and the dataset card's hit-rate column (the shared-
+    * fragment discipline: the card cannot drift from the scrub gate). */
+  private def piiPlantedText: org.apache.spark.sql.Column = {
     def plant(m: Int, dirt: String) =
       when(col("doc_id") % m === 0, lit(dirt)).otherwise(lit(""))
-    val aug = docs.select(col("doc_id"), concat(col("text"),
+    concat(col("text"),
       plant(7, " contact j.doe+spam@mail-example.org today"),
       plant(11, " call 555-867-5309 now"),
       plant(13, " from 192.168.001.042 logged"),
-      plant(49, " cc e2@a.bc also")).as("text"))
+      plant(49, " cc e2@a.bc also"))
+  }
+
+  private def piiScrubProjection(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val aug = docs.select(col("doc_id"), piiPlantedText.as("text"))
     val C = graft.functions.Curation
     aug.select(col("doc_id"),
       C.piiCount(col("text"), "email").as("n_email"),
@@ -7488,15 +7562,32 @@ object Extensions {
   /** q285/q286 shared oracle: the PII redaction pass over the planted
     * corpus — every spelling generated from Curation.PiiRules (the
     * shared-constant discipline). */
+  /** The q82/q315 decontamination CTEs — eval split (doc_id % 50 = 0)
+    * gram set + per-training-doc distinct grams, ONE spelling for the
+    * standalone gate and the dataset card's contamination column. */
+  private lazy val decontamCtes: String = {
+    val ng = graft.functions.Contamination.oracleNgrams("text", DecontamN)
+    s"""ev AS (
+       |  SELECT DISTINCT unnest($ng) AS gram
+       |  FROM documents WHERE doc_id % 50 = 0),
+       |cg AS (
+       |  SELECT doc_id, unnest(list_distinct($ng)) AS gram
+       |  FROM documents WHERE doc_id % 50 <> 0)""".stripMargin
+  }
+
+  /** The planted-PII text in SQL — the oracle twin of [[piiPlantedText]]
+    * (kept single-line: the nested-stripMargin `||` trap). */
+  private lazy val piiAugSqlExpr: String =
+    "text" +
+      " || CASE WHEN doc_id % 7 = 0 THEN ' contact j.doe+spam@mail-example.org today' ELSE '' END" +
+      " || CASE WHEN doc_id % 11 = 0 THEN ' call 555-867-5309 now' ELSE '' END" +
+      " || CASE WHEN doc_id % 13 = 0 THEN ' from 192.168.001.042 logged' ELSE '' END" +
+      " || CASE WHEN doc_id % 49 = 0 THEN ' cc e2@a.bc also' ELSE '' END"
+
   private lazy val piiScrubOracle: String = {
     val C = graft.functions.Curation
     s"""WITH aug AS (
-       |  SELECT doc_id, text
-       |    || CASE WHEN doc_id % 7 = 0 THEN ' contact j.doe+spam@mail-example.org today' ELSE '' END
-       |    || CASE WHEN doc_id % 11 = 0 THEN ' call 555-867-5309 now' ELSE '' END
-       |    || CASE WHEN doc_id % 13 = 0 THEN ' from 192.168.001.042 logged' ELSE '' END
-       |    || CASE WHEN doc_id % 49 = 0 THEN ' cc e2@a.bc also' ELSE '' END
-       |    AS text
+       |  SELECT doc_id, $piiAugSqlExpr AS text
        |  FROM documents)
        |SELECT doc_id,
        |  ${C.piiCountOracleExpr("text", "email")} AS n_email,
@@ -7749,6 +7840,71 @@ object Extensions {
          |  min($dQualityExpr) AS min_quality,
          |  max($dQualityExpr) AS max_quality
          |FROM documents GROUP BY 1""".stripMargin,
+
+    // q315: the FULL card — q309's rollup columns + modal language
+    // (q188's lid chain), PII hit rate (the q285 planted corpus via the
+    // shared piiAugSqlExpr + PiiRules count spellings), contamination
+    // rate (the q82 decontamCtes verbatim) — every signal in its
+    // standalone gate's spelling
+    "q315_dataset_card_full" -> {
+      val C = graft.functions.Curation
+      val piiHitSum = s"${C.piiCountOracleExpr("text", "email")} + " +
+        s"${C.piiCountOracleExpr("text", "phone")} + " +
+        s"${C.piiCountOracleExpr("text", "ip")}"
+      s"""WITH ${langIdProfileCtes()},
+         |$decontamCtes,
+         |paug AS (
+         |  SELECT doc_id, source, $piiAugSqlExpr AS text FROM documents),
+         |base AS (
+         |  SELECT source,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(len(list_filter($dToks, w -> w <> ''))) AS BIGINT)
+         |      AS n_tokens,
+         |    CAST(floor(count(DISTINCT text) * 1000000 / count(*))
+         |      AS BIGINT) AS distinct_ratio_micros,
+         |    CAST(floor(sum($dQualityExpr) * 1000000 / count(*)) AS BIGINT)
+         |      AS mean_quality_micros
+         |  FROM documents GROUP BY 1),
+         |lmix AS (
+         |  SELECT d.source, l.lang_pred, count(*) AS n
+         |  FROM lid l JOIN documents d USING (doc_id) GROUP BY 1, 2),
+         |ltop AS (
+         |  SELECT source, lang_pred AS top_lang,
+         |    CAST(n AS BIGINT) AS top_lang_docs
+         |  FROM (SELECT source, lang_pred, n,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY n DESC, lang_pred) AS rk FROM lmix)
+         |  WHERE rk = 1),
+         |pii AS (
+         |  SELECT source,
+         |    CAST(sum(CASE WHEN $piiHitSum > 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS pii_docs,
+         |    count(*) AS n
+         |  FROM paug GROUP BY 1),
+         |piir AS (
+         |  SELECT source, pii_docs,
+         |    CAST(floor(pii_docs * 1000000 / n) AS BIGINT)
+         |      AS pii_rate_micros
+         |  FROM pii),
+         |contamd AS (SELECT DISTINCT doc_id FROM cg JOIN ev USING (gram)),
+         |train AS (
+         |  SELECT doc_id, source FROM documents WHERE doc_id % 50 <> 0),
+         |ctr AS (
+         |  SELECT t.source, CAST(count(*) AS BIGINT) AS n_train_docs,
+         |    CAST(count(c.doc_id) AS BIGINT) AS contam_docs
+         |  FROM train t LEFT JOIN contamd c USING (doc_id) GROUP BY 1),
+         |ctrr AS (
+         |  SELECT source, n_train_docs, contam_docs,
+         |    CAST(floor(contam_docs * 1000000 / n_train_docs) AS BIGINT)
+         |      AS contam_rate_micros
+         |  FROM ctr)
+         |SELECT b.source, b.n_docs, b.n_tokens, b.distinct_ratio_micros,
+         |  b.mean_quality_micros, lt.top_lang, lt.top_lang_docs,
+         |  p.pii_docs, p.pii_rate_micros,
+         |  c.n_train_docs, c.contam_docs, c.contam_rate_micros
+         |FROM base b JOIN ltop lt USING (source) JOIN piir p USING (source)
+         |JOIN ctrr c USING (source)""".stripMargin
+    },
 
     // per-source CDF of the quality score — dQualityExpr is the SAME
     // shared string q22/q90/q170 use
@@ -9785,17 +9941,10 @@ object Extensions {
       graft.functions.Relevance.bm25OracleSql(
         "documents", "doc_id", "text", Bm25Terms, topK = 20),
 
-    "q82_decontaminate" -> {
-      val ng = graft.functions.Contamination.oracleNgrams("text", DecontamN)
-      s"""WITH ev AS (
-         |  SELECT DISTINCT unnest($ng) AS gram
-         |  FROM documents WHERE doc_id % 50 = 0),
-         |cg AS (
-         |  SELECT doc_id, unnest(list_distinct($ng)) AS gram
-         |  FROM documents WHERE doc_id % 50 <> 0)
+    "q82_decontaminate" ->
+      s"""WITH $decontamCtes
          |SELECT doc_id, count(*) AS n_overlap
-         |FROM cg JOIN ev USING (gram) GROUP BY 1""".stripMargin
-    },
+         |FROM cg JOIN ev USING (gram) GROUP BY 1""".stripMargin,
 
     "q83_pii_redact" -> {
       val G = graft.functions.Governance
