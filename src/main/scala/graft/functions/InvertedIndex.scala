@@ -54,6 +54,38 @@ object InvertedIndex {
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
   }
 
+  /** The STATELESS per-row twin of [[buildWithDl]] — posting rows
+    * derived entirely WITHIN each document row (every occurrence of a
+    * term in one document lives in that document's own text, so tf is
+    * a pure per-row expression: occurrences among this row's tokens;
+    * dl likewise), no groupBy, no state. That is exactly what Append-
+    * mode Structured Streaming needs (the q286 discipline): each
+    * arriving document explodes to its own posting rows in-flight and
+    * APPENDS to the index — arrival maintenance with zero state store.
+    * Row-identical to [[buildWithDl]] by construction: (term, id)
+    * pairs are unique per document, so the batch groupBy it replaces
+    * only ever aggregated within one row's explosion. */
+  def postingRowsPerDoc(df: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    df.select(col(idCol).as("id"), size(toks).cast("long").as("dl"),
+        toks.as("__toks"))
+      .select(col("id"), col("dl"), col("__toks"),
+        explode(array_distinct(col("__toks"))).as("term"))
+      .select(col("term"), col("id"),
+        size(filter(col("__toks"), t => t === col("term")))
+          .cast("long").as("tf"),
+        col("dl"))
+  }
+
+  /** The stateless per-row twin of [[Relevance.corpusStats]]: ONE stats
+    * row PER DOCUMENT (n_docs = 1, n_tokens = its length). Scoring sums
+    * stats rows anyway (additive under arrival), so appending per-doc
+    * rows in-stream is value-identical to appending a batch row. */
+  def statsRowsPerDoc(df: DataFrame, textCol: String): DataFrame =
+    df.select(lit(1L).as("n_docs"),
+      size(tokens(col(textCol))).cast("long").as("n_tokens"))
+
   /** The tap a persisted posting table is written through: bucketed by
     * `term` so lookups bucket-prune to the query terms' buckets. Bucket
     * count is the layout knob — size it so one bucket ≈ one task of

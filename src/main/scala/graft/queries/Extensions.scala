@@ -2191,6 +2191,81 @@ object Extensions {
         .join(ctr, Seq("source"))
     }),
 
+    // --- STREAMING arrival for the retrieval stack (r14 verdict #6):
+    // the q300 maintenance cadence with the arrival leg IN-STREAM. The
+    // batch docs arrive as file micro-batches; posting rows and stats
+    // rows are both STATELESS per-row explodes (postingRowsPerDoc /
+    // statsRowsPerDoc — tf and dl are pure per-row expressions, so
+    // Append mode needs no state store, the q286 discipline), appended
+    // to parquet sinks; bm25FromIndex over the post-append index
+    // (pre-arrival taps ∪ streamed rows) must equal the full rebuild —
+    // oracle = q81's corpus-scan spelling over the whole corpus
+    // VERBATIM (the q133 twin trick: the oracle has no index, so a
+    // missing or double-counted arrival leg diverges immediately).
+    "q316_stream_bm25_arrival" -> ((s, dir) => {
+      val I = graft.functions.InvertedIndex
+      val R = graft.functions.Relevance
+      val table = stagedTable("graft_q316_postings")
+      graft.queries.Tables.dropStagedTable(s, table)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val pre = docs.filter(col("doc_id") % 50 =!= 3)
+      val batch = docs.filter(col("doc_id") % 50 === 3)
+        .select(col("doc_id"), col("text"))
+      val tap = I.indexTap(table, 16)
+      tap.write(I.buildWithDl(pre, "doc_id", "text"),
+        graft.sources.SinkMode.Replace)
+      val statsTap = graft.sources.ParquetTap(
+        graft.queries.Relational.stagePath("graft_q316_stats", dir))
+      statsTap.write(R.corpusStats(pre, "text"),
+        graft.sources.SinkMode.Replace)
+      // the arrival, in-stream: two stateless Append queries over the
+      // same staged micro-batches
+      val (in, outPost, chkPost) = freshStreamDirs("graft_q316_post")
+      val (_, outStats, chkStats) = freshStreamDirs("graft_q316_stats")
+      stageSliced(in, Seq(
+        batch.filter(col("doc_id") % 2 === 1),
+        batch.filter(col("doc_id") % 2 === 0)))
+      withStreamPartitions(s, 8) {
+        val stream1 = graft.streaming.StreamOps.readStream(s, in,
+          batch.schema, Map("maxFilesPerTrigger" -> "1"))
+        val q1 = I.postingRowsPerDoc(stream1, "doc_id", "text")
+          .writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+          .format("parquet").option("path", outPost)
+          .option("checkpointLocation", chkPost)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q1.awaitTermination()
+        val stream2 = graft.streaming.StreamOps.readStream(s, in,
+          batch.schema, Map("maxFilesPerTrigger" -> "1"))
+        val q2 = I.statsRowsPerDoc(stream2, "text")
+          .writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+          .format("parquet").option("path", outStats)
+          .option("checkpointLocation", chkStats)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q2.awaitTermination()
+      }
+      val streamedPost = s.read.parquet(outPost)
+      val streamedStats = s.read.parquet(outStats)
+      // non-vacuity: the stream leg must actually have contributed, and
+      // its per-doc stats rows must account for every batch doc
+      require(!streamedPost.limit(1).isEmpty,
+        "q316: the streamed arrival appended no posting rows — the " +
+          "arrival is vacuous")
+      val nBatch = batch.count()
+      val nStats = streamedStats.agg(sum(col("n_docs")).cast("long"))
+        .collect().head.getLong(0)
+      require(nStats == nBatch,
+        s"q316: streamed stats cover $nStats docs, batch has $nBatch")
+      R.bm25FromIndex(
+          tap.read(s).unionByName(streamedPost),
+          statsTap.read(s).unionByName(streamedStats),
+          Bm25Terms, topK = 20)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // --- snapshot diff (CDC between two snapshot versions): yesterday's
     // and today's corpus snapshots live in the SAME bucketed layout, so
     // the full-outer comparison plans with ZERO exchanges — both sides
@@ -9938,6 +10013,11 @@ object Extensions {
     // q300: index-served BM25 after the arrival append must equal the
     // corpus-scan score — q81's oracle verbatim
     "q300_bm25_from_index" ->
+      graft.functions.Relevance.bm25OracleSql(
+        "documents", "doc_id", "text", Bm25Terms, topK = 20),
+    // q316 (the in-stream arrival) shares it VERBATIM: the streamed
+    // append must be indistinguishable from the full rebuild
+    "q316_stream_bm25_arrival" ->
       graft.functions.Relevance.bm25OracleSql(
         "documents", "doc_id", "text", Bm25Terms, topK = 20),
 

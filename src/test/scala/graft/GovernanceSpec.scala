@@ -53,6 +53,32 @@ class GovernanceSpec extends SparkSpec {
     assert(idx == scan, s"index=$idx scan=$scan")
   }
 
+  test("postingRowsPerDoc is ROW-IDENTICAL to buildWithDl (repeated " +
+       "tokens fold to per-row tf; empty text matches the tokenizer's " +
+       "one-empty-token row), and statsRowsPerDoc sums to corpusStats " +
+       "— q316's stateless twins") {
+    val docs = Seq(
+      (1L, "a b a a c"),
+      (2L, "b b"),
+      (3L, "")).toDF("doc_id", "text")
+    val I = graft.functions.InvertedIndex
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val grouped = I.buildWithDl(docs, "doc_id", "text")
+      .collect().map(key).toSet
+    val perRow = I.postingRowsPerDoc(docs, "doc_id", "text")
+      .collect().map(key).toSet
+    assert(perRow == grouped, s"perRow=$perRow grouped=$grouped")
+    assert(perRow.contains(("a", 1L, 3L, 5L)) && // tf folds in-row
+      perRow.contains(("", 3L, 1L, 1L))) // split("") = [""] on BOTH paths
+    val summed = I.statsRowsPerDoc(docs, "text")
+      .agg(sum(col("n_docs")).cast("long"), sum(col("n_tokens")).cast("long"))
+      .collect().head
+    val batch = Relevance.corpusStats(docs, "text").collect().head
+    assert((summed.getLong(0), summed.getLong(1)) ==
+      (batch.getLong(0), batch.getLong(1)))
+  }
+
   test("overlapReport counts distinct shared n-grams, inner semantics") {
     val corpus = Seq(
       (1L, "a b c d e"),   // shares 'a b c' with eval (distinct-counted once)
