@@ -62,6 +62,34 @@ object Bench {
     //    independently, not in accumulation order.
     //  - per-pass raw times + loadavg + spread flags are RECORDED in the
     //    output so a contended run cannot masquerade as a regression.
+    // Box FINGERPRINT (round-14 verdict #7): a fixed ~2 s CPU + shuffle
+    // microbench, run in THIS JVM before the suite over synthetic ranges
+    // (no data dependency, no disk). The absolute numbers mean nothing;
+    // their ratio to the values recorded alongside the committed minima
+    // turns a future bench elevation into a one-field box-vs-code
+    // adjudication (the round-14 byte-identity method, made mechanical:
+    // fingerprint elevated too → box drift; fingerprint flat → code).
+    val (boxCpu, boxShuffle) = {
+      import org.apache.spark.sql.functions._
+      def t(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      def noop(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.mode("overwrite").format("noop").save()
+      def cpuPass(n: Long): Unit = noop(
+        spark.range(0L, n, 1L, cpus.toInt)
+          .select(xxhash64(concat(col("id").cast("string"),
+            lit("graftbox"))).as("h"))
+          .agg(bit_xor(col("h")))) // xor fold: no ANSI sum overflow
+      def shufPass(n: Long): Unit = noop(
+        spark.range(0L, n, 1L, cpus.toInt)
+          .groupBy((col("id") % 65536L).as("k"))
+          .agg(sum(col("id")).as("s"))
+          .agg(sum(col("s"))))
+      cpuPass(1000000L); shufPass(1000000L) // warm codegen
+      ((1 to 2).map(_ => t(cpuPass(60000000L))).min,
+        (1 to 2).map(_ => t(shufPass(30000000L))).min)
+    }
     val warmDir = "/root/testdata/sf0.001"
     val canWarm = new java.io.File(warmDir).isDirectory
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
@@ -224,6 +252,8 @@ object Bench {
       s""","regressed":${names(regressions.keys.toSeq)}""" +
       s""","regression_ratios":$regJson""" +
       s""","baseline_queries":${records.size}""" +
+      s""","box_cpu_sec":${fmt(boxCpu)}""" +
+      s""","box_shuffle_sec":${fmt(boxShuffle)}""" +
       s""","contended":$contended}"""
     // The driver captures only a BOUNDED TAIL (~2000 chars) of the sbt log:
     // the full JSON (~10 KB at 120+ queries) can never survive there — it
@@ -266,7 +296,8 @@ object Bench {
       s"""{"metric":"total","value":${fmt3(total)},"unit":"sec"""" +
         s""","batch_total":${fmt3(batchTotal)},"stream_total":${fmt3(streamTotal)}""" +
         (if (withQs) s""","queries":$compactQs""" else s""","n_queries":${measured.size}""") +
-        s""","sf":"$sfDir"$errCompact$regCompact,"contended":$contended}"""
+        s""","sf":"$sfDir","box":[${fmt3(boxCpu)},${fmt3(boxShuffle)}]""" +
+        s"""$errCompact$regCompact,"contended":$contended}"""
     // the driver JSON-parses the tail's last line: past ~120 queries the
     // per-query map alone exceeds the ~2000-char tail window, so the line
     // would arrive mid-JSON and parse to null. Above the threshold, drop

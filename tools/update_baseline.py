@@ -37,6 +37,14 @@ def main(argv):
             if old is None or sec < old:
                 record[q] = round(float(sec), 4)
                 changed += 1
+        # Box fingerprint (round-14 verdict #7): keep the LATEST clean
+        # run's CPU/shuffle microbench beside the records. A future
+        # elevation adjudicates in one compare: fingerprint elevated too
+        # -> box drift; fingerprint flat -> a real code regression.
+        # ("__"-prefixed keys are invisible to Bench's q-keyed regex.)
+        for k in ("box_cpu_sec", "box_shuffle_sec"):
+            if k in run:
+                record["__" + k] = round(float(run[k]), 4)
     json.dump(dict(sorted(record.items())), open(RECORD, "w"), indent=1)
     print(f"{RECORD}: {len(record)} queries, {changed} records updated")
 
