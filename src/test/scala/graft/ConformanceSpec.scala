@@ -3093,4 +3093,142 @@ class ConformanceSpec extends SparkSpec {
       Set(Seq("a"), Seq(null)))
     assert(rows(pipe(df).retain("k").uniqueNoNulls("k")) == Set(Seq("a")))
   }
+
+  // ---- wave 16: FieldedPipes/CoGroupFieldedPipes remainder + the
+  // cascading-core regex/text operation suite ----
+
+  // FieldedPipesPlatformTest.testSimpleGroup: the suite's canonical
+  // first test — RegexParser selecting capture group 1 (the ip) out of
+  // an apache-style line, groupBy ip, count.
+  test("RegexParser group selection feeds groupBy count " +
+       "(testSimpleGroup)") {
+    val logs = Seq("10.0.0.1 GET /a", "10.0.0.2 GET /b",
+      "10.0.0.1 POST /c").toDF("line")
+    val p = pipe(logs)
+      .each(RegexParser(CFields.typed("ip" -> StringType),
+          "^([^ ]*) .*$", Seq(1)),
+        args = FieldSelector.All, out = FieldSelector.Results)
+      .groupBy("ip").every(Aggs.count("count"))
+    assert(rows(p) == Set(Seq("10.0.0.1", 2L), Seq("10.0.0.2", 1L)))
+  }
+
+  // cascading-core RegexParser (testParserDeclared family): a SUBSET of
+  // capture groups, in caller order, with per-field type coercion — the
+  // groups int[] contract.
+  test("RegexParser group subset with typed coercion") {
+    val df = Seq("2026-08-16", "1999-01-02").toDF("d")
+    val p = pipe(df).each(
+      RegexParser(CFields.typed("y" -> IntegerType, "day" -> IntegerType),
+        "(\\d+)-(\\d+)-(\\d+)", Seq(1, 3)),
+      args = FieldSelector.All, out = FieldSelector.Results)
+    assert(rows(p) == Set(Seq(2026, 16), Seq(1999, 2)))
+  }
+
+  // cascading-core text operations (DateParser → DateFormatter): parse a
+  // formatted date to a timestamp, re-format it in a different pattern —
+  // the round-trip the upstream text suite pins.
+  test("DateParser to DateFormatter round-trip") {
+    val df = Seq("2023/01/05", "1970/12/31").toDF("raw")
+    val p = pipe(df)
+      .each(DateParser("ts", "yyyy/MM/dd"),
+        args = FieldSelector.All, out = FieldSelector.Results)
+      .each(DateFormatter("d", "yyyy-MM-dd"),
+        args = FieldSelector.All, out = FieldSelector.Results)
+    assert(rows(p) == Set(Seq("2023-01-05"), Seq("1970-12-31")))
+  }
+
+  // cascading-core FieldFormatter: java.util.Formatter semantics over
+  // the argument fields (format_string is the same Formatter).
+  test("FieldFormatter printf over argument fields") {
+    val df = Seq(("a", 7), ("bb", 123)).toDF("s", "n")
+    val p = pipe(df).each(FieldFormatter("f", "%s:%03d"),
+      args = FieldSelector.All, out = FieldSelector.Results)
+    assert(rows(p) == Set(Seq("a:007"), Seq("bb:123")))
+  }
+
+  // cascading-core FieldJoiner: all argument fields joined by the
+  // delimiter, numeric fields stringified.
+  test("FieldJoiner concatenates args with the delimiter") {
+    val df = Seq(("a", 1, "x")).toDF("p", "q", "r")
+    val p = pipe(df).each(FieldJoiner("j", "-"),
+      args = FieldSelector.All, out = FieldSelector.Results)
+    assert(rows(p) == Set(Seq("a-1-x")))
+  }
+
+  // cascading-core Sum/Average null coercion (Tuples.toDouble — the
+  // documented upstream contract in Aggs): a null argument coerces to 0
+  // but still COUNTS, so an all-null group sums to 0 (not SQL null) and
+  // the average divides by EVERY tuple.
+  test("sumCoerced/avgCoerced: all-null group sums 0, average counts " +
+       "every tuple") {
+    val df = Seq((1, Some(10)), (1, None), (2, None))
+      .toDF("k", "v")
+    val p = pipe(df).groupBy("k")
+      .every(Aggs.sumCoerced("v", "s"), Aggs.avgCoerced("v", "a"))
+    assert(rows(p) == Set(Seq(1, 10L, 5.0), Seq(2, 0L, 0.0)))
+  }
+
+  // CoGroupFieldedPipesPlatformTest.testCoGroupSamePipe/SamePipe3: the
+  // SAME memoized pipe branch cogroups ITSELF (one side a renamed
+  // view) — self-join alias handling must not cross the branches, and
+  // duplicate keys produce the per-key cross product.
+  test("self coGroup over one memoized source; dup keys cross") {
+    val src = pipe(lower)
+    val j = src.coGroup(Seq("num"),
+      src.rename("num" -> "num2", "ch" -> "ch2"), Seq("num2"))
+    assert(rows(j) == lower.collect().map(r =>
+      Seq(r.getInt(0), r.getString(1), r.getInt(0), r.getString(1))).toSet)
+    val dup = pipe(Seq((1, "x"), (1, "y")).toDF("num", "ch"))
+    val jd = dup.coGroup(Seq("num"),
+      dup.rename("num" -> "num2", "ch" -> "ch2"), Seq("num2"))
+    assert(rows(jd) == Set(
+      Seq(1, "x", 1, "x"), Seq(1, "x", 1, "y"),
+      Seq(1, "y", 1, "x"), Seq(1, "y", 1, "y")))
+  }
+
+  // CoGroupFieldedPipesPlatformTest.testCoGroupInnerSingleField: both
+  // sides are key-only single-field pipes — output is (k, k) with full
+  // multiplicity (a Set assertion would hide the duplicate).
+  test("single-field inner coGroup keeps multiplicity") {
+    val l = Seq(Tuple1(1), Tuple1(1), Tuple1(2)).toDF("num")
+    val r = Seq(Tuple1(1), Tuple1(3)).toDF("num2")
+    val j = pipe(l).coGroup(Seq("num"), pipe(r), Seq("num2"))
+    val got = Flow.toDF(j).collect().map(_.toSeq)
+    assert(got.length == 2 && got.toSet == Set(Seq(1, 1)), got.toSeq)
+  }
+
+  // The Each trap discipline on a REAL operation failure (the q52
+  // contract over DateParser): under ANSI an unparseable date fails the
+  // row; with a trap tap the flow completes, good rows flow, bad rows
+  // land in the trap.
+  test("DateParser failure: directed without a trap, trapped with one") {
+    val df = Seq("2023/01/05", "not-a-date").toDF("raw")
+    intercept[Exception] {
+      rows(pipe(df).each(DateParser("ts", "yyyy/MM/dd"),
+        args = FieldSelector.All, out = FieldSelector.Results))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("dptrap").toString
+    val trap = graft.sources.ParquetTap(s"$dir/trap")
+    val good = Flow.toDFWithTraps(pipe(df)
+      .each(DateParser("ts", "yyyy/MM/dd"),
+        args = FieldSelector.All, out = FieldSelector.Results,
+        trap = Some(trap))
+      .each(DateFormatter("d", "yyyy-MM-dd"),
+        args = FieldSelector.All, out = FieldSelector.Results))
+      .collect().map(_.toSeq).toSet
+    assert(good == Set(Seq("2023-01-05")))
+    assert(trap.read(spark).collect().map(_.getString(0)).toSeq ==
+      Seq("not-a-date"))
+  }
+
+  // FieldedPipesPlatformTest.testConcatenation / testSameSourceMerge
+  // corner not yet pinned: a merge of a pipe with ITSELF (the same
+  // branch twice) doubles every row — merge is multiset union, never
+  // a distinct.
+  test("merge of a branch with itself doubles rows (multiset union)") {
+    val src = pipe(lower).filterBy(ExpressionFilter("num > 2")) // keeps 1,2
+    val m = Flow.toDF(src.merge(src)).collect().map(_.toSeq)
+    assert(m.length == 4 &&
+      m.toSet == Set(Seq(1, "a"), Seq(2, "b")), m.toSeq)
+  }
 }
