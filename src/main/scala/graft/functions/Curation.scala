@@ -325,6 +325,76 @@ object Curation {
   }
 
   // --------------------------------------------------------------------
+  // CHECKSUM-VALIDATED PII: payment-card numbers. A card rule cannot be
+  // a plain [[PiiRules]] regex — the shape (four 4-digit groups) matches
+  // order ids, serials, and phone-ish strings constantly; real scrubbers
+  // redact a candidate ONLY when its digits pass the Luhn checksum
+  // (ISO/IEC 7812). Candidates come from the regex; validation is
+  // Spark's `luhn_check` on the digit string; the scrub is a fold of
+  // whole-string replaces over the VALID candidates only. The oracle
+  // replays the Luhn arithmetic itself (double every second digit from
+  // the right, subtract 9 above 9, sum % 10 = 0) — the checksum is in
+  // the gate, not assumed.
+
+  /** Card-number candidate shape: four 4-digit groups, uniform '-'/' '
+    * separators or none — spelled as an explicit alternation (a
+    * backreference would be Java-regex-only; DuckDB's RE2 has none). */
+  val CardCandPat: String =
+    "\\b(?:\\d{4}-\\d{4}-\\d{4}-\\d{4}|" +
+      "\\d{4} \\d{4} \\d{4} \\d{4}|\\d{16})\\b"
+  val CardReplacement: String = "<CARD>"
+
+  private def cardCandidates(text: Column): Column =
+    array_distinct(regexp_extract_all(text, lit(CardCandPat), lit(0)))
+
+  private def luhnOk(c: Column): Column =
+    call_function("luhn_check", regexp_replace(c, "[- ]", ""))
+
+  /** Valid (Luhn-passing) candidates, sorted and '|'-joined. */
+  def cardMatches(text: Column): Column =
+    array_join(array_sort(filter(cardCandidates(text), luhnOk _)), "|")
+
+  /** Count of DISTINCT valid card numbers in the text. */
+  def cardCount(text: Column): Column =
+    size(filter(cardCandidates(text), luhnOk _)).cast("long")
+
+  /** Redact every valid candidate (whole-string replace fold — a
+    * candidate string cannot overlap another match of the shape). */
+  def cardScrub(text: Column): Column =
+    aggregate(filter(cardCandidates(text), luhnOk _), text,
+      (acc, c) => replace(acc, c, lit(CardReplacement)))
+
+  /** The Luhn test in DuckDB over candidate expression `c` (a lambda
+    * body — `c` must be a plain identifier). */
+  private def luhnOracleExpr(c: String): String = {
+    val s = s"regexp_replace($c, '[- ]', '', 'g')"
+    s"((list_sum(list_transform(range(1, len($s) + 1), " +
+      s"i -> CASE WHEN (len($s) - i) % 2 = 1 " +
+      s"THEN CASE WHEN 2 * CAST($s[i] AS INTEGER) > 9 " +
+      s"THEN 2 * CAST($s[i] AS INTEGER) - 9 " +
+      s"ELSE 2 * CAST($s[i] AS INTEGER) END " +
+      s"ELSE CAST($s[i] AS INTEGER) END))) % 10 = 0)"
+  }
+
+  private def cardValidOracleExpr(e: String): String =
+    s"list_filter(list_distinct(regexp_extract_all($e, " +
+      s"'${sq(CardCandPat)}')), c -> ${luhnOracleExpr("c")})"
+
+  def cardCountOracleExpr(e: String): String =
+    s"CAST(len(${cardValidOracleExpr(e)}) AS BIGINT)"
+
+  def cardMatchesOracleExpr(e: String): String =
+    s"coalesce(array_to_string(list_sort(" +
+      s"${cardValidOracleExpr(e)}), '|'), '')"
+
+  /** DuckDB spelling of [[cardScrub]]: fold whole-string replaces over
+    * the valid candidates (list_reduce with the text prepended as the
+    * accumulator seed — safe on an empty candidate list). */
+  def cardScrubOracleExpr(e: String): String =
+    s"list_reduce(list_prepend($e, ${cardValidOracleExpr(e)}), " +
+      s"(acc, c) -> replace(acc, c, '$CardReplacement'))"
+
+  // --------------------------------------------------------------------
   // Blocklist screening — single-pass multi-pattern matching
   // (catalyst.MultiMatch, Aho–Corasick). The other half of the
   // compliance pass next to PII redaction: a banned-term list evaluated

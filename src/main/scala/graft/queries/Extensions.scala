@@ -2266,6 +2266,34 @@ object Extensions {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // --- CHECKSUM-VALIDATED PII: payment-card redaction. The card
+    // shape (four 4-digit groups) false-positives on order ids and
+    // serials constantly, so real scrubbers gate candidates on the
+    // Luhn checksum — and so does the dirt: the %19 plant is a
+    // shape-matching Luhn-INVALID decoy that must survive unredacted
+    // (its digits flow into clean_md5), while the %17 (spaced) and %23
+    // (dashed) plants are Luhn-valid and redact. The oracle replays
+    // the Luhn arithmetic itself — the checksum is under the hash.
+    // Composes with the q285 rules: regex scrub first, card fold after.
+    "q317_pii_card" -> ((s, dir) => {
+      val C = graft.functions.Curation
+      def plant(m: Int, dirt: String) =
+        when(col("doc_id") % m === 0, lit(dirt)).otherwise(lit(""))
+      val df = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), concat(col("text"),
+          plant(17, " pay 4111 1111 1111 1111 ok"),
+          plant(19, " order 1234 5678 9012 3456 ref"),
+          plant(23, " card 4111-1111-1111-1111 bill")).as("text"))
+        .select(col("doc_id"),
+          C.cardCount(col("text")).as("n_cards"),
+          C.cardMatches(col("text")).as("cards_found"),
+          md5(C.cardScrub(C.piiScrub(col("text")))).as("clean_md5"))
+      require(!df.queryExecution.executedPlan.toString.contains("Exchange"),
+        "q317: the card redaction pass must be a single exchange-free " +
+          "scan")
+      df
+    }),
+
     // --- snapshot diff (CDC between two snapshot versions): yesterday's
     // and today's corpus snapshots live in the SAME bucketed layout, so
     // the full-outer comparison plans with ZERO exchanges — both sides
@@ -9243,6 +9271,24 @@ object Extensions {
     // discipline)
     "q285_pii_scrub" -> piiScrubOracle,
     "q286_stream_pii_screen" -> piiScrubOracle,
+
+    // q317: card candidates gated on the REPLAYED Luhn arithmetic; the
+    // %19 decoy is shape-matching but checksum-invalid and must survive
+    // into clean_md5 unredacted
+    "q317_pii_card" -> {
+      val C = graft.functions.Curation
+      val aug = "text" +
+        " || CASE WHEN doc_id % 17 = 0 THEN ' pay 4111 1111 1111 1111 ok' ELSE '' END" +
+        " || CASE WHEN doc_id % 19 = 0 THEN ' order 1234 5678 9012 3456 ref' ELSE '' END" +
+        " || CASE WHEN doc_id % 23 = 0 THEN ' card 4111-1111-1111-1111 bill' ELSE '' END"
+      s"""WITH aug AS (SELECT doc_id, $aug AS text FROM documents)
+         |SELECT doc_id,
+         |  ${C.cardCountOracleExpr("text")} AS n_cards,
+         |  ${C.cardMatchesOracleExpr("text")} AS cards_found,
+         |  md5(${C.cardScrubOracleExpr(C.piiScrubOracleExpr("text"))})
+         |    AS clean_md5
+         |FROM aug""".stripMargin
+    },
 
 
     "q265_video_keyframe_index" -> videoSceneOracle(

@@ -152,4 +152,27 @@ class CurationSpec extends SparkSpec {
       Curation.loadLatestBlockTerms(v1.filter(col("version") === 99L))
     }
   }
+
+  test("card PII: Luhn gates candidates — valid spaced/dashed/bare " +
+       "forms redact, a shape-matching checksum-invalid decoy survives, " +
+       "no-candidate text is the identity") {
+    val df = Seq(
+      (1L, "pay 4111 1111 1111 1111 now"),
+      (2L, "order 1234 5678 9012 3456 ref"), // shape ok, Luhn fails
+      (3L, "card 4111-1111-1111-1111 and 4111111111111111"),
+      (4L, "no cards 1234-5678 here")).toDF("doc_id", "text")
+    val r = df.select(col("doc_id"),
+        Curation.cardCount(col("text")).as("n"),
+        Curation.cardScrub(col("text")).as("t"))
+      .collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getString(2)))).toMap
+    assert(r(1L) == ((1L, "pay <CARD> now")))
+    assert(r(2L) == ((0L, "order 1234 5678 9012 3456 ref")))
+    assert(r(3L) == ((2L, "card <CARD> and <CARD>")))
+    assert(r(4L) == ((0L, "no cards 1234-5678 here")))
+    // mixed separators are NOT one candidate (uniform-separator shape)
+    val m = Seq((9L, "x 4111-1111 1111-1111 y")).toDF("doc_id", "text")
+      .select(Curation.cardCount(col("text"))).collect().head.getLong(0)
+    assert(m == 0L)
+  }
 }
