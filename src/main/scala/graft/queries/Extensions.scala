@@ -2294,6 +2294,44 @@ object Extensions {
       df
     }),
 
+    // --- PERPLEXITY-BUCKETED mixture sampling (the CCNet recipe,
+    // Wenzek et al. 2020): per-source head/middle/tail by LM surprisal,
+    // then per-bucket reproducible keep rates (head 100 / middle 50 /
+    // tail 10). Every stage is an existing gated spelling composed:
+    // q264's BIGRAM surprisal (the unigram proxy is DEGENERATE on this
+    // corpus — 95% of documents share one quantized value, collapsing
+    // every bucket to tail; the bigram model spreads properly), q172's
+    // bounded-domain CDF (the proxy quantizes to CENTIBITS per bigram
+    // first — micros granularity would make the CDF table corpus-sized
+    // and break its broadcast contract), q84's hash keep-predicate with
+    // the bucket as the stratum. Membership is a pure function of
+    // (salt, doc_id) — auditable, engine-independent.
+    "q318_perplexity_mixture" -> ((s, dir) => {
+      val G = graft.functions.Governance
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val per = graft.functions.LanguageModel.bigramSurprisal(docs)
+        .filter(col("n_bi") >= 1) // sub-2-token docs have no LM signal
+        .select(col("doc_id"),
+          expr("bigram_bits * 100 div n_bi").as("ppl_cb"))
+      val scored = docs.select(col("doc_id"), col("source"))
+        .join(per, Seq("doc_id"))
+      val pct = G.quantileNormalize(scored, "doc_id", "source", "ppl_cb")
+      val bucketed = pct.withColumn("bucket",
+        when(col("pct_micros") <= 333333L, "head")
+          .when(col("pct_micros") <= 666666L, "middle")
+          .otherwise("tail"))
+      require(bucketed.select(col("bucket")).distinct().count() == 3,
+        "q318: the perplexity bucketing is vacuous — a degenerate " +
+          "score distribution collapsed a bucket (the unigram-proxy " +
+          "failure mode this gate exists to catch)")
+      bucketed
+        .filter(G.stratifiedKeep(col("doc_id"), col("bucket"),
+          Seq("head" -> 100, "middle" -> 50, "tail" -> 10), 0,
+          "graft-ccnet"))
+        .select(col("doc_id"), col("source"), col("ppl_cb"),
+          col("pct_micros"), col("bucket"))
+    }),
+
     // --- snapshot diff (CDC between two snapshot versions): yesterday's
     // and today's corpus snapshots live in the SAME bucketed layout, so
     // the full-outer comparison plans with ZERO exchanges — both sides
@@ -9288,6 +9326,49 @@ object Extensions {
          |  md5(${C.cardScrubOracleExpr(C.piiScrubOracleExpr("text"))})
          |    AS clean_md5
          |FROM aug""".stripMargin
+    },
+
+    // q318: q264's bigram surprisal chain quantized to centibits per
+    // bigram, q172's CDF spelling, q84's hash keep — composed
+    "q318_perplexity_mixture" -> {
+      val keep = graft.functions.Governance.oracleHashBucket(
+        "doc_id", "graft-ccnet")
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |pos AS MATERIALIZED (
+         |  SELECT doc_id, t[i] AS prev, t[i] || ' ' || t[i + 1] AS bg
+         |  FROM t, LATERAL (SELECT unnest(range(1, len(t))) AS i) ii
+         |  WHERE len(t) >= 2),
+         |ctx AS MATERIALIZED (
+         |  SELECT prev, count(*) AS c1 FROM pos GROUP BY 1),
+         |bic AS MATERIALIZED (
+         |  SELECT bg, count(*) AS c2 FROM pos GROUP BY 1),
+         |bsc AS (
+         |  SELECT p.doc_id,
+         |    (length(bin(c.c1)) - 1) - (length(bin(b.c2)) - 1) AS bits
+         |  FROM pos p JOIN ctx c USING (prev) JOIN bic b USING (bg)),
+         |per AS (
+         |  SELECT doc_id,
+         |    CAST(sum(bits) AS BIGINT) * 100 // count(*) AS ppl_cb
+         |  FROM bsc GROUP BY 1),
+         |sc AS (
+         |  SELECT d.doc_id, d.source, CAST(p.ppl_cb AS BIGINT) AS ppl_cb
+         |  FROM documents d JOIN per p USING (doc_id)),
+         |c AS (SELECT source, ppl_cb, count(*) AS n FROM sc GROUP BY 1, 2),
+         |cc AS (SELECT source, ppl_cb,
+         |    sum(n) OVER (PARTITION BY source ORDER BY ppl_cb) AS cum,
+         |    sum(n) OVER (PARTITION BY source) AS tot FROM c),
+         |pct AS (
+         |  SELECT s.doc_id, s.source, s.ppl_cb,
+         |    CAST(floor(cum * 1000000 / tot) AS BIGINT) AS pct_micros
+         |  FROM sc s JOIN cc USING (source, ppl_cb)),
+         |b AS (SELECT doc_id, source, ppl_cb, pct_micros,
+         |    CASE WHEN pct_micros <= 333333 THEN 'head'
+         |         WHEN pct_micros <= 666666 THEN 'middle'
+         |         ELSE 'tail' END AS bucket FROM pct)
+         |SELECT doc_id, source, ppl_cb, pct_micros, bucket FROM b
+         |WHERE $keep < CASE bucket WHEN 'head' THEN 100
+         |  WHEN 'middle' THEN 50 ELSE 10 END""".stripMargin
     },
 
 
