@@ -469,6 +469,68 @@ object Governance {
       .select(col(idCol), col(keyCol), col(scoreCol), col("pct_micros"))
   }
 
+  /** REPEAT-AWARE token budgeting (the data-constrained scaling recipe,
+    * Muennighoff et al. 2023: repeating pretraining data up to ~4
+    * epochs is nearly as good as fresh tokens; beyond that, returns
+    * decay fast): given per-source available token counts and a total
+    * training budget, allocate served tokens by EXACT-INTEGER
+    * WATERFILLING under the per-source cap maxEpochs·avail — every
+    * uncapped source serves the same water level λ, capped sources
+    * serve their cap, and λ is the unique level with
+    * Σ min(cap_i, λ) = budget (floored: the unallocated remainder is
+    * < the number of uncapped sources — sub-token slack, documented).
+    *
+    * The closed form avoids the iterative waterfall: sort caps
+    * ascending, and for each prefix length j test
+    * λ_j = (budget − Σ_{i≤j} cap_i) div (n − j); the valid j is the one
+    * with cap_j ≤ λ_j < cap_{j+1}. O(sources) rows end to end — the
+    * windows run over the per-source table, never the corpus; a budget
+    * at or above Σ caps refuses DIRECTED (there is no level; serving
+    * beyond maxEpochs epochs is the paper's anti-pattern).
+    *
+    * Input `perSource` must expose (srcCol, `avail`); output one row
+    * per source: (source, avail_tokens, cap_tokens, served_tokens,
+    * epochs_micros = served·10⁶ div avail, capped). */
+  def tokenBudgetWaterfill(perSource: DataFrame, srcCol: String,
+                           budget: Long, maxEpochs: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget > 0 && maxEpochs >= 1)
+    val caps = perSource.select(col(srcCol).as("source"),
+      col("avail").cast("long").as("avail"),
+      (col("avail").cast("long") * maxEpochs).as("cap"))
+    val w = Window.orderBy(col("cap").asc, col("source").asc)
+    val ranked = caps
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("cum_prev",
+        coalesce(sum(col("cap")).over(w.rowsBetween(
+          Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("prev_cap", lag(col("cap"), 1).over(w))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy().rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+    val cands = ranked
+      .withColumn("lam", expr(
+        s"($budget - cum_prev) div (n - rk + 1)"))
+      .filter(col("lam") < col("cap") &&
+        (col("rk") === 1L || col("prev_cap") <= col("lam")))
+      .select(min(col("lam")).as("lam"))
+    val lamRow = cands.collect()
+    require(lamRow.nonEmpty && !lamRow.head.isNullAt(0),
+      s"tokenBudgetWaterfill: budget $budget meets or exceeds the " +
+        s"total $maxEpochs-epoch capacity — serving beyond $maxEpochs " +
+        "epochs is the documented anti-pattern; lower the budget or " +
+        "add data")
+    val lam = lamRow.head.getLong(0)
+    caps.select(col("source"), col("avail").as("avail_tokens"),
+        col("cap").as("cap_tokens"),
+        least(col("cap"), lit(lam)).as("served_tokens"))
+      .select(col("source"), col("avail_tokens"), col("cap_tokens"),
+        col("served_tokens"),
+        expr("served_tokens * 1000000 div avail_tokens")
+          .as("epochs_micros"),
+        (col("cap_tokens") === col("served_tokens")).as("capped"))
+  }
+
   /** Per-source curation funnel — the attrition report every multi-stage
     * pipeline needs: documents and tokens surviving each CUMULATIVE
     * stage (raw → quality ≥ minQuality → language identified → exact

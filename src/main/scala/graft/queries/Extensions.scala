@@ -2332,6 +2332,35 @@ object Extensions {
           col("pct_micros"), col("bucket"))
     }),
 
+    // --- REPEAT-AWARE token budgeting (data-constrained scaling,
+    // Muennighoff et al. 2023): allocate a training budget of 3.9×
+    // the corpus across sources by exact-integer WATERFILLING under
+    // the 4-epoch repeat cap — small sources cap at 4 epochs, the rest
+    // share the water level λ (the closed-form prefix-sum solve, no
+    // iterative waterfall). Non-vacuity asserted: at least one source
+    // capped AND at least one at the level (an all-capped budget
+    // refuses directed inside the operator — serving beyond 4 epochs
+    // is the paper's anti-pattern). Everything after the one corpus
+    // scan is O(sources) rows.
+    "q319_token_budget" -> ((s, dir) => {
+      val G = graft.functions.Governance
+      val per = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("source"),
+          size(expr("filter(split(text, ' '), w -> w != '')"))
+            .cast("long").as("ntok"))
+        .groupBy(col("source")).agg(sum(col("ntok")).as("avail"))
+      val total = per.agg(sum(col("avail"))).collect().head.getLong(0)
+      val out = G.tokenBudgetWaterfill(per, "source",
+        budget = 39L * total / 10L, maxEpochs = 4)
+      val st = out.agg(
+        sum(when(col("capped"), 1L).otherwise(0L)).as("nc"),
+        count(lit(1)).as("n")).collect().head
+      require(st.getLong(0) >= 1 && st.getLong(0) < st.getLong(1),
+        s"q319: waterfill vacuous — ${st.getLong(0)} of " +
+          s"${st.getLong(1)} sources capped (need a mix)")
+      out
+    }),
+
     // --- snapshot diff (CDC between two snapshot versions): yesterday's
     // and today's corpus snapshots live in the SAME bucketed layout, so
     // the full-outer comparison plans with ZERO exchanges — both sides
@@ -9370,6 +9399,42 @@ object Extensions {
          |WHERE $keep < CASE bucket WHEN 'head' THEN 100
          |  WHEN 'middle' THEN 50 ELSE 10 END""".stripMargin
     },
+
+    // q319: the waterfill closed form replayed — sorted-cap prefix
+    // sums, the valid prefix's floored level, per-source min(cap, λ)
+    "q319_token_budget" ->
+      """WITH per AS (
+        |  SELECT source,
+        |    CAST(sum(len(list_filter(string_split(text, ' '),
+        |      w -> w <> ''))) AS BIGINT) AS avail
+        |  FROM documents GROUP BY 1),
+        |b AS (SELECT CAST((39 * sum(avail)) // 10 AS BIGINT) AS budget
+        |      FROM per),
+        |caps AS (SELECT source, avail,
+        |    CAST(avail * 4 AS BIGINT) AS cap FROM per),
+        |ranked AS (
+        |  SELECT source, avail, cap,
+        |    row_number() OVER (ORDER BY cap, source) AS rk,
+        |    CAST(coalesce(sum(cap) OVER (ORDER BY cap, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum_prev,
+        |    lag(cap) OVER (ORDER BY cap, source) AS prev_cap,
+        |    count(*) OVER () AS n
+        |  FROM caps),
+        |lamq AS (
+        |  SELECT CAST(min(((SELECT budget FROM b) - cum_prev)
+        |    // (n - rk + 1)) AS BIGINT) AS lam
+        |  FROM ranked
+        |  WHERE ((SELECT budget FROM b) - cum_prev) // (n - rk + 1) < cap
+        |    AND (rk = 1 OR prev_cap <=
+        |      ((SELECT budget FROM b) - cum_prev) // (n - rk + 1)))
+        |SELECT c.source, c.avail AS avail_tokens, c.cap AS cap_tokens,
+        |  CAST(least(c.cap, (SELECT lam FROM lamq)) AS BIGINT)
+        |    AS served_tokens,
+        |  CAST(least(c.cap, (SELECT lam FROM lamq)) * 1000000 // c.avail
+        |    AS BIGINT) AS epochs_micros,
+        |  c.cap = least(c.cap, (SELECT lam FROM lamq)) AS capped
+        |FROM caps c""".stripMargin,
 
 
     "q265_video_keyframe_index" -> videoSceneOracle(

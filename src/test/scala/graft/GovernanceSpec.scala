@@ -79,6 +79,32 @@ class GovernanceSpec extends SparkSpec {
       (batch.getLong(0), batch.getLong(1)))
   }
 
+  test("tokenBudgetWaterfill: hand-computed closed form — caps bind in " +
+       "sorted order, the level serves the rest exactly, budget at " +
+       "capacity refuses directed") {
+    import graft.functions.Governance
+    val per = Seq(("a", 10L), ("b", 20L), ("c", 100L)).toDF("source", "avail")
+    // caps 40/80/400; budget 200 → λ = 80: a serves 40 (capped),
+    // b serves 80 (cap == λ: capped), c serves 80 (at the level)
+    val r = Governance.tokenBudgetWaterfill(per, "source", budget = 200L)
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(3), x.getLong(4), x.getBoolean(5)))).toMap
+    assert(r == Map(
+      "a" -> ((40L, 4000000L, true)),
+      "b" -> ((80L, 4000000L, true)),
+      "c" -> ((80L, 800000L, false))), r.toString)
+    assert(r.values.map(_._1).sum == 200L) // the level is exact here
+    // budget ≥ Σ caps (520): no level exists — directed refusal
+    val ex = intercept[IllegalArgumentException] {
+      Governance.tokenBudgetWaterfill(per, "source", budget = 600L)
+    }
+    assert(ex.getMessage.contains("capacity"))
+    // with ONE uncapped source the floored level absorbs the remainder
+    val r2 = Governance.tokenBudgetWaterfill(per, "source", budget = 201L)
+      .collect().map(x => x.getString(0) -> x.getLong(3)).toMap
+    assert(r2 == Map("a" -> 40L, "b" -> 80L, "c" -> 81L), r2.toString)
+  }
+
   test("overlapReport counts distinct shared n-grams, inner semantics") {
     val corpus = Seq(
       (1L, "a b c d e"),   // shares 'a b c' with eval (distinct-counted once)
