@@ -432,6 +432,273 @@ object Vocab {
        |FROM enc GROUP BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------------
+  // WORDPIECE (Schuster & Nakajima 2012; the BERT tokenizer) — the third
+  // of the big-three subword families next to BPE (q150) and unigram-LM
+  // (q281). Training is BPE-shaped with TWO published differences:
+  // continuation symbols carry the "##" prefix (word "abc" seeds as
+  // " a ##b ##c "; merging l with r yields l + r-without-##), and the
+  // merge choice maximizes the LIKELIHOOD score
+  //   score(l, r) = count(l r) / (count(l) · count(r))
+  // — the pair whose fusion most increases corpus likelihood under a
+  // unigram model — instead of raw pair count. Scores are single IEEE
+  // divisions of exact integer counts (products ≤ 1e12 ≪ 2^53, so the
+  // doubles are exact and both engines order them identically; ties
+  // break (l, r) asc). Encoding is greedy longest-match-first per word
+  // with [UNK] fallback ([[wordPieceEncode]]).
+
+  /** WordPiece symbol seeding: "abc" → " a ##b ##c ". */
+  private def wpCharSpaced(w: org.apache.spark.sql.Column) =
+    concat(lit(" "), substring(w, 1, 1), lit(" "),
+      regexp_replace(substring(w, 2, Int.MaxValue), "(.)", "##$1 "))
+
+  /** Learn `nMerges` WordPiece merges. One row per merge:
+    * (iter, l, r, merged, pair_count, l_count, r_count) — the exact
+    * integer counts behind the chosen score (the score itself is their
+    * ratio; emitting the integers keeps the gate float-free). Stops
+    * early if no adjacent pair remains. */
+  def wordPieceMerges(docs: DataFrame, textCol: String,
+                      nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab = docs
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(wpCharSpaced(col("w")).as("repr"), col("cnt"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, String, Long, Long, Long)]
+    var it = 1
+    var exhausted = false
+    while (it <= nMerges && !exhausted) {
+      val syms = vocab
+        .select(col("cnt"), split(trim(col("repr")), " ").as("__t"))
+      val symCounts = syms
+        .select(col("cnt"), explode(col("__t")).as("s"))
+        .groupBy(col("s")).agg(sum(col("cnt")).as("sc"))
+      val top = syms
+        .filter(size(col("__t")) >= 2)
+        .select(col("cnt"),
+          slice(col("__t"), lit(1), size(col("__t")) - 1).as("ls"),
+          slice(col("__t"), lit(2), size(col("__t")) - 1).as("rs"))
+        .select(col("cnt"), explode(arrays_zip(col("ls"), col("rs"))).as("p"))
+        .groupBy(col("p.ls").as("l"), col("p.rs").as("r"))
+        .agg(sum(col("cnt")).as("pair_count"))
+        .join(symCounts.select(col("s").as("l"), col("sc").as("lc")),
+          Seq("l"))
+        .join(symCounts.select(col("s").as("r"), col("sc").as("rc")),
+          Seq("r"))
+        .select(col("l"), col("r"), col("pair_count"), col("lc"), col("rc"),
+          (col("pair_count").cast("double") /
+            (col("lc") * col("rc")).cast("double")).as("score"))
+        .orderBy(col("score").desc, col("l"), col("r"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val l = top(0).getString(0)
+        val r = top(0).getString(1)
+        val merged = l + r.stripPrefix("##")
+        merges += ((it, l, r, merged, top(0).getLong(2), top(0).getLong(3),
+          top(0).getLong(4)))
+        vocab = vocab
+          .withColumn("repr",
+            replace(col("repr"), lit(s" $l $r "), lit(s" $merged ")))
+          .localCheckpoint()
+        it += 1
+      }
+    }
+    merges.result()
+      .toDF("iter", "l", "r", "merged", "pair_count", "l_count", "r_count")
+      .select(col("iter").cast("int").as("iter"), col("l"), col("r"),
+        col("merged"), col("pair_count"), col("l_count"), col("r_count"))
+  }
+
+  /** The unrolled WordPiece learning chain (the q150 oracleCtes shape
+    * with the likelihood argmax): wp0 seeds " a ##b ##c " symbol rows;
+    * per iteration wps_k (symbol counts), wpp_k (pair counts joined to
+    * both symbol counts), wpm_k (argmax by the IEEE-division score,
+    * ties (l, r) asc), wp_k (merge applied — l + r without "##"). */
+  private def wpOracleCtes(nMerges: Int): String = {
+    val w0 =
+      """wp0 AS MATERIALIZED (
+        |  SELECT ' ' || tok[1] || ' ' ||
+        |         regexp_replace(tok[2:], '(.)', '##\1 ', 'g') AS repr,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE tok <> '' GROUP BY 1)""".stripMargin
+    val iters = (1 to nMerges).map { k =>
+      s"""wpt$k AS MATERIALIZED (
+         |  SELECT string_split(trim(repr), ' ') AS t, cnt FROM wp${k - 1}),
+         |wps$k AS MATERIALIZED (
+         |  SELECT s, CAST(sum(cnt) AS BIGINT) AS sc FROM (
+         |    SELECT unnest(t) AS s, cnt FROM wpt$k) GROUP BY 1),
+         |wpp$k AS MATERIALIZED (
+         |  SELECT t[i] AS l, t[i + 1] AS r,
+         |         CAST(sum(cnt) AS BIGINT) AS pair_count
+         |  FROM wpt$k, LATERAL (SELECT unnest(range(1, len(t))) AS i) ii
+         |  GROUP BY 1, 2),
+         |wpm$k AS MATERIALIZED (
+         |  SELECT $k AS iter, p.l, p.r,
+         |    p.l || CASE WHEN p.r LIKE '##%' THEN p.r[3:] ELSE p.r END
+         |      AS merged,
+         |    p.pair_count, a.sc AS l_count, b.sc AS r_count
+         |  FROM wpp$k p JOIN wps$k a ON p.l = a.s JOIN wps$k b ON p.r = b.s
+         |  ORDER BY CAST(p.pair_count AS DOUBLE) /
+         |    CAST(a.sc * b.sc AS DOUBLE) DESC, p.l, p.r LIMIT 1),
+         |wp$k AS MATERIALIZED (
+         |  SELECT replace(repr,
+         |    ' ' || (SELECT l FROM wpm$k) || ' ' ||
+         |      (SELECT r FROM wpm$k) || ' ',
+         |    ' ' || (SELECT merged FROM wpm$k) || ' ') AS repr,
+         |    cnt FROM wp${k - 1})""".stripMargin
+    }.mkString(",\n")
+    s"$w0,\n$iters"
+  }
+
+  def wordPieceOracleSql(nMerges: Int): String = {
+    val union = (1 to nMerges).map(k => s"SELECT * FROM wpm$k")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ${wpOracleCtes(nMerges)}
+       |SELECT CAST(iter AS INTEGER) AS iter, l, r, merged, pair_count,
+       |  l_count, r_count FROM ($union)""".stripMargin
+  }
+
+  /** The trained WordPiece vocabulary: the POSITIONAL single-symbol
+    * alphabet the seeding produced (a char only ever seen word-internal
+    * has no word-initial form — real WordPiece semantics; such a word
+    * start is [UNK]) plus every merged symbol, intermediates included
+    * (the published vocab keeps them). A bounded driver carry:
+    * O(alphabet + merges). */
+  def wordPieceVocab(trainDocs: DataFrame, textCol: String,
+                     merges: DataFrame): Set[String] = {
+    val alpha = trainDocs
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(explode(split(trim(wpCharSpaced(col("w"))), " ")).as("s"))
+      .distinct().collect().map(_.getString(0))
+    val merged = merges.select(col("merged")).collect().map(_.getString(0))
+    (alpha ++ merged).toSet
+  }
+
+  /** WordPiece ENCODING — greedy longest-match-first per word (the
+    * published serving algorithm: take the longest vocab piece that
+    * prefixes the remaining word, "##"-prefixed after the first piece;
+    * a position with NO matching piece makes the whole word [UNK]).
+    * Per-doc output (doc_id, n_words, n_pieces, n_unk) — an [UNK] word
+    * contributes one piece.
+    *
+    * Scale shape: the vocab is a bounded driver carry closed over a
+    * mapPartitions scan (the pqEncodeWithBook discipline) — per-row
+    * CPU, zero exchange before the per-doc aggregation. */
+  def wordPieceEncode(docs: DataFrame, idCol: String, textCol: String,
+                      vocab: Set[String]): DataFrame = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    require(vocab.nonEmpty, "wordPieceEncode: empty vocabulary")
+    val maxPiece = vocab.iterator.map(p =>
+      if (p.startsWith("##")) p.length - 2 else p.length).max
+    val schema = StructType(Seq(
+      StructField("doc_id", docs.schema(idCol).dataType),
+      StructField("n_words", LongType),
+      StructField("n_pieces", LongType),
+      StructField("n_unk", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idIdx = docs.columns.indexOf(idCol)
+    val tIdx = docs.columns.indexOf(textCol)
+    docs.mapPartitions { it =>
+      def encodeWord(w: String): (Long, Boolean) = {
+        var pos = 0
+        var np = 0L
+        while (pos < w.length) {
+          var l = math.min(maxPiece, w.length - pos)
+          var found = -1
+          while (l >= 1 && found < 0) {
+            val cand = (if (pos == 0) "" else "##") +
+              w.substring(pos, pos + l)
+            if (vocab.contains(cand)) found = l else l -= 1
+          }
+          if (found < 0) return (1L, true)
+          np += 1L
+          pos += found
+        }
+        (np, false)
+      }
+      it.map { row =>
+        val words = row.getString(tIdx).split(" ").filter(_.nonEmpty)
+        var nw = 0L; var np = 0L; var nu = 0L
+        words.foreach { w =>
+          val (p, unk) = encodeWord(w)
+          nw += 1L; np += p; if (unk) nu += 1L
+        }
+        Row(row.get(idIdx), nw, np, nu)
+      }
+    }(enc)
+  }
+
+  /** The q321 oracle: greedy longest-match unrolled over DISTINCT words
+    * — vocabulary = the wp0 positional alphabet ∪ the merge chain's
+    * `merged` symbols (both straight from the q320 CTEs, one spelling);
+    * per step the best piece length is the max candidate length whose
+    * (##-positional) substring is in the vocab; a step with no match
+    * marks the word [UNK] (1 piece). `maxWordLen` bounds the unroll —
+    * a longer word fails DIRECTED via the leftover-state guard.
+    * `source` must yield (doc_id, text). */
+  def wordPieceEncodeOracleSql(nMerges: Int, maxWordLen: Int,
+                               maxPieceLen: Int,
+                               source: String): String = {
+    val steps = (1 to maxWordLen).map { k =>
+      s"""es$k AS MATERIALIZED (
+         |  SELECT g.w, g.pos, g.np, g.unk,
+         |    max(CASE WHEN v.p IS NOT NULL THEN ll.l END) AS best
+         |  FROM eg${k - 1} g
+         |  CROSS JOIN (SELECT unnest(range(1, $maxPieceLen + 1)) AS l) ll
+         |  LEFT JOIN vset v ON g.pos + ll.l - 1 <= len(g.w)
+         |    AND v.p = CASE WHEN g.pos = 1
+         |      THEN g.w[g.pos : g.pos + ll.l - 1]
+         |      ELSE '##' || g.w[g.pos : g.pos + ll.l - 1] END
+         |  GROUP BY 1, 2, 3, 4),
+         |eg$k AS MATERIALIZED (
+         |  SELECT w,
+         |    CASE WHEN unk OR pos > len(w) OR best IS NULL THEN pos
+         |         ELSE pos + best END AS pos,
+         |    CASE WHEN unk OR pos > len(w) OR best IS NULL THEN np
+         |         ELSE np + 1 END AS np,
+         |    (unk OR (pos <= len(w) AND best IS NULL)) AS unk
+         |  FROM es$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${wpOracleCtes(nMerges)},
+       |vset AS MATERIALIZED (
+       |  SELECT DISTINCT unnest(string_split(trim(repr), ' ')) AS p
+       |  FROM wp0
+       |  UNION
+       |  ${(1 to nMerges).map(k => s"SELECT merged FROM wpm$k")
+          .mkString("\n  UNION\n  ")}),
+       |src AS MATERIALIZED ($source),
+       |dw AS MATERIALIZED (
+       |  SELECT DISTINCT w FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM src)
+       |  WHERE w <> ''),
+       |eg0 AS (SELECT w, 1 AS pos, 0 AS np, FALSE AS unk FROM dw),
+       |$steps,
+       |fin AS (
+       |  SELECT w,
+       |    CASE WHEN unk THEN CAST(1 AS BIGINT)
+       |         WHEN pos > len(w) THEN CAST(np AS BIGINT)
+       |         ELSE CAST(NULL AS BIGINT) END AS pieces,
+       |    unk
+       |  FROM eg$maxWordLen),
+       |pos2 AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM src),
+       |perw AS (
+       |  SELECT p.doc_id, f.pieces, f.unk
+       |  FROM pos2 p JOIN fin f USING (w) WHERE p.w <> '')
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(pieces) AS BIGINT) AS n_pieces,
+       |  CAST(sum(CASE WHEN unk THEN 1 ELSE 0 END) AS BIGINT) AS n_unk
+       |FROM perw GROUP BY doc_id""".stripMargin
+  }
+
   /** Heaps-law vocabulary-growth curve: bucket the corpus by document id
     * (bucket = id div bucketSize — ingest order), and report per bucket
     * how many token TYPES appear for the first time, plus cumulative

@@ -2521,6 +2521,49 @@ object Extensions {
       graft.functions.Vocab.bpeMerges(
         s.read.parquet(s"$dir/documents.parquet"), "text", nMerges = 8)),
 
+    // --- WORDPIECE training (Schuster & Nakajima 2012 — the BERT
+    // tokenizer; the third subword family next to BPE/unigram-LM):
+    // continuation symbols carry "##", and each round merges the pair
+    // maximizing the LIKELIHOOD score count(lr)/(count(l)·count(r)) —
+    // one IEEE division of exact integer counts per candidate, ordered
+    // identically by both engines (products ≪ 2^53), ties (l, r) asc.
+    // The gate emits the integer counts behind every chosen score
+    // (float-free hash); the oracle unrolls all 8 rounds with the
+    // argmax in the ORDER BY.
+    "q320_wordpiece_merges" -> ((s, dir) =>
+      graft.functions.Vocab.wordPieceMerges(
+        s.read.parquet(s"$dir/documents.parquet"), "text", nMerges = 8)),
+
+    // --- WORDPIECE encoding — greedy longest-match-first against the
+    // q320-trained vocabulary (positional alphabet + all merged
+    // symbols, intermediates included): the published serving
+    // algorithm, [UNK] when a position has no matching piece. The %31
+    // plant appends ' abzd' — 'z' is outside the corpus alphabet at
+    // every SF (including the sf1 replica suffixes), so the word goes
+    // [UNK] mid-encode; the oracle unrolls the greedy steps over
+    // distinct words with the vocabulary spelled from the SAME q320
+    // CTE chain. Non-vacuity asserted both ways (some [UNK], some
+    // multi-piece encodes).
+    "q321_wordpiece_encode" -> ((s, dir) => {
+      val V = graft.functions.Vocab
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val merges = V.wordPieceMerges(docs, "text", nMerges = 8)
+      val vocab = V.wordPieceVocab(docs, "text", merges)
+      val aug = docs.select(col("doc_id"), concat(col("text"),
+        when(col("doc_id") % 31 === 0, lit(" abzd"))
+          .otherwise(lit(""))).as("text"))
+      val out = V.wordPieceEncode(aug, "doc_id", "text", vocab)
+        .localCheckpoint()
+      require(!out.filter(col("n_unk") > 0).limit(1).isEmpty,
+        "q321: no [UNK] fired — the out-of-alphabet plant is vacuous")
+      require(!out.filter(col("n_pieces") > col("n_words")).limit(1)
+          .isEmpty,
+        "q321: every word encoded as one piece — the vocabulary is " +
+          "degenerate")
+      out
+    }),
+
     // --- Heaps-law vocabulary growth over ingest order (bucket = doc_id
     // div 50): new token types, cumulative types, token totals per
     // bucket. One explode scan; (bucket, tok) agg keys near-uniform; the
@@ -11003,6 +11046,15 @@ object Extensions {
     // generated CTE chain (iterations unrolled — the q64 discipline);
     // merge application is the same single-pass replace() both engines run
     "q150_bpe_merges" -> graft.functions.Vocab.oracleSql(8),
+    // q320: the WordPiece rounds unrolled with the likelihood argmax
+    "q320_wordpiece_merges" -> graft.functions.Vocab.wordPieceOracleSql(8),
+    // q321: greedy longest-match unrolled, vocab from the SAME chain;
+    // the plant char 'z' is outside the corpus alphabet by inspection
+    "q321_wordpiece_encode" ->
+      graft.functions.Vocab.wordPieceEncodeOracleSql(
+        nMerges = 8, maxWordLen = 8, maxPieceLen = 8,
+        source = "SELECT doc_id, text || CASE WHEN doc_id % 31 = 0 " +
+          "THEN ' abzd' ELSE '' END AS text FROM documents"),
 
     "q151_vocab_growth" ->
       """WITH bt AS (

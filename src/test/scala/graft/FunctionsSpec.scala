@@ -1196,6 +1196,36 @@ class FunctionsSpec extends SparkSpec {
     assert(r.toSet == Set((1L, 1, true), (2L, 2, false)), r.mkString(","))
   }
 
+  test("wordPieceMerges: hand-computed likelihood argmax — ties break " +
+       "(l, r) asc, ## strips on merge, training exhausts when no pair " +
+       "remains") {
+    import graft.functions.Vocab
+    // corpus: aab ×3, ab ×2 → seeds ' a ##a ##b '(3), ' a ##b '(2)
+    // round 1: (a,##a) 3/(5·3) ties (##a,##b) 3/(3·5) → '##a' < 'a'
+    //   picks (##a,##b) → '##ab'
+    // round 2: (a,##ab) 3/(5·3) ties (a,##b) 2/(5·2)? no: 2/10 = 0.2
+    //   ties too — r tie-break '##ab' < '##b' picks (a,##ab) → 'aab'
+    // round 3: only (a,##b) 2/(2·2) remains → 'ab'; then exhausted
+    val docs = Seq((1L, "aab aab aab ab ab")).toDF("doc_id", "text")
+    val m = Vocab.wordPieceMerges(docs, "text", nMerges = 8)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(m == Seq(
+      (1, "##a", "##b", "##ab", 3L, 3L, 5L),
+      (2, "a", "##ab", "aab", 3L, 5L, 3L),
+      (3, "a", "##b", "ab", 2L, 2L, 2L)), m.toString)
+    // greedy encode: 'aab'/'ab' are whole pieces; 'ba' starts with a
+    // char never seen word-initial → [UNK]
+    val vocab = Vocab.wordPieceVocab(docs, "text",
+      Vocab.wordPieceMerges(docs, "text", 8))
+    val enc = Vocab.wordPieceEncode(
+        Seq((2L, "aab ab ba")).toDF("doc_id", "text"),
+        "doc_id", "text", vocab)
+      .collect().head
+    assert((enc.getLong(1), enc.getLong(2), enc.getLong(3)) ==
+      ((3L, 3L, 1L)), enc.toString)
+  }
+
   test("rrfFuse: hand-computed reciprocal-rank fusion — a both-leg doc " +
        "sums two contributions, single-leg docs one, absent rank = 0 " +
        "(the generator-agnostic step q313 composes over indexes)") {
