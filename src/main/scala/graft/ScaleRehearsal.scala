@@ -221,7 +221,8 @@ object ScaleRehearsal {
     "q314_pagerank_artifact", "q315_dataset_card_full",
     "q316_stream_bm25_arrival", "q317_pii_card",
     "q318_perplexity_mixture", "q319_token_budget",
-    "q320_wordpiece_merges", "q321_wordpiece_encode")
+    "q320_wordpiece_merges", "q321_wordpiece_encode",
+    "q322_stream_wordpiece")
     // q308 (MRL audit) is EXCLUDED by design: the scale-up replicates
     // vectors VERBATIM, so every query's top-3 is its own identical
     // replicas under both the truncated and the full ranking — the

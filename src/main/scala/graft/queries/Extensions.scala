@@ -2564,6 +2564,42 @@ object Extensions {
       out
     }),
 
+    // --- STREAMING WordPiece encode (the q287 frozen-model discipline
+    // on q321): the vocabulary trains batch-side and freezes as a
+    // driver carry; the same planted corpus arrives as file
+    // micro-batches and encodes PER ROW in Append mode — the greedy
+    // mapPartitions loop is stateless, so the stream needs no state
+    // store and the sink must land exactly the batch result (oracle =
+    // q321's VERBATIM).
+    "q322_stream_wordpiece" -> ((s, dir) => {
+      val V = graft.functions.Vocab
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val merges = V.wordPieceMerges(docs, "text", nMerges = 8)
+      val vocab = V.wordPieceVocab(docs, "text", merges)
+      val aug = docs.select(col("doc_id"), concat(col("text"),
+        when(col("doc_id") % 31 === 0, lit(" abzd"))
+          .otherwise(lit(""))).as("text"))
+      val (in, out, chk) = freshStreamDirs("graft_q322_stream")
+      stageSliced(in, Seq(
+        aug.filter(col("doc_id") % 3 === 0),
+        aug.filter(col("doc_id") % 3 === 1),
+        aug.filter(col("doc_id") % 3 === 2)))
+      withStreamPartitions(s, 8) {
+        val stream = graft.streaming.StreamOps.readStream(s, in,
+          aug.schema, Map("maxFilesPerTrigger" -> "1"))
+        val q = V.wordPieceEncode(stream, "doc_id", "text", vocab)
+          .writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+          .format("parquet").option("path", out)
+          .option("checkpointLocation", chk)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.read.parquet(out)
+    }),
+
     // --- Heaps-law vocabulary growth over ingest order (bucket = doc_id
     // div 50): new token types, cumulative types, token totals per
     // bucket. One explode scan; (bucket, tok) agg keys near-uniform; the
@@ -11051,6 +11087,12 @@ object Extensions {
     // q321: greedy longest-match unrolled, vocab from the SAME chain;
     // the plant char 'z' is outside the corpus alphabet by inspection
     "q321_wordpiece_encode" ->
+      graft.functions.Vocab.wordPieceEncodeOracleSql(
+        nMerges = 8, maxWordLen = 8, maxPieceLen = 8,
+        source = "SELECT doc_id, text || CASE WHEN doc_id % 31 = 0 " +
+          "THEN ' abzd' ELSE '' END AS text FROM documents"),
+    // q322 (frozen-vocab in-stream encode) shares it VERBATIM
+    "q322_stream_wordpiece" ->
       graft.functions.Vocab.wordPieceEncodeOracleSql(
         nMerges = 8, maxWordLen = 8, maxPieceLen = 8,
         source = "SELECT doc_id, text || CASE WHEN doc_id % 31 = 0 " +
