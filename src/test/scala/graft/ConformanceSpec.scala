@@ -3231,4 +3231,82 @@ class ConformanceSpec extends SparkSpec {
     assert(m.length == 4 &&
       m.toSet == Set(Seq(1, "a"), Seq(2, "b")), m.toSeq)
   }
+
+  // ---- wave 17 ----
+
+  // SortedValuesPlatformTest.testComprehensiveGroupBy slice not yet
+  // pinned: TWO secondary-sort fields with MIXED directions — the
+  // per-field direction list applies field-by-field.
+  test("secondary sort on two fields with mixed directions") {
+    val df = Seq((1, 5, "x"), (1, 5, "a"), (1, 2, "m"), (2, 9, "q"))
+      .toDF("k", "v1", "v2")
+    val b = new CBuffer {
+      val resultFields: CFields = CFields.typed("seq" -> StringType)
+      def operate(key: Seq[Any], rs: Iterator[Row]): Iterator[Seq[Any]] =
+        Iterator.single(Seq(
+          rs.map(r => s"${r.getInt(1)}${r.getString(2)}").mkString(",")))
+    }
+    val p = pipe(df)
+      .groupBySorted(Seq("k"), Seq("v1" -> true, "v2" -> false))
+      .buffer(b)
+    // k=1: v1 asc, then v2 DESC within equal v1 → 2m, 5x, 5a
+    assert(rows(p) == Set(Seq(1, "2m,5x,5a"), Seq(2, "9q")))
+  }
+
+  // Cascading Fields.GROUP/Fields.VALUES are grouping-context
+  // selectors; using one as an Each output selector throws in the
+  // upstream planner too — pinned as a directed refusal.
+  test("GROUP/VALUES selectors outside a grouping context refuse " +
+       "directed") {
+    for (sel <- Seq(FieldSelector.Group, FieldSelector.Values)) {
+      val ex = intercept[Exception] {
+        rows(pipe(lower).each(Identity(CFields.of("num", "ch")),
+          args = FieldSelector.All, out = sel))
+      }
+      assert(ex.getMessage != null &&
+        (ex.getMessage.contains("grouping context") ||
+          ex.getMessage.contains("bad out selector")), s"$sel: $ex")
+    }
+  }
+
+  // cascading-core Identity(Fields, Class...): declared result TYPES
+  // coerce the arguments — the Each-level cast path (upstream
+  // FieldTypeInfo coercion applied by Identity).
+  test("Identity with declared types coerces arguments") {
+    val df = Seq(("12", "3.5"), ("7", "0.25")).toDF("a", "b")
+    val p = pipe(df).each(
+      Identity(CFields.typed("a" -> IntegerType, "b" -> DoubleType)),
+      args = FieldSelector.All, out = FieldSelector.Results)
+    assert(rows(p) == Set(Seq(12, 3.5), Seq(7, 0.25)))
+  }
+
+  // Negative positional selectors (cascading Fields(-1) resolves from
+  // the end of the tuple).
+  test("negative positional selector resolves from the tuple end") {
+    val p = pipe(Seq((1, "a", true)).toDF("x", "y", "z"))
+      .each(Identity(CFields.of("y2")), args = FieldSelector(Seq("-2"): _*),
+        out = FieldSelector.Results)
+    assert(rows(p) == Set(Seq("a")))
+  }
+
+  // cascading-core FieldFormatter with Formatter integer conversions —
+  // hex and zero-padding follow java.util.Formatter on both paths.
+  test("FieldFormatter hex and zero-pad conversions") {
+    val df = Seq((255, 7)).toDF("m", "n")
+    val p = pipe(df).each(FieldFormatter("f", "%x|%04d"),
+      args = FieldSelector.All, out = FieldSelector.Results)
+    assert(rows(p) == Set(Seq("ff|0007")))
+  }
+
+  // DateParser/DateFormatter timezone pin: the session runs UTC, so an
+  // epoch-anchored parse formats back without an offset (the
+  // cross-engine TZ trap the oracle gotchas document).
+  test("date round-trip is UTC-stable including time-of-day") {
+    val p = pipe(Seq("1970/01/02 03:04").toDF("raw"))
+      .each(DateParser("ts", "yyyy/MM/dd HH:mm"),
+        args = FieldSelector.All, out = FieldSelector.Results)
+      .each(DateFormatter("d", "yyyy-MM-dd HH:mm"),
+        args = FieldSelector.All, out = FieldSelector.Results)
+    assert(rows(p) == Set(Seq("1970-01-02 03:04")))
+  }
 }
