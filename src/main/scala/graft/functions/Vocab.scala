@@ -581,6 +581,32 @@ object Vocab {
     (alpha ++ merged).toSet
   }
 
+  /** The WordPiece vocabulary as a VERSIONED data artifact (the q295
+    * blocklist discipline applied to the tokenizer): one row per
+    * (version, piece), versions immutable and append-only — a retrain
+    * lands as a new version, serving loads the LATEST. Version-pick is
+    * load-bearing: encoding with a stale version produces a different
+    * segmentation (the q323 gate plants a degenerate alphabet-only v1
+    * under the full v2). */
+  def wordPieceModelRows(spark: org.apache.spark.sql.SparkSession,
+                         vocab: Set[String], version: Long): DataFrame = {
+    import spark.implicits._
+    vocab.toSeq.sorted.map(p => (version, p)).toDF("version", "piece")
+  }
+
+  def wordPieceModelTap(path: String): graft.sources.ParquetTap =
+    graft.sources.ParquetTap(path)
+
+  /** Load the latest version's pieces — an O(versions × pieces) driver
+    * carry (KBs; the loadLatestBlockTerms shape). */
+  def loadLatestWordPieceVocab(rows: DataFrame): Set[String] = {
+    val all = rows.select(col("version").cast("long"), col("piece"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    require(all.nonEmpty, "loadLatestWordPieceVocab: empty model tap")
+    val latest = all.map(_._1).max
+    all.filter(_._1 == latest).map(_._2).toSet
+  }
+
   /** WordPiece ENCODING — greedy longest-match-first per word (the
     * published serving algorithm: take the longest vocab piece that
     * prefixes the remaining word, "##"-prefixed after the first piece;

@@ -2600,6 +2600,41 @@ object Extensions {
       s.read.parquet(out)
     }),
 
+    // --- the WordPiece vocabulary as a VERSIONED artifact (the q295
+    // blocklist discipline on the tokenizer): v1 is the DEGENERATE
+    // alphabet-only vocabulary (a zero-merge train), v2 the full 8-merge
+    // one; both land as immutable versions, serving loads the LATEST
+    // from the tap. The version pick is load-bearing — encoding with
+    // the stale v1 would emit only single-char pieces, a different
+    // segmentation the oracle hash (q321's VERBATIM) would refuse.
+    // Asserted in-query: v2 is strictly larger than v1, and the loaded
+    // vocabulary is exactly v2's.
+    "q323_wordpiece_model_tap" -> ((s, dir) => {
+      val V = graft.functions.Vocab
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val merges = V.wordPieceMerges(docs, "text", nMerges = 8)
+      val v1 = V.wordPieceVocab(docs, "text", merges.limit(0))
+      val v2 = V.wordPieceVocab(docs, "text", merges)
+      require(v1.subsetOf(v2) && v2.size > v1.size,
+        "q323: the full vocabulary must strictly extend the " +
+          "alphabet-only v1 — the version pick would be vacuous")
+      val tap = V.wordPieceModelTap(
+        graft.queries.Relational.stagePath("graft_q323_wpmodel", dir))
+      tap.write(V.wordPieceModelRows(s, v1, version = 1L),
+        graft.sources.SinkMode.Replace)
+      tap.write(V.wordPieceModelRows(s, v2, version = 2L),
+        graft.sources.SinkMode.Update)
+      val loaded = V.loadLatestWordPieceVocab(tap.read(s))
+      require(loaded == v2,
+        "q323: the loaded latest vocabulary differs from v2 — " +
+          "version-pick regression")
+      val aug = docs.select(col("doc_id"), concat(col("text"),
+        when(col("doc_id") % 31 === 0, lit(" abzd"))
+          .otherwise(lit(""))).as("text"))
+      V.wordPieceEncode(aug, "doc_id", "text", loaded)
+    }),
+
     // --- Heaps-law vocabulary growth over ingest order (bucket = doc_id
     // div 50): new token types, cumulative types, token totals per
     // bucket. One explode scan; (bucket, tok) agg keys near-uniform; the
@@ -11091,8 +11126,15 @@ object Extensions {
         nMerges = 8, maxWordLen = 8, maxPieceLen = 8,
         source = "SELECT doc_id, text || CASE WHEN doc_id % 31 = 0 " +
           "THEN ' abzd' ELSE '' END AS text FROM documents"),
-    // q322 (frozen-vocab in-stream encode) shares it VERBATIM
+    // q322 (frozen-vocab in-stream encode) and q323 (the versioned
+    // model artifact) share it VERBATIM — a stale version load or a
+    // broken stream both diverge through the same hash
     "q322_stream_wordpiece" ->
+      graft.functions.Vocab.wordPieceEncodeOracleSql(
+        nMerges = 8, maxWordLen = 8, maxPieceLen = 8,
+        source = "SELECT doc_id, text || CASE WHEN doc_id % 31 = 0 " +
+          "THEN ' abzd' ELSE '' END AS text FROM documents"),
+    "q323_wordpiece_model_tap" ->
       graft.functions.Vocab.wordPieceEncodeOracleSql(
         nMerges = 8, maxWordLen = 8, maxPieceLen = 8,
         source = "SELECT doc_id, text || CASE WHEN doc_id % 31 = 0 " +
