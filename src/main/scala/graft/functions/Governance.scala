@@ -488,16 +488,27 @@ object Governance {
     * at or above Σ caps refuses DIRECTED (there is no level; serving
     * beyond maxEpochs epochs is the paper's anti-pattern).
     *
-    * Input `perSource` must expose (srcCol, `avail`); output one row
-    * per source: (source, avail_tokens, cap_tokens, served_tokens,
-    * epochs_micros = served·10⁶ div avail, capped). */
+    * Input `perSource` must expose (srcCol, `avail`) with every avail
+    * STRICTLY positive — a zero-avail source has no defined epoch
+    * count (served·10⁶ div 0: Spark's integer div returns NULL
+    * silently where DuckDB's `//` raises) and its cap-0 row would
+    * always read 'capped', skewing the candidate solve — so it
+    * refuses DIRECTED (filter empty sources before budgeting);
+    * output one row per source: (source, avail_tokens, cap_tokens,
+    * served_tokens, epochs_micros = served·10⁶ div avail, capped). */
   def tokenBudgetWaterfill(perSource: DataFrame, srcCol: String,
                            budget: Long, maxEpochs: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(budget > 0 && maxEpochs >= 1)
     val caps = perSource.select(col(srcCol).as("source"),
-      col("avail").cast("long").as("avail"),
-      (col("avail").cast("long") * maxEpochs).as("cap"))
+        col("avail").cast("long").as("avail"))
+      .select(col("source"),
+        when(col("avail") <= 0L, raise_error(concat(
+          lit("tokenBudgetWaterfill: source '"), col("source").cast("string"),
+          lit("' has no available tokens — epochs_micros is undefined " +
+            "at avail = 0; filter empty sources before budgeting"))))
+          .otherwise(col("avail")).as("avail"))
+      .withColumn("cap", col("avail") * maxEpochs)
     val w = Window.orderBy(col("cap").asc, col("source").asc)
     val ranked = caps
       .withColumn("rk", row_number().over(w).cast("long"))

@@ -677,7 +677,11 @@ object Html {
     * exactly that arithmetic. Traps: a script fake table WITH spans, a
     * comment fake table, a quoted '>' attribute, a `data-colspan`
     * attribute on the table AND on every slot-1 cell (the span-name
-    * word-boundary trap), both quoted and unquoted span spellings. */
+    * word-boundary trap), a span spelling inside ANOTHER attribute's
+    * quoted value on every slot-2 (`alt="rowspan=2"` — a positional
+    * parser must treat it as data, not a span) and slot-3 cell
+    * (`title="colspan rules"` — must not refuse), both quoted and
+    * unquoted span spellings. */
   def synthSpanTableHtml(text: String): String = {
     val t = text.split(" ").filter(_.nonEmpty)
     require(t.length >= 3,
@@ -702,11 +706,12 @@ object Html {
         sb ++= "<td data-colspan=\"7\">"; sb ++= t(base + 1); sb ++= "</td>"
       }
       if (base + 2 < t.length) {
-        sb ++= "<td>"; sb ++= t(base + 2); sb ++= "</td>"
+        sb ++= "<td alt=\"rowspan=2\">"; sb ++= t(base + 2); sb ++= "</td>"
       }
       sb ++= "</tr>"
       if (base + 3 < t.length) {
-        sb ++= "<tr><td>"; sb ++= t(base + 3); sb ++= "</td>"
+        sb ++= "<tr><td title=\"colspan rules\">"; sb ++= t(base + 3)
+        sb ++= "</td>"
         if (base + 4 < t.length) {
           sb ++= "<td>"; sb ++= t(base + 4); sb ++= "</td>"
         }
@@ -889,38 +894,56 @@ object Html {
       placed.clear(); live.clear()
       inTable = false; inRow = false; rowIdx = -1; sawCaption = false
     }
-    // span attribute value: absent → 1; a non-integer or out-of-range
-    // value → −1 (the caller refuses — never a guess)
+    // span attribute value, parsed POSITIONALLY over the tag's
+    // name[=value] attribute pairs (quoted values skipped as units):
+    // absent → 1; present with a missing / non-integer / out-of-range
+    // value → −1 (the caller refuses — never a guess). Positional
+    // parsing means 'colspan'/'rowspan' occurring INSIDE another
+    // attribute's quoted VALUE (alt="rowspan=2", title="colspan
+    // rules") is plain data — neither a span nor a refusal; duplicate
+    // span attributes take the FIRST occurrence (the HTML parsing
+    // model's duplicate-attribute rule).
     def spanAttr(attrs: String, name: String): Int = {
       val la = lower(attrs)
-      var p = la.indexOf(name)
-      while (p >= 0 &&
-          (p > 0 && (la.charAt(p - 1).isLetterOrDigit ||
-            la.charAt(p - 1) == '-')))
-        p = la.indexOf(name, p + 1)
-      if (p < 0) return 1
-      var j = p + name.length
-      while (j < la.length && la.charAt(j).isWhitespace) j += 1
-      if (j >= la.length || la.charAt(j) != '=') return -1
-      j += 1
-      while (j < la.length && la.charAt(j).isWhitespace) j += 1
-      if (j >= la.length) return -1
-      val q = la.charAt(j)
-      val v =
-        if (q == '"' || q == '\'') {
-          val e = la.indexOf(q, j + 1)
-          if (e < 0) return -1
-          la.substring(j + 1, e)
-        } else {
-          var e = j
-          while (e < la.length && !la.charAt(e).isWhitespace &&
-            la.charAt(e) != '/' && la.charAt(e) != '>') e += 1
-          la.substring(j, e)
+      val m = la.length
+      var j = 0
+      while (j < m) {
+        val cj = la.charAt(j)
+        if (cj.isWhitespace || cj == '/') j += 1
+        else {
+          val ns = j
+          while (j < m && !la.charAt(j).isWhitespace &&
+            la.charAt(j) != '=') j += 1
+          val aname = la.substring(ns, j)
+          while (j < m && la.charAt(j).isWhitespace) j += 1
+          var value: String = null
+          if (j < m && la.charAt(j) == '=') {
+            j += 1
+            while (j < m && la.charAt(j).isWhitespace) j += 1
+            if (j < m) {
+              val q = la.charAt(j)
+              if (q == '"' || q == '\'') {
+                val e = la.indexOf(q, j + 1)
+                if (e < 0) return -1 // unterminated quote: refuse
+                value = la.substring(j + 1, e); j = e + 1
+              } else {
+                val vs = j
+                while (j < m && !la.charAt(j).isWhitespace) j += 1
+                value = la.substring(vs, j)
+              }
+            }
+          }
+          if (aname == name) {
+            if (value == null) return -1 // valueless span attr: refuse
+            return if (value.nonEmpty && value.length <= 4 &&
+              value.forall(_.isDigit)) {
+              val x = value.toInt
+              if (x >= 1 && x <= 1000) x else -1
+            } else -1
+          }
         }
-      if (v.nonEmpty && v.length <= 4 && v.forall(_.isDigit)) {
-        val x = v.toInt
-        if (x >= 1 && x <= 1000) x else -1
-      } else -1
+      }
+      1
     }
     while (i < n) {
       val c = html.charAt(i)

@@ -622,8 +622,14 @@ object Vocab {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.Row
     require(vocab.nonEmpty, "wordPieceEncode: empty vocabulary")
-    val maxPiece = vocab.iterator.map(p =>
-      if (p.startsWith("##")) p.length - 2 else p.length).max
+    // piece lengths in CODEPOINTS — the training seeding ('(.)' is a
+    // codepoint regex) and the DuckDB oracle (len/slice are codepoint
+    // ops) both count codepoints, so the greedy walk must too or any
+    // non-BMP character desynchronizes all three (r15 advice)
+    val maxPiece = vocab.iterator.map { p =>
+      val body = if (p.startsWith("##")) p.substring(2) else p
+      body.codePointCount(0, body.length)
+    }.max
     val schema = StructType(Seq(
       StructField("doc_id", docs.schema(idCol).dataType),
       StructField("n_words", LongType),
@@ -634,18 +640,22 @@ object Vocab {
     val tIdx = docs.columns.indexOf(textCol)
     docs.mapPartitions { it =>
       def encodeWord(w: String): (Long, Boolean) = {
-        var pos = 0
+        val wLen = w.codePointCount(0, w.length)
+        var pos = 0    // codepoint position in the word
+        var posIdx = 0 // its UTF-16 index
         var np = 0L
-        while (pos < w.length) {
-          var l = math.min(maxPiece, w.length - pos)
+        while (pos < wLen) {
+          var l = math.min(maxPiece, wLen - pos)
           var found = -1
           while (l >= 1 && found < 0) {
+            val endIdx = w.offsetByCodePoints(posIdx, l)
             val cand = (if (pos == 0) "" else "##") +
-              w.substring(pos, pos + l)
+              w.substring(posIdx, endIdx)
             if (vocab.contains(cand)) found = l else l -= 1
           }
           if (found < 0) return (1L, true)
           np += 1L
+          posIdx = w.offsetByCodePoints(posIdx, found)
           pos += found
         }
         (np, false)
@@ -668,17 +678,21 @@ object Vocab {
     * per step the best piece length is the max candidate length whose
     * (##-positional) substring is in the vocab; a step with no match
     * marks the word [UNK] (1 piece). `maxWordLen` bounds the unroll —
-    * a longer word fails DIRECTED via the leftover-state guard.
-    * `source` must yield (doc_id, text). */
+    * a longer word fails LOUDLY via the leftover-state `error()` guard
+    * (never a silent NULL the outer sum would ignore — r15 advice).
+    * The candidate piece length ceiling derives from the ACTUAL
+    * trained vocabulary (`vlen`), not a fixed constant — 8 merges can
+    * chain pieces past any hand-picked cap. `source` must yield
+    * (doc_id, text). */
   def wordPieceEncodeOracleSql(nMerges: Int, maxWordLen: Int,
-                               maxPieceLen: Int,
                                source: String): String = {
     val steps = (1 to maxWordLen).map { k =>
       s"""es$k AS MATERIALIZED (
          |  SELECT g.w, g.pos, g.np, g.unk,
          |    max(CASE WHEN v.p IS NOT NULL THEN ll.l END) AS best
          |  FROM eg${k - 1} g
-         |  CROSS JOIN (SELECT unnest(range(1, $maxPieceLen + 1)) AS l) ll
+         |  CROSS JOIN (SELECT unnest(range(1, (SELECT ml FROM vlen) + 1))
+         |    AS l) ll
          |  LEFT JOIN vset v ON g.pos + ll.l - 1 <= len(g.w)
          |    AND v.p = CASE WHEN g.pos = 1
          |      THEN g.w[g.pos : g.pos + ll.l - 1]
@@ -700,6 +714,9 @@ object Vocab {
        |  UNION
        |  ${(1 to nMerges).map(k => s"SELECT merged FROM wpm$k")
           .mkString("\n  UNION\n  ")}),
+       |vlen AS MATERIALIZED (
+       |  SELECT max(len(CASE WHEN p LIKE '##%' THEN p[3:] ELSE p END))
+       |    AS ml FROM vset),
        |src AS MATERIALIZED ($source),
        |dw AS MATERIALIZED (
        |  SELECT DISTINCT w FROM (
@@ -711,7 +728,9 @@ object Vocab {
        |  SELECT w,
        |    CASE WHEN unk THEN CAST(1 AS BIGINT)
        |         WHEN pos > len(w) THEN CAST(np AS BIGINT)
-       |         ELSE CAST(NULL AS BIGINT) END AS pieces,
+       |         ELSE CAST(error('wordpiece oracle: word ''' || w ||
+       |           ''' unfinished after $maxWordLen greedy steps — ' ||
+       |           'raise maxWordLen') AS BIGINT) END AS pieces,
        |    unk
        |  FROM eg$maxWordLen),
        |pos2 AS (

@@ -11123,7 +11123,7 @@ object Extensions {
     // the plant char 'z' is outside the corpus alphabet by inspection
     "q321_wordpiece_encode" ->
       graft.functions.Vocab.wordPieceEncodeOracleSql(
-        nMerges = 8, maxWordLen = 8, maxPieceLen = 8,
+        nMerges = 8, maxWordLen = 8,
         source = "SELECT doc_id, text || CASE WHEN doc_id % 31 = 0 " +
           "THEN ' abzd' ELSE '' END AS text FROM documents"),
     // q322 (frozen-vocab in-stream encode) and q323 (the versioned
@@ -11131,12 +11131,12 @@ object Extensions {
     // broken stream both diverge through the same hash
     "q322_stream_wordpiece" ->
       graft.functions.Vocab.wordPieceEncodeOracleSql(
-        nMerges = 8, maxWordLen = 8, maxPieceLen = 8,
+        nMerges = 8, maxWordLen = 8,
         source = "SELECT doc_id, text || CASE WHEN doc_id % 31 = 0 " +
           "THEN ' abzd' ELSE '' END AS text FROM documents"),
     "q323_wordpiece_model_tap" ->
       graft.functions.Vocab.wordPieceEncodeOracleSql(
-        nMerges = 8, maxWordLen = 8, maxPieceLen = 8,
+        nMerges = 8, maxWordLen = 8,
         source = "SELECT doc_id, text || CASE WHEN doc_id % 31 = 0 " +
           "THEN ' abzd' ELSE '' END AS text FROM documents"),
 

@@ -1226,6 +1226,22 @@ class FunctionsSpec extends SparkSpec {
       ((3L, 3L, 1L)), enc.toString)
   }
 
+  test("wordPieceEncode: walks by CODEPOINTS — supplementary chars are " +
+       "one greedy position, matching the codepoint seeding regex and " +
+       "the DuckDB len/slice oracle (r15 advice)") {
+    import graft.functions.Vocab
+    // 𝕏 (U+1D54F) is 2 UTF-16 units / 1 codepoint
+    val vocab = Set("a", "##𝕏", "##b", "a𝕏")
+    val enc = Vocab.wordPieceEncode(
+        Seq((1L, "a𝕏b 𝕏")).toDF("doc_id", "text"),
+        "doc_id", "text", vocab)
+      .collect().head
+    // 'a𝕏b' → greedy longest-first: 'a𝕏' (2 cps) + '##b' = 2 pieces;
+    // '𝕏' has no word-initial form in the vocab → [UNK]
+    assert((enc.getLong(1), enc.getLong(2), enc.getLong(3)) ==
+      ((2L, 3L, 1L)), enc.toString)
+  }
+
   test("rrfFuse: hand-computed reciprocal-rank fusion — a both-leg doc " +
        "sums two contributions, single-leg docs one, absent rank = 0 " +
        "(the generator-agnostic step q313 composes over indexes)") {

@@ -103,6 +103,18 @@ class GovernanceSpec extends SparkSpec {
     val r2 = Governance.tokenBudgetWaterfill(per, "source", budget = 201L)
       .collect().map(x => x.getString(0) -> x.getLong(3)).toMap
     assert(r2 == Map("a" -> 40L, "b" -> 80L, "c" -> 81L), r2.toString)
+    // a zero-avail source refuses DIRECTED (r15 advice: Spark's div
+    // returns NULL silently where DuckDB's // raises, and a cap-0 row
+    // always reads 'capped' — never a silent divergence)
+    val withEmpty = Seq(("a", 10L), ("z", 0L)).toDF("source", "avail")
+    val ex2 = intercept[Exception] {
+      Governance.tokenBudgetWaterfill(withEmpty, "source", budget = 20L)
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(ex2).exists(m => m != null &&
+      m.contains("no available tokens")), ex2.toString)
   }
 
   test("overlapReport counts distinct shared n-grams, inner semantics") {

@@ -349,6 +349,38 @@ class HtmlSpec extends AnyFunSuite {
       Html.walkTableCells(h, recover = false).get)
   }
 
+  test("walkTableCells: span attrs parse POSITIONALLY — a span " +
+       "spelling inside another attribute's quoted value is data, " +
+       "never a span or a refusal (r15 advice, medium)") {
+    // alt="rowspan=2" must NOT apply a rowspan: 2 independent rows
+    val h = "<table><tr><td alt=\"rowspan=2\">a</td></tr>" +
+      "<tr><td>b</td></tr></table>"
+    val cs = Html.walkTableCells(h, recover = false).get
+      .map(c => (c.rowIdx, c.colIdx, c.text))
+    assert(cs == Seq((0, 0, "a"), (1, 0, "b")))
+    // title="colspan rules" must NOT refuse the page (old behavior)
+    val h2 = "<table><tr><td title=\"colspan rules\">a</td>" +
+      "<td>b</td></tr></table>"
+    assert(Html.walkTableCells(h2, recover = false).get.map(_.colIdx)
+      == Seq(0, 1))
+    // a REAL span attribute after a decoy-bearing attribute still fires
+    val h3 = "<table><tr><td title=\"colspan rules\" colspan=2>a</td>" +
+      "<td>b</td></tr></table>"
+    assert(Html.walkTableCells(h3, recover = false).get.map(_.colIdx)
+      == Seq(0, 1, 2))
+    // valueless span attr and non-integer value still refuse directed
+    assert(Html.walkTableCells(
+      "<table><tr><td colspan>a</td></tr></table>", recover = true).isEmpty)
+    assert(Html.walkTableCells(
+      "<table><tr><td rowspan=\"x\">a</td></tr></table>",
+      recover = true).isEmpty)
+    // duplicate span attributes: FIRST wins (HTML duplicate-attr rule)
+    val h4 = "<table><tr><td colspan=2 colspan=3>a</td><td>b</td></tr>" +
+      "</table>"
+    assert(Html.walkTableCells(h4, recover = false).get.map(_.colIdx)
+      == Seq(0, 1, 2))
+  }
+
   test("walkTableCells: caption captured at row −1 col 0, implied " +
        "</caption> in recovery only; caption text joins like a cell") {
     val h = "<table><caption>tbl <b>one</b></caption>" +
