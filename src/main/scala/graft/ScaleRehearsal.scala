@@ -222,7 +222,10 @@ object ScaleRehearsal {
     "q316_stream_bm25_arrival", "q317_pii_card",
     "q318_perplexity_mixture", "q319_token_budget",
     "q320_wordpiece_merges", "q321_wordpiece_encode",
-    "q322_stream_wordpiece", "q323_wordpiece_model_tap")
+    "q322_stream_wordpiece", "q323_wordpiece_model_tap",
+    // round-16: nested-table walks (scan-shaped per-page parses — the
+    // outer layout table adds two cells per page over q310's cost)
+    "q324_html_nested_tables", "q325_html_nested_recovery")
     // q308 (MRL audit) is EXCLUDED by design: the scale-up replicates
     // vectors VERBATIM, so every query's top-3 is its own identical
     // replicas under both the truncated and the full ranking — the

@@ -693,6 +693,17 @@ object Html {
     sb ++= "</head><body>"
     sb ++= "<!-- trap: <table><tr><td rowspan=7>fake</td></tr></table> -->"
     sb ++= "<p>intro prose for the span table.</p>"
+    sb ++= spanTableFragment(t)
+    sb ++= "</body></html>"
+    sb.toString
+  }
+
+  /** The bare `<table>…</table>` fragment of [[synthSpanTableHtml]] —
+    * shared with [[synthNestedTableHtml]], which wraps it in a layout
+    * table (so both gates exercise the SAME expanded-grid arithmetic
+    * and the SAME trap battery). */
+  private def spanTableFragment(t: Array[String]): String = {
+    val sb = new StringBuilder
     sb ++= "<table class=\"data\" data-colspan=\"9\" data-note=\"cols > 0\">"
     sb ++= "<caption>"; sb ++= t(0); sb ++= "</caption>"
     sb ++= "<tr><th colspan=\"2\">"; sb ++= t(1); sb ++= "</th><th>"
@@ -719,8 +730,88 @@ object Html {
       }
       p += 1
     }
-    sb ++= "</table></body></html>"
+    sb ++= "</table>"
     sb.toString
+  }
+
+  /** Deterministic NESTED synth page for the q324/q325 gates — the
+    * real web's most common table shape: a LAYOUT table (no header
+    * row) whose second cell wraps the ENTIRE [[spanTableFragment]]
+    * span table. Outer table = table_idx 0 with cells ("nav menu",
+    * "main data"); the inner span table = table_idx 1 with exactly
+    * the q310 expanded grid. 'main' renders BEFORE the inner table
+    * and 'data' AFTER it inside the same outer cell — the gate
+    * proves the outer cell SUSPENDS across the inner table (no inner
+    * text leaks in) and RESUMES after it. Trap battery carried from
+    * the span synth (script/comment fake tables, span-attr decoys). */
+  def synthNestedTableHtml(text: String): String = {
+    val t = text.split(" ").filter(_.nonEmpty)
+    require(t.length >= 3,
+      s"synthNestedTableHtml: needs >= 3 tokens, got ${t.length}")
+    val sb = new StringBuilder
+    sb ++= "<!DOCTYPE html><html><head><title>s</title>"
+    sb ++= "<script>var t = \"<table><caption>fake</caption>" +
+      "<tr><td colspan=9>fake</td></tr></table>\";</script>"
+    sb ++= "</head><body>"
+    sb ++= "<!-- trap: <table><tr><td rowspan=7>fake</td></tr></table> -->"
+    sb ++= "<p>intro prose for the nested table.</p>"
+    sb ++= "<table class=\"layout\"><tr><td>nav menu</td><td>main "
+    sb ++= spanTableFragment(t)
+    sb ++= " data</td></tr></table>"
+    sb ++= "</body></html>"
+    sb.toString
+  }
+
+  /** Deterministic real-web corruption of [[synthNestedTableHtml]] —
+    * the [[corruptSynthSpanTableHtml]] classes over the nested page
+    * (the q325 gate uses id % 3):
+    *   0 → untouched (the strict-agreement subset);
+    *   1 → IMPLIED END TAGS: every `</td>`, `</th>`, `</tr>` and
+    *       `</caption>` dropped in BOTH tables (`</table>` kept —
+    *       the nesting boundary stays explicit);
+    *   2 → truncated page: the OUTER `</td></tr></table>` and the
+    *       body/html closes cut (EOF implied-close pops both open
+    *       contexts... the inner table closed explicitly) + entity
+    *       dirt on every inner `<th>` cell and the caption. */
+  def corruptSynthNestedTableHtml(text: String, cls: Int): String =
+    cls match {
+      case 0 => synthNestedTableHtml(text)
+      case 1 => synthNestedTableHtml(text)
+        .replace("</td>", "").replace("</th>", "").replace("</tr>", "")
+        .replace("</caption>", "")
+      case 2 =>
+        val h = synthNestedTableHtml(text)
+          .stripSuffix("</body></html>")
+          .stripSuffix(" data</td></tr></table>")
+        h.replaceAll("<th([^>]*)>([^<&]+)</th>",
+          "<th$1>" + entityRef("nbsp") + "$2" + entityRef("mdash") +
+            "</th>")
+          .replaceAll("<caption>([^<&]+)</caption>",
+            "<caption>" + entityRef("nbsp") + "$1" + entityRef("mdash") +
+              "</caption>")
+      case other =>
+        throw new IllegalArgumentException(
+          s"corruptSynthNestedTableHtml: class must be 0-2, got $other")
+    }
+
+  /** Attach [[synthNestedTableHtml]] pages (the [[withSynthHtml]]
+    * pattern). */
+  def withSynthNestedTableHtml(df: DataFrame, idCol: String,
+                               textCol: String,
+                               clsOf: Long => Int = _ => 0): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("html", StringType)))
+    val enc = Encoders.row(schema)
+    val idIdx = df.columns.indexOf(idCol)
+    val tIdx = df.columns.indexOf(textCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        Row(row.getLong(idIdx),
+          corruptSynthNestedTableHtml(row.getString(tIdx),
+            clsOf(row.getLong(idIdx))))
+      }
+    }(enc)
   }
 
   /** Deterministic real-web corruption of [[synthSpanTableHtml]] — the
@@ -825,11 +916,22 @@ object Html {
     * ([[decodeEntities]]). `<thead>`/`<tbody>`/`<tfoot>` are
     * transparent grouping (row ordinals continue across them). Inline
     * markup inside a cell is a token separator; its text joins the
-    * cell. Out of scope — a refusal in BOTH modes (directed, never a
-    * guess): nested tables, rows outside a table, cells outside a row,
-    * a caption after the first row or a second caption,
-    * non-whitespace text between table structure tags, and span
-    * values that are not plain integers in [1, 1000] (HTML's
+    * cell.
+    *
+    * NESTED tables (r15 verdict #1 — the single most common real-web
+    * table shape is a layout table wrapping the data table): an inner
+    * `<table>` inside an OPEN CELL suspends the outer cell and parses
+    * as its own table with the next `table_idx` (document open
+    * order); the inner table's text never leaks into the outer cell's
+    * text, and the outer cell resumes after the inner `</table>`. One
+    * nesting level is supported; deeper nesting, and a `<table>`
+    * inside table structure but outside a cell, refuse in both modes.
+    *
+    * Out of scope — a refusal in BOTH modes (directed, never a
+    * guess): nesting deeper than one level, rows outside a table,
+    * cells outside a row, a caption after the first row or a second
+    * caption, non-whitespace text between table structure tags, and
+    * span values that are not plain integers in [1, 1000] (HTML's
     * `rowspan=0` extend-to-row-group rule stays out of scope).
     *
     * Scale: one mapPartitions pass over payload strings (the
@@ -840,59 +942,65 @@ object Html {
     if (html == null) return None
     val n = html.length
     var i = 0
-    var tableIdx = -1
-    var inTable = false
-    var inRow = false
-    var inCell = false
-    var inCaption = false
-    var sawCaption = false
-    var rowIdx = -1
-    var colCursor = 0
-    var cellCol = -1
-    var cellColspan = 1
-    var cellRowspan = 1
-    var headerCell = false
-    var cellBuf: StringBuilder = null
-    var captionBuf: StringBuilder = null
-    // col → rows this column stays occupied, INCLUDING the current row
-    val live = scala.collection.mutable.HashMap.empty[Int, Int]
-    // per-table placements: (row, col, rowspan, colspan, header, text);
-    // row −1 is the caption — expanded (and clipped) at table close
-    val placed = scala.collection.mutable.ArrayBuffer
-      .empty[(Int, Int, Int, Int, Boolean, String)]
+    var nextTableIdx = 0
+    // per-open-table parse context — tables nest ONE level (an inner
+    // <table> inside a cell suspends the outer cell and opens its own
+    // context/table_idx; deeper nesting refuses), so the stack holds
+    // at most two of these
+    final class TCtx(val idx: Int) {
+      var inRow = false
+      var inCell = false
+      var inCaption = false
+      var sawCaption = false
+      var rowIdx = -1
+      var colCursor = 0
+      var cellCol = -1
+      var cellColspan = 1
+      var cellRowspan = 1
+      var headerCell = false
+      var cellBuf: StringBuilder = null
+      var captionBuf: StringBuilder = null
+      // col → rows this column stays occupied, INCLUDING the current row
+      val live = scala.collection.mutable.HashMap.empty[Int, Int]
+      // placements: (row, col, rowspan, colspan, header, text);
+      // row −1 is the caption — expanded (and clipped) at table close
+      val placed = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, Int, Int, Int, Boolean, String)]
+    }
+    var stack: List[TCtx] = Nil
+    def cur: TCtx = stack.head
     val cells = Seq.newBuilder[TableCell]
     def lower(s: String) = s.toLowerCase(java.util.Locale.ROOT)
     def norm(raw: String): String = {
       val txt = if (recover) decodeEntities(raw) else raw
       txt.split("\\s+").filter(_.nonEmpty).mkString(" ")
     }
-    def emitCell(): Unit = {
-      placed += ((rowIdx, cellCol, cellRowspan, cellColspan, headerCell,
-        norm(cellBuf.toString)))
-      inCell = false; cellBuf = null
+    def emitCell(t: TCtx): Unit = {
+      t.placed += ((t.rowIdx, t.cellCol, t.cellRowspan, t.cellColspan,
+        t.headerCell, norm(t.cellBuf.toString)))
+      t.inCell = false; t.cellBuf = null
     }
-    def emitCaption(): Unit = {
-      placed += ((-1, 0, 1, 1, false, norm(captionBuf.toString)))
-      inCaption = false; captionBuf = null; sawCaption = true
+    def emitCaption(t: TCtx): Unit = {
+      t.placed += ((-1, 0, 1, 1, false, norm(t.captionBuf.toString)))
+      t.inCaption = false; t.captionBuf = null; t.sawCaption = true
     }
-    def closeTable(): Unit = {
-      val totalRows = rowIdx + 1
-      placed.foreach { case (r, c0, rs, cs, hdr, txt) =>
-        if (r < 0) cells += TableCell(tableIdx, -1, 0, hdr, txt)
+    def closeTable(t: TCtx): Unit = {
+      val totalRows = t.rowIdx + 1
+      t.placed.foreach { case (r, c0, rs, cs, hdr, txt) =>
+        if (r < 0) cells += TableCell(t.idx, -1, 0, hdr, txt)
         else {
           var rr = r
           val rEnd = math.min(r + rs, totalRows)
           while (rr < rEnd) {
             var cc = c0
             while (cc < c0 + cs) {
-              cells += TableCell(tableIdx, rr, cc, hdr, txt); cc += 1
+              cells += TableCell(t.idx, rr, cc, hdr, txt); cc += 1
             }
             rr += 1
           }
         }
       }
-      placed.clear(); live.clear()
-      inTable = false; inRow = false; rowIdx = -1; sawCaption = false
+      stack = stack.tail
     }
     // span attribute value, parsed POSITIONALLY over the tag's
     // name[=value] attribute pairs (quoted values skipped as units):
@@ -948,9 +1056,11 @@ object Html {
     while (i < n) {
       val c = html.charAt(i)
       if (c != '<') {
-        if (inCell) cellBuf += c
-        else if (inCaption) captionBuf += c
-        else if (inTable && !c.isWhitespace) return None // junk in table
+        if (stack.nonEmpty) {
+          if (cur.inCell) cur.cellBuf += c
+          else if (cur.inCaption) cur.captionBuf += c
+          else if (!c.isWhitespace) return None // junk in table
+        }
         i += 1
       } else if (html.startsWith("<!--", i)) {
         val e = html.indexOf("-->", i + 4)
@@ -988,80 +1098,94 @@ object Html {
         i = j
         name match {
           case "table" if !closing =>
-            if (inTable) return None // nested table: out of scope
-            tableIdx += 1; inTable = true; rowIdx = -1
+            if (stack.isEmpty) {
+              stack = new TCtx({ nextTableIdx += 1; nextTableIdx - 1 }) ::
+                stack
+            } else if (cur.inCell) {
+              // an inner table inside a cell: suspend the outer cell
+              // (its buffer keeps only its OWN text — the inner
+              // table's text never leaks) and open a fresh context
+              // with the next table_idx. One level only — deeper
+              // nesting refuses directed.
+              if (stack.lengthCompare(2) >= 0) return None
+              cur.cellBuf += ' ' // a token separator, like any element
+              stack = new TCtx({ nextTableIdx += 1; nextTableIdx - 1 }) ::
+                stack
+            } else return None // a table inside table STRUCTURE
           case "table" if closing =>
-            if (!inTable) return None
-            if (inCell || inRow || inCaption) {
+            if (stack.isEmpty) return None
+            if (cur.inCell || cur.inRow || cur.inCaption) {
               if (!recover) return None
-              if (inCell) emitCell()
-              if (inCaption) emitCaption()
+              if (cur.inCell) emitCell(cur)
+              if (cur.inCaption) emitCaption(cur)
             }
-            closeTable()
+            closeTable(cur)
           case "caption" if !closing =>
-            if (!inTable || inRow || inCell || inCaption) return None
-            if (sawCaption || rowIdx >= 0) return None // first child, once
-            inCaption = true; captionBuf = new StringBuilder
+            if (stack.isEmpty || cur.inRow || cur.inCell || cur.inCaption)
+              return None
+            if (cur.sawCaption || cur.rowIdx >= 0) return None // once, first
+            cur.inCaption = true; cur.captionBuf = new StringBuilder
           case "caption" if closing =>
-            if (!inCaption) return None
-            emitCaption()
+            if (stack.isEmpty || !cur.inCaption) return None
+            emitCaption(cur)
           case "thead" | "tbody" | "tfoot" =>
-            if (!inTable) return None // grouping is table structure
-            if (inCell) { // implied </td> + </tr> at a group boundary
+            if (stack.isEmpty) return None // grouping is table structure
+            if (cur.inCell) { // implied </td> + </tr> at a group boundary
               if (!recover) return None
-              emitCell()
+              emitCell(cur)
             }
-            if (inCaption) { // implied </caption> at a group boundary
+            if (cur.inCaption) { // implied </caption> at a group boundary
               if (!recover) return None
-              emitCaption()
+              emitCaption(cur)
             }
-            if (inRow) {
+            if (cur.inRow) {
               if (!recover) return None
-              inRow = false
+              cur.inRow = false
             }
           case "tr" if !closing =>
-            if (!inTable) return None
-            if (inCell || inRow || inCaption) {
+            if (stack.isEmpty) return None
+            if (cur.inCell || cur.inRow || cur.inCaption) {
               if (!recover) return None
-              if (inCell) emitCell()
-              if (inCaption) emitCaption()
+              if (cur.inCell) emitCell(cur)
+              if (cur.inCaption) emitCaption(cur)
             }
             // the previous row is done: spans burn one occupied row
-            live.keys.toSeq.foreach { k =>
-              val left = live(k) - 1
-              if (left <= 0) live.remove(k) else live(k) = left
+            cur.live.keys.toSeq.foreach { k =>
+              val left = cur.live(k) - 1
+              if (left <= 0) cur.live.remove(k) else cur.live(k) = left
             }
-            inRow = true; rowIdx += 1; colCursor = 0
+            cur.inRow = true; cur.rowIdx += 1; cur.colCursor = 0
           case "tr" if closing =>
-            if (!inRow) return None
-            if (inCell) {
+            if (stack.isEmpty || !cur.inRow) return None
+            if (cur.inCell) {
               if (!recover) return None
-              emitCell()
+              emitCell(cur)
             }
-            inRow = false
+            cur.inRow = false
           case "td" | "th" if !closing =>
-            if (!inRow) return None
-            if (inCell) {
+            if (stack.isEmpty || !cur.inRow) return None
+            if (cur.inCell) {
               if (!recover) return None
-              emitCell()
+              emitCell(cur)
             }
             val attrs = html.substring(attrStart, attrEnd)
             val cs = spanAttr(attrs, "colspan")
             val rs = spanAttr(attrs, "rowspan")
             if (cs < 1 || rs < 1) return None // malformed span: refuse
             // place at the first column not occupied by an earlier span
-            var c0 = colCursor
-            while (live.getOrElse(c0, 0) > 0) c0 += 1
-            cellCol = c0; cellColspan = cs; cellRowspan = rs
+            var c0 = cur.colCursor
+            while (cur.live.getOrElse(c0, 0) > 0) c0 += 1
+            cur.cellCol = c0; cur.cellColspan = cs; cur.cellRowspan = rs
             var cc = c0
-            while (cc < c0 + cs) { live(cc) = rs; cc += 1 }
-            colCursor = c0 + cs
-            inCell = true
-            headerCell = name == "th"
-            cellBuf = new StringBuilder
+            while (cc < c0 + cs) { cur.live(cc) = rs; cc += 1 }
+            cur.colCursor = c0 + cs
+            cur.inCell = true
+            cur.headerCell = name == "th"
+            cur.cellBuf = new StringBuilder
           case "td" | "th" if closing =>
-            if (!inCell || (name == "th") != headerCell) return None
-            emitCell()
+            if (stack.isEmpty || !cur.inCell ||
+              (name == "th") != cur.headerCell) return None
+            emitCell(cur)
           case rn if RawSkipTags.contains(rn) && !closing =>
             if (!selfClose) {
               val close = s"</$rn"
@@ -1081,24 +1205,28 @@ object Html {
               if (gt < 0) return None
               i = gt + 1
             }
-            if (inCell) { cellBuf += ' ' }
-            else if (inCaption) { captionBuf += ' ' }
+            if (stack.nonEmpty && cur.inCell) { cur.cellBuf += ' ' }
+            else if (stack.nonEmpty && cur.inCaption) {
+              cur.captionBuf += ' '
+            }
           case _ =>
             // any other element: a token separator inside a cell or
             // caption, page structure outside (not this walker's
             // concern)
-            if (inCell) cellBuf += ' '
-            else if (inCaption) captionBuf += ' '
+            if (stack.nonEmpty && cur.inCell) cur.cellBuf += ' '
+            else if (stack.nonEmpty && cur.inCaption) cur.captionBuf += ' '
         }
       } else {
         return None // bare '<'
       }
     }
-    if (inTable || inRow || inCell || inCaption) {
+    if (stack.nonEmpty) {
       if (!recover) return None
-      if (inCell) emitCell()
-      if (inCaption) emitCaption()
-      closeTable()
+      while (stack.nonEmpty) { // EOF implies close, innermost first
+        if (cur.inCell) emitCell(cur)
+        if (cur.inCaption) emitCaption(cur)
+        closeTable(cur)
+      }
     }
     Some(cells.result())
   }

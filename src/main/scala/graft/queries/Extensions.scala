@@ -3904,22 +3904,82 @@ object Extensions {
     // rowspan body cell contributes a record in EACH covered row, and
     // the caption row (−1) is excluded — tableRecords' row_idx >= 0
     // filter is load-bearing here (a caption is not a body cell).
+    // (re-gated over the NESTED fixture, r15 verdict #1's done bar:
+    // the outer LAYOUT table has no header row, so headerless-body
+    // drop semantics make it contribute ZERO records — only the inner
+    // span table's expanded grid becomes records, at table_idx 1)
     "q312_span_table_records" -> ((s, dir) => {
       val H = graft.functions.Html
       val docs = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("text"))
       val cells = H.htmlTableCells(
-        H.withSynthSpanTableHtml(docs, "doc_id", "text"), "id", "html")
+        H.withSynthNestedTableHtml(docs, "doc_id", "text"), "id", "html")
       val verified = cells.select(
         when(col("table_idx").isNull, raise_error(concat(
-          lit("q312: span-table HTML for id "), col("id").cast("string"),
-          lit(" failed to parse — span-walker regression"))))
+          lit("q312: nested-table HTML for id "), col("id").cast("string"),
+          lit(" failed to parse — nested-walker regression"))))
           .otherwise(col("id")).as("id"),
         col("table_idx"), col("row_idx"), col("col_idx"),
         col("is_header"), col("text"))
       H.tableRecords(verified)
         .select(col("id").as("doc_id"), col("table_idx"), col("row_idx"),
           col("col_name"), col("value"))
+    }),
+
+    // --- ONE-LEVEL NESTED tables in STRICT mode (r15 verdict #1 —
+    // the most common real-web shape: a layout table wrapping the
+    // data table): the outer layout table parses as table_idx 0 with
+    // its own two cells, the ENTIRE q310 span table parses as
+    // table_idx 1 (document open order), and the outer wrapping
+    // cell's text is EXACTLY 'main data' — 'main' before the inner
+    // table, 'data' after it, nothing of the inner table's text
+    // leaked between them (suspend/resume is the whole point). The
+    // oracle reuses the q310 shared expanded-grid CTE keyed to the
+    // inner ordinal plus two constant outer rows.
+    "q324_html_nested_tables" -> ((s, dir) => {
+      val H = graft.functions.Html
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val cells = H.htmlTableCells(
+        H.withSynthNestedTableHtml(docs, "doc_id", "text"), "id", "html")
+      cells.select(
+        when(col("table_idx").isNull, raise_error(concat(
+          lit("q324: nested-table HTML for id "), col("id").cast("string"),
+          lit(" failed to parse — nested-walker regression"))))
+          .otherwise(col("id")).as("doc_id"),
+        col("table_idx"), col("row_idx"), col("col_idx"),
+        col("is_header"), col("text"))
+    }),
+
+    // --- nested-table extraction in RECOVERY mode (the q311 recipe
+    // over the nested fixture): class = doc_id % 3 — untouched /
+    // implied end tags in BOTH tables (</table> kept: the nesting
+    // boundary stays explicit) / outer-close truncation (EOF pops the
+    // still-open OUTER context after the inner closed explicitly) +
+    // entity-decorated inner header and caption cells. STRICT must
+    // refuse every class-1/2 page (asserted); recovery lands the same
+    // two-table grid, the truncated class's outer cell text clipped
+    // to 'main'.
+    "q325_html_nested_recovery" -> ((s, dir) => {
+      val H = graft.functions.Html
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val pages = H.withSynthNestedTableHtml(docs, "doc_id", "text",
+        clsOf = id => (id % 3).toInt)
+      require(
+        H.htmlTableCells(
+            pages.filter(col("id") % 3 =!= 0), "id", "html")
+          .filter(col("table_idx").isNotNull).limit(1).isEmpty,
+        "q325: strict mode parsed a corrupted nested-table page — the " +
+          "corruption is vacuous")
+      H.htmlTableCells(pages, "id", "html", recover = true)
+        .select(
+          when(col("table_idx").isNull, raise_error(concat(
+            lit("q325: recovery failed to parse nested-table HTML for " +
+              "id "), col("id").cast("string"))))
+            .otherwise(col("id")).as("doc_id"),
+          col("table_idx"), col("row_idx"), col("col_idx"),
+          col("is_header"), col("text"))
     }),
 
     // --- the COMPOSED index-served retrieval stack (r14 verdict #2):
@@ -7662,6 +7722,43 @@ object Extensions {
        |FROM pos""".stripMargin
   }
 
+  /** The q324/q325 nested-grid oracle: the SAME shared expanded-grid
+    * CTE keyed to the INNER table's ordinal (table_idx 1) plus the
+    * outer layout table's two constant cells — ('nav menu', at col 0)
+    * and the wrapping cell whose text is 'main data' (suspend/resume
+    * with zero inner-text leak); q325's truncation class clips it to
+    * 'main' and decorates the inner header + caption cells with the
+    * q311 entity dirt. */
+  private def nestedGridOracle(decorated: Boolean): String = {
+    val nb = graft.functions.Html.entityText("nbsp")
+    val md = graft.functions.Html.entityText("mdash")
+    val txt =
+      if (decorated)
+        s"CASE WHEN doc_id % 3 = 2 AND (hdr OR r = -1) " +
+          s"THEN '$nb' || w || '$md' ELSE w END"
+      else "w"
+    val mainTxt =
+      if (decorated) "CASE WHEN doc_id % 3 = 2 THEN 'main' " +
+        "ELSE 'main data' END"
+      else "'main data'"
+    s"""WITH ${graft.functions.Html.spanGridOracleCte}
+       |SELECT doc_id,
+       |  CAST(0 AS INTEGER) AS table_idx,
+       |  CAST(0 AS INTEGER) AS row_idx,
+       |  CAST(0 AS INTEGER) AS col_idx,
+       |  FALSE AS is_header,
+       |  'nav menu' AS text
+       |FROM t
+       |UNION ALL
+       |SELECT doc_id, CAST(0 AS INTEGER), CAST(0 AS INTEGER),
+       |  CAST(1 AS INTEGER), FALSE, $mainTxt
+       |FROM t
+       |UNION ALL
+       |SELECT doc_id, CAST(1 AS INTEGER), CAST(r AS INTEGER),
+       |  CAST(cx AS INTEGER), hdr, $txt
+       |FROM pos""".stripMargin
+  }
+
   /** The q304/q306 distillation oracle: gopher labels (the shared
     * gopherRulesSqlExpr) chained into the NB oracle, agreement joined
     * back. */
@@ -9387,19 +9484,29 @@ object Extensions {
     "q310_html_span_tables" -> spanGridOracle(decorated = false),
     "q311_html_span_recovery" -> spanGridOracle(decorated = true),
 
-    // q312: header-keyed records over the EXPANDED grid — cols 0-1 are
-    // named by token 1 (the colspan-2 header), col 2 by token 2; the
-    // rowspan body cell records in BOTH covered rows; caption excluded
+    // q312: header-keyed records over the EXPANDED grid, NESTED
+    // fixture (r15 verdict #1) — the outer layout table has no header
+    // row so it yields ZERO records; the inner table (ordinal 1)
+    // records exactly as before: cols 0-1 named by token 1 (the
+    // colspan-2 header), col 2 by token 2; the rowspan body cell
+    // records in BOTH covered rows; caption excluded
     "q312_span_table_records" -> {
       s"""WITH ${graft.functions.Html.spanGridOracleCte}
          |SELECT p.doc_id,
-         |  CAST(0 AS INTEGER) AS table_idx,
+         |  CAST(1 AS INTEGER) AS table_idx,
          |  CAST(p.r AS INTEGER) AS row_idx,
          |  CASE WHEN p.cx <= 1 THEN t.t[2] ELSE t.t[3] END AS col_name,
          |  p.w AS value
          |FROM pos p JOIN t ON t.doc_id = p.doc_id
          |WHERE p.r >= 1""".stripMargin
     },
+
+    // q324/q325: the nested two-table grid — the shared CTE keyed to
+    // the inner ordinal + the layout table's constant cells; q325's
+    // truncation class clips the wrapping cell to 'main' and carries
+    // the q311 entity decoration on inner header/caption cells
+    "q324_html_nested_tables" -> nestedGridOracle(decorated = false),
+    "q325_html_nested_recovery" -> nestedGridOracle(decorated = true),
 
     // q313: the composed index-served stack — the BM25 leg replays as
     // q81's corpus-scan spelling (q300 proved index == scan), the dense

@@ -291,10 +291,14 @@ class HtmlSpec extends AnyFunSuite {
   }
 
   test("walkTableCells: out-of-scope shapes refuse DIRECTED in both " +
-       "modes — nested table, cell outside row, junk in table, " +
+       "modes — two-level nesting, cell outside row, junk in table, " +
        "misplaced/duplicate caption, malformed span values") {
     val bad = Seq(
-      "<table><tr><td><table></table></td></tr></table>", // nested
+      // nesting DEEPER than one level (table in a cell of an inner table)
+      "<table><tr><td><table><tr><td><table></table></td></tr>" +
+        "</table></td></tr></table>",
+      // a table inside table STRUCTURE (between rows, not in a cell)
+      "<table><table></table><tr><td>x</td></tr></table>",
       "<table><td>x</td></table>",                         // td sans tr
       "<table>stray<tr><td>x</td></tr></table>",           // junk text
       "<div><tr><td>x</td></tr></div>",                    // tr sans table
@@ -347,6 +351,48 @@ class HtmlSpec extends AnyFunSuite {
     // recovery agrees with strict on well-formed span pages
     assert(Html.walkTableCells(h, recover = true).get ==
       Html.walkTableCells(h, recover = false).get)
+  }
+
+  test("walkTableCells: ONE-level nested tables — the inner table gets " +
+       "the next table_idx, its text never leaks into the outer cell, " +
+       "and the outer cell resumes after </table> (r15 verdict #1)") {
+    val h = "<table><tr><td>nav</td>" +
+      "<td>main <table><caption>inner</caption>" +
+      "<tr><th>h</th></tr><tr><td>v</td></tr></table> tail</td></tr>" +
+      "</table>"
+    val cs = Html.walkTableCells(h, recover = false).get
+      .map(c => (c.tableIdx, c.rowIdx, c.colIdx, c.header, c.text))
+    // outer = idx 0 (document open order), inner = idx 1; the outer
+    // cell's text is ONLY its own tokens ('main tail')
+    assert(cs.toSet == Set(
+      (0, 0, 0, false, "nav"), (0, 0, 1, false, "main tail"),
+      (1, -1, 0, false, "inner"), (1, 0, 0, true, "h"),
+      (1, 1, 0, false, "v")), cs.toString)
+    // a sibling table AFTER the nested pair numbers next in open order
+    val h2 = h + "<table><tr><td>after</td></tr></table>"
+    assert(Html.walkTableCells(h2, recover = false).get
+      .map(_.tableIdx).max == 2)
+    // recovery: implied ends inside BOTH levels land the same grid
+    val implied = "<table><tr><td>nav" +
+      "<td>main <table><tr><th>h<tr><td>v</table> tail</table>"
+    assert(Html.walkTableCells(implied, recover = true).get
+      .map(c => (c.tableIdx, c.rowIdx, c.colIdx, c.header, c.text)).toSet
+      == Set(
+        (0, 0, 0, false, "nav"), (0, 0, 1, false, "main tail"),
+        (1, 0, 0, true, "h"), (1, 1, 0, false, "v")))
+    // strict still refuses the implied-ends page
+    assert(Html.walkTableCells(implied, recover = false).isEmpty)
+    // EOF with both levels open: recovery closes innermost-first
+    val eofOpen = "<table><tr><td>o <table><tr><td>i"
+    assert(Html.walkTableCells(eofOpen, recover = true).get
+      .map(c => (c.tableIdx, c.rowIdx, c.colIdx, c.text)).toSet
+      == Set((0, 0, 0, "o"), (1, 0, 0, "i")))
+    // spans inside the INNER table expand against the inner grid
+    val spans = "<table><tr><td>w <table><tr><td colspan=2>a</td>" +
+      "<td>b</td></tr></table></td></tr></table>"
+    assert(Html.walkTableCells(spans, recover = false).get
+      .filter(_.tableIdx == 1).map(c => (c.colIdx, c.text)).toSet
+      == Set((0, "a"), (1, "a"), (2, "b")))
   }
 
   test("walkTableCells: span attrs parse POSITIONALLY — a span " +
