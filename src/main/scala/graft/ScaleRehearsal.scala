@@ -198,7 +198,14 @@ object ScaleRehearsal {
     // PageRank (cold+warm+pre — three converge runs on the capped part
     // graph; per-round cost is the dst-keyed sum)
     "q294_unigram_pruned_em", "q295_blocklist_tap",
-    "q296_stream_blocklist", "q297_cms_window", "q298_pagerank_warm",
+    "q296_stream_blocklist", "q297_cms_window",
+    // q298/q314 are EXCLUDED since the round-16 consolidation: both
+    // answer from the per-JVM-memoized pageRankGateBundle (r15 verdict
+    // #3), so a second timed run within this JVM measures the memo
+    // read, not the converge legs. The bundle's scale shape (three
+    // ε-stopped converge runs over the capped part graph, one
+    // dst-keyed shuffle per round) was rehearsed in r14/r15
+    // (0.96×/1.16×); its one-shot cost per session shows in the sweep.
     // the pruned schedule at the %512-salted word space (SF-stable
     // vocabulary by the cap — the ratio tracks the corpus scan)
     "q299_unigram_pruned_salted",
@@ -218,7 +225,7 @@ object ScaleRehearsal {
     "q309_dataset_card",
     "q310_html_span_tables", "q311_html_span_recovery",
     "q312_span_table_records", "q313_indexed_rrf",
-    "q314_pagerank_artifact", "q315_dataset_card_full",
+    "q315_dataset_card_full",
     "q316_stream_bm25_arrival", "q317_pii_card",
     "q318_perplexity_mixture", "q319_token_budget",
     "q320_wordpiece_merges", "q321_wordpiece_encode",
