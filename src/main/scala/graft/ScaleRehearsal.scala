@@ -232,7 +232,12 @@ object ScaleRehearsal {
     "q322_stream_wordpiece", "q323_wordpiece_model_tap",
     // round-16: nested-table walks (scan-shaped per-page parses — the
     // outer layout table adds two cells per page over q310's cost)
-    "q324_html_nested_tables", "q325_html_nested_recovery")
+    "q324_html_nested_tables", "q325_html_nested_recovery",
+    // multi-query composed serving (build-inclusive like q313; the
+    // serving increment per extra probe is O(its postings + probed
+    // codes)) and the streamed-query arrival form (3 foreachBatch
+    // servings against the same artifacts)
+    "q326_indexed_rrf_batch", "q327_stream_query_arrival")
     // q308 (MRL audit) is EXCLUDED by design: the scale-up replicates
     // vectors VERBATIM, so every query's top-3 is its own identical
     // replicas under both the truncated and the full ranking — the

@@ -143,6 +143,113 @@ object Relevance {
       .limit(topK)
   }
 
+  /** BATCH-of-queries BM25 from the SAME persisted postings index (r15
+    * verdict #2 — production serves K queries, not one): every query's
+    * term set rides ONE bucket-pruned probe of the UNION term list
+    * (each term's postings are read once however many queries share
+    * it), the probe pivots to per-union-term tf columns, and each
+    * query then folds ITS OWN terms in ITS OWN order over those
+    * columns — per (query, doc) the expression tree is IDENTICAL to
+    * [[bm25FromIndex]]'s (float addition order pinned per query), so
+    * the oracle is q81's corpus-scan spelling instantiated per query.
+    * Per-query candidate lists cap at `legK` by a window PARTITIONED
+    * on query_id — the window input is O(union postings × K), never
+    * corpus-sized. The query batch is a bounded driver carry (the
+    * known-queries serving shape); the corpus is never scanned.
+    * Output (query_id, doc_id, score_micros), score desc / id asc
+    * within each query. */
+  def bm25FromIndexMulti(postings: DataFrame, stats: DataFrame,
+                         queryTerms: Seq[(Long, Seq[String])],
+                         legK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(queryTerms.nonEmpty && queryTerms.size <= 64,
+      s"bm25FromIndexMulti: 1..64 queries, got ${queryTerms.size}")
+    queryTerms.foreach { case (qid, ts) =>
+      require(ts.nonEmpty && ts.size <= 32,
+        s"bm25FromIndexMulti: query $qid needs 1..32 terms, got ${ts.size}")
+    }
+    val union = queryTerms.flatMap(_._2).distinct
+    val uix = union.zipWithIndex.toMap
+    val probe = postings.filter(col("term").isin(union: _*))
+    val dfAggs = union.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, 1L).otherwise(0L))
+        .cast("double").as(s"df_u$i")
+    }
+    val termStats = probe.agg(dfAggs.head, dfAggs.tail: _*)
+    val pivotAggs = max(col("dl")).as("dl") +:
+      union.zipWithIndex.map { case (t, i) =>
+        max(when(col("term") === t, col("tf"))).as(s"tf_u$i")
+      }
+    val pivoted = probe.groupBy(col("id"))
+      .agg(pivotAggs.head, pivotAggs.tail: _*)
+    val glob = stats
+      .agg(sum(col("n_docs")).cast("double").as("n_docs"),
+        sum(col("n_tokens")).cast("double").as("n_tokens"))
+    val dl = col("dl").cast("double")
+    def scoreOf(terms: Seq[String]): Column = terms.map { t =>
+      val i = uix(t)
+      val tf = coalesce(col(s"tf_u$i"), lit(0L)).cast("double")
+      val df_ = col(s"df_u$i")
+      val idf = (col("n_docs") - df_ + lit(0.5)) / (df_ + lit(0.5))
+      val tfn = tf * lit(K1Plus1) /
+        (tf + lit(K1) * (lit(OneMinusB) +
+          lit(B) * dl * col("n_docs") / col("n_tokens")))
+      when(tf > lit(0.0), floor(lit(1000000.0) * idf * tfn).cast("bigint"))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    val perQuery = array(queryTerms.map { case (qid, ts) =>
+      struct(lit(qid).cast("long").as("query_id"),
+        scoreOf(ts).as("score_micros"))
+    }: _*)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micros").desc, col("doc_id").asc)
+    pivoted.crossJoin(broadcast(glob)).crossJoin(broadcast(termStats))
+      .select(col("id").as("doc_id"), explode(perQuery).as("qs"))
+      .select(col("qs.query_id").as("query_id"), col("doc_id"),
+        col("qs.score_micros").as("score_micros"))
+      .filter(col("score_micros") > 0L)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= legK).drop("__rn")
+  }
+
+  /** Per-query twin of [[rankByScore]]: (query_id, doc_id,
+    * score_micros) → (query_id, doc_id, lr), the window partitioned on
+    * query_id — input is the per-query capped candidate lists, so the
+    * window is K × legK rows. */
+  def rankByScorePerQuery(scored: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micros").desc, col("doc_id").asc)
+    scored.withColumn("lr", row_number().over(w).cast("int"))
+      .select(col("query_id"), col("doc_id"), col("lr"))
+  }
+
+  /** Per-query twin of [[rrfFuse]] (r15 verdict #2): fuse K lexical
+    * lists (query_id, doc_id, lr) with K dense lists (query_id,
+    * doc_id, dr) in ONE plan — full outer on (query_id, doc_id),
+    * 1/(rrfK + rank) per present leg, floor micros, per-query top-k
+    * by a window partitioned on query_id. Everything is K × k-sized. */
+  def rrfFusePerQuery(lexRanked: DataFrame, denseRanked: DataFrame,
+                      topK: Int, rrfK: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val contrib = (r: Column) =>
+      when(r > 0, lit(1.0) / (lit(rrfK.toDouble) + r.cast("double")))
+        .otherwise(lit(0.0))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_micros").desc, col("doc_id").asc)
+    lexRanked.join(denseRanked, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        coalesce(col("lr"), lit(0)).as("lex_rank"),
+        coalesce(col("dr"), lit(0)).as("dense_rank"))
+      .select(col("query_id"), col("doc_id"), col("lex_rank"),
+        col("dense_rank"),
+        floor(lit(1000000.0) *
+          (contrib(col("lex_rank")) + contrib(col("dense_rank"))))
+          .cast("bigint").as("rrf_micros"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= topK).drop("__rn")
+  }
+
   /** DuckDB spelling of the same score, for oracle generation. `table`
     * must expose `id`/`text`; emits the full top-k query. Every literal is
     * printed from the SAME Scala constants the Spark plan uses. */

@@ -58,6 +58,16 @@ object Extensions {
   // ---- shared constants for the governance/relevance queries (used by
   // both the Spark plan and the generated oracle so they cannot drift) ----
   private val Bm25Terms = Seq("spark", "query", "join")
+
+  /** The multi-query serving batch (q326/q327): query 0 carries q313's
+    * original term set (single-probe parity inside the batch), queries
+    * 1-2 distinct term sets — all from the fixed corpus vocabulary.
+    * query_id doubles as the probe vector's vec_id. ONE constant feeds
+    * the Spark batch, the streamed feed, and both oracles. */
+  private val MultiQueryTerms: Seq[(Long, Seq[String])] = Seq(
+    0L -> Bm25Terms,
+    1L -> Seq("filter", "merge"),
+    2L -> Seq("scan", "window", "batch"))
   private val DecontamN = 4
   private val SampleRates = Seq("en" -> 50, "de" -> 25, "fr" -> 10)
   private val SampleDefaultPct = 5
@@ -178,6 +188,102 @@ object Extensions {
     })
     s.createDataFrame(
       new java.util.ArrayList(java.util.Arrays.asList(rows: _*)), schema)
+  }
+
+  /** The composed retrieval stack's persisted artifacts (q313/q326/
+    * q327): postings + stats (the q300 lexical layout), IVF centroids
+    * + PQ codebook + bucketed packed codes (the q223 dense layout),
+    * and the raw-vector tap the rerank leg serves from. */
+  private case class RetrievalArtifacts(postings: String,
+      stats: graft.sources.ParquetTap, ivfCents: String, pqBook: String,
+      ivfCodes: String, rawVecs: String)
+
+  /** Build & persist the full composed-stack artifact set under
+    * `tag`-scoped staged names — ONE builder shared by the
+    * single-probe (q313), batch-of-queries (q326) and streamed-query
+    * (q327) serving gates so the layouts cannot drift. */
+  private def buildRetrievalArtifacts(s: SparkSession, dir: String,
+                                      tag: String): RetrievalArtifacts = {
+    val I = graft.functions.InvertedIndex
+    val R = graft.functions.Relevance
+    val postT = stagedTable(s"graft_${tag}_postings")
+    val centsT = stagedTable(s"graft_${tag}_ivf_cents")
+    val bookT = stagedTable(s"graft_${tag}_pq_book")
+    val codesT = stagedTable(s"graft_${tag}_ivf_codes")
+    val vecsT = stagedTable(s"graft_${tag}_raw_vecs")
+    Seq(postT, centsT, bookT, codesT, vecsT)
+      .foreach(graft.queries.Tables.dropStagedTable(s, _))
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    val e = s.read.parquet(s"$dir/embeddings.parquet")
+    // the lexical artifacts (the q300 layout)
+    val tap = I.indexTap(postT, 16)
+    tap.write(I.buildWithDl(docs, "doc_id", "text"),
+      graft.sources.SinkMode.Replace)
+    val statsTap = graft.sources.ParquetTap(
+      graft.queries.Relational.stagePath(s"graft_${tag}_stats", dir))
+    statsTap.write(R.corpusStats(docs, "text"),
+      graft.sources.SinkMode.Replace)
+    // the dense artifacts (the q223 layout) + the raw-vector tap
+    val (ivfCents, lists) = Similarity.ivfKMeansBuild(
+      e, "vec_id", "embedding", nlist = 16, iters = 2)
+    val (pqCents, codes) = Similarity.pqBuild(
+      e, "vec_id", "embedding", m = 8, kSub = 16, iters = 2, dim = 64)
+    val book = Similarity.pqDenseCodebook(pqCents)
+    ivfCents.write.mode("overwrite").saveAsTable(centsT)
+    book.write.mode("overwrite").saveAsTable(bookT)
+    val ivfCodes = lists.select(col("nn_id"), col("cent"))
+      .join(Similarity.pqPackCodes(codes, book), Seq("nn_id"))
+    graft.sources.BucketedTap(codesT, 8, Seq("cent"))
+      .write(ivfCodes, graft.sources.SinkMode.Replace)
+    graft.sources.BucketedTap(vecsT, 8, Seq("vec_id"))
+      .write(e.select(col("vec_id"), col("embedding")),
+        graft.sources.SinkMode.Replace)
+    RetrievalArtifacts(postT, statsTap, centsT, bookT, codesT, vecsT)
+  }
+
+  /** The probe vectors as a bounded DRIVER CARRY (the known-query
+    * serving shape — reading them from embeddings.parquet inside the
+    * serving plan would defeat the no-corpus-scan assert). */
+  private def probeVectors(s: SparkSession, dir: String, ids: Seq[Long],
+                           qname: String): DataFrame = {
+    val qSel = s.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val qRows = qSel.filter(col("vec_id").isin(ids: _*)).collect()
+    require(qRows.length == ids.size,
+      s"$qname: expected probe vectors ${ids.mkString(",")}, found " +
+        s"${qRows.length}")
+    s.createDataFrame(java.util.Arrays.asList(qRows: _*), qSel.schema)
+  }
+
+  private def withoutAutoBucketedScan[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = s.conf.get(key)
+    try { s.conf.set(key, "false"); body } finally s.conf.set(key, prev)
+  }
+
+  /** The composed-stack serving-plan contract (q313, held on the
+    * multi-query plan by q326): artifacts only — no corpus scan on
+    * either leg, a strictly bucket-pruned term probe, no codes-side
+    * or rerank-side corpus exchange. */
+  private def assertComposedServingPlan(plan: String,
+                                        qname: String): Unit = {
+    require(!plan.contains("documents.parquet") &&
+        !plan.contains("embeddings.parquet"),
+      s"$qname: the composed serving plan must read ONLY the persisted " +
+        "artifacts — a corpus scan on either leg is what the indexes " +
+        "amortize away")
+    val sel = "SelectedBucketsCount: (\\d+)\\D+(\\d+)".r
+      .findFirstMatchIn(plan)
+    require(sel.isDefined,
+      s"$qname: the term probe must be a bucket-pruned scan")
+    require(sel.get.group(1).toInt < sel.get.group(2).toInt,
+      s"$qname: the probe must read strictly fewer buckets than the " +
+        "layout")
+    require(!plan.contains("Exchange hashpartitioning(cent"),
+      s"$qname: probed ADC must never exchange the codes side")
+    require(!plan.contains("Exchange hashpartitioning(nn_id"),
+      s"$qname: rerank top-k must move as heap partials, never a " +
+        "corpus-side row exchange")
   }
 
   /** Fresh (in, out, checkpoint) dirs under a per-query tmp root, deleting
@@ -4026,85 +4132,143 @@ object Extensions {
     // unrolled ADC+rerank chain via the shared ivfAdcRerankChainCtes
     // builder) composed into q241's fusion spelling.
     "q313_indexed_rrf" -> ((s, dir) => {
-      val I = graft.functions.InvertedIndex
       val R = graft.functions.Relevance
-      val postT = stagedTable("graft_q313_postings")
-      val centsT = stagedTable("graft_q313_ivf_cents")
-      val bookT = stagedTable("graft_q313_pq_book")
-      val codesT = stagedTable("graft_q313_ivf_codes")
-      val vecsT = stagedTable("graft_q313_raw_vecs")
-      Seq(postT, centsT, bookT, codesT, vecsT)
-        .foreach(graft.queries.Tables.dropStagedTable(s, _))
-      val docs = s.read.parquet(s"$dir/documents.parquet")
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
-      // --- build & persist the lexical artifacts (the q300 layout)
-      val tap = I.indexTap(postT, 16)
-      tap.write(I.buildWithDl(docs, "doc_id", "text"),
-        graft.sources.SinkMode.Replace)
-      val statsTap = graft.sources.ParquetTap(
-        graft.queries.Relational.stagePath("graft_q313_stats", dir))
-      statsTap.write(R.corpusStats(docs, "text"),
-        graft.sources.SinkMode.Replace)
-      // --- build & persist the dense artifacts (the q223 layout) plus
-      // the raw-vector tap the rerank leg serves from
-      val (ivfCents, lists) = Similarity.ivfKMeansBuild(
-        e, "vec_id", "embedding", nlist = 16, iters = 2)
-      val (pqCents, codes) = Similarity.pqBuild(
-        e, "vec_id", "embedding", m = 8, kSub = 16, iters = 2, dim = 64)
-      val book = Similarity.pqDenseCodebook(pqCents)
-      ivfCents.write.mode("overwrite").saveAsTable(centsT)
-      book.write.mode("overwrite").saveAsTable(bookT)
-      val ivfCodes = lists.select(col("nn_id"), col("cent"))
-        .join(Similarity.pqPackCodes(codes, book), Seq("nn_id"))
-      graft.sources.BucketedTap(codesT, 8, Seq("cent"))
-        .write(ivfCodes, graft.sources.SinkMode.Replace)
-      graft.sources.BucketedTap(vecsT, 8, Seq("vec_id"))
-        .write(e.select(col("vec_id"), col("embedding")),
-          graft.sources.SinkMode.Replace)
+      val a = buildRetrievalArtifacts(s, dir, "q313")
       // the probe vector: a 1-row driver carry (the known-query shape —
       // reading it from embeddings.parquet inside the serving plan
       // would defeat the no-corpus-scan assert)
-      val qSel = e.select(col("vec_id"), col("embedding"))
-      val qRows = qSel.filter(col("vec_id") === 0L).collect()
-      require(qRows.length == 1, "q313: probe vector vec_id=0 missing")
-      val qDf = s.createDataFrame(
-        java.util.Arrays.asList(qRows: _*), qSel.schema)
-      val autoScan = s.conf.get(
-        "spark.sql.sources.bucketing.autoBucketedScan.enabled")
-      try {
-        s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
-          "false")
+      val qDf = probeVectors(s, dir, Seq(0L), "q313")
+      withoutAutoBucketedScan(s) {
         val lexRanked = R.rankByScore(
-          R.bm25FromIndex(s.table(postT), statsTap.read(s),
+          R.bm25FromIndex(s.table(a.postings), a.stats.read(s),
               Bm25Terms, topK = 100)
             .withColumnRenamed("id", "doc_id"))
-        val dense = Similarity.ivfAdcRerankTopK(s.table(centsT),
-            s.table(bookT), s.table(codesT), s.table(vecsT), qDf,
-            "vec_id", "embedding", k = 5, rerankR = 16, nprobe = 4,
+        val dense = Similarity.ivfAdcRerankTopK(s.table(a.ivfCents),
+            s.table(a.pqBook), s.table(a.ivfCodes), s.table(a.rawVecs),
+            qDf, "vec_id", "embedding", k = 5, rerankR = 16, nprobe = 4,
             m = 8, kSub = 16, dim = 64)
           .select(col("nn_id").as("doc_id"), col("rk").as("dr"))
         val df = R.rrfFuse(lexRanked, dense, topK = 20)
-        val plan = df.queryExecution.executedPlan.toString
-        require(!plan.contains("documents.parquet") &&
-            !plan.contains("embeddings.parquet"),
-          "q313: the composed serving plan must read ONLY the persisted " +
-            "artifacts — a corpus scan on either leg is what the " +
-            "indexes amortize away")
-        val sel = "SelectedBucketsCount: (\\d+)\\D+(\\d+)".r
-          .findFirstMatchIn(plan)
-        require(sel.isDefined,
-          "q313: the term probe must be a bucket-pruned scan")
-        require(sel.get.group(1).toInt < sel.get.group(2).toInt,
-          "q313: the probe must read strictly fewer buckets than the " +
-            "layout")
-        require(!plan.contains("Exchange hashpartitioning(cent"),
-          "q313: probed ADC must never exchange the codes side")
-        require(!plan.contains("Exchange hashpartitioning(nn_id"),
-          "q313: rerank top-k must move as heap partials, never a " +
-            "corpus-side row exchange")
+        assertComposedServingPlan(
+          df.queryExecution.executedPlan.toString, "q313")
         df
-      } finally s.conf.set(
-        "spark.sql.sources.bucketing.autoBucketedScan.enabled", autoScan)
+      }
+    }),
+
+    // --- BATCH-of-queries serving for the composed stack (r15 verdict
+    // #2 — production serves K queries, not one): THREE probe rows
+    // (vectors + per-query term sets, a bounded driver carry) against
+    // the SAME persisted artifacts in ONE plan. The lexical legs ride
+    // ONE bucket-pruned probe of the UNION term list and fold each
+    // query's own terms in its own order (per-(query, doc) expression
+    // tree identical to q313's single-query fold); the dense leg's
+    // probes broadcast with per-query bucket pruning through the
+    // probes join; RRF fuses per query behind a query-partitioned
+    // window. The q313 plan asserts hold on the MULTI-query plan.
+    // Oracle = q313's per-query chain instantiated per query and
+    // unioned over probes.
+    "q326_indexed_rrf_batch" -> ((s, dir) => {
+      val R = graft.functions.Relevance
+      val a = buildRetrievalArtifacts(s, dir, "q326")
+      val qids = MultiQueryTerms.map(_._1)
+      val qDf = probeVectors(s, dir, qids, "q326")
+      withoutAutoBucketedScan(s) {
+        val lexRanked = R.rankByScorePerQuery(
+          R.bm25FromIndexMulti(s.table(a.postings), a.stats.read(s),
+            MultiQueryTerms, legK = 100))
+        val dense = Similarity.ivfAdcRerankTopK(s.table(a.ivfCents),
+            s.table(a.pqBook), s.table(a.ivfCodes), s.table(a.rawVecs),
+            qDf, "vec_id", "embedding", k = 5, rerankR = 16, nprobe = 4,
+            m = 8, kSub = 16, dim = 64)
+          .select(col("query_id"), col("nn_id").as("doc_id"),
+            col("rk").as("dr"))
+        val df = R.rrfFusePerQuery(lexRanked, dense, topK = 20)
+        assertComposedServingPlan(
+          df.queryExecution.executedPlan.toString, "q326")
+        // non-vacuity: every probe must be served, and the batch must
+        // not degenerate to one shared answer list (the three queries
+        // carry different term sets AND different probe vectors)
+        val lists = df.select(col("query_id"), col("doc_id")).collect()
+          .groupBy(_.getLong(0)).view
+          .mapValues(_.map(_.getLong(1)).toSet).toMap
+        require(lists.keySet == qids.toSet,
+          s"q326: served ${lists.keySet}, expected ${qids.toSet}")
+        require(lists.values.toSeq.distinct.size > 1,
+          "q326: all per-query fused lists are identical — the " +
+            "multi-query batch is vacuous")
+        df
+      }
+    }),
+
+    // --- the ARRIVAL side of multi-query serving (r15 verdict #2's
+    // second half, the q316 discipline on the QUERY side): queries
+    // arrive as a STREAM (one per micro-batch: query_id + probe vector
+    // + term set) and each micro-batch is served against the SAME
+    // frozen persisted artifacts via foreachBatch — the production
+    // serve-from-stream recipe (a micro-batch IS a bounded query
+    // batch; per-batch the q326 plan runs with zero state store, no
+    // watermark, results APPEND). The sink, read back, must equal the
+    // all-at-once batch serving — oracle = q326's VERBATIM (the q133
+    // twin trick: a dropped or double-served query diverges the hash).
+    "q327_stream_query_arrival" -> ((s, dir) => {
+      val R = graft.functions.Relevance
+      val a = buildRetrievalArtifacts(s, dir, "q327")
+      val qids = MultiQueryTerms.map(_._1)
+      val termRows = MultiQueryTerms.map { case (qid, ts) => (qid, ts) }
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      import s.implicits._
+      val queryFeed = probeVectors(s, dir, qids, "q327")
+        .join(termRows.toDF("vec_id", "terms"), Seq("vec_id"))
+        .select(col("vec_id").as("query_id"), col("embedding"),
+          col("terms"))
+      val (in, out, chk) = freshStreamDirs("graft_q327_queries")
+      stageSliced(in, qids.map(q =>
+        queryFeed.filter(col("query_id") === q)))
+      withoutAutoBucketedScan(s) {
+        withStreamPartitions(s, 8) {
+          val stream = graft.streaming.StreamOps.readStream(s, in,
+            queryFeed.schema, Map("maxFilesPerTrigger" -> "1"))
+          val q = stream.writeStream
+            .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+            .option("checkpointLocation", chk)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              val rows = batch.collect() // bounded: the arriving queries
+              if (rows.nonEmpty) {
+                val batchTerms = rows.map(r => (r.getLong(0),
+                  r.getSeq[String](2).toSeq)).toSeq
+                val vecSchema = org.apache.spark.sql.types.StructType(Seq(
+                  org.apache.spark.sql.types.StructField("vec_id",
+                    org.apache.spark.sql.types.LongType),
+                  batch.schema("embedding")))
+                val qDf = s.createDataFrame(
+                  java.util.Arrays.asList(rows.map(r =>
+                    org.apache.spark.sql.Row(r.getLong(0), r.get(1))): _*),
+                  vecSchema)
+                val lexRanked = R.rankByScorePerQuery(
+                  R.bm25FromIndexMulti(s.table(a.postings), a.stats.read(s),
+                    batchTerms, legK = 100))
+                val dense = Similarity.ivfAdcRerankTopK(s.table(a.ivfCents),
+                    s.table(a.pqBook), s.table(a.ivfCodes),
+                    s.table(a.rawVecs), qDf, "vec_id", "embedding",
+                    k = 5, rerankR = 16, nprobe = 4,
+                    m = 8, kSub = 16, dim = 64)
+                  .select(col("query_id"), col("nn_id").as("doc_id"),
+                    col("rk").as("dr"))
+                R.rrfFusePerQuery(lexRanked, dense, topK = 20)
+                  .write.mode("append").parquet(out)
+              }
+            }
+            .start()
+          q.awaitTermination()
+        }
+      }
+      val served = s.read.parquet(out)
+      val servedQs = served.select(col("query_id")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      require(servedQs == qids.toSet,
+        s"q327: the stream served $servedQs, expected ${qids.toSet}")
+      served
     }),
 
     // --- per-source quantile normalization of the quality score: the
@@ -7619,6 +7783,45 @@ object Extensions {
     s"""WITH ${ivfAdcRerankChainCtes("b.nn_id < 8")}
        |SELECT query_id, nn_id, exact_dist, rk FROM adc_topk""".stripMargin
 
+  /** The q326/q327 multi-query fusion oracle: q313's spelling per
+    * query — one shared ADC+rerank chain over ALL probe ids, one
+    * bm25OracleSql lexical leg per query with its own term set, RRF
+    * fused and top-20'd per query, unioned with the query_id tag. */
+  private lazy val indexedRrfBatchOracle: String = {
+    val preds = MultiQueryTerms.map(_._1).mkString(", ")
+    val legs = MultiQueryTerms.map { case (qid, terms) =>
+      val lexSql = graft.functions.Relevance.bm25OracleSql(
+        "documents", "doc_id", "text", terms, topK = 100)
+      s"""lex$qid AS ($lexSql),
+         |lexr$qid AS (
+         |  SELECT doc_id, CAST(row_number() OVER (
+         |    ORDER BY score_micros DESC, doc_id) AS INTEGER) AS lr
+         |  FROM lex$qid),
+         |dnr$qid AS (
+         |  SELECT nn_id AS doc_id, rk AS dr FROM adc_topk
+         |  WHERE query_id = $qid),
+         |fused$qid AS (
+         |  SELECT doc_id,
+         |    coalesce(lr, 0) AS lex_rank, coalesce(dr, 0) AS dense_rank
+         |  FROM lexr$qid FULL JOIN dnr$qid USING (doc_id)),
+         |top$qid AS (
+         |  SELECT CAST($qid AS BIGINT) AS query_id, doc_id, lex_rank,
+         |    dense_rank,
+         |    CAST(floor(1000000.0 * (
+         |      CASE WHEN lex_rank > 0
+         |        THEN CAST(1 AS DOUBLE) / (60.0 + lex_rank) ELSE 0 END +
+         |      CASE WHEN dense_rank > 0
+         |        THEN CAST(1 AS DOUBLE) / (60.0 + dense_rank) ELSE 0 END))
+         |      AS BIGINT) AS rrf_micros
+         |  FROM fused$qid
+         |  ORDER BY rrf_micros DESC, doc_id LIMIT 20)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${ivfAdcRerankChainCtes(s"b.nn_id IN ($preds)")},
+       |$legs
+       |${MultiQueryTerms.map(q => s"SELECT * FROM top${q._1}")
+          .mkString("\nUNION ALL ")}""".stripMargin
+  }
+
   private lazy val ivfKMeansOracle: String = {
     s"""WITH $ivfAssignCtes,
        |probes AS (
@@ -9551,6 +9754,16 @@ object Extensions {
          |FROM fused
          |ORDER BY rrf_micros DESC, doc_id LIMIT 20""".stripMargin
     },
+
+    // q326/q327: the multi-query composed stack — q313's per-query
+    // chain instantiated once per MultiQueryTerms entry (each query's
+    // lexical leg = q81's corpus-scan spelling with ITS terms; the
+    // dense legs share ONE ADC+rerank chain over all three probes) and
+    // unioned. q327 (queries arriving in-stream, served per
+    // micro-batch) shares it VERBATIM — a dropped or double-served
+    // query diverges the hash.
+    "q326_indexed_rrf_batch" -> indexedRrfBatchOracle,
+    "q327_stream_query_arrival" -> indexedRrfBatchOracle,
 
     // q292: all-occurrences counts by brute positional enumeration;
     // q295 (versioned-artifact arrival) and q296 (streaming screen)

@@ -1256,6 +1256,43 @@ class FunctionsSpec extends SparkSpec {
       (3L, 0, 2, 16129L)), r.mkString(","))
   }
 
+  test("rrfFusePerQuery: hand-computed per-query fusion — each query " +
+       "fuses ITS legs independently, ranks never cross queries " +
+       "(r15 verdict #2)") {
+    import graft.functions.Relevance
+    val lex = Seq((0L, 1L, 1), (0L, 2L, 2), (1L, 2L, 1))
+      .toDF("query_id", "doc_id", "lr")
+    val dense = Seq((0L, 2L, 1), (1L, 3L, 1))
+      .toDF("query_id", "doc_id", "dr")
+    val r = Relevance.rrfFusePerQuery(lex, dense, topK = 10)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2),
+        x.getInt(3), x.getLong(4))).toSet
+    // q0: doc2 = 1/62 + 1/61 = 32522µ, doc1 = 1/61 = 16393µ
+    // q1: doc2 = 1/61 (lex only), doc3 = 1/61 (dense only)
+    assert(r == Set(
+      (0L, 2L, 2, 1, 32522L), (0L, 1L, 1, 0, 16393L),
+      (1L, 2L, 1, 0, 16393L), (1L, 3L, 0, 1, 16393L)), r.toString)
+  }
+
+  test("bm25FromIndexMulti: row-identical to per-query bm25FromIndex " +
+       "over the same postings — the union probe changes the plan, " +
+       "never a score (r15 verdict #2)") {
+    import graft.functions.{InvertedIndex, Relevance}
+    val docs = Seq((1L, "a b a c"), (2L, "b c d"), (3L, "a d d e"))
+      .toDF("doc_id", "text")
+    val postings = InvertedIndex.buildWithDl(docs, "doc_id", "text")
+    val stats = Relevance.corpusStats(docs, "text")
+    val qs = Seq(0L -> Seq("a", "d"), 1L -> Seq("b"), 2L -> Seq("d", "e"))
+    val multi = Relevance.bm25FromIndexMulti(postings, stats, qs, legK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val single = qs.flatMap { case (qid, ts) =>
+      Relevance.bm25FromIndex(postings, stats, ts, topK = 10)
+        .collect().map(r => (qid, r.getLong(0), r.getLong(1)))
+    }.toSet
+    assert(multi == single, s"multi=$multi single=$single")
+    assert(multi.map(_._1) == Set(0L, 1L, 2L))
+  }
+
   test("mrlTruncationAudit: dims out of range refuses directed — " +
        "dims < 1 and dims > the stored width (r14 advice: slice() " +
        "would silently shorten and skew the audit)") {
