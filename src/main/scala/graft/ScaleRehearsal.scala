@@ -237,7 +237,10 @@ object ScaleRehearsal {
     // serving increment per extra probe is O(its postings + probed
     // codes)) and the streamed-query arrival form (3 foreachBatch
     // servings against the same artifacts)
-    "q326_indexed_rrf_batch", "q327_stream_query_arrival")
+    "q326_indexed_rrf_batch", "q327_stream_query_arrival",
+    // KN-perplexity mixture: count-table build + tap-served scoring +
+    // O(sources x distinct-score) CDF — the q274 cost plus the mixture
+    "q328_kn_perplexity_mixture")
     // q308 (MRL audit) is EXCLUDED by design: the scale-up replicates
     // vectors VERBATIM, so every query's top-3 is its own identical
     // replicas under both the truncated and the full ranking — the

@@ -2468,6 +2468,55 @@ object Extensions {
           col("pct_micros"), col("bucket"))
     }),
 
+    // --- the CCNet mixture on a TRAINED LM's perplexity (r15 verdict
+    // #4 — the paper buckets on an LM perplexity, not raw surprisal):
+    // q318's head/middle/tail recut from the interpolated KNESER-NEY
+    // bigram model served off the PERSISTED count-table artifact
+    // (q274's tap + scoreKneserNeyAgainstCounts — the LM artifact's
+    // second consumer). Signal = −(kn_micros div n_bi), negated so
+    // ascending = ascending perplexity and q318's bucket spelling
+    // carries verbatim (head = lowest perplexity); exact integer
+    // division of non-negatives, so div/floor-// agree. Self-scoring:
+    // n_oov must be ZERO (asserted directed — the q274 contract);
+    // 3-bucket non-vacuity asserted (the q318 lesson). Oracle chains
+    // the SHARED knBigramCtes fragment (q269/q274's spelling) into
+    // q172's CDF and q84's hash keep.
+    "q328_kn_perplexity_mixture" -> ((s, dir) => {
+      val G = graft.functions.Governance
+      val LM = graft.functions.LanguageModel
+      val table = stagedTable("graft_q328_bgcounts")
+      graft.queries.Tables.dropStagedTable(s, table)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val tap = LM.bigramCountsTap(table, 16)
+      tap.write(LM.bigramTrainCounts(docs), graft.sources.SinkMode.Replace)
+      val per = LM.scoreKneserNeyAgainstCounts(tap.read(s), docs)
+        .select(col("doc_id"), col("n_bi"),
+          when(col("n_oov") =!= 0L, raise_error(concat(
+            lit("q328: self-scoring found "), col("n_oov").cast("string"),
+            lit(" OOV positions for doc "), col("doc_id").cast("string"),
+            lit(" — the persisted count table does not cover its own " +
+              "training corpus"))))
+            .otherwise(col("kn_micros")).as("kn_micros"))
+        .filter(col("n_bi") >= 1) // sub-2-token docs have no LM signal
+        .select(col("doc_id"), expr("-(kn_micros div n_bi)").as("neg_kn"))
+      val scored = docs.select(col("doc_id"), col("source"))
+        .join(per, Seq("doc_id"))
+      val pct = G.quantileNormalize(scored, "doc_id", "source", "neg_kn")
+      val bucketed = pct.withColumn("bucket",
+        when(col("pct_micros") <= 333333L, "head")
+          .when(col("pct_micros") <= 666666L, "middle")
+          .otherwise("tail"))
+      require(bucketed.select(col("bucket")).distinct().count() == 3,
+        "q328: the KN-perplexity bucketing is vacuous — a degenerate " +
+          "score distribution collapsed a bucket")
+      bucketed
+        .filter(G.stratifiedKeep(col("doc_id"), col("bucket"),
+          Seq("head" -> 100, "middle" -> 50, "tail" -> 10), 0,
+          "graft-ccnet-kn"))
+        .select(col("doc_id"), col("source"), col("neg_kn"),
+          col("pct_micros"), col("bucket"))
+    }),
+
     // --- REPEAT-AWARE token budgeting (data-constrained scaling,
     // Muennighoff et al. 2023): allocate a training budget of 3.9×
     // the corpus across sources by exact-integer WATERFILLING under
@@ -8274,9 +8323,12 @@ object Extensions {
         |  CAST(coalesce(a.bb, 0) AS BIGINT) AS bigram_bits
         |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
 
-  /** q269's oracle — shared verbatim with q274. */
-  private lazy val knBigramOracle: String =
-      """WITH t AS (
+  /** The interpolated-KN bigram chain's CTE body, through the per-doc
+    * `agg(doc_id, n_bi, km)` — ONE spelling shared by q269/q274 (the
+    * standalone LM gates) and q328 (the KN-perplexity mixture, r15
+    * verdict #4): formula drift fails all three hashes. */
+  private lazy val knBigramCtes: String =
+      """t AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |pos AS MATERIALIZED (
         |  SELECT doc_id, t[i] AS prev, t[i] || ' ' || t[i + 1] AS bg
@@ -8303,10 +8355,15 @@ object Extensions {
         |  CROSS JOIN nt),
         |agg AS (
         |  SELECT doc_id, count(*) AS n_bi, sum(s) AS km
-        |  FROM pos JOIN sc USING (bg) GROUP BY 1)
-        |SELECT d.doc_id, CAST(coalesce(a.n_bi, 0) AS BIGINT) AS n_bi,
-        |  CAST(coalesce(a.km, 0) AS BIGINT) AS kn_micros
-        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
+        |  FROM pos JOIN sc USING (bg) GROUP BY 1)""".stripMargin
+
+  /** q269's oracle — shared verbatim with q274; built from
+    * [[knBigramCtes]] (the q328 shared fragment). */
+  private lazy val knBigramOracle: String =
+    s"""WITH $knBigramCtes
+       |SELECT d.doc_id, CAST(coalesce(a.n_bi, 0) AS BIGINT) AS n_bi,
+       |  CAST(coalesce(a.km, 0) AS BIGINT) AS kn_micros
+       |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q20_token_stats" ->
@@ -9842,6 +9899,37 @@ object Extensions {
          |         WHEN pct_micros <= 666666 THEN 'middle'
          |         ELSE 'tail' END AS bucket FROM pct)
          |SELECT doc_id, source, ppl_cb, pct_micros, bucket FROM b
+         |WHERE $keep < CASE bucket WHEN 'head' THEN 100
+         |  WHEN 'middle' THEN 50 ELSE 10 END""".stripMargin
+    },
+
+    // q328: the SHARED knBigramCtes fragment (q269/q274's spelling)
+    // per-doc-averaged and negated, through q172's CDF spelling and
+    // q84's hash keep — the q318 composition on the trained LM signal
+    "q328_kn_perplexity_mixture" -> {
+      val keep = graft.functions.Governance.oracleHashBucket(
+        "doc_id", "graft-ccnet-kn")
+      s"""WITH $knBigramCtes,
+         |per AS (
+         |  SELECT doc_id, -(CAST(km AS BIGINT) // n_bi) AS neg_kn
+         |  FROM agg WHERE n_bi >= 1),
+         |sc2 AS (
+         |  SELECT d.doc_id, d.source, CAST(p.neg_kn AS BIGINT) AS neg_kn
+         |  FROM documents d JOIN per p USING (doc_id)),
+         |c2c AS (SELECT source, neg_kn, count(*) AS n
+         |  FROM sc2 GROUP BY 1, 2),
+         |cc AS (SELECT source, neg_kn,
+         |    sum(n) OVER (PARTITION BY source ORDER BY neg_kn) AS cum,
+         |    sum(n) OVER (PARTITION BY source) AS tot FROM c2c),
+         |pct AS (
+         |  SELECT s.doc_id, s.source, s.neg_kn,
+         |    CAST(floor(cum * 1000000 / tot) AS BIGINT) AS pct_micros
+         |  FROM sc2 s JOIN cc USING (source, neg_kn)),
+         |b AS (SELECT doc_id, source, neg_kn, pct_micros,
+         |    CASE WHEN pct_micros <= 333333 THEN 'head'
+         |         WHEN pct_micros <= 666666 THEN 'middle'
+         |         ELSE 'tail' END AS bucket FROM pct)
+         |SELECT doc_id, source, neg_kn, pct_micros, bucket FROM b
          |WHERE $keep < CASE bucket WHEN 'head' THEN 100
          |  WHEN 'middle' THEN 50 ELSE 10 END""".stripMargin
     },
