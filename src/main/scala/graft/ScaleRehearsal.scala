@@ -240,7 +240,10 @@ object ScaleRehearsal {
     "q326_indexed_rrf_batch", "q327_stream_query_arrival",
     // KN-perplexity mixture: count-table build + tap-served scoring +
     // O(sources x distinct-score) CDF — the q274 cost plus the mixture
-    "q328_kn_perplexity_mixture")
+    "q328_kn_perplexity_mixture",
+    // WordPiece refresh: two full trains (pre + grown) + three version
+    // writes + two encode scans (served + stale counterfactual)
+    "q329_wordpiece_refresh")
     // q308 (MRL audit) is EXCLUDED by design: the scale-up replicates
     // vectors VERBATIM, so every query's top-3 is its own identical
     // replicas under both the truncated and the full ranking — the

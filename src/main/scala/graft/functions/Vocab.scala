@@ -519,13 +519,14 @@ object Vocab {
     * per iteration wps_k (symbol counts), wpp_k (pair counts joined to
     * both symbol counts), wpm_k (argmax by the IEEE-division score,
     * ties (l, r) asc), wp_k (merge applied — l + r without "##"). */
-  private def wpOracleCtes(nMerges: Int): String = {
+  private def wpOracleCtes(nMerges: Int,
+                           corpus: String = "documents"): String = {
     val w0 =
-      """wp0 AS MATERIALIZED (
+      s"""wp0 AS MATERIALIZED (
         |  SELECT ' ' || tok[1] || ' ' ||
-        |         regexp_replace(tok[2:], '(.)', '##\1 ', 'g') AS repr,
+        |         regexp_replace(tok[2:], '(.)', '##\\1 ', 'g') AS repr,
         |         CAST(count(*) AS BIGINT) AS cnt
-        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM $corpus)
         |  WHERE tok <> '' GROUP BY 1)""".stripMargin
     val iters = (1 to nMerges).map { k =>
       s"""wpt$k AS MATERIALIZED (
@@ -556,10 +557,11 @@ object Vocab {
     s"$w0,\n$iters"
   }
 
-  def wordPieceOracleSql(nMerges: Int): String = {
+  def wordPieceOracleSql(nMerges: Int,
+                         corpus: String = "documents"): String = {
     val union = (1 to nMerges).map(k => s"SELECT * FROM wpm$k")
       .mkString("\n  UNION ALL ")
-    s"""WITH ${wpOracleCtes(nMerges)}
+    s"""WITH ${wpOracleCtes(nMerges, corpus)}
        |SELECT CAST(iter AS INTEGER) AS iter, l, r, merged, pair_count,
        |  l_count, r_count FROM ($union)""".stripMargin
   }
@@ -685,7 +687,8 @@ object Vocab {
     * chain pieces past any hand-picked cap. `source` must yield
     * (doc_id, text). */
   def wordPieceEncodeOracleSql(nMerges: Int, maxWordLen: Int,
-                               source: String): String = {
+                               source: String,
+                               corpus: String = "documents"): String = {
     val steps = (1 to maxWordLen).map { k =>
       s"""es$k AS MATERIALIZED (
          |  SELECT g.w, g.pos, g.np, g.unk,
@@ -707,7 +710,7 @@ object Vocab {
          |    (unk OR (pos <= len(w) AND best IS NULL)) AS unk
          |  FROM es$k)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ${wpOracleCtes(nMerges)},
+    s"""WITH ${wpOracleCtes(nMerges, corpus)},
        |vset AS MATERIALIZED (
        |  SELECT DISTINCT unnest(string_split(trim(repr), ' ')) AS p
        |  FROM wp0

@@ -68,6 +68,18 @@ object Extensions {
     0L -> Bm25Terms,
     1L -> Seq("filter", "merge"),
     2L -> Seq("scan", "window", "batch"))
+
+  /** q329's growth fixture: the grown corpus appends ' zz' to every
+    * doc_id % 50 == 3 document — 'z' is outside the base corpus
+    * alphabet at every SF, so the retrained v3 vocabulary PROVABLY
+    * differs from v2 (new alphabet pieces) and a stale-v2 encode
+    * provably [UNK]s where v3 segments. ONE constant pair feeds the
+    * Spark twin and the oracle spelling. */
+  private val WpRefreshResidue = 3L
+  private val WpRefreshToken = "zz"
+  private def wpGrownSql: String =
+    s"(SELECT doc_id, text || CASE WHEN doc_id % 50 = $WpRefreshResidue " +
+      s"THEN ' $WpRefreshToken' ELSE '' END AS text FROM documents)"
   private val DecontamN = 4
   private val SampleRates = Seq("en" -> 50, "de" -> 25, "fr" -> 10)
   private val SampleDefaultPct = 5
@@ -2818,6 +2830,58 @@ object Extensions {
         when(col("doc_id") % 31 === 0, lit(" abzd"))
           .otherwise(lit(""))).as("text"))
       V.wordPieceEncode(aug, "doc_id", "text", loaded)
+    }),
+
+    // --- the WordPiece REFRESH cadence (r15 verdict #5 — the q295
+    // blocklist / q314 rank-artifact production loop on the tokenizer
+    // model): the corpus GROWS (every %50==3 doc gains a ' zz' token —
+    // 'z' is new to the alphabet), the tokenizer RETRAINS, v3 appends
+    // to the versioned tap under the standing v1 (degenerate) and v2
+    // (pre-growth train), and serving FLIPS to v3. Gated output =
+    // post-refresh encode of the grown corpus, whose oracle is the
+    // from-scratch train+encode on that same grown corpus (the q133
+    // twin trick: a stale v2 load, a missed retrain, or a broken
+    // version pick all diverge the hash). Asserted in-query: v3 != v2
+    // (the retrain actually moved), loaded == v3 (version pick), and
+    // the stale-v2 counterfactual encode differs on >= 1 row (the
+    // flip is load-bearing).
+    "q329_wordpiece_refresh" -> ((s, dir) => {
+      val V = graft.functions.Vocab
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val grown = docs.select(col("doc_id"), concat(col("text"),
+        when(col("doc_id") % 50 === WpRefreshResidue,
+          lit(" " + WpRefreshToken)).otherwise(lit(""))).as("text"))
+      val pre = docs.filter(col("doc_id") % 50 =!= WpRefreshResidue)
+      // the standing artifact: degenerate v1 under the pre-growth v2
+      val mergesPre = V.wordPieceMerges(pre, "text", nMerges = 8)
+      val v1 = V.wordPieceVocab(pre, "text", mergesPre.limit(0))
+      val v2 = V.wordPieceVocab(pre, "text", mergesPre)
+      val tap = V.wordPieceModelTap(
+        graft.queries.Relational.stagePath("graft_q329_wpmodel", dir))
+      tap.write(V.wordPieceModelRows(s, v1, version = 1L),
+        graft.sources.SinkMode.Replace)
+      tap.write(V.wordPieceModelRows(s, v2, version = 2L),
+        graft.sources.SinkMode.Update)
+      // the refresh: corpus grew → retrain → v3 appends → serving flips
+      val mergesV3 = V.wordPieceMerges(grown, "text", nMerges = 8)
+      val v3 = V.wordPieceVocab(grown, "text", mergesV3)
+      require(v3 != v2,
+        "q329: the retrain on the grown corpus reproduced v2 exactly — " +
+          "the refresh fixture is vacuous")
+      tap.write(V.wordPieceModelRows(s, v3, version = 3L),
+        graft.sources.SinkMode.Update)
+      val loaded = V.loadLatestWordPieceVocab(tap.read(s))
+      require(loaded == v3,
+        "q329: the loaded latest vocabulary differs from v3 — " +
+          "version-pick regression")
+      val out = V.wordPieceEncode(grown, "doc_id", "text", loaded)
+        .localCheckpoint()
+      val stale = V.wordPieceEncode(grown, "doc_id", "text", v2)
+      require(!out.exceptAll(stale).limit(1).isEmpty,
+        "q329: the v3 flip changed nothing against the stale v2 " +
+          "encode — the refresh gate is vacuous")
+      out
     }),
 
     // --- Heaps-law vocabulary growth over ingest order (bucket = doc_id
@@ -11559,6 +11623,14 @@ object Extensions {
         nMerges = 8, maxWordLen = 8,
         source = "SELECT doc_id, text || CASE WHEN doc_id % 31 = 0 " +
           "THEN ' abzd' ELSE '' END AS text FROM documents"),
+    // q329: the from-scratch twin on the GROWN corpus — training CTEs
+    // AND encode source both read the wpGrownSql fixture, so only a
+    // correctly retrained-and-flipped v3 reproduces it
+    "q329_wordpiece_refresh" ->
+      graft.functions.Vocab.wordPieceEncodeOracleSql(
+        nMerges = 8, maxWordLen = 8,
+        source = s"SELECT doc_id, text FROM $wpGrownSql",
+        corpus = wpGrownSql),
 
     "q151_vocab_growth" ->
       """WITH bt AS (
