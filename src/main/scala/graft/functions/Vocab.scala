@@ -614,64 +614,32 @@ object Vocab {
     * prefixes the remaining word, "##"-prefixed after the first piece;
     * a position with NO matching piece makes the whole word [UNK]).
     * Per-doc output (doc_id, n_words, n_pieces, n_unk) — an [UNK] word
-    * contributes one piece.
+    * contributes one piece. The greedy walk counts CODEPOINTS — the
+    * training seeding ('(.)' is a codepoint regex) and the DuckDB
+    * oracle (len/slice are codepoint ops) both do (r15 advice).
     *
-    * Scale shape: the vocab is a bounded driver carry closed over a
-    * mapPartitions scan (the pqEncodeWithBook discipline) — per-row
-    * CPU, zero exchange before the per-doc aggregation. */
+    * Scale shape: ONE pure-Column projection — the per-word walk is
+    * the codegen'd [[graft.catalyst.WordPieceEncode]] expression (the
+    * vocabulary rides as a shared reference object; vocab size is
+    * data, not plan shape), folded per doc with `aggregate` — so the
+    * whole chain stays inside WholeStageCodegen, composes into
+    * streaming projections stateless, and the plan audits read a
+    * single scan-shaped Project (r15 what's-wrong #3). */
   def wordPieceEncode(docs: DataFrame, idCol: String, textCol: String,
                       vocab: Set[String]): DataFrame = {
-    import org.apache.spark.sql.types._
-    import org.apache.spark.sql.Row
     require(vocab.nonEmpty, "wordPieceEncode: empty vocabulary")
-    // piece lengths in CODEPOINTS — the training seeding ('(.)' is a
-    // codepoint regex) and the DuckDB oracle (len/slice are codepoint
-    // ops) both count codepoints, so the greedy walk must too or any
-    // non-BMP character desynchronizes all three (r15 advice)
-    val maxPiece = vocab.iterator.map { p =>
-      val body = if (p.startsWith("##")) p.substring(2) else p
-      body.codePointCount(0, body.length)
-    }.max
-    val schema = StructType(Seq(
-      StructField("doc_id", docs.schema(idCol).dataType),
-      StructField("n_words", LongType),
-      StructField("n_pieces", LongType),
-      StructField("n_unk", LongType)))
-    val enc = org.apache.spark.sql.Encoders.row(schema)
-    val idIdx = docs.columns.indexOf(idCol)
-    val tIdx = docs.columns.indexOf(textCol)
-    docs.mapPartitions { it =>
-      def encodeWord(w: String): (Long, Boolean) = {
-        val wLen = w.codePointCount(0, w.length)
-        var pos = 0    // codepoint position in the word
-        var posIdx = 0 // its UTF-16 index
-        var np = 0L
-        while (pos < wLen) {
-          var l = math.min(maxPiece, wLen - pos)
-          var found = -1
-          while (l >= 1 && found < 0) {
-            val endIdx = w.offsetByCodePoints(posIdx, l)
-            val cand = (if (pos == 0) "" else "##") +
-              w.substring(posIdx, endIdx)
-            if (vocab.contains(cand)) found = l else l -= 1
-          }
-          if (found < 0) return (1L, true)
-          np += 1L
-          posIdx = w.offsetByCodePoints(posIdx, found)
-          pos += found
-        }
-        (np, false)
-      }
-      it.map { row =>
-        val words = row.getString(tIdx).split(" ").filter(_.nonEmpty)
-        var nw = 0L; var np = 0L; var nu = 0L
-        words.foreach { w =>
-          val (p, unk) = encodeWord(w)
-          nw += 1L; np += p; if (unk) nu += 1L
-        }
-        Row(row.get(idIdx), nw, np, nu)
-      }
-    }(enc)
+    val toks = filter(split(col(textCol), " "), w => w =!= lit(""))
+    // per-word packed result: piece count, or −1 for an [UNK] word
+    val encs = transform(toks,
+      w => graft.catalyst.WordPieceEncode(w, vocab.toSeq.sorted))
+    docs.select(col(idCol).as("doc_id"),
+      size(toks).cast("long").as("n_words"),
+      aggregate(encs, lit(0L),
+        (acc, v) => acc + when(v < 0L, lit(1L)).otherwise(v))
+        .as("n_pieces"),
+      aggregate(encs, lit(0L),
+        (acc, v) => acc + when(v < 0L, lit(1L)).otherwise(lit(0L)))
+        .as("n_unk"))
   }
 
   /** The q321 oracle: greedy longest-match unrolled over DISTINCT words

@@ -529,6 +529,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(400))
   }
 
+  test("wordPieceEncode: ONE codegen'd scan-shaped projection — the " +
+       "word_piece_encode expression rides the plan, no mapPartitions " +
+       "object boundary, no exchange (r15 what's-wrong #3)") {
+    val docs = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    val df = graft.functions.Vocab.wordPieceEncode(
+      docs, "doc_id", "text", Set("a", "##a", "##b", "b"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("word_piece_encode"), plan.take(600))
+    assert(!plan.contains("MapPartitions") &&
+      !plan.contains("SerializeFromObject"),
+      "the encode fell off codegen into an object boundary")
+    assert(!plan.contains("Exchange"), "the encode must not shuffle")
+  }
+
   test("q288: the NB kernel is ONE scan-shaped projection — no join, " +
        "no exchange, no aggregate; the model rides the expression") {
     val plan = formatted("q288_nb_kernel")
