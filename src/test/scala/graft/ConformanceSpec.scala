@@ -3309,4 +3309,169 @@ class ConformanceSpec extends SparkSpec {
         args = FieldSelector.All, out = FieldSelector.Results)
     assert(rows(p) == Set(Seq("1970-01-02 03:04")))
   }
+
+  // ------------------------------------------------------------------
+  // Wave 18 — FieldedPipes/CoGroupFieldedPipes/MergePipes/SortedValues
+  // remainder (/root/reference/pom.xml:446-448 runs the whole platform
+  // suite as its CI).
+
+  // CoGroupFieldedPipesPlatformTest.testCoGroupAroundCoGroupWithout:
+  // the chained-CoGroup WITHOUT-declared-fields variant — the second
+  // CoGroup keys on the FIRST's carried-through key column under its
+  // ORIGINAL name (no rename between stages).
+  test("cogroup around cogroup keying on the carried original key name") {
+    val a = pipe(Seq((1, "a1"), (2, "a2")).toDF("k", "va"))
+    val b = pipe(Seq((1, "b1"), (3, "b3")).toDF("kb", "vb"))
+    val c = pipe(Seq((1, "c1"), (2, "c2"), (4, "c4")).toDF("kc", "vc"))
+    val j = a.coGroup(Seq("k"), b, Seq("kb"), Joiner.Outer)
+      .coGroup(Seq("k"), c, Seq("kc"), Joiner.Inner)
+    // outer(a,b) keeps keys 1,2,3 (3 with null a-side); inner with c on
+    // the ORIGINAL 'k' drops key 3 (its k is null after padding — the
+    // ANSI null-key default) and key 4 (absent upstream)
+    assert(rows(j) == Set(
+      Seq(1, "a1", 1, "b1", 1, "c1"),
+      Seq(2, "a2", null, null, 2, "c2")))
+  }
+
+  // SortedValuesPlatformTest (reversed CUSTOM comparator): Cascading
+  // sorts group values through Fields.setComparator; the Spark mapping
+  // is a DERIVED sort-key column (SURVEY §1.3) — here length-then-text,
+  // reversed, with the helper column discarded before the buffer output.
+  test("custom-comparator secondary sort via a derived key column, " +
+       "reversed") {
+    val df = Seq(("g", "bbb"), ("g", "a"), ("g", "cc"), ("g", "b"))
+      .toDF("k", "v")
+    val b = new CBuffer {
+      val resultFields: CFields = CFields.typed("seq" -> StringType)
+      def operate(key: Seq[Any], rs: Iterator[Row]): Iterator[Seq[Any]] =
+        Iterator.single(Seq(rs.map(_.getString(1)).mkString(",")))
+    }
+    val p = pipe(df)
+      .each(ExpressionFunction("sk", "concat(length(v), v)", StringType),
+        args = FieldSelector.All, out = FieldSelector.All)
+      .groupBySorted(Seq("k"), Seq("sk" -> false))
+      .buffer(b)
+    // comparator = (length, text) → asc "1a,1b,2cc,3bbb"; reversed:
+    assert(rows(p) == Set(Seq("g", "3bbb,2cc,1b,1a"))
+      || rows(p) == Set(Seq("g", "bbb,cc,b,a")), rows(p).toString)
+  }
+
+  // SortedValuesPlatformTest (invalid sort field): a sort key that
+  // resolves to NO field is a PLAN-TIME failure upstream (Cascading's
+  // FieldsResolverException) — never a silently-ignored sort.
+  test("sorting on a nonexistent field refuses directed at plan time") {
+    val df = Seq(("g", 1)).toDF("k", "v")
+    val ex = intercept[Exception] {
+      Flow.toDF(pipe(df).groupBySorted(Seq("k"), Seq("nope" -> true))
+        .every(Aggs.count("n")))
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(ex).exists(m => m != null && m.contains("nope")),
+      ex.toString)
+  }
+
+  // JoinFieldedPipesPlatformTest (single-field sides with duplicate
+  // keys): both sides carry ONLY their key column; the inner HashJoin
+  // multiplies multiplicities and the result is exactly the two key
+  // columns (no value fields to carry).
+  test("single-field inner hash join multiplies duplicate keys") {
+    val l = pipe(Seq(1, 1, 2, 3).toDF("num"))
+    val r = pipe(Seq(1, 2, 2).toDF("num2"))
+    val j = l.hashJoin(Seq("num"), r, Seq("num2"))
+    val df = Flow.toDF(j)
+    assert(df.columns.toSeq == Seq("num", "num2"))
+    val got = df.collect().map(x => (x.getInt(0), x.getInt(1))).toSeq
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(got == Map((1, 1) -> 2, (2, 2) -> 2), got.toString)
+  }
+
+  // MergePipesPlatformTest (both HashJoin sides are merges): streamed =
+  // merge(a, b), accumulated = merge(c, d) — the broadcast side being
+  // itself a union must still plan as a broadcast hash join.
+  test("hash join of a merged stream against a merged accumulated side") {
+    val streamed = pipe(Seq((1, "s1"), (2, "s2")).toDF("num", "sv"))
+      .merge(pipe(Seq((2, "s3"), (3, "s4")).toDF("num", "sv")))
+    val acc = pipe(Seq((1, "d1")).toDF("k", "dv"))
+      .merge(pipe(Seq((2, "d2"), (9, "d9")).toDF("k", "dv")))
+    val j = streamed.hashJoin(Seq("num"), acc, Seq("k"))
+    val df = Flow.toDF(j)
+    assert(df.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+    assert(df.collect().map(x =>
+      (x.getInt(0), x.getString(1), x.getString(3))).toSet ==
+      Set((1, "s1", "d1"), (2, "s2", "d2"), (2, "s3", "d2")))
+  }
+
+  // CoGroupFieldedPipesPlatformTest (outer padding vs genuine null
+  // values): Cascading emits the SAME null for an outer-join pad and a
+  // genuinely-null value field — downstream cannot distinguish them,
+  // and neither does the Spark lowering.
+  test("outer-join padding null and genuine value null are " +
+       "indistinguishable") {
+    val l = pipe(Seq((1, "l1"), (2, "l2")).toDF("k", "lv"))
+    val rdf = Seq((1, null.asInstanceOf[String]), (3, "r3"))
+      .toDF("k2", "rv")
+    val j = l.coGroup(Seq("k"), pipe(rdf), Seq("k2"), Joiner.Outer)
+    // key 1: rv is a GENUINE null; key 2: rv is a PADDING null — rows
+    // carry identical null shapes either way
+    assert(rows(j) == Set(
+      Seq(1, "l1", 1, null),
+      Seq(2, "l2", null, null),
+      Seq(null, null, 3, "r3")))
+  }
+
+  // MergePipesPlatformTest (merge of a merge): nested Merge keeps
+  // multiset semantics — every input row counts once through both
+  // levels, pinned through a GroupBy count.
+  test("merge of a merge keeps multiset counts through a group") {
+    val a = pipe(Seq("x", "y").toDF("ch"))
+    val b = pipe(Seq("y", "z").toDF("ch"))
+    val c = pipe(Seq("x", "x").toDF("ch"))
+    val p = a.merge(b).merge(c).groupBy("ch").every(Aggs.count("n"))
+    assert(rows(p) == Set(Seq("x", 3L), Seq("y", 2L), Seq("z", 1L)))
+  }
+
+  // FieldedPipesPlatformTest (UnGroup selector reusing the key
+  // position): a value selector may re-select the KEY column — the key
+  // then appears twice in those output rows (upstream UnGroup places
+  // whatever the selector names).
+  test("UnGroup value selector may reuse the key position") {
+    val df = Seq(("k1", "a", "b")).toDF("num", "c1", "c2")
+    val p = pipe(df).generate(
+      UnGroup(CFields.typed("num" -> StringType, "ch" -> StringType),
+        numKeys = 1, valueSelectors = Seq(Seq(1), Seq(0))),
+      args = FieldSelector.All, out = FieldSelector.Results)
+    assert(rows(p) == Set(Seq("k1", "a"), Seq("k1", "k1")))
+  }
+
+  // FieldedPipesPlatformTest.testSplitEach: one head SPLIT into two
+  // branches that apply DIFFERENT Each transforms, merged back — the
+  // split memo must give each branch an independent transform chain.
+  test("split branches transform independently, then merge back") {
+    val src = pipe(Seq((1, "a"), (2, "b")).toDF("num", "ch"))
+    val up = src.each(ExpressionFunction("t", "upper(ch)", StringType),
+      args = FieldSelector("ch"), out = FieldSelector.Swap)
+    val tag = src.each(ExpressionFunction("t", "concat(ch, '!')",
+        StringType),
+      args = FieldSelector("ch"), out = FieldSelector.Swap)
+    assert(rows(up.merge(tag)) == Set(
+      Seq(1, "A"), Seq(2, "B"), Seq(1, "a!"), Seq(2, "b!")))
+  }
+
+  // CoGroupFieldedPipesPlatformTest (full outer through BOTH stages of
+  // a 3-way chain): rows living only in the THIRD input surface with
+  // nulls across all carried columns of the first two.
+  test("three-way cogroup, outer at both stages") {
+    val a = pipe(Seq((1, "a1")).toDF("k", "va"))
+    val b = pipe(Seq((2, "b2")).toDF("kb", "vb"))
+    val c = pipe(Seq((3, "c3")).toDF("kc", "vc"))
+    val j = a.coGroup(Seq("k"), b, Seq("kb"), Joiner.Outer)
+      .coGroup(Seq("k"), c, Seq("kc"), Joiner.Outer)
+    assert(rows(j) == Set(
+      Seq(1, "a1", null, null, null, null),
+      Seq(null, null, 2, "b2", null, null),
+      Seq(null, null, null, null, 3, "c3")))
+  }
 }
