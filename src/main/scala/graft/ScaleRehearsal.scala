@@ -243,7 +243,10 @@ object ScaleRehearsal {
     "q328_kn_perplexity_mixture",
     // WordPiece refresh: two full trains (pre + grown) + three version
     // writes + two encode scans (served + stale counterfactual)
-    "q329_wordpiece_refresh")
+    "q329_wordpiece_refresh",
+    // list walks (scan-shaped per-page parses) and the CCNet
+    // composition (lid scan + paragraph strip + KN chain + CDF)
+    "q330_html_lists", "q331_html_lists_recovery", "q332_ccnet_pipeline")
     // q308 (MRL audit) is EXCLUDED by design: the scale-up replicates
     // vectors VERBATIM, so every query's top-3 is its own identical
     // replicas under both the truncated and the full ranking — the

@@ -1379,4 +1379,297 @@ object Html {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
+
+  // --------------------------------------------------------------------
+  // LIST extraction (ul/ol/li) — the other big structured-data shape in
+  // real crawl HTML next to tables, built on the table walker's
+  // disciplines: context stack with ONE nesting level, implied end tags
+  // in recovery, entity decode, directed refusals.
+  // --------------------------------------------------------------------
+
+  /** One extracted list item: list ordinal within the page (document
+    * open order), whether the list is ordered (`<ol>`), the item's
+    * ordinal within its list, and its whitespace-normalized text. */
+  final case class ListItem(listIdx: Int, ordered: Boolean, itemIdx: Int,
+                            text: String)
+
+  /** LIST extraction — parse the page's `<ul>`/`<ol>` elements into
+    * (list, ordered, item, text) rows. An inner list inside an OPEN
+    * `<li>` suspends the outer item (the inner list's text never leaks
+    * into the outer item's text; the outer item resumes after the
+    * inner close) and parses with the next `list_idx` — one nesting
+    * level, exactly the nested-table contract. Strict mode demands
+    * explicit `</li>` closes; `recover = true` applies HTML5's
+    * implied-end-tag rules (`<li>` closes an open item; `</ul>`/
+    * `</ol>`/EOF close everything open — real crawl lists omit `</li>`
+    * constantly) and decodes entities in item text.
+    *
+    * Refusals in BOTH modes (directed, never a guess): an `<li>`
+    * outside a list, non-whitespace text inside list structure
+    * (between items), a close tag whose kind mismatches the open list
+    * (`</ol>` closing a `<ul>` is a structure lie), nesting deeper
+    * than one level, and a list inside list structure outside an item.
+    *
+    * Scale: one mapPartitions pass over payload strings — per-row CPU,
+    * zero exchange; state is the ≤2-deep context stack. */
+  def walkListItems(html: String, recover: Boolean): Option[Seq[ListItem]] = {
+    if (html == null) return None
+    val n = html.length
+    var i = 0
+    var nextListIdx = 0
+    final class LCtx(val idx: Int, val ordered: Boolean) {
+      var itemIdx = -1
+      var inItem = false
+      var itemBuf: StringBuilder = null
+    }
+    var stack: List[LCtx] = Nil
+    def cur: LCtx = stack.head
+    val items = Seq.newBuilder[ListItem]
+    def lower(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    def norm(raw: String): String = {
+      val txt = if (recover) decodeEntities(raw) else raw
+      txt.split("\\s+").filter(_.nonEmpty).mkString(" ")
+    }
+    def emitItem(t: LCtx): Unit = {
+      items += ListItem(t.idx, t.ordered, t.itemIdx, norm(t.itemBuf.toString))
+      t.inItem = false; t.itemBuf = null
+    }
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c != '<') {
+        if (stack.nonEmpty) {
+          if (cur.inItem) cur.itemBuf += c
+          else if (!c.isWhitespace) return None // junk in list structure
+        }
+        i += 1
+      } else if (html.startsWith("<!--", i)) {
+        val e = html.indexOf("-->", i + 4)
+        if (e < 0) return None
+        i = e + 3
+      } else if (html.startsWith("<!", i) || html.startsWith("<?", i)) {
+        val e = html.indexOf('>', i + 2)
+        if (e < 0) return None
+        i = e + 1
+      } else if (i + 1 < n &&
+          (html.charAt(i + 1).isLetter || html.charAt(i + 1) == '/')) {
+        val closing = html.charAt(i + 1) == '/'
+        var j = i + (if (closing) 2 else 1)
+        val nameStart = j
+        while (j < n && html.charAt(j).isLetterOrDigit) j += 1
+        if (j == nameStart) return None
+        val name = lower(html.substring(nameStart, j))
+        var selfClose = false
+        var done = false
+        while (!done) {
+          if (j >= n) return None
+          val cj = html.charAt(j)
+          if (cj == '"' || cj == '\'') {
+            val e = html.indexOf(cj, j + 1)
+            if (e < 0) return None
+            j = e + 1
+          } else if (cj == '>') { done = true; j += 1 }
+          else if (cj == '/' && j + 1 < n && html.charAt(j + 1) == '>') {
+            selfClose = true; done = true; j += 2
+          } else j += 1
+        }
+        i = j
+        name match {
+          case "ul" | "ol" if !closing =>
+            val ord = name == "ol"
+            if (stack.isEmpty) {
+              stack = new LCtx({ nextListIdx += 1; nextListIdx - 1 },
+                ord) :: stack
+            } else if (cur.inItem) {
+              if (stack.lengthCompare(2) >= 0) return None // one level
+              cur.itemBuf += ' ' // a token separator, like any element
+              stack = new LCtx({ nextListIdx += 1; nextListIdx - 1 },
+                ord) :: stack
+            } else return None // a list inside list STRUCTURE
+          case "ul" | "ol" if closing =>
+            if (stack.isEmpty) return None
+            if ((name == "ol") != cur.ordered) return None // kind lie
+            if (cur.inItem) {
+              if (!recover) return None
+              emitItem(cur)
+            }
+            stack = stack.tail
+          case "li" if !closing =>
+            if (stack.isEmpty) return None
+            if (cur.inItem) {
+              if (!recover) return None
+              emitItem(cur)
+            }
+            cur.itemIdx += 1
+            cur.inItem = true
+            cur.itemBuf = new StringBuilder
+          case "li" if closing =>
+            if (stack.isEmpty || !cur.inItem) return None
+            emitItem(cur)
+          case rn if RawSkipTags.contains(rn) && !closing =>
+            if (!selfClose) {
+              val close = s"</$rn"
+              def closesAt(e: Int): Boolean =
+                html.regionMatches(true, e, close, 0, close.length) && {
+                  val after = e + close.length
+                  after < n && {
+                    val ca = html.charAt(after)
+                    ca == '>' || ca == '/' || ca.isWhitespace
+                  }
+                }
+              var e = html.indexOf("</", j)
+              while (e >= 0 && e + close.length <= n && !closesAt(e))
+                e = html.indexOf("</", e + 1)
+              if (e < 0 || e + close.length > n) return None
+              val gt = html.indexOf('>', e)
+              if (gt < 0) return None
+              i = gt + 1
+            }
+            if (stack.nonEmpty && cur.inItem) cur.itemBuf += ' '
+          case _ =>
+            // any other element: a token separator inside an item,
+            // page structure outside (not this walker's concern)
+            if (stack.nonEmpty && cur.inItem) cur.itemBuf += ' '
+        }
+      } else {
+        return None // bare '<'
+      }
+    }
+    if (stack.nonEmpty) {
+      if (!recover) return None
+      while (stack.nonEmpty) { // EOF implies close, innermost first
+        if (cur.inItem) emitItem(cur)
+        stack = stack.tail
+      }
+    }
+    Some(items.result())
+  }
+
+  /** Per-item records over real HTML: one row per extracted list item —
+    * (id, list_idx, ordered, item_idx, text). Malformed markup yields
+    * ONE null row (fail soft — the q245 contract). */
+  def htmlListItems(df: DataFrame, idCol: String, htmlCol: String,
+                    recover: Boolean = false): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", df.schema(idCol).dataType),
+      StructField("list_idx", IntegerType),
+      StructField("ordered", BooleanType),
+      StructField("item_idx", IntegerType),
+      StructField("text", StringType)))
+    val enc = Encoders.row(schema)
+    val idIdx = df.columns.indexOf(idCol)
+    val hIdx = df.columns.indexOf(htmlCol)
+    df.mapPartitions { it =>
+      it.flatMap { row =>
+        walkListItems(row.getString(hIdx), recover) match {
+          case Some(ls) => ls.map(l =>
+            Row(row.get(idIdx), l.listIdx, l.ordered, l.itemIdx, l.text))
+          case None => Seq(Row(row.get(idIdx), null, null, null, null))
+        }
+      }
+    }(enc)
+  }
+
+  /** Deterministic NESTED-list synth page for the q330/q331 gates: an
+    * outer `<ul>` (list_idx 0) whose second item wraps an inner `<ol>`
+    * (list_idx 1) holding ONE `<li>` per corpus token; a SIBLING
+    * `<ul>` (list_idx 2) holds every 3rd token (1-based positions 1,
+    * 4, 7, …). The wrapping item reads 'main … data' — 'main' before
+    * the inner list, 'data' after (suspend/resume with zero leak).
+    * Traps: a script fake list, a comment fake list, a quoted '>'
+    * attribute and a `data-li` decoy on the outer list, inline markup
+    * inside an item (joins its text). */
+  def synthListHtml(text: String): String = {
+    val t = text.split(" ").filter(_.nonEmpty)
+    require(t.length >= 3,
+      s"synthListHtml: needs >= 3 tokens, got ${t.length}")
+    val sb = new StringBuilder
+    sb ++= "<!DOCTYPE html><html><head><title>l</title>"
+    sb ++= "<script>var l = \"<ul><li>fake</li></ul>\";</script>"
+    sb ++= "</head><body>"
+    sb ++= "<!-- trap: <ol><li>fake</li></ol> -->"
+    sb ++= "<p>intro prose for the lists.</p>"
+    sb ++= "<ul class=\"menu\" data-li=\"9\" data-note=\"n > 0\">"
+    sb ++= "<li>nav <b>links</b></li>"
+    sb ++= "<li>main <ol>"
+    t.foreach { w => sb ++= "<li>"; sb ++= w; sb ++= "</li>" }
+    sb ++= "</ol> data</li>"
+    sb ++= "<li>foot</li></ul>"
+    sb ++= "<ul>"
+    var p = 0
+    while (3 * p < t.length) {
+      sb ++= "<li>"; sb ++= t(3 * p); sb ++= "</li>"
+      p += 1
+    }
+    sb ++= "</ul>"
+    sb ++= "</body></html>"
+    sb.toString
+  }
+
+  /** Deterministic real-web corruption of [[synthListHtml]] — the
+    * table-gate classes re-cut for lists (the q331 gate uses id % 3):
+    *   0 → untouched (the strict-agreement subset);
+    *   1 → IMPLIED END TAGS: every `</li>` dropped in ALL lists
+    *       (`</ul>`/`</ol>` kept — the nesting boundary and list kind
+    *       stay explicit);
+    *   2 → truncated page: the final sibling `</ul>` and the body/html
+    *       closes cut (EOF implied-close pops the open list + item) +
+    *       entity dirt on every plain-text item (`&nbsp;w&mdash;` —
+    *       decodes around the item text, NBSP glues). */
+  def corruptSynthListHtml(text: String, cls: Int): String =
+    cls match {
+      case 0 => synthListHtml(text)
+      case 1 => synthListHtml(text).replace("</li>", "")
+      case 2 =>
+        val h = synthListHtml(text)
+          .stripSuffix("</body></html>") match {
+            case s if s.endsWith("</ul>") => s.stripSuffix("</ul>")
+            case s => s
+          }
+        h.replaceAll("<li>([^<&]+)</li>",
+          "<li>" + entityRef("nbsp") + "$1" + entityRef("mdash") + "</li>")
+      case other =>
+        throw new IllegalArgumentException(
+          s"corruptSynthListHtml: class must be 0-2, got $other")
+    }
+
+  /** Attach [[synthListHtml]] pages (the [[withSynthHtml]] pattern). */
+  def withSynthListHtml(df: DataFrame, idCol: String, textCol: String,
+                        clsOf: Long => Int = _ => 0): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("html", StringType)))
+    val enc = Encoders.row(schema)
+    val idIdx = df.columns.indexOf(idCol)
+    val tIdx = df.columns.indexOf(textCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        Row(row.getLong(idIdx),
+          corruptSynthListHtml(row.getString(tIdx),
+            clsOf(row.getLong(idIdx))))
+      }
+    }(enc)
+  }
+
+  /** The q330/q331 list-grid oracle CTE: every (doc, list, item) the
+    * walker must emit, recomputed arithmetically from token ordinals —
+    * outer ul (idx 0) items ('nav links', 'main data', 'foot'), inner
+    * ol (idx 1) one item per token, sibling ul (idx 2) every 3rd token
+    * (1-based positions 1, 4, 7, …). Emits (doc_id, li, ord, ii, w). */
+  def listGridOracleCte: String =
+    """t AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '')
+      |    AS t
+      |  FROM documents),
+      |pos AS (
+      |  SELECT doc_id, 0 AS li, FALSE AS ord, 0 AS ii,
+      |    'nav links' AS w FROM t
+      |  UNION ALL SELECT doc_id, 0, FALSE, 1, 'main data' FROM t
+      |  UNION ALL SELECT doc_id, 0, FALSE, 2, 'foot' FROM t
+      |  UNION ALL
+      |  SELECT doc_id, 1, TRUE, i - 1, t[i]
+      |  FROM t, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) ii
+      |  UNION ALL
+      |  SELECT doc_id, 2, FALSE, (i - 1) // 3, t[i]
+      |  FROM t, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) jj
+      |  WHERE (i - 1) % 3 = 0)""".stripMargin
 }

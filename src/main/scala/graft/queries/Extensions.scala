@@ -2529,6 +2529,65 @@ object Extensions {
           col("pct_micros"), col("bucket"))
     }),
 
+    // --- the CCNet pipeline END TO END (Wenzek et al. 2020 — the
+    // capstone composition over the repo's own stages): language
+    // identification (q188's Cavnar–Trenkle profile chain) keeps
+    // identified docs → boilerplate-paragraph strip (q211's operator
+    // over the q211 dirt classes) cleans them → the interpolated-KN
+    // perplexity signal (q328's, self-scored on the CLEANED corpus,
+    // newlines flattened) buckets head/middle/tail per source → the
+    // per-bucket hash keep (q84) samples the mixture. Every fragment
+    // is its standalone gate's spelling — drift anywhere fails both
+    // that gate and this composition. Asserted in-query: the lid
+    // filter both keeps and drops, the strip actually dropped
+    // paragraphs, and all 3 buckets are populated.
+    "q332_ccnet_pipeline" -> ((s, dir) => {
+      val TA2 = graft.functions.TextAnalysis
+      val C = graft.functions.Curation
+      val LM = graft.functions.LanguageModel
+      val G = graft.functions.Governance
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val lid = docs.select(col("doc_id"), col("source"), col("text"),
+        TA2.langIdProfile(col("text")).as("__lang")).localCheckpoint()
+      val kept = lid.filter(col("__lang") =!= "unknown")
+      val (nAll, nKept) = (lid.count(), kept.count())
+      require(nKept > 0 && nKept < nAll,
+        s"q332: the language filter is vacuous — kept $nKept of $nAll")
+      val aug = kept.select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0, lit("\n" + Boiler1))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit("\n" + Boiler2))
+            .otherwise(lit(""))).as("text"))
+      val stripped = C.stripBoilerplateParagraphs(
+        aug, "doc_id", "text", minDocFreq = 3, wideHash = true)
+        .localCheckpoint()
+      require(!stripped.filter(col("n_dropped") > 0).limit(1).isEmpty,
+        "q332: the boilerplate strip dropped nothing — the dirt is " +
+          "vacuous")
+      val cleaned = stripped.select(col("doc_id"),
+        translate(col("clean_text"), "\n", " ").as("text"))
+      val per = LM.kneserNeyBigram(cleaned)
+        .filter(col("n_bi") >= 1)
+        .select(col("doc_id"), expr("-(kn_micros div n_bi)").as("neg_kn"))
+      val scored = kept.select(col("doc_id"), col("source"))
+        .join(per, Seq("doc_id"))
+      val pct = G.quantileNormalize(scored, "doc_id", "source", "neg_kn")
+      val bucketed = pct.withColumn("bucket",
+        when(col("pct_micros") <= 333333L, "head")
+          .when(col("pct_micros") <= 666666L, "middle")
+          .otherwise("tail"))
+      require(bucketed.select(col("bucket")).distinct().count() == 3,
+        "q332: the pipeline bucketing is vacuous — a degenerate score " +
+          "distribution collapsed a bucket")
+      bucketed
+        .filter(G.stratifiedKeep(col("doc_id"), col("bucket"),
+          Seq("head" -> 100, "middle" -> 50, "tail" -> 10), 0,
+          "graft-ccnet-pipe"))
+        .select(col("doc_id"), col("source"), col("neg_kn"),
+          col("pct_micros"), col("bucket"))
+    }),
+
     // --- REPEAT-AWARE token budgeting (data-constrained scaling,
     // Muennighoff et al. 2023): allocate a training budget of 3.9×
     // the corpus across sources by exact-integer WATERFILLING under
@@ -4229,6 +4288,57 @@ object Extensions {
             .otherwise(col("id")).as("doc_id"),
           col("table_idx"), col("row_idx"), col("col_idx"),
           col("is_header"), col("text"))
+    }),
+
+    // --- LIST extraction in STRICT mode (the other big structured-data
+    // shape in real crawls next to tables; the q310/q324 recipe): an
+    // outer <ul> whose second item wraps an inner <ol> (one item per
+    // corpus token — suspend/resume with zero inner-text leak, own
+    // list_idx in document open order), a sibling <ul> on every 3rd
+    // token, trap battery (script/comment fake lists, data-li decoy,
+    // inline markup joining item text). The oracle recomputes every
+    // (list, ordered, item, text) row arithmetically from token
+    // ordinals via ONE shared CTE (Html.listGridOracleCte).
+    "q330_html_lists" -> ((s, dir) => {
+      val H = graft.functions.Html
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val items = H.htmlListItems(
+        H.withSynthListHtml(docs, "doc_id", "text"), "id", "html")
+      items.select(
+        when(col("list_idx").isNull, raise_error(concat(
+          lit("q330: list HTML for id "), col("id").cast("string"),
+          lit(" failed to parse — list-walker regression"))))
+          .otherwise(col("id")).as("doc_id"),
+        col("list_idx"), col("ordered"), col("item_idx"), col("text"))
+    }),
+
+    // --- list extraction in RECOVERY mode against deterministic
+    // corruption (class = doc_id % 3): untouched / every </li> dropped
+    // in BOTH lists (list closes kept — the nesting boundary and list
+    // KIND stay explicit) / truncated page (EOF implied-close) +
+    // entity dirt on every plain-text item. STRICT must refuse every
+    // class-1/2 page (asserted); recovery lands the SAME item grid,
+    // plain items decorated.
+    "q331_html_lists_recovery" -> ((s, dir) => {
+      val H = graft.functions.Html
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val pages = H.withSynthListHtml(docs, "doc_id", "text",
+        clsOf = id => (id % 3).toInt)
+      require(
+        H.htmlListItems(
+            pages.filter(col("id") % 3 =!= 0), "id", "html")
+          .filter(col("list_idx").isNotNull).limit(1).isEmpty,
+        "q331: strict mode parsed a corrupted list page — the " +
+          "corruption is vacuous")
+      H.htmlListItems(pages, "id", "html", recover = true)
+        .select(
+          when(col("list_idx").isNull, raise_error(concat(
+            lit("q331: recovery failed to parse list HTML for id "),
+            col("id").cast("string"))))
+            .otherwise(col("id")).as("doc_id"),
+          col("list_idx"), col("ordered"), col("item_idx"), col("text"))
     }),
 
     // --- the COMPOSED index-served retrieval stack (r14 verdict #2):
@@ -7896,6 +8006,29 @@ object Extensions {
     s"""WITH ${ivfAdcRerankChainCtes("b.nn_id < 8")}
        |SELECT query_id, nn_id, exact_dist, rk FROM adc_topk""".stripMargin
 
+  /** The q330/q331 list-grid oracle: [[graft.functions.Html.listGridOracleCte]]
+    * projected to the walker's item schema; `decorated` adds q331's
+    * class-2 entity dirt on every PLAIN-text item — lists 1 and 2
+    * entirely, plus list 0's 'foot' (item 2); 'nav links' carries
+    * inline markup and 'main data' wraps the inner list, so neither
+    * matched the decoration regex. */
+  private def listGridOracle(decorated: Boolean): String = {
+    val nb = graft.functions.Html.entityText("nbsp")
+    val md = graft.functions.Html.entityText("mdash")
+    val txt =
+      if (decorated)
+        s"CASE WHEN doc_id % 3 = 2 AND (li >= 1 OR ii = 2) " +
+          s"THEN '$nb' || w || '$md' ELSE w END"
+      else "w"
+    s"""WITH ${graft.functions.Html.listGridOracleCte}
+       |SELECT doc_id,
+       |  CAST(li AS INTEGER) AS list_idx,
+       |  ord AS ordered,
+       |  CAST(ii AS INTEGER) AS item_idx,
+       |  $txt AS text
+       |FROM pos""".stripMargin
+  }
+
   /** The q326/q327 multi-query fusion oracle: q313's spelling per
     * query — one shared ADC+rerank chain over ALL probe ids, one
     * bm25OracleSql lexical leg per query with its own term set, RRF
@@ -8389,11 +8522,13 @@ object Extensions {
 
   /** The interpolated-KN bigram chain's CTE body, through the per-doc
     * `agg(doc_id, n_bi, km)` — ONE spelling shared by q269/q274 (the
-    * standalone LM gates) and q328 (the KN-perplexity mixture, r15
-    * verdict #4): formula drift fails all three hashes. */
-  private lazy val knBigramCtes: String =
-      """t AS (
-        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    * standalone LM gates), q328 (the KN-perplexity mixture, r15
+    * verdict #4) and q332 (the CCNet pipeline, over its CLEANED
+    * corpus): formula drift fails every consumer's hash. `corpus`
+    * must expose (doc_id, text). */
+  private def knBigramCtes(corpus: String = "documents"): String =
+      s"""t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM $corpus),
         |pos AS MATERIALIZED (
         |  SELECT doc_id, t[i] AS prev, t[i] || ' ' || t[i + 1] AS bg
         |  FROM t, LATERAL (SELECT unnest(range(1, len(t))) AS i) ii
@@ -8424,7 +8559,7 @@ object Extensions {
   /** q269's oracle — shared verbatim with q274; built from
     * [[knBigramCtes]] (the q328 shared fragment). */
   private lazy val knBigramOracle: String =
-    s"""WITH $knBigramCtes
+    s"""WITH ${knBigramCtes()}
        |SELECT d.doc_id, CAST(coalesce(a.n_bi, 0) AS BIGINT) AS n_bi,
        |  CAST(coalesce(a.km, 0) AS BIGINT) AS kn_micros
        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
@@ -9844,6 +9979,13 @@ object Extensions {
     "q324_html_nested_tables" -> nestedGridOracle(decorated = false),
     "q325_html_nested_recovery" -> nestedGridOracle(decorated = true),
 
+    // q330/q331: the list grid — Html.listGridOracleCte's arithmetic
+    // items; q331's class-2 decoration lands on every PLAIN-text item
+    // (the markup-bearing 'nav links' and the suspended 'main data'
+    // wrapper stay undecorated — their regex never matched)
+    "q330_html_lists" -> listGridOracle(decorated = false),
+    "q331_html_lists_recovery" -> listGridOracle(decorated = true),
+
     // q313: the composed index-served stack — the BM25 leg replays as
     // q81's corpus-scan spelling (q300 proved index == scan), the dense
     // leg as q223's unrolled ADC+rerank chain (the SHARED
@@ -9973,7 +10115,7 @@ object Extensions {
     "q328_kn_perplexity_mixture" -> {
       val keep = graft.functions.Governance.oracleHashBucket(
         "doc_id", "graft-ccnet-kn")
-      s"""WITH $knBigramCtes,
+      s"""WITH ${knBigramCtes()},
          |per AS (
          |  SELECT doc_id, -(CAST(km AS BIGINT) // n_bi) AS neg_kn
          |  FROM agg WHERE n_bi >= 1),
@@ -9994,6 +10136,73 @@ object Extensions {
          |         WHEN pct_micros <= 666666 THEN 'middle'
          |         ELSE 'tail' END AS bucket FROM pct)
          |SELECT doc_id, source, neg_kn, pct_micros, bucket FROM b
+         |WHERE $keep < CASE bucket WHEN 'head' THEN 100
+         |  WHEN 'middle' THEN 50 ELSE 10 END""".stripMargin
+    },
+
+    // q332: the whole CCNet chain replayed fragment by fragment — the
+    // q188 lid CTEs filter, the q211 paragraph spelling strips, the
+    // shared knBigramCtes scores the CLEANED corpus, q172's CDF and
+    // q84's keep sample the mixture
+    "q332_ccnet_pipeline" -> {
+      val keep = graft.functions.Governance.oracleHashBucket(
+        "doc_id", "graft-ccnet-pipe")
+      s"""WITH ${langIdProfileCtes()},
+         |ckept AS MATERIALIZED (
+         |  SELECT d.doc_id, d.source, d.text
+         |  FROM documents d JOIN lid USING (doc_id)
+         |  WHERE lid.lang_pred <> 'unknown'),
+         |caug AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 3 = 0 THEN chr(10) || '$Boiler1'
+         |         ELSE '' END ||
+         |    CASE WHEN doc_id % 5 = 0 THEN chr(10) || '$Boiler2'
+         |         ELSE '' END AS text
+         |  FROM ckept),
+         |cparas AS (
+         |  SELECT doc_id, CAST(pos AS BIGINT) AS ppos, p[pos] AS para
+         |  FROM (SELECT doc_id, string_split(text, chr(10)) AS p FROM caug),
+         |  LATERAL (SELECT unnest(range(1, len(p) + 1)) AS pos) r),
+         |cboiler AS (
+         |  SELECT h FROM (
+         |    SELECT DISTINCT
+         |      CAST(concat('0x', substr(md5(para), 1, 15)) AS BIGINT) AS h,
+         |      doc_id
+         |    FROM cparas) GROUP BY 1 HAVING count(*) >= 3),
+         |ckeptp AS (
+         |  SELECT p.doc_id, p.ppos, p.para FROM cparas p
+         |  LEFT JOIN cboiler ON CAST(concat('0x',
+         |      substr(md5(p.para), 1, 15)) AS BIGINT) = cboiler.h
+         |  WHERE cboiler.h IS NULL),
+         |cagg AS (
+         |  SELECT doc_id,
+         |    string_agg(para, chr(10) ORDER BY ppos) AS clean_text
+         |  FROM ckeptp GROUP BY doc_id),
+         |cclean AS MATERIALIZED (
+         |  SELECT k.doc_id,
+         |    replace(coalesce(a.clean_text, ''), chr(10), ' ') AS text
+         |  FROM ckept k LEFT JOIN cagg a USING (doc_id)),
+         |${knBigramCtes(corpus = "cclean")},
+         |cper AS (
+         |  SELECT doc_id, -(CAST(km AS BIGINT) // n_bi) AS neg_kn
+         |  FROM agg WHERE n_bi >= 1),
+         |csc AS (
+         |  SELECT k.doc_id, k.source, CAST(p.neg_kn AS BIGINT) AS neg_kn
+         |  FROM ckept k JOIN cper p USING (doc_id)),
+         |ccnt AS (SELECT source, neg_kn, count(*) AS n
+         |  FROM csc GROUP BY 1, 2),
+         |ccdf AS (SELECT source, neg_kn,
+         |    sum(n) OVER (PARTITION BY source ORDER BY neg_kn) AS cum,
+         |    sum(n) OVER (PARTITION BY source) AS tot FROM ccnt),
+         |cpct AS (
+         |  SELECT s.doc_id, s.source, s.neg_kn,
+         |    CAST(floor(cum * 1000000 / tot) AS BIGINT) AS pct_micros
+         |  FROM csc s JOIN ccdf USING (source, neg_kn)),
+         |cb AS (SELECT doc_id, source, neg_kn, pct_micros,
+         |    CASE WHEN pct_micros <= 333333 THEN 'head'
+         |         WHEN pct_micros <= 666666 THEN 'middle'
+         |         ELSE 'tail' END AS bucket FROM cpct)
+         |SELECT doc_id, source, neg_kn, pct_micros, bucket FROM cb
          |WHERE $keep < CASE bucket WHEN 'head' THEN 100
          |  WHEN 'middle' THEN 50 ELSE 10 END""".stripMargin
     },

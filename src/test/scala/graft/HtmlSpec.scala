@@ -427,6 +427,47 @@ class HtmlSpec extends AnyFunSuite {
       == Seq(0, 1, 2))
   }
 
+  test("walkListItems: items in order, ol vs ul kind, one-level " +
+       "nesting with suspend/resume, implied </li> in recovery only, " +
+       "directed refusals") {
+    val h = "<ul><li>a</li><li>m <ol><li>x</li><li>y</li></ol> d</li>" +
+      "</ul><ol><li>z</li></ol>"
+    val ls = Html.walkListItems(h, recover = false).get
+      .map(l => (l.listIdx, l.ordered, l.itemIdx, l.text))
+    // outer ul = 0, inner ol = 1, sibling ol = 2 (document open order);
+    // the wrapping item's text is ONLY its own tokens ('m d')
+    assert(ls.toSet == Set(
+      (0, false, 0, "a"), (0, false, 1, "m d"),
+      (1, true, 0, "x"), (1, true, 1, "y"),
+      (2, true, 0, "z")), ls.toString)
+    // implied </li>: recovery parses, strict refuses
+    val implied = "<ul><li>a<li>b</ul>"
+    assert(Html.walkListItems(implied, recover = false).isEmpty)
+    assert(Html.walkListItems(implied, recover = true).get
+      .map(l => (l.itemIdx, l.text)) == Seq((0, "a"), (1, "b")))
+    // EOF close in recovery, innermost first
+    assert(Html.walkListItems("<ul><li>o <ol><li>i", recover = true).get
+      .map(l => (l.listIdx, l.itemIdx, l.text)).toSet
+      == Set((0, 0, "o"), (1, 0, "i")))
+    // directed refusals, both modes: li outside a list, junk text in
+    // list structure, kind-mismatched close, two-level nesting, a list
+    // inside list structure outside an item
+    val bad = Seq(
+      "<div><li>x</li></div>",
+      "<ul>stray<li>x</li></ul>",
+      "<ul><li>x</li></ol>",
+      "<ul><li><ol><li><ul><li>d</li></ul></li></ol></li></ul>",
+      "<ul><ul><li>x</li></ul></ul>")
+    for (b <- bad; rec <- Seq(false, true))
+      assert(Html.walkListItems(b, rec).isEmpty, s"$b rec=$rec")
+    // entity decode in recovery only; inline markup joins item text
+    val ent = "<ul><li>a&nbsp;b <b>c</b></li></ul>"
+    assert(Html.walkListItems(ent, recover = false).get.head.text
+      == "a&nbsp;b c")
+    assert(Html.walkListItems(ent, recover = true).get.head.text
+      == "a" + Html.entityText("nbsp") + "b c")
+  }
+
   test("walkTableCells: caption captured at row −1 col 0, implied " +
        "</caption> in recovery only; caption text joins like a cell") {
     val h = "<table><caption>tbl <b>one</b></caption>" +
