@@ -246,7 +246,8 @@ object ScaleRehearsal {
     "q329_wordpiece_refresh",
     // list walks (scan-shaped per-page parses) and the CCNet
     // composition (lid scan + paragraph strip + KN chain + CDF)
-    "q330_html_lists", "q331_html_lists_recovery", "q332_ccnet_pipeline")
+    "q330_html_lists", "q331_html_lists_recovery", "q332_ccnet_pipeline",
+    "q333_stream_html_lists")
     // q308 (MRL audit) is EXCLUDED by design: the scale-up replicates
     // vectors VERBATIM, so every query's top-3 is its own identical
     // replicas under both the truncated and the full ranking — the

@@ -5531,6 +5531,43 @@ object Extensions {
       s.read.parquet(out)
     }),
 
+    // --- STREAMING list extraction (the q307 discipline on q330):
+    // synth + the NESTED list walk run IN-STREAM over 3 micro-batches
+    // (both stateless mapPartitions — Append mode, no state store);
+    // per-item rows land in the sink. Oracle = q330's SQL verbatim:
+    // the stream must extract exactly what the batch walk extracts,
+    // including the suspend/resume item and both nested lists.
+    "q333_stream_html_lists" -> ((s, dir) => {
+      val H = graft.functions.Html
+      val (in, out, chk) = freshStreamDirs("graft_q333_stream")
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      stageSliced(in, Seq(
+        docs.filter(col("doc_id") % 3 === 0),
+        docs.filter(col("doc_id") % 3 === 1),
+        docs.filter(col("doc_id") % 3 === 2)))
+      withStreamPartitions(s, 8) {
+        val stream = graft.streaming.StreamOps.readStream(s, in,
+          docs.schema, Map("maxFilesPerTrigger" -> "1"))
+        val items = H.htmlListItems(
+          H.withSynthListHtml(stream, "doc_id", "text"), "id", "html")
+        val q = items.select(
+            when(col("list_idx").isNull, raise_error(concat(
+              lit("q333: list HTML for id "), col("id").cast("string"),
+              lit(" failed to parse in-stream"))))
+              .otherwise(col("id")).as("doc_id"),
+            col("list_idx"), col("ordered"), col("item_idx"), col("text"))
+          .writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+          .format("parquet").option("path", out)
+          .option("checkpointLocation", chk)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.read.parquet(out)
+    }),
+
     // --- HEADER-KEYED table records (table understanding on q302's
     // cells): body cells join their <th> row's cell at the same column
     // — markup tables become relational (row, col_name, value) records.
@@ -9985,6 +10022,9 @@ object Extensions {
     // wrapper stay undecorated — their regex never matched)
     "q330_html_lists" -> listGridOracle(decorated = false),
     "q331_html_lists_recovery" -> listGridOracle(decorated = true),
+    // q333 (the in-stream walk) shares q330's oracle VERBATIM — the
+    // stream must extract exactly what the batch walk extracts
+    "q333_stream_html_lists" -> listGridOracle(decorated = false),
 
     // q313: the composed index-served stack — the BM25 leg replays as
     // q81's corpus-scan spelling (q300 proved index == scan), the dense
