@@ -16,6 +16,21 @@ import TextAnalysis.{tokens, tokenHash}
   */
 object Dedup {
 
+  /** Env-guarded phase log for the propagation engine (GRAFT_PROP_LOG=1):
+    * stderr-only timing of transitiveClustersOver's seed validation and
+    * per-round actions — the measurement hook behind the round-16
+    * optimization work. Zero cost when unset. */
+  private val propLog = sys.env.contains("GRAFT_PROP_LOG")
+  private def plog[A](label: String)(f: => A): A =
+    if (!propLog) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(
+        f"[prop] $label%-28s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      r
+    }
+
   /** Canonical text normalization: trim, lowercase, collapse whitespace. */
   def normText(text: Column): Column =
     lower(regexp_replace(trim(text), "\\s+", " "))
@@ -224,7 +239,18 @@ object Dedup {
                              seeds: Option[DataFrame] = None,
                              validateSeeds: Boolean = true): (DataFrame, Int) = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val br = rows.persist(lvl)
+    // LAZY localCheckpoint, not a bare persist (r16, guide §7.3 "driver
+    // thread dumps → Optimizer"): a persisted frame keeps its FULL logical
+    // plan, and every round's action re-analyzes and re-optimizes that
+    // tree (the caller's rows lineage — co-occurrence self-joins, index
+    // scans, unions — appears once per br reference in every round's
+    // plan). The event-log profile of q253 measured 28.5 s of a 52 s run
+    // in DRIVER gaps between jobs, one 11 s planning pause per early
+    // round. Checkpointing truncates br to a LogicalRDD: the blocks
+    // materialize on the same first action that used to populate the
+    // cache, and every round now plans against a leaf. RDD blocks are
+    // released in releaseLabels style at the end.
+    val br = rows.localCheckpoint(false)
     // SEED-CONTRACT ENFORCEMENT (one bounded pre-flight action, O(subgraph)
     // joins on uniform keys): the documented contract below was previously
     // trust-based — a caller whose seed label names an in-rows node of a
@@ -236,7 +262,7 @@ object Dedup {
     // Labels absent from `rows` are fine (chasing them is a no-op).
     // `validateSeeds = false` opts out for callers with a proven-by-
     // construction seed set on very large subgraphs.
-    seeds.filter(_ => validateSeeds).foreach { sd =>
+    seeds.filter(_ => validateSeeds).foreach { sd => plog("seed-validate") {
       val nodeIds = br.select(col("id")).distinct()
       // only seeds whose id IS a node can mislead the propagation — a
       // seed for an absent id never enters labels⁰ and is a harmless
@@ -257,7 +283,7 @@ object Dedup {
         .select(col("id"), col("label"))
         .limit(1).collect()
       if (bad.nonEmpty) {
-        br.unpersist()
+        releaseLabels(br)
         throw new IllegalArgumentException(
           s"transitiveClustersOver: seed (id=${bad.head.get(0)}, " +
             s"label=${bad.head.get(1)}) violates the seed contract — the " +
@@ -267,7 +293,7 @@ object Dedup {
             "explicit membership edge for the label (the family-bucket " +
             "rows winnowFamiliesIncremental adds) or drop the seed.")
       }
-    }
+    }}
     // labels⁰: each node's own id, unless `seeds` (id, label) carries a
     // prior assignment — the incremental-maintenance entry point, where
     // corpus nodes start at their persisted family label and only the
@@ -296,9 +322,9 @@ object Dedup {
     // per round). Seeded from labels⁰ (= ids) so a no-op first round is
     // detected exactly like the old join-based check; the seeding action
     // also materializes the labels cache before the loop.
-    var prevSum: java.math.BigDecimal =
-      labels.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
-    while (!converged && iters < maxIters) {
+    var prevSum: java.math.BigDecimal = plog("labels0+sum")(
+      labels.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0))
+    while (!converged && iters < maxIters) plog(s"round ${iters + 1}") {
       val bucketLabel = br.join(labels, "id")
         .groupBy(col("band"), col("key")).agg(min(col("label")).as("blabel"))
       var next = br.join(bucketLabel, Seq("band", "key"))
@@ -352,7 +378,7 @@ object Dedup {
         else prevSum != null && prevSum.compareTo(sumNow) == 0
       prevSum = sumNow
     }
-    br.unpersist()
+    releaseLabels(br)
     // Directed failure on non-convergence: a component deeper than
     // maxIters hops (boilerplate families at corpus scale) would
     // otherwise ship WRONG cluster labels with no error — the one
@@ -451,10 +477,11 @@ object Dedup {
     * adopts a family by propagating over the SUBGRAPH its fingerprints
     * touch. Corpus membership rows come from the PERSISTED winnow index
     * restricted to the batch's hashes (the index is bucketed by h —
-    * corpus side plans with no exchange); corpus nodes are SEEDED with
-    * their persisted family labels, batch nodes with their own id, and
-    * min-label propagation runs to its fixed point over this
-    * O(batch × match-density) subgraph — never the corpus.
+    * corpus side plans with no exchange), projected to one FAMILY-REP
+    * row per touched (family, hash); min-label propagation runs to its
+    * fixed point over this O(batch × match-density) subgraph of batch
+    * nodes + family reps — never the corpus (see the in-body
+    * equivalence proof).
     *
     * Exactly the full refresh's answer for the batch EXCEPT when a batch
     * doc bridges two existing families whose other members the batch
@@ -505,8 +532,9 @@ object Dedup {
                           batchFps: DataFrame, batchIds: DataFrame,
                           maxIters: Int = 8,
                           assertBucketScan: Boolean = false): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val bfp = batchFps.select(col("id"), col("h")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(lvl)
     // corpus memberships on touched hashes only: a LEFT SEMI of the index
     // against the batch hashes — h is the index's bucket column, so the
     // corpus side plans with no exchange and the (small) batch-hash side
@@ -526,31 +554,41 @@ object Dedup {
       require(plan.contains("SelectedBucketsCount"),
         "corpus side must be the bucket-aware index scan")
     }
-    val cm = cmRaw
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val seeds = corpusFamilies
-      .join(cm.select(col("corpus_id").as("id")).distinct(), Seq("id"))
-      .select(col("id"), col("family_id").as("label"))
-    // touched corpus nodes ALSO connect through their family label
-    // (band 1): membership in a family is free knowledge from the
-    // refresh, so a batch doc adopting family F immediately sees F's
-    // other touched members even when their corpus-side path runs
-    // through untouched hashes. This also makes every seed label an
-    // EXPLICIT edge — required for the propagation engine's
-    // pointer-jumping shortcut, which chases label values as if they
-    // were reachable nodes (see [[transitiveClustersOver]]).
+    // FAMILY-REP REDUCTION (r16 optimization, guide §2.3/§2.4 — shuffle
+    // fewer bytes per propagation round): the only role corpus-side rows
+    // play in the adopt subgraph is linking batch hashes to FAMILIES —
+    // a corpus-corpus h-edge is always intra-family (corpusFamilies is
+    // the fixed point over exactly those edges), i.e. redundant with
+    // family membership. So instead of one propagation row per touched
+    // MEMBER (plus a band-1 family bucket and a seed per member — the
+    // pre-r16 shape), project each touched (member, h) to its family and
+    // keep one (family_id, h) row per distinct pair. The propagation
+    // then runs UNSEEDED over batch nodes + family-rep nodes:
+    //   fixed point = min over each component of {batch ids ∪ family
+    //   ids} — exactly the seeded member-level fixed point (same initial
+    //   label multiset per component, same connectivity: batch-member
+    //   h-links become batch-family h-links, member-member h-links were
+    //   intra-family no-ops). Oracle-gated identical at all 3 SFs
+    //   (q187/q196/q200).
+    // The per-round bucket table shrinks from O(touched members) to
+    // O(touched families) rows, the seed table and its labels⁰ join
+    // disappear, and the refresh chain (`corpusFamilies` is usually a
+    // lazy tail over the caller's just-converged labels) is evaluated
+    // ONCE here instead of 3× (seed validate + rows + labels⁰ — measured
+    // 7.5-11 s of pure re-proof per call at sf0.1 before r16).
+    val famTouched = cmRaw
+      .join(corpusFamilies.select(col("id").as("corpus_id"),
+        col("family_id")), Seq("corpus_id"))
+      .select(col("family_id"), col("h")).distinct()
     val rows = bfp.select(col("id"), lit(0).as("band"),
         col("h").cast("string").as("key"))
-      .unionByName(cm.select(col("corpus_id").as("id"), lit(0).as("band"),
-        col("h").cast("string").as("key")))
-      .unionByName(seeds.select(col("id"), lit(1).as("band"),
-        concat(lit("f"), col("label").cast("string")).as("key")))
-    val labeled = transitiveClustersOver(rows, maxIters,
-      seeds = Some(seeds))._1
+      .unionByName(famTouched.select(col("family_id").as("id"),
+        lit(0).as("band"), col("h").cast("string").as("key")))
+    val labeled = transitiveClustersOver(rows, maxIters)._1
     val out = batchIds.select(col("id")).join(labeled, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("cluster_id"), col("id")).as("family_id"))
-    bfp.unpersist(); cm.unpersist()
+    bfp.unpersist()
     out
   }
 
@@ -592,8 +630,15 @@ object Dedup {
     * copy into the block manager until GC. */
   private def releaseLabels(df: DataFrame): Unit = {
     df.unpersist()
-    df.queryExecution.analyzed.foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+    // ROOT-only LogicalRDD release: a round's labels end in their own
+    // localCheckpoint, so the materialization to drop is the plan ROOT.
+    // A deep foreach (the pre-r16 form) also unpersisted every NESTED
+    // LogicalRDD — e.g. the checkpointed propagation input `br` inside
+    // labels⁰'s plan, whose blocks later rounds still read (checkpointed
+    // RDDs cannot be recomputed once dropped).
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(false)
       case _ => ()
     }
   }

@@ -301,11 +301,11 @@ object Graph {
     * Touched = vertices incident to a new edge, plus every member of any
     * component containing one (a new edge can merge two components, and
     * the LOSING component's members must all relabel). The propagation
-    * runs over the new edges plus one membership bucket per touched
-    * component ("m_<cluster>"), SEEDED with the persisted labels — the
-    * seed contract holds by construction: each seed label is its
-    * component's min member, which shares that membership bucket. Cost
-    * tracks the BATCH (touched components), not the corpus. */
+    * runs over the new edges plus one REP node per touched component
+    * linked to its touched vertices through a membership bucket
+    * ("m_<cluster>") — untouched members relabel through one rep-map
+    * join after the fixed point (see the in-body proof). Cost tracks the
+    * BATCH (touched vertices + touched components), not the corpus. */
   def componentsIncremental(corpusLabels: DataFrame,
                             newEdges: DataFrame): DataFrame = {
     val und = newEdges.select(least(col("src"), col("dst")).as("a"),
@@ -319,22 +319,54 @@ object Graph {
     val members = corpusLabels
       .join(touchedClusters, Seq("cluster_id"), "left_semi")
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // CLUSTER-REP REDUCTION (r16 optimization, guide §2.3 — shuffle fewer
+    // bytes per propagation round): untouched members of a touched
+    // cluster never influence the propagation — their only contribution
+    // was a seeded label equal to their cluster_id, which the cluster's
+    // REP node (cluster_id is itself a member) contributes anyway, and a
+    // member id can never BE a component min (id ≥ its cluster_id). So
+    // the propagation runs UNSEEDED over just the new-edge vertices plus
+    // one rep node per touched cluster, linked by per-cluster membership
+    // buckets restricted to TOUCHED vertices:
+    //   fixed point = min over each component of {touched cluster ids ∪
+    //   non-member new-vertex ids} — exactly the pre-r16 seeded
+    //   member-level fixed point (same initial label minima per
+    //   component, same connectivity). Oracle-gated identical (q253).
+    // Every member of a touched cluster then relabels through ONE rep-map
+    // join at the end, instead of carrying O(members) rows through every
+    // propagation round.
+    val touchedLinks = corpusLabels
+      .join(touchedV, Seq("id"), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val edgeKey = concat_ws("_", col("a"), col("b"))
     val rows = und
       .select(col("a").as("id"), lit(0).as("band"), edgeKey.as("key"))
       .union(und.select(col("b").as("id"), lit(0).as("band"),
         edgeKey.as("key")))
-      .union(members.select(col("id"), lit(1).as("band"),
+      .union(touchedLinks.select(col("id"), lit(1).as("band"),
         concat(lit("m_"), col("cluster_id")).as("key")))
-    val seeds = members.select(col("id"), col("cluster_id").as("label"))
-    val (relabeled, _) = Dedup.transitiveClustersOver(rows,
-      seeds = Some(seeds))
+      .union(touchedLinks.select(col("cluster_id").as("id"),
+        lit(1).as("band"),
+        concat(lit("m_"), col("cluster_id")).as("key")).distinct())
+    val (relabeled, _) = Dedup.transitiveClustersOver(rows)
+    // rep map: the new label of each touched cluster's rep carries to
+    // every member (reps are nodes of `rows`, so `relabeled` covers them)
+    val repMap = relabeled
+      .select(col("id").as("cluster_id"), col("cluster_id").as("__nl"))
+    val relabeledMembers = members.join(repMap, Seq("cluster_id"))
+      .select(col("id"), col("__nl").as("cluster_id"))
+    // new vertices outside every corpus cluster keep their own
+    // propagated label (reps are members, so the anti-join drops them)
+    val newVerts = relabeled
+      .join(members.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("cluster_id"))
     val untouched = corpusLabels
       .join(members.select(col("id")), Seq("id"), "left_anti")
     val res = untouched.select(col("id"), col("cluster_id"))
-      .unionByName(relabeled.select(col("id"), col("cluster_id")))
+      .unionByName(relabeledMembers)
+      .unionByName(newVerts)
       .localCheckpoint(true)
-    und.unpersist(); members.unpersist()
+    und.unpersist(); members.unpersist(); touchedLinks.unpersist()
     res
   }
 

@@ -16,12 +16,18 @@ object ProfileHot {
     val only = args.headOption.getOrElse("all")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    new java.io.File("/tmp/sparklogs").mkdirs()
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.eventLog.enabled",
+        sys.env.getOrElse("GRAFT_EVENTLOG", "false"))
+      .config("spark.eventLog.dir", "/tmp/sparklogs")
+      .config("spark.eventLog.compress", "false")
+      .config("spark.eventLog.rolling.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     def t[A](label: String)(f: => A): A = {
@@ -68,6 +74,41 @@ object ProfileHot {
       t(s"$tag q186 winnowClustersTransitive")(noop(
         D.winnowClustersTransitive(docs, "doc_id", "text",
           n = 4, w = 8, maxIters = 40)))
+    }
+
+    def q253parts(tag: String): Unit = {
+      val G = graft.functions.Graph
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val edges = G.coOccurrenceEdges(li, "l_orderkey", "l_suppkey",
+          maxDegree = 64)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val isNew = pmod(hash(col("src"), col("dst")), lit(5)) === 0
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_prof_q253b").toString
+      t(s"$tag q253p.1 componentLabels(old) write")(
+        G.componentLabels(edges.filter(!isNew))
+          .write.mode("overwrite").parquet(tmp))
+      val corpusLabels = s.read.parquet(tmp)
+      val newEdges = edges.filter(isNew)
+      val und = newEdges.select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      println(s"[hot] $tag und=${und.count()}")
+      val touchedV = und.select(col("a").as("id"))
+        .union(und.select(col("b").as("id"))).distinct()
+      println(s"[hot] $tag touchedV=${touchedV.count()}")
+      val touchedClusters = corpusLabels
+        .join(touchedV, Seq("id"), "left_semi")
+        .select(col("cluster_id")).distinct()
+      println(s"[hot] $tag touchedClusters=${touchedClusters.count()}")
+      val members = corpusLabels
+        .join(touchedClusters, Seq("cluster_id"), "left_semi")
+      println(s"[hot] $tag members=${members.count()}")
+      val touchedLinks = corpusLabels.join(touchedV, Seq("id"), "left_semi")
+      println(s"[hot] $tag touchedLinks=${touchedLinks.count()}")
+      t(s"$tag q253p.2 componentsIncremental")(noop(
+        G.componentsIncremental(corpusLabels, newEdges)))
+      edges.unpersist(); und.unpersist()
     }
 
     def graphs(tag: String): Unit = {
@@ -213,6 +254,7 @@ object ProfileHot {
     if (want("q187")) { q187("warm"); q187("prof") }
     if (want("q186")) { q186("warm"); q186("prof") }
     if (want("graph")) { graphs("warm"); graphs("prof") }
+    if (want("q253p")) q253parts("prof")
     if (want("retrieval")) { retrieval("warm"); retrieval("prof") }
     if (want("prbundle")) { prbundle("warm"); prbundle("prof") }
     if (want("video")) { video("warm"); video("prof") }
