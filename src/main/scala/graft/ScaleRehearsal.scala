@@ -199,13 +199,12 @@ object ScaleRehearsal {
     // graph; per-round cost is the dst-keyed sum)
     "q294_unigram_pruned_em", "q295_blocklist_tap",
     "q296_stream_blocklist", "q297_cms_window",
-    // q298/q314 are EXCLUDED since the round-16 consolidation: both
-    // answer from the per-JVM-memoized pageRankGateBundle (r15 verdict
-    // #3), so a second timed run within this JVM measures the memo
-    // read, not the converge legs. The bundle's scale shape (three
-    // ε-stopped converge runs over the capped part graph, one
-    // dst-keyed shuffle per round) was rehearsed in r14/r15
-    // (0.96×/1.16×); its one-shot cost per session shows in the sweep.
+    // q298/q314 are EXCLUDED from the rehearsal pairs: both run the
+    // full consolidated pageRankGateBundle (r16: recomputed per
+    // invocation — the per-JVM result memo is gone), so a rehearsal
+    // pair would time the three converge legs twice over for a scale
+    // shape already rehearsed in r14/r15 (0.96×/1.16×: one dst-keyed
+    // shuffle per ε-stopped round); the sweep carries their cost.
     // the pruned schedule at the %512-salted word space (SF-stable
     // vocabulary by the cap — the ratio tracks the corpus scan)
     "q299_unigram_pruned_salted",

@@ -26,6 +26,22 @@ import org.apache.spark.storage.StorageLevel
   */
 object Graph {
 
+  /** Release a frame materialized through persist OR localCheckpoint:
+    * drops the CacheManager entry plus the ROOT LogicalRDD's blocks.
+    * Root-only on purpose (the r16 releaseLabels lesson): a deep plan
+    * walk also unpersists NESTED checkpointed leaves — e.g. the
+    * lineage-truncated edge table inside an iteration frame's plan —
+    * whose blocks later iterations still read and which, being
+    * checkpointed, can never be recomputed. */
+  private def releaseRoot(df: DataFrame): Unit = if (df != null) {
+    df.unpersist()
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(false)
+      case _ => ()
+    }
+  }
+
   /** ADDITIVE pair-weight rows — the artifact form of the co-occurrence
     * graph: w is a plain co-listing count, so arrival maintenance is
     * APPEND + per-pair sum (merge == rebuild when the group key — the
@@ -93,9 +109,16 @@ object Graph {
     * (rank desc, vertex asc). */
   def pageRankTopK(edges: DataFrame, iters: Int, k: Int): DataFrame = {
     val out = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // LAZY localCheckpoints, not bare persists (r16, the
+    // transitiveClustersOver lesson): a persist caches data but keeps
+    // the full logical plan, so every iteration's action re-analyzes the
+    // caller's edge lineage (the co-occurrence self-join tree) once per
+    // reference — driver planning grows linearly in iterations. The
+    // checkpoint truncates e/verts/rank to LogicalRDD leaves; blocks
+    // materialize on the same first action that used to fill the cache.
     val e = edges.join(out, Seq("src"))
       .select(col("src"), col("dst"), col("outdeg"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     // vertex set = src ∪ dst: on an asymmetric edge input a dst-only
     // (dangling) vertex still ranks — it accumulates mass and passes
     // none on, the standard sink semantics. (The symmetric co-occurrence
@@ -103,7 +126,7 @@ object Graph {
     // oracles can derive it from DISTINCT src.)
     val verts = e.select(col("src").as("v"))
       .union(e.select(col("dst").as("v"))).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     var rank = verts.select(col("v"), lit(1000000000L).as("r"))
     var prev: DataFrame = null
     (1 to iters).foreach { _ =>
@@ -113,20 +136,19 @@ object Graph {
       val next = verts.join(sums, verts("v") === sums("dst"), "left_outer")
         .select(verts("v"),
           (lit(150000000L) + coalesce(col("s"), lit(0L))).as("r"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(false)
       next.count() // materialize before dropping the previous iteration
-      if (prev != null) prev.unpersist()
+      releaseRoot(prev)
       prev = next
       rank = next
     }
     // eager localCheckpoint: the k-row result keeps its blocks after the
-    // cached iteration frames are released
+    // iteration frames are released
     val res = rank.orderBy(col("r").desc, col("v"))
       .limit(k)
       .select(col("v").as("vertex"), col("r").as("rank_scaled"))
       .localCheckpoint(true)
-    e.unpersist(); verts.unpersist()
-    if (prev != null) prev.unpersist()
+    releaseRoot(e); releaseRoot(verts); releaseRoot(prev)
     res
   }
 
@@ -141,13 +163,14 @@ object Graph {
   def pageRankWeightedTopK(edges: DataFrame, iters: Int,
                            k: Int): DataFrame = {
     val sw = edges.groupBy(col("src")).agg(sum(col("w")).as("sw"))
+    // lazy localCheckpoints — the pageRankTopK planning rationale
     val e = edges.join(sw, Seq("src"))
       .select(col("src"), col("dst"), col("w"), col("sw"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     // src ∪ dst — the pageRankTopK dangling-vertex note applies
     val verts = e.select(col("src").as("v"))
       .union(e.select(col("dst").as("v"))).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     var rank = verts.select(col("v"), lit(1000000000L).as("r"))
     var prev: DataFrame = null
     (1 to iters).foreach { _ =>
@@ -157,9 +180,9 @@ object Graph {
       val next = verts.join(sums, verts("v") === sums("dst"), "left_outer")
         .select(verts("v"),
           (lit(150000000L) + coalesce(col("s"), lit(0L))).as("r"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(false)
       next.count()
-      if (prev != null) prev.unpersist()
+      releaseRoot(prev)
       prev = next
       rank = next
     }
@@ -167,8 +190,7 @@ object Graph {
       .limit(k)
       .select(col("v").as("vertex"), col("r").as("rank_scaled"))
       .localCheckpoint(true)
-    e.unpersist(); verts.unpersist()
-    if (prev != null) prev.unpersist()
+    releaseRoot(e); releaseRoot(verts); releaseRoot(prev)
     res
   }
 
@@ -221,40 +243,39 @@ object Graph {
                        initRank: Option[DataFrame] = None,
                        maxIters: Int = 24): (DataFrame, Int) = {
     require(epsUnits >= 0, s"pageRankConverge: epsUnits must be >= 0")
-    val lvl = StorageLevel.MEMORY_AND_DISK
     val out = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // lazy localCheckpoints — the pageRankTopK planning rationale
     val e = edges.join(out, Seq("src"))
-      .select(col("src"), col("dst"), col("outdeg")).persist(lvl)
+      .select(col("src"), col("dst"), col("outdeg")).localCheckpoint(false)
     val verts = e.select(col("src").as("v"))
-      .union(e.select(col("dst").as("v"))).distinct().persist(lvl)
-    def release(df: DataFrame): Unit = if (df != null) {
-      df.unpersist()
-      df.queryExecution.analyzed.foreach {
-        case lr: org.apache.spark.sql.execution.LogicalRDD =>
-          lr.rdd.unpersist(false)
-        case _ => ()
-      }
-    }
-    var rank: DataFrame = (initRank match {
+      .union(e.select(col("dst").as("v"))).distinct().localCheckpoint(false)
+    // rank⁰ needs no checkpoint of its own: its plan is a projection (or
+    // one small join) over the already-truncated verts leaf — round 1
+    // recomputes it from verts' blocks for the price of a map (r16)
+    var rank: DataFrame = initRank match {
       case Some(init) =>
         verts.join(init.select(col("v"), col("r").as("__ri")), Seq("v"),
             "left_outer")
           .select(col("v"),
             coalesce(col("__ri"), lit(1000000000L)).as("r"))
       case None => verts.select(col("v"), lit(1000000000L).as("r"))
-    }).localCheckpoint(true)
+    }
     var rounds = -1
     var i = 0
     while (rounds < 0 && i < maxIters) {
       i += 1
-      val next = prNext(e, verts, rank).localCheckpoint(true)
+      // ONE action per round (r16): the next vector is a LAZY checkpoint
+      // whose blocks materialize under the same max-|Δr| collect that
+      // decides the stop — previously an eager checkpoint (job 1) was
+      // followed by the diff collect (job 2) every round.
+      val next = prNext(e, verts, rank).localCheckpoint(false)
       // vertex set is fixed across rounds (verts), so an inner join
       // covers every vertex — max |Δr| is the stopping statistic
       val maxDiff = next.as("n")
         .join(rank.as("o"), col("n.v") === col("o.v"))
         .agg(max(abs(col("n.r") - col("o.r"))).as("d"))
         .collect().head.getLong(0)
-      release(rank)
+      releaseRoot(rank)
       rank = next
       if (maxDiff <= epsUnits) rounds = i
     }
@@ -262,7 +283,7 @@ object Graph {
       s"$epsUnits units after $maxIters rounds — raise maxIters or " +
       "loosen the tolerance")
     val res = rank.select(col("v"), col("r")).localCheckpoint(true)
-    e.unpersist(); verts.unpersist(); release(rank)
+    releaseRoot(e); releaseRoot(verts); releaseRoot(rank)
     (res, rounds)
   }
 
@@ -377,9 +398,12 @@ object Graph {
     * d < 2 are excluded (coefficient undefined). Returns the top `k` by
     * (coeff desc, vertex asc) — deterministic, vertex ids unique. */
   def clusteringTopK(edges: DataFrame, k: Int): DataFrame = {
+    // lazy localCheckpoint: und is referenced 4× in one plan (degree +
+    // three wedge-join legs) — truncating it plans the caller's edge
+    // lineage once instead of four times (r16)
     val und = edges.select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val deg = und.select(col("a").as("v"))
       .union(und.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
@@ -398,7 +422,7 @@ object Graph {
       .orderBy(col("coeff_micros").desc, col("vertex"))
       .limit(k)
       .localCheckpoint(true)
-    und.unpersist()
+    releaseRoot(und)
     res
   }
 
@@ -415,10 +439,13 @@ object Graph {
     * empty when the whole graph peels away. One keyed shuffle per round
     * over a SHRINKING edge set. */
   def kCore(edges: DataFrame, k: Int, rounds: Int = 8): DataFrame = {
-    val lvl = StorageLevel.MEMORY_AND_DISK
+    // lazy localCheckpoints per peel (r16): a persisted round kept the
+    // full join chain back to the caller's edge lineage in its plan, so
+    // each peel's count re-planned a tree one round deeper — the
+    // pageRankTopK planning rationale applied to a shrinking loop
     var und = edges.select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b")).distinct()
-      .persist(lvl)
+      .localCheckpoint(false)
     var nEdges = und.count()
     var converged = nEdges == 0L
     var r = 0
@@ -432,16 +459,16 @@ object Graph {
         .join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
         .join(keep.select(col("v").as("b")), Seq("b"), "left_semi")
         .select(col("a"), col("b"))
-        .persist(lvl)
+        .localCheckpoint(false)
       val nNext = next.count()
-      und.unpersist()
+      releaseRoot(und)
       und = next
       converged = nNext == nEdges || nNext == 0L
       nEdges = nNext
       r += 1
     }
     if (!converged) {
-      und.unpersist()
+      releaseRoot(und)
       throw new IllegalStateException(
         s"kCore: peeling had not converged after $rounds rounds (edges " +
           s"still shrinking, $nEdges left) — raise `rounds`; shipping an " +
@@ -451,7 +478,7 @@ object Graph {
       .union(und.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("core_degree"))
       .localCheckpoint(true)
-    und.unpersist()
+    releaseRoot(und)
     res
   }
 
@@ -462,9 +489,11 @@ object Graph {
     * count is bounded by V·k² under the degree cap (never Σ deg² of the
     * raw projection). One row out: (n_vertices, n_edges, n_triangles). */
   def triangleStats(edges: DataFrame): DataFrame = {
+    // lazy localCheckpoint: und is referenced 5× in one plan — the
+    // clusteringTopK planning rationale (r16)
     val und = edges.select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val nV = und.select(col("a").as("v"))
       .union(und.select(col("b").as("v"))).distinct()
       .agg(count(lit(1)).as("n_vertices"))
@@ -476,7 +505,7 @@ object Graph {
         col("x") === col("e3.a") && col("z") === col("e3.b"))
       .agg(count(lit(1)).as("n_triangles"))
     val res = nV.crossJoin(nE).crossJoin(nT).localCheckpoint(true)
-    und.unpersist()
+    releaseRoot(und)
     res
   }
 
@@ -528,8 +557,10 @@ object Graph {
     * caller-owned — and the round count). */
   def hitsConverge(edges: DataFrame, initAuth: Option[DataFrame] = None,
                    maxIters: Int = 14): (DataFrame, Int) = {
-    val lvl = StorageLevel.MEMORY_AND_DISK
-    val e = edges.select(col("src"), col("dst")).distinct().persist(lvl)
+    // lazy localCheckpoint — every round references e twice; truncating
+    // it plans the caller's link lineage once (r16)
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint(false)
     def normAuth(raw: DataFrame): DataFrame = {
       val m = raw.agg(max(col("ar")).as("amax"))
       raw.crossJoin(broadcast(m))
@@ -542,21 +573,17 @@ object Graph {
         .select(col("src"),
           expr("CAST(hr * 1000000000 div hmax AS BIGINT)").as("h"))
     }
-    // EVERY round's auth/hub ends in an EAGER localCheckpoint: normAuth/
+    // EVERY round's auth/hub ends in a localCheckpoint: normAuth/
     // normHub reference their input TWICE (the table and its 1-row max),
     // so without per-round LogicalRDD truncation the analyzed plan
     // doubles per half-step — 2^rounds nodes OOMs the driver by round
     // ~10 (the duplicatedSpans multi-reference lineage trap; persist
-    // caches data, never the plan). Checkpointed rounds are released at
-    // the RDD level (no CacheManager entry — the releaseLabels note).
-    def release(df: DataFrame): Unit = if (df != null) {
-      df.unpersist()
-      df.queryExecution.analyzed.foreach {
-        case lr: org.apache.spark.sql.execution.LogicalRDD =>
-          lr.rdd.unpersist(false)
-        case _ => ()
-      }
-    }
+    // caches data, never the plan). r16: the AUTH half-step checkpoints
+    // LAZILY — its blocks materialize under the same fixed-point-check
+    // action (one fewer job per round); the HUB half-step stays EAGER
+    // because its predecessor is released right after and lazy blocks
+    // must never outlive what they read. Released root-only
+    // (releaseRoot — the r16 releaseLabels lesson).
     var auth: DataFrame = initAuth.map(_.select(col("dst"), col("a"))
       .localCheckpoint(true)).orNull
     var hub = (initAuth match {
@@ -576,22 +603,25 @@ object Graph {
         e.join(hub, Seq("src"))
           .groupBy(col("dst"))
           .agg(sum(col("h")).cast("decimal(38,0)").as("ar")))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val fixed = auth != null &&
         nextAuth.as("n").join(auth.as("o"), Seq("dst"), "full")
           .filter(col("n.a").isNull || col("o.a").isNull ||
             col("n.a") =!= col("o.a"))
           .limit(1).isEmpty
-      release(auth)
+      releaseRoot(auth)
       auth = nextAuth
       if (fixed) rounds = i
       else {
+        // eager: materializes nextAuth's lazy blocks too (round 1 has no
+        // fixed-point check to do it), and hub's predecessor is released
+        // on the next line
         val nextHub = normHub(
           e.join(nextAuth, Seq("dst"))
             .groupBy(col("src"))
             .agg(sum(col("a")).cast("decimal(38,0)").as("hr")))
           .localCheckpoint(true)
-        release(hub)
+        releaseRoot(hub)
         hub = nextHub
       }
     }
@@ -599,7 +629,7 @@ object Graph {
       s"$maxIters iterations — raise maxIters or inspect the graph " +
       "for a floor-map cycle")
     val res = auth.select(col("dst"), col("a")).localCheckpoint(true)
-    e.unpersist(); release(hub); release(auth)
+    releaseRoot(e); releaseRoot(hub); releaseRoot(auth)
     (res, rounds)
   }
 

@@ -63,7 +63,11 @@ object Vocab {
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .select(charSpaced(col("w")).as("repr"), col("cnt"))
-      .localCheckpoint()
+      // LAZY checkpoints throughout the merge loop (r16): each
+      // iteration's top-pair collect materializes the blocks in the same
+      // job, so a merge costs ONE vocab pass instead of an eager
+      // checkpoint pass plus the counting pass
+      .localCheckpoint(false)
 
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var it = 1
@@ -97,7 +101,7 @@ object Vocab {
         vocab = vocab
           .withColumn("repr",
             replace(col("repr"), lit(s" $l $r "), lit(s" $l$r ")))
-          .localCheckpoint()
+          .localCheckpoint(false)
         it += 1
       }
     }
@@ -288,7 +292,9 @@ object Vocab {
     var reprs = docs.select(col(idCol).as("doc_id"),
         size(split(col(textCol), " ")).as("n_words"),
         concat(lit(" "), col(textCol), lit(" ")).as("repr"))
-      .localCheckpoint()
+      // lazy checkpoint: round 1's pair-count collect materializes it
+      // (r16 — one corpus pass per round instead of two)
+      .localCheckpoint(false)
     for (round <- 1 to rounds) {
       // adjacent pairs via slice+zip over a MATERIALIZED token column:
       // element_at inside a transform lambda re-evaluates the split()
@@ -318,7 +324,10 @@ object Vocab {
       // must not re-run the whole chain); the FINAL application is
       // consumed exactly once downstream — materializing it would only
       // add a full extra pass over the corpus representation
-      reprs = if (round < rounds) applied.localCheckpoint() else applied
+      // lazy: the NEXT round's counting scan materializes the applied
+      // representation in its own job — the eager form paid a separate
+      // full pass per round just to fill the blocks (r16)
+      reprs = if (round < rounds) applied.localCheckpoint(false) else applied
     }
     reprs.select(col("doc_id"), col("n_words"),
       size(split(trim(col("repr")), " ")).as("n_symbols"))
@@ -466,7 +475,8 @@ object Vocab {
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .select(wpCharSpaced(col("w")).as("repr"), col("cnt"))
-      .localCheckpoint()
+      // lazy checkpoints — the bpeMerges r16 note
+      .localCheckpoint(false)
     val merges = Seq.newBuilder[(Int, String, String, String, Long, Long, Long)]
     var it = 1
     var exhausted = false
@@ -504,7 +514,7 @@ object Vocab {
         vocab = vocab
           .withColumn("repr",
             replace(col("repr"), lit(s" $l $r "), lit(s" $merged ")))
-          .localCheckpoint()
+          .localCheckpoint(false)
         it += 1
       }
     }

@@ -129,77 +129,78 @@ object Extensions {
   private def stagedTable(name: String): String =
     s"${name}_p${ProcessHandle.current.pid}"
 
-  /** The CONSOLIDATED PageRank honesty bundle (r15 verdict #3): ONE
-    * per-JVM run (memoized per sf dir) of the full q314 contract —
-    * pair-weight artifact staging + append, merge ≡ rebuild asserted
-    * both exceptAll directions, pre/warm/cold converge legs with the
-    * cold-stop window, warm-strictly-fewer and ≤ε pins — whose cold
-    * comparator output BOTH q298 and q314 gate (they always shared
-    * the oracle spelling). The three converge runs are pure gate
-    * honesty — production pays warm only — so running them once per
-    * session instead of once per registration halves the bench line
-    * without weakening either contract: any fresh JVM invoking either
-    * query executes every assert. */
-  private val prGateMemo = new scala.collection.concurrent.TrieMap[
-    String, (org.apache.spark.sql.types.StructType,
-             Array[org.apache.spark.sql.Row])]()
-
+  /** The CONSOLIDATED PageRank honesty bundle (r15 verdict #3): the full
+    * q314 contract — pair-weight artifact staging + append, merge ≡
+    * rebuild asserted as a multiset equality, pre/warm/cold converge
+    * legs with the cold-stop window, warm-strictly-fewer and ≤ε pins —
+    * whose cold comparator output BOTH q298 and q314 gate (they always
+    * shared the oracle spelling).
+    *
+    * r16 measurement-honesty note: the r15-consolidation landed as a
+    * per-JVM RESULT MEMO, which made bench passes 2..n of both queries
+    * measure a memo hit (raw passes: q314 = [30.1, 0.049, 0.051]) — the
+    * recorded min was the memo, not the plan. The memo is GONE: every
+    * invocation re-stages the artifact and re-runs all three converge
+    * legs from the parquet inputs. The consolidation survives as shared
+    * CODE (one bundle both registrations call), not shared results, and
+    * the bundle itself was made cheaper (single-action merge≡rebuild
+    * check; pageRankConverge now one action/round with lineage-truncated
+    * inputs). */
   private def pageRankGateBundle(s: SparkSession, dir: String): DataFrame = {
-    val (schema, rows) = prGateMemo.getOrElseUpdate(dir, {
-      val G = graft.functions.Graph
-      val eps = 500000L
-      val edgeT = stagedTable("graft_q314_pairw")
-      val rankT = stagedTable("graft_q314_ranks")
-      Seq(edgeT, rankT).foreach(graft.queries.Tables.dropStagedTable(s, _))
-      val li = s.read.parquet(s"$dir/lineitem.parquet")
-      val edgeTap = graft.sources.BucketedTap(edgeT, 8, Seq("src"))
-      edgeTap.write(
-        G.coOccurrencePairWeights(
-          li.filter(col("l_orderkey") % 50 =!= 3),
-          "l_orderkey", "l_partkey"),
-        graft.sources.SinkMode.Replace)
-      val (preRank, _) = G.pageRankConverge(
-        G.capByDegree(G.mergePairWeights(edgeTap.read(s)), 64),
-        eps, None, 16)
-      val rankTap = graft.sources.BucketedTap(rankT, 8, Seq("v"))
-      rankTap.write(preRank, graft.sources.SinkMode.Replace)
-      // the arrival: the batch's pair weights APPEND (orders partition
-      // between batches, so per-pair sums merge == rebuild)
-      edgeTap.write(
-        G.coOccurrencePairWeights(
-          li.filter(col("l_orderkey") % 50 === 3),
-          "l_orderkey", "l_partkey"),
-        graft.sources.SinkMode.Update)
-      val merged = G.capByDegree(G.mergePairWeights(edgeTap.read(s)), 64)
-        .localCheckpoint(true)
-      val scratch = G.coOccurrenceEdges(li, "l_orderkey", "l_partkey", 64)
-        .localCheckpoint(true)
-      require(merged.exceptAll(scratch).limit(1).isEmpty &&
-          scratch.exceptAll(merged).limit(1).isEmpty,
-        "q314/q298: the appended pair-weight artifact does not " +
-          "reproduce the from-scratch capped graph — merge != rebuild")
-      val (warm, rw) = G.pageRankConverge(merged, eps,
-        Some(rankTap.read(s)), 16)
-      val (cold, rc) = G.pageRankConverge(scratch, eps, None, 16)
-      require(rc >= 2 && rc <= 12,
-        s"q314/q298: cold stop at $rc rounds — outside the oracle's " +
-          "unrolled window [2, 12]")
-      require(rw < rc,
-        s"q314/q298: the artifact warm start must converge in STRICTLY " +
-          s"fewer rounds (warm $rw vs cold $rc) — the persisted ranks " +
-          "bought nothing")
-      val drift = warm.as("w").join(cold.as("c"), col("w.v") === col("c.v"))
-        .agg(max(abs(col("w.r") - col("c.r"))).as("d"))
-        .collect().head.getLong(0)
-      require(drift <= eps,
-        s"q314/q298: warm stop sits $drift units from cold — above " +
-          "the ε pin")
-      val out = cold.select(col("v").as("vertex"),
-        col("r").as("rank_scaled"), lit(rc.toLong).as("rounds"))
-      (out.schema, out.collect())
-    })
-    s.createDataFrame(
-      new java.util.ArrayList(java.util.Arrays.asList(rows: _*)), schema)
+    val G = graft.functions.Graph
+    val eps = 500000L
+    val edgeT = stagedTable("graft_q314_pairw")
+    val rankT = stagedTable("graft_q314_ranks")
+    Seq(edgeT, rankT).foreach(graft.queries.Tables.dropStagedTable(s, _))
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+    val edgeTap = graft.sources.BucketedTap(edgeT, 8, Seq("src"))
+    edgeTap.write(
+      G.coOccurrencePairWeights(
+        li.filter(col("l_orderkey") % 50 =!= 3),
+        "l_orderkey", "l_partkey"),
+      graft.sources.SinkMode.Replace)
+    val (preRank, _) = G.pageRankConverge(
+      G.capByDegree(G.mergePairWeights(edgeTap.read(s)), 64),
+      eps, None, 16)
+    val rankTap = graft.sources.BucketedTap(rankT, 8, Seq("v"))
+    rankTap.write(preRank, graft.sources.SinkMode.Replace)
+    // the arrival: the batch's pair weights APPEND (orders partition
+    // between batches, so per-pair sums merge == rebuild)
+    edgeTap.write(
+      G.coOccurrencePairWeights(
+        li.filter(col("l_orderkey") % 50 === 3),
+        "l_orderkey", "l_partkey"),
+      graft.sources.SinkMode.Update)
+    // LAZY checkpoints: the merge≡rebuild probe below materializes both
+    // sides in its own job (r16; two eager checkpoint jobs + two
+    // exceptAll jobs collapsed into one action)
+    val merged = G.capByDegree(G.mergePairWeights(edgeTap.read(s)), 64)
+      .localCheckpoint(false)
+    val scratch = G.coOccurrenceEdges(li, "l_orderkey", "l_partkey", 64)
+      .localCheckpoint(false)
+    require(merged.exceptAll(scratch)
+        .unionByName(scratch.exceptAll(merged))
+        .limit(1).isEmpty,
+      "q314/q298: the appended pair-weight artifact does not " +
+        "reproduce the from-scratch capped graph — merge != rebuild")
+    val (warm, rw) = G.pageRankConverge(merged, eps,
+      Some(rankTap.read(s)), 16)
+    val (cold, rc) = G.pageRankConverge(scratch, eps, None, 16)
+    require(rc >= 2 && rc <= 12,
+      s"q314/q298: cold stop at $rc rounds — outside the oracle's " +
+        "unrolled window [2, 12]")
+    require(rw < rc,
+      s"q314/q298: the artifact warm start must converge in STRICTLY " +
+        s"fewer rounds (warm $rw vs cold $rc) — the persisted ranks " +
+        "bought nothing")
+    val drift = warm.as("w").join(cold.as("c"), col("w.v") === col("c.v"))
+      .agg(max(abs(col("w.r") - col("c.r"))).as("d"))
+      .collect().head.getLong(0)
+    require(drift <= eps,
+      s"q314/q298: warm stop sits $drift units from cold — above " +
+        "the ε pin")
+    cold.select(col("v").as("vertex"),
+      col("r").as("rank_scaled"), lit(rc.toLong).as("rounds"))
   }
 
   /** The composed retrieval stack's persisted artifacts (q313/q326/
@@ -2265,11 +2266,10 @@ object Extensions {
     // all diverge through the in-query asserts).
     //
     // CONSOLIDATED (r15 verdict #3): q314's contract subsumes q298's
-    // — both gates now answer from ONE per-JVM pageRankGateBundle run
-    // (the three converge legs execute once per session/dir, all
-    // asserts included), retiring q298's duplicated legs from the
-    // bench line. Production pays warm only; the gate pays the
-    // cold+pre comparators once.
+    // — both gates answer through the SAME pageRankGateBundle code
+    // path (all asserts included). r16: the bundle recomputes from the
+    // parquet inputs on EVERY invocation (the per-JVM result memo was
+    // a measurement-honesty bug — see the bundle doc).
     "q314_pagerank_artifact" -> ((s, dir) => pageRankGateBundle(s, dir)),
 
     // --- the FULL dataset card (r14 verdict #4 — q309 extended with
@@ -6017,12 +6017,12 @@ object Extensions {
     // within ε of cold (measured ≤ 0.19ε; the honest ceiling for two
     // ε-stopped trajectories is ε·2λ/(1−λ) ≈ 11.3ε — bit-equality is
     // not a theorem in floored arithmetic and is not claimed).
-    // CONSOLIDATED (r15 verdict #3): answers from the SAME per-JVM
-    // pageRankGateBundle as q314 — q314's contract subsumes this
-    // gate's (cold-stop window, warm strictly-fewer, warm ≤ ε are all
-    // asserted inside the bundle, and merge ≡ rebuild pins the
-    // artifact-built graph to the directly-built one), so the three
-    // converge legs run ONCE per session instead of twice. The oracle
+    // CONSOLIDATED (r15 verdict #3): answers through the SAME
+    // pageRankGateBundle code path as q314 — q314's contract subsumes
+    // this gate's (cold-stop window, warm strictly-fewer, warm ≤ ε are
+    // all asserted inside the bundle, and merge ≡ rebuild pins the
+    // artifact-built graph to the directly-built one). r16: recomputed
+    // per invocation (no result memo — see the bundle doc). The oracle
     // stays this gate's own unrolled-stopping-rule spelling.
     "q298_pagerank_warm" -> ((s, dir) => pageRankGateBundle(s, dir)),
 
