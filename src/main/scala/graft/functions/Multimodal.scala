@@ -1733,10 +1733,15 @@ object Multimodal {
         val id = row.getLong(idIdx)
         val text = row.getString(tIdx)
         val sceneLen = if (id % 2 == 0) 2 else 3
+        // frames within a scene share their salt, so their JPEG bytes
+        // are bit-identical by construction — encode each DISTINCT salt
+        // once and reuse the bytes (r16: the encoder's DCT dominated the
+        // synth pass; 6 frames carry only 2-3 distinct scenes)
+        val bySalt = scala.collection.mutable.HashMap.empty[Int, Array[Byte]]
         val frames = (0 until nFrames).map { f =>
-          encodeJpegGray(
-            synthBlockPixelsSalted(text, 36, 28, salt = (f / sceneLen) * 7),
-            36, 28)
+          val salt = (f / sceneLen) * 7
+          bySalt.getOrElseUpdate(salt, encodeJpegGray(
+            synthBlockPixelsSalted(text, 36, 28, salt), 36, 28))
         }
         Row(id, encodeAviMjpeg(frames, 36, 28))
       }
@@ -1763,13 +1768,23 @@ object Multimodal {
         val p = row.getAs[Array[Byte]](pIdx)
         (if (p == null) None else decodeAviFrames(p)) match {
           case Some(frames) =>
-            val hashes = frames.map(decodeJpegGray)
+            // repeated frames are common (static scenes re-encode to
+            // identical bytes): decode+resample+hash each DISTINCT frame
+            // payload once per video, keyed on content (ByteBuffer's
+            // content hash) — identical results for any input, 2-3×
+            // fewer JPEG decodes on scene-structured video (r16)
+            val seen = scala.collection.mutable.HashMap
+              .empty[java.nio.ByteBuffer, Option[Long]]
+            val hashes = frames.map { fb =>
+              seen.getOrElseUpdate(java.nio.ByteBuffer.wrap(fb),
+                decodeJpegGray(fb).map { case (w, h, px) =>
+                  graft.catalyst.DHashStub.ofGrid(resampleToGrid(px, w, h))
+                })
+            }
             if (hashes.exists(_.isEmpty))
               Seq(Row(row.get(idIdx), -1, null))
-            else hashes.zipWithIndex.map { case (dec, f) =>
-              val (w, h, px) = dec.get
-              Row(row.get(idIdx), f,
-                graft.catalyst.DHashStub.ofGrid(resampleToGrid(px, w, h)))
+            else hashes.zipWithIndex.map { case (hv, f) =>
+              Row(row.get(idIdx), f, hv.get)
             }
           case None => Seq(Row(row.get(idIdx), -1, null))
         }

@@ -504,7 +504,12 @@ object Similarity {
     val exact = bruteForceKnn(corpus, queries, idCol, vecCol, k)
       .select(col("query_id"), col("nn_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (cents, lists) = ivfKMeansBuild(corpus, idCol, vecCol, nlist, iters)
+    val (cents, lists0) = ivfKMeansBuild(corpus, idCol, vecCol, nlist, iters)
+    // materialize the inverted lists ONCE (r16): the per-nprobe legs all
+    // reference the lists subtree inside one union plan, so the lazy
+    // build's corpus assignment aggregate previously ran once per probed
+    // leg (3× at the default sweep)
+    val lists = lists0.localCheckpoint(false)
     val approx = nprobes.map { np =>
       ivfProbedQuery(cents, lists, queries, idCol, vecCol, k, np)
         .select(lit(np).as("nprobe"), col("query_id"), col("nn_id"))
@@ -526,6 +531,11 @@ object Similarity {
       // leaking one session-lifetime persist per audit invocation
       .localCheckpoint(true)
     exact.unpersist()
+    lists.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(false)
+      case _ => ()
+    }
     out
   }
 
