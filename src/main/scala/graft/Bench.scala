@@ -277,6 +277,17 @@ object Bench {
     // so the complete per-pass evidence lands in history even when the
     // env channel is unset
     writeTo("BENCH_FULL_LATEST.json")
+    // Per-run artifact file (round-16 verdict #1): LATEST is overwrite-on-
+    // run, so when the driver benches twice (32-core then 8-core) the
+    // second run clobbers the first run's per-query map and no per-query
+    // or scaling evidence survives. Write a second copy keyed on the run
+    // identity — SPARK_GRAFT_BENCH_RUN_ID when set, else the core count —
+    // so each invocation leaves its own map on disk (BENCH_FULL_c32.json /
+    // BENCH_FULL_c8.json land in history via the driver's stray-file
+    // commit). Pure output-channel addition; the stdout contract and the
+    // timing methodology are unchanged.
+    val runTag = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUN_ID", "c" + cpus)
+    writeTo(s"BENCH_FULL_$runTag.json")
     def fmt3(d: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     val shortNames = measured.keys.map(n => n -> n.takeWhile(_ != '_'))

@@ -31,6 +31,32 @@ object Dedup {
       r
     }
 
+  /** Hash-partition `df` on `keys` into exactly `n` partitions, sort
+    * within partitions on the same keys, and lazily localCheckpoint —
+    * so the resulting LogicalRDD CAPTURES HashPartitioning(keys, n) and
+    * the sort order, and every later join/aggregate on those keys
+    * consumes the frame with NO exchange and NO sort (the r17 loop-input
+    * discipline). AQE is disabled while the checkpoint Dataset is
+    * created: `AdaptiveSparkPlanExec` does not override
+    * `outputPartitioning`, so a checkpoint taken under AQE records
+    * UnknownPartitioning and every downstream join re-exchanges the
+    * frame (verified empirically; the PlanAuditSpec propagation-round
+    * audit pins the working shape). Only plan CAPTURE runs non-adaptive
+    * — the one REPARTITION_BY_NUM shuffle below is exempt from AQE
+    * coalescing anyway, and consumers plan under the session's normal
+    * conf. */
+  private[graft] def checkpointPartitioned(df: DataFrame, n: Int,
+                                           keys: Column*): DataFrame = {
+    val s = df.sparkSession
+    val key = "spark.sql.adaptive.enabled"
+    val prev = s.conf.get(key)
+    try {
+      s.conf.set(key, "false")
+      df.repartition(n, keys: _*).sortWithinPartitions(keys: _*)
+        .localCheckpoint(false)
+    } finally s.conf.set(key, prev)
+  }
+
   /** Canonical text normalization: trim, lowercase, collapse whitespace. */
   def normText(text: Column): Column =
     lower(regexp_replace(trim(text), "\\s+", " "))
@@ -223,8 +249,8 @@ object Dedup {
     * SEED CONTRACT (normative): with the default `validateSeeds = true`,
     * every seed label that itself appears as a node id in `rows` must
     * share at least one DIRECT (band, key) bucket with its seeded node —
-    * the condition the winnowFamiliesIncremental construction guarantees
-    * by emitting explicit family-bucket rows. A label connected only
+    * i.e. the caller must add an explicit membership row linking the
+    * seed label to its node's bucket. A label connected only
     * TRANSITIVELY (reachable through other nodes but no shared bucket)
     * is rejected with IllegalArgumentException even though propagation
     * from it would reach a correct fixed point: the validator cannot
@@ -250,14 +276,53 @@ object Dedup {
     // materialize on the same first action that used to populate the
     // cache, and every round now plans against a leaf. RDD blocks are
     // released in releaseLabels style at the end.
-    val br = rows.localCheckpoint(false)
+    //
+    // r17 (guide §2.4 remove shuffles outright): the loop joins the edge
+    // table TWICE per round — by id (labels hop) and by (band, key)
+    // (bucket hop) — and a bare checkpoint leaves it unpartitioned, so
+    // every round re-exchanged the FULL edge table on both keys (2 ×
+    // rounds edge shuffles; the label-table sides are O(nodes), an order
+    // smaller). Materialize the edges ONCE PER JOIN KEY instead: each
+    // copy hash-partitioned to the session shuffle-partition count
+    // (explicit numPartitions — a REPARTITION_BY_NUM shuffle AQE never
+    // re-coalesces, so the alignment can't drift) and sorted within
+    // partitions on its join key. A checkpointed Dataset captures the
+    // physical outputPartitioning AND outputOrdering in its LogicalRDD,
+    // so every round's sort-merge join consumes the edge side with NO
+    // exchange and NO per-round sort; only the label-sized sides and the
+    // two partial-min aggregates shuffle. (AQE cannot coalesce the
+    // per-round ENSURE_REQUIREMENTS exchanges against these leaves
+    // either: a plan fragment with a non-stage leaf is skipped by
+    // CoalesceShufflePartitions — plan-asserted in PlanAuditSpec.)
+    // Upfront cost: two edge shuffles once; saving: two edge exchanges
+    // + one edge-side sort per round, rounds = O(log diameter) (19
+    // measured at sf0.1 for q186). The second copy derives from the
+    // first, so the caller's `rows` lineage is still evaluated once.
+    // SCALE-ADAPTIVE partition count (guide §2): the loop's exchanges are
+    // sized to the EDGE TABLE, not the session constant — the LogicalRDD
+    // leaves below pin every per-round fragment's partition count (AQE
+    // cannot re-coalesce against a non-stage leaf), so using the session
+    // setting directly would pay rounds × shufP near-empty tasks on a
+    // small subgraph (measured: q186 12.3 → 18.8 s at sf0.1 with P=32
+    // pinned). ~1M edge rows per partition ≈ 100 MB — the guide's
+    // partition-size band — capped by the session setting, which a
+    // cluster deployment sizes to its scale. The count action doubles as
+    // the materialization the labels⁰ action used to perform.
+    val br0 = rows.localCheckpoint(false)
+    val edgeRows = plog("edge-count")(br0.count())
+    val targetRowsPerPart = 1000000L
+    val shufP = rows.sparkSession.sessionState.conf.numShufflePartitions
+    val loopP = math.max(1L, math.min(shufP.toLong,
+      (edgeRows + targetRowsPerPart - 1L) / targetRowsPerPart)).toInt
+    val br = checkpointPartitioned(br0, loopP, col("id"))
+    val brByBucket = checkpointPartitioned(br, loopP, col("band"), col("key"))
     // SEED-CONTRACT ENFORCEMENT (one bounded pre-flight action, O(subgraph)
     // joins on uniform keys): the documented contract below was previously
     // trust-based — a caller whose seed label names an in-rows node of a
     // DIFFERENT component gets silently wrong labels (the sum stays
     // monotone, so the convergence guard cannot catch it). Check the cheap
-    // sufficient condition the winnowFamiliesIncremental construction
-    // guarantees: every seed label that itself appears as a node id in
+    // sufficient condition a seeding construction must guarantee: every
+    // seed label that itself appears as a node id in
     // `rows` shares at least one (band, key) bucket with its seeded node.
     // Labels absent from `rows` are fine (chasing them is a no-op).
     // `validateSeeds = false` opts out for callers with a proven-by-
@@ -283,15 +348,17 @@ object Dedup {
         .select(col("id"), col("label"))
         .limit(1).collect()
       if (bad.nonEmpty) {
+        releaseLabels(brByBucket)
         releaseLabels(br)
+        releaseLabels(br0)
         throw new IllegalArgumentException(
           s"transitiveClustersOver: seed (id=${bad.head.get(0)}, " +
             s"label=${bad.head.get(1)}) violates the seed contract — the " +
             "label names a node of `rows` but shares no (band, key) bucket " +
             "with its seeded node; propagation would chase it as if " +
             "reachable and could ship wrong labels silently. Add an " +
-            "explicit membership edge for the label (the family-bucket " +
-            "rows winnowFamiliesIncremental adds) or drop the seed.")
+            "explicit (band, key) membership row linking the seed label " +
+            "to its node's bucket, or drop the seed.")
       }
     }}
     // labels⁰: each node's own id, unless `seeds` (id, label) carries a
@@ -302,8 +369,8 @@ object Dedup {
     // SEED CONTRACT (required by the pointer-jumping shortcut below,
     // which chases label values as if they named reachable nodes): every
     // seed label must either be absent from `rows` entirely, or be
-    // connected to its seeded node by membership rows (the family-bucket
-    // rows winnowFamiliesIncremental adds). Unseeded runs satisfy this
+    // connected to its seeded node by an explicit (band, key) membership
+    // row the caller adds. Unseeded runs satisfy this
     // trivially — a propagated label is always a real member's id.
     var labels = seeds.fold(
       br.select(col("id")).distinct().withColumn("label", col("id"))) { sd =>
@@ -325,9 +392,12 @@ object Dedup {
     var prevSum: java.math.BigDecimal = plog("labels0+sum")(
       labels.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0))
     while (!converged && iters < maxIters) plog(s"round ${iters + 1}") {
+      // labels hop reads the id-partitioned copy, bucket hop the
+      // (band, key)-partitioned copy — neither join exchanges or sorts
+      // the edge side (r17, see the checkpoint comment above)
       val bucketLabel = br.join(labels, "id")
         .groupBy(col("band"), col("key")).agg(min(col("label")).as("blabel"))
-      var next = br.join(bucketLabel, Seq("band", "key"))
+      var next = brByBucket.join(bucketLabel, Seq("band", "key"))
         .groupBy(col("id")).agg(min(col("blabel")).as("label"))
       // POINTER JUMPING (the Shiloach–Vishkin shortcut): after the bucket
       // hop, chase label ← min(label, label(label)) twice. Each chase is
@@ -377,6 +447,10 @@ object Dedup {
       stages.foreach(_.unpersist())
       labels = next
       iters += 1
+      // round 1's action has materialized brByBucket (the bucket hop
+      // reads it), so the unpartitioned staging copy can go now — its
+      // blocks would otherwise triple the edge footprint for the loop
+      if (iters == 1) releaseLabels(br0)
       // sums are null exactly when the frame is empty: empty input is a
       // trivially converged fixed point (the old join-count check agreed)
       converged =
@@ -384,7 +458,9 @@ object Dedup {
         else prevSum != null && prevSum.compareTo(sumNow) == 0
       prevSum = sumNow
     }
+    releaseLabels(brByBucket)
     releaseLabels(br)
+    releaseLabels(br0) // no-op unless the loop never ran
     // Directed failure on non-convergence: a component deeper than
     // maxIters hops (boilerplate families at corpus scale) would
     // otherwise ship WRONG cluster labels with no error — the one

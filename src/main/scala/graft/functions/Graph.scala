@@ -33,7 +33,7 @@ object Graph {
     * lineage-truncated edge table inside an iteration frame's plan —
     * whose blocks later iterations still read and which, being
     * checkpointed, can never be recomputed. */
-  private def releaseRoot(df: DataFrame): Unit = if (df != null) {
+  private[graft] def releaseRoot(df: DataFrame): Unit = if (df != null) {
     df.unpersist()
     df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
@@ -326,7 +326,15 @@ object Graph {
     * linked to its touched vertices through a membership bucket
     * ("m_<cluster>") — untouched members relabel through one rep-map
     * join after the fixed point (see the in-body proof). Cost tracks the
-    * BATCH (touched vertices + touched components), not the corpus. */
+    * BATCH (touched vertices + touched components), not the corpus.
+    *
+    * PRECONDITION (the unseeded cluster-rep reduction relies on it):
+    * `corpusLabels` must come from the min-label engine
+    * ([[componentLabels]]/[[componentSizes]]'s labeling), i.e.
+    * cluster_id = min member id — so no member id is ever smaller than
+    * its cluster_id. Labels produced by any other scheme (arbitrary
+    * cluster ids) would still yield a consistent partition here, but the
+    * output labels could differ from the persisted ids. */
   def componentsIncremental(corpusLabels: DataFrame,
                             newEdges: DataFrame): DataFrame = {
     val und = newEdges.select(least(col("src"), col("dst")).as("a"),
@@ -557,10 +565,30 @@ object Graph {
     * caller-owned — and the round count). */
   def hitsConverge(edges: DataFrame, initAuth: Option[DataFrame] = None,
                    maxIters: Int = 14): (DataFrame, Int) = {
-    // lazy localCheckpoint — every round references e twice; truncating
-    // it plans the caller's link lineage once (r16)
-    val e = edges.select(col("src"), col("dst")).distinct()
+    // r17 (guide §2.4): each round joins the edge table by src (auth
+    // half-step) and by dst (hub half-step) — a bare checkpoint left it
+    // unpartitioned, so both half-steps re-exchanged the full edge table
+    // every round while the rank-vector sides are O(vertices). Keep TWO
+    // pre-partitioned, pre-sorted checkpointed copies (one per join key,
+    // explicit REPARTITION_BY_NUM partition count so AQE can't
+    // re-coalesce the alignment; the LogicalRDD captures partitioning +
+    // ordering) — every round's sort-merge join then consumes the edge
+    // side with no exchange and no sort; only the O(vertices) rank sides
+    // and the partial-sum aggregates shuffle. The dst copy derives from
+    // the src copy, so the caller's link lineage is evaluated once.
+    // scale-adaptive partition count (guide §2, the transitiveClustersOver
+    // rationale): LogicalRDD leaves pin every round fragment's partition
+    // count, so size it to the edge table (~1M rows ≈ 100 MB per
+    // partition), capped by the session setting
+    val e0 = edges.select(col("src"), col("dst")).distinct()
       .localCheckpoint(false)
+    val edgeRows = e0.count()
+    val shufP = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val loopP = math.max(1L, math.min(shufP.toLong,
+      (edgeRows + 999999L) / 1000000L)).toInt
+    val e = Dedup.checkpointPartitioned(e0, loopP, col("src"))
+    val eByDst = Dedup.checkpointPartitioned(e, loopP, col("dst"))
+    var e0Released = false
     def normAuth(raw: DataFrame): DataFrame = {
       val m = raw.agg(max(col("ar")).as("amax"))
       raw.crossJoin(broadcast(m))
@@ -578,23 +606,28 @@ object Graph {
     // so without per-round LogicalRDD truncation the analyzed plan
     // doubles per half-step — 2^rounds nodes OOMs the driver by round
     // ~10 (the duplicatedSpans multi-reference lineage trap; persist
-    // caches data, never the plan). r16: the AUTH half-step checkpoints
-    // LAZILY — its blocks materialize under the same fixed-point-check
-    // action (one fewer job per round); the HUB half-step stays EAGER
-    // because its predecessor is released right after and lazy blocks
-    // must never outlive what they read. Released root-only
-    // (releaseRoot — the r16 releaseLabels lesson).
+    // caches data, never the plan). r17: BOTH half-steps checkpoint
+    // LAZILY — ONE action per round (the fixed-point probe), which
+    // materializes the round's auth AND the previous round's hub in the
+    // same job. Lazy blocks must never outlive what they read, so each
+    // frame is released only after the NEXT probe action has provably
+    // materialized everything referencing it: the previous auth right
+    // after the probe (the current hub — its only lazy reader — was
+    // materialized by the same probe), and a hub one full round later
+    // (`spentHub`). Released root-only (releaseRoot — the r16
+    // releaseLabels lesson).
     var auth: DataFrame = initAuth.map(_.select(col("dst"), col("a"))
       .localCheckpoint(true)).orNull
     var hub = (initAuth match {
       case Some(_) =>
-        normHub(e.join(auth, Seq("dst"))
+        normHub(eByDst.join(auth, Seq("dst"))
           .groupBy(col("src"))
           .agg(sum(col("a")).cast("decimal(38,0)").as("hr")))
       case None =>
         e.select(col("src")).distinct()
           .select(col("src"), lit(1000000000L).as("h"))
-    }).localCheckpoint(true)
+    }).localCheckpoint(false)
+    var spentHub: DataFrame = null
     var rounds = -1
     var i = 0
     while (rounds < 0 && i < maxIters) {
@@ -609,19 +642,28 @@ object Graph {
           .filter(col("n.a").isNull || col("o.a").isNull ||
             col("n.a") =!= col("o.a"))
           .limit(1).isEmpty
-      releaseRoot(auth)
+      if (auth != null) {
+        // the probe above ran: it materialized nextAuth, hence also the
+        // current hub (nextAuth reads it) and the spent hub's last
+        // reader — both releases are now safe. Round 1 cold-start runs
+        // no probe (auth == null): nothing is materialized yet and
+        // nothing may be released.
+        releaseRoot(spentHub); spentHub = null
+        releaseRoot(auth)
+        // the first probe also proves BOTH partitioned copies are
+        // materialized (the hub it computed reads eByDst, which reads e,
+        // which reads e0) — the unpartitioned staging copy can go
+        if (!e0Released) { releaseRoot(e0); e0Released = true }
+      }
       auth = nextAuth
       if (fixed) rounds = i
       else {
-        // eager: materializes nextAuth's lazy blocks too (round 1 has no
-        // fixed-point check to do it), and hub's predecessor is released
-        // on the next line
         val nextHub = normHub(
-          e.join(nextAuth, Seq("dst"))
+          eByDst.join(nextAuth, Seq("dst"))
             .groupBy(col("src"))
             .agg(sum(col("a")).cast("decimal(38,0)").as("hr")))
-          .localCheckpoint(true)
-        releaseRoot(hub)
+          .localCheckpoint(false)
+        spentHub = hub
         hub = nextHub
       }
     }
@@ -629,7 +671,8 @@ object Graph {
       s"$maxIters iterations — raise maxIters or inspect the graph " +
       "for a floor-map cycle")
     val res = auth.select(col("dst"), col("a")).localCheckpoint(true)
-    releaseRoot(e); releaseRoot(hub); releaseRoot(auth)
+    releaseRoot(eByDst); releaseRoot(e); releaseRoot(e0)
+    releaseRoot(spentHub); releaseRoot(hub); releaseRoot(auth)
     (res, rounds)
   }
 

@@ -1105,8 +1105,19 @@ object Similarity {
   def ivfPqResidualBuild(corpus: DataFrame, idCol: String, vecCol: String,
                          nlist: Int = 16, ivfIters: Int = 2, m: Int = 8,
                          kSub: Int = 16, pqIters: Int = 2,
-                         dim: Int = 64): (DataFrame, DataFrame, DataFrame) = {
-    val (cents, lists) = ivfKMeansBuild(corpus, idCol, vecCol, nlist, ivfIters)
+                         dim: Int = 64,
+                         prebuiltIvf: Option[(DataFrame, DataFrame)] = None)
+      : (DataFrame, DataFrame, DataFrame) = {
+    // `prebuiltIvf` (r17, guide §1.2 don't compute things twice): a
+    // caller that has ALREADY run ivfKMeansBuild with the same
+    // (nlist, ivfIters) — adcRecallAudit builds the raw variant first —
+    // passes its (cents, lists) instead of paying a second, bit-identical
+    // Lloyd run. The build is deterministic, so the output is the same
+    // triple either way; the contract that both variants share ONE
+    // quantizer is unchanged (it is now shared by reference instead of
+    // by replay).
+    val (cents, lists) = prebuiltIvf.getOrElse(
+      ivfKMeansBuild(corpus, idCol, vecCol, nlist, ivfIters))
     val q = corpus.select(col(idCol).as("nn_id"), qvecPq(col(vecCol)).as("q"))
     val res = lists.select(col("nn_id"), col("cent"))
       .join(q, Seq("nn_id"))
@@ -1368,8 +1379,12 @@ object Similarity {
     val exact = bruteForceKnn(corpus, queries, idCol, vecCol, k)
       .select(col("query_id"), col("nn_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (ivfCents, lists) = ivfKMeansBuild(corpus, idCol, vecCol, nlist,
+    val (ivfCents, listsLazy) = ivfKMeansBuild(corpus, idCol, vecCol, nlist,
       ivfIters)
+    // both variants consume the inverted lists (raw codes join + residual
+    // encode): materialize the assignment aggregate once instead of once
+    // per reference (lazy checkpoint — the q189 annRecallAudit discipline)
+    val lists = listsLazy.localCheckpoint(false)
     val (pqCents, rawCodes) = pqBuild(corpus, idCol, vecCol, m, kSub,
       pqIters, dim)
     val rawBook = pqDenseCodebook(pqCents)
@@ -1377,10 +1392,13 @@ object Similarity {
       .join(pqPackCodes(rawCodes, rawBook), Seq("nn_id"))
     val raw = ivfAdcQuery(ivfCents, rawBook, rawIvfCodes, queries, idCol,
       vecCol, k, nprobe, m, kSub, dim)
-    // the residual build re-runs the same deterministic IVF internally —
-    // bit-identical assignments, so the variants share one quantizer
+    // the residual build shares the raw variant's coarse quantizer BY
+    // REFERENCE (r17; it previously re-ran the same deterministic IVF —
+    // bit-identical, so handing it the built (cents, lists) changes
+    // nothing downstream and drops one full Lloyd run from the audit)
     val (rCents, rBook, rCodes) = ivfPqResidualBuild(corpus, idCol, vecCol,
-      nlist, ivfIters, m, kSub, pqIters, dim)
+      nlist, ivfIters, m, kSub, pqIters, dim,
+      prebuiltIvf = Some((ivfCents, lists)))
     val res = ivfPqResidualQuery(rCents, rBook, rCodes, queries, idCol,
       vecCol, k, nprobe, m, kSub, dim)
     val hits = Seq("raw" -> raw, "residual" -> res).map { case (name, df) =>
@@ -1397,6 +1415,13 @@ object Similarity {
       // leg's cache releases here (the annRecallAudit discipline)
       .localCheckpoint(true)
     exact.unpersist()
+    // the shared lists checkpoint has no CacheManager entry — release its
+    // RDD blocks directly (the releaseLabels/releaseRoot lesson)
+    lists.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(false)
+      case _ => ()
+    }
     out
   }
 

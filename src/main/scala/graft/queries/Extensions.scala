@@ -164,6 +164,14 @@ object Extensions {
       eps, None, 16)
     val rankTap = graft.sources.BucketedTap(rankT, 8, Seq("v"))
     rankTap.write(preRank, graft.sources.SinkMode.Replace)
+    // r17 (ADVICE): the bundle now runs on EVERY invocation and
+    // clearCache() does not free RDD-level localCheckpoint blocks, so
+    // each frame's blocks are released after its LAST reader — preRank
+    // here (the warm leg reads the rank TAP, not this frame), merged
+    // after the warm leg, scratch after the cold leg, warm after the
+    // drift check. Only cold's blocks stay alive: the returned frame
+    // reads them.
+    G.releaseRoot(preRank)
     // the arrival: the batch's pair weights APPEND (orders partition
     // between batches, so per-pair sums merge == rebuild)
     edgeTap.write(
@@ -185,7 +193,9 @@ object Extensions {
         "reproduce the from-scratch capped graph — merge != rebuild")
     val (warm, rw) = G.pageRankConverge(merged, eps,
       Some(rankTap.read(s)), 16)
+    G.releaseRoot(merged)
     val (cold, rc) = G.pageRankConverge(scratch, eps, None, 16)
+    G.releaseRoot(scratch)
     require(rc >= 2 && rc <= 12,
       s"q314/q298: cold stop at $rc rounds — outside the oracle's " +
         "unrolled window [2, 12]")
@@ -199,6 +209,7 @@ object Extensions {
     require(drift <= eps,
       s"q314/q298: warm stop sits $drift units from cold — above " +
         "the ε pin")
+    G.releaseRoot(warm)
     cold.select(col("v").as("vertex"),
       col("r").as("rank_scaled"), lit(rc.toLong).as("rounds"))
   }
@@ -208,7 +219,8 @@ object Extensions {
     * + PQ codebook + bucketed packed codes (the q223 dense layout),
     * and the raw-vector tap the rerank leg serves from. */
   private case class RetrievalArtifacts(postings: String,
-      stats: graft.sources.ParquetTap, ivfCents: String, pqBook: String,
+      stats: graft.sources.ParquetTap, ivfCents: graft.sources.ParquetTap,
+      pqBook: graft.sources.ParquetTap,
       ivfCodes: String, rawVecs: String)
 
   /** Build & persist the full composed-stack artifact set under
@@ -220,11 +232,16 @@ object Extensions {
     val I = graft.functions.InvertedIndex
     val R = graft.functions.Relevance
     val postT = stagedTable(s"graft_${tag}_postings")
-    val centsT = stagedTable(s"graft_${tag}_ivf_cents")
-    val bookT = stagedTable(s"graft_${tag}_pq_book")
     val codesT = stagedTable(s"graft_${tag}_ivf_codes")
     val vecsT = stagedTable(s"graft_${tag}_raw_vecs")
-    Seq(postT, centsT, bookT, codesT, vecsT)
+    // r17 (verdict #4, guide §5 driver work): only the three BUCKETED
+    // artifacts need catalog tables (bucket metadata lives in the
+    // metastore); the two tiny unbucketed ones (IVF centroids, dense PQ
+    // codebook — both broadcast at serve time) now stage as plain
+    // parquet paths, dropping two saveAsTable create/drop round-trips
+    // plus two DROP TABLE statements per invocation. Layouts and serving
+    // plans are unchanged (both sides were always broadcast).
+    Seq(postT, codesT, vecsT)
       .foreach(graft.queries.Tables.dropStagedTable(s, _))
     val docs = s.read.parquet(s"$dir/documents.parquet")
     val e = s.read.parquet(s"$dir/embeddings.parquet")
@@ -242,8 +259,12 @@ object Extensions {
     val (pqCents, codes) = Similarity.pqBuild(
       e, "vec_id", "embedding", m = 8, kSub = 16, iters = 2, dim = 64)
     val book = Similarity.pqDenseCodebook(pqCents)
-    ivfCents.write.mode("overwrite").saveAsTable(centsT)
-    book.write.mode("overwrite").saveAsTable(bookT)
+    val centsTap = graft.sources.ParquetTap(
+      graft.queries.Relational.stagePath(s"graft_${tag}_ivf_cents", dir))
+    val bookTap = graft.sources.ParquetTap(
+      graft.queries.Relational.stagePath(s"graft_${tag}_pq_book", dir))
+    centsTap.write(ivfCents, graft.sources.SinkMode.Replace)
+    bookTap.write(book, graft.sources.SinkMode.Replace)
     val ivfCodes = lists.select(col("nn_id"), col("cent"))
       .join(Similarity.pqPackCodes(codes, book), Seq("nn_id"))
     graft.sources.BucketedTap(codesT, 8, Seq("cent"))
@@ -251,7 +272,7 @@ object Extensions {
     graft.sources.BucketedTap(vecsT, 8, Seq("vec_id"))
       .write(e.select(col("vec_id"), col("embedding")),
         graft.sources.SinkMode.Replace)
-    RetrievalArtifacts(postT, statsTap, centsT, bookT, codesT, vecsT)
+    RetrievalArtifacts(postT, statsTap, centsTap, bookTap, codesT, vecsT)
   }
 
   /** The probe vectors as a bounded DRIVER CARRY (the known-query
@@ -4366,8 +4387,8 @@ object Extensions {
           R.bm25FromIndex(s.table(a.postings), a.stats.read(s),
               Bm25Terms, topK = 100)
             .withColumnRenamed("id", "doc_id"))
-        val dense = Similarity.ivfAdcRerankTopK(s.table(a.ivfCents),
-            s.table(a.pqBook), s.table(a.ivfCodes), s.table(a.rawVecs),
+        val dense = Similarity.ivfAdcRerankTopK(a.ivfCents.read(s),
+            a.pqBook.read(s), s.table(a.ivfCodes), s.table(a.rawVecs),
             qDf, "vec_id", "embedding", k = 5, rerankR = 16, nprobe = 4,
             m = 8, kSub = 16, dim = 64)
           .select(col("nn_id").as("doc_id"), col("rk").as("dr"))
@@ -4399,8 +4420,8 @@ object Extensions {
         val lexRanked = R.rankByScorePerQuery(
           R.bm25FromIndexMulti(s.table(a.postings), a.stats.read(s),
             MultiQueryTerms, legK = 100))
-        val dense = Similarity.ivfAdcRerankTopK(s.table(a.ivfCents),
-            s.table(a.pqBook), s.table(a.ivfCodes), s.table(a.rawVecs),
+        val dense = Similarity.ivfAdcRerankTopK(a.ivfCents.read(s),
+            a.pqBook.read(s), s.table(a.ivfCodes), s.table(a.rawVecs),
             qDf, "vec_id", "embedding", k = 5, rerankR = 16, nprobe = 4,
             m = 8, kSub = 16, dim = 64)
           .select(col("query_id"), col("nn_id").as("doc_id"),
@@ -4471,8 +4492,8 @@ object Extensions {
                 val lexRanked = R.rankByScorePerQuery(
                   R.bm25FromIndexMulti(s.table(a.postings), a.stats.read(s),
                     batchTerms, legK = 100))
-                val dense = Similarity.ivfAdcRerankTopK(s.table(a.ivfCents),
-                    s.table(a.pqBook), s.table(a.ivfCodes),
+                val dense = Similarity.ivfAdcRerankTopK(a.ivfCents.read(s),
+                    a.pqBook.read(s), s.table(a.ivfCodes),
                     s.table(a.rawVecs), qDf, "vec_id", "embedding",
                     k = 5, rerankR = 16, nprobe = 4,
                     m = 8, kSub = 16, dim = 64)

@@ -237,6 +237,105 @@ object ProfileHot {
       Seq(edgeT, rankT).foreach(graft.queries.Tables.dropStagedTable(s, _))
     }
 
+    def bpe(tag: String): Unit = {
+      val V = graft.functions.Vocab
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          regexp_replace(col("text"), lit("(\\S+)"),
+            concat(lit("$1~"), col("doc_id").cast("string"))).as("text"))
+      // r17 negative result, kept as the measurement hook: a doc-local
+      // pair-counting variant (per-row array_sort + run-length encode,
+      // no pair exchange — valid on the salted corpus where pairs never
+      // span docs) measured SLOWER (18.1 vs 15.1 s prof pass): the
+      // per-round cost is the split/zip/count CPU, not the exchange.
+      t(s"$tag q276 phraseBpe grouped")(noop(
+        V.phraseBpe(docs, "doc_id", "text", rounds = 16, perRound = 1024,
+          requireFullRounds = true)))
+    }
+
+    def winnow(tag: String): Unit = {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      t(s"$tag q186 winnowClustersTransitive")(noop(
+        D.winnowClustersTransitive(docs, "doc_id", "text",
+          n = 4, w = 8, maxIters = 40)))
+      t(s"$tag q195 winnowClustersTransitive wide")(noop(
+        D.winnowClustersTransitive(docs, "doc_id", "text",
+          n = 4, w = 8, maxIters = 40, wideHash = true)))
+    }
+
+    def hits(tag: String): Unit = {
+      val H = graft.functions.Html
+      val G = graft.functions.Graph
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val blocks = H.htmlBlocks(
+        H.withSynthHtml(docs, "doc_id", "text"), "id", "html")
+      val edges = H.linkIndexRows(blocks.select(col("id"), col("links")))
+        .select(col("id").as("src"), col("href").as("dst"))
+        .localCheckpoint(true)
+      val (aPre, _) = t(s"$tag q277 hitsConverge cold")(
+        G.hitsConverge(edges))
+      t(s"$tag q277 hitsConverge warm")(
+        G.hitsConverge(edges, Some(aPre)))
+    }
+
+    def stream(tag: String): Unit = {
+      // verdict #6 experiment: per-microbatch checkpoint-file checksum
+      // cost (Spark 4 writes + verifies a checksum file per checkpoint
+      // file; q123's restart already reads pre-checksum snapshots fine)
+      val key = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
+      val qs = Seq("q112_stream_session_window", "q114_stream_static_join",
+        "q96_stream_sliding", "q123_stream_checkpoint_recovery")
+      Seq("true", "false", "true", "false").zipWithIndex.foreach {
+        case (on, i) =>
+          s.conf.set(key, on)
+          qs.foreach { q =>
+            t(s"$tag#$i $q checksum=$on")(noop(
+              graft.SparkEntry.queries(q)(s, dir)))
+          }
+      }
+      s.conf.unset(key)
+    }
+
+    def roundplan(tag: String): Unit = {
+      // Dump ONE propagation round's executed plan under (a) the r16
+      // construction (bare lazy checkpoint — unpartitioned edge leaf)
+      // and (b) the r17 construction (pre-partitioned + pre-sorted
+      // copies) — the per-round evidence the final-plan files cannot
+      // show (loop rounds execute eagerly inside the query body).
+      import org.apache.spark.sql.functions.{col, min}
+      val prevT = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        import s.implicits._
+        val rows = (0L until 400L).map(i => (i, 0, s"k${i % 37}"))
+          .toDF("id", "band", "key")
+        def round(br: org.apache.spark.sql.DataFrame,
+                  brB: org.apache.spark.sql.DataFrame) = {
+          val labels = br.select(col("id")).distinct()
+            .withColumn("label", col("id"))
+          val bucketLabel = br.join(labels, "id")
+            .groupBy(col("band"), col("key"))
+            .agg(min(col("label")).as("blabel"))
+          val next = brB.join(bucketLabel, Seq("band", "key"))
+            .groupBy(col("id")).agg(min(col("blabel")).as("label"))
+          next.collect()
+          next.queryExecution.executedPlan.toString
+            .split("== Initial Plan ==").head
+        }
+        val br16 = rows.localCheckpoint(false)
+        println(s"===== $tag round plan: r16 construction =====")
+        println(round(br16, br16))
+        val P = s.sessionState.conf.numShufflePartitions
+        val br17 = graft.functions.Dedup.checkpointPartitioned(
+          rows, P, col("id"))
+        val br17B = graft.functions.Dedup.checkpointPartitioned(
+          br17, P, col("band"), col("key"))
+        println(s"===== $tag round plan: r17 construction =====")
+        println(round(br17, br17B))
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
+    }
+
     def video(tag: String): Unit = {
       val M = graft.functions.Multimodal
       val docs = s.read.parquet(s"$dir/documents.parquet")
@@ -258,6 +357,11 @@ object ProfileHot {
     if (want("retrieval")) { retrieval("warm"); retrieval("prof") }
     if (want("prbundle")) { prbundle("warm"); prbundle("prof") }
     if (want("video")) { video("warm"); video("prof") }
+    if (want("bpe")) { bpe("warm"); bpe("prof") }
+    if (want("stream")) stream("prof")
+    if (want("roundplan")) roundplan("prof")
+    if (want("winnow")) { winnow("warm"); winnow("prof") }
+    if (want("hits")) { hits("warm"); hits("prof") }
     spark.stop()
   }
 }
